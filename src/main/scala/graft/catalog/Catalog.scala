@@ -1,0 +1,159 @@
+package graft.catalog
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.types.StructType
+
+/**
+ * Table metadata: the engine-side replacement for the reference's AWS Glue
+ * catalog lookups (`get_table_location`, reference
+ * src/apply_change_log_to_delta.py:102-111) and its hardcoded primary-key
+ * registry (`get_primary_key`, src/apply_change_log_to_delta.py:141-150,
+ * dev/_get_schema_from_glue.py:108-123 stores it as table parameter "PK").
+ *
+ * At cluster scale the catalog is a metadata service (Glue / HMS / Unity);
+ * here it is a trait so the engine code never hardcodes paths.
+ */
+final case class TableMeta(
+    db: String,
+    name: String,
+    location: String,
+    format: String = "parquet",
+    primaryKey: Option[String] = None,
+    partitionBy: Seq[String] = Nil,
+    properties: Map[String, String] = Map.empty) {
+  def qualified: String = s"$db.$name"
+}
+
+trait Catalog {
+  def get(db: String, table: String): Option[TableMeta]
+  def register(meta: TableMeta): Unit
+  def list(db: String): Seq[TableMeta]
+
+  def apply(db: String, table: String): TableMeta =
+    get(db, table).getOrElse(
+      throw new NoSuchElementException(s"table not registered: $db.$table"))
+
+  def primaryKey(db: String, table: String): String =
+    apply(db, table).primaryKey.getOrElse(
+      throw new IllegalStateException(s"no PK registered for $db.$table"))
+}
+
+/** Driver-side metadata map; thread-safe so parallel per-table jobs can register. */
+final class InMemoryCatalog extends Catalog {
+  private val tables = TrieMap.empty[(String, String), TableMeta]
+  override def get(db: String, table: String): Option[TableMeta] =
+    tables.get((db.toLowerCase, table.toLowerCase))
+  override def register(meta: TableMeta): Unit =
+    tables.update((meta.db.toLowerCase, meta.name.toLowerCase), meta)
+  override def list(db: String): Seq[TableMeta] =
+    tables.collect { case ((d, _), m) if d == db.toLowerCase => m }.toSeq
+}
+
+/**
+ * Versioned snapshot table store.
+ *
+ * The reference's mutable tables are Delta with full-snapshot overwrite
+ * semantics only (`write.format("delta").mode("overwrite")`, reference
+ * src/apply_change_log_to_delta.py:218-245) — it never uses MERGE or
+ * time-travel. Those semantics are exactly reproducible without the delta
+ * jar (not present in this environment) by writing each overwrite as a new
+ * immutable version directory `<location>/v=NNNNNN` and reading the max
+ * version. This also fixes the read-overlaps-write hazard a naive
+ * parquet-overwrite would have, and keeps the door open for a Delta/Iceberg
+ * backend that slots in behind the same interface (then `overwrite` becomes
+ * MERGE INTO and `read` a snapshot scan).
+ *
+ * Scale notes: a version commit is one atomic directory rename plus a
+ * bounded vacuum; readers always see a complete snapshot. Data files are
+ * written by executors in parallel (plain parquet), so 1000-executor writes
+ * work unchanged.
+ */
+final class SnapshotStore(spark: SparkSession, val catalog: Catalog, keepVersions: Int = 2) {
+  private val VersionRe = "^v=(\\d{6})$".r
+
+  private def fs(path: Path) =
+    path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def versions(location: String): Seq[Int] = {
+    val p = new Path(location)
+    val f = fs(p)
+    if (!f.exists(p)) Nil
+    else
+      f.listStatus(p).toSeq.flatMap { st =>
+        st.getPath.getName match {
+          case VersionRe(n) if st.isDirectory => Some(n.toInt)
+          case _ => None
+        }
+      }.sorted
+  }
+
+  def exists(db: String, table: String): Boolean =
+    catalog.get(db, table).exists(m => versions(m.location).nonEmpty)
+
+  def read(db: String, table: String): DataFrame = {
+    val meta = catalog(db, table)
+    val vs = versions(meta.location)
+    require(vs.nonEmpty, s"no snapshot versions at ${meta.location}")
+    readVersion(meta, vs.last)
+  }
+
+  def readVersion(meta: TableMeta, version: Int): DataFrame =
+    spark.read.format(meta.format).load(f"${meta.location}/v=$version%06d")
+
+  /**
+   * Snapshot-overwrite (reference parity). With `mergeSchema=true` the new
+   * snapshot's schema is the union of the existing schema and `df`'s —
+   * matching Delta's `.option("mergeSchema","true")` used for domain outputs
+   * (reference src/apply_to_domains.py:213-228).
+   */
+  def overwrite(db: String, table: String, df: DataFrame, mergeSchema: Boolean = false): Unit = {
+    val meta = catalog(db, table)
+    val vs = versions(meta.location)
+    val out =
+      if (mergeSchema && vs.nonEmpty) SnapshotStore.alignToUnion(read(db, table).schema, df)
+      else df
+    val next = vs.lastOption.getOrElse(-1) + 1
+    val tmp = new Path(f"${meta.location}/.tmp-v=$next%06d")
+    val fin = new Path(f"${meta.location}/v=$next%06d")
+    out.write.format(meta.format).mode("overwrite").save(tmp.toString)
+    val f = fs(fin)
+    if (!f.rename(tmp, fin))
+      throw new IllegalStateException(s"commit rename failed: $tmp -> $fin")
+    // bounded vacuum: keep the last `keepVersions` snapshots
+    vs.dropRight(keepVersions - 1).foreach { v =>
+      f.delete(new Path(f"${meta.location}/v=$v%06d"), true)
+    }
+  }
+
+  /**
+   * Append-only partitioned write for the landing zone (reference
+   * gg_logs_to_parquet partitions by `part_date`,
+   * src/gg_logs_to_parquet.py:35,126-159). Not versioned: the event log is
+   * immutable, and date partitions give partition pruning downstream.
+   */
+  def appendPartitioned(db: String, table: String, df: DataFrame): Unit = {
+    val meta = catalog(db, table)
+    val w = df.write.format(meta.format).mode("append")
+    (if (meta.partitionBy.nonEmpty) w.partitionBy(meta.partitionBy: _*) else w)
+      .save(meta.location)
+  }
+
+  /** Read a non-versioned (landing-zone) table. */
+  def readFlat(db: String, table: String): DataFrame = {
+    val meta = catalog(db, table)
+    spark.read.format(meta.format).load(meta.location)
+  }
+}
+
+object SnapshotStore {
+  /** Align `df` to the union of `existing` and `df.schema` (nulls for gaps). */
+  private[catalog] def alignToUnion(existing: StructType, df: DataFrame): DataFrame = {
+    val have = df.schema.map(f => f.name.toLowerCase).toSet
+    val missing = existing.filterNot(f => have.contains(f.name.toLowerCase))
+    missing.foldLeft(df)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
+  }
+}

@@ -1,0 +1,233 @@
+package graft.operators
+
+import java.util.concurrent.Executors
+
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.catalog.SnapshotStore
+import graft.model.CdcModel._
+
+/**
+ * Stage 2 — apply an I/U/D change log to per-table targets (the engine's
+ * centerpiece; reference src/apply_change_log_to_delta.py:531-660).
+ *
+ * The reference leaves Catalyst twice: a per-row Python `mapper`
+ * (:330-363) and a sequential fold that *collects the whole sorted change
+ * log to the driver* and linearly scans it per target row
+ * (:366-422,626-638) — an O(rows x events) driver-memory cliff. This
+ * implementation is Spark-native end to end:
+ *
+ *  - `mapEvents` is pure column expressions (whole-stage codegen, column
+ *    pruning into the parquet scan of the event log).
+ *  - `applyLastWins` is the fast path for the reference's shipped semantics
+ *    (chain check disabled at :384 makes the fold last-event-wins): one
+ *    window shuffle on the PK + one anti-join whose build side is the tiny
+ *    distinct-key set (AQE broadcasts it). No driver data movement.
+ *  - `applyFold` is the exact sequential-fold operator for chain-verified
+ *    mode (reference dev/_read_delta_table.py:343-369: apply only when
+ *    `previous_hash == admin_hash`, D-then-I resurrects as U): a single
+ *    co-group shuffle on the PK; each group folds its own events in `pos`
+ *    order. Memory is bounded by max events-per-key, never by table or
+ *    change-log size, so it scales to 100 TB targets with skew handled by
+ *    AQE (keys are unique in the target side).
+ *
+ * Replaced plan shape: the reference's 4 joins + window + global sort +
+ * driver collect collapse to one shuffle (fold) or one window + anti-join
+ * (fast path).
+ */
+object ChangeLogApplier {
+
+  /**
+   * Event -> target-schema reshape as pure expressions (replaces the Python
+   * `mapper`, reference src/apply_change_log_to_delta.py:330-363):
+   * pick `after` (I/U) or `before` (D); per-field cast to the target type
+   * (dates `yyyy-MM-dd`; timestamps = first 26 chars cast, matching the
+   * reference's `fld_val[:26]` + `%f` parse of 6-digit micros, :309-327);
+   * attach admin + transient fields. Field-name matching is
+   * case-insensitive (source images are UPPERCASE, targets lowercase).
+   */
+  def mapEvents(events: DataFrame, targetSchema: StructType): DataFrame = {
+    val imageSchema = events.schema("after").dataType.asInstanceOf[StructType]
+    val imageFields = imageSchema.fieldNames.map(f => f.toLowerCase -> f).toMap
+    val img = when(col("op_type") =!= "D", col("after")).otherwise(col("before"))
+
+    def coerce(c: org.apache.spark.sql.Column, dt: DataType) = dt match {
+      case TimestampType => substring(c.cast(StringType), 1, 26).cast(TimestampType)
+      case DateType => c.cast(StringType).cast(DateType)
+      case other => c.cast(other)
+    }
+
+    val businessCols = targetSchema.fields.toSeq
+      .filterNot(f => adminFields.exists(_.name == f.name))
+      .map { f =>
+        imageFields.get(f.name.toLowerCase) match {
+          case Some(src) => coerce(img.getField(src), f.dataType).as(f.name)
+          case None => lit(null).cast(f.dataType).as(f.name)
+        }
+      }
+
+    val adminCols = Seq(
+      col("after_hash").cast(IntegerType).as(AdminHash),
+      col("pos").as(AdminGgPos),
+      substring(col("op_ts"), 1, 26).cast(TimestampType).as(AdminGgOpTs),
+      current_timestamp().as(AdminEventTs))
+
+    val transientCols = Seq(
+      col("op_type").as(EventType),
+      col("before_hash").cast(IntegerType).as(PreviousHash),
+      lower(element_at(split(col("table"), "\\."), -1)).as(SrcTable),
+      lower(element_at(split(col("table"), "\\."), 1)).as(SrcSchema))
+
+    events.select(businessCols ++ adminCols ++ transientCols: _*)
+  }
+
+  /**
+   * Fast path, equivalent to the reference's shipped (chain-check-disabled)
+   * fold: the last event per key in `pos` order decides the row — U/I
+   * replace the whole row, D deletes it; untouched target rows remain.
+   */
+  def applyLastWins(target: DataFrame, mapped: DataFrame, pk: String): DataFrame = {
+    val w = Window.partitionBy(col(pk)).orderBy(col(AdminGgPos).desc)
+    val latest = mapped
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+    val upserts = latest
+      .filter(col(EventType) =!= "D")
+      .select(target.columns.map(col).toSeq: _*)
+    // anti-join build side = distinct event keys (small vs the target) ->
+    // AQE turns this into a broadcast; the big target side does not shuffle.
+    target.join(latest.select(col(pk)), Seq(pk), "left_anti")
+      .unionByName(upserts)
+  }
+
+  /**
+   * Exact sequential CDC fold as a typed co-group (one shuffle on the PK).
+   *
+   * Per key: state = existing target row, or (for new keys) the earliest
+   * event's mapped row — the reference seeds new keys with the argmin-pos
+   * event (src/apply_change_log_to_delta.py:607-621) and then folds. Events
+   * apply in ascending `pos`: U replaces all fields (action U); D marks the
+   * row deleted keeping fields; I replaces (action I) — in chain-verified
+   * mode an event applies only when its `previous_hash` equals the current
+   * `admin_hash`, and an I resurrects a deleted row as U
+   * (dev/_read_delta_table.py:343-369). Rows whose final action is neither
+   * U nor I (deleted, or chain-broken) are dropped; keys with no events
+   * pass through untouched.
+   */
+  def applyFold(target: DataFrame, mapped: DataFrame, pk: String,
+                chainVerified: Boolean): DataFrame = {
+    val outSchema = target.schema
+    val outNames = outSchema.fieldNames.map(_.toLowerCase).toSeq
+    val mIdx = mapped.schema.fieldNames.map(_.toLowerCase).zipWithIndex.toMap
+    val outToM = outNames.map(mIdx) // mapped carries every target column
+    val pkL = pk.toLowerCase
+    val keyT = outNames.indexOf(pkL)
+    val keyM = mIdx(pkL)
+    val posM = mIdx(AdminGgPos)
+    val etM = mIdx(EventType)
+    val phM = mIdx(PreviousHash)
+    val hashT = outNames.indexOf(AdminHash)
+    val n = outNames.length
+
+    val rowEnc = Encoders.row(outSchema)
+    val keyOf = (i: Int) => (r: Row) => if (r.isNullAt(i)) "" else String.valueOf(r.get(i))
+    val gTarget = target.groupByKey(keyOf(keyT))(Encoders.STRING)
+    val gEvents = mapped.groupByKey(keyOf(keyM))(Encoders.STRING)
+
+    gTarget.cogroup(gEvents) { (_, targRows: Iterator[Row], evRows: Iterator[Row]) =>
+      // per-key event list is small (bounded by events-per-key, not by
+      // table size); sort by the zero-padded pos string = total order
+      val evs = evRows.toArray
+      if (evs.isEmpty) targRows
+      else {
+        java.util.Arrays.sort(evs, Ordering.by[Row, String](r =>
+          if (r.isNullAt(posM)) "" else r.getString(posM)))
+        val buf = new Array[Any](n)
+        var action = ""
+        var rest: Iterator[Row] = evs.iterator
+
+        def copyAll(e: Row): Unit = {
+          var i = 0
+          while (i < n) { buf(i) = e.get(outToM(i)); i += 1 }
+        }
+
+        if (targRows.hasNext) {
+          val t = targRows.next()
+          var i = 0
+          while (i < n) { buf(i) = t.get(i); i += 1 }
+        } else {
+          // seed from the earliest event; it counts as applied
+          val first = evs.head
+          copyAll(first)
+          action = first.getString(etM)
+          rest = evs.iterator.drop(1)
+        }
+
+        rest.foreach { e =>
+          val chainOk = !chainVerified ||
+            java.util.Objects.equals(e.get(phM), buf(hashT))
+          if (chainOk) e.getString(etM) match {
+            case "U" => copyAll(e); action = "U"
+            case "D" => action = "D"
+            case "I" =>
+              if (chainVerified) {
+                if (action == "D") { copyAll(e); action = "U" }
+              } else { copyAll(e); action = "I" }
+            case _ => ()
+          }
+        }
+        if (action == "U" || action == "I")
+          Iterator.single[Row](new GenericRowWithSchema(buf, outSchema))
+        else Iterator.empty
+      }
+    }(rowEnc)
+  }
+
+  /** Apply one table's events to one target frame. */
+  def applyTable(target: DataFrame, events: DataFrame, pk: String,
+                 chainVerified: Boolean = false): DataFrame = {
+    val mapped = mapEvents(events, target.schema)
+    if (chainVerified) applyFold(target, mapped, pk, chainVerified = true)
+    else applyLastWins(target, mapped, pk)
+  }
+
+  /**
+   * Full stage: split the event log by source table and merge each into its
+   * target snapshot. Tables run concurrently on the driver (Spark schedules
+   * the jobs in parallel) — the reference serializes them in a Python for
+   * loop (:551). Returns the processed target-table names (the reference
+   * fires its Kinesis-notify stub per table here, :659-660 — kept as a
+   * caller-supplied hook).
+   */
+  def run(spark: SparkSession, store: SnapshotStore, db: String,
+          eventLog: DataFrame, chainVerified: Boolean = false,
+          parallelism: Int = 4,
+          onTableDone: String => Unit = _ => ()): Seq[String] = {
+    val tables = eventLog.select(col("table")).distinct()
+      .as[String](Encoders.STRING).collect().toSeq // loop control only
+    val pool = Executors.newFixedThreadPool(math.max(1, parallelism))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try {
+      val futures = tables.map { src =>
+        Future {
+          val (_, tbl) = splitSourceTable(src)
+          val pk = store.catalog.primaryKey(db, tbl)
+          val target = store.read(db, tbl)
+          val events = eventLog.filter(col("table") === src)
+          store.overwrite(db, tbl, applyTable(target, events, pk, chainVerified))
+          onTableDone(tbl)
+          tbl
+        }
+      }
+      Await.result(Future.sequence(futures), Duration.Inf)
+    } finally pool.shutdown()
+  }
+}

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.catalog.SnapshotStore
+import graft.model.DomainDef
+
+/**
+ * Stage 4 — materialize "domain" reporting tables from SQL statements
+ * stored as data (reference src/apply_to_domains.py).
+ *
+ * A definition row carries Status,Type,Domain,Dependancies,Target,
+ * Resolution (tests/data/dummy/database/domain_definitions CSVs). Only
+ * definitions whose dependency list intersects the changed-table set are
+ * re-materialized (incremental-view activation, reference
+ * `filter_statements` via rdd.map :76-106 — here a plain Dataset filter,
+ * no RDD/Python boundary). Each active definition's Resolution SQL runs
+ * through the full Catalyst lifecycle over temp views of its dependencies,
+ * gets a `process_id` stamp, and snapshot-overwrites its target with
+ * schema evolution (mergeSchema, :213-228).
+ */
+final class DomainRunner(spark: SparkSession, store: SnapshotStore) {
+  import spark.implicits._
+
+  /** CSV scan with header (reference src/apply_to_domains.py:181-197). */
+  def loadDefs(path: String): Dataset[DomainDef] =
+    spark.read.option("header", "true").csv(path)
+      .select(
+        col("Status").as("status"),
+        col("Type").as("defType"),
+        col("Domain").as("domain"),
+        split(col("Dependancies"), ",").as("dependencies"),
+        col("Target").as("target"),
+        col("Resolution").as("resolution"))
+      .as[DomainDef]
+
+  /** Activation: a definition is due iff any dependency saw change events
+   * (reference `filter_statements`, src/apply_to_domains.py:76-94). */
+  def activate(defs: Dataset[DomainDef], changedTables: Seq[String]): Dataset[DomainDef] = {
+    val changed = changedTables.map(_.toLowerCase).toSet
+    defs.filter(d => d.dependencies.exists(dep => changed.contains(dep.trim.toLowerCase)))
+  }
+
+  /** Run one definition: temp views for dependencies, Catalyst SQL,
+   * process-id stamp (reference `run_statement`, src/apply_to_domains.py:54-68). */
+  def runStatement(db: String, d: DomainDef, processId: Long): DataFrame = {
+    d.dependencies.foreach { dep =>
+      store.read(db, dep.trim).createOrReplaceTempView(dep.trim)
+    }
+    spark.sql(d.resolution).withColumn("process_id", lit(processId))
+  }
+
+  /** Full stage (reference start(), src/apply_to_domains.py:252-282). */
+  def run(db: String, defsPath: String, changedTables: Seq[String],
+          processId: Long = System.currentTimeMillis()): Seq[String] = {
+    val active = activate(loadDefs(defsPath), changedTables).collect().toSeq // defs are tiny config rows
+    active.map { d =>
+      store.overwrite(db, d.target, runStatement(db, d, processId), mergeSchema = true)
+      d.target
+    }
+  }
+}
+
+object DomainRunner {
+  /**
+   * Catalog-registration type narrowing (reference `glue_datatypes` +
+   * `schema_to_columns`, src/apply_to_domains.py:121-144): anything outside
+   * {integer, date, timestamp, string} — including structs — registers as
+   * string.
+   */
+  def narrowForCatalog(schema: StructType): StructType = StructType(schema.map { f =>
+    val t = f.dataType match {
+      case IntegerType | DateType | TimestampType | StringType => f.dataType
+      case _ => StringType
+    }
+    StructField(f.name, t)
+  })
+}

@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.expr
+
+import graft.catalog.SnapshotStore
+
+/**
+ * Stage 3 — structured -> curated promotion (reference
+ * src/apply_to_curated.py). The reference transform is the identity
+ * placeholder (`apply_changes`, :153-161); the hook point is kept so real
+ * curation logic (PII masking, conforming) slots in per table.
+ */
+final class CuratedApplier(store: SnapshotStore,
+                           transform: DataFrame => DataFrame = identity) {
+  def run(db: String, tables: Seq[String], suffix: String = "_curated"): Seq[String] =
+    tables.map { t =>
+      store.overwrite(db, t + suffix, transform(store.read(db, t)))
+      t + suffix
+    }
+}
+
+/**
+ * Stage 5 — ad-hoc query entry point (reference dev/glue_query +
+ * docs/demo_querys): table name, projection list, SQL predicate string
+ * (default "1=1"). The predicate parses through Catalyst (`expr`), so
+ * pushdown/pruning are free; e.g.
+ * `run("offenders", Seq("offender_id","last_name"), "offender_id>15")`.
+ */
+final class QueryRunner(store: SnapshotStore) {
+  def run(db: String, table: String, fields: Seq[String],
+          where: String = "1=1"): DataFrame =
+    apply(store.read(db, table), fields, where)
+
+  def apply(df: DataFrame, fields: Seq[String], where: String): DataFrame = {
+    val projected = if (fields.isEmpty || fields == Seq("*")) df
+                    else df.selectExpr(fields: _*)
+    projected.where(expr(if (where.trim.isEmpty) "1=1" else where))
+  }
+}
