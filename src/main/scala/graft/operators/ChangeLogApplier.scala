@@ -65,7 +65,7 @@ object ChangeLogApplier {
     }
 
     val businessCols = targetSchema.fields.toSeq
-      .filterNot(f => adminFields.exists(_.name == f.name))
+      .filterNot(f => adminFields.exists(_.name.equalsIgnoreCase(f.name)))
       .map { f =>
         imageFields.get(f.name.toLowerCase) match {
           case Some(src) => coerce(img.getField(src), f.dataType).as(f.name)
@@ -73,15 +73,22 @@ object ChangeLogApplier {
         }
       }
 
+    // admin-field types follow the *target's* schema (bootstrap fixtures
+    // register admin_hash as string; a DDL-built target uses int)
+    def adminType(name: String, default: DataType): DataType =
+      targetSchema.fields.find(_.name.equalsIgnoreCase(name))
+        .map(_.dataType).getOrElse(default)
+    val hashType = adminType(AdminHash, IntegerType)
+
     val adminCols = Seq(
-      col("after_hash").cast(IntegerType).as(AdminHash),
-      col("pos").as(AdminGgPos),
-      substring(col("op_ts"), 1, 26).cast(TimestampType).as(AdminGgOpTs),
-      current_timestamp().as(AdminEventTs))
+      col("after_hash").cast(hashType).as(AdminHash),
+      col("pos").cast(adminType(AdminGgPos, StringType)).as(AdminGgPos),
+      coerce(col("op_ts"), adminType(AdminGgOpTs, TimestampType)).as(AdminGgOpTs),
+      current_timestamp().cast(adminType(AdminEventTs, TimestampType)).as(AdminEventTs))
 
     val transientCols = Seq(
       col("op_type").as(EventType),
-      col("before_hash").cast(IntegerType).as(PreviousHash),
+      col("before_hash").cast(hashType).as(PreviousHash),
       lower(element_at(split(col("table"), "\\."), -1)).as(SrcTable),
       lower(element_at(split(col("table"), "\\."), 1)).as(SrcSchema))
 
@@ -152,6 +159,7 @@ object ChangeLogApplier {
           if (r.isNullAt(posM)) "" else r.getString(posM)))
         val buf = new Array[Any](n)
         var action = ""
+        var fromTarget = false
         var rest: Iterator[Row] = evs.iterator
 
         def copyAll(e: Row): Unit = {
@@ -161,6 +169,7 @@ object ChangeLogApplier {
 
         if (targRows.hasNext) {
           val t = targRows.next()
+          fromTarget = true
           var i = 0
           while (i < n) { buf(i) = t.get(i); i += 1 }
         } else {
@@ -184,7 +193,12 @@ object ChangeLogApplier {
             case _ => ()
           }
         }
-        if (action == "U" || action == "I")
+        // U/I survive; D drops. A pre-existing row none of whose events
+        // applied (chain broken on all of them) stays untouched — the
+        // shipped reference would drop it (its U/I filter), but losing a
+        // live row to an invalid event is corruption, not semantics worth
+        // preserving; buf is still exactly the target row here.
+        if (action == "U" || action == "I" || (fromTarget && action.isEmpty))
           Iterator.single[Row](new GenericRowWithSchema(buf, outSchema))
         else Iterator.empty
       }

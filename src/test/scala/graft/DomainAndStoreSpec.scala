@@ -1,0 +1,107 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.{InMemoryCatalog, SnapshotStore, TableMeta}
+import graft.operators.{CuratedApplier, DomainRunner, QueryRunner}
+
+/**
+ * Domain materialization parity (reference tests/test_4_apply_to_domains.py
+ * on the checked-in definition CSVs and curated offender tables) plus the
+ * snapshot store's Delta-overwrite-equivalent semantics.
+ */
+class DomainAndStoreSpec extends AnyFunSuite with SparkFixture {
+  private lazy val tmp = Files.createTempDirectory("graft-test").toString
+  private lazy val catalog = new InMemoryCatalog
+  private lazy val store = new SnapshotStore(spark, catalog)
+
+  private def bootstrap(): Unit = synchronized {
+    if (catalog.get("db", "offenders").isEmpty) {
+      Seq("offenders", "offender_bookings", "domain1_off_book").foreach { t =>
+        catalog.register(TableMeta("db", t, s"$tmp/$t", primaryKey = Some("offender_id")))
+      }
+      // curated fixtures: the pair whose offender_id ranges overlap
+      // (reference test_4 joins the curated zone)
+      store.overwrite("db", "offenders",
+        spark.read.parquet(s"$RefData/database/oms_owner/offenders_curated"))
+      store.overwrite("db", "offender_bookings",
+        spark.read.parquet(s"$RefData/database/oms_owner/offender_bookings_curated"))
+    }
+  }
+
+  test("snapshot store: overwrite/read roundtrip and version advance") {
+    bootstrap()
+    val n0 = store.read("db", "offenders").count()
+    assert(n0 == 18) // reference curated fixture size
+    store.overwrite("db", "offenders", store.read("db", "offenders").limit(5))
+    assert(store.read("db", "offenders").count() == 5)
+    // restore for later tests
+    store.overwrite("db", "offenders",
+      spark.read.parquet(s"$RefData/database/oms_owner/offenders_curated"))
+    assert(store.read("db", "offenders").count() == 18)
+  }
+
+  test("snapshot store: mergeSchema keeps existing columns, null-fills gaps") {
+    bootstrap()
+    val before = store.read("db", "offenders")
+    val narrowed = before.select("offender_id", "last_name")
+      .withColumn("extra", lit(1))
+    store.overwrite("db", "offenders", narrowed, mergeSchema = true)
+    val after = store.read("db", "offenders")
+    assert(after.columns.contains("first_name")) // union-aligned
+    assert(after.columns.contains("extra"))
+    assert(after.filter(col("first_name").isNotNull).count() == 0)
+    store.overwrite("db", "offenders",
+      spark.read.parquet(s"$RefData/database/oms_owner/offenders_curated"))
+  }
+
+  test("domain defs load + dependency activation") {
+    bootstrap()
+    val runner = new DomainRunner(spark, store)
+    val defs = runner.loadDefs(s"$RefData/database/domain_definitions/domain_table_1.csv")
+    val all = defs.collect()
+    assert(all.length == 1)
+    assert(all.head.dependencies.map(_.trim) == Seq("offenders", "offender_bookings"))
+    assert(runner.activate(defs, Seq("offenders")).count() == 1)
+    assert(runner.activate(defs, Seq("unrelated")).count() == 0)
+  }
+
+  test("domain SQL materializes offenders x bookings with concat name") {
+    bootstrap()
+    val runner = new DomainRunner(spark, store)
+    val made = runner.run("db",
+      s"$RefData/database/domain_definitions/domain_table_1.csv",
+      changedTables = Seq("offenders"), processId = 42L)
+    assert(made == Seq("domain1_off_book"))
+    val out = store.read("db", "domain1_off_book")
+    assert(out.columns.toSet.contains("offender_name"))
+    assert(out.count() > 0)
+    // reference test_4 expects NULL booking_end_date rows to survive the join
+    val one = out.select("offender_name").limit(1).collect().head.getString(0)
+    assert(one.contains(" ")) // "first last"
+    assert(out.select("process_id").distinct().collect().map(_.getLong(0)).toSeq == Seq(42L))
+  }
+
+  test("curated promotion is the identity hook (reference stage 3)") {
+    bootstrap()
+    catalog.register(TableMeta("db", "offenders_curated", s"$tmp/offenders_curated"))
+    val made = new CuratedApplier(store).run("db", Seq("offenders"))
+    assert(made == Seq("offenders_curated"))
+    assert(store.read("db", "offenders_curated").count() ==
+      store.read("db", "offenders").count())
+  }
+
+  test("query runner: projection + catalyst predicate string (glue_query CLI)") {
+    bootstrap()
+    val qr = new QueryRunner(store)
+    val out = qr.run("db", "offenders",
+      Seq("offender_id", "last_name"), "offender_id > 15")
+    assert(out.columns.toSeq == Seq("offender_id", "last_name"))
+    assert(out.filter(col("offender_id") <= 15).count() == 0)
+    // default predicate
+    assert(qr.run("db", "offenders", Seq("offender_id")).count() == 18)
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import java.sql.Date
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ingest.GgLogsToParquet._
+
+/**
+ * Golden-value parity with the reference's ingest tests
+ * (tests/test_1_gg_logs_to_parquet.py). The Murmur3 struct hashes must be
+ * bit-exact — they prove `functions.hash` + Spark 4 JSON inference
+ * reproduce what PySpark 3.3 computed. (The `updates` fixture file is
+ * absent from the reference checkout — .MISSING_LARGE_BLOBS — so its
+ * asserts are reproduced from the landing parquet in ChangeLogApplierSpec.)
+ */
+class IngestSpec extends AnyFunSuite with SparkFixture {
+  private val jsonRoot = s"$RefData/kinesis/transac/json/oms_owner/offenders"
+
+  private lazy val inserts = withHashesDropTokens(spark.read.json(s"$jsonRoot/inserts"))
+  private lazy val deletes = withHashesDropTokens(spark.read.json(s"$jsonRoot/deletes"))
+  private lazy val base = withHashesDropTokens(spark.read.json(s"$jsonRoot/base"))
+
+  test("golden murmur3 hash of after image (insert, offender 150)") {
+    val got = inserts.filter(col("after.offender_id") === 150)
+      .select("after_hash").collect()
+    assert(got.map(_.getInt(0)).toSeq == Seq(-1007943897))
+  }
+
+  test("golden murmur3 hash of before image (delete, offender 140)") {
+    val got = deletes.filter(col("before.offender_id") === 140)
+      .select("before_hash").collect()
+    assert(got.map(_.getInt(0)).toSeq == Seq(-852450643))
+  }
+
+  test("tokens dropped, hash columns added") {
+    assert(!inserts.columns.contains("tokens"))
+    assert(inserts.columns.contains("after_hash"))
+    assert(deletes.columns.contains("before_hash"))
+  }
+
+  test("ragged unionByName preserves all rows (base+inserts+deletes)") {
+    val u = unionRagged(Seq(inserts, deletes, base))
+    assert(u.count() == inserts.count() + deletes.count() + base.count())
+    assert(u.count() == 19 + 1942 + 9) // file object counts (updates fixture is absent)
+  }
+
+  test("golden part_date derivation from op_ts") {
+    val parts = withPartitions(unionRagged(Seq(inserts, deletes)))
+    val i150 = parts.filter(col("after.offender_id") === 150 && col("op_type") === "I")
+      .select("part_date").collect().head.getDate(0)
+    assert(i150 == Date.valueOf("2022-09-07"))
+    val d139 = parts.filter(col("before.offender_id") === 139 && col("op_type") === "D")
+      .select("part_date").collect().head.getDate(0)
+    assert(d139 == Date.valueOf("2022-09-19"))
+  }
+}
