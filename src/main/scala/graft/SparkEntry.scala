@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.QueryRunner
+import graft.operators.{Dedup, QueryRunner, Similarity, TextAnalysis}
 
 /**
  * Driver contract — one `queries` entry per operator from SURVEY.md §2
@@ -342,13 +342,176 @@ object SparkEntry {
          WHERE r_name IN ('ASIA', 'EUROPE')
          GROUP BY n_name ORDER BY revenue DESC, n_name ASC""")
 
+  // --------------------------------------------- training-data pipeline
+
+  private val pipeline: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // text features (language ID, quality, tokens, fingerprint)
+    "t01_lang_id" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")),
+
+    "t02_quality_score" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality_bp"))
+        .orderBy("doc_id")),
+
+    "t03_token_count" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.regexTokenCount(col("text")).as("n_tokens_bpe"))
+        .orderBy("doc_id")),
+
+    "t04_fingerprint" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+          TextAnalysis.fingerprintMd5(col("text")).as("fingerprint"))
+        .orderBy("doc_id")),
+
+    // dedup family
+    "d01_dedup_exact" -> ((s, d) =>
+      Dedup.exact(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("fingerprint")),
+
+    "d02_dedup_minhash" -> ((s, d) =>
+      Dedup.minHashLshPairs(t(s, d, "documents"), "doc_id", "text",
+          threshold = 1.0)
+        .select("doc_a", "doc_b")
+        .orderBy("doc_a", "doc_b")),
+
+    "d03_dedup_simhash" -> ((s, d) =>
+      Dedup.simHashPairs(t(s, d, "documents"), "doc_id", "text", maxHamming = 3)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")),
+
+    "d04_ngram_jaccard" -> ((s, d) =>
+      Dedup.jaccardPairs(t(s, d, "documents"), "doc_id", "text",
+          n = 1, threshold = 0.95)
+        .withColumn("jaccard", round(col("jaccard"), 4))
+        .orderBy("doc_a", "doc_b")),
+
+    "d05_embedding_neardup" -> ((s, d) =>
+      Similarity.cosinePairs(t(s, d, "embeddings"), "vec_id", "embedding",
+          threshold = 0.45, dim = 64)
+        .withColumn("cos", round(col("cos"), 4))
+        .orderBy("id_a", "id_b")),
+
+    // similarity search
+    "s01_ann_brute_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10)
+        .withColumn("cos", round(col("cos"), 4))
+        .orderBy("query_id", "rank")
+    }),
+
+    // approximate variant — no SQL oracle (probabilistic buckets);
+    // recall-vs-brute is asserted in SimilaritySpec instead
+    "s02_ann_lsh_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", dim = 64, k = 10, planes = 4)
+        .select("query_id", "rank", "neighbor_id")
+        .orderBy("query_id", "rank")
+    }))
+
+  /** shared oracle snippet: normalized text per doc. */
+  private val NormCte =
+    """WITH n AS (SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t
+                  FROM documents)"""
+
+  private val pipelineSql: Map[String, String] = Map(
+    "t01_lang_id" -> (NormCte +
+      """, s AS (SELECT doc_id,
+           len(regexp_extract_all(t, '\b(the|a|of|and|to|in|is|that|it|for)\b')) AS en,
+           len(regexp_extract_all(t, '\b(le|la|les|de|et|un|une|est|que|pour)\b')) AS fr,
+           len(regexp_extract_all(t, '\b(der|die|das|und|ein|eine|ist|zu|mit|von)\b')) AS de,
+           len(regexp_extract_all(t, '\b(el|los|las|de|y|un|una|es|que|para)\b')) AS es
+         FROM n)
+         SELECT doc_id, CASE WHEN en = b AND b > 0 THEN 'en'
+                             WHEN fr = b AND b > 0 THEN 'fr'
+                             WHEN de = b AND b > 0 THEN 'de'
+                             WHEN es = b AND b > 0 THEN 'es'
+                             ELSE 'und' END AS lang_pred
+         FROM (SELECT *, greatest(en, fr, de, es) AS b FROM s) ORDER BY doc_id"""),
+
+    "t02_quality_score" -> (NormCte +
+      """, f AS (SELECT n.doc_id,
+           CAST(len(string_split(t, ' ')) AS BIGINT) AS wc,
+           CAST(length(replace(t, ' ', '')) AS BIGINT) AS chars,
+           CAST(len(regexp_extract_all(t, '\b(the|a|of|and|to|in|is|that|it|for)\b')) AS BIGINT) AS stop,
+           CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS punct,
+           CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS dig,
+           CAST(greatest(length(text), 1) AS BIGINT) AS raw_len
+         FROM n JOIN documents USING (doc_id))
+         SELECT doc_id,
+           least(wc, 100) * 35
+           + least((chars * 3125) // (wc * 10), 2500)
+           + least((stop * 6000) // wc, 2000)
+           + (1000 - least((punct * 10000) // raw_len, 1000))
+           + (1000 - least((dig * 10000) // raw_len, 1000)) AS quality_bp
+         FROM f ORDER BY doc_id"""),
+
+    "t03_token_count" -> (NormCte +
+      """SELECT doc_id, len(string_split(t, ' ')) AS n_tokens,
+           (SELECT len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]'))
+            FROM documents d2 WHERE d2.doc_id = n.doc_id) AS n_tokens_bpe
+         FROM n ORDER BY doc_id"""),
+
+    "t04_fingerprint" -> (NormCte +
+      "SELECT doc_id, md5(t) AS fingerprint FROM n ORDER BY doc_id"),
+
+    "d01_dedup_exact" -> (NormCte +
+      """SELECT md5(t) AS fingerprint, min(doc_id) AS keep_id,
+                count(*) AS dup_count
+         FROM n GROUP BY 1 ORDER BY fingerprint"""),
+
+    "d02_dedup_minhash" -> (NormCte +
+      """, k AS (SELECT doc_id,
+           md5(list_aggr(list_sort(list_distinct(string_split(t, ' '))),
+                         'string_agg', chr(31))) AS kk FROM n)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM k a JOIN k b ON a.kk = b.kk AND a.doc_id < b.doc_id
+         ORDER BY doc_a, doc_b"""),
+
+    "d04_ngram_jaccard" -> (NormCte +
+      """, tok AS (SELECT doc_id, unnest(list_distinct(string_split(t, ' '))) AS g FROM n),
+         sz AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY 1),
+         agr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                 FROM tok a JOIN tok b ON a.g = b.g AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2)
+         SELECT doc_a, doc_b,
+                round(CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE), 4) AS jaccard
+         FROM agr JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+         WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.95
+         ORDER BY doc_a, doc_b"""),
+
+    "d05_embedding_neardup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                             CAST(b.embedding AS DOUBLE[])), 4) AS cos
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])) >= 0.45
+         ORDER BY id_a, id_b""",
+
+    "s01_ann_brute_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                    FROM embeddings WHERE vec_id < 5),
+         s AS (SELECT query_id, c.vec_id AS neighbor_id,
+                      list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), qv) AS cos
+               FROM embeddings c, q WHERE c.vec_id <> query_id),
+         r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY cos DESC, neighbor_id ASC) AS rank FROM s)
+         SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos
+         FROM r WHERE rank <= 10 ORDER BY query_id, rank""")
+
   // -------------------------------------------------------------- public
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    core ++ headline
+    core ++ headline ++ pipeline
 
   def oracleSql: Map[String, String] =
-    (coreSql ++ headlineSql).map { case (k, v) =>
+    (coreSql ++ headlineSql ++ pipelineSql).map { case (k, v) =>
       k -> v.replaceAll("\\s+", " ").trim
     }
 }

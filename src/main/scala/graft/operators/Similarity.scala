@@ -1,0 +1,124 @@
+package graft.operators
+
+import scala.util.Random
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over an embedding column (`array<float>`).
+ *
+ * Brute-force cosine top-k is the exact baseline (broadcast the small query
+ * side, scan the corpus once — fine when queries are few). The scale path
+ * is hyperplane-LSH bucketing: a 100 TB corpus is sketched once into
+ * `2^planes` buckets and queries only scan their own (multi-probed)
+ * buckets, turning the O(|Q|×|C|) scan into a bucket-local join.
+ * Embedding near-dup detection reuses the same buckets.
+ *
+ * All vector math is `zip_with`/`aggregate` column expressions in double
+ * precision with left-to-right summation — deterministic and reproducible
+ * by an external oracle engine.
+ */
+object Similarity {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** cast to double + precompute the norm once per row. */
+  def prepared(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as("vid"), col(vecCol).cast("array<double>").as("vec"))
+      .withColumn("nrm", l2Norm(col("vec")))
+
+  /**
+   * Exact cosine top-k: for each query vector, the k nearest corpus
+   * vectors. The query side is broadcast (small by construction); the
+   * corpus is scanned exactly once; ranking is a per-query window.
+   */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = prepared(corpus, idCol, vecCol)
+    val q = prepared(queries, idCol, vecCol)
+      .select(col("vid").as("query_id"), col("vec").as("qvec"), col("nrm").as("qnrm"))
+    val scored = c.join(broadcast(q), col("vid") =!= col("query_id"))
+      .withColumn("cos", dot(col("vec"), col("qvec")) / (col("nrm") * col("qnrm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vid").as("neighbor_id"), col("cos"))
+  }
+
+  /** Deterministic random hyperplanes (seeded) as a literal array column. */
+  private def hyperplanes(dim: Int, planes: Int, seed: Long): Seq[Seq[Double]] = {
+    val rnd = new Random(seed)
+    Seq.fill(planes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-bit sketch of a vector under the seeded hyperplanes -> bucket id. */
+  def lshBucket(vec: Column, dim: Int, planes: Int, seed: Long = 42L): Column = {
+    val hp = hyperplanes(dim, planes, seed)
+    hp.zipWithIndex.map { case (plane, i) =>
+      val planeLit = array(plane.map(lit): _*)
+      when(dot(vec, planeLit) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Corpus sketched into LSH buckets (the build side of the index). */
+  def lshIndex(corpus: DataFrame, idCol: String, vecCol: String,
+               dim: Int, planes: Int = 8, seed: Long = 42L): DataFrame =
+    prepared(corpus, idCol, vecCol)
+      .withColumn("bucket", lshBucket(col("vec"), dim, planes, seed))
+
+  /**
+   * Approximate top-k: queries join only their own LSH bucket plus
+   * single-bit-flip probe buckets (multi-probe raises recall without
+   * widening the scan). Work per query = its buckets' rows, not the corpus.
+   */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, dim: Int, k: Int, planes: Int = 8,
+              seed: Long = 42L): DataFrame = {
+    val idx = lshIndex(corpus, idCol, vecCol, dim, planes, seed)
+    val q0 = prepared(queries, idCol, vecCol)
+      .select(col("vid").as("query_id"), col("vec").as("qvec"), col("nrm").as("qnrm"))
+      .withColumn("bucket0", lshBucket(col("qvec"), dim, planes, seed))
+    // probe set: own bucket + each single-bit flip
+    val probes = array((lit(0L) +: (0 until planes).map(i => lit(1L << i))): _*)
+    val q = q0.select(col("query_id"), col("qvec"), col("qnrm"),
+      explode(transform(probes, m => col("bucket0").bitwiseXOR(m))).as("bucket"))
+    val scored = idx.join(broadcast(q),
+        idx("bucket") === q("bucket") && col("vid") =!= col("query_id"))
+      .withColumn("cos", dot(col("vec"), col("qvec")) / (col("nrm") * col("qnrm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vid").as("neighbor_id"), col("cos"))
+  }
+
+  /**
+   * Embedding near-duplicate pairs (cosine >= threshold). Candidates from
+   * shared LSH buckets when `planes > 0` (the scale path); `planes = 0`
+   * falls back to the exact all-pairs join for small corpora / oracles.
+   */
+  def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
+                  threshold: Double, dim: Int, planes: Int = 0,
+                  seed: Long = 42L): DataFrame = {
+    val p = prepared(df, idCol, vecCol)
+    val withBucket =
+      if (planes > 0) p.withColumn("bucket", lshBucket(col("vec"), dim, planes, seed))
+      else p.withColumn("bucket", lit(0L))
+    val a = withBucket.select(col("vid").as("id_a"), col("vec").as("vec_a"),
+      col("nrm").as("nrm_a"), col("bucket"))
+    val b = withBucket.select(col("vid").as("id_b"), col("vec").as("vec_b"),
+      col("nrm").as("nrm_b"), col("bucket"))
+    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", dot(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+}

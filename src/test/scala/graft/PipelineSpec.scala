@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/** Training-data pipeline operators on the driver's synthetic corpus. */
+class PipelineSpec extends AnyFunSuite with SparkFixture {
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+  private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  private def pairSet(df: DataFrame): Set[(Long, Long)] =
+    df.select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("exact dedup partitions the corpus (sum of dup_count = rows)") {
+    val e = Dedup.exact(docs, "doc_id", "text")
+    assert(e.agg(sum("dup_count")).collect().head.getLong(0) == docs.count())
+    assert(Dedup.dropExactDuplicates(docs, "doc_id", "text").count() == e.count())
+  }
+
+  test("minhash LSH pairs at j=1.0 equal exact token-set duplicates") {
+    val lsh = pairSet(Dedup.minHashLshPairs(docs, "doc_id", "text", threshold = 1.0))
+    // ground truth: identical distinct-token sets
+    val keyed = docs.select(col("doc_id"),
+      md5(concat_ws("", Dedup.tokenSet(col("text")))).as("k"))
+    val truth = pairSet(keyed.as("a")
+      .join(keyed.as("b"), col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")))
+    assert(lsh == truth)
+    assert(truth.nonEmpty) // the synthetic corpus does contain such pairs
+  }
+
+  test("jaccard pairs are symmetric-free, thresholded, and match brute force") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 1, threshold = 0.9)
+    val rows = pairs.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(rows.forall(_.getDouble(2) >= 0.9))
+    // spot-check one pair against a direct computation
+    val r0 = rows.head
+    val direct = docs.filter(col("doc_id").isin(r0.getLong(0), r0.getLong(1)))
+      .select(Dedup.tokenSet(col("text")).as("ts")).collect()
+    val (a, b) = (direct(0).getSeq[String](0).toSet, direct(1).getSeq[String](0).toSet)
+    val j = a.intersect(b).size.toDouble / a.union(b).size.toDouble
+    assert(math.abs(j - r0.getDouble(2)) < 1e-12)
+  }
+
+  test("simhash: identical token sets collide; pairs respect hamming bound") {
+    val sh = Dedup.simHash(docs, "doc_id", "text")
+    assert(sh.count() == docs.count())
+    val pairs = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 3)
+    val got = pairs.collect()
+    assert(got.nonEmpty)
+    assert(got.forall(_.getAs[Int]("hamming") <= 3))
+    // every identical-token-set pair must appear at hamming 0
+    val truth = pairSet(Dedup.minHashLshPairs(docs, "doc_id", "text", threshold = 1.0))
+    val at0 = got.filter(_.getAs[Int]("hamming") == 0).map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.subsetOf(at0))
+  }
+
+  test("ngram shingles: n=2 produces word bigrams") {
+    val g = docs.limit(1).select(Dedup.ngramSet(col("text"), 2).as("g"))
+      .collect().head.getSeq[String](0)
+    assert(g.nonEmpty)
+    assert(g.forall(_.split(" ").length == 2))
+  }
+
+  test("brute-force top-k: k rows per query, self excluded, descending cosine") {
+    val res = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 3),
+      "vec_id", "embedding", k = 5).collect()
+    assert(res.length == 15)
+    val byQ = res.groupBy(_.getLong(0))
+    byQ.foreach { case (q, rows) =>
+      assert(rows.forall(_.getLong(2) != q))
+      val cs = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(cs.zip(cs.tail).forall { case (x, y) => x >= y })
+    }
+  }
+
+  test("LSH top-k recall vs brute force is useful (>= 0.3 at k=10)") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(emb, queries, "vec_id", "embedding",
+      dim = 64, k = 10, planes = 4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & approx).size.toDouble / brute.size
+    assert(recall >= 0.3, s"recall=$recall")
+    // and the approx result never invents cosines: it is a subset ranked truly
+  }
+
+  test("cosinePairs with LSH buckets is a subset of exact pairs") {
+    val exact = Similarity.cosinePairs(emb, "vec_id", "embedding", 0.4, dim = 64)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bucketed = Similarity.cosinePairs(emb, "vec_id", "embedding", 0.4,
+      dim = 64, planes = 4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(bucketed.subsetOf(exact))
+  }
+
+  test("text features: langId in domain, quality bounded, counts positive") {
+    val f = TextAnalysis.withTextFeatures(docs, "text")
+    val langs = f.select("lang_pred").distinct().collect().map(_.getString(0)).toSet
+    assert(langs.subsetOf(Set("en", "fr", "de", "es", "und")))
+    val q = f.select(min("quality"), max("quality")).collect().head
+    assert(q.getLong(0) >= 0 && q.getLong(1) <= 10000)
+    assert(f.filter(col("n_tokens") <= 0 || col("n_tokens_bpe") <= 0).count() == 0)
+    assert(f.select("fingerprint").distinct().count() == f.select("text").distinct().count())
+  }
+}
