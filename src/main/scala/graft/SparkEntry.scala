@@ -378,8 +378,9 @@ object SparkEntry {
         .select("doc_a", "doc_b")
         .orderBy("doc_a", "doc_b")),
 
+    // oracle-portable simhash (md5-nibble bits, chunk-banded candidates)
     "d03_dedup_simhash" -> ((s, d) =>
-      Dedup.simHashPairs(t(s, d, "documents"), "doc_id", "text", maxHamming = 3)
+      Dedup.simHashPairsPortable(t(s, d, "documents"), "doc_id", "text", maxHamming = 3)
         .select("doc_a", "doc_b", "hamming")
         .orderBy("doc_a", "doc_b")),
 
@@ -389,9 +390,12 @@ object SparkEntry {
         .withColumn("jaccard", round(col("jaccard"), 4))
         .orderBy("doc_a", "doc_b")),
 
+    // sign-bit LSH buckets + Hamming<=1 probing — the 100TB-shaped plan;
+    // the bucket predicate is part of the contract and the oracle
+    // reproduces it exactly
     "d05_embedding_neardup" -> ((s, d) =>
-      Similarity.cosinePairs(t(s, d, "embeddings"), "vec_id", "embedding",
-          threshold = 0.45, dim = 64)
+      Similarity.signCosinePairs(t(s, d, "embeddings"), "vec_id", "embedding",
+          threshold = 0.45, planes = 6)
         .withColumn("cos", round(col("cos"), 4))
         .orderBy("id_a", "id_b")),
 
@@ -404,12 +408,13 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
-    // approximate variant — no SQL oracle (probabilistic buckets);
-    // recall-vs-brute is asserted in SimilaritySpec instead
+    // approximate top-k over portable sign-bit buckets: the bucket +
+    // Hamming<=1 probe set is deterministic, so the oracle replays the
+    // identical candidate generation and ranking
     "s02_ann_lsh_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
-      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5),
-          "vec_id", "embedding", dim = 64, k = 10, planes = 4)
+      Similarity.signTopK(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10, planes = 4)
         .select("query_id", "rank", "neighbor_id")
         .orderBy("query_id", "rank")
     }))
@@ -418,6 +423,40 @@ object SparkEntry {
   private val NormCte =
     """WITH n AS (SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t
                   FROM documents)"""
+
+  /** d03 oracle, generated: the portable SimHash recomputed in ANSI SQL.
+   * Per token, bit i comes from md5 hex nibble i/4 (instr-parsed); per doc
+   * the 64 ±1 bit sums aggregate; signs pack into two 32-bit halves; the
+   * pair join computes hamming = bit_count(xor(h1)) + bit_count(xor(h2)). */
+  private def simhashOracle: String = {
+    val bitSums = (0 until 64).map { i =>
+      val nib = s"(instr('0123456789abcdef', substring(m, ${i / 4 + 1}, 1)) - 1)"
+      s"sum(CASE WHEN (($nib >> ${i % 4}) & 1) = 1 THEN 1 ELSE -1 END) AS b$i"
+    }.mkString(", ")
+    val h1 = (0 until 32)
+      .map(i => s"(CASE WHEN b$i > 0 THEN (1::BIGINT << $i) ELSE 0::BIGINT END)")
+      .mkString(" + ")
+    val h2 = (32 until 64)
+      .map(i => s"(CASE WHEN b$i > 0 THEN (1::BIGINT << ${i - 32}) ELSE 0::BIGINT END)")
+      .mkString(" + ")
+    NormCte + s""",
+      tok AS (SELECT doc_id, unnest(list_distinct(string_split(t, ' '))) AS tk FROM n),
+      hm AS (SELECT doc_id, md5(tk) AS m FROM tok),
+      bits AS (SELECT doc_id, $bitSums FROM hm GROUP BY doc_id),
+      sim AS (SELECT doc_id, $h1 AS h1, $h2 AS h2 FROM bits)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.h1, b.h1)) + bit_count(xor(a.h2, b.h2)) AS INTEGER) AS hamming
+      FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.h1, b.h1)) + bit_count(xor(a.h2, b.h2)) <= 3
+      ORDER BY doc_a, doc_b"""
+  }
+
+  /** sign-bit bucket of the first `planes` dims, as a DuckDB expression
+   * over `e` (= embedding cast DOUBLE[]). */
+  private def signBucketSql(planes: Int): String =
+    (0 until planes)
+      .map(i => s"(CASE WHEN e[${i + 1}] >= 0 THEN ${1L << i}::BIGINT ELSE 0::BIGINT END)")
+      .mkString(" + ")
 
   private val pipelineSql: Map[String, String] = Map(
     "t01_lang_id" -> (NormCte +
@@ -485,13 +524,16 @@ object SparkEntry {
          WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.95
          ORDER BY doc_a, doc_b"""),
 
+    "d03_dedup_simhash" -> simhashOracle,
+
     "d05_embedding_neardup" ->
-      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                             CAST(b.embedding AS DOUBLE[])), 4) AS cos
-         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-         WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                      CAST(b.embedding AS DOUBLE[])) >= 0.45
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         b AS (SELECT vec_id, e, ${signBucketSql(6)} AS bucket FROM v)
+         SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+                round(list_cosine_similarity(a.e, c.e), 4) AS cos
+         FROM b a JOIN b c ON a.vec_id < c.vec_id
+         WHERE CAST(bit_count(xor(a.bucket, c.bucket)) AS INTEGER) <= 1
+           AND list_cosine_similarity(a.e, c.e) >= 0.45
          ORDER BY id_a, id_b""",
 
     "s01_ann_brute_topk" ->
@@ -503,6 +545,21 @@ object SparkEntry {
          r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                          ORDER BY cos DESC, neighbor_id ASC) AS rank FROM s)
          SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos
+         FROM r WHERE rank <= 10 ORDER BY query_id, rank""",
+
+    "s02_ann_lsh_topk" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         b AS (SELECT vec_id, e, ${signBucketSql(4)} AS bucket FROM v),
+         q AS (SELECT vec_id AS query_id, e AS qe, bucket AS qb FROM b WHERE vec_id < 5),
+         s AS (SELECT query_id, c.vec_id AS neighbor_id,
+                      list_cosine_similarity(c.e, qe) AS cos
+               FROM b c, q
+               WHERE c.vec_id <> query_id
+                 AND CAST(bit_count(xor(c.bucket, qb)) AS INTEGER) <= 1),
+         r AS (SELECT query_id, neighbor_id,
+                      ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY cos DESC, neighbor_id ASC) AS rank FROM s)
+         SELECT query_id, rank, neighbor_id
          FROM r WHERE rank <= 10 ORDER BY query_id, rank""")
 
   // -------------------------------------------------------------- public

@@ -1,21 +1,28 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
  * Deduplication operators for training-data pipelines: exact, MinHash+LSH,
  * SimHash, and n-gram Jaccard.
  *
- * Scale design: every pair-finding operator avoids the O(n²) cross join —
- * candidates come from an inverted index (shared n-gram), LSH band
- * buckets, or SimHash chunk buckets, so the shuffles are keyed on
- * content-derived buckets and parallelize across the cluster. Degenerate
- * hot buckets (stop-ngrams, empty docs) are dropped by a document-frequency
- * cutoff, the classic skew guard for 100 TB corpora.
+ * Scale design: every pair-finding operator avoids the O(n²) cross join.
+ * The corpus is first collapsed to DISTINCT n-gram sets (one content-hash
+ * aggregate — boilerplate-heavy corpora shrink drastically); candidates are
+ * then generated over distinct sets only, by an inverted index, a
+ * deletion-neighborhood, LSH band buckets, or SimHash chunk buckets, so
+ * every shuffle is keyed on content-derived buckets and parallelizes
+ * across the cluster. Verified set-pairs are expanded back to document
+ * pairs through the group membership join at the end — the only stage
+ * whose size is the true output size.
  */
 object Dedup {
   import TextAnalysis.{fingerprintMd5, normalizeText}
+
+  /** Unit separator — cannot appear in whitespace-normalized tokens. */
+  private val Sep = "\u001f"
 
   /** distinct, sorted token set of the normalized text. */
   def tokenSet(c: Column): Column =
@@ -30,6 +37,16 @@ object Dedup {
         transform(sequence(lit(0), size(toks) - n),
           i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
     }
+
+  /** Content hash of a sorted n-gram set: two sets are equal iff their
+   * fingerprints are (md5 over the Sep-joined sorted grams). */
+  def setFingerprint(ng: Column): Column = md5(concat_ws(Sep, ng).cast("binary"))
+
+  /** (doc, ng, fp, sz) — the shared first stage of every pair operator. */
+  private def docSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("doc"), ngramSet(col(textCol), n).as("ng"))
+      .withColumn("fp", setFingerprint(col("ng")))
+      .withColumn("sz", size(col("ng")))
 
   // ------------------------------------------------------------- exact
 
@@ -51,85 +68,200 @@ object Dedup {
   // ----------------------------------------------------- n-gram Jaccard
 
   /**
-   * Exact n-gram Jaccard pairs >= threshold via inverted index:
-   * explode distinct n-grams, drop n-grams appearing in more than
-   * `maxDocFreq` docs (stop-ngram skew guard), self-join on the n-gram to
-   * count intersections, then Jaccard from |A|,|B|,|A∩B|. Shuffles are
-   * keyed by n-gram then by pair — no cross join anywhere.
+   * Exact n-gram Jaccard pairs >= threshold, adaptive in the data:
+   *
+   *  1. Collapse docs to distinct n-gram sets (fingerprint aggregate).
+   *     Identical-set pairs (Jaccard exactly 1) fall out of a fingerprint
+   *     self-join — no set arithmetic at all.
+   *  2. Cross-set candidates over the (much smaller) distinct-set table,
+   *     by one of two exact strategies picked from one data statistic,
+   *     smax = max set size (a driver scalar for branch selection only):
+   *
+   *     - Deletion-neighborhood (radius 1) when floor((1-t)/t * smax) <= 1:
+   *       Jaccard >= t forces |AΔB| <= (1-t)/t * min(|A|,|B|), so when that
+   *       bound is < 2, qualifying sets differ by at most one gram. Each
+   *       distinct set emits its own fingerprint plus one fingerprint per
+   *       single-gram deletion; a pair within distance one MUST collide on
+   *       a key (delete the differing gram). sz+1 keys per set, bucket
+   *       sizes bounded by true near-dup group sizes — the degenerate
+   *       small-vocabulary regime (where every inverted-index bucket is
+   *       the whole corpus) costs O(n·sz) instead of O(n²).
+   *
+   *     - Prefix filter otherwise (the natural large-vocabulary regime):
+   *       order grams by global document frequency ascending; a pair with
+   *       Jaccard >= t must share a gram within each side's first
+   *       sz - ceil(t*sz) + 1 rarest grams (prefix-filter lemma, as in
+   *       AllPairs/PPJoin). Buckets are keyed on RARE grams, so they stay
+   *       small exactly when the vocabulary is large. A size-compat filter
+   *       (t * max <= min) prunes before pairing.
+   *
+   *  3. Verify candidates with full array intersection (exact), then
+   *     expand set-pairs to doc pairs via group membership.
+   *
+   * `maxDocFreq` optionally drops grams above a document-frequency cutoff
+   * from PREFIX candidate generation (approximate mode for adversarial
+   * skew; default off = exact).
    */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
                    threshold: Double, maxDocFreq: Long = Long.MaxValue): DataFrame = {
-    val grams = df.select(col(idCol).as("doc"), ngramSet(col(textCol), n).as("ng"))
-    val sizes = grams.select(col("doc"), size(col("ng")).as("sz"))
-    var tok = grams.select(col("doc"), explode(col("ng")).as("g"))
-    if (maxDocFreq != Long.MaxValue) {
-      val keep = tok.groupBy("g").count().filter(col("count") <= maxDocFreq).select("g")
-      tok = tok.join(keep, Seq("g"), "left_semi")
+    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
+    val ds = docSets(df, idCol, textCol, n)
+    val docFp = ds.select("doc", "fp")
+    val within = docFp.as("a")
+      .join(docFp.as("b"), col("a.fp") === col("b.fp") && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        lit(1.0).as("jaccard"))
+    if (threshold >= 1.0) within
+    else {
+      val sets = ds.groupBy("fp")
+        .agg(first(col("ng")).as("ng"), first(col("sz")).as("sz"))
+      // one driver scalar (algorithm selection only — no data movement)
+      val smax = sets.agg(max("sz")).head.getInt(0)
+      val radius = math.floor((1 - threshold) / threshold * smax).toLong
+      val candidates =
+        if (radius < 1) null // cross-set pairs are impossible below distance 1
+        else if (radius <= 1) deletionCandidates(sets)
+        else prefixCandidates(sets, threshold, maxDocFreq)
+      if (candidates == null) within
+      else {
+        val verified = candidates
+          .join(sets.select(col("fp").as("fp_a"), col("ng").as("ng_a"),
+            col("sz").as("sz_a")), "fp_a")
+          .join(sets.select(col("fp").as("fp_b"), col("ng").as("ng_b"),
+            col("sz").as("sz_b")), "fp_b")
+          .withColumn("inter", size(array_intersect(col("ng_a"), col("ng_b"))))
+          .withColumn("jaccard", col("inter").cast("double") /
+            (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+          .filter(col("jaccard") >= threshold)
+          .select("fp_a", "fp_b", "jaccard")
+        val cross = verified
+          .join(docFp.select(col("fp").as("fp_a"), col("doc").as("da")), "fp_a")
+          .join(docFp.select(col("fp").as("fp_b"), col("doc").as("db")), "fp_b")
+          .select(least(col("da"), col("db")).as("doc_a"),
+            greatest(col("da"), col("db")).as("doc_b"), col("jaccard"))
+        within.unionByName(cross)
+      }
     }
-    val inter = tok.as("a")
-      .join(tok.as("b"), col("a.g") === col("b.g") && col("a.doc") < col("b.doc"))
-      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
-      .withColumn("jaccard",
-        col("inter").cast("double") /
-          (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Radius-1 deletion-neighborhood candidate set-pairs: each set keys on
+   * its own fingerprint plus each delete-one-gram fingerprint. */
+  private def deletionCandidates(sets: DataFrame): DataFrame = {
+    val delKeys = transform(sequence(lit(1), col("sz")), i =>
+      md5(concat_ws(Sep,
+        concat(slice(col("ng"), lit(1), i - 1),
+          slice(col("ng"), i + 1, col("sz") - i))).cast("binary")))
+    val keys = sets.select(col("fp"),
+      explode(concat(array(col("fp")), delKeys)).as("key"))
+    keys.as("x")
+      .join(keys.as("y"), col("x.key") === col("y.key") && col("x.fp") < col("y.fp"))
+      .select(col("x.fp").as("fp_a"), col("y.fp").as("fp_b"))
+      .distinct()
+  }
+
+  /** Prefix-filter candidate set-pairs: rarest-gram prefixes + size-compat
+   * pruning (exact per the prefix-filter lemma). */
+  private def prefixCandidates(sets: DataFrame, threshold: Double,
+                               maxDocFreq: Long): DataFrame = {
+    val tok = sets.select(col("fp"), col("sz"), explode(col("ng")).as("g"))
+    var dfreq = tok.groupBy("g").agg(count(lit(1)).as("df"))
+    if (maxDocFreq != Long.MaxValue)
+      dfreq = dfreq.filter(col("df") <= maxDocFreq) // approximate stop-gram guard
+    val w = Window.partitionBy("fp").orderBy(col("df").asc, col("g").asc)
+    val prefix = tok.join(dfreq, "g")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select("fp", "sz", "g")
+    prefix.as("x")
+      .join(prefix.as("y"),
+        col("x.g") === col("y.g") && col("x.fp") < col("y.fp") &&
+          greatest(col("x.sz"), col("y.sz")) * threshold <=
+            least(col("x.sz"), col("y.sz")))
+      .select(col("x.fp").as("fp_a"), col("y.fp").as("fp_b"))
+      .distinct()
   }
 
   // ------------------------------------------------------- MinHash LSH
 
-  /** MinHash signature: for seed i, min over shingles of xxhash64(s, i). */
+  /** MinHash signature of a shingle array: for seed i, min over shingles
+   * of xxhash64(s, i). Column-expression form for ad-hoc use; the pair
+   * pipeline uses the aggregate form (codegen'd) instead. */
   def minHashSignature(shingles: Column, numHashes: Int): Column =
     transform(sequence(lit(0), lit(numHashes - 1)),
       i => array_min(transform(shingles, s => xxhash64(s, i))))
 
-  /** (id, band, band_key) — one row per band for bucket joining. */
+  /** (doc, h0..h{numHashes-1}) via explode + one hash aggregate: numHashes
+   * static min(xxhash64(g, i)) columns — whole-stage codegen, map-side
+   * partial combine, one shuffle keyed by doc. */
+  private def minHashAgg(ds: DataFrame, numHashes: Int): DataFrame = {
+    val tok = ds.select(col("doc"), explode(col("ng")).as("g"))
+    val mins = (0 until numHashes).map(i =>
+      min(xxhash64(col("g"), lit(i))).as(s"h$i"))
+    tok.groupBy("doc").agg(mins.head, mins.tail: _*)
+  }
+
+  /** (id, band, band_key) — one row per band for bucket joining. Band key
+   * = xxhash64 of the band's signature slice (+ band index as salt). */
   def lshBands(df: DataFrame, idCol: String, textCol: String,
                numHashes: Int, bands: Int, n: Int = 1): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
-    val sig = minHashSignature(ngramSet(col(textCol), n), numHashes)
-    df.select(col(idCol).as("doc"), sig.as("sig"))
-      .select(col("doc"), posexplode(
-        transform(sequence(lit(0), lit(bands - 1)),
-          j => xxhash64(slice(col("sig"), j * lit(r) + 1, lit(r)), j))))
+    val sig = minHashAgg(docSets(df, idCol, textCol, n), numHashes)
+    val bandKeys = (0 until bands).map { j =>
+      xxhash64(((j * r) until ((j + 1) * r)).map(i => col(s"h$i")) :+ lit(j): _*)
+    }
+    sig.select(col("doc"), posexplode(array(bandKeys: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
   }
 
   /**
    * MinHash+LSH near-dup pairs: shingle -> minhash -> band -> bucket join
-   * -> exact-Jaccard verification. Candidate generation is a self-join on
-   * (band, band_key) — documents only meet if a band collides, so work is
-   * proportional to true near-duplicates, not n². `maxBucket` skips
-   * degenerate buckets (all-identical boilerplate) the way production
-   * dedup pipelines do.
+   * -> exact-Jaccard verification of candidates. Documents only meet if a
+   * band collides, so candidate work is proportional to true near-dups,
+   * not n². `maxBucket` skips degenerate buckets (recall tradeoff,
+   * documented).
+   *
+   * threshold >= 1.0 specializes algebraically: Jaccard 1 is exactly
+   * n-gram-set equality, so the optimal plan is one fingerprint
+   * self-join — no sketch at all, no arrays shuffled, exact by
+   * construction. The probabilistic LSH path serves thresholds < 1.
    */
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       threshold: Double, numHashes: Int = 64, bands: Int = 8,
                       n: Int = 1, maxBucket: Long = 1000): DataFrame = {
-    val b = lshBands(df, idCol, textCol, numHashes, bands, n)
-    val small = b.groupBy("band", "band_key").count()
-      .filter(col("count") <= maxBucket).select("band", "band_key")
-    val bb = b.join(small, Seq("band", "band_key"), "left_semi")
-    val candidates = bb.as("x")
-      .join(bb.as("y"),
-        col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
-          col("x.doc") < col("y.doc"))
-      .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"))
-      .distinct()
-    val grams = df.select(col(idCol).as("doc"), ngramSet(col(textCol), n).as("ng"))
-    candidates
-      .join(grams.select(col("doc").as("doc_a"), col("ng").as("ng_a")), "doc_a")
-      .join(grams.select(col("doc").as("doc_b"), col("ng").as("ng_b")), "doc_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("ng_a"), col("ng_b"))).cast("double") /
-          size(array_union(col("ng_a"), col("ng_b"))).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
+    val ds = docSets(df, idCol, textCol, n)
+    if (threshold >= 1.0) {
+      val docFp = ds.select("doc", "fp")
+      docFp.as("a")
+        .join(docFp.as("b"), col("a.fp") === col("b.fp") && col("a.doc") < col("b.doc"))
+        .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+          lit(1.0).as("jaccard"))
+    } else {
+      val b = lshBands(df, idCol, textCol, numHashes, bands, n)
+      val small = b.groupBy("band", "band_key").count()
+        .filter(col("count") <= maxBucket).select("band", "band_key")
+      val bb = b.join(small, Seq("band", "band_key"), "left_semi")
+      val candidates = bb.as("x")
+        .join(bb.as("y"),
+          col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
+            col("x.doc") < col("y.doc"))
+        .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"))
+        .distinct()
+      val grams = ds.select(col("doc"), col("ng"), col("sz"))
+      candidates
+        .join(grams.select(col("doc").as("doc_a"), col("ng").as("ng_a"),
+          col("sz").as("sz_a")), "doc_a")
+        .join(grams.select(col("doc").as("doc_b"), col("ng").as("ng_b"),
+          col("sz").as("sz_b")), "doc_b")
+        // size-compat prune before any array arithmetic
+        .filter(greatest(col("sz_a"), col("sz_b")) * threshold <=
+          least(col("sz_a"), col("sz_b")))
+        .withColumn("inter", size(array_intersect(col("ng_a"), col("ng_b"))))
+        .withColumn("jaccard", col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+        .filter(col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    }
   }
 
   // ----------------------------------------------------------- SimHash
@@ -173,6 +305,55 @@ object Dedup {
           col("x.doc") < col("y.doc"))
       .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"),
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ------------------------------------------- SimHash (oracle-portable)
+
+  /**
+   * Oracle-portable SimHash: per-token bits come from the token's md5 hex
+   * nibbles (any ANSI SQL engine reproduces them: nibble j of md5, bit
+   * i = (nibble(i/4) >> (i mod 4)) & 1), and the 64-bit sketch is stored
+   * as two non-negative 32-bit halves (h1 = bits 0..31, h2 = bits 32..63)
+   * so XOR/bit_count arithmetic never touches the sign bit in any engine.
+   * Same plan shape as [[simHash]]: one codegen'd hash aggregate.
+   */
+  def simHashPortable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("doc"),
+        explode(tokenSet(col(textCol))).as("t"))
+      .withColumn("m", md5(col("t").cast("binary")))
+    val nib = (0 until 16).map(j =>
+      conv(substring(col("m"), j + 1, 1), 16, 10).cast("int").as(s"n$j"))
+    val withNib = tok.select((col("doc") +: nib): _*)
+    val bitSums = (0 until 64).map { i =>
+      val bit = shiftright(col(s"n${i / 4}"), i % 4).bitwiseAND(1)
+      sum(when(bit === 1, 1).otherwise(-1)).as(s"b$i")
+    }
+    val agg = withNib.groupBy("doc").agg(bitSums.head, bitSums.tail: _*)
+    def half(lo: Int): Column = (lo until lo + 32).map { i =>
+      when(col(s"b$i") > 0, lit(1L << (i - lo))).otherwise(lit(0L))
+    }.reduce(_ + _)
+    agg.select(col("doc"), half(0).as("h1"), half(32).as("h2"))
+  }
+
+  /** Near-dup pairs over the portable SimHash, chunk-banded exactly like
+   * [[simHashPairs]]; hamming = bit_count(h1^h1') + bit_count(h2^h2'). */
+  def simHashPairsPortable(df: DataFrame, idCol: String, textCol: String,
+                           maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < 4, "chunk banding guarantees recall only for hamming <= 3")
+    val sh = simHashPortable(df, idCol, textCol)
+    val chunked = sh.select(col("doc"), col("h1"), col("h2"), posexplode(array(
+      col("h1").bitwiseAND(0xFFFF), shiftright(col("h1"), 16),
+      col("h2").bitwiseAND(0xFFFF), shiftright(col("h2"), 16))))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_val")
+    chunked.as("x")
+      .join(chunked.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.chunk_val") === col("y.chunk_val") &&
+          col("x.doc") < col("y.doc"))
+      .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"),
+        (bit_count(col("x.h1").bitwiseXOR(col("y.h1"))) +
+          bit_count(col("x.h2").bitwiseXOR(col("y.h2")))).cast("int").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

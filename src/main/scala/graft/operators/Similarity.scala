@@ -11,17 +11,27 @@ import org.apache.spark.sql.functions._
  *
  * Brute-force cosine top-k is the exact baseline (broadcast the small query
  * side, scan the corpus once — fine when queries are few). The scale path
- * is hyperplane-LSH bucketing: a 100 TB corpus is sketched once into
- * `2^planes` buckets and queries only scan their own (multi-probed)
- * buckets, turning the O(|Q|×|C|) scan into a bucket-local join.
- * Embedding near-dup detection reuses the same buckets.
+ * is LSH bucketing: a 100 TB corpus is sketched once into buckets and
+ * queries only scan their own (multi-probed) buckets, turning the
+ * O(|Q|×|C|) scan into a bucket-local join. Embedding near-dup detection
+ * reuses the same buckets.
  *
- * All vector math is `zip_with`/`aggregate` column expressions in double
+ * Two bucket families:
+ *  - seeded random hyperplanes ([[lshBucket]]) — the classic SRP sketch;
+ *  - sign-bit buckets ([[signBucket]]) — bit i is the sign of dimension i,
+ *    which zero-centered embedding spaces make balanced. Deliberately
+ *    reproducible by any external SQL engine (the correctness oracle
+ *    recomputes buckets, probes, and ranking bit-for-bit).
+ *
+ * Vector math is `zip_with`/`aggregate` column expressions in double
  * precision with left-to-right summation — deterministic and reproducible
  * by an external oracle engine.
  */
 object Similarity {
 
+  /** Left-to-right double fold — measured faster than an unrolled
+   * element_at chain (64 static terms blow codegen method size), and the
+   * deterministic summation order is reproduced by the oracle engine. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
@@ -53,6 +63,8 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vid").as("neighbor_id"), col("cos"))
   }
 
+  // --------------------------------------------------- hyperplane LSH
+
   /** Deterministic random hyperplanes (seeded) as a literal array column. */
   private def hyperplanes(dim: Int, planes: Int, seed: Long): Seq[Seq[Double]] = {
     val rnd = new Random(seed)
@@ -81,15 +93,41 @@ object Similarity {
    */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, dim: Int, k: Int, planes: Int = 8,
-              seed: Long = 42L): DataFrame = {
-    val idx = lshIndex(corpus, idCol, vecCol, dim, planes, seed)
-    val q0 = prepared(queries, idCol, vecCol)
-      .select(col("vid").as("query_id"), col("vec").as("qvec"), col("nrm").as("qnrm"))
-      .withColumn("bucket0", lshBucket(col("qvec"), dim, planes, seed))
-    // probe set: own bucket + each single-bit flip
+              seed: Long = 42L): DataFrame =
+    probedTopK(lshIndex(corpus, idCol, vecCol, dim, planes, seed),
+      prepared(queries, idCol, vecCol)
+        .withColumn("bucket0", lshBucket(col("vec"), dim, planes, seed)),
+      k, planes)
+
+  // ----------------------------------------------- sign-bit LSH (portable)
+
+  /** Bucket from the sign bits of the first `planes` dimensions — balanced
+   * for zero-centered embeddings and reproducible by any SQL engine. */
+  def signBucket(vec: Column, planes: Int): Column =
+    (0 until planes).map { i =>
+      when(element_at(vec, i + 1) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Approximate top-k over sign-bit buckets with single-bit-flip probing
+   * (candidates = corpus rows whose bucket is within Hamming 1 of the
+   * query's). */
+  def signTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+               vecCol: String, k: Int, planes: Int = 8): DataFrame =
+    probedTopK(
+      prepared(corpus, idCol, vecCol)
+        .withColumn("bucket", signBucket(col("vec"), planes)),
+      prepared(queries, idCol, vecCol)
+        .withColumn("bucket0", signBucket(col("vec"), planes)),
+      k, planes)
+
+  /** Shared probe-join + rank: query side explodes to its own bucket plus
+   * each single-bit flip; the (big) indexed corpus never reshuffles. */
+  private def probedTopK(idx: DataFrame, q0: DataFrame,
+                         k: Int, planes: Int): DataFrame = {
     val probes = array((lit(0L) +: (0 until planes).map(i => lit(1L << i))): _*)
-    val q = q0.select(col("query_id"), col("qvec"), col("qnrm"),
-      explode(transform(probes, m => col("bucket0").bitwiseXOR(m))).as("bucket"))
+    val q = q0.select(col("vid").as("query_id"), col("vec").as("qvec"),
+        col("nrm").as("qnrm"),
+        explode(transform(probes, m => col("bucket0").bitwiseXOR(m))).as("bucket"))
     val scored = idx.join(broadcast(q),
         idx("bucket") === q("bucket") && col("vid") =!= col("query_id"))
       .withColumn("cos", dot(col("vec"), col("qvec")) / (col("nrm") * col("qnrm")))
@@ -117,7 +155,36 @@ object Similarity {
     val b = withBucket.select(col("vid").as("id_b"), col("vec").as("vec_b"),
       col("nrm").as("nrm_b"), col("bucket"))
     a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
-      .withColumn("cos", dot(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b")))
+      .withColumn("cos",
+        dot(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+
+  /**
+   * Near-duplicate pairs over sign-bit buckets with Hamming<=1 probing:
+   * a pair is a candidate iff the two buckets differ in at most one bit.
+   * One side explodes to planes+1 probe keys, the bucket join pairs only
+   * same-or-adjacent buckets — work scales with bucket occupancy
+   * (~n²/2^planes per bucket family), never all-pairs. The candidate
+   * predicate is part of the operator contract (the oracle reproduces it
+   * exactly), so results are deterministic, not best-effort.
+   */
+  def signCosinePairs(df: DataFrame, idCol: String, vecCol: String,
+                      threshold: Double, planes: Int): DataFrame = {
+    val p = prepared(df, idCol, vecCol)
+      .withColumn("bucket", signBucket(col("vec"), planes))
+    val probes = array((lit(0L) +: (0 until planes).map(i => lit(1L << i))): _*)
+    val a = p.select(col("vid").as("id_a"), col("vec").as("vec_a"),
+      col("nrm").as("nrm_a"),
+      explode(transform(probes, m => col("bucket").bitwiseXOR(m))).as("probe"))
+    val b = p.select(col("vid").as("id_b"), col("vec").as("vec_b"),
+      col("nrm").as("nrm_b"), col("bucket").as("probe"))
+    // a bucket pair within Hamming 1 meets on exactly one probe key,
+    // so no post-join dedup is needed
+    a.join(b, Seq("probe")).filter(col("id_a") < col("id_b"))
+      .withColumn("cos",
+        dot(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }

@@ -105,6 +105,90 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(bucketed.subsetOf(exact))
   }
 
+  // brute-force jaccard ground truth over the collected corpus
+  private def bruteJaccard(threshold: Double): Set[(Long, Long, Double)] = {
+    val sets = docs.select(col("doc_id"), Dedup.tokenSet(col("text")).as("ts"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+    (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      j = sa.intersect(sb).size.toDouble / sa.union(sb).size.toDouble
+      if j >= threshold
+    } yield (a, b, j)).toSet
+  }
+
+  test("jaccardPairs matches brute force exactly — deletion-neighborhood branch") {
+    // t=0.95 with small sets -> radius 1 -> deletion-neighborhood candidates
+    val got = Dedup.jaccardPairs(docs, "doc_id", "text", n = 1, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == bruteJaccard(0.95))
+    assert(got.nonEmpty)
+  }
+
+  test("jaccardPairs matches brute force exactly — prefix-filter branch") {
+    // t=0.6 -> radius > 1 -> prefix-filter candidates
+    val got = Dedup.jaccardPairs(docs, "doc_id", "text", n = 1, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == bruteJaccard(0.6))
+    assert(got.nonEmpty)
+  }
+
+  test("minhash pairs at t<1 are verified-true pairs (subset of brute force)") {
+    val got = Dedup.minHashLshPairs(docs, "doc_id", "text", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val truth = bruteJaccard(0.8)
+    assert(got.subsetOf(truth)) // banding may miss (probabilistic recall),
+    assert(got.nonEmpty)        // but must never invent a pair
+  }
+
+  test("portable simhash: chunk banding finds exactly the brute-force pairs") {
+    val sh = Dedup.simHashPortable(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(sh.forall { case (_, h1, h2) => h1 >= 0 && h2 >= 0 &&
+      h1 <= 0xFFFFFFFFL && h2 <= 0xFFFFFFFFL })
+    val brute = (for {
+      (a, a1, a2) <- sh; (b, b1, b2) <- sh if a < b
+      ham = java.lang.Long.bitCount(a1 ^ b1) + java.lang.Long.bitCount(a2 ^ b2)
+      if ham <= 3
+    } yield (a, b, ham)).toSet
+    val got = Dedup.simHashPairsPortable(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == brute) // pigeonhole: hamming<=3 pairs share a 16-bit chunk
+  }
+
+  test("signCosinePairs: exactly the hamming<=1 bucket pairs above threshold") {
+    val vecs = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    def bucket(v: Array[Double], planes: Int): Long =
+      (0 until planes).map(i => if (v(i) >= 0) 1L << i else 0L).sum
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+      val na = math.sqrt(a.zip(a).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y })
+      val nb = math.sqrt(b.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y })
+      d / (na * nb)
+    }
+    val truth = (for {
+      (a, va) <- vecs; (b, vb) <- vecs
+      if a < b &&
+        java.lang.Long.bitCount(bucket(va, 5) ^ bucket(vb, 5)) <= 1 &&
+        cos(va, vb) >= 0.4
+    } yield (a, b)).toSet
+    val got = Similarity.signCosinePairs(emb, "vec_id", "embedding",
+        threshold = 0.4, planes = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == truth)
+    // and every bucketed pair is a true cosine pair (subset of exact)
+    val exact = Similarity.cosinePairs(emb, "vec_id", "embedding", 0.4, dim = 64)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(exact))
+  }
+
+  test("signTopK: k rows per query, self excluded, candidates within hamming 1") {
+    val res = Similarity.signTopK(emb, emb.filter(col("vec_id") < 3),
+      "vec_id", "embedding", k = 5, planes = 3).collect()
+    assert(res.groupBy(_.getLong(0)).forall(_._2.length == 5))
+    assert(res.forall(r => r.getLong(2) != r.getLong(0)))
+  }
+
   test("text features: langId in domain, quality bounded, counts positive") {
     val f = TextAnalysis.withTextFeatures(docs, "text")
     val langs = f.select("lang_pred").distinct().collect().map(_.getString(0)).toSet
