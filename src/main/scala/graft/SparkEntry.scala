@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, QueryRunner, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, QueryRunner, Sampling, Similarity, TextAnalysis}
 
 /**
  * Driver contract — one `queries` entry per operator from SURVEY.md §2
@@ -115,9 +115,12 @@ object SparkEntry {
         .select("o_orderkey", "o_totalprice", "o_orderpriority")
         .limit(10)),
 
-    // §2.8 deterministic sample (hash/modulo page of the keyspace)
+    // §2.8 row sampling — content-keyed deterministic Bernoulli (the
+    // portable form of df.sample; native df.sample is covered in
+    // SamplingSpec since its RNG is engine-private)
     "q12_sample" -> ((s, d) =>
-      t(s, d, "lineitem").filter(col("l_orderkey") % 97 === 0)
+      Sampling.hashSample(t(s, d, "lineitem"), "l_orderkey",
+          fraction = 0.1, seed = 42L)
         .select("l_orderkey", "l_linenumber", "l_quantity")
         .orderBy("l_orderkey", "l_linenumber")),
 
@@ -220,7 +223,8 @@ object SparkEntry {
          ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
     "q12_sample" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
-         WHERE l_orderkey % 97 = 0 ORDER BY l_orderkey, l_linenumber""",
+         WHERE substring(md5(l_orderkey::VARCHAR || ':42'), 1, 4) < '1999'
+         ORDER BY l_orderkey, l_linenumber""",
     "q13_cdc_mapper" ->
       """SELECT event_id, user_id, CAST(ts AS DATE) AS event_date,
                 upper(event_type) AS op,
@@ -408,6 +412,38 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // multimodal: opaque binary payloads with typed metadata. The corpus
+    // has no real blobs, so payloads are synthesized (magic + text bytes)
+    // and every operator below runs on true BinaryType columns.
+    "m01_media_meta" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          Multimodal.syntheticPayload(col("doc_id"), col("text")).as("bin"))
+        .select(col("doc_id"),
+          Multimodal.sniffFormat(col("bin")).as("format"),
+          Multimodal.byteLength(col("bin")).as("n_bytes"),
+          Multimodal.fingerprint(col("bin")).as("fingerprint"))
+        .orderBy("doc_id")),
+
+    "m02_media_dedup" -> ((s, d) =>
+      Multimodal.binaryDedup(
+          t(s, d, "documents").select(col("doc_id"),
+            Multimodal.syntheticPayload(col("doc_id"), col("text")).as("bin")),
+          "doc_id", "bin")
+        .orderBy("fingerprint")),
+
+    "m03_media_chunks" -> ((s, d) =>
+      Multimodal.chunkFingerprints(t(s, d, "documents"), "doc_id",
+          Multimodal.syntheticPayload(col("doc_id"), col("text")), chunkSize = 64)
+        .orderBy("doc_id", "chunk_idx")),
+
+    "m04_frame_sample" -> ((s, d) =>
+      Multimodal.sampleChunks(
+          Multimodal.chunkFingerprints(t(s, d, "documents"), "doc_id",
+            Multimodal.syntheticPayload(col("doc_id"), col("text")), chunkSize = 64),
+          every = 4)
+        .orderBy("doc_id", "chunk_idx")),
+
     // approximate top-k over portable sign-bit buckets: the bucket +
     // Hamming<=1 probe set is deterministic, so the oracle replays the
     // identical candidate generation and ranking
@@ -450,6 +486,14 @@ object SparkEntry {
       WHERE bit_count(xor(a.h1, b.h1)) + bit_count(xor(a.h2, b.h2)) <= 3
       ORDER BY doc_a, doc_b"""
   }
+
+  /** shared oracle snippet: the synthetic media payload (4-byte ASCII
+   * magic by id mod 3, then the document bytes — ASCII corpus, so string
+   * concatenation builds the identical byte stream). */
+  private val PayCte =
+    """WITH p AS (SELECT doc_id,
+         (CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'PNG|' WHEN 1 THEN 'JPG|'
+          ELSE 'GIF|' END) || text AS pay FROM documents)"""
 
   /** sign-bit bucket of the first `planes` dims, as a DuckDB expression
    * over `e` (= embedding cast DOUBLE[]). */
@@ -525,6 +569,32 @@ object SparkEntry {
          ORDER BY doc_a, doc_b"""),
 
     "d03_dedup_simhash" -> simhashOracle,
+
+    "m01_media_meta" -> (PayCte +
+      """SELECT doc_id,
+           CASE substring(pay, 1, 4) WHEN 'PNG|' THEN 'png' WHEN 'JPG|' THEN 'jpg'
+                WHEN 'GIF|' THEN 'gif' ELSE 'bin' END AS format,
+           octet_length(encode(pay)) AS n_bytes, md5(pay) AS fingerprint
+         FROM p ORDER BY doc_id"""),
+
+    "m02_media_dedup" -> (PayCte +
+      """SELECT md5(pay) AS fingerprint, min(doc_id) AS keep_id,
+                count(*) AS dup_count
+         FROM p GROUP BY 1 ORDER BY fingerprint"""),
+
+    "m03_media_chunks" -> (PayCte +
+      """, c AS (SELECT doc_id, pay,
+           unnest(generate_series(0, (length(pay)-1)//64)) AS chunk_idx FROM p)
+         SELECT doc_id, chunk_idx,
+                md5(substring(pay, CAST(chunk_idx*64+1 AS INTEGER), 64)) AS chunk_fp
+         FROM c ORDER BY doc_id, chunk_idx"""),
+
+    "m04_frame_sample" -> (PayCte +
+      """, c AS (SELECT doc_id, pay,
+           unnest(generate_series(0, (length(pay)-1)//64)) AS chunk_idx FROM p)
+         SELECT doc_id, chunk_idx,
+                md5(substring(pay, CAST(chunk_idx*64+1 AS INTEGER), 64)) AS chunk_fp
+         FROM c WHERE chunk_idx % 4 = 0 ORDER BY doc_id, chunk_idx"""),
 
     "d05_embedding_neardup" ->
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

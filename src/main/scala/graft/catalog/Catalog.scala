@@ -147,6 +147,12 @@ final class SnapshotStore(spark: SparkSession, val catalog: Catalog, keepVersion
     val meta = catalog(db, table)
     spark.read.format(meta.format).load(meta.location)
   }
+
+  /** JSON write to a raw path (reference dev event-log generation,
+   * dev/_dummy_records_offenders.py:185-211 — raw GG logs are JSON files,
+   * not catalog tables). */
+  def writeJson(path: String, df: DataFrame, mode: String = "overwrite"): Unit =
+    df.write.mode(mode).json(path)
 }
 
 object SnapshotStore {

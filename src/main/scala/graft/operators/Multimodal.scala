@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Typed metadata a (stubbed) media decoder emits per blob. */
+final case class MediaMeta(id: Long, format: String, width: Int, height: Int,
+                           nBytes: Long)
+
+/**
+ * Multimodal-column operators: image/audio/video payloads are opaque
+ * `binary` columns with typed metadata alongside. Everything that does NOT
+ * require a codec — format sniffing from magic bytes, byte length, content
+ * fingerprints, chunk-level fingerprints for sub-file dedup, frame/chunk
+ * sampling — is a pure column expression over the binary column (narrow,
+ * codegen'd, scan-speed at 100 TB). The codec step itself
+ * ([[decodeMetaStub]]) is a partition-batched typed operator whose decode
+ * body is STUBBED (no image/audio libraries in this environment) behind
+ * real Spark plumbing: schema, encoder, and one-pass partition iteration
+ * are production-shaped; only the bytes->pixels call is fake.
+ */
+object Multimodal {
+
+  /** Known magic prefixes -> format tag. Real containers use the same
+   * mechanism with their true magic bytes (\x89PNG, \xFF\xD8\xFF, RIFF…);
+   * the synthetic corpus uses 4-byte ASCII magics so the external oracle
+   * engine can build identical payloads. */
+  val Magics: Seq[(String, String)] = Seq("PNG|" -> "png", "JPG|" -> "jpg",
+    "GIF|" -> "gif")
+
+  /**
+   * Deterministic synthetic media payload for a text corpus: a 4-byte
+   * magic (by id mod 3) + the document bytes, as one binary column. Stands
+   * in for reading real blobs (`spark.read.format("binaryFile")` or a
+   * binary parquet column) so every operator below runs on real
+   * BinaryType data.
+   */
+  def syntheticPayload(idCol: Column, textCol: Column): Column =
+    concat(element_at(array(Magics.map(m => lit(m._1)): _*),
+      pmod(idCol, lit(3)).cast("int") + 1), textCol).cast("binary")
+
+  /** Format sniffed from the leading magic bytes (codec-free metadata). */
+  def sniffFormat(bin: Column): Column = {
+    val head = decode(substring(bin, 1, 4), "UTF-8")
+    Magics.foldRight(lit("bin"): Column) { case ((magic, fmt), acc) =>
+      when(head === magic, lit(fmt)).otherwise(acc)
+    }
+  }
+
+  /** Payload size in bytes (BinaryType length is bytes, not chars). */
+  def byteLength(bin: Column): Column = length(bin).cast("long")
+
+  /** Content fingerprint of the raw bytes. */
+  def fingerprint(bin: Column): Column = md5(bin)
+
+  /** Exact binary dedup: one hash aggregate over blob fingerprints —
+   * the binary twin of [[Dedup.exact]]. */
+  def binaryDedup(df: DataFrame, idCol: String, binCol: String): DataFrame =
+    df.select(col(idCol), fingerprint(col(binCol)).as("fingerprint"))
+      .groupBy("fingerprint")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** (id, chunk_idx, chunk_fp): fixed-size chunk fingerprints for
+   * sub-file dedup / rolling-window comparison. One narrow explode — rows
+   * out = bytes/chunkSize, each chunk hashed independently, so a 100 TB
+   * blob store chunks at scan speed with no shuffle. */
+  def chunkFingerprints(df: DataFrame, idCol: String, payload: Column,
+                        chunkSize: Int): DataFrame = {
+    val nChunks = floor((length(payload).cast("long") - 1) / chunkSize).cast("long")
+    df.select(col(idCol), payload.as("pay"),
+        explode(sequence(lit(0L), nChunks)).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"),
+        md5(col("pay").substr(col("chunk_idx") * chunkSize + 1, lit(chunkSize))
+          .cast("binary")).as("chunk_fp"))
+  }
+
+  /** Every k-th chunk — the frame-sampling shape (decode only a strided
+   * subset of frames/chunks). A pure filter on the chunk index. */
+  def sampleChunks(chunks: DataFrame, every: Int): DataFrame =
+    chunks.filter(pmod(col("chunk_idx"), lit(every)) === 0)
+
+  /**
+   * The codec boundary: per-blob metadata extraction as a typed
+   * `mapPartitions` (one iterator pass per partition, digest instance
+   * reused across the batch — the shape a real decoder batch needs).
+   *
+   * STUB: a real implementation parses the container header / decodes
+   * frames here; this environment has no media libraries, so width/height
+   * are a deterministic fake derived from the content hash. Everything
+   * around the fake — encoder, schema, partition batching — is the real
+   * production plumbing.
+   */
+  def decodeMetaStub(df: DataFrame, idCol: String, binCol: String): Dataset[MediaMeta] = {
+    val in = df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])](Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    in.mapPartitions { it =>
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      it.map { case (id, bytes) =>
+        val head = new String(bytes.take(4), java.nio.charset.StandardCharsets.UTF_8)
+        val fmt = Magics.collectFirst { case (m, f) if m == head => f }.getOrElse("bin")
+        digest.reset()
+        val h = digest.digest(bytes)
+        // fake decode: dimensions from the content hash (deterministic)
+        MediaMeta(id, fmt, 64 + (h(0) & 0x7f), 64 + (h(1) & 0x7f), bytes.length.toLong)
+      }
+    }(Encoders.product[MediaMeta])
+  }
+}

@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/**
+ * Row sampling + empty-relation helpers (reference
+ * src/apply_change_log_to_delta.py:268-281: `load_sample_to_df` wraps
+ * `df.sample(0.01)`, `get_empty_df` wraps
+ * `spark.createDataFrame(emptyRDD, schema)`).
+ */
+object Sampling {
+
+  /** Reference-parity Bernoulli sample: Spark's native `df.sample` with a
+   * pinned seed (per-partition xorshift — fast, not content-stable). */
+  def sample(df: DataFrame, fraction: Double, seed: Long = 42L): DataFrame =
+    df.sample(fraction, seed)
+
+  /**
+   * Content-keyed deterministic Bernoulli sample: keep a row iff the first
+   * 16 bits of md5(key ':' seed) fall under floor(fraction * 2^16).
+   *
+   * Unlike `df.sample`, membership depends only on the key value — stable
+   * across engines, partitionings, and retries (lexicographic comparison
+   * of lowercase hex equals numeric comparison, so any SQL engine
+   * reproduces the sample bit-for-bit). A pure narrow filter: no shuffle,
+   * survives predicate pushdown planning, and sampling by a join/entity
+   * key yields consistent entity-complete samples across tables — the
+   * standard way to cut a coherent slice of a 100 TB corpus.
+   */
+  def hashSample(df: DataFrame, keyCol: String, fraction: Double,
+                 seed: Long = 42L): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, "fraction must be in [0, 1]")
+    if (fraction >= 1.0) df
+    else {
+      val cutHex = f"${math.floor(fraction * 65536).toLong}%04x"
+      df.filter(
+        substring(md5(concat(col(keyCol).cast("string"), lit(":" + seed))
+          .cast("binary")), 1, 4) < lit(cutHex))
+    }
+  }
+
+  /** Empty relation with an explicit runtime schema (reference
+   * src/apply_change_log_to_delta.py:268-269). */
+  def emptyRelation(spark: SparkSession, schema: StructType): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+}

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Multimodal
+
+/** Multimodal binary-column operators on the synthetic corpus. */
+class MultimodalSpec extends AnyFunSuite with SparkFixture {
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+  private lazy val withBin = docs.select(col("doc_id"), col("text"),
+    Multimodal.syntheticPayload(col("doc_id"), col("text")).as("bin"))
+
+  test("payload is BinaryType; sniffFormat follows the magic bytes") {
+    assert(withBin.schema("bin").dataType.typeName == "binary")
+    val got = withBin.select(col("doc_id"),
+      Multimodal.sniffFormat(col("bin")).as("f")).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val expect = Seq("png", "jpg", "gif")((r.getLong(0) % 3).toInt)
+      assert(r.getString(1) == expect)
+    }
+    // unknown magic -> "bin"
+    val unknown = docs.select(
+      Multimodal.sniffFormat(concat(lit("XXXX"), col("text")).cast("binary")).as("f"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    assert(unknown == Seq("bin"))
+  }
+
+  test("byteLength is bytes: ASCII corpus -> n_chars + 4 magic bytes") {
+    val bad = withBin
+      .select(Multimodal.byteLength(col("bin")).as("n"), length(col("text")).as("c"))
+      .filter(col("n") =!= col("c") + 4)
+    assert(bad.count() == 0)
+  }
+
+  test("binaryDedup partitions the corpus") {
+    val d = Multimodal.binaryDedup(withBin, "doc_id", "bin")
+    assert(d.agg(sum("dup_count")).head.getLong(0) == docs.count())
+    assert(d.select("fingerprint").distinct().count() == d.count())
+  }
+
+  test("chunkFingerprints: ceil(len/64) chunks per doc, md5 verified") {
+    val chunks = Multimodal.chunkFingerprints(docs, "doc_id",
+      Multimodal.syntheticPayload(col("doc_id"), col("text")), chunkSize = 64)
+    val perDoc = chunks.groupBy("doc_id").count()
+      .join(withBin.select(col("doc_id"), Multimodal.byteLength(col("bin")).as("n")),
+        "doc_id")
+      .filter(col("count") =!= ceil(col("n") / 64.0).cast("long"))
+    assert(perDoc.count() == 0)
+    // spot-check chunk 0 of one doc against a direct JVM md5
+    val row = withBin.orderBy("doc_id").limit(1)
+      .select(col("doc_id"), col("bin")).head
+    val payload = new String(row.getAs[Array[Byte]](1),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expect = md.digest(payload.take(64).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val got = chunks.filter(col("doc_id") === row.getLong(0) && col("chunk_idx") === 0)
+      .head.getString(2)
+    assert(got == expect)
+  }
+
+  test("sampleChunks keeps exactly every k-th chunk") {
+    val chunks = Multimodal.chunkFingerprints(docs, "doc_id",
+      Multimodal.syntheticPayload(col("doc_id"), col("text")), chunkSize = 64)
+    val s = Multimodal.sampleChunks(chunks, every = 4)
+    assert(s.filter(col("chunk_idx") % 4 =!= 0).count() == 0)
+    assert(s.count() == chunks.filter(col("chunk_idx") % 4 === 0).count())
+  }
+
+  test("decodeMetaStub: deterministic, format/bytes agree with expressions") {
+    val a = Multimodal.decodeMetaStub(withBin, "doc_id", "bin").collect()
+      .sortBy(_.id)
+    val b = Multimodal.decodeMetaStub(withBin, "doc_id", "bin").collect()
+      .sortBy(_.id)
+    assert(a.toSeq == b.toSeq) // the stub is deterministic
+    assert(a.nonEmpty)
+    val viaExpr = withBin.select(col("doc_id"),
+        Multimodal.sniffFormat(col("bin")).as("f"),
+        Multimodal.byteLength(col("bin")).as("n"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    a.foreach { m =>
+      val (f, n) = viaExpr(m.id)
+      assert(m.format == f && m.nBytes == n)
+      assert(m.width >= 64 && m.width < 192 && m.height >= 64 && m.height < 192)
+    }
+  }
+}

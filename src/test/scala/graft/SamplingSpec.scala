@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Sampling
+
+/** Row sampling + empty-relation parity (reference
+ * src/apply_change_log_to_delta.py:268-281). */
+class SamplingSpec extends AnyFunSuite with SparkFixture {
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val li = spark.read.parquet(s"$sf/lineitem.parquet")
+
+  test("native df.sample: seeded, bounded, and a subset of the source") {
+    val n = li.count()
+    val s1 = Sampling.sample(li, 0.1, seed = 7L)
+    val c1 = s1.count()
+    assert(c1 > 0 && c1 < n)
+    assert(c1 > n / 50 && c1 < n / 4) // ~10% within generous bounds
+    // same seed -> same sample; subset of source rows
+    assert(Sampling.sample(li, 0.1, seed = 7L).count() == c1)
+    assert(s1.join(li, li.columns.toSeq, "left_anti").count() == 0)
+  }
+
+  test("hashSample: deterministic, portable membership rule, key-coherent") {
+    val s = Sampling.hashSample(li, "l_orderkey", 0.1, seed = 42L)
+    val c = s.count()
+    assert(c > 0 && c < li.count())
+    assert(Sampling.hashSample(li, "l_orderkey", 0.1, seed = 42L).count() == c)
+    // membership depends only on the key: every line of a sampled order is in
+    val keys = s.select("l_orderkey").distinct()
+    assert(li.join(keys, Seq("l_orderkey"), "left_semi").count() == c)
+    // rule check on one sampled key, recomputed in the JVM
+    val k = keys.limit(1).head.getLong(0)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$k:42".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(hex.take(4) < "1999")
+  }
+
+  test("hashSample edge fractions: 1.0 keeps all, 0.0 keeps none") {
+    assert(Sampling.hashSample(li, "l_orderkey", 1.0).count() == li.count())
+    assert(Sampling.hashSample(li, "l_orderkey", 0.0).count() == 0)
+  }
+
+  test("emptyRelation: zero rows, exact runtime schema") {
+    val schema = StructType(Seq(StructField("a", IntegerType),
+      StructField("b", StringType)))
+    val e = Sampling.emptyRelation(spark, schema)
+    assert(e.count() == 0)
+    assert(e.schema == schema)
+    // and it unions cleanly (the reference uses it as a fold seed)
+    val one = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(1, "x")), schema)
+    assert(e.unionByName(one).count() == 1)
+  }
+
+  test("store JSON write round-trips (reference dev event-log generation)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-json").toString
+    val cat = new graft.catalog.InMemoryCatalog
+    val store = new graft.catalog.SnapshotStore(spark, cat)
+    val df = li.select("l_orderkey", "l_linenumber", "l_returnflag").limit(20)
+    store.writeJson(s"$dir/logs", df)
+    val back = spark.read.json(s"$dir/logs")
+    assert(back.count() == 20)
+    assert(back.columns.sorted.toSeq ==
+      Seq("l_linenumber", "l_orderkey", "l_returnflag"))
+  }
+}
