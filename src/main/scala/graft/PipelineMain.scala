@@ -1,0 +1,120 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.catalog.{InMemoryCatalog, SnapshotStore, TableMeta}
+import graft.ingest.GgLogsToParquet
+import graft.operators.{ChangeLogApplier, CuratedApplier, DomainRunner, QueryRunner}
+
+/**
+ * One-command end-to-end run of the five reference stages on the
+ * reference's own fixtures (run order per
+ * dev/_dummy_records_run_order.txt:8-14):
+ *
+ *   1. gg_logs_to_parquet   raw GG JSON logs -> hashed parquet landing
+ *   2. apply_change_log     landing I/U/D events -> structured snapshots
+ *   3. apply_to_curated     structured -> curated promotion
+ *   4. apply_to_domains     definition CSV SQL -> domain snapshot
+ *   5. glue_query           ad-hoc projection + predicate (demo_querys:3)
+ *
+ *   sbt "runMain graft.PipelineMain [workDir]"
+ *
+ * Exits non-zero if any stage invariant fails.
+ */
+object PipelineMain {
+  private val Db = "pipeline"
+
+  def main(args: Array[String]): Unit = {
+    val work =
+      if (args.nonEmpty) args(0)
+      else Files.createTempDirectory("graft-pipeline").toString
+    val refData = sys.env.getOrElse("GRAFT_REF_DATA", "/root/reference/tests/data/dummy")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.caseSensitive", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val catalog = new InMemoryCatalog
+    val store = new SnapshotStore(spark, catalog)
+    catalog.register(TableMeta(Db, "raw_events", s"$work/raw_events",
+      partitionBy = GgLogsToParquet.PartitionBy))
+    Seq("offenders", "offender_bookings").foreach { t =>
+      catalog.register(TableMeta(Db, t, s"$work/$t", primaryKey = Some("offender_id")))
+      catalog.register(TableMeta(Db, s"${t}_curated", s"$work/${t}_curated"))
+    }
+    catalog.register(TableMeta(Db, "domain1_off_book", s"$work/domain1_off_book"))
+
+    def stage(n: Int, what: String)(ok: => Boolean): Unit = {
+      if (!ok) { System.err.println(s"[pipeline] FAIL stage $n: $what"); sys.exit(1) }
+      println(s"[pipeline] stage $n ok: $what")
+    }
+
+    // 1. ingest the raw JSON logs: the I/U/D dirs have ragged schemas
+    // (inserts lack `before`), unioned by name like the reference's
+    // union_dfs (gg_logs_to_parquet.py:216-226)
+    val rawRoot = s"$refData/kinesis/transac/json/oms_owner/offenders"
+    val raw = GgLogsToParquet.unionRagged(
+      Seq("base", "inserts", "deletes").map(d =>
+        GgLogsToParquet.readRaw(spark, s"$rawRoot/$d")))
+    store.appendPartitioned(Db, "raw_events", GgLogsToParquet.ingest(raw))
+    val landed = store.readFlat(Db, "raw_events")
+    val nLanded = landed.count()
+    stage(1, s"ingest -> $nLanded hashed, date-partitioned events") {
+      nLanded > 0 &&
+        landed.columns.map(_.toLowerCase).toSet
+          .intersect(Set("after_hash", "part_date")).size == 2 &&
+        !landed.columns.map(_.toLowerCase).contains("tokens")
+    }
+
+    // 2. bootstrap structured targets, then merge the change log
+    store.overwrite(Db, "offenders",
+      spark.read.parquet(s"$refData/database/oms_owner/offenders"))
+    store.overwrite(Db, "offender_bookings",
+      spark.read.parquet(s"$refData/database/oms_owner/offender_bookings"))
+    val before = store.read(Db, "offenders").count()
+    val applied = ChangeLogApplier.run(spark, store, Db, landed)
+    val after = store.read(Db, "offenders").count()
+    stage(2, s"change-log apply -> tables=$applied, offenders $before -> $after rows") {
+      applied == Seq("offenders") && after > before
+    }
+
+    // 3. curated promotion (identity hook)
+    val curated = new CuratedApplier(store).run(Db, applied)
+    stage(3, s"curated -> $curated") {
+      curated == Seq("offenders_curated") &&
+        store.read(Db, "offenders_curated").count() == after
+    }
+
+    // 4. domain materialization from the definitions CSV
+    val made = new DomainRunner(spark, store).run(Db,
+      s"$refData/database/domain_definitions/domain_table_1.csv",
+      changedTables = applied)
+    val domain = store.read(Db, "domain1_off_book")
+    stage(4, s"domains -> $made, ${domain.count()} rows, " +
+        s"schema registered=${catalog(Db, "domain1_off_book").schema.isDefined}") {
+      made == Seq("domain1_off_book") &&
+        domain.columns.contains("offender_name") && domain.count() > 0 &&
+        catalog(Db, "domain1_off_book").schema.isDefined
+    }
+
+    // 5. ad-hoc query (docs/demo_querys:3)
+    val q = new QueryRunner(store).run(Db, "offenders",
+      Seq("offender_id", "title", "first_name", "last_name", "birth_date"),
+      "offender_id > 15")
+    q.show(10, truncate = false)
+    stage(5, s"query -> ${q.count()} rows with offender_id > 15") {
+      q.count() > 0 && q.filter(col("offender_id") <= 15).count() == 0
+    }
+
+    println(s"[pipeline] E2E complete under $work")
+    spark.stop()
+  }
+}

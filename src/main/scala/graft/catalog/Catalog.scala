@@ -24,7 +24,8 @@ final case class TableMeta(
     format: String = "parquet",
     primaryKey: Option[String] = None,
     partitionBy: Seq[String] = Nil,
-    properties: Map[String, String] = Map.empty) {
+    properties: Map[String, String] = Map.empty,
+    schema: Option[StructType] = None) {
   def qualified: String = s"$db.$name"
 }
 

@@ -52,12 +52,20 @@ final class DomainRunner(spark: SparkSession, store: SnapshotStore) {
     spark.sql(d.resolution).withColumn("process_id", lit(processId))
   }
 
-  /** Full stage (reference start(), src/apply_to_domains.py:252-282). */
+  /** Full stage (reference start(), src/apply_to_domains.py:252-282).
+   * After each write the target's narrowed output schema is registered in
+   * the catalog, matching the reference's per-run Glue column-list update
+   * (`update_column_list_in_glue`, src/apply_to_domains.py:147-166,
+   * invoked at :279-281). */
   def run(db: String, defsPath: String, changedTables: Seq[String],
           processId: Long = System.currentTimeMillis()): Seq[String] = {
     val active = activate(loadDefs(defsPath), changedTables).collect().toSeq // defs are tiny config rows
     active.map { d =>
-      store.overwrite(db, d.target, runStatement(db, d, processId), mergeSchema = true)
+      val out = runStatement(db, d, processId)
+      store.overwrite(db, d.target, out, mergeSchema = true)
+      val meta = store.catalog(db, d.target)
+      store.catalog.register(meta.copy(
+        schema = Some(DomainRunner.narrowForCatalog(store.read(db, d.target).schema))))
       d.target
     }
   }

@@ -131,6 +131,28 @@ class ChangeLogApplierSpec extends AnyFunSuite with SparkFixture {
     assert(out == Map(1 -> "last", 9 -> "fresh"))
   }
 
+  test("fold: null PK groups apart from empty-string PK") {
+    val sSchema = StructType(Seq(
+      StructField("id", StringType),
+      StructField("name", StringType)) ++ CdcModel.adminFields)
+    val t = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row("", "emptykey", 100, "0" * 20, null, null))), sSchema)
+    val payload = StructType(Seq(
+      StructField("ID", StringType), StructField("NAME", StringType)))
+    val evSchema = StructType(Seq(
+      StructField("table", StringType), StructField("op_type", StringType),
+      StructField("op_ts", StringType), StructField("pos", StringType),
+      StructField("before", payload), StructField("after", payload),
+      StructField("after_hash", IntegerType), StructField("before_hash", IntegerType)))
+    // a D event whose PK is null must NOT delete the empty-string-keyed row
+    val ev = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row("S.T", "D", "2022-09-26 14:57:13.817732", "00000000000000000001",
+        Row(null, "ghost"), null, 1, 1))), evSchema)
+    val out = applyFold(t, mapEvents(ev, sSchema), "id", chainVerified = false)
+      .select("id", "name").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(out.toSeq == Seq(("", "emptykey")))
+  }
+
   test("no-chain: delete of a never-seen key yields nothing") {
     val t = mkTarget(targetRow(1, "old", 100))
     val ev = mkEvents((7, "ghost", "D", "00000000000000000001", 0, 70))

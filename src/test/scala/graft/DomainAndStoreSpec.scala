@@ -83,6 +83,16 @@ class DomainAndStoreSpec extends AnyFunSuite with SparkFixture {
     val one = out.select("offender_name").limit(1).collect().head.getString(0)
     assert(one.contains(" ")) // "first last"
     assert(out.select("process_id").distinct().collect().map(_.getLong(0)).toSeq == Seq(42L))
+    // the run registers the narrowed output schema in the catalog
+    // (reference update_column_list_in_glue, apply_to_domains.py:147-166,
+    // 279-281: anything outside {integer,date,timestamp,string} -> string)
+    val meta = catalog("db", "domain1_off_book")
+    assert(meta.schema.isDefined)
+    val st = meta.schema.get
+    assert(st.fieldNames.contains("offender_name"))
+    assert(st.fields.forall(f =>
+      Set("integer", "date", "timestamp", "string").contains(f.dataType.typeName)))
+    assert(st("process_id").dataType.typeName == "string") // long narrows to string
   }
 
   test("curated promotion is the identity hook (reference stage 3)") {
