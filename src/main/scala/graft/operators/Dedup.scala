@@ -105,7 +105,13 @@ object Dedup {
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
                    threshold: Double, maxDocFreq: Long = Long.MaxValue): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
-    val ds = docSets(df, idCol, textCol, n)
+    // materialize the per-doc set table once: it feeds the within-pair
+    // self-join, the distinct-set table, verification, and expansion —
+    // without this every consumer re-reads and re-tokenizes the corpus.
+    // (doc, ng, fp, sz) is tiny next to the corpus; on a cluster swap
+    // localCheckpoint for a reliable checkpoint/table if executor loss
+    // must not recompute.
+    val ds = docSets(df, idCol, textCol, n).localCheckpoint()
     val docFp = ds.select("doc", "fp")
     val within = docFp.as("a")
       .join(docFp.as("b"), col("a.fp") === col("b.fp") && col("a.doc") < col("b.doc"))
@@ -144,15 +150,25 @@ object Dedup {
     }
   }
 
-  /** Radius-1 deletion-neighborhood candidate set-pairs: each set keys on
-   * its own fingerprint plus each delete-one-gram fingerprint. */
+  /**
+   * Radius-1 deletion-neighborhood candidate set-pairs via XOR set-hashes:
+   * hset = XOR of xxhash64 over the set's grams (order-independent), and
+   * the delete-one key for gram g is just `hset ^ h(g)` — O(1) per gram
+   * instead of re-hashing the sz-1 remaining grams. Equal sets share hset;
+   * sets at deletion distance one meet on a delete-one key; sets differing
+   * by one gram on each side meet on the common-core key. XOR collisions
+   * (64-bit, linear structure) can only ADD candidates, never lose one,
+   * and every candidate is verified exactly afterwards.
+   */
   private def deletionCandidates(sets: DataFrame): DataFrame = {
-    val delKeys = transform(sequence(lit(1), col("sz")), i =>
-      md5(concat_ws(Sep,
-        concat(slice(col("ng"), lit(1), i - 1),
-          slice(col("ng"), i + 1, col("sz") - i))).cast("binary")))
-    val keys = sets.select(col("fp"),
-      explode(concat(array(col("fp")), delKeys)).as("key"))
+    val hset = aggregate(transform(col("ng"), g => xxhash64(g)), lit(0L),
+      (acc, h) => acc.bitwiseXOR(h))
+    // keys are reused by both join sides — materialize once (tiny: sz+1
+    // longs per distinct set)
+    val keys = sets.select(col("fp"), col("ng"), hset.as("hs"))
+      .select(col("fp"), explode(concat(array(col("hs")),
+        transform(col("ng"), g => col("hs").bitwiseXOR(xxhash64(g))))).as("key"))
+      .localCheckpoint()
     keys.as("x")
       .join(keys.as("y"), col("x.key") === col("y.key") && col("x.fp") < col("y.fp"))
       .select(col("x.fp").as("fp_a"), col("y.fp").as("fp_b"))
@@ -231,7 +247,7 @@ object Dedup {
                       n: Int = 1, maxBucket: Long = 1000): DataFrame = {
     val ds = docSets(df, idCol, textCol, n)
     if (threshold >= 1.0) {
-      val docFp = ds.select("doc", "fp")
+      val docFp = ds.select("doc", "fp").localCheckpoint()
       docFp.as("a")
         .join(docFp.as("b"), col("a.fp") === col("b.fp") && col("a.doc") < col("b.doc"))
         .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
@@ -342,7 +358,10 @@ object Dedup {
   def simHashPairsPortable(df: DataFrame, idCol: String, textCol: String,
                            maxHamming: Int = 3): DataFrame = {
     require(maxHamming < 4, "chunk banding guarantees recall only for hamming <= 3")
-    val sh = simHashPortable(df, idCol, textCol)
+    // materialize the sketch once (24 bytes/doc): both sides of the chunk
+    // self-join read it, and without this each side re-runs the 64-sum
+    // aggregate over the whole corpus
+    val sh = simHashPortable(df, idCol, textCol).localCheckpoint()
     val chunked = sh.select(col("doc"), col("h1"), col("h2"), posexplode(array(
       col("h1").bitwiseAND(0xFFFF), shiftright(col("h1"), 16),
       col("h2").bitwiseAND(0xFFFF), shiftright(col("h2"), 16))))
