@@ -1,0 +1,88 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One event of the `events` stream table, typed for stateful ops. */
+final case class StreamEvent(user_id: Long, event_id: Long, ts: Timestamp)
+
+/** Open-session accumulator kept in the state store per user. */
+final case class SessionState(startMs: Long, endMs: Long, nEvents: Long)
+
+/** A closed user session (gap or watermark timeout ended it). */
+final case class UserSession(user_id: Long, session_start: Timestamp,
+                             session_end: Timestamp, n_events: Long)
+
+/**
+ * Streaming analytics over the event stream: watermarked windowed
+ * aggregation (the standard tumbling-window shape) and gap-based
+ * sessionization via `flatMapGroupsWithState` (the custom-state shape).
+ * State size is bounded by the watermark in both — required for unbounded
+ * streams.
+ */
+object StreamingAnalytics {
+
+  /** Tumbling-window event counts with a watermark bounding late data and
+   * state. Works identically on a batch DataFrame (Spark runs the same
+   * plan with a no-op watermark), which the spec uses as the oracle. */
+  def windowedEventCounts(events: DataFrame, windowLen: String,
+                          watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("n_events"))
+
+  /**
+   * Gap-based sessionization: events of a user belong to one session while
+   * consecutive event times are within `gapMs`; a session closes when the
+   * watermark passes its end + gap (event-time timeout), emitting one
+   * summary row. Per-key state is one [[SessionState]] — O(users) state,
+   * independent of event volume.
+   */
+  def sessionize(events: Dataset[StreamEvent], gapMs: Long,
+                 watermark: String = "10 seconds"): Dataset[UserSession] = {
+    val enc = Encoders.product[UserSession]
+    implicit val stateEnc = Encoders.product[SessionState]
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (userId: Long, evs: Iterator[StreamEvent], state: GroupState[SessionState]) => {
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(UserSession(userId, new Timestamp(s.startMs),
+              new Timestamp(s.endMs), s.nEvents))
+          } else {
+            // fold this micro-batch's events (sorted by time) into the
+            // open session, emitting any session closed by a gap
+            val sorted = evs.toArray.sortBy(_.ts.getTime)
+            var open = state.getOption
+            val closed = Seq.newBuilder[UserSession]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              open match {
+                case Some(s) if t - s.endMs <= gapMs =>
+                  open = Some(s.copy(endMs = math.max(s.endMs, t),
+                    nEvents = s.nEvents + 1))
+                case Some(s) =>
+                  closed += UserSession(userId, new Timestamp(s.startMs),
+                    new Timestamp(s.endMs), s.nEvents)
+                  open = Some(SessionState(t, t, 1))
+                case None =>
+                  open = Some(SessionState(t, t, 1))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.endMs + gapMs)
+            }
+            closed.result().iterator
+          }
+        })(stateEnc, enc)
+  }
+}

@@ -1,0 +1,131 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.{InMemoryCatalog, SnapshotStore, TableMeta}
+import graft.ingest.GgLogsToParquet
+import graft.operators.ChangeLogApplier
+import graft.streaming.{StreamEvent, StreamingAnalytics, StreamingIngest}
+
+/**
+ * Structured-Streaming front-end: micro-batch runs of the unchanged batch
+ * operators must produce the batch answers (SURVEY §2.11 design), plus
+ * watermarked windowing and custom sessionization state.
+ */
+class StreamingSpec extends AnyFunSuite with SparkFixture {
+
+  test("streaming ingest lands exactly the batch ingest result") {
+    val raw = s"$RefData/kinesis/transac/json/oms_owner/offenders"
+    val batchRaw = GgLogsToParquet.unionRagged(
+      Seq("base", "inserts", "deletes").map(d =>
+        GgLogsToParquet.readRaw(spark, s"$raw/$d")))
+    val batch = GgLogsToParquet.ingest(batchRaw)
+
+    val out = Files.createTempDirectory("graft-stream-land").toString
+    val stream = StreamingIngest.ingest(
+      StreamingIngest.readRawStream(spark, s"$raw/*", batchRaw.schema))
+    val q = StreamingIngest.landTo(stream, s"$out/landing", s"$out/ckpt")
+    q.awaitTermination()
+
+    val landed = spark.read.parquet(s"$out/landing")
+    assert(landed.count() == batch.count())
+    // identical hash content (partition layout aside)
+    def hashSum(df: org.apache.spark.sql.DataFrame) =
+      df.agg(sum(col("after_hash").cast("long"))).head.getLong(0)
+    assert(hashSum(landed) == hashSum(batch))
+    assert(landed.columns.contains("part_date"))
+  }
+
+  test("foreachBatch CDC apply reaches the batch end state") {
+    val events = spark.read
+      .parquet(s"$RefData/kinesis/transac/parquet/oms_owner/offenders")
+    val target = spark.read.parquet(s"$RefData/database/oms_owner/offenders")
+
+    // batch answer
+    val expect = ChangeLogApplier.applyTable(target, events, "offender_id")
+      .drop(graft.model.CdcModel.AdminEventTs)
+
+    // streaming run over the same files
+    val tmp = Files.createTempDirectory("graft-stream-apply").toString
+    val catalog = new InMemoryCatalog
+    val store = new SnapshotStore(spark, catalog)
+    catalog.register(TableMeta("sdb", "offenders", s"$tmp/offenders",
+      primaryKey = Some("offender_id")))
+    store.overwrite("sdb", "offenders", target)
+    val stream = spark.readStream.schema(events.schema)
+      .parquet(s"$RefData/kinesis/transac/parquet/oms_owner/offenders")
+    val q = StreamingIngest.applyEachBatch(spark, stream, store, "sdb", s"$tmp/ckpt")
+    q.awaitTermination()
+
+    val got = store.read("sdb", "offenders").drop(graft.model.CdcModel.AdminEventTs)
+    assert(got.count() == expect.count())
+    assert(got.exceptAll(expect).count() == 0)
+    assert(expect.exceptAll(got).count() == 0)
+  }
+
+  test("dedupByPos drops replayed events within the watermark") {
+    import spark.implicits._
+    val rows = Seq(
+      ("p1", "2022-09-26 14:00:00.000000"),
+      ("p1", "2022-09-26 14:00:00.000000"), // replay
+      ("p2", "2022-09-26 14:01:00.000000"))
+      .toDF("pos", "op_ts")
+    // batch semantics of the same operator (streaming state adds nothing
+    // at one batch): exactly one row per pos survives
+    val out = StreamingIngest.dedupByPos(rows)
+    assert(out.count() == 2)
+    assert(out.select("pos").distinct().count() == 2)
+  }
+
+  test("windowed counts: streaming plan equals the plain batch aggregation") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "click", Timestamp.valueOf("2024-01-01 10:00:05")),
+      (2L, "click", Timestamp.valueOf("2024-01-01 10:00:55")),
+      (3L, "view", Timestamp.valueOf("2024-01-01 10:01:10")),
+      (4L, "click", Timestamp.valueOf("2024-01-01 10:02:30")))
+      .toDF("event_id", "event_type", "ts")
+    val got = StreamingAnalytics.windowedEventCounts(ev, "1 minute")
+      .orderBy("window_start", "event_type").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      ("2024-01-01 10:00:00.0", "click", 2L),
+      ("2024-01-01 10:01:00.0", "view", 1L),
+      ("2024-01-01 10:02:00.0", "click", 1L)))
+  }
+
+  test("sessionize: gap closes a session in-batch, watermark closes the tail") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[StreamEvent]
+    val sessions = StreamingAnalytics.sessionize(ms.toDS(), gapMs = 2000,
+      watermark = "5 seconds")
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      def t(ms0: Long) = new Timestamp(ms0)
+      // user 7: two events 1s apart (one session), then an 8s gap in the
+      // same batch -> first session closes by gap immediately
+      ms.addData(StreamEvent(7L, 1, t(1000)), StreamEvent(7L, 2, t(2000)),
+        StreamEvent(7L, 3, t(10000)))
+      q.processAllAvailable()
+      // far-future event advances the watermark past 10s + gap...
+      ms.addData(StreamEvent(8L, 4, t(100000)))
+      q.processAllAvailable()
+      // ...and the timeout fires on the following trigger
+      ms.addData(StreamEvent(8L, 5, t(101000)))
+      q.processAllAvailable()
+      val got = spark.table("sessions")
+        .select("user_id", "session_start", "session_end", "n_events")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+          r.getTimestamp(2).getTime, r.getLong(3))).toSet
+      assert(got.contains((7L, 1000L, 2000L, 2L))) // closed by gap
+      assert(got.contains((7L, 10000L, 10000L, 1L))) // closed by watermark timeout
+    } finally q.stop()
+  }
+}
