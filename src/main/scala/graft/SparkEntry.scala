@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, QueryRunner, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Joins, Multimodal, QueryRunner, Sampling, Similarity, TextAnalysis}
 
 /**
  * Driver contract — one `queries` entry per operator from SURVEY.md §2
@@ -171,6 +171,20 @@ object SparkEntry {
         .orderBy("o_custkey", "o_orderdate", "o_orderkey")
     }),
 
+    // skew-salted equi-join: result is exactly the plain join (the salt
+    // only spreads hot keys across reducers), so the oracle is the
+    // unsalted SQL join
+    "q21_salted_join" -> ((s, d) => {
+      val joined = Joins.saltedEquiJoin(
+        t(s, d, "lineitem"),
+        t(s, d, "orders").select(col("o_orderkey"), col("o_orderpriority")),
+        "l_orderkey", "o_orderkey", salt = 8)
+      joined.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy("o_orderpriority")
+    }),
+
     // §2.6 grouped agg + having (exact-dedup shape)
     "q20_groupby_having" -> ((s, d) =>
       t(s, d, "orders").groupBy(col("o_custkey"))
@@ -251,7 +265,12 @@ object SparkEntry {
          FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""",
     "q20_groupby_having" ->
       """SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS spend
-         FROM orders GROUP BY o_custkey HAVING count(*) >= 12 ORDER BY o_custkey""")
+         FROM orders GROUP BY o_custkey HAVING count(*) >= 12 ORDER BY o_custkey""",
+    "q21_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS n_lines,
+                round(sum(l_quantity), 2) AS sum_qty
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""")
 
   // ------------------------------------------------------------- headline
 
@@ -453,6 +472,17 @@ object SparkEntry {
           "vec_id", "embedding", k = 10, planes = 4)
         .select("query_id", "rank", "neighbor_id")
         .orderBy("query_id", "rank")
+    }),
+
+    // IVF-flat ANN: deterministic coarse quantizer (first-nCells
+    // centroids), corpus assigned to 1 cell, queries probe their 4
+    // nearest cells — the oracle replays assignment, probing, and ranking
+    "s03_ann_ivf_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10, nCells = 16, probes = 4)
+        .select("query_id", "rank", "neighbor_id")
+        .orderBy("query_id", "rank")
     }))
 
   /** shared oracle snippet: normalized text per doc. */
@@ -626,6 +656,25 @@ object SparkEntry {
                FROM b c, q
                WHERE c.vec_id <> query_id
                  AND CAST(bit_count(xor(c.bucket, qb)) AS INTEGER) <= 1),
+         r AS (SELECT query_id, neighbor_id,
+                      ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY cos DESC, neighbor_id ASC) AS rank FROM s)
+         SELECT query_id, rank, neighbor_id
+         FROM r WHERE rank <= 10 ORDER BY query_id, rank""",
+
+    "s03_ann_ivf_topk" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         cent AS (SELECT vec_id AS cid, e AS ce FROM v ORDER BY vec_id LIMIT 16),
+         asg AS (SELECT vec_id, e, cid,
+                        ROW_NUMBER() OVER (PARTITION BY vec_id
+                          ORDER BY list_cosine_similarity(e, ce) DESC, cid ASC) AS crank
+                 FROM v, cent),
+         idx AS (SELECT vec_id, e, cid AS cell FROM asg WHERE crank = 1),
+         qp AS (SELECT vec_id AS query_id, e AS qe, cid AS cell FROM asg
+                WHERE vec_id < 5 AND crank <= 4),
+         s AS (SELECT query_id, c.vec_id AS neighbor_id,
+                      list_cosine_similarity(c.e, qe) AS cos
+               FROM idx c JOIN qp ON c.cell = qp.cell AND c.vec_id <> query_id),
          r AS (SELECT query_id, neighbor_id,
                       ROW_NUMBER() OVER (PARTITION BY query_id
                         ORDER BY cos DESC, neighbor_id ASC) AS rank FROM s)

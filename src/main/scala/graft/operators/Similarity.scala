@@ -138,6 +138,51 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vid").as("neighbor_id"), col("cos"))
   }
 
+  // --------------------------------------------------------- IVF (flat)
+
+  /**
+   * IVF-flat approximate top-k: the corpus is coarse-quantized into
+   * `nCells` cells (nearest centroid by cosine); a query scans only its
+   * `probes` nearest cells. The scan cost per query drops from |corpus| to
+   * ~probes/nCells of it, and the one-off assignment pass is a broadcast
+   * map over the corpus (no shuffle until the final per-query rank).
+   *
+   * Centroids here are the first `nCells` corpus vectors by id —
+   * deterministic, so the whole operator (assignment, probe choice,
+   * ranking, ties by id) is reproducible by an external SQL oracle. A
+   * production quantizer (k-means/PQ) slots into `centroids` without
+   * touching the assignment/probe/rank pipeline.
+   */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nCells: Int = 16,
+              probes: Int = 4): DataFrame = {
+    val cent = prepared(corpus.orderBy(col(idCol)).limit(nCells), idCol, vecCol)
+      .select(col("vid").as("cid"), col("vec").as("cvec"), col("nrm").as("cnrm"))
+    def assign(df: DataFrame, keep: Int): DataFrame = {
+      val scored = df.crossJoin(broadcast(cent))
+        .withColumn("ccos", dot(col("vec"), col("cvec")) / (col("nrm") * col("cnrm")))
+      val w = Window.partitionBy(col("vid"))
+        .orderBy(col("ccos").desc, col("cid").asc)
+      scored.withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= keep)
+        .select(col("vid"), col("vec"), col("nrm"), col("cid").as("cell"))
+    }
+    // corpus rows carry exactly one cell, queries probe `probes` distinct
+    // cells -> each (query, neighbor) candidate arises at most once
+    val indexed = assign(prepared(corpus, idCol, vecCol), 1)
+    val q = assign(prepared(queries, idCol, vecCol), probes)
+      .select(col("vid").as("query_id"), col("vec").as("qvec"),
+        col("nrm").as("qnrm"), col("cell"))
+    val scored = indexed.join(broadcast(q),
+        indexed("cell") === q("cell") && col("vid") =!= col("query_id"))
+      .withColumn("cos", dot(col("vec"), col("qvec")) / (col("nrm") * col("qnrm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vid").as("neighbor_id"), col("cos"))
+  }
+
   /**
    * Embedding near-duplicate pairs (cosine >= threshold). Candidates from
    * shared LSH buckets when `planes > 0` (the scale path); `planes = 0`

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Joins
+
+/** Skew-salted join: the salt must never change the join's result. */
+class JoinsSpec extends AnyFunSuite with SparkFixture {
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val li = spark.read.parquet(s"$sf/lineitem.parquet")
+  private lazy val ord = spark.read.parquet(s"$sf/orders.parquet")
+    .select("o_orderkey", "o_orderpriority")
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.select("l_orderkey", "l_linenumber", "o_orderpriority")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq.sorted
+
+  test("salted inner join equals the plain inner join exactly") {
+    val plain = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+    val salted = Joins.saltedEquiJoin(li, ord, "l_orderkey", "o_orderkey", salt = 4)
+    assert(rows(salted) == rows(plain))
+  }
+
+  test("salted left join keeps unmatched big rows exactly once") {
+    val someOrders = ord.filter(col("o_orderkey") % 2 === 0)
+    val plain = li.join(someOrders, li("l_orderkey") === someOrders("o_orderkey"), "left")
+    val salted = Joins.saltedEquiJoin(li, someOrders,
+      "l_orderkey", "o_orderkey", salt = 4, joinType = "left")
+    assert(salted.count() == plain.count())
+    assert(salted.filter(col("o_orderpriority").isNull).count() ==
+      plain.filter(col("o_orderpriority").isNull).count())
+  }
+
+  test("right/full joins are rejected (salting would duplicate small rows)") {
+    intercept[IllegalArgumentException] {
+      Joins.saltedEquiJoin(li, ord, "l_orderkey", "o_orderkey", 4, "right")
+    }
+  }
+}

@@ -182,6 +182,20 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(got.subsetOf(exact))
   }
 
+  test("ivfTopK: k rows per query, self excluded, decent recall vs brute") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val got = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+      k = 5, nCells = 8, probes = 4).collect()
+    assert(got.groupBy(_.getLong(0)).forall(_._2.length == 5))
+    assert(got.forall(r => r.getLong(2) != r.getLong(0)))
+    val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = got.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute & approx).size.toDouble / brute.size
+    assert(recall >= 0.3, s"recall=$recall")
+  }
+
   test("signTopK: k rows per query, self excluded, candidates within hamming 1") {
     val res = Similarity.signTopK(emb, emb.filter(col("vec_id") < 3),
       "vec_id", "embedding", k = 5, planes = 3).collect()
