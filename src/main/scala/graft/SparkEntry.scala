@@ -191,7 +191,82 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"),
           round(sum(col("o_totalprice")), 2).as("spend"))
         .filter(col("n_orders") >= 12)
-        .orderBy("o_custkey")))
+        .orderBy("o_custkey")),
+
+    // TPC-H Q13 shape: left join + two-level aggregation (distribution)
+    "q22_cust_order_dist" -> ((s, d) => {
+      val o = t(s, d, "orders").filter(col("o_orderpriority") =!= "1-URGENT")
+      t(s, d, "customer")
+        .join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey")).agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // TPC-H Q2 shape: per-group argmin with deterministic tie-break
+    "q23_part_min_supp" -> ((s, d) => {
+      val p = t(s, d, "part").filter(col("p_size") < 10)
+      val w = Window.partitionBy(col("p_partkey"))
+        .orderBy(col("l_extendedprice").asc, col("l_suppkey").asc)
+      t(s, d, "lineitem")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("p_partkey"), col("l_suppkey").as("best_suppkey"),
+          round(col("l_extendedprice"), 2).as("min_price"))
+        .orderBy("p_partkey")
+    }),
+
+    // ntile ranking partitioned by nation (keyed windows, no global
+    // single-partition sort — the shape that survives 100 TB)
+    "q24_acctbal_quartiles" -> ((s, d) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+      t(s, d, "customer")
+        .withColumn("quartile", ntile(4).over(w))
+        .groupBy(col("c_nationkey"), col("quartile"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("c_acctbal")), 2).as("lo"),
+          round(max(col("c_acctbal")), 2).as("hi"))
+        .orderBy("c_nationkey", "quartile")
+    }),
+
+    // ROLLUP grouping sets (subtotal rows carry NULL group keys)
+    "q25_rollup" -> ((s, d) =>
+      t(s, d, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)),
+
+    // distinct + conditional aggregates in one pass
+    "q26_distinct_agg" -> ((s, d) =>
+      t(s, d, "lineitem").groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          round(sum(when(col("l_discount") > 0.05, col("l_extendedprice"))
+            .otherwise(lit(0.0))), 2).as("disc_rev"))
+        .orderBy("l_returnflag")),
+
+    // pivot: priorities to columns (oracle reproduces via CASE aggregates)
+    "q27_pivot" -> ((s, d) =>
+      t(s, d, "orders").groupBy(col("o_orderstatus"))
+        .pivot("o_orderpriority", Seq("1-URGENT", "2-HIGH", "3-MEDIUM"))
+        .agg(round(sum(col("o_totalprice")), 2))
+        .orderBy("o_orderstatus")),
+
+    // correlated scalar subquery through the Catalyst SQL frontend (the
+    // engine's SQL surface is spark.sql over registered views, exactly
+    // how domain Resolution SQL runs)
+    "q28_sql_correlated" -> ((s, d) => {
+      t(s, d, "customer").createOrReplaceTempView("customer_v")
+      t(s, d, "orders").createOrReplaceTempView("orders_v")
+      s.sql("""SELECT c_custkey, round(spend, 2) AS spend FROM (
+                 SELECT c_custkey,
+                        (SELECT sum(o_totalprice) FROM orders_v o
+                         WHERE o.o_custkey = c.c_custkey) AS spend
+                 FROM customer_v c) t
+               WHERE spend > 400000 ORDER BY c_custkey""")
+    }))
 
   private val coreSql: Map[String, String] = Map(
     "q01_scan_project" ->
@@ -270,7 +345,57 @@ object SparkEntry {
       """SELECT o_orderpriority, count(*) AS n_lines,
                 round(sum(l_quantity), 2) AS sum_qty
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-         GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q22_cust_order_dist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+           SELECT c_custkey, count(o_orderkey) AS c_count
+           FROM customer LEFT JOIN orders
+             ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+           GROUP BY c_custkey) t
+         GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
+    "q23_part_min_supp" ->
+      """SELECT p_partkey, l_suppkey AS best_suppkey,
+                round(l_extendedprice, 2) AS min_price
+         FROM (SELECT p_partkey, l_suppkey, l_extendedprice,
+                      ROW_NUMBER() OVER (PARTITION BY p_partkey
+                        ORDER BY l_extendedprice ASC, l_suppkey ASC) AS rn
+               FROM lineitem JOIN part ON l_partkey = p_partkey
+               WHERE p_size < 10) t
+         WHERE rn = 1 ORDER BY p_partkey""",
+    "q24_acctbal_quartiles" ->
+      """SELECT c_nationkey, quartile, count(*) AS n,
+                round(min(c_acctbal), 2) AS lo, round(max(c_acctbal), 2) AS hi
+         FROM (SELECT c_nationkey, c_acctbal,
+                      NTILE(4) OVER (PARTITION BY c_nationkey
+                        ORDER BY c_acctbal ASC, c_custkey ASC) AS quartile
+               FROM customer) t
+         GROUP BY c_nationkey, quartile ORDER BY c_nationkey, quartile""",
+    "q25_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                round(sum(o_totalprice), 2) AS total
+         FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+         ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
+    "q26_distinct_agg" ->
+      """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+                round(sum(CASE WHEN l_discount > 0.05 THEN l_extendedprice
+                               ELSE 0 END), 2) AS disc_rev
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q27_pivot" ->
+      """SELECT o_orderstatus,
+                round(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                               THEN o_totalprice END), 2) AS "1-URGENT",
+                round(sum(CASE WHEN o_orderpriority = '2-HIGH'
+                               THEN o_totalprice END), 2) AS "2-HIGH",
+                round(sum(CASE WHEN o_orderpriority = '3-MEDIUM'
+                               THEN o_totalprice END), 2) AS "3-MEDIUM"
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q28_sql_correlated" ->
+      """SELECT c_custkey, round(spend, 2) AS spend FROM (
+           SELECT c_custkey,
+                  (SELECT sum(o_totalprice) FROM orders o
+                   WHERE o.o_custkey = c.c_custkey) AS spend
+           FROM customer c) t
+         WHERE spend > 400000 ORDER BY c_custkey""")
 
   // ------------------------------------------------------------- headline
 
