@@ -254,6 +254,14 @@ object SparkEntry {
         .agg(round(sum(col("o_totalprice")), 2))
         .orderBy("o_orderstatus")),
 
+    // exact interpolated percentiles per group (full-sort-per-group exact
+    // form; the approximate sketch form lives in Sketches + its spec)
+    "q29_percentile" -> ((s, d) =>
+      t(s, d, "orders").groupBy(col("o_orderstatus"))
+        .agg(round(expr("percentile(o_totalprice, 0.5)"), 2).as("med"),
+          round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"))
+        .orderBy("o_orderstatus")),
+
     // correlated scalar subquery through the Catalyst SQL frontend (the
     // engine's SQL surface is spark.sql over registered views, exactly
     // how domain Resolution SQL runs)
@@ -388,6 +396,10 @@ object SparkEntry {
                                THEN o_totalprice END), 2) AS "2-HIGH",
                 round(sum(CASE WHEN o_orderpriority = '3-MEDIUM'
                                THEN o_totalprice END), 2) AS "3-MEDIUM"
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q29_percentile" ->
+      """SELECT o_orderstatus, round(quantile_cont(o_totalprice, 0.5), 2) AS med,
+                round(quantile_cont(o_totalprice, 0.9), 2) AS p90
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "q28_sql_correlated" ->
       """SELECT c_custkey, round(spend, 2) AS spend FROM (
