@@ -527,6 +527,13 @@ object SparkEntry {
           TextAnalysis.fingerprintMd5(col("text")).as("fingerprint"))
         .orderBy("doc_id")),
 
+    // rolling-hash winnowing fingerprints (MOSS): k-gram hashes, window
+    // minima, distinct per doc
+    "t05_winnow" -> ((s, d) =>
+      TextAnalysis.winnowFingerprints(t(s, d, "documents"), "doc_id", "text",
+          k = 8, w = 4)
+        .orderBy("doc_id", "fingerprint")),
+
     // dedup family
     "d01_dedup_exact" -> ((s, d) =>
       Dedup.exact(t(s, d, "documents"), "doc_id", "text")
@@ -662,6 +669,28 @@ object SparkEntry {
          (CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'PNG|' WHEN 1 THEN 'JPG|'
           ELSE 'GIF|' END) || text AS pay FROM documents)"""
 
+  /** t05 oracle, generated: winnowing fingerprints recomputed in ANSI SQL
+   * (first 8 md5 hex nibbles parsed positionally to the same 32-bit gram
+   * hash, window minima over w=4, full windows only). */
+  private def winnowOracle: String = {
+    val h = (0 until 8).map { j =>
+      val w = math.pow(16, 7 - j).toLong
+      s"(instr('0123456789abcdef', substring(m, ${j + 1}, 1)) - 1) * ${w}"
+    }.mkString(" + ")
+    NormCte + s""",
+      g AS (SELECT doc_id, t, length(t) - 8 + 1 AS nmax FROM n
+            WHERE length(t) - 8 + 1 >= 4),
+      pos AS (SELECT doc_id, t, nmax, unnest(generate_series(1, nmax)) AS i FROM g),
+      hx AS (SELECT doc_id, nmax, i, ($h)::BIGINT AS h FROM
+             (SELECT doc_id, nmax, i,
+                     md5(substring(t, CAST(i AS INTEGER), 8)) AS m FROM pos) x),
+      wm AS (SELECT doc_id, i, nmax,
+                    min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin FROM hx)
+      SELECT DISTINCT doc_id, wmin AS fingerprint FROM wm
+      WHERE i <= nmax - 3 ORDER BY doc_id, fingerprint"""
+  }
+
   /** sign-bit bucket of the first `planes` dims, as a DuckDB expression
    * over `e` (= embedding cast DOUBLE[]). */
   private def signBucketSql(planes: Int): String =
@@ -736,6 +765,8 @@ object SparkEntry {
          ORDER BY doc_a, doc_b"""),
 
     "d03_dedup_simhash" -> simhashOracle,
+
+    "t05_winnow" -> winnowOracle,
 
     "m01_media_meta" -> (PayCte +
       """SELECT doc_id,

@@ -90,6 +90,41 @@ object TextAnalysis {
   def fingerprintMd5(c: Column): Column = md5(normalizeText(c).cast("binary"))
   def fingerprint64(c: Column): Column = xxhash64(normalizeText(c))
 
+  /**
+   * Winnowing document fingerprints (the rolling-hash scheme of
+   * MOSS/saILS): hash every k-char gram of the normalized text, then keep
+   * the minimum hash of each w-long sliding window — a deterministic,
+   * position-robust fingerprint set whose size is ~2·len/(w+1) instead of
+   * len. Output is one row per distinct (id, fingerprint).
+   *
+   * Plan shape: explode positions (narrow), per-gram hash (md5-derived so
+   * an external SQL engine reproduces it), one window shuffle keyed by
+   * doc — no cross-doc traffic, so a 100 TB corpus fingerprints at
+   * shuffle-of-itself cost. Matching docs then reduce to a join on the
+   * fingerprint value (shared-fingerprint count ≈ overlap), same shape as
+   * the n-gram inverted index.
+   */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 8, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val norm = df.select(col(idCol), normalizeText(col(textCol)).as("t"))
+      .withColumn("nmax", length(col("t")) - k + 1)
+      .filter(col("nmax") >= w) // too-short docs have no full window
+    val grams = norm
+      .select(col(idCol), col("t"), col("nmax"),
+        explode(sequence(lit(1), col("nmax"))).as("i"))
+      .withColumn("h",
+        conv(substring(md5(col("t").substr(col("i"), lit(k)).cast("binary")), 1, 8),
+          16, 10).cast("long"))
+    val win = Window.partitionBy(col(idCol)).orderBy(col("i"))
+      .rowsBetween(Window.currentRow, w - 1)
+    grams
+      .withColumn("wmin", min(col("h")).over(win))
+      .filter(col("i") <= col("nmax") - (w - 1)) // full windows only
+      .select(col(idCol), col("wmin").as("fingerprint"))
+      .distinct()
+  }
+
   /** All features in one pass over the corpus. */
   def withTextFeatures(df: DataFrame, textCol: String): DataFrame = {
     val c = col(textCol)

@@ -203,6 +203,31 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(res.forall(r => r.getLong(2) != r.getLong(0)))
   }
 
+  test("winnowing fingerprints match a direct rolling-hash computation") {
+    val one = docs.orderBy("doc_id").limit(1)
+    val row = one.select(col("doc_id"),
+      TextAnalysis.normalizeText(col("text")).as("t")).head
+    val (id, text) = (row.getLong(0), row.getString(1))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def gramHash(i: Int): Long = {
+      md.reset()
+      val hex = md.digest(text.substring(i, i + 8).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val n = text.length - 8 + 1
+    val hashes = (0 until n).map(gramHash)
+    val expect = (0 to n - 4).map(j => hashes.slice(j, j + 4).min).toSet
+    val got = TextAnalysis.winnowFingerprints(one, "doc_id", "text", 8, 4)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(got == expect)
+    assert(got.size < n) // winnowing compresses the gram set
+    // near-identical docs share most fingerprints; doc vs itself = all
+    val again = TextAnalysis.winnowFingerprints(one, "doc_id", "text", 8, 4)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(again == got)
+  }
+
   test("text features: langId in domain, quality bounded, counts positive") {
     val f = TextAnalysis.withTextFeatures(docs, "text")
     val langs = f.select("lang_pred").distinct().collect().map(_.getString(0)).toSet
