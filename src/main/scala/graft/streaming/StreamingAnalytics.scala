@@ -25,6 +25,13 @@ final case class UserSession(user_id: Long, session_start: Timestamp,
  */
 object StreamingAnalytics {
 
+  /** Stream-static enrichment: join the stream against a (small) static
+   * dimension — the dimension broadcasts per micro-batch, the stream
+   * never shuffles. The streaming twin of the reference's domain joins. */
+  def enrich(stream: DataFrame, dim: DataFrame, streamKey: String,
+             dimKey: String): DataFrame =
+    stream.join(broadcast(dim), stream(streamKey) === dim(dimKey), "left")
+
   /** Tumbling-window event counts with a watermark bounding late data and
    * state. Works identically on a batch DataFrame (Spark runs the same
    * plan with a no-op watermark), which the spec uses as the oracle. */

@@ -104,6 +104,20 @@ class DomainAndStoreSpec extends AnyFunSuite with SparkFixture {
       store.read("db", "offenders").count())
   }
 
+  test("curated hook applies a real transform (masking) when supplied") {
+    bootstrap()
+    catalog.register(TableMeta("db", "offenders_masked", s"$tmp/offenders_masked"))
+    val masking = (df: org.apache.spark.sql.DataFrame) =>
+      df.withColumn("last_name", lit("***"))
+    val made = new CuratedApplier(store, masking).run("db", Seq("offenders"),
+      suffix = "_masked")
+    assert(made == Seq("offenders_masked"))
+    val out = store.read("db", "offenders_masked")
+    assert(out.select("last_name").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("***"))
+    assert(out.count() == store.read("db", "offenders").count())
+  }
+
   test("query runner: projection + catalyst predicate string (glue_query CLI)") {
     bootstrap()
     val qr = new QueryRunner(store)

@@ -99,6 +99,25 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       ("2024-01-01 10:02:00.0", "click", 1L)))
   }
 
+  test("stream-static enrichment joins each micro-batch against the dim") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dim = Seq((7L, "gold"), (8L, "silver")).toDF("user_id_d", "tier")
+    val ms = MemoryStream[StreamEvent]
+    val enriched = StreamingAnalytics.enrich(ms.toDF(), dim, "user_id", "user_id_d")
+      .select("user_id", "event_id", "tier")
+    val q = enriched.writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      ms.addData(StreamEvent(7L, 1, new Timestamp(1000)),
+        StreamEvent(9L, 2, new Timestamp(2000)))
+      q.processAllAvailable()
+      val got = spark.table("enriched").collect()
+        .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)))).toSet
+      assert(got == Set((7L, 1L, Some("gold")), (9L, 2L, None)))
+    } finally q.stop()
+  }
+
   test("sessionize: gap closes a session in-batch, watermark closes the tail") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
