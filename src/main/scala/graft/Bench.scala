@@ -24,14 +24,22 @@ object Bench {
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
 
+    // two timed executions per query, report the min: steady-state plan
+    // cost, robust to one-off JIT/GC/noisy-neighbor hiccups (the warm-up
+    // pass above already compiled the codegen paths)
     val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err =
-        try { fn(spark, sfDir).count(); None }
-        catch { case e: Throwable =>
-          Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
-        }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      def once(): (Double, Option[String]) = {
+        val t0 = System.nanoTime()
+        val err =
+          try { fn(spark, sfDir).count(); None }
+          catch { case e: Throwable =>
+            Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+          }
+        ((System.nanoTime() - t0) / 1e9, err)
+      }
+      val (t1, e1) = once()
+      if (e1.isDefined) (name, t1, e1)
+      else { val (t2, e2) = once(); (name, math.min(t1, t2), e2.orElse(None)) }
     }
     def esc(s: String): String =
       s.flatMap {
@@ -44,7 +52,7 @@ object Bench {
     val errs = results.collect { case (k, _, Some(e)) => s"\"$k\":\"${esc(e)}\"" }
     val total = results.collect { case (_, v, None) => v }.sum
     val errJson = if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":2,"agg":"min","queries":$qs$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
