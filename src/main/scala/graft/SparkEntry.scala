@@ -528,9 +528,10 @@ object SparkEntry {
         .orderBy("doc_id")),
 
     // rolling-hash winnowing fingerprints (MOSS): k-gram hashes, window
-    // minima, distinct per doc
+    // minima, distinct per doc (typed fast form; expression form proven
+    // equal in PipelineSpec)
     "t05_winnow" -> ((s, d) =>
-      TextAnalysis.winnowFingerprints(t(s, d, "documents"), "doc_id", "text",
+      TextAnalysis.winnowFingerprintsFast(t(s, d, "documents"), "doc_id", "text",
           k = 8, w = 4)
         .orderBy("doc_id", "fingerprint")),
 

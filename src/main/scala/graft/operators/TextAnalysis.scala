@@ -125,6 +125,54 @@ object TextAnalysis {
       .distinct()
   }
 
+  /**
+   * [[winnowFingerprints]] as a partition-batched typed operator: the
+   * per-document rolling hash + window minimum is genuinely sequential
+   * imperative work (each gram overlaps the last), which is the one case
+   * where `mapPartitions` beats expressions — the expression form pays a
+   * row per gram through the window shuffle (~len rows/doc), this one
+   * computes the whole doc in a tight loop and emits only the fingerprint
+   * set (~2·len/(w+1) rows). Bit-identical output to the expression form
+   * (first 4 md5 bytes as an unsigned 32-bit value), so the same external
+   * oracle covers both; the spec asserts their equality.
+   */
+  def winnowFingerprintsFast(df: DataFrame, idCol: String, textCol: String,
+                             k: Int = 8, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val in = df.select(col(idCol).cast("long"), normalizeText(col(textCol)))
+      .as[(Long, String)](Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
+    in.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.flatMap { case (id, t) =>
+        val n = t.length - k + 1
+        if (n < w) Iterator.empty
+        else {
+          val hs = new Array[Long](n)
+          var i = 0
+          while (i < n) {
+            md.reset()
+            val d = md.digest(t.substring(i, i + k)
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            hs(i) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+              ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+            i += 1
+          }
+          val set = scala.collection.mutable.LinkedHashSet.empty[Long]
+          var j = 0
+          while (j <= n - w) {
+            var m = hs(j)
+            var x = j + 1
+            while (x < j + w) { if (hs(x) < m) m = hs(x); x += 1 }
+            set += m
+            j += 1
+          }
+          set.iterator.map(fp => (id, fp))
+        }
+      }
+    }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+      .toDF(idCol, "fingerprint")
+  }
+
   /** All features in one pass over the corpus. */
   def withTextFeatures(df: DataFrame, textCol: String): DataFrame = {
     val c = col(textCol)

@@ -222,10 +222,12 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
       .collect().map(r => r.getLong(1)).toSet
     assert(got == expect)
     assert(got.size < n) // winnowing compresses the gram set
-    // near-identical docs share most fingerprints; doc vs itself = all
-    val again = TextAnalysis.winnowFingerprints(one, "doc_id", "text", 8, 4)
-      .collect().map(r => r.getLong(1)).toSet
-    assert(again == got)
+    // the typed fast form is bit-identical to the expression form
+    val fastAll = TextAnalysis.winnowFingerprintsFast(docs, "doc_id", "text", 8, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exprAll = TextAnalysis.winnowFingerprints(docs, "doc_id", "text", 8, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fastAll == exprAll)
   }
 
   test("text features: langId in domain, quality bounded, counts positive") {
