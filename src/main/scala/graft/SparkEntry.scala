@@ -254,6 +254,21 @@ object SparkEntry {
         .agg(round(sum(col("o_totalprice")), 2))
         .orderBy("o_orderstatus")),
 
+    // as-of join: for each error event, the latest click of the same user
+    // at or before it (union + forward-fill window — no range join)
+    "q30_asof_join" -> ((s, d) => {
+      val ev = events(s, d)
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("err_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("click_id")) // unique (key, time)
+      Joins.asOfJoin(errors, clicks, "user_id", "ts", "ts",
+          rightCols = Seq("click_id"), matchedTimeCol = "click_ts")
+        .select("user_id", "err_id", "click_id", "click_ts")
+        .orderBy("err_id")
+    }),
+
     // exact interpolated percentiles per group (full-sort-per-group exact
     // form; the approximate sketch form lives in Sketches + its spec)
     "q29_percentile" -> ((s, d) =>
@@ -397,6 +412,15 @@ object SparkEntry {
                 round(sum(CASE WHEN o_orderpriority = '3-MEDIUM'
                                THEN o_totalprice END), 2) AS "3-MEDIUM"
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q30_asof_join" ->
+      """WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+         e AS (SELECT user_id, event_id AS err_id, ts FROM ev
+               WHERE event_type = 'error'),
+         c AS (SELECT user_id, ts, max(event_id) AS click_id FROM ev
+               WHERE event_type = 'click' GROUP BY user_id, ts)
+         SELECT e.user_id, e.err_id, c.click_id, c.ts AS click_ts
+         FROM e ASOF LEFT JOIN c ON e.user_id = c.user_id AND e.ts >= c.ts
+         ORDER BY err_id""",
     "q29_percentile" ->
       """SELECT o_orderstatus, round(quantile_cont(o_totalprice, 0.5), 2) AS med,
                 round(quantile_cont(o_totalprice, 0.9), 2) AS p90

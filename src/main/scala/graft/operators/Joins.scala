@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -35,5 +36,43 @@ object Joins {
       explode(sequence(lit(0), lit(salt - 1))))
     b.join(s, b(bigKey) === s(smallKey) && b("__salt") === s("__salt"), joinType)
       .drop("__salt")
+  }
+
+  /**
+   * As-of (left) join: for each left row, the latest right row of the same
+   * key with rightTime <= leftTime (inclusive). Spark has no native as-of
+   * join; the naive form (range join + argmax) explodes to O(|L|·|R|) per
+   * key. This is the scalable composition: tag both sides, union, one
+   * window shuffle keyed by `key` ordered by (time, side), and
+   * forward-fill the right columns with `last(ignoreNulls)` — right rows
+   * sort before left rows at equal times, so the inclusive match is exact.
+   * Cost: one shuffle of |L|+|R|, memory O(1) per row (running frame).
+   *
+   * `right` must have at most one row per (key, rightTime) — pre-aggregate
+   * otherwise (forward-fill would pick an arbitrary one of the ties);
+   * `rightCols` must not collide with left column names. Unmatched left
+   * rows keep NULL right columns; the matched right time is returned as
+   * `matchedTimeCol`.
+   */
+  def asOfJoin(left: DataFrame, right: DataFrame, key: String,
+               leftTime: String, rightTime: String, rightCols: Seq[String],
+               matchedTimeCol: String = "matched_time"): DataFrame = {
+    require(rightCols.nonEmpty, "rightCols must name the columns to carry over")
+    require(!left.columns.map(_.toLowerCase)
+        .exists((rightCols :+ matchedTimeCol).map(_.toLowerCase).toSet),
+      "rightCols/matchedTimeCol must not collide with left columns")
+    val l = left
+      .withColumn("__t", col(leftTime)).withColumn("__side", lit(1))
+    val r = right.select((key +: rightTime +: rightCols).map(col): _*)
+      .withColumnRenamed(rightTime, matchedTimeCol)
+      .withColumn("__t", col(matchedTimeCol)).withColumn("__side", lit(0))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = (rightCols :+ matchedTimeCol).foldLeft(unioned) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === 1).drop("__t", "__side")
   }
 }

@@ -32,6 +32,24 @@ class JoinsSpec extends AnyFunSuite with SparkFixture {
       plain.filter(col("o_orderpriority").isNull).count())
   }
 
+  test("asOfJoin: latest right row at-or-before each left row, else null") {
+    import spark.implicits._
+    val l = Seq((1, 5, 100), (1, 10, 101), (1, 2, 102), (2, 7, 103))
+      .toDF("k", "t", "lid")
+    val r = Seq((1, 5, 200), (1, 8, 201), (1, 1, 202), (3, 1, 203))
+      .toDF("k", "rt", "rid")
+    val got = graft.operators.Joins
+      .asOfJoin(l, r, "k", "t", "rt", Seq("rid"), "m_t")
+      .select("lid", "rid", "m_t").collect()
+      .map(x => (x.getInt(0), Option(x.get(1)), Option(x.get(2)))).toSet
+    // matches DuckDB ASOF LEFT JOIN on the same data (inclusive ties)
+    assert(got == Set(
+      (100, Some(200), Some(5)), // tie at t=5 matches inclusively
+      (101, Some(201), Some(8)),
+      (102, Some(202), Some(1)),
+      (103, None, None)))        // key 2 has no right rows
+  }
+
   test("right/full joins are rejected (salting would duplicate small rows)") {
     intercept[IllegalArgumentException] {
       Joins.saltedEquiJoin(li, ord, "l_orderkey", "o_orderkey", 4, "right")
