@@ -254,6 +254,21 @@ object SparkEntry {
         .agg(round(sum(col("o_totalprice")), 2))
         .orderBy("o_orderstatus")),
 
+    // band (range) join: error-click pairs of the same user within 5
+    // minutes, via tolerance-wide time buckets (equi-join, no nested loop)
+    "q31_band_join" -> ((s, d) => {
+      val ev = events(s, d)
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("err_id"), col("ts").as("err_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"))
+      Joins.bandJoin(errors, clicks, "user_id", "err_ts", "click_ts",
+          toleranceSec = 1800)
+        .select("user_id", "err_id", "click_id")
+        .orderBy("err_id", "click_id")
+    }),
+
     // as-of join: for each error event, the latest click of the same user
     // at or before it (union + forward-fill window — no range join)
     "q30_asof_join" -> ((s, d) => {
@@ -421,6 +436,16 @@ object SparkEntry {
          SELECT e.user_id, e.err_id, c.click_id, c.ts AS click_ts
          FROM e ASOF LEFT JOIN c ON e.user_id = c.user_id AND e.ts >= c.ts
          ORDER BY err_id""",
+    "q31_band_join" ->
+      """WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+         e AS (SELECT user_id, event_id AS err_id, ts AS err_ts FROM ev
+               WHERE event_type = 'error'),
+         c AS (SELECT user_id, event_id AS click_id, ts AS click_ts FROM ev
+               WHERE event_type = 'click')
+         SELECT e.user_id, e.err_id, c.click_id
+         FROM e JOIN c ON e.user_id = c.user_id
+           AND abs(epoch(e.err_ts) - epoch(c.click_ts)) <= 1800
+         ORDER BY err_id, click_id""",
     "q29_percentile" ->
       """SELECT o_orderstatus, round(quantile_cont(o_totalprice, 0.5), 2) AS med,
                 round(quantile_cont(o_totalprice, 0.9), 2) AS p90

@@ -39,6 +39,34 @@ object Joins {
   }
 
   /**
+   * Band (range) join: all (left, right) pairs of the same key whose
+   * times differ by at most `toleranceSec`. The naive form is an
+   * inequality join — a broadcast nested loop at scale. This buckets time
+   * into tolerance-wide chunks: a qualifying pair's buckets differ by at
+   * most one, so the left side probes its own and both adjacent buckets
+   * through an ordinary equi-join on (key, bucket), then the exact band
+   * predicate filters. Each pair meets exactly once (the right bucket is
+   * unique and left probes are distinct). Cost: 3x left fan-out into a
+   * hash join — shuffle-bound, never cross-product.
+   */
+  def bandJoin(left: DataFrame, right: DataFrame, key: String,
+               leftTime: String, rightTime: String,
+               toleranceSec: Long): DataFrame = {
+    require(toleranceSec > 0, "tolerance must be positive")
+    val lEpoch = col(leftTime).cast("long")
+    val rEpoch = col(rightTime).cast("long")
+    val l = left.withColumn("__le", lEpoch)
+      .withColumn("__bucket",
+        explode(array(Seq(-1, 0, 1).map(d => floor(lEpoch / toleranceSec) + d): _*)))
+    val r = right.withColumn("__re", rEpoch)
+      .withColumn("__bucket", floor(rEpoch / toleranceSec))
+    l.join(r, l(key) === r(key) && l("__bucket") === r("__bucket"))
+      .filter(abs(col("__le") - col("__re")) <= toleranceSec)
+      .drop("__bucket", "__le", "__re")
+      .drop(r(key))
+  }
+
+  /**
    * As-of (left) join: for each left row, the latest right row of the same
    * key with rightTime <= leftTime (inclusive). Spark has no native as-of
    * join; the naive form (range join + argmax) explodes to O(|L|·|R|) per

@@ -50,6 +50,25 @@ class JoinsSpec extends AnyFunSuite with SparkFixture {
       (103, None, None)))        // key 2 has no right rows
   }
 
+  test("bandJoin: exactly the pairs within tolerance, each once") {
+    import spark.implicits._
+    val l = Seq((1, 100, 10), (1, 400, 11), (2, 100, 12)).toDF("k", "lt", "lid")
+    val r = Seq((1, 150, 20), (1, 399, 21), (1, 1000, 22), (2, 500, 23))
+      .toDF("k", "rt", "rid")
+    // cast epoch ints to timestamps for the time columns
+    val lt = l.withColumn("lt", col("lt").cast("timestamp"))
+    val rt = r.withColumn("rt", col("rt").cast("timestamp"))
+    val got = graft.operators.Joins.bandJoin(lt, rt, "k", "lt", "rt", 300)
+      .select("lid", "rid").collect().map(x => (x.getInt(0), x.getInt(1))).toSeq
+    val brute = for {
+      (kl, t1, lid) <- Seq((1, 100, 10), (1, 400, 11), (2, 100, 12))
+      (kr, t2, rid) <- Seq((1, 150, 20), (1, 399, 21), (1, 1000, 22), (2, 500, 23))
+      if kl == kr && math.abs(t1 - t2) <= 300
+    } yield (lid, rid)
+    assert(got.sorted == brute.sorted) // each qualifying pair exactly once
+    assert(got.nonEmpty)
+  }
+
   test("right/full joins are rejected (salting would duplicate small rows)") {
     intercept[IllegalArgumentException] {
       Joins.saltedEquiJoin(li, ord, "l_orderkey", "o_orderkey", 4, "right")
