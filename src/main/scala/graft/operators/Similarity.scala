@@ -29,10 +29,19 @@ import org.apache.spark.sql.functions._
  */
 object Similarity {
 
-  /** Left-to-right double fold — measured faster than an unrolled
-   * element_at chain (64 static terms blow codegen method size), and the
-   * deterministic summation order is reproduced by the oracle engine. */
+  /** Codegen'd left-to-right double fold (custom Catalyst expression,
+   * graft.functions.DotProduct). Bit-identical to the higher-order
+   * `aggregate(zip_with(...))` form — same summation order — but stays in
+   * whole-stage codegen instead of interpreting a lambda per element.
+   * (An unrolled 64-term element_at chain was measured SLOWER than the
+   * HOF — codegen method-size blowup — hence a proper expression.) */
   def dot(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.dotNative(
+      a.cast("array<double>"), b.cast("array<double>"))
+
+  /** The interpreted higher-order-function form, kept as the reference
+   * implementation the native expression is tested against. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))

@@ -69,6 +69,20 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(g.forall(_.split(" ").length == 2))
   }
 
+  test("native DotProduct expression is bit-identical to the HOF fold") {
+    val v = emb.select(col("embedding").cast("array<double>").as("a"))
+      .crossJoin(emb.limit(20).select(col("embedding").cast("array<double>").as("b")))
+    val diff = v.select(Similarity.dot(col("a"), col("b")).as("n"),
+        Similarity.dotHof(col("a"), col("b")).as("h"))
+      .filter(col("n") =!= col("h")) // exact double equality required
+    assert(diff.count() == 0)
+    // null array -> null
+    val nulls = emb.limit(1).select(
+      Similarity.dot(lit(null).cast("array<double>"),
+        col("embedding").cast("array<double>")).as("n"))
+    assert(nulls.head.isNullAt(0))
+  }
+
   test("brute-force top-k: k rows per query, self excluded, descending cosine") {
     val res = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 3),
       "vec_id", "embedding", k = 5).collect()
