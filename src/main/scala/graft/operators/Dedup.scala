@@ -199,13 +199,6 @@ object Dedup {
 
   // ------------------------------------------------------- MinHash LSH
 
-  /** MinHash signature of a shingle array: for seed i, min over shingles
-   * of xxhash64(s, i). Column-expression form for ad-hoc use; the pair
-   * pipeline uses the aggregate form (codegen'd) instead. */
-  def minHashSignature(shingles: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(shingles, s => xxhash64(s, i))))
-
   /** (doc, h0..h{numHashes-1}) via explode + one hash aggregate: numHashes
    * static min(xxhash64(g, i)) columns — whole-stage codegen, map-side
    * partial combine, one shuffle keyed by doc. */

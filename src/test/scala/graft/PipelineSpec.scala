@@ -81,6 +81,14 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
       Similarity.dot(lit(null).cast("array<double>"),
         col("embedding").cast("array<double>")).as("n"))
     assert(nulls.head.isNullAt(0))
+    // and the SQL registration path (SparkSessionExtensions / register)
+    graft.functions.GraftExtensions.register(spark)
+    emb.limit(5).createOrReplaceTempView("emb_v")
+    val viaSql = spark.sql(
+      """SELECT dot_product(cast(embedding AS array<double>),
+                            cast(embedding AS array<double>)) AS d
+         FROM emb_v""").collect().map(_.getDouble(0))
+    assert(viaSql.length == 5 && viaSql.forall(_ > 0))
   }
 
   test("brute-force top-k: k rows per query, self excluded, descending cosine") {
