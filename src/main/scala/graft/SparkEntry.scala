@@ -48,13 +48,11 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber")),
 
     // §2.4 string predicate through Catalyst expr() — the glue_query CLI path
-    "q03_filter_expr" -> ((s, d) => {
-      val qr = new QueryRunner(null)
-      qr.apply(t(s, d, "orders"),
+    "q03_filter_expr" -> ((s, d) =>
+      QueryRunner.select(t(s, d, "orders"),
           Seq("o_orderkey", "o_totalprice", "o_orderstatus"),
           "o_totalprice > 200000 AND o_orderstatus = 'O'")
-        .orderBy("o_orderkey")
-    }),
+        .orderBy("o_orderkey")),
 
     // §2.5 inner equi-join (dim side broadcast)
     "q04_join_inner" -> ((s, d) =>
@@ -254,6 +252,24 @@ object SparkEntry {
         .agg(round(sum(col("o_totalprice")), 2))
         .orderBy("o_orderstatus")),
 
+    // batch sessionization: lag-gap detection + cumulative session ids
+    // (the batch twin of the streaming flatMapGroupsWithState sessionizer)
+    "q32_sessionize_batch" -> ((s, d) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, d)
+        .withColumn("gap",
+          when(col("ts").cast("long") -
+            lag(col("ts"), 1).over(byUser).cast("long") > 1800, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum(col("gap")).over(cum))
+        .groupBy(col("user_id"))
+        .agg((max(col("session_id")) + 1).as("n_sessions"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }),
+
     // band (range) join: error-click pairs of the same user within 5
     // minutes, via tolerance-wide time buckets (equi-join, no nested loop)
     "q31_band_join" -> ((s, d) => {
@@ -436,6 +452,19 @@ object SparkEntry {
          SELECT e.user_id, e.err_id, c.click_id, c.ts AS click_ts
          FROM e ASOF LEFT JOIN c ON e.user_id = c.user_id AND e.ts >= c.ts
          ORDER BY err_id""",
+    "q32_sessionize_batch" ->
+      """WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+         g AS (SELECT user_id, event_id, ts,
+                      CASE WHEN epoch(ts) - epoch(lag(ts, 1) OVER
+                        (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)) > 1800
+                      THEN 1 ELSE 0 END AS gap FROM ev),
+         s AS (SELECT user_id,
+                      sum(gap) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+               FROM g)
+         SELECT user_id, CAST(max(session_id) + 1 AS BIGINT) AS n_sessions,
+                count(*) AS n_events
+         FROM s GROUP BY user_id ORDER BY user_id""",
     "q31_band_join" ->
       """WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
          e AS (SELECT user_id, event_id AS err_id, ts AS err_ts FROM ev

@@ -30,9 +30,15 @@ final class CuratedApplier(store: SnapshotStore,
 final class QueryRunner(store: SnapshotStore) {
   def run(db: String, table: String, fields: Seq[String],
           where: String = "1=1"): DataFrame =
-    apply(store.read(db, table), fields, where)
+    QueryRunner.select(store.read(db, table), fields, where)
 
-  def apply(df: DataFrame, fields: Seq[String], where: String): DataFrame = {
+  def apply(df: DataFrame, fields: Seq[String], where: String): DataFrame =
+    QueryRunner.select(df, fields, where)
+}
+
+object QueryRunner {
+  /** The projection + predicate core, store-free for direct frames. */
+  def select(df: DataFrame, fields: Seq[String], where: String): DataFrame = {
     val projected = if (fields.isEmpty || fields == Seq("*")) df
                     else df.selectExpr(fields: _*)
     projected.where(expr(if (where.trim.isEmpty) "1=1" else where))
