@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench must record failures per query, never as fast successes
+ * (round-1 verdict: a swallowed exception benched as a -1s success). */
+class BenchContractSpec extends AnyFunSuite with SparkFixture {
+
+  private val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ok_query" -> ((s, d) => s.read.parquet(s"$d/region.parquet")),
+    "broken_query" -> ((s, _) => s.read.parquet("/nonexistent/nowhere.parquet")))
+
+  test("a failing query is recorded under errors, not timed as success") {
+    val results = Bench.timeQueries(spark, "/root/testdata/sf0.001", queries)
+    val byName = results.map(r => r._1 -> r).toMap
+    assert(byName("ok_query")._3.isEmpty)
+    assert(byName("broken_query")._3.isDefined)
+    val json = Bench.toJson(results, "/root/testdata/sf0.001")
+    assert(json.contains(""""errors":{"""))
+    assert(json.contains("broken_query"))
+    // the failed query's time is excluded from the reported total
+    val total = """"value":([0-9.]+)""".r.findFirstMatchIn(json).get.group(1).toDouble
+    assert(math.abs(total - byName("ok_query")._2) < 1e-9)
+    // escaping keeps the line a single valid JSON object (driver parses it)
+    assert(!json.exists(_ < ' '))
+  }
+}

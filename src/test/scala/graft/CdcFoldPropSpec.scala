@@ -44,6 +44,21 @@ class CdcFoldPropSpec extends AnyFunSuite with SparkFixture {
     applyFold(t, mapEvents(e, tSchema), "id", chainVerified = false)
       .select("id", "name").collect().map(r => r.getInt(0) -> r.getString(1)).toMap
 
+  /** reference model: the last event per key (pos order) decides — exact
+   * for no-chain mode, including seeded new keys. */
+  private def lastOpModel(target: Seq[(Int, String)],
+                          evs: Seq[(Int, String, String, Int)]): Map[Int, String] = {
+    val byKey = evs.groupBy(_._1)
+    (target.map(_._1) ++ evs.map(_._1)).distinct.flatMap { id =>
+      byKey.get(id) match {
+        case None => target.find(_._1 == id).map(id -> _._2)
+        case Some(ks) =>
+          val last = ks.maxBy(_._4)
+          if (last._3 == "D") None else Some(id -> last._2)
+      }
+    }.toMap
+  }
+
   test("fold matches the reference model on 10 random seeded logs") {
     (1 to 10).foreach { seed =>
       val rnd = new Random(seed)
@@ -55,22 +70,28 @@ class CdcFoldPropSpec extends AnyFunSuite with SparkFixture {
           (id, s"v$pos", Seq("I", "U", "D")(rnd.nextInt(3)), pos)
         }
       }
-      // reference model: the last event per key (pos order) decides —
-      // exact for no-chain mode, including seeded new keys
-      val expect = {
-        val byKey = evs.groupBy(_._1)
-        ((target.map(_._1) ++ evs.map(_._1)).distinct).flatMap { id =>
-          byKey.get(id) match {
-            case None => target.find(_._1 == id).map(id -> _._2)
-            case Some(ks) =>
-              val last = ks.maxBy(_._4)
-              if (last._3 == "D") None else Some(id -> last._2)
-          }
-        }.toMap
-      }
       val got = foldResult(mkTarget(target), mkEvents(evs))
-      assert(got == expect, s"seed=$seed target=$target evs=$evs")
+      assert(got == lastOpModel(target, evs), s"seed=$seed target=$target evs=$evs")
     }
+  }
+
+  test("scalacheck: fold matches the model on arbitrary generated logs") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genEvents: Gen[List[(Int, String, String, Int)]] = for {
+      n <- Gen.choose(0, 10)
+      ids <- Gen.listOfN(n, Gen.choose(1, 6))
+      ops <- Gen.listOfN(n, Gen.oneOf("I", "U", "D"))
+    } yield ids.zip(ops).zipWithIndex.map { case ((id, op), i) =>
+      (id, s"v${i + 1}", op, i + 1)
+    }
+    val genTarget: Gen[Seq[(Int, String)]] =
+      Gen.someOf(1 to 5).map(_.map(i => i -> s"t$i").toSeq)
+    val prop = Prop.forAll(genTarget, genEvents) { (target, evs) =>
+      foldResult(mkTarget(target), mkEvents(evs)) == lastOpModel(target, evs)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
   }
 
   test("fold is invariant to input row order (it sorts by pos)") {
