@@ -95,6 +95,24 @@ class DomainAndStoreSpec extends AnyFunSuite with SparkFixture {
     assert(st("process_id").dataType.typeName == "string") // long narrows to string
   }
 
+  test("domain_table_2: only the definition whose deps changed runs") {
+    bootstrap()
+    catalog.register(TableMeta("db", "domain2_book_off", s"$tmp/domain2_book_off"))
+    val runner = new DomainRunner(spark, store)
+    val defs = runner.loadDefs(s"$RefData/database/domain_definitions/domain_table_2.csv")
+    assert(defs.count() == 2)
+    // of the two definitions, only the offenders-dependent one activates
+    assert(runner.activate(defs, Seq("offender_bookings")).count() == 1)
+    val made = runner.run("db",
+      s"$RefData/database/domain_definitions/domain_table_2.csv",
+      changedTables = Seq("offender_bookings"), processId = 7L)
+    assert(made == Seq("domain2_book_off"))
+    val out = store.read("db", "domain2_book_off")
+    assert(out.columns.toSet
+      .intersect(Set("offender_book_id", "offender_name", "in_out_status")).size == 3)
+    assert(out.count() > 0)
+  }
+
   test("curated promotion is the identity hook (reference stage 3)") {
     bootstrap()
     catalog.register(TableMeta("db", "offenders_curated", s"$tmp/offenders_curated"))
