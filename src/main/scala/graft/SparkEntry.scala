@@ -697,6 +697,16 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // int8 scalar quantization of the embedding store (exploded per dim
+    // so the oracle checks every code value)
+    "s04_quantize" -> ((s, d) =>
+      Similarity.quantize(t(s, d, "embeddings"), "vec_id", "embedding")
+        .select(col("vec_id"), round(col("scale"), 8).as("scale"),
+          posexplode(col("codes")))
+        .withColumnRenamed("pos", "dim_idx").withColumnRenamed("col", "code")
+        .select("vec_id", "dim_idx", "scale", "code")
+        .orderBy("vec_id", "dim_idx")),
+
     // IVF-flat ANN: deterministic coarse quantizer (first-nCells
     // centroids), corpus assigned to 1 cell, queries probe their 4
     // nearest cells — the oracle replays assignment, probing, and ranking
@@ -909,6 +919,17 @@ object SparkEntry {
          SELECT query_id, rank, neighbor_id
          FROM r WHERE rank <= 10 ORDER BY query_id, rank""",
 
+    "s04_quantize" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         s AS (SELECT vec_id, e,
+                      list_max(list_transform(e, x -> abs(x))) / 127.0 AS sc
+               FROM v),
+         x AS (SELECT vec_id, sc, e,
+                      unnest(generate_series(0, CAST(len(e) - 1 AS BIGINT))) AS dim_idx
+               FROM s WHERE sc > 0)
+         SELECT vec_id, CAST(dim_idx AS INTEGER) AS dim_idx, round(sc, 8) AS scale,
+                CAST(floor(e[CAST(dim_idx + 1 AS INTEGER)] / sc + 0.5) AS INTEGER) AS code
+         FROM x ORDER BY vec_id, dim_idx""",
     "s03_ann_ivf_topk" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
          cent AS (SELECT vec_id AS cid, e AS ce FROM v ORDER BY vec_id LIMIT 16),

@@ -204,6 +204,25 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(got.subsetOf(exact))
   }
 
+  test("quantize: codes in [-127,127], reconstruction within scale/2 per dim") {
+    val q = Similarity.quantize(emb, "vec_id", "embedding")
+      .withColumn("recon", Similarity.dequantize(col("codes"), col("scale")))
+    val rows = q.join(emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("orig")), "vec_id")
+      .select("scale", "codes", "recon", "orig").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val scale = r.getDouble(0)
+      val codes = r.getSeq[Int](1)
+      val recon = r.getSeq[Double](2)
+      val orig = r.getSeq[Double](3)
+      assert(codes.forall(c => c >= -127 && c <= 127))
+      orig.zip(recon).foreach { case (o, re) =>
+        assert(math.abs(o - re) <= scale / 2 + 1e-12)
+      }
+    }
+  }
+
   test("ivfTopK: k rows per query, self excluded, decent recall vs brute") {
     val queries = emb.filter(col("vec_id") < 10)
     val got = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
