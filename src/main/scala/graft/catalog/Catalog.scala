@@ -154,6 +154,20 @@ final class SnapshotStore(spark: SparkSession, val catalog: Catalog, keepVersion
    * not catalog tables). */
   def writeJson(path: String, df: DataFrame, mode: String = "overwrite"): Unit =
     df.write.mode(mode).json(path)
+
+  /**
+   * Compaction: rewrite the latest snapshot into `targetFiles` files (a
+   * new version — readers never see a partial state). Addresses the
+   * reference's own "Large number of small files not efficient"
+   * (README.md:53): frequent small CDC batches fragment snapshots;
+   * periodic compaction restores scan-sized files. The version vacuum
+   * already bounds the "large number of generations" complaint
+   * (README.md:54).
+   */
+  def compact(db: String, table: String, targetFiles: Int): Unit = {
+    require(targetFiles >= 1, "targetFiles must be >= 1")
+    overwrite(db, table, read(db, table).repartition(targetFiles))
+  }
 }
 
 object SnapshotStore {

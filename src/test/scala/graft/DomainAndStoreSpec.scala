@@ -58,6 +58,19 @@ class DomainAndStoreSpec extends AnyFunSuite with SparkFixture {
       spark.read.parquet(s"$RefData/database/oms_owner/offenders_curated"))
   }
 
+  test("compaction rewrites the snapshot into the target file count") {
+    bootstrap()
+    // fragment: write a many-partition snapshot
+    store.overwrite("db", "offenders",
+      store.read("db", "offenders").repartition(7))
+    store.compact("db", "offenders", targetFiles = 1)
+    val after = store.read("db", "offenders")
+    assert(after.count() == 18)
+    assert(after.rdd.getNumPartitions == 1)
+    store.overwrite("db", "offenders",
+      spark.read.parquet(s"$RefData/database/oms_owner/offenders_curated"))
+  }
+
   test("domain defs load + dependency activation") {
     bootstrap()
     val runner = new DomainRunner(spark, store)
