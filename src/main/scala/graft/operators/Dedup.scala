@@ -111,7 +111,7 @@ object Dedup {
     // (doc, ng, fp, sz) is tiny next to the corpus; on a cluster swap
     // localCheckpoint for a reliable checkpoint/table if executor loss
     // must not recompute.
-    val ds = docSets(df, idCol, textCol, n).localCheckpoint()
+    val ds = docSets(df, idCol, textCol, n).localCheckpoint(false)
     val docFp = ds.select("doc", "fp")
     val within = docFp.as("a")
       .join(docFp.as("b"), col("a.fp") === col("b.fp") && col("a.doc") < col("b.doc"))
@@ -168,7 +168,7 @@ object Dedup {
     val keys = sets.select(col("fp"), col("ng"), hset.as("hs"))
       .select(col("fp"), explode(concat(array(col("hs")),
         transform(col("ng"), g => col("hs").bitwiseXOR(xxhash64(g))))).as("key"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     keys.as("x")
       .join(keys.as("y"), col("x.key") === col("y.key") && col("x.fp") < col("y.fp"))
       .select(col("x.fp").as("fp_a"), col("y.fp").as("fp_b"))
@@ -240,7 +240,7 @@ object Dedup {
                       n: Int = 1, maxBucket: Long = 1000): DataFrame = {
     val ds = docSets(df, idCol, textCol, n)
     if (threshold >= 1.0) {
-      val docFp = ds.select("doc", "fp").localCheckpoint()
+      val docFp = ds.select("doc", "fp").localCheckpoint(false)
       docFp.as("a")
         .join(docFp.as("b"), col("a.fp") === col("b.fp") && col("a.doc") < col("b.doc"))
         .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
@@ -354,7 +354,7 @@ object Dedup {
     // materialize the sketch once (24 bytes/doc): both sides of the chunk
     // self-join read it, and without this each side re-runs the 64-sum
     // aggregate over the whole corpus
-    val sh = simHashPortable(df, idCol, textCol).localCheckpoint()
+    val sh = simHashPortable(df, idCol, textCol).localCheckpoint(false)
     val chunked = sh.select(col("doc"), col("h1"), col("h2"), posexplode(array(
       col("h1").bitwiseAND(0xFFFF), shiftright(col("h1"), 16),
       col("h2").bitwiseAND(0xFFFF), shiftright(col("h2"), 16))))
