@@ -176,7 +176,7 @@ object SparkEntry {
       val joined = Joins.saltedEquiJoin(
         t(s, d, "lineitem"),
         t(s, d, "orders").select(col("o_orderkey"), col("o_orderpriority")),
-        "l_orderkey", "o_orderkey", salt = 8)
+        "l_orderkey", "o_orderkey", salt = 4)
       joined.groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_lines"),
           round(sum(col("l_quantity")), 2).as("sum_qty"))
