@@ -25,16 +25,20 @@ object Bench {
           }
         ((System.nanoTime() - t0) / 1e9, err)
       }
+      // any failing run marks the query failed — a flaky query must never
+      // bench as a fast success
       val (t1, e1) = once()
-      if (e1.isDefined || runs <= 1) (name, t1, e1)
-      else {
-        val best = (2 to runs).foldLeft(t1)((acc, _) => math.min(acc, once()._1))
-        (name, best, None)
+      (2 to runs).foldLeft((name, t1, e1)) {
+        case (acc @ (_, _, Some(_)), _) => acc // already failed; stop
+        case ((_, best, None), _) =>
+          val (t, e) = once()
+          (name, if (e.isDefined) t else math.min(best, t), e)
       }
     }
 
   /** The driver-contract JSON line. */
-  def toJson(results: Seq[(String, Double, Option[String])], sfDir: String): String = {
+  def toJson(results: Seq[(String, Double, Option[String])], sfDir: String,
+             runs: Int = 2): String = {
     def esc(s: String): String = s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
@@ -45,7 +49,7 @@ object Bench {
     val errs = results.collect { case (k, _, Some(e)) => s"\"$k\":\"${esc(e)}\"" }
     val total = results.collect { case (_, v, None) => v }.sum
     val errJson = if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
-    s"""{"metric":"total","value":$total,"unit":"sec","runs":2,"agg":"min","queries":$qs$errJson,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"agg":"min","queries":$qs$errJson,"sf":"$sfDir"}"""
   }
 
   def main(args: Array[String]): Unit = {

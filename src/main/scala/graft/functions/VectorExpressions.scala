@@ -17,10 +17,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
  * so results are bit-identical to the HOF form (spec-asserted) and to the
  * external oracle engine.
  *
- * Null semantics: a null array yields null (BinaryExpression default);
- * array ELEMENTS are assumed non-null (embedding vectors) — mismatched
- * lengths use the common prefix, like zip_with would with null padding
- * dropped by multiplication-by-nothing being skipped entirely.
+ * Null semantics match the HOF form exactly: a null array, a null
+ * element, or mismatched lengths (zip_with pads with nulls, and
+ * null-propagating arithmetic poisons the fold) all yield NULL.
  */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression with Serializable {
@@ -38,13 +37,20 @@ case class DotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
 
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     s
   }
 
@@ -54,12 +60,17 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $s += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $s; }
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

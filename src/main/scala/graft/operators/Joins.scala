@@ -91,16 +91,23 @@ object Joins {
       "rightCols/matchedTimeCol must not collide with left columns")
     val l = left
       .withColumn("__t", col(leftTime)).withColumn("__side", lit(1))
+    // the carried right values travel as ONE struct so the forward fill is
+    // atomic — per-column fills would tear a row whose value is NULL
+    // (filling the value from an older row than the matched time)
     val r = right.select((key +: rightTime +: rightCols).map(col): _*)
-      .withColumnRenamed(rightTime, matchedTimeCol)
-      .withColumn("__t", col(matchedTimeCol)).withColumn("__side", lit(0))
+      .withColumn("__rrow", struct((rightCols.map(col) :+
+        col(rightTime).as(matchedTimeCol)): _*))
+      .select(col(key), col(rightTime).as("__t"), col("__rrow"))
+      .withColumn("__side", lit(0))
     val unioned = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(col(key))
       .orderBy(col("__t").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = (rightCols :+ matchedTimeCol).foldLeft(unioned) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    val filled = unioned
+      .withColumn("__rrow", last(col("__rrow"), ignoreNulls = true).over(w))
+    val unpacked = (rightCols :+ matchedTimeCol).foldLeft(filled) { (df, c) =>
+      df.withColumn(c, col("__rrow").getField(c))
     }
-    filled.filter(col("__side") === 1).drop("__t", "__side")
+    unpacked.filter(col("__side") === 1).drop("__t", "__side", "__rrow")
   }
 }

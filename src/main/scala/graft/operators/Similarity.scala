@@ -157,6 +157,10 @@ object Similarity {
    * because its semantics are identical in every SQL engine (the oracle
    * replays the arithmetic bit-for-bit); reconstruction error is bounded
    * by scale/2 per dimension ([[dequantize]] + spec).
+   *
+   * All-zero (or null) vectors have no quantization scale and are DROPPED
+   * from the output — callers that must keep every id should anti-join
+   * the result against the input to find the unquantizable rows.
    */
   def quantize(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val v = col(vecCol).cast("array<double>")

@@ -139,19 +139,31 @@ object TextAnalysis {
   def winnowFingerprintsFast(df: DataFrame, idCol: String, textCol: String,
                              k: Int = 8, w: Int = 4): DataFrame = {
     import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.types._
+    // the primitive-long encoder would silently turn a non-numeric or null
+    // id into 0 — reject anything but integral ids up front
+    df.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"winnowFingerprintsFast needs an integral id column, $idCol is $other")
+    }
     val in = df.select(col(idCol).cast("long"), normalizeText(col(textCol)))
       .as[(Long, String)](Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
     in.mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
       it.flatMap { case (id, t) =>
-        val n = t.length - k + 1
+        // operate on code points — Spark/DuckDB substring+length semantics
+        // (Java String.length/substring count UTF-16 units and would split
+        // surrogate pairs on non-BMP text)
+        val cps = t.codePoints().toArray
+        val n = cps.length - k + 1
         if (n < w) Iterator.empty
         else {
           val hs = new Array[Long](n)
           var i = 0
           while (i < n) {
             md.reset()
-            val d = md.digest(t.substring(i, i + k)
+            val d = md.digest(new String(cps, i, k)
               .getBytes(java.nio.charset.StandardCharsets.UTF_8))
             hs(i) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
               ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)

@@ -25,4 +25,16 @@ class BenchContractSpec extends AnyFunSuite with SparkFixture {
     // escaping keeps the line a single valid JSON object (driver parses it)
     assert(!json.exists(_ < ' '))
   }
+
+  test("a query that only fails on a later run is still reported failed") {
+    var calls = 0
+    val flaky: Map[String, (SparkSession, String) => DataFrame] = Map(
+      "flaky" -> ((s, d) => {
+        calls += 1
+        if (calls >= 2) throw new RuntimeException("second-run failure")
+        s.read.parquet(s"$d/region.parquet")
+      }))
+    val res = Bench.timeQueries(spark, "/root/testdata/sf0.001", flaky)
+    assert(res.head._3.exists(_.contains("second-run failure")))
+  }
 }

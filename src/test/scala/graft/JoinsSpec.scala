@@ -50,6 +50,19 @@ class JoinsSpec extends AnyFunSuite with SparkFixture {
       (103, None, None)))        // key 2 has no right rows
   }
 
+  test("asOfJoin: a NULL right value is carried, not torn from an older row") {
+    import spark.implicits._
+    val l = Seq((1, 4, 10)).toDF("k", "t", "lid")
+    val r = Seq((1, 1, Some(5)), (1, 3, None)).toDF("k", "rt", "rid")
+    val got = graft.operators.Joins
+      .asOfJoin(l, r, "k", "t", "rt", Seq("rid"), "m_t")
+      .select("lid", "rid", "m_t").head
+    // the matched row is (t=3, rid=NULL): value and time from the SAME row
+    assert(got.getInt(0) == 10)
+    assert(got.isNullAt(1))
+    assert(got.getInt(2) == 3)
+  }
+
   test("bandJoin: exactly the pairs within tolerance, each once") {
     import spark.implicits._
     val l = Seq((1, 100, 10), (1, 400, 11), (2, 100, 12)).toDF("k", "lt", "lid")

@@ -76,11 +76,18 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
         Similarity.dotHof(col("a"), col("b")).as("h"))
       .filter(col("n") =!= col("h")) // exact double equality required
     assert(diff.count() == 0)
-    // null array -> null
-    val nulls = emb.limit(1).select(
-      Similarity.dot(lit(null).cast("array<double>"),
-        col("embedding").cast("array<double>")).as("n"))
-    assert(nulls.head.isNullAt(0))
+    // null array, null element, and mismatched lengths all -> null,
+    // exactly like the HOF fold
+    val one = emb.limit(1).select(col("embedding").cast("array<double>").as("v"))
+    val edge = one.select(
+      Similarity.dot(lit(null).cast("array<double>"), col("v")).as("na"),
+      Similarity.dot(col("v"), slice(col("v"), 1, 32)).as("mismatch"),
+      Similarity.dot(col("v"),
+        concat(slice(col("v"), 1, 63), array(lit(null).cast("double")))).as("nullel"),
+      Similarity.dotHof(col("v"), slice(col("v"), 1, 32)).as("hof_mismatch"))
+      .head
+    assert(edge.isNullAt(0) && edge.isNullAt(1) && edge.isNullAt(2))
+    assert(edge.isNullAt(3)) // the HOF form agrees
     // and the SQL registration path (SparkSessionExtensions / register)
     graft.functions.GraftExtensions.register(spark)
     emb.limit(5).createOrReplaceTempView("emb_v")

@@ -24,16 +24,21 @@ class SketchesSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
-  test("approx quantiles within tight rank error of exact percentiles") {
+  test("approx quantiles within the sketch's rank-error guarantee") {
+    // percentile_approx guarantees RANK error (~1/accuracy), not value
+    // error: check the rank of each sketch answer in the sorted data
     val approx = Sketches.approxQuantiles(li, "l_returnflag", "l_extendedprice",
         Seq(0.5, 0.9), accuracy = 10000)
       .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
-    val exact = li.groupBy("l_returnflag")
-      .agg(expr("percentile(l_extendedprice, array(0.5, 0.9))").as("q"))
-      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
-    exact.foreach { case (k, qs) =>
-      qs.zip(approx(k)).foreach { case (e, a) =>
-        assert(math.abs(a - e) / e <= 0.02, s"group $k exact=$e approx=$a")
+    val values = li.select("l_returnflag", "l_extendedprice").collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    approx.foreach { case (k, qs) =>
+      val sorted = values(k)
+      qs.zip(Seq(0.5, 0.9)).foreach { case (a, target) =>
+        val rank = sorted.count(_ <= a).toDouble / sorted.length
+        assert(math.abs(rank - target) <= 0.01,
+          s"group $k target=$target approx=$a rank=$rank")
       }
     }
   }
