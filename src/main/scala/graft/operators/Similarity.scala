@@ -183,8 +183,10 @@ object Similarity {
    * IVF-flat approximate top-k: the corpus is coarse-quantized into
    * `nCells` cells (nearest centroid by cosine); a query scans only its
    * `probes` nearest cells. The scan cost per query drops from |corpus| to
-   * ~probes/nCells of it, and the one-off assignment pass is a broadcast
-   * map over the corpus (no shuffle until the final per-query rank).
+   * ~probes/nCells of it. Corpus assignment broadcasts the centroids and
+   * picks each row's cell with a map-side-combined `max_by` aggregate, so
+   * the nCells-times-expanded scoring rows never shuffle — only one
+   * corpus-sized pre-aggregated exchange plus the final per-query rank.
    *
    * Centroids here are the first `nCells` corpus vectors by id —
    * deterministic, so the whole operator (assignment, probe choice,
@@ -197,21 +199,24 @@ object Similarity {
               probes: Int = 4): DataFrame = {
     val cent = prepared(corpus.orderBy(col(idCol)).limit(nCells), idCol, vecCol)
       .select(col("vid").as("cid"), col("vec").as("cvec"), col("nrm").as("cnrm"))
-    def assign(df: DataFrame, keep: Int): DataFrame = {
-      val scored = df.crossJoin(broadcast(cent))
+    def scoredCells(df: DataFrame) =
+      df.crossJoin(broadcast(cent))
         .withColumn("ccos", dot(col("vec"), col("cvec")) / (col("nrm") * col("cnrm")))
-      val w = Window.partitionBy(col("vid"))
-        .orderBy(col("ccos").desc, col("cid").asc)
-      scored.withColumn("crank", row_number().over(w))
-        .filter(col("crank") <= keep)
-        .select(col("vid"), col("vec"), col("nrm"), col("cid").as("cell"))
-    }
-    // corpus rows carry exactly one cell, queries probe `probes` distinct
-    // cells -> each (query, neighbor) candidate arises at most once
-    val indexed = assign(prepared(corpus, idCol, vecCol), 1)
-    val q = assign(prepared(queries, idCol, vecCol), probes)
+    // nearest cell per corpus row: argmax via max_by (ties -> smaller cid
+    // wins, encoded as max over (ccos, -cid)); partial aggregation
+    // collapses the expansion map-side
+    val indexed = scoredCells(prepared(corpus, idCol, vecCol))
+      .groupBy(col("vid"))
+      .agg(max_by(col("cid"), struct(col("ccos"), -col("cid"))).as("cell"),
+        first(col("vec")).as("vec"), first(col("nrm")).as("nrm"))
+    // query side is small by construction: rank its cells with a window
+    val qw = Window.partitionBy(col("vid"))
+      .orderBy(col("ccos").desc, col("cid").asc)
+    val q = scoredCells(prepared(queries, idCol, vecCol))
+      .withColumn("crank", row_number().over(qw))
+      .filter(col("crank") <= probes)
       .select(col("vid").as("query_id"), col("vec").as("qvec"),
-        col("nrm").as("qnrm"), col("cell"))
+        col("nrm").as("qnrm"), col("cid").as("cell"))
     val scored = indexed.join(broadcast(q),
         indexed("cell") === q("cell") && col("vid") =!= col("query_id"))
       .withColumn("cos", dot(col("vec"), col("qvec")) / (col("nrm") * col("qnrm")))

@@ -65,29 +65,32 @@ object StreamingAnalytics {
             Iterator.single(UserSession(userId, new Timestamp(s.startMs),
               new Timestamp(s.endMs), s.nEvents))
           } else {
-            // fold this micro-batch's events (sorted by time) into the
-            // open session, emitting any session closed by a gap
-            val sorted = evs.toArray.sortBy(_.ts.getTime)
-            var open = state.getOption
+            // coalesce the open session and this batch's events as time
+            // INTERVALS sorted by start: late (out-of-order) events merge
+            // into whatever interval they are within the gap of — possibly
+            // extending the open session's START — or close as their own
+            // past session; they never smear onto an interval a full gap
+            // away. (An event later than an already-emitted session cannot
+            // reopen it — inherent to emit-on-close streaming.)
+            val items = (state.getOption.map(s => (s.startMs, s.endMs, s.nEvents))
+              ++ evs.map(e => (e.ts.getTime, e.ts.getTime, 1L)))
+              .toArray.sortBy(i => (i._1, i._2))
             val closed = Seq.newBuilder[UserSession]
-            sorted.foreach { e =>
-              val t = e.ts.getTime
-              open match {
-                case Some(s) if t - s.endMs <= gapMs =>
-                  open = Some(s.copy(endMs = math.max(s.endMs, t),
-                    nEvents = s.nEvents + 1))
-                case Some(s) =>
-                  closed += UserSession(userId, new Timestamp(s.startMs),
-                    new Timestamp(s.endMs), s.nEvents)
-                  open = Some(SessionState(t, t, 1))
-                case None =>
-                  open = Some(SessionState(t, t, 1))
+            var cur = items.head
+            items.tail.foreach { case (s0, e0, n0) =>
+              if (s0 - cur._2 <= gapMs)
+                cur = (cur._1, math.max(cur._2, e0), cur._3 + n0)
+              else {
+                closed += UserSession(userId, new Timestamp(cur._1),
+                  new Timestamp(cur._2), cur._3)
+                cur = (s0, e0, n0)
               }
             }
-            open.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.endMs + gapMs)
-            }
+            state.update(SessionState(cur._1, cur._2, cur._3))
+            // a timeout in the past (all events late) is illegal — clamp
+            // just past the watermark so the session closes next trigger
+            state.setTimeoutTimestamp(
+              math.max(cur._2 + gapMs, state.getCurrentWatermarkMs() + 1))
             closed.result().iterator
           }
         })(stateEnc, enc)

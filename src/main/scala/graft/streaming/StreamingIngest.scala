@@ -44,12 +44,16 @@ object StreamingIngest {
     df.withColumn("event_ts",
       to_timestamp(substring(col("op_ts"), 1, 26), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
 
-  /** Exactly-once-per-event within the watermark: drop replayed `pos`
-   * (state is bounded by the watermark horizon, so this scales to
-   * unbounded streams). */
-  def dedupByPos(df: DataFrame, watermark: String = "1 hour"): DataFrame =
-    withEventTime(df).withWatermark("event_ts", watermark)
-      .dropDuplicates("pos")
+  /** Exactly-once-per-event within the watermark: drop replayed `pos`.
+   * Streaming uses `dropDuplicatesWithinWatermark` so dedup state is
+   * EVICTED once the watermark passes an event (plain dropDuplicates on a
+   * non-event-time key would keep one state entry per pos forever); batch
+   * frames take the plain distinct-by-pos path. */
+  def dedupByPos(df: DataFrame, watermark: String = "1 hour"): DataFrame = {
+    val timed = withEventTime(df).withWatermark("event_ts", watermark)
+    if (df.isStreaming) timed.dropDuplicatesWithinWatermark("pos")
+    else timed.dropDuplicates("pos")
+  }
 
   /** Land the hashed, date-partitioned stream as parquet (append-only —
    * the streaming twin of the batch landing write). */
@@ -73,8 +77,10 @@ object StreamingIngest {
                      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty)
-          ChangeLogApplier.run(spark, store, db, batch, chainVerified)
+        // an empty batch is a cheap no-op inside run (zero distinct
+        // tables) — no isEmpty pre-check, which would execute the batch
+        // plan an extra time per trigger
+        ChangeLogApplier.run(spark, store, db, batch, chainVerified)
         ()
       }
       .option("checkpointLocation", checkpoint)

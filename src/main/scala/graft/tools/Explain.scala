@@ -10,7 +10,7 @@ object Explain {
     args.foreach { n =>
       println(s"======== $n")
       val df = graft.SparkEntry.queries(n)(spark, sf)
-      df.count() // let AQE finalize
+      df.write.format("noop").mode("overwrite").save() // execute df itself so AQE finalizes ITS plan
       println(df.queryExecution.executedPlan.toString.linesIterator
         .filter(l => l.contains("Scan") || l.contains("Join") || l.contains("Exchange")
           || l.contains("PushedFilters") || l.contains("WholeStageCodegen"))

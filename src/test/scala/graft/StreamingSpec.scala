@@ -147,4 +147,29 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       assert(got.contains((7L, 10000L, 10000L, 1L))) // closed by watermark timeout
     } finally q.stop()
   }
+
+  test("sessionize: a late out-of-order event closes as its own past session") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[StreamEvent]
+    val sessions = StreamingAnalytics.sessionize(ms.toDS(), gapMs = 2000,
+      watermark = "1 hour") // wide watermark: the late events are admitted
+    val q = sessions.writeStream.format("memory").queryName("late_sessions")
+      .outputMode("append").start()
+    try {
+      def t(ms0: Long) = new Timestamp(ms0)
+      ms.addData(StreamEvent(9L, 1, t(20000)))
+      q.processAllAvailable()
+      // two late events 8s before the open session, within gap of each
+      // other: they coalesce into one PAST session (not smeared into the
+      // open one), and the open session stays (20000, 20000)
+      ms.addData(StreamEvent(9L, 2, t(12000)), StreamEvent(9L, 3, t(12500)))
+      q.processAllAvailable()
+      val got = spark.table("late_sessions")
+        .select("user_id", "session_start", "session_end", "n_events")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+          r.getTimestamp(2).getTime, r.getLong(3))).toSet
+      assert(got == Set((9L, 12000L, 12500L, 2L)))
+    } finally q.stop()
+  }
 }
