@@ -108,10 +108,11 @@ object PipelineMain {
     // 5. ad-hoc query (docs/demo_querys:3)
     val q = new QueryRunner(store).run(Db, "offenders",
       Seq("offender_id", "title", "first_name", "last_name", "birth_date"),
-      "offender_id > 15")
+      "offender_id > 15").cache()
     q.show(10, truncate = false)
-    stage(5, s"query -> ${q.count()} rows with offender_id > 15") {
-      q.count() > 0 && q.filter(col("offender_id") <= 15).count() == 0
+    val nQ = q.count()
+    stage(5, s"query -> $nQ rows with offender_id > 15") {
+      nQ > 0 && q.filter(col("offender_id") <= 15).count() == 0
     }
 
     println(s"[pipeline] E2E complete under $work")

@@ -48,6 +48,14 @@ object Dedup {
       .withColumn("fp", setFingerprint(col("ng")))
       .withColumn("sz", size(col("ng")))
 
+  /** Identical-set doc pairs (jaccard exactly 1): one fingerprint
+   * self-join over (doc, fp). */
+  private def identicalSetPairs(docFp: DataFrame): DataFrame =
+    docFp.as("a")
+      .join(docFp.as("b"), col("a.fp") === col("b.fp") && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        lit(1.0).as("jaccard"))
+
   // ------------------------------------------------------------- exact
 
   /**
@@ -113,16 +121,16 @@ object Dedup {
     // must not recompute.
     val ds = docSets(df, idCol, textCol, n).localCheckpoint(false)
     val docFp = ds.select("doc", "fp")
-    val within = docFp.as("a")
-      .join(docFp.as("b"), col("a.fp") === col("b.fp") && col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
-        lit(1.0).as("jaccard"))
+    val within = identicalSetPairs(docFp)
     if (threshold >= 1.0) within
     else {
       val sets = ds.groupBy("fp")
         .agg(first(col("ng")).as("ng"), first(col("sz")).as("sz"))
-      // one driver scalar (algorithm selection only — no data movement)
-      val smax = sets.agg(max("sz")).head.getInt(0)
+      // one driver scalar (algorithm selection only — no data movement);
+      // null max = empty corpus = no pairs of any kind
+      val smaxRow = sets.agg(max("sz")).head
+      if (smaxRow.isNullAt(0)) return within
+      val smax = smaxRow.getInt(0)
       val radius = math.floor((1 - threshold) / threshold * smax).toLong
       val candidates =
         if (radius < 1) null // cross-set pairs are impossible below distance 1
@@ -240,11 +248,7 @@ object Dedup {
                       n: Int = 1, maxBucket: Long = 1000): DataFrame = {
     val ds = docSets(df, idCol, textCol, n)
     if (threshold >= 1.0) {
-      val docFp = ds.select("doc", "fp").localCheckpoint(false)
-      docFp.as("a")
-        .join(docFp.as("b"), col("a.fp") === col("b.fp") && col("a.doc") < col("b.doc"))
-        .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
-          lit(1.0).as("jaccard"))
+      identicalSetPairs(ds.select("doc", "fp").localCheckpoint(false))
     } else {
       val b = lshBands(df, idCol, textCol, numHashes, bands, n)
       val small = b.groupBy("band", "band_key").count()

@@ -39,13 +39,20 @@ object Multimodal {
     concat(element_at(array(Magics.map(m => lit(m._1)): _*),
       pmod(idCol, lit(3)).cast("int") + 1), textCol).cast("binary")
 
-  /** Format sniffed from the leading magic bytes (codec-free metadata). */
-  def sniffFormat(bin: Column): Column = {
-    val head = decode(substring(bin, 1, 4), "UTF-8")
-    Magics.foldRight(lit("bin"): Column) { case ((magic, fmt), acc) =>
-      when(head === magic, lit(fmt)).otherwise(acc)
+  /** Magic prefixes as raw bytes (ISO-8859-1 maps each char to one byte,
+   * so real magics like "PNG" -> 0x89 0x50 0x4E 0x47 survive). */
+  private val MagicBytes: Seq[(Array[Byte], String)] =
+    Magics.map { case (m, f) =>
+      m.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1) -> f
     }
-  }
+
+  /** Format sniffed from the leading magic bytes (codec-free metadata).
+   * Binary-to-binary comparison — decoding the head as UTF-8 would mangle
+   * non-ASCII magic bytes (0x89 of a real PNG becomes U+FFFD). */
+  def sniffFormat(bin: Column): Column =
+    MagicBytes.foldRight(lit("bin"): Column) { case ((magic, fmt), acc) =>
+      when(substring(bin, 1, magic.length) === lit(magic), lit(fmt)).otherwise(acc)
+    }
 
   /** Payload size in bytes (BinaryType length is bytes, not chars). */
   def byteLength(bin: Column): Column = length(bin).cast("long")
@@ -66,9 +73,14 @@ object Multimodal {
    * blob store chunks at scan speed with no shuffle. */
   def chunkFingerprints(df: DataFrame, idCol: String, payload: Column,
                         chunkSize: Int): DataFrame = {
-    val nChunks = floor((length(payload).cast("long") - 1) / chunkSize).cast("long")
-    df.select(col(idCol), payload.as("pay"),
-        explode(sequence(lit(0L), nChunks)).as("chunk_idx"))
+    df.select(col(idCol), payload.as("pay"))
+      // zero-length payloads have no chunks (sequence(0,-1) would emit a
+      // bogus descending [0,-1] pair)
+      .filter(length(col("pay")) > 0)
+      .select(col(idCol), col("pay"),
+        explode(sequence(lit(0L),
+          floor((length(col("pay")).cast("long") - 1) / chunkSize).cast("long")))
+          .as("chunk_idx"))
       .select(col(idCol), col("chunk_idx"),
         md5(col("pay").substr(col("chunk_idx") * chunkSize + 1, lit(chunkSize))
           .cast("binary")).as("chunk_fp"))
@@ -96,8 +108,10 @@ object Multimodal {
     in.mapPartitions { it =>
       val digest = java.security.MessageDigest.getInstance("MD5")
       it.map { case (id, bytes) =>
-        val head = new String(bytes.take(4), java.nio.charset.StandardCharsets.UTF_8)
-        val fmt = Magics.collectFirst { case (m, f) if m == head => f }.getOrElse("bin")
+        val fmt = MagicBytes.collectFirst {
+          case (mb, f) if bytes.length >= mb.length &&
+            java.util.Arrays.equals(bytes.take(mb.length), mb) => f
+        }.getOrElse("bin")
         digest.reset()
         val h = digest.digest(bytes)
         // fake decode: dimensions from the content hash (deterministic)

@@ -131,6 +131,29 @@ class ChangeLogApplierSpec extends AnyFunSuite with SparkFixture {
     assert(out == Map(1 -> "last", 9 -> "fresh"))
   }
 
+  test("stale events at or below the applied pos never regress the row") {
+    val tHigh = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(1, "current", 100, f"${10}%020d", null, null))), tSchema)
+    // a replayed/out-of-order batch: one event BELOW the applied pos, one above
+    val both = mkEvents(
+      (1, "old", "U", "00000000000000000005", 101, 100),
+      (1, "newer", "U", "00000000000000000011", 102, 101))
+    val lw = applyLastWins(tHigh, mapEvents(both, tSchema), "id")
+      .select("name").collect().map(_.getString(0)).toSeq
+    assert(lw == Seq("newer"))
+    val fold = applyFold(tHigh, mapEvents(both, tSchema), "id", chainVerified = false)
+      .select("name").collect().map(_.getString(0)).toSeq
+    assert(fold == Seq("newer"))
+    // only the stale event: the row must stay untouched (not regress, not drop)
+    val staleOnly = mkEvents((1, "old", "U", "00000000000000000005", 101, 100))
+    val lw2 = applyLastWins(tHigh, mapEvents(staleOnly, tSchema), "id")
+      .select("name").collect().map(_.getString(0)).toSeq
+    assert(lw2 == Seq("current"))
+    val fold2 = applyFold(tHigh, mapEvents(staleOnly, tSchema), "id",
+      chainVerified = false).select("name").collect().map(_.getString(0)).toSeq
+    assert(fold2 == Seq("current"))
+  }
+
   test("fold: null PK groups apart from empty-string PK") {
     val sSchema = StructType(Seq(
       StructField("id", StringType),
