@@ -39,6 +39,9 @@ object PipelineMain {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.caseSensitive", "false")
       .config("spark.ui.enabled", "false")
+      // events.parquet is TIMESTAMP(NANOS); declared here so the
+      // events() helper's conf dependency is visible at session build
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -21,7 +21,11 @@ object SparkEntry {
 
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
    * reader rejects; read it as long nanos and rebuild a micro timestamp
-   * (values are µs-aligned). Oracles CAST(ts AS TIMESTAMP) to match. */
+   * (values are µs-aligned). Oracles CAST(ts AS TIMESTAMP) to match.
+   * NOTE the conf is session-global (it must be in effect at scan time,
+   * which is lazy, so it cannot be scoped-and-restored here) — the
+   * driver-contract mains also declare it at session build so the
+   * dependency is visible, not a hidden side effect. */
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     t(s, dir, "events")
@@ -954,8 +958,31 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     core ++ headline ++ pipeline
 
+  /** Collapse formatting whitespace WITHOUT touching whitespace inside
+   * single-quoted SQL literals (a naive regex would rewrite a literal
+   * like '  ' or a regexp replacement string). */
+  private def collapseWs(sql: String): String = {
+    val sb = new StringBuilder(sql.length)
+    var inQuote = false
+    var lastWs = false
+    sql.foreach { c =>
+      if (inQuote) {
+        sb += c
+        if (c == '\'') inQuote = false
+      } else if (c == '\'') {
+        inQuote = true; sb += c; lastWs = false
+      } else if (c.isWhitespace) {
+        if (!lastWs) sb += ' '
+        lastWs = true
+      } else {
+        sb += c; lastWs = false
+      }
+    }
+    sb.result().trim
+  }
+
   def oracleSql: Map[String, String] =
     (coreSql ++ headlineSql ++ pipelineSql).map { case (k, v) =>
-      k -> v.replaceAll("\\s+", " ").trim
+      k -> collapseWs(v)
     }
 }

@@ -28,25 +28,33 @@ object Dedup {
   def tokenSet(c: Column): Column =
     array_sort(array_distinct(split(normalizeText(c), " ")))
 
-  /** distinct word n-grams (n=1 -> token set). */
+  /** distinct word n-grams (n=1 -> token set). A document with fewer than
+   * n tokens has NO n-grams (empty array) — without the guard,
+   * sequence(0, negative) would emit a bogus descending index range. */
   def ngramSet(c: Column, n: Int): Column =
     if (n <= 1) tokenSet(c)
     else {
       val toks = split(normalizeText(c), " ")
-      array_sort(array_distinct(
-        transform(sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+      when(size(toks) >= n,
+        array_sort(array_distinct(
+          transform(sequence(lit(0), size(toks) - n),
+            i => concat_ws(" ", slice(toks, i + 1, lit(n)))))))
+        .otherwise(array().cast("array<string>"))
     }
 
   /** Content hash of a sorted n-gram set: two sets are equal iff their
    * fingerprints are (md5 over the Sep-joined sorted grams). */
   def setFingerprint(ng: Column): Column = md5(concat_ws(Sep, ng).cast("binary"))
 
-  /** (doc, ng, fp, sz) — the shared first stage of every pair operator. */
+  /** (doc, ng, fp, sz) — the shared first stage of every pair operator.
+   * Documents with an empty n-gram set (shorter than n tokens) are
+   * excluded: Jaccard between empty sets is undefined, and pairing every
+   * too-short doc as "identical" would be nonsense. */
   private def docSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol).as("doc"), ngramSet(col(textCol), n).as("ng"))
-      .withColumn("fp", setFingerprint(col("ng")))
       .withColumn("sz", size(col("ng")))
+      .filter(col("sz") > 0)
+      .withColumn("fp", setFingerprint(col("ng")))
 
   /** Identical-set doc pairs (jaccard exactly 1): one fingerprint
    * self-join over (doc, fp). */

@@ -131,6 +131,16 @@ class ChangeLogApplierSpec extends AnyFunSuite with SparkFixture {
     assert(out == Map(1 -> "last", 9 -> "fresh"))
   }
 
+  test("mapEvents handles insert-only logs (no before/before_hash columns)") {
+    val insertOnly = events.filter(col("op_type") === "I")
+      .drop("before", "before_hash")
+    val m = mapEvents(insertOnly, target.schema)
+    assert(m.count() > 0)
+    assert(m.filter(col(CdcModel.PreviousHash).isNotNull).count() == 0)
+    // business fields still map from the after image
+    assert(m.filter(col("last_name").isNull).count() == 0)
+  }
+
   test("stale events at or below the applied pos never regress the row") {
     val tHigh = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
       Row(1, "current", 100, f"${10}%020d", null, null))), tSchema)
