@@ -965,10 +965,13 @@ object SparkEntry {
     val sb = new StringBuilder(sql.length)
     var inQuote = false
     var lastWs = false
+    var esc = false
     sql.foreach { c =>
       if (inQuote) {
         sb += c
-        if (c == '\'') inQuote = false
+        if (esc) esc = false
+        else if (c == '\\') esc = true
+        else if (c == '\'') inQuote = false
       } else if (c == '\'') {
         inQuote = true; sb += c; lastWs = false
       } else if (c.isWhitespace) {

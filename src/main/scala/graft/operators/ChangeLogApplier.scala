@@ -124,12 +124,16 @@ object ChangeLogApplier {
     // later batch can carry an OLDER pos than what the target already
     // absorbed (file-listing order is not log order); such events must
     // not regress the row. Zero-padded pos strings give a total order.
-    val guarded = latest
-      .join(target.select(col(pk), col(AdminGgPos).as("__applied_pos")),
-        Seq(pk), "left")
-      .filter(col("__applied_pos").isNull ||
-        col(AdminGgPos) > col("__applied_pos"))
-      .drop("__applied_pos")
+    // A target without the admin pos column has no baseline — no guard
+    // (same tolerance as the fold path).
+    val guarded =
+      if (!target.columns.exists(_.equalsIgnoreCase(AdminGgPos))) latest
+      else latest
+        .join(target.select(col(pk), col(AdminGgPos).as("__applied_pos")),
+          Seq(pk), "left")
+        .filter(col("__applied_pos").isNull ||
+          col(AdminGgPos) > col("__applied_pos"))
+        .drop("__applied_pos")
     val upserts = guarded
       .filter(col(EventType) =!= "D")
       .select(target.columns.map(col).toSeq: _*)

@@ -33,11 +33,13 @@ object Multimodal {
    * magic (by id mod 3) + the document bytes, as one binary column. Stands
    * in for reading real blobs (`spark.read.format("binaryFile")` or a
    * binary parquet column) so every operator below runs on real
-   * BinaryType data.
+   * BinaryType data. The magic travels as RAW BYTES (binary concat) — a
+   * string concat would UTF-8-encode a non-ASCII magic like PNG's 0x89
+   * into two bytes and never match the sniffers.
    */
   def syntheticPayload(idCol: Column, textCol: Column): Column =
-    concat(element_at(array(Magics.map(m => lit(m._1)): _*),
-      pmod(idCol, lit(3)).cast("int") + 1), textCol).cast("binary")
+    concat(element_at(array(MagicBytes.map(m => lit(m._1)): _*),
+      pmod(idCol, lit(3)).cast("int") + 1), textCol.cast("binary"))
 
   /** Magic prefixes as raw bytes (ISO-8859-1 maps each char to one byte,
    * so real magics like "PNG" -> 0x89 0x50 0x4E 0x47 survive). */

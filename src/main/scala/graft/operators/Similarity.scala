@@ -202,12 +202,14 @@ object Similarity {
     def scoredCells(df: DataFrame) =
       df.crossJoin(broadcast(cent))
         .withColumn("ccos", dot(col("vec"), col("cvec")) / (col("nrm") * col("cnrm")))
-    // nearest cell per corpus row: argmax via max_by (ties -> smaller cid
-    // wins, encoded as max over (ccos, -cid)); partial aggregation
+    // nearest cell per corpus row: argmax via min_by over
+    // (-ccos, cid) — highest score first, ties to the smallest cid, and
+    // the ordering works for ids of ANY orderable type (negating cid
+    // itself would null out non-numeric ids); partial aggregation
     // collapses the expansion map-side
     val indexed = scoredCells(prepared(corpus, idCol, vecCol))
       .groupBy(col("vid"))
-      .agg(max_by(col("cid"), struct(col("ccos"), -col("cid"))).as("cell"),
+      .agg(min_by(col("cid"), struct(-col("ccos"), col("cid"))).as("cell"),
         first(col("vec")).as("vec"), first(col("nrm")).as("nrm"))
     // query side is small by construction: rank its cells with a window
     val qw = Window.partitionBy(col("vid"))

@@ -107,7 +107,10 @@ object TextAnalysis {
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
                          k: Int = 8, w: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val norm = df.select(col(idCol), normalizeText(col(textCol)).as("t"))
+    // null-id docs are excluded (both forms; the typed fast form could
+    // only misattribute them to id 0)
+    val norm = df.filter(col(idCol).isNotNull)
+      .select(col(idCol), normalizeText(col(textCol)).as("t"))
       .withColumn("nmax", length(col("t")) - k + 1)
       .filter(col("nmax") >= w) // too-short docs have no full window
     val grams = norm
@@ -147,7 +150,8 @@ object TextAnalysis {
       case other => throw new IllegalArgumentException(
         s"winnowFingerprintsFast needs an integral id column, $idCol is $other")
     }
-    val in = df.select(col(idCol).cast("long"), normalizeText(col(textCol)))
+    val in = df.filter(col(idCol).isNotNull) // same exclusion as the expression form
+      .select(col(idCol).cast("long"), normalizeText(col(textCol)))
       .as[(Long, String)](Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
     in.mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")

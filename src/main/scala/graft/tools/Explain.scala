@@ -10,7 +10,9 @@ object Explain {
     args.foreach { n =>
       println(s"======== $n")
       val df = graft.SparkEntry.queries(n)(spark, sf)
-      df.write.format("noop").mode("overwrite").save() // execute df itself so AQE finalizes ITS plan
+      // drive df's OWN QueryExecution (a writer/count would wrap the
+      // logical plan in a new one and leave this AQE plan unfinalized)
+      df.queryExecution.toRdd.count()
       println(df.queryExecution.executedPlan.toString.linesIterator
         .filter(l => l.contains("Scan") || l.contains("Join") || l.contains("Exchange")
           || l.contains("PushedFilters") || l.contains("WholeStageCodegen"))

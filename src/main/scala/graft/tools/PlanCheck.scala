@@ -19,8 +19,9 @@ object PlanCheck {
       val t1 = System.nanoTime()
       df.count()
       println(f"== $n warm: ${(System.nanoTime() - t1) / 1e9}%.2f s")
-      // execute df itself (not a derived count) so AQE finalizes ITS plan
-      df.write.format("noop").mode("overwrite").save()
+      // drive df's OWN QueryExecution (a writer/count would wrap the
+      // logical plan in a new one and leave this AQE plan unfinalized)
+      df.queryExecution.toRdd.count()
       val plan = df.queryExecution.executedPlan.toString
       val reused = plan.linesIterator.count(_.contains("ReusedExchange"))
       val exchanges = plan.linesIterator.count(_.contains("Exchange"))
