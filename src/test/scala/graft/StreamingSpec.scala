@@ -68,6 +68,29 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(expect.exceptAll(got).count() == 0)
   }
 
+  test("foreachBatch apply also runs the chain-verified fold path") {
+    val events = spark.read
+      .parquet(s"$RefData/kinesis/transac/parquet/oms_owner/offenders")
+    val target = spark.read.parquet(s"$RefData/database/oms_owner/offenders")
+    val expect = ChangeLogApplier
+      .applyTable(target, events, "offender_id", chainVerified = true)
+      .drop(graft.model.CdcModel.AdminEventTs)
+    val tmp = Files.createTempDirectory("graft-stream-chain").toString
+    val catalog = new InMemoryCatalog
+    val store = new SnapshotStore(spark, catalog)
+    catalog.register(TableMeta("cdb", "offenders", s"$tmp/offenders",
+      primaryKey = Some("offender_id")))
+    store.overwrite("cdb", "offenders", target)
+    val stream = spark.readStream.schema(events.schema)
+      .parquet(s"$RefData/kinesis/transac/parquet/oms_owner/offenders")
+    val q = StreamingIngest.applyEachBatch(spark, stream, store, "cdb",
+      s"$tmp/ckpt", chainVerified = true)
+    q.awaitTermination()
+    val got = store.read("cdb", "offenders").drop(graft.model.CdcModel.AdminEventTs)
+    assert(got.count() == expect.count())
+    assert(got.exceptAll(expect).count() == 0)
+  }
+
   test("dedupByPos drops replayed events within the watermark") {
     import spark.implicits._
     val rows = Seq(
