@@ -39,10 +39,15 @@ object Bench {
   /** The driver-contract JSON line. */
   def toJson(results: Seq[(String, Double, Option[String])], sfDir: String,
              runs: Int = 2): String = {
+    // same escaping rules as Verify's oracle_sql writer: control chars
+    // \u-escape so multi-line Spark errors round-trip through the JSON
     def esc(s: String): String = s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
-      case c if c < ' ' => " "
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     }
     val qs = results.map { case (k, v, _) => s"\"$k\":$v" }.mkString("{", ",", "}")

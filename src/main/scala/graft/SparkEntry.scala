@@ -263,6 +263,9 @@ object SparkEntry {
         .orderBy(col("ts").asc, col("event_id").asc)
       val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       events(s, d)
+        // whole-second epoch difference on BOTH sides (the oracle floors
+        // epoch() the same way; DuckDB's epoch is fractional, Spark's
+        // cast-to-long truncates — mixing them flips gaps near 1800s)
         .withColumn("gap",
           when(col("ts").cast("long") -
             lag(col("ts"), 1).over(byUser).cast("long") > 1800, 1)
@@ -459,8 +462,9 @@ object SparkEntry {
     "q32_sessionize_batch" ->
       """WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
          g AS (SELECT user_id, event_id, ts,
-                      CASE WHEN epoch(ts) - epoch(lag(ts, 1) OVER
-                        (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)) > 1800
+                      CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                             - CAST(floor(epoch(lag(ts, 1) OVER
+                        (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))) AS BIGINT) > 1800
                       THEN 1 ELSE 0 END AS gap FROM ev),
          s AS (SELECT user_id,
                       sum(gap) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
