@@ -343,10 +343,15 @@ object Dedup {
   def simHashPortable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = df.select(col(idCol).as("doc"),
         explode(tokenSet(col(textCol))).as("t"))
+    // dictionary pattern: hash each DISTINCT token once and join back —
+    // corpora follow Zipf, so |vocab| << token occurrences and the md5 +
+    // 16 nibble parses run per word type, not per word token (the join
+    // broadcasts when the vocabulary is small)
+    val vocab = tok.select("t").distinct()
       .withColumn("m", md5(col("t").cast("binary")))
-    val nib = (0 until 16).map(j =>
-      conv(substring(col("m"), j + 1, 1), 16, 10).cast("int").as(s"n$j"))
-    val withNib = tok.select((col("doc") +: nib): _*)
+      .select((col("t") +: (0 until 16).map(j =>
+        conv(substring(col("m"), j + 1, 1), 16, 10).cast("int").as(s"n$j"))): _*)
+    val withNib = tok.join(vocab, "t").drop("t")
     val bitSums = (0 until 64).map { i =>
       val bit = shiftright(col(s"n${i / 4}"), i % 4).bitwiseAND(1)
       sum(when(bit === 1, 1).otherwise(-1)).as(s"b$i")
