@@ -1,6 +1,7 @@
 package graft.catalog
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /**
  * Bucketed table layout — the co-located join path. Two tables bucketed
@@ -31,8 +32,11 @@ object Bucketing {
    * no shuffle on either side. */
   def colocatedJoin(spark: SparkSession, left: String, right: String,
                     leftKey: String, rightKey: String): DataFrame = {
-    val l = spark.table(left)
-    val r = spark.table(right)
-    l.join(r, l(leftKey) === r(rightKey))
+    // Aliases make the join-key resolution positional — `l(k) === r(k)`
+    // relies on dataset-id disambiguation, which degrades to a trivially
+    // true predicate when left == right (self-join of one bucketed table).
+    val l = spark.table(left).alias("__cj_l")
+    val r = spark.table(right).alias("__cj_r")
+    l.join(r, col(s"__cj_l.$leftKey") === col(s"__cj_r.$rightKey"))
   }
 }

@@ -30,11 +30,16 @@ object Joins {
     require(salt >= 1, "salt must be >= 1")
     require(LeftLike.contains(joinType.toLowerCase),
       s"salting preserves only inner/left-shaped joins, not $joinType")
+    // Aliased for the same reason as [[bandJoin]]: if both sides derive
+    // from one parent, dataset-id disambiguation is best-effort.
     val b = big.withColumn("__salt",
       pmod(monotonically_increasing_id(), lit(salt.toLong)).cast("int"))
+      .alias("__sj_b")
     val s = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salt - 1))))
-    b.join(s, b(bigKey) === s(smallKey) && b("__salt") === s("__salt"), joinType)
+      .alias("__sj_s")
+    b.join(s, col(s"__sj_b.$bigKey") === col(s"__sj_s.$smallKey") &&
+        col("__sj_b.__salt") === col("__sj_s.__salt"), joinType)
       .drop("__salt")
   }
 
@@ -55,15 +60,22 @@ object Joins {
     require(toleranceSec > 0, "tolerance must be positive")
     val lEpoch = col(leftTime).cast("long")
     val rEpoch = col(rightTime).cast("long")
+    // Both sides often derive from the SAME parent (self-join of two
+    // filters), where dataset-id disambiguation of `l(key) === r(key)` is
+    // best-effort and can silently collapse to a trivially-true predicate.
+    // Explicit aliases make resolution positional, never heuristic.
     val l = left.withColumn("__le", lEpoch)
       .withColumn("__bucket",
         explode(array(Seq(-1, 0, 1).map(d => floor(lEpoch / toleranceSec) + d): _*)))
+      .alias("__bj_l")
     val r = right.withColumn("__re", rEpoch)
       .withColumn("__bucket", floor(rEpoch / toleranceSec))
-    l.join(r, l(key) === r(key) && l("__bucket") === r("__bucket"))
+      .alias("__bj_r")
+    l.join(r, col(s"__bj_l.$key") === col(s"__bj_r.$key") &&
+        col("__bj_l.__bucket") === col("__bj_r.__bucket"))
       .filter(abs(col("__le") - col("__re")) <= toleranceSec)
       .drop("__bucket", "__le", "__re")
-      .drop(r(key))
+      .drop(col(s"__bj_r.$key"))
   }
 
   /**
