@@ -73,10 +73,10 @@ final class InMemoryCatalog extends Catalog {
  * written by executors in parallel (plain parquet), so 1000-executor writes
  * work unchanged.
  */
-final class SnapshotStore(spark: SparkSession, val catalog: Catalog, keepVersions: Int = 2) {
+class SnapshotStore(spark: SparkSession, val catalog: Catalog, keepVersions: Int = 2) {
   private val VersionRe = "^v=(\\d{6})$".r
 
-  private def fs(path: Path) =
+  protected def fs(path: Path) =
     path.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def versions(location: String): Seq[Int] = {

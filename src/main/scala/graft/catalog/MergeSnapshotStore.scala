@@ -1,0 +1,245 @@
+package graft.catalog
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import scala.collection.immutable.SortedMap
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/**
+ * Incremental MERGE-style table store: the scale answer to the reference's
+ * full-snapshot Delta overwrite (reference src/apply_change_log_to_delta.py
+ * :218-245), whose README names the full rewrite as its worst property
+ * (reference README.md:56 "Whole table is re-written for every batch").
+ *
+ * Layout (Delta/Iceberg manifest pattern, no table-format jar needed):
+ *
+ *   <location>/data/c<NNNNNN>/__b=<bucket>/part-*.parquet   immutable files
+ *   <location>/v=<NNNNNN>.manifest                          version commit
+ *
+ * Rows are hash-bucketed by primary key (`pmod(hash(pk), nBuckets)`). A
+ * version is a tiny manifest file mapping bucket -> the data directory that
+ * currently holds it; untouched buckets keep pointing at their old files.
+ * A CDC batch therefore rewrites ONLY the buckets containing changed keys
+ * — commit cost is proportional to the change set, not the table. At
+ * 100 TB with 4096 buckets a 1-row batch rewrites ~1/4096th of the table
+ * instead of all of it; the manifest rename is the same single atomic
+ * commit the base [[SnapshotStore]] uses.
+ *
+ * Readers resolve the latest manifest and scan exactly the referenced
+ * directories — always a complete, consistent snapshot. Vacuum retains the
+ * last `keepVersions` manifests and deletes data directories no retained
+ * manifest references.
+ */
+class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
+                         val nBuckets: Int = 32, keepVersions: Int = 2)
+    extends SnapshotStore(spark, catalog0, keepVersions) {
+  require(nBuckets >= 1, "nBuckets must be >= 1")
+  private val ManifestRe = "^v=(\\d{6})\\.manifest$".r
+
+  /** Bucket assignment — deterministic Murmur3 of the PK value. */
+  def bucketOf(pk: Column): Column = pmod(hash(pk), lit(nBuckets))
+
+  // ---------------------------------------------------------------- manifest
+
+  private case class Manifest(schema: StructType, buckets: SortedMap[Int, String])
+
+  private def manifestVersions(location: String): Seq[Int] = {
+    val p = new Path(location)
+    val f = fs(p)
+    if (!f.exists(p)) Nil
+    else
+      f.listStatus(p).toSeq.flatMap { st =>
+        st.getPath.getName match {
+          case ManifestRe(n) if st.isFile => Some(n.toInt)
+          case _ => None
+        }
+      }.sorted
+  }
+
+  private def manifestPath(location: String, v: Int) =
+    new Path(f"$location/v=$v%06d.manifest")
+
+  private def readManifest(location: String, v: Int): Manifest = {
+    val p = manifestPath(location, v)
+    val in = fs(p).open(p)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val lines = text.split('\n').toSeq.filter(_.nonEmpty)
+    val schema = lines.collectFirst { case s if s.startsWith("schema\t") =>
+      DataType.fromJson(s.drop("schema\t".length)).asInstanceOf[StructType]
+    }.getOrElse(throw new IllegalStateException(s"manifest $p lacks schema line"))
+    val buckets = lines.collect { case s if s.startsWith("b\t") =>
+      val Array(_, b, dir) = s.split('\t')
+      b.toInt -> dir
+    }
+    Manifest(schema, SortedMap(buckets: _*))
+  }
+
+  private def writeManifest(location: String, v: Int, m: Manifest): Unit = {
+    val content = (s"schema\t${m.schema.json}" +:
+      m.buckets.toSeq.map { case (b, dir) => s"b\t$b\t$dir" }).mkString("\n")
+    val tmp = new Path(f"$location/.tmp-v=$v%06d.manifest")
+    val fin = manifestPath(location, v)
+    val f = fs(fin)
+    val out = f.create(tmp, true)
+    try out.write(content.getBytes(UTF_8)) finally out.close()
+    if (!f.rename(tmp, fin))
+      throw new IllegalStateException(s"manifest commit rename failed: $tmp -> $fin")
+  }
+
+  /** Test/diagnostic hook: the bucket->directory map of one version. */
+  private[graft] def manifestEntries(db: String, table: String, version: Int): Map[Int, String] =
+    readManifest(catalog0(db, table).location, version).buckets
+
+  private[graft] def latestVersion(db: String, table: String): Int = {
+    val vs = manifestVersions(catalog0(db, table).location)
+    require(vs.nonEmpty, s"no manifest versions for $db.$table")
+    vs.last
+  }
+
+  // ------------------------------------------------------------------- reads
+
+  override def exists(db: String, table: String): Boolean =
+    catalog0.get(db, table).exists(m => manifestVersions(m.location).nonEmpty)
+
+  override def read(db: String, table: String): DataFrame = {
+    val meta = catalog0(db, table)
+    val vs = manifestVersions(meta.location)
+    require(vs.nonEmpty, s"no manifest versions at ${meta.location}")
+    readVersion(meta, vs.last)
+  }
+
+  override def readVersion(meta: TableMeta, version: Int): DataFrame =
+    load(meta, readManifest(meta.location, version), None)
+
+  /** Scan only the given buckets of the latest snapshot — the file-pruned
+   * read a key-scoped merge or point-lookup wants. */
+  def readBuckets(db: String, table: String, buckets: Seq[Int]): DataFrame = {
+    val meta = catalog0(db, table)
+    val vs = manifestVersions(meta.location)
+    require(vs.nonEmpty, s"no manifest versions at ${meta.location}")
+    load(meta, readManifest(meta.location, vs.last), Some(buckets.toSet))
+  }
+
+  private def load(meta: TableMeta, m: Manifest, only: Option[Set[Int]]): DataFrame = {
+    val dirs = m.buckets.toSeq
+      .collect { case (b, dir) if only.forall(_.contains(b)) => s"${meta.location}/$dir" }
+    if (dirs.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
+    else spark.read.format(meta.format).schema(m.schema).load(dirs: _*)
+  }
+
+  // ----------------------------------------------------------------- commits
+
+  /** Full-snapshot commit (same contract as the base store): every bucket
+   * is rewritten. Used for bootstrap loads and schema-evolving domain
+   * writes; CDC batches use [[mergeScoped]]. */
+  override def overwrite(db: String, table: String, df: DataFrame,
+                         mergeSchema: Boolean = false): Unit = {
+    val meta = catalog0(db, table)
+    val vs = manifestVersions(meta.location)
+    val out =
+      if (mergeSchema && vs.nonEmpty)
+        SnapshotStore.alignToUnion(readManifest(meta.location, vs.last).schema, df)
+      else df
+    val pk = meta.primaryKey
+    val next = vs.lastOption.getOrElse(-1) + 1
+    val written = writeData(meta, next, out, pk)
+    writeManifest(meta.location, next, Manifest(dropBucketCol(out.schema), written))
+    vacuum(meta, vs)
+  }
+
+  /**
+   * Partition-scoped merge commit. `changedKeys` (any frame exposing the
+   * PK column) determines the touched buckets; `rewrite` receives exactly
+   * those buckets' current rows and returns their full replacement
+   * contents (kept rows + upserts; dropped rows delete). Untouched buckets'
+   * files are carried into the new version by reference — never re-read,
+   * never rewritten. Returns the touched bucket ids.
+   */
+  def mergeScoped(db: String, table: String, changedKeys: DataFrame)
+                 (rewrite: DataFrame => DataFrame): Seq[Int] = {
+    val meta = catalog0(db, table)
+    val pk = meta.primaryKey.getOrElse(throw new IllegalStateException(
+      s"mergeScoped needs a registered PK for ${meta.qualified}"))
+    val vs = manifestVersions(meta.location)
+    require(vs.nonEmpty, s"bootstrap ${meta.qualified} with overwrite() before merging")
+    val touched = changedKeys.select(bucketOf(col(pk)).as("__b")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted // loop control; <= nBuckets values
+    if (touched.isEmpty) return Nil
+    val current = readManifest(meta.location, vs.last)
+    val old = load(meta, current, Some(touched.toSet))
+    val out = rewrite(old)
+    val next = vs.last + 1
+    val written = writeData(meta, next, out, Some(pk))
+    val stray = written.keySet.diff(touched.toSet)
+    require(stray.isEmpty,
+      s"merge rewrote buckets $stray outside the changed-key set $touched — " +
+        "rewrite() must not introduce rows for untouched keys")
+    // new manifest = old entries minus touched (covers emptied buckets),
+    // plus whatever the rewrite actually produced
+    val entries = (current.buckets -- touched) ++ written
+    writeManifest(meta.location, next, Manifest(dropBucketCol(out.schema), entries))
+    vacuum(meta, vs)
+    touched
+  }
+
+  /** Write `df` grouped by PK bucket under data/c<next>; returns the
+   * bucket -> relative-dir map of what was actually produced. One shuffle
+   * proportional to the committed rows keeps files at one-per-bucket
+   * (the optimized-write pattern); the table itself never reshuffles. */
+  private def writeData(meta: TableMeta, next: Int, df: DataFrame,
+                        pk: Option[String]): SortedMap[Int, String] = {
+    val rel = f"data/c$next%06d"
+    val dataDir = new Path(s"${meta.location}/$rel")
+    val withBucket = pk match {
+      case Some(k) => df.withColumn("__b", bucketOf(col(k)))
+      case None => df.withColumn("__b", lit(0)) // PK-less: single logical bucket
+    }
+    withBucket
+      .repartition(nBuckets, col("__b"))
+      .write.format(meta.format).mode("errorifexists")
+      .partitionBy("__b").save(dataDir.toString)
+    val f = fs(dataDir)
+    val BucketDir = "^__b=(\\d+)$".r
+    val found = f.listStatus(dataDir).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case BucketDir(b) if st.isDirectory => Some(b.toInt -> s"$rel/__b=$b")
+        case _ => None
+      }
+    }
+    SortedMap(found: _*)
+  }
+
+  private def dropBucketCol(s: StructType): StructType =
+    StructType(s.fields.filterNot(_.name == "__b"))
+
+  /** Keep the last `keepVersions` manifests; delete bucket directories no
+   * retained manifest references, then empty commit dirs. */
+  private def vacuum(meta: TableMeta, priorVersions: Seq[Int]): Unit = {
+    val all = priorVersions :+ (priorVersions.lastOption.getOrElse(-1) + 1)
+    val expired = all.dropRight(keepVersions)
+    if (expired.isEmpty) return
+    val retained = all.takeRight(keepVersions)
+    val referenced = retained
+      .flatMap(v => readManifest(meta.location, v).buckets.values).toSet
+    val f = fs(new Path(meta.location))
+    expired.foreach(v => f.delete(manifestPath(meta.location, v), false))
+    val dataRoot = new Path(s"${meta.location}/data")
+    if (f.exists(dataRoot)) {
+      f.listStatus(dataRoot).filter(_.isDirectory).foreach { commit =>
+        val cname = commit.getPath.getName
+        f.listStatus(commit.getPath).filter(_.isDirectory).foreach { bdir =>
+          if (!referenced.contains(s"data/$cname/${bdir.getPath.getName}"))
+            f.delete(bdir.getPath, true)
+        }
+        if (f.listStatus(commit.getPath).isEmpty) f.delete(commit.getPath, true)
+      }
+    }
+  }
+}

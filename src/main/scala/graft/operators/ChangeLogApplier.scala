@@ -11,7 +11,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.catalog.SnapshotStore
+import graft.catalog.{MergeSnapshotStore, SnapshotStore}
 import graft.model.CdcModel._
 
 /**
@@ -126,14 +126,23 @@ object ChangeLogApplier {
     // not regress the row. Zero-padded pos strings give a total order.
     // A target without the admin pos column has no baseline — no guard
     // (same tolerance as the fold path).
+    // Semi-filter the target FIRST: the big side never shuffles — the
+    // semi join's build side is the tiny changed-key set (AQE broadcasts
+    // it), and the surviving (pk, pos) frame is at most one row per
+    // changed key, so the subsequent left join is small x small. Joining
+    // `latest` straight against target.select(pk, pos) would instead
+    // shuffle the full table's 2-column projection every micro-batch.
     val guarded =
       if (!target.columns.exists(_.equalsIgnoreCase(AdminGgPos))) latest
-      else latest
-        .join(target.select(col(pk), col(AdminGgPos).as("__applied_pos")),
-          Seq(pk), "left")
-        .filter(col("__applied_pos").isNull ||
-          col(AdminGgPos) > col("__applied_pos"))
-        .drop("__applied_pos")
+      else {
+        val applied = target.select(col(pk), col(AdminGgPos).as("__applied_pos"))
+          .join(latest.select(col(pk)), Seq(pk), "left_semi")
+        latest
+          .join(applied, Seq(pk), "left")
+          .filter(col("__applied_pos").isNull ||
+            col(AdminGgPos) > col("__applied_pos"))
+          .drop("__applied_pos")
+      }
     val upserts = guarded
       .filter(col(EventType) =!= "D")
       .select(target.columns.map(col).toSeq: _*)
@@ -286,9 +295,22 @@ object ChangeLogApplier {
       val futures = byTarget.map { case (tbl, srcs) =>
         Future {
           val pk = store.catalog.primaryKey(db, tbl)
-          val target = store.read(db, tbl)
           val events = cached.filter(col("table").isin(srcs: _*))
-          store.overwrite(db, tbl, applyTable(target, events, pk, chainVerified))
+          store match {
+            case ms: MergeSnapshotStore =>
+              // partition-scoped commit: read + rewrite ONLY the PK-hash
+              // buckets the batch touches; untouched buckets carry into
+              // the new version by manifest reference. Commit cost is
+              // proportional to the change set, not the table.
+              val mapped = mapEvents(events, ms.read(db, tbl).schema)
+              ms.mergeScoped(db, tbl, mapped.select(col(pk))) { old =>
+                if (chainVerified) applyFold(old, mapped, pk, chainVerified = true)
+                else applyLastWins(old, mapped, pk)
+              }
+            case _ =>
+              val target = store.read(db, tbl)
+              store.overwrite(db, tbl, applyTable(target, events, pk, chainVerified))
+          }
           onTableDone(tbl)
           tbl
         }

@@ -1,0 +1,214 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.{InMemoryCatalog, MergeSnapshotStore, SnapshotStore, TableMeta}
+import graft.model.CdcModel
+import graft.operators.ChangeLogApplier
+
+/**
+ * The incremental MERGE commit path: partition-scoped rewrites (only the
+ * PK-hash buckets a batch touches), manifest-by-reference carry-over of
+ * untouched files, vacuum of unreferenced data, and full behavioural parity
+ * with the full-rewrite [[SnapshotStore]] on the reference CDC fixture.
+ */
+class MergeStoreSpec extends AnyFunSuite with SparkFixture {
+
+  private def mkStore(nBuckets: Int = 8, keep: Int = 2): MergeSnapshotStore = {
+    val cat = new InMemoryCatalog
+    new MergeSnapshotStore(spark, cat, nBuckets = nBuckets, keepVersions = keep)
+  }
+
+  private def register(store: MergeSnapshotStore, db: String, tbl: String,
+                       pk: String): TableMeta = {
+    val meta = TableMeta(db, tbl,
+      Files.createTempDirectory(s"graft-merge-$tbl").toString,
+      primaryKey = Some(pk))
+    store.catalog.register(meta)
+    meta
+  }
+
+  private def idTable(n: Int): DataFrame =
+    spark.range(1, n + 1).select(col("id").cast("int").as("id"),
+      concat(lit("name-"), col("id")).as("name"))
+
+  test("overwrite + read roundtrip spreads rows across buckets") {
+    val store = mkStore()
+    register(store, "mdb", "t1", "id")
+    val df = idTable(100)
+    store.overwrite("mdb", "t1", df)
+    val back = store.read("mdb", "t1")
+    assert(back.count() == 100)
+    assert(back.exceptAll(df).count() == 0 && df.exceptAll(back).count() == 0)
+    assert(store.manifestEntries("mdb", "t1", 0).size > 1, "expected >1 bucket")
+  }
+
+  test("a 1-row merge rewrites ONLY the touched bucket's files") {
+    val store = mkStore()
+    register(store, "mdb", "t2", "id")
+    store.overwrite("mdb", "t2", idTable(100))
+    val v0 = store.manifestEntries("mdb", "t2", 0)
+
+    val change = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(7, "renamed"))),
+      StructType(Seq(StructField("id", IntegerType), StructField("name", StringType))))
+    val touched = store.mergeScoped("mdb", "t2", change) { old =>
+      old.filter(col("id") =!= 7).unionByName(change)
+    }
+    assert(touched.size == 1)
+    val v1 = store.manifestEntries("mdb", "t2", 1)
+    // untouched buckets: same physical directories by reference, no rewrite
+    (v0.keySet - touched.head).foreach { b =>
+      assert(v1(b) == v0(b), s"untouched bucket $b was rewritten")
+    }
+    assert(v1(touched.head) != v0(touched.head))
+    assert(v1(touched.head).startsWith("data/c000001/"))
+    // and the data is right
+    val back = store.read("mdb", "t2")
+    assert(back.count() == 100)
+    assert(back.filter(col("id") === 7).select("name").head().getString(0) == "renamed")
+  }
+
+  test("merge deletes drop rows; an emptied bucket leaves the manifest") {
+    val store = mkStore(nBuckets = 64)
+    register(store, "mdb", "t3", "id")
+    store.overwrite("mdb", "t3", idTable(20))
+    // pick an id that is ALONE in its bucket, so the delete empties it
+    val byBucket = idTable(20)
+      .groupBy(store.bucketOf(col("id")).as("__b"))
+      .agg(count(lit(1)).as("n"), min(col("id")).as("id"))
+      .filter(col("n") === 1).select("id").head().getInt(0)
+    val keys = idTable(20).filter(col("id") === byBucket).select("id")
+    store.mergeScoped("mdb", "t3", keys)(old => old.filter(col("id") =!= byBucket))
+    val back = store.read("mdb", "t3")
+    assert(back.count() == 19)
+    assert(back.filter(col("id") === byBucket).count() == 0)
+    val v1 = store.manifestEntries("mdb", "t3", 1)
+    assert(v1.size == store.manifestEntries("mdb", "t3", 0).size - 1,
+      "emptied bucket should disappear from the manifest")
+  }
+
+  test("vacuum retains keepVersions manifests and deletes unreferenced dirs") {
+    val store = mkStore(keep = 2)
+    val meta = register(store, "mdb", "t4", "id")
+    store.overwrite("mdb", "t4", idTable(20))           // v0: all dirs c000000
+    def oneRow(id: Int): DataFrame = idTable(20).filter(col("id") === id)
+    store.mergeScoped("mdb", "t4", oneRow(1).select("id")) { old =>
+      old.withColumn("name", when(col("id") === 1, lit("x")).otherwise(col("name")))
+    }                                                    // v1
+    store.mergeScoped("mdb", "t4", oneRow(2).select("id")) { old =>
+      old.withColumn("name", when(col("id") === 2, lit("y")).otherwise(col("name")))
+    }                                                    // v2 -> v0 vacuumed
+    intercept[Exception] { store.manifestEntries("mdb", "t4", 0) }
+    // v1 and v2 both readable (retained), and v2 reflects both merges
+    assert(store.readVersion(meta, 1).count() == 20)
+    val latest = store.read("mdb", "t4")
+    assert(latest.filter(col("id") === 1).select("name").head().getString(0) == "x")
+    assert(latest.filter(col("id") === 2).select("name").head().getString(0) == "y")
+    // v0's bucket dir for the re-merged buckets is unreferenced -> deleted;
+    // every directory still referenced by v1/v2 exists
+    val fs = new org.apache.hadoop.fs.Path(meta.location)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val referenced = (store.manifestEntries("mdb", "t4", 1).values ++
+      store.manifestEntries("mdb", "t4", 2).values).toSet
+    referenced.foreach { d =>
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"${meta.location}/$d")), d)
+    }
+  }
+
+  test("CDC run() through the merge store matches the full-rewrite store") {
+    val events =
+      spark.read.parquet(s"$RefData/kinesis/transac/parquet/oms_owner/offenders")
+    val target = spark.read.parquet(s"$RefData/database/oms_owner/offenders")
+
+    val plainCat = new InMemoryCatalog
+    val plain = new SnapshotStore(spark, plainCat)
+    plainCat.register(TableMeta("cdb", "offenders",
+      Files.createTempDirectory("graft-plain-off").toString,
+      primaryKey = Some("offender_id")))
+    plain.overwrite("cdb", "offenders", target)
+    ChangeLogApplier.run(spark, plain, "cdb", events)
+
+    val merge = mkStore(nBuckets = 16)
+    register(merge, "cdb", "offenders", "offender_id")
+    merge.overwrite("cdb", "offenders", target)
+    ChangeLogApplier.run(spark, merge, "cdb", events)
+
+    val a = plain.read("cdb", "offenders").drop(CdcModel.AdminEventTs)
+    val b = merge.read("cdb", "offenders").drop(CdcModel.AdminEventTs)
+    assert(a.count() == b.count())
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    // and it really was a scoped commit: v1 exists with some v0 dirs carried
+    val v1 = merge.manifestEntries("cdb", "offenders", 1)
+    assert(v1.nonEmpty)
+  }
+
+  // ---- plan shape: the target side of the apply never shuffles ----
+
+  /** Expand an executed plan across AQE stage / reuse boundaries. */
+  private def expand(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => p +: expand(a.executedPlan)
+    case q: QueryStageExec => p +: expand(q.plan)
+    case r: ReusedExchangeExec => p +: expand(r.child)
+    case other => other +: other.children.flatMap(expand)
+  }
+
+  test("apply plan: no shuffle exchange ever sits above a target-bucket scan") {
+    val store = mkStore(nBuckets = 8)
+    val meta = register(store, "mdb", "t5", "id")
+    val tSchema = StructType(Seq(
+      StructField("id", IntegerType),
+      StructField("name", StringType)) ++ CdcModel.adminFields)
+    val rows = (1 to 200).map(i =>
+      Row(i, s"n$i", i, f"$i%020d", null, null))
+    store.overwrite("mdb", "t5",
+      spark.createDataFrame(spark.sparkContext.parallelize(rows), tSchema))
+
+    // a 3-key event batch through the real mapper
+    val payload = StructType(Seq(
+      StructField("ID", IntegerType), StructField("NAME", StringType)))
+    val evSchema = StructType(Seq(
+      StructField("table", StringType), StructField("op_type", StringType),
+      StructField("op_ts", StringType), StructField("pos", StringType),
+      StructField("before", payload), StructField("after", payload),
+      StructField("after_hash", IntegerType), StructField("before_hash", IntegerType)))
+    val evRows = Seq(1, 2, 3).map(i =>
+      Row("S.T5", "U", "2022-09-26 14:57:13.817732", f"${1000 + i}%020d",
+        Row(i, s"n$i"), Row(i, s"upd$i"), 1000 + i, i))
+    // parquet-backed, like the real landing zone: the scan's size stats are
+    // what lets the planner broadcast the tiny batch side STATICALLY —
+    // the target must never even enter a shuffle write (AQE's runtime
+    // SMJ->BHJ conversion happens after leaf stages already materialized)
+    val evDir = Files.createTempDirectory("graft-merge-ev").toString
+    spark.createDataFrame(spark.sparkContext.parallelize(evRows), evSchema)
+      .write.mode("overwrite").parquet(evDir)
+    val events = spark.read.parquet(evDir)
+    val mapped = ChangeLogApplier.mapEvents(events, tSchema)
+
+    val touched = mapped.select(bucketIds(store, mapped)).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val old = store.readBuckets("mdb", "t5", touched)
+    val result = ChangeLogApplier.applyLastWins(old, mapped, "id")
+    assert(result.count() == old.count()) // 3 updates, no inserts/deletes
+
+    val shuffles = expand(result.queryExecution.executedPlan)
+      .collect { case s: ShuffleExchangeLike => s }
+    shuffles.foreach { s =>
+      val scansTarget = expand(s).exists(n =>
+        n.children.isEmpty && n.toString.contains(meta.location))
+      assert(!scansTarget,
+        s"target-bucket scan found beneath a shuffle:\n$s")
+    }
+  }
+
+  private def bucketIds(store: MergeSnapshotStore, df: DataFrame) =
+    store.bucketOf(df("id")).as("__b")
+}
