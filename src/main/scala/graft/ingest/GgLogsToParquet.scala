@@ -20,7 +20,17 @@ import graft.catalog.SnapshotStore
  */
 object GgLogsToParquet {
 
-  val PartitionBy: Seq[String] = Seq("part_date")
+  /**
+   * Landing layout: `table=<src>/part_date=<date>/part-*.parquet`.
+   *
+   * The reference partitions by date only (src/gg_logs_to_parquet.py:35) and
+   * its CDC stage then re-reads the WHOLE log once per target table. Leading
+   * with the source-table column means the applier's per-table
+   * `filter(col("table").isin(...))` prunes to that table's files at
+   * planning time — at 100 TB each target's merge scans only its own slice
+   * of the landing zone, no cache or rescan of the full log.
+   */
+  val PartitionBy: Seq[String] = Seq("table", "part_date")
 
   /** Schema-inferred raw scan (reference src/gg_logs_to_parquet.py:70-85).
    * Inference is a separate scan — pass `schema` in production. */

@@ -274,13 +274,16 @@ object ChangeLogApplier {
           eventLog: DataFrame, chainVerified: Boolean = false,
           parallelism: Int = 4,
           onTableDone: String => Unit = _ => ()): Seq[String] = {
-    // One physical scan of the landing zone for the whole batch: the log is
-    // read once into the block store, and the N per-table filters below hit
-    // the cached partitions instead of rescanning the (100 TB-shaped) input
-    // once per target table. (With a landing zone partitioned by source
-    // table the filters would prune at the file level instead; caching
-    // covers the reference's date-partitioned layout too.)
-    val cached = eventLog.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // A landing zone partitioned by source table (GgLogsToParquet
+    // .PartitionBy) needs no cache: each per-table filter below prunes to
+    // that table's files at planning time, so N targets read N disjoint
+    // slices — nothing is scanned twice and nothing cluster-cache-sized is
+    // pinned. Only for non-prunable inputs (in-memory frames, legacy
+    // date-only layouts) does a one-scan persist beat N rescans.
+    val prunable = prunesByTable(eventLog)
+    val cached =
+      if (prunable) eventLog
+      else eventLog.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tables = cached.select(col("table")).distinct()
       .as[String](Encoders.STRING).collect().toSeq // loop control only
     // two source names can resolve to ONE target (A.T and B.T both ->
@@ -318,7 +321,27 @@ object ChangeLogApplier {
       Await.result(Future.sequence(futures), Duration.Inf)
     } finally {
       pool.shutdown()
-      cached.unpersist(blocking = false)
+      if (!prunable) cached.unpersist(blocking = false)
+    }
+  }
+
+  /**
+   * True when every leaf of `df`'s plan is a file relation partitioned by
+   * the `table` column — i.e. a per-table equality/isin filter reaches the
+   * scan as a partition filter and reads only that table's files. Used by
+   * [[run]] to decide pruning vs persist.
+   */
+  private[graft] def prunesByTable(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.LeafNode
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val leaves = df.queryExecution.analyzed.collect { case l: LeafNode => l }
+    leaves.nonEmpty && leaves.forall {
+      case l: LogicalRelation => l.relation match {
+        case h: HadoopFsRelation =>
+          h.partitionSchema.fieldNames.exists(_.equalsIgnoreCase("table"))
+        case _ => false
+      }
+      case _ => false
     }
   }
 }

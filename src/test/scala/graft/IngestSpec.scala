@@ -55,4 +55,42 @@ class IngestSpec extends AnyFunSuite with SparkFixture {
       .select("part_date").collect().head.getDate(0)
     assert(d139 == Date.valueOf("2022-09-19"))
   }
+
+  test("table-partitioned landing: a per-table filter scans only that table's files") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import graft.catalog.{InMemoryCatalog, SnapshotStore, TableMeta}
+    import graft.operators.ChangeLogApplier
+
+    val cat = new InMemoryCatalog
+    val store = new SnapshotStore(spark, cat)
+    val loc = Files.createTempDirectory("graft-landing").toString
+    cat.register(TableMeta("idb", "raw_events", loc, partitionBy = PartitionBy))
+    // two source tables land in one zone
+    val twoTables = unionRagged(Seq(inserts, deletes))
+      .withColumn("table",
+        when(col("op_type") === "I", lit("OMS_OWNER.OFFENDERS"))
+          .otherwise(lit("OMS_OWNER.OFFENDER_BOOKINGS")))
+    store.appendPartitioned("idb", "raw_events", withPartitions(twoTables))
+
+    val landed = store.readFlat("idb", "raw_events")
+    assert(ChangeLogApplier.prunesByTable(landed),
+      "table-partitioned landing read should be recognized as prunable")
+    assert(!ChangeLogApplier.prunesByTable(twoTables),
+      "an in-memory/raw frame is not prunable")
+
+    val one = landed.filter(col("table") === "OMS_OWNER.OFFENDERS")
+    assert(one.count() == inserts.count())
+    val scans = one.queryExecution.executedPlan.collect {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.collect { case s: FileSourceScanExec => s }
+      case s: FileSourceScanExec => Seq(s)
+    }.flatten
+    assert(scans.nonEmpty)
+    scans.foreach { s =>
+      val files = s.selectedPartitions.toPartitionArray.map(_.urlEncodedPath).toSeq
+      assert(files.nonEmpty && files.forall(_.contains("table=OMS_OWNER.OFFENDERS")),
+        s"scan read files outside the filtered table partition: $files")
+    }
+  }
 }
