@@ -70,8 +70,16 @@ object GgLogsToParquet {
 
   def ingest(df: DataFrame): DataFrame = withPartitions(withHashesDropTokens(df))
 
-  /** Full stage: read raw logs, transform, append to the landing table. */
+  /** Full stage: read raw logs, transform, append to the landing table,
+   * and register the landed schema in the catalog — parity with the
+   * reference's `write_catalog(enableUpdateCatalog=True, partitionKeys=
+   * PARTITION_BY)` at ingest (src/gg_logs_to_parquet.py:106-123), which
+   * keeps the Glue table definition in step with every landing write. */
   def run(spark: SparkSession, store: SnapshotStore, rawPath: String,
-          db: String, table: String, schema: Option[StructType] = None): Unit =
-    store.appendPartitioned(db, table, ingest(readRaw(spark, rawPath, schema)))
+          db: String, table: String, schema: Option[StructType] = None): Unit = {
+    val landed = ingest(readRaw(spark, rawPath, schema))
+    store.appendPartitioned(db, table, landed)
+    val meta = store.catalog(db, table)
+    store.catalog.register(meta.copy(schema = Some(landed.schema)))
+  }
 }

@@ -13,9 +13,14 @@ import graft.catalog.SnapshotStore
  */
 final class CuratedApplier(store: SnapshotStore,
                            transform: DataFrame => DataFrame = identity) {
-  def run(db: String, tables: Seq[String], suffix: String = "_curated"): Seq[String] =
+  /** `onTableDone` fires after each curated write — the reference's
+   * Kinesis-notify stub runs here too (`trigger_kinesis_event`,
+   * src/apply_to_curated.py:143-150, invoked after the curated loop). */
+  def run(db: String, tables: Seq[String], suffix: String = "_curated",
+          onTableDone: String => Unit = _ => ()): Seq[String] =
     tables.map { t =>
       store.overwrite(db, t + suffix, transform(store.read(db, t)))
+      onTableDone(t + suffix)
       t + suffix
     }
 }

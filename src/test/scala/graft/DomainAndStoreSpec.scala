@@ -129,8 +129,13 @@ class DomainAndStoreSpec extends AnyFunSuite with SparkFixture {
   test("curated promotion is the identity hook (reference stage 3)") {
     bootstrap()
     catalog.register(TableMeta("db", "offenders_curated", s"$tmp/offenders_curated"))
-    val made = new CuratedApplier(store).run("db", Seq("offenders"))
+    // the notify stub fires once per curated table, after its write
+    // (reference trigger_kinesis_event, src/apply_to_curated.py:143-150)
+    val notified = scala.collection.mutable.ArrayBuffer.empty[String]
+    val made = new CuratedApplier(store).run("db", Seq("offenders"),
+      onTableDone = notified += _)
     assert(made == Seq("offenders_curated"))
+    assert(notified.toSeq == Seq("offenders_curated"))
     assert(store.read("db", "offenders_curated").count() ==
       store.read("db", "offenders").count())
   }

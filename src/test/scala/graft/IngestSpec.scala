@@ -56,6 +56,22 @@ class IngestSpec extends AnyFunSuite with SparkFixture {
     assert(d139 == Date.valueOf("2022-09-19"))
   }
 
+  test("stage-1 run registers the landed schema in the catalog") {
+    import java.nio.file.Files
+    import graft.catalog.{InMemoryCatalog, SnapshotStore, TableMeta}
+    val cat = new InMemoryCatalog
+    val store = new SnapshotStore(spark, cat)
+    val loc = Files.createTempDirectory("graft-landing-reg").toString
+    cat.register(TableMeta("idb", "landing", loc, partitionBy = PartitionBy))
+    graft.ingest.GgLogsToParquet.run(spark, store, s"$jsonRoot/inserts", "idb", "landing")
+    val registered = cat("idb", "landing").schema
+    assert(registered.isDefined, "ingest must register the landing schema")
+    val names = registered.get.fieldNames.map(_.toLowerCase).toSet
+    assert(Set("after_hash", "part_date", "table").subsetOf(names))
+    assert(!names.contains("tokens"))
+    assert(store.readFlat("idb", "landing").count() == inserts.count())
+  }
+
   test("table-partitioned landing: a per-table filter scans only that table's files") {
     import java.nio.file.Files
     import org.apache.spark.sql.execution.FileSourceScanExec
