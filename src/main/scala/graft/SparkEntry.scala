@@ -256,6 +256,32 @@ object SparkEntry {
         .agg(round(sum(col("o_totalprice")), 2))
         .orderBy("o_orderstatus")),
 
+    // set operators INTERSECT/EXCEPT (distinct semantics on both engines):
+    // customers with an urgent order who also ordered high-priority, minus
+    // big spenders — three shuffles on the same key, AQE coalesces
+    "q33_intersect_except" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      val high = o.filter(col("o_orderpriority") === "2-HIGH")
+        .select(col("o_custkey"))
+      val big = o.filter(col("o_totalprice") > 400000).select(col("o_custkey"))
+      urgent.intersect(high).except(big).orderBy("o_custkey")
+    }),
+
+    // lead/lag analytics over each customer's order history: previous
+    // order's price and days until the next order — one window shuffle
+    "q34_lead_lag" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          round(lag(col("o_totalprice"), 1).over(w), 2).as("prev_price"),
+          datediff(lead(col("o_orderdate"), 1).over(w), col("o_orderdate"))
+            .as("days_to_next"))
+        .orderBy("o_orderkey")
+    }),
+
     // batch sessionization: lag-gap detection + cumulative session ids
     // (the batch twin of the streaming flatMapGroupsWithState sessionizer)
     "q32_sessionize_batch" -> ((s, d) => {
@@ -332,6 +358,22 @@ object SparkEntry {
   private val coreSql: Map[String, String] = Map(
     "q01_scan_project" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "q33_intersect_except" ->
+      """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+         INTERSECT
+         SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+         EXCEPT
+         SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+         ORDER BY o_custkey""",
+    "q34_lead_lag" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+                round(lag(o_totalprice, 1) OVER w, 2) AS prev_price,
+                CAST(date_diff('day', o_orderdate,
+                     lead(o_orderdate, 1) OVER w) AS INTEGER) AS days_to_next
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey
+                      ORDER BY o_orderdate ASC, o_orderkey ASC)
+         ORDER BY o_orderkey""",
     "q02_filter_isin" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity FROM lineitem
          WHERE l_returnflag = 'A' AND l_linestatus IN ('F','O') AND l_quantity > 25
