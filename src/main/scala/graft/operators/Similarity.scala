@@ -188,17 +188,19 @@ object Similarity {
    * the nCells-times-expanded scoring rows never shuffle — only one
    * corpus-sized pre-aggregated exchange plus the final per-query rank.
    *
-   * Centroids here are the first `nCells` corpus vectors by id —
+   * Default centroids are the first `nCells` corpus vectors by id —
    * deterministic, so the whole operator (assignment, probe choice,
-   * ranking, ties by id) is reproducible by an external SQL oracle. A
-   * production quantizer (k-means/PQ) slots into `centroids` without
+   * ranking, ties by id) is reproducible by an external SQL oracle.
+   * Pass `centroids` (schema `cid, cvec, cnrm`, e.g. from
+   * [[trainIvfCentroids]]) to swap in a trained coarse quantizer without
    * touching the assignment/probe/rank pipeline.
    */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nCells: Int = 16,
-              probes: Int = 4): DataFrame = {
-    val cent = prepared(corpus.orderBy(col(idCol)).limit(nCells), idCol, vecCol)
-      .select(col("vid").as("cid"), col("vec").as("cvec"), col("nrm").as("cnrm"))
+              probes: Int = 4, centroids: Option[DataFrame] = None): DataFrame = {
+    val cent = centroids.getOrElse(
+      prepared(corpus.orderBy(col(idCol)).limit(nCells), idCol, vecCol)
+        .select(col("vid").as("cid"), col("vec").as("cvec"), col("nrm").as("cnrm")))
     def scoredCells(df: DataFrame) =
       df.crossJoin(broadcast(cent))
         .withColumn("ccos", dot(col("vec"), col("cvec")) / (col("nrm") * col("cnrm")))
@@ -227,6 +229,64 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vid").as("neighbor_id"), col("cos"))
+  }
+
+  /**
+   * Lloyd's k-means training for the IVF coarse quantizer (spherical
+   * assignment: nearest centroid by cosine, new centroid = member mean).
+   * Returns `(cid, cvec, cnrm)` for [[ivfTopK]]'s `centroids` seam.
+   *
+   * Seeded from the first `nCells` corpus vectors by id — the same seam
+   * the untrained operator uses — so training strictly refines the
+   * untrained assignment and balances cells on real data distributions
+   * (first-N seeds at 100 TB can land in one dense region and overload a
+   * cell; a few Lloyd's rounds spread them).
+   *
+   * Scale shape per iteration: centroids broadcast (nCells x dim doubles);
+   * assignment is the same map-side-combined `min_by` as the query path
+   * (the nCells-expanded rows never shuffle); the mean reduces via
+   * posexplode + partial aggregation, so the (cell, dim) shuffle carries
+   * at most nCells x dim rows per map partition. Centroids round-trip
+   * through the driver between iterations — nCells x dim doubles, loop
+   * control only — which keeps every iteration's plan flat instead of
+   * stacking a lineage of self-referencing jobs.
+   */
+  def trainIvfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                        nCells: Int = 16, iters: Int = 5): DataFrame = {
+    require(iters >= 0, "iters must be >= 0")
+    val spark = corpus.sparkSession
+    def centroidFrame(cent: Seq[Seq[Double]]): DataFrame = {
+      import spark.implicits._
+      cent.zipWithIndex.map { case (v, i) => (i, v) }.toDF("cid", "cvec")
+        .withColumn("cnrm", l2Norm(col("cvec")))
+    }
+    val p = prepared(corpus, idCol, vecCol)
+    var cent: Seq[Seq[Double]] =
+      prepared(corpus.orderBy(col(idCol)).limit(nCells), idCol, vecCol)
+        .select(col("vec")).collect().map(_.getSeq[Double](0).toSeq).toSeq
+    for (_ <- 1 to iters) {
+      val assigned = p.crossJoin(broadcast(centroidFrame(cent)))
+        .withColumn("ccos", dot(col("vec"), col("cvec")) / (col("nrm") * col("cnrm")))
+        .groupBy(col("vid"))
+        .agg(min_by(col("cid"), struct(-col("ccos"), col("cid"))).as("cell"),
+          first(col("vec")).as("vec"))
+      val means = assigned
+        .select(col("cell"), posexplode(col("vec")))
+        .toDF("cell", "pos", "x")
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+        .groupBy(col("cell"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), (col("sx") / col("n")).as("m")))),
+          s => s.getField("m")).as("mean"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toMap
+      // empty cell (no members) or degenerate all-zero mean: keep the
+      // previous centroid — cell count stays nCells and cnrm stays > 0
+      cent = cent.indices.map { i =>
+        means.get(i).filter(_.exists(_ != 0.0)).getOrElse(cent(i))
+      }
+    }
+    centroidFrame(cent)
   }
 
   /**

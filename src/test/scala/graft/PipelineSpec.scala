@@ -124,6 +124,74 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     // and the approx result never invents cosines: it is a subset ranked truly
   }
 
+  test("k-means training keeps every cell live and recall useful (real fixture)") {
+    // the synthetic embeddings are near-uniform on the sphere, so first-N
+    // seeds are already balanced — here we assert training never breaks
+    // the operator (cells stay nCells, norms positive, recall useful);
+    // the improvement guarantee is tested on the skewed fixture below
+    val queries = emb.filter(col("vec_id") < 20)
+    val cents = Similarity.trainIvfCentroids(emb, "vec_id", "embedding",
+      nCells = 16, iters = 5)
+    assert(cents.count() == 16, "training must keep every cell")
+    assert(cents.filter(col("cnrm") <= 0).count() == 0)
+    val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+        k = 10, nCells = 16, probes = 4, centroids = Some(cents))
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & approx).size.toDouble / brute.size
+    assert(recall > 0.3, s"trained recall $recall not useful")
+  }
+
+  test("k-means fixes pathological first-N seeds: better recall AND balance") {
+    // skewed corpus — the 100 TB failure mode in miniature: 8 tight
+    // clusters, and the first nCells ids ALL sit in cluster 0, so every
+    // untrained centroid quantizes one dense region while the other 7
+    // clusters smear across arbitrary cells
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    val centers = Seq.fill(8)(Array.fill(dim)(rnd.nextGaussian()))
+    def jitter(c: Array[Double]) =
+      c.map(x => (x + 0.08 * rnd.nextGaussian()).toFloat).toSeq
+    val rows = (0 until 512).map { i =>
+      val cluster = if (i < 16) 0 else i % 8 // first 16 ids: cluster 0
+      (i.toLong, jitter(centers(cluster)))
+    }
+    val skew = rows.toDF("vec_id", "embedding")
+    val queries = skew.filter(col("vec_id") % 37 === 1)
+    def recallOf(cents: Option[org.apache.spark.sql.DataFrame]): Double = {
+      val brute = Similarity.bruteForceTopK(skew, queries, "vec_id", "embedding", 10)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val approx = Similarity.ivfTopK(skew, queries, "vec_id", "embedding",
+          k = 10, nCells = 16, probes = 2, centroids = cents)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (brute & approx).size.toDouble / brute.size
+    }
+    def maxCell(cents: org.apache.spark.sql.DataFrame): Long =
+      skew.select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+        .crossJoin(broadcast(cents))
+        .withColumn("ccos", Similarity.dot(col("vec"), col("cvec")) /
+          (Similarity.l2Norm(col("vec")) * col("cnrm")))
+        .groupBy(col("vec_id"))
+        .agg(min_by(col("cid"), struct(-col("ccos"), col("cid"))).as("cell"))
+        .groupBy("cell").count().agg(max("count")).head().getLong(0)
+    val firstN = skew.orderBy("vec_id").limit(16)
+      .select(col("vec_id").as("cid"),
+        col("embedding").cast("array<double>").as("cvec"))
+      .withColumn("cnrm", Similarity.l2Norm(col("cvec")))
+    val trained = Similarity.trainIvfCentroids(skew, "vec_id", "embedding",
+      nCells = 16, iters = 5)
+    val (rU, rT) = (recallOf(None), recallOf(Some(trained)))
+    assert(rT >= rU, s"trained recall $rT < untrained $rU")
+    assert(maxCell(trained) < maxCell(firstN),
+      "training must spread the one-cluster pile-up across cells")
+  }
+
   test("cosinePairs with LSH buckets is a subset of exact pairs") {
     val exact = Similarity.cosinePairs(emb, "vec_id", "embedding", 0.4, dim = 64)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
