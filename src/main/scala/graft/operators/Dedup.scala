@@ -124,10 +124,9 @@ object Dedup {
     // materialize the per-doc set table once: it feeds the within-pair
     // self-join, the distinct-set table, verification, and expansion —
     // without this every consumer re-reads and re-tokenizes the corpus.
-    // (doc, ng, fp, sz) is tiny next to the corpus; on a cluster swap
-    // localCheckpoint for a reliable checkpoint/table if executor loss
-    // must not recompute.
-    val ds = docSets(df, idCol, textCol, n).localCheckpoint(false)
+    // (doc, ng, fp, sz) is tiny next to the corpus; Materialize picks
+    // local vs reliable checkpoint per session (graft.materialize.reliable).
+    val ds = Materialize(docSets(df, idCol, textCol, n))
     val docFp = ds.select("doc", "fp")
     val within = identicalSetPairs(docFp)
     if (threshold >= 1.0) within
@@ -181,10 +180,9 @@ object Dedup {
       (acc, h) => acc.bitwiseXOR(h))
     // keys are reused by both join sides — materialize once (tiny: sz+1
     // longs per distinct set)
-    val keys = sets.select(col("fp"), col("ng"), hset.as("hs"))
+    val keys = Materialize(sets.select(col("fp"), col("ng"), hset.as("hs"))
       .select(col("fp"), explode(concat(array(col("hs")),
-        transform(col("ng"), g => col("hs").bitwiseXOR(xxhash64(g))))).as("key"))
-      .localCheckpoint(false)
+        transform(col("ng"), g => col("hs").bitwiseXOR(xxhash64(g))))).as("key")))
     keys.as("x")
       .join(keys.as("y"), col("x.key") === col("y.key") && col("x.fp") < col("y.fp"))
       .select(col("x.fp").as("fp_a"), col("y.fp").as("fp_b"))
@@ -256,7 +254,7 @@ object Dedup {
                       n: Int = 1, maxBucket: Long = 1000): DataFrame = {
     val ds = docSets(df, idCol, textCol, n)
     if (threshold >= 1.0) {
-      identicalSetPairs(ds.select("doc", "fp").localCheckpoint(false))
+      identicalSetPairs(Materialize(ds.select("doc", "fp")))
     } else {
       val b = lshBands(df, idCol, textCol, numHashes, bands, n)
       val small = b.groupBy("band", "band_key").count()
@@ -371,7 +369,7 @@ object Dedup {
     // materialize the sketch once (24 bytes/doc): both sides of the chunk
     // self-join read it, and without this each side re-runs the 64-sum
     // aggregate over the whole corpus
-    val sh = simHashPortable(df, idCol, textCol).localCheckpoint(false)
+    val sh = Materialize(simHashPortable(df, idCol, textCol))
     val chunked = sh.select(col("doc"), col("h1"), col("h2"), posexplode(array(
       col("h1").bitwiseAND(0xFFFF), shiftright(col("h1"), 16),
       col("h2").bitwiseAND(0xFFFF), shiftright(col("h2"), 16))))

@@ -192,6 +192,24 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
       "training must spread the one-cluster pile-up across cells")
   }
 
+  test("reliable materialization: same pairs, real checkpoint files on disk") {
+    import graft.operators.Materialize
+    val baseline = Dedup.jaccardPairs(docs, "doc_id", "text", n = 1, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-ck").toString
+    spark.sparkContext.setCheckpointDir(ckDir)
+    spark.conf.set(Materialize.ReliableKey, "true")
+    try {
+      val reliable = Dedup.jaccardPairs(docs, "doc_id", "text", n = 1, threshold = 0.6)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(reliable == baseline)
+      // the cut really went through the reliable checkpoint dir
+      val ckFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(ckDir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(ckFiles > 0, "no checkpoint files written under the checkpoint dir")
+    } finally spark.conf.unset(Materialize.ReliableKey)
+  }
+
   test("cosinePairs with LSH buckets is a subset of exact pairs") {
     val exact = Similarity.cosinePairs(emb, "vec_id", "embedding", 0.4, dim = 64)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
