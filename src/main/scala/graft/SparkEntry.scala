@@ -686,6 +686,17 @@ object SparkEntry {
         .withColumn("jaccard", round(col("jaccard"), 4))
         .orderBy("doc_a", "doc_b")),
 
+    // duplicate-cluster resolution: connected components over the jaccard
+    // near-dup graph (hash-min label propagation; oracle walks the same
+    // edges with a recursive CTE) — the keep-one-per-CLUSTER answer that
+    // pairwise keep-min policies get wrong on non-transitive chains
+    "d06_dedup_clusters" -> ((s, d) =>
+      Dedup.clusters(
+          Dedup.jaccardPairs(t(s, d, "documents"), "doc_id", "text",
+            n = 1, threshold = 0.8),
+          "doc_a", "doc_b")
+        .orderBy("doc")),
+
     // sign-bit LSH buckets + Hamming<=1 probing — the 100TB-shaped plan;
     // the bucket predicate is part of the contract and the oracle
     // reproduces it exactly
@@ -902,6 +913,26 @@ object SparkEntry {
          FROM agr JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
          WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.95
          ORDER BY doc_a, doc_b"""),
+
+    "d06_dedup_clusters" ->
+      """WITH RECURSIVE
+         n AS (SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t
+               FROM documents),
+         tok AS (SELECT doc_id, unnest(list_distinct(string_split(t, ' '))) AS g FROM n),
+         sz AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY 1),
+         agr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                 FROM tok a JOIN tok b ON a.g = b.g AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+         pairs AS (SELECT doc_a, doc_b
+                   FROM agr JOIN sz sa ON sa.doc_id = doc_a
+                            JOIN sz sb ON sb.doc_id = doc_b
+                   WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.8),
+         edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                   UNION SELECT doc_b, doc_a FROM pairs),
+         walk AS (SELECT src AS doc, src AS lab FROM edges
+                  UNION
+                  SELECT e.src, w.lab FROM edges e JOIN walk w ON w.doc = e.dst)
+         SELECT doc, min(lab) AS cluster FROM walk GROUP BY doc ORDER BY doc""",
 
     "d03_dedup_simhash" -> simhashOracle,
 

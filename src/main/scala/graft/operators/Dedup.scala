@@ -384,4 +384,57 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  // ---------------------------------------------------- cluster resolution
+
+  /**
+   * Duplicate-cluster resolution: connected components over a near-dup
+   * pair list, labeling every member with the minimum id reachable from
+   * it. Near-dup relations are not transitive (A~B and B~C do not imply
+   * A~C), so keep-one-per-pair policies tear chains apart; the component
+   * label is the well-defined "this group is one document" answer, and
+   * min-id makes the canonical representative deterministic.
+   *
+   * Hash-min label propagation: labels start at `min(self, neighbors)`
+   * and each round takes the min over the neighborhood (one equi-join +
+   * one map-side-combined min aggregate — both shuffles keyed on node
+   * id). Rounds needed = component diameter, which for dedup clusters is
+   * small (chains through a shared near-identical core); `maxIters`
+   * bounds adversarial path graphs. Labels are [[Materialize]]d each
+   * round so the loop's plans stay flat, and convergence is detected by
+   * one count per round (loop control, no data to the driver).
+   *
+   * Only ids appearing in `pairs` are returned — singletons never enter
+   * the pair list; callers wanting them union the corpus in with
+   * `cluster = id`.
+   */
+  def clusters(pairs: DataFrame, aCol: String, bCol: String,
+               maxIters: Int = 20): DataFrame = {
+    val edges = Materialize(
+      pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+        .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+        .distinct())
+    var labels = Materialize(
+      edges.groupBy(col("src").as("doc"))
+        .agg(least(min(col("dst")), first(col("src"))).as("cluster")))
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val prop = edges.join(labels, edges("dst") === labels("doc"))
+        .groupBy(edges("src").as("doc"))
+        .agg(min(col("cluster")).as("nbr_min"))
+      val next = Materialize(
+        labels.join(prop, Seq("doc"), "left")
+          .select(col("doc"),
+            least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
+              .as("cluster")))
+      converged = next.as("n")
+        .join(labels.as("o"), col("n.doc") === col("o.doc"))
+        .filter(col("n.cluster") < col("o.cluster"))
+        .isEmpty // loop control only
+      labels = next
+      it += 1
+    }
+    labels
+  }
 }

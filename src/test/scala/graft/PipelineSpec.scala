@@ -192,6 +192,32 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
       "training must spread the one-cluster pile-up across cells")
   }
 
+  test("clusters: chains fuse transitively, components stay separate") {
+    import spark.implicits._
+    // component {1,2,3,4} is a PATH (1-2, 2-3, 3-4): near-dup is not
+    // transitive, so only propagation can label 4 with 1; {10,11} is a
+    // separate pair; 11-10 also arrives reversed (symmetry handled)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (11L, 10L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.clusters(pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("clusters over jaccard pairs: every pair lands in one cluster") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 1, threshold = 0.8)
+    val lab = Dedup.clusters(pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ps = pairs.select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(ps.nonEmpty)
+    ps.foreach { case (a, b) =>
+      assert(lab(a) == lab(b), s"pair ($a,$b) split across clusters")
+    }
+    // the canonical id is a member of its own cluster
+    lab.values.foreach(c => assert(lab(c) == c, s"canonical $c not self-labeled"))
+  }
+
   test("reliable materialization: same pairs, real checkpoint files on disk") {
     import graft.operators.Materialize
     val baseline = Dedup.jaccardPairs(docs, "doc_id", "text", n = 1, threshold = 0.6)
