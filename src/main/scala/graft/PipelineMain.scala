@@ -87,14 +87,22 @@ object PipelineMain {
     val before = store.read(Db, "offenders").count()
     val applied = ChangeLogApplier.run(spark, store, Db, landed)
     val after = store.read(Db, "offenders").count()
-    // scoped-commit proof: any bucket v0 had that v1 kept must be carried
-    // by reference (same data dir), not rewritten
+    // scoped-commit proof: every bucket the batch's keys did NOT touch
+    // must be carried into v1 by reference (same data dir, no rewrite).
+    // Keys hash through the TARGET's pk type — mapEvents casts them there
     val v0 = store.manifestEntries(Db, "offenders", 0)
     val v1 = store.manifestEntries(Db, "offenders", 1)
+    val pkType = store.read(Db, "offenders").schema("offender_id").dataType
+    val touched = landed
+      .selectExpr("coalesce(after.OFFENDER_ID, before.OFFENDER_ID) AS k")
+      .na.drop()
+      .select(store.bucketOf(col("k").cast(pkType)).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val untouchedCarried = (v0.keySet -- touched).forall(b => v1.get(b) == v0.get(b))
     val carried = v0.keySet.intersect(v1.keySet).count(b => v0(b) == v1(b))
     stage(2, s"change-log apply -> tables=$applied, offenders $before -> $after rows, " +
-        s"$carried/${v1.size} buckets carried by reference") {
-      applied == Seq("offenders") && after > before
+        s"${touched.size} buckets touched, $carried carried by reference") {
+      applied == Seq("offenders") && after > before && untouchedCarried
     }
 
     // 3. curated promotion (identity hook)

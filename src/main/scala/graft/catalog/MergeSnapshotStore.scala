@@ -45,7 +45,8 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
 
   // ---------------------------------------------------------------- manifest
 
-  private case class Manifest(schema: StructType, buckets: SortedMap[Int, String])
+  private case class Manifest(schema: StructType, buckets: SortedMap[Int, String],
+                              nBuckets: Int)
 
   private def manifestVersions(location: String): Seq[Int] = {
     val p = new Path(location)
@@ -77,11 +78,14 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
       val Array(_, b, dir) = s.split('\t')
       b.toInt -> dir
     }
-    Manifest(schema, SortedMap(buckets: _*))
+    val nb = lines.collectFirst { case s if s.startsWith("nbuckets\t") =>
+      s.drop("nbuckets\t".length).toInt
+    }.getOrElse(throw new IllegalStateException(s"manifest $p lacks nbuckets line"))
+    Manifest(schema, SortedMap(buckets: _*), nb)
   }
 
   private def writeManifest(location: String, v: Int, m: Manifest): Unit = {
-    val content = (s"schema\t${m.schema.json}" +:
+    val content = (Seq(s"schema\t${m.schema.json}", s"nbuckets\t${m.nBuckets}") ++
       m.buckets.toSeq.map { case (b, dir) => s"b\t$b\t$dir" }).mkString("\n")
     val tmp = new Path(f"$location/.tmp-v=$v%06d.manifest")
     val fin = manifestPath(location, v)
@@ -150,7 +154,8 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     val pk = meta.primaryKey
     val next = vs.lastOption.getOrElse(-1) + 1
     val written = writeData(meta, next, out, pk)
-    writeManifest(meta.location, next, Manifest(dropBucketCol(out.schema), written))
+    writeManifest(meta.location, next,
+      Manifest(dropBucketCol(out.schema), written, nBuckets))
     vacuum(meta, vs)
   }
 
@@ -169,10 +174,18 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
       s"mergeScoped needs a registered PK for ${meta.qualified}"))
     val vs = manifestVersions(meta.location)
     require(vs.nonEmpty, s"bootstrap ${meta.qualified} with overwrite() before merging")
+    val current = readManifest(meta.location, vs.last)
+    // the bucket function is pinned by the table's committed layout — a
+    // store opened with a different nBuckets would compute bucket ids
+    // against the wrong modulus and merge rows past their existing
+    // versions (duplicate PKs, deletes that miss). Fail fast instead.
+    require(current.nBuckets == nBuckets,
+      s"${meta.qualified} is committed with nBuckets=${current.nBuckets}; " +
+        s"this store was built with nBuckets=$nBuckets — open it with the " +
+        "table's bucket count (or overwrite() to re-bucket)")
     val touched = changedKeys.select(bucketOf(col(pk)).as("__b")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted // loop control; <= nBuckets values
     if (touched.isEmpty) return Nil
-    val current = readManifest(meta.location, vs.last)
     val old = load(meta, current, Some(touched.toSet))
     val out = rewrite(old)
     val next = vs.last + 1
@@ -184,28 +197,57 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     // new manifest = old entries minus touched (covers emptied buckets),
     // plus whatever the rewrite actually produced
     val entries = (current.buckets -- touched) ++ written
-    writeManifest(meta.location, next, Manifest(dropBucketCol(out.schema), entries))
+    writeManifest(meta.location, next,
+      Manifest(dropBucketCol(out.schema), entries, nBuckets))
     vacuum(meta, vs)
     touched
+  }
+
+  /**
+   * Compaction in the merge layout is bucket-granular: a PK table's
+   * [[writeData]] already collapses each bucket to one file, so a full
+   * rewrite IS the compacted form and `targetFiles` only shapes PK-less
+   * tables (single logical bucket, parallel files). Overridden because the
+   * base implementation's `repartition(targetFiles)` would be silently
+   * re-partitioned on the bucket column here.
+   */
+  override def compact(db: String, table: String, targetFiles: Int): Unit = {
+    require(targetFiles >= 1, "targetFiles must be >= 1")
+    val df = read(db, table)
+    val out =
+      if (catalog0(db, table).primaryKey.isDefined) df
+      else df.repartition(targetFiles)
+    overwrite(db, table, out)
   }
 
   /** Write `df` grouped by PK bucket under data/c<next>; returns the
    * bucket -> relative-dir map of what was actually produced. One shuffle
    * proportional to the committed rows keeps files at one-per-bucket
-   * (the optimized-write pattern); the table itself never reshuffles. */
+   * (the optimized-write pattern); the table itself never reshuffles.
+   * PK-less tables land in one logical bucket but KEEP `df`'s own
+   * partitioning, so executors still write their files in parallel.
+   *
+   * Crash safety: files go to a `.tmp-` directory first and a successful
+   * write renames it into place. `next` is greater than every committed
+   * version, so no manifest can reference either path — leftovers from a
+   * crashed previous attempt are orphans and are deleted up front,
+   * keeping the table writable after any failure. */
   private def writeData(meta: TableMeta, next: Int, df: DataFrame,
                         pk: Option[String]): SortedMap[Int, String] = {
     val rel = f"data/c$next%06d"
     val dataDir = new Path(s"${meta.location}/$rel")
-    val withBucket = pk match {
-      case Some(k) => df.withColumn("__b", bucketOf(col(k)))
-      case None => df.withColumn("__b", lit(0)) // PK-less: single logical bucket
-    }
-    withBucket
-      .repartition(nBuckets, col("__b"))
-      .write.format(meta.format).mode("errorifexists")
-      .partitionBy("__b").save(dataDir.toString)
+    val tmpDir = new Path(f"${meta.location}/data/.tmp-c$next%06d")
     val f = fs(dataDir)
+    Seq(tmpDir, dataDir).foreach(p => if (f.exists(p)) f.delete(p, true))
+    val bucketed = pk match {
+      case Some(k) =>
+        df.withColumn("__b", bucketOf(col(k))).repartition(nBuckets, col("__b"))
+      case None => df.withColumn("__b", lit(0))
+    }
+    bucketed.write.format(meta.format).mode("errorifexists")
+      .partitionBy("__b").save(tmpDir.toString)
+    if (!f.rename(tmpDir, dataDir))
+      throw new IllegalStateException(s"data commit rename failed: $tmpDir -> $dataDir")
     val BucketDir = "^__b=(\\d+)$".r
     val found = f.listStatus(dataDir).toSeq.flatMap { st =>
       st.getPath.getName match {

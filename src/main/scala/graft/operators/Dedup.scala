@@ -435,6 +435,12 @@ object Dedup {
       labels = next
       it += 1
     }
+    // an exact operator must not silently return torn components: a
+    // still-moving label at maxIters means some chain is longer than the
+    // budget — the caller raises maxIters, never consumes a wrong answer
+    if (!converged) throw new IllegalStateException(
+      s"clusters() did not converge in $maxIters iterations — a component's " +
+        s"diameter exceeds the budget; raise maxIters")
     labels
   }
 }

@@ -32,7 +32,13 @@ object Materialize {
     if (reliable) {
       require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
         s"$ReliableKey=true requires SparkContext.setCheckpointDir(<DFS path>)")
-      df.checkpoint(eager = false)
+      // persist first: the reliable checkpoint writer runs its own job, and
+      // without cached blocks it would RECOMPUTE the whole cut subtree a
+      // second time (the exact cost this helper exists to avoid). Eager so
+      // the cache can be dropped before returning.
+      val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try cached.checkpoint(eager = true)
+      finally cached.unpersist(blocking = false)
     } else df.localCheckpoint(eager = false)
   }
 }

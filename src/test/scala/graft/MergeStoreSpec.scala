@@ -124,6 +124,67 @@ class MergeStoreSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("a crashed previous attempt never wedges the table") {
+    val store = mkStore()
+    val meta = register(store, "mdb", "t6", "id")
+    store.overwrite("mdb", "t6", idTable(50))
+    // simulate a crash between data write and manifest commit: the next
+    // version's data dir exists (fully or as tmp) with no manifest
+    val fs = new org.apache.hadoop.fs.Path(meta.location)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"${meta.location}/data/c000001/__b=0"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"${meta.location}/data/.tmp-c000001"))
+    val keys = idTable(50).filter(col("id") === 9).select("id")
+    store.mergeScoped("mdb", "t6", keys) { old =>
+      old.withColumn("name", when(col("id") === 9, lit("retry")).otherwise(col("name")))
+    }
+    val back = store.read("mdb", "t6")
+    assert(back.count() == 50)
+    assert(back.filter(col("id") === 9).select("name").head().getString(0) == "retry")
+  }
+
+  test("a store with the wrong nBuckets fails fast instead of corrupting") {
+    val cat = new InMemoryCatalog
+    val meta = TableMeta("mdb", "t7",
+      Files.createTempDirectory("graft-merge-t7").toString, primaryKey = Some("id"))
+    cat.register(meta)
+    new MergeSnapshotStore(spark, cat, nBuckets = 8).overwrite("mdb", "t7", idTable(20))
+    val wrong = new MergeSnapshotStore(spark, cat, nBuckets = 16)
+    val e = intercept[IllegalArgumentException] {
+      wrong.mergeScoped("mdb", "t7", idTable(20).filter(col("id") === 1).select("id"))(
+        identity)
+    }
+    assert(e.getMessage.contains("nBuckets"))
+    // a full overwrite legitimately re-buckets
+    wrong.overwrite("mdb", "t7", idTable(20))
+    assert(wrong.read("mdb", "t7").count() == 20)
+    wrong.mergeScoped("mdb", "t7", idTable(20).filter(col("id") === 1).select("id"))(
+      old => old)
+    assert(wrong.read("mdb", "t7").count() == 20)
+  }
+
+  test("PK-less tables keep the frame's own write parallelism") {
+    val store = mkStore()
+    val meta = TableMeta("mdb", "t8",
+      Files.createTempDirectory("graft-merge-t8").toString) // no PK
+    store.catalog.register(meta)
+    store.overwrite("mdb", "t8", idTable(100).repartition(4))
+    val fs = new org.apache.hadoop.fs.Path(meta.location)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(
+      s"${meta.location}/data/c000000/__b=0"))
+      .count(_.getPath.getName.startsWith("part-"))
+    assert(files == 4, s"expected 4 parallel files, got $files")
+    assert(store.read("mdb", "t8").count() == 100)
+    // compact collapses them to the requested count
+    store.compact("mdb", "t8", targetFiles = 2)
+    val compacted = fs.listStatus(new org.apache.hadoop.fs.Path(
+      s"${meta.location}/data/c000001/__b=0"))
+      .count(_.getPath.getName.startsWith("part-"))
+    assert(compacted == 2, s"expected 2 compacted files, got $compacted")
+    assert(store.read("mdb", "t8").count() == 100)
+  }
+
   test("CDC run() through the merge store matches the full-rewrite store") {
     val events =
       spark.read.parquet(s"$RefData/kinesis/transac/parquet/oms_owner/offenders")

@@ -204,6 +204,20 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("clusters throws rather than returning torn components at maxIters") {
+    import spark.implicits._
+    // a 24-node path needs ~22 propagation hops; 3 iterations cannot finish
+    val chain = (1L until 24L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.clusters(chain, "doc_a", "doc_b", maxIters = 3).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // with budget it converges to one component
+    val ok = Dedup.clusters(chain, "doc_a", "doc_b", maxIters = 30)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(ok == Set(1L))
+  }
+
   test("clusters over jaccard pairs: every pair lands in one cluster") {
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 1, threshold = 0.8)
     val lab = Dedup.clusters(pairs, "doc_a", "doc_b")
