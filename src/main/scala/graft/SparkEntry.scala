@@ -689,11 +689,14 @@ object SparkEntry {
     // duplicate-cluster resolution: connected components over the jaccard
     // near-dup graph (hash-min label propagation; oracle walks the same
     // edges with a recursive CTE) — the keep-one-per-CLUSTER answer that
-    // pairwise keep-min policies get wrong on non-transitive chains
+    // pairwise keep-min policies get wrong on non-transitive chains.
+    // Same 0.95 graph as d04: cluster cost is then proportional to the
+    // true near-dup set, and lowering the threshold only densifies the
+    // pair stage, not the propagation.
     "d06_dedup_clusters" -> ((s, d) =>
       Dedup.clusters(
           Dedup.jaccardPairs(t(s, d, "documents"), "doc_id", "text",
-            n = 1, threshold = 0.8),
+            n = 1, threshold = 0.95),
           "doc_a", "doc_b")
         .orderBy("doc")),
 
@@ -926,7 +929,7 @@ object SparkEntry {
          pairs AS (SELECT doc_a, doc_b
                    FROM agr JOIN sz sa ON sa.doc_id = doc_a
                             JOIN sz sb ON sb.doc_id = doc_b
-                   WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.8),
+                   WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.95),
          edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
                    UNION SELECT doc_b, doc_a FROM pairs),
          walk AS (SELECT src AS doc, src AS lab FROM edges

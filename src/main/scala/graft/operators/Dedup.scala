@@ -395,14 +395,17 @@ object Dedup {
    * label is the well-defined "this group is one document" answer, and
    * min-id makes the canonical representative deterministic.
    *
-   * Hash-min label propagation: labels start at `min(self, neighbors)`
-   * and each round takes the min over the neighborhood (one equi-join +
-   * one map-side-combined min aggregate — both shuffles keyed on node
-   * id). Rounds needed = component diameter, which for dedup clusters is
-   * small (chains through a shared near-identical core); `maxIters`
-   * bounds adversarial path graphs. Labels are [[Materialize]]d each
-   * round so the loop's plans stay flat, and convergence is detected by
-   * one count per round (loop control, no data to the driver).
+   * Hash-min label propagation with pointer jumping: labels start at
+   * `min(self, neighbors)`; each round takes the min over the
+   * neighborhood (one equi-join + one map-side-combined min aggregate,
+   * both shuffles keyed on node id) and then follows the new label's own
+   * label (path halving). Reach roughly doubles per round, so rounds =
+   * O(log diameter) — a million-node chain needs ~20 rounds, not a
+   * million; `maxIters` bounds the loop. All per-round frames are sized
+   * by the pair graph (nodes + edges), never the corpus. Labels are
+   * [[Materialize]]d each round so the loop's plans stay flat, and
+   * convergence is detected by one count per round (loop control, no
+   * data to the driver).
    *
    * Only ids appearing in `pairs` are returned — singletons never enter
    * the pair list; callers wanting them union the corpus in with
@@ -423,11 +426,17 @@ object Dedup {
       val prop = edges.join(labels, edges("dst") === labels("doc"))
         .groupBy(edges("src").as("doc"))
         .agg(min(col("cluster")).as("nbr_min"))
+      val stepped = labels.join(prop, Seq("doc"), "left")
+        .select(col("doc"),
+          least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
+            .as("cluster"))
+      // pointer jumping: a label is itself a node id, so follow it one
+      // more hop — path halving gives the O(log diameter) round count
       val next = Materialize(
-        labels.join(prop, Seq("doc"), "left")
-          .select(col("doc"),
-            least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
-              .as("cluster")))
+        stepped.as("l1")
+          .join(stepped.as("l2"), col("l1.cluster") === col("l2.doc"), "left")
+          .select(col("l1.doc").as("doc"),
+            coalesce(col("l2.cluster"), col("l1.cluster")).as("cluster")))
       converged = next.as("n")
         .join(labels.as("o"), col("n.doc") === col("o.doc"))
         .filter(col("n.cluster") < col("o.cluster"))
