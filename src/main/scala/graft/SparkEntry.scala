@@ -126,6 +126,14 @@ object SparkEntry {
         .select("l_orderkey", "l_linenumber", "l_quantity")
         .orderBy("l_orderkey", "l_linenumber")),
 
+    // stratified content-keyed sampling: per-stratum md5 thresholds in one
+    // narrow scan (portable twin of df.stat.sampleBy)
+    "q35_stratified_sample" -> ((s, d) =>
+      Sampling.hashSampleBy(t(s, d, "lineitem"), "l_returnflag", "l_orderkey",
+          Map("A" -> 0.05, "N" -> 0.2, "R" -> 1.0))
+        .select("l_orderkey", "l_linenumber", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber")),
+
     // §2.9 mapper as pure expressions: image pick, casts, json field, split
     "q13_cdc_mapper" -> ((s, d) =>
       events(s, d).select(
@@ -417,6 +425,12 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
          WHERE substring(md5(l_orderkey::VARCHAR || ':42'), 1, 4) < '1999'
          ORDER BY l_orderkey, l_linenumber""",
+    "q35_stratified_sample" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem
+         WHERE substring(md5(l_orderkey::VARCHAR || ':42'), 1, 4) <
+               CASE l_returnflag WHEN 'A' THEN '0ccc' WHEN 'N' THEN '3333'
+                                 WHEN 'R' THEN 'zzzz' ELSE '0000' END
+         ORDER BY l_orderkey, l_linenumber""",
     "q13_cdc_mapper" ->
       """SELECT event_id, user_id, CAST(ts AS DATE) AS event_date,
                 upper(event_type) AS op,
@@ -655,6 +669,13 @@ object SparkEntry {
           TextAnalysis.fingerprintMd5(col("text")).as("fingerprint"))
         .orderBy("doc_id")),
 
+    // TF-IDF top-5 terms per doc: explode + two hash-aggregates + one
+    // window; score rounded BEFORE ranking so oracle ln() ulps can't
+    // flip the order
+    "t06_tfidf" -> ((s, d) =>
+      TextAnalysis.tfIdfTopK(t(s, d, "documents"), "doc_id", "text", k = 5)
+        .orderBy("doc", "rank")),
+
     // rolling-hash winnowing fingerprints (MOSS): k-gram hashes, window
     // minima, distinct per doc (typed fast form; expression form proven
     // equal in PipelineSpec)
@@ -891,6 +912,21 @@ object SparkEntry {
 
     "t04_fingerprint" -> (NormCte +
       "SELECT doc_id, md5(t) AS fingerprint FROM n ORDER BY doc_id"),
+
+    "t06_tfidf" -> (NormCte +
+      """, tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS term FROM n),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+         scored AS (SELECT doc_id AS doc, term,
+                           round(tf * ln((SELECT count(*) + 1.0 FROM documents)
+                                         / (df + 1.0)), 4) AS score
+                    FROM tf JOIN dfreq USING (term)),
+         ranked AS (SELECT doc, term, score,
+                           row_number() OVER (PARTITION BY doc
+                             ORDER BY score DESC, term ASC) AS rank
+                    FROM scored)
+         SELECT doc, CAST(rank AS INTEGER) AS rank, term, score
+         FROM ranked WHERE rank <= 5 ORDER BY doc, rank"""),
 
     "d01_dedup_exact" -> (NormCte +
       """SELECT md5(t) AS fingerprint, min(doc_id) AS keep_id,

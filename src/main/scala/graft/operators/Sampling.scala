@@ -41,6 +41,33 @@ object Sampling {
     }
   }
 
+  /**
+   * Content-keyed STRATIFIED sample: per-stratum keep fractions over the
+   * same md5 threshold as [[hashSample]] (the portable, partitioning- and
+   * retry-stable twin of `df.stat.sampleBy`). `fractions` maps stratum
+   * values (string form of `strataCol`) to keep fractions; unlisted
+   * strata fall back to `default`. Still a pure narrow filter — the
+   * stratum map compiles to a literal CASE, so no shuffle and no
+   * per-stratum pass: the standard way to rebalance a skewed 100 TB
+   * corpus (e.g. downsample boilerplate-heavy domains) in one scan.
+   */
+  def hashSampleBy(df: DataFrame, strataCol: String, keyCol: String,
+                   fractions: Map[String, Double], default: Double = 0.0,
+                   seed: Long = 42L): DataFrame = {
+    require((fractions.values ++ Seq(default)).forall(f => f >= 0.0 && f <= 1.0),
+      "fractions must be in [0, 1]")
+    // "zzzz" sorts above every hex digest prefix -> keep-all; hex
+    // thresholds compare lexicographically == numerically (lowercase)
+    def cut(f: Double): String =
+      if (f >= 1.0) "zzzz" else f"${math.floor(f * 65536).toLong}%04x"
+    val thr = fractions.foldLeft(lit(cut(default))) { case (acc, (k, f)) =>
+      when(col(strataCol).cast("string") === k, lit(cut(f))).otherwise(acc)
+    }
+    df.filter(
+      substring(md5(concat(col(keyCol).cast("string"), lit(":" + seed))
+        .cast("binary")), 1, 4) < thr)
+  }
+
   /** Empty relation with an explicit runtime schema (reference
    * src/apply_change_log_to_delta.py:268-269). */
   def emptyRelation(spark: SparkSession, schema: StructType): DataFrame =

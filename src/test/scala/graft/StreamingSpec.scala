@@ -91,6 +91,31 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(got.exceptAll(expect).count() == 0)
   }
 
+  test("foreachBatch apply through the merge store: scoped commits per micro-batch") {
+    import graft.catalog.MergeSnapshotStore
+    val events = spark.read
+      .parquet(s"$RefData/kinesis/transac/parquet/oms_owner/offenders")
+    val target = spark.read.parquet(s"$RefData/database/oms_owner/offenders")
+    val expect = ChangeLogApplier.applyTable(target, events, "offender_id")
+      .drop(graft.model.CdcModel.AdminEventTs)
+    val tmp = Files.createTempDirectory("graft-stream-merge").toString
+    val catalog = new InMemoryCatalog
+    val store = new MergeSnapshotStore(spark, catalog, nBuckets = 16)
+    catalog.register(TableMeta("mdb", "offenders", s"$tmp/offenders",
+      primaryKey = Some("offender_id")))
+    store.overwrite("mdb", "offenders", target)
+    val stream = spark.readStream.schema(events.schema)
+      .parquet(s"$RefData/kinesis/transac/parquet/oms_owner/offenders")
+    val q = StreamingIngest.applyEachBatch(spark, stream, store, "mdb", s"$tmp/ckpt")
+    q.awaitTermination()
+    val got = store.read("mdb", "offenders").drop(graft.model.CdcModel.AdminEventTs)
+    assert(got.count() == expect.count())
+    assert(got.exceptAll(expect).count() == 0)
+    assert(expect.exceptAll(got).count() == 0)
+    // each micro-batch advanced the manifest version via mergeScoped
+    assert(store.latestVersion("mdb", "offenders") >= 1)
+  }
+
   test("dedupByPos drops replayed events within the watermark") {
     import spark.implicits._
     val rows = Seq(
