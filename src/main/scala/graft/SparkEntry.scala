@@ -134,6 +134,20 @@ object SparkEntry {
         .select("l_orderkey", "l_linenumber", "l_returnflag")
         .orderBy("l_orderkey", "l_linenumber")),
 
+    // end-to-end dedup: the KEEP SET — every doc minus non-canonical
+    // near-dup cluster members (d06's components; canonical = min id).
+    // One anti-join against the (tiny) non-canonical label set
+    "d07_dedup_keep" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val labels = Dedup.clusters(
+        Dedup.jaccardPairs(docs, "doc_id", "text", n = 1, threshold = 0.95),
+        "doc_a", "doc_b")
+      val drop = labels.filter(col("doc") =!= col("cluster")).select(col("doc"))
+      docs.join(drop, docs("doc_id") === drop("doc"), "left_anti")
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    }),
+
     // §2.9 mapper as pure expressions: image pick, casts, json field, split
     "q13_cdc_mapper" -> ((s, d) =>
       events(s, d).select(
@@ -972,6 +986,30 @@ object SparkEntry {
                   UNION
                   SELECT e.src, w.lab FROM edges e JOIN walk w ON w.doc = e.dst)
          SELECT doc, min(lab) AS cluster FROM walk GROUP BY doc ORDER BY doc""",
+
+    "d07_dedup_keep" ->
+      """WITH RECURSIVE
+         n AS (SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t
+               FROM documents),
+         tok AS (SELECT doc_id, unnest(list_distinct(string_split(t, ' '))) AS g FROM n),
+         sz AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY 1),
+         agr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                 FROM tok a JOIN tok b ON a.g = b.g AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+         pairs AS (SELECT doc_a, doc_b
+                   FROM agr JOIN sz sa ON sa.doc_id = doc_a
+                            JOIN sz sb ON sb.doc_id = doc_b
+                   WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.95),
+         edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                   UNION SELECT doc_b, doc_a FROM pairs),
+         walk AS (SELECT src AS doc, src AS lab FROM edges
+                  UNION
+                  SELECT e.src, w.lab FROM edges e JOIN walk w ON w.doc = e.dst)
+         SELECT doc_id FROM documents
+         WHERE doc_id NOT IN (SELECT doc FROM (SELECT doc, min(lab) AS cluster
+                                               FROM walk GROUP BY doc) l
+                              WHERE doc <> cluster)
+         ORDER BY doc_id""",
 
     "d03_dedup_simhash" -> simhashOracle,
 

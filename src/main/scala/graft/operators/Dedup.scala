@@ -427,21 +427,20 @@ object Dedup {
         .groupBy(edges("src").as("doc"))
         .agg(min(col("cluster")).as("nbr_min"))
       val stepped = labels.join(prop, Seq("doc"), "left")
-        .select(col("doc"),
+        .select(col("doc"), col("cluster").as("prev"),
           least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
             .as("cluster"))
       // pointer jumping: a label is itself a node id, so follow it one
-      // more hop — path halving gives the O(log diameter) round count
+      // more hop — path halving gives the O(log diameter) round count.
+      // `prev` rides along so convergence is a filter on the checkpointed
+      // frame, not another join.
       val next = Materialize(
         stepped.as("l1")
           .join(stepped.as("l2"), col("l1.cluster") === col("l2.doc"), "left")
-          .select(col("l1.doc").as("doc"),
+          .select(col("l1.doc").as("doc"), col("l1.prev").as("prev"),
             coalesce(col("l2.cluster"), col("l1.cluster")).as("cluster")))
-      converged = next.as("n")
-        .join(labels.as("o"), col("n.doc") === col("o.doc"))
-        .filter(col("n.cluster") < col("o.cluster"))
-        .isEmpty // loop control only
-      labels = next
+      converged = next.filter(col("cluster") < col("prev")).isEmpty // loop control
+      labels = next.select("doc", "cluster")
       it += 1
     }
     // an exact operator must not silently return torn components: a
