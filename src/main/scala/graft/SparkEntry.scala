@@ -134,6 +134,18 @@ object SparkEntry {
         .select("l_orderkey", "l_linenumber", "l_returnflag")
         .orderBy("l_orderkey", "l_linenumber")),
 
+    // TPC-H Q14 shape: promo revenue share for one ship month — date
+    // filter pushed to the fact scan, part dim broadcast, one scalar
+    "q36_tpch_q14ish" -> ((s, d) => {
+      val l = t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= "1995-09-01" && col("l_shipdate") < "1995-10-01")
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      l.join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
+        .agg(round(lit(100.0) *
+          sum(when(col("p_type").startsWith("PROMO"), rev).otherwise(lit(0.0))) /
+          sum(rev), 4).as("promo_share"))
+    }),
+
     // end-to-end dedup: the KEEP SET — every doc minus non-canonical
     // near-dup cluster members (d06's components; canonical = min id).
     // One anti-join against the (tiny) non-canonical label set
@@ -445,6 +457,13 @@ object SparkEntry {
                CASE l_returnflag WHEN 'A' THEN '0ccc' WHEN 'N' THEN '3333'
                                  WHEN 'R' THEN 'zzzz' ELSE '0000' END
          ORDER BY l_orderkey, l_linenumber""",
+    "q36_tpch_q14ish" ->
+      """SELECT round(100.0 *
+                sum(CASE WHEN p_type LIKE 'PROMO%'
+                         THEN l_extendedprice * (1 - l_discount) ELSE 0 END) /
+                sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE l_shipdate >= '1995-09-01' AND l_shipdate < '1995-10-01'""",
     "q13_cdc_mapper" ->
       """SELECT event_id, user_id, CAST(ts AS DATE) AS event_date,
                 upper(event_type) AS op,
