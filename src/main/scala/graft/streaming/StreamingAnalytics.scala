@@ -44,6 +44,24 @@ object StreamingAnalytics {
         col("event_type"), col("n_events"))
 
   /**
+   * Streaming exact dedup by content fingerprint — the ingest-time twin of
+   * `Dedup.exact` for a document stream: each fingerprint's FIRST arrival
+   * passes, replays within the watermark horizon drop, and the dedup state
+   * EVICTS once the watermark passes (plain `dropDuplicates` on a
+   * non-event-time key would hold one state entry per distinct document
+   * forever — unbounded on an unbounded stream). Batch frames take the
+   * plain dropDuplicates path, which the spec uses as the oracle.
+   */
+  def dedupByContent(docs: DataFrame, textCol: String, tsCol: String,
+                     watermark: String = "1 hour"): DataFrame = {
+    val timed = docs
+      .withColumn("__fp", graft.operators.TextAnalysis.fingerprintMd5(col(textCol)))
+      .withWatermark(tsCol, watermark)
+    (if (docs.isStreaming) timed.dropDuplicatesWithinWatermark("__fp")
+     else timed.dropDuplicates("__fp")).drop("__fp")
+  }
+
+  /**
    * Gap-based sessionization: events of a user belong to one session while
    * consecutive event times are within `gapMs`; a session closes when the
    * watermark passes its end + gap (event-time timeout), emitting one

@@ -130,6 +130,33 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(out.select("pos").distinct().count() == 2)
   }
 
+  test("streaming content dedup: state carries across micro-batches") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-stream-dedup").toString
+    val srcDir = s"$tmp/src"
+    // batch 1: two distinct docs; batch 2: a replay of doc A + a new doc.
+    // maxFilesPerTrigger=1 forces two micro-batches, so dropping the
+    // replay requires fingerprint state to survive the batch boundary
+    Seq((1L, "alpha beta gamma", Timestamp.valueOf("2024-01-01 10:00:00")),
+        (2L, "delta epsilon", Timestamp.valueOf("2024-01-01 10:00:01")))
+      .toDF("doc_id", "text", "ts").coalesce(1).write.parquet(srcDir)
+    Seq((3L, "alpha  beta gamma ", Timestamp.valueOf("2024-01-01 10:00:02")),
+        (4L, "zeta eta", Timestamp.valueOf("2024-01-01 10:00:03")))
+      .toDF("doc_id", "text", "ts").coalesce(1).write.mode("append").parquet(srcDir)
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, ts TIMESTAMP")
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val q = StreamingAnalytics.dedupByContent(stream, "text", "ts")
+      .writeStream.format("memory").queryName("dedup_out")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("dedup_out").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // doc 3 normalizes to doc 1's content -> dropped across the boundary
+    assert(got == Set(1L, 2L, 4L), s"got $got")
+  }
+
   test("windowed counts: streaming plan equals the plain batch aggregation") {
     import spark.implicits._
     val ev = Seq(
