@@ -420,13 +420,21 @@ object Dedup {
     var labels = Materialize(
       edges.groupBy(col("src").as("doc"))
         .agg(least(min(col("dst")), first(col("src"))).as("cluster")))
+    // checkpointed frames carry no size stats, so without a hint every
+    // round's joins degrade to shuffle SMJs even for a 2k-node graph.
+    // The node count is one cheap action on the already-materialized
+    // frame (driver scalar, same pattern as the jaccard radius); small
+    // graphs — the common case: near-dup nodes, not the corpus — then
+    // broadcast the label side and only the edge scan remains per round.
+    val smallGraph = labels.count() <= 1000000
+    def hinted(df: DataFrame): DataFrame = if (smallGraph) broadcast(df) else df
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
-      val prop = edges.join(labels, edges("dst") === labels("doc"))
+      val prop = edges.join(hinted(labels), edges("dst") === labels("doc"))
         .groupBy(edges("src").as("doc"))
         .agg(min(col("cluster")).as("nbr_min"))
-      val stepped = labels.join(prop, Seq("doc"), "left")
+      val stepped = labels.join(hinted(prop), Seq("doc"), "left")
         .select(col("doc"), col("cluster").as("prev"),
           least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
             .as("cluster"))
@@ -436,7 +444,7 @@ object Dedup {
       // frame, not another join.
       val next = Materialize(
         stepped.as("l1")
-          .join(stepped.as("l2"), col("l1.cluster") === col("l2.doc"), "left")
+          .join(hinted(stepped.as("l2")), col("l1.cluster") === col("l2.doc"), "left")
           .select(col("l1.doc").as("doc"), col("l1.prev").as("prev"),
             coalesce(col("l2.cluster"), col("l1.cluster")).as("cluster")))
       converged = next.filter(col("cluster") < col("prev")).isEmpty // loop control
