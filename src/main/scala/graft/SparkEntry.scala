@@ -836,6 +836,30 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }))
 
+  /** Shared oracle snippet for d06/d07: the 0.95-jaccard near-dup graph
+   * (same tokenization/threshold as d04) plus the recursive reachability
+   * walk — the single source of truth so the two cluster oracles cannot
+   * drift apart. Ends with the `walk(doc, lab)` CTE ready to aggregate. */
+  private val ClusterWalkCte =
+    """WITH RECURSIVE
+       n AS (SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t
+             FROM documents),
+       tok AS (SELECT doc_id, unnest(list_distinct(string_split(t, ' '))) AS g FROM n),
+       sz AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY 1),
+       agr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+               FROM tok a JOIN tok b ON a.g = b.g AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+       pairs AS (SELECT doc_a, doc_b
+                 FROM agr JOIN sz sa ON sa.doc_id = doc_a
+                          JOIN sz sb ON sb.doc_id = doc_b
+                 WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.95),
+       edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                 UNION SELECT doc_b, doc_a FROM pairs),
+       walk AS (SELECT src AS doc, src AS lab FROM edges
+                UNION
+                SELECT e.src, w.lab FROM edges e JOIN walk w ON w.doc = e.dst)
+       """
+
   /** shared oracle snippet: normalized text per doc. */
   private val NormCte =
     """WITH n AS (SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t
@@ -986,49 +1010,15 @@ object SparkEntry {
          WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.95
          ORDER BY doc_a, doc_b"""),
 
-    "d06_dedup_clusters" ->
-      """WITH RECURSIVE
-         n AS (SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t
-               FROM documents),
-         tok AS (SELECT doc_id, unnest(list_distinct(string_split(t, ' '))) AS g FROM n),
-         sz AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY 1),
-         agr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-                 FROM tok a JOIN tok b ON a.g = b.g AND a.doc_id < b.doc_id
-                 GROUP BY 1, 2),
-         pairs AS (SELECT doc_a, doc_b
-                   FROM agr JOIN sz sa ON sa.doc_id = doc_a
-                            JOIN sz sb ON sb.doc_id = doc_b
-                   WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.95),
-         edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-                   UNION SELECT doc_b, doc_a FROM pairs),
-         walk AS (SELECT src AS doc, src AS lab FROM edges
-                  UNION
-                  SELECT e.src, w.lab FROM edges e JOIN walk w ON w.doc = e.dst)
-         SELECT doc, min(lab) AS cluster FROM walk GROUP BY doc ORDER BY doc""",
+    "d06_dedup_clusters" -> (ClusterWalkCte +
+      "SELECT doc, min(lab) AS cluster FROM walk GROUP BY doc ORDER BY doc"),
 
-    "d07_dedup_keep" ->
-      """WITH RECURSIVE
-         n AS (SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t
-               FROM documents),
-         tok AS (SELECT doc_id, unnest(list_distinct(string_split(t, ' '))) AS g FROM n),
-         sz AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY 1),
-         agr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-                 FROM tok a JOIN tok b ON a.g = b.g AND a.doc_id < b.doc_id
-                 GROUP BY 1, 2),
-         pairs AS (SELECT doc_a, doc_b
-                   FROM agr JOIN sz sa ON sa.doc_id = doc_a
-                            JOIN sz sb ON sb.doc_id = doc_b
-                   WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.95),
-         edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-                   UNION SELECT doc_b, doc_a FROM pairs),
-         walk AS (SELECT src AS doc, src AS lab FROM edges
-                  UNION
-                  SELECT e.src, w.lab FROM edges e JOIN walk w ON w.doc = e.dst)
-         SELECT doc_id FROM documents
+    "d07_dedup_keep" -> (ClusterWalkCte +
+      """SELECT doc_id FROM documents
          WHERE doc_id NOT IN (SELECT doc FROM (SELECT doc, min(lab) AS cluster
                                                FROM walk GROUP BY doc) l
                               WHERE doc <> cluster)
-         ORDER BY doc_id""",
+         ORDER BY doc_id"""),
 
     "d03_dedup_simhash" -> simhashOracle,
 

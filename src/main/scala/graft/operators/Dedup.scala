@@ -434,10 +434,15 @@ object Dedup {
       val prop = edges.join(hinted(labels), edges("dst") === labels("doc"))
         .groupBy(edges("src").as("doc"))
         .agg(min(col("cluster")).as("nbr_min"))
-      val stepped = labels.join(hinted(prop), Seq("doc"), "left")
+      // big-graph path: both sides of the jump self-join read `stepped`,
+      // so cut it once rather than recompute the labels-join per side;
+      // small graphs skip the extra checkpoint (the broadcast build side
+      // recomputes a tiny frame)
+      val stepped0 = labels.join(hinted(prop), Seq("doc"), "left")
         .select(col("doc"), col("cluster").as("prev"),
           least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
             .as("cluster"))
+      val stepped = if (smallGraph) stepped0 else Materialize(stepped0)
       // pointer jumping: a label is itself a node id, so follow it one
       // more hop — path halving gives the O(log diameter) round count.
       // `prev` rides along so convergence is a filter on the checkpointed

@@ -33,13 +33,20 @@ object Sampling {
                  seed: Long = 42L): DataFrame = {
     require(fraction >= 0.0 && fraction <= 1.0, "fraction must be in [0, 1]")
     if (fraction >= 1.0) df
-    else {
-      val cutHex = f"${math.floor(fraction * 65536).toLong}%04x"
-      df.filter(
-        substring(md5(concat(col(keyCol).cast("string"), lit(":" + seed))
-          .cast("binary")), 1, 4) < lit(cutHex))
-    }
+    else df.filter(keyDigest(keyCol, seed) < lit(cutHex(fraction)))
   }
+
+  /** The shared 16-bit digest/threshold contract of [[hashSample]] and
+   * [[hashSampleBy]]: first 4 hex chars of md5(key ':' seed), compared
+   * lexicographically (== numerically for lowercase hex) against
+   * floor(fraction * 2^16) as 4-digit hex; "zzzz" sorts above every
+   * digest prefix -> keep-all. */
+  private def keyDigest(keyCol: String, seed: Long) =
+    substring(md5(concat(col(keyCol).cast("string"), lit(":" + seed))
+      .cast("binary")), 1, 4)
+
+  private def cutHex(fraction: Double): String =
+    if (fraction >= 1.0) "zzzz" else f"${math.floor(fraction * 65536).toLong}%04x"
 
   /**
    * Content-keyed STRATIFIED sample: per-stratum keep fractions over the
@@ -56,16 +63,10 @@ object Sampling {
                    seed: Long = 42L): DataFrame = {
     require((fractions.values ++ Seq(default)).forall(f => f >= 0.0 && f <= 1.0),
       "fractions must be in [0, 1]")
-    // "zzzz" sorts above every hex digest prefix -> keep-all; hex
-    // thresholds compare lexicographically == numerically (lowercase)
-    def cut(f: Double): String =
-      if (f >= 1.0) "zzzz" else f"${math.floor(f * 65536).toLong}%04x"
-    val thr = fractions.foldLeft(lit(cut(default))) { case (acc, (k, f)) =>
-      when(col(strataCol).cast("string") === k, lit(cut(f))).otherwise(acc)
+    val thr = fractions.foldLeft(lit(cutHex(default))) { case (acc, (k, f)) =>
+      when(col(strataCol).cast("string") === k, lit(cutHex(f))).otherwise(acc)
     }
-    df.filter(
-      substring(md5(concat(col(keyCol).cast("string"), lit(":" + seed))
-        .cast("binary")), 1, 4) < thr)
+    df.filter(keyDigest(keyCol, seed) < thr)
   }
 
   /** Empty relation with an explicit runtime schema (reference

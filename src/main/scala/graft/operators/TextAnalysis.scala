@@ -189,7 +189,6 @@ object TextAnalysis {
       .toDF(idCol, "fingerprint")
   }
 
-  /** All features in one pass over the corpus. */
   /**
    * TF-IDF with per-document top-k terms: tf = raw term count in the doc,
    * idf = ln((N + 1) / (df + 1)) (add-one smoothed so corpus-universal
@@ -197,20 +196,21 @@ object TextAnalysis {
    * rounded to 4 decimals — the rounding happens BEFORE ranking so an
    * external oracle's last-ulp ln() differences cannot flip the order.
    *
-   * Shape at scale: one explode + two hash-aggregates (term counts per
-   * doc, document frequency per term) and a broadcast-sized join of the
-   * df table onto the tf table keyed by term, then one window per doc for
-   * the top-k. N is a driver scalar (one count — loop control, same
-   * pattern as the jaccard radius scalar).
+   * Shape at scale: ONE tokenize+explode pass feeds one hash-aggregate to
+   * the (doc, term) counts, which are [[Materialize]]d — document
+   * frequency then reduces the tf table itself (a row per (doc, term) IS
+   * a document occurrence), so the corpus is never tokenized twice. The
+   * df-by-term side joins back broadcast-sized, then one window per doc
+   * takes the top-k. N is a driver scalar (one count — loop control,
+   * same pattern as the jaccard radius scalar).
    */
   def tfIdfTopK(df: DataFrame, idCol: String, textCol: String,
                 k: Int = 5): DataFrame = {
     val n = df.count() // driver scalar: corpus size for the idf
     val tok = df.select(col(idCol).as("doc"),
       explode(tokens(col(textCol))).as("term"))
-    val tf = tok.groupBy("doc", "term").agg(count(lit(1)).as("tf"))
-    val dfreq = tok.select("doc", "term").distinct()
-      .groupBy("term").agg(count(lit(1)).as("df"))
+    val tf = Materialize(tok.groupBy("doc", "term").agg(count(lit(1)).as("tf")))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc")).orderBy(col("score").desc, col("term").asc)
     tf.join(dfreq, Seq("term"))
@@ -221,6 +221,7 @@ object TextAnalysis {
       .select(col("doc"), col("rank"), col("term"), col("score"))
   }
 
+  /** All features in one pass over the corpus. */
   def withTextFeatures(df: DataFrame, textCol: String): DataFrame = {
     val c = col(textCol)
     df.withColumn("lang_pred", langId(c))

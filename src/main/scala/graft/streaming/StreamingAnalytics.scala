@@ -49,16 +49,24 @@ object StreamingAnalytics {
    * passes, replays within the watermark horizon drop, and the dedup state
    * EVICTS once the watermark passes (plain `dropDuplicates` on a
    * non-event-time key would hold one state entry per distinct document
-   * forever — unbounded on an unbounded stream). Batch frames take the
-   * plain dropDuplicates path, which the spec uses as the oracle.
+   * forever — unbounded on an unbounded stream). Batch frames keep the
+   * earliest-`tsCol` row per fingerprint (a window argmin — plain
+   * dropDuplicates keeps a partition-layout-dependent row, which would
+   * break first-arrival parity with the stream); rows tied on the
+   * timestamp are one arbitrary pick on both paths.
    */
   def dedupByContent(docs: DataFrame, textCol: String, tsCol: String,
                      watermark: String = "1 hour"): DataFrame = {
-    val timed = docs
+    val fp = docs
       .withColumn("__fp", graft.operators.TextAnalysis.fingerprintMd5(col(textCol)))
-      .withWatermark(tsCol, watermark)
-    (if (docs.isStreaming) timed.dropDuplicatesWithinWatermark("__fp")
-     else timed.dropDuplicates("__fp")).drop("__fp")
+    (if (docs.isStreaming)
+       fp.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark("__fp")
+     else {
+       val w = org.apache.spark.sql.expressions.Window
+         .partitionBy(col("__fp")).orderBy(col(tsCol).asc)
+       fp.withColumn("__rn", row_number().over(w))
+         .filter(col("__rn") === 1).drop("__rn")
+     }).drop("__fp")
   }
 
   /**

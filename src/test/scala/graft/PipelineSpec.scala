@@ -206,8 +206,10 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
 
   test("clusters throws rather than returning torn components at maxIters") {
     import spark.implicits._
-    // a 24-node path needs ~22 propagation hops; 3 iterations cannot finish
-    val chain = (1L until 24L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    // a 64-node path: with pointer jumping reach roughly doubles per
+    // round, so 3 rounds cover ~a dozen hops — far short of 63 even if
+    // the jump step improves further
+    val chain = (1L until 64L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val e = intercept[IllegalStateException] {
       Dedup.clusters(chain, "doc_a", "doc_b", maxIters = 3).collect()
     }
