@@ -772,6 +772,20 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // search over the COMPRESSED corpus: int8-quantize, reconstruct, then
+    // exact top-k on the reconstructed vectors — the end-to-end check
+    // that the 4x-smaller representation still ranks neighbors usefully
+    // (the oracle replays quantize/dequantize/rank bit-for-bit)
+    "s05_ann_quantized_topk" -> ((s, d) => {
+      val deq = Similarity.quantize(t(s, d, "embeddings"), "vec_id", "embedding")
+        .select(col("vec_id"),
+          Similarity.dequantize(col("codes"), col("scale")).as("embedding"))
+      Similarity.bruteForceTopK(deq, deq.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10)
+        .withColumn("cos", round(col("cos"), 4))
+        .orderBy("query_id", "rank")
+    }),
+
     // multimodal: opaque binary payloads with typed metadata. The corpus
     // has no real blobs, so payloads are synthesized (magic + text bytes)
     // and every operator below runs on true BinaryType columns.
@@ -1059,6 +1073,23 @@ object SparkEntry {
          WHERE CAST(bit_count(xor(a.bucket, c.bucket)) AS INTEGER) <= 1
            AND list_cosine_similarity(a.e, c.e) >= 0.45
          ORDER BY id_a, id_b""",
+
+    "s05_ann_quantized_topk" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         sc AS (SELECT vec_id, e,
+                       list_max(list_transform(e, x -> abs(x))) / 127.0 AS sc
+                FROM v),
+         deq AS (SELECT vec_id,
+                        list_transform(e, x -> floor(x / sc + 0.5) * sc) AS e
+                 FROM sc WHERE sc > 0),
+         q AS (SELECT vec_id AS query_id, e AS qv FROM deq WHERE vec_id < 5),
+         s AS (SELECT query_id, c.vec_id AS neighbor_id,
+                      list_cosine_similarity(c.e, qv) AS cos
+               FROM deq c, q WHERE c.vec_id <> query_id),
+         r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, neighbor_id ASC) AS rank FROM s)
+         SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos
+         FROM r WHERE rank <= 10 ORDER BY query_id, rank""",
 
     "s01_ann_brute_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
