@@ -185,6 +185,44 @@ class MergeStoreSpec extends AnyFunSuite with SparkFixture {
     assert(store.read("mdb", "t8").count() == 100)
   }
 
+  test("scoped commits compose with schema evolution: carried buckets null-fill") {
+    val store = mkStore()
+    register(store, "mdb", "t9", "id")
+    store.overwrite("mdb", "t9", idTable(40))
+    // the rewrite adds a column; untouched buckets' files lack it and
+    // must read back null-filled under the new manifest schema
+    val keys = idTable(40).filter(col("id") === 3).select("id")
+    store.mergeScoped("mdb", "t9", keys) { old =>
+      old.withColumn("flag", when(col("id") === 3, lit("x")))
+    }
+    val back = store.read("mdb", "t9")
+    assert(back.columns.contains("flag"))
+    assert(back.count() == 40)
+    assert(back.filter(col("flag") === "x").select("id").head().getInt(0) == 3)
+    assert(back.filter(col("flag").isNull).count() == 39)
+  }
+
+  test("a small batch writes a small fraction of the full-rewrite bytes") {
+    val store = mkStore(nBuckets = 32)
+    val meta = register(store, "mdb", "t10", "id")
+    store.overwrite("mdb", "t10", idTable(20000))
+    val fs = new org.apache.hadoop.fs.Path(meta.location)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def bytesUnder(rel: String): Long =
+      fs.getContentSummary(new org.apache.hadoop.fs.Path(s"${meta.location}/$rel"))
+        .getLength
+    val fullBytes = bytesUnder("data/c000000")
+    store.mergeScoped("mdb", "t10", idTable(20000).filter(col("id") === 7).select("id")) {
+      old => old.withColumn("name", when(col("id") === 7, lit("z")).otherwise(col("name")))
+    }
+    val mergeBytes = bytesUnder("data/c000001")
+    // 1 touched bucket of 32 -> the commit should be far below a full
+    // rewrite (parquet per-file overhead keeps it above exactly 1/32)
+    assert(mergeBytes * 8 < fullBytes,
+      s"scoped commit wrote $mergeBytes of $fullBytes full-rewrite bytes")
+    assert(store.read("mdb", "t10").count() == 20000)
+  }
+
   test("CDC run() through the merge store matches the full-rewrite store") {
     val events =
       spark.read.parquet(s"$RefData/kinesis/transac/parquet/oms_owner/offenders")
