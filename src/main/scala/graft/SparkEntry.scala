@@ -772,6 +772,17 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // product-quantization ADC: corpus as m=8 one-byte codes per vector,
+    // queries rank candidates by summed codebook-table lookups without
+    // decompressing anything — the deterministic-codebook form, replayed
+    // exactly by the oracle
+    "s06_ann_pq_adc_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.pqAdcTopK(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10, dim = 64, m = 8, codes = 16)
+        .orderBy("query_id", "rank")
+    }),
+
     // search over the COMPRESSED corpus: int8-quantize, reconstruct, then
     // exact top-k on the reconstructed vectors — the end-to-end check
     // that the 4x-smaller representation still ranks neighbors usefully
@@ -1073,6 +1084,38 @@ object SparkEntry {
          WHERE CAST(bit_count(xor(a.bucket, c.bucket)) AS INTEGER) <= 1
            AND list_cosine_similarity(a.e, c.e) >= 0.45
          ORDER BY id_a, id_b""",
+
+    "s06_ann_pq_adc_topk" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         sp AS (SELECT unnest(generate_series(0, 7)) AS s),
+         subs AS (SELECT vec_id, s, list_slice(e, s*8 + 1, s*8 + 8) AS sub
+                  FROM v CROSS JOIN sp),
+         firstk AS (SELECT vec_id FROM v ORDER BY vec_id LIMIT 16),
+         cb AS (SELECT sp.s,
+                       row_number() OVER (PARTITION BY sp.s ORDER BY v.vec_id) - 1 AS ck,
+                       list_slice(v.e, sp.s*8 + 1, sp.s*8 + 8) AS csub
+                FROM v JOIN firstk USING (vec_id) CROSS JOIN sp),
+         encd AS (SELECT vec_id, s, ck AS code FROM (
+                    SELECT sub.vec_id, sub.s, cb.ck,
+                           row_number() OVER (PARTITION BY sub.vec_id, sub.s
+                             ORDER BY round(list_dot_product(sub.sub, sub.sub)
+                               - 2*list_dot_product(sub.sub, cb.csub)
+                               + list_dot_product(cb.csub, cb.csub), 6) ASC,
+                             cb.ck ASC) AS rn
+                    FROM subs sub JOIN cb ON sub.s = cb.s) t WHERE rn = 1),
+         qt AS (SELECT q.vec_id AS query_id, cb.s, cb.ck AS code,
+                       round(list_dot_product(q.sub, q.sub)
+                         - 2*list_dot_product(q.sub, cb.csub)
+                         + list_dot_product(cb.csub, cb.csub), 6) AS qd2
+                FROM subs q JOIN cb ON q.s = cb.s WHERE q.vec_id < 5),
+         adc AS (SELECT query_id, e.vec_id AS neighbor_id,
+                        round(sum(qd2), 4) AS adist
+                 FROM encd e JOIN qt ON e.s = qt.s AND e.code = qt.code
+                 WHERE e.vec_id <> query_id GROUP BY 1, 2),
+         r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY adist ASC, neighbor_id ASC) AS rank FROM adc)
+         SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, adist
+         FROM r WHERE rank <= 10 ORDER BY query_id, rank""",
 
     "s05_ann_quantized_topk" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

@@ -289,6 +289,69 @@ object Similarity {
     centroidFrame(cent)
   }
 
+  // ----------------------------------------------- product quantization
+
+  /**
+   * Product-quantization ADC (asymmetric distance computation) top-k.
+   *
+   * The vector splits into `m` subspaces; each sub-vector is replaced by
+   * the id of its nearest codebook entry, so a corpus row compresses to
+   * `m` small codes (the 100 TB representation: 8 bytes/vector here vs
+   * 256 for float32x64). A query never decompresses the corpus: it
+   * precomputes its distance to every codebook entry per subspace (an
+   * m x codes table, tiny) and a candidate's distance is the SUM of m
+   * table lookups — the codes join the broadcast table and aggregate
+   * map-side; the corpus is scanned once and shuffles only the
+   * (query, candidate) partial sums.
+   *
+   * Codebooks here are deterministic — entry k of subspace s is the s-th
+   * slice of the k-th corpus vector by id (the PQ analogue of the
+   * first-N IVF seam), so encode + ADC + rank replay exactly in an
+   * external SQL oracle. A trained quantizer (per-subspace k-means)
+   * slots into the same codebook shape without touching encode/ADC.
+   * Distances are squared-L2 composed from the codegen'd dot product
+   * (`|a-b|^2 = a.a - 2a.b + b.b`), rounded before every argmin/rank so
+   * oracle last-ulp differences cannot flip an order.
+   */
+  def pqAdcTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int, dim: Int, m: Int = 8,
+                codes: Int = 16): DataFrame = {
+    require(dim % m == 0, s"dim=$dim must split evenly into m=$m subspaces")
+    val subLen = dim / m
+    def subsOf(df: DataFrame, vidName: String, subName: String): DataFrame =
+      df.select(col(idCol).cast("long").as(vidName),
+          col(vecCol).cast("array<double>").as("v"))
+        .select(col(vidName), posexplode(
+          array((0 until m).map(s => slice(col("v"), s * subLen + 1, subLen)): _*)))
+        .toDF(vidName, "s", subName)
+    val cbw = Window.partitionBy(col("s")).orderBy(col("cvid").asc)
+    val cb = subsOf(corpus.orderBy(col(idCol)).limit(codes), "cvid", "csub")
+      .withColumn("ck", row_number().over(cbw) - 1)
+      .select(col("s"), col("ck"), col("csub"))
+    def d2(a: Column, b: Column): Column =
+      round(dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b), 6)
+    // encode: nearest codebook entry per (corpus row, subspace); ties to
+    // the smallest code id. The expanded rows collapse map-side (min_by).
+    val enc = subsOf(corpus, "vid", "sub").join(broadcast(cb), Seq("s"))
+      .groupBy(col("vid"), col("s"))
+      .agg(min_by(col("ck"), struct(d2(col("sub"), col("csub")), col("ck")))
+        .as("code"))
+    // ADC tables: per query, distance to every codebook entry
+    val qt = subsOf(queries, "query_id", "qsub").join(broadcast(cb), Seq("s"))
+      .select(col("query_id"), col("s"), col("ck").as("code"),
+        d2(col("qsub"), col("csub")).as("qd2"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("vid").asc)
+    enc.join(broadcast(qt), Seq("s", "code"))
+      .filter(col("vid") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vid"))
+      .agg(round(sum(col("qd2")), 4).as("adist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vid").as("neighbor_id"),
+        col("adist"))
+  }
+
   /**
    * Embedding near-duplicate pairs (cosine >= threshold). Candidates from
    * shared LSH buckets when `planes > 0` (the scale path); `planes = 0`
