@@ -315,21 +315,12 @@ object Similarity {
    */
   def pqAdcTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                 vecCol: String, k: Int, dim: Int, m: Int = 8,
-                codes: Int = 16): DataFrame = {
+                codes: Int = 16,
+                codebooks: Option[DataFrame] = None): DataFrame = {
     require(dim % m == 0, s"dim=$dim must split evenly into m=$m subspaces")
-    val subLen = dim / m
     def subsOf(df: DataFrame, vidName: String, subName: String): DataFrame =
-      df.select(col(idCol).cast("long").as(vidName),
-          col(vecCol).cast("array<double>").as("v"))
-        .select(col(vidName), posexplode(
-          array((0 until m).map(s => slice(col("v"), s * subLen + 1, subLen)): _*)))
-        .toDF(vidName, "s", subName)
-    val cbw = Window.partitionBy(col("s")).orderBy(col("cvid").asc)
-    val cb = subsOf(corpus.orderBy(col(idCol)).limit(codes), "cvid", "csub")
-      .withColumn("ck", row_number().over(cbw) - 1)
-      .select(col("s"), col("ck"), col("csub"))
-    def d2(a: Column, b: Column): Column =
-      round(dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b), 6)
+      subSlices(df, idCol, vecCol, dim, m, vidName, subName)
+    val cb = codebooks.getOrElse(seedCodebooks(corpus, idCol, vecCol, dim, m, codes))
     // encode: nearest codebook entry per (corpus row, subspace); ties to
     // the smallest code id. The expanded rows collapse map-side (min_by).
     val enc = subsOf(corpus, "vid", "sub").join(broadcast(cb), Seq("s"))
@@ -350,6 +341,79 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vid").as("neighbor_id"),
         col("adist"))
+  }
+
+  /** (vid, s, sub): each row's m equal slices, one row per subspace. */
+  private def subSlices(df: DataFrame, idCol: String, vecCol: String,
+                        dim: Int, m: Int, vidName: String,
+                        subName: String): DataFrame = {
+    val subLen = dim / m
+    df.select(col(idCol).cast("long").as(vidName),
+        col(vecCol).cast("array<double>").as("v"))
+      .select(col(vidName), posexplode(
+        array((0 until m).map(s => slice(col("v"), s * subLen + 1, subLen)): _*)))
+      .toDF(vidName, "s", subName)
+  }
+
+  /** Rounded squared-L2 from the codegen'd dot product. */
+  private def d2(a: Column, b: Column): Column =
+    round(dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b), 6)
+
+  /** Deterministic PQ codebooks (s, ck, csub): entry ck of subspace s is
+   * slice s of the ck-th corpus vector by id — SQL-replayable, and the
+   * training seed for [[trainPqCodebooks]]. */
+  def seedCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+                    dim: Int, m: Int, codes: Int): DataFrame = {
+    val cbw = Window.partitionBy(col("s")).orderBy(col("cvid").asc)
+    subSlices(corpus.orderBy(col(idCol)).limit(codes), idCol, vecCol, dim, m,
+        "cvid", "csub")
+      .withColumn("ck", row_number().over(cbw) - 1)
+      .select(col("s"), col("ck"), col("csub"))
+  }
+
+  /**
+   * Per-subspace Lloyd's k-means for the PQ codebooks — all m subspaces
+   * train JOINTLY in the same jobs (assignment keys on (s, ck), update
+   * means on (s, ck, pos)), so training cost does not multiply by m.
+   * Seeded from [[seedCodebooks]]; minimizes exactly the quantization
+   * error ADC accumulates, so trained codebooks tighten `adist` toward
+   * the true distances. Centroids round-trip through the driver between
+   * iterations (m x codes x subLen doubles — tiny) keeping plans flat.
+   */
+  def trainPqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+                       dim: Int, m: Int = 8, codes: Int = 16,
+                       iters: Int = 5): DataFrame = {
+    require(dim % m == 0, s"dim=$dim must split evenly into m=$m subspaces")
+    val spark = corpus.sparkSession
+    def frame(cent: Map[(Int, Int), Seq[Double]]): DataFrame = {
+      import spark.implicits._
+      cent.toSeq.map { case ((s, ck), v) => (s, ck, v) }.toDF("s", "ck", "csub")
+    }
+    val subs = subSlices(corpus, idCol, vecCol, dim, m, "vid", "sub")
+    var cent: Map[(Int, Int), Seq[Double]] =
+      seedCodebooks(corpus, idCol, vecCol, dim, m, codes)
+        .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+          r.getSeq[Double](2).toSeq).toMap
+    for (_ <- 1 to iters) {
+      val assigned = subs.join(broadcast(frame(cent)), Seq("s"))
+        .groupBy(col("vid"), col("s"))
+        .agg(min_by(struct(col("ck"), col("csub")),
+          struct(d2(col("sub"), col("csub")), col("ck"))).as("best"),
+          first(col("sub")).as("sub"))
+        .select(col("s"), col("best.ck").as("ck"), col("sub"))
+      val means = assigned
+        .select(col("s"), col("ck"), posexplode(col("sub")))
+        .toDF("s", "ck", "pos", "x")
+        .groupBy(col("s"), col("ck"), col("pos"))
+        .agg(avg(col("x")).as("mx"))
+        .groupBy(col("s"), col("ck"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mx")))),
+          e => e.getField("mx")).as("mean"))
+        .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+          r.getSeq[Double](2).toSeq).toMap
+      cent = cent.map { case (key, old) => key -> means.getOrElse(key, old) }
+    }
+    frame(cent)
   }
 
   /**

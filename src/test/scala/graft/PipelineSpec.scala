@@ -256,6 +256,38 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(recall >= 0.15, s"PQ recall $recall vs cosine brute force")
   }
 
+  test("trained PQ codebooks cut quantization error vs the seeds") {
+    // total assignment error is the k-means objective: Lloyd's from the
+    // same seeds must not increase it
+    def totalErr(cb: org.apache.spark.sql.DataFrame): Double = {
+      val subLen = 8
+      val subs = emb
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .select(col("vec_id"), posexplode(
+          array((0 until 8).map(s => slice(col("v"), s * subLen + 1, subLen)): _*)))
+        .toDF("vid", "s", "sub")
+      subs.join(broadcast(cb), Seq("s"))
+        .withColumn("d2",
+          Similarity.dot(col("sub"), col("sub"))
+            - lit(2.0) * Similarity.dot(col("sub"), col("csub"))
+            + Similarity.dot(col("csub"), col("csub")))
+        .groupBy("vid", "s").agg(min(col("d2")).as("best"))
+        .agg(sum("best")).head().getDouble(0)
+    }
+    val seed = Similarity.seedCodebooks(emb, "vec_id", "embedding",
+      dim = 64, m = 8, codes = 16)
+    val trained = Similarity.trainPqCodebooks(emb, "vec_id", "embedding",
+      dim = 64, m = 8, codes = 16, iters = 4)
+    assert(trained.count() == 8 * 16, "every (subspace, code) must survive")
+    val (eSeed, eTrained) = (totalErr(seed), totalErr(trained))
+    assert(eTrained < eSeed,
+      s"training should cut quantization error: $eTrained vs $eSeed")
+    // and the trained books plug into the same ADC pipeline
+    val res = Similarity.pqAdcTopK(emb, emb.filter(col("vec_id") < 3),
+      "vec_id", "embedding", k = 5, dim = 64, codebooks = Some(trained))
+    assert(res.count() == 15)
+  }
+
   test("reliable materialization: same pairs, real checkpoint files on disk") {
     import graft.operators.Materialize
     val baseline = Dedup.jaccardPairs(docs, "doc_id", "text", n = 1, threshold = 0.6)
