@@ -785,15 +785,22 @@ object SparkEntry {
 
     // search over the COMPRESSED corpus: int8-quantize, reconstruct, then
     // exact top-k on the reconstructed vectors — the end-to-end check
-    // that the 4x-smaller representation still ranks neighbors usefully
-    // (the oracle replays quantize/dequantize/rank bit-for-bit)
+    // that the 4x-smaller representation still ranks neighbors usefully.
+    // Quantized values make cosine near-ties denser, so the rank runs on
+    // the ROUNDED cosine (both sides) — a last-ulp engine difference
+    // cannot flip the rank-10 boundary
     "s05_ann_quantized_topk" -> ((s, d) => {
       val deq = Similarity.quantize(t(s, d, "embeddings"), "vec_id", "embedding")
         .select(col("vec_id"),
           Similarity.dequantize(col("codes"), col("scale")).as("embedding"))
-      Similarity.bruteForceTopK(deq, deq.filter(col("vec_id") < 5),
-          "vec_id", "embedding", k = 10)
+      val all = Similarity.bruteForceTopK(deq, deq.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = Int.MaxValue)
         .withColumn("cos", round(col("cos"), 4))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      all.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select("query_id", "rank", "neighbor_id", "cos")
         .orderBy("query_id", "rank")
     }),
 
@@ -1127,11 +1134,11 @@ object SparkEntry {
                  FROM sc WHERE sc > 0),
          q AS (SELECT vec_id AS query_id, e AS qv FROM deq WHERE vec_id < 5),
          s AS (SELECT query_id, c.vec_id AS neighbor_id,
-                      list_cosine_similarity(c.e, qv) AS cos
+                      round(list_cosine_similarity(c.e, qv), 4) AS cos
                FROM deq c, q WHERE c.vec_id <> query_id),
          r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                  ORDER BY cos DESC, neighbor_id ASC) AS rank FROM s)
-         SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos
+         SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cos
          FROM r WHERE rank <= 10 ORDER BY query_id, rank""",
 
     "s01_ann_brute_topk" ->

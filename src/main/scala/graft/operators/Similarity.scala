@@ -320,7 +320,24 @@ object Similarity {
     require(dim % m == 0, s"dim=$dim must split evenly into m=$m subspaces")
     def subsOf(df: DataFrame, vidName: String, subName: String): DataFrame =
       subSlices(df, idCol, vecCol, dim, m, vidName, subName)
-    val cb = codebooks.getOrElse(seedCodebooks(corpus, idCol, vecCol, dim, m, codes))
+    // default codebooks are cut once ([[Materialize]]) — the enc and qt
+    // branches both broadcast them, and derived subtrees get no exchange
+    // reuse, so without the cut the corpus-wide TakeOrdered runs twice.
+    // Supplied codebooks are validated against m/dim up front: a books/m
+    // mismatch would otherwise join only the overlapping subspaces and
+    // return a complete-looking but silently wrong ranking.
+    val cb = codebooks match {
+      case Some(books) =>
+        val shape = books.select(col("s"), size(col("csub")).as("len"))
+          .distinct().collect() // codebooks are m x codes rows — tiny
+        require(shape.map(_.getInt(0)).toSet == (0 until m).toSet &&
+            shape.map(_.getInt(1)).toSet == Set(dim / m),
+          s"codebooks cover subspaces ${shape.map(_.getInt(0)).sorted.toSeq} with " +
+            s"entry lengths ${shape.map(_.getInt(1)).distinct.toSeq}; " +
+            s"expected subspaces 0..${m - 1} of length ${dim / m}")
+        books
+      case None => Materialize(seedCodebooks(corpus, idCol, vecCol, dim, m, codes))
+    }
     // encode: nearest codebook entry per (corpus row, subspace); ties to
     // the smallest code id. The expanded rows collapse map-side (min_by).
     val enc = subsOf(corpus, "vid", "sub").join(broadcast(cb), Seq("s"))
@@ -343,10 +360,11 @@ object Similarity {
         col("adist"))
   }
 
-  /** (vid, s, sub): each row's m equal slices, one row per subspace. */
-  private def subSlices(df: DataFrame, idCol: String, vecCol: String,
-                        dim: Int, m: Int, vidName: String,
-                        subName: String): DataFrame = {
+  /** (vid, s, sub): each row's m equal slices, one row per subspace.
+   * private[graft] so specs measure the SAME decomposition they test. */
+  private[graft] def subSlices(df: DataFrame, idCol: String, vecCol: String,
+                               dim: Int, m: Int, vidName: String,
+                               subName: String): DataFrame = {
     val subLen = dim / m
     df.select(col(idCol).cast("long").as(vidName),
         col(vecCol).cast("array<double>").as("v"))
@@ -356,7 +374,7 @@ object Similarity {
   }
 
   /** Rounded squared-L2 from the codegen'd dot product. */
-  private def d2(a: Column, b: Column): Column =
+  private[graft] def d2(a: Column, b: Column): Column =
     round(dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b), 6)
 
   /** Deterministic PQ codebooks (s, ck, csub): entry ck of subspace s is
@@ -397,10 +415,9 @@ object Similarity {
     for (_ <- 1 to iters) {
       val assigned = subs.join(broadcast(frame(cent)), Seq("s"))
         .groupBy(col("vid"), col("s"))
-        .agg(min_by(struct(col("ck"), col("csub")),
-          struct(d2(col("sub"), col("csub")), col("ck"))).as("best"),
-          first(col("sub")).as("sub"))
-        .select(col("s"), col("best.ck").as("ck"), col("sub"))
+        .agg(min_by(col("ck"), struct(d2(col("sub"), col("csub")), col("ck")))
+          .as("ck"), first(col("sub")).as("sub"))
+        .select(col("s"), col("ck"), col("sub"))
       val means = assigned
         .select(col("s"), col("ck"), posexplode(col("sub")))
         .toDF("s", "ck", "pos", "x")

@@ -259,21 +259,13 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
   test("trained PQ codebooks cut quantization error vs the seeds") {
     // total assignment error is the k-means objective: Lloyd's from the
     // same seeds must not increase it
-    def totalErr(cb: org.apache.spark.sql.DataFrame): Double = {
-      val subLen = 8
-      val subs = emb
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        .select(col("vec_id"), posexplode(
-          array((0 until 8).map(s => slice(col("v"), s * subLen + 1, subLen)): _*)))
-        .toDF("vid", "s", "sub")
-      subs.join(broadcast(cb), Seq("s"))
-        .withColumn("d2",
-          Similarity.dot(col("sub"), col("sub"))
-            - lit(2.0) * Similarity.dot(col("sub"), col("csub"))
-            + Similarity.dot(col("csub"), col("csub")))
+    def totalErr(cb: org.apache.spark.sql.DataFrame): Double =
+      // the operator's own decomposition and metric, not a re-derivation
+      Similarity.subSlices(emb, "vec_id", "embedding", 64, 8, "vid", "sub")
+        .join(broadcast(cb), Seq("s"))
+        .withColumn("d2", Similarity.d2(col("sub"), col("csub")))
         .groupBy("vid", "s").agg(min(col("d2")).as("best"))
         .agg(sum("best")).head().getDouble(0)
-    }
     val seed = Similarity.seedCodebooks(emb, "vec_id", "embedding",
       dim = 64, m = 8, codes = 16)
     val trained = Similarity.trainPqCodebooks(emb, "vec_id", "embedding",
