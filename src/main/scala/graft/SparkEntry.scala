@@ -772,6 +772,17 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // IVF-PQ: probe the query's 4 nearest cells, ADC-score only their
+    // members from the m-byte codes — the production ANN composition,
+    // with both quantizers on their deterministic oracle-replayable seams
+    "s07_ann_ivfpq_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10, dim = 64, nCells = 16, probes = 4,
+          m = 8, codes = 16)
+        .orderBy("query_id", "rank")
+    }),
+
     // product-quantization ADC: corpus as m=8 one-byte codes per vector,
     // queries rank candidates by summed codebook-table lookups without
     // decompressing anything — the deterministic-codebook form, replayed
@@ -1091,6 +1102,51 @@ object SparkEntry {
          WHERE CAST(bit_count(xor(a.bucket, c.bucket)) AS INTEGER) <= 1
            AND list_cosine_similarity(a.e, c.e) >= 0.45
          ORDER BY id_a, id_b""",
+
+    "s07_ann_ivfpq_topk" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         cent AS (SELECT vec_id AS cid, e AS ce FROM v ORDER BY vec_id LIMIT 16),
+         asg AS (SELECT vec_id, e, cid,
+                        ROW_NUMBER() OVER (PARTITION BY vec_id
+                          ORDER BY list_cosine_similarity(e, ce) DESC, cid ASC) AS crank
+                 FROM v, cent),
+         cells AS (SELECT vec_id, cid AS cell FROM asg WHERE crank = 1),
+         qp AS (SELECT vec_id AS query_id, cid AS cell FROM asg
+                WHERE vec_id < 5 AND crank <= 4),
+         cand AS (SELECT query_id, c.vec_id
+                  FROM cells c JOIN qp ON c.cell = qp.cell
+                  WHERE c.vec_id <> query_id),
+         sp AS (SELECT unnest(generate_series(0, 7)) AS s),
+         subs AS (SELECT vec_id, s, list_slice(e, s*8 + 1, s*8 + 8) AS sub
+                  FROM v CROSS JOIN sp),
+         firstk AS (SELECT vec_id FROM v ORDER BY vec_id LIMIT 16),
+         cb AS (SELECT sp.s,
+                       row_number() OVER (PARTITION BY sp.s ORDER BY v.vec_id) - 1 AS ck,
+                       list_slice(v.e, sp.s*8 + 1, sp.s*8 + 8) AS csub
+                FROM v JOIN firstk USING (vec_id) CROSS JOIN sp),
+         encd AS (SELECT vec_id, s, ck AS code FROM (
+                    SELECT sub.vec_id, sub.s, cb.ck,
+                           row_number() OVER (PARTITION BY sub.vec_id, sub.s
+                             ORDER BY round(list_dot_product(sub.sub, sub.sub)
+                               - 2*list_dot_product(sub.sub, cb.csub)
+                               + list_dot_product(cb.csub, cb.csub), 6) ASC,
+                             cb.ck ASC) AS rn
+                    FROM subs sub JOIN cb ON sub.s = cb.s) t WHERE rn = 1),
+         qt AS (SELECT q.vec_id AS query_id, cb.s, cb.ck AS code,
+                       round(list_dot_product(q.sub, q.sub)
+                         - 2*list_dot_product(q.sub, cb.csub)
+                         + list_dot_product(cb.csub, cb.csub), 6) AS qd2
+                FROM subs q JOIN cb ON q.s = cb.s WHERE q.vec_id < 5),
+         adc AS (SELECT cand.query_id, e.vec_id AS neighbor_id,
+                        round(sum(qd2), 4) AS adist
+                 FROM cand JOIN encd e ON cand.vec_id = e.vec_id
+                      JOIN qt ON qt.query_id = cand.query_id
+                             AND e.s = qt.s AND e.code = qt.code
+                 GROUP BY 1, 2),
+         r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY adist ASC, neighbor_id ASC) AS rank FROM adc)
+         SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, adist
+         FROM r WHERE rank <= 10 ORDER BY query_id, rank""",
 
     "s06_ann_pq_adc_topk" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

@@ -317,9 +317,57 @@ object Similarity {
                 vecCol: String, k: Int, dim: Int, m: Int = 8,
                 codes: Int = 16,
                 codebooks: Option[DataFrame] = None): DataFrame = {
+    val (enc, qt) = pqPieces(corpus, queries, idCol, vecCol, dim, m, codes, codebooks)
+    rankAdc(enc.join(broadcast(qt), Seq("s", "code"))
+      .filter(col("vid") =!= col("query_id")), k)
+  }
+
+  /**
+   * IVF-PQ top-k — the production ANN composition: the IVF coarse
+   * quantizer restricts each query to its `probes` nearest cells'
+   * members, and PQ-ADC scores ONLY those candidates from their m-byte
+   * codes. Per query the work is (probes / nCells) of the corpus in
+   * table lookups — neither the full scan of brute force nor the full
+   * ADC pass of flat PQ, and nothing decompresses. Both quantizers use
+   * their deterministic first-N seams by default (SQL-replayable oracle);
+   * trained centroids/codebooks slot into the same seams.
+   */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int, dim: Int, nCells: Int = 16,
+                probes: Int = 4, m: Int = 8, codes: Int = 16,
+                centroids: Option[DataFrame] = None,
+                codebooks: Option[DataFrame] = None): DataFrame = {
+    val cent = centroids.getOrElse(Materialize(
+      prepared(corpus.orderBy(col(idCol)).limit(nCells), idCol, vecCol)
+        .select(col("vid").as("cid"), col("vec").as("cvec"), col("nrm").as("cnrm"))))
+    def scoredCells(df: DataFrame) = df.crossJoin(broadcast(cent))
+      .withColumn("ccos", dot(col("vec"), col("cvec")) / (col("nrm") * col("cnrm")))
+    // one cell per corpus row (map-side min_by, as ivfTopK)
+    val cells = scoredCells(prepared(corpus, idCol, vecCol))
+      .groupBy(col("vid").cast("long").as("vid"))
+      .agg(min_by(col("cid"), struct(-col("ccos"), col("cid"))).as("cell"))
+    val qw = Window.partitionBy(col("vid"))
+      .orderBy(col("ccos").desc, col("cid").asc)
+    val qcells = scoredCells(prepared(queries, idCol, vecCol))
+      .withColumn("crank", row_number().over(qw))
+      .filter(col("crank") <= probes)
+      .select(col("vid").cast("long").as("query_id"), col("cid").as("cell"))
+    // candidates: members of the query's probed cells (a row has exactly
+    // one cell, so no pair appears twice); query side is small -> broadcast
+    val cand = cells.join(broadcast(qcells), Seq("cell"))
+      .filter(col("vid") =!= col("query_id"))
+      .select(col("query_id"), col("vid"))
+    val (enc, qt) = pqPieces(corpus, queries, idCol, vecCol, dim, m, codes, codebooks)
+    rankAdc(enc.join(broadcast(cand), Seq("vid"))
+      .join(broadcast(qt), Seq("query_id", "s", "code")), k)
+  }
+
+  /** Shared PQ stages: validated/default codebooks, corpus codes `enc`
+   * (vid, s, code), and per-query ADC tables `qt` (query_id, s, code, qd2). */
+  private def pqPieces(corpus: DataFrame, queries: DataFrame, idCol: String,
+                       vecCol: String, dim: Int, m: Int, codes: Int,
+                       codebooks: Option[DataFrame]): (DataFrame, DataFrame) = {
     require(dim % m == 0, s"dim=$dim must split evenly into m=$m subspaces")
-    def subsOf(df: DataFrame, vidName: String, subName: String): DataFrame =
-      subSlices(df, idCol, vecCol, dim, m, vidName, subName)
     // default codebooks are cut once ([[Materialize]]) — the enc and qt
     // branches both broadcast them, and derived subtrees get no exchange
     // reuse, so without the cut the corpus-wide TakeOrdered runs twice.
@@ -340,18 +388,24 @@ object Similarity {
     }
     // encode: nearest codebook entry per (corpus row, subspace); ties to
     // the smallest code id. The expanded rows collapse map-side (min_by).
-    val enc = subsOf(corpus, "vid", "sub").join(broadcast(cb), Seq("s"))
+    val enc = subSlices(corpus, idCol, vecCol, dim, m, "vid", "sub")
+      .join(broadcast(cb), Seq("s"))
       .groupBy(col("vid"), col("s"))
       .agg(min_by(col("ck"), struct(d2(col("sub"), col("csub")), col("ck")))
         .as("code"))
     // ADC tables: per query, distance to every codebook entry
-    val qt = subsOf(queries, "query_id", "qsub").join(broadcast(cb), Seq("s"))
+    val qt = subSlices(queries, idCol, vecCol, dim, m, "query_id", "qsub")
+      .join(broadcast(cb), Seq("s"))
       .select(col("query_id"), col("s"), col("ck").as("code"),
         d2(col("qsub"), col("csub")).as("qd2"))
+    (enc, qt)
+  }
+
+  /** Sum the per-subspace lookups and rank ascending per query. */
+  private def rankAdc(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adist").asc, col("vid").asc)
-    enc.join(broadcast(qt), Seq("s", "code"))
-      .filter(col("vid") =!= col("query_id"))
+    scored
       .groupBy(col("query_id"), col("vid"))
       .agg(round(sum(col("qd2")), 4).as("adist"))
       .withColumn("rank", row_number().over(w))
