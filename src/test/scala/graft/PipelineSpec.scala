@@ -256,6 +256,25 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(recall >= 0.15, s"PQ recall $recall vs cosine brute force")
   }
 
+  test("IVF-PQ: neighbors come only from probed cells, ranked by ADC") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val res = Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding",
+      k = 10, dim = 64, nCells = 16, probes = 4).collect()
+    assert(res.nonEmpty && res.length <= 10 * 10)
+    res.foreach(r => assert(r.getLong(2) != r.getLong(0)))
+    // every returned neighbor must be a member of one of its query's
+    // probed cells — the candidate restriction is the operator contract
+    val flatPq = Similarity.pqAdcTopK(emb, queries, "vec_id", "embedding",
+      k = Int.MaxValue, dim = 64).collect()
+      .map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    res.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      assert(flatPq.contains(key))
+      assert(math.abs(flatPq(key) - r.getDouble(3)) < 1e-9,
+        "IVF-PQ adist must equal flat-PQ adist for the same pair")
+    }
+  }
+
   test("trained PQ codebooks cut quantization error vs the seeds") {
     // total assignment error is the k-means objective: Lloyd's from the
     // same seeds must not increase it
