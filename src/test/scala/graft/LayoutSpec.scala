@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.Layout
+
+/**
+ * Z-order clustering: Morton-key correctness and the property it exists
+ * for — file/row-group pruning stays effective on EVERY clustered
+ * dimension, where a single-column sort prunes only its own column.
+ */
+class LayoutSpec extends AnyFunSuite with SparkFixture {
+
+  test("morton interleave puts a's bits on odd positions") {
+    import spark.implicits._
+    val got = Seq((3L, 1L)).toDF("a", "b")
+      .select(Layout.interleave2(col("a"), col("b"), 2).as("z"))
+      .head().getLong(0)
+    // a=0b11 -> bits 3,1; b=0b01 -> bit 0 => z = 0b1011 = 11
+    assert(got == 11L)
+  }
+
+  test("bucketRank clips outliers and caps the top edge into range") {
+    import spark.implicits._
+    val ranks = Seq(-5.0, 0.0, 511.0, 1023.0, 2000.0).toDF("v")
+      .select(Layout.bucketRank(col("v"), 0.0, 1023.0, 8).as("r"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(ranks.head == 0L && ranks(1) == 0L)
+    assert(ranks(3) == 255L && ranks(4) == 255L, s"got $ranks")
+    assert(ranks.forall(r => r >= 0 && r <= 255))
+  }
+
+  test("z-clustered layout prunes on BOTH dimensions; x-sorted only on x") {
+    import spark.implicits._
+    // two independent uniform dimensions, deterministic
+    val n = 65536
+    val df = spark.range(n).select(
+      (hash(col("id"), lit(1)).cast("long").bitwiseAND(1023)).as("x"),
+      (hash(col("id"), lit(2)).cast("long").bitwiseAND(1023)).as("y"))
+
+    val base = Files.createTempDirectory("graft-layout").toString
+    df.repartitionByRange(16, col("x")).sortWithinPartitions(col("x"))
+      .write.parquet(s"$base/by_x")
+    Layout.cluster(df, "x", "y", files = 16,
+        aRange = Some((0.0, 1023.0)), bRange = Some((0.0, 1023.0)))
+      .write.parquet(s"$base/by_z")
+
+    // rows emitted by the scan = rows in row groups that SURVIVED
+    // min/max pruning (the post-scan Filter then re-applies the predicate)
+    def scanned(path: String, cond: org.apache.spark.sql.Column): Long = {
+      val q = spark.read.parquet(path).filter(cond)
+      q.collect()
+      val scans = q.queryExecution.executedPlan.collect {
+        case a: AdaptiveSparkPlanExec =>
+          a.executedPlan.collect { case s: FileSourceScanExec => s }
+        case s: FileSourceScanExec => Seq(s)
+      }.flatten
+      scans.map(_.metrics("numOutputRows").value).sum
+    }
+
+    val yBox = col("y") >= 100 && col("y") < 150
+    val xBox = col("x") >= 100 && col("x") < 150
+    // x-sorted layout: pruning works on x ...
+    assert(scanned(s"$base/by_x", xBox) < n / 4)
+    // ... but y stats span everything per file -> zero pruning on y
+    assert(scanned(s"$base/by_x", yBox) == n)
+    // z-clustered layout: meaningful pruning on EITHER dimension alone
+    val zx = scanned(s"$base/by_z", xBox)
+    val zy = scanned(s"$base/by_z", yBox)
+    assert(zx < n / 2, s"z layout should prune x-only scans, read $zx of $n")
+    assert(zy < n / 2, s"z layout should prune y-only scans, read $zy of $n")
+    // and correctness: same answers from both layouts
+    assert(spark.read.parquet(s"$base/by_z").filter(xBox && yBox).count() ==
+      spark.read.parquet(s"$base/by_x").filter(xBox && yBox).count())
+  }
+}
