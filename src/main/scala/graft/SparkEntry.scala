@@ -1108,7 +1108,8 @@ object SparkEntry {
          cent AS (SELECT vec_id AS cid, e AS ce FROM v ORDER BY vec_id LIMIT 16),
          asg AS (SELECT vec_id, e, cid,
                         ROW_NUMBER() OVER (PARTITION BY vec_id
-                          ORDER BY list_cosine_similarity(e, ce) DESC, cid ASC) AS crank
+                          ORDER BY round(list_cosine_similarity(e, ce), 6) DESC,
+                                   cid ASC) AS crank
                  FROM v, cent),
          cells AS (SELECT vec_id, cid AS cell FROM asg WHERE crank = 1),
          qp AS (SELECT vec_id AS query_id, cid AS cell FROM asg
@@ -1239,7 +1240,8 @@ object SparkEntry {
          cent AS (SELECT vec_id AS cid, e AS ce FROM v ORDER BY vec_id LIMIT 16),
          asg AS (SELECT vec_id, e, cid,
                         ROW_NUMBER() OVER (PARTITION BY vec_id
-                          ORDER BY list_cosine_similarity(e, ce) DESC, cid ASC) AS crank
+                          ORDER BY round(list_cosine_similarity(e, ce), 6) DESC,
+                                   cid ASC) AS crank
                  FROM v, cent),
          idx AS (SELECT vec_id, e, cid AS cell FROM asg WHERE crank = 1),
          qp AS (SELECT vec_id AS query_id, e AS qe, cid AS cell FROM asg

@@ -61,12 +61,19 @@ object Layout {
               aRange: Option[(Double, Double)] = None,
               bRange: Option[(Double, Double)] = None,
               bits: Int = 8): DataFrame = {
-    def rangeOf(c: String) = {
-      val r = df.agg(min(col(c).cast("double")), max(col(c).cast("double"))).head()
-      (r.getDouble(0), r.getDouble(1))
+    val (ra, rb) = (aRange, bRange) match {
+      case (Some(a), Some(b)) => (a, b)
+      case _ =>
+        // one combined scan covers both columns' bounds
+        val r = df.agg(
+          min(col(aCol).cast("double")), max(col(aCol).cast("double")),
+          min(col(bCol).cast("double")), max(col(bCol).cast("double"))).head()
+        require(!r.anyNull,
+          s"cannot infer clip ranges for ($aCol, $bCol): input is empty or a " +
+            "column is all-null — pass aRange/bRange explicitly")
+        (aRange.getOrElse((r.getDouble(0), r.getDouble(1))),
+          bRange.getOrElse((r.getDouble(2), r.getDouble(3))))
     }
-    val ra = aRange.getOrElse(rangeOf(aCol))
-    val rb = bRange.getOrElse(rangeOf(bCol))
     val z = zValue(col(aCol), ra, col(bCol), rb, bits)
     df.withColumn("__z", z)
       .repartitionByRange(files, col("__z"))

@@ -198,12 +198,8 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nCells: Int = 16,
               probes: Int = 4, centroids: Option[DataFrame] = None): DataFrame = {
-    val cent = centroids.getOrElse(
-      prepared(corpus.orderBy(col(idCol)).limit(nCells), idCol, vecCol)
-        .select(col("vid").as("cid"), col("vec").as("cvec"), col("nrm").as("cnrm")))
-    def scoredCells(df: DataFrame) =
-      df.crossJoin(broadcast(cent))
-        .withColumn("ccos", dot(col("vec"), col("cvec")) / (col("nrm") * col("cnrm")))
+    val cent = centroids.getOrElse(defaultCentroids(corpus, idCol, vecCol, nCells))
+    def scoredCells(df: DataFrame) = cellScores(df, cent)
     // nearest cell per corpus row: argmax via min_by over
     // (-ccos, cid) — highest score first, ties to the smallest cid, and
     // the ordering works for ids of ANY orderable type (negating cid
@@ -337,29 +333,66 @@ object Similarity {
                 probes: Int = 4, m: Int = 8, codes: Int = 16,
                 centroids: Option[DataFrame] = None,
                 codebooks: Option[DataFrame] = None): DataFrame = {
-    val cent = centroids.getOrElse(Materialize(
-      prepared(corpus.orderBy(col(idCol)).limit(nCells), idCol, vecCol)
-        .select(col("vid").as("cid"), col("vec").as("cvec"), col("nrm").as("cnrm"))))
-    def scoredCells(df: DataFrame) = df.crossJoin(broadcast(cent))
-      .withColumn("ccos", dot(col("vec"), col("cvec")) / (col("nrm") * col("cnrm")))
-    // one cell per corpus row (map-side min_by, as ivfTopK)
-    val cells = scoredCells(prepared(corpus, idCol, vecCol))
+    val (cells, qcells) =
+      ivfPieces(corpus, queries, idCol, vecCol, nCells, probes, centroids)
+    val (enc, qt) = pqPieces(corpus, queries, idCol, vecCol, dim, m, codes, codebooks)
+    // candidate restriction WITHOUT any corpus-derived broadcast: the
+    // codes shuffle-join their cell assignment (both corpus-sized), and
+    // only the genuinely tiny frames — the query cells and ADC tables —
+    // broadcast. A corpus row has exactly one cell, so no (query,
+    // candidate) pair appears twice.
+    rankAdc(
+      enc.join(cells, Seq("vid"))
+        .join(broadcast(qcells), Seq("cell"))
+        .filter(col("vid") =!= col("query_id"))
+        .join(broadcast(qt), Seq("query_id", "s", "code")), k)
+  }
+
+  /** Shared IVF stages: one cell per corpus row (`cells`: vid, cell) and
+   * each query's probed cells (`qcells`: query_id, cell) — the single
+   * home of the centroid seam and cell-scoring formula for the IVF
+   * family. Ids must be integral (they key the PQ compositions). */
+  private[graft] def ivfPieces(corpus: DataFrame, queries: DataFrame,
+                               idCol: String, vecCol: String, nCells: Int,
+                               probes: Int,
+                               centroids: Option[DataFrame]): (DataFrame, DataFrame) = {
+    requireIntegralId(corpus, idCol)
+    val cent = centroids.getOrElse(
+      Materialize(defaultCentroids(corpus, idCol, vecCol, nCells)))
+    val cells = cellScores(prepared(corpus, idCol, vecCol), cent)
       .groupBy(col("vid").cast("long").as("vid"))
       .agg(min_by(col("cid"), struct(-col("ccos"), col("cid"))).as("cell"))
     val qw = Window.partitionBy(col("vid"))
       .orderBy(col("ccos").desc, col("cid").asc)
-    val qcells = scoredCells(prepared(queries, idCol, vecCol))
+    val qcells = cellScores(prepared(queries, idCol, vecCol), cent)
       .withColumn("crank", row_number().over(qw))
       .filter(col("crank") <= probes)
       .select(col("vid").cast("long").as("query_id"), col("cid").as("cell"))
-    // candidates: members of the query's probed cells (a row has exactly
-    // one cell, so no pair appears twice); query side is small -> broadcast
-    val cand = cells.join(broadcast(qcells), Seq("cell"))
-      .filter(col("vid") =!= col("query_id"))
-      .select(col("query_id"), col("vid"))
-    val (enc, qt) = pqPieces(corpus, queries, idCol, vecCol, dim, m, codes, codebooks)
-    rankAdc(enc.join(broadcast(cand), Seq("vid"))
-      .join(broadcast(qt), Seq("query_id", "s", "code")), k)
+    (cells, qcells)
+  }
+
+  /** First-nCells-by-id centroid seam shared by the IVF family. */
+  private def defaultCentroids(corpus: DataFrame, idCol: String,
+                               vecCol: String, nCells: Int): DataFrame =
+    prepared(corpus.orderBy(col(idCol)).limit(nCells), idCol, vecCol)
+      .select(col("vid").as("cid"), col("vec").as("cvec"), col("nrm").as("cnrm"))
+
+  /** The one cell-scoring formula: cosine to every broadcast centroid,
+   * ROUNDED so an external oracle's last-ulp arithmetic cannot flip an
+   * assignment argmin or probe ranking. */
+  private def cellScores(df: DataFrame, cent: DataFrame): DataFrame =
+    df.crossJoin(broadcast(cent))
+      .withColumn("ccos",
+        round(dot(col("vec"), col("cvec")) / (col("nrm") * col("cnrm")), 6))
+
+  private def requireIntegralId(df: DataFrame, idCol: String): Unit = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val dt = df.schema.find(_.name.equalsIgnoreCase(idCol))
+      .getOrElse(throw new IllegalArgumentException(s"no column $idCol")).dataType
+    require(Set[org.apache.spark.sql.types.DataType](
+        ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"$idCol must be an integral id for the PQ/IVF-PQ pipelines, got $dt " +
+        "(a non-numeric id would cast to null and silently empty the result)")
   }
 
   /** Shared PQ stages: validated/default codebooks, corpus codes `enc`
@@ -368,6 +401,7 @@ object Similarity {
                        vecCol: String, dim: Int, m: Int, codes: Int,
                        codebooks: Option[DataFrame]): (DataFrame, DataFrame) = {
     require(dim % m == 0, s"dim=$dim must split evenly into m=$m subspaces")
+    requireIntegralId(corpus, idCol)
     // default codebooks are cut once ([[Materialize]]) — the enc and qt
     // branches both broadcast them, and derived subtrees get no exchange
     // reuse, so without the cut the corpus-wide TakeOrdered runs twice.

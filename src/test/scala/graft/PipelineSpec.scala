@@ -263,13 +263,25 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(res.nonEmpty && res.length <= 10 * 10)
     res.foreach(r => assert(r.getLong(2) != r.getLong(0)))
     // every returned neighbor must be a member of one of its query's
-    // probed cells — the candidate restriction is the operator contract
+    // probed cells — the candidate restriction is the operator contract,
+    // checked against the operator's own cell assignment
+    val (cells, qcells) = Similarity.ivfPieces(emb, queries, "vec_id",
+      "embedding", nCells = 16, probes = 4, centroids = None)
+    val cellOf = cells.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val probed = qcells.collect().groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+    res.foreach { r =>
+      val (q, nb) = (r.getLong(0), r.getLong(2))
+      assert(probed(q).contains(cellOf(nb)),
+        s"neighbor $nb of query $q sits in cell ${cellOf(nb)}, " +
+          s"outside the probed set ${probed(q)}")
+    }
+    // and the ADC metric agrees with flat PQ for the same pair
     val flatPq = Similarity.pqAdcTopK(emb, queries, "vec_id", "embedding",
       k = Int.MaxValue, dim = 64).collect()
       .map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
     res.foreach { r =>
       val key = (r.getLong(0), r.getLong(2))
-      assert(flatPq.contains(key))
       assert(math.abs(flatPq(key) - r.getDouble(3)) < 1e-9,
         "IVF-PQ adist must equal flat-PQ adist for the same pair")
     }
