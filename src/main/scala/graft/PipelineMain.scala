@@ -32,7 +32,7 @@ object PipelineMain {
       if (args.nonEmpty) args(0)
       else Files.createTempDirectory("graft-pipeline").toString
     val refData = sys.env.getOrElse("GRAFT_REF_DATA", "/root/reference/tests/data/dummy")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
