@@ -43,6 +43,30 @@ class SamplingSpec extends AnyFunSuite with SparkFixture {
     assert(Sampling.hashSample(li, "l_orderkey", 0.0).count() == 0)
   }
 
+  test("hashSampleBy: per-stratum rates, unlisted strata follow default") {
+    val byFlag = Sampling.hashSampleBy(li, "l_returnflag", "l_orderkey",
+        Map("A" -> 1.0, "N" -> 0.0))
+      .groupBy("l_returnflag").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totalA = li.filter(org.apache.spark.sql.functions.col("l_returnflag") === "A").count()
+    assert(byFlag.get("A").contains(totalA), "rate-1.0 stratum keeps every row")
+    assert(!byFlag.contains("N"), "rate-0.0 stratum drops every row")
+    assert(!byFlag.contains("R"), "unlisted stratum follows default=0.0")
+    // default=1.0 keeps the unlisted stratum whole
+    val withDefault = Sampling.hashSampleBy(li, "l_returnflag", "l_orderkey",
+      Map("A" -> 0.0, "N" -> 0.0), default = 1.0)
+    assert(withDefault.count() ==
+      li.filter(org.apache.spark.sql.functions.col("l_returnflag") === "R").count())
+    // same digest rule as hashSample: a 0.1-rate stratum equals
+    // hashSample(0.1) restricted to that stratum
+    val strat = Sampling.hashSampleBy(li, "l_returnflag", "l_orderkey",
+      Map("A" -> 0.1)).select("l_orderkey", "l_linenumber")
+    val plain = Sampling.hashSample(li, "l_orderkey", 0.1)
+      .filter(org.apache.spark.sql.functions.col("l_returnflag") === "A")
+      .select("l_orderkey", "l_linenumber")
+    assert(strat.exceptAll(plain).count() == 0 && plain.exceptAll(strat).count() == 0)
+  }
+
   test("emptyRelation: zero rows, exact runtime schema") {
     val schema = StructType(Seq(StructField("a", IntegerType),
       StructField("b", StringType)))

@@ -157,6 +157,25 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(got == Set(1L, 2L, 4L), s"got $got")
   }
 
+  test("text features run unchanged on a stream (stateless narrow ops)") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-stream-text").toString
+    val batch = Seq((1L, "the quick brown fox"), (2L, "le chat noir et blanc"))
+      .toDF("doc_id", "text")
+    batch.coalesce(1).write.parquet(s"$tmp/src")
+    val stream = spark.readStream.schema("doc_id LONG, text STRING")
+      .parquet(s"$tmp/src")
+    val q = graft.operators.TextAnalysis.withTextFeatures(stream, "text")
+      .writeStream.format("memory").queryName("text_out")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("text_out")
+    val expect = graft.operators.TextAnalysis.withTextFeatures(batch, "text")
+    assert(got.count() == 2)
+    assert(got.exceptAll(expect).count() == 0 && expect.exceptAll(got).count() == 0)
+  }
+
   test("windowed counts: streaming plan equals the plain batch aggregation") {
     import spark.implicits._
     val ev = Seq(
