@@ -290,6 +290,32 @@ object SparkEntry {
         .agg(round(sum(col("o_totalprice")), 2))
         .orderBy("o_orderstatus")),
 
+    // GROUPING SETS with grouping_id disambiguation — the generalized
+    // rollup/cube surface (q25 covers plain ROLLUP)
+    "q37_grouping_sets" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders_gs")
+      s.sql("""SELECT o_orderstatus, o_orderpriority,
+                      CAST(grouping_id(o_orderstatus, o_orderpriority) AS INT) AS gid,
+                      round(sum(o_totalprice), 2) AS total
+               FROM orders_gs
+               GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+               ORDER BY gid, o_orderstatus, o_orderpriority""")
+    }),
+
+    // RANGE window frame over event time: per-user moving event count in
+    // the trailing 30 minutes — a range-mode frame (physical window frame
+    // by VALUE distance, not row count)
+    "q38_range_frame" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_sec"))
+        .rangeBetween(-1800L, Window.currentRow)
+      events(s, d)
+        .withColumn("ts_sec", col("ts").cast("long"))
+        .select(col("user_id"), col("event_id"), col("ts_sec"),
+          count(lit(1)).over(w).as("n_trailing"))
+        .orderBy("event_id")
+    }),
+
     // set operators INTERSECT/EXCEPT (distinct semantics on both engines):
     // customers with an urgent order who also ordered high-priority, minus
     // big spenders — three shuffles on the same key, AQE coalesces
@@ -392,6 +418,22 @@ object SparkEntry {
   private val coreSql: Map[String, String] = Map(
     "q01_scan_project" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "q37_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+                CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+                     AS INTEGER) AS gid,
+                round(sum(o_totalprice), 2) AS total
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         ORDER BY gid, o_orderstatus, o_orderpriority""",
+    "q38_range_frame" ->
+      """WITH ev AS (SELECT user_id, event_id,
+                            CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ts_sec
+                     FROM events)
+         SELECT user_id, event_id, ts_sec,
+                count(*) OVER (PARTITION BY user_id ORDER BY ts_sec
+                  RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW) AS n_trailing
+         FROM ev ORDER BY event_id""",
     "q33_intersect_except" ->
       """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
          INTERSECT
@@ -1139,7 +1181,7 @@ object SparkEntry {
                          + list_dot_product(cb.csub, cb.csub), 6) AS qd2
                 FROM subs q JOIN cb ON q.s = cb.s WHERE q.vec_id < 5),
          adc AS (SELECT cand.query_id, e.vec_id AS neighbor_id,
-                        round(sum(qd2), 4) AS adist
+                        round(sum(CAST(round(qd2 * 1000000) AS BIGINT)) / 1000000.0, 4) AS adist
                  FROM cand JOIN encd e ON cand.vec_id = e.vec_id
                       JOIN qt ON qt.query_id = cand.query_id
                              AND e.s = qt.s AND e.code = qt.code
@@ -1173,7 +1215,7 @@ object SparkEntry {
                          + list_dot_product(cb.csub, cb.csub), 6) AS qd2
                 FROM subs q JOIN cb ON q.s = cb.s WHERE q.vec_id < 5),
          adc AS (SELECT query_id, e.vec_id AS neighbor_id,
-                        round(sum(qd2), 4) AS adist
+                        round(sum(CAST(round(qd2 * 1000000) AS BIGINT)) / 1000000.0, 4) AS adist
                  FROM encd e JOIN qt ON e.s = qt.s AND e.code = qt.code
                  WHERE e.vec_id <> query_id GROUP BY 1, 2),
          r AS (SELECT *, row_number() OVER (PARTITION BY query_id

@@ -435,13 +435,18 @@ object Similarity {
     (enc, qt)
   }
 
-  /** Sum the per-subspace lookups and rank ascending per query. */
+  /** Sum the per-subspace lookups and rank ascending per query. The qd2
+   * terms are 6-decimal values, so they sum EXACTLY as integer micros —
+   * a floating sum's result depends on partial-aggregation order (it
+   * flipped a 4-decimal rounding boundary when the partition count
+   * changed), while the integer sum is order-independent and replays
+   * identically in any engine. */
   private def rankAdc(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adist").asc, col("vid").asc)
     scored
       .groupBy(col("query_id"), col("vid"))
-      .agg(round(sum(col("qd2")), 4).as("adist"))
+      .agg(round(sum(round(col("qd2") * 1e6).cast("long")) / 1e6, 4).as("adist"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vid").as("neighbor_id"),
