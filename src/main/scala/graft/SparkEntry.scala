@@ -146,6 +146,17 @@ object SparkEntry {
           sum(rev), 4).as("promo_share"))
     }),
 
+    // decontamination: corpus docs near-duplicate of a (small) probe set
+    // — the benchmark-contamination check; the probe vocabulary broadcasts
+    // and the corpus is scanned once
+    "d08_decontaminate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.crossJaccardPairs(docs,
+          docs.filter(col("doc_id") % 50 === 0),
+          "doc_id", "text", n = 1, threshold = 0.5)
+        .orderBy("doc", "probe_id")
+    }),
+
     // end-to-end dedup: the KEEP SET — every doc minus non-canonical
     // near-dup cluster members (d06's components; canonical = min id).
     // One anti-join against the (tiny) non-canonical label set
@@ -1104,6 +1115,21 @@ object SparkEntry {
                                                FROM walk GROUP BY doc) l
                               WHERE doc <> cluster)
          ORDER BY doc_id"""),
+
+    "d08_decontaminate" -> (NormCte +
+      """, tok AS (SELECT doc_id, unnest(list_distinct(string_split(t, ' '))) AS g FROM n),
+         sz AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY 1),
+         inter AS (SELECT c.doc_id AS doc, p.doc_id AS probe_id, count(*) AS inter
+                   FROM tok c JOIN tok p ON c.g = p.g
+                   WHERE p.doc_id % 50 = 0 AND c.doc_id <> p.doc_id
+                   GROUP BY 1, 2)
+         SELECT doc, probe_id,
+                round(CAST(inter AS DOUBLE) / CAST(sc.sz + sp.sz - inter AS DOUBLE), 4)
+                  AS jaccard
+         FROM inter JOIN sz sc ON sc.doc_id = doc
+                    JOIN sz sp ON sp.doc_id = probe_id
+         WHERE CAST(inter AS DOUBLE) / CAST(sc.sz + sp.sz - inter AS DOUBLE) >= 0.5
+         ORDER BY doc, probe_id"""),
 
     "d03_dedup_simhash" -> simhashOracle,
 

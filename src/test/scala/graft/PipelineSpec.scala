@@ -192,6 +192,25 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
       "training must spread the one-cluster pile-up across cells")
   }
 
+  test("crossJaccardPairs equals the self-join restricted to probe pairs") {
+    val probes = docs.filter(col("doc_id") % 50 === 0)
+    val cross = Dedup.crossJaccardPairs(docs, probes, "doc_id", "text",
+        n = 1, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // ground truth: the full self-join's pairs where one side is a probe,
+    // reoriented as (doc, probe)
+    val isProbe = probes.select("doc_id").collect().map(_.getLong(0)).toSet
+    val self = Dedup.jaccardPairs(docs, "doc_id", "text", n = 1, threshold = 0.6)
+      .withColumn("jaccard", round(col("jaccard"), 4))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = self.flatMap { case (a, b, j) =>
+      Seq(if (isProbe(b)) Some((a, b, j)) else None,
+        if (isProbe(a)) Some((b, a, j)) else None).flatten
+    }.toSet
+    assert(cross == expected)
+    assert(cross.nonEmpty)
+  }
+
   test("clusters: chains fuse transitively, components stay separate") {
     import spark.implicits._
     // component {1,2,3,4} is a PATH (1-2, 2-3, 3-4): near-dup is not
