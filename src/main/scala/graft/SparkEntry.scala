@@ -1207,7 +1207,7 @@ object SparkEntry {
                          + list_dot_product(cb.csub, cb.csub), 6) AS qd2
                 FROM subs q JOIN cb ON q.s = cb.s WHERE q.vec_id < 5),
          adc AS (SELECT cand.query_id, e.vec_id AS neighbor_id,
-                        round(sum(CAST(round(qd2 * 1000000) AS BIGINT)) / 1000000.0, 4) AS adist
+                        floor((sum(CAST(round(qd2 * 1000000) AS BIGINT)) + 50) / 100.0) / 10000.0 AS adist
                  FROM cand JOIN encd e ON cand.vec_id = e.vec_id
                       JOIN qt ON qt.query_id = cand.query_id
                              AND e.s = qt.s AND e.code = qt.code
@@ -1241,7 +1241,7 @@ object SparkEntry {
                          + list_dot_product(cb.csub, cb.csub), 6) AS qd2
                 FROM subs q JOIN cb ON q.s = cb.s WHERE q.vec_id < 5),
          adc AS (SELECT query_id, e.vec_id AS neighbor_id,
-                        round(sum(CAST(round(qd2 * 1000000) AS BIGINT)) / 1000000.0, 4) AS adist
+                        floor((sum(CAST(round(qd2 * 1000000) AS BIGINT)) + 50) / 100.0) / 10000.0 AS adist
                  FROM encd e JOIN qt ON e.s = qt.s AND e.code = qt.code
                  WHERE e.vec_id <> query_id GROUP BY 1, 2),
          r AS (SELECT *, row_number() OVER (PARTITION BY query_id

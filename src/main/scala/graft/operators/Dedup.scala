@@ -87,12 +87,15 @@ object Dedup {
    * (benchmark/eval sets) it is near-duplicate of (n-gram Jaccard >=
    * threshold). Not a self-join: the corpus is the 100 TB side and the
    * probe set is benchmark-sized, so its distinct n-gram sets broadcast
-   * and the corpus is scanned ONCE — candidates are corpus docs sharing
-   * at least one gram with a probe (inner gram join against the broadcast
-   * probe vocabulary), verified by exact intersection counting in the
-   * same aggregate. Probe grams above `maxDocFreq` corpus document
-   * frequency can be dropped to keep stopword-ish grams from pairing the
-   * whole corpus (approximate mode; default off = exact).
+   * and, in exact mode, the corpus is scanned ONCE — candidates are
+   * corpus docs sharing at least one gram with a probe (inner gram join
+   * against the broadcast probe vocabulary), and the shared-gram count of
+   * that join IS the exact intersection. Probe grams above `maxDocFreq`
+   * corpus document frequency can be dropped from CANDIDATE generation to
+   * keep stopword-ish grams from pairing the whole corpus; as in
+   * [[jaccardPairs]], that only reduces recall — surviving pairs'
+   * jaccard values are re-verified against the FULL sets (this path
+   * costs a second corpus pass for the document-frequency aggregate).
    *
    * Returns (doc, probe_id, jaccard); `doc == probe_id` rows are excluded
    * (a benchmark that is itself in the corpus is trivially contaminated).
@@ -101,27 +104,35 @@ object Dedup {
                         textCol: String, n: Int, threshold: Double,
                         maxDocFreq: Long = Long.MaxValue): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
+    val exactMode = maxDocFreq == Long.MaxValue
     val c = corpus.select(col(idCol).as("doc"), ngramSet(col(textCol), n).as("ng"))
       .withColumn("csz", size(col("ng"))).filter(col("csz") > 0)
+    // probe table is benchmark-sized: materialized once, it feeds the
+    // candidate gram join and (in approximate mode) the re-verification
     val p = Materialize(
       probes.select(col(idCol).as("probe_id"), ngramSet(col(textCol), n).as("png"))
         .withColumn("psz", size(col("png"))).filter(col("psz") > 0))
     val pGrams = p.select(col("probe_id"), col("psz"), explode(col("png")).as("g"))
-    val dropped =
-      if (maxDocFreq == Long.MaxValue) pGrams
+    val candGrams =
+      if (exactMode) pGrams
       else pGrams.join(
         c.select(explode(col("ng")).as("g")).groupBy("g").count()
           .filter(col("count") <= maxDocFreq).select("g"),
         Seq("g"), "left_semi")
-    // one corpus scan: explode grams, meet the broadcast probe vocabulary,
-    // count shared grams per (doc, probe) — that IS the exact intersection
     val inter = c.select(col("doc"), col("csz"), explode(col("ng")).as("g"))
-      .join(broadcast(dropped), Seq("g"))
+      .join(broadcast(candGrams), Seq("g"))
       .filter(col("doc") =!= col("probe_id"))
       .groupBy(col("doc"), col("probe_id"))
       .agg(first(col("csz")).as("csz"), first(col("psz")).as("psz"),
         count(lit(1)).as("inter"))
-    inter
+    val verified =
+      if (exactMode) inter // the candidate-gram count is already exact
+      else inter.select("doc", "probe_id")
+        .join(c.select(col("doc"), col("ng"), col("csz")), Seq("doc"))
+        .join(broadcast(p), Seq("probe_id"))
+        .select(col("doc"), col("probe_id"), col("csz"), col("psz"),
+          size(array_intersect(col("ng"), col("png"))).as("inter"))
+    verified
       .withColumn("jaccard", round(col("inter") /
         (col("csz") + col("psz") - col("inter")), 4))
       .filter(col("inter") / (col("csz") + col("psz") - col("inter"))

@@ -439,14 +439,18 @@ object Similarity {
    * terms are 6-decimal values, so they sum EXACTLY as integer micros —
    * a floating sum's result depends on partial-aggregation order (it
    * flipped a 4-decimal rounding boundary when the partition count
-   * changed), while the integer sum is order-independent and replays
-   * identically in any engine. */
+   * changed). The final 4-decimal rounding ALSO stays in integer space
+   * (floor((S+50)/100) half-up on the micro sum): micro sums land on
+   * exact .5 boundaries systematically (S = 50 mod 100), where Spark's
+   * BigDecimal round and another engine's std::round(x*1e4) disagree —
+   * integer arithmetic is identical everywhere. */
   private def rankAdc(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adist").asc, col("vid").asc)
     scored
       .groupBy(col("query_id"), col("vid"))
-      .agg(round(sum(round(col("qd2") * 1e6).cast("long")) / 1e6, 4).as("adist"))
+      .agg((floor((sum(round(col("qd2") * 1e6).cast("long")) + 50) / 100.0)
+        / 10000.0).as("adist"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vid").as("neighbor_id"),

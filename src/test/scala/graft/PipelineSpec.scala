@@ -209,6 +209,13 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     }.toSet
     assert(cross == expected)
     assert(cross.nonEmpty)
+    // approximate mode: recall may drop, but every surviving pair keeps
+    // its EXACT full-set jaccard (maxDocFreq prunes candidates only)
+    val approx = Dedup.crossJaccardPairs(docs, probes, "doc_id", "text",
+        n = 1, threshold = 0.6, maxDocFreq = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(approx.subsetOf(cross),
+      "maxDocFreq must only reduce recall, never change surviving values")
   }
 
   test("clusters: chains fuse transitively, components stay separate") {
