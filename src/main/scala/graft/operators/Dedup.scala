@@ -194,7 +194,7 @@ object Dedup {
         .agg(first(col("ng")).as("ng"), first(col("sz")).as("sz"))
       // one driver scalar (algorithm selection only — no data movement);
       // null max = empty corpus = no pairs of any kind
-      val smaxRow = sets.agg(max("sz")).head
+      val smaxRow = sets.agg(max("sz")).head()
       if (smaxRow.isNullAt(0)) return within
       val smax = smaxRow.getInt(0)
       val radius = math.floor((1 - threshold) / threshold * smax).toLong
