@@ -11,11 +11,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * in the JSON (`runs`/`agg`). */
 object Bench {
 
-  /** One timed result: (query, best seconds, error if it failed). */
+  /** One timed result: (query, best seconds, error if it failed). Queries
+    * run in NAME order (a Map's hash order reshuffles whenever a query is
+    * added, which confounds round-over-round per-query deltas with
+    * position-in-session effects). After each timed run the query's
+    * checkpoint cuts are released — outside the timed region, so timings
+    * measure the query, but between runs, so a 60-query session measures
+    * steady-state plans instead of degrading under accumulated blocks. */
   def timeQueries(spark: SparkSession, sfDir: String,
                   queries: Map[String, (SparkSession, String) => DataFrame],
                   runs: Int = 2): Seq[(String, Double, Option[String])] =
-    queries.toSeq.map { case (name, fn) =>
+    queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): (Double, Option[String]) = {
         val t0 = System.nanoTime()
         val err =
@@ -23,7 +29,9 @@ object Bench {
           catch { case e: Throwable =>
             Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
           }
-        ((System.nanoTime() - t0) / 1e9, err)
+        val dt = (System.nanoTime() - t0) / 1e9
+        graft.operators.Materialize.releaseAll()
+        (dt, err)
       }
       // any failing run marks the query failed — a flaky query must never
       // bench as a fast success
@@ -54,7 +62,7 @@ object Bench {
     val errs = results.collect { case (k, _, Some(e)) => s"\"$k\":\"${esc(e)}\"" }
     val total = results.collect { case (_, v, None) => v }.sum
     val errJson = if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
-    s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"agg":"min","queries":$qs$errJson,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"agg":"min","order":"name","queries":$qs$errJson,"sf":"$sfDir"}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -69,11 +77,16 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // releasing a lineage-truncated cut logs one WARN per RDD; 60+ queries
+    // of that can clip the single JSON contract line off a captured tail
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
 
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
       SparkEntry.queries.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
+        finally graft.operators.Materialize.releaseAll()
       }
 
     println(toJson(timeQueries(spark, sfDir, SparkEntry.queries), sfDir))

@@ -17,6 +17,9 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // scoped cut release logs one WARN per lineage-truncated RDD — noise
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
     new java.io.File(outDir).mkdirs()
     // queries are independent (any session state they touch — temp view
     // names, idempotent confs — is query-private), so run them through a
@@ -26,10 +29,15 @@ object Verify {
       scala.concurrent.ExecutionContext.fromExecutorService(pool)
     val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
       scala.concurrent.Future {
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // scoped: each query's checkpoint cuts are released when its write
+        // completes (thread-local, so concurrent queries don't interfere) —
+        // without this 60+ queries' cuts pin storage for the whole run
+        graft.operators.Materialize.scoped {
+          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          catch { case e: Throwable =>
+            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          }
         }
       }
     }

@@ -490,6 +490,7 @@ object Dedup {
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
+      val prevLabels = labels
       val prop = edges.join(hinted(labels), edges("dst") === labels("doc"))
         .groupBy(edges("src").as("doc"))
         .agg(min(col("cluster")).as("nbr_min"))
@@ -511,16 +512,29 @@ object Dedup {
           .join(hinted(stepped.as("l2")), col("l1.cluster") === col("l2.doc"), "left")
           .select(col("l1.doc").as("doc"), col("l1.prev").as("prev"),
             coalesce(col("l2.cluster"), col("l1.cluster")).as("cluster")))
-      converged = next.filter(col("cluster") < col("prev")).isEmpty // loop control
+      // one job per round: count (unlike isEmpty's take-1) computes EVERY
+      // partition of `next`, so the lazy checkpoint's blocks fill in this
+      // same action — no separate fill job — and the scalar doubles as
+      // the convergence test
+      converged = next.filter(col("cluster") < col("prev")).count() == 0L
+      // `next` is fully materialized now, so round N−1's blocks (and the
+      // big-graph stepped cut) are dead weight — on a long session they
+      // would pin executor storage for every round of every query
+      Materialize.release(prevLabels)
+      if (!smallGraph) Materialize.release(stepped)
       labels = next.select("doc", "cluster")
       it += 1
     }
+    Materialize.release(edges) // the returned labels carry their own blocks
     // an exact operator must not silently return torn components: a
     // still-moving label at maxIters means some chain is longer than the
     // budget — the caller raises maxIters, never consumes a wrong answer
-    if (!converged) throw new IllegalStateException(
-      s"clusters() did not converge in $maxIters iterations — a component's " +
-        s"diameter exceeds the budget; raise maxIters")
+    if (!converged) {
+      Materialize.release(labels)
+      throw new IllegalStateException(
+        s"clusters() did not converge in $maxIters iterations — a component's " +
+          s"diameter exceeds the budget; raise maxIters")
+    }
     labels
   }
 }

@@ -1,6 +1,10 @@
 package graft.operators
 
+import scala.collection.mutable
+
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.LogicalRDD
 
 /**
  * Materialization of small shared intermediates (sketch tables, doc-set
@@ -22,14 +26,41 @@ import org.apache.spark.sql.DataFrame
  * A session conf rather than a per-call flag so the driver contract
  * (`(SparkSession, dir) => DataFrame`) and every operator signature stay
  * unchanged between local testing and cluster deployment.
+ *
+ * == Lifetime ==
+ *
+ * Checkpoint blocks are NOT released by GC — on a long-lived session every
+ * cut would pin executor storage forever (dozens of orphaned block sets
+ * after a 60-query run; a storage-memory leak on a real cluster). Every
+ * cut therefore registers its backing RDD, and callers bound its life:
+ *
+ *  - [[release]](df) drops the blocks behind one superseded cut (iterative
+ *    operators release round N−1 when round N is materialized);
+ *  - [[scoped]] {{{ body }}} releases every cut the current thread created
+ *    inside `body` — the per-query harness wrapper (safe under concurrent
+ *    query execution, unlike a global sweep);
+ *  - [[releaseAll]]() sweeps everything — single-threaded harnesses
+ *    (benchmarks) call it between queries.
+ *
+ * A released frame must never be re-read: localCheckpoint discards the
+ * pre-cut lineage, so its blocks cannot be recomputed — release only what
+ * a newer materialized frame supersedes, or whole queries after their
+ * terminal action.
  */
 object Materialize {
   val ReliableKey = "graft.materialize.reliable"
 
+  /** Backing RDD of every live cut (identity set — RDDs hash by id). */
+  private val live = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[RDD[_], java.lang.Boolean]())
+
+  /** Cuts created by the current thread's innermost [[scoped]] block. */
+  private val scopeTl = new ThreadLocal[mutable.Buffer[RDD[_]]]
+
   def apply(df: DataFrame): DataFrame = {
     val reliable =
       df.sparkSession.conf.getOption(ReliableKey).exists(_.toBoolean)
-    if (reliable) {
+    val cut = if (reliable) {
       require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
         s"$ReliableKey=true requires SparkContext.setCheckpointDir(<DFS path>)")
       // persist first: the reliable checkpoint writer runs its own job, and
@@ -40,5 +71,47 @@ object Materialize {
       try cached.checkpoint(eager = true)
       finally cached.unpersist(blocking = false)
     } else df.localCheckpoint(eager = false)
+    // the cut plan is a LogicalRDD over the checkpointed rows; register its
+    // RDD so release/scoped/releaseAll can unpersist the storage blocks
+    // (for reliable cuts unpersist is a no-op — the data is DFS files whose
+    // lifetime the checkpoint dir owns — registering is still harmless)
+    cut.queryExecution.analyzed.collectFirst { case lr: LogicalRDD => lr.rdd }
+      .foreach { r =>
+        live.add(r)
+        Option(scopeTl.get()).foreach(_ += r)
+      }
+    cut
+  }
+
+  /** Release the checkpoint blocks behind `df` — a cut, or any frame
+   * derived from one (the plan is scanned for cut RDDs). Only blocks
+   * [[apply]] registered are touched, so passing a frame that was never
+   * cut is a safe no-op. The released frame must not be read again. */
+  def release(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: LogicalRDD if live.remove(lr.rdd) =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
+  /** Run `body`, then release every cut it created on this thread — the
+   * per-query wrapper for harnesses that run queries concurrently (each
+   * query's cuts die with it; other threads' cuts are untouched). */
+  def scoped[T](body: => T): T = {
+    val outer = scopeTl.get()
+    val mine = mutable.Buffer.empty[RDD[_]]
+    scopeTl.set(mine)
+    try body
+    finally {
+      scopeTl.set(outer)
+      mine.foreach { r => if (live.remove(r)) r.unpersist(blocking = false) }
+    }
+  }
+
+  /** Release every live cut — for single-threaded harnesses between
+   * queries. Unsafe while another thread's query is mid-flight. */
+  def releaseAll(): Unit = {
+    val it = live.iterator()
+    while (it.hasNext) { it.next().unpersist(blocking = false); it.remove() }
   }
 }

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Materialize}
+
+/**
+ * Lifetime contract of [[Materialize]]: cut frames pin executor-storage
+ * blocks (localCheckpoint persists and truncates lineage), and on a
+ * long-lived session — a 60-query bench run, a standing 100 TB cluster
+ * session — un-released cuts are a storage leak. These tests pin the
+ * release API against `SparkContext.getPersistentRDDs`, the engine's own
+ * ledger of live storage.
+ */
+class MaterializeSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  /** ids of RDDs the context currently tracks as persisted. */
+  private def persisted: Set[Int] =
+    spark.sparkContext.getPersistentRDDs.keySet.toSet
+
+  test("release() drops a cut's storage blocks, found through derived frames") {
+    Materialize.releaseAll() // isolate from other suites sharing the session
+    val before = persisted
+    val cut = Materialize((1 to 100).toDF("n").withColumn("sq", col("n") * col("n")))
+    assert(cut.count() == 100)
+    val added = persisted -- before
+    assert(added.nonEmpty, "a materialized cut must register persisted blocks")
+    // release via a DERIVED frame — the plan scan must find the cut RDD
+    Materialize.release(cut.select("sq").filter(col("sq") > 10))
+    assert((persisted -- before).isEmpty, "release must unpersist the cut's RDD")
+  }
+
+  test("release() on a never-cut frame is a no-op and foreign caches survive") {
+    Materialize.releaseAll()
+    val plain = (1 to 10).toDF("n")
+    Materialize.release(plain) // must not throw
+    val cached = (1 to 10).toDF("n").cache()
+    assert(cached.count() == 10)
+    val before = persisted
+    Materialize.release(cached) // user cache is not Materialize's to drop
+    assert(persisted == before, "release must only touch cuts it created")
+    cached.unpersist(blocking = true)
+  }
+
+  test("scoped{} releases exactly the cuts created inside the scope") {
+    Materialize.releaseAll()
+    val before = persisted
+    val outside = Materialize((1 to 50).toDF("n"))
+    assert(outside.count() == 50)
+    val outsideBlocks = persisted -- before
+    Materialize.scoped {
+      val inside = Materialize((1 to 50).toDF("m"))
+      assert(inside.count() == 50)
+      assert((persisted -- before -- outsideBlocks).nonEmpty)
+    }
+    assert(persisted -- before == outsideBlocks,
+      "scope exit must release inner cuts and leave outer cuts alone")
+    Materialize.release(outside)
+    assert((persisted -- before).isEmpty)
+  }
+
+  test("releaseAll() sweeps every live cut") {
+    Materialize.releaseAll()
+    val before = persisted
+    val a = Materialize((1 to 20).toDF("a"))
+    val b = Materialize((1 to 20).toDF("b"))
+    assert(a.count() + b.count() == 40)
+    assert((persisted -- before).nonEmpty)
+    Materialize.releaseAll()
+    assert((persisted -- before).isEmpty)
+  }
+
+  test("clusters() releases every per-round frame except the returned labels") {
+    Materialize.releaseAll()
+    val before = persisted
+    // a 6-node chain forces several propagation rounds (pointer jumping)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("doc_a", "doc_b")
+    val labels = Dedup.clusters(pairs, "doc_a", "doc_b")
+    val result = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(result == (1L to 6L).map(_ -> 1L).toMap)
+    // after the run, only the final labels' own blocks may remain: edges
+    // and every superseded round were released inside the loop
+    val leftover = persisted -- before
+    assert(leftover.size <= 1,
+      s"clusters leaked ${leftover.size} block sets (edges or stale rounds)")
+    Materialize.release(labels)
+    assert((persisted -- before).isEmpty)
+  }
+}
