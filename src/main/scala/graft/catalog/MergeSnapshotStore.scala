@@ -32,12 +32,23 @@ import org.apache.spark.sql.types.{DataType, StructType}
  * Readers resolve the latest manifest and scan exactly the referenced
  * directories — always a complete, consistent snapshot. Vacuum retains the
  * last `keepVersions` manifests and deletes data directories no retained
- * manifest references.
+ * manifest references — but only after `vacuumRetentionMs` has passed
+ * since the directory was FIRST observed unreferenced (a hidden
+ * `_expired_at` tombstone records that instant, the same deletion-
+ * timestamp idea as Delta's deletedFileRetentionDuration). Without the
+ * horizon, a reader that resolved version N−2 just before a commit
+ * expired it could have its data directories deleted mid-scan; with it,
+ * any scan that starts while its manifest is still resolvable has
+ * `vacuumRetentionMs` to finish. 0 (the default) deletes eagerly —
+ * right for single-writer batch jobs and tests; set it to a few hours
+ * on a shared cluster where concurrent readers pin old versions.
  */
 class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
-                         val nBuckets: Int = 32, keepVersions: Int = 2)
+                         val nBuckets: Int = 32, keepVersions: Int = 2,
+                         vacuumRetentionMs: Long = 0L)
     extends SnapshotStore(spark, catalog0, keepVersions) {
   require(nBuckets >= 1, "nBuckets must be >= 1")
+  require(vacuumRetentionMs >= 0, "vacuumRetentionMs must be >= 0")
   private val ManifestRe = "^v=(\\d{6})\\.manifest$".r
 
   /** Bucket assignment — deterministic Murmur3 of the PK value. */
@@ -261,24 +272,42 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
   private def dropBucketCol(s: StructType): StructType =
     StructType(s.fields.filterNot(_.name == "__b"))
 
-  /** Keep the last `keepVersions` manifests; delete bucket directories no
-   * retained manifest references, then empty commit dirs. */
+  /** Keep the last `keepVersions` manifests; tombstone bucket directories
+   * no retained manifest references and delete them once their tombstone
+   * is older than `vacuumRetentionMs` (a dir can never be re-referenced —
+   * manifests only carry forward refs that are still live — so a
+   * tombstone is permanent). Runs on every commit, so overdue tombstones
+   * from earlier commits are purged even when nothing expired this time. */
   private def vacuum(meta: TableMeta, priorVersions: Seq[Int]): Unit = {
     val all = priorVersions :+ (priorVersions.lastOption.getOrElse(-1) + 1)
     val expired = all.dropRight(keepVersions)
-    if (expired.isEmpty) return
     val retained = all.takeRight(keepVersions)
     val referenced = retained
       .flatMap(v => readManifest(meta.location, v).buckets.values).toSet
     val f = fs(new Path(meta.location))
     expired.foreach(v => f.delete(manifestPath(meta.location, v), false))
+    val now = System.currentTimeMillis()
     val dataRoot = new Path(s"${meta.location}/data")
     if (f.exists(dataRoot)) {
       f.listStatus(dataRoot).filter(_.isDirectory).foreach { commit =>
         val cname = commit.getPath.getName
         f.listStatus(commit.getPath).filter(_.isDirectory).foreach { bdir =>
-          if (!referenced.contains(s"data/$cname/${bdir.getPath.getName}"))
-            f.delete(bdir.getPath, true)
+          if (!referenced.contains(s"data/$cname/${bdir.getPath.getName}")) {
+            val tomb = new Path(bdir.getPath, "_expired_at")
+            val expiredAt =
+              if (f.exists(tomb)) {
+                val in = f.open(tomb)
+                try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+                finally in.close()
+              } else {
+                // first observation: start the retention clock (hidden
+                // `_`-prefixed file — parquet readers mid-scan ignore it)
+                val out = f.create(tomb, true)
+                try out.write(now.toString.getBytes(UTF_8)) finally out.close()
+                now
+              }
+            if (now - expiredAt >= vacuumRetentionMs) f.delete(bdir.getPath, true)
+          }
         }
         if (f.listStatus(commit.getPath).isEmpty) f.delete(commit.getPath, true)
       }

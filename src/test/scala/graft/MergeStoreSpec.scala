@@ -124,6 +124,56 @@ class MergeStoreSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("vacuum retention guard: a reader pinned on an expired version survives commits") {
+    val cat = new InMemoryCatalog
+    // one-hour horizon: expired versions' data dirs are tombstoned, not
+    // deleted, so a scan that resolved its manifest before expiry finishes
+    val guarded = new MergeSnapshotStore(spark, cat, nBuckets = 8,
+      keepVersions = 2, vacuumRetentionMs = 60 * 60 * 1000L)
+    val meta = TableMeta("mdb", "t8",
+      Files.createTempDirectory("graft-merge-t8").toString, primaryKey = Some("id"))
+    cat.register(meta)
+    guarded.overwrite("mdb", "t8", idTable(20))          // v0
+    val pinned = guarded.readVersion(meta, 0)            // manifest resolved NOW
+    def touch(id: Int, label: String): Unit =
+      guarded.mergeScoped("mdb", "t8",
+        idTable(20).filter(col("id") === id).select("id")) { old =>
+        old.withColumn("name", when(col("id") === id, lit(label))
+          .otherwise(col("name")))
+      }
+    touch(1, "x")                                        // v1
+    touch(2, "y")                                        // v2 -> v0 manifest expires
+    // version count is still bounded: v0's manifest is gone...
+    intercept[Exception] { guarded.manifestEntries("mdb", "t8", 0) }
+    // ...but the pinned reader's scan still succeeds (dirs tombstoned)
+    assert(pinned.count() == 20)
+    assert(pinned.filter(col("id") === 1).select("name").head().getString(0)
+      == "name-1", "pinned snapshot must still show pre-merge data")
+    // a zero-retention store on the same table deletes overdue dirs on the
+    // next commit — the guard delays deletion, it does not disable vacuum
+    val eager = new MergeSnapshotStore(spark, cat, nBuckets = 8,
+      keepVersions = 2, vacuumRetentionMs = 0L)
+    val beforeTouched = (guarded.manifestEntries("mdb", "t8", 1).values.toSet ++
+      guarded.manifestEntries("mdb", "t8", 2).values.toSet)
+    eager.mergeScoped("mdb", "t8",
+      idTable(20).filter(col("id") === 3).select("id")) { old =>
+      old.withColumn("name", when(col("id") === 3, lit("z")).otherwise(col("name")))
+    }                                                    // v3 -> v1 expires
+    val fs = new org.apache.hadoop.fs.Path(meta.location)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = (eager.manifestEntries("mdb", "t8", 2).values.toSet ++
+      eager.manifestEntries("mdb", "t8", 3).values.toSet)
+    val dead = beforeTouched -- live
+    assert(dead.nonEmpty, "the eager commit should orphan at least one dir")
+    dead.foreach { d =>
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"${meta.location}/$d")),
+        s"zero-retention vacuum must delete the unreferenced dir $d")
+    }
+    live.foreach { d =>
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"${meta.location}/$d")), d)
+    }
+  }
+
   test("a crashed previous attempt never wedges the table") {
     val store = mkStore()
     val meta = register(store, "mdb", "t6", "id")
