@@ -39,13 +39,17 @@ import org.apache.spark.sql.types.{DataType, StructType}
  * horizon, a reader that resolved version N−2 just before a commit
  * expired it could have its data directories deleted mid-scan; with it,
  * any scan that starts while its manifest is still resolvable has
- * `vacuumRetentionMs` to finish. 0 (the default) deletes eagerly —
- * right for single-writer batch jobs and tests; set it to a few hours
- * on a shared cluster where concurrent readers pin old versions.
+ * `vacuumRetentionMs` to finish. The default is a conservative 30
+ * minutes, so a default-constructed store is safe next to concurrent
+ * readers out of the box; single-writer batch jobs and tests that want
+ * eager space reclaim pass 0 explicitly. The tombstone epoch is the
+ * vacuuming WRITER's wall clock: with several writers and clock skew
+ * the effective horizon shrinks by the skew, so keep the horizon well
+ * above any plausible drift (minutes, not milliseconds).
  */
 class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
                          val nBuckets: Int = 32, keepVersions: Int = 2,
-                         vacuumRetentionMs: Long = 0L)
+                         vacuumRetentionMs: Long = MergeSnapshotStore.DefaultRetentionMs)
     extends SnapshotStore(spark, catalog0, keepVersions) {
   require(nBuckets >= 1, "nBuckets must be >= 1")
   require(vacuumRetentionMs >= 0, "vacuumRetentionMs must be >= 0")
@@ -294,16 +298,25 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
         f.listStatus(commit.getPath).filter(_.isDirectory).foreach { bdir =>
           if (!referenced.contains(s"data/$cname/${bdir.getPath.getName}")) {
             val tomb = new Path(bdir.getPath, "_expired_at")
+            // A 0-byte or garbled tombstone (crash mid-write on a store
+            // without atomic create) must not wedge vacuum — and vacuum
+            // runs on every commit, so a single bad tombstone would fail
+            // ALL future commits. Unparseable content restarts the
+            // retention clock at `now`: the safe direction (delete later,
+            // never earlier).
             val expiredAt =
               if (f.exists(tomb)) {
                 val in = f.open(tomb)
-                try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
-                finally in.close()
+                val text =
+                  try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                  finally in.close()
+                scala.util.Try(text.trim.toLong).getOrElse {
+                  writeTombstone(f, tomb, now); now
+                }
               } else {
                 // first observation: start the retention clock (hidden
                 // `_`-prefixed file — parquet readers mid-scan ignore it)
-                val out = f.create(tomb, true)
-                try out.write(now.toString.getBytes(UTF_8)) finally out.close()
+                writeTombstone(f, tomb, now)
                 now
               }
             if (now - expiredAt >= vacuumRetentionMs) f.delete(bdir.getPath, true)
@@ -313,4 +326,26 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
       }
     }
   }
+
+  /** Tombstones commit via the same tmp+rename pattern as manifests, so a
+   * crash mid-write leaves either no tombstone or a complete one — never
+   * the truncated file the parse guard above exists for. */
+  private def writeTombstone(f: org.apache.hadoop.fs.FileSystem, tomb: Path,
+                             epoch: Long): Unit = {
+    val tmp = new Path(tomb.getParent, s".tmp-${tomb.getName}")
+    val out = f.create(tmp, true)
+    try out.write(epoch.toString.getBytes(UTF_8)) finally out.close()
+    if (!f.rename(tmp, tomb)) {
+      // lost a race with a concurrent vacuum that tombstoned first — its
+      // epoch stands; drop our tmp
+      f.delete(tmp, false)
+    }
+  }
+}
+
+object MergeSnapshotStore {
+  /** Default vacuum retention: long enough for any sane snapshot scan to
+   * finish after its manifest expires, short enough that space reclaim is
+   * still prompt. */
+  val DefaultRetentionMs: Long = 30 * 60 * 1000L
 }

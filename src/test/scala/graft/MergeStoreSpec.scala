@@ -22,9 +22,12 @@ import graft.operators.ChangeLogApplier
  */
 class MergeStoreSpec extends AnyFunSuite with SparkFixture {
 
+  // retention 0 = eager vacuum: these tests assert on prompt deletion.
+  // The PRODUCTION default is a 30-minute horizon (tested below).
   private def mkStore(nBuckets: Int = 8, keep: Int = 2): MergeSnapshotStore = {
     val cat = new InMemoryCatalog
-    new MergeSnapshotStore(spark, cat, nBuckets = nBuckets, keepVersions = keep)
+    new MergeSnapshotStore(spark, cat, nBuckets = nBuckets, keepVersions = keep,
+      vacuumRetentionMs = 0L)
   }
 
   private def register(store: MergeSnapshotStore, db: String, tbl: String,
