@@ -306,11 +306,14 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
             // never earlier).
             val expiredAt =
               if (f.exists(tomb)) {
-                val in = f.open(tomb)
-                val text =
-                  try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-                  finally in.close()
-                scala.util.Try(text.trim.toLong).getOrElse {
+                readTombstoneEpoch(f, tomb).getOrElse {
+                  // Repair a garbled tombstone. Hadoop rename does NOT
+                  // overwrite an existing destination on HDFS/object
+                  // stores (only RawLocalFileSystem's POSIX renameTo
+                  // does), so the stale file must be dropped first or
+                  // the repair silently no-ops and this branch returns
+                  // `now` on every commit — a permanent space leak.
+                  f.delete(tomb, false)
                   writeTombstone(f, tomb, now); now
                 }
               } else {
@@ -327,6 +330,18 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     }
   }
 
+  /** Reads a tombstone's epoch; None when the file is missing, empty, or
+   * garbled (crash mid-write on a store without atomic create). */
+  private def readTombstoneEpoch(f: org.apache.hadoop.fs.FileSystem,
+                                 tomb: Path): Option[Long] =
+    scala.util.Try {
+      val in = f.open(tomb)
+      val text =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      text.trim.toLong
+    }.toOption
+
   /** Tombstones commit via the same tmp+rename pattern as manifests, so a
    * crash mid-write leaves either no tombstone or a complete one — never
    * the truncated file the parse guard above exists for. */
@@ -336,9 +351,18 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     val out = f.create(tmp, true)
     try out.write(epoch.toString.getBytes(UTF_8)) finally out.close()
     if (!f.rename(tmp, tomb)) {
-      // lost a race with a concurrent vacuum that tombstoned first — its
-      // epoch stands; drop our tmp
-      f.delete(tmp, false)
+      // rename refuses when the destination exists (HDFS/object-store
+      // semantics; RawLocalFileSystem's POSIX renameTo is the outlier
+      // that overwrites). A destination holding a VALID epoch means we
+      // lost a race with a concurrent vacuum that tombstoned first —
+      // its epoch stands, drop our tmp. An invalid destination is a
+      // garbled file another crashed writer left: clear it and retry
+      // once so the repair actually lands.
+      if (readTombstoneEpoch(f, tomb).isDefined) f.delete(tmp, false)
+      else {
+        f.delete(tomb, false)
+        if (!f.rename(tmp, tomb)) f.delete(tmp, false)
+      }
     }
   }
 }

@@ -186,7 +186,7 @@ object ChangeLogApplier {
     // null PKs group under a marker no real value can collide with (a bare
     // "" would merge a null-PK event into the empty-string key)
     val keyOf = (i: Int) => (r: Row) =>
-      if (r.isNullAt(i)) " <null>" else "v:" + String.valueOf(r.get(i))
+      if (r.isNullAt(i)) "\u0000<null>" else "v:" + String.valueOf(r.get(i))
     val gTarget = target.groupByKey(keyOf(keyT))(Encoders.STRING)
     val gEvents = mapped.groupByKey(keyOf(keyM))(Encoders.STRING)
 

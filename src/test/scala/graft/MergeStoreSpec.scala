@@ -177,6 +177,85 @@ class MergeStoreSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("default-constructed store refuses to delete young unreferenced dirs") {
+    // the production default must be the conservative horizon, not eager
+    assert(MergeSnapshotStore.DefaultRetentionMs == 30 * 60 * 1000L)
+    val cat = new InMemoryCatalog
+    // retention NOT passed: this is the default users get
+    val store = new MergeSnapshotStore(spark, cat, nBuckets = 8, keepVersions = 2)
+    val meta = TableMeta("mdb", "tDef",
+      Files.createTempDirectory("graft-merge-tdef").toString, primaryKey = Some("id"))
+    cat.register(meta)
+    store.overwrite("mdb", "tDef", idTable(20))          // v0
+    val v0dirs = store.manifestEntries("mdb", "tDef", 0).values.toSet
+    def touch(id: Int, label: String): Unit =
+      store.mergeScoped("mdb", "tDef",
+        idTable(20).filter(col("id") === id).select("id")) { old =>
+        old.withColumn("name", when(col("id") === id, lit(label))
+          .otherwise(col("name")))
+      }
+    touch(1, "x")                                        // v1
+    touch(2, "y")                                        // v2 -> v0 manifest expires
+    intercept[Exception] { store.manifestEntries("mdb", "tDef", 0) }
+    val fs = new org.apache.hadoop.fs.Path(meta.location)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = (store.manifestEntries("mdb", "tDef", 1).values.toSet ++
+      store.manifestEntries("mdb", "tDef", 2).values.toSet)
+    val dead = v0dirs -- live
+    assert(dead.nonEmpty, "the commits should orphan at least one v0 dir")
+    dead.foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(s"${meta.location}/$d")
+      assert(fs.exists(p),
+        s"default store deleted $d seconds after it became unreferenced")
+      assert(fs.exists(new org.apache.hadoop.fs.Path(p, "_expired_at")),
+        s"unreferenced dir $d should carry a retention tombstone")
+    }
+  }
+
+  test("garbled tombstone: commit succeeds, dir survives, tombstone repaired") {
+    // the crash-tolerance contract: a 0-byte/garbled _expired_at (crash
+    // mid-write) must not fail the commit and must restart the retention
+    // clock with a REAL tombstone (not a silently no-op'd repair)
+    val cat = new InMemoryCatalog
+    val store = new MergeSnapshotStore(spark, cat, nBuckets = 8,
+      keepVersions = 2, vacuumRetentionMs = 60 * 60 * 1000L)
+    val meta = TableMeta("mdb", "tGar",
+      Files.createTempDirectory("graft-merge-tgar").toString, primaryKey = Some("id"))
+    cat.register(meta)
+    store.overwrite("mdb", "tGar", idTable(20))          // v0
+    val v0dirs = store.manifestEntries("mdb", "tGar", 0).values.toSet
+    def touch(id: Int, label: String): Unit =
+      store.mergeScoped("mdb", "tGar",
+        idTable(20).filter(col("id") === id).select("id")) { old =>
+        old.withColumn("name", when(col("id") === id, lit(label))
+          .otherwise(col("name")))
+      }
+    touch(1, "x")                                        // v1
+    touch(2, "y")                                        // v2 -> v0 unreferenced
+    val fs = new org.apache.hadoop.fs.Path(meta.location)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = (store.manifestEntries("mdb", "tGar", 1).values.toSet ++
+      store.manifestEntries("mdb", "tGar", 2).values.toSet)
+    val dead = (v0dirs -- live).toSeq.sorted
+    assert(dead.nonEmpty)
+    // garble the tombstone the v2 vacuum just wrote: truncate to 0 bytes
+    val tomb = new org.apache.hadoop.fs.Path(
+      s"${meta.location}/${dead.head}/_expired_at")
+    assert(fs.exists(tomb))
+    fs.create(tomb, true).close()
+    assert(fs.getFileStatus(tomb).getLen == 0)
+    touch(3, "z")                                        // v3: vacuum sees garble
+    // commit succeeded (we got here), the young dir survived, and the
+    // tombstone now holds a parseable epoch — the repair really landed
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"${meta.location}/${dead.head}")))
+    val in = fs.open(tomb)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+               finally in.close()
+    assert(text.trim.nonEmpty && text.trim.forall(_.isDigit),
+      s"tombstone should hold an epoch after repair, got '$text'")
+    assert(store.read("mdb", "tGar").count() == 20)
+  }
+
   test("a crashed previous attempt never wedges the table") {
     val store = mkStore()
     val meta = register(store, "mdb", "t6", "id")
