@@ -836,6 +836,24 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // the TRAINED composition: one bit-deterministic Lloyd's round for
+    // BOTH quantizers (rounded assignment scores, integer-micro means —
+    // long sums commute, so partitioning cannot move a centroid), then
+    // the identical IVF-PQ pipeline. The oracle replays the training
+    // round itself, not just the search — the end-to-end gate on the
+    // trained path
+    "s08_ann_trained_ivfpq" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cent = Similarity.trainIvfCentroids(emb, "vec_id", "embedding",
+        nCells = 16, iters = 1)
+      val books = Similarity.trainPqCodebooks(emb, "vec_id", "embedding",
+        dim = 64, m = 8, codes = 16, iters = 1)
+      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10, dim = 64, nCells = 16, probes = 4,
+          m = 8, codes = 16, centroids = Some(cent), codebooks = Some(books))
+        .orderBy("query_id", "rank")
+    }),
+
     // product-quantization ADC: corpus as m=8 one-byte codes per vector,
     // queries rank candidates by summed codebook-table lookups without
     // decompressing anything — the deterministic-codebook form, replayed
@@ -1193,6 +1211,92 @@ object SparkEntry {
                        row_number() OVER (PARTITION BY sp.s ORDER BY v.vec_id) - 1 AS ck,
                        list_slice(v.e, sp.s*8 + 1, sp.s*8 + 8) AS csub
                 FROM v JOIN firstk USING (vec_id) CROSS JOIN sp),
+         encd AS (SELECT vec_id, s, ck AS code FROM (
+                    SELECT sub.vec_id, sub.s, cb.ck,
+                           row_number() OVER (PARTITION BY sub.vec_id, sub.s
+                             ORDER BY round(list_dot_product(sub.sub, sub.sub)
+                               - 2*list_dot_product(sub.sub, cb.csub)
+                               + list_dot_product(cb.csub, cb.csub), 6) ASC,
+                             cb.ck ASC) AS rn
+                    FROM subs sub JOIN cb ON sub.s = cb.s) t WHERE rn = 1),
+         qt AS (SELECT q.vec_id AS query_id, cb.s, cb.ck AS code,
+                       round(list_dot_product(q.sub, q.sub)
+                         - 2*list_dot_product(q.sub, cb.csub)
+                         + list_dot_product(cb.csub, cb.csub), 6) AS qd2
+                FROM subs q JOIN cb ON q.s = cb.s WHERE q.vec_id < 5),
+         adc AS (SELECT cand.query_id, e.vec_id AS neighbor_id,
+                        floor((sum(CAST(round(qd2 * 1000000) AS BIGINT)) + 50) / 100.0) / 10000.0 AS adist
+                 FROM cand JOIN encd e ON cand.vec_id = e.vec_id
+                      JOIN qt ON qt.query_id = cand.query_id
+                             AND e.s = qt.s AND e.code = qt.code
+                 GROUP BY 1, 2),
+         r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY adist ASC, neighbor_id ASC) AS rank FROM adc)
+         SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, adist
+         FROM r WHERE rank <= 10 ORDER BY query_id, rank""",
+
+    // replays ONE Lloyd's round for both quantizers exactly as Spark runs
+    // it: assignment by 6-decimal-rounded score (ties to the low id), new
+    // component = floor(sum(micro)/n + 0.5)/1e6 — long micro sums commute,
+    // so both engines build bit-identical trained tables before the same
+    // IVF-PQ probe/encode/ADC/rank replay as s07
+    "s08_ann_trained_ivfpq" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         cent0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e AS ce
+                   FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 16)),
+         a0 AS (SELECT vec_id, e, cid,
+                       row_number() OVER (PARTITION BY vec_id
+                         ORDER BY round(list_cosine_similarity(e, ce), 6) DESC,
+                                  cid ASC) AS rn
+                FROM v, cent0),
+         m0 AS (SELECT cid, e FROM a0 WHERE rn = 1),
+         mx AS (SELECT cid, dim_idx,
+                       floor(sum(CAST(round(e[CAST(dim_idx + 1 AS INTEGER)] * 1000000) AS BIGINT))
+                         / CAST(count(*) AS DOUBLE) + 0.5) / 1000000.0 AS m
+                FROM (SELECT cid, e,
+                             unnest(generate_series(0, CAST(len(e) - 1 AS BIGINT))) AS dim_idx
+                      FROM m0)
+                GROUP BY cid, dim_idx),
+         cmean AS (SELECT cid, list(m ORDER BY dim_idx) AS mean FROM mx GROUP BY cid),
+         cent AS (SELECT c0.cid, coalesce(cmean.mean, c0.ce) AS ce
+                  FROM cent0 c0 LEFT JOIN cmean ON c0.cid = cmean.cid),
+         sp AS (SELECT unnest(generate_series(0, 7)) AS s),
+         subs AS (SELECT vec_id, s, list_slice(e, s*8 + 1, s*8 + 8) AS sub
+                  FROM v CROSS JOIN sp),
+         firstk AS (SELECT vec_id FROM v ORDER BY vec_id LIMIT 16),
+         cb0 AS (SELECT sp.s,
+                        row_number() OVER (PARTITION BY sp.s ORDER BY v.vec_id) - 1 AS ck,
+                        list_slice(v.e, sp.s*8 + 1, sp.s*8 + 8) AS csub
+                 FROM v JOIN firstk USING (vec_id) CROSS JOIN sp),
+         p0 AS (SELECT vec_id, s, ck, sub FROM (
+                  SELECT sub.vec_id, sub.s, cb0.ck, sub.sub,
+                         row_number() OVER (PARTITION BY sub.vec_id, sub.s
+                           ORDER BY round(list_dot_product(sub.sub, sub.sub)
+                             - 2*list_dot_product(sub.sub, cb0.csub)
+                             + list_dot_product(cb0.csub, cb0.csub), 6) ASC,
+                           cb0.ck ASC) AS rn
+                  FROM subs sub JOIN cb0 ON sub.s = cb0.s) t WHERE rn = 1),
+         px AS (SELECT s, ck, pos,
+                       floor(sum(CAST(round(sub[CAST(pos + 1 AS INTEGER)] * 1000000) AS BIGINT))
+                         / CAST(count(*) AS DOUBLE) + 0.5) / 1000000.0 AS m
+                FROM (SELECT s, ck, sub,
+                             unnest(generate_series(0, CAST(len(sub) - 1 AS BIGINT))) AS pos
+                      FROM p0)
+                GROUP BY s, ck, pos),
+         pmean AS (SELECT s, ck, list(m ORDER BY pos) AS mean FROM px GROUP BY s, ck),
+         cb AS (SELECT cb0.s, cb0.ck, coalesce(pmean.mean, cb0.csub) AS csub
+                FROM cb0 LEFT JOIN pmean ON cb0.s = pmean.s AND cb0.ck = pmean.ck),
+         asg AS (SELECT vec_id, e, cid,
+                        ROW_NUMBER() OVER (PARTITION BY vec_id
+                          ORDER BY round(list_cosine_similarity(e, ce), 6) DESC,
+                                   cid ASC) AS crank
+                 FROM v, cent),
+         cells AS (SELECT vec_id, cid AS cell FROM asg WHERE crank = 1),
+         qp AS (SELECT vec_id AS query_id, cid AS cell FROM asg
+                WHERE vec_id < 5 AND crank <= 4),
+         cand AS (SELECT query_id, c.vec_id
+                  FROM cells c JOIN qp ON c.cell = qp.cell
+                  WHERE c.vec_id <> query_id),
          encd AS (SELECT vec_id, s, ck AS code FROM (
                     SELECT sub.vec_id, sub.s, cb.ck,
                            row_number() OVER (PARTITION BY sub.vec_id, sub.s

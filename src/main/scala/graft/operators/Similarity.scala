@@ -246,6 +246,13 @@ object Similarity {
    * through the driver between iterations — nCells x dim doubles, loop
    * control only — which keeps every iteration's plan flat instead of
    * stacking a lineage of self-referencing jobs.
+   *
+   * Training is BIT-DETERMINISTIC: assignment scores use the same
+   * rounded [[cellScores]] formula as the query path, and each mean is
+   * computed in integer micro space (sum of per-component long micros,
+   * then floor(sum/n + 0.5)) — long sums commute, so the result cannot
+   * drift with partitioning or task order, and an external SQL oracle
+   * replays the identical rounds (s08_ann_trained_ivfpq).
    */
   def trainIvfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                         nCells: Int = 16, iters: Int = 5): DataFrame = {
@@ -261,8 +268,7 @@ object Similarity {
       prepared(corpus.orderBy(col(idCol)).limit(nCells), idCol, vecCol)
         .select(col("vec")).collect().map(_.getSeq[Double](0).toSeq).toSeq
     for (_ <- 1 to iters) {
-      val assigned = p.crossJoin(broadcast(centroidFrame(cent)))
-        .withColumn("ccos", dot(col("vec"), col("cvec")) / (col("nrm") * col("cnrm")))
+      val assigned = cellScores(p, centroidFrame(cent))
         .groupBy(col("vid"))
         .agg(min_by(col("cid"), struct(-col("ccos"), col("cid"))).as("cell"),
           first(col("vec")).as("vec"))
@@ -270,10 +276,10 @@ object Similarity {
         .select(col("cell"), posexplode(col("vec")))
         .toDF("cell", "pos", "x")
         .groupBy(col("cell"), col("pos"))
-        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+        .agg(microMean.as("m"))
         .groupBy(col("cell"))
         .agg(transform(
-          array_sort(collect_list(struct(col("pos"), (col("sx") / col("n")).as("m")))),
+          array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("mean"))
         .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toMap
       // empty cell (no members) or degenerate all-zero mean: keep the
@@ -284,6 +290,13 @@ object Similarity {
     }
     centroidFrame(cent)
   }
+
+  /** Order-independent mean of grouped `x`: per-component long micros sum
+   * exactly in any order, and floor(sum/n + 0.5) is the same IEEE double
+   * in every engine — the one aggregate both Lloyd's trainers use, so
+   * trained centroids and codebooks are reproducible bit-for-bit. */
+  private def microMean: Column =
+    floor(sum(round(col("x") * 1e6).cast("long")) / count(lit(1)) + 0.5) / 1e6
 
   // ----------------------------------------------- product quantization
 
@@ -519,7 +532,7 @@ object Similarity {
         .select(col("s"), col("ck"), posexplode(col("sub")))
         .toDF("s", "ck", "pos", "x")
         .groupBy(col("s"), col("ck"), col("pos"))
-        .agg(avg(col("x")).as("mx"))
+        .agg(microMean.as("mx"))
         .groupBy(col("s"), col("ck"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("mx")))),
           e => e.getField("mx")).as("mean"))

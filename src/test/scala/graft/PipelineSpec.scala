@@ -192,6 +192,62 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
       "training must spread the one-cluster pile-up across cells")
   }
 
+  test("training is bit-deterministic under any partitioning") {
+    // the s08 oracle replays training in another engine, so a partial-agg
+    // order dependence (double sums) would flip last ulps between runs —
+    // the micro-mean makes both trainers invariant to partition layout
+    def canon(df: DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    val c7 = Similarity.trainIvfCentroids(emb.repartition(7), "vec_id",
+      "embedding", nCells = 16, iters = 2)
+    val c3 = Similarity.trainIvfCentroids(emb.repartition(3), "vec_id",
+      "embedding", nCells = 16, iters = 2)
+    assert(canon(c7) == canon(c3), "centroids moved with partitioning")
+    val b7 = Similarity.trainPqCodebooks(emb.repartition(7), "vec_id",
+      "embedding", dim = 64, m = 8, codes = 16, iters = 2)
+    val b3 = Similarity.trainPqCodebooks(emb.repartition(3), "vec_id",
+      "embedding", dim = 64, m = 8, codes = 16, iters = 2)
+    assert(canon(b7) == canon(b3), "codebooks moved with partitioning")
+  }
+
+  test("trained IVF-PQ: recall >= untrained at the same probe budget") {
+    // same pathological fixture as the IVF-flat training test: the first
+    // nCells ids all sit in one cluster, so untrained centroids waste the
+    // probe budget on one dense region — training must not lose recall
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val dim = 16
+    val centers = Seq.fill(8)(Array.fill(dim)(rnd.nextGaussian()))
+    def jitter(c: Array[Double]) =
+      c.map(x => (x + 0.08 * rnd.nextGaussian()).toFloat).toSeq
+    val rows = (0 until 512).map { i =>
+      val cluster = if (i < 16) 0 else i % 8
+      (i.toLong, jitter(centers(cluster)))
+    }
+    val skew = rows.toDF("vec_id", "embedding")
+    val queries = skew.filter(col("vec_id") % 41 === 1)
+    val brute = Similarity.bruteForceTopK(skew, queries, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(cents: Option[DataFrame], books: Option[DataFrame]): Double = {
+      val approx = Similarity.ivfPqTopK(skew, queries, "vec_id", "embedding",
+          k = 10, dim = dim, nCells = 16, probes = 2, m = 8, codes = 16,
+          centroids = cents, codebooks = books)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (brute & approx).size.toDouble / brute.size
+    }
+    val cents = Similarity.trainIvfCentroids(skew, "vec_id", "embedding",
+      nCells = 16, iters = 3)
+    val books = Similarity.trainPqCodebooks(skew, "vec_id", "embedding",
+      dim = dim, m = 8, codes = 16, iters = 3)
+    val (rU, rT) = (recallOf(None, None), recallOf(Some(cents), Some(books)))
+    assert(rT >= rU, s"trained IVF-PQ recall $rT < untrained $rU")
+    // ADC ranks by L2 while the ground truth ranks by cosine, so the
+    // absolute floor matches the flat-PQ recall spec, not the IVF one
+    assert(rT > 0.15, s"trained IVF-PQ recall $rT not useful")
+  }
+
   test("crossJaccardPairs equals the self-join restricted to probe pairs") {
     val probes = docs.filter(col("doc_id") % 50 === 0)
     val cross = Dedup.crossJaccardPairs(docs, probes, "doc_id", "text",
