@@ -6,10 +6,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * recorded under "errors" with its timing excluded from the total — a
   * broken query must never bench as a fast success. A warm-up pass at
   * sf0.001 JIT-compiles the codegen/shuffle/scan paths first, then each
-  * query is executed twice and the min reported (steady-state plan cost,
-  * robust to one-off GC/noisy-neighbor hiccups); methodology is declared
-  * in the JSON (`runs`/`agg`). */
+  * query is executed [[Bench.Passes]] times (interleaved across whole
+  * passes) and the min reported (steady-state plan cost, robust to
+  * one-off GC/noisy-neighbor hiccups); methodology is declared in the
+  * JSON (`runs`/`agg`). */
 object Bench {
+
+  /** Interleaved timed passes per query. Three (not two): min-of-2 left a
+    * single co-tenant load spike able to contaminate a query's only clean
+    * sample; a third pass costs ~40 s at sf0.1 and makes min-of-N robust
+    * to one noisy pass per query. */
+  val Passes = 3
 
   /** One timed result: (query, best seconds, error if it failed). Queries
     * run in NAME order (a Map's hash order reshuffles whenever a query is
@@ -26,7 +33,10 @@ object Bench {
     * of defeating min-of-N for every query inside its window. */
   def timeQueries(spark: SparkSession, sfDir: String,
                   queries: Map[String, (SparkSession, String) => DataFrame],
-                  runs: Int = 2): Seq[(String, Double, Option[String])] = {
+                  runs: Int = Passes): Seq[(String, Double, Option[String])] = {
+    // runs < 1 would skip the pass loop entirely and leave `best` empty
+    // while the result mapping still looks every query up
+    require(runs >= 1, s"need at least one pass, got runs=$runs")
     val ordered = queries.toSeq.sortBy(_._1)
     def once(fn: (SparkSession, String) => DataFrame): (Double, Option[String]) = {
       val t0 = System.nanoTime()
@@ -59,7 +69,7 @@ object Bench {
 
   /** The driver-contract JSON line. */
   def toJson(results: Seq[(String, Double, Option[String])], sfDir: String,
-             runs: Int = 2): String = {
+             runs: Int = Passes): String = {
     // same escaping rules as Verify's oracle_sql writer: control chars
     // \u-escape so multi-line Spark errors round-trip through the JSON
     def esc(s: String): String = s.flatMap {

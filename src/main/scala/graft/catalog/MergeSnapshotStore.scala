@@ -51,6 +51,7 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
                          val nBuckets: Int = 32, keepVersions: Int = 2,
                          vacuumRetentionMs: Long = MergeSnapshotStore.DefaultRetentionMs)
     extends SnapshotStore(spark, catalog0, keepVersions) {
+  import MergeSnapshotStore.{TombstoneEpoch, TombstoneGarbled, TombstoneRead, TombstoneUnreadable}
   require(nBuckets >= 1, "nBuckets must be >= 1")
   require(vacuumRetentionMs >= 0, "vacuumRetentionMs must be >= 0")
   private val ManifestRe = "^v=(\\d{6})\\.manifest$".r
@@ -306,15 +307,23 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
             // never earlier).
             val expiredAt =
               if (f.exists(tomb)) {
-                readTombstoneEpoch(f, tomb).getOrElse {
-                  // Repair a garbled tombstone. Hadoop rename does NOT
-                  // overwrite an existing destination on HDFS/object
-                  // stores (only RawLocalFileSystem's POSIX renameTo
-                  // does), so the stale file must be dropped first or
-                  // the repair silently no-ops and this branch returns
-                  // `now` on every commit — a permanent space leak.
-                  f.delete(tomb, false)
-                  writeTombstone(f, tomb, now); now
+                readTombstoneEpoch(f, tomb) match {
+                  case TombstoneEpoch(e) => e
+                  case TombstoneGarbled =>
+                    // Repair a garbled tombstone. Hadoop rename does NOT
+                    // overwrite an existing destination on HDFS/object
+                    // stores (only RawLocalFileSystem's POSIX renameTo
+                    // does), so the stale file must be dropped first or
+                    // the repair silently no-ops and this branch returns
+                    // `now` on every commit — a permanent space leak.
+                    f.delete(tomb, false)
+                    writeTombstone(f, tomb, now); now
+                  case TombstoneUnreadable =>
+                    // transient read failure: the on-disk epoch may be old
+                    // and valid — leave the file alone and act as if the
+                    // clock started now (delete later, never earlier); a
+                    // readable pass on a future commit uses the real epoch
+                    now
                 }
               } else {
                 // first observation: start the retention clock (hidden
@@ -330,17 +339,19 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     }
   }
 
-  /** Reads a tombstone's epoch; None when the file is missing, empty, or
-   * garbled (crash mid-write on a store without atomic create). */
   private def readTombstoneEpoch(f: org.apache.hadoop.fs.FileSystem,
-                                 tomb: Path): Option[Long] =
-    scala.util.Try {
+                                 tomb: Path): TombstoneRead =
+    try {
       val in = f.open(tomb)
       val text =
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
-      text.trim.toLong
-    }.toOption
+      TombstoneEpoch(text.trim.toLong)
+    } catch {
+      case _: java.io.FileNotFoundException => TombstoneGarbled
+      case _: NumberFormatException => TombstoneGarbled
+      case scala.util.control.NonFatal(_) => TombstoneUnreadable
+    }
 
   /** Tombstones commit via the same tmp+rename pattern as manifests, so a
    * crash mid-write leaves either no tombstone or a complete one — never
@@ -355,19 +366,32 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
       // semantics; RawLocalFileSystem's POSIX renameTo is the outlier
       // that overwrites). A destination holding a VALID epoch means we
       // lost a race with a concurrent vacuum that tombstoned first —
-      // its epoch stands, drop our tmp. An invalid destination is a
-      // garbled file another crashed writer left: clear it and retry
-      // once so the repair actually lands.
-      if (readTombstoneEpoch(f, tomb).isDefined) f.delete(tmp, false)
-      else {
-        f.delete(tomb, false)
-        if (!f.rename(tmp, tomb)) f.delete(tmp, false)
+      // its epoch stands, drop our tmp. Only provably-garbled debris
+      // (crashed writer) is cleared and retried; a transient READ error
+      // must also keep the destination — deleting on a flaky read would
+      // replace a valid older epoch and restart the retention clock.
+      readTombstoneEpoch(f, tomb) match {
+        case TombstoneGarbled =>
+          f.delete(tomb, false)
+          if (!f.rename(tmp, tomb)) f.delete(tmp, false)
+        case _ => f.delete(tmp, false)
       }
     }
   }
 }
 
 object MergeSnapshotStore {
+  /** Outcome of reading a tombstone. `Garbled` (missing / empty /
+   * unparseable — a crashed writer's debris) is safe to repair by
+   * overwriting; `Unreadable` (any other I/O failure) means the file may
+   * hold a VALID epoch we transiently could not see, so writers must NOT
+   * clobber it — "the first observer's epoch stands" survives flaky
+   * reads. */
+  private sealed trait TombstoneRead
+  private final case class TombstoneEpoch(epoch: Long) extends TombstoneRead
+  private case object TombstoneGarbled extends TombstoneRead
+  private case object TombstoneUnreadable extends TombstoneRead
+
   /** Default vacuum retention: long enough for any sane snapshot scan to
    * finish after its manifest expires, short enough that space reclaim is
    * still prompt. */
