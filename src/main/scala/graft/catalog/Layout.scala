@@ -36,48 +36,80 @@ object Layout {
       lit(lo), lit(hi), lit(n)) - 1, lit(n - 1)).cast("long")
   }
 
+  /**
+   * Morton interleave of D bucket ranks: bit i of dimension j lands at
+   * position `i*D + (D-1-j)`, so within each bit group the dimensions
+   * keep their declared order of significance (dimension 0 highest —
+   * for D = 2 that is exactly "a gets the odd bits"). One fixed chain
+   * of shift/or expressions, fully codegen'd, no shuffle. The key is a
+   * single long, so D*bits must stay below 64 — at the common 3-D
+   * (time x entity x quality) layout that still leaves 21 bits (2 M
+   * buckets) per dimension, far past where file/row-group stats matter.
+   */
+  def interleave(ranks: Seq[Column], bits: Int): Column = {
+    require(ranks.nonEmpty, "need at least one dimension")
+    val d = ranks.size
+    require(d * bits <= 63, s"z-value would need $d*$bits bits; must be <= 63")
+    val parts = for {
+      (r, j) <- ranks.zipWithIndex
+      i <- 0 until bits
+    } yield shiftleft(shiftright(r, i).bitwiseAND(1), i * d + (d - 1 - j))
+    parts.reduce[Column](_.bitwiseOR(_))
+  }
+
   /** Morton interleave of two bucket ranks (a gets the odd bits). */
   def interleave2(a: Column, b: Column, bits: Int): Column =
-    (0 until bits).map { i =>
-      val ai = shiftleft(shiftright(a, i).bitwiseAND(1), 2 * i + 1)
-      val bi = shiftleft(shiftright(b, i).bitwiseAND(1), 2 * i)
-      ai.bitwiseOR(bi)
-    }.reduce[Column](_.bitwiseOR(_))
+    interleave(Seq(a, b), bits)
+
+  /** The z-value column for N dimensions with clip ranges. */
+  def zValue(dims: Seq[(Column, (Double, Double))], bits: Int): Column =
+    interleave(dims.map { case (c, (lo, hi)) => bucketRank(c, lo, hi, bits) },
+      bits)
 
   /** The z-value column for two dimensions with clip ranges. */
   def zValue(a: Column, aRange: (Double, Double),
              b: Column, bRange: (Double, Double), bits: Int = 8): Column =
-    interleave2(bucketRank(a, aRange._1, aRange._2, bits),
-      bucketRank(b, bRange._1, bRange._2, bits), bits)
+    zValue(Seq((a, aRange), (b, bRange)), bits)
 
   /**
-   * Cluster `df` into `files` range partitions by z-value of the two
+   * Cluster `df` into `files` range partitions by z-value of the given
    * dimensions, each sorted within — written as parquet, every file and
-   * row group carries tight min/max on BOTH dimensions. Ranges default
-   * to the columns' actual min/max (two tiny aggregates; pass explicit
-   * ranges to skip the scan or clip outliers).
+   * row group carries tight min/max on EVERY dimension. A dimension's
+   * clip range defaults to its actual min/max; all missing ranges are
+   * inferred by ONE combined aggregate scan (pass explicit ranges to
+   * skip the scan or clip outliers).
    */
-  def cluster(df: DataFrame, aCol: String, bCol: String, files: Int,
-              aRange: Option[(Double, Double)] = None,
-              bRange: Option[(Double, Double)] = None,
-              bits: Int = 8): DataFrame = {
-    val (ra, rb) = (aRange, bRange) match {
-      case (Some(a), Some(b)) => (a, b)
-      case _ =>
-        // one combined scan covers both columns' bounds
-        val r = df.agg(
-          min(col(aCol).cast("double")), max(col(aCol).cast("double")),
-          min(col(bCol).cast("double")), max(col(bCol).cast("double"))).head()
+  def cluster(df: DataFrame, dims: Seq[(String, Option[(Double, Double)])],
+              files: Int, bits: Int = 8): DataFrame = {
+    require(dims.nonEmpty, "need at least one dimension")
+    val missing = dims.collect { case (c, None) => c }
+    val inferred: Map[String, (Double, Double)] =
+      if (missing.isEmpty) Map.empty
+      else {
+        val aggs = missing.flatMap(c =>
+          Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
+        val r = df.agg(aggs.head, aggs.tail: _*).head()
         require(!r.anyNull,
-          s"cannot infer clip ranges for ($aCol, $bCol): input is empty or a " +
-            "column is all-null — pass aRange/bRange explicitly")
-        (aRange.getOrElse((r.getDouble(0), r.getDouble(1))),
-          bRange.getOrElse((r.getDouble(2), r.getDouble(3))))
-    }
-    val z = zValue(col(aCol), ra, col(bCol), rb, bits)
+          s"cannot infer clip ranges for (${missing.mkString(", ")}): input " +
+            "is empty or a column is all-null — pass ranges explicitly")
+        missing.zipWithIndex.map { case (c, i) =>
+          c -> (r.getDouble(2 * i), r.getDouble(2 * i + 1))
+        }.toMap
+      }
+    val z = zValue(
+      dims.map { case (c, ro) => (col(c), ro.getOrElse(inferred(c))) }, bits)
     df.withColumn("__z", z)
       .repartitionByRange(files, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
   }
+
+  /** Two-dimension convenience overload of [[cluster]] (defaults live on
+   * the N-dim core — Scala allows default arguments on only one
+   * overloaded alternative). */
+  def cluster(df: DataFrame, aCol: String, bCol: String, files: Int,
+              aRange: Option[(Double, Double)],
+              bRange: Option[(Double, Double)],
+              bits: Int): DataFrame =
+    cluster(df, Seq(aCol -> aRange, bCol -> bRange), files, bits)
 }

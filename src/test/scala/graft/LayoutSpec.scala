@@ -26,6 +26,23 @@ class LayoutSpec extends AnyFunSuite with SparkFixture {
     assert(got == 11L)
   }
 
+  test("3-D morton interleave keeps declared significance within bit groups") {
+    import spark.implicits._
+    val got = Seq((3L, 1L, 2L)).toDF("a", "b", "c")
+      .select(Layout.interleave(Seq(col("a"), col("b"), col("c")), 2).as("z"))
+      .head().getLong(0)
+    // bit i of dim j -> position i*3 + (2-j):
+    //   a=0b11 -> positions 2, 5; b=0b01 -> position 1; c=0b10 -> position 3
+    // => z = 0b101110 = 46
+    assert(got == 46L)
+  }
+
+  test("interleave rejects keys wider than a long") {
+    assertThrows[IllegalArgumentException] {
+      Layout.interleave(Seq(col("a"), col("b"), col("c"), col("d")), 16)
+    }
+  }
+
   test("bucketRank clips outliers and caps the top edge into range") {
     import spark.implicits._
     val ranks = Seq(-5.0, 0.0, 511.0, 1023.0, 2000.0).toDF("v")
@@ -48,7 +65,7 @@ class LayoutSpec extends AnyFunSuite with SparkFixture {
     df.repartitionByRange(16, col("x")).sortWithinPartitions(col("x"))
       .write.parquet(s"$base/by_x")
     Layout.cluster(df, "x", "y", files = 16,
-        aRange = Some((0.0, 1023.0)), bRange = Some((0.0, 1023.0)))
+        aRange = Some((0.0, 1023.0)), bRange = Some((0.0, 1023.0)), bits = 8)
       .write.parquet(s"$base/by_z")
 
     // rows emitted by the scan = rows in row groups that SURVIVED
@@ -78,5 +95,48 @@ class LayoutSpec extends AnyFunSuite with SparkFixture {
     // and correctness: same answers from both layouts
     assert(spark.read.parquet(s"$base/by_z").filter(xBox && yBox).count() ==
       spark.read.parquet(s"$base/by_x").filter(xBox && yBox).count())
+  }
+
+  test("3-D z-clustered layout prunes on EVERY dimension") {
+    import spark.implicits._
+    // the common (time x entity x quality) cut: three independent uniform
+    // dimensions, deterministic
+    val n = 65536
+    val df = spark.range(n).select(
+      (hash(col("id"), lit(1)).cast("long").bitwiseAND(1023)).as("x"),
+      (hash(col("id"), lit(2)).cast("long").bitwiseAND(1023)).as("y"),
+      (hash(col("id"), lit(3)).cast("long").bitwiseAND(1023)).as("z"))
+
+    val base = Files.createTempDirectory("graft-layout3").toString
+    // ranges inferred here — exercises the one-scan multi-column inference
+    Layout.cluster(df, Seq("x" -> None, "y" -> None, "z" -> None), files = 64)
+      .write.parquet(s"$base/by_z3")
+
+    def scanned(cond: org.apache.spark.sql.Column): Long = {
+      val q = spark.read.parquet(s"$base/by_z3").filter(cond)
+      q.collect()
+      val scans = q.queryExecution.executedPlan.collect {
+        case a: AdaptiveSparkPlanExec =>
+          a.executedPlan.collect { case s: FileSourceScanExec => s }
+        case s: FileSourceScanExec => Seq(s)
+      }.flatten
+      scans.map(_.metrics("numOutputRows").value).sum
+    }
+
+    // a narrow box on ANY single dimension must skip most files: 64 files
+    // split on the top 6 interleaved bits, i.e. each dimension's top two
+    // bucket bits, so per-file min/max spans ~1/4 of every dimension
+    for (dim <- Seq("x", "y", "z")) {
+      val read = scanned(col(dim) >= 100 && col(dim) < 150)
+      assert(read < n / 2,
+        s"3-D z layout should prune $dim-only scans, read $read of $n")
+    }
+    // correctness: clustering is a pure re-layout
+    assert(spark.read.parquet(s"$base/by_z3").count() == n)
+    assert(spark.read.parquet(s"$base/by_z3")
+      .filter(col("x") >= 100 && col("x") < 150 &&
+        col("y") >= 100 && col("y") < 150).count() ==
+      df.filter(col("x") >= 100 && col("x") < 150 &&
+        col("y") >= 100 && col("y") < 150).count())
   }
 }
