@@ -455,23 +455,32 @@ object Dedup {
    * min-id makes the canonical representative deterministic.
    *
    * Hash-min label propagation with pointer jumping: labels start at
-   * `min(self, neighbors)`; each round takes the min over the
-   * neighborhood (one equi-join + one map-side-combined min aggregate,
-   * both shuffles keyed on node id) and then follows the new label's own
-   * label (path halving). Reach roughly doubles per round, so rounds =
-   * O(log diameter) — a million-node chain needs ~20 rounds, not a
-   * million; `maxIters` bounds the loop. All per-round frames are sized
-   * by the pair graph (nodes + edges), never the corpus. Labels are
-   * [[Materialize]]d each round so the loop's plans stay flat, and
-   * convergence is detected by one count per round (loop control, no
-   * data to the driver).
+   * `min(self, neighbors)`; each round pushes the labels that CHANGED
+   * last round over the edges (one equi-join + one map-side-combined min
+   * aggregate) and then follows the new label's own label (path
+   * halving). Delta pushing is exact for this monotone min: labels only
+   * decrease, every node receives a neighbor's label the round after
+   * that neighbor last moved (round 1 pushes everything), so a no-change
+   * round is a fixed point of the full operator too. Reach roughly
+   * doubles per round, so rounds = O(log diameter) — a million-node
+   * chain needs ~20 rounds, not a million; `maxIters` bounds the loop.
+   * All per-round frames are sized by the pair graph (nodes + edges),
+   * never the corpus. Labels are [[Materialize]]d each round so the
+   * loop's plans stay flat, and convergence is detected by one count per
+   * round (loop control, no data to the driver).
    *
    * Only ids appearing in `pairs` are returned — singletons never enter
    * the pair list; callers wanting them union the corpus in with
    * `cluster = id`.
+   *
+   * `broadcastNodeLimit` is the row bound under which a frame is
+   * broadcast instead of shuffled (parameterized so specs can straddle
+   * it with small graphs; the default tracks a comfortable driver-side
+   * map size).
    */
   def clusters(pairs: DataFrame, aCol: String, bCol: String,
-               maxIters: Int = 20): DataFrame = {
+               maxIters: Int = 20,
+               broadcastNodeLimit: Long = 1000000L): DataFrame = {
     val edges = Materialize(
       pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
         .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
@@ -485,13 +494,26 @@ object Dedup {
     // frame (driver scalar, same pattern as the jaccard radius); small
     // graphs — the common case: near-dup nodes, not the corpus — then
     // broadcast the label side and only the edge scan remains per round.
-    val smallGraph = labels.count() <= 1000000
+    val nodeCount = labels.count()
+    val smallGraph = nodeCount <= broadcastNodeLimit
     def hinted(df: DataFrame): DataFrame = if (smallGraph) broadcast(df) else df
+    // the delta frontier: labels that moved last round. Starts as ALL
+    // nodes (round 1 must push every initial label); from round 2 on it
+    // is re-derived from the materialized convergence filter, and its
+    // size is the SAME scalar the convergence test already computed — so
+    // on a big graph whose activity collapses (the typical long tail of
+    // label propagation) the push join flips to a broadcast mid-run for
+    // free, instead of paying a full shuffle SMJ every round because the
+    // hint was frozen at round 0.
+    var frontier = labels
+    var frontierCount = nodeCount
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
       val prevLabels = labels
-      val prop = edges.join(hinted(labels), edges("dst") === labels("doc"))
+      val frontierSmall = smallGraph || frontierCount <= broadcastNodeLimit
+      val fhinted = if (frontierSmall) broadcast(frontier) else frontier
+      val prop = edges.join(fhinted, edges("dst") === frontier("doc"))
         .groupBy(edges("src").as("doc"))
         .agg(min(col("cluster")).as("nbr_min"))
       // big-graph path: both sides of the jump self-join read `stepped`,
@@ -515,14 +537,19 @@ object Dedup {
       // one job per round: count (unlike isEmpty's take-1) computes EVERY
       // partition of `next`, so the lazy checkpoint's blocks fill in this
       // same action — no separate fill job — and the scalar doubles as
-      // the convergence test
-      converged = next.filter(col("cluster") < col("prev")).count() == 0L
+      // BOTH the convergence test and next round's frontier size (the
+      // adaptive broadcast hint costs nothing extra)
+      frontierCount = next.filter(col("cluster") < col("prev")).count()
+      converged = frontierCount == 0L
       // `next` is fully materialized now, so round N−1's blocks (and the
       // big-graph stepped cut) are dead weight — on a long session they
       // would pin executor storage for every round of every query
       Materialize.release(prevLabels)
       if (!smallGraph) Materialize.release(stepped)
       labels = next.select("doc", "cluster")
+      // cheap derivation over the materialized `next` — no recompute
+      frontier = next.filter(col("cluster") < col("prev"))
+        .select("doc", "cluster")
       it += 1
     }
     Materialize.release(edges) // the returned labels carry their own blocks

@@ -286,6 +286,26 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("clusters: identical labels across a straddled broadcastNodeLimit") {
+    import spark.implicits._
+    // a 40-node path plus a separate pair: 42 nodes. limit = 8 starts the
+    // run on the big-graph (shuffle) path, and the delta frontier — the
+    // count of labels that moved, recomputed each round as the
+    // convergence scalar — shrinks through 8 mid-run, flipping the push
+    // join to a broadcast. Labels must be bit-identical to the pure
+    // small-graph (limit > nodes) and pure shuffle (limit = 0) runs.
+    val pairs = ((1L until 40L).map(i => (i, i + 1)) :+ (100L, 101L))
+      .toDF("doc_a", "doc_b")
+    def run(limit: Long): Map[Long, Long] =
+      Dedup.clusters(pairs, "doc_a", "doc_b", maxIters = 30,
+          broadcastNodeLimit = limit)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val straddled = run(8L)
+    assert(straddled == run(Long.MaxValue) && straddled == run(0L))
+    assert(straddled.filter(_._1 <= 40L).values.toSet == Set(1L) &&
+      straddled(100L) == 100L && straddled(101L) == 100L)
+  }
+
   test("clusters throws rather than returning torn components at maxIters") {
     import spark.implicits._
     // a 64-node path: with pointer jumping reach roughly doubles per
