@@ -3,7 +3,7 @@ package graft.operators
 import scala.collection.mutable
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.LogicalRDD
 
 /**
@@ -39,8 +39,9 @@ import org.apache.spark.sql.execution.LogicalRDD
  *  - [[scoped]] {{{ body }}} releases every cut the current thread created
  *    inside `body` — the per-query harness wrapper (safe under concurrent
  *    query execution, unlike a global sweep);
- *  - [[releaseAll]]() sweeps everything — single-threaded harnesses
- *    (benchmarks) call it between queries.
+ *  - [[releaseAll]]() sweeps every cut of one session — single-threaded
+ *    harnesses (benchmarks) call it between queries; other sessions
+ *    sharing the JVM keep their cuts (the registry is keyed by session).
  *
  * A released frame must never be re-read: localCheckpoint discards the
  * pre-cut lineage, so its blocks cannot be recomputed — release only what
@@ -50,12 +51,29 @@ import org.apache.spark.sql.execution.LogicalRDD
 object Materialize {
   val ReliableKey = "graft.materialize.reliable"
 
-  /** Backing RDD of every live cut (identity set — RDDs hash by id). */
-  private val live = java.util.Collections.newSetFromMap(
-    new java.util.concurrent.ConcurrentHashMap[RDD[_], java.lang.Boolean]())
+  /** Backing RDDs of every live cut, keyed by the owning SparkSession
+   * (identity on both — sessions and RDDs hash by reference/id). Keying
+   * by session keeps multi-tenant JVMs safe: one session's [[releaseAll]]
+   * sweep can never drop another session's cuts. */
+  private val live = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession, java.util.Set[RDD[_]]]()
+
+  private def setFor(s: SparkSession): java.util.Set[RDD[_]] =
+    live.computeIfAbsent(s, _ => java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[RDD[_], java.lang.Boolean]()))
+
+  /** Remove `r` from `s`'s registry; true when it was live. Drops the
+   * session entry once its last cut is gone, so stopped sessions are not
+   * pinned by the registry. */
+  private def deregister(s: SparkSession, r: RDD[_]): Boolean = {
+    val set = live.get(s)
+    val removed = set != null && set.remove(r)
+    if (set != null && set.isEmpty) live.remove(s, set)
+    removed
+  }
 
   /** Cuts created by the current thread's innermost [[scoped]] block. */
-  private val scopeTl = new ThreadLocal[mutable.Buffer[RDD[_]]]
+  private val scopeTl = new ThreadLocal[mutable.Buffer[(SparkSession, RDD[_])]]
 
   def apply(df: DataFrame): DataFrame = {
     val reliable =
@@ -77,8 +95,8 @@ object Materialize {
     // lifetime the checkpoint dir owns — registering is still harmless)
     cut.queryExecution.analyzed.collectFirst { case lr: LogicalRDD => lr.rdd }
       .foreach { r =>
-        live.add(r)
-        Option(scopeTl.get()).foreach(_ += r)
+        setFor(df.sparkSession).add(r)
+        Option(scopeTl.get()).foreach(_ += ((df.sparkSession, r)))
       }
     cut
   }
@@ -89,7 +107,7 @@ object Materialize {
    * cut is a safe no-op. The released frame must not be read again. */
   def release(df: DataFrame): Unit =
     df.queryExecution.analyzed.foreach {
-      case lr: LogicalRDD if live.remove(lr.rdd) =>
+      case lr: LogicalRDD if deregister(df.sparkSession, lr.rdd) =>
         lr.rdd.unpersist(blocking = false)
       case _ => ()
     }
@@ -99,19 +117,32 @@ object Materialize {
    * query's cuts die with it; other threads' cuts are untouched). */
   def scoped[T](body: => T): T = {
     val outer = scopeTl.get()
-    val mine = mutable.Buffer.empty[RDD[_]]
+    val mine = mutable.Buffer.empty[(SparkSession, RDD[_])]
     scopeTl.set(mine)
     try body
     finally {
       scopeTl.set(outer)
-      mine.foreach { r => if (live.remove(r)) r.unpersist(blocking = false) }
+      mine.foreach { case (s, r) =>
+        if (deregister(s, r)) r.unpersist(blocking = false)
+      }
     }
   }
 
-  /** Release every live cut — for single-threaded harnesses between
-   * queries. Unsafe while another thread's query is mid-flight. */
-  def releaseAll(): Unit = {
-    val it = live.iterator()
-    while (it.hasNext) { it.next().unpersist(blocking = false); it.remove() }
+  /** Release every live cut owned by `session` — for single-threaded
+   * harnesses between queries. Other sessions' cuts in the same JVM are
+   * untouched. Unsafe while another thread's query on THIS session is
+   * mid-flight. */
+  def releaseAll(session: SparkSession): Unit = {
+    val set = live.remove(session)
+    if (set != null) {
+      val it = set.iterator()
+      while (it.hasNext) { it.next().unpersist(blocking = false); it.remove() }
+    }
   }
+
+  /** [[releaseAll]] for the calling thread's active (else default)
+   * session — the convenience form for single-session harnesses. */
+  def releaseAll(): Unit =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .foreach(releaseAll)
 }

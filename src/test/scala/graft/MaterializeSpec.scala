@@ -72,6 +72,25 @@ class MaterializeSpec extends AnyFunSuite with SparkFixture {
     assert((persisted -- before).isEmpty)
   }
 
+  test("releaseAll is session-scoped: another session's cuts survive a sweep") {
+    Materialize.releaseAll()
+    val before = persisted
+    // second SparkSession on the SAME SparkContext — the multi-tenant JVM
+    // shape (notebook servers, shared drivers) where a process-global
+    // registry would let one tenant's sweep drop another's cuts
+    val other = spark.newSession()
+    val mine = Materialize((1 to 20).toDF("a"))
+    val theirs = Materialize(other.range(20).toDF("b"))
+    assert(mine.count() == 20 && theirs.count() == 20)
+    assert((persisted -- before).size >= 2)
+    Materialize.releaseAll(spark)
+    assert((persisted -- before).nonEmpty,
+      "sweeping one session must not release the other session's cuts")
+    assert(theirs.count() == 20, "the other session's cut must stay readable")
+    Materialize.releaseAll(other)
+    assert((persisted -- before).isEmpty)
+  }
+
   test("clusters() releases every per-round frame except the returned labels") {
     Materialize.releaseAll()
     val before = persisted
