@@ -55,16 +55,30 @@ object StreamingIngest {
     else timed.dropDuplicates("pos")
   }
 
-  /** Land the hashed, date-partitioned stream as parquet (append-only —
-   * the streaming twin of the batch landing write). */
-  def landTo(df: DataFrame, location: String, checkpoint: String,
+  /** Land the hashed, date-partitioned stream through the catalog — the
+   * streaming twin of the batch stage-1 landing ([[GgLogsToParquet.run]]).
+   * Each micro-batch appends via [[SnapshotStore.appendPartitioned]]
+   * (partition layout comes from the table's registered metadata, not a
+   * hardcoded path) and then re-registers the landed schema, keeping the
+   * catalog definition in step with every landing write — parity with the
+   * reference's `write_catalog(enableUpdateCatalog=True, partitionKeys=
+   * PARTITION_BY)` at ingest (src/gg_logs_to_parquet.py:106-123).
+   *
+   * foreachBatch trades the file sink's commit log for the store/catalog
+   * path, so a micro-batch retried after a crash can append twice; the
+   * downstream CDC stage dedups replayed events by `pos`
+   * ([[dedupByPos]]), which is where landing idempotence is enforced. */
+  def landTo(df: DataFrame, store: SnapshotStore, db: String, table: String,
+             checkpoint: String,
              trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     df.drop("event_ts").writeStream
-      .format("parquet")
-      .option("path", location)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        store.appendPartitioned(db, table, batch)
+        val meta = store.catalog(db, table)
+        store.catalog.register(meta.copy(schema = Some(batch.schema)))
+        ()
+      }
       .option("checkpointLocation", checkpoint)
-      .partitionBy(GgLogsToParquet.PartitionBy: _*)
-      .outputMode("append")
       .trigger(trigger)
       .start()
 

@@ -27,18 +27,30 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     val batch = GgLogsToParquet.ingest(batchRaw)
 
     val out = Files.createTempDirectory("graft-stream-land").toString
+    val catalog = new InMemoryCatalog
+    val store = new SnapshotStore(spark, catalog)
+    catalog.register(TableMeta("ldb", "raw_events", s"$out/landing",
+      partitionBy = GgLogsToParquet.PartitionBy))
     val stream = StreamingIngest.ingest(
       StreamingIngest.readRawStream(spark, s"$raw/*", batchRaw.schema))
-    val q = StreamingIngest.landTo(stream, s"$out/landing", s"$out/ckpt")
+    val q = StreamingIngest.landTo(stream, store, "ldb", "raw_events", s"$out/ckpt")
     q.awaitTermination()
 
-    val landed = spark.read.parquet(s"$out/landing")
+    val landed = store.readFlat("ldb", "raw_events")
     assert(landed.count() == batch.count())
     // identical hash content (partition layout aside)
     def hashSum(df: org.apache.spark.sql.DataFrame) =
       df.agg(sum(col("after_hash").cast("long"))).head.getLong(0)
     assert(hashSum(landed) == hashSum(batch))
     assert(landed.columns.contains("part_date"))
+    // catalog parity with batch stage 1: the landed schema is registered
+    // after the stream batch, exactly as GgLogsToParquet.run registers it
+    val registered = catalog("ldb", "raw_events").schema
+    assert(registered.isDefined, "stream landing must register the schema")
+    assert(registered.get.fieldNames.sorted.toSeq ==
+      batch.schema.fieldNames.sorted.toSeq)
+    assert(Set("after_hash", "part_date").subsetOf(
+      registered.get.fieldNames.map(_.toLowerCase).toSet))
   }
 
   test("foreachBatch CDC apply reaches the batch end state") {
