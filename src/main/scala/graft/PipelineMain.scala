@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 
 import graft.catalog.{InMemoryCatalog, MergeSnapshotStore, TableMeta}
 import graft.ingest.GgLogsToParquet
-import graft.operators.{ChangeLogApplier, CuratedApplier, DomainRunner, QueryRunner}
+import graft.operators.{ChangeLogApplier, CuratedApplier, Dedup, DomainRunner, Materialize, QueryRunner}
 
 /**
  * One-command end-to-end run of the five reference stages on the
@@ -19,6 +19,10 @@ import graft.operators.{ChangeLogApplier, CuratedApplier, DomainRunner, QueryRun
  *   3. apply_to_curated     structured -> curated promotion
  *   4. apply_to_domains     definition CSV SQL -> domain snapshot
  *   5. glue_query           ad-hoc projection + predicate (demo_querys:3)
+ *
+ * plus a sixth stage beyond the reference's surface: the fused
+ * training-data dedup pipeline (pairs -> clusters -> keep from one
+ * pair-graph computation) landing the kept corpus as a catalog table.
  *
  *   sbt "runMain graft.PipelineMain [workDir]"
  *
@@ -133,6 +137,27 @@ object PipelineMain {
     stage(5, s"query -> $nQ rows with offender_id > 15") {
       nQ > 0 && q.filter(col("offender_id") <= 15).count() == 0
     }
+
+    // 6. training-data dedup: the fused pairs -> clusters -> keep
+    // pipeline over the synthetic documents corpus — one pair-graph
+    // computation feeds all three answers, and the kept corpus lands as
+    // a catalog table like any other snapshot
+    val docsPath = sys.env.getOrElse("GRAFT_DOCS_DATA",
+      "/root/testdata/sf0.001/documents.parquet")
+    val docs = spark.read.parquet(docsPath)
+    val dd = Dedup.dedupPipeline(docs, "doc_id", "text", n = 1, threshold = 0.95)
+    val nDocs = docs.count()
+    val nPairs = dd.pairs.count()
+    val nDrop = dd.labels.filter(col("doc") =!= col("cluster")).count()
+    val nKeep = dd.keep.count()
+    catalog.register(TableMeta(Db, "documents_kept", s"$work/documents_kept"))
+    store.overwrite(Db, "documents_kept", dd.keep)
+    stage(6, s"dedup pipeline -> $nPairs pairs, $nDrop non-canonical dropped, " +
+        s"$nKeep of $nDocs kept") {
+      nPairs > 0 && nDrop > 0 && nKeep + nDrop == nDocs &&
+        store.read(Db, "documents_kept").count() == nKeep
+    }
+    Materialize.releaseAll()
 
     println(s"[pipeline] E2E complete under $work")
     spark.stop()

@@ -171,6 +171,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // the fused pairs -> clusters -> keep pipeline: same keep set as d07
+    // but ALL THREE dedup stages share one pair-graph computation
+    // (dedupPipeline cuts the verified pairs once) — oracle-gates the
+    // fusion end-to-end against the same recursive-CTE cluster walk
+    "d09_dedup_pipeline" -> ((s, d) =>
+      Dedup.dedupPipeline(t(s, d, "documents"), "doc_id", "text",
+          n = 1, threshold = 0.95)
+        .keep.select(col("doc_id")).orderBy("doc_id")),
+
     // §2.9 mapper as pure expressions: image pick, casts, json field, split
     "q13_cdc_mapper" -> ((s, d) =>
       events(s, d).select(
@@ -1128,6 +1137,14 @@ object SparkEntry {
       "SELECT doc, min(lab) AS cluster FROM walk GROUP BY doc ORDER BY doc"),
 
     "d07_dedup_keep" -> (ClusterWalkCte +
+      """SELECT doc_id FROM documents
+         WHERE doc_id NOT IN (SELECT doc FROM (SELECT doc, min(lab) AS cluster
+                                               FROM walk GROUP BY doc) l
+                              WHERE doc <> cluster)
+         ORDER BY doc_id"""),
+
+    // the fused pipeline must land on exactly the separate-stage answer
+    "d09_dedup_pipeline" -> (ClusterWalkCte +
       """SELECT doc_id FROM documents
          WHERE doc_id NOT IN (SELECT doc FROM (SELECT doc, min(lab) AS cluster
                                                FROM walk GROUP BY doc) l

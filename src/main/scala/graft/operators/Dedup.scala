@@ -444,6 +444,41 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  // ------------------------------------------------------- fused pipeline
+
+  /** The three answers of an end-to-end dedup run, all derived from ONE
+   * pair-graph computation: the verified near-dup `pairs` (the d04
+   * answer), the connected-component `labels` over them (d06), and the
+   * `keep` rows — the corpus minus non-canonical cluster members (d07). */
+  final case class DedupResult(pairs: DataFrame, labels: DataFrame,
+                               keep: DataFrame)
+
+  /**
+   * Fused pairs -> clusters -> keep-set pipeline. Run separately, the
+   * three stages each recompute the pair graph — the expensive part:
+   * tokenize the corpus, generate candidates, verify with exact set
+   * intersection — so a pipeline that wants all three (every production
+   * dedup run does: pairs for audit, labels for grouping, keep for the
+   * output corpus) pays it three times. Here the pair graph is
+   * [[Materialize]]d once; cluster propagation reads the cut, and the
+   * keep set is one anti-join of the corpus against the (tiny)
+   * non-canonical label set. Total corpus passes: one tokenize + one
+   * keep-set scan, independent of how many of the three outputs are
+   * consumed.
+   *
+   * Lifetime: `pairs` and `labels` are materialized cuts — callers
+   * release them ([[Materialize.release]]/[[Materialize.scoped]]) after
+   * their terminal actions, like any other cut.
+   */
+  def dedupPipeline(df: DataFrame, idCol: String, textCol: String, n: Int,
+                    threshold: Double, maxIters: Int = 20): DedupResult = {
+    val pairs = Materialize(jaccardPairs(df, idCol, textCol, n, threshold))
+    val labels = clusters(pairs, "doc_a", "doc_b", maxIters)
+    val drop = labels.filter(col("doc") =!= col("cluster")).select(col("doc"))
+    val keep = df.join(drop, df(idCol) === drop("doc"), "left_anti")
+    DedupResult(pairs, labels, keep)
+  }
+
   // ---------------------------------------------------- cluster resolution
 
   /**

@@ -286,6 +286,66 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("dedupPipeline: separate-stage answers from ONE pair-graph computation") {
+    import graft.operators.Materialize
+    val sc = spark.sparkContext
+    // jobs launched inside `body`, tagged via job group; the status
+    // tracker is fed asynchronously off the listener bus, so poll until
+    // the count is stable across two reads
+    def jobsIn(group: String)(body: => Unit): Int = {
+      sc.setJobGroup(group, group, interruptOnCancel = false)
+      try body finally sc.clearJobGroup()
+      def n() = sc.statusTracker.getJobIdsForGroup(group).length
+      var prev = -1
+      var cur = n()
+      while (cur != prev) { Thread.sleep(300); prev = cur; cur = n() }
+      cur
+    }
+
+    var fusedPairs = Set.empty[(Long, Long)]
+    var fusedLabels = Map.empty[Long, Long]
+    var fusedKeep = Set.empty[Long]
+    val fusedJobs = jobsIn("dedup-fused") {
+      val r = Dedup.dedupPipeline(docs, "doc_id", "text", n = 1, threshold = 0.95)
+      fusedPairs = pairSet(r.pairs)
+      fusedLabels = r.labels.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      fusedKeep = r.keep.select("doc_id").collect().map(_.getLong(0)).toSet
+      Materialize.releaseAll()
+    }
+
+    var sepPairs = Set.empty[(Long, Long)]
+    var sepLabels = Map.empty[Long, Long]
+    var sepKeep = Set.empty[Long]
+    val separateJobs = jobsIn("dedup-separate") {
+      // d04, d06, d07 exactly as the standalone queries run them
+      sepPairs = pairSet(
+        Dedup.jaccardPairs(docs, "doc_id", "text", n = 1, threshold = 0.95))
+      Materialize.releaseAll()
+      val labels = Dedup.clusters(
+        Dedup.jaccardPairs(docs, "doc_id", "text", n = 1, threshold = 0.95),
+        "doc_a", "doc_b")
+      sepLabels = labels.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      Materialize.releaseAll()
+      val labels2 = Dedup.clusters(
+        Dedup.jaccardPairs(docs, "doc_id", "text", n = 1, threshold = 0.95),
+        "doc_a", "doc_b")
+      val drop = labels2.filter(col("doc") =!= col("cluster")).select(col("doc"))
+      sepKeep = docs.join(drop, docs("doc_id") === drop("doc"), "left_anti")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      Materialize.releaseAll()
+    }
+
+    // d04/d06/d07 outputs unchanged by the fusion
+    assert(fusedPairs == sepPairs && fusedPairs.nonEmpty)
+    assert(fusedLabels == sepLabels)
+    assert(fusedKeep == sepKeep)
+    // and the fusion actually shares work: the separate path recomputes
+    // the pair graph (tokenize + candidates + verify) three times, so it
+    // must launch strictly more Spark jobs than the fused run
+    assert(fusedJobs < separateJobs,
+      s"fused=$fusedJobs jobs, separate=$separateJobs jobs — no reuse?")
+  }
+
   test("clusters: identical labels across a straddled broadcastNodeLimit") {
     import spark.implicits._
     // a 40-node path plus a separate pair: 42 nodes. limit = 8 starts the
