@@ -957,7 +957,29 @@ object SparkEntry {
           "vec_id", "embedding", k = 10, nCells = 16, probes = 4)
         .select("query_id", "rank", "neighbor_id")
         .orderBy("query_id", "rank")
-    }))
+    }),
+
+    // IVF-probed RANGE search: every corpus vector above a similarity
+    // bar within the query's probed cells — no k cap, no rank shuffle;
+    // the oracle replays assignment, probing, and the threshold
+    "s09_ann_range_search" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.ivfRangeSearch(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", threshold = 0.3, nCells = 16, probes = 4)
+        .withColumn("cos", round(col("cos"), 4))
+        .orderBy("query_id", "neighbor_id")
+    }),
+
+    // data mixing: downsample classes to a target mixture (the largest
+    // achievable output with no upsampling). The per-class rates are
+    // DATA-DEPENDENT — the oracle recomputes them with the identical
+    // left-to-right arithmetic before replaying the md5 keep filter
+    "d10_mixture_sample" -> ((s, d) =>
+      Sampling.mixtureSample(t(s, d, "embeddings").select("vec_id", "label"),
+          "label", "vec_id",
+          Map("0" -> 4.0, "1" -> 3.0, "2" -> 2.0, "3" -> 2.0, "4" -> 1.0))
+        .select("vec_id", "label")
+        .orderBy("vec_id")))
 
   /** Shared oracle snippet for d06/d07: the 0.95-jaccard near-dup graph
    * (same tokenization/threshold as d04) plus the recursive reachability
@@ -1442,7 +1464,39 @@ object SparkEntry {
                       ROW_NUMBER() OVER (PARTITION BY query_id
                         ORDER BY cos DESC, neighbor_id ASC) AS rank FROM s)
          SELECT query_id, rank, neighbor_id
-         FROM r WHERE rank <= 10 ORDER BY query_id, rank""")
+         FROM r WHERE rank <= 10 ORDER BY query_id, rank""",
+
+    // same assignment/probe CTEs as s03, thresholded instead of ranked
+    "s09_ann_range_search" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         cent AS (SELECT vec_id AS cid, e AS ce FROM v ORDER BY vec_id LIMIT 16),
+         asg AS (SELECT vec_id, e, cid,
+                        ROW_NUMBER() OVER (PARTITION BY vec_id
+                          ORDER BY round(list_cosine_similarity(e, ce), 6) DESC,
+                                   cid ASC) AS crank
+                 FROM v, cent),
+         idx AS (SELECT vec_id, e, cid AS cell FROM asg WHERE crank = 1),
+         qp AS (SELECT vec_id AS query_id, e AS qe, cid AS cell FROM asg
+                WHERE vec_id < 5 AND crank <= 4)
+         SELECT query_id, c.vec_id AS neighbor_id,
+                round(list_cosine_similarity(c.e, qe), 4) AS cos
+         FROM idx c JOIN qp ON c.cell = qp.cell AND c.vec_id <> query_id
+         WHERE list_cosine_similarity(c.e, qe) >= 0.3
+         ORDER BY query_id, neighbor_id""",
+
+    "d10_mixture_sample" ->
+      """WITH cnt AS (SELECT CAST(label AS VARCHAR) AS c, count(*) AS n
+                      FROM embeddings GROUP BY 1),
+         t(c, w) AS (VALUES ('0', 4.0), ('1', 3.0), ('2', 2.0), ('3', 2.0), ('4', 1.0)),
+         nn AS (SELECT min(n / w) AS bign FROM cnt JOIN t USING (c)),
+         rate AS (SELECT c, least(1.0, (w * bign) / n) AS r
+                  FROM cnt JOIN t USING (c), nn)
+         SELECT vec_id, label FROM embeddings e
+         JOIN rate ON CAST(e.label AS VARCHAR) = rate.c
+         WHERE substring(md5(CAST(vec_id AS VARCHAR) || ':42'), 1, 4) <
+               CASE WHEN r >= 1.0 THEN 'zzzz'
+                    ELSE printf('%04x', CAST(floor(r * 65536) AS BIGINT)) END
+         ORDER BY vec_id""")
 
   // -------------------------------------------------------------- public
 

@@ -69,6 +69,42 @@ object Sampling {
     df.filter(keyDigest(keyCol, seed) < thr)
   }
 
+  /**
+   * Mixture (data-mixing) sample: downsample classes so the OUTPUT
+   * follows the target class WEIGHTS — the standard rebalancing step of
+   * a training-data pipeline (hit a target language/domain/quality mix
+   * from a skewed crawl). Weights are relative (they need not sum to 1);
+   * no class is upsampled, and the output is the LARGEST achievable for
+   * the requested mixture: N = min over target classes of n_c / w_c,
+   * rate_c = (w_c * N) / n_c (the binding class keeps everything).
+   * Classes outside `targets` are dropped; target classes absent from
+   * the data are ignored.
+   *
+   * Per-class counts are one tiny aggregate collected driver-side
+   * (|classes| rows — configuration, not data); the sample itself is the
+   * same content-keyed narrow filter as [[hashSampleBy]], so the whole
+   * operator is two corpus passes at any scale, deterministic across
+   * engines, partitionings, and retries.
+   */
+  def mixtureSample(df: DataFrame, classCol: String, keyCol: String,
+                    targets: Map[String, Double], seed: Long = 42L): DataFrame = {
+    require(targets.nonEmpty && targets.values.forall(_ > 0.0),
+      "targets must be non-empty with positive weights")
+    val counts = df.groupBy(col(classCol).cast("string").as("c"))
+      .agg(count(lit(1)).as("n"))
+      .collect().flatMap(r => Option(r.getString(0)).map(_ -> r.getLong(1)))
+      .toMap
+    val present = targets.filter { case (c, _) => counts.contains(c) }
+    require(present.nonEmpty, "no target class present in the data")
+    // left-to-right IEEE arithmetic, replayed identically by the oracle:
+    // n / w (long -> double), min, then (w * N) / n, clamped at 1
+    val bigN = present.map { case (c, w) => counts(c) / w }.min
+    val rates = present.map { case (c, w) =>
+      c -> math.min(1.0, (w * bigN) / counts(c))
+    }
+    hashSampleBy(df, classCol, keyCol, rates, default = 0.0, seed)
+  }
+
   /** Empty relation with an explicit runtime schema (reference
    * src/apply_change_log_to_delta.py:268-269). */
   def emptyRelation(spark: SparkSession, schema: StructType): DataFrame =

@@ -228,6 +228,44 @@ object Similarity {
   }
 
   /**
+   * IVF-probed cosine RANGE search: for each query vector, EVERY corpus
+   * vector with cosine >= `threshold` among the query's `probes` nearest
+   * cells — the retrieval twin of [[ivfTopK]] for consumers that want
+   * "all matches above a similarity bar" (contamination sweeps,
+   * recall-bounded candidate generation, radius joins) rather than a
+   * fixed k. Same deterministic coarse-quantizer seam and cell-scoring
+   * formula as the rest of the IVF family; the probed-cell restriction
+   * is part of the operator contract (recall bounded by the probed
+   * cells, exact within them — the same shape as [[signCosinePairs]]'s
+   * bucket predicate). Per-query scan cost is ~probes/nCells of the
+   * corpus and the output size is the true match count — nothing is
+   * capped, so no per-query window/rank shuffle is needed at all.
+   */
+  def ivfRangeSearch(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, threshold: Double, nCells: Int = 16,
+                     probes: Int = 4,
+                     centroids: Option[DataFrame] = None): DataFrame = {
+    val cent = centroids.getOrElse(defaultCentroids(corpus, idCol, vecCol, nCells))
+    def scoredCells(df: DataFrame) = cellScores(df, cent)
+    val indexed = scoredCells(prepared(corpus, idCol, vecCol))
+      .groupBy(col("vid"))
+      .agg(min_by(col("cid"), struct(-col("ccos"), col("cid"))).as("cell"),
+        first(col("vec")).as("vec"), first(col("nrm")).as("nrm"))
+    val qw = Window.partitionBy(col("vid"))
+      .orderBy(col("ccos").desc, col("cid").asc)
+    val q = scoredCells(prepared(queries, idCol, vecCol))
+      .withColumn("crank", row_number().over(qw))
+      .filter(col("crank") <= probes)
+      .select(col("vid").as("query_id"), col("vec").as("qvec"),
+        col("nrm").as("qnrm"), col("cid").as("cell"))
+    indexed.join(broadcast(q),
+        indexed("cell") === q("cell") && col("vid") =!= col("query_id"))
+      .withColumn("cos", dot(col("vec"), col("qvec")) / (col("nrm") * col("qnrm")))
+      .filter(col("cos") >= threshold)
+      .select(col("query_id"), col("vid").as("neighbor_id"), col("cos"))
+  }
+
+  /**
    * Lloyd's k-means training for the IVF coarse quantizer (spherical
    * assignment: nearest centroid by cosine, new centroid = member mean).
    * Returns `(cid, cvec, cnrm)` for [[ivfTopK]]'s `centroids` seam.

@@ -611,6 +611,64 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(recall >= 0.3, s"recall=$recall")
   }
 
+  test("ivfRangeSearch: exact within probed cells, subset of brute threshold") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val thr = 0.25
+    val got = Similarity.ivfRangeSearch(emb, queries, "vec_id", "embedding",
+        threshold = thr, nCells = 8, probes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty)
+    assert(got.forall(_._3 >= thr))
+    assert(got.forall(r => r._1 != r._2))
+    // subset of the full-scan threshold matches (probing only loses)
+    val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding",
+        k = Int.MaxValue)
+      .filter(col("cos") >= thr)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.map(r => (r._1, r._2)).toSet.subsetOf(brute))
+    // with EVERY cell probed, range search equals the exact answer
+    val full = Similarity.ivfRangeSearch(emb, queries, "vec_id", "embedding",
+        threshold = thr, nCells = 8, probes = 8)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == brute)
+  }
+
+  test("mixtureSample: output follows target weights, nothing upsampled") {
+    import graft.operators.Sampling
+    val targets = Map("0" -> 4.0, "1" -> 3.0, "2" -> 2.0, "3" -> 2.0, "4" -> 1.0)
+    val in = emb.select(col("vec_id"), col("label"))
+    val out = Sampling.mixtureSample(in, "label", "vec_id", targets)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val inCnt = in.collect().map(_.getInt(1))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val outCnt = out.map(_._2).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    // only target classes survive; none exceeds its input count
+    assert(outCnt.keySet.subsetOf(Set(0, 1, 2, 3, 4)))
+    assert(outCnt.forall { case (c, n) => n <= inCnt(c) })
+    // the binding class (largest n/w deficit) is kept in full
+    val bigN = targets.map { case (c, w) => inCnt(c.toInt) / w }.min
+    val binding = targets.collectFirst {
+      case (c, w) if inCnt(c.toInt) / w == bigN => c.toInt
+    }.get
+    assert(outCnt(binding) == inCnt(binding))
+    // realized mixture tracks the weights (hash-threshold noise aside):
+    // every class lands within 35% relative of its target share
+    val total = out.length.toDouble
+    val wsum = targets.values.sum
+    targets.foreach { case (c, w) =>
+      val share = outCnt.getOrElse(c.toInt, 0L) / total
+      val want = w / wsum
+      assert(math.abs(share - want) / want < 0.35,
+        s"class $c share $share vs target $want")
+    }
+    // determinism: same call, same rows
+    val again = Sampling.mixtureSample(in, "label", "vec_id", targets)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(again.toSet == out.toSet)
+  }
+
   test("signTopK: k rows per query, self excluded, candidates within hamming 1") {
     val res = Similarity.signTopK(emb, emb.filter(col("vec_id") < 3),
       "vec_id", "embedding", k = 5, planes = 3).collect()
