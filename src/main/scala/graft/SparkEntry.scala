@@ -771,6 +771,13 @@ object SparkEntry {
       TextAnalysis.tfIdfTopK(t(s, d, "documents"), "doc_id", "text", k = 5)
         .orderBy("doc", "rank")),
 
+    // perplexity-style corpus quality filter with only integer counting:
+    // mean corpus document frequency of each doc's distinct char
+    // trigrams (one rounded division per doc — oracle replays exactly)
+    "t07_trigram_familiarity" -> ((s, d) =>
+      TextAnalysis.trigramFamiliarity(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // rolling-hash winnowing fingerprints (MOSS): k-gram hashes, window
     // minima, distinct per doc (typed fast form; expression form proven
     // equal in PipelineSpec)
@@ -1114,6 +1121,18 @@ object SparkEntry {
 
     "t04_fingerprint" -> (NormCte +
       "SELECT doc_id, md5(t) AS fingerprint FROM n ORDER BY doc_id"),
+
+    "t07_trigram_familiarity" -> (NormCte +
+      """, g AS (SELECT doc_id, t FROM n WHERE length(t) >= 3),
+         pos AS (SELECT doc_id, unnest(generate_series(1, length(t) - 2)) AS i, t
+                 FROM g),
+         tri AS (SELECT DISTINCT doc_id,
+                        substring(t, CAST(i AS INTEGER), 3) AS tg FROM pos),
+         dfq AS (SELECT tg, count(*) AS df FROM tri GROUP BY 1)
+         SELECT doc_id, count(*) AS n_trigrams,
+                round(CAST(sum(df) AS DOUBLE) / count(*), 4) AS familiarity
+         FROM tri JOIN dfq USING (tg)
+         GROUP BY doc_id ORDER BY doc_id"""),
 
     "t06_tfidf" -> (NormCte +
       """, tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS term FROM n),

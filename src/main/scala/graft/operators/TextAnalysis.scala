@@ -221,6 +221,43 @@ object TextAnalysis {
       .select(col("doc"), col("rank"), col("term"), col("score"))
   }
 
+  /**
+   * Trigram-familiarity quality score — a perplexity-style corpus filter
+   * with no trained model and no floating-point hazard: score(doc) =
+   * mean corpus DOCUMENT FREQUENCY of the doc's distinct char trigrams.
+   * Docs built from trigrams the corpus has rarely seen (mojibake,
+   * ciphertext, boilerplate soup in a foreign charset) score low; docs
+   * whose character statistics match the corpus score high — the same
+   * role CCNet's LM-perplexity filter plays, computed from the corpus
+   * itself. All counting is integer; the single division happens once
+   * per doc and is rounded, so any engine replays it bit-for-bit.
+   *
+   * Shape at scale: one tokenize pass to the distinct (doc, trigram)
+   * table, [[Materialize]]d because it feeds BOTH the document-frequency
+   * aggregate and the score join; the df side is dictionary-sized (the
+   * trigram space of natural text is tens of thousands of types, Zipf
+   * everywhere) and broadcasts back. Docs shorter than one trigram are
+   * excluded (no trigrams to score).
+   */
+  def trigramFamiliarity(df: DataFrame, idCol: String,
+                         textCol: String): DataFrame = {
+    val tri = Materialize(
+      df.select(col(idCol).as("doc_id"), normalizeText(col(textCol)).as("t"))
+        .filter(length(col("t")) >= 3)
+        .select(col("doc_id"), explode(array_distinct(
+          transform(sequence(lit(1), length(col("t")) - 2),
+            i => col("t").substr(i, lit(3))))).as("g")))
+    // one row per (doc, distinct trigram) IS a document occurrence, so
+    // document frequency reduces the tri table itself — same pattern as
+    // [[tfIdfTopK]]'s df
+    val dfreq = tri.groupBy("g").agg(count(lit(1)).as("df"))
+    tri.join(broadcast(dfreq), Seq("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"),
+        round(sum(col("df")).cast("double") / count(lit(1)), 4)
+          .as("familiarity"))
+  }
+
   /** All features in one pass over the corpus. */
   def withTextFeatures(df: DataFrame, textCol: String): DataFrame = {
     val c = col(textCol)

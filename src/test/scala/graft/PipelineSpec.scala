@@ -676,6 +676,23 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(res.forall(r => r.getLong(2) != r.getLong(0)))
   }
 
+  test("trigramFamiliarity equals a direct per-doc computation") {
+    import spark.implicits._
+    val tiny = Seq((1L, "abcd"), (2L, "bcde"), (3L, "zzzz"), (4L, "ab"))
+      .toDF("doc_id", "text")
+    // trigrams: 1 -> {abc,bcd}; 2 -> {bcd,cde}; 3 -> {zzz} (distinct!);
+    // 4 has none (too short, excluded). df: abc 1, bcd 2, cde 1, zzz 1.
+    // familiarity: 1 -> (1+2)/2 = 1.5; 2 -> (2+1)/2 = 1.5; 3 -> 1/1 = 1
+    val got = TextAnalysis.trigramFamiliarity(tiny, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == Map(1L -> ((2L, 1.5)), 2L -> ((2L, 1.5)), 3L -> ((1L, 1.0))))
+    // and on the real corpus: every scored doc has at least one trigram,
+    // and familiarity is at least 1 (a trigram occurs in its own doc)
+    val real = TextAnalysis.trigramFamiliarity(docs, "doc_id", "text").collect()
+    assert(real.nonEmpty)
+    assert(real.forall(r => r.getLong(1) >= 1 && r.getDouble(2) >= 1.0))
+  }
+
   test("winnowing fingerprints match a direct rolling-hash computation") {
     val one = docs.orderBy("doc_id").limit(1)
     val row = one.select(col("doc_id"),
