@@ -778,6 +778,12 @@ object SparkEntry {
       TextAnalysis.trigramFamiliarity(t(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // Gopher-style repetition filters: per-doc word 2-/3-gram repeat
+    // fractions as pure narrow expressions (no shuffle, no join)
+    "t08_repetition" -> ((s, d) =>
+      TextAnalysis.repetitionRatios(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // rolling-hash winnowing fingerprints (MOSS): k-gram hashes, window
     // minima, distinct per doc (typed fast form; expression form proven
     // equal in PipelineSpec)
@@ -1121,6 +1127,23 @@ object SparkEntry {
 
     "t04_fingerprint" -> (NormCte +
       "SELECT doc_id, md5(t) AS fingerprint FROM n ORDER BY doc_id"),
+
+    "t08_repetition" -> (NormCte +
+      """, tk AS (SELECT doc_id, string_split(t, ' ') AS toks FROM n),
+         r AS (SELECT doc_id, len(toks) AS nt,
+                 list_transform(generate_series(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i + 1]) AS g2,
+                 list_transform(generate_series(1, len(toks) - 2),
+                   i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) AS g3
+               FROM tk)
+         SELECT doc_id,
+                CASE WHEN nt >= 2 THEN
+                  round(1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / (nt - 1), 4)
+                END AS rep2,
+                CASE WHEN nt >= 3 THEN
+                  round(1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / (nt - 2), 4)
+                END AS rep3
+         FROM r ORDER BY doc_id"""),
 
     "t07_trigram_familiarity" -> (NormCte +
       """, g AS (SELECT doc_id, t FROM n WHERE length(t) >= 3),

@@ -258,6 +258,31 @@ object TextAnalysis {
           .as("familiarity"))
   }
 
+  /**
+   * Intra-document repetition ratios — the Gopher/MassiveText repetition
+   * filters: for word n-grams of size 2 and 3, the fraction of n-gram
+   * occurrences that repeat an earlier one, `1 - distinct/total`.
+   * Looping/generated text (keyword stuffing, decoding loops) scores
+   * high and is filtered before training. Pure narrow per-row
+   * expressions — no shuffle, no join, survives predicate pushdown; a
+   * doc too short for an n-gram gets null for that ratio. The single
+   * division per (doc, n) is rounded, so any engine replays it exactly.
+   */
+  def repetitionRatios(df: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val toks = split(normalizeText(col(textCol)), " ")
+    val nt = size(toks)
+    def grams(n: Int): Column =
+      transform(sequence(lit(0), nt - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+    def rep(n: Int): Column =
+      when(nt >= n,
+        round(lit(1.0) -
+          size(array_distinct(grams(n))).cast("double") / (nt - n + 1), 4))
+    df.select(col(idCol).as("doc_id"),
+      rep(2).as("rep2"), rep(3).as("rep3"))
+  }
+
   /** All features in one pass over the corpus. */
   def withTextFeatures(df: DataFrame, textCol: String): DataFrame = {
     val c = col(textCol)

@@ -693,6 +693,23 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(real.forall(r => r.getLong(1) >= 1 && r.getDouble(2) >= 1.0))
   }
 
+  test("repetitionRatios match hand-computed n-gram repeat fractions") {
+    import spark.implicits._
+    val tiny = Seq((1L, "a b a b c"), (2L, "x"), (3L, "p q p q p q"))
+      .toDF("doc_id", "text")
+    // doc 1: bigrams [a b, b a, a b, b c] -> 4 total, 3 distinct -> 0.25;
+    //        trigrams [aba, bab, abc] all distinct -> 0.0
+    // doc 2: too short for any n-gram -> nulls
+    // doc 3: bigrams 5 total 2 distinct -> 0.6; trigrams 4/2 -> 0.5
+    val got = TextAnalysis.repetitionRatios(tiny, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2))))).toMap
+    assert(got == Map(
+      1L -> ((Some(0.25), Some(0.0))),
+      2L -> ((None, None)),
+      3L -> ((Some(0.6), Some(0.5)))))
+  }
+
   test("winnowing fingerprints match a direct rolling-hash computation") {
     val one = docs.orderBy("doc_id").limit(1)
     val row = one.select(col("doc_id"),
