@@ -1339,7 +1339,11 @@ object SparkEntry {
                       FROM m0)
                 GROUP BY cid, dim_idx),
          cmean AS (SELECT cid, list(m ORDER BY dim_idx) AS mean FROM mx GROUP BY cid),
-         cent AS (SELECT c0.cid, coalesce(cmean.mean, c0.ce) AS ce
+         cent AS (SELECT c0.cid,
+                         CASE WHEN cmean.mean IS NULL OR
+                                   list_max(list_transform(cmean.mean,
+                                     x -> abs(x))) = 0.0
+                              THEN c0.ce ELSE cmean.mean END AS ce
                   FROM cent0 c0 LEFT JOIN cmean ON c0.cid = cmean.cid),
          sp AS (SELECT unnest(generate_series(0, 7)) AS s),
          subs AS (SELECT vec_id, s, list_slice(e, s*8 + 1, s*8 + 8) AS sub
@@ -1519,11 +1523,12 @@ object SparkEntry {
                  FROM v, cent),
          idx AS (SELECT vec_id, e, cid AS cell FROM asg WHERE crank = 1),
          qp AS (SELECT vec_id AS query_id, e AS qe, cid AS cell FROM asg
-                WHERE vec_id < 5 AND crank <= 4)
-         SELECT query_id, c.vec_id AS neighbor_id,
-                round(list_cosine_similarity(c.e, qe), 4) AS cos
-         FROM idx c JOIN qp ON c.cell = qp.cell AND c.vec_id <> query_id
-         WHERE list_cosine_similarity(c.e, qe) >= 0.3
+                WHERE vec_id < 5 AND crank <= 4),
+         s AS (SELECT query_id, c.vec_id AS neighbor_id,
+                      round(list_cosine_similarity(c.e, qe), 6) AS cos
+               FROM idx c JOIN qp ON c.cell = qp.cell AND c.vec_id <> query_id)
+         SELECT query_id, neighbor_id, round(cos, 4) AS cos
+         FROM s WHERE cos >= 0.3
          ORDER BY query_id, neighbor_id""",
 
     "d10_mixture_sample" ->
@@ -1531,7 +1536,8 @@ object SparkEntry {
                       FROM embeddings GROUP BY 1),
          t(c, w) AS (VALUES ('0', 4.0), ('1', 3.0), ('2', 2.0), ('3', 2.0), ('4', 1.0)),
          nn AS (SELECT min(n / w) AS bign FROM cnt JOIN t USING (c)),
-         rate AS (SELECT c, least(1.0, (w * bign) / n) AS r
+         rate AS (SELECT c, CASE WHEN (n / w) = bign THEN 1.0
+                                 ELSE least(1.0, (w * bign) / n) END AS r
                   FROM cnt JOIN t USING (c), nn)
          SELECT vec_id, label FROM embeddings e
          JOIN rate ON CAST(e.label AS VARCHAR) = rate.c

@@ -7,10 +7,18 @@ object Verify {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: Verify <sfDir> <outDir> [only,names]")
     val (sfDir, outDir) = (args(0), args(1))
-    // optional third arg: comma-separated query names, for targeted local
-    // oracle checks (tools/selfcheck.py) — the driver always passes two
+    // optional further args: query names (comma- or space-separated), for
+    // targeted local oracle checks — the driver always passes two args.
+    // Unknown names fail FAST: a typo'd filter would otherwise select
+    // zero queries and exit 0 having verified nothing.
     val only: Option[Set[String]] =
-      if (args.length > 2) Some(args(2).split(",").toSet) else None
+      if (args.length > 2) {
+        val names = args.drop(2).flatMap(_.split(",")).filter(_.nonEmpty).toSet
+        val unknown = names -- SparkEntry.queries.keySet
+        require(unknown.isEmpty,
+          s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
+        Some(names)
+      } else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -58,17 +58,28 @@ object Materialize {
   private val live = new java.util.concurrent.ConcurrentHashMap[
     SparkSession, java.util.Set[RDD[_]]]()
 
-  private def setFor(s: SparkSession): java.util.Set[RDD[_]] =
-    live.computeIfAbsent(s, _ => java.util.Collections.newSetFromMap(
-      new java.util.concurrent.ConcurrentHashMap[RDD[_], java.lang.Boolean]()))
+  /** Register `r` under `s`. compute() runs atomically per key, so a
+   * concurrent [[deregister]] dropping the session's (momentarily empty)
+   * entry cannot orphan this registration into a removed set. */
+  private def register(s: SparkSession, r: RDD[_]): Unit =
+    live.compute(s, (_, old) => {
+      val set =
+        if (old != null) old
+        else java.util.Collections.newSetFromMap(
+          new java.util.concurrent.ConcurrentHashMap[RDD[_], java.lang.Boolean]())
+      set.add(r)
+      set
+    })
 
   /** Remove `r` from `s`'s registry; true when it was live. Drops the
-   * session entry once its last cut is gone, so stopped sessions are not
-   * pinned by the registry. */
+   * session entry once its last cut is gone — atomically against
+   * [[register]] — so stopped sessions are not pinned by the registry. */
   private def deregister(s: SparkSession, r: RDD[_]): Boolean = {
-    val set = live.get(s)
-    val removed = set != null && set.remove(r)
-    if (set != null && set.isEmpty) live.remove(s, set)
+    var removed = false
+    live.computeIfPresent(s, (_, set) => {
+      removed = set.remove(r)
+      if (set.isEmpty) null else set
+    })
     removed
   }
 
@@ -95,7 +106,7 @@ object Materialize {
     // lifetime the checkpoint dir owns — registering is still harmless)
     cut.queryExecution.analyzed.collectFirst { case lr: LogicalRDD => lr.rdd }
       .foreach { r =>
-        setFor(df.sparkSession).add(r)
+        register(df.sparkSession, r)
         Option(scopeTl.get()).foreach(_ += ((df.sparkSession, r)))
       }
     cut

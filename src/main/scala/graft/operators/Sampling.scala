@@ -97,10 +97,14 @@ object Sampling {
     val present = targets.filter { case (c, _) => counts.contains(c) }
     require(present.nonEmpty, "no target class present in the data")
     // left-to-right IEEE arithmetic, replayed identically by the oracle:
-    // n / w (long -> double), min, then (w * N) / n, clamped at 1
+    // n / w (long -> double), min, then (w * N) / n, clamped at 1. The
+    // binding class (n/w == N) gets rate EXACTLY 1 — recomputing it as
+    // (w*(n/w))/n can land one ulp under 1.0 and silently drop ~1/65536
+    // of the class that the contract says is kept in full
     val bigN = present.map { case (c, w) => counts(c) / w }.min
     val rates = present.map { case (c, w) =>
-      c -> math.min(1.0, (w * bigN) / counts(c))
+      c -> (if (counts(c) / w == bigN) 1.0
+            else math.min(1.0, (w * bigN) / counts(c)))
     }
     hashSampleBy(df, classCol, keyCol, rates, default = 0.0, seed)
   }

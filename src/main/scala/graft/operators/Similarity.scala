@@ -198,25 +198,8 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nCells: Int = 16,
               probes: Int = 4, centroids: Option[DataFrame] = None): DataFrame = {
-    val cent = centroids.getOrElse(defaultCentroids(corpus, idCol, vecCol, nCells))
-    def scoredCells(df: DataFrame) = cellScores(df, cent)
-    // nearest cell per corpus row: argmax via min_by over
-    // (-ccos, cid) — highest score first, ties to the smallest cid, and
-    // the ordering works for ids of ANY orderable type (negating cid
-    // itself would null out non-numeric ids); partial aggregation
-    // collapses the expansion map-side
-    val indexed = scoredCells(prepared(corpus, idCol, vecCol))
-      .groupBy(col("vid"))
-      .agg(min_by(col("cid"), struct(-col("ccos"), col("cid"))).as("cell"),
-        first(col("vec")).as("vec"), first(col("nrm")).as("nrm"))
-    // query side is small by construction: rank its cells with a window
-    val qw = Window.partitionBy(col("vid"))
-      .orderBy(col("ccos").desc, col("cid").asc)
-    val q = scoredCells(prepared(queries, idCol, vecCol))
-      .withColumn("crank", row_number().over(qw))
-      .filter(col("crank") <= probes)
-      .select(col("vid").as("query_id"), col("vec").as("qvec"),
-        col("nrm").as("qnrm"), col("cid").as("cell"))
+    val (indexed, q) =
+      ivfFlatPieces(corpus, queries, idCol, vecCol, nCells, probes, centroids)
     val scored = indexed.join(broadcast(q),
         indexed("cell") === q("cell") && col("vid") =!= col("query_id"))
       .withColumn("cos", dot(col("vec"), col("qvec")) / (col("nrm") * col("qnrm")))
@@ -225,6 +208,35 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vid").as("neighbor_id"), col("cos"))
+  }
+
+  /** Shared IVF-flat stages — the ONE home of the assignment/probe seam
+   * for [[ivfTopK]] and [[ivfRangeSearch]] (the oracle replays exactly
+   * this, so the two operators must never drift apart):
+   *  - `indexed`: each corpus row with its nearest cell. Argmax via
+   *    min_by over (-ccos, cid) — highest score first, ties to the
+   *    smallest cid, an ordering that works for ids of ANY orderable
+   *    type (negating cid itself would null non-numeric ids); partial
+   *    aggregation collapses the nCells expansion map-side.
+   *  - `q`: each query's `probes` best cells (small side — one window).
+   */
+  private def ivfFlatPieces(corpus: DataFrame, queries: DataFrame,
+                            idCol: String, vecCol: String, nCells: Int,
+                            probes: Int,
+                            centroids: Option[DataFrame]): (DataFrame, DataFrame) = {
+    val cent = centroids.getOrElse(defaultCentroids(corpus, idCol, vecCol, nCells))
+    val indexed = cellScores(prepared(corpus, idCol, vecCol), cent)
+      .groupBy(col("vid"))
+      .agg(min_by(col("cid"), struct(-col("ccos"), col("cid"))).as("cell"),
+        first(col("vec")).as("vec"), first(col("nrm")).as("nrm"))
+    val qw = Window.partitionBy(col("vid"))
+      .orderBy(col("ccos").desc, col("cid").asc)
+    val q = cellScores(prepared(queries, idCol, vecCol), cent)
+      .withColumn("crank", row_number().over(qw))
+      .filter(col("crank") <= probes)
+      .select(col("vid").as("query_id"), col("vec").as("qvec"),
+        col("nrm").as("qnrm"), col("cid").as("cell"))
+    (indexed, q)
   }
 
   /**
@@ -239,28 +251,21 @@ object Similarity {
    * cells, exact within them — the same shape as [[signCosinePairs]]'s
    * bucket predicate). Per-query scan cost is ~probes/nCells of the
    * corpus and the output size is the true match count — nothing is
-   * capped, so no per-query window/rank shuffle is needed at all.
+   * capped, so no per-query window/rank shuffle is needed at all. The
+   * returned `cos` is ROUNDED to 6 decimals before the threshold test,
+   * the same seam rule as [[cellScores]]: a last-ulp difference in an
+   * external engine's cosine cannot flip membership at the bar.
    */
   def ivfRangeSearch(corpus: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, threshold: Double, nCells: Int = 16,
                      probes: Int = 4,
                      centroids: Option[DataFrame] = None): DataFrame = {
-    val cent = centroids.getOrElse(defaultCentroids(corpus, idCol, vecCol, nCells))
-    def scoredCells(df: DataFrame) = cellScores(df, cent)
-    val indexed = scoredCells(prepared(corpus, idCol, vecCol))
-      .groupBy(col("vid"))
-      .agg(min_by(col("cid"), struct(-col("ccos"), col("cid"))).as("cell"),
-        first(col("vec")).as("vec"), first(col("nrm")).as("nrm"))
-    val qw = Window.partitionBy(col("vid"))
-      .orderBy(col("ccos").desc, col("cid").asc)
-    val q = scoredCells(prepared(queries, idCol, vecCol))
-      .withColumn("crank", row_number().over(qw))
-      .filter(col("crank") <= probes)
-      .select(col("vid").as("query_id"), col("vec").as("qvec"),
-        col("nrm").as("qnrm"), col("cid").as("cell"))
+    val (indexed, q) =
+      ivfFlatPieces(corpus, queries, idCol, vecCol, nCells, probes, centroids)
     indexed.join(broadcast(q),
         indexed("cell") === q("cell") && col("vid") =!= col("query_id"))
-      .withColumn("cos", dot(col("vec"), col("qvec")) / (col("nrm") * col("qnrm")))
+      .withColumn("cos",
+        round(dot(col("vec"), col("qvec")) / (col("nrm") * col("qnrm")), 6))
       .filter(col("cos") >= threshold)
       .select(col("query_id"), col("vid").as("neighbor_id"), col("cos"))
   }

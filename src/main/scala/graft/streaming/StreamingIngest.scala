@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -64,18 +65,40 @@ object StreamingIngest {
    * reference's `write_catalog(enableUpdateCatalog=True, partitionKeys=
    * PARTITION_BY)` at ingest (src/gg_logs_to_parquet.py:106-123).
    *
-   * foreachBatch trades the file sink's commit log for the store/catalog
-   * path, so a micro-batch retried after a crash can append twice; the
-   * downstream CDC stage dedups replayed events by `pos`
-   * ([[dedupByPos]]), which is where landing idempotence is enforced. */
+   * foreachBatch has no file-sink commit log, so replayed batch ids are
+   * made idempotent the Delta-txn way: a `_last_landed_batch` marker in
+   * the table directory records the highest batch id whose append
+   * completed (written tmp+rename after the append), and a replayed id
+   * <= the marker is skipped instead of double-appended. One logical
+   * stream per landing table; resetting the stream's checkpoint requires
+   * clearing the marker too. The residual crash window (append done,
+   * marker not yet written) is at-least-once — the downstream CDC
+   * stage's `pos` dedup ([[dedupByPos]]) absorbs exactly that case. */
   def landTo(df: DataFrame, store: SnapshotStore, db: String, table: String,
              checkpoint: String,
              trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     df.drop("event_ts").writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        store.appendPartitioned(db, table, batch)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val meta = store.catalog(db, table)
-        store.catalog.register(meta.copy(schema = Some(batch.schema)))
+        val marker = new Path(s"${meta.location}/_last_landed_batch")
+        val fs = marker.getFileSystem(
+          batch.sparkSession.sparkContext.hadoopConfiguration)
+        val last =
+          try {
+            val in = fs.open(marker)
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+            finally in.close()
+          } catch { case scala.util.control.NonFatal(_) => -1L }
+        if (batchId > last) {
+          store.appendPartitioned(db, table, batch)
+          store.catalog.register(meta.copy(schema = Some(batch.schema)))
+          val tmp = new Path(s"${meta.location}/.tmp-_last_landed_batch")
+          val out = fs.create(tmp, true)
+          try out.write(batchId.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+          fs.delete(marker, false) // rename won't overwrite on HDFS/object stores
+          fs.rename(tmp, marker)
+        }
         ()
       }
       .option("checkpointLocation", checkpoint)

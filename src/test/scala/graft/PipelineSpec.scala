@@ -620,10 +620,12 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(got.nonEmpty)
     assert(got.forall(_._3 >= thr))
     assert(got.forall(r => r._1 != r._2))
-    // subset of the full-scan threshold matches (probing only loses)
+    // subset of the full-scan threshold matches (probing only loses);
+    // brute cosines rounded to the same 6 decimals as the operator's
+    // threshold seam so the bar itself cannot disagree
     val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding",
         k = Int.MaxValue)
-      .filter(col("cos") >= thr)
+      .filter(round(col("cos"), 6) >= thr)
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got.map(r => (r._1, r._2)).toSet.subsetOf(brute))

@@ -51,6 +51,14 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       batch.schema.fieldNames.sorted.toSeq)
     assert(Set("after_hash", "part_date").subsetOf(
       registered.get.fieldNames.map(_.toLowerCase).toSet))
+
+    // replay idempotence: a fresh checkpoint re-delivers the same batch
+    // id; the landing marker must skip it instead of double-appending
+    val q2 = StreamingIngest.landTo(stream, store, "ldb", "raw_events",
+      s"$out/ckpt-replayed")
+    q2.awaitTermination()
+    assert(store.readFlat("ldb", "raw_events").count() == batch.count(),
+      "replayed batch id must not double-append the landing table")
   }
 
   test("foreachBatch CDC apply reaches the batch end state") {
