@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Joins, Multimodal, QueryRunner, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Joins, Multimodal, PrefixScan, QueryRunner, Sampling, Similarity, TextAnalysis}
 
 /**
  * Driver contract — one `queries` entry per operator from SURVEY.md §2
@@ -784,6 +784,17 @@ object SparkEntry {
       TextAnalysis.repetitionRatios(t(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // token-budget shard packing over a SCALABLE prefix scan (range
+    // buckets + parallel per-bucket windows + broadcast offsets — no
+    // single-task global window at any input size); the oracle's plain
+    // windowed cumsum checks bit-exactness of the distributed scan
+    "q39_shard_pack" -> ((s, d) =>
+      PrefixScan.packShards(
+          t(s, d, "documents").select(col("doc_id"),
+            TextAnalysis.tokenCount(col("text")).as("n_tokens")),
+          "doc_id", "n_tokens", budget = 1000)
+        .orderBy("doc_id")),
+
     // rolling-hash winnowing fingerprints (MOSS): k-gram hashes, window
     // minima, distinct per doc (typed fast form; expression form proven
     // equal in PipelineSpec)
@@ -1127,6 +1138,16 @@ object SparkEntry {
 
     "t04_fingerprint" -> (NormCte +
       "SELECT doc_id, md5(t) AS fingerprint FROM n ORDER BY doc_id"),
+
+    "q39_shard_pack" -> (NormCte +
+      """, c AS (SELECT doc_id, len(string_split(t, ' ')) AS n_tokens FROM n),
+         w AS (SELECT doc_id, n_tokens,
+                      CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+               FROM c)
+         SELECT doc_id, n_tokens, cum_tokens,
+                CAST(floor((cum_tokens - n_tokens) / 1000) AS BIGINT) AS shard
+         FROM w ORDER BY doc_id"""),
 
     "t08_repetition" -> (NormCte +
       """, tk AS (SELECT doc_id, string_split(t, ' ') AS toks FROM n),

@@ -678,6 +678,59 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(res.forall(r => r.getLong(2) != r.getLong(0)))
   }
 
+  test("runningTotal is bit-identical to the single-partition window") {
+    import graft.operators.{Materialize, PrefixScan}
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n"))
+    val w = Window.orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expect = toks.withColumn("cum", sum(col("n")).over(w))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // bucketing must not change the answer — including the degenerate
+    // single bucket and more buckets than makes sense for the row count
+    for (b <- Seq(1, 3, 16)) {
+      val got = PrefixScan.runningTotal(toks, "doc_id", "n", "cum", buckets = b)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(got == expect, s"buckets=$b diverged from the sequential scan")
+      Materialize.releaseAll()
+    }
+  }
+
+  test("packShards: contiguous shards that close at the token budget") {
+    import graft.operators.{Materialize, PrefixScan}
+    val toks = docs.select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n"))
+    val budget = 500L
+    val rows = PrefixScan.packShards(toks, "doc_id", "n", budget, buckets = 4)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    Materialize.releaseAll()
+    assert(rows.nonEmpty)
+    // shard ids start at 0 and never decrease in doc order (a doc
+    // overflowing far past a boundary may SKIP shards — that is the
+    // floor contract, not a gap in coverage)
+    assert(rows.head._4 == 0L)
+    rows.sliding(2).foreach { case Array((_, _, _, a), (_, _, _, b)) =>
+      assert(b >= a, s"shard went backwards $a -> $b")
+    }
+    // the packing contract itself: every doc's START offset falls inside
+    // its shard's token range [shard*budget, (shard+1)*budget)
+    rows.foreach { case (id, n, cum, s) =>
+      val start = cum - n
+      assert(start >= s * budget && start < (s + 1) * budget,
+        s"doc $id start $start outside shard $s range")
+    }
+    // and cumulative coverage: when a non-final shard closes, at least
+    // (shard+1)*budget tokens have been packed overall
+    val lastShard = rows.map(_._4).max
+    rows.groupBy(_._4).foreach { case (s, docs) =>
+      if (s != lastShard)
+        assert(docs.map(_._3).max >= (s + 1) * budget,
+          s"shard $s closed before reaching its cumulative budget")
+    }
+  }
+
   test("trigramFamiliarity equals a direct per-doc computation") {
     import spark.implicits._
     val tiny = Seq((1L, "abcd"), (2L, "bcde"), (3L, "zzzz"), (4L, "ab"))
