@@ -994,6 +994,15 @@ object SparkEntry {
         .orderBy("query_id", "neighbor_id")
     }),
 
+    // SemDeDup: coarse-cell the embedding space, drop in-cell semantic
+    // near-dups (keep-smallest-id) — cells bound the quadratic pair
+    // cost; the oracle replays assignment, in-cell pairing, and the
+    // rounded-cosine bar exactly
+    "d11_semantic_dedup" -> ((s, d) =>
+      Similarity.semanticDedup(t(s, d, "embeddings"), "vec_id", "embedding",
+          threshold = 0.25, nCells = 16)
+        .orderBy("vec_id")),
+
     // data mixing: downsample classes to a target mixture (the largest
     // achievable output with no upsampling). The per-class rates are
     // DATA-DEPENDENT — the oracle recomputes them with the identical
@@ -1551,6 +1560,21 @@ object SparkEntry {
          SELECT query_id, neighbor_id, round(cos, 4) AS cos
          FROM s WHERE cos >= 0.3
          ORDER BY query_id, neighbor_id""",
+
+    "d11_semantic_dedup" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         cent AS (SELECT vec_id AS cid, e AS ce FROM v ORDER BY vec_id LIMIT 16),
+         asg AS (SELECT vec_id, e, cid,
+                        ROW_NUMBER() OVER (PARTITION BY vec_id
+                          ORDER BY round(list_cosine_similarity(e, ce), 6) DESC,
+                                   cid ASC) AS crank
+                 FROM v, cent),
+         idx AS (SELECT vec_id, e, cid AS cell FROM asg WHERE crank = 1),
+         drp AS (SELECT DISTINCT b.vec_id FROM idx a JOIN idx b
+                 ON a.cell = b.cell AND a.vec_id < b.vec_id
+                AND round(list_cosine_similarity(a.e, b.e), 6) >= 0.25)
+         SELECT vec_id FROM v WHERE vec_id NOT IN (SELECT vec_id FROM drp)
+         ORDER BY vec_id""",
 
     "d10_mixture_sample" ->
       """WITH cnt AS (SELECT CAST(label AS VARCHAR) AS c, count(*) AS n

@@ -225,10 +225,7 @@ object Similarity {
                             probes: Int,
                             centroids: Option[DataFrame]): (DataFrame, DataFrame) = {
     val cent = centroids.getOrElse(defaultCentroids(corpus, idCol, vecCol, nCells))
-    val indexed = cellScores(prepared(corpus, idCol, vecCol), cent)
-      .groupBy(col("vid"))
-      .agg(min_by(col("cid"), struct(-col("ccos"), col("cid"))).as("cell"),
-        first(col("vec")).as("vec"), first(col("nrm")).as("nrm"))
+    val indexed = assignCells(corpus, idCol, vecCol, cent)
     val qw = Window.partitionBy(col("vid"))
       .orderBy(col("ccos").desc, col("cid").asc)
     val q = cellScores(prepared(queries, idCol, vecCol), cent)
@@ -237,6 +234,47 @@ object Similarity {
       .select(col("vid").as("query_id"), col("vec").as("qvec"),
         col("nrm").as("qnrm"), col("cid").as("cell"))
     (indexed, q)
+  }
+
+  /** Each corpus row with its nearest cell (vid, cell, vec, nrm) — the
+   * corpus half of [[ivfFlatPieces]], shared with [[semanticDedup]]. */
+  private def assignCells(corpus: DataFrame, idCol: String, vecCol: String,
+                          cent: DataFrame): DataFrame =
+    cellScores(prepared(corpus, idCol, vecCol), cent)
+      .groupBy(col("vid"))
+      .agg(min_by(col("cid"), struct(-col("ccos"), col("cid"))).as("cell"),
+        first(col("vec")).as("vec"), first(col("nrm")).as("nrm"))
+
+  /**
+   * SemDeDup-style semantic deduplication (Abbas et al. 2023, "SemDeDup:
+   * Data-efficient learning at web-scale through semantic
+   * deduplication"): coarse-cluster the embeddings, then WITHIN each
+   * cell drop every vector that has a smaller-id neighbor at cosine >=
+   * `threshold`. The cells bound the quadratic pair cost — nCells grows
+   * with the corpus so per-cell membership (and so per-cell pair work)
+   * stays bounded, the paper's scale design — and near-dups in
+   * DIFFERENT cells are deliberately not compared (the documented
+   * recall trade of the technique). Keep-smallest-id is the
+   * deterministic representative rule; like the standard
+   * implementations this is pairwise, not transitive — for
+   * chain-resolved groups feed [[signCosinePairs]] (or the in-cell pair
+   * list) to [[Dedup.clusters]] instead. Returns the KEPT ids under the
+   * original id column name. Same rounded-cosine seam as the rest of
+   * the IVF family, so an external oracle replays membership exactly.
+   */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, nCells: Int = 16,
+                    centroids: Option[DataFrame] = None): DataFrame = {
+    val cent = centroids.getOrElse(defaultCentroids(df, idCol, vecCol, nCells))
+    // both sides of the in-cell self-join read the assignment — cut it
+    val idx = Materialize(assignCells(df, idCol, vecCol, cent))
+    val drop = idx.as("a")
+      .join(idx.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vid") < col("b.vid") &&
+          round(dot(col("a.vec"), col("b.vec")) /
+            (col("a.nrm") * col("b.nrm")), 6) >= threshold)
+      .select(col("b.vid").as("vid")).distinct()
+    idx.join(drop, Seq("vid"), "left_anti").select(col("vid").as(idCol))
   }
 
   /**

@@ -671,6 +671,41 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(again.toSet == out.toSet)
   }
 
+  test("semanticDedup: kept set is exactly corpus minus in-cell near-dups") {
+    import graft.operators.Materialize
+    val thr = 0.25
+    val kept = Similarity.semanticDedup(emb, "vec_id", "embedding",
+        threshold = thr, nCells = 8)
+      .collect().map(_.getLong(0)).toSet
+    Materialize.releaseAll()
+    val n = emb.count()
+    assert(kept.nonEmpty && kept.size < n, s"kept ${kept.size} of $n")
+    // contract check by brute force: a vector is dropped iff some
+    // SMALLER id in the SAME cell is within the cosine bar
+    val p = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("e"))
+    val rows = p.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      // same HALF_UP 6-decimal rounding as Spark's round()
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    // replicate the cell assignment: nearest of the first-8 centroids by
+    // rounded cosine, ties to the low id
+    val cents = rows.toSeq.sortBy(_._1).take(8)
+    def cellOf(v: Array[Double]): Long =
+      cents.map { case (cid, cv) => (-cos(v, cv), cid) }.min._2
+    val cells = rows.map { case (id, v) => id -> cellOf(v) }
+    val expectDropped = rows.keys.filter { id =>
+      rows.exists { case (o, ov) =>
+        o < id && cells(o) == cells(id) && cos(ov, rows(id)) >= thr
+      }
+    }.toSet
+    assert(kept == rows.keySet -- expectDropped)
+  }
+
   test("signTopK: k rows per query, self excluded, candidates within hamming 1") {
     val res = Similarity.signTopK(emb, emb.filter(col("vec_id") < 3),
       "vec_id", "embedding", k = 5, planes = 3).collect()
