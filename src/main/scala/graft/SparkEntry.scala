@@ -1155,7 +1155,7 @@ object SparkEntry {
                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
                FROM c)
          SELECT doc_id, n_tokens, cum_tokens,
-                CAST(floor((cum_tokens - n_tokens) / 1000) AS BIGINT) AS shard
+                CAST((cum_tokens - n_tokens) // 1000 AS BIGINT) AS shard
          FROM w ORDER BY doc_id"""),
 
     "t08_repetition" -> (NormCte +

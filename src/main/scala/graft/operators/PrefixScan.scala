@@ -1,8 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /**
  * Scalable exact prefix aggregation (running totals) over a total order.
@@ -11,17 +11,22 @@ import org.apache.spark.sql.functions._
  * partition: on a 100 TB input the whole table funnels through one task
  * — the classic global-window bottleneck. The distributed-scan answer:
  *
- *  1. range-partition by the order key (the only full shuffle — every
- *     bucket holds a contiguous key range);
- *  2. per-bucket prefix sums with a window PARTITIONED by the bucket id
- *     — all buckets scan in parallel;
- *  3. per-bucket totals are one tiny aggregate (`buckets` rows — driver
- *     loop-control scale); their exclusive prefix sums broadcast back
- *     as offsets.
+ *  1. range-partition by the order key and sort within partitions — the
+ *     ONLY full shuffle (a window partitioned by a bucket id would add
+ *     a second full hash exchange here, because range partitioning does
+ *     not satisfy the window's clustering requirement);
+ *  2. per-partition totals in one narrow pass (`buckets` rows to the
+ *     driver — loop-control scale), whose exclusive prefix sums become
+ *     the per-partition offsets;
+ *  3. one narrow mapPartitions pass folds each sorted partition
+ *     sequentially from its offset — genuinely sequential per-row work,
+ *     the legitimate mapPartitions case (same category as the winnowing
+ *     rolling hash).
  *
  * For integral values the result is bit-identical to the
- * single-partition window (long addition is associative — spec-proven);
- * floating-point values reassociate like any distributed sum.
+ * single-partition window (long addition is associative — spec-proven).
+ * Null values are rejected with a clear error (a silent skip would
+ * diverge from window-sum semantics without telling anyone).
  *
  * The primary consumer is token-budget shard packing ([[packShards]]):
  * assigning documents to contiguous fixed-token training shards needs
@@ -36,59 +41,72 @@ object PrefixScan {
    * in the single-partition window plan too.
    *
    * `buckets` defaults to the session's shuffle parallelism. The
-   * range-partitioned, bucket-id-stamped frame is [[Materialize]]d:
-   * range partitioning SAMPLES its input to pick boundaries, so without
-   * the cut the totals aggregate and the cumsum pass could recompute
-   * DIFFERENT bucket assignments and silently mis-offset — callers
-   * release the cut after their terminal action like any other.
+   * range-partitioned sorted frame is [[Materialize]]d: range
+   * partitioning SAMPLES its input to pick boundaries, so without the
+   * cut the totals pass and the fold pass could see DIFFERENT
+   * partition assignments and silently mis-offset — callers release
+   * the cut after their terminal action like any other.
    */
   def runningTotal(df: DataFrame, orderCol: String, valueCol: String,
                    outCol: String = "running_total",
                    buckets: Int = 0): DataFrame = {
-    import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
-    require(Set[DataType](ByteType, ShortType, IntegerType, LongType)
+    import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType => LT, ShortType}
+    require(Set[DataType](ByteType, ShortType, IntegerType, LT)
         .contains(df.schema(valueCol).dataType),
       s"$valueCol must be integral — a floating sum is not associative, so " +
         "bucketed offsets would not reproduce the sequential total")
+    require(!df.columns.contains(outCol),
+      s"output column $outCol already exists on the input")
     val n =
       if (buckets > 0) buckets
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val ranged = Materialize(
-      df.repartitionByRange(n, col(orderCol))
-        .withColumn("__bucket", spark_partition_id()))
-    val w = Window.partitionBy(col("__bucket")).orderBy(col(orderCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // bucket totals -> exclusive prefix offsets (tiny: one row per bucket)
-    val totals = ranged.groupBy(col("__bucket"))
-      .agg(sum(col(valueCol)).as("__total"))
-      .collect().map(r => r.getInt(0) -> r.getAs[Number](1).longValue())
-      .sortBy(_._1)
-    val offsets = totals.scanLeft((0, 0L)) { case ((_, acc), (b, t)) =>
-      (b, acc + t)
-    }.init.zip(totals).map { case ((_, off), (b, _)) => (b, off) }
-    val spark = df.sparkSession
-    import spark.implicits._
-    val offsetDf = offsets.toSeq.toDF("__bucket", "__offset")
-    ranged
-      .join(broadcast(offsetDf), Seq("__bucket"))
-      .withColumn(outCol, sum(col(valueCol)).over(w) + col("__offset"))
-      .drop("__bucket", "__offset")
+      df.repartitionByRange(n, col(orderCol)).sortWithinPartitions(col(orderCol)))
+    val valueIdx = ranged.schema.fieldIndex(valueCol)
+    def valueOf(row: Row): Long = {
+      val v = row.get(valueIdx)
+      require(v != null,
+        s"null in $valueCol — prefix sums over nullable values are undefined")
+      v.asInstanceOf[Number].longValue()
+    }
+    // per-partition totals: one narrow pass, `n` rows to the driver
+    val totals = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var s = 0L
+      it.foreach(s += valueOf(_))
+      Iterator.single((pid, s))
+    }.collect().sortBy(_._1)
+    val offsets = totals.scanLeft(0L)(_ + _._2).init // exclusive prefix
+    val offsetsB = df.sparkSession.sparkContext.broadcast(offsets)
+    // sequential fold per sorted partition, starting at its offset — a
+    // second narrow pass over the SAME cut partitions, no exchange
+    val outSchema = ranged.schema.add(outCol, LongType, nullable = false)
+    val folded = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var acc = offsetsB.value(pid)
+      it.map { row =>
+        acc += valueOf(row)
+        Row.fromSeq(row.toSeq :+ acc)
+      }
+    }
+    df.sparkSession.createDataFrame(folded, outSchema)
   }
 
   /**
    * Token-budget shard packing: assign each document (in `orderCol`
    * order) to the contiguous training shard its running token count
-   * falls in — `shard = floor((running - own) / budget)`, i.e. a shard
-   * closes once it has accumulated `budget` tokens and the next doc
-   * starts the next one. The running count comes from [[runningTotal]],
-   * so the whole operator is one range shuffle + parallel bucket scans
-   * — no single-task window at any input size.
+   * falls in — `shard = (running - own) div budget` in exact integer
+   * arithmetic (a double division would drift once the running total
+   * passes 2^53), i.e. a shard closes once it has accumulated `budget`
+   * tokens and the next doc starts the next one. The running count
+   * comes from [[runningTotal]], so the whole operator is one range
+   * shuffle + narrow passes — no single-task window at any input size.
    */
   def packShards(df: DataFrame, orderCol: String, tokenCol: String,
                  budget: Long, buckets: Int = 0): DataFrame = {
     require(budget > 0, "budget must be positive")
+    require(!df.columns.contains("shard"),
+      "output column shard already exists on the input")
     runningTotal(df, orderCol, tokenCol, "cum_tokens", buckets)
       .withColumn("shard",
-        floor((col("cum_tokens") - col(tokenCol)) / budget).cast("long"))
+        expr(s"(cum_tokens - cast(`$tokenCol` as bigint)) div ${budget}L"))
   }
 }

@@ -260,7 +260,10 @@ object Similarity {
    * chain-resolved groups feed [[signCosinePairs]] (or the in-cell pair
    * list) to [[Dedup.clusters]] instead. Returns the KEPT ids under the
    * original id column name. Same rounded-cosine seam as the rest of
-   * the IVF family, so an external oracle replays membership exactly.
+   * the IVF family, so an external oracle replays membership exactly;
+   * like the rest of that family, zero-norm embeddings are outside the
+   * cosine contract (NaN scores order differently across engines) —
+   * filter them out upstream.
    */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
                     threshold: Double, nCells: Int = 16,
