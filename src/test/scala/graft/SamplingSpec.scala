@@ -79,6 +79,27 @@ class SamplingSpec extends AnyFunSuite with SparkFixture {
     assert(e.unionByName(one).count() == 1)
   }
 
+  test("mixtureSample edges: absent target classes ignored, none -> error") {
+    import spark.implicits._
+    val in = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b")).toDF("id", "c")
+    // target class "z" is absent from the data: ignored, and the mixture
+    // resolves over the present classes only — "b" binds (1 row / w=1),
+    // so everything achievable is kept
+    val out = Sampling.mixtureSample(in, "c", "id",
+      Map("a" -> 3.0, "b" -> 1.0, "z" -> 5.0))
+    assert(out.count() > 0)
+    assert(out.filter(col("c") === "z").count() == 0)
+    // no target class present at all is a caller error, not empty output
+    assertThrows[IllegalArgumentException] {
+      Sampling.mixtureSample(in, "c", "id", Map("y" -> 1.0))
+    }
+    // weights are relative: scaling them changes nothing
+    val doubled = Sampling.mixtureSample(in, "c", "id",
+      Map("a" -> 6.0, "b" -> 2.0, "z" -> 10.0))
+    assert(doubled.collect().map(_.getLong(0)).toSet ==
+      out.collect().map(_.getLong(0)).toSet)
+  }
+
   test("store JSON write round-trips (reference dev event-log generation)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-json").toString
     val cat = new graft.catalog.InMemoryCatalog
