@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Physical-plan shape of the round-7 operators: the properties that make
+ * them 100 TB-viable are plan facts (broadcast joins, pushed filters,
+ * shuffle counts), so they are pinned here against regressions — an
+ * operator that silently falls back to a shuffle join or an unpushed
+ * filter still passes its value-correctness oracle.
+ */
+class PlanShapeSpec extends AnyFunSuite with SparkFixture {
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Finalized (post-AQE) executed-plan text of a SparkEntry query —
+   * the ADAPTIVE node's toString prints Initial AND Final sections,
+   * which would double-count scans/exchanges, so unwrap the final. */
+  private def plan(name: String): String = {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect() // finalize adaptive plans
+    graft.operators.Materialize.releaseAll()
+    val ex = df.queryExecution.executedPlan
+    val finals = ex.collect { case a: AdaptiveSparkPlanExec => a.executedPlan.toString }
+    if (finals.nonEmpty) finals.mkString("\n") else ex.toString
+  }
+
+  private def shuffles(p: String): Int =
+    p.linesIterator.count(l => l.contains("Exchange rangepartitioning") ||
+      l.contains("Exchange hashpartitioning") ||
+      l.contains("Exchange SinglePartition"))
+
+  private def scans(p: String): Int =
+    p.linesIterator.count(_.contains("FileScan"))
+
+  test("s09 range search: probe join broadcasts, never a shuffle join") {
+    val p = plan("s09_ann_range_search")
+    assert(p.contains("BroadcastHashJoin"),
+      "the probed-query side must broadcast into the corpus scan")
+    assert(!p.contains("SortMergeJoin"),
+      "a shuffle join on the candidate path would reshuffle the corpus")
+  }
+
+  test("d10 mixture sample: one pushed-filter scan plus the output sort") {
+    val p = plan("d10_mixture_sample")
+    assert(scans(p) == 1, s"expected a single corpus scan:\n$p")
+    // the md5 keep-rule must reach the scan as a data filter, not a
+    // post-scan Filter over a full read
+    assert(p.contains("md5"), "keep filter did not reach the scan")
+    assert(shuffles(p) == 1, s"only the orderBy may shuffle:\n$p")
+  }
+
+  test("t08 repetition: pure narrow expressions — one scan, sort only") {
+    val p = plan("t08_repetition")
+    assert(scans(p) == 1)
+    assert(shuffles(p) == 1, s"only the orderBy may shuffle:\n$p")
+    assert(!p.contains("Join"), "repetition ratios must not join anything")
+  }
+}
