@@ -784,10 +784,10 @@ object SparkEntry {
       TextAnalysis.repetitionRatios(t(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
-    // token-budget shard packing over a SCALABLE prefix scan (range
-    // buckets + parallel per-bucket windows + broadcast offsets — no
-    // single-task global window at any input size); the oracle's plain
-    // windowed cumsum checks bit-exactness of the distributed scan
+    // token-budget shard packing over a SCALABLE prefix scan (sorted
+    // range buckets folded sequentially per partition from broadcast
+    // offsets — one shuffle, no single-task global window at any input
+    // size); the oracle's plain windowed cumsum checks bit-exactness
     "q39_shard_pack" -> ((s, d) =>
       PrefixScan.packShards(
           t(s, d, "documents").select(col("doc_id"),

@@ -113,15 +113,26 @@ object Materialize {
   }
 
   /** Release the checkpoint blocks behind `df` — a cut, or any frame
-   * derived from one (the plan is scanned for cut RDDs). Only blocks
-   * [[apply]] registered are touched, so passing a frame that was never
-   * cut is a safe no-op. The released frame must not be read again. */
-  def release(df: DataFrame): Unit =
+   * derived from one. The plan is scanned for RDD-backed leaves and
+   * each leaf's LINEAGE is walked too: an operator that bridges through
+   * the RDD API (e.g. a mapPartitions fold over a cut, re-wrapped with
+   * createDataFrame) hides the cut from the logical plan but not from
+   * the dependency chain, and without the walk its blocks would be
+   * unreleasable. Only blocks [[apply]] registered are touched, so
+   * passing a frame that was never cut is a safe no-op; walks stay
+   * short because a cut truncates lineage. The released frame must not
+   * be read again. */
+  def release(df: DataFrame): Unit = {
+    val seen = mutable.Set[RDD[_]]()
+    def walk(r: RDD[_]): Unit = if (seen.add(r)) {
+      if (deregister(df.sparkSession, r)) r.unpersist(blocking = false)
+      r.dependencies.foreach(d => walk(d.rdd))
+    }
     df.queryExecution.analyzed.foreach {
-      case lr: LogicalRDD if deregister(df.sparkSession, lr.rdd) =>
-        lr.rdd.unpersist(blocking = false)
+      case lr: LogicalRDD => walk(lr.rdd)
       case _ => ()
     }
+  }
 
   /** Run `body`, then release every cut it created on this thread — the
    * per-query wrapper for harnesses that run queries concurrently (each

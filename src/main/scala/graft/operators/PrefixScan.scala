@@ -44,8 +44,10 @@ object PrefixScan {
    * range-partitioned sorted frame is [[Materialize]]d: range
    * partitioning SAMPLES its input to pick boundaries, so without the
    * cut the totals pass and the fold pass could see DIFFERENT
-   * partition assignments and silently mis-offset — callers release
-   * the cut after their terminal action like any other.
+   * partition assignments and silently mis-offset. The cut is internal
+   * but reachable from the result through RDD lineage —
+   * [[Materialize.release]] on the returned frame (or a scoped/
+   * releaseAll sweep) drops its blocks after the terminal action.
    */
   def runningTotal(df: DataFrame, orderCol: String, valueCol: String,
                    outCol: String = "running_total",
@@ -105,8 +107,12 @@ object PrefixScan {
     require(budget > 0, "budget must be positive")
     require(!df.columns.contains("shard"),
       "output column shard already exists on the input")
+    // `div` (exact 64-bit integer division) exists only as SQL, so the
+    // column name is spliced — backticks doubled per Spark quoting so an
+    // exotic name cannot break out of the identifier
+    val tok = tokenCol.replace("`", "``")
     runningTotal(df, orderCol, tokenCol, "cum_tokens", buckets)
       .withColumn("shard",
-        expr(s"(cum_tokens - cast(`$tokenCol` as bigint)) div ${budget}L"))
+        expr(s"(cum_tokens - cast(`$tok` as bigint)) div ${budget}L"))
   }
 }

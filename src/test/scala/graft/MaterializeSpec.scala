@@ -72,6 +72,22 @@ class MaterializeSpec extends AnyFunSuite with SparkFixture {
     assert((persisted -- before).isEmpty)
   }
 
+  test("release() reaches cuts hidden behind an RDD bridge (runningTotal)") {
+    import graft.operators.PrefixScan
+    Materialize.releaseAll()
+    val before = persisted
+    // runningTotal folds its internal cut through the RDD API and
+    // re-wraps with createDataFrame, so the cut is absent from the
+    // result's logical plan — release must find it via RDD lineage
+    val toks = (1 to 200).map(i => (i.toLong, i % 7)).toDF("id", "n")
+    val res = PrefixScan.runningTotal(toks, "id", "n", "cum", buckets = 4)
+    assert(res.count() == 200)
+    assert((persisted -- before).nonEmpty, "the internal cut must be live")
+    Materialize.release(res)
+    assert((persisted -- before).isEmpty,
+      "release must reach the cut through the dependency chain")
+  }
+
   test("releaseAll is session-scoped: another session's cuts survive a sweep") {
     Materialize.releaseAll()
     val before = persisted

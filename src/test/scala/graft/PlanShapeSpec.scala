@@ -44,9 +44,12 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
   test("d10 mixture sample: one pushed-filter scan plus the output sort") {
     val p = plan("d10_mixture_sample")
     assert(scans(p) == 1, s"expected a single corpus scan:\n$p")
-    // the md5 keep-rule must reach the scan as a data filter, not a
-    // post-scan Filter over a full read
-    assert(p.contains("md5"), "keep filter did not reach the scan")
+    // the md5 keep-rule must reach the scan NODE as a data filter — a
+    // plan-wide contains() would also match a post-scan Filter over a
+    // full read, the exact regression this pins against
+    val scanLine = p.linesIterator.find(_.contains("FileScan")).get
+    assert(scanLine.contains("md5"),
+      s"keep filter did not reach the scan node: $scanLine")
     assert(shuffles(p) == 1, s"only the orderBy may shuffle:\n$p")
   }
 
