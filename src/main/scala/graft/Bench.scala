@@ -81,11 +81,18 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     }
-    val qs = results.map { case (k, v, _) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    // seconds rounded to 4 decimals (0.1 ms — far below run-to-run noise):
+    // raw doubles print ~17 significant digits each, and with 70+ queries
+    // that pushed the single contract line past the driver's tail-capture
+    // window two rounds running. toPlainString is locale-independent.
+    def num(v: Double): String =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .bigDecimal.toPlainString
+    val qs = results.map { case (k, v, _) => s"\"$k\":${num(v)}" }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => s"\"$k\":\"${esc(e)}\"" }
     val total = results.collect { case (_, v, None) => v }.sum
     val errJson = if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
-    s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"passes":$runs,"interleaved":true,"agg":"min","order":"name","queries":$qs$errJson,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${num(total)},"unit":"sec","runs":$runs,"passes":$runs,"interleaved":true,"agg":"min","order":"name","queries":$qs$errJson,"sf":"$sfDir"}"""
   }
 
   def main(args: Array[String]): Unit = {

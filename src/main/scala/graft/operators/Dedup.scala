@@ -466,9 +466,14 @@ object Dedup {
    * keep-set scan, independent of how many of the three outputs are
    * consumed.
    *
-   * Lifetime: `pairs` and `labels` are materialized cuts — callers
-   * release them ([[Materialize.release]]/[[Materialize.scoped]]) after
-   * their terminal actions, like any other cut.
+   * Lifetime: `pairs` and `labels` are materialized cuts, and `keep`'s
+   * plan CONTAINS the labels cut (its anti-join side derives from it) —
+   * so releasing `keep` also drops `labels` (and vice versa), and a
+   * sibling read after the other's release would fail irrecoverably
+   * (localCheckpoint discards the lineage needed to recompute).
+   * Release the three together, AFTER all terminal actions on all of
+   * them — [[Materialize.scoped]] around the whole consumption is the
+   * safe form.
    */
   def dedupPipeline(df: DataFrame, idCol: String, textCol: String, n: Int,
                     threshold: Double, maxIters: Int = 20): DedupResult = {

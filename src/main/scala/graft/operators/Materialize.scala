@@ -118,15 +118,25 @@ object Materialize {
    * the RDD API (e.g. a mapPartitions fold over a cut, re-wrapped with
    * createDataFrame) hides the cut from the logical plan but not from
    * the dependency chain, and without the walk its blocks would be
-   * unreleasable. Only blocks [[apply]] registered are touched, so
-   * passing a frame that was never cut is a safe no-op; walks stay
-   * short because a cut truncates lineage. The released frame must not
-   * be read again. */
+   * unreleasable. Each branch of the walk stops at the FIRST registered
+   * cut it finds: a deeper cut reachable only through a live cut is
+   * that cut's dependency, not this frame's, and dropping it would
+   * strand any sibling frame built on it. Only blocks [[apply]]
+   * registered are touched, so passing a frame that was never cut is a
+   * safe no-op; walks stay short because a cut truncates lineage.
+   *
+   * The released frame must not be read again — and neither must any
+   * SIBLING frame whose plan contains the same cut as a leaf (two
+   * frames derived from one cut share its blocks; releasing either
+   * kills the shared leaf for both). Operators returning several frames
+   * over one cut (e.g. `Dedup.dedupPipeline`) document this on their
+   * result type: release such frames together, after ALL their terminal
+   * actions. */
   def release(df: DataFrame): Unit = {
     val seen = mutable.Set[RDD[_]]()
     def walk(r: RDD[_]): Unit = if (seen.add(r)) {
       if (deregister(df.sparkSession, r)) r.unpersist(blocking = false)
-      r.dependencies.foreach(d => walk(d.rdd))
+      else r.dependencies.foreach(d => walk(d.rdd))
     }
     df.queryExecution.analyzed.foreach {
       case lr: LogicalRDD => walk(lr.rdd)

@@ -15,9 +15,10 @@ import org.apache.spark.sql.types.LongType
  *     ONLY full shuffle (a window partitioned by a bucket id would add
  *     a second full hash exchange here, because range partitioning does
  *     not satisfy the window's clustering requirement);
- *  2. per-partition totals in one narrow pass (`buckets` rows to the
- *     driver — loop-control scale), whose exclusive prefix sums become
- *     the per-partition offsets;
+ *  2. per-partition totals via a codegen'd partial aggregate keyed by
+ *     `spark_partition_id()` (`buckets` rows to the driver —
+ *     loop-control scale), whose exclusive prefix sums become the
+ *     per-partition offsets;
  *  3. one narrow mapPartitions pass folds each sorted partition
  *     sequentially from its offset — genuinely sequential per-row work,
  *     the legitimate mapPartitions case (same category as the winnowing
@@ -61,7 +62,14 @@ object PrefixScan {
       s"output column $outCol already exists on the input")
     val n =
       if (buckets > 0) buckets
-      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+      else {
+        // non-numeric on some deployments (AQE modes set it to "auto") —
+        // fall back to the cluster's default parallelism rather than
+        // throwing NumberFormatException at the caller
+        val conf = df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        scala.util.Try(conf.trim.toInt).toOption.filter(_ > 0)
+          .getOrElse(df.sparkSession.sparkContext.defaultParallelism)
+      }
     val ranged = Materialize(
       df.repartitionByRange(n, col(orderCol)).sortWithinPartitions(col(orderCol)))
     val valueIdx = ranged.schema.fieldIndex(valueCol)
@@ -71,13 +79,27 @@ object PrefixScan {
         s"null in $valueCol — prefix sums over nullable values are undefined")
       v.asInstanceOf[Number].longValue()
     }
-    // per-partition totals: one narrow pass, `n` rows to the driver
-    val totals = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
-      var s = 0L
-      it.foreach(s += valueOf(_))
-      Iterator.single((pid, s))
-    }.collect().sortBy(_._1)
-    val offsets = totals.scanLeft(0L)(_ + _._2).init // exclusive prefix
+    // per-partition totals: a codegen'd partial aggregate that touches
+    // ONLY the value column (the fold pass below legitimately needs full
+    // rows; this pass does not — a Row-reflection sum here would reflect
+    // every column of every row just to add one). Partition ids are
+    // stable on the materialized cut, map-side combine reduces each
+    // partition to one row before the exchange, and the collect is
+    // `numParts` rows — loop-control scale. Empty range partitions emit
+    // no group row, so totals fill a dense zero-initialized array. Nulls
+    // are counted in the same aggregate and rejected BEFORE any offset is
+    // computed (sum() would silently skip them and mis-offset).
+    val numParts = ranged.rdd.getNumPartitions
+    val totalRows = ranged
+      .groupBy(spark_partition_id().as("pid"))
+      .agg(sum(col(valueCol).cast(LongType)).as("s"),
+        count(when(col(valueCol).isNull, 1)).as("nulls"))
+      .collect()
+    require(totalRows.forall(_.getLong(2) == 0L),
+      s"null in $valueCol — prefix sums over nullable values are undefined")
+    val totals = new Array[Long](numParts)
+    totalRows.foreach(r => totals(r.getInt(0)) = r.getLong(1))
+    val offsets = totals.scanLeft(0L)(_ + _).init // exclusive prefix
     val offsetsB = df.sparkSession.sparkContext.broadcast(offsets)
     // sequential fold per sorted partition, starting at its offset — a
     // second narrow pass over the SAME cut partitions, no exchange

@@ -234,10 +234,15 @@ object TextAnalysis {
    *
    * Shape at scale: one tokenize pass to the distinct (doc, trigram)
    * table, [[Materialize]]d because it feeds BOTH the document-frequency
-   * aggregate and the score join; the df side is dictionary-sized (the
-   * trigram space of natural text is tens of thousands of types, Zipf
-   * everywhere) and broadcasts back. Docs shorter than one trigram are
-   * excluded (no trigrams to score).
+   * aggregate and the score join. The df side is dictionary-sized for
+   * natural text (tens of thousands of trigram types, Zipf everywhere) —
+   * but an ADVERSARIAL corpus (ciphertext, random bytes: exactly what
+   * this operator exists to score) has trigram types proportional to
+   * corpus size, so the join carries no unconditional broadcast hint:
+   * AQE broadcasts when the built side measures small at runtime and
+   * falls back to a shuffle join when it does not, instead of blowing
+   * the driver. Docs shorter than one trigram are excluded (no trigrams
+   * to score).
    */
   def trigramFamiliarity(df: DataFrame, idCol: String,
                          textCol: String): DataFrame = {
@@ -251,7 +256,10 @@ object TextAnalysis {
     // document frequency reduces the tri table itself — same pattern as
     // [[tfIdfTopK]]'s df
     val dfreq = tri.groupBy("g").agg(count(lit(1)).as("df"))
-    tri.join(broadcast(dfreq), Seq("g"))
+    // no broadcast hint (see scaladoc): AQE decides from the measured
+    // size, so a trigram dictionary that grew with an adversarial corpus
+    // degrades to a shuffle join instead of a driver OOM
+    tri.join(dfreq, Seq("g"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_trigrams"),
         round(sum(col("df")).cast("double") / count(lit(1)), 4)

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -66,13 +66,20 @@ object StreamingIngest {
    * PARTITION_BY)` at ingest (src/gg_logs_to_parquet.py:106-123).
    *
    * foreachBatch has no file-sink commit log, so replayed batch ids are
-   * made idempotent the Delta-txn way: a `_last_landed_batch` marker in
-   * the table directory records the highest batch id whose append
-   * completed (written tmp+rename after the append), and a replayed id
-   * <= the marker is skipped instead of double-appended. One logical
-   * stream per landing table; resetting the stream's checkpoint requires
-   * clearing the marker too. The residual crash window (append done,
-   * marker not yet written) is at-least-once — the downstream CDC
+   * made idempotent the Delta-txn way: VERSIONED marker files
+   * `_last_landed_batch.<id>` in the table directory record each batch
+   * id whose append completed (tmp write + rename to a FRESH name, so no
+   * delete-then-rename window can leave the table markerless), and a
+   * replayed id <= the highest marker is skipped instead of
+   * double-appended. 'No marker present' means a fresh table and
+   * proceeds; any OTHER marker-read failure (transient I/O, permissions,
+   * a garbled marker name) fails the micro-batch so the stream RETRIES —
+   * treating an unreadable marker as absent would re-append every prior
+   * batch (the Unreadable-vs-Garbled discipline of the merge store's
+   * tombstone repair, applied to the landing marker). One logical stream
+   * per landing table; resetting the stream's checkpoint requires
+   * clearing the markers too. The residual crash window (append done,
+   * marker not yet renamed) is at-least-once — the downstream CDC
    * stage's `pos` dedup ([[dedupByPos]]) absorbs exactly that case. */
   def landTo(df: DataFrame, store: SnapshotStore, db: String, table: String,
              checkpoint: String,
@@ -80,30 +87,62 @@ object StreamingIngest {
     df.drop("event_ts").writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val meta = store.catalog(db, table)
-        val marker = new Path(s"${meta.location}/_last_landed_batch")
-        val fs = marker.getFileSystem(
+        val dir = new Path(meta.location)
+        val fs = dir.getFileSystem(
           batch.sparkSession.sparkContext.hadoopConfiguration)
-        val last =
-          try {
-            val in = fs.open(marker)
-            try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
-            finally in.close()
-          } catch { case scala.util.control.NonFatal(_) => -1L }
-        if (batchId > last) {
+        if (batchId > lastLandedBatch(fs, dir)) {
           store.appendPartitioned(db, table, batch)
           store.catalog.register(meta.copy(schema = Some(batch.schema)))
-          val tmp = new Path(s"${meta.location}/.tmp-_last_landed_batch")
-          val out = fs.create(tmp, true)
-          try out.write(batchId.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          finally out.close()
-          fs.delete(marker, false) // rename won't overwrite on HDFS/object stores
-          fs.rename(tmp, marker)
+          writeLandedMarker(fs, dir, batchId)
         }
         ()
       }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .start()
+
+  /** Versioned landing-marker prefix: `_last_landed_batch.<id>`. */
+  private[streaming] val MarkerPrefix = "_last_landed_batch"
+
+  /** Highest batch id with a completed landing append in `dir`, or -1
+   * when no marker exists. Absent (missing dir or no marker files) is
+   * the fresh-table case and proceeds; a marker name whose id suffix
+   * does not parse, or any listing failure other than not-found, throws
+   * so the caller's micro-batch retries instead of double-appending. */
+  private[streaming] def lastLandedBatch(fs: FileSystem, dir: Path): Long = {
+    val names =
+      try fs.listStatus(dir).map(_.getPath.getName)
+      catch { case _: java.io.FileNotFoundException => return -1L }
+    val ids = names.filter(_.startsWith(MarkerPrefix + ".")).map { n =>
+      val suffix = n.substring(MarkerPrefix.length + 1)
+      try suffix.toLong
+      catch { case e: NumberFormatException => throw new java.io.IOException(
+        s"garbled landing marker $n in $dir — refusing to treat the table as fresh", e) }
+    }
+    if (ids.isEmpty) -1L else ids.max
+  }
+
+  /** Commit batch `id` as landed: tmp write + rename to the fresh
+   * versioned name (a fresh target needs no prior delete, so a crash at
+   * any point leaves either the old markers or old + new — never none),
+   * then best-effort cleanup of superseded markers (a failed delete only
+   * costs extra names in the next listing). */
+  private[streaming] def writeLandedMarker(fs: FileSystem, dir: Path, id: Long): Unit = {
+    val tmp = new Path(dir, s".tmp-$MarkerPrefix.$id")
+    val out = fs.create(tmp, true)
+    try out.write(id.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (!fs.rename(tmp, new Path(dir, s"$MarkerPrefix.$id")))
+      throw new java.io.IOException(
+        s"could not commit landing marker for batch $id in $dir")
+    try fs.listStatus(dir).map(_.getPath).foreach { p =>
+      val n = p.getName
+      if (n.startsWith(MarkerPrefix + ".") &&
+          scala.util.Try(n.substring(MarkerPrefix.length + 1).toLong)
+            .toOption.exists(_ < id))
+        fs.delete(p, false)
+    } catch { case scala.util.control.NonFatal(_) => () }
+  }
 
   /** Merge each micro-batch into the structured snapshots with the batch
    * CDC applier (per-batch semantics identical to a batch run over that

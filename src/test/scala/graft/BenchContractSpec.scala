@@ -19,9 +19,12 @@ class BenchContractSpec extends AnyFunSuite with SparkFixture {
     val json = Bench.toJson(results, "/root/testdata/sf0.001")
     assert(json.contains(""""errors":{"""))
     assert(json.contains("broken_query"))
-    // the failed query's time is excluded from the reported total
+    // the failed query's time is excluded from the reported total; the
+    // line prints seconds rounded to 4 decimals (tail-capture budget)
     val total = """"value":([0-9.]+)""".r.findFirstMatchIn(json).get.group(1).toDouble
-    assert(math.abs(total - byName("ok_query")._2) < 1e-9)
+    assert(math.abs(total - byName("ok_query")._2) <= 5e-5)
+    assert(!json.matches(""".*"value":[0-9]+\.[0-9]{5,}.*"""),
+      "per-line seconds must stay at <= 4 decimals")
     // escaping keeps the line a single valid JSON object (driver parses it)
     assert(!json.exists(_ < ' '))
   }

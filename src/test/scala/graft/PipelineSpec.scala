@@ -783,6 +783,29 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(real.forall(r => r.getLong(1) >= 1 && r.getDouble(2) >= 1.0))
   }
 
+  test("trigramFamiliarity scores a high-entropy corpus without a broadcast") {
+    // the adversarial case the operator exists for: ciphertext-like docs
+    // whose trigram-type count grows with the corpus, so the df side must
+    // NOT be force-broadcast (AQE decides from the measured size). md5 hex
+    // is a deterministic high-entropy source — no test-side RNG.
+    // base64, not hex: the hex alphabet has only 16^3 possible trigrams,
+    // which repeat across docs and would look "familiar"
+    val noise = spark.range(300).select(col("id").as("doc_id"),
+      concat_ws("", (0 until 6).map(i =>
+        base64(unhex(md5(concat(col("id"), lit(i)))))): _*).as("text"))
+    val scored = TextAnalysis.trigramFamiliarity(noise, "doc_id", "text")
+      .collect()
+    assert(scored.length == 300)
+    // the filter must separate: noise trigrams are near-unique to their
+    // doc (familiarity ~1-2), natural text shares trigrams corpus-wide
+    val noiseMean = scored.map(_.getDouble(2)).sum / scored.length
+    val naturalMean = TextAnalysis.trigramFamiliarity(docs, "doc_id", "text")
+      .agg(avg("familiarity")).head.getDouble(0)
+    assert(noiseMean * 10 < naturalMean,
+      s"high-entropy docs must score far below natural text " +
+        s"(noise $noiseMean vs natural $naturalMean)")
+  }
+
   test("repetitionRatios match hand-computed n-gram repeat fractions") {
     import spark.implicits._
     val tiny = Seq((1L, "a b a b c"), (2L, "x"), (3L, "p q p q p q"))
