@@ -1003,6 +1003,14 @@ object SparkEntry {
           threshold = 0.25, nCells = 16)
         .orderBy("vec_id")),
 
+    // exact substring-span dedup (Lee et al. 2021): maximal >=8-token
+    // runs shared verbatim across documents, located by token position,
+    // overlapping-or-adjacent regions merged per doc
+    "d12_span_dedup" -> ((s, d) =>
+      Dedup.spanDedup(t(s, d, "documents"), "doc_id", "text",
+          minTokens = 8, maxOcc = 64)
+        .orderBy("doc_id", "span_start")),
+
     // data mixing: downsample classes to a target mixture (the largest
     // achievable output with no upsampling). The per-class rates are
     // DATA-DEPENDENT — the oracle recomputes them with the identical
@@ -1589,7 +1597,46 @@ object SparkEntry {
          WHERE substring(md5(CAST(vec_id AS VARCHAR) || ':42'), 1, 4) <
                CASE WHEN r >= 1.0 THEN 'zzzz'
                     ELSE printf('%04x', CAST(floor(r * 65536) AS BIGINT)) END
-         ORDER BY vec_id""")
+         ORDER BY vec_id""",
+
+    // position-carrying 8-token shingle index -> fixed-delta consecutive
+    // runs -> per-doc overlap merge; same hot-shingle guard (occ <= 64)
+    // as the Spark operator
+    "d12_span_dedup" -> (NormCte +
+      """, tk AS (SELECT doc_id, string_split(t, ' ') AS ts FROM n),
+         base AS (SELECT doc_id, ts, len(ts) AS nt FROM tk WHERE len(ts) >= 8),
+         pos AS (SELECT doc_id, unnest(generate_series(1, nt - 7)) AS p, ts
+                 FROM base),
+         idx AS (SELECT doc_id, p, md5(array_to_string(ts[p:p+7], ' ')) AS g
+                 FROM pos),
+         freq AS (SELECT g FROM idx GROUP BY g HAVING count(*) <= 64),
+         kept AS (SELECT idx.* FROM idx JOIN freq USING (g)),
+         m AS (SELECT a.doc_id AS doc_a, a.p AS pa, b.doc_id AS doc_b, b.p AS pb
+               FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id),
+         r AS (SELECT doc_a, doc_b, pb - pa AS d, pa,
+                      pa - row_number() OVER (PARTITION BY doc_a, doc_b, pb - pa
+                                              ORDER BY pa) AS run
+               FROM m),
+         sp0 AS (SELECT doc_a, doc_b, d, run, min(pa) AS sa, max(pa) + 7 AS ea
+                 FROM r GROUP BY 1, 2, 3, 4),
+         spans AS (SELECT DISTINCT doc_id, s, e FROM (
+                     SELECT doc_a AS doc_id, sa AS s, ea AS e FROM sp0
+                     UNION ALL
+                     SELECT doc_b, sa + d, ea + d FROM sp0)),
+         mk AS (SELECT doc_id, s, e,
+                       max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+                FROM spans),
+         br AS (SELECT doc_id, s, e,
+                       CASE WHEN pmax IS NULL OR s > pmax + 1 THEN 1 ELSE 0 END AS brk
+                FROM mk),
+         grp AS (SELECT doc_id, s, e,
+                        sum(brk) OVER (PARTITION BY doc_id ORDER BY s, e
+                          ROWS UNBOUNDED PRECEDING) AS grp
+                 FROM br)
+         SELECT doc_id, CAST(min(s) AS BIGINT) AS span_start,
+                CAST(max(e) AS BIGINT) AS span_end
+         FROM grp GROUP BY doc_id, grp ORDER BY doc_id, span_start"""))
 
   // -------------------------------------------------------------- public
 

@@ -484,6 +484,106 @@ object Dedup {
     DedupResult(pairs, labels, keep)
   }
 
+  // ---------------------------------------------------- span-level dedup
+
+  /**
+   * Exact substring-span dedup — the Lee et al. 2021 ("Deduplicating
+   * Training Data Makes Language Models Better") modality: locate runs
+   * of >= `minTokens` consecutive tokens that appear verbatim in MORE
+   * THAN ONE document. Output is (doc_id, span_start, span_end) —
+   * 1-based inclusive TOKEN indices into the whitespace-normalized
+   * token sequence — with overlapping-or-adjacent duplicated regions
+   * merged per document (removal semantics: the doc's duplicated region
+   * set). Whole-document dedup (d01–d04) removes near-identical
+   * documents; this finds the boilerplate paragraph pasted into ten
+   * thousand otherwise-distinct pages, which document-level methods
+   * structurally miss.
+   *
+   * The reference formulation builds a corpus-wide suffix array —
+   * inherently sequential. The distributed shape instead indexes every
+   * `minTokens`-token shingle BY POSITION and recovers maximal spans
+   * from runs:
+   *
+   *  1. one tokenize pass → (doc, p, md5(shingle at p)): the hashes are
+   *     computed by an in-row `transform`, then `posexplode`d, so the
+   *     exploded rows carry a 32-char hash each, never the token array
+   *     (same asymptotics as t05's winnowing index: ~one row per corpus
+   *     token);
+   *  2. shingles occurring at more than `maxOcc` positions corpus-wide
+   *     are dropped — the hot-bucket guard of d02/d04/d08: a
+   *     boilerplate shingle shared by a million documents would
+   *     otherwise fan the pair join out quadratically. The guard bounds
+   *     per-shingle join fan-out at maxOcc² and is part of the operator
+   *     contract (ubiquitous spans stop being reported once they occur
+   *     in more than ~maxOcc places — at that frequency they are a
+   *     vocabulary fact, not a dedup finding);
+   *  3. the position index self-joins on the shingle hash (doc_a <
+   *     doc_b) — the only pair-generating stage, keyed by content,
+   *     never all-pairs;
+   *  4. a shared span of length L >= minTokens is exactly a run of
+   *     L − minTokens + 1 consecutive matches at one position delta, so
+   *     grouping by (doc_a, doc_b, pb − pa) and splitting on
+   *     non-consecutive pa (run id = pa − row_number(), the classic
+   *     gaps-and-islands key) yields each maximal shared span once;
+   *  5. spans land on both documents of each pair and merge per doc
+   *     with one running-max window keyed by doc.
+   *
+   * Every shuffle is keyed by shingle hash, (doc pair, delta), or doc.
+   * The position index is [[Materialize]]d once and feeds both sides of
+   * the pair join — callers release it via the returned frame after the
+   * terminal action ([[Materialize.release]]/[[Materialize.scoped]]).
+   */
+  def spanDedup(df: DataFrame, idCol: String, textCol: String,
+                minTokens: Int, maxOcc: Int = 64): DataFrame = {
+    require(minTokens >= 2,
+      "minTokens < 2 is a shared-vocabulary report, not a span finder")
+    require(maxOcc >= 2, "maxOcc < 2 would drop every shared shingle")
+    val toks = df.select(col(idCol).as("doc"),
+        split(normalizeText(col(textCol)), " ").as("ts"))
+      .withColumn("n", size(col("ts")))
+      .filter(col("n") >= minTokens)
+    val occ = toks.select(col("doc"),
+        posexplode(transform(sequence(lit(1), col("n") - minTokens + 1),
+          p => md5(concat_ws(" ", slice(col("ts"), p, lit(minTokens))).cast("binary")))))
+      .select(col("doc"), (col("pos") + 1).as("p"), col("col").as("g"))
+    // hot-shingle guard, then one cut: the filtered index feeds both
+    // sides of the pair join (without it the corpus tokenizes twice)
+    val freq = occ.groupBy("g").agg(count(lit(1)).as("occ_n"))
+    val kept = Materialize(
+      occ.join(freq.filter(col("occ_n") <= maxOcc), Seq("g")).drop("occ_n"))
+    val matches = kept.select(col("g"), col("doc").as("doc_a"), col("p").as("pa"))
+      .join(kept.select(col("g"), col("doc").as("doc_b"), col("p").as("pb")), Seq("g"))
+      .filter(col("doc_a") < col("doc_b"))
+    // runs of consecutive pa at a fixed delta = maximal shared spans.
+    // (pa is unique within a (doc_a, doc_b, d) group — the shingle at a
+    // position is one hash, so a (pa, pb) match pair appears once.)
+    val wRun = Window.partitionBy("doc_a", "doc_b", "d").orderBy("pa")
+    val runs = matches
+      .withColumn("d", col("pb") - col("pa"))
+      .withColumn("run", col("pa") - row_number().over(wRun))
+      .groupBy("doc_a", "doc_b", "d", "run")
+      .agg(min(col("pa")).as("sa"), (max(col("pa")) + minTokens - 1).as("ea"))
+    val spans = runs
+      .select(col("doc_a").as("doc_id"), col("sa").as("s"), col("ea").as("e"))
+      .unionByName(runs.select(col("doc_b").as("doc_id"),
+        (col("sa") + col("d")).as("s"), (col("ea") + col("d")).as("e")))
+      .distinct()
+    // merge overlapping-or-adjacent spans per doc (gaps-and-islands over
+    // a running max): [1,10]+[5,12] -> [1,12], [1,10]+[11,20] -> [1,20]
+    val wDoc = Window.partitionBy("doc_id").orderBy(col("s"), col("e"))
+    spans
+      .withColumn("pmax",
+        max(col("e")).over(wDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("brk",
+        when(col("pmax").isNull || col("s") > col("pmax") + 1, 1).otherwise(0))
+      .withColumn("grp",
+        sum(col("brk")).over(wDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "grp")
+      .agg(min(col("s")).cast("long").as("span_start"),
+        max(col("e")).cast("long").as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"))
+  }
+
   // ---------------------------------------------------- cluster resolution
 
   /**

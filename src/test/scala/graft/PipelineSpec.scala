@@ -286,6 +286,42 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("spanDedup finds hand-computed shared spans, merged per doc") {
+    import spark.implicits._
+    // 1 and 4 are verbatim copies; 2 embeds 1's first four tokens at
+    // offset 2; 5/6 share a prefix and a suffix around an insertion; 7
+    // repeats a shingle only WITHIN itself (cross-doc only — no output)
+    val docs = Seq(
+      (1L, "a b c d e f"), (2L, "x y a b c d q"), (4L, "a b c d e f"),
+      (5L, "p q r s t u"), (6L, "p q r z s t u"),
+      (7L, "m m m m m m m m")).toDF("doc_id", "text")
+    val got = Dedup.spanDedup(docs, "doc_id", "text", minTokens = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    graft.operators.Materialize.releaseAll()
+    // doc 1: [1,4] (vs 2) and [1,6] (vs 4) merge to [1,6]; doc 2: "a b c
+    // d" sits at tokens 3..6; doc 5: prefix [1,3] + suffix [4,6] are
+    // ADJACENT and merge to [1,6]; doc 6: [1,3] and [5,7] stay separate
+    // (gap at token 4, the insertion)
+    assert(got == Set(
+      (1L, 1L, 6L), (2L, 3L, 6L), (4L, 1L, 6L),
+      (5L, 1L, 6L), (6L, 1L, 3L), (6L, 5L, 7L)))
+  }
+
+  test("spanDedup hot-shingle guard drops ubiquitous shingles from pairing") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f"), (2L, "x y a b c d q"), (4L, "a b c d e f"))
+      .toDF("doc_id", "text")
+    // maxOcc=2: "a b c" and "b c d" occur at 3 positions (docs 1, 2, 4)
+    // and are dropped; "c d e"/"d e f" (docs 1 and 4 only) survive, so
+    // the 1-4 copy is found from token 3 on and the 1-2 overlap is lost
+    // — recall reduction is the documented guard contract
+    val got = Dedup.spanDedup(docs, "doc_id", "text", minTokens = 3, maxOcc = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    graft.operators.Materialize.releaseAll()
+    assert(got == Set((1L, 3L, 6L), (4L, 3L, 6L)))
+  }
+
   test("dedupPipeline: separate-stage answers from ONE pair-graph computation") {
     import graft.operators.Materialize
     val sc = spark.sparkContext
