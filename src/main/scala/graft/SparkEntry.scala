@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Joins, Multimodal, PrefixScan, QueryRunner, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Joins, Multimodal, PrefixScan, QueryRunner, Sampling, Similarity, TextAnalysis, UrlFilter}
 
 /**
  * Driver contract — one `queries` entry per operator from SURVEY.md §2
@@ -783,6 +783,47 @@ object SparkEntry {
     "t08_repetition" -> ((s, d) =>
       TextAnalysis.repetitionRatios(t(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
+
+    // PII detect + redact over documents deterministically enriched with
+    // synthetic PII (the corpus text itself is clean word soup): emails,
+    // phones, IPv4/IPv6 planted by doc_id arithmetic so the oracle
+    // builds the identical input, then counts + redaction verify the
+    // patterns end-to-end
+    "t09_pii" -> ((s, d) => {
+      val enriched = t(s, d, "documents").select(col("doc_id"), concat(
+          col("text"),
+          when(col("doc_id") % 7 === 0, concat(lit(" contact user"),
+            col("doc_id").cast("string"), lit("@example.com now"))).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0, concat(lit(" call +44 20 "),
+            format_string("%04d", col("doc_id") % 10000), lit(" 0141"))).otherwise(lit("")),
+          when(col("doc_id") % 13 === 0, concat(lit(" from 10.0."),
+            (col("doc_id") % 256).cast("string"), lit("."),
+            ((col("doc_id") * 7) % 256).cast("string"))).otherwise(lit("")),
+          when(col("doc_id") % 17 === 0, concat(lit(" via 2001:db8:0:0:0:0:0:"),
+            (col("doc_id") % 9999).cast("string"))).otherwise(lit(""))
+        ).as("text"))
+      TextAnalysis.withPiiCounts(enriched, "text")
+        .withColumn("redacted", TextAnalysis.redactPii(col("text")))
+        .select(col("doc_id"), col("n_email"), col("n_ipv6"), col("n_ipv4"),
+          col("n_phone"), col("redacted"))
+        .orderBy("doc_id")
+    }),
+
+    // URL/domain filter: hosts synthesized from doc_id, blocklist
+    // dropped via broadcast anti-join, greylist host downsampled with
+    // the content-keyed hashSampleBy filter
+    "q40_url_filter" -> ((s, d) => {
+      val urls = t(s, d, "documents").select(col("doc_id"), concat(lit("https://"),
+          element_at(array(lit("spam.tracker.example"), lit("ads.adnetwork.example"),
+            lit("en.wikipedia.org"), lit("github.com"), lit("docs.python.org")),
+            (col("doc_id") % 5 + 1).cast("int")),
+          lit("/page/"), col("doc_id").cast("string")).as("url"))
+      UrlFilter.filterByDomain(urls, "url",
+          blocklist = Seq("spam.tracker.example", "ads.adnetwork.example"),
+          greylist = Map("en.wikipedia.org" -> 0.5))
+        .select(col("doc_id"), col("host"))
+        .orderBy("doc_id")
+    }),
 
     // token-budget shard packing over a SCALABLE prefix scan (sorted
     // range buckets folded sequentially per partition from broadcast
@@ -1636,7 +1677,53 @@ object SparkEntry {
                  FROM br)
          SELECT doc_id, CAST(min(s) AS BIGINT) AS span_start,
                 CAST(max(e) AS BIGINT) AS span_end
-         FROM grp GROUP BY doc_id, grp ORDER BY doc_id, span_start"""))
+         FROM grp GROUP BY doc_id, grp ORDER BY doc_id, span_start"""),
+
+    // same deterministic PII enrichment, then RE2 replays the Java
+    // patterns (both engines: no lookaround, leftmost greedy matching)
+    "t09_pii" ->
+      """WITH e AS (SELECT doc_id, text ||
+           CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@example.com now' ELSE '' END ||
+           CASE WHEN doc_id % 11 = 0 THEN ' call +44 20 '
+                || printf('%04d', doc_id % 10000) || ' 0141' ELSE '' END ||
+           CASE WHEN doc_id % 13 = 0 THEN ' from 10.0.'
+                || CAST(doc_id % 256 AS VARCHAR) || '.'
+                || CAST((doc_id * 7) % 256 AS VARCHAR) ELSE '' END ||
+           CASE WHEN doc_id % 17 = 0 THEN ' via 2001:db8:0:0:0:0:0:'
+                || CAST(doc_id % 9999 AS VARCHAR) ELSE '' END AS t
+         FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(t, '(?:[0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}')) AS BIGINT) AS n_ipv6,
+           CAST(len(regexp_extract_all(t, '(?:[0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ipv4,
+           CAST(len(regexp_extract_all(t, '\+?[0-9](?:[- ]?[0-9]){7,14}')) AS BIGINT) AS n_phone,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '(?:[0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}', '<IP6>', 'g'),
+             '(?:[0-9]{1,3}\.){3}[0-9]{1,3}', '<IP4>', 'g'),
+             '\+?[0-9](?:[- ]?[0-9]){7,14}', '<PHONE>', 'g') AS redacted
+         FROM e ORDER BY doc_id""",
+
+    // host extraction regexp + blocklist NOT IN + the hashSampleBy
+    // md5-threshold filter on the greylist host
+    "q40_url_filter" ->
+      """WITH u AS (SELECT doc_id, 'https://' ||
+           CASE doc_id % 5 WHEN 0 THEN 'spam.tracker.example'
+                WHEN 1 THEN 'ads.adnetwork.example'
+                WHEN 2 THEN 'en.wikipedia.org' WHEN 3 THEN 'github.com'
+                ELSE 'docs.python.org' END ||
+           '/page/' || CAST(doc_id AS VARCHAR) AS url
+         FROM documents),
+         h AS (SELECT doc_id, url,
+                 regexp_extract(lower(url), '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS host
+               FROM u)
+         SELECT doc_id, host FROM h
+         WHERE host <> ''
+           AND host NOT IN ('spam.tracker.example', 'ads.adnetwork.example')
+           AND substring(md5(url || ':42'), 1, 4) <
+               CASE WHEN host = 'en.wikipedia.org' THEN '8000' ELSE 'zzzz' END
+         ORDER BY doc_id""")
 
   // -------------------------------------------------------------- public
 

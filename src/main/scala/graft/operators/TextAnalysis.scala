@@ -291,6 +291,49 @@ object TextAnalysis {
       rep(2).as("rep2"), rep(3).as("rep3"))
   }
 
+  /**
+   * PII patterns — the standard curation/redaction stage of a
+   * training-data pipeline. RE2-and-Java-regex compatible (no
+   * lookaround, no backreferences — the [[langStopwords]] discipline)
+   * so an external SQL engine reproduces counts AND redactions exactly.
+   * The simplifications are documented contract, not accident:
+   *
+   *  - email: practical RFC subset (local@domain.tld);
+   *  - phone: an optional '+', then 8–15 digits with single space/dash
+   *    separators — international numbers without lookahead (a bare
+   *    8+ digit run also matches; on prose corpora that IS usually an
+   *    identifier worth redacting);
+   *  - ipv4: four dotted 1–3 digit groups (no 0–255 range check —
+   *    that needs alternation whose leftmost-match order differs
+   *    between engines);
+   *  - ipv6: the full 8-group form only (compressed `::` forms need
+   *    zero-width alternatives that diverge between engines).
+   *
+   * Order matters for [[redactPii]] and is part of the contract:
+   * email first (its local part may contain digits), then ipv6/ipv4
+   * (digit groups a later phone pass could chew into), phone last.
+   */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv6", "(?:[0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}", "<IP6>"),
+    ("ipv4", "(?:[0-9]{1,3}\\.){3}[0-9]{1,3}", "<IP4>"),
+    ("phone", "\\+?[0-9](?:[- ]?[0-9]){7,14}", "<PHONE>"))
+
+  /** The frame with a `n_<kind>` PII hit-count column appended per
+   * [[piiPatterns]] entry — one narrow codegen'd pass, keeps the input
+   * columns so a pipeline can filter/redact on the same scan. */
+  def withPiiCounts(df: DataFrame, textCol: String): DataFrame =
+    piiPatterns.foldLeft(df) { case (acc, (kind, pat, _)) =>
+      acc.withColumn(s"n_$kind", countMatches(col(textCol), pat).cast("long"))
+    }
+
+  /** The text with every PII match replaced by its placeholder, applied
+   * in [[piiPatterns]] order. Pure narrow expression chain. */
+  def redactPii(c: Column): Column =
+    piiPatterns.foldLeft(c) { case (acc, (_, pat, repl)) =>
+      regexp_replace(acc, pat, repl)
+    }
+
   /** All features in one pass over the corpus. */
   def withTextFeatures(df: DataFrame, textCol: String): DataFrame = {
     val c = col(textCol)

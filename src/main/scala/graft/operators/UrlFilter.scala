@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * URL/domain filtering — the first stage of every crawl-derived
+ * training-data pipeline: drop blocklisted hosts outright, downsample
+ * greylisted (boilerplate-heavy, low-quality) hosts, pass the rest.
+ *
+ * Scale shape: host extraction is one narrow regexp (no UDF); the
+ * blocklist is CONFIG-sized (thousands of hosts vs a 100 TB corpus), so
+ * it joins as an explicit broadcast anti-join — the corpus side never
+ * shuffles; greylist downsampling is the content-keyed narrow filter of
+ * [[Sampling.hashSampleBy]] (deterministic across engines,
+ * partitionings, and retries). The whole operator is a single scan.
+ */
+object UrlFilter {
+
+  /** Lowercased host of a URL (`scheme://HOST[:port]/...`) or null when
+   * the value does not parse as an absolute URL. A regexp rather than
+   * `parse_url` so an external SQL engine replays it identically
+   * (RE2-and-Java compatible — no lookaround). */
+  def host(c: Column): Column = {
+    val h = regexp_extract(lower(c), "^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1)
+    when(h =!= "", h) // regexp_extract yields "" on no match -> null
+  }
+
+  /**
+   * Filter `df` by the host of `urlCol`: blocklisted hosts are dropped
+   * (broadcast anti-join), greylisted hosts keep the given fraction of
+   * rows (content-keyed on the full URL, so retries and repartitions
+   * keep the same rows), all other hosts pass. Rows without a parseable
+   * host are dropped — crawl hygiene: a record that cannot be
+   * attributed to a domain cannot be policy-filtered either.
+   *
+   * The extracted host is appended as `hostOut` for downstream
+   * per-domain accounting.
+   */
+  def filterByDomain(df: DataFrame, urlCol: String,
+                     blocklist: Seq[String], greylist: Map[String, Double],
+                     seed: Long = 42L, hostOut: String = "host"): DataFrame = {
+    require(!df.columns.contains(hostOut),
+      s"host output column $hostOut already exists on the input")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val withHost = df.withColumn(hostOut, host(col(urlCol)))
+      .filter(col(hostOut).isNotNull)
+    val afterBlock =
+      if (blocklist.isEmpty) withHost
+      else withHost.join(
+        broadcast(blocklist.toDF(hostOut)), Seq(hostOut), "left_anti")
+    // unlisted hosts keep everything (default 1.0) — the greylist is a
+    // downsample, not an allowlist
+    if (greylist.isEmpty) afterBlock
+    else Sampling.hashSampleBy(afterBlock, hostOut, urlCol,
+      greylist, default = 1.0, seed = seed)
+  }
+}

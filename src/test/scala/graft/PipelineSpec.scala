@@ -842,6 +842,60 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
         s"(noise $noiseMean vs natural $naturalMean)")
   }
 
+  test("PII counts and redaction on hand-built fixture strings") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "mail bob.smith+x@corp.example.co, backup bob@ex.org today"),
+      (2L, "call +44 20 7946 0958 or 555-867-5309 x12"),
+      (3L, "from 192.168.3.21 via 2001:0db8:85a3:0:0:8a2e:370:7334 end"),
+      (4L, "no pii here, just words and the number 42"),
+      (5L, "mixed a@b.io at 10.0.0.1 dial 07700 900123")).toDF("doc_id", "text")
+    val counts = TextAnalysis.withPiiCounts(docs, "text")
+      .select("doc_id", "n_email", "n_phone", "n_ipv4", "n_ipv6")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(counts == Map(
+      1L -> ((2L, 0L, 0L, 0L)), // two emails, "x12"/digits too short for phone
+      2L -> ((0L, 2L, 0L, 0L)), // +44 form and 555- form both match
+      3L -> ((0L, 0L, 1L, 1L)),
+      4L -> ((0L, 0L, 0L, 0L)),
+      5L -> ((1L, 1L, 1L, 0L)))) // "07700 900123" is 11 digits -> phone
+    val red = docs.select(col("doc_id"),
+        TextAnalysis.redactPii(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(red(1L) == "mail <EMAIL>, backup <EMAIL> today")
+    assert(red(2L) == "call <PHONE> or <PHONE> x12")
+    assert(red(3L) == "from <IP4> via <IP6> end")
+    assert(red(4L) == "no pii here, just words and the number 42")
+    assert(red(5L) == "mixed <EMAIL> at <IP4> dial <PHONE>")
+  }
+
+  test("urlFilter: blocklist anti-joined, greylist downsampled, rest kept") {
+    import graft.operators.UrlFilter
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "https://spam.bad.example/x"), (2L, "HTTPS://Spam.Bad.Example/y"),
+      (3L, "https://keep.example.org/a"), (4L, "http://grey.example.net/b?q=1"),
+      (5L, "not a url at all"), (6L, "ftp://keep.example.org:21/c"))
+      .toDF("doc_id", "url")
+    // greylist at fraction 1.0 isolates routing from sampling noise
+    val got = UrlFilter.filterByDomain(rows, "url",
+        blocklist = Seq("spam.bad.example"),
+        greylist = Map("grey.example.net" -> 1.0))
+      .select("doc_id", "host")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // 1 and 2 blocklisted (host lowercased), 5 unparseable -> dropped;
+    // 3/6 pass (6 keeps its port-less host), 4 greylisted at 1.0 -> kept
+    assert(got == Map(3L -> "keep.example.org", 4L -> "grey.example.net",
+      6L -> "keep.example.org"))
+    // fraction 0.0 drops the greylisted host entirely, others unaffected
+    val none = UrlFilter.filterByDomain(rows, "url",
+        blocklist = Seq("spam.bad.example"),
+        greylist = Map("grey.example.net" -> 0.0))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(none == Set(3L, 6L))
+  }
+
   test("repetitionRatios match hand-computed n-gram repeat fractions") {
     import spark.implicits._
     val tiny = Seq((1L, "a b a b c"), (2L, "x"), (3L, "p q p q p q"))

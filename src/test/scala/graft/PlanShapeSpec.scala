@@ -53,6 +53,23 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(shuffles(p) == 1, s"only the orderBy may shuffle:\n$p")
   }
 
+  test("q40 url filter: blocklist broadcasts, corpus side never shuffles") {
+    val p = plan("q40_url_filter")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"the config-sized blocklist must broadcast-anti-join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      "a shuffle join would reshuffle the 100 TB corpus against a config list")
+    assert(scans(p) == 1, s"expected a single corpus scan:\n$p")
+    assert(shuffles(p) == 1, s"only the orderBy may shuffle:\n$p")
+  }
+
+  test("t09 pii: narrow regexp pass — one scan, no join, sort only") {
+    val p = plan("t09_pii")
+    assert(scans(p) == 1)
+    assert(shuffles(p) == 1, s"only the orderBy may shuffle:\n$p")
+    assert(!p.contains("Join"), "counts + redaction must ride one pass")
+  }
+
   test("t08 repetition: pure narrow expressions — one scan, sort only") {
     val p = plan("t08_repetition")
     assert(scans(p) == 1)
