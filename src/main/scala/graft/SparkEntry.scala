@@ -1052,6 +1052,25 @@ object SparkEntry {
           minTokens = 8, maxOcc = 64)
         .orderBy("doc_id", "span_start")),
 
+    // paragraph-level exact dedup (RefinedWeb) over synthetic multi-
+    // paragraph pages: docs are stitched into pages of 5 joined by blank
+    // lines, with every 5th doc shared by two consecutive pages so real
+    // cross-page duplicate paragraphs exist; first occurrence keeps
+    "d13_paragraph_dedup" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val member = docs.select(col("doc_id"), col("text"),
+        explode(when(col("doc_id") % 5 === 0 && col("doc_id") > 0,
+            array(expr("doc_id div 5") - 1, expr("doc_id div 5")))
+          .otherwise(array(expr("doc_id div 5")))).as("page_id"))
+      val pages = member.groupBy("page_id").agg(
+        concat_ws("\n\n", transform(
+          array_sort(collect_list(struct(col("doc_id"), col("text")))),
+          x => x.getField("text"))).as("text"))
+      Dedup.paragraphDedup(pages, "page_id", "text")
+        .withColumn("keep_flag", col("keep").cast("long")).drop("keep")
+        .orderBy("page_id", "para_idx")
+    }),
+
     // data mixing: downsample classes to a target mixture (the largest
     // achievable output with no upsampling). The per-class rates are
     // DATA-DEPENDENT — the oracle recomputes them with the identical
@@ -1678,6 +1697,33 @@ object SparkEntry {
          SELECT doc_id, CAST(min(s) AS BIGINT) AS span_start,
                 CAST(max(e) AS BIGINT) AS span_end
          FROM grp GROUP BY doc_id, grp ORDER BY doc_id, span_start"""),
+
+    // same overlapping-page construction, then split/fingerprint/rank
+    "d13_paragraph_dedup" ->
+      """WITH m AS (
+           SELECT doc_id, text, doc_id // 5 AS page_id FROM documents
+           UNION ALL
+           SELECT doc_id, text, doc_id // 5 - 1 FROM documents
+           WHERE doc_id % 5 = 0 AND doc_id > 0),
+         p AS (SELECT page_id,
+                      string_agg(text, chr(10) || chr(10) ORDER BY doc_id) AS text
+               FROM m GROUP BY page_id),
+         px AS (SELECT page_id, string_split_regex(text, '\n{2,}') AS ps FROM p),
+         pos AS (SELECT page_id, unnest(generate_series(1, len(ps))) AS i, ps
+                 FROM px),
+         paras AS (SELECT page_id, i AS para_idx, ps[i] AS para FROM pos
+                   WHERE length(trim(ps[i])) > 0),
+         nm AS (SELECT page_id, para_idx,
+                       md5(regexp_replace(trim(lower(para)), '\s+', ' ', 'g'))
+                         AS fingerprint
+                FROM paras),
+         rk AS (SELECT page_id, para_idx, fingerprint,
+                       row_number() OVER (PARTITION BY fingerprint
+                                          ORDER BY page_id, para_idx) AS rn
+                FROM nm)
+         SELECT page_id, CAST(para_idx AS BIGINT) AS para_idx, fingerprint,
+                CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep_flag
+         FROM rk ORDER BY page_id, para_idx""",
 
     // same deterministic PII enrichment, then RE2 replays the Java
     // patterns (both engines: no lookaround, leftmost greedy matching)

@@ -584,6 +584,56 @@ object Dedup {
       .select(col("doc_id"), col("span_start"), col("span_end"))
   }
 
+  // --------------------------------------------------- paragraph dedup
+
+  /** Shared paragraph table of [[paragraphDedup]]/
+   * [[dropDuplicateParagraphs]]: split on `sepPattern`, drop
+   * whitespace-only paragraphs, fingerprint the NORMALIZED paragraph,
+   * and mark each fingerprint's canonical (min id, then min position)
+   * occurrence corpus-wide via one rank window keyed by fingerprint. */
+  private def paraTable(df: DataFrame, idCol: String, textCol: String,
+                        sepPattern: String): DataFrame =
+    df.select(col(idCol),
+        posexplode(split(col(textCol), sepPattern)).as(Seq("pi0", "para")))
+      .withColumn("para_idx", (col("pi0") + 1).cast("long")).drop("pi0")
+      .filter(length(trim(col("para"))) > 0)
+      .withColumn("fingerprint", fingerprintMd5(col("para")))
+      .withColumn("keep", row_number().over(
+        Window.partitionBy("fingerprint").orderBy(col(idCol), col("para_idx"))) === 1)
+
+  /**
+   * Paragraph-level exact dedup — the RefinedWeb curation step: a
+   * paragraph (blank-line-separated block by default) duplicated
+   * anywhere in the corpus survives only at its FIRST occurrence
+   * (min id, then min position — within-document repeats count too).
+   * Returns (id, para_idx, fingerprint, keep): the per-paragraph
+   * decision table, 1-based positions.
+   *
+   * Scale shape: one explode pass (paragraph rows, not token rows) and
+   * ONE window shuffle keyed by the content fingerprint — no joins, no
+   * candidate generation; d01's exact-dedup discipline applied at
+   * paragraph grain. The boilerplate this catches (nav bars, cookie
+   * banners, license footers) is exactly what document-level dedup
+   * (d01–d04) and span dedup under its minimum length miss.
+   */
+  def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
+                     sepPattern: String = "\\n{2,}"): DataFrame =
+    paraTable(df, idCol, textCol, sepPattern)
+      .select(col(idCol), col("para_idx"), col("fingerprint"), col("keep"))
+
+  /** The corpus with non-canonical duplicate paragraphs removed and the
+   * survivors re-joined with `sep` in original order; documents whose
+   * every paragraph was a duplicate (or blank) drop out entirely. */
+  def dropDuplicateParagraphs(df: DataFrame, idCol: String, textCol: String,
+                              sep: String = "\n\n",
+                              sepPattern: String = "\\n{2,}"): DataFrame =
+    paraTable(df, idCol, textCol, sepPattern)
+      .filter(col("keep"))
+      .groupBy(col(idCol))
+      .agg(concat_ws(sep, transform(
+        array_sort(collect_list(struct(col("para_idx"), col("para")))),
+        x => x.getField("para"))).as(textCol))
+
   // ---------------------------------------------------- cluster resolution
 
   /**

@@ -322,6 +322,30 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(got == Set((1L, 3L, 6L), (4L, 3L, 6L)))
   }
 
+  test("paragraphDedup keeps first occurrences, reassembly drops the rest") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta\n\ngamma delta\n\nalpha beta"), // para 3 repeats para 1
+      (2L, "gamma delta\n\nunique two"),               // para 1 dups doc 1's
+      (3L, "  \n\nsolo"),                              // blank para filtered
+      (4L, "  Alpha   BETA "))                         // normalizes to doc 1 para 1
+      .toDF("doc_id", "text")
+    val dec = Dedup.paragraphDedup(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getBoolean(3)).toMap
+    assert(dec == Map(
+      (1L, 1L) -> true, (1L, 2L) -> true, (1L, 3L) -> false,
+      (2L, 1L) -> false, (2L, 2L) -> true,
+      (3L, 2L) -> true,
+      (4L, 1L) -> false))
+    val out = Dedup.dropDuplicateParagraphs(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc 4 vanishes: its only paragraph is a (normalized) duplicate
+    assert(out == Map(
+      1L -> "alpha beta\n\ngamma delta",
+      2L -> "unique two",
+      3L -> "solo"))
+  }
+
   test("dedupPipeline: separate-stage answers from ONE pair-graph computation") {
     import graft.operators.Materialize
     val sc = spark.sparkContext
