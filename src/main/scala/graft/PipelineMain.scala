@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 
 import graft.catalog.{InMemoryCatalog, MergeSnapshotStore, TableMeta}
 import graft.ingest.GgLogsToParquet
-import graft.operators.{ChangeLogApplier, CuratedApplier, Dedup, DomainRunner, Materialize, QueryRunner}
+import graft.operators.{ChangeLogApplier, CuratedApplier, Dedup, DomainRunner, Materialize, PrefixScan, QueryRunner, Sampling, Similarity, TextAnalysis}
 
 /**
  * One-command end-to-end run of the five reference stages on the
@@ -20,9 +20,17 @@ import graft.operators.{ChangeLogApplier, CuratedApplier, Dedup, DomainRunner, M
  *   4. apply_to_domains     definition CSV SQL -> domain snapshot
  *   5. glue_query           ad-hoc projection + predicate (demo_querys:3)
  *
- * plus a sixth stage beyond the reference's surface: the fused
- * training-data dedup pipeline (pairs -> clusters -> keep from one
- * pair-graph computation) landing the kept corpus as a catalog table.
+ * plus four training-data stages beyond the reference's surface:
+ *
+ *   6. fused dedup pipeline    pairs -> clusters -> keep from ONE pair
+ *                              graph, kept corpus landed as a table
+ *   7. mixture rebalance       content-keyed downsample to target
+ *                              language weights (the d10 operator)
+ *   8. shard packing           contiguous fixed-token training shards,
+ *                              no single-task window (the q39 operator)
+ *   9. decontamination sweep   IVF range search quarantines corpus
+ *                              vectors near probe/benchmark vectors
+ *                              (the s09 operator)
  *
  *   sbt "runMain graft.PipelineMain [workDir]"
  *
@@ -156,6 +164,64 @@ object PipelineMain {
         s"$nKeep of $nDocs kept") {
       nPairs > 0 && nDrop > 0 && nKeep + nDrop == nDocs &&
         store.read(Db, "documents_kept").count() == nKeep
+    }
+    Materialize.releaseAll()
+
+    // 7. mixture rebalance (the d10 operator): downsample the kept
+    // corpus to target language weights — content-keyed, so retries and
+    // repartitions keep the same rows; the binding class keeps all
+    val targets = Map("en" -> 2.0, "fr" -> 1.0, "es" -> 1.0,
+      "de" -> 1.0, "zh" -> 1.0)
+    val kept = store.read(Db, "documents_kept")
+    val keptCounts = kept.groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val mixed = Sampling.mixtureSample(kept, "lang", "doc_id", targets)
+    val mixCounts = mixed.groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nMixed = mixCounts.values.sum
+    stage(7, s"mixture rebalance -> $nMixed rows: " +
+        mixCounts.toSeq.sorted.map { case (c, n) => s"$c=$n" }.mkString(", ")) {
+      mixCounts.nonEmpty && mixCounts.keySet.subsetOf(targets.keySet) &&
+        mixCounts.forall { case (c, n) => n <= keptCounts(c) } &&
+        // the binding class (min n/w) is kept in full by contract
+        mixCounts.exists { case (c, n) => n == keptCounts(c) }
+    }
+
+    // 8. token-budget shard packing (the q39 operator) of the rebalanced
+    // corpus — the step that turns a corpus into contiguous fixed-token
+    // training shards without a single-task global window
+    val budget = 5000L
+    val packed = PrefixScan.packShards(
+      mixed.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens")),
+      "doc_id", "n_tokens", budget)
+    val nPacked = packed.count()
+    // contract checks as aggregates (no row collect): every doc's start
+    // offset inside its shard's token range, shard ids contiguous from 0
+    val misplaced = packed.filter(
+      col("cum_tokens") - col("n_tokens") < col("shard") * budget ||
+        col("cum_tokens") - col("n_tokens") >= (col("shard") + 1) * budget).count()
+    val nShards = packed.select("shard").distinct().count()
+    val maxShard = packed.agg(max("shard")).head.getLong(0)
+    stage(8, s"shard packing -> $nPacked docs into $nShards shards of <=$budget tokens") {
+      nPacked == nMixed && misplaced == 0 && nShards == maxShard + 1 && maxShard >= 0
+    }
+    Materialize.releaseAll() // packShards' internal range cut
+
+    // 9. decontamination sweep (the s09 operator): quarantine every
+    // corpus vector within cosine radius of a probe (benchmark) vector;
+    // the probed-cell restriction bounds per-probe scan cost by design
+    val embPath = sys.env.getOrElse("GRAFT_EMB_DATA",
+      "/root/testdata/sf0.001/embeddings.parquet")
+    val emb = spark.read.parquet(embPath)
+    val probes = emb.filter(col("vec_id") % 97 === 0)
+    val hits = Similarity.ivfRangeSearch(emb, probes, "vec_id", "embedding",
+      threshold = 0.3)
+    val contaminated = hits.select(col("neighbor_id").as("vec_id")).distinct()
+    val nContam = contaminated.count()
+    val nClean = emb.join(contaminated, Seq("vec_id"), "left_anti").count()
+    stage(9, s"range-search decontamination -> $nContam quarantined, $nClean clean") {
+      nContam > 0 && nContam + nClean == emb.count()
     }
     Materialize.releaseAll()
 

@@ -773,6 +773,47 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(res.forall(r => r.getLong(2) != r.getLong(0)))
   }
 
+  test("pipeline stages compose: mixture -> shard packing -> decontamination") {
+    import graft.operators.{Materialize, PrefixScan, Sampling, Similarity}
+    // the PipelineMain stage-7..9 chain on the same corpus, with the
+    // same invariants the binary gates on
+    val targets = Map("en" -> 2.0, "fr" -> 1.0, "es" -> 1.0,
+      "de" -> 1.0, "zh" -> 1.0)
+    val keptCounts = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val mixed = Sampling.mixtureSample(docs, "lang", "doc_id", targets)
+    val mixCounts = mixed.groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mixCounts.nonEmpty && mixCounts.keySet.subsetOf(targets.keySet))
+    assert(mixCounts.forall { case (c, n) => n <= keptCounts(c) })
+    assert(mixCounts.exists { case (c, n) => n == keptCounts(c) },
+      "the binding class must be kept in full")
+
+    val budget = 5000L
+    val packed = PrefixScan.packShards(
+      mixed.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens")),
+      "doc_id", "n_tokens", budget)
+    assert(packed.count() == mixCounts.values.sum)
+    assert(packed.filter(
+      col("cum_tokens") - col("n_tokens") < col("shard") * budget ||
+        col("cum_tokens") - col("n_tokens") >= (col("shard") + 1) * budget)
+      .count() == 0, "every doc's start offset must sit in its shard range")
+    val maxShard = packed.agg(max("shard")).head.getLong(0)
+    assert(packed.select("shard").distinct().count() == maxShard + 1)
+    Materialize.releaseAll()
+
+    val probes = emb.filter(col("vec_id") % 97 === 0)
+    val hits = Similarity.ivfRangeSearch(emb, probes, "vec_id", "embedding",
+      threshold = 0.3)
+    val contaminated = hits.select(col("neighbor_id").as("vec_id")).distinct()
+    val nContam = contaminated.count()
+    val nClean = emb.join(contaminated, Seq("vec_id"), "left_anti").count()
+    assert(nContam > 0, "the sweep must quarantine something at this radius")
+    assert(nContam + nClean == emb.count())
+    Materialize.releaseAll()
+  }
+
   test("runningTotal is bit-identical to the single-partition window") {
     import graft.operators.{Materialize, PrefixScan}
     import org.apache.spark.sql.expressions.Window
