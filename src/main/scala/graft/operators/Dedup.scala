@@ -546,11 +546,13 @@ object Dedup {
         posexplode(transform(sequence(lit(1), col("n") - minTokens + 1),
           p => md5(concat_ws(" ", slice(col("ts"), p, lit(minTokens))).cast("binary")))))
       .select(col("doc"), (col("pos") + 1).as("p"), col("col").as("g"))
-    // hot-shingle guard, then one cut: the filtered index feeds both
-    // sides of the pair join (without it the corpus tokenizes twice)
-    val freq = occ.groupBy("g").agg(count(lit(1)).as("occ_n"))
-    val kept = Materialize(
-      occ.join(freq.filter(col("occ_n") <= maxOcc), Seq("g")).drop("occ_n"))
+    // hot-shingle guard as ONE window count over the shingle key (a
+    // groupBy + join-back would shuffle the index twice for the same
+    // answer), then one cut: the filtered index feeds both sides of the
+    // pair join (without it the corpus tokenizes twice)
+    val kept = Materialize(occ
+      .withColumn("occ_n", count(lit(1)).over(Window.partitionBy("g")))
+      .filter(col("occ_n") <= maxOcc).drop("occ_n"))
     val matches = kept.select(col("g"), col("doc").as("doc_a"), col("p").as("pa"))
       .join(kept.select(col("g"), col("doc").as("doc_b"), col("p").as("pb")), Seq("g"))
       .filter(col("doc_a") < col("doc_b"))
