@@ -1052,6 +1052,15 @@ object SparkEntry {
           minTokens = 8, maxOcc = 64)
         .orderBy("doc_id", "span_start")),
 
+    // d12's spans applied back to the corpus: the find->remove loop of
+    // Lee et al. span dedup, producing the cleaned (normalized) text
+    "d14_span_removal" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.removeSpans(docs, "doc_id", "text",
+          Dedup.spanDedup(docs, "doc_id", "text", minTokens = 8, maxOcc = 64))
+        .orderBy("doc_id")
+    }),
+
     // paragraph-level exact dedup (RefinedWeb) over synthetic multi-
     // paragraph pages: docs are stitched into pages of 5 joined by blank
     // lines, with every 5th doc shared by two consecutive pages so real
@@ -1110,6 +1119,44 @@ object SparkEntry {
   private val NormCte =
     """WITH n AS (SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t
                   FROM documents)"""
+
+  /** Shared d12/d14 span pipeline: positional 8-token shingle index,
+   * hot-shingle guard (occ <= 64), fixed-delta consecutive runs, and the
+   * per-doc overlap merge — ending at `grp` (one row per surviving span
+   * occurrence, keyed (doc_id, grp) for the min/max span bounds). */
+  private val SpanCte = NormCte +
+    """, tk AS (SELECT doc_id, string_split(t, ' ') AS ts FROM n),
+       base AS (SELECT doc_id, ts, len(ts) AS nt FROM tk WHERE len(ts) >= 8),
+       pos AS (SELECT doc_id, unnest(generate_series(1, nt - 7)) AS p, ts
+               FROM base),
+       idx AS (SELECT doc_id, p, md5(array_to_string(ts[p:p+7], ' ')) AS g
+               FROM pos),
+       freq AS (SELECT g FROM idx GROUP BY g HAVING count(*) <= 64),
+       kept AS (SELECT idx.* FROM idx JOIN freq USING (g)),
+       m AS (SELECT a.doc_id AS doc_a, a.p AS pa, b.doc_id AS doc_b, b.p AS pb
+             FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id),
+       r AS (SELECT doc_a, doc_b, pb - pa AS d, pa,
+                    pa - row_number() OVER (PARTITION BY doc_a, doc_b, pb - pa
+                                            ORDER BY pa) AS run
+             FROM m),
+       sp0 AS (SELECT doc_a, doc_b, d, run, min(pa) AS sa, max(pa) + 7 AS ea
+               FROM r GROUP BY 1, 2, 3, 4),
+       spans AS (SELECT DISTINCT doc_id, s, e FROM (
+                   SELECT doc_a AS doc_id, sa AS s, ea AS e FROM sp0
+                   UNION ALL
+                   SELECT doc_b, sa + d, ea + d FROM sp0)),
+       mk AS (SELECT doc_id, s, e,
+                     max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+              FROM spans),
+       br AS (SELECT doc_id, s, e,
+                     CASE WHEN pmax IS NULL OR s > pmax + 1 THEN 1 ELSE 0 END AS brk
+              FROM mk),
+       grp AS (SELECT doc_id, s, e,
+                      sum(brk) OVER (PARTITION BY doc_id ORDER BY s, e
+                        ROWS UNBOUNDED PRECEDING) AS grp
+               FROM br)
+       """
 
   /** d03 oracle, generated: the portable SimHash recomputed in ANSI SQL.
    * Per token, bit i comes from md5 hex nibble i/4 (instr-parsed); per doc
@@ -1662,41 +1709,24 @@ object SparkEntry {
     // position-carrying 8-token shingle index -> fixed-delta consecutive
     // runs -> per-doc overlap merge; same hot-shingle guard (occ <= 64)
     // as the Spark operator
-    "d12_span_dedup" -> (NormCte +
-      """, tk AS (SELECT doc_id, string_split(t, ' ') AS ts FROM n),
-         base AS (SELECT doc_id, ts, len(ts) AS nt FROM tk WHERE len(ts) >= 8),
-         pos AS (SELECT doc_id, unnest(generate_series(1, nt - 7)) AS p, ts
-                 FROM base),
-         idx AS (SELECT doc_id, p, md5(array_to_string(ts[p:p+7], ' ')) AS g
-                 FROM pos),
-         freq AS (SELECT g FROM idx GROUP BY g HAVING count(*) <= 64),
-         kept AS (SELECT idx.* FROM idx JOIN freq USING (g)),
-         m AS (SELECT a.doc_id AS doc_a, a.p AS pa, b.doc_id AS doc_b, b.p AS pb
-               FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id),
-         r AS (SELECT doc_a, doc_b, pb - pa AS d, pa,
-                      pa - row_number() OVER (PARTITION BY doc_a, doc_b, pb - pa
-                                              ORDER BY pa) AS run
-               FROM m),
-         sp0 AS (SELECT doc_a, doc_b, d, run, min(pa) AS sa, max(pa) + 7 AS ea
-                 FROM r GROUP BY 1, 2, 3, 4),
-         spans AS (SELECT DISTINCT doc_id, s, e FROM (
-                     SELECT doc_a AS doc_id, sa AS s, ea AS e FROM sp0
-                     UNION ALL
-                     SELECT doc_b, sa + d, ea + d FROM sp0)),
-         mk AS (SELECT doc_id, s, e,
-                       max(e) OVER (PARTITION BY doc_id ORDER BY s, e
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
-                FROM spans),
-         br AS (SELECT doc_id, s, e,
-                       CASE WHEN pmax IS NULL OR s > pmax + 1 THEN 1 ELSE 0 END AS brk
-                FROM mk),
-         grp AS (SELECT doc_id, s, e,
-                        sum(brk) OVER (PARTITION BY doc_id ORDER BY s, e
-                          ROWS UNBOUNDED PRECEDING) AS grp
-                 FROM br)
-         SELECT doc_id, CAST(min(s) AS BIGINT) AS span_start,
+    "d12_span_dedup" -> (SpanCte +
+      """SELECT doc_id, CAST(min(s) AS BIGINT) AS span_start,
                 CAST(max(e) AS BIGINT) AS span_end
          FROM grp GROUP BY doc_id, grp ORDER BY doc_id, span_start"""),
+
+    // d12's spans applied back: tokens inside any merged span removed,
+    // survivors re-joined in position order (docs fully covered drop out)
+    "d14_span_removal" -> (SpanCte +
+      """, merged AS (SELECT doc_id, min(s) AS ms, max(e) AS me
+                      FROM grp GROUP BY doc_id, grp),
+         allt AS (SELECT doc_id, unnest(generate_series(1, len(ts))) AS p, ts
+                  FROM tk),
+         keep AS (SELECT a.doc_id, a.p, a.ts[a.p] AS tok
+                  FROM allt a LEFT JOIN merged m
+                    ON a.doc_id = m.doc_id AND a.p BETWEEN m.ms AND m.me
+                  WHERE m.doc_id IS NULL)
+         SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text
+         FROM keep GROUP BY doc_id ORDER BY doc_id"""),
 
     // same overlapping-page construction, then split/fingerprint/rank
     "d13_paragraph_dedup" ->

@@ -586,6 +586,40 @@ object Dedup {
       .select(col("doc_id"), col("span_start"), col("span_end"))
   }
 
+  /**
+   * Apply span-dedup decisions — the REMOVE half of the Lee et al.
+   * pipeline ([[spanDedup]] is the find half): drop every token that
+   * falls inside one of `spans` (1-based inclusive positions in the
+   * whitespace-NORMALIZED token sequence, i.e. exactly [[spanDedup]]'s
+   * output coordinates) and reassemble the survivors in order. Output
+   * is (id, text) with the normalized surviving tokens space-joined;
+   * documents whose every token is covered drop out (consistent with
+   * [[dropDuplicateParagraphs]]); documents with no span pass through
+   * normalized.
+   *
+   * Scale shape: one tokenize/posexplode pass, one anti-join keyed by
+   * the EQUI document id (the span-range predicate rides the hash join
+   * as a residual condition — spans per doc are few, so no range-join
+   * blowup), one per-doc reassembly aggregate. Nothing is all-pairs
+   * and the span table is output-sized, not corpus-sized.
+   */
+  def removeSpans(df: DataFrame, idCol: String, textCol: String,
+                  spans: DataFrame, spanIdCol: String = "doc_id",
+                  startCol: String = "span_start",
+                  endCol: String = "span_end"): DataFrame = {
+    val toks = df.select(col(idCol),
+        posexplode(split(normalizeText(col(textCol)), " ")).as(Seq("pi0", "tok")))
+      .withColumn("p", (col("pi0") + 1).cast("long")).drop("pi0")
+    val sp = spans.select(col(spanIdCol).as("__sid"),
+      col(startCol).as("__s"), col(endCol).as("__e"))
+    toks.join(sp, toks(idCol) === col("__sid") &&
+        col("p") >= col("__s") && col("p") <= col("__e"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("p"), col("tok")))),
+        x => x.getField("tok"))).as(textCol))
+  }
+
   // --------------------------------------------------- paragraph dedup
 
   /** Shared paragraph table of [[paragraphDedup]]/

@@ -307,6 +307,26 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
       (5L, 1L, 6L), (6L, 1L, 3L), (6L, 5L, 7L)))
   }
 
+  test("removeSpans drops exactly the spanned tokens, reassembles the rest") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f"), (2L, "x y a b c d q"), (4L, "a b c d e f"),
+      (5L, "p q r s t u"), (6L, "p q r z s t u"),
+      (7L, "m m m m m m m m")).toDF("doc_id", "text")
+    // spans from the spanDedup spec: 1->[1,6], 2->[3,6], 4->[1,6],
+    // 5->[1,6], 6->[1,3]+[5,7], 7->none
+    val got = Dedup.removeSpans(docs, "doc_id", "text",
+        Dedup.spanDedup(docs, "doc_id", "text", minTokens = 3))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    graft.operators.Materialize.releaseAll()
+    // fully-covered docs (1, 4, 5) drop out; 2 keeps tokens 1,2,7;
+    // 6 keeps only token 4 (the insertion); 7 passes through normalized
+    assert(got == Map(
+      2L -> "x y q",
+      6L -> "z",
+      7L -> "m m m m m m m m"))
+  }
+
   test("spanDedup hot-shingle guard drops ubiquitous shingles from pairing") {
     import spark.implicits._
     val docs = Seq(
