@@ -53,6 +53,19 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(shuffles(p) == 1, s"only the orderBy may shuffle:\n$p")
   }
 
+  test("d12 span dedup: one corpus scan, content-keyed joins, no cartesian") {
+    val p = plan("d12_span_dedup")
+    // the position index is cut once and feeds both sides of the pair
+    // join: the final stage must read ONLY the materialized index (a
+    // FileScan here would mean the corpus tokenizes a second time), and
+    // the cut must appear on both join sides
+    assert(scans(p) == 0, s"corpus re-scanned past the index cut:\n$p")
+    assert(p.linesIterator.count(_.contains("Scan ExistingRDD")) >= 2,
+      s"both pair-join sides must read the same cut:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "the pair stage must stay keyed on the shingle hash")
+  }
+
   test("q40 url filter: blocklist broadcasts, corpus side never shuffles") {
     val p = plan("q40_url_filter")
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
