@@ -202,9 +202,14 @@ object PipelineMain {
       col("cum_tokens") - col("n_tokens") < col("shard") * budget ||
         col("cum_tokens") - col("n_tokens") >= (col("shard") + 1) * budget).count()
     val nShards = packed.select("shard").distinct().count()
-    val maxShard = packed.agg(max("shard")).head.getLong(0)
+    val Array(maxShard, maxDocTokens) = packed
+      .agg(max("shard"), max(col("n_tokens").cast("long")))
+      .head.toSeq.map(_.asInstanceOf[Long]).toArray
     stage(8, s"shard packing -> $nPacked docs into $nShards shards of <=$budget tokens") {
-      nPacked == nMixed && misplaced == 0 && nShards == maxShard + 1 && maxShard >= 0
+      // contiguity holds only while no single doc overflows the budget
+      // (an over-budget doc SKIPS shard ids by the floor contract)
+      nPacked == nMixed && misplaced == 0 && maxShard >= 0 &&
+        (maxDocTokens > budget || nShards == maxShard + 1)
     }
     Materialize.releaseAll() // packShards' internal range cut
 

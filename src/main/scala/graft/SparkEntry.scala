@@ -1053,13 +1053,13 @@ object SparkEntry {
         .orderBy("doc_id", "span_start")),
 
     // d12's spans applied back to the corpus: the find->remove loop of
-    // Lee et al. span dedup, producing the cleaned (normalized) text
-    "d14_span_removal" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-      Dedup.removeSpans(docs, "doc_id", "text",
-          Dedup.spanDedup(docs, "doc_id", "text", minTokens = 8, maxOcc = 64))
-        .orderBy("doc_id")
-    }),
+    // Lee et al. span dedup producing the cleaned (normalized) text —
+    // fused, so the corpus tokenizes ONCE for both halves
+    "d14_span_removal" -> ((s, d) =>
+      Dedup.spanDedupPipeline(t(s, d, "documents"), "doc_id", "text",
+          minTokens = 8, maxOcc = 64)
+        .cleaned
+        .orderBy("doc_id")),
 
     // paragraph-level exact dedup (RefinedWeb) over synthetic multi-
     // paragraph pages: docs are stitched into pages of 5 joined by blank
@@ -1792,7 +1792,8 @@ object SparkEntry {
            '/page/' || CAST(doc_id AS VARCHAR) AS url
          FROM documents),
          h AS (SELECT doc_id, url,
-                 regexp_extract(lower(url), '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS host
+                 regexp_extract(lower(url),
+                   '^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#@]+)', 1) AS host
                FROM u)
          SELECT doc_id, host FROM h
          WHERE host <> ''

@@ -534,12 +534,21 @@ object Dedup {
    * terminal action ([[Materialize.release]]/[[Materialize.scoped]]).
    */
   def spanDedup(df: DataFrame, idCol: String, textCol: String,
-                minTokens: Int, maxOcc: Int = 64): DataFrame = {
+                minTokens: Int, maxOcc: Int = 64): DataFrame =
+    spansFromTokens(tokenTable(df, idCol, textCol), idCol, minTokens, maxOcc)
+
+  /** (id, ts): the normalized token-array table every span operator
+   * reads — the seam that lets [[spanDedupPipeline]] tokenize the
+   * corpus exactly once for find AND remove. */
+  private def tokenTable(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), split(normalizeText(col(textCol)), " ").as("ts"))
+
+  private def spansFromTokens(tokens: DataFrame, idCol: String,
+                              minTokens: Int, maxOcc: Int): DataFrame = {
     require(minTokens >= 2,
       "minTokens < 2 is a shared-vocabulary report, not a span finder")
     require(maxOcc >= 2, "maxOcc < 2 would drop every shared shingle")
-    val toks = df.select(col(idCol).as("doc"),
-        split(normalizeText(col(textCol)), " ").as("ts"))
+    val toks = tokens.select(col(idCol).as("doc"), col("ts"))
       .withColumn("n", size(col("ts")))
       .filter(col("n") >= minTokens)
     val occ = toks.select(col("doc"),
@@ -606,9 +615,15 @@ object Dedup {
   def removeSpans(df: DataFrame, idCol: String, textCol: String,
                   spans: DataFrame, spanIdCol: String = "doc_id",
                   startCol: String = "span_start",
-                  endCol: String = "span_end"): DataFrame = {
-    val toks = df.select(col(idCol),
-        posexplode(split(normalizeText(col(textCol)), " ")).as(Seq("pi0", "tok")))
+                  endCol: String = "span_end"): DataFrame =
+    removeFromTokens(tokenTable(df, idCol, textCol), idCol, textCol,
+      spans, spanIdCol, startCol, endCol)
+
+  private def removeFromTokens(tokens: DataFrame, idCol: String, textCol: String,
+                               spans: DataFrame, spanIdCol: String,
+                               startCol: String, endCol: String): DataFrame = {
+    val toks = tokens.select(col(idCol),
+        posexplode(col("ts")).as(Seq("pi0", "tok")))
       .withColumn("p", (col("pi0") + 1).cast("long")).drop("pi0")
     val sp = spans.select(col(spanIdCol).as("__sid"),
       col(startCol).as("__s"), col(endCol).as("__e"))
@@ -618,6 +633,32 @@ object Dedup {
       .agg(concat_ws(" ", transform(
         array_sort(collect_list(struct(col("p"), col("tok")))),
         x => x.getField("tok"))).as(textCol))
+  }
+
+  /** The two answers of a fused find -> remove span-dedup run, both
+   * derived from ONE corpus tokenize. Both frames' plans contain the
+   * shared token-table cut — release them TOGETHER after all terminal
+   * actions ([[Materialize.scoped]] around the consumption is the safe
+   * form; see [[Materialize.release]] on the sibling hazard). */
+  final case class SpanDedupResult(spans: DataFrame, cleaned: DataFrame)
+
+  /**
+   * Fused [[spanDedup]] + [[removeSpans]]: run separately each
+   * tokenizes the corpus (the dominant cost at scale); here the
+   * normalized token-array table is [[Materialize]]d once and feeds
+   * both the positional shingle index and the removal anti-join — the
+   * d09 fusion discipline applied to the span pipeline. Note the cut
+   * holds the normalized token arrays (~corpus-sized in executor
+   * storage); at cluster scale set `graft.materialize.reliable` like
+   * any other large cut.
+   */
+  def spanDedupPipeline(df: DataFrame, idCol: String, textCol: String,
+                        minTokens: Int, maxOcc: Int = 64): SpanDedupResult = {
+    val toks = Materialize(tokenTable(df, idCol, textCol))
+    val spans = spansFromTokens(toks, idCol, minTokens, maxOcc)
+    SpanDedupResult(spans,
+      removeFromTokens(toks, idCol, textCol, spans,
+        "doc_id", "span_start", "span_end"))
   }
 
   // --------------------------------------------------- paragraph dedup

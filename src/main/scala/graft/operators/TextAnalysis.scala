@@ -324,6 +324,8 @@ object TextAnalysis {
    * columns so a pipeline can filter/redact on the same scan. */
   def withPiiCounts(df: DataFrame, textCol: String): DataFrame =
     piiPatterns.foldLeft(df) { case (acc, (kind, pat, _)) =>
+      require(!df.columns.contains(s"n_$kind"),
+        s"output column n_$kind already exists on the input")
       acc.withColumn(s"n_$kind", countMatches(col(textCol), pat).cast("long"))
     }
 

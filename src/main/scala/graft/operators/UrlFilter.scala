@@ -17,12 +17,16 @@ import org.apache.spark.sql.functions._
  */
 object UrlFilter {
 
-  /** Lowercased host of a URL (`scheme://HOST[:port]/...`) or null when
-   * the value does not parse as an absolute URL. A regexp rather than
-   * `parse_url` so an external SQL engine replays it identically
-   * (RE2-and-Java compatible — no lookaround). */
+  /** Lowercased host of a URL (`scheme://[userinfo@]HOST[:port]/...`)
+   * or null when the value does not parse as an absolute URL. The
+   * optional userinfo is consumed BEFORE the host capture —
+   * `https://evil@blocked.example/` must filter as `blocked.example`,
+   * not as the attacker-chosen userinfo (the classic blocklist-evasion
+   * vector). A regexp rather than `parse_url` so an external SQL engine
+   * replays it identically (RE2-and-Java compatible — no lookaround). */
   def host(c: Column): Column = {
-    val h = regexp_extract(lower(c), "^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1)
+    val h = regexp_extract(lower(c),
+      "^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#@]+)", 1)
     when(h =!= "", h) // regexp_extract yields "" on no match -> null
   }
 
@@ -44,16 +48,20 @@ object UrlFilter {
       s"host output column $hostOut already exists on the input")
     val spark = df.sparkSession
     import spark.implicits._
+    // hosts come out of host() lowercased; a mixed-case config entry
+    // would otherwise be a silent no-op
+    val block = blocklist.map(_.toLowerCase)
+    val grey = greylist.map { case (h, f) => h.toLowerCase -> f }
     val withHost = df.withColumn(hostOut, host(col(urlCol)))
       .filter(col(hostOut).isNotNull)
     val afterBlock =
-      if (blocklist.isEmpty) withHost
+      if (block.isEmpty) withHost
       else withHost.join(
-        broadcast(blocklist.toDF(hostOut)), Seq(hostOut), "left_anti")
+        broadcast(block.toDF(hostOut)), Seq(hostOut), "left_anti")
     // unlisted hosts keep everything (default 1.0) — the greylist is a
     // downsample, not an allowlist
-    if (greylist.isEmpty) afterBlock
+    if (grey.isEmpty) afterBlock
     else Sampling.hashSampleBy(afterBlock, hostOut, urlCol,
-      greylist, default = 1.0, seed = seed)
+      grey, default = 1.0, seed = seed)
   }
 }

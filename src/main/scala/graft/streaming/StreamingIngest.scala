@@ -107,17 +107,32 @@ object StreamingIngest {
   /** Highest batch id with a completed landing append in `dir`, or -1
    * when no marker exists. Absent (missing dir or no marker files) is
    * the fresh-table case and proceeds; a marker name whose id suffix
-   * does not parse, or any listing failure other than not-found, throws
-   * so the caller's micro-batch retries instead of double-appending. */
+   * does not parse, or any read failure other than not-found, throws so
+   * the caller's micro-batch retries instead of double-appending. A
+   * bare `_last_landed_batch` file written by the pre-versioned scheme
+   * is still honored (its CONTENT is the id) — ignoring it would replay
+   * every batch of an existing table. Only the marker glob is listed,
+   * never the table's data files. */
   private[streaming] def lastLandedBatch(fs: FileSystem, dir: Path): Long = {
-    val names =
-      try fs.listStatus(dir).map(_.getPath.getName)
+    val statuses =
+      try Option(fs.globStatus(new Path(dir, MarkerPrefix + "*"))).getOrElse(Array())
       catch { case _: java.io.FileNotFoundException => return -1L }
-    val ids = names.filter(_.startsWith(MarkerPrefix + ".")).map { n =>
-      val suffix = n.substring(MarkerPrefix.length + 1)
-      try suffix.toLong
-      catch { case e: NumberFormatException => throw new java.io.IOException(
-        s"garbled landing marker $n in $dir — refusing to treat the table as fresh", e) }
+    val ids = statuses.map(_.getPath).flatMap { p =>
+      val n = p.getName
+      if (n == MarkerPrefix) {
+        // legacy single-file marker: id lives in the file body
+        val in = fs.open(p)
+        val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+        try Some(body.toLong)
+        catch { case e: NumberFormatException => throw new java.io.IOException(
+          s"garbled legacy landing marker in $dir — refusing to treat the table as fresh", e) }
+      } else if (n.startsWith(MarkerPrefix + ".")) {
+        val suffix = n.substring(MarkerPrefix.length + 1)
+        try Some(suffix.toLong)
+        catch { case e: NumberFormatException => throw new java.io.IOException(
+          s"garbled landing marker $n in $dir — refusing to treat the table as fresh", e) }
+      } else None
     }
     if (ids.isEmpty) -1L else ids.max
   }
@@ -135,13 +150,19 @@ object StreamingIngest {
     if (!fs.rename(tmp, new Path(dir, s"$MarkerPrefix.$id")))
       throw new java.io.IOException(
         s"could not commit landing marker for batch $id in $dir")
-    try fs.listStatus(dir).map(_.getPath).foreach { p =>
-      val n = p.getName
-      if (n.startsWith(MarkerPrefix + ".") &&
-          scala.util.Try(n.substring(MarkerPrefix.length + 1).toLong)
-            .toOption.exists(_ < id))
-        fs.delete(p, false)
-    } catch { case scala.util.control.NonFatal(_) => () }
+    // glob only the markers — listing the whole table dir would scale
+    // with its data files, not with the O(1) marker set
+    try Option(fs.globStatus(new Path(dir, MarkerPrefix + "*")))
+      .getOrElse(Array()).map(_.getPath).foreach { p =>
+        val n = p.getName
+        val superseded =
+          n == MarkerPrefix || // legacy single-file marker
+            (n.startsWith(MarkerPrefix + ".") &&
+              scala.util.Try(n.substring(MarkerPrefix.length + 1).toLong)
+                .toOption.exists(_ < id))
+        if (superseded) fs.delete(p, false)
+      }
+    catch { case scala.util.control.NonFatal(_) => () }
   }
 
   /** Merge each micro-batch into the structured snapshots with the batch

@@ -309,14 +309,14 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
 
   test("removeSpans drops exactly the spanned tokens, reassembles the rest") {
     import spark.implicits._
-    val docs = Seq(
+    val docsF = Seq(
       (1L, "a b c d e f"), (2L, "x y a b c d q"), (4L, "a b c d e f"),
       (5L, "p q r s t u"), (6L, "p q r z s t u"),
       (7L, "m m m m m m m m")).toDF("doc_id", "text")
     // spans from the spanDedup spec: 1->[1,6], 2->[3,6], 4->[1,6],
     // 5->[1,6], 6->[1,3]+[5,7], 7->none
-    val got = Dedup.removeSpans(docs, "doc_id", "text",
-        Dedup.spanDedup(docs, "doc_id", "text", minTokens = 3))
+    val got = Dedup.removeSpans(docsF, "doc_id", "text",
+        Dedup.spanDedup(docsF, "doc_id", "text", minTokens = 3))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     graft.operators.Materialize.releaseAll()
     // fully-covered docs (1, 4, 5) drop out; 2 keeps tokens 1,2,7;
@@ -325,6 +325,12 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
       2L -> "x y q",
       6L -> "z",
       7L -> "m m m m m m m m"))
+    // the fused pipeline (one corpus tokenize) lands on the same answer
+    val fused = Dedup.spanDedupPipeline(docsF, "doc_id", "text", minTokens = 3)
+    val fusedClean = fused.cleaned
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    graft.operators.Materialize.releaseAll()
+    assert(fusedClean == got)
   }
 
   test("spanDedup hot-shingle guard drops ubiquitous shingles from pairing") {
@@ -819,6 +825,9 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
       col("cum_tokens") - col("n_tokens") < col("shard") * budget ||
         col("cum_tokens") - col("n_tokens") >= (col("shard") + 1) * budget)
       .count() == 0, "every doc's start offset must sit in its shard range")
+    // this corpus has no over-budget doc, so shard ids are contiguous
+    // (the floor contract skips ids when one doc overflows the budget)
+    assert(packed.agg(max(col("n_tokens").cast("long"))).head.getLong(0) <= budget)
     val maxShard = packed.agg(max("shard")).head.getLong(0)
     assert(packed.select("shard").distinct().count() == maxShard + 1)
     Materialize.releaseAll()
@@ -961,16 +970,20 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     val rows = Seq(
       (1L, "https://spam.bad.example/x"), (2L, "HTTPS://Spam.Bad.Example/y"),
       (3L, "https://keep.example.org/a"), (4L, "http://grey.example.net/b?q=1"),
-      (5L, "not a url at all"), (6L, "ftp://keep.example.org:21/c"))
+      (5L, "not a url at all"), (6L, "ftp://keep.example.org:21/c"),
+      (7L, "https://evil@spam.bad.example/z"),     // userinfo evasion
+      (8L, "https://user:pw@spam.bad.example/z"))  // userinfo with password
       .toDF("doc_id", "url")
+    // mixed-case BLOCKLIST entry must also match (config normalization);
     // greylist at fraction 1.0 isolates routing from sampling noise
     val got = UrlFilter.filterByDomain(rows, "url",
-        blocklist = Seq("spam.bad.example"),
+        blocklist = Seq("Spam.Bad.Example"),
         greylist = Map("grey.example.net" -> 1.0))
       .select("doc_id", "host")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    // 1 and 2 blocklisted (host lowercased), 5 unparseable -> dropped;
-    // 3/6 pass (6 keeps its port-less host), 4 greylisted at 1.0 -> kept
+    // 1/2/7/8 blocklisted (host lowercased, userinfo stripped), 5
+    // unparseable -> dropped; 3/6 pass (6 keeps its port-less host),
+    // 4 greylisted at 1.0 -> kept
     assert(got == Map(3L -> "keep.example.org", 4L -> "grey.example.net",
       6L -> "keep.example.org"))
     // fraction 0.0 drops the greylisted host entirely, others unaffected
