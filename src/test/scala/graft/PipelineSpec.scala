@@ -333,6 +333,77 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(fusedClean == got)
   }
 
+  test("spanDedup matches a brute-force maximal-common-run oracle on random docs") {
+    import spark.implicits._
+    val n = 3 // span length floor
+    // seeded corpora; token alphabets are prefixed per corpus so one
+    // spanDedup call verifies them all without cross-corpus matches
+    val rnd = new scala.util.Random(42)
+    val corpora = (0 until 12).map { it =>
+      val alpha = if (it % 2 == 0) 3 else 6 // dense and sparse match regimes
+      val docs = (0 until 6).map { k =>
+        val len = rnd.nextInt(13)
+        (it * 100L + k,
+          (0 until len).map(_ => s"c${it}t${('a' + rnd.nextInt(alpha)).toChar}")
+            .mkString(" "))
+      }
+      docs
+    }
+    val all = corpora.flatten
+    // brute force: per doc pair, maximal equal runs >= n at every offset,
+    // then the same overlap-or-adjacent merge per doc
+    def runs(a: Array[String], b: Array[String]): Seq[((Int, Int), (Int, Int))] =
+      for {
+        d <- (-(b.length - n)) to (a.length - n)
+        // walk the overlap at offset d (b index = a index - d... define j = i - d)
+        seg <- {
+          val i0 = math.max(0, d)
+          val i1 = math.min(a.length, b.length + d)
+          val segs = scala.collection.mutable.Buffer.empty[((Int, Int), (Int, Int))]
+          var i = i0
+          var runStart = -1
+          def close(end: Int): Unit = if (runStart >= 0 && end - runStart >= n) {
+            segs += (((runStart + 1, end), (runStart - d + 1, end - d)))
+          }
+          while (i < i1) {
+            if (a(i) == b(i - d)) { if (runStart < 0) runStart = i }
+            else { close(i); runStart = -1 }
+            i += 1
+          }
+          close(i1)
+          segs.toSeq
+        }
+      } yield seg
+    def merge(spans: Seq[(Int, Int)]): Seq[(Long, Long)] = {
+      val sorted = spans.distinct.sorted
+      val out = scala.collection.mutable.Buffer.empty[(Long, Long)]
+      for ((s, e) <- sorted) out.lastOption match {
+        case Some((ps, pe)) if s <= pe + 1 => out(out.length - 1) = (ps, math.max(pe, e))
+        case _ => out += ((s.toLong, e.toLong))
+      }
+      out.toSeq
+    }
+    val expect = corpora.flatMap { docs =>
+      val toks = docs.map { case (id, t) => id -> t.split(" ").filter(_.nonEmpty) }
+      val perDoc = scala.collection.mutable.Map.empty[Long, Vector[(Int, Int)]]
+        .withDefaultValue(Vector())
+      for {
+        ((da, ta), ia) <- toks.zipWithIndex; (db, tb) <- toks.drop(ia + 1)
+        if ta.length >= n && tb.length >= n
+        ((sa, ea), (sb, eb)) <- runs(ta, tb)
+      } {
+        perDoc(da) :+= ((sa, ea)); perDoc(db) :+= ((sb, eb))
+      }
+      perDoc.toSeq.flatMap { case (id, sp) => merge(sp).map { case (s, e) => (id, s, e) } }
+    }.toSet
+    val got = Dedup.spanDedup(all.toDF("doc_id", "text"), "doc_id", "text",
+        minTokens = n, maxOcc = 999)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    graft.operators.Materialize.releaseAll()
+    assert(got == expect,
+      s"missing=${(expect -- got).take(5)} extra=${(got -- expect).take(5)}")
+  }
+
   test("spanDedup hot-shingle guard drops ubiquitous shingles from pairing") {
     import spark.implicits._
     val docs = Seq(
