@@ -809,6 +809,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Luhn-validated card detection: candidates planted by doc_id
+    // arithmetic (two valid, two checksum-invalid forms) — the count is
+    // of candidates PASSING the mod-10 checksum, computed in pure
+    // higher-order integer expressions both engines replay exactly
+    "t10_pii_cards" -> ((s, d) => {
+      val enriched = t(s, d, "documents").select(col("doc_id"), concat(
+          col("text"),
+          when(col("doc_id") % 9 === 0,
+            lit(" pay 4111 1111 1111 1111 now")).otherwise(lit("")),
+          when(col("doc_id") % 10 === 3,
+            lit(" ref 1234 5678 9012 3456 x")).otherwise(lit("")),
+          when(col("doc_id") % 11 === 5,
+            lit(" amex 378282246310005 ok")).otherwise(lit("")),
+          when(col("doc_id") % 13 === 7,
+            lit(" card 4111-1111-1111-1112 bad")).otherwise(lit(""))
+        ).as("text"))
+      enriched.select(col("doc_id"),
+          TextAnalysis.luhnCardCount(col("text")).as("n_card"))
+        .orderBy("doc_id")
+    }),
+
     // URL/domain filter: hosts synthesized from doc_id, blocklist
     // dropped via broadcast anti-join, greylist host downsampled with
     // the content-keyed hashSampleBy filter
@@ -1779,6 +1800,29 @@ object SparkEntry {
              '(?:[0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}', '<IP6>', 'g'),
              '(?:[0-9]{1,3}\.){3}[0-9]{1,3}', '<IP4>', 'g'),
              '\+?[0-9](?:[- ]?[0-9]){7,14}', '<PHONE>', 'g') AS redacted
+         FROM e ORDER BY doc_id""",
+
+    // same card enrichment; DuckDB's list lambdas replay the Luhn
+    // mod-10 checksum digit-for-digit
+    "t10_pii_cards" ->
+      """WITH e AS (SELECT doc_id, text ||
+           CASE WHEN doc_id % 9 = 0 THEN ' pay 4111 1111 1111 1111 now' ELSE '' END ||
+           CASE WHEN doc_id % 10 = 3 THEN ' ref 1234 5678 9012 3456 x' ELSE '' END ||
+           CASE WHEN doc_id % 11 = 5 THEN ' amex 378282246310005 ok' ELSE '' END ||
+           CASE WHEN doc_id % 13 = 7 THEN ' card 4111-1111-1111-1112 bad' ELSE '' END
+             AS t
+         FROM documents)
+         SELECT doc_id,
+           CAST(len(list_filter(
+             list_transform(regexp_extract_all(t, '[0-9](?:[- ]?[0-9]){12,18}'),
+               cand -> regexp_replace(cand, '[- ]', '', 'g')),
+             d -> list_sum(list_transform(generate_series(1, length(d)),
+               i -> CASE WHEN (length(d) - i) % 2 = 1
+                         THEN CASE WHEN CAST(substring(d, i, 1) AS INT) * 2 > 9
+                                   THEN CAST(substring(d, i, 1) AS INT) * 2 - 9
+                                   ELSE CAST(substring(d, i, 1) AS INT) * 2 END
+                         ELSE CAST(substring(d, i, 1) AS INT) END)) % 10 = 0))
+             AS BIGINT) AS n_card
          FROM e ORDER BY doc_id""",
 
     // host extraction regexp + blocklist NOT IN + the hashSampleBy

@@ -336,6 +336,39 @@ object TextAnalysis {
       regexp_replace(acc, pat, repl)
     }
 
+  /** Candidate pattern for [[luhnCardCount]]: 13–19 digits with single
+   * space/dash separators (the printed card-number forms). */
+  val cardCandidatePattern = "[0-9](?:[- ]?[0-9]){12,18}"
+
+  /**
+   * Count of Luhn-VALID card numbers — the PII class a regexp alone
+   * cannot detect: candidates are digit runs of card shape
+   * ([[cardCandidatePattern]]), validated by the Luhn mod-10 checksum
+   * computed entirely in higher-order column expressions (filter /
+   * aggregate over the digit positions — integer arithmetic only, so an
+   * external SQL engine's lambda forms replay it bit-for-bit; no UDF,
+   * stays inside codegen). A random 13–19 digit run passes Luhn with
+   * probability 1/10, which is exactly why counting raw candidates
+   * (the t09 phone heuristic) is the wrong tool for this class.
+   */
+  def luhnCardCount(c: Column): Column = {
+    val valid = filter(
+      regexp_extract_all(c, lit(cardCandidatePattern), lit(0)),
+      cand => {
+        val d = regexp_replace(cand, "[- ]", "")
+        val len = length(d)
+        val s = aggregate(sequence(lit(1), len), lit(0),
+          (acc, i) => {
+            val dig = d.substr(i, lit(1)).cast("int")
+            // double every second digit counted from the RIGHT
+            val dbl = when((len - i) % 2 === 1, dig * 2).otherwise(dig)
+            acc + when(dbl > 9, dbl - 9).otherwise(dbl)
+          })
+        s % 10 === 0
+      })
+    size(valid).cast("long")
+  }
+
   /** All features in one pass over the corpus. */
   def withTextFeatures(df: DataFrame, textCol: String): DataFrame = {
     val c = col(textCol)

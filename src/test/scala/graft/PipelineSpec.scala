@@ -1035,6 +1035,21 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(red(5L) == "mixed <EMAIL> at <IP4> dial <PHONE>")
   }
 
+  test("luhnCardCount validates the mod-10 checksum, not just card shape") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "pay 4111 1111 1111 1111 today"),          // valid visa
+      (2L, "oops 4111-1111-1111-1112 mistyped"),      // checksum fails
+      (3L, "amex 378282246310005 and mc 5500 0000 0000 0004"), // both valid
+      (4L, "diners 30569309025904 ok"),               // valid, 14 digits
+      (5L, "fake 1234 5678 9012 3456 and short 4111 1111"),    // none
+      (6L, "no digits at all here")).toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+        TextAnalysis.luhnCardCount(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 0L, 3L -> 2L, 4L -> 1L, 5L -> 0L, 6L -> 0L))
+  }
+
   test("urlFilter: blocklist anti-joined, greylist downsampled, rest kept") {
     import graft.operators.UrlFilter
     import spark.implicits._
