@@ -136,6 +136,35 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(store.latestVersion("mdb", "offenders") >= 1)
   }
 
+  test("narrow text/PII operators run unchanged on a streaming frame") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // pure column expressions are legal on a streaming DataFrame as-is
+    // (the §2.11 batch-operator-under-streaming design); micro-batch
+    // output must equal the batch run over the same rows
+    val rows = Seq(
+      (1L, "mail a@b.io from 10.0.0.1 pay 4111 1111 1111 1111"),
+      (2L, "plain words only here"))
+    def features(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.withPiiCounts(df, "text")
+        .withColumn("redacted", TextAnalysis.redactPii(col("text")))
+        .withColumn("n_card", TextAnalysis.luhnCardCount(col("text")))
+        .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+        .select("doc_id", "n_email", "n_ipv4", "n_card", "redacted", "quality")
+    val expect = features(rows.toDF("doc_id", "text")).collect().map(_.toSeq).toSet
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val q = features(ms.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("pii_stream")
+      .outputMode("append").start()
+    try {
+      ms.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("pii_stream").collect().map(_.toSeq).toSet
+      assert(got == expect)
+    } finally q.stop()
+  }
+
   test("dedupByPos drops replayed events within the watermark") {
     import spark.implicits._
     val rows = Seq(
