@@ -809,6 +809,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // the Gopher-style quality gate: one conjunctive keep decision over
+    // quality score, repetition ratios, and corpus trigram familiarity
+    "t11_quality_gate" -> ((s, d) =>
+      TextAnalysis.qualityGate(t(s, d, "documents"), "doc_id", "text",
+          minQualityBp = 5500, maxRep2 = 0.05, maxRep3 = 0.05,
+          minFamiliarity = 300.0)
+        .orderBy("doc_id")),
+
     // Luhn-validated card detection: candidates planted by doc_id
     // arithmetic (two valid, two checksum-invalid forms) — the count is
     // of candidates PASSING the mod-10 checksum, computed in pure
@@ -1801,6 +1809,53 @@ object SparkEntry {
              '(?:[0-9]{1,3}\.){3}[0-9]{1,3}', '<IP4>', 'g'),
              '\+?[0-9](?:[- ]?[0-9]){7,14}', '<PHONE>', 'g') AS redacted
          FROM e ORDER BY doc_id""",
+
+    // the three feature pipelines of t02/t07/t08 joined and thresholded
+    "t11_quality_gate" -> (NormCte +
+      """, f AS (SELECT n.doc_id,
+           CAST(len(string_split(t, ' ')) AS BIGINT) AS wc,
+           CAST(length(replace(t, ' ', '')) AS BIGINT) AS chars,
+           CAST(len(regexp_extract_all(t, '\b(the|a|of|and|to|in|is|that|it|for)\b')) AS BIGINT) AS stop,
+           CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS punct,
+           CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS dig,
+           CAST(greatest(length(text), 1) AS BIGINT) AS raw_len
+         FROM n JOIN documents USING (doc_id)),
+         qb AS (SELECT doc_id,
+           least(wc, 100) * 35
+           + least((chars * 3125) // (wc * 10), 2500)
+           + least((stop * 6000) // wc, 2000)
+           + (1000 - least((punct * 10000) // raw_len, 1000))
+           + (1000 - least((dig * 10000) // raw_len, 1000)) AS quality_bp
+         FROM f),
+         tk AS (SELECT doc_id, string_split(t, ' ') AS toks FROM n),
+         rr AS (SELECT doc_id, len(toks) AS nt,
+                 list_transform(generate_series(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i + 1]) AS g2,
+                 list_transform(generate_series(1, len(toks) - 2),
+                   i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) AS g3
+               FROM tk),
+         rep AS (SELECT doc_id,
+                 CASE WHEN nt >= 2 THEN
+                   round(1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / (nt - 1), 4)
+                 END AS rep2,
+                 CASE WHEN nt >= 3 THEN
+                   round(1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / (nt - 2), 4)
+                 END AS rep3
+               FROM rr),
+         g AS (SELECT doc_id, t FROM n WHERE length(t) >= 3),
+         pos AS (SELECT doc_id, unnest(generate_series(1, length(t) - 2)) AS i, t
+                 FROM g),
+         tri AS (SELECT DISTINCT doc_id,
+                        substring(t, CAST(i AS INTEGER), 3) AS tg FROM pos),
+         dfq AS (SELECT tg, count(*) AS df FROM tri GROUP BY 1),
+         fam AS (SELECT doc_id,
+                        round(CAST(sum(df) AS DOUBLE) / count(*), 4) AS familiarity
+                 FROM tri JOIN dfq USING (tg) GROUP BY doc_id)
+         SELECT doc_id, quality_bp, rep2, rep3, familiarity
+         FROM qb JOIN rep USING (doc_id) JOIN fam USING (doc_id)
+         WHERE quality_bp >= 5500 AND (rep2 IS NULL OR rep2 <= 0.05)
+           AND (rep3 IS NULL OR rep3 <= 0.05) AND familiarity >= 300.0
+         ORDER BY doc_id"""),
 
     // same card enrichment; DuckDB's list lambdas replay the Luhn
     // mod-10 checksum digit-for-digit

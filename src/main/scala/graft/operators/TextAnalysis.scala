@@ -276,20 +276,22 @@ object TextAnalysis {
    * doc too short for an n-gram gets null for that ratio. The single
    * division per (doc, n) is rounded, so any engine replays it exactly.
    */
-  def repetitionRatios(df: DataFrame, idCol: String,
-                       textCol: String): DataFrame = {
-    val toks = split(normalizeText(col(textCol)), " ")
+  /** The single-n repetition ratio of [[repetitionRatios]] as a bare
+   * column (null when the doc is too short for an n-gram). */
+  def repetitionRatio(c: Column, n: Int): Column = {
+    val toks = split(normalizeText(c), " ")
     val nt = size(toks)
-    def grams(n: Int): Column =
-      transform(sequence(lit(0), nt - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n))))
-    def rep(n: Int): Column =
-      when(nt >= n,
-        round(lit(1.0) -
-          size(array_distinct(grams(n))).cast("double") / (nt - n + 1), 4))
-    df.select(col(idCol).as("doc_id"),
-      rep(2).as("rep2"), rep(3).as("rep3"))
+    val grams = transform(sequence(lit(0), nt - n),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+    when(nt >= n,
+      round(lit(1.0) - size(array_distinct(grams)).cast("double") / (nt - n + 1), 4))
   }
+
+  def repetitionRatios(df: DataFrame, idCol: String,
+                       textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+      repetitionRatio(col(textCol), 2).as("rep2"),
+      repetitionRatio(col(textCol), 3).as("rep3"))
 
   /**
    * PII patterns — the standard curation/redaction stage of a
@@ -367,6 +369,39 @@ object TextAnalysis {
         s % 10 === 0
       })
     size(valid).cast("long")
+  }
+
+  /**
+   * Gopher/CCNet-style quality gate — the single call a curation
+   * pipeline runs after dedup: keep a document only if it clears EVERY
+   * bar — composite quality score ([[qualityScore]]), word 2-/3-gram
+   * repetition ratios ([[repetitionRatio]]), and corpus trigram
+   * familiarity ([[trigramFamiliarity]]). Returns the kept docs with
+   * all four feature columns for audit.
+   *
+   * Shape at scale: quality and repetition are narrow expressions on
+   * the doc scan; familiarity contributes the corpus-level signal and
+   * its one id-keyed equi-join — so the whole gate costs the t07
+   * pipeline plus one join, regardless of how many narrow bars are
+   * added. A doc too short to score familiarity (under one trigram) has
+   * no feature row and is dropped — a gate cannot pass what it cannot
+   * score. A null repetition ratio (doc shorter than the n-gram) passes
+   * that bar: length is quality's job, not repetition's.
+   */
+  def qualityGate(df: DataFrame, idCol: String, textCol: String,
+                  minQualityBp: Long, maxRep2: Double, maxRep3: Double,
+                  minFamiliarity: Double): DataFrame = {
+    val fam = trigramFamiliarity(df, idCol, textCol)
+      .select(col("doc_id"), col("familiarity"))
+    df.select(col(idCol).as("doc_id"),
+        qualityScore(col(textCol)).as("quality_bp"),
+        repetitionRatio(col(textCol), 2).as("rep2"),
+        repetitionRatio(col(textCol), 3).as("rep3"))
+      .join(fam, Seq("doc_id"))
+      .filter(col("quality_bp") >= minQualityBp &&
+        (col("rep2").isNull || col("rep2") <= maxRep2) &&
+        (col("rep3").isNull || col("rep3") <= maxRep3) &&
+        col("familiarity") >= minFamiliarity)
   }
 
   /** All features in one pass over the corpus. */

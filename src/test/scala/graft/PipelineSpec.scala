@@ -1035,6 +1035,31 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(red(5L) == "mixed <EMAIL> at <IP4> dial <PHONE>")
   }
 
+  test("qualityGate keeps exactly the docs passing every feature bar") {
+    val got = TextAnalysis.qualityGate(docs, "doc_id", "text",
+        minQualityBp = 5500, maxRep2 = 0.05, maxRep3 = 0.05,
+        minFamiliarity = 300.0)
+      .collect().map(_.getLong(0)).toSet
+    // recompose from the individually-gated feature operators
+    val q = docs.select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rr = TextAnalysis.repetitionRatios(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2))))).toMap
+    val fam = TextAnalysis.trigramFamiliarity(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val expect = q.keySet.filter { id =>
+      q(id) >= 5500 &&
+        rr(id)._1.forall(_.asInstanceOf[Double] <= 0.05) &&
+        rr(id)._2.forall(_.asInstanceOf[Double] <= 0.05) &&
+        fam.get(id).exists(_ >= 300.0)
+    }
+    assert(got == expect)
+    // the bars actually bite on this corpus: a proper nonempty subset
+    assert(got.nonEmpty && got.size < q.size)
+  }
+
   test("luhnCardCount validates the mod-10 checksum, not just card shape") {
     import spark.implicits._
     val docs = Seq(
