@@ -24,11 +24,13 @@ import graft.operators.{ChangeLogApplier, CuratedApplier, Dedup, DomainRunner, M
  *
  *   6. fused dedup pipeline    pairs -> clusters -> keep from ONE pair
  *                              graph, kept corpus landed as a table
- *   7. mixture rebalance       content-keyed downsample to target
+ *   7. quality gate            conjunctive quality/repetition/
+ *                              familiarity keep decision (t11 operator)
+ *   8. mixture rebalance       content-keyed downsample to target
  *                              language weights (the d10 operator)
- *   8. shard packing           contiguous fixed-token training shards,
+ *   9. shard packing           contiguous fixed-token training shards,
  *                              no single-task window (the q39 operator)
- *   9. decontamination sweep   IVF range search quarantines corpus
+ *  10. decontamination sweep   IVF range search quarantines corpus
  *                              vectors near probe/benchmark vectors
  *                              (the s09 operator)
  *
@@ -167,19 +169,35 @@ object PipelineMain {
     }
     Materialize.releaseAll()
 
-    // 7. mixture rebalance (the d10 operator): downsample the kept
+    // 7. quality gate (the t11 operator): conjunctive keep decision
+    // over quality score, repetition ratios, and trigram familiarity
+    // of the DEDUPED corpus (familiarity is corpus-relative, so the
+    // threshold is set for the post-dedup document count)
+    val dedupedAll = store.read(Db, "documents_kept")
+    val nDeduped = dedupedAll.count()
+    val gated = dedupedAll.join(
+      TextAnalysis.qualityGate(dedupedAll, "doc_id", "text",
+        minQualityBp = 5500, maxRep2 = 0.05, maxRep3 = 0.05,
+        minFamiliarity = 150.0).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val nGated = gated.count()
+    stage(7, s"quality gate -> $nGated of $nDeduped deduped docs pass") {
+      nGated > 0 && nGated < nDeduped
+    }
+
+    // 8. mixture rebalance (the d10 operator): downsample the gated
     // corpus to target language weights — content-keyed, so retries and
     // repartitions keep the same rows; the binding class keeps all
     val targets = Map("en" -> 2.0, "fr" -> 1.0, "es" -> 1.0,
       "de" -> 1.0, "zh" -> 1.0)
-    val kept = store.read(Db, "documents_kept")
+    val kept = gated
     val keptCounts = kept.groupBy("lang").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val mixed = Sampling.mixtureSample(kept, "lang", "doc_id", targets)
     val mixCounts = mixed.groupBy("lang").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val nMixed = mixCounts.values.sum
-    stage(7, s"mixture rebalance -> $nMixed rows: " +
+    stage(8, s"mixture rebalance -> $nMixed rows: " +
         mixCounts.toSeq.sorted.map { case (c, n) => s"$c=$n" }.mkString(", ")) {
       mixCounts.nonEmpty && mixCounts.keySet.subsetOf(targets.keySet) &&
         mixCounts.forall { case (c, n) => n <= keptCounts(c) } &&
@@ -205,7 +223,7 @@ object PipelineMain {
     val Array(maxShard, maxDocTokens) = packed
       .agg(max("shard"), max(col("n_tokens").cast("long")))
       .head.toSeq.map(_.asInstanceOf[Long]).toArray
-    stage(8, s"shard packing -> $nPacked docs into $nShards shards of <=$budget tokens") {
+    stage(9, s"shard packing -> $nPacked docs into $nShards shards of <=$budget tokens") {
       // contiguity holds only while no single doc overflows the budget
       // (an over-budget doc SKIPS shard ids by the floor contract)
       nPacked == nMixed && misplaced == 0 && maxShard >= 0 &&
@@ -225,7 +243,7 @@ object PipelineMain {
     val contaminated = hits.select(col("neighbor_id").as("vec_id")).distinct()
     val nContam = contaminated.count()
     val nClean = emb.join(contaminated, Seq("vec_id"), "left_anti").count()
-    stage(9, s"range-search decontamination -> $nContam quarantined, $nClean clean") {
+    stage(10, s"range-search decontamination -> $nContam quarantined, $nClean clean") {
       nContam > 0 && nContam + nClean == emb.count()
     }
     Materialize.releaseAll()
