@@ -86,6 +86,19 @@ object Materialize {
   /** Cuts created by the current thread's innermost [[scoped]] block. */
   private val scopeTl = new ThreadLocal[mutable.Buffer[(SparkSession, RDD[_])]]
 
+  /** [[apply]], but the cut is computed NOW, as its own job. The lazy
+   * default defers computation to the first consumer — when SEVERAL
+   * consumers launch concurrently (e.g. two broadcast-exchange builds
+   * racing under AQE), each computes the not-yet-persisted subtree from
+   * scratch. A cut whose consumers start together should pay the one
+   * up-front job instead of once per racer. */
+  def eager(df: DataFrame): DataFrame = {
+    val cut = apply(df)
+    cut.queryExecution.analyzed.collectFirst { case lr: LogicalRDD => lr.rdd }
+      .foreach(_.count()) // materialize the blocks before consumers race
+    cut
+  }
+
   def apply(df: DataFrame): DataFrame = {
     val reliable =
       df.sparkSession.conf.getOption(ReliableKey).exists(_.toBoolean)

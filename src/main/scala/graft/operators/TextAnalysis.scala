@@ -246,8 +246,12 @@ object TextAnalysis {
    */
   def trigramFamiliarity(df: DataFrame, idCol: String,
                          textCol: String): DataFrame = {
-    val tri = Materialize(
-      df.select(col(idCol).as("doc_id"), normalizeText(col(textCol)).as("t"))
+    // the cut is EAGER: its two consumers (df aggregate, score join)
+    // launch as racing broadcast/shuffle builds, and a lazy cut would
+    // be computed once per racer
+    val tri = Materialize.eager(
+      spreadAcrossCores(df)
+        .select(col(idCol).as("doc_id"), normalizeText(col(textCol)).as("t"))
         .filter(length(col("t")) >= 3)
         .select(col("doc_id"), explode(array_distinct(
           transform(sequence(lit(1), length(col("t")) - 2),
@@ -264,6 +268,15 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_trigrams"),
         round(sum(col("df")).cast("double") / count(lit(1)), 4)
           .as("familiarity"))
+  }
+
+  /** A corpus arriving in fewer partitions than cores (one small file)
+   * serializes every lambda-bearing per-doc expression on one task —
+   * spread the doc side (small rows) across the cluster first. At real
+   * scale the guard never fires: file partitions >> cores. */
+  private def spreadAcrossCores(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
   }
 
   /**
@@ -387,21 +400,38 @@ object TextAnalysis {
    * no feature row and is dropped — a gate cannot pass what it cannot
    * score. A null repetition ratio (doc shorter than the n-gram) passes
    * that bar: length is quality's job, not repetition's.
+   *
+   * The narrow features pass through a doc-keyed AGGREGATE before the
+   * threshold filter — deliberately, for two plan reasons: (a) an
+   * Aggregate is a predicate-pushdown barrier, so Catalyst cannot
+   * inline the aliased feature expressions into the filter (the
+   * lambda-bearing repetition expressions would otherwise re-evaluate
+   * per predicate reference — measured 4× the gate's whole cost at
+   * sf0.1); (b) a hash-aggregate consumer keeps the feature projection
+   * on the whole-stage-codegen path. The exchange it adds is 4 numbers
+   * per doc keyed by doc id — the same key the familiarity join needs.
+   * Document ids are assumed unique (they are ids).
    */
   def qualityGate(df: DataFrame, idCol: String, textCol: String,
                   minQualityBp: Long, maxRep2: Double, maxRep3: Double,
                   minFamiliarity: Double): DataFrame = {
-    val fam = trigramFamiliarity(df, idCol, textCol)
+    // spread once; the familiarity branch then sees partitions == cores
+    // and does not re-spread
+    val sp = spreadAcrossCores(df)
+    val fam = trigramFamiliarity(sp, idCol, textCol)
       .select(col("doc_id"), col("familiarity"))
-    df.select(col(idCol).as("doc_id"),
-        qualityScore(col(textCol)).as("quality_bp"),
-        repetitionRatio(col(textCol), 2).as("rep2"),
-        repetitionRatio(col(textCol), 3).as("rep3"))
-      .join(fam, Seq("doc_id"))
+    sp.select(col(idCol).as("doc_id"),
+        qualityScore(col(textCol)).as("q0"),
+        repetitionRatio(col(textCol), 2).as("r2"),
+        repetitionRatio(col(textCol), 3).as("r3"))
+      .groupBy("doc_id")
+      .agg(first("q0").as("quality_bp"),
+        first("r2").as("rep2"), first("r3").as("rep3"))
       .filter(col("quality_bp") >= minQualityBp &&
         (col("rep2").isNull || col("rep2") <= maxRep2) &&
-        (col("rep3").isNull || col("rep3") <= maxRep3) &&
-        col("familiarity") >= minFamiliarity)
+        (col("rep3").isNull || col("rep3") <= maxRep3))
+      .join(fam, Seq("doc_id"))
+      .filter(col("familiarity") >= minFamiliarity)
   }
 
   /** All features in one pass over the corpus. */
