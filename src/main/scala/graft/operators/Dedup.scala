@@ -539,9 +539,12 @@ object Dedup {
 
   /** (id, ts): the normalized token-array table every span operator
    * reads — the seam that lets [[spanDedupPipeline]] tokenize the
-   * corpus exactly once for find AND remove. */
+   * corpus exactly once for find AND remove. Small inputs are spread
+   * across cores first (the per-position shingle hashing would
+   * otherwise serialize on one task; no-op at real scale). */
   private def tokenTable(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), split(normalizeText(col(textCol)), " ").as("ts"))
+    TextAnalysis.spreadAcrossCores(df)
+      .select(col(idCol), split(normalizeText(col(textCol)), " ").as("ts"))
 
   private def spansFromTokens(tokens: DataFrame, idCol: String,
                               minTokens: Int, maxOcc: Int): DataFrame = {

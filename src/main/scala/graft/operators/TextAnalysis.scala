@@ -274,7 +274,7 @@ object TextAnalysis {
    * serializes every lambda-bearing per-doc expression on one task —
    * spread the doc side (small rows) across the cluster first. At real
    * scale the guard never fires: file partitions >> cores. */
-  private def spreadAcrossCores(df: DataFrame): DataFrame = {
+  private[operators] def spreadAcrossCores(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < p) df.repartition(p) else df
   }
