@@ -150,7 +150,9 @@ object TextAnalysis {
       case other => throw new IllegalArgumentException(
         s"winnowFingerprintsFast needs an integral id column, $idCol is $other")
     }
-    val in = df.filter(col(idCol).isNotNull) // same exclusion as the expression form
+    // spread: the rolling hash is per-doc sequential by design, but a
+    // one-file corpus must not ALSO serialize across docs on one task
+    val in = spreadAcrossCores(df.filter(col(idCol).isNotNull))
       .select(col(idCol).cast("long"), normalizeText(col(textCol)))
       .as[(Long, String)](Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
     in.mapPartitions { it =>
