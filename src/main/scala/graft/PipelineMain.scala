@@ -175,11 +175,16 @@ object PipelineMain {
     // threshold is set for the post-dedup document count)
     val dedupedAll = store.read(Db, "documents_kept")
     val nDeduped = dedupedAll.count()
-    val gated = dedupedAll.join(
+    // landed as a table (the stage-6 precedent): stages 8-10 fire several
+    // driver actions each, and an unlanded gate would replay the feature
+    // pipeline and familiarity join for every one of them
+    catalog.register(TableMeta(Db, "documents_gated", s"$work/documents_gated"))
+    store.overwrite(Db, "documents_gated", dedupedAll.join(
       TextAnalysis.qualityGate(dedupedAll, "doc_id", "text",
         minQualityBp = 5500, maxRep2 = 0.05, maxRep3 = 0.05,
         minFamiliarity = 150.0).select("doc_id"),
-      Seq("doc_id"), "left_semi")
+      Seq("doc_id"), "left_semi"))
+    val gated = store.read(Db, "documents_gated")
     val nGated = gated.count()
     stage(7, s"quality gate -> $nGated of $nDeduped deduped docs pass") {
       nGated > 0 && nGated < nDeduped
@@ -205,7 +210,7 @@ object PipelineMain {
         mixCounts.exists { case (c, n) => n == keptCounts(c) }
     }
 
-    // 8. token-budget shard packing (the q39 operator) of the rebalanced
+    // 9. token-budget shard packing (the q39 operator) of the rebalanced
     // corpus — the step that turns a corpus into contiguous fixed-token
     // training shards without a single-task global window
     val budget = 5000L
@@ -231,7 +236,7 @@ object PipelineMain {
     }
     Materialize.releaseAll() // packShards' internal range cut
 
-    // 9. decontamination sweep (the s09 operator): quarantine every
+    // 10. decontamination sweep (the s09 operator): quarantine every
     // corpus vector within cosine radius of a probe (benchmark) vector;
     // the probed-cell restriction bounds per-probe scan cost by design
     val embPath = sys.env.getOrElse("GRAFT_EMB_DATA",

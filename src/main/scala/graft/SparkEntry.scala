@@ -1892,7 +1892,7 @@ object SparkEntry {
          FROM documents),
          h AS (SELECT doc_id, url,
                  regexp_extract(lower(url),
-                   '^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#@]+)', 1) AS host
+                   '^[a-z][a-z0-9+.-]*://(?:[^/?#]*@)?([^/:?#@]+)', 1) AS host
                FROM u)
          SELECT doc_id, host FROM h
          WHERE host <> ''

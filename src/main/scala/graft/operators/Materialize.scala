@@ -91,11 +91,15 @@ object Materialize {
    * consumers launch concurrently (e.g. two broadcast-exchange builds
    * racing under AQE), each computes the not-yet-persisted subtree from
    * scratch. A cut whose consumers start together should pay the one
-   * up-front job instead of once per racer. */
+   * up-front job instead of once per racer. Reliable-mode cuts are
+   * already written eagerly by [[apply]] — no extra job. */
   def eager(df: DataFrame): DataFrame = {
+    val reliable =
+      df.sparkSession.conf.getOption(ReliableKey).exists(_.toBoolean)
     val cut = apply(df)
-    cut.queryExecution.analyzed.collectFirst { case lr: LogicalRDD => lr.rdd }
-      .foreach(_.count()) // materialize the blocks before consumers race
+    if (!reliable)
+      cut.queryExecution.analyzed.collectFirst { case lr: LogicalRDD => lr.rdd }
+        .foreach(_.count()) // materialize the blocks before consumers race
     cut
   }
 

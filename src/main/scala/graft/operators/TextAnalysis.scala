@@ -275,24 +275,32 @@ object TextAnalysis {
   /** A corpus arriving in fewer partitions than cores (one small file)
    * serializes every lambda-bearing per-doc expression on one task —
    * spread the doc side (small rows) across the cluster first. At real
-   * scale the guard never fires: file partitions >> cores. */
+   * scale the guard never fires: file partitions >> cores. Applied ONLY
+   * to shuffle-free frames: reading `.rdd` to learn the partition count
+   * finalizes the adaptive plan, which EXECUTES any upstream exchanges
+   * just to answer the question (and a shuffle-bearing frame is already
+   * redistributed by that exchange anyway). */
   private[operators] def spreadAcrossCores(df: DataFrame): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val hasShuffle = df.queryExecution.logical.collectFirst {
+      case _: Join => (); case _: Aggregate => (); case _: Window => ()
+      case _: Distinct => (); case _: RepartitionOperation => ()
+      case _: Sort => ()
+    }.isDefined
+    if (hasShuffle) df
+    else {
+      val p = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    }
   }
 
   /**
-   * Intra-document repetition ratios — the Gopher/MassiveText repetition
-   * filters: for word n-grams of size 2 and 3, the fraction of n-gram
-   * occurrences that repeat an earlier one, `1 - distinct/total`.
-   * Looping/generated text (keyword stuffing, decoding loops) scores
-   * high and is filtered before training. Pure narrow per-row
-   * expressions — no shuffle, no join, survives predicate pushdown; a
-   * doc too short for an n-gram gets null for that ratio. The single
-   * division per (doc, n) is rounded, so any engine replays it exactly.
+   * The single-n repetition ratio as a bare column: the fraction of
+   * word n-gram occurrences that repeat an earlier one,
+   * `1 - distinct/total` (null when the doc is too short for an
+   * n-gram). Building block of [[repetitionRatios]] and
+   * [[qualityGate]].
    */
-  /** The single-n repetition ratio of [[repetitionRatios]] as a bare
-   * column (null when the doc is too short for an n-gram). */
   def repetitionRatio(c: Column, n: Int): Column = {
     val toks = split(normalizeText(c), " ")
     val nt = size(toks)
@@ -302,6 +310,13 @@ object TextAnalysis {
       round(lit(1.0) - size(array_distinct(grams)).cast("double") / (nt - n + 1), 4))
   }
 
+  /** Intra-document repetition ratios — the Gopher/MassiveText
+   * repetition filters at word n-gram sizes 2 and 3: looping/generated
+   * text (keyword stuffing, decoding loops) scores high and is filtered
+   * before training. Pure narrow per-row expressions — no shuffle, no
+   * join, survives predicate pushdown; a doc too short for an n-gram
+   * gets null for that ratio. The single division per (doc, n) is
+   * rounded, so any engine replays it exactly. */
   def repetitionRatios(df: DataFrame, idCol: String,
                        textCol: String): DataFrame =
     df.select(col(idCol).as("doc_id"),

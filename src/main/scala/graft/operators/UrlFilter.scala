@@ -22,11 +22,14 @@ object UrlFilter {
    * optional userinfo is consumed BEFORE the host capture —
    * `https://evil@blocked.example/` must filter as `blocked.example`,
    * not as the attacker-chosen userinfo (the classic blocklist-evasion
-   * vector). A regexp rather than `parse_url` so an external SQL engine
-   * replays it identically (RE2-and-Java compatible — no lookaround). */
+   * vector) — and the userinfo class ALLOWS '@' so the split happens at
+   * the LAST '@' before the path, matching WHATWG parsers (otherwise
+   * `a@b@blocked.example` would capture `b` and evade again). A regexp
+   * rather than `parse_url` so an external SQL engine replays it
+   * identically (RE2-and-Java compatible — no lookaround). */
   def host(c: Column): Column = {
     val h = regexp_extract(lower(c),
-      "^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#@]+)", 1)
+      "^[a-z][a-z0-9+.-]*://(?:[^/?#]*@)?([^/:?#@]+)", 1)
     when(h =!= "", h) // regexp_extract yields "" on no match -> null
   }
 
@@ -49,9 +52,12 @@ object UrlFilter {
     val spark = df.sparkSession
     import spark.implicits._
     // hosts come out of host() lowercased; a mixed-case config entry
-    // would otherwise be a silent no-op
-    val block = blocklist.map(_.toLowerCase)
-    val grey = greylist.map { case (h, f) => h.toLowerCase -> f }
+    // would otherwise be a silent no-op. Locale.ROOT: the default-locale
+    // toLowerCase can disagree with Spark's locale-independent lower()
+    // (Turkish dotless-i) and silently fail to match
+    val block = blocklist.map(_.toLowerCase(java.util.Locale.ROOT))
+    val grey = greylist.map { case (h, f) =>
+      h.toLowerCase(java.util.Locale.ROOT) -> f }
     val withHost = df.withColumn(hostOut, host(col(urlCol)))
       .filter(col(hostOut).isNotNull)
     val afterBlock =

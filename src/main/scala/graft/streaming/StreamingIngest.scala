@@ -67,8 +67,9 @@ object StreamingIngest {
    *
    * foreachBatch has no file-sink commit log, so replayed batch ids are
    * made idempotent the Delta-txn way: VERSIONED marker files
-   * `_last_landed_batch.<id>` in the table directory record each batch
-   * id whose append completed (tmp write + rename to a FRESH name, so no
+   * `_markers/_last_landed_batch.<id>` under the table directory record
+   * each batch id whose append completed (tmp write + rename to a FRESH
+   * name, so no
    * delete-then-rename window can leave the table markerless), and a
    * replayed id <= the highest marker is skipped instead of
    * double-appended. 'No marker present' means a fresh table and
@@ -101,40 +102,46 @@ object StreamingIngest {
       .trigger(trigger)
       .start()
 
-  /** Versioned landing-marker prefix: `_last_landed_batch.<id>`. */
+  /** Versioned landing-marker prefix: `_markers/_last_landed_batch.<id>`. */
   private[streaming] val MarkerPrefix = "_last_landed_batch"
 
+  /** Markers live in a dedicated subdirectory: listing it costs
+   * O(markers) regardless of how many data files the table accumulates,
+   * and a plain `listStatus` handles ANY literal table path (a glob
+   * call would reinterpret `[`/`{` in the directory name as pattern
+   * syntax and silently miss the markers). */
+  private[streaming] def markerDir(dir: Path) = new Path(dir, "_markers")
+
   /** Highest batch id with a completed landing append in `dir`, or -1
-   * when no marker exists. Absent (missing dir or no marker files) is
-   * the fresh-table case and proceeds; a marker name whose id suffix
-   * does not parse, or any read failure other than not-found, throws so
-   * the caller's micro-batch retries instead of double-appending. A
-   * bare `_last_landed_batch` file written by the pre-versioned scheme
-   * is still honored (its CONTENT is the id) — ignoring it would replay
-   * every batch of an existing table. Only the marker glob is listed,
-   * never the table's data files. */
+   * when no marker exists. Absent (missing marker dir or no marker
+   * files) is the fresh-table case and proceeds; a marker name whose id
+   * suffix does not parse, or any read failure other than not-found,
+   * throws so the caller's micro-batch retries instead of
+   * double-appending. A bare `_last_landed_batch` file at the TABLE
+   * ROOT written by the pre-versioned scheme is still honored (its
+   * CONTENT is the id) — ignoring it would replay every batch of an
+   * existing table. */
   private[streaming] def lastLandedBatch(fs: FileSystem, dir: Path): Long = {
-    val statuses =
-      try Option(fs.globStatus(new Path(dir, MarkerPrefix + "*"))).getOrElse(Array())
-      catch { case _: java.io.FileNotFoundException => return -1L }
-    val ids = statuses.map(_.getPath).flatMap { p =>
-      val n = p.getName
-      if (n == MarkerPrefix) {
-        // legacy single-file marker: id lives in the file body
-        val in = fs.open(p)
-        val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-        finally in.close()
-        try Some(body.toLong)
-        catch { case e: NumberFormatException => throw new java.io.IOException(
-          s"garbled legacy landing marker in $dir — refusing to treat the table as fresh", e) }
-      } else if (n.startsWith(MarkerPrefix + ".")) {
+    val versioned =
+      try fs.listStatus(markerDir(dir)).map(_.getPath.getName).toSeq
+      catch { case _: java.io.FileNotFoundException => Seq.empty }
+    val ids = versioned.collect {
+      case n if n.startsWith(MarkerPrefix + ".") =>
         val suffix = n.substring(MarkerPrefix.length + 1)
-        try Some(suffix.toLong)
+        try suffix.toLong
         catch { case e: NumberFormatException => throw new java.io.IOException(
           s"garbled landing marker $n in $dir — refusing to treat the table as fresh", e) }
-      } else None
     }
-    if (ids.isEmpty) -1L else ids.max
+    val legacy =
+      try {
+        val in = fs.open(new Path(dir, MarkerPrefix))
+        val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+        try Seq(body.toLong)
+        catch { case e: NumberFormatException => throw new java.io.IOException(
+          s"garbled legacy landing marker in $dir — refusing to treat the table as fresh", e) }
+      } catch { case _: java.io.FileNotFoundException => Seq.empty }
+    (ids ++ legacy).foldLeft(-1L)(math.max)
   }
 
   /** Commit batch `id` as landed: tmp write + rename to the fresh
@@ -143,26 +150,24 @@ object StreamingIngest {
    * then best-effort cleanup of superseded markers (a failed delete only
    * costs extra names in the next listing). */
   private[streaming] def writeLandedMarker(fs: FileSystem, dir: Path, id: Long): Unit = {
-    val tmp = new Path(dir, s".tmp-$MarkerPrefix.$id")
+    val md = markerDir(dir)
+    val tmp = new Path(md, s".tmp-$MarkerPrefix.$id")
     val out = fs.create(tmp, true)
     try out.write(id.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    if (!fs.rename(tmp, new Path(dir, s"$MarkerPrefix.$id")))
+    if (!fs.rename(tmp, new Path(md, s"$MarkerPrefix.$id")))
       throw new java.io.IOException(
         s"could not commit landing marker for batch $id in $dir")
-    // glob only the markers — listing the whole table dir would scale
-    // with its data files, not with the O(1) marker set
-    try Option(fs.globStatus(new Path(dir, MarkerPrefix + "*")))
-      .getOrElse(Array()).map(_.getPath).foreach { p =>
+    try {
+      fs.listStatus(md).map(_.getPath).foreach { p =>
         val n = p.getName
-        val superseded =
-          n == MarkerPrefix || // legacy single-file marker
-            (n.startsWith(MarkerPrefix + ".") &&
-              scala.util.Try(n.substring(MarkerPrefix.length + 1).toLong)
-                .toOption.exists(_ < id))
-        if (superseded) fs.delete(p, false)
+        if (n.startsWith(MarkerPrefix + ".") &&
+            scala.util.Try(n.substring(MarkerPrefix.length + 1).toLong)
+              .toOption.exists(_ < id))
+          fs.delete(p, false)
       }
-    catch { case scala.util.control.NonFatal(_) => () }
+      fs.delete(new Path(dir, MarkerPrefix), false) // superseded legacy marker
+    } catch { case scala.util.control.NonFatal(_) => () }
   }
 
   /** Merge each micro-batch into the structured snapshots with the batch

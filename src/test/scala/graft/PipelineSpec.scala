@@ -1040,6 +1040,7 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
         minQualityBp = 5500, maxRep2 = 0.05, maxRep3 = 0.05,
         minFamiliarity = 300.0)
       .collect().map(_.getLong(0)).toSet
+    graft.operators.Materialize.releaseAll() // the gate's eager trigram cut
     // recompose from the individually-gated feature operators
     val q = docs.select(col("doc_id"),
         TextAnalysis.qualityScore(col("text")))
@@ -1058,6 +1059,7 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(got == expect)
     // the bars actually bite on this corpus: a proper nonempty subset
     assert(got.nonEmpty && got.size < q.size)
+    graft.operators.Materialize.releaseAll() // the standalone fam's cut
   }
 
   test("luhnCardCount validates the mod-10 checksum, not just card shape") {
@@ -1083,7 +1085,8 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
       (3L, "https://keep.example.org/a"), (4L, "http://grey.example.net/b?q=1"),
       (5L, "not a url at all"), (6L, "ftp://keep.example.org:21/c"),
       (7L, "https://evil@spam.bad.example/z"),     // userinfo evasion
-      (8L, "https://user:pw@spam.bad.example/z"))  // userinfo with password
+      (8L, "https://user:pw@spam.bad.example/z"),  // userinfo with password
+      (9L, "https://a@b@spam.bad.example/z"))      // double-@ (WHATWG: last @ splits)
       .toDF("doc_id", "url")
     // mixed-case BLOCKLIST entry must also match (config normalization);
     // greylist at fraction 1.0 isolates routing from sampling noise
@@ -1092,9 +1095,9 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
         greylist = Map("grey.example.net" -> 1.0))
       .select("doc_id", "host")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    // 1/2/7/8 blocklisted (host lowercased, userinfo stripped), 5
-    // unparseable -> dropped; 3/6 pass (6 keeps its port-less host),
-    // 4 greylisted at 1.0 -> kept
+    // 1/2/7/8/9 blocklisted (host lowercased, userinfo stripped at the
+    // LAST @), 5 unparseable -> dropped; 3/6 pass (6 keeps its
+    // port-less host), 4 greylisted at 1.0 -> kept
     assert(got == Map(3L -> "keep.example.org", 4L -> "grey.example.net",
       6L -> "keep.example.org"))
     // fraction 0.0 drops the greylisted host entirely, others unaffected
