@@ -85,14 +85,28 @@ object Bench {
     // raw doubles print ~17 significant digits each, and with 70+ queries
     // that pushed the single contract line past the driver's tail-capture
     // window two rounds running. toPlainString is locale-independent.
+    // Non-finite values cannot come from System.nanoTime deltas today, but
+    // a future non-finite metric must record as an explicit 0, not crash
+    // the one line the driver reads (BigDecimal(NaN) throws).
     def num(v: Double): String =
-      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+      if (!java.lang.Double.isFinite(v)) "0"
+      else BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP)
         .bigDecimal.toPlainString
-    val qs = results.map { case (k, v, _) => s"\"$k\":${num(v)}" }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) => s"\"$k\":\"${esc(e)}\"" }
+    // The driver's tail capture is a fixed window (2000 bytes observed);
+    // 78 queries x full names is ~2.9 KB, so full-name keys can NEVER fit
+    // no matter how the values are rounded — two rounds of BENCH_r{N}
+    // arrived tail-clipped with "parsed": null. The contract's own example
+    // uses short keys ({"q1":sec}), so per-query keys are the unambiguous
+    // name prefix before the first '_' ("d01_dedup_exact" -> "d01"),
+    // falling back to full names only if prefixes would collide.
+    val short = results.map { case (k, _, _) => k -> k.takeWhile(_ != '_') }.toMap
+    val key: String => String =
+      if (short.values.toSet.size == short.size) short else identity
+    val qs = results.map { case (k, v, _) => s"\"${key(k)}\":${num(v)}" }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(e)) => s"\"${key(k)}\":\"${esc(e)}\"" }
     val total = results.collect { case (_, v, None) => v }.sum
     val errJson = if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
-    s"""{"metric":"total","value":${num(total)},"unit":"sec","runs":$runs,"passes":$runs,"interleaved":true,"agg":"min","order":"name","queries":$qs$errJson,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${num(total)},"unit":"sec","runs":$runs,"agg":"min","queries":$qs$errJson,"sf":"$sfDir"}"""
   }
 
   def main(args: Array[String]): Unit = {

@@ -800,7 +800,11 @@ object SparkEntry {
             (col("doc_id") % 256).cast("string"), lit("."),
             ((col("doc_id") * 7) % 256).cast("string"))).otherwise(lit("")),
           when(col("doc_id") % 17 === 0, concat(lit(" via 2001:db8:0:0:0:0:0:"),
-            (col("doc_id") % 9999).cast("string"))).otherwise(lit(""))
+            (col("doc_id") % 9999).cast("string"))).otherwise(lit("")),
+          // separator-grouped national form — exercises the phone
+          // pattern's second alternation branch (no leading '+')
+          when(col("doc_id") % 19 === 0,
+            lit(" dial 0207-946-0958 soon")).otherwise(lit(""))
         ).as("text"))
       TextAnalysis.withPiiCounts(enriched, "text")
         .withColumn("redacted", TextAnalysis.redactPii(col("text")))
@@ -1796,18 +1800,20 @@ object SparkEntry {
                 || CAST(doc_id % 256 AS VARCHAR) || '.'
                 || CAST((doc_id * 7) % 256 AS VARCHAR) ELSE '' END ||
            CASE WHEN doc_id % 17 = 0 THEN ' via 2001:db8:0:0:0:0:0:'
-                || CAST(doc_id % 9999 AS VARCHAR) ELSE '' END AS t
+                || CAST(doc_id % 9999 AS VARCHAR) ELSE '' END ||
+           CASE WHEN doc_id % 19 = 0 THEN ' dial 0207-946-0958 soon'
+                ELSE '' END AS t
          FROM documents)
          SELECT doc_id,
            CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
            CAST(len(regexp_extract_all(t, '(?:[0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}')) AS BIGINT) AS n_ipv6,
            CAST(len(regexp_extract_all(t, '(?:[0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ipv4,
-           CAST(len(regexp_extract_all(t, '\+?[0-9](?:[- ]?[0-9]){7,14}')) AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(t, '\+[0-9](?:[- ]?[0-9]){7,14}|[0-9]{1,6}[- ][0-9](?:[- ]?[0-9]){4,13}')) AS BIGINT) AS n_phone,
            regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
              '(?:[0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}', '<IP6>', 'g'),
              '(?:[0-9]{1,3}\.){3}[0-9]{1,3}', '<IP4>', 'g'),
-             '\+?[0-9](?:[- ]?[0-9]){7,14}', '<PHONE>', 'g') AS redacted
+             '\+[0-9](?:[- ]?[0-9]){7,14}|[0-9]{1,6}[- ][0-9](?:[- ]?[0-9]){4,13}', '<PHONE>', 'g') AS redacted
          FROM e ORDER BY doc_id""",
 
     // the three feature pipelines of t02/t07/t08 joined and thresholded
@@ -1892,7 +1898,7 @@ object SparkEntry {
          FROM documents),
          h AS (SELECT doc_id, url,
                  regexp_extract(lower(url),
-                   '^[a-z][a-z0-9+.-]*://(?:[^/?#]*@)?([^/:?#@]+)', 1) AS host
+                   '^[a-z][a-z0-9+.-]*://(?:[^/?#]*@)?(\[[0-9a-f:.]+\]|[^/:?#@]+)', 1) AS host
                FROM u)
          SELECT doc_id, host FROM h
          WHERE host <> ''

@@ -86,6 +86,66 @@ object Materialize {
   /** Cuts created by the current thread's innermost [[scoped]] block. */
   private val scopeTl = new ThreadLocal[mutable.Buffer[(SparkSession, RDD[_])]]
 
+  /** Cuts created by [[internal]] — their lifetime is owned by the
+   * registered cuts built over them. */
+  private val internalCuts = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[RDD[_], java.lang.Boolean]())
+
+  /** Nested-cut edges: cut RDD -> the live INTERNAL cuts its SOURCE plan
+   * was built over (recorded at registration time, BEFORE the new cut
+   * truncates lineage — afterwards the inner cut is unreachable from the
+   * outer one and a release walk could never find it). */
+  private val childrenOf =
+    new java.util.concurrent.ConcurrentHashMap[RDD[_], Seq[RDD[_]]]()
+
+  /** How many live registered cuts reference each [[internal]] cut as a
+   * child. An internal cut is freed when its LAST registered parent is
+   * freed — without the count, releasing one of two outer cuts sharing
+   * an inner cut would kill the inner blocks under the survivor. */
+  private val parentRefs =
+    new java.util.concurrent.ConcurrentHashMap[RDD[_], java.lang.Integer]()
+
+  /** Is `r` a currently-registered cut of `s`? */
+  private def isLive(s: SparkSession, r: RDD[_]): Boolean = {
+    val set = live.get(s)
+    set != null && set.contains(r)
+  }
+
+  /** The live INTERNAL cuts directly reachable from `df`'s plan (each
+   * branch stopped at the first live cut — deeper cuts are that cut's
+   * own children, already edge-tracked from its registration). */
+  private def internalKids(df: DataFrame): Seq[RDD[_]] = {
+    val s = df.sparkSession
+    val acc = mutable.Buffer[RDD[_]]()
+    val seen = mutable.Set[RDD[_]]()
+    def walk(r: RDD[_]): Unit = if (seen.add(r)) {
+      if (isLive(s, r)) { if (internalCuts.contains(r)) acc += r }
+      else r.dependencies.foreach(d => walk(d.rdd))
+    }
+    df.queryExecution.analyzed.foreach {
+      case lr: LogicalRDD => walk(lr.rdd)
+      case _ => ()
+    }
+    acc.toSeq
+  }
+
+  /** Deregister-and-unpersist `r`, then resolve its nested-cut edges:
+   * each internal child loses one parent reference, and a child whose
+   * last parent is gone is freed with it (recursively). Idempotent —
+   * the deregister gate makes a second free of the same cut a no-op. */
+  private def free(s: SparkSession, r: RDD[_]): Unit =
+    if (deregister(s, r)) {
+      r.unpersist(blocking = false)
+      internalCuts.remove(r)
+      parentRefs.remove(r) // freed directly: sever any remaining edges
+      val kids = childrenOf.remove(r)
+      if (kids != null) kids.foreach { k =>
+        val left = parentRefs.computeIfPresent(k, (_, n) =>
+          if (n <= 1) null else Integer.valueOf(n - 1))
+        if (left == null) free(s, k)
+      }
+    }
+
   /** [[apply]], but the cut is computed NOW, as its own job. The lazy
    * default defers computation to the first consumer — when SEVERAL
    * consumers launch concurrently (e.g. two broadcast-exchange builds
@@ -103,7 +163,24 @@ object Materialize {
     cut
   }
 
-  def apply(df: DataFrame): DataFrame = {
+  /** [[apply]], but the cut's lifetime is OWNED by the registered cuts
+   * later built over it: it is freed automatically when its last such
+   * parent is released. For operators that nest cuts (the
+   * Materialize(f(Materialize(g(x)))) shape) where the inner cut is
+   * invisible to callers — without ownership, the outer cut truncates
+   * lineage and the inner blocks leak for the session lifetime unless
+   * the caller happens to run [[releaseAll]]. Do NOT use for a cut any
+   * RETURNED frame reads directly (the parent's release would kill it);
+   * those stay on [[apply]] + the documented release-together contract. */
+  def internal(df: DataFrame): DataFrame = doApply(df, ownedByParents = true)
+
+  def apply(df: DataFrame): DataFrame = doApply(df, ownedByParents = false)
+
+  private def doApply(df: DataFrame, ownedByParents: Boolean): DataFrame = {
+    // nested-cut edges must be read off the SOURCE plan before the new
+    // cut exists (the cut truncates lineage; afterwards the inner cuts
+    // are invisible to any walk)
+    val kids = internalKids(df)
     val reliable =
       df.sparkSession.conf.getOption(ReliableKey).exists(_.toBoolean)
     val cut = if (reliable) {
@@ -124,6 +201,11 @@ object Materialize {
     cut.queryExecution.analyzed.collectFirst { case lr: LogicalRDD => lr.rdd }
       .foreach { r =>
         register(df.sparkSession, r)
+        if (ownedByParents) internalCuts.add(r)
+        if (kids.nonEmpty) {
+          childrenOf.put(r, kids)
+          kids.foreach(k => parentRefs.merge(k, 1, (a, b) => a + b))
+        }
         Option(scopeTl.get()).foreach(_ += ((df.sparkSession, r)))
       }
     cut
@@ -136,11 +218,19 @@ object Materialize {
    * createDataFrame) hides the cut from the logical plan but not from
    * the dependency chain, and without the walk its blocks would be
    * unreleasable. Each branch of the walk stops at the FIRST registered
-   * cut it finds: a deeper cut reachable only through a live cut is
-   * that cut's dependency, not this frame's, and dropping it would
-   * strand any sibling frame built on it. Only blocks [[apply]]
-   * registered are touched, so passing a frame that was never cut is a
-   * safe no-op; walks stay short because a cut truncates lineage.
+   * cut it finds and frees it; an [[internal]] cut NESTED inside the
+   * freed one (the Materialize(f(Materialize(g(x)))) shape) is freed
+   * when its LAST registered parent goes, via the parent-refcounted
+   * edges recorded at registration — without them the inner cut is
+   * unreachable (the outer cut truncated lineage) and its blocks would
+   * leak for the session lifetime. An internal cut shared by SEVERAL
+   * registered parents survives until the last one is released; plain
+   * [[apply]] cuts are never cascade-freed (iterative operators release
+   * superseded rounds eagerly while still reading their shared inputs —
+   * an automatic cascade would free those inputs mid-loop). Only blocks
+   * this object registered are touched, so passing a frame that was
+   * never cut is a safe no-op; walks stay short because a cut truncates
+   * lineage.
    *
    * The released frame must not be read again — and neither must any
    * SIBLING frame whose plan contains the same cut as a leaf (two
@@ -148,11 +238,13 @@ object Materialize {
    * kills the shared leaf for both). Operators returning several frames
    * over one cut (e.g. `Dedup.dedupPipeline`) document this on their
    * result type: release such frames together, after ALL their terminal
-   * actions. */
+   * actions. The same contract covers a cut held BOTH standalone and
+   * nested inside another cut: when its last registered parent is
+   * released it is freed with it. */
   def release(df: DataFrame): Unit = {
     val seen = mutable.Set[RDD[_]]()
     def walk(r: RDD[_]): Unit = if (seen.add(r)) {
-      if (deregister(df.sparkSession, r)) r.unpersist(blocking = false)
+      if (isLive(df.sparkSession, r)) free(df.sparkSession, r)
       else r.dependencies.foreach(d => walk(d.rdd))
     }
     df.queryExecution.analyzed.foreach {
@@ -171,9 +263,7 @@ object Materialize {
     try body
     finally {
       scopeTl.set(outer)
-      mine.foreach { case (s, r) =>
-        if (deregister(s, r)) r.unpersist(blocking = false)
-      }
+      mine.foreach { case (s, r) => free(s, r) }
     }
   }
 
@@ -182,10 +272,12 @@ object Materialize {
    * untouched. Unsafe while another thread's query on THIS session is
    * mid-flight. */
   def releaseAll(session: SparkSession): Unit = {
-    val set = live.remove(session)
+    val set = live.get(session)
     if (set != null) {
-      val it = set.iterator()
-      while (it.hasNext) { it.next().unpersist(blocking = false); it.remove() }
+      // snapshot: free() mutates the set through deregister, and frees
+      // children (same session's set) ahead of the iterator reaching them
+      val snap = new java.util.ArrayList[RDD[_]](set)
+      snap.forEach(r => free(session, r))
     }
   }
 

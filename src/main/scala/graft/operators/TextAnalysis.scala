@@ -331,10 +331,14 @@ object TextAnalysis {
    * The simplifications are documented contract, not accident:
    *
    *  - email: practical RFC subset (local@domain.tld);
-   *  - phone: an optional '+', then 8–15 digits with single space/dash
-   *    separators — international numbers without lookahead (a bare
-   *    8+ digit run also matches; on prose corpora that IS usually an
-   *    identifier worth redacting);
+   *  - phone: either the '+'-led international form (8–15 digits with
+   *    single optional space/dash separators) or a separator-GROUPED
+   *    national form (a 1–6 digit group, one space/dash, then 5–14 more
+   *    digits with optional separators). A bare unseparated digit run
+   *    no longer matches: at large scale factors 8-digit doc ids (and
+   *    any serial number) were counting as phones, drifting n_phone
+   *    semantics with corpus size. Leftmost-first alternation — Java
+   *    and RE2 agree;
    *  - ipv4: four dotted 1–3 digit groups (no 0–255 range check —
    *    that needs alternation whose leftmost-match order differs
    *    between engines);
@@ -349,7 +353,9 @@ object TextAnalysis {
     ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ipv6", "(?:[0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}", "<IP6>"),
     ("ipv4", "(?:[0-9]{1,3}\\.){3}[0-9]{1,3}", "<IP4>"),
-    ("phone", "\\+?[0-9](?:[- ]?[0-9]){7,14}", "<PHONE>"))
+    ("phone",
+      "\\+[0-9](?:[- ]?[0-9]){7,14}|[0-9]{1,6}[- ][0-9](?:[- ]?[0-9]){4,13}",
+      "<PHONE>"))
 
   /** The frame with a `n_<kind>` PII hit-count column appended per
    * [[piiPatterns]] entry — one narrow codegen'd pass, keeps the input

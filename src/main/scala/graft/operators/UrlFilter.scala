@@ -26,10 +26,17 @@ object UrlFilter {
    * the LAST '@' before the path, matching WHATWG parsers (otherwise
    * `a@b@blocked.example` would capture `b` and evade again). A regexp
    * rather than `parse_url` so an external SQL engine replays it
-   * identically (RE2-and-Java compatible — no lookaround). */
+   * identically (RE2-and-Java compatible — no lookaround).
+   *
+   * Bracketed IPv6 literal hosts (`https://[2001:db8::1]/x`) are a
+   * dedicated alternation tried BEFORE the generic host class: the
+   * generic class stops at ':' and would yield the garbage host
+   * "[2001", making IPv6 hosts unblocklistable. The brackets are KEPT
+   * in the extracted host (WHATWG serialization), so blocklist entries
+   * for IPv6 literals are written bracketed too: `[2001:db8::1]`. */
   def host(c: Column): Column = {
     val h = regexp_extract(lower(c),
-      "^[a-z][a-z0-9+.-]*://(?:[^/?#]*@)?([^/:?#@]+)", 1)
+      "^[a-z][a-z0-9+.-]*://(?:[^/?#]*@)?(\\[[0-9a-f:.]+\\]|[^/:?#@]+)", 1)
     when(h =!= "", h) // regexp_extract yields "" on no match -> null
   }
 

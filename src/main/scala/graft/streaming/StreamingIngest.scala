@@ -127,11 +127,29 @@ object StreamingIngest {
       catch { case _: java.io.FileNotFoundException => Seq.empty }
     val ids = versioned.collect {
       case n if n.startsWith(MarkerPrefix + ".") =>
-        val suffix = n.substring(MarkerPrefix.length + 1)
-        try suffix.toLong
-        catch { case e: NumberFormatException => throw new java.io.IOException(
-          s"garbled landing marker $n in $dir — refusing to treat the table as fresh", e) }
-    }
+        n.substring(MarkerPrefix.length + 1) match {
+          // the strict shape a marker commit writes: digits only
+          case s if s.nonEmpty && s.forall(_.isDigit) =>
+            try Some(s.toLong)
+            catch { case e: NumberFormatException => // > Long.MaxValue digits
+              throw new java.io.IOException(
+                s"garbled landing marker $n in $dir — refusing to treat the table as fresh", e) }
+          // an operator-made COPY of a valid marker (`.5.bak`, editor
+          // droppings): the original numeric marker still names the
+          // landed batch, so skip the copy instead of wedging every
+          // micro-batch retry behind a file only manual cleanup removes
+          case s if s.contains('.') && s.takeWhile(_ != '.').nonEmpty &&
+                    s.takeWhile(_ != '.').forall(_.isDigit) =>
+            org.slf4j.LoggerFactory.getLogger(getClass)
+              .warn(s"ignoring non-marker file $n in ${markerDir(dir)} " +
+                "(numeric marker id with an extra suffix — operator copy?)")
+            None
+          // anything else is truly ambiguous — no numeric id at all —
+          // and proceeding would replay or skip an unknown set of batches
+          case _ => throw new java.io.IOException(
+            s"garbled landing marker $n in $dir — refusing to treat the table as fresh")
+        }
+    }.flatten
     val legacy =
       try {
         val in = fs.open(new Path(dir, MarkerPrefix))

@@ -18,7 +18,10 @@ class BenchContractSpec extends AnyFunSuite with SparkFixture {
     assert(byName("broken_query")._3.isDefined)
     val json = Bench.toJson(results, "/root/testdata/sf0.001")
     assert(json.contains(""""errors":{"""))
-    assert(json.contains("broken_query"))
+    // keys are shortened to the pre-'_' prefix (tail-capture budget: full
+    // names pushed the contract line past the driver's 2000-byte window)
+    assert(json.contains(""""broken":"""))
+    assert(json.contains(""""ok":"""))
     // the failed query's time is excluded from the reported total; the
     // line prints seconds rounded to 4 decimals (tail-capture budget)
     val total = """"value":([0-9.]+)""".r.findFirstMatchIn(json).get.group(1).toDouble
@@ -27,6 +30,15 @@ class BenchContractSpec extends AnyFunSuite with SparkFixture {
       "per-line seconds must stay at <= 4 decimals")
     // escaping keeps the line a single valid JSON object (driver parses it)
     assert(!json.exists(_ < ' '))
+  }
+
+  test("toJson: colliding prefixes fall back to full names; non-finite is 0") {
+    val res = Seq(("a_one", 1.0, None), ("a_two", Double.NaN, None))
+    val json = Bench.toJson(res, "/x")
+    // "a" would be ambiguous for both queries -> full names kept
+    assert(json.contains(""""a_one":1.0000"""))
+    // NaN must format as an explicit 0, not crash the contract line
+    assert(json.contains(""""a_two":0"""))
   }
 
   test("a query that only fails on a later run is still reported failed") {

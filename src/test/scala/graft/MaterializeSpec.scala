@@ -107,6 +107,52 @@ class MaterializeSpec extends AnyFunSuite with SparkFixture {
     assert((persisted -- before).isEmpty)
   }
 
+  test("release() frees an internal nested cut with its LAST parent") {
+    Materialize.releaseAll()
+    val before = persisted
+    val inner = Materialize.internal((1 to 60).toDF("n"))
+    assert(inner.count() == 60)
+    val outer1 = Materialize(inner.withColumn("sq", col("n") * col("n")))
+    val outer2 = Materialize(inner.withColumn("cb", col("n") + 1))
+    assert(outer1.count() == 60 && outer2.count() == 60)
+    Materialize.release(outer1)
+    // outer2 still references the shared inner cut — it must survive
+    assert(outer2.count() == 60)
+    assert((persisted -- before).nonEmpty,
+      "a shared internal cut must outlive the first parent's release")
+    Materialize.release(outer2)
+    assert((persisted -- before).isEmpty,
+      "the internal cut must be freed with its last registered parent")
+  }
+
+  test("an internal 3-deep chain is fully freed by the outermost release") {
+    Materialize.releaseAll()
+    val before = persisted
+    val a = Materialize.internal((1 to 30).toDF("n"))
+    val b = Materialize.internal(a.withColumn("x", col("n") + 1))
+    val c = Materialize(b.withColumn("y", col("x") + 1))
+    assert(c.count() == 30)
+    Materialize.release(c)
+    assert((persisted -- before).isEmpty,
+      "releasing the outermost cut must free the whole internal chain")
+  }
+
+  test("plain apply() cuts are never cascade-freed by a parent's release") {
+    Materialize.releaseAll()
+    val before = persisted
+    // the iterative-operator shape: a shared input cut read across
+    // rounds while superseded round cuts are released eagerly
+    val sharedInput = Materialize((1 to 40).toDF("n"))
+    assert(sharedInput.count() == 40)
+    val round = Materialize(sharedInput.withColumn("x", col("n") + 1))
+    assert(round.count() == 40)
+    Materialize.release(round)
+    assert(sharedInput.count() == 40,
+      "releasing a round cut must not free the shared input it was built on")
+    Materialize.release(sharedInput)
+    assert((persisted -- before).isEmpty)
+  }
+
   test("clusters() releases every per-round frame except the returned labels") {
     Materialize.releaseAll()
     val before = persisted

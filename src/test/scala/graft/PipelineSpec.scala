@@ -1014,7 +1014,8 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
       (2L, "call +44 20 7946 0958 or 555-867-5309 x12"),
       (3L, "from 192.168.3.21 via 2001:0db8:85a3:0:0:8a2e:370:7334 end"),
       (4L, "no pii here, just words and the number 42"),
-      (5L, "mixed a@b.io at 10.0.0.1 dial 07700 900123")).toDF("doc_id", "text")
+      (5L, "mixed a@b.io at 10.0.0.1 dial 07700 900123"),
+      (6L, "ticket 12345678 ref 987654321012 ok")).toDF("doc_id", "text")
     val counts = TextAnalysis.withPiiCounts(docs, "text")
       .select("doc_id", "n_email", "n_phone", "n_ipv4", "n_ipv6")
       .collect().map(r => r.getLong(0) ->
@@ -1024,7 +1025,8 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
       2L -> ((0L, 2L, 0L, 0L)), // +44 form and 555- form both match
       3L -> ((0L, 0L, 1L, 1L)),
       4L -> ((0L, 0L, 0L, 0L)),
-      5L -> ((1L, 1L, 1L, 0L)))) // "07700 900123" is 11 digits -> phone
+      5L -> ((1L, 1L, 1L, 0L)), // "07700 900123" separator-grouped -> phone
+      6L -> ((0L, 0L, 0L, 0L)))) // bare digit runs are NOT phones anymore
     val red = docs.select(col("doc_id"),
         TextAnalysis.redactPii(col("text")).as("r"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
@@ -1033,6 +1035,7 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(red(3L) == "from <IP4> via <IP6> end")
     assert(red(4L) == "no pii here, just words and the number 42")
     assert(red(5L) == "mixed <EMAIL> at <IP4> dial <PHONE>")
+    assert(red(6L) == "ticket 12345678 ref 987654321012 ok")
   }
 
   test("qualityGate keeps exactly the docs passing every feature bar") {
@@ -1086,26 +1089,31 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
       (5L, "not a url at all"), (6L, "ftp://keep.example.org:21/c"),
       (7L, "https://evil@spam.bad.example/z"),     // userinfo evasion
       (8L, "https://user:pw@spam.bad.example/z"),  // userinfo with password
-      (9L, "https://a@b@spam.bad.example/z"))      // double-@ (WHATWG: last @ splits)
+      (9L, "https://a@b@spam.bad.example/z"),      // double-@ (WHATWG: last @ splits)
+      (10L, "https://[2001:DB8::1]/x"),            // IPv6 literal, blocklisted
+      (11L, "https://[2001:db8::1]:8443/y"),       // IPv6 literal with port
+      (12L, "https://[::ffff:10.0.0.1]/z"))        // IPv4-mapped IPv6, passes
       .toDF("doc_id", "url")
     // mixed-case BLOCKLIST entry must also match (config normalization);
     // greylist at fraction 1.0 isolates routing from sampling noise
     val got = UrlFilter.filterByDomain(rows, "url",
-        blocklist = Seq("Spam.Bad.Example"),
+        blocklist = Seq("Spam.Bad.Example", "[2001:db8::1]"),
         greylist = Map("grey.example.net" -> 1.0))
       .select("doc_id", "host")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     // 1/2/7/8/9 blocklisted (host lowercased, userinfo stripped at the
-    // LAST @), 5 unparseable -> dropped; 3/6 pass (6 keeps its
-    // port-less host), 4 greylisted at 1.0 -> kept
+    // LAST @), 10/11 blocklisted as the BRACKETED IPv6 host (port
+    // stripped outside the brackets), 5 unparseable -> dropped; 3/6 pass
+    // (6 keeps its port-less host), 4 greylisted at 1.0 -> kept, 12
+    // passes with its bracketed host intact
     assert(got == Map(3L -> "keep.example.org", 4L -> "grey.example.net",
-      6L -> "keep.example.org"))
+      6L -> "keep.example.org", 12L -> "[::ffff:10.0.0.1]"))
     // fraction 0.0 drops the greylisted host entirely, others unaffected
     val none = UrlFilter.filterByDomain(rows, "url",
         blocklist = Seq("spam.bad.example"),
         greylist = Map("grey.example.net" -> 0.0))
       .select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(none == Set(3L, 6L))
+    assert(none == Set(3L, 6L, 10L, 11L, 12L))
   }
 
   test("repetitionRatios match hand-computed n-gram repeat fractions") {
