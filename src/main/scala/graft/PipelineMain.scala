@@ -20,7 +20,7 @@ import graft.operators.{ChangeLogApplier, CuratedApplier, Dedup, DomainRunner, M
  *   4. apply_to_domains     definition CSV SQL -> domain snapshot
  *   5. glue_query           ad-hoc projection + predicate (demo_querys:3)
  *
- * plus four training-data stages beyond the reference's surface:
+ * plus six training-data stages beyond the reference's surface:
  *
  *   6. fused dedup pipeline    pairs -> clusters -> keep from ONE pair
  *                              graph, kept corpus landed as a table
@@ -33,6 +33,9 @@ import graft.operators.{ChangeLogApplier, CuratedApplier, Dedup, DomainRunner, M
  *  10. decontamination sweep   IVF range search quarantines corpus
  *                              vectors near probe/benchmark vectors
  *                              (the s09 operator)
+ *  11. window chunking         fixed-token training windows cut from
+ *                              the rebalanced corpus, token-conserving,
+ *                              packed into shards (t12 + q39 compose)
  *
  *   sbt "runMain graft.PipelineMain [workDir]"
  *
@@ -250,6 +253,31 @@ object PipelineMain {
     val nClean = emb.join(contaminated, Seq("vec_id"), "left_anti").count()
     stage(10, s"range-search decontamination -> $nContam quarantined, $nClean clean") {
       nContam > 0 && nContam + nClean == emb.count()
+    }
+    Materialize.releaseAll()
+
+    // 11. training-window chunking (the t12 operator): the rebalanced
+    // corpus cut into fixed 128-token windows (stride = window size:
+    // exact cover, no overlap), then the WINDOWS packed into
+    // token-budget shards — the final corpus -> training-shard step,
+    // composing t12 with the q39 packer on a window-grain key
+    val windows = TextAnalysis.chunkTokens(mixed, "doc_id", "text",
+      chunkSize = 128, stride = 128)
+    val nWindows = windows.count()
+    val totTokens = mixed
+      .agg(sum(TextAnalysis.tokenCount(col("text")).cast("long")))
+      .head.getLong(0)
+    val winTokens = windows.agg(sum("n_tokens")).head.getLong(0)
+    val oversized = windows.filter(col("n_tokens") > 128).count()
+    val packedW = PrefixScan.packShards(
+      windows.select((col("doc_id") * 100000 + col("chunk_id")).as("win_id"),
+        col("n_tokens")),
+      "win_id", "n_tokens", budget = 4096L)
+    val nShardsW = packedW.select("shard").distinct().count()
+    stage(11, s"window chunking -> $nWindows windows from $nMixed docs, " +
+        s"$winTokens tokens conserved, $nShardsW window shards") {
+      nWindows >= nMixed && winTokens == totTokens && oversized == 0 &&
+        nShardsW > 0 && packedW.count() == nWindows
     }
     Materialize.releaseAll()
 

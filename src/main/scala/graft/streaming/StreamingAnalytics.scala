@@ -32,6 +32,33 @@ object StreamingAnalytics {
              dimKey: String): DataFrame =
     stream.join(broadcast(dim), stream(streamKey) === dim(dimKey), "left")
 
+  /**
+   * Watermarked stream-stream interval join — the two-live-streams
+   * correlation step (impressions × clicks, request × response): rows
+   * with equal `keyCol` join when the right event time lies within
+   * `[left time, left time + toleranceSec]`. Both sides carry
+   * watermarks and the range predicate is what BOUNDS THE STATE: each
+   * side buffers only until the other side's watermark passes its join
+   * window, the documented requirement for unbounded stream-stream
+   * joins (without the time bound Spark would have to buffer both
+   * streams forever). Inner join: unmatched rows drop. The same plan
+   * runs on batch frames (the watermark is a no-op there), which the
+   * spec uses as the oracle. Column names other than `keyCol` must be
+   * distinct across the two sides; the right key column is dropped.
+   */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                   leftTs: String, rightTs: String, toleranceSec: Long,
+                   watermark: String = "30 seconds"): DataFrame = {
+    require(toleranceSec >= 0, "toleranceSec must be >= 0")
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r,
+        l(keyCol) === r(keyCol) &&
+          r(rightTs) >= l(leftTs) &&
+          r(rightTs) <= l(leftTs) + expr(s"INTERVAL $toleranceSec seconds"))
+      .drop(r(keyCol))
+  }
+
   /** Tumbling-window event counts with a watermark bounding late data and
    * state. Works identically on a batch DataFrame (Spark runs the same
    * plan with a no-op watermark), which the spec uses as the oracle. */

@@ -912,6 +912,22 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(nContam > 0, "the sweep must quarantine something at this radius")
     assert(nContam + nClean == emb.count())
     Materialize.releaseAll()
+
+    // the PipelineMain stage-11 tail: window chunking conserves every
+    // token and the windows pack like any other token-carrying rows
+    val windows = TextAnalysis.chunkTokens(mixed, "doc_id", "text",
+      chunkSize = 128, stride = 128)
+    val totTokens = mixed
+      .agg(sum(TextAnalysis.tokenCount(col("text")).cast("long")))
+      .head.getLong(0)
+    assert(windows.agg(sum("n_tokens")).head.getLong(0) == totTokens)
+    assert(windows.filter(col("n_tokens") > 128).count() == 0)
+    val packedW = PrefixScan.packShards(
+      windows.select((col("doc_id") * 100000 + col("chunk_id")).as("win_id"),
+        col("n_tokens")),
+      "win_id", "n_tokens", budget = 4096L)
+    assert(packedW.count() == windows.count())
+    Materialize.releaseAll()
   }
 
   test("runningTotal is bit-identical to the single-partition window") {

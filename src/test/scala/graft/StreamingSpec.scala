@@ -261,6 +261,48 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch twin, bounds by tolerance") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(ms0: Long) = new Timestamp(ms0)
+    // impressions x clicks: click joins its impression iff within 5s after
+    val imps = Seq((7L, 100L, t(1000)), (8L, 101L, t(2000)), (9L, 102L, t(3000)))
+    val clicks = Seq(
+      (7L, 200L, t(4000)),  // 3s after imp 100 -> joins
+      (8L, 201L, t(9000)),  // 7s after imp 101 -> outside tolerance
+      (9L, 202L, t(2000)))  // 1s BEFORE imp 102 -> never joins
+    val expect = Set((7L, 100L, 200L))
+
+    val batch = StreamingAnalytics.intervalJoin(
+        imps.toDF("user_id", "imp_id", "imp_ts"),
+        clicks.toDF("user_id", "click_id", "click_ts"),
+        "user_id", "imp_ts", "click_ts", toleranceSec = 5)
+      .select("user_id", "imp_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batch == expect)
+
+    val mi = MemoryStream[(Long, Long, Timestamp)]
+    val mc = MemoryStream[(Long, Long, Timestamp)]
+    val joined = StreamingAnalytics.intervalJoin(
+        mi.toDF().toDF("user_id", "imp_id", "imp_ts"),
+        mc.toDF().toDF("user_id", "click_id", "click_ts"),
+        "user_id", "imp_ts", "click_ts", toleranceSec = 5)
+      .select("user_id", "imp_id", "click_id")
+    val q = joined.writeStream.format("memory").queryName("ijoin")
+      .outputMode("append").start()
+    try {
+      // impressions arrive a batch before their clicks — the join state
+      // carries them across the micro-batch boundary
+      mi.addData(imps: _*)
+      q.processAllAvailable()
+      mc.addData(clicks: _*)
+      q.processAllAvailable()
+      val got = spark.table("ijoin").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == expect)
+    } finally q.stop()
+  }
+
   test("sessionize: gap closes a session in-batch, watermark closes the tail") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
