@@ -815,8 +815,14 @@ object Dedup {
     val hit = (1 to k)
       .map(j => s"(shiftright(element_at(__bloom, CAST(p$j div 64 AS INT) + 1), p$j % 64) & 1) = 1")
       .mkString(" AND ")
+    // the k-md5s-per-gram membership test is heavy NARROW work that runs
+    // BEFORE the count's exchange — on a one-file corpus it would
+    // serialize on a single task (measured 3.5 s of a 4.5 s total at
+    // sf0.1); spread first (no-op at real scale, where file partitions
+    // >> cores)
     (1 to k).foldLeft(
-        corpus.select(col(idCol), explode(ngramSet(col(textCol), n)).as("g"))
+        TextAnalysis.spreadAcrossCores(corpus.select(col(idCol), col(textCol)))
+          .select(col(idCol), explode(ngramSet(col(textCol), n)).as("g"))
           .withColumn("__bloom", typedLit(mask.toSeq))) {
         case (acc, j) => acc.withColumn(s"p$j", posCol(col("g"), j))
       }
