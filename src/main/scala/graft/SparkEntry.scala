@@ -1168,6 +1168,28 @@ object SparkEntry {
           nCells = 16, iters = 1)
         .orderBy("vec_id")),
 
+    // Matryoshka-style truncated-dim funnel: rank everything on the
+    // first 16 dims (cheap), re-rank the top-50 survivors on all 64 —
+    // the oracle replays both rounded-rank stages exactly
+    "s12_ann_truncated_rerank" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.truncatedRerankTopK(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10, dPrime = 16, mCand = 50)
+        .orderBy("query_id", "rank")
+    }),
+
+    // quality-weighted (importance) sampling: each doc's keep
+    // probability is its own quality score — the per-row md5 threshold
+    // generalizes the stratified sampler; the oracle recomputes the
+    // integer quality score and replays the digest compare
+    "t13_weighted_sample" -> ((s, d) => {
+      val scored = t(s, d, "documents").select(col("doc_id"),
+        (TextAnalysis.qualityScore(col("text")).cast("double") / 10000).as("w"))
+      Sampling.weightedSample(scored, "doc_id", "w")
+        .select(col("doc_id"), round(col("w"), 4).as("w"))
+        .orderBy("doc_id")
+    }),
+
     // reciprocal-rank fusion of the LSH and IVF candidate lists — the
     // retrieval-ensemble step; both input rankings are deterministic
     // and the fused score is rounded before re-ranking, so the oracle
@@ -1343,6 +1365,26 @@ object SparkEntry {
                                    x -> abs(x))) = 0.0
                             THEN c0.ce ELSE cmean.mean END AS ce
                 FROM cent0 c0 LEFT JOIN cmean ON c0.cid = cmean.cid)"""
+
+  /** Shared t11/t13 integer quality-score replay over the NormCte base:
+   * the five clamped integer components of TextAnalysis.qualityScore —
+   * ends at `qb` (doc_id, quality_bp). */
+  private val QualityCte =
+    """, f AS (SELECT n.doc_id,
+         CAST(len(string_split(t, ' ')) AS BIGINT) AS wc,
+         CAST(length(replace(t, ' ', '')) AS BIGINT) AS chars,
+         CAST(len(regexp_extract_all(t, '\b(the|a|of|and|to|in|is|that|it|for)\b')) AS BIGINT) AS stop,
+         CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS punct,
+         CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS dig,
+         CAST(greatest(length(text), 1) AS BIGINT) AS raw_len
+       FROM n JOIN documents USING (doc_id)),
+       qb AS (SELECT doc_id,
+         least(wc, 100) * 35
+         + least((chars * 3125) // (wc * 10), 2500)
+         + least((stop * 6000) // wc, 2000)
+         + (1000 - least((punct * 10000) // raw_len, 1000))
+         + (1000 - least((dig * 10000) // raw_len, 1000)) AS quality_bp
+       FROM f)"""
 
   /** First 16 md5 bits of the expression `x` as an integer, nibble-parsed
    * so it needs no hex-cast support (the simhashOracle discipline). */
@@ -1890,23 +1932,8 @@ object SparkEntry {
          FROM e ORDER BY doc_id""",
 
     // the three feature pipelines of t02/t07/t08 joined and thresholded
-    "t11_quality_gate" -> (NormCte +
-      """, f AS (SELECT n.doc_id,
-           CAST(len(string_split(t, ' ')) AS BIGINT) AS wc,
-           CAST(length(replace(t, ' ', '')) AS BIGINT) AS chars,
-           CAST(len(regexp_extract_all(t, '\b(the|a|of|and|to|in|is|that|it|for)\b')) AS BIGINT) AS stop,
-           CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS punct,
-           CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS dig,
-           CAST(greatest(length(text), 1) AS BIGINT) AS raw_len
-         FROM n JOIN documents USING (doc_id)),
-         qb AS (SELECT doc_id,
-           least(wc, 100) * 35
-           + least((chars * 3125) // (wc * 10), 2500)
-           + least((stop * 6000) // wc, 2000)
-           + (1000 - least((punct * 10000) // raw_len, 1000))
-           + (1000 - least((dig * 10000) // raw_len, 1000)) AS quality_bp
-         FROM f),
-         tk AS (SELECT doc_id, string_split(t, ' ') AS toks FROM n),
+    "t11_quality_gate" -> (NormCte + QualityCte +
+      """, tk AS (SELECT doc_id, string_split(t, ' ') AS toks FROM n),
          rr AS (SELECT doc_id, len(toks) AS nt,
                  list_transform(generate_series(1, len(toks) - 1),
                    i -> toks[i] || ' ' || toks[i + 1]) AS g2,
@@ -2089,7 +2116,40 @@ object SparkEntry {
                        ROW_NUMBER() OVER (PARTITION BY query_id
                          ORDER BY score DESC, neighbor_id ASC) AS rank FROM f)
          SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, score
-         FROM fr WHERE rank <= 10 ORDER BY query_id, rank""")
+         FROM fr WHERE rank <= 10 ORDER BY query_id, rank""",
+
+    // the Matryoshka funnel: truncated-dim ranking picks 50 candidates,
+    // the full-dim cosine re-ranks them — both stages on rounded scores
+    "s12_ann_truncated_rerank" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         tv AS (SELECT vec_id, e, list_slice(e, 1, 16) AS te FROM v),
+         q AS (SELECT vec_id AS query_id, e AS qe, te AS qte FROM tv
+               WHERE vec_id < 5),
+         s1 AS (SELECT query_id, c.vec_id AS neighbor_id, c.e AS ce, qe,
+                       round(list_cosine_similarity(c.te, qte), 6) AS tcos
+                FROM tv c, q WHERE c.vec_id <> query_id),
+         cand AS (SELECT query_id, neighbor_id, ce, qe,
+                         ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY tcos DESC, neighbor_id ASC) AS crank
+                  FROM s1),
+         s2 AS (SELECT query_id, neighbor_id,
+                       round(list_cosine_similarity(ce, qe), 4) AS cos
+                FROM cand WHERE crank <= 50),
+         r AS (SELECT query_id, neighbor_id, cos,
+                      ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY cos DESC, neighbor_id ASC) AS rank FROM s2)
+         SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cos
+         FROM r WHERE rank <= 10 ORDER BY query_id, rank""",
+
+    // the integer quality score as a per-doc keep probability, replayed
+    // through the same 16-bit md5 digest compare as the d10 sampler
+    "t13_weighted_sample" -> (NormCte + QualityCte +
+      """, w AS (SELECT doc_id, CAST(quality_bp AS DOUBLE) / 10000 AS w FROM qb)
+         SELECT doc_id, round(w, 4) AS w FROM w
+         WHERE substring(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 4) <
+               CASE WHEN w >= 1.0 THEN 'zzzz'
+                    ELSE printf('%04x', CAST(floor(w * 65536) AS BIGINT)) END
+         ORDER BY doc_id"""))
 
   // -------------------------------------------------------------- public
 

@@ -109,6 +109,28 @@ object Sampling {
     hashSampleBy(df, classCol, keyCol, rates, default = 0.0, seed)
   }
 
+  /**
+   * Quality/importance-WEIGHTED sample — the reweighting step of a
+   * curation pipeline (DSIR-style importance resampling, quality-score
+   * thinning): each row carries its OWN keep probability in `weightCol`
+   * (clamped to [0, 1]); a row keeps iff its content digest falls under
+   * floor(weight * 2^16) — the per-row generalization of
+   * [[hashSampleBy]]'s per-stratum thresholds, same 16-bit md5
+   * contract. weight >= 1 keeps always ("zzzz" sorts above every hex
+   * digest); weight <= 0 or null drops always. A pure narrow filter —
+   * one scan at any scale, deterministic across engines, partitionings,
+   * and retries; weights computed from features (quality score,
+   * familiarity, domain priors) compose upstream in the same scan.
+   */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+                     seed: Long = 42L): DataFrame = {
+    val w = col(weightCol).cast("double")
+    val thr = when(w >= 1.0, lit("zzzz"))
+      .otherwise(format_string("%04x",
+        floor(greatest(coalesce(w, lit(0.0)), lit(0.0)) * 65536).cast("long")))
+    df.filter(keyDigest(keyCol, seed) < thr)
+  }
+
   /** Empty relation with an explicit runtime schema (reference
    * src/apply_change_log_to_delta.py:268-269). */
   def emptyRelation(spark: SparkSession, schema: StructType): DataFrame =

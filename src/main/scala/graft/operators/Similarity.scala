@@ -72,6 +72,54 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vid").as("neighbor_id"), col("cos"))
   }
 
+  /**
+   * Two-stage truncated-dimension re-rank ANN — the Matryoshka/MRL
+   * funnel (Kusupati et al. 2022, "Matryoshka Representation
+   * Learning"): stage 1 ranks the whole corpus by cosine on the FIRST
+   * `dPrime` dimensions (a cheap filter: dPrime/dim of the flops, and
+   * with dimension-ordered columnar storage dPrime/dim of the bytes);
+   * stage 2 re-ranks only each query's top `mCand` survivors with the
+   * full-dimension cosine. Recall is bounded by stage 1's funnel — the
+   * documented trade; widen mCand to trade cost for recall. Both
+   * stages rank ROUNDED scores with id tie-breaks (the family seam),
+   * so an external oracle replays the funnel exactly. Zero-norm
+   * truncated prefixes are outside the cosine contract, like the rest
+   * of the family.
+   *
+   * Scale shape: stage 1 is the [[bruteForceTopK]] scan shape (queries
+   * broadcast, corpus scanned once) at truncated cost plus the one
+   * per-query rank window; stage 2 touches mCand rows per query.
+   */
+  def truncatedRerankTopK(corpus: DataFrame, queries: DataFrame,
+                          idCol: String, vecCol: String, k: Int,
+                          dPrime: Int, mCand: Int): DataFrame = {
+    require(dPrime >= 1, "dPrime must be >= 1")
+    require(mCand >= k, "mCand must be >= k — stage 2 cannot rank rows stage 1 dropped")
+    def truncated(df: DataFrame): DataFrame = df
+      .withColumn("tvec", slice(col("vec"), 1, dPrime))
+      .withColumn("tnrm", l2Norm(col("tvec")))
+    val c = truncated(prepared(corpus, idCol, vecCol))
+    val q = truncated(prepared(queries, idCol, vecCol))
+      .select(col("vid").as("query_id"), col("vec").as("qvec"),
+        col("nrm").as("qnrm"), col("tvec").as("qtvec"), col("tnrm").as("qtnrm"))
+    val cw = Window.partitionBy(col("query_id"))
+      .orderBy(col("tcos").desc, col("vid").asc)
+    val cand = c.join(broadcast(q), col("vid") =!= col("query_id"))
+      .withColumn("tcos",
+        round(dot(col("tvec"), col("qtvec")) / (col("tnrm") * col("qtnrm")), 6))
+      .withColumn("crank", row_number().over(cw))
+      .filter(col("crank") <= mCand)
+    val rw = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vid").asc)
+    cand
+      .withColumn("cos",
+        round(dot(col("vec"), col("qvec")) / (col("nrm") * col("qnrm")), 4))
+      .withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vid").as("neighbor_id"),
+        col("cos"))
+  }
+
   // --------------------------------------------------- hyperplane LSH
 
   /** Deterministic random hyperplanes (seeded) as a literal array column. */

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Sampling, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators on the driver's synthetic corpus. */
 class PipelineSpec extends AnyFunSuite with SparkFixture {
@@ -1265,6 +1265,74 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     val sd = Similarity.semanticDedup(emb, "vec_id", "embedding",
       threshold = 2.0, nCells = 16, centroids = Some(cent))
     assert(sd.count() == emb.count()) // sanity: threshold 2.0 drops nothing
+  }
+
+  test("truncatedRerankTopK: full-width candidates degenerate to exact search") {
+    import org.apache.spark.sql.expressions.Window
+    val q = emb.filter(col("vec_id") < 3)
+    val n = emb.count().toInt
+    val got = Similarity.truncatedRerankTopK(emb, q, "vec_id", "embedding",
+        k = 10, dPrime = 16, mCand = n)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    // with every corpus row a candidate, the funnel must equal exact
+    // search re-ranked on the same rounded score
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    val expect = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding",
+        k = Int.MaxValue)
+      .withColumn("cos", round(col("cos"), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select("query_id", "rank", "neighbor_id", "cos")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == expect)
+    // narrow funnel: k rows per query, neighbors drawn from the
+    // stage-1 truncated-cosine top-mCand only
+    val narrow = Similarity.truncatedRerankTopK(emb, q, "vec_id", "embedding",
+      k = 10, dPrime = 16, mCand = 20)
+    val perQ = narrow.groupBy("query_id").agg(count(lit(1)).as("n")).collect()
+    assert(perQ.forall(_.getLong(1) == 10L))
+    val stage1 = Similarity.bruteForceTopK(
+        emb.select(col("vec_id"), slice(col("embedding"), 1, 16).as("embedding")),
+        q.select(col("vec_id"), slice(col("embedding"), 1, 16).as("embedding")),
+        "vec_id", "embedding", k = Int.MaxValue)
+      .withColumn("tcos", round(col("cos"), 6))
+    val ws = Window.partitionBy(col("query_id"))
+      .orderBy(col("tcos").desc, col("neighbor_id").asc)
+    val candSet = stage1.withColumn("crank", row_number().over(ws))
+      .filter(col("crank") <= 20)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val narrowPairs = narrow.select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(narrowPairs.subsetOf(candSet))
+  }
+
+  test("weightedSample: per-row probability gates the md5 digest exactly") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, 1.0), (2L, 1.0),          // weight 1: always kept
+      (3L, 0.0), (4L, 0.0),          // weight 0: always dropped
+      (5L, 0.5), (6L, 0.5), (7L, 0.5), (8L, 0.5), (9L, 0.5), (10L, 0.5),
+      (11L, 0.5), (12L, 0.5), (13L, 0.5), (14L, 0.5))
+      .toDF("doc_id", "w")
+    val got = Sampling.weightedSample(d, "doc_id", "w")
+      .collect().map(_.getLong(0)).toSet
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def digest4(id: Long): String = {
+      md.reset()
+      md.digest(s"$id:42".getBytes("UTF-8")).take(2).map("%02x".format(_)).mkString
+    }
+    val expect = (Set(1L, 2L)
+      ++ (5L to 14L).filter(id => digest4(id) < "8000"))
+    assert(got == expect)
+    // null weight drops
+    val withNull = Sampling.weightedSample(
+      Seq((1L, Some(1.0)), (2L, Option.empty[Double])).toDF("doc_id", "w"),
+      "doc_id", "w")
+    assert(withNull.collect().map(_.getLong(0)).toSet == Set(1L))
   }
 
   test("rrfFuse matches a hand-computed reciprocal-rank ensemble") {
