@@ -1168,6 +1168,19 @@ object SparkEntry {
           nCells = 16, iters = 1)
         .orderBy("vec_id")),
 
+    // winnow-fingerprint near-dup pairs: MOSS matching at corpus scale —
+    // position-robust fingerprint sets, hot-fingerprint guard, exact
+    // Jaccard over the filtered fingerprint space
+    "d17_winnow_pairs" -> ((s, d) =>
+      Dedup.winnowPairs(t(s, d, "documents"), "doc_id", "text",
+          threshold = 0.5)
+        .orderBy("doc_a", "doc_b")),
+
+    // corpus vocabulary top-k: the tokenizer-training frequency pass —
+    // one tokenize explode + one aggregate + TakeOrdered
+    "t14_vocab_topk" -> ((s, d) =>
+      TextAnalysis.vocabTopK(t(s, d, "documents"), "text", k = 100)),
+
     // Matryoshka-style truncated-dim funnel: rank everything on the
     // first 16 dims (cheap), re-rank the top-50 survivors on all 64 —
     // the oracle replays both rounded-rank stages exactly
@@ -1311,7 +1324,11 @@ object SparkEntry {
   /** t05 oracle, generated: winnowing fingerprints recomputed in ANSI SQL
    * (first 8 md5 hex nibbles parsed positionally to the same 32-bit gram
    * hash, window minima over w=4, full windows only). */
-  private def winnowOracle: String = {
+  /** Shared t05/d17 winnow replay: per-position first-32-md5-bit k-gram
+   * hashes and the w-long window minima — ends at `wm` (doc_id, i,
+   * nmax, wmin); the distinct fingerprint set is
+   * `SELECT DISTINCT doc_id, wmin FROM wm WHERE i <= nmax - 3`. */
+  private val WinnowCte: String = {
     val h = (0 until 8).map { j =>
       val w = math.pow(16, 7 - j).toLong
       s"(instr('0123456789abcdef', substring(m, ${j + 1}, 1)) - 1) * ${w}"
@@ -1326,9 +1343,12 @@ object SparkEntry {
       wm AS (SELECT doc_id, i, nmax,
                     min(h) OVER (PARTITION BY doc_id ORDER BY i
                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin FROM hx)
-      SELECT DISTINCT doc_id, wmin AS fingerprint FROM wm
-      WHERE i <= nmax - 3 ORDER BY doc_id, fingerprint"""
+      """
   }
+
+  private def winnowOracle: String = WinnowCte +
+    """SELECT DISTINCT doc_id, wmin AS fingerprint FROM wm
+      WHERE i <= nmax - 3 ORDER BY doc_id, fingerprint"""
 
   /** sign-bit bucket of the first `planes` dims, as a DuckDB expression
    * over `e` (= embedding cast DOUBLE[]). */
@@ -2140,6 +2160,31 @@ object SparkEntry {
                         ORDER BY cos DESC, neighbor_id ASC) AS rank FROM s2)
          SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cos
          FROM r WHERE rank <= 10 ORDER BY query_id, rank""",
+
+    // the winnow fingerprint sets of t05, hot-guard filtered, paired on
+    // shared values — the bucket join's count IS the intersection
+    "d17_winnow_pairs" -> (WinnowCte +
+      """, fp AS (SELECT DISTINCT doc_id, wmin AS f FROM wm
+                  WHERE i <= nmax - 3),
+         occ AS (SELECT f FROM fp GROUP BY f HAVING count(*) <= 64),
+         kept AS (SELECT fp.doc_id, fp.f FROM fp JOIN occ USING (f)),
+         sz AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY 1),
+         agr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                 FROM kept a JOIN kept b ON a.f = b.f AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2)
+         SELECT doc_a, doc_b,
+                round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4)
+                  AS jaccard
+         FROM agr JOIN sz sa ON sa.doc_id = doc_a
+                  JOIN sz sb ON sb.doc_id = doc_b
+         WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
+         ORDER BY doc_a, doc_b"""),
+
+    // global token frequencies, deterministic tie-break on the token
+    "t14_vocab_topk" -> (NormCte +
+      """, tok AS (SELECT unnest(string_split(t, ' ')) AS token FROM n)
+         SELECT token, count(*) AS n FROM tok
+         GROUP BY token ORDER BY n DESC, token ASC LIMIT 100"""),
 
     // the integer quality score as a per-doc keep probability, replayed
     // through the same 16-bit md5 digest compare as the d10 sampler

@@ -759,6 +759,56 @@ object Dedup {
         x => x.getField("line"))).as(textCol))
   }
 
+  // ------------------------------------------------- winnow near-dup
+
+  /**
+   * Winnowing-fingerprint near-dup pairs — the MOSS matching step at
+   * corpus scale: documents collapse to their winnow fingerprint SETs
+   * ([[TextAnalysis.winnowFingerprintsFast]] — ~2·len/(w+1) hashes per
+   * doc, robust to reordering and local edits) and pairs with
+   * fingerprint-set Jaccard >= `threshold` emerge from an
+   * inverted-index join on the fingerprint VALUE. Catches rearranged /
+   * partially-overlapping documents that token-set Jaccard (d04)
+   * underweights and whole-document hashes (d01–d03) miss entirely;
+   * localizing WHERE the overlap sits is [[spanDedup]]'s job.
+   *
+   * Fingerprints with corpus occurrence above `maxOcc` (boilerplate
+   * k-grams — they would pair the whole corpus) are dropped from the
+   * WHOLE comparison space, sizes included: the Jaccard is exact over
+   * the filtered fingerprint space (sets, not bags — the shared-count
+   * of the bucket join IS the intersection, no re-verification pass),
+   * which both damps boilerplate like a df-weighting and keeps the
+   * oracle replay exact. `maxOcc = Long.MaxValue` recovers the pure
+   * winnow Jaccard.
+   *
+   * Scale shape: the fingerprint table is a fraction of corpus chars;
+   * every join is keyed on fingerprint values or doc ids — no
+   * all-pairs stage anywhere, the d04 discipline.
+   */
+  def winnowPairs(df: DataFrame, idCol: String, textCol: String,
+                  threshold: Double, k: Int = 8, w: Int = 4,
+                  maxOcc: Long = 64L): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
+    val fp = Materialize(
+      TextAnalysis.winnowFingerprintsFast(df, idCol, textCol, k, w))
+    val kept = fp.join(
+      fp.groupBy("fingerprint").agg(count(lit(1)).as("occ"))
+        .filter(col("occ") <= maxOcc).select("fingerprint"),
+      Seq("fingerprint"), "left_semi")
+    val sz = kept.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    kept.as("a")
+      .join(kept.as("b"), col("a.fingerprint") === col("b.fingerprint") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sz.select(col(idCol).as("doc_a"), col("sz").as("sa")), Seq("doc_a"))
+      .join(sz.select(col(idCol).as("doc_b"), col("sz").as("sb")), Seq("doc_b"))
+      .filter(col("inter") / (col("sa") + col("sb") - col("inter")) >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter") / (col("sa") + col("sb") - col("inter")), 4)
+          .as("jaccard"))
+  }
+
   // ------------------------------------------------ Bloom decontamination
 
   /**

@@ -491,6 +491,23 @@ object TextAnalysis {
         concat_ws(" ", slice(col("ts"), col("s"), winLen)).as("chunk"))
   }
 
+  /**
+   * Corpus vocabulary top-k — the frequency pass of tokenizer/vocab
+   * building: global token counts (one tokenize explode into one
+   * map-side-combined aggregate, the d01 shuffle shape at token grain)
+   * with the top `k` taken by count descending, token ascending (the
+   * deterministic tie-break). The top-k itself is a TakeOrdered over
+   * the already-aggregated vocab-sized table — no global sort of the
+   * corpus.
+   */
+  def vocabTopK(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    df.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(k)
+  }
+
   /** All features in one pass over the corpus. */
   def withTextFeatures(df: DataFrame, textCol: String): DataFrame = {
     val c = col(textCol)

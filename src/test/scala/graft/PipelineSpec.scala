@@ -1335,6 +1335,38 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(withNull.collect().map(_.getLong(0)).toSet == Set(1L))
   }
 
+  test("winnowPairs equals brute-force fingerprint-set jaccard (no hot guard)") {
+    val sample = docs.filter(col("doc_id") < 120)
+    val got = Dedup.winnowPairs(sample, "doc_id", "text", threshold = 0.4,
+        maxOcc = Long.MaxValue)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val sets = TextAnalysis.winnowFingerprintsFast(sample, "doc_id", "text", 8, 4)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rows) => id -> rows.map(_.getLong(1)).toSet }
+    val expect = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      inter = (sets(a) & sets(b)).size
+      j = inter.toDouble / (sets(a).size + sets(b).size - inter)
+      if j >= 0.4
+    } yield (a, b) -> math.round(j * 1e4) / 1e4).toMap
+    assert(got == expect)
+    assert(got.nonEmpty, "the fixture corpus has winnow near-dups")
+    // the hot guard only removes fingerprints, never invents pairs above
+    // the bar for DISJOINT docs: guarded pairs are computed on filtered
+    // sets, so just check the shape
+    val guarded = Dedup.winnowPairs(sample, "doc_id", "text", threshold = 0.4)
+    assert(guarded.columns.toSeq == Seq("doc_a", "doc_b", "jaccard"))
+  }
+
+  test("vocabTopK: counts and deterministic tie-break on a hand fixture") {
+    import spark.implicits._
+    val d = Seq("b a a", "c b A  ", "d").toDF("text")
+    val got = TextAnalysis.vocabTopK(d, "text", k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // a:3 (case-normalized), b:2, then c/d tie at 1 -> c wins by name
+    assert(got == Seq(("a", 3L), ("b", 2L), ("c", 1L)))
+  }
+
   test("rrfFuse matches a hand-computed reciprocal-rank ensemble") {
     import spark.implicits._
     val a = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
