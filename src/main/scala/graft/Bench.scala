@@ -104,7 +104,12 @@ object Bench {
       if (short.values.toSet.size == short.size) short else identity
     val qs = results.map { case (k, v, _) => s"\"${key(k)}\":${num(v)}" }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => s"\"${key(k)}\":\"${esc(e)}\"" }
-    val total = results.collect { case (_, v, None) => v }.sum
+    // a non-finite per-query value renders as "0"; it must also stay OUT
+    // of the headline sum — NaN is absorbing, so one bad metric would
+    // zero the one field the driver ranks on
+    val total = results.collect {
+      case (_, v, None) if java.lang.Double.isFinite(v) => v
+    }.sum
     val errJson = if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
     s"""{"metric":"total","value":${num(total)},"unit":"sec","runs":$runs,"agg":"min","queries":$qs$errJson,"sf":"$sfDir"}"""
   }

@@ -269,8 +269,13 @@ object PipelineMain {
       .head.getLong(0)
     val winTokens = windows.agg(sum("n_tokens")).head.getLong(0)
     val oversized = windows.filter(col("n_tokens") > 128).count()
+    // zero-padded string key: lexicographic order == (doc, chunk) order
+    // at ANY window count — an arithmetic doc*K+chunk key silently
+    // collides once a document exceeds K windows, and packShards'
+    // order-key contract requires uniqueness
     val packedW = PrefixScan.packShards(
-      windows.select((col("doc_id") * 100000 + col("chunk_id")).as("win_id"),
+      windows.select(
+        format_string("%019d:%010d", col("doc_id"), col("chunk_id")).as("win_id"),
         col("n_tokens")),
       "win_id", "n_tokens", budget = 4096L)
     val nShardsW = packedW.select("shard").distinct().count()

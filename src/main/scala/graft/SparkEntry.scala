@@ -1168,6 +1168,25 @@ object SparkEntry {
           nCells = 16, iters = 1)
         .orderBy("vec_id")),
 
+    // media near-dup by chunk-fingerprint set overlap: payloads built so
+    // each group of 5 docs shares an anchor body with a per-doc tail —
+    // shared 64-byte chunks pair them even though no two blobs are
+    // byte-identical (the sub-file dedup m02's whole-blob hash misses)
+    "m05_media_neardup" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val withAnchor = docs.select(col("doc_id"),
+          (col("doc_id") - col("doc_id") % 5).as("anchor_id"))
+        .join(docs.select(col("doc_id").as("anchor_id"), col("text").as("atext")),
+          Seq("anchor_id"))
+      val pay = Multimodal.syntheticPayload(col("anchor_id"),
+        concat(col("atext"), lit(" tail "), col("doc_id").cast("string")))
+      val chunks = Multimodal.chunkFingerprints(withAnchor, "doc_id", pay,
+          chunkSize = 64)
+        .select(col("doc_id"), col("chunk_fp")).distinct()
+      Dedup.fingerprintSetPairs(chunks, "doc_id", "chunk_fp", threshold = 0.5)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // winnow-fingerprint near-dup pairs: MOSS matching at corpus scale —
     // position-robust fingerprint sets, hot-fingerprint guard, exact
     // Jaccard over the filtered fingerprint space
@@ -2160,6 +2179,38 @@ object SparkEntry {
                         ORDER BY cos DESC, neighbor_id ASC) AS rank FROM s2)
          SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cos
          FROM r WHERE rank <= 10 ORDER BY query_id, rank""",
+
+    // anchor-shared payload chunks, distinct per doc, paired on shared
+    // chunk fingerprints — same set-Jaccard shape as d17
+    "m05_media_neardup" ->
+      """WITH a AS (SELECT doc_id, doc_id - doc_id % 5 AS anchor_id
+                    FROM documents),
+         pj AS (SELECT a.doc_id, a.anchor_id, d.text AS atext
+                FROM a JOIN documents d ON d.doc_id = a.anchor_id),
+         p AS (SELECT doc_id,
+                 (CASE CAST(anchor_id % 3 AS INTEGER) WHEN 0 THEN 'PNG|'
+                  WHEN 1 THEN 'JPG|' ELSE 'GIF|' END)
+                 || atext || ' tail ' || CAST(doc_id AS VARCHAR) AS pay
+               FROM pj),
+         c AS (SELECT doc_id, pay,
+                 unnest(generate_series(0, (length(pay)-1)//64)) AS chunk_idx
+               FROM p),
+         fp AS (SELECT DISTINCT doc_id,
+                  md5(substring(pay, CAST(chunk_idx*64+1 AS INTEGER), 64)) AS f
+                FROM c),
+         occ AS (SELECT f FROM fp GROUP BY f HAVING count(*) <= 64),
+         kept AS (SELECT fp.doc_id, fp.f FROM fp JOIN occ USING (f)),
+         sz AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY 1),
+         agr AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+                 FROM kept x JOIN kept y ON x.f = y.f AND x.doc_id < y.doc_id
+                 GROUP BY 1, 2)
+         SELECT doc_a, doc_b,
+                round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4)
+                  AS jaccard
+         FROM agr JOIN sz sa ON sa.doc_id = doc_a
+                  JOIN sz sb ON sb.doc_id = doc_b
+         WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
+         ORDER BY doc_a, doc_b""",
 
     // the winnow fingerprint sets of t05, hot-guard filtered, paired on
     // shared values — the bucket join's count IS the intersection

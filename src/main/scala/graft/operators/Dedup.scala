@@ -178,14 +178,27 @@ object Dedup {
    * skew; default off = exact).
    */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
-                   threshold: Double, maxDocFreq: Long = Long.MaxValue): DataFrame = {
+                   threshold: Double, maxDocFreq: Long = Long.MaxValue): DataFrame =
+    jaccardPairsImpl(df, idCol, textCol, n, threshold, maxDocFreq,
+      Materialize.apply)
+
+  /** [[jaccardPairs]] with the INNER cut constructor injected: the
+   * standalone operator's returned frame reads the doc-set cut directly,
+   * so it must be a plain [[Materialize]] cut (callers may re-read the
+   * result after deriving from it); [[dedupPipeline]] re-cuts the pair
+   * list immediately, so IT passes [[Materialize.internal]] and the
+   * doc-set/key cuts are freed automatically with the pair cut instead
+   * of leaking until releaseAll. */
+  private def jaccardPairsImpl(df: DataFrame, idCol: String, textCol: String,
+                               n: Int, threshold: Double, maxDocFreq: Long,
+                               cut: DataFrame => DataFrame): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
     // materialize the per-doc set table once: it feeds the within-pair
     // self-join, the distinct-set table, verification, and expansion —
     // without this every consumer re-reads and re-tokenizes the corpus.
     // (doc, ng, fp, sz) is tiny next to the corpus; Materialize picks
     // local vs reliable checkpoint per session (graft.materialize.reliable).
-    val ds = Materialize(docSets(df, idCol, textCol, n))
+    val ds = cut(docSets(df, idCol, textCol, n))
     val docFp = ds.select("doc", "fp")
     val within = identicalSetPairs(docFp)
     if (threshold >= 1.0) within
@@ -200,7 +213,7 @@ object Dedup {
       val radius = math.floor((1 - threshold) / threshold * smax).toLong
       val candidates =
         if (radius < 1) null // cross-set pairs are impossible below distance 1
-        else if (radius <= 1) deletionCandidates(sets)
+        else if (radius <= 1) deletionCandidates(sets, cut)
         else prefixCandidates(sets, threshold, maxDocFreq)
       if (candidates == null) within
       else {
@@ -234,12 +247,14 @@ object Dedup {
    * (64-bit, linear structure) can only ADD candidates, never lose one,
    * and every candidate is verified exactly afterwards.
    */
-  private def deletionCandidates(sets: DataFrame): DataFrame = {
+  private def deletionCandidates(sets: DataFrame,
+                                 cut: DataFrame => DataFrame): DataFrame = {
     val hset = aggregate(transform(col("ng"), g => xxhash64(g)), lit(0L),
       (acc, h) => acc.bitwiseXOR(h))
     // keys are reused by both join sides — materialize once (tiny: sz+1
-    // longs per distinct set)
-    val keys = Materialize(sets.select(col("fp"), col("ng"), hset.as("hs"))
+    // longs per distinct set); same injected constructor as the doc-set
+    // cut (internal under dedupPipeline, plain standalone)
+    val keys = cut(sets.select(col("fp"), col("ng"), hset.as("hs"))
       .select(col("fp"), explode(concat(array(col("hs")),
         transform(col("ng"), g => col("hs").bitwiseXOR(xxhash64(g))))).as("key")))
     keys.as("x")
@@ -477,7 +492,11 @@ object Dedup {
    */
   def dedupPipeline(df: DataFrame, idCol: String, textCol: String, n: Int,
                     threshold: Double, maxIters: Int = 20): DedupResult = {
-    val pairs = Materialize(jaccardPairs(df, idCol, textCol, n, threshold))
+    // the pair list is re-cut immediately, so the doc-set/key cuts
+    // INSIDE jaccardPairs are internal: owned by the pairs cut and freed
+    // with it, instead of leaking until a releaseAll sweep
+    val pairs = Materialize(jaccardPairsImpl(df, idCol, textCol, n, threshold,
+      Long.MaxValue, Materialize.internal))
     val labels = clusters(pairs, "doc_a", "doc_b", maxIters)
     val drop = labels.filter(col("doc") =!= col("cluster")).select(col("doc"))
     val keep = df.join(drop, df(idCol) === drop("doc"), "left_anti")
@@ -787,10 +806,25 @@ object Dedup {
    */
   def winnowPairs(df: DataFrame, idCol: String, textCol: String,
                   threshold: Double, k: Int = 8, w: Int = 4,
-                  maxOcc: Long = 64L): DataFrame = {
+                  maxOcc: Long = 64L): DataFrame =
+    fingerprintSetPairs(
+      TextAnalysis.winnowFingerprintsFast(df, idCol, textCol, k, w),
+      idCol, "fingerprint", threshold, maxOcc)
+
+  /**
+   * Near-dup pairs over ANY (id, fingerprint) SET table — the shared
+   * engine behind [[winnowPairs]] (text winnow sets) and media chunk
+   * near-dup ([[Multimodal.chunkFingerprints]] sets, m05): pairs with
+   * fingerprint-set Jaccard >= `threshold` from an inverted-index join
+   * on the fingerprint value, with the `maxOcc` hot-fingerprint guard
+   * applied to the whole comparison space (sizes included) — exact
+   * Jaccard over the filtered space, see [[winnowPairs]]. The input
+   * must be a SET (one row per (id, fingerprint)); dedupe upstream.
+   */
+  def fingerprintSetPairs(fp0: DataFrame, idCol: String, fpCol: String,
+                          threshold: Double, maxOcc: Long = 64L): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
-    val fp = Materialize(
-      TextAnalysis.winnowFingerprintsFast(df, idCol, textCol, k, w))
+    val fp = Materialize(fp0.select(col(idCol), col(fpCol).as("fingerprint")))
     val kept = fp.join(
       fp.groupBy("fingerprint").agg(count(lit(1)).as("occ"))
         .filter(col("occ") <= maxOcc).select("fingerprint"),

@@ -153,6 +153,24 @@ class MaterializeSpec extends AnyFunSuite with SparkFixture {
     assert((persisted -- before).isEmpty)
   }
 
+  test("dedupPipeline's inner doc-set/key cuts free with its own frames — no leak") {
+    Materialize.releaseAll()
+    val before = persisted
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") < 150)
+    val dd = Dedup.dedupPipeline(docs, "doc_id", "text", n = 1, threshold = 0.95)
+    assert(dd.pairs.count() > 0 && dd.keep.count() > 0 && dd.labels.count() > 0)
+    assert((persisted -- before).nonEmpty)
+    // releasing the pipeline's three visible frames must also free the
+    // INNER doc-set/key cuts jaccardPairs created under the pair cut —
+    // before internal-cut ownership they leaked until releaseAll
+    Materialize.release(dd.pairs)
+    Materialize.release(dd.labels)
+    Materialize.release(dd.keep)
+    assert((persisted -- before).isEmpty,
+      s"dedupPipeline leaked block sets: ${persisted -- before}")
+  }
+
   test("clusters() releases every per-round frame except the returned labels") {
     Materialize.releaseAll()
     val before = persisted

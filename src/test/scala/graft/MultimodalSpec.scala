@@ -70,6 +70,28 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(s.count() == chunks.filter(col("chunk_idx") % 4 === 0).count())
   }
 
+  test("chunk-set near-dup: shared-prefix blobs pair at the expected jaccard") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // three 256-byte blobs of 64-byte chunks: A and B share chunks 1-3
+    // (jaccard 3/5), C shares nothing
+    val block = "x" * 64
+    val tail1 = "1" * 64
+    val tail2 = "2" * 64
+    val a = block * 3 + tail1         // chunks {x,x,x,1} -> set {x, 1}
+    val b = block * 3 + tail2         // set {x, 2}
+    val c = "z" * 256                 // set {z}
+    val d = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "payload")
+    val chunks = Multimodal.chunkFingerprints(d, "doc_id",
+        col("payload").cast("binary"), chunkSize = 64)
+      .select(col("doc_id"), col("chunk_fp")).distinct()
+    val got = Dedup.fingerprintSetPairs(chunks, "doc_id", "chunk_fp",
+        threshold = 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // |{x,1} ∩ {x,2}| = 1, union = 3 -> jaccard 0.3333
+    assert(got == Map((1L, 2L) -> 0.3333))
+  }
+
   test("decodeMetaStub: deterministic, format/bytes agree with expressions") {
     val a = Multimodal.decodeMetaStub(withBin, "doc_id", "bin").collect()
       .sortBy(_.id)

@@ -922,8 +922,10 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
       .head.getLong(0)
     assert(windows.agg(sum("n_tokens")).head.getLong(0) == totTokens)
     assert(windows.filter(col("n_tokens") > 128).count() == 0)
+    // zero-padded key: collision-free at any window count (see PipelineMain)
     val packedW = PrefixScan.packShards(
-      windows.select((col("doc_id") * 100000 + col("chunk_id")).as("win_id"),
+      windows.select(
+        format_string("%019d:%010d", col("doc_id"), col("chunk_id")).as("win_id"),
         col("n_tokens")),
       "win_id", "n_tokens", budget = 4096L)
     assert(packedW.count() == windows.count())

@@ -89,4 +89,28 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(shuffles(p) == 1, s"only the orderBy may shuffle:\n$p")
     assert(!p.contains("Join"), "repetition ratios must not join anything")
   }
+
+  test("t12 chunking: narrow stepped-explode — one scan, sort only, no join") {
+    val p = plan("t12_chunk_tokens")
+    assert(scans(p) == 1, s"expected a single corpus scan:\n$p")
+    assert(shuffles(p) == 1, s"only the orderBy may shuffle:\n$p")
+    assert(!p.contains("Join"), "chunking must not join anything")
+  }
+
+  test("d16 bloom sweep: the corpus path carries NO join at all") {
+    val p = plan("d16_bloom_decontaminate")
+    // the whole point of the packed-bits broadcast literal: membership is
+    // a narrow expression, so the 100 TB side sees only its own
+    // spread/aggregate/sort exchanges — never a join of any kind
+    assert(!p.contains("Join"), s"bloom membership must not join:\n$p")
+    assert(scans(p) == 1, s"expected a single corpus scan:\n$p")
+  }
+
+  test("s10 kmeans labels: size join broadcasts, corpus never sort-merges") {
+    val p = plan("s10_kmeans_clusters")
+    assert(p.contains("BroadcastHashJoin"),
+      "the nCells-row size table must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "a shuffle join against a 16-row size table would reshuffle the corpus")
+  }
 }
