@@ -1168,6 +1168,16 @@ object SparkEntry {
           nCells = 16, iters = 1)
         .orderBy("vec_id")),
 
+    // cross-corpus span decontamination: >=8-token runs a corpus doc
+    // shares verbatim with any probe doc, merged per corpus doc — the
+    // localized form of d08/d16's document flags
+    "d18_cross_spans" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.crossSpans(docs, docs.filter(col("doc_id") % 50 === 0),
+          "doc_id", "text", minTokens = 8, maxOcc = 64)
+        .orderBy("doc_id", "span_start")
+    }),
+
     // media near-dup by chunk-fingerprint set overlap: payloads built so
     // each group of 5 docs shares an anchor body with a per-doc tail —
     // shared 64-byte chunks pair them even though no two blobs are
@@ -2179,6 +2189,44 @@ object SparkEntry {
                         ORDER BY cos DESC, neighbor_id ASC) AS rank FROM s2)
          SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cos
          FROM r WHERE rank <= 10 ORDER BY query_id, rank""",
+
+    // the d12 index construction, probe-restricted before the guard,
+    // corpus-vs-probe match, corpus-side merged spans
+    "d18_cross_spans" -> (NormCte +
+      """, tk AS (SELECT doc_id, string_split(t, ' ') AS ts FROM n),
+         base AS (SELECT doc_id, ts, len(ts) AS nt FROM tk WHERE len(ts) >= 8),
+         pos AS (SELECT doc_id, unnest(generate_series(1, nt - 7)) AS p, ts
+                 FROM base),
+         idx AS (SELECT doc_id, p, md5(array_to_string(ts[p:p+7], ' ')) AS g
+                 FROM pos),
+         pidx AS (SELECT doc_id, p, g FROM idx WHERE doc_id % 50 = 0),
+         cand AS (SELECT idx.* FROM idx
+                  JOIN (SELECT DISTINCT g FROM pidx) pg USING (g)),
+         fg AS (SELECT g FROM cand GROUP BY g HAVING count(*) <= 64),
+         ck AS (SELECT cand.* FROM cand JOIN fg USING (g)),
+         m AS (SELECT c.doc_id AS doc_c, c.p AS pc, q.doc_id AS doc_p, q.p AS pp
+               FROM ck c JOIN pidx q ON c.g = q.g AND c.doc_id <> q.doc_id),
+         r AS (SELECT doc_c, doc_p, pp - pc AS d, pc,
+                      pc - row_number() OVER (PARTITION BY doc_c, doc_p, pp - pc
+                                              ORDER BY pc) AS run
+               FROM m),
+         sp0 AS (SELECT doc_c AS doc_id, min(pc) AS s, max(pc) + 7 AS e
+                 FROM r GROUP BY doc_c, doc_p, d, run),
+         spans AS (SELECT DISTINCT doc_id, s, e FROM sp0),
+         mk AS (SELECT doc_id, s, e,
+                       max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+                FROM spans),
+         br AS (SELECT doc_id, s, e,
+                       CASE WHEN pmax IS NULL OR s > pmax + 1 THEN 1 ELSE 0 END AS brk
+                FROM mk),
+         grp AS (SELECT doc_id, s, e,
+                        sum(brk) OVER (PARTITION BY doc_id ORDER BY s, e
+                          ROWS UNBOUNDED PRECEDING) AS grp
+                 FROM br)
+         SELECT doc_id, CAST(min(s) AS BIGINT) AS span_start,
+                CAST(max(e) AS BIGINT) AS span_end
+         FROM grp GROUP BY doc_id, grp ORDER BY doc_id, span_start"""),
 
     // anchor-shared payload chunks, distinct per doc, paired on shared
     // chunk fingerprints — same set-Jaccard shape as d17

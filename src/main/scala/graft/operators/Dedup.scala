@@ -565,18 +565,42 @@ object Dedup {
     TextAnalysis.spreadAcrossCores(df)
       .select(col(idCol), split(normalizeText(col(textCol)), " ").as("ts"))
 
+  /** Positional shingle index over a (doc, ts) token table: one row per
+   * (doc, position) with the md5 of the minTokens-token shingle starting
+   * there — the shared index of [[spanDedup]] and [[crossSpans]]. */
+  private def posIndex(tokens: DataFrame, minTokens: Int): DataFrame =
+    tokens
+      .withColumn("n", size(col("ts")))
+      .filter(col("n") >= minTokens)
+      .select(col("doc"),
+        posexplode(transform(sequence(lit(1), col("n") - minTokens + 1),
+          p => md5(concat_ws(" ", slice(col("ts"), p, lit(minTokens))).cast("binary")))))
+      .select(col("doc"), (col("pos") + 1).as("p"), col("col").as("g"))
+
+  /** Merge overlapping-or-adjacent (doc_id, s, e) spans per doc
+   * (gaps-and-islands over a running max): [1,10]+[5,12] -> [1,12],
+   * [1,10]+[11,20] -> [1,20]. */
+  private def mergeSpans(spans: DataFrame): DataFrame = {
+    val wDoc = Window.partitionBy("doc_id").orderBy(col("s"), col("e"))
+    spans
+      .withColumn("pmax",
+        max(col("e")).over(wDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("brk",
+        when(col("pmax").isNull || col("s") > col("pmax") + 1, 1).otherwise(0))
+      .withColumn("grp",
+        sum(col("brk")).over(wDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "grp")
+      .agg(min(col("s")).cast("long").as("span_start"),
+        max(col("e")).cast("long").as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"))
+  }
+
   private def spansFromTokens(tokens: DataFrame, idCol: String,
                               minTokens: Int, maxOcc: Int): DataFrame = {
     require(minTokens >= 2,
       "minTokens < 2 is a shared-vocabulary report, not a span finder")
     require(maxOcc >= 2, "maxOcc < 2 would drop every shared shingle")
-    val toks = tokens.select(col(idCol).as("doc"), col("ts"))
-      .withColumn("n", size(col("ts")))
-      .filter(col("n") >= minTokens)
-    val occ = toks.select(col("doc"),
-        posexplode(transform(sequence(lit(1), col("n") - minTokens + 1),
-          p => md5(concat_ws(" ", slice(col("ts"), p, lit(minTokens))).cast("binary")))))
-      .select(col("doc"), (col("pos") + 1).as("p"), col("col").as("g"))
+    val occ = posIndex(tokens.select(col(idCol).as("doc"), col("ts")), minTokens)
     // hot-shingle guard as ONE window count over the shingle key (a
     // groupBy + join-back would shuffle the index twice for the same
     // answer), then one cut: the filtered index feeds both sides of the
@@ -601,20 +625,57 @@ object Dedup {
       .unionByName(runs.select(col("doc_b").as("doc_id"),
         (col("sa") + col("d")).as("s"), (col("ea") + col("d")).as("e")))
       .distinct()
-    // merge overlapping-or-adjacent spans per doc (gaps-and-islands over
-    // a running max): [1,10]+[5,12] -> [1,12], [1,10]+[11,20] -> [1,20]
-    val wDoc = Window.partitionBy("doc_id").orderBy(col("s"), col("e"))
-    spans
-      .withColumn("pmax",
-        max(col("e")).over(wDoc.rowsBetween(Window.unboundedPreceding, -1)))
-      .withColumn("brk",
-        when(col("pmax").isNull || col("s") > col("pmax") + 1, 1).otherwise(0))
-      .withColumn("grp",
-        sum(col("brk")).over(wDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy("doc_id", "grp")
-      .agg(min(col("s")).cast("long").as("span_start"),
-        max(col("e")).cast("long").as("span_end"))
-      .select(col("doc_id"), col("span_start"), col("span_end"))
+    mergeSpans(spans)
+  }
+
+  /**
+   * Cross-corpus SPAN decontamination — the Lee et al. span finder
+   * pointed at a probe/benchmark set: runs of >= `minTokens`
+   * consecutive tokens in a CORPUS document that appear verbatim in any
+   * PROBE document, emitted as merged (id, span_start, span_end) in the
+   * corpus document's normalized token coordinates — exactly the spans
+   * [[removeSpans]] consumes. Whole-document decontamination (d08/d16)
+   * FLAGS documents; this localizes the leaked benchmark text inside
+   * them, so curation can keep the document minus the contamination.
+   *
+   * Scale shape: the corpus indexes positionally once (the d12 shape),
+   * then immediately semi-joins against the BROADCAST probe vocabulary
+   * (benchmark-sized — the [[crossJaccardPairs]] discipline), so the
+   * hot-shingle window guard and the match join both run on the
+   * probe-restricted index, which is output-scale, not corpus-scale.
+   * `maxOcc` bounds corpus-side occurrences of a shingle exactly as in
+   * [[spanDedup]] (recall-only trade). A probe document also present in
+   * the corpus matches other documents but never itself.
+   */
+  def crossSpans(corpus: DataFrame, probes: DataFrame, idCol: String,
+                 textCol: String, minTokens: Int, maxOcc: Int = 64): DataFrame = {
+    require(minTokens >= 2,
+      "minTokens < 2 is a shared-vocabulary report, not a span finder")
+    require(maxOcc >= 2, "maxOcc < 2 would drop every shared shingle")
+    val cOcc = posIndex(
+      tokenTable(corpus, idCol, textCol).select(col(idCol).as("doc"), col("ts")),
+      minTokens)
+    // probe index is benchmark-sized: cut once — it feeds the vocabulary
+    // semi-join AND the match join
+    val pOcc = Materialize(posIndex(
+      tokenTable(probes, idCol, textCol).select(col(idCol).as("doc"), col("ts")),
+      minTokens))
+    val cCand = cOcc.join(broadcast(pOcc.select("g").distinct()), Seq("g"), "left_semi")
+    val cKept = cCand
+      .withColumn("occ_n", count(lit(1)).over(Window.partitionBy("g")))
+      .filter(col("occ_n") <= maxOcc).drop("occ_n")
+    val matches = cKept.select(col("g"), col("doc").as("doc_c"), col("p").as("pc"))
+      .join(pOcc.select(col("g"), col("doc").as("doc_p"), col("p").as("pp")), Seq("g"))
+      .filter(col("doc_c") =!= col("doc_p"))
+    val wRun = Window.partitionBy("doc_c", "doc_p", "d").orderBy("pc")
+    val spans = matches
+      .withColumn("d", col("pp") - col("pc"))
+      .withColumn("run", col("pc") - row_number().over(wRun))
+      .groupBy("doc_c", "doc_p", "d", "run")
+      .agg(min(col("pc")).as("s"), (max(col("pc")) + minTokens - 1).as("e"))
+      .select(col("doc_c").as("doc_id"), col("s"), col("e"))
+      .distinct()
+    mergeSpans(spans)
   }
 
   /**

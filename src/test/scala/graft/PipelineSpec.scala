@@ -1337,6 +1337,32 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(withNull.collect().map(_.getLong(0)).toSet == Set(1L))
   }
 
+  test("crossSpans localizes probe text inside corpus docs, merged per doc") {
+    import spark.implicits._
+    // probe 100: tokens p1..p6. Corpus doc 1 embeds p1..p4 at positions
+    // 3..6 and p3..p6 at positions 9..12 (overlapping occurrences merge
+    // via the probe's own overlap? no — separate matches, adjacent gap);
+    // doc 2 shares nothing; doc 3 embeds p2..p5 at 1..4.
+    val probe = Seq((100L, "p1 p2 p3 p4 p5 p6")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "a b p1 p2 p3 p4 c d p3 p4 p5 p6 e"),
+      (2L, "x y z w v u t s r q"),
+      (3L, "p2 p3 p4 p5 k l m n")).toDF("doc_id", "text")
+    val got = Dedup.crossSpans(corpus, probe, "doc_id", "text",
+        minTokens = 3, maxOcc = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // doc 1: match p1p2p3+p2p3p4 -> span 3..6; p3p4p5+p4p5p6 -> 9..12;
+    // gap (7..8) > adjacency -> two spans. doc 3: one span 1..4.
+    assert(got == Set((1L, 3L, 6L), (1L, 9L, 12L), (3L, 1L, 4L)))
+    // feeding removeSpans excises exactly the contaminated runs
+    val cleaned = Dedup.removeSpans(corpus, "doc_id", "text",
+        Dedup.crossSpans(corpus, probe, "doc_id", "text", minTokens = 3))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cleaned(1L) == "a b c d e")
+    assert(cleaned(3L) == "k l m n")
+    assert(cleaned(2L) == "x y z w v u t s r q")
+  }
+
   test("winnowPairs equals brute-force fingerprint-set jaccard (no hot guard)") {
     val sample = docs.filter(col("doc_id") < 120)
     val got = Dedup.winnowPairs(sample, "doc_id", "text", threshold = 0.4,
