@@ -270,9 +270,11 @@ object PipelineMain {
     val winTokens = windows.agg(sum("n_tokens")).head.getLong(0)
     val oversized = windows.filter(col("n_tokens") > 128).count()
     // zero-padded string key: lexicographic order == (doc, chunk) order
-    // at ANY window count — an arithmetic doc*K+chunk key silently
-    // collides once a document exceeds K windows, and packShards'
-    // order-key contract requires uniqueness
+    // while doc_id is non-negative and chunk_id fits 10 digits (~1.3T
+    // tokens per doc at stride 128 — far past any real corpus); an
+    // arithmetic doc*K+chunk key would silently collide once a document
+    // exceeds K windows, and packShards' order-key contract requires
+    // uniqueness
     val packedW = PrefixScan.packShards(
       windows.select(
         format_string("%019d:%010d", col("doc_id"), col("chunk_id")).as("win_id"),

@@ -2199,7 +2199,9 @@ object SparkEntry {
                  FROM base),
          idx AS (SELECT doc_id, p, md5(array_to_string(ts[p:p+7], ' ')) AS g
                  FROM pos),
-         pidx AS (SELECT doc_id, p, g FROM idx WHERE doc_id % 50 = 0),
+         pidx0 AS (SELECT doc_id, p, g FROM idx WHERE doc_id % 50 = 0),
+         pfg AS (SELECT g FROM pidx0 GROUP BY g HAVING count(*) <= 64),
+         pidx AS (SELECT pidx0.* FROM pidx0 JOIN pfg USING (g)),
          cand AS (SELECT idx.* FROM idx
                   JOIN (SELECT DISTINCT g FROM pidx) pg USING (g)),
          fg AS (SELECT g FROM cand GROUP BY g HAVING count(*) <= 64),

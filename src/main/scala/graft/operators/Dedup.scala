@@ -595,6 +595,23 @@ object Dedup {
       .select(col("doc_id"), col("span_start"), col("span_end"))
   }
 
+  /** Runs of consecutive `pa` at a fixed delta `d = pb - pa` per
+   * (doc_a, doc_b) pair — maximal shared spans via gaps-and-islands over
+   * row_number. Input: (doc_a, pa, doc_b, pb) shingle-match pairs;
+   * output: (doc_a, doc_b, d, run, sa, ea) with
+   * `ea = max(pa) + minTokens - 1`. (pa is unique within a
+   * (doc_a, doc_b, d) group — the shingle at a position is one hash, so
+   * a (pa, pb) match pair appears once.) Shared by [[spanDedup]] (both
+   * sides emitted) and [[crossSpans]] (corpus side only). */
+  private def spanRuns(matches: DataFrame, minTokens: Int): DataFrame = {
+    val wRun = Window.partitionBy("doc_a", "doc_b", "d").orderBy("pa")
+    matches
+      .withColumn("d", col("pb") - col("pa"))
+      .withColumn("run", col("pa") - row_number().over(wRun))
+      .groupBy("doc_a", "doc_b", "d", "run")
+      .agg(min(col("pa")).as("sa"), (max(col("pa")) + minTokens - 1).as("ea"))
+  }
+
   private def spansFromTokens(tokens: DataFrame, idCol: String,
                               minTokens: Int, maxOcc: Int): DataFrame = {
     require(minTokens >= 2,
@@ -611,15 +628,7 @@ object Dedup {
     val matches = kept.select(col("g"), col("doc").as("doc_a"), col("p").as("pa"))
       .join(kept.select(col("g"), col("doc").as("doc_b"), col("p").as("pb")), Seq("g"))
       .filter(col("doc_a") < col("doc_b"))
-    // runs of consecutive pa at a fixed delta = maximal shared spans.
-    // (pa is unique within a (doc_a, doc_b, d) group — the shingle at a
-    // position is one hash, so a (pa, pb) match pair appears once.)
-    val wRun = Window.partitionBy("doc_a", "doc_b", "d").orderBy("pa")
-    val runs = matches
-      .withColumn("d", col("pb") - col("pa"))
-      .withColumn("run", col("pa") - row_number().over(wRun))
-      .groupBy("doc_a", "doc_b", "d", "run")
-      .agg(min(col("pa")).as("sa"), (max(col("pa")) + minTokens - 1).as("ea"))
+    val runs = spanRuns(matches, minTokens)
     val spans = runs
       .select(col("doc_a").as("doc_id"), col("sa").as("s"), col("ea").as("e"))
       .unionByName(runs.select(col("doc_b").as("doc_id"),
@@ -643,9 +652,12 @@ object Dedup {
    * (benchmark-sized — the [[crossJaccardPairs]] discipline), so the
    * hot-shingle window guard and the match join both run on the
    * probe-restricted index, which is output-scale, not corpus-scale.
-   * `maxOcc` bounds corpus-side occurrences of a shingle exactly as in
-   * [[spanDedup]] (recall-only trade). A probe document also present in
-   * the corpus matches other documents but never itself.
+   * `maxOcc` bounds per-gram occurrences on BOTH sides — corpus-side
+   * exactly as in [[spanDedup]], and probe-side so a degenerate probe
+   * (one shingle repeated thousands of times) can't fan the match join
+   * out past maxOcc² rows per gram (recall-only trade). A probe
+   * document also present in the corpus matches other documents but
+   * never itself.
    */
   def crossSpans(corpus: DataFrame, probes: DataFrame, idCol: String,
                  textCol: String, minTokens: Int, maxOcc: Int = 64): DataFrame = {
@@ -655,25 +667,26 @@ object Dedup {
     val cOcc = posIndex(
       tokenTable(corpus, idCol, textCol).select(col(idCol).as("doc"), col("ts")),
       minTokens)
-    // probe index is benchmark-sized: cut once — it feeds the vocabulary
-    // semi-join AND the match join
+    // probe index is benchmark-sized: guard its hot shingles (in-probe
+    // occurrence count, before any corpus contact), then cut once — it
+    // feeds the vocabulary semi-join AND the match join. Dropping a
+    // gram from the vocabulary doesn't change other grams' corpus-side
+    // counts, so the two guards commute with the semi-join.
     val pOcc = Materialize(posIndex(
       tokenTable(probes, idCol, textCol).select(col(idCol).as("doc"), col("ts")),
-      minTokens))
+      minTokens)
+      .withColumn("occ_n", count(lit(1)).over(Window.partitionBy("g")))
+      .filter(col("occ_n") <= maxOcc).drop("occ_n"))
     val cCand = cOcc.join(broadcast(pOcc.select("g").distinct()), Seq("g"), "left_semi")
     val cKept = cCand
       .withColumn("occ_n", count(lit(1)).over(Window.partitionBy("g")))
       .filter(col("occ_n") <= maxOcc).drop("occ_n")
-    val matches = cKept.select(col("g"), col("doc").as("doc_c"), col("p").as("pc"))
-      .join(pOcc.select(col("g"), col("doc").as("doc_p"), col("p").as("pp")), Seq("g"))
-      .filter(col("doc_c") =!= col("doc_p"))
-    val wRun = Window.partitionBy("doc_c", "doc_p", "d").orderBy("pc")
-    val spans = matches
-      .withColumn("d", col("pp") - col("pc"))
-      .withColumn("run", col("pc") - row_number().over(wRun))
-      .groupBy("doc_c", "doc_p", "d", "run")
-      .agg(min(col("pc")).as("s"), (max(col("pc")) + minTokens - 1).as("e"))
-      .select(col("doc_c").as("doc_id"), col("s"), col("e"))
+    // corpus is side a (the span coordinates we keep), probe is side b
+    val matches = cKept.select(col("g"), col("doc").as("doc_a"), col("p").as("pa"))
+      .join(pOcc.select(col("g"), col("doc").as("doc_b"), col("p").as("pb")), Seq("g"))
+      .filter(col("doc_a") =!= col("doc_b"))
+    val spans = spanRuns(matches, minTokens)
+      .select(col("doc_a").as("doc_id"), col("sa").as("s"), col("ea").as("e"))
       .distinct()
     mergeSpans(spans)
   }

@@ -73,8 +73,9 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
   test("chunk-set near-dup: shared-prefix blobs pair at the expected jaccard") {
     import spark.implicits._
     import graft.operators.Dedup
-    // three 256-byte blobs of 64-byte chunks: A and B share chunks 1-3
-    // (jaccard 3/5), C shares nothing
+    // three 256-byte blobs of 64-byte chunks: A and B share chunks 1-3,
+    // but the grain is the DISTINCT fingerprint set, so
+    // jaccard = |{x} ∩ {x}| / |{x,1,2}| = 1/3; C shares nothing
     val block = "x" * 64
     val tail1 = "1" * 64
     val tail2 = "2" * 64
