@@ -1220,6 +1220,47 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // recall@10 of the sign-LSH channel against brute-force ground
+    // truth — the ANN evaluation harness; both channels are
+    // deterministic, so the oracle replays candidate generation,
+    // ranking, and the hit count end-to-end
+    "s13_ann_recall" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < 5)
+      Similarity.recallAtK(
+          Similarity.signTopK(emb, q, "vec_id", "embedding", k = 10, planes = 4),
+          Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 10),
+          k = 10)
+        .orderBy("query_id")
+    }),
+
+    // per-domain document cap (C4-style): hosts synthesized from doc_id
+    // as in q40, at most 30 docs per host kept by token count (doc_id
+    // tie-break) — the two-phase top-N result equals the oracle's plain
+    // per-host window
+    "q41_domain_cap" -> ((s, d) => {
+      val withHost = t(s, d, "documents").select(col("doc_id"),
+        element_at(array(lit("spam.tracker.example"), lit("ads.adnetwork.example"),
+          lit("en.wikipedia.org"), lit("github.com"), lit("docs.python.org")),
+          (col("doc_id") % 5 + 1).cast("int")).as("host"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      UrlFilter.capPerDomain(withHost, "host", "n_tokens", "doc_id",
+          maxPerHost = 30)
+        .orderBy("doc_id")
+    }),
+
+    // BM25 lexical retrieval: probe docs as queries over the corpus
+    // inverted index; per-term contributions fixed to integer micros
+    // before the per-doc sum, so the oracle replays scores exactly.
+    // maxDfFrac=1.0: the fixture vocabulary is ~31 words with df ~80%,
+    // so the default stopword cut would empty most queries
+    "t15_bm25_topk" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      TextAnalysis.bm25TopK(docs, docs.filter(col("doc_id") % 100 === 0),
+          "doc_id", "text", k = 10, maxDfFrac = 1.0)
+        .orderBy("query_id", "rank")
+    }),
+
     // quality-weighted (importance) sampling: each doc's keep
     // probability is its own quality score — the per-row md5 threshold
     // generalizes the stratified sampler; the oracle recomputes the
@@ -2189,6 +2230,83 @@ object SparkEntry {
                         ORDER BY cos DESC, neighbor_id ASC) AS rank FROM s2)
          SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cos
          FROM r WHERE rank <= 10 ORDER BY query_id, rank""",
+
+    // the s01 brute-force chain and the s02 sign-LSH chain side by side,
+    // hit-joined on (query_id, neighbor_id); absent queries keep 0
+    "s13_ann_recall" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         b AS (SELECT vec_id, e, ${signBucketSql(4)} AS bucket FROM v),
+         q AS (SELECT vec_id AS query_id, e AS qe, bucket AS qb FROM b
+               WHERE vec_id < 5),
+         es AS (SELECT query_id, c.vec_id AS neighbor_id,
+                       list_cosine_similarity(c.e, qe) AS cos
+                FROM v c, q WHERE c.vec_id <> query_id),
+         er AS (SELECT query_id, neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY cos DESC, neighbor_id ASC) AS rank FROM es),
+         ek AS (SELECT query_id, neighbor_id FROM er WHERE rank <= 10),
+         ls AS (SELECT query_id, c.vec_id AS neighbor_id,
+                       list_cosine_similarity(c.e, qe) AS cos
+                FROM b c, q
+                WHERE c.vec_id <> query_id
+                  AND CAST(bit_count(xor(c.bucket, qb)) AS INTEGER) <= 1),
+         lr AS (SELECT query_id, neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY cos DESC, neighbor_id ASC) AS rank FROM ls),
+         lk AS (SELECT query_id, neighbor_id FROM lr WHERE rank <= 10),
+         h AS (SELECT query_id, count(*) AS n_hit
+               FROM ek JOIN lk USING (query_id, neighbor_id) GROUP BY 1)
+         SELECT qq.query_id, coalesce(n_hit, 0) AS n_hit,
+                round(coalesce(n_hit, 0) / 10.0, 4) AS recall
+         FROM (SELECT DISTINCT query_id FROM q) qq LEFT JOIN h USING (query_id)
+         ORDER BY query_id""",
+
+    // same host synthesis as q40; the cap is a plain per-host window
+    // over (token count desc, doc_id asc)
+    "q41_domain_cap" -> (NormCte +
+      """, c AS (SELECT doc_id,
+           CASE doc_id % 5 WHEN 0 THEN 'spam.tracker.example'
+                WHEN 1 THEN 'ads.adnetwork.example'
+                WHEN 2 THEN 'en.wikipedia.org' WHEN 3 THEN 'github.com'
+                ELSE 'docs.python.org' END AS host,
+           len(string_split(t, ' ')) AS n_tokens FROM n),
+         r AS (SELECT doc_id, host, n_tokens,
+                      row_number() OVER (PARTITION BY host
+                        ORDER BY n_tokens DESC, doc_id ASC) AS rn FROM c)
+         SELECT doc_id, host, n_tokens FROM r WHERE rn <= 30
+         ORDER BY doc_id"""),
+
+    // the corpus inverted index (tf/df/dl), Lucene-idf BM25 with each
+    // term contribution fixed to integer micros before the per-doc sum —
+    // expression text mirrors the Spark side so the doubles agree
+    "t15_bm25_topk" -> (NormCte +
+      """, tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS term FROM n),
+         tf AS (SELECT doc_id AS doc, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         dl AS (SELECT doc, sum(tf) AS dl FROM tf GROUP BY 1),
+         stats AS (SELECT count(*) AS nd,
+                          CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+         dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         qt AS (SELECT DISTINCT doc_id AS query_id, term FROM tok
+                WHERE doc_id % 100 = 0),
+         m AS (SELECT qt.query_id, tf.doc, tf.tf, dfreq.df, dl.dl,
+                      stats.nd, stats.avgdl
+               FROM tf JOIN qt USING (term)
+                       JOIN dfreq USING (term)
+                       JOIN dl USING (doc), stats
+               WHERE tf.doc <> qt.query_id AND dfreq.df <= stats.nd * 1.0),
+         c AS (SELECT query_id, doc,
+                      CAST(floor(ln(1.0 + (nd - df + 0.5) / (df + 0.5)) *
+                        ((tf * (1.2 + 1.0)) /
+                         (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))) *
+                        1000000.0 + 0.5) AS BIGINT) AS mic
+               FROM m),
+         sc AS (SELECT query_id, doc, sum(mic) AS score_micro
+                FROM c GROUP BY 1, 2),
+         r AS (SELECT query_id, doc, score_micro,
+                      row_number() OVER (PARTITION BY query_id
+                        ORDER BY score_micro DESC, doc ASC) AS rank FROM sc)
+         SELECT query_id, rank, doc AS doc_id, CAST(score_micro AS BIGINT) AS score_micro
+         FROM r WHERE rank <= 10 ORDER BY query_id, rank"""),
 
     // the d12 index construction, probe-restricted before the guard,
     // corpus-vs-probe match, corpus-side merged spans

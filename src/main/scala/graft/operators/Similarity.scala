@@ -485,6 +485,37 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("score"))
   }
 
+  /**
+   * Recall@k of an approximate ANN result against exact ground truth —
+   * the evaluation harness every ANN deployment runs before trusting an
+   * index: per query, the fraction of the exact top-k the approximate
+   * channel recovered. Both inputs use the (query_id, rank, neighbor_id)
+   * shape every top-k operator here emits ([[bruteForceTopK]],
+   * [[signTopK]], [[lshTopK]], [[ivfTopK]], [[pqAdcTopK]], ...); rows
+   * past rank k on either side are ignored, so a k' > k result can be
+   * evaluated at k directly. Queries with zero hits appear with
+   * recall 0 (a silent inner-join would hide exactly the queries an
+   * index is failing).
+   *
+   * Scale shape: both inputs are top-k tables — output-scale, not
+   * corpus-scale — so the hit join and per-query count are trivially
+   * small; the expensive part (the exact channel) is [[bruteForceTopK]]
+   * itself, typically run once on a sampled query set. The recall
+   * division is the only float and is rounded, so any engine replays it.
+   */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    def topK(df: DataFrame) = df.filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = topK(exact).join(topK(approx),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+    exact.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .withColumn("recall", round(col("n_hit") / lit(k.toDouble), 4))
+  }
+
   /** Order-independent mean of grouped `x`: per-component long micros sum
    * exactly in any order, and floor(sum/n + 0.5) is the same IEEE double
    * in every engine — the one aggregate both Lloyd's trainers use, so

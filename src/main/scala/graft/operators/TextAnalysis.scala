@@ -224,6 +224,71 @@ object TextAnalysis {
   }
 
   /**
+   * BM25 lexical retrieval — Okapi BM25 (Robertson et al.), the ranking
+   * function behind Lucene/Elasticsearch and the lexical channel of
+   * every retrieval-augmented pipeline: score(q, d) = Σ_{t ∈ q} idf(t) ·
+   * tf·(k1+1) / (tf + k1·(1 − b + b·|d|/avgdl)) with the Lucene idf
+   * ln(1 + (N − df + ½)/(df + ½)) (always positive). Queries are rows of
+   * a (id, text) frame — their DISTINCT tokens are the query terms; a
+   * corpus document never matches itself (shared-id convention of the
+   * ANN operators). Output: (query_id, rank, doc_id, score_micro) top-k
+   * per query.
+   *
+   * Float discipline: each term's contribution is computed once as a
+   * double and immediately fixed to integer MICROS (floor(x·1e6 + 0.5));
+   * the per-(query, doc) sum is then exact integer arithmetic — immune
+   * to addition order, so any engine replays the ranking bit-for-bit
+   * (the [[Similarity]] trainers' micro discipline applied to scoring).
+   *
+   * Scale shape: tf/df/|d| are map-side-combinable aggregates — the
+   * one-time inverted-index build a production system would persist and
+   * reuse. The query side is benchmark-sized, so the postings join
+   * BROADCASTs the query-term table and only postings of query terms
+   * flow onward. `maxDfFrac` drops query terms with df > maxDfFrac·N
+   * (stopword postings are corpus-sized and contribute near-zero idf —
+   * the static WAND/stopping trade, a recall-only cut like maxOcc).
+   */
+  def bm25TopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+               textCol: String, k: Int, k1: Double = 1.2, b: Double = 0.75,
+               maxDfFrac: Double = 0.5): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(k1 > 0 && b >= 0 && b <= 1, "k1 > 0 and 0 <= b <= 1 required")
+    require(maxDfFrac > 0, "maxDfFrac <= 0 would drop every query term")
+    val tok = corpus.select(col(idCol).as("doc"),
+      explode(tokens(col(textCol))).as("term"))
+    val tf = Materialize(tok.groupBy("doc", "term").agg(count(lit(1)).as("tf")))
+    val dl = tf.groupBy("doc").agg(sum("tf").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("nd"),
+      (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val qt = queries.select(col(idCol).as("query_id"),
+      explode(tokens(col(textCol))).as("term")).distinct()
+    val m = tf.join(broadcast(qt), Seq("term"))
+      .filter(col("doc") =!= col("query_id"))
+      .join(dfreq, Seq("term"))
+      .join(dl, Seq("doc"))
+      .crossJoin(broadcast(stats))
+      .filter(col("df") <= col("nd") * lit(maxDfFrac))
+    // one double per (query, doc, term), fixed to micros before the sum;
+    // expression structure mirrors the SQL oracle text exactly
+    val idf = log(lit(1.0) + (col("nd") - col("df") + lit(0.5)) /
+      (col("df") + lit(0.5)))
+    val tfPart = (col("tf") * (lit(k1) + lit(1.0))) /
+      (col("tf") + lit(k1) *
+        (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score_micro").desc, col("doc").asc)
+    m.select(col("query_id"), col("doc"),
+        floor(idf * tfPart * lit(1000000.0) + lit(0.5)).cast("long").as("mic"))
+      .groupBy("query_id", "doc").agg(sum("mic").as("score_micro"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc").as("doc_id"),
+        col("score_micro"))
+  }
+
+  /**
    * Trigram-familiarity quality score — a perplexity-style corpus filter
    * with no trained model and no floating-point hazard: score(doc) =
    * mean corpus DOCUMENT FREQUENCY of the doc's distinct char trigrams.

@@ -1411,4 +1411,72 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
       (2, 10L, rnd(s(1) + s(3))),
       (3, 13L, rnd(s(2)))))
   }
+
+  test("capPerDomain keeps the exact per-host top-N, invariant to partitioning") {
+    import graft.operators.UrlFilter
+    import spark.implicits._
+    val rows = (1L to 20L).map(i =>
+        (i, if (i <= 12) "big.example" else "small.example", (i % 7).toInt))
+      .toDF("doc_id", "host", "score")
+    // big.example scores i%7 for i=1..12: top-3 by (score desc, id asc)
+    // = 6 (score 6), then the score-5 tie broken by id: 5, 12.
+    // small.example i=13..20: score-6 tie 13, 20, then 19 (score 5).
+    val want = Set(5L, 6L, 12L, 13L, 19L, 20L)
+    val got = UrlFilter.capPerDomain(rows, "host", "score", "doc_id", maxPerHost = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == want)
+    // the two-phase prune is partitioning-invariant: any input layout
+    // yields the same keep set as the single-window definition
+    val skewed = UrlFilter.capPerDomain(rows.repartition(7), "host",
+        "score", "doc_id", maxPerHost = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(skewed == want)
+    // cap above the host size keeps everything
+    assert(UrlFilter.capPerDomain(rows, "host", "score", "doc_id",
+      maxPerHost = 99).count() == 20)
+  }
+
+  test("recallAtK counts hits per query, keeps zero-hit queries, caps at k") {
+    import spark.implicits._
+    val exact = Seq(
+      (1L, 1, 10L), (1L, 2, 11L), (1L, 3, 12L),
+      (2L, 1, 20L), (2L, 2, 21L), (2L, 3, 22L))
+      .toDF("query_id", "rank", "neighbor_id")
+    val approx = Seq(
+      (1L, 1, 11L), (1L, 2, 99L), (1L, 3, 10L), (1L, 4, 12L), // rank 4 > k
+      (2L, 1, 98L), (2L, 2, 97L), (2L, 3, 96L))
+      .toDF("query_id", "rank", "neighbor_id")
+    val got = Similarity.recallAtK(approx, exact, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // q1: exact {10,11,12} vs approx top-3 {11,99,10} -> 2 hits; the
+    // rank-4 hit (12) must NOT count. q2: zero hits, still present.
+    assert(got == Set((1L, 2L, 0.6667), (2L, 0L, 0.0)))
+  }
+
+  test("bm25TopK: rare-term match outranks common-term match, self excluded") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "cherry apple zebra"), // the query doc
+      (1L, "apple date fig"),     // shares the COMMON term (df 3)
+      (2L, "cherry date fig"),    // shares the RARE term (df 2)
+      (3L, "apple kiwi lime"),    // common term again (id tie-break test)
+      (4L, "kiwi lime mango"))    // shares nothing
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bm25TopK(corpus, corpus.filter(col("doc_id") === 0),
+        "doc_id", "text", k = 10, maxDfFrac = 1.0)
+      .orderBy("rank")
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3)))
+    // every dl = 3 = avgdl, tf = 1, so each term contributes exactly
+    // idf(term): idf(cherry, df=2) = ln(2.4) > idf(apple, df=3) =
+    // ln(12/7). Doc 2 (rare) ranks first; docs 1 and 3 tie on the
+    // common term and break by id; doc 4 and the query itself absent.
+    assert(got.map(_._2).toSeq == Seq(2L, 1L, 3L))
+    assert(got(0)._3 > got(1)._3 && got(1)._3 == got(2)._3)
+    // the stopword cut: maxDfFrac 0.5 (df <= 2.5) drops the df-3 term,
+    // leaving only the rare-term match
+    val cut = TextAnalysis.bm25TopK(corpus, corpus.filter(col("doc_id") === 0),
+        "doc_id", "text", k = 10, maxDfFrac = 0.5)
+      .collect().map(_.getLong(2)).toSeq
+    assert(cut == Seq(2L))
+  }
 }
