@@ -84,31 +84,26 @@ object UrlFilter {
    * score, token count, …), ties broken by ascending `tieCol` so the
    * ordering is total and the keep set deterministic.
    *
-   * Scale shape: crawl hosts are Zipf-distributed — a single window over
-   * `host` would put a hot host's billions of rows on one reducer. So
-   * the cap runs in two phases: a pre-prune windowed on
-   * (spark_partition_id, host) — the partition id splits hot hosts
-   * across reducers, so that exchange is balanced — keeps at most
-   * `maxPerHost` rows per (input partition, host); the global window
-   * then sees at most maxPerHost × numPartitions rows per host, bounded
-   * regardless of corpus size. The two-phase result is exactly the
-   * single-window result (any row in the global top-N is in its
-   * partition's local top-N); partition ids only affect pruning, never
-   * the output, so retries and repartitionings agree.
+   * Scale shape: crawl hosts are Zipf-distributed — the naive worry is
+   * a hot host's billions of rows landing on one window reducer. The
+   * declarative row_number-then-filter shape hands that problem to
+   * Catalyst's rank-limit pushdown (SPARK-37099): the optimizer inserts
+   * a PARTIAL WindowGroupLimit below the host exchange, so every map
+   * task forwards at most `maxPerHost` rows per host and the hot-host
+   * reducer sees at most maxPerHost × mapTasks rows — the classic
+   * two-phase top-N, for free, with a single shuffle (a hand-rolled
+   * (partition_id, host) pre-prune would compute the same bound through
+   * one extra exchange). The plan fact is pinned in PlanShapeSpec.
+   * Ties break on `tieCol` ascending, so the ordering is total and the
+   * keep set deterministic under any partitioning.
    */
   def capPerDomain(df: DataFrame, hostCol: String, orderCol: String,
                    tieCol: String, maxPerHost: Int): DataFrame = {
     require(maxPerHost >= 1, "maxPerHost < 1 would drop every host entirely")
     import org.apache.spark.sql.expressions.Window
-    val ord = Seq(col(orderCol).desc, col(tieCol).asc)
-    val local = df
-      .withColumn("__pid", spark_partition_id())
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("__pid"), col(hostCol)).orderBy(ord: _*)))
-      .filter(col("__rn") <= maxPerHost).drop("__pid", "__rn")
-    local
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col(hostCol)).orderBy(ord: _*)))
+    val w = Window.partitionBy(col(hostCol))
+      .orderBy(col(orderCol).desc, col(tieCol).asc)
+    df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= maxPerHost).drop("__rn")
   }
 }

@@ -1425,8 +1425,8 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     val got = UrlFilter.capPerDomain(rows, "host", "score", "doc_id", maxPerHost = 3)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(got == want)
-    // the two-phase prune is partitioning-invariant: any input layout
-    // yields the same keep set as the single-window definition
+    // the keep set is partitioning-invariant: the map-side rank-limit
+    // prune only bounds reducer input, never changes the result
     val skewed = UrlFilter.capPerDomain(rows.repartition(7), "host",
         "score", "doc_id", maxPerHost = 3)
       .select("doc_id").collect().map(_.getLong(0)).toSet

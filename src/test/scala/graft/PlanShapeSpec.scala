@@ -113,4 +113,26 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("SortMergeJoin"),
       "a shuffle join against a 16-row size table would reshuffle the corpus")
   }
+
+  test("t15 bm25: the query-term table broadcasts into the postings join") {
+    val p = plan("t15_bm25_topk")
+    // the postings restriction is the scale lever: the corpus-sized tf
+    // table must meet the benchmark-sized query terms via broadcast,
+    // never by reshuffling the postings on term
+    assert(p.contains("BroadcastHashJoin"),
+      s"query terms must broadcast into tf:\n$p")
+  }
+
+  test("q41 domain cap: rank limit pushed below the host exchange") {
+    val p = plan("q41_domain_cap")
+    // the Zipf-host defense is Catalyst's, and this pins it: a PARTIAL
+    // WindowGroupLimit before the host shuffle caps what each map task
+    // forwards per host, so a hot host's reducer input is bounded by
+    // cap x mapTasks no matter the corpus size
+    assert(p.linesIterator.exists(l =>
+        l.contains("WindowGroupLimit") && l.contains("Partial")),
+      s"expected a map-side Partial WindowGroupLimit:\n$p")
+    assert(shuffles(p) == 2,
+      s"expected one host exchange plus the output sort, got:\n$p")
+  }
 }
