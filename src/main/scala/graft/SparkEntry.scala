@@ -2305,7 +2305,8 @@ object SparkEntry {
          r AS (SELECT query_id, doc, score_micro,
                       row_number() OVER (PARTITION BY query_id
                         ORDER BY score_micro DESC, doc ASC) AS rank FROM sc)
-         SELECT query_id, rank, doc AS doc_id, CAST(score_micro AS BIGINT) AS score_micro
+         SELECT query_id, CAST(rank AS INTEGER) AS rank, doc AS doc_id,
+                CAST(score_micro AS BIGINT) AS score_micro
          FROM r WHERE rank <= 10 ORDER BY query_id, rank"""),
 
     // the d12 index construction, probe-restricted before the guard,

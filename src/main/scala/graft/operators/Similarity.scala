@@ -500,19 +500,21 @@ object Similarity {
    * Scale shape: both inputs are top-k tables — output-scale, not
    * corpus-scale — so the hit join and per-query count are trivially
    * small; the expensive part (the exact channel) is [[bruteForceTopK]]
-   * itself, typically run once on a sampled query set. The recall
-   * division is the only float and is rounded, so any engine replays it.
+   * itself, typically run once on a sampled query set — and it is
+   * consumed exactly ONCE: a left join marks hits and the per-query
+   * count ignores the null marks, so the query universe (every query
+   * has a rank-1 ground-truth row) survives without a second pass over
+   * the exact plan. The recall division is the only float and is
+   * rounded, so any engine replays it.
    */
   def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")
     def topK(df: DataFrame) = df.filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"))
-    val hits = topK(exact).join(topK(approx),
-        Seq("query_id", "neighbor_id"), "left_semi")
-      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
-    exact.select("query_id").distinct()
-      .join(hits, Seq("query_id"), "left")
-      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+    topK(exact)
+      .join(topK(approx).withColumn("__hit", lit(1)),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id").agg(count(col("__hit")).as("n_hit"))
       .withColumn("recall", round(col("n_hit") / lit(k.toDouble), 4))
   }
 

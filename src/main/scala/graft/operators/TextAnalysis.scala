@@ -256,7 +256,11 @@ object TextAnalysis {
     require(maxDfFrac > 0, "maxDfFrac <= 0 would drop every query term")
     val tok = corpus.select(col(idCol).as("doc"),
       explode(tokens(col(textCol))).as("term"))
-    val tf = Materialize(tok.groupBy("doc", "term").agg(count(lit(1)).as("tf")))
+    // eager: the stats consumer arrives through a broadcast exchange,
+    // which AQE builds concurrently with the postings path — a lazy cut
+    // would be recomputed once per racing consumer
+    val tf = Materialize.eager(
+      tok.groupBy("doc", "term").agg(count(lit(1)).as("tf")))
     val dl = tf.groupBy("doc").agg(sum("tf").as("dl"))
     val stats = dl.agg(count(lit(1)).as("nd"),
       (sum("dl").cast("double") / count(lit(1))).as("avgdl"))

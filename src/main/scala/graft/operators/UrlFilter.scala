@@ -94,8 +94,6 @@ object UrlFilter {
    * two-phase top-N, for free, with a single shuffle (a hand-rolled
    * (partition_id, host) pre-prune would compute the same bound through
    * one extra exchange). The plan fact is pinned in PlanShapeSpec.
-   * Ties break on `tieCol` ascending, so the ordering is total and the
-   * keep set deterministic under any partitioning.
    */
   def capPerDomain(df: DataFrame, hostCol: String, orderCol: String,
                    tieCol: String, maxPerHost: Int): DataFrame = {

@@ -118,9 +118,15 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     val p = plan("t15_bm25_topk")
     // the postings restriction is the scale lever: the corpus-sized tf
     // table must meet the benchmark-sized query terms via broadcast,
-    // never by reshuffling the postings on term
+    // never by reshuffling the postings on term. Asserting "some
+    // BroadcastHashJoin exists" would be satisfied by an AQE-broadcast
+    // dfreq/dl join, so pin the absence of any term-keyed shuffle join
+    // (the dl join on doc is allowed to sort-merge)
     assert(p.contains("BroadcastHashJoin"),
       s"query terms must broadcast into tf:\n$p")
+    assert(!p.linesIterator.exists(l =>
+        l.contains("SortMergeJoin") && l.contains("term")),
+      s"postings must never meet query terms via a term shuffle join:\n$p")
   }
 
   test("q41 domain cap: rank limit pushed below the host exchange") {
