@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 
 import graft.catalog.{InMemoryCatalog, MergeSnapshotStore, TableMeta}
 import graft.ingest.GgLogsToParquet
-import graft.operators.{ChangeLogApplier, CuratedApplier, Dedup, DomainRunner, Materialize, PrefixScan, QueryRunner, Sampling, Similarity, TextAnalysis}
+import graft.operators.{ChangeLogApplier, CuratedApplier, Dedup, DomainRunner, Materialize, PrefixScan, QueryRunner, Sampling, Similarity, TextAnalysis, UrlFilter}
 
 /**
  * One-command end-to-end run of the five reference stages on the
@@ -20,7 +20,7 @@ import graft.operators.{ChangeLogApplier, CuratedApplier, Dedup, DomainRunner, M
  *   4. apply_to_domains     definition CSV SQL -> domain snapshot
  *   5. glue_query           ad-hoc projection + predicate (demo_querys:3)
  *
- * plus six training-data stages beyond the reference's surface:
+ * plus seven training-data stages beyond the reference's surface:
  *
  *   6. fused dedup pipeline    pairs -> clusters -> keep from ONE pair
  *                              graph, kept corpus landed as a table
@@ -36,6 +36,9 @@ import graft.operators.{ChangeLogApplier, CuratedApplier, Dedup, DomainRunner, M
  *  11. window chunking         fixed-token training windows cut from
  *                              the rebalanced corpus, token-conserving,
  *                              packed into shards (t12 + q39 compose)
+ *  12. per-domain cap          C4-style host attribution + at most N
+ *                              docs per host, longest kept (the q41
+ *                              operator)
  *
  *   sbt "runMain graft.PipelineMain [workDir]"
  *
@@ -285,6 +288,36 @@ object PipelineMain {
         s"$winTokens tokens conserved, $nShardsW window shards") {
       nWindows >= nMixed && winTokens == totTokens && oversized == 0 &&
         nShardsW > 0 && packedW.count() == nWindows
+    }
+
+    // 12. per-domain cap (the q41 operator): crawl-style host
+    // attribution, then at most `cap` docs per host, longest kept —
+    // the keep count per host must be exactly min(cap, host size) and
+    // every kept doc must be at least as long as every dropped one
+    val hosts = mixed.select(col("doc_id"),
+      element_at(array(lit("en.wikipedia.org"), lit("github.com"),
+        lit("docs.python.org"), lit("arxiv.org"), lit("news.example.com")),
+        (col("doc_id") % 5 + 1).cast("int")).as("host"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+    val cap = 10
+    val capped = UrlFilter.capPerDomain(hosts, "host", "n_tokens", "doc_id", cap)
+    val hostN = hosts.groupBy("host").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val capN = capped.groupBy("host").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keptMin = capped.groupBy("host").agg(min("n_tokens").as("m"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    val droppedMax = hosts
+      .join(capped.select("doc_id"), Seq("doc_id"), "left_anti")
+      .groupBy("host").agg(max("n_tokens").as("m"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    val nCapped = capN.values.sum
+    stage(12, s"domain cap -> $nCapped of $nMixed docs across " +
+        s"${capN.size} hosts (cap $cap, ${droppedMax.size} hosts capped)") {
+      capN.keySet == hostN.keySet && droppedMax.nonEmpty &&
+        capN.forall { case (h, n) => n == math.min(cap.toLong, hostN(h)) } &&
+        // boundary order: ties may straddle the cut, strict longer never drops
+        droppedMax.forall { case (h, m) => keptMin(h) >= m }
     }
     Materialize.releaseAll()
 
