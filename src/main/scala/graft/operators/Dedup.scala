@@ -617,14 +617,21 @@ object Dedup {
     require(minTokens >= 2,
       "minTokens < 2 is a shared-vocabulary report, not a span finder")
     require(maxOcc >= 2, "maxOcc < 2 would drop every shared shingle")
-    val occ = posIndex(tokens.select(col(idCol).as("doc"), col("ts")), minTokens)
-    // hot-shingle guard as ONE window count over the shingle key (a
-    // groupBy + join-back would shuffle the index twice for the same
-    // answer), then one cut: the filtered index feeds both sides of the
-    // pair join (without it the corpus tokenizes twice)
-    val kept = Materialize(occ
-      .withColumn("occ_n", count(lit(1)).over(Window.partitionBy("g")))
-      .filter(col("occ_n") <= maxOcc).drop("occ_n"))
+    val occ = Materialize(
+      posIndex(tokens.select(col(idCol).as("doc"), col("ts")), minTokens))
+    // hot-shingle guard, skew-safe: the guard's own input is exactly the
+    // pathological key (a boilerplate shingle occurring 10^7 times), so
+    // counting via a per-key window would land all its occurrences in
+    // ONE window partition — the guard becoming the skew victim. Count
+    // by groupBy instead (map-side partial aggregation bounds any key's
+    // reducer input at one row per map task), keep only the hot gram
+    // TYPES (Zipf: few, no matter how many occurrences), broadcast that
+    // list and anti-join the index — the [[fingerprintSetPairs]]
+    // discipline. The index is cut ONCE and feeds the count pass and
+    // both pair-join sides (without the cut the corpus tokenizes twice).
+    val hot = occ.groupBy("g").agg(count(lit(1)).as("occ_n"))
+      .filter(col("occ_n") > maxOcc).select("g")
+    val kept = occ.join(broadcast(hot), Seq("g"), "left_anti")
     val matches = kept.select(col("g"), col("doc").as("doc_a"), col("p").as("pa"))
       .join(kept.select(col("g"), col("doc").as("doc_b"), col("p").as("pb")), Seq("g"))
       .filter(col("doc_a") < col("doc_b"))
@@ -668,19 +675,27 @@ object Dedup {
       tokenTable(corpus, idCol, textCol).select(col(idCol).as("doc"), col("ts")),
       minTokens)
     // probe index is benchmark-sized: guard its hot shingles (in-probe
-    // occurrence count, before any corpus contact), then cut once — it
-    // feeds the vocabulary semi-join AND the match join. Dropping a
-    // gram from the vocabulary doesn't change other grams' corpus-side
-    // counts, so the two guards commute with the semi-join.
-    val pOcc = Materialize(posIndex(
+    // occurrence count, before any corpus contact) with the same
+    // skew-safe groupBy + broadcast-hot anti-join as [[spansFromTokens]]
+    // (a per-key window would funnel a degenerate probe's repeated
+    // shingle into one partition), cut once — it feeds the vocabulary
+    // semi-join AND the match join. Dropping a gram from the vocabulary
+    // doesn't change other grams' corpus-side counts, so the two guards
+    // commute with the semi-join.
+    val pAll = Materialize(posIndex(
       tokenTable(probes, idCol, textCol).select(col(idCol).as("doc"), col("ts")),
-      minTokens)
-      .withColumn("occ_n", count(lit(1)).over(Window.partitionBy("g")))
-      .filter(col("occ_n") <= maxOcc).drop("occ_n"))
-    val cCand = cOcc.join(broadcast(pOcc.select("g").distinct()), Seq("g"), "left_semi")
-    val cKept = cCand
-      .withColumn("occ_n", count(lit(1)).over(Window.partitionBy("g")))
-      .filter(col("occ_n") <= maxOcc).drop("occ_n")
+      minTokens))
+    val pHot = pAll.groupBy("g").agg(count(lit(1)).as("occ_n"))
+      .filter(col("occ_n") > maxOcc).select("g")
+    val pOcc = pAll.join(broadcast(pHot), Seq("g"), "left_anti")
+    // the corpus-side candidate index is probe-restricted (output-scale,
+    // not corpus-scale) — cut it so the corpus tokenizes once while it
+    // feeds its own hot-count pass and the match join
+    val cCand = Materialize(cOcc
+      .join(broadcast(pOcc.select("g").distinct()), Seq("g"), "left_semi"))
+    val cHot = cCand.groupBy("g").agg(count(lit(1)).as("occ_n"))
+      .filter(col("occ_n") > maxOcc).select("g")
+    val cKept = cCand.join(broadcast(cHot), Seq("g"), "left_anti")
     // corpus is side a (the span coordinates we keep), probe is side b
     val matches = cKept.select(col("g"), col("doc").as("doc_a"), col("p").as("pa"))
       .join(pOcc.select(col("g"), col("doc").as("doc_b"), col("p").as("pb")), Seq("g"))

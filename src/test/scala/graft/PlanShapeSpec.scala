@@ -15,9 +15,11 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
   /** Finalized (post-AQE) executed-plan text of a SparkEntry query —
    * the ADAPTIVE node's toString prints Initial AND Final sections,
    * which would double-count scans/exchanges, so unwrap the final. */
-  private def plan(name: String): String = {
+  private def plan(name: String): String =
+    planOf(SparkEntry.queries(name)(spark, sf))
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String = {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    val df = SparkEntry.queries(name)(spark, sf)
     df.collect() // finalize adaptive plans
     graft.operators.Materialize.releaseAll()
     val ex = df.queryExecution.executedPlan
@@ -64,6 +66,58 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       s"both pair-join sides must read the same cut:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
       "the pair stage must stay keyed on the shingle hash")
+  }
+
+  test("d12 span dedup: hot-shingle guard never windows by the gram key") {
+    val p = plan("d12_span_dedup")
+    // the guard counts grams via a map-side-combinable groupBy and
+    // anti-joins a broadcast hot-gram list; a count-over-Window
+    // partitionBy(g) here would send every occurrence of a boilerplate
+    // shingle to ONE window partition — the exact skew the guard exists
+    // to defuse. Windows keyed by (doc_a, doc_b, d) / doc_id (the run
+    // and merge stages) are fine; a gram-keyed one is the regression.
+    // (At sf0.001 nothing is hot, so AQE's empty-relation propagation
+    // erases the anti-join itself — the guard's zero-cost fast path;
+    // its join shape is pinned on a hot fixture below.)
+    assert(!p.linesIterator.exists(l =>
+        l.contains("Window") && l.contains("windowspecdefinition(g#")),
+      s"hot-shingle guard regressed to a gram-keyed window:\n$p")
+    assert(!p.linesIterator.exists(l =>
+        l.contains("SortMergeJoin") && l.contains("LeftAnti")),
+      s"the hot-gram list must never arrive via a shuffle join:\n$p")
+  }
+
+  test("d18 cross spans: no gram-keyed window on either guard") {
+    val p = plan("d18_cross_spans")
+    assert(!p.linesIterator.exists(l =>
+        l.contains("Window") && l.contains("windowspecdefinition(g#")),
+      s"a guard regressed to a gram-keyed window:\n$p")
+    assert(!p.linesIterator.exists(l =>
+        l.contains("SortMergeJoin") && l.contains("LeftAnti")),
+      s"the hot-gram list must never arrive via a shuffle join:\n$p")
+  }
+
+  test("span hot-gram guard: a HOT gram leaves via a broadcast anti-join") {
+    // fixture with a genuinely hot shingle (12 > maxOcc=2 occurrences)
+    // so AQE cannot erase the guard: the hot list must meet the index
+    // as a BROADCAST anti-join — the skew-safe form
+    import spark.implicits._
+    // a boilerplate shingle in all 12 docs (hot, dropped by the guard)
+    // plus a 2-doc shared run (cold, survives) so the RESULT is
+    // non-empty and AQE cannot collapse the plan to EmptyRelation
+    val docs = Seq.tabulate(12) { i =>
+      val tail = if (i < 2) "alpha beta gamma delta epsilon"
+                 else s"unique$i word$i tail$i extra$i more$i"
+      (i.toLong, s"shared boilerplate header text $tail")
+    }.toDF("doc_id", "text")
+    val p = planOf(graft.operators.Dedup.spanDedup(
+      docs, "doc_id", "text", minTokens = 3, maxOcc = 2))
+    assert(p.linesIterator.exists(l =>
+        l.contains("BroadcastHashJoin") && l.contains("LeftAnti")),
+      s"hot grams must leave via a broadcast anti-join:\n$p")
+    assert(!p.linesIterator.exists(l =>
+        l.contains("Window") && l.contains("windowspecdefinition(g#")),
+      s"hot-shingle guard regressed to a gram-keyed window:\n$p")
   }
 
   test("q40 url filter: blocklist broadcasts, corpus side never shuffles") {
