@@ -103,7 +103,14 @@ object Bench {
     val key: String => String =
       if (short.values.toSet.size == short.size) short else identity
     val qs = results.map { case (k, v, _) => s"\"${key(k)}\":${num(v)}" }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) => s"\"${key(k)}\":\"${esc(e)}\"" }
+    // a non-finite metric renders as "0" in queries (the line must stay
+    // parseable), but silently — indistinguishable from a genuinely
+    // 0-second query — so it is ALSO recorded under errors by name
+    val errs = results.collect {
+      case (k, _, Some(e)) => s"\"${key(k)}\":\"${esc(e)}\""
+      case (k, v, None) if !java.lang.Double.isFinite(v) =>
+        s"\"${key(k)}\":\"non-finite metric ($v)\""
+    }
     // a non-finite per-query value renders as "0"; it must also stay OUT
     // of the headline sum — NaN is absorbing, so one bad metric would
     // zero the one field the driver ranks on

@@ -2013,12 +2013,12 @@ object SparkEntry {
            CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
            CAST(len(regexp_extract_all(t, '(?:[0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}')) AS BIGINT) AS n_ipv6,
            CAST(len(regexp_extract_all(t, '(?:[0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ipv4,
-           CAST(len(regexp_extract_all(t, '\+[0-9](?:[- ]?[0-9]){7,14}|[0-9]{1,6}[- ][0-9](?:[- ]?[0-9]){4,13}')) AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(t, '\+[0-9](?:[- ]?[0-9]){7,14}|[0-9]{1,6}[- ][0-9](?:[- ]?[0-9]){6,13}|[0-9]{2,6}[- ][0-9](?:[- ]?[0-9]){5}|[0-9]{3,6}[- ][0-9](?:[- ]?[0-9]){4}|\b[0-9]{10,15}\b')) AS BIGINT) AS n_phone,
            regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
              '(?:[0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}', '<IP6>', 'g'),
              '(?:[0-9]{1,3}\.){3}[0-9]{1,3}', '<IP4>', 'g'),
-             '\+[0-9](?:[- ]?[0-9]){7,14}|[0-9]{1,6}[- ][0-9](?:[- ]?[0-9]){4,13}', '<PHONE>', 'g') AS redacted
+             '\+[0-9](?:[- ]?[0-9]){7,14}|[0-9]{1,6}[- ][0-9](?:[- ]?[0-9]){6,13}|[0-9]{2,6}[- ][0-9](?:[- ]?[0-9]){5}|[0-9]{3,6}[- ][0-9](?:[- ]?[0-9]){4}|\b[0-9]{10,15}\b', '<PHONE>', 'g') AS redacted
          FROM e ORDER BY doc_id""",
 
     // the three feature pipelines of t02/t07/t08 joined and thresholded

@@ -135,7 +135,10 @@ object Materialize {
    * the deregister gate makes a second free of the same cut a no-op. */
   private def free(s: SparkSession, r: RDD[_]): Unit =
     if (deregister(s, r)) {
-      r.unpersist(blocking = false)
+      // a stopped context's blocks are already gone; freeing then is
+      // name-table cleanup only, and unpersist would throw
+      try r.unpersist(blocking = false)
+      catch { case _: IllegalStateException => () }
       internalCuts.remove(r)
       parentRefs.remove(r) // freed directly: sever any remaining edges
       val kids = childrenOf.remove(r)
@@ -176,7 +179,24 @@ object Materialize {
 
   def apply(df: DataFrame): DataFrame = doApply(df, ownedByParents = false)
 
+  /** Evict every cut of sessions whose SparkContext has STOPPED: such a
+   * session can no longer call release()/releaseAll(), so without the
+   * sweep its entries in [[live]] — and through the ownership/edge maps
+   * ([[internalCuts]]/[[childrenOf]]/[[parentRefs]]) its internal cuts —
+   * would pin the RDDs and their SparkContext for the JVM lifetime.
+   * Piggybacked on every registration, so a long-lived JVM cycling
+   * sessions (test harnesses, notebook kernels) self-heals; freeing
+   * goes through [[free]], which cleans ALL maps consistently. */
+  private def sweepStopped(): Unit =
+    live.forEach { (s, set) =>
+      if (s.sparkContext.isStopped) {
+        val snap = new java.util.ArrayList[RDD[_]](set)
+        snap.forEach(r => free(s, r))
+      }
+    }
+
   private def doApply(df: DataFrame, ownedByParents: Boolean): DataFrame = {
+    sweepStopped()
     // nested-cut edges must be read off the SOURCE plan before the new
     // cut exists (the cut truncates lineage; afterwards the inner cuts
     // are invisible to any walk)

@@ -400,14 +400,19 @@ object TextAnalysis {
    * The simplifications are documented contract, not accident:
    *
    *  - email: practical RFC subset (local@domain.tld);
-   *  - phone: either the '+'-led international form (8–15 digits with
-   *    single optional space/dash separators) or a separator-GROUPED
-   *    national form (a 1–6 digit group, one space/dash, then 5–14 more
-   *    digits with optional separators). A bare unseparated digit run
-   *    no longer matches: at large scale factors 8-digit doc ids (and
-   *    any serial number) were counting as phones, drifting n_phone
-   *    semantics with corpus size. Leftmost-first alternation — Java
-   *    and RE2 agree;
+   *  - phone: the '+'-led international form (8–15 digits with single
+   *    optional space/dash separators), a separator-GROUPED national
+   *    form (a 1–6 digit group, one space/dash, then more digits with
+   *    optional separators — ≥8 digits TOTAL, which a single {m,n}
+   *    cannot couple across the separator, hence the three-way
+   *    alternation by group length), or a BOUNDED bare run of 10–15
+   *    digits between word boundaries (common unseparated formats:
+   *    0612345678, 5551234567). The bare floor sits at 10 so 8–9-digit
+   *    doc ids / serial numbers do not count as phones and drift
+   *    n_phone semantics with corpus size; runs past 15 digits fail
+   *    the trailing boundary and stay unmatched (E.164 caps at 15).
+   *    Leftmost-first alternation — Java and RE2 agree (RE2's \b is
+   *    ASCII-only, but so are the digits it guards);
    *  - ipv4: four dotted 1–3 digit groups (no 0–255 range check —
    *    that needs alternation whose leftmost-match order differs
    *    between engines);
@@ -423,7 +428,11 @@ object TextAnalysis {
     ("ipv6", "(?:[0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}", "<IP6>"),
     ("ipv4", "(?:[0-9]{1,3}\\.){3}[0-9]{1,3}", "<IP4>"),
     ("phone",
-      "\\+[0-9](?:[- ]?[0-9]){7,14}|[0-9]{1,6}[- ][0-9](?:[- ]?[0-9]){4,13}",
+      "\\+[0-9](?:[- ]?[0-9]){7,14}" +
+        "|[0-9]{1,6}[- ][0-9](?:[- ]?[0-9]){6,13}" + // tail >= 7 digits
+        "|[0-9]{2,6}[- ][0-9](?:[- ]?[0-9]){5}" +    // tail 6, group >= 2
+        "|[0-9]{3,6}[- ][0-9](?:[- ]?[0-9]){4}" +    // tail 5, group >= 3
+        "|\\b[0-9]{10,15}\\b",
       "<PHONE>"))
 
   /** The frame with a `n_<kind>` PII hit-count column appended per

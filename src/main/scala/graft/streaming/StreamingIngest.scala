@@ -125,31 +125,40 @@ object StreamingIngest {
     val versioned =
       try fs.listStatus(markerDir(dir)).map(_.getPath.getName).toSeq
       catch { case _: java.io.FileNotFoundException => Seq.empty }
-    val ids = versioned.collect {
+    val suffixes = versioned.collect {
       case n if n.startsWith(MarkerPrefix + ".") =>
-        n.substring(MarkerPrefix.length + 1) match {
-          // the strict shape a marker commit writes: digits only
-          case s if s.nonEmpty && s.forall(_.isDigit) =>
-            try Some(s.toLong)
-            catch { case e: NumberFormatException => // > Long.MaxValue digits
-              throw new java.io.IOException(
-                s"garbled landing marker $n in $dir — refusing to treat the table as fresh", e) }
-          // an operator-made COPY of a valid marker (`.5.bak`, editor
-          // droppings): the original numeric marker still names the
-          // landed batch, so skip the copy instead of wedging every
-          // micro-batch retry behind a file only manual cleanup removes
-          case s if s.contains('.') && s.takeWhile(_ != '.').nonEmpty &&
-                    s.takeWhile(_ != '.').forall(_.isDigit) =>
-            org.slf4j.LoggerFactory.getLogger(getClass)
-              .warn(s"ignoring non-marker file $n in ${markerDir(dir)} " +
-                "(numeric marker id with an extra suffix — operator copy?)")
-            None
-          // anything else is truly ambiguous — no numeric id at all —
-          // and proceeding would replay or skip an unknown set of batches
-          case _ => throw new java.io.IOException(
-            s"garbled landing marker $n in $dir — refusing to treat the table as fresh")
-        }
-    }.flatten
+        (n, n.substring(MarkerPrefix.length + 1))
+    }
+    // the strict shape a marker commit writes: digits only
+    val ids = suffixes.collect { case (n, s) if s.nonEmpty && s.forall(_.isDigit) =>
+      try s.toLong
+      catch { case e: NumberFormatException => // > Long.MaxValue digits
+        throw new java.io.IOException(
+          s"garbled landing marker $n in $dir — refusing to treat the table as fresh", e) }
+    }
+    val maxId = ids.foldLeft(-1L)(math.max)
+    // an operator-made COPY of a valid marker (`.5.bak`, editor
+    // droppings) is skippable ONLY while a bare numeric marker with the
+    // same-or-higher id still names the landed batch; if the suffixed
+    // file is all that's left (an operator RENAMED the real marker, or
+    // its id exceeds every bare marker), skipping would silently
+    // regress lastLandedBatch and replay landed batches — fail safe
+    // instead. Anything without a leading numeric id is truly ambiguous
+    // and also fails safe.
+    suffixes.foreach { case (n, s) =>
+      if (!(s.nonEmpty && s.forall(_.isDigit))) {
+        val lead = s.takeWhile(_ != '.')
+        val covered = s.contains('.') && lead.nonEmpty && lead.forall(_.isDigit) &&
+          (try lead.toLong <= maxId
+           catch { case _: NumberFormatException => false })
+        if (covered)
+          org.slf4j.LoggerFactory.getLogger(getClass)
+            .warn(s"ignoring non-marker file $n in ${markerDir(dir)} " +
+              "(copy of a still-present numeric marker — operator droppings?)")
+        else throw new java.io.IOException(
+          s"garbled landing marker $n in $dir — refusing to treat the table as fresh")
+      }
+    }
     val legacy =
       try {
         val in = fs.open(new Path(dir, MarkerPrefix))

@@ -37,8 +37,14 @@ class BenchContractSpec extends AnyFunSuite with SparkFixture {
     val json = Bench.toJson(res, "/x")
     // "a" would be ambiguous for both queries -> full names kept
     assert(json.contains(""""a_one":1.0000"""))
-    // NaN must format as an explicit 0, not crash the contract line
+    // NaN must format as an explicit 0, not crash the contract line —
+    // and must ALSO surface under errors, or a dead metric would be
+    // indistinguishable from a genuinely 0-second query
     assert(json.contains(""""a_two":0"""))
+    assert(json.contains(""""errors":{"""))
+    assert(json.contains(""""a_two":"non-finite"""))
+    // the headline total must exclude the non-finite value (NaN absorbs)
+    assert(json.contains(""""value":1.0000"""))
   }
 
   test("a query that only fails on a later run is still reported failed") {

@@ -1033,7 +1033,9 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
       (3L, "from 192.168.3.21 via 2001:0db8:85a3:0:0:8a2e:370:7334 end"),
       (4L, "no pii here, just words and the number 42"),
       (5L, "mixed a@b.io at 10.0.0.1 dial 07700 900123"),
-      (6L, "ticket 12345678 ref 987654321012 ok")).toDF("doc_id", "text")
+      (6L, "ticket 12345678 ref 987654321012 ok"),
+      (7L, "raw 0612345678 and 12-345678 but not 1-23456 nor 1234567890123456"))
+      .toDF("doc_id", "text")
     val counts = TextAnalysis.withPiiCounts(docs, "text")
       .select("doc_id", "n_email", "n_phone", "n_ipv4", "n_ipv6")
       .collect().map(r => r.getLong(0) ->
@@ -1044,7 +1046,10 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
       3L -> ((0L, 0L, 1L, 1L)),
       4L -> ((0L, 0L, 0L, 0L)),
       5L -> ((1L, 1L, 1L, 0L)), // "07700 900123" separator-grouped -> phone
-      6L -> ((0L, 0L, 0L, 0L)))) // bare digit runs are NOT phones anymore
+      6L -> ((0L, 1L, 0L, 0L)), // 12-digit bare run -> phone; 8-digit id is not
+      // bare 10-digit + grouped 8-total match; 6-total grouped and a
+      // 16-digit run (past the 15 cap, fails the trailing \b) do not
+      7L -> ((0L, 2L, 0L, 0L))))
     val red = docs.select(col("doc_id"),
         TextAnalysis.redactPii(col("text")).as("r"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
@@ -1053,7 +1058,8 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(red(3L) == "from <IP4> via <IP6> end")
     assert(red(4L) == "no pii here, just words and the number 42")
     assert(red(5L) == "mixed <EMAIL> at <IP4> dial <PHONE>")
-    assert(red(6L) == "ticket 12345678 ref 987654321012 ok")
+    assert(red(6L) == "ticket 12345678 ref <PHONE> ok")
+    assert(red(7L) == "raw <PHONE> and <PHONE> but not 1-23456 nor 1234567890123456")
   }
 
   test("qualityGate keeps exactly the docs passing every feature bar") {

@@ -8,8 +8,11 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Landing-marker name handling (in-package: the helpers are
  * `private[streaming]`). The strict numeric shape is the commit contract;
- * an operator-made COPY of a valid marker must be skipped, not wedge
- * every micro-batch retry; names with no numeric id at all stay fatal. */
+ * an operator-made COPY of a valid marker is skipped ONLY while a bare
+ * numeric marker with the same-or-higher id still exists — a suffixed
+ * file past every bare marker means the real marker may have been
+ * RENAMED, and skipping would silently replay landed batches; names with
+ * no numeric id at all stay fatal. */
 class LandingMarkerSpec extends AnyFunSuite {
 
   private def fixture(): (FileSystem, Path) = {
@@ -25,18 +28,34 @@ class LandingMarkerSpec extends AnyFunSuite {
     assert(StreamingIngest.lastLandedBatch(fs, dir) == 7L)
   }
 
-  test("marker copies with extra suffixes are skipped; no-id names throw") {
+  test("covered marker copies are skipped; uncovered or no-id names throw") {
     val (fs, dir) = fixture()
     StreamingIngest.writeLandedMarker(fs, dir, 5L)
     val md = StreamingIngest.markerDir(dir)
-    // a copy of a valid marker (operator backup) must not wedge the stream
+    // a copy of a still-present marker (operator backup) must not wedge
+    // the stream — the bare marker still names the landed batch
     fs.create(new Path(md, "_last_landed_batch.5.bak")).close()
     assert(StreamingIngest.lastLandedBatch(fs, dir) == 5L)
-    // a HIGHER id with an extra suffix is still a copy, not a commit
-    fs.create(new Path(md, "_last_landed_batch.9.swp")).close()
+    // a copy of a SUPERSEDED id is covered by any higher bare marker
+    fs.create(new Path(md, "_last_landed_batch.2.bak")).close()
     assert(StreamingIngest.lastLandedBatch(fs, dir) == 5L)
+    // a suffixed id PAST every bare marker may be the real marker,
+    // renamed — skipping would replay landed batches, so fail safe
+    fs.create(new Path(md, "_last_landed_batch.9.swp")).close()
+    intercept[java.io.IOException] { StreamingIngest.lastLandedBatch(fs, dir) }
+    fs.delete(new Path(md, "_last_landed_batch.9.swp"), false)
     // no numeric id at all: truly ambiguous, refuse to guess
     fs.create(new Path(md, "_last_landed_batch.abc")).close()
+    intercept[java.io.IOException] { StreamingIngest.lastLandedBatch(fs, dir) }
+  }
+
+  test("a suffixed marker with NO bare marker at all fails safe") {
+    val (fs, dir) = fixture()
+    val md = StreamingIngest.markerDir(dir)
+    fs.mkdirs(md)
+    // only a renamed/copied file survives: regressing to -1 would
+    // replay every batch of an existing table — refuse instead
+    fs.create(new Path(md, "_last_landed_batch.4.bak")).close()
     intercept[java.io.IOException] { StreamingIngest.lastLandedBatch(fs, dir) }
   }
 }
