@@ -1287,7 +1287,15 @@ object SparkEntry {
             nCells = 16, probes = 4),
           k = 10)
         .orderBy("query_id", "rank")
-    }))
+    }),
+
+    // BPE tokenizer training: 8 pair-merge rounds over the corpus
+    // word-frequency table — integer pair counts with a total tie-break
+    // and plain-string merge application, so the oracle replays the
+    // whole loop round by round
+    "t16_bpe_merges" -> ((s, d) =>
+      TextAnalysis.bpeMerges(t(s, d, "documents"), "text", nMerges = 8)
+        .orderBy("merge_round")))
 
   /** Shared oracle snippet for d06/d07: the 0.95-jaccard near-dup graph
    * (same tokenization/threshold as d04) plus the recursive reachability
@@ -1317,6 +1325,46 @@ object SparkEntry {
   private val NormCte =
     """WITH n AS (SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t
                   FROM documents)"""
+
+  /** t16 oracle: the BPE merge loop UNROLLED to `nMerges` rounds of
+   * DuckDB CTEs — each round r reads the previous round's spaced-symbol
+   * vocabulary s{r-1}, aggregates weighted adjacent-pair counts, takes
+   * the 1-row argmax m{r} (count desc, lhs asc, rhs asc — the operator's
+   * total tie-break), and applies the merge with the same plain
+   * left-to-right `replace` over the " x  y " encoding. Generated by a
+   * loop so the SQL cannot drift from the round count. */
+  private def bpeMergesOracle(nMerges: Int): String = {
+    // every per-round CTE is MATERIALIZED: the default inlining would
+    // substitute s{r-1} (and m{r} three times) into every reference,
+    // expanding the plan ~4^nMerges-fold — past the fd limit by round 8
+    val rounds = (1 to nMerges).map { r =>
+      s"""
+       y$r AS (SELECT string_split(trim(s), '  ') AS sy, n FROM s${r - 1}),
+       e$r AS (SELECT sy, n, unnest(generate_series(1, len(sy) - 1)) AS i
+               FROM y$r WHERE len(sy) >= 2),
+       p$r AS (SELECT sy[i] AS lhs, sy[i + 1] AS rhs,
+                      CAST(sum(n) AS BIGINT) AS pair_n
+               FROM e$r GROUP BY 1, 2),
+       m$r AS MATERIALIZED (
+               SELECT $r AS merge_round, lhs, rhs, lhs || rhs AS merged, pair_n
+               FROM p$r ORDER BY pair_n DESC, lhs ASC, rhs ASC LIMIT 1),
+       s$r AS MATERIALIZED (
+               SELECT replace(s, ' ' || (SELECT lhs FROM m$r) || '  ' ||
+                                 (SELECT rhs FROM m$r) || ' ',
+                              ' ' || (SELECT merged FROM m$r) || ' ') AS s, n
+               FROM s${r - 1})"""
+    }.mkString(",")
+    NormCte +
+      """, w0 AS (SELECT w, count(*) AS n
+                  FROM (SELECT unnest(string_split(t, ' ')) AS w FROM n) u
+                  GROUP BY w),
+       s0 AS MATERIALIZED (
+               SELECT regexp_replace(w, '(.)', ' \1 ', 'g') AS s, n FROM w0)""" +
+      "," + rounds + "\n" +
+      s"""SELECT merge_round, lhs, rhs, merged, pair_n
+          FROM (${(1 to nMerges).map(r => s"SELECT * FROM m$r").mkString(" UNION ALL ")}) m
+          ORDER BY merge_round"""
+  }
 
   /** Shared d12/d14 span pipeline: positional 8-token shingle index,
    * hot-shingle guard (occ <= 64), fixed-delta consecutive runs, and the
@@ -2414,7 +2462,10 @@ object SparkEntry {
          WHERE substring(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 4) <
                CASE WHEN w >= 1.0 THEN 'zzzz'
                     ELSE printf('%04x', CAST(floor(w * 65536) AS BIGINT)) END
-         ORDER BY doc_id"""))
+         ORDER BY doc_id"""),
+
+    // the BPE merge loop, unrolled round by round (see bpeMergesOracle)
+    "t16_bpe_merges" -> bpeMergesOracle(8))
 
   // -------------------------------------------------------------- public
 

@@ -586,6 +586,79 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /**
+   * BPE tokenizer training — the merge loop that [[vocabTopK]]'s
+   * frequency pass feeds (Sennrich et al. 2016): start from each word
+   * split into characters, count adjacent symbol pairs weighted by word
+   * frequency, fuse the most frequent pair into one symbol, repeat. The
+   * returned frame is the merge TABLE — `nMerges` rows of
+   * (merge_round, lhs, rhs, merged, pair_n) in training order — which
+   * IS the tokenizer: applying the merges in order to a new word
+   * reproduces its BPE segmentation.
+   *
+   * Determinism contract (what lets an external SQL engine replay the
+   * whole loop): the argmax tie-break is total (pair count descending,
+   * then lhs, then rhs ascending — byte order on the fixture's ASCII
+   * tokens), counts are exact integers, and merge APPLICATION is plain
+   * (non-regex) string replacement over a spaced-symbol encoding.
+   * A word is encoded with every symbol wrapped in single spaces
+   * (`"ab"` → `" a  b "`), so the adjacent pair (x, y) occurs exactly
+   * as the substring `" x  y "` and fusing it is
+   * `replace(s, " x  y ", " xy ")`. Left-to-right non-overlapping
+   * replacement — the semantics of `replace` in the JVM and every SQL
+   * engine — is exactly BPE's greedy leftmost pairing (`"aaaa"` with
+   * merge (a,a) → `"aa aa"`, and `"aaa"` → `"aa a"`).
+   *
+   * Scale shape: ONE corpus-sized pass (the tokenize-explode into a
+   * map-side-combined word-frequency aggregate); every round after
+   * operates on the VOCABULARY table — a pair-count aggregate (map-side
+   * combinable), a 1-row argmax collect (config-scale, the
+   * [[graft.operators.Similarity.trainIvfCentroids]] round-trip
+   * pattern), and a narrow replace. Each round's vocabulary is an eager
+   * [[Materialize]] cut (consumed by the next round's aggregate AND
+   * replace) released as soon as its successor exists, so lineage and
+   * storage stay O(1) in the round count.
+   */
+  def bpeMerges(df: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    require(nMerges >= 1 && nMerges <= 256, "nMerges must be in [1, 256]")
+    val spark = df.sparkSession
+    // corpus pass: word frequencies, then the spaced-symbol encoding.
+    // regexp_replace wraps EACH character in single spaces; adjacent
+    // wrappings concatenate to the " a  b " double-space separator
+    var vocab = Materialize.eager(
+      df.select(explode(tokens(col(textCol))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("n"))
+        .select(regexp_replace(col("w"), "(.)", " $1 ").as("s"), col("n")))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var exhausted = false
+    for (round <- 1 to nMerges if !exhausted) {
+      val syms = vocab.select(split(trim(col("s")), "  ").as("sy"), col("n"))
+        .filter(size(col("sy")) >= 2)
+      val top = syms
+        .select(col("n"), explode(expr(
+          "transform(sequence(1, size(sy) - 1), " +
+            "i -> struct(sy[i-1] AS lhs, sy[i] AS rhs))")).as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum(col("n")).as("pn"))
+        .orderBy(col("pn").desc, col("lhs").asc, col("rhs").asc)
+        .limit(1).collect() // 1 row: the argmax pair — config, not data
+      if (top.isEmpty) exhausted = true // every word is one symbol
+      else {
+        val (l, r, pn) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((round, l, r, l + r, pn))
+        val next = Materialize.eager(vocab.select(
+          call_function("replace", col("s"),
+            lit(" " + l + "  " + r + " "), lit(" " + l + r + " ")).as("s"),
+          col("n")))
+        Materialize.release(vocab)
+        vocab = next
+      }
+    }
+    Materialize.release(vocab)
+    import spark.implicits._
+    merges.toSeq.toDF("merge_round", "lhs", "rhs", "merged", "pair_n")
+  }
+
   /** All features in one pass over the corpus. */
   def withTextFeatures(df: DataFrame, textCol: String): DataFrame = {
     val c = col(textCol)

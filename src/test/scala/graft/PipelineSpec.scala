@@ -1485,4 +1485,39 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
       .collect().map(_.getLong(2)).toSeq
     assert(cut == Seq(2L))
   }
+
+  test("bpeMerges replays the classic low/lower/lowest merge sequence") {
+    import spark.implicits._
+    val corpus = Seq((0L, "low low low"), (1L, "lower lower"), (2L, "lowest"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bpeMerges(corpus, "text", nMerges = 8)
+      .orderBy("merge_round")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    // word freqs low:3 lower:2 lowest:1. Round 1 ties (l,o) and (o,w)
+    // at 6 — lhs ascending picks (l,o); then (lo,w)=6, (low,e)=3,
+    // (lowe,r)=2; round 5 ties (lowe,s) and (s,t) at 1 — lhs picks
+    // (lowe,s); then (lowes,t)=1, and round 7 finds no pair: the loop
+    // stops early with 6 rows, not 8
+    assert(got.toSeq == Seq(
+      (1, "l", "o", "lo", 6L),
+      (2, "lo", "w", "low", 6L),
+      (3, "low", "e", "lowe", 3L),
+      (4, "lowe", "r", "lower", 2L),
+      (5, "lowe", "s", "lowes", 1L),
+      (6, "lowes", "t", "lowest", 1L)))
+  }
+
+  test("bpeMerges applies merges greedily left-to-right, non-overlapping") {
+    import spark.implicits._
+    val corpus = Seq((0L, "aaaa aaa")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeMerges(corpus, "text", nMerges = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4)))
+    // round 1: (a,a) weighted 3+2 = 5. Greedy pairing then encodes
+    // aaaa as [aa, aa] and aaa as [aa, a] — NOT [a, aa] — so round 2
+    // ties (aa,a) and (aa,aa) at 1 and rhs ascending picks (aa,a);
+    // round 3 merges the remaining (aa,aa)
+    assert(got.toSeq == Seq(
+      (1, "a", "a", 5L), (2, "aa", "a", 1L), (3, "aa", "aa", 1L)))
+  }
 }
