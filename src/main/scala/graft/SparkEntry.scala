@@ -1295,7 +1295,32 @@ object SparkEntry {
     // whole loop round by round
     "t16_bpe_merges" -> ((s, d) =>
       TextAnalysis.bpeMerges(t(s, d, "documents"), "text", nMerges = 8)
-        .orderBy("merge_round")))
+        .orderBy("merge_round")),
+
+    // HTML -> text extraction: the corpus wrapped in deterministic
+    // doc_id-derived markup (script/style blocks with embedded < >,
+    // comments, double-escaped entities), then extracted — the oracle
+    // builds the identical HTML and replays the identical regex chain
+    "t17_html_extract" -> ((s, d) => {
+      val id = col("doc_id")
+      val html = concat(
+        lit("<!DOCTYPE html><html><head><title>d"), id, lit("</title>"),
+        when(id % 2 === 0,
+          concat(lit("<script type=\"text/javascript\">var x = "), id,
+            lit(" < 4 && 1 > 0;</script>")))
+          .otherwise(lit("<style>p { color: #fff }</style>")),
+        lit("</head><body><h1>Doc "), id,
+        lit("</h1><!-- id "), id, lit(" --><p>"),
+        TextAnalysis.normalizeText(col("text")), lit("</p>"),
+        when(id % 3 === 0,
+          lit("<div class=\"f\">Tom &amp; Jerry &lt;3 &quot;quoted&quot; " +
+            "&#39;q&#39;&nbsp;end &amp;lt;b&gt;</div>"))
+          .otherwise(lit("")),
+        lit("</body></html>"))
+      t(s, d, "documents")
+        .select(id, TextAnalysis.extractHtmlText(html).as("txt"))
+        .orderBy("doc_id")
+    }))
 
   /** Shared oracle snippet for d06/d07: the 0.95-jaccard near-dup graph
    * (same tokenization/threshold as d04) plus the recursive reachability
@@ -2465,7 +2490,36 @@ object SparkEntry {
          ORDER BY doc_id"""),
 
     // the BPE merge loop, unrolled round by round (see bpeMergesOracle)
-    "t16_bpe_merges" -> bpeMergesOracle(8))
+    "t16_bpe_merges" -> bpeMergesOracle(8),
+
+    // the same doc_id-derived HTML enrichment and the same extraction
+    // chain as the Spark side: script/style/comment blocks out, tags ->
+    // space, entity decode with &amp; last, portable-whitespace collapse
+    "t17_html_extract" -> (NormCte +
+      """, h AS (SELECT doc_id,
+           '<!DOCTYPE html><html><head><title>d' || doc_id || '</title>' ||
+           CASE WHEN doc_id % 2 = 0
+                THEN '<script type="text/javascript">var x = ' || doc_id || ' < 4 && 1 > 0;</script>'
+                ELSE '<style>p { color: #fff }</style>' END ||
+           '</head><body><h1>Doc ' || doc_id ||
+           '</h1><!-- id ' || doc_id || ' --><p>' || t || '</p>' ||
+           CASE WHEN doc_id % 3 = 0
+                THEN '<div class="f">Tom &amp; Jerry &lt;3 &quot;quoted&quot; &#39;q&#39;&nbsp;end &amp;lt;b&gt;</div>'
+                ELSE '' END ||
+           '</body></html>' AS html
+         FROM n)
+         SELECT doc_id,
+           trim(regexp_replace(
+             replace(replace(replace(replace(replace(replace(replace(
+               regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+                 '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),
+                 '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g'),
+                 '(?s)<!--.*?-->', ' ', 'g'),
+                 '(?s)<[^>]*>', ' ', 'g'),
+               '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+               '&#39;', ''''), '&apos;', ''''), '&amp;', '&'),
+             '[ \t\n\r\f]+', ' ', 'g')) AS txt
+         FROM h ORDER BY doc_id"""))
 
   // -------------------------------------------------------------- public
 

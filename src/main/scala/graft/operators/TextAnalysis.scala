@@ -587,6 +587,52 @@ object TextAnalysis {
   }
 
   /**
+   * HTML/markup → text extraction — the step every crawl pipeline runs
+   * before any text operator (C4/RefinedWeb start from WET/WARC HTML;
+   * this engine's text operators all assume extracted text). A chain of
+   * narrow regexp passes, deliberately in this order:
+   *
+   *  1. `<script>`/`<style>` ELEMENTS go wholesale (their character
+   *     data is code, not prose — and may contain `<`/`>` that a plain
+   *     tag-strip would mis-parse), non-greedy to the matching close
+   *     tag, case-insensitive;
+   *  2. comments (`<!-- … -->`) go wholesale, non-greedy;
+   *  3. remaining TAGS become a single space (a space, not empty:
+   *     `…text</p><p>more…` must not fuse words);
+   *  4. character entities decode — the named/numeric handful that
+   *     dominates real markup (`&lt; &gt; &quot; &#39; &apos; &nbsp;`),
+   *     with `&amp;` LAST, per the spec's double-escaping rule:
+   *     `&amp;lt;` means the literal text "&lt;", and decoding amp
+   *     first would corrupt it into `<`. Decoding entities AFTER the
+   *     tag strip also means escaped markup (`&lt;b&gt;`) correctly
+   *     survives as visible text, never as a tag;
+   *  5. whitespace collapses to single spaces, trimmed. The class is
+   *     spelled `[ \t\n\r\f]` rather than `\s` — Java's `\s` includes
+   *     `\x0B` where RE2's does not, and this operator's contract is
+   *     that an external engine replays it byte-for-byte.
+   *
+   * All patterns are shared-subset regex (no lookaround/backrefs; `\b`
+   * and inline `(?is)` — both Java and RE2). Pure column expressions:
+   * one narrow scan, whole-stage codegen, zero shuffles at any scale.
+   */
+  def extractHtmlText(c: Column): Column = {
+    val noBlocks = regexp_replace(
+      regexp_replace(c, "(?is)<script\\b[^>]*>.*?</script\\s*>", " "),
+      "(?is)<style\\b[^>]*>.*?</style\\s*>", " ")
+    val noMarkup = regexp_replace(
+      regexp_replace(noBlocks, "(?s)<!--.*?-->", " "),
+      "(?s)<[^>]*>", " ")
+    val decoded = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&apos;" -> "'",
+      "&amp;" -> "&" // last — the double-escaping rule
+    ).foldLeft(noMarkup) { case (acc, (ent, ch)) =>
+      call_function("replace", acc, lit(ent), lit(ch))
+    }
+    trim(regexp_replace(decoded, "[ \\t\\n\\r\\f]+", " "))
+  }
+
+  /**
    * BPE tokenizer training — the merge loop that [[vocabTopK]]'s
    * frequency pass feeds (Sennrich et al. 2016): start from each word
    * split into characters, count adjacent symbol pairs weighted by word

@@ -1520,4 +1520,27 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(got.toSeq == Seq(
       (1, "a", "a", 5L), (2, "aa", "a", 1L), (3, "aa", "aa", 1L)))
   }
+
+  test("extractHtmlText: blocks out, tags to spaces, entities decoded in order") {
+    import spark.implicits._
+    val cases = Seq(
+      // script content (with embedded < > &&) and comments go wholesale;
+      // tags become spaces so words do not fuse across elements
+      ("<html><head><SCRIPT type=\"a\">if (1 < 2 && 3 > 0) x();</SCRIPT>" +
+        "<style>p { a: b }</style></head>" +
+        "<body><p>one</p><p>two</p><!-- no -->three</body></html>",
+        "one two three"),
+      // entity decode: &amp; decodes LAST, so &amp;lt; is the literal
+      // text "&lt;", while a real &lt; becomes "<"
+      ("A &lt;b&gt; B &amp;lt;c&amp;gt; C &quot;q&quot; &#39;s&#39;&nbsp;D &amp; E",
+        "A <b> B &lt;c&gt; C \"q\" 's' D & E"),
+      // multi-line block elements and whitespace collapse
+      ("<div>\n  alpha\n</div>\n<script>\nvar t = \"<div>\";\n</script>\n<div>beta</div>",
+        "alpha beta"))
+    val got = cases.map(_._1).zipWithIndex.map { case (h, i) => (i, h) }
+      .toDF("i", "h")
+      .select(col("i"), TextAnalysis.extractHtmlText(col("h")).as("txt"))
+      .orderBy("i").collect().map(_.getString(1)).toSeq
+    assert(got == cases.map(_._2))
+  }
 }
