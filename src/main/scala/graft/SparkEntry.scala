@@ -1320,7 +1320,19 @@ object SparkEntry {
       t(s, d, "documents")
         .select(id, TextAnalysis.extractHtmlText(html).as("txt"))
         .orderBy("doc_id")
-    }))
+    }),
+
+    // deterministic corpus shuffle + shard order: q39's budget packing
+    // over the content-keyed shuffle order instead of ingest order —
+    // shards are token-budgeted AND order-randomized, retry-stable
+    "q42_shuffle_shards" -> ((s, d) =>
+      PrefixScan.packShards(
+          Sampling.withShuffleOrder(
+            t(s, d, "documents").select(col("doc_id"),
+              TextAnalysis.tokenCount(col("text")).as("n_tokens")),
+            "doc_id"),
+          "shuffle_key", "n_tokens", budget = 1000)
+        .orderBy("doc_id")))
 
   /** Shared oracle snippet for d06/d07: the 0.95-jaccard near-dup graph
    * (same tokenization/threshold as d04) plus the recursive reachability
@@ -2519,7 +2531,23 @@ object SparkEntry {
                '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
                '&#39;', ''''), '&apos;', ''''), '&amp;', '&'),
              '[ \t\n\r\f]+', ' ', 'g')) AS txt
-         FROM h ORDER BY doc_id"""))
+         FROM h ORDER BY doc_id"""),
+
+    // q39's windowed cumsum re-run over the md5 shuffle order — the
+    // oracle proves the shuffled shard assignment is bit-exact too
+    "q42_shuffle_shards" -> (NormCte +
+      """, c AS (SELECT doc_id, len(string_split(t, ' ')) AS n_tokens FROM n),
+         k AS (SELECT doc_id, n_tokens,
+                      md5(CAST(doc_id AS VARCHAR) || ':42') || ':' ||
+                        CAST(doc_id AS VARCHAR) AS shuffle_key
+               FROM c),
+         w AS (SELECT doc_id, n_tokens, shuffle_key,
+                      CAST(sum(n_tokens) OVER (ORDER BY shuffle_key
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+               FROM k)
+         SELECT doc_id, n_tokens, shuffle_key, cum_tokens,
+                CAST((cum_tokens - n_tokens) // 1000 AS BIGINT) AS shard
+         FROM w ORDER BY doc_id"""))
 
   // -------------------------------------------------------------- public
 

@@ -110,6 +110,31 @@ object Sampling {
   }
 
   /**
+   * Deterministic corpus SHUFFLE key — the training-order step between
+   * curation and shard packing: models must not see documents in crawl
+   * / ingest order (sorted corpora front-load one domain), and a random
+   * order must survive retries and replays bit-for-bit. `outCol` is
+   * md5(key ':' seed) with ':' + the key appended: the digest prefix is
+   * an effectively random total order any engine reproduces (same md5
+   * contract as [[hashSample]]), and the appended key makes the string
+   * UNIQUE even across digest-prefix collisions — the precondition
+   * [[graft.operators.PrefixScan.runningTotal]] places on its order
+   * column, so sorting or [[graft.operators.PrefixScan.packShards]]-ing
+   * by `outCol` is well-defined. A pure narrow projection: the shuffle
+   * itself is whatever ONE range exchange the downstream sort/pack
+   * already pays — no extra pass at any scale. A new `seed` is a fresh
+   * epoch-order for free.
+   */
+  def withShuffleOrder(df: DataFrame, keyCol: String, seed: Long = 42L,
+                       outCol: String = "shuffle_key"): DataFrame = {
+    require(!df.columns.contains(outCol),
+      s"output column $outCol already exists on the input")
+    df.withColumn(outCol,
+      concat(md5(concat(col(keyCol).cast("string"), lit(":" + seed)).cast("binary")),
+        lit(":"), col(keyCol).cast("string")))
+  }
+
+  /**
    * Quality/importance-WEIGHTED sample — the reweighting step of a
    * curation pipeline (DSIR-style importance resampling, quality-score
    * thinning): each row carries its OWN keep probability in `weightCol`

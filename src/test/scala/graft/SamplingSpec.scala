@@ -100,6 +100,36 @@ class SamplingSpec extends AnyFunSuite with SparkFixture {
       out.collect().map(_.getLong(0)).toSet)
   }
 
+  test("withShuffleOrder: unique, deterministic, partitioning-invariant shards") {
+    import graft.operators.PrefixScan
+    val docs = li.select(col("l_orderkey").cast("long").as("id"),
+        col("l_linenumber").cast("int").as("w"))
+      .groupBy("id").agg(sum("w").cast("int").as("w"))
+    val packed = { (parts: Int) =>
+      PrefixScan.packShards(
+          Sampling.withShuffleOrder(docs.repartition(parts), "id"),
+          "shuffle_key", "w", budget = 50, buckets = 3)
+        .select("id", "shuffle_key", "shard")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+    }
+    val a = packed(1)
+    // keys are unique (the runningTotal precondition) and key-derived
+    assert(a.map(_._2).distinct.size == a.size)
+    // identical assignment under a different physical partitioning
+    assert(packed(7) == a)
+    // the shuffle order is NOT the id order (the whole point): shard 0
+    // is not simply the lowest ids
+    val shard0 = a.filter(_._3 == 0L).map(_._1).toSet
+    val lowest = a.map(_._1).sorted.take(shard0.size).toSet
+    assert(shard0 != lowest)
+    // a different seed is a different epoch order
+    val b = Sampling.withShuffleOrder(docs, "id", seed = 7L)
+      .select("id", "shuffle_key")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(b.map(_._2) != a.map(_._2))
+  }
+
   test("store JSON write round-trips (reference dev event-log generation)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-json").toString
     val cat = new graft.catalog.InMemoryCatalog
