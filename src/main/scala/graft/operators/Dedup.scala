@@ -947,14 +947,18 @@ object Dedup {
    *
    * False positives are the documented Bloom trade (rate ≈
    * (1-e^(-k·n/m))^k) and are DETERMINISTIC: positions come from the
-   * first 16 bits of md5(gram + ":b" + j) reduced mod mBits (a power of
-   * two, so the reduction is a mask), the same hash math in any engine
-   * — an external oracle replays the flags exactly, false positives
-   * included. The 16-bit position hash caps mBits at 65536, sized for a
-   * benchmark-scale probe set (~10k grams at k=5 stays under ~10% fill);
-   * a bigger probe corpus saturates the filter and flags everything —
-   * widen the position hash to more md5 nibbles (and lift the cap) in
-   * both engines together if that regime matters.
+   * first `posNibbles` hex nibbles (4·posNibbles bits) of
+   * md5(gram + ":b" + j) reduced mod mBits (a power of two, so the
+   * reduction is a mask), the same hash math in any engine — an
+   * external oracle replays the flags exactly, false positives
+   * included. The position hash caps mBits at 16^posNibbles: the
+   * default 4 nibbles / 65536 bits is sized for a benchmark-scale probe
+   * set (~10k grams at k=5 stays under ~10% fill); a bigger probe
+   * corpus saturates the filter and flags everything — pass more
+   * nibbles (5 → mBits up to 2²⁰ ≈ 1M bits / 16 KiB broadcast, 7 → 2²⁸
+   * / 32 MiB) and the matching mBits in both engines together. The
+   * oracle-gated d16 entry stays on the default; widening is
+   * spec-pinned (BloomWidthSpec shape in PipelineSpec).
    *
    * Scale shape: the probe side collapses to at most mBits distinct
    * positions (two aggregates); packing them is a driver fold over <=
@@ -965,16 +969,21 @@ object Dedup {
    */
   def bloomDecontaminate(corpus: DataFrame, probes: DataFrame,
                          idCol: String, textCol: String, n: Int,
-                         mBits: Int = 65536, k: Int = 3): DataFrame = {
-    require(mBits >= 64 && mBits <= 65536 && Integer.bitCount(mBits) == 1,
-      "mBits must be a power of two in [64, 65536] — positions are the " +
-        "first 16 md5 bits, so a larger or non-power-of-two filter would " +
-        "bias the reduction")
+                         mBits: Int = 65536, k: Int = 3,
+                         posNibbles: Int = 4): DataFrame = {
+    require(posNibbles >= 4 && posNibbles <= 7,
+      "posNibbles must be in [4, 7] — 7 nibbles (2^28 bits, a 32 MiB " +
+        "broadcast) is already past any sane broadcast filter size")
+    val maxBits = 1 << (4 * posNibbles)
+    require(mBits >= 64 && mBits <= maxBits && Integer.bitCount(mBits) == 1,
+      s"mBits must be a power of two in [64, $maxBits] — positions are " +
+        s"the first ${4 * posNibbles} md5 bits, so a larger or " +
+        "non-power-of-two filter would bias the reduction")
     require(k >= 1 && k <= 8, "k must be in [1, 8]")
-    // position of hash j for gram g: first 4 md5 hex nibbles as an int,
-    // masked to mBits — identical arithmetic in any engine
+    // position of hash j for gram g: first posNibbles md5 hex nibbles as
+    // an int, masked to mBits — identical arithmetic in any engine
     def posCol(g: Column, j: Int): Column =
-      conv(substring(md5(concat(g, lit(s":b$j")).cast("binary")), 1, 4), 16, 10)
+      conv(substring(md5(concat(g, lit(s":b$j")).cast("binary")), 1, posNibbles), 16, 10)
         .cast("int") % mBits
     val setBits = probes
       .select(explode(ngramSet(col(textCol), n)).as("g")).distinct()

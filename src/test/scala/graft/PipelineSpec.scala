@@ -1257,6 +1257,33 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
       .forall(flagged.contains))
   }
 
+  test("bloomDecontaminate widened position hash: d16 semantics at mBits 2^20") {
+    val probes = docs.filter(col("doc_id") % 50 === 0)
+    val wide = Dedup.bloomDecontaminate(docs, probes, "doc_id", "text",
+        n = 3, mBits = 1 << 20, k = 5, posNibbles = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val grams = docs.select(col("doc_id"),
+      explode(Dedup.ngramSet(col("text"), 3)).as("g"))
+    val truth = grams.join(
+        grams.filter(col("doc_id") % 50 === 0).select("g").distinct(), Seq("g"))
+      .select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    // no false negatives at any width
+    assert(truth.subsetOf(wide.keySet))
+    // a 16x larger filter at the same k can only LOWER the false-flag
+    // count vs the 16-bit default (same grams, ~16x lower fill)
+    val narrow = Dedup.bloomDecontaminate(docs, probes, "doc_id", "text",
+        n = 3, k = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(wide.keySet.size <= narrow.size)
+    // the widened hash must cap out correctly: mBits past 16^posNibbles
+    // is a contract violation, not silent bias
+    assertThrows[IllegalArgumentException] {
+      Dedup.bloomDecontaminate(docs, probes, "doc_id", "text",
+        n = 3, mBits = 1 << 20, k = 5, posNibbles = 4)
+    }
+  }
+
   test("kmeansClusters: one label per vector, sizes are the label histogram") {
     val got = Similarity.kmeansClusters(emb, "vec_id", "embedding",
       nCells = 16, iters = 1)
