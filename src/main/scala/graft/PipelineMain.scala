@@ -321,6 +321,46 @@ object PipelineMain {
     }
     Materialize.releaseAll()
 
+    // 13. retrieval stack end-to-end (the t15/s02/s03/s11/s13 harness):
+    // sign-LSH and IVF candidates over the embeddings, RRF-fused, recall
+    // measured against brute-force ground truth — fusion's contract is
+    // that two channels with different blind spots recover neighbors
+    // either alone misses; plus the sparse BM25 channel over the curated
+    // text corpus fused cross-modally with the dense list (structural:
+    // every fused candidate must come from one of its channels)
+    val kRet = 10
+    val retQ = emb.filter(col("vec_id") % 100 === 0)
+    val sign = Similarity.signTopK(emb, retQ, "vec_id", "embedding",
+      k = kRet, planes = 4)
+    val ivf = Similarity.ivfTopK(emb, retQ, "vec_id", "embedding",
+      k = kRet, nCells = 16, probes = 4)
+    val fused = Similarity.rrfFuse(sign, ivf, k = kRet)
+    val truth = Similarity.bruteForceTopK(emb, retQ, "vec_id", "embedding", kRet)
+    def meanRecall(ch: org.apache.spark.sql.DataFrame): Double =
+      Similarity.recallAtK(ch, truth, kRet)
+        .agg(avg("recall")).head.getDouble(0)
+    val (rSign, rIvf, rFused) = (meanRecall(sign), meanRecall(ivf), meanRecall(fused))
+    // cross-modal: BM25 doc candidates (doc_id == vec_id in the fixture)
+    // fused with the dense sign list
+    val bmQ = mixed.filter(col("doc_id").isin(
+      retQ.select("vec_id").collect().map(_.getLong(0)).toSeq: _*))
+    val bm = TextAnalysis.bm25TopK(mixed, bmQ, "doc_id", "text",
+        k = kRet, maxDfFrac = 1.0)
+      .select(col("query_id"), col("rank"), col("doc_id").as("neighbor_id"))
+    val cross = Similarity.rrfFuse(bm, sign, k = kRet)
+    val sources = bm.select(col("query_id"), col("neighbor_id"))
+      .unionByName(sign.select(col("query_id"), col("neighbor_id"))).distinct()
+    val orphan = cross.join(sources, Seq("query_id", "neighbor_id"), "left_anti")
+      .count()
+    stage(13, f"retrieval -> recall@$kRet sign $rSign%.3f, ivf $rIvf%.3f, " +
+        f"fused $rFused%.3f over ${retQ.count()} queries; " +
+        s"cross-modal fused ${cross.count()} rows, $orphan orphans") {
+      rFused >= rSign && rFused >= rIvf && rFused > 0.0 &&
+        orphan == 0 && cross.count() > 0 &&
+        bm.groupBy("query_id").count().collect().forall(_.getLong(1) <= kRet)
+    }
+    Materialize.releaseAll()
+
     println(s"[pipeline] E2E complete under $work")
     spark.stop()
   }
