@@ -1332,6 +1332,26 @@ object SparkEntry {
               TextAnalysis.tokenCount(col("text")).as("n_tokens")),
             "doc_id"),
           "shuffle_key", "n_tokens", budget = 1000)
+        .orderBy("doc_id")),
+
+    // the tokenizer end-to-end: t16's 8 trained merges applied back to
+    // the corpus — word-piece segmentation per document; the oracle
+    // replays training AND application
+    "t18_bpe_segment" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val merges = TextAnalysis.bpeMerges(docs, "text", nMerges = 8)
+        .orderBy("merge_round")
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.bpeSegment(docs, "doc_id", "text", merges)
+        .orderBy("doc_id")
+    }),
+
+    // deterministic 80/10/10 train/val/test assignment by content
+    // digest — the oracle replays the cumulative-cut CASE exactly
+    "q43_train_split" -> ((s, d) =>
+      Sampling.splitByHash(
+          t(s, d, "documents").select(col("doc_id")),
+          "doc_id", Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
         .orderBy("doc_id")))
 
   /** Shared oracle snippet for d06/d07: the 0.95-jaccard near-dup graph
@@ -1370,7 +1390,7 @@ object SparkEntry {
    * total tie-break), and applies the merge with the same plain
    * left-to-right `replace` over the " x  y " encoding. Generated by a
    * loop so the SQL cannot drift from the round count. */
-  private def bpeMergesOracle(nMerges: Int): String = {
+  private def bpeCtes(nMerges: Int): String = {
     // every per-round CTE is MATERIALIZED: the default inlining would
     // substitute s{r-1} (and m{r} three times) into every reference,
     // expanding the plan ~4^nMerges-fold — past the fd limit by round 8
@@ -1397,10 +1417,37 @@ object SparkEntry {
                   GROUP BY w),
        s0 AS MATERIALIZED (
                SELECT regexp_replace(w, '(.)', ' \1 ', 'g') AS s, n FROM w0)""" +
-      "," + rounds + "\n" +
+      "," + rounds
+  }
+
+  private def bpeMergesOracle(nMerges: Int): String =
+    bpeCtes(nMerges) + "\n" +
       s"""SELECT merge_round, lhs, rhs, merged, pair_n
           FROM (${(1 to nMerges).map(r => s"SELECT * FROM m$r").mkString(" UNION ALL ")}) m
           ORDER BY merge_round"""
+
+  /** t18 oracle: the t16 merge CTEs replayed over each DOCUMENT's
+   * spaced-character encoding (word boundaries widen to >= 3 spaces, so
+   * no pair pattern crosses them). A round whose m{r} is empty (loop
+   * exhausted) coalesces its pattern to chr(1) — absent from the corpus,
+   * so the round is a no-op, matching the operator's early stop. */
+  private def bpeSegmentOracle(nMerges: Int): String = {
+    val docChain = (1 to nMerges).map { r =>
+      s"""
+       g$r AS MATERIALIZED (
+               SELECT doc_id,
+                      replace(s, coalesce(' ' || (SELECT lhs FROM m$r) || '  ' ||
+                                          (SELECT rhs FROM m$r) || ' ', chr(1)),
+                              coalesce(' ' || (SELECT merged FROM m$r) || ' ', chr(1))) AS s
+               FROM g${r - 1})"""
+    }.mkString(",")
+    bpeCtes(nMerges) +
+      """, g0 AS (SELECT doc_id, regexp_replace(t, '(.)', ' \1 ', 'g') AS s FROM n)""" +
+      "," + docChain + "\n" +
+      s"""SELECT doc_id,
+                 regexp_replace(trim(s), ' +', ' ', 'g') AS bpe,
+                 CAST(len(string_split_regex(trim(s), ' +')) AS BIGINT) AS n_bpe
+          FROM g$nMerges ORDER BY doc_id"""
   }
 
   /** Shared d12/d14 span pipeline: positional 8-token shingle index,
@@ -2503,6 +2550,20 @@ object SparkEntry {
 
     // the BPE merge loop, unrolled round by round (see bpeMergesOracle)
     "t16_bpe_merges" -> bpeMergesOracle(8),
+
+    // training + application unrolled together (see bpeSegmentOracle)
+    "t18_bpe_segment" -> bpeSegmentOracle(8),
+
+    // cumulative digest cuts; (0.8 + 0.1) spelled as the sum, not the
+    // folded 0.9 literal, so both engines floor the same IEEE double
+    "q43_train_split" ->
+      """SELECT doc_id,
+           CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 4) <
+                     printf('%04x', CAST(floor(0.8 * 65536) AS BIGINT)) THEN 'train'
+                WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 4) <
+                     printf('%04x', CAST(floor((0.8 + 0.1) * 65536) AS BIGINT)) THEN 'val'
+                ELSE 'test' END AS split
+         FROM documents ORDER BY doc_id""",
 
     // the same doc_id-derived HTML enrichment and the same extraction
     // chain as the Spark side: script/style/comment blocks out, tags ->

@@ -110,6 +110,39 @@ object Sampling {
   }
 
   /**
+   * Deterministic train/validation/test SPLIT: every row labeled with
+   * the name of the digest-range its content key falls in — the
+   * holdout-assignment step of a training pipeline, under the same
+   * 16-bit md5 contract as [[hashSample]] (so `splits = (train, 0.8) ::
+   * rest` makes the train split EQUAL `hashSample(df, key, 0.8)` row
+   * for row, and membership is stable across engines, partitionings,
+   * retries, and corpus growth — a document keeps its split when new
+   * data arrives, the property random-number splits lack). Cut points
+   * are the cumulative fractions; the LAST split takes the whole
+   * remaining range, so floor-rounding can never leave a row
+   * unassigned. A pure narrow projection: one scan at any scale, and
+   * splitting by a join/entity key keeps every table's slice of an
+   * entity in the same split (no train/test leakage through joins).
+   */
+  def splitByHash(df: DataFrame, keyCol: String, splits: Seq[(String, Double)],
+                  seed: Long = 42L, outCol: String = "split"): DataFrame = {
+    require(splits.size >= 2, "need at least two splits")
+    require(splits.map(_._1).distinct.size == splits.size, "split names must be unique")
+    require(splits.forall(_._2 > 0.0), "split fractions must be positive")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      "split fractions must sum to 1 — every row belongs somewhere")
+    require(!df.columns.contains(outCol),
+      s"output column $outCol already exists on the input")
+    val d = keyDigest(keyCol, seed)
+    val cuts = splits.init.map(_._1).zip(
+      splits.init.scanLeft(0.0)(_ + _._2).tail) // (name, cumulative cut)
+    df.withColumn(outCol,
+      cuts.foldRight(lit(splits.last._1): org.apache.spark.sql.Column) {
+        case ((nm, cum), acc) => when(d < lit(cutHex(cum)), lit(nm)).otherwise(acc)
+      })
+  }
+
+  /**
    * Deterministic corpus SHUFFLE key — the training-order step between
    * curation and shard packing: models must not see documents in crawl
    * / ingest order (sorted corpora front-load one domain), and a random

@@ -705,6 +705,39 @@ object TextAnalysis {
     merges.toSeq.toDF("merge_round", "lhs", "rhs", "merged", "pair_n")
   }
 
+  /**
+   * BPE segmentation — applying a [[bpeMerges]]-trained merge table to
+   * the corpus, the other half of the tokenizer: each document's text
+   * is encoded into the same spaced-symbol form (every CHARACTER
+   * wrapped in single spaces — including the inter-word space itself,
+   * whose wrapping widens word boundaries to runs of ≥3 spaces that no
+   * " x  y " pair pattern can ever match, so merges cannot cross
+   * words), the merges replay in training order as the same plain
+   * left-to-right replaces, and the surviving symbols — word pieces —
+   * are emitted single-space-joined with their count. A document's
+   * segmentation is therefore exactly the greedy merge-order BPE of
+   * each of its words.
+   *
+   * Scale shape: the merge table is CONFIG (driver-side Seq, typically
+   * 10²–10⁴ entries trained once); application is one narrow
+   * regexp pass plus |merges| literal replaces — whole-stage codegen,
+   * zero shuffles, a 100 TB corpus segments at scan speed. Replayable
+   * by any engine: literal replacement only, no regex in the loop.
+   */
+  def bpeSegment(df: DataFrame, idCol: String, textCol: String,
+                 merges: Seq[(String, String)]): DataFrame = {
+    require(merges.forall { case (l, r) => l.nonEmpty && r.nonEmpty &&
+      !l.contains(' ') && !r.contains(' ') },
+      "merge symbols must be non-empty and space-free — a space-bearing " +
+        "symbol would breach the word-boundary encoding")
+    val enc = regexp_replace(normalizeText(col(textCol)), "(.)", " $1 ")
+    val seg = merges.foldLeft(enc) { case (acc, (l, r)) =>
+      call_function("replace", acc, lit(s" $l  $r "), lit(s" $l$r "))
+    }
+    val bpe = regexp_replace(trim(seg), " +", " ")
+    df.select(col(idCol), bpe.as("bpe"), size(split(bpe, " ")).as("n_bpe"))
+  }
+
   /** All features in one pass over the corpus. */
   def withTextFeatures(df: DataFrame, textCol: String): DataFrame = {
     val c = col(textCol)

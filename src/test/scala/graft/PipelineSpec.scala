@@ -1548,6 +1548,33 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
       (1, "a", "a", 5L), (2, "aa", "a", 1L), (3, "aa", "aa", 1L)))
   }
 
+  test("bpeSegment applies trained merges in order, never across words") {
+    import spark.implicits._
+    val corpus = Seq((0L, "low low low"), (1L, "lower lower"), (2L, "lowest"))
+      .toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeMerges(corpus, "text", nMerges = 8)
+      .orderBy("merge_round")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val got = TextAnalysis.bpeSegment(corpus, "doc_id", "text", merges)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    // the 6 trained merges (see the bpeMerges spec) fully fuse low and
+    // lower and lowest — each word is one piece, boundaries intact
+    assert(got.toSeq == Seq(
+      (0L, "low low low", 3), (1L, "lower lower", 2), (2L, "lowest", 1)))
+    // partial vocabulary: only the first two merges -> "low" fuses,
+    // suffixes stay at character grain, and a word the merges never saw
+    // segments to characters
+    val part = TextAnalysis.bpeSegment(
+        Seq((0L, "lower"), (1L, "slow")).toDF("doc_id", "text"),
+        "doc_id", "text", merges.take(2))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getString(1), r.getInt(2)))
+    // "lower" -> low e r; "slow": greedy l-o then lo-w fires INSIDE the
+    // word only when adjacency survives: s l o w -> s lo w -> s low
+    assert(part.toSeq == Seq(("low e r", 3), ("s low", 2)))
+  }
+
   test("extractHtmlText: blocks out, tags to spaces, entities decoded in order") {
     import spark.implicits._
     val cases = Seq(

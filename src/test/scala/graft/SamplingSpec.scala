@@ -100,6 +100,39 @@ class SamplingSpec extends AnyFunSuite with SparkFixture {
       out.collect().map(_.getLong(0)).toSet)
   }
 
+  test("splitByHash: total, disjoint, hashSample-coherent, growth-stable") {
+    val keys = li.select(col("l_orderkey").cast("long").as("id")).distinct()
+    val n = keys.count()
+    val split = Sampling.splitByHash(keys, "id",
+      Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+    val byName = split.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // total and disjoint: every row gets exactly one of the three labels
+    assert(byName.values.sum == n && byName.keySet == Set("train", "val", "test"))
+    // fractions land near targets (16-bit digest, generous bounds)
+    assert(byName("train") > n * 0.7 && byName("train") < n * 0.9)
+    assert(byName("val") > n * 0.04 && byName("val") < n * 0.16)
+    // the train split IS hashSample at the same fraction/seed — one
+    // digest contract across the samplers
+    val train = split.filter(col("split") === "train").select("id")
+      .collect().map(_.getLong(0)).toSet
+    val hs = Sampling.hashSample(keys, "id", 0.8)
+      .collect().map(_.getLong(0)).toSet
+    assert(train == hs)
+    // growth stability: adding rows never re-assigns an existing key
+    val grown = Sampling.splitByHash(
+        keys.union(keys.select((col("id") + 1000000L).as("id"))), "id",
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+      .filter(col("id") < 1000000L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val base = split.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(grown == base)
+    // fractions must sum to 1 — a gap would leave rows unassigned
+    assertThrows[IllegalArgumentException] {
+      Sampling.splitByHash(keys, "id", Seq(("a", 0.5), ("b", 0.4)))
+    }
+  }
+
   test("withShuffleOrder: unique, deterministic, partitioning-invariant shards") {
     import graft.operators.PrefixScan
     val docs = li.select(col("l_orderkey").cast("long").as("id"),
