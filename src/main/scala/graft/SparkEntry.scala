@@ -1352,6 +1352,12 @@ object SparkEntry {
       Sampling.splitByHash(
           t(s, d, "documents").select(col("doc_id")),
           "doc_id", Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+        .orderBy("doc_id")),
+
+    // corpus bigram LM log-likelihood per doc (CCNet-style quality
+    // signal, integer-micro fixed per distinct bigram term)
+    "t19_bigram_lm" -> ((s, d) =>
+      TextAnalysis.bigramLogProb(t(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id")))
 
   /** Shared oracle snippet for d06/d07: the 0.95-jaccard near-dup graph
@@ -2564,6 +2570,25 @@ object SparkEntry {
                      printf('%04x', CAST(floor((0.8 + 0.1) * 65536) AS BIGINT)) THEN 'val'
                 ELSE 'test' END AS split
          FROM documents ORDER BY doc_id""",
+
+    // same aggregates, same micro-fixed log term, same integer sums
+    "t19_bigram_lm" -> (NormCte +
+      """, tk AS (SELECT doc_id, string_split(t, ' ') AS ts FROM n),
+         ex AS (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 1)) AS i
+                FROM tk WHERE len(ts) >= 2),
+         bd AS (SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2,
+                       CAST(count(*) AS BIGINT) AS n_bd
+                FROM ex GROUP BY 1, 2, 3),
+         cb AS (SELECT w1, w2, CAST(sum(n_bd) AS BIGINT) AS c12
+                FROM bd GROUP BY 1, 2),
+         cu AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM cb GROUP BY 1),
+         v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS vs
+               FROM (SELECT w1 AS w FROM cb UNION SELECT w2 FROM cb) u)
+         SELECT doc_id,
+                CAST(sum(n_bd) AS BIGINT) AS n_pairs,
+                CAST(sum(n_bd * CAST(floor(ln((c12 + 1.0) / (c1 + vs)) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS logp_micro_sum
+         FROM bd JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN v
+         GROUP BY doc_id ORDER BY doc_id"""),
 
     // the same doc_id-derived HTML enrichment and the same extraction
     // chain as the Spark side: script/style/comment blocks out, tags ->

@@ -738,6 +738,59 @@ object TextAnalysis {
     df.select(col(idCol), bpe.as("bpe"), size(split(bpe, " ")).as("n_bpe"))
   }
 
+  /**
+   * Corpus bigram language-model score — the CCNet/KenLM-style quality
+   * signal with no trained artifact: each document scored by the
+   * add-one-smoothed conditional log-likelihood of its own token
+   * bigrams under the corpus's bigram counts,
+   * `Σ n_occ · ln((c(w1,w2) + 1) / (c(w1·) + V))`, where `c(w1·)` is
+   * the count of bigrams with that prefix and `V` the corpus
+   * vocabulary. Fluent in-domain text scores high (per pair, near the
+   * corpus distribution); mojibake, shuffled-word, and
+   * out-of-distribution docs score low — the filter CCNet runs with a
+   * trained LM, replayable because the "model" IS the corpus aggregate.
+   *
+   * Determinism contract: each distinct bigram's log term is fixed to
+   * integer MICROS (floor(ln·10⁶ + 0.5), the t15 recipe) before being
+   * weighted by its integer occurrence count and summed — long sums
+   * commute, so partitioning cannot drift the result, and division is
+   * left to the caller (a micro-sum and a pair count are returned, not
+   * a ratio: truncating vs flooring integer division differs between
+   * engines on negative sums).
+   *
+   * Scale shape: one tokenize-explode into a per-(doc, bigram)
+   * map-side-combined aggregate (the [[bm25TopK]] tf shape at bigram
+   * grain, [[Materialize]]d eagerly — it feeds the corpus counts AND
+   * the scoring join in one plan); corpus bigram/prefix tables are
+   * aggregates of it (vocab²-bounded, Zipf-small in practice); the
+   * scoring join is bigram-keyed with AQE free to broadcast. No
+   * all-pairs anything; docs shorter than one bigram drop out.
+   */
+  def bigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("ts"))
+    val bd = Materialize.eager(
+      toks.filter(size(col("ts")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(ts) - 1), " +
+            "i -> struct(ts[i-1] AS w1, ts[i] AS w2))")).as("p"))
+        .groupBy(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .agg(count(lit(1)).as("n_bd")))
+    val cb = bd.groupBy("w1", "w2").agg(sum("n_bd").as("c12"))
+    val cu = cb.groupBy("w1").agg(sum("c12").as("c1"))
+    val v = cb.select(col("w1").as("w")).union(cb.select(col("w2").as("w")))
+      .agg(countDistinct(col("w")).as("vs"))
+    // expression text mirrored by the SQL oracle: (c12 + 1.0) / (c1 + vs)
+    val mic = floor(log((col("c12") + lit(1.0)) / (col("c1") + col("vs"))) *
+      lit(1000000.0) + lit(0.5)).cast("long")
+    bd.join(cb, Seq("w1", "w2"))
+      .join(cu, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .groupBy("doc_id")
+      .agg(sum(col("n_bd") * mic).as("logp_micro_sum"),
+        sum(col("n_bd")).as("n_pairs"))
+      .select(col("doc_id"), col("n_pairs"), col("logp_micro_sum"))
+  }
+
   /** All features in one pass over the corpus. */
   def withTextFeatures(df: DataFrame, textCol: String): DataFrame = {
     val c = col(textCol)

@@ -1575,6 +1575,39 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(part.toSeq == Seq(("low e r", 3), ("s low", 2)))
   }
 
+  test("bigramLogProb: hand-computed add-one bigram LM, exact micro replay") {
+    import spark.implicits._
+    // corpus: "a b" x3 and "a c" — bigram counts c(a,b)=3 c(a,c)=1,
+    // prefix c(a.)=4, vocab {a,b,c} V=3
+    val corpus = Seq((0L, "a b"), (1L, "a b"), (2L, "a b"), (3L, "a c"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLogProb(corpus, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val micAB = math.floor(math.log((3 + 1.0) / (4 + 3)) * 1e6 + 0.5).toLong
+    val micAC = math.floor(math.log((1 + 1.0) / (4 + 3)) * 1e6 + 0.5).toLong
+    assert(got.toSeq == Seq((0L, 1L, micAB), (1L, 1L, micAB),
+      (2L, 1L, micAB), (3L, 1L, micAC)))
+    // the common bigram scores strictly higher than the rare one
+    assert(micAB > micAC)
+    // single-token docs have no bigram and drop out
+    val short = TextAnalysis.bigramLogProb(
+      Seq((0L, "a b"), (1L, "a")).toDF("doc_id", "text"), "doc_id", "text")
+    assert(short.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(0L))
+    // adding "c b" changes the model itself (the model IS the corpus):
+    // now c(c,b)=1, c(c.)=1, so doc 9 scores ln(2/4) — conditionally
+    // likelier than doc 3's ln(2/7) despite the rarer bigram, because
+    // the prefix 'c' is rare too. Exact replay of the new aggregates:
+    val ext = TextAnalysis.bigramLogProb(
+        (Seq((0L, "a b"), (1L, "a b"), (2L, "a b"), (3L, "a c"), (9L, "c b")))
+          .toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    def micro(p: Double): Long = math.floor(math.log(p) * 1e6 + 0.5).toLong
+    assert(ext(0L) == micro(4.0 / 7) && ext(3L) == micro(2.0 / 7) &&
+      ext(9L) == micro(2.0 / 4))
+    assert(ext(3L) < ext(9L) && ext(9L) < ext(0L))
+  }
+
   test("extractHtmlText: blocks out, tags to spaces, entities decoded in order") {
     import spark.implicits._
     val cases = Seq(
