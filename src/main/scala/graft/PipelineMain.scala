@@ -328,14 +328,18 @@ object PipelineMain {
     // either alone misses; plus the sparse BM25 channel over the curated
     // text corpus fused cross-modally with the dense list (structural:
     // every fused candidate must come from one of its channels)
+    // each channel feeds several consumers below (recall, fusion, the
+    // source check) — cut them once instead of re-running corpus-wide
+    // join+window jobs per driver action
     val kRet = 10
     val retQ = emb.filter(col("vec_id") % 100 === 0)
-    val sign = Similarity.signTopK(emb, retQ, "vec_id", "embedding",
-      k = kRet, planes = 4)
-    val ivf = Similarity.ivfTopK(emb, retQ, "vec_id", "embedding",
-      k = kRet, nCells = 16, probes = 4)
+    val sign = Materialize.eager(Similarity.signTopK(emb, retQ, "vec_id",
+      "embedding", k = kRet, planes = 4))
+    val ivf = Materialize.eager(Similarity.ivfTopK(emb, retQ, "vec_id",
+      "embedding", k = kRet, nCells = 16, probes = 4))
     val fused = Similarity.rrfFuse(sign, ivf, k = kRet)
-    val truth = Similarity.bruteForceTopK(emb, retQ, "vec_id", "embedding", kRet)
+    val truth = Materialize.eager(
+      Similarity.bruteForceTopK(emb, retQ, "vec_id", "embedding", kRet))
     def meanRecall(ch: org.apache.spark.sql.DataFrame): Double =
       Similarity.recallAtK(ch, truth, kRet)
         .agg(avg("recall")).head.getDouble(0)
@@ -344,19 +348,28 @@ object PipelineMain {
     // fused with the dense sign list
     val bmQ = mixed.filter(col("doc_id").isin(
       retQ.select("vec_id").collect().map(_.getLong(0)).toSeq: _*))
-    val bm = TextAnalysis.bm25TopK(mixed, bmQ, "doc_id", "text",
-        k = kRet, maxDfFrac = 1.0)
-      .select(col("query_id"), col("rank"), col("doc_id").as("neighbor_id"))
+    val bm = Materialize.eager(
+      TextAnalysis.bm25TopK(mixed, bmQ, "doc_id", "text",
+          k = kRet, maxDfFrac = 1.0)
+        .select(col("query_id"), col("rank"), col("doc_id").as("neighbor_id")))
     val cross = Similarity.rrfFuse(bm, sign, k = kRet)
+    val nCross = cross.count()
     val sources = bm.select(col("query_id"), col("neighbor_id"))
       .unionByName(sign.select(col("query_id"), col("neighbor_id"))).distinct()
     val orphan = cross.join(sources, Seq("query_id", "neighbor_id"), "left_anti")
       .count()
+    // fused >= each channel holds on the pinned fixture (and is the
+    // point of running the harness: catching a fusion regression); it
+    // is NOT an RRF theorem — two channels agreeing on k mediocre
+    // candidates can outvote a truth hit one channel found alone — so
+    // on overridden data (GRAFT_EMB_DATA) only the floor is asserted
+    val fixtureEmb = !sys.env.contains("GRAFT_EMB_DATA")
     stage(13, f"retrieval -> recall@$kRet sign $rSign%.3f, ivf $rIvf%.3f, " +
         f"fused $rFused%.3f over ${retQ.count()} queries; " +
-        s"cross-modal fused ${cross.count()} rows, $orphan orphans") {
-      rFused >= rSign && rFused >= rIvf && rFused > 0.0 &&
-        orphan == 0 && cross.count() > 0 &&
+        s"cross-modal fused $nCross rows, $orphan orphans") {
+      (!fixtureEmb || (rFused >= rSign && rFused >= rIvf)) &&
+        rFused >= math.min(rSign, rIvf) && rFused > 0.0 &&
+        orphan == 0 && nCross > 0 &&
         bm.groupBy("query_id").count().collect().forall(_.getLong(1) <= kRet)
     }
     Materialize.releaseAll()

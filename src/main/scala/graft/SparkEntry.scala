@@ -2610,8 +2610,8 @@ object SparkEntry {
            trim(regexp_replace(
              replace(replace(replace(replace(replace(replace(replace(
                regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
-                 '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),
-                 '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g'),
+                 '(?is)<script\b[^>]*>.*?</script[ \t\n\r\f]*>', ' ', 'g'),
+                 '(?is)<style\b[^>]*>.*?</style[ \t\n\r\f]*>', ' ', 'g'),
                  '(?s)<!--.*?-->', ' ', 'g'),
                  '(?s)<[^>]*>', ' ', 'g'),
                '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),

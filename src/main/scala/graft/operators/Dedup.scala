@@ -612,6 +612,32 @@ object Dedup {
       .agg(min(col("pa")).as("sa"), (max(col("pa")) + minTokens - 1).as("ea"))
   }
 
+  /** How many HOT gram types the span-family guard will ship as a
+   * broadcast list (~2M longs ≈ tens of MB). Zipf puts real corpora far
+   * under this at any sane maxOcc; the bound exists for the adversarial
+   * regime (tiny maxOcc over a corpus where most types repeat), where a
+   * forced broadcast would OOM the driver. */
+  private val BroadcastHotTypes = 2L * 1000 * 1000
+
+  /** The span-family hot-gram guard: drop every index row whose gram
+   * occurs more than `maxOcc` times in the index. The count is a
+   * map-side-combinable groupBy (NOT a per-key window — the hot key
+   * would funnel its 10^7 occurrences into one partition), and the hot
+   * TYPE list joins back anti, broadcast only when a driver-scalar
+   * count proves it under [[BroadcastHotTypes]] (the branch-pick
+   * pattern of [[jaccardPairs]]); past the bound the anti-join goes
+   * unhinted, where AQE's skew handling splits any hot left partition.
+   * Callers pass a [[Materialize]]d index, so the count pass and the
+   * join re-read the cut, not the corpus. */
+  private def dropHotGrams(idx: DataFrame, maxOcc: Long): DataFrame = {
+    val hot = idx.groupBy("g").agg(count(lit(1)).as("occ_n"))
+      .filter(col("occ_n") > maxOcc).select("g")
+    val nHot = hot.count() // driver scalar: |hot types| picks the branch
+    if (nHot <= BroadcastHotTypes)
+      idx.join(broadcast(hot), Seq("g"), "left_anti")
+    else idx.join(hot, Seq("g"), "left_anti")
+  }
+
   private def spansFromTokens(tokens: DataFrame, idCol: String,
                               minTokens: Int, maxOcc: Int): DataFrame = {
     require(minTokens >= 2,
@@ -622,16 +648,14 @@ object Dedup {
     // hot-shingle guard, skew-safe: the guard's own input is exactly the
     // pathological key (a boilerplate shingle occurring 10^7 times), so
     // counting via a per-key window would land all its occurrences in
-    // ONE window partition — the guard becoming the skew victim. Count
-    // by groupBy instead (map-side partial aggregation bounds any key's
-    // reducer input at one row per map task), keep only the hot gram
-    // TYPES (Zipf: few, no matter how many occurrences), broadcast that
-    // list and anti-join the index — the [[fingerprintSetPairs]]
-    // discipline. The index is cut ONCE and feeds the count pass and
-    // both pair-join sides (without the cut the corpus tokenizes twice).
-    val hot = occ.groupBy("g").agg(count(lit(1)).as("occ_n"))
-      .filter(col("occ_n") > maxOcc).select("g")
-    val kept = occ.join(broadcast(hot), Seq("g"), "left_anti")
+    // ONE window partition — the guard becoming the skew victim.
+    // [[dropHotGrams]] counts by groupBy instead (map-side partial
+    // aggregation bounds any key's reducer input at one row per map
+    // task) and anti-joins the hot gram TYPES back, broadcast only while
+    // that set is provably small. The index is cut ONCE and feeds the
+    // count pass and both pair-join sides (without the cut the corpus
+    // tokenizes twice).
+    val kept = dropHotGrams(occ, maxOcc)
     val matches = kept.select(col("g"), col("doc").as("doc_a"), col("p").as("pa"))
       .join(kept.select(col("g"), col("doc").as("doc_b"), col("p").as("pb")), Seq("g"))
       .filter(col("doc_a") < col("doc_b"))
@@ -676,26 +700,22 @@ object Dedup {
       minTokens)
     // probe index is benchmark-sized: guard its hot shingles (in-probe
     // occurrence count, before any corpus contact) with the same
-    // skew-safe groupBy + broadcast-hot anti-join as [[spansFromTokens]]
-    // (a per-key window would funnel a degenerate probe's repeated
-    // shingle into one partition), cut once — it feeds the vocabulary
-    // semi-join AND the match join. Dropping a gram from the vocabulary
-    // doesn't change other grams' corpus-side counts, so the two guards
-    // commute with the semi-join.
+    // skew-safe [[dropHotGrams]] as [[spansFromTokens]] (a per-key
+    // window would funnel a degenerate probe's repeated shingle into
+    // one partition), cut once — it feeds the vocabulary semi-join AND
+    // the match join. Dropping a gram from the vocabulary doesn't
+    // change other grams' corpus-side counts, so the two guards commute
+    // with the semi-join.
     val pAll = Materialize(posIndex(
       tokenTable(probes, idCol, textCol).select(col(idCol).as("doc"), col("ts")),
       minTokens))
-    val pHot = pAll.groupBy("g").agg(count(lit(1)).as("occ_n"))
-      .filter(col("occ_n") > maxOcc).select("g")
-    val pOcc = pAll.join(broadcast(pHot), Seq("g"), "left_anti")
+    val pOcc = dropHotGrams(pAll, maxOcc)
     // the corpus-side candidate index is probe-restricted (output-scale,
     // not corpus-scale) — cut it so the corpus tokenizes once while it
     // feeds its own hot-count pass and the match join
     val cCand = Materialize(cOcc
       .join(broadcast(pOcc.select("g").distinct()), Seq("g"), "left_semi"))
-    val cHot = cCand.groupBy("g").agg(count(lit(1)).as("occ_n"))
-      .filter(col("occ_n") > maxOcc).select("g")
-    val cKept = cCand.join(broadcast(cHot), Seq("g"), "left_anti")
+    val cKept = dropHotGrams(cCand, maxOcc)
     // corpus is side a (the span coordinates we keep), probe is side b
     val matches = cKept.select(col("g"), col("doc").as("doc_a"), col("p").as("pa"))
       .join(pOcc.select(col("g"), col("doc").as("doc_b"), col("p").as("pb")), Seq("g"))
@@ -955,8 +975,8 @@ object Dedup {
    * default 4 nibbles / 65536 bits is sized for a benchmark-scale probe
    * set (~10k grams at k=5 stays under ~10% fill); a bigger probe
    * corpus saturates the filter and flags everything — pass more
-   * nibbles (5 → mBits up to 2²⁰ ≈ 1M bits / 16 KiB broadcast, 7 → 2²⁸
-   * / 32 MiB) and the matching mBits in both engines together. The
+   * nibbles (5 → mBits up to 2²⁰ ≈ 1M bits / 128 KiB broadcast, 7 →
+   * 2²⁸ / 32 MiB) and the matching mBits in both engines together. The
    * oracle-gated d16 entry stays on the default; widening is
    * spec-pinned (BloomWidthSpec shape in PipelineSpec).
    *

@@ -616,9 +616,12 @@ object TextAnalysis {
    * one narrow scan, whole-stage codegen, zero shuffles at any scale.
    */
   def extractHtmlText(c: Column): Column = {
+    // the close-tag whitespace is the explicit class too — \s would
+    // break the byte-for-byte replay contract of step 5 (Java's \s
+    // matches \x0B where RE2's does not)
     val noBlocks = regexp_replace(
-      regexp_replace(c, "(?is)<script\\b[^>]*>.*?</script\\s*>", " "),
-      "(?is)<style\\b[^>]*>.*?</style\\s*>", " ")
+      regexp_replace(c, "(?is)<script\\b[^>]*>.*?</script[ \\t\\n\\r\\f]*>", " "),
+      "(?is)<style\\b[^>]*>.*?</style[ \\t\\n\\r\\f]*>", " ")
     val noMarkup = regexp_replace(
       regexp_replace(noBlocks, "(?s)<!--.*?-->", " "),
       "(?s)<[^>]*>", " ")

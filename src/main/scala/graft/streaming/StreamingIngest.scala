@@ -136,29 +136,6 @@ object StreamingIngest {
         throw new java.io.IOException(
           s"garbled landing marker $n in $dir — refusing to treat the table as fresh", e) }
     }
-    val maxId = ids.foldLeft(-1L)(math.max)
-    // an operator-made COPY of a valid marker (`.5.bak`, editor
-    // droppings) is skippable ONLY while a bare numeric marker with the
-    // same-or-higher id still names the landed batch; if the suffixed
-    // file is all that's left (an operator RENAMED the real marker, or
-    // its id exceeds every bare marker), skipping would silently
-    // regress lastLandedBatch and replay landed batches — fail safe
-    // instead. Anything without a leading numeric id is truly ambiguous
-    // and also fails safe.
-    suffixes.foreach { case (n, s) =>
-      if (!(s.nonEmpty && s.forall(_.isDigit))) {
-        val lead = s.takeWhile(_ != '.')
-        val covered = s.contains('.') && lead.nonEmpty && lead.forall(_.isDigit) &&
-          (try lead.toLong <= maxId
-           catch { case _: NumberFormatException => false })
-        if (covered)
-          org.slf4j.LoggerFactory.getLogger(getClass)
-            .warn(s"ignoring non-marker file $n in ${markerDir(dir)} " +
-              "(copy of a still-present numeric marker — operator droppings?)")
-        else throw new java.io.IOException(
-          s"garbled landing marker $n in $dir — refusing to treat the table as fresh")
-      }
-    }
     val legacy =
       try {
         val in = fs.open(new Path(dir, MarkerPrefix))
@@ -168,7 +145,33 @@ object StreamingIngest {
         catch { case e: NumberFormatException => throw new java.io.IOException(
           s"garbled legacy landing marker in $dir — refusing to treat the table as fresh", e) }
       } catch { case _: java.io.FileNotFoundException => Seq.empty }
-    (ids ++ legacy).foldLeft(-1L)(math.max)
+    // the coverage floor counts the legacy ROOT marker too: during a
+    // legacy->versioned migration a table can hold only the root marker
+    // plus an operator copy, and ignoring the root id would wedge it
+    val maxId = (ids ++ legacy).foldLeft(-1L)(math.max)
+    // an operator-made COPY of a valid marker (`.5.bak`, editor
+    // droppings) is skippable ONLY while a real marker (bare versioned
+    // or legacy root) with the same-or-higher id still names the landed
+    // batch; if the suffixed file is all that's left (an operator
+    // RENAMED the real marker, or its id exceeds every real marker),
+    // skipping would silently regress lastLandedBatch and replay landed
+    // batches — fail safe instead. Anything without a leading numeric
+    // id is truly ambiguous and also fails safe.
+    suffixes.foreach { case (n, s) =>
+      if (!(s.nonEmpty && s.forall(_.isDigit))) {
+        val lead = s.takeWhile(_ != '.')
+        val covered = s.contains('.') && lead.nonEmpty && lead.forall(_.isDigit) &&
+          (try lead.toLong <= maxId
+           catch { case _: NumberFormatException => false })
+        if (covered)
+          org.slf4j.LoggerFactory.getLogger(getClass)
+            .warn(s"ignoring non-marker file $n in ${markerDir(dir)} " +
+              "(copy of a still-present marker — operator droppings?)")
+        else throw new java.io.IOException(
+          s"garbled landing marker $n in $dir — refusing to treat the table as fresh")
+      }
+    }
+    maxId
   }
 
   /** Commit batch `id` as landed: tmp write + rename to the fresh

@@ -58,4 +58,21 @@ class LandingMarkerSpec extends AnyFunSuite {
     fs.create(new Path(md, "_last_landed_batch.4.bak")).close()
     intercept[java.io.IOException] { StreamingIngest.lastLandedBatch(fs, dir) }
   }
+
+  test("the legacy ROOT marker covers operator copies during migration") {
+    val (fs, dir) = fixture()
+    val md = StreamingIngest.markerDir(dir)
+    fs.mkdirs(md)
+    // a pre-versioned table: the root file's CONTENT is the id
+    val out = fs.create(new Path(dir, "_last_landed_batch"))
+    out.write("9".getBytes("UTF-8")); out.close()
+    // an operator copy made during migration, with no bare versioned
+    // marker yet: the legacy id 9 proves batch 4 landed — skipping the
+    // copy (not wedging) is correct, and the legacy id is the answer
+    fs.create(new Path(md, "_last_landed_batch.4.bak")).close()
+    assert(StreamingIngest.lastLandedBatch(fs, dir) == 9L)
+    // but a copy PAST the legacy id may be the renamed real marker
+    fs.create(new Path(md, "_last_landed_batch.12.bak")).close()
+    intercept[java.io.IOException] { StreamingIngest.lastLandedBatch(fs, dir) }
+  }
 }
