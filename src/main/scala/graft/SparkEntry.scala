@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Joins, Multimodal, PrefixScan, QueryRunner, Sampling, Similarity, TextAnalysis, UrlFilter}
+import graft.operators.{Dedup, Joins, Multimodal, PrefixScan, QueryRunner, Sampling, Scd, Similarity, TextAnalysis, UrlFilter}
 
 /**
  * Driver contract — one `queries` entry per operator from SURVEY.md §2
@@ -1358,7 +1358,37 @@ object SparkEntry {
     // signal, integer-micro fixed per distinct bigram term)
     "t19_bigram_lm" -> ((s, d) =>
       TextAnalysis.bigramLogProb(t(s, d, "documents"), "doc_id", "text")
-        .orderBy("doc_id")))
+        .orderBy("doc_id")),
+
+    // SCD type-2 validity intervals from the event stream: per-user
+    // event_type runs null-safely collapsed, half-open
+    // valid_from/valid_to; the collapse lag and the validity lead share
+    // ONE window exchange+sort (plan-pinned in the spec). (user_id, ts)
+    // is unique in the corpus, so the output order is total.
+    "q44_scd2" -> ((s, d) =>
+      Scd.scd2(
+          events(s, d).select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type")),
+          key = "user_id", orderCols = Seq("ts", "event_id"),
+          attrs = Seq("event_type"))
+        // int flag: no oracle-side boolean representation to negotiate
+        .withColumn("is_current", col("is_current").cast("int"))
+        .orderBy("user_id", "valid_from")),
+
+    // snapshot reconciliation: two versions of `orders` (old drops
+    // key%17 rows; new drops key%13 and bumps key%7 totalprice) diffed
+    // into an applyable I/U/D changelog — the INVERSE of the CDC apply
+    // fold, one full-outer sort-merge join on the key
+    "q45_snapshot_diff" -> ((s, d) => {
+      val base = t(s, d, "orders")
+      val oldSnap = base.filter(col("o_orderkey") % 17 =!= 0)
+      val newSnap = base.filter(col("o_orderkey") % 13 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 7 === 0, col("o_totalprice") + lit(1.0))
+            .otherwise(col("o_totalprice")))
+      Scd.snapshotDiff(oldSnap, newSnap, Seq("o_orderkey"))
+        .orderBy("o_orderkey")
+    }))
 
   /** Shared oracle snippet for d06/d07: the 0.95-jaccard near-dup graph
    * (same tokenization/threshold as d04) plus the recursive reachability
@@ -2633,7 +2663,46 @@ object SparkEntry {
                FROM k)
          SELECT doc_id, n_tokens, shuffle_key, cum_tokens,
                 CAST((cum_tokens - n_tokens) // 1000 AS BIGINT) AS shard
-         FROM w ORDER BY doc_id"""))
+         FROM w ORDER BY doc_id"""),
+
+    // the same null-safe lag collapse and lead validity window
+    "q44_scd2" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+                            event_type FROM events),
+         l AS (SELECT *, lag(event_type) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM ev),
+         r AS (SELECT user_id, ts, event_id, event_type FROM l
+               WHERE prev IS DISTINCT FROM event_type),
+         v AS (SELECT user_id, event_type, ts AS valid_from,
+                      lead(ts) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS valid_to
+               FROM r)
+         SELECT user_id, event_type, valid_from, valid_to,
+                CAST(valid_to IS NULL AS INTEGER) AS is_current
+         FROM v ORDER BY user_id, valid_from""",
+
+    // the same full-outer classify; every shared column compared
+    // null-safely, NEW side carried on the changelog
+    "q45_snapshot_diff" ->
+      """WITH oldv AS (SELECT * FROM orders WHERE o_orderkey % 17 <> 0),
+         newv AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+                              ELSE o_totalprice END AS o_totalprice,
+                         o_orderdate, o_orderpriority
+                  FROM orders WHERE o_orderkey % 13 <> 0),
+         j AS (SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+                      CASE WHEN o.o_orderkey IS NULL THEN 'I'
+                           WHEN n.o_orderkey IS NULL THEN 'D'
+                           WHEN (o.o_custkey IS DISTINCT FROM n.o_custkey)
+                             OR (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus)
+                             OR (o.o_totalprice IS DISTINCT FROM n.o_totalprice)
+                             OR (o.o_orderdate IS DISTINCT FROM n.o_orderdate)
+                             OR (o.o_orderpriority IS DISTINCT FROM n.o_orderpriority)
+                           THEN 'U' END AS change,
+                      n.o_custkey, n.o_orderstatus, n.o_totalprice,
+                      n.o_orderdate, n.o_orderpriority
+               FROM oldv o FULL OUTER JOIN newv n ON o.o_orderkey = n.o_orderkey)
+         SELECT * FROM j WHERE change IS NOT NULL ORDER BY o_orderkey""")
 
   // -------------------------------------------------------------- public
 
