@@ -33,6 +33,7 @@ class ScdSpec extends AnyFunSuite with SparkFixture {
       (1L, "B", 30L, 40L, false),
       (1L, "A", 40L, -1L, true), // A resurfaces: a NEW run, not merged
       (2L, null, 10L, 30L, false), // null==null collapses (null-safe)
+      (2L, "C", 30L, -1L, true),
       (3L, "Z", 50L, -1L, true)),
       s"got ${got.toSeq}")
     // key 2's current run
@@ -50,13 +51,20 @@ class ScdSpec extends AnyFunSuite with SparkFixture {
       .orderBy("valid_from").collect()
     // (A,5) -> (A,null) [run of 2 collapses] -> (A,5)
     assert(got.length == 3)
-    assert(got.map(_.getLong(2)).toSeq == Seq(1L, 2L, 4L))
+    // columns: k, s1, s2, valid_from, ... — valid_from is index 3
+    assert(got.map(_.getLong(3)).toSeq == Seq(1L, 2L, 4L))
   }
 
   test("scd2 plans ONE exchange: collapse lag and validity lead share a window") {
     val df = Scd.scd2(changes, "k", Seq("ts", "seq"), Seq("state"))
     df.collect()
-    val p = df.queryExecution.executedPlan.toString
+    // the FINAL adaptive plan only — executedPlan.toString on an AQE root
+    // prints the initial plan too, double-counting every operator
+    val ex = df.queryExecution.executedPlan
+    val p = ex.collect {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.toString
+    }.headOption.getOrElse(ex.toString)
     val n = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
     assert(n == 1, s"expected one window exchange, got $n:\n$p")
     // and one sort serving both windows
