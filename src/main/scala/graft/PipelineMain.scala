@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 
 import graft.catalog.{InMemoryCatalog, MergeSnapshotStore, TableMeta}
 import graft.ingest.GgLogsToParquet
-import graft.operators.{ChangeLogApplier, CuratedApplier, Dedup, DomainRunner, Materialize, PrefixScan, QueryRunner, Sampling, Similarity, TextAnalysis, UrlFilter}
+import graft.operators.{ChangeLogApplier, CuratedApplier, Dedup, DomainRunner, Ivm, Materialize, PrefixScan, QueryRunner, Sampling, Scd, Similarity, TextAnalysis, UrlFilter}
 
 /**
  * One-command end-to-end run of the five reference stages on the
@@ -39,6 +39,14 @@ import graft.operators.{ChangeLogApplier, CuratedApplier, Dedup, DomainRunner, M
  *  12. per-domain cap          C4-style host attribution + at most N
  *                              docs per host, longest kept (the q41
  *                              operator)
+ *  13. retrieval stack         BM25 + sign-LSH + IVF channels, RRF
+ *                              fusion, recall@k vs brute force
+ *  14. URL-level dedup         crawl variants of one page collapse to
+ *                              a canonical form, best copy kept (the
+ *                              d19 operator)
+ *  15. incremental aggregates  a snapshot edit's changelog folded into
+ *                              a per-host aggregate, proven equal to
+ *                              the from-scratch recompute (q45 + q46)
  *
  *   sbt "runMain graft.PipelineMain [workDir]"
  *
@@ -371,6 +379,74 @@ object PipelineMain {
         rFused >= math.min(rSign, rIvf) && rFused > 0.0 &&
         orphan == 0 && nCross > 0 &&
         bm.groupBy("query_id").count().collect().forall(_.getLong(1) <= kRet)
+    }
+    Materialize.releaseAll()
+
+    // 14. URL-level dedup (the d19 operator): each doc is a crawl of a
+    // page; docs sharing (host, page) arrive as DIFFERENT surface URLs
+    // (tracking params, www + default port, trailing slash) and must
+    // collapse to one canonical key with the longest copy kept
+    val crawled = hosts.select(col("doc_id"), col("host"), col("n_tokens"),
+      concat(lit("https://"),
+        when(col("doc_id") % 3 === 0, lit("www.")).otherwise(lit("")),
+        col("host"),
+        when(col("doc_id") % 3 === 0, lit(":443")).otherwise(lit("")),
+        lit("/p/"), (col("doc_id") % 50).cast("string"),
+        when(col("doc_id") % 3 === 1, lit("/?utm_source=crawl"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 3 === 2, lit("#top")).otherwise(lit("")))
+        .as("url"))
+    val urlKept = Materialize.eager(
+      UrlFilter.dedupByCanonicalUrl(crawled, "url", "n_tokens", "doc_id"))
+    val nKept = urlKept.count()
+    // ground the output against the INPUT's canonical groups: exactly
+    // one row per group, and every kept row carries its group's max
+    val groups = crawled
+      .withColumn("canon_url", UrlFilter.canonicalizeUrl(col("url")))
+      .groupBy("canon_url").agg(max("n_tokens").as("mx"))
+    val nCanonIn = groups.count()
+    val notBest = urlKept.join(groups, Seq("canon_url"))
+      .filter(col("n_tokens") =!= col("mx")).count()
+    stage(14, s"url dedup -> ${crawled.count()} crawls collapse to $nKept " +
+        s"canonical pages ($notBest non-best kept)") {
+      nKept == nCanonIn && nKept < crawled.count() && notBest == 0
+    }
+    Materialize.releaseAll()
+
+    // 15. incremental aggregate maintenance (q45 + q46 compose): a
+    // snapshot edit — deletes, in-place updates, host MOVES, inserts —
+    // diffs into a changelog that folds into the per-host (count, token
+    // sum) aggregate; the maintained table must equal the from-scratch
+    // recompute over the new snapshot, while the fold itself only ever
+    // touches changelog-sized inputs plus the group-cardinality merge
+    val oldHosts = hosts.select(col("doc_id"), col("host"),
+      col("n_tokens").cast("long").as("n_tokens"))
+    val newHosts = oldHosts
+      .filter(col("doc_id") % 13 =!= 0) // deletes
+      .withColumn("host", when(col("doc_id") % 11 === 0,
+        lit("mirror.example.org")).otherwise(col("host"))) // group moves
+      .withColumn("n_tokens", when(col("doc_id") % 7 === 0,
+        col("n_tokens") + 5).otherwise(col("n_tokens"))) // in-place updates
+      .unionByName(oldHosts.filter(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          lit("fresh.example.net").as("host"), col("n_tokens"))) // inserts
+    val ivmBase = Ivm.countSumAgg(oldHosts, col("host"), col("n_tokens"))
+    val ivmChanges = Materialize.eager(
+      Scd.snapshotDiff(oldHosts, newHosts, Seq("doc_id")))
+    val changeKinds = ivmChanges.groupBy("change").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val maintained = Ivm.applyCountSumDelta(ivmBase, oldHosts, ivmChanges,
+      Seq("doc_id"), col("host"), col("n_tokens"))
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val (gotAgg, scratchAgg) =
+      (asMap(maintained), asMap(Ivm.countSumAgg(newHosts, col("host"), col("n_tokens"))))
+    stage(15, s"ivm -> changelog ${ivmChanges.count()} rows " +
+        s"(${changeKinds.getOrElse("I", 0L)}I/${changeKinds.getOrElse("U", 0L)}U/" +
+        s"${changeKinds.getOrElse("D", 0L)}D) maintains ${gotAgg.size} host " +
+        s"aggregates == recompute") {
+      gotAgg == scratchAgg && Seq("I", "U", "D").forall(changeKinds.contains) &&
+        ivmChanges.count() < oldHosts.count()
     }
     Materialize.releaseAll()
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Joins, Multimodal, PrefixScan, QueryRunner, Sampling, Scd, Similarity, TextAnalysis, UrlFilter}
+import graft.operators.{Dedup, Ivm, Joins, Multimodal, PrefixScan, QueryRunner, Sampling, Scd, Similarity, TextAnalysis, UrlFilter}
 
 /**
  * Driver contract — one `queries` entry per operator from SURVEY.md §2
@@ -19,17 +19,26 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-   * reader rejects; read it as long nanos and rebuild a micro timestamp
-   * (values are µs-aligned). Oracles CAST(ts AS TIMESTAMP) to match.
-   * NOTE the conf is session-global (it must be in effect at scan time,
-   * which is lazy, so it cannot be scoped-and-restored here) — the
-   * driver-contract mains also declare it at session build so the
-   * dependency is visible, not a hidden side effect. */
+  /** `events.ts` has shipped as BOTH parquet TIMESTAMP(NANOS) (early
+   * testdata drops — Spark's vectorized reader rejects it, so with
+   * `spark.sql.legacy.parquet.nanosAsLong` it arrives as long nanos and
+   * is rebuilt to a micro timestamp) and TIMESTAMP(MICROS) (current
+   * drops — arrives as a timestamp directly, cast unifies NTZ/LTZ under
+   * the UTC session). Dispatch on the ARRIVED type so either encoding
+   * yields the same TimestampType column. Oracles CAST(ts AS TIMESTAMP)
+   * to match. NOTE the nanos conf is session-global (it must be in
+   * effect at scan time, which is lazy, so it cannot be
+   * scoped-and-restored here) — the driver-contract mains also declare
+   * it at session build so the dependency is visible, not a hidden side
+   * effect. */
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = t(s, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
@@ -1388,6 +1397,86 @@ object SparkEntry {
             .otherwise(col("o_totalprice")))
       Scd.snapshotDiff(oldSnap, newSnap, Seq("o_orderkey"))
         .orderBy("o_orderkey")
+    }),
+
+    // incremental view maintenance: the q45 changelog folded into a
+    // grouped count/sum aggregate — the oracle recomputes the aggregate
+    // FROM SCRATCH over the new snapshot, so equality proves the delta
+    // propagation is exact (integer cents keep the sum order-free)
+    "q46_ivm" -> ((s, d) => {
+      val base = t(s, d, "orders")
+      def cents(c: Column) = round(c * 100).cast("long")
+      val oldSnap = base.filter(col("o_orderkey") % 17 =!= 0)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          cents(col("o_totalprice")).as("price_c"))
+      val newSnap = base.filter(col("o_orderkey") % 13 =!= 0)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          cents(when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice"))).as("price_c"))
+      val baseAgg = Ivm.countSumAgg(oldSnap, col("o_orderpriority"), col("price_c"))
+      val changes = Scd.snapshotDiff(oldSnap, newSnap, Seq("o_orderkey"))
+      Ivm.applyCountSumDelta(baseAgg, oldSnap, changes, Seq("o_orderkey"),
+          col("o_orderpriority"), col("price_c"))
+        .orderBy("grp")
+    }),
+
+    // URL-level dedup: four crawl variants of the same page (tracking
+    // params, fragment, default port, www, case, trailing slash)
+    // collapse to one canonical form; best row per canonical URL kept
+    // by token count (doc_id tie-break)
+    "d19_url_dedup" -> ((s, d) => {
+      val p = (col("doc_id") % 97).cast("string")
+      val urls = t(s, d, "documents").select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        element_at(array(
+          concat(lit("https://www.example.com:443/a/"), p,
+            lit("?utm_source=x&utm_medium=y#frag")),
+          concat(lit("HTTPS://EXAMPLE.COM/a/"), p, lit("/")),
+          concat(lit("https://example.com/a/"), p, lit("?ref=tw")),
+          concat(lit("https://example.com:80/a/"), p, lit("#nav"))),
+          (col("doc_id") % 4 + 1).cast("int")).as("url"))
+      UrlFilter.dedupByCanonicalUrl(urls, "url", "n_tokens", "doc_id")
+        .select("doc_id", "canon_url", "n_tokens")
+        .orderBy("doc_id")
+    }),
+
+    // hashed-bag-of-words linear classifier score (fastText-shaped
+    // model quality filter; weights are the documented hash-derived
+    // stand-in) — integer milli-units, zero-shuffle in-row fold
+    "t20_hashed_score" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TextAnalysis.hashedLinearScoreMilli(col("text")).as("score_milli"))
+        .orderBy("doc_id")),
+
+    // control/zero-width/NBSP cleanup: junk is injected by doc_id class
+    // so the operator provably strips each character family
+    "t21_clean_text" -> ((s, d) => {
+      val junk = t(s, d, "documents").select(col("doc_id"), concat(
+          when(col("doc_id") % 3 === 0, lit("\u0007bell\u001fctl "))
+            .otherwise(lit("")),
+          col("text"),
+          when(col("doc_id") % 3 === 1,
+            lit(" zero\u200bwidth\u200c\ufeffend")).otherwise(lit("")),
+          when(col("doc_id") % 3 === 2, lit(" nb\u00a0sp\u009fctl"))
+            .otherwise(lit(""))).as("text"))
+      junk.select(col("doc_id"),
+          TextAnalysis.cleanText(col("text")).as("clean"))
+        .orderBy("doc_id")
+    }),
+
+    // keyframe extraction / temporal chunk dedup: payloads built as
+    // runs of a 64-byte period so consecutive chunks repeat; only
+    // scene-change chunks (run starts) survive
+    "m06_keyframes" -> ((s, d) => {
+      val seg1 = rpad(substring(col("text"), 1, 60), 64, "x")
+      val seg2 = rpad(substring(col("text"), 61, 60), 64, "y")
+      val pay = Multimodal.syntheticPayload(col("doc_id"),
+        concat(repeat(seg1, 3), repeat(seg2, 2)))
+      Multimodal.keyframes(
+          Multimodal.chunkFingerprints(t(s, d, "documents"), "doc_id", pay,
+            chunkSize = 64),
+          "doc_id")
+        .orderBy("doc_id", "chunk_idx")
     }))
 
   /** Shared oracle snippet for d06/d07: the 0.95-jaccard near-dup graph
@@ -2702,7 +2791,112 @@ object SparkEntry {
                       n.o_custkey, n.o_orderstatus, n.o_totalprice,
                       n.o_orderdate, n.o_orderpriority
                FROM oldv o FULL OUTER JOIN newv n ON o.o_orderkey = n.o_orderkey)
-         SELECT * FROM j WHERE change IS NOT NULL ORDER BY o_orderkey""")
+         SELECT * FROM j WHERE change IS NOT NULL ORDER BY o_orderkey""",
+
+    // the STRONG form of an IVM oracle: recompute the aggregate from
+    // scratch over the new snapshot — equality proves the incremental
+    // delta application is exact
+    "q46_ivm" ->
+      """WITH newv AS (SELECT o_orderkey, o_orderpriority,
+           CAST(round((CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+                            ELSE o_totalprice END) * 100) AS BIGINT) AS price_c
+         FROM orders WHERE o_orderkey % 13 <> 0)
+         SELECT o_orderpriority AS grp, count(*) AS cnt,
+                CAST(sum(price_c) AS BIGINT) AS sum_units
+         FROM newv GROUP BY 1 ORDER BY grp""",
+
+    // the canonicalization chain replayed stage by stage (every
+    // regexp_replace global, matching Spark's always-global semantics),
+    // then a plain keep-1-per-canonical window
+    "d19_url_dedup" -> (NormCte +
+      """, c AS (SELECT doc_id, len(string_split(t, ' ')) AS n_tokens,
+           CASE CAST(doc_id % 4 AS INTEGER)
+             WHEN 0 THEN 'https://www.example.com:443/a/'
+                  || CAST(doc_id % 97 AS VARCHAR) || '?utm_source=x&utm_medium=y#frag'
+             WHEN 1 THEN 'HTTPS://EXAMPLE.COM/a/'
+                  || CAST(doc_id % 97 AS VARCHAR) || '/'
+             WHEN 2 THEN 'https://example.com/a/'
+                  || CAST(doc_id % 97 AS VARCHAR) || '?ref=tw'
+             ELSE 'https://example.com:80/a/'
+                  || CAST(doc_id % 97 AS VARCHAR) || '#nav' END AS url
+         FROM n),
+         k1 AS (SELECT doc_id, n_tokens,
+                  regexp_replace(lower(url), '#.*$', '', 'g') AS u FROM c),
+         k2 AS (SELECT doc_id, n_tokens, regexp_replace(u,
+                  '([?&])(utm_[a-z0-9_]+|gclid|fbclid|msclkid|igshid|mc_eid|ref)=[^&#]*',
+                  '\1', 'g') AS u FROM k1),
+         k3 AS (SELECT doc_id, n_tokens,
+                  regexp_replace(regexp_replace(u, '&&+', '&', 'g'),
+                    '\?&', '?', 'g') AS u FROM k2),
+         k4 AS (SELECT doc_id, n_tokens,
+                  regexp_replace(u, '[?&]+$', '', 'g') AS u FROM k3),
+         k5 AS (SELECT doc_id, n_tokens, regexp_replace(u,
+                  '^(https?://[^/:?#]+):(80|443)([/?#]|$)', '\1\3', 'g') AS u
+                FROM k4),
+         k6 AS (SELECT doc_id, n_tokens,
+                  regexp_replace(regexp_replace(u, '^(https?://)www\.', '\1', 'g'),
+                    '/+$', '', 'g') AS canon_url FROM k5),
+         r AS (SELECT doc_id, canon_url, n_tokens,
+                 row_number() OVER (PARTITION BY canon_url
+                   ORDER BY n_tokens DESC, doc_id ASC) AS rn FROM k6)
+         SELECT doc_id, canon_url, n_tokens FROM r WHERE rn = 1
+         ORDER BY doc_id"""),
+
+    // hashed-bag-of-words score: the same first-16-md5-bit weight per
+    // token, summed with multiplicity
+    "t20_hashed_score" -> (NormCte +
+      s""", tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS tk FROM n)
+         SELECT doc_id,
+                CAST(sum(${hex16Sql("tk")} % 2001 - 1000) AS BIGINT)
+                  AS score_milli
+         FROM tok GROUP BY 1 ORDER BY doc_id"""),
+
+    // junk injected via chr() codepoints (no escape-literal support
+    // needed), then the cleanup chain replayed stage by stage
+    "t21_clean_text" ->
+      """WITH j AS (SELECT doc_id,
+           (CASE WHEN doc_id % 3 = 0
+                 THEN chr(7) || 'bell' || chr(31) || 'ctl ' ELSE '' END)
+           || text
+           || (CASE WHEN doc_id % 3 = 1
+                    THEN ' zero' || chr(8203) || 'width' || chr(8204)
+                         || chr(65279) || 'end' ELSE '' END)
+           || (CASE WHEN doc_id % 3 = 2
+                    THEN ' nb' || chr(160) || 'sp' || chr(159) || 'ctl'
+                    ELSE '' END) AS text
+         FROM documents),
+         c1 AS (SELECT doc_id, regexp_replace(text,
+                  '[\x{00}-\x{08}\x{0b}\x{0c}\x{0e}-\x{1f}\x{7f}-\x{9f}]',
+                  '', 'g') AS t FROM j),
+         c2 AS (SELECT doc_id, regexp_replace(t,
+                  '[\x{200b}-\x{200d}\x{feff}\x{fffd}]', '', 'g') AS t FROM c1),
+         c3 AS (SELECT doc_id, regexp_replace(t, '\x{a0}', ' ', 'g') AS t
+                FROM c2)
+         SELECT doc_id, trim(regexp_replace(t, '[ \t\n\r\f]+', ' ', 'g'))
+                  AS clean
+         FROM c3 ORDER BY doc_id""",
+
+    // the m03 chunk replay over a 64-byte-period payload, then the lag
+    // window keeps only scene-change chunks
+    "m06_keyframes" ->
+      """WITH p AS (SELECT doc_id,
+           (CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'PNG|'
+                 WHEN 1 THEN 'JPG|' ELSE 'GIF|' END)
+           || repeat(rpad(substring(text, 1, 60), 64, 'x'), 3)
+           || repeat(rpad(substring(text, 61, 60), 64, 'y'), 2) AS pay
+         FROM documents),
+         c AS (SELECT doc_id, pay,
+                 unnest(generate_series(0, (length(pay)-1)//64)) AS chunk_idx
+               FROM p),
+         f AS (SELECT doc_id, chunk_idx,
+                 md5(substring(pay, CAST(chunk_idx*64+1 AS INTEGER), 64))
+                   AS chunk_fp FROM c),
+         k AS (SELECT doc_id, chunk_idx, chunk_fp,
+                 lag(chunk_fp) OVER (PARTITION BY doc_id ORDER BY chunk_idx)
+                   AS prev FROM f)
+         SELECT doc_id, chunk_idx, chunk_fp FROM k
+         WHERE prev IS NULL OR prev <> chunk_fp
+         ORDER BY doc_id, chunk_idx""")
 
   // -------------------------------------------------------------- public
 

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Incremental view maintenance (IVM) for grouped COUNT/SUM aggregates:
+ * keep an aggregate table current by applying a CHANGELOG delta instead
+ * of recomputing from the fact table — at 100 TB the difference between
+ * touching yesterday's changed rows (GBs) and rescanning the corpus.
+ *
+ * Completes the CDC arc the reference opens (apply_change_log_to_delta
+ * maintains the base TABLE from a changelog — reference
+ * src/apply_change_log_to_delta.py:531-660): [[Scd.snapshotDiff]]
+ * derives the changelog, [[graft.ChangeLogApplier]] folds it into the
+ * snapshot, and this operator folds the SAME changelog into downstream
+ * aggregates, the classic delta-propagation rule for distributive
+ * aggregates (count/sum deltas add; see Gupta & Mumick, "Maintenance of
+ * Materialized Views", IEEE DE Bulletin 1995).
+ *
+ * Scale shape: the delta is changelog-sized — `U`/`D` keys fetch their
+ * OLD rows with one join against the previous snapshot (AQE broadcasts
+ * the changelog side when it is small, the common case), both
+ * contribution streams union into ONE map-side-combinable aggregate of
+ * group-cardinality size, and the merge with the base aggregate is a
+ * full-outer join between two group-cardinality tables. The fact table
+ * is never rescanned; sums are maintained in caller-chosen integer
+ * units so the incremental result is bit-identical to a from-scratch
+ * recompute (float sums would drift by addition order).
+ */
+object Ivm {
+
+  /**
+   * Build the base aggregate: one row per `group` with `cnt` and the
+   * integer `value` sum. The shapes of this and [[applyCountSumDelta]]'s
+   * output are identical by construction, so maintenance composes:
+   * build once, apply deltas forever.
+   */
+  def countSumAgg(df: DataFrame, group: Column, value: Column,
+                  groupOut: String = "grp", cntOut: String = "cnt",
+                  sumOut: String = "sum_units"): DataFrame =
+    df.groupBy(group.as(groupOut))
+      .agg(count(lit(1)).as(cntOut), sum(value).as(sumOut))
+
+  /**
+   * Apply an I/U/D changelog (the [[Scd.snapshotDiff]] contract: key
+   * columns, a `change` column, and the NEW side of every tracked
+   * column) to a base aggregate built by [[countSumAgg]].
+   *
+   * `group` and `value` are evaluated against the OLD snapshot for the
+   * removed contributions (`U`/`D` keys) and against the changelog's
+   * new-side columns for the added ones (`I`/`U`) — so an update that
+   * MOVES a row between groups subtracts from the old group and adds to
+   * the new one with no special casing. Groups whose count reaches zero
+   * are dropped, matching a from-scratch recompute over the new
+   * snapshot exactly.
+   */
+  def applyCountSumDelta(base: DataFrame, oldSnap: DataFrame,
+                         changes: DataFrame, keys: Seq[String],
+                         group: Column, value: Column,
+                         groupOut: String = "grp", cntCol: String = "cnt",
+                         sumCol: String = "sum_units",
+                         changeCol: String = "change"): DataFrame = {
+    require(keys.nonEmpty, "need changelog key columns")
+    require(Seq(groupOut, cntCol, sumCol).forall(base.columns.contains),
+      s"base aggregate must carry $groupOut/$cntCol/$sumCol (countSumAgg's shape)")
+    // old rows being replaced or deleted: their contribution leaves
+    val removedKeys = changes.filter(col(changeCol).isin("U", "D"))
+      .select(keys.map(col): _*)
+    val minus = oldSnap.join(removedKeys, keys, "inner")
+      .select(group.as(groupOut), lit(-1L).as("__dc"), (-value).as("__ds"))
+    // new-side rows arriving: inserts and the new image of updates
+    val plus = changes.filter(col(changeCol).isin("I", "U"))
+      .select(group.as(groupOut), lit(1L).as("__dc"), value.as("__ds"))
+    val delta = minus.unionByName(plus)
+      .groupBy(groupOut)
+      .agg(sum("__dc").as("__dc"), sum("__ds").as("__ds"))
+    base.join(delta, Seq(groupOut), "full_outer")
+      .select(col(groupOut),
+        (coalesce(col(cntCol), lit(0L)) + coalesce(col("__dc"), lit(0L)))
+          .as(cntCol),
+        (coalesce(col(sumCol), lit(0L)) + coalesce(col("__ds"), lit(0L)))
+          .as(sumCol))
+      .filter(col(cntCol) > 0)
+  }
+}

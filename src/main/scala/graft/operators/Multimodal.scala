@@ -94,6 +94,32 @@ object Multimodal {
     chunks.filter(pmod(col("chunk_idx"), lit(every)) === 0)
 
   /**
+   * Keyframe extraction / temporal chunk dedup: keep each chunk whose
+   * fingerprint DIFFERS from the immediately preceding chunk of the same
+   * blob — the codec-free shape of video scene-change detection (a still
+   * scene encodes as a run of near-identical frames; only the first of
+   * each run is worth decoding or embedding) and of rsync-style
+   * sub-file delta storage (store a run once). Input is
+   * [[chunkFingerprints]]'s (id, chunk_idx, chunk_fp) layout.
+   *
+   * Scale shape: one shuffle by blob id, then a per-blob ordered `lag`
+   * — chunk counts are payload/chunkSize so partitions stay bounded by
+   * the largest single blob, not the corpus; there is no corpus-wide
+   * window. The run-START choice (not min-per-run) is what makes the
+   * operator streamable: each chunk needs only its predecessor, so the
+   * same predicate runs incrementally over an append-only chunk log.
+   */
+  def keyframes(chunks: DataFrame, idCol: String,
+                idxCol: String = "chunk_idx",
+                fpCol: String = "chunk_fp"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(idCol)).orderBy(col(idxCol))
+    chunks.withColumn("__prev", lag(col(fpCol), 1).over(w))
+      .filter(col("__prev").isNull || col("__prev") =!= col(fpCol))
+      .drop("__prev")
+  }
+
+  /**
    * The codec boundary: per-blob metadata extraction as a typed
    * `mapPartitions` (one iterator pass per partition, digest instance
    * reused across the batch — the shape a real decoder batch needs).

@@ -636,6 +636,54 @@ object TextAnalysis {
   }
 
   /**
+   * Deterministic hashed-bag-of-words LINEAR classifier score — the
+   * fastText-shaped model-based quality filter (Joulin et al. 2016;
+   * the CCNet/RedPajama "model quality score" stage) with the one
+   * substitution the sandbox forces: real trained weights are a model
+   * artifact this environment cannot ship, so the weight table is a
+   * HASH-DERIVED stand-in — w(token) = (first 16 md5 bits of the token)
+   * mod 2001 − 1000, i.e. a fixed pseudo-random weight in [−1000, 1000]
+   * milli-units. Every piece of production plumbing is real: tokens
+   * hash into a fixed weight space (no vocabulary file to distribute —
+   * the hashing trick), weights sum with multiplicity (bag of words),
+   * and the score is an integer micro-sum any external engine replays
+   * exactly. Swapping in trained weights = replacing the md5 arithmetic
+   * with a broadcast lookup, nothing else moves.
+   *
+   * Zero shuffle: the token array never explodes — `aggregate` folds
+   * the weights inside the row, so a 100 TB corpus scores at scan
+   * speed in the same pass as every other per-doc feature.
+   */
+  def hashedLinearScoreMilli(c: Column): Column =
+    aggregate(tokens(c), lit(0L), (acc, tk) =>
+      acc + (conv(substring(md5(tk.cast("binary")), 1, 4), 16, 10)
+        .cast("long") % 2001 - 1000))
+
+  /**
+   * Control/invisible-character cleanup — the normalization pass that
+   * runs before ANY text operator on crawl-derived corpora (C4 and
+   * RefinedWeb both strip non-printing characters first; mojibake and
+   * zero-width codepoints otherwise split tokens invisibly and defeat
+   * exact dedup). In order: C0/C1 control characters except
+   * tab/newline/CR are DROPPED (they carry no text), zero-width
+   * characters (ZWSP/ZWNJ/ZWJ/BOM) and the Unicode replacement
+   * character are dropped, NBSP becomes a plain space (it IS
+   * whitespace), then all whitespace collapses to single spaces,
+   * trimmed. Each class is spelled with explicit `\x{…}` codepoint
+   * escapes — shared Java/RE2 syntax, so an external engine replays the
+   * cleaned text byte-for-byte. Pure narrow column expression: scan
+   * speed, zero shuffles.
+   */
+  def cleanText(c: Column): Column = {
+    val noCtl = regexp_replace(c,
+      "[\\x{00}-\\x{08}\\x{0b}\\x{0c}\\x{0e}-\\x{1f}\\x{7f}-\\x{9f}]", "")
+    val noZw = regexp_replace(noCtl,
+      "[\\x{200b}-\\x{200d}\\x{feff}\\x{fffd}]", "")
+    val spaced = regexp_replace(noZw, "\\x{a0}", " ")
+    trim(regexp_replace(spaced, "[ \\t\\n\\r\\f]+", " "))
+  }
+
+  /**
    * BPE tokenizer training — the merge loop that [[vocabTopK]]'s
    * frequency pass feeds (Sennrich et al. 2016): start from each word
    * split into characters, count adjacent symbol pairs weighted by word

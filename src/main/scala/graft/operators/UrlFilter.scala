@@ -79,6 +79,62 @@ object UrlFilter {
   }
 
   /**
+   * Canonical dedup key for a URL — the RefinedWeb-style URL-level dedup
+   * step that runs BEFORE any content is fetched or compared: the same
+   * page re-crawled as `https://www.example.com/a/1/?utm_source=x`,
+   * `HTTPS://EXAMPLE.COM:443/a/1#nav` and `https://example.com/a/1`
+   * must collapse to ONE canonical form. Normalizations applied, in
+   * order: full lowercase (hosts/schemes are case-insensitive; paths are
+   * lowercased too — this is a DEDUP KEY, not a rewriting proxy, and
+   * case-only path variants are overwhelmingly the same page), fragment
+   * strip, tracking-parameter strip (`utm_*`, click ids, `ref` —
+   * anchored at a `?`/`&` separator so a path segment that merely
+   * CONTAINS a lookalike, e.g. `/href=x`, is untouched; the kept
+   * separator is then collapsed), dangling `?`/`&` cleanup,
+   * default-port strip (`:80`/`:443`), leading-`www.` strip,
+   * trailing-slash strip.
+   *
+   * Pure narrow regexp chain (whole-stage codegen, no UDF), every
+   * pattern RE2-and-Java compatible so an external SQL engine replays
+   * the canonical form byte-for-byte.
+   */
+  def canonicalizeUrl(c: Column): Column = {
+    val noFrag = regexp_replace(lower(c), "#.*$", "")
+    // the separator stays in (as $1) and separator RUNS collapse after,
+    // so '?utm=a&b=1' -> '?&b=1' -> '?b=1' without ever fusing a kept
+    // parameter onto the path
+    val noTrack = regexp_replace(noFrag,
+      "([?&])(utm_[a-z0-9_]+|gclid|fbclid|msclkid|igshid|mc_eid|ref)=[^&#]*",
+      "$1")
+    val noRuns = regexp_replace(
+      regexp_replace(noTrack, "&&+", "&"), "\\?&", "?")
+    val noDangle = regexp_replace(noRuns, "[?&]+$", "")
+    val noPort = regexp_replace(noDangle,
+      "^(https?://[^/:?#]+):(80|443)([/?#]|$)", "$1$3")
+    val noWww = regexp_replace(noPort, "^(https?://)www\\.", "$1")
+    regexp_replace(noWww, "/+$", "")
+  }
+
+  /**
+   * URL-level dedup: keep the best row per CANONICAL URL (highest
+   * `orderCol`, ties by ascending `tieCol`), appending the canonical
+   * form as `canonOut`. Delegates the keep-1-per-key selection to
+   * [[capPerDomain]], so hot canonical keys (a viral URL crawled
+   * millions of times) ride the same SPARK-37099 partial
+   * WindowGroupLimit bound — map output is capped at 1 row per key
+   * before the exchange. One narrow projection + one rank-limited
+   * shuffle at any scale.
+   */
+  def dedupByCanonicalUrl(df: DataFrame, urlCol: String, orderCol: String,
+                          tieCol: String,
+                          canonOut: String = "canon_url"): DataFrame = {
+    require(!df.columns.contains(canonOut),
+      s"canonical output column $canonOut already exists on the input")
+    capPerDomain(df.withColumn(canonOut, canonicalizeUrl(col(urlCol))),
+      canonOut, orderCol, tieCol, maxPerHost = 1)
+  }
+
+  /**
    * Per-domain document cap — C4/RefinedWeb-style curation: keep at most
    * `maxPerHost` rows per host, preferring higher `orderCol` (a quality
    * score, token count, …), ties broken by ascending `tieCol` so the

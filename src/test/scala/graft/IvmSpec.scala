@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Ivm, Scd}
+
+/** Incremental view maintenance: folding a changelog into a count/sum
+ * aggregate must equal the from-scratch recompute over the new snapshot
+ * — including updates that MOVE a row between groups, deletes that empty
+ * a group, and inserts that create one. */
+class IvmSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  // old snapshot: (key, group, integer value)
+  private lazy val oldSnap = Seq(
+    (1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L), (4L, "c", 40L))
+    .toDF("k", "grp_in", "v")
+  // new snapshot: 1 updated in place, 2 MOVED a->b, 3 unchanged,
+  // 4 deleted (group c empties), 5/6 inserted (6 creates group d)
+  private lazy val newSnap = Seq(
+    (1L, "a", 11L), (2L, "b", 20L), (3L, "b", 30L), (5L, "a", 50L),
+    (6L, "d", 60L))
+    .toDF("k", "grp_in", "v")
+
+  private def aggMap(df: DataFrame): Map[String, (Long, Long)] =
+    df.collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+  test("delta application equals the from-scratch recompute") {
+    val base = Ivm.countSumAgg(oldSnap, col("grp_in"), col("v"))
+    assert(aggMap(base) == Map("a" -> ((2L, 30L)), "b" -> ((1L, 30L)),
+      "c" -> ((1L, 40L))))
+    val changes = Scd.snapshotDiff(oldSnap, newSnap, Seq("k"))
+    val got = Ivm.applyCountSumDelta(base, oldSnap, changes, Seq("k"),
+      col("grp_in"), col("v"))
+    val scratch = Ivm.countSumAgg(newSnap, col("grp_in"), col("v"))
+    assert(aggMap(got) == aggMap(scratch))
+    // group c is GONE (count 0 dropped), d was created
+    assert(aggMap(got) == Map("a" -> ((2L, 61L)), "b" -> ((2L, 50L)),
+      "d" -> ((1L, 60L))))
+  }
+
+  test("empty changelog is a no-op; identical snapshots diff to empty") {
+    val base = Ivm.countSumAgg(oldSnap, col("grp_in"), col("v"))
+    val noChanges = Scd.snapshotDiff(oldSnap, oldSnap, Seq("k"))
+    assert(noChanges.isEmpty)
+    val got = Ivm.applyCountSumDelta(base, oldSnap, noChanges, Seq("k"),
+      col("grp_in"), col("v"))
+    assert(aggMap(got) == aggMap(base))
+  }
+
+  test("maintenance composes: two delta steps equal one recompute") {
+    // step 1: old -> new; step 2: new -> newer (5 deleted, 1 moves a->d)
+    val newer = Seq(
+      (1L, "d", 11L), (2L, "b", 20L), (3L, "b", 30L), (6L, "d", 60L))
+      .toDF("k", "grp_in", "v")
+    val base = Ivm.countSumAgg(oldSnap, col("grp_in"), col("v"))
+    val step1 = Ivm.applyCountSumDelta(base, oldSnap,
+      Scd.snapshotDiff(oldSnap, newSnap, Seq("k")), Seq("k"),
+      col("grp_in"), col("v"))
+    val step2 = Ivm.applyCountSumDelta(step1, newSnap,
+      Scd.snapshotDiff(newSnap, newer, Seq("k")), Seq("k"),
+      col("grp_in"), col("v"))
+    assert(aggMap(step2) ==
+      aggMap(Ivm.countSumAgg(newer, col("grp_in"), col("v"))))
+  }
+
+  test("shape guard: a base without countSumAgg's columns is rejected") {
+    intercept[IllegalArgumentException] {
+      Ivm.applyCountSumDelta(oldSnap, oldSnap,
+        Scd.snapshotDiff(oldSnap, newSnap, Seq("k")), Seq("k"),
+        col("grp_in"), col("v"))
+    }
+  }
+}

@@ -12,6 +12,27 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
   private lazy val withBin = docs.select(col("doc_id"), col("text"),
     Multimodal.syntheticPayload(col("doc_id"), col("text")).as("bin"))
 
+  test("keyframes keep exactly the run starts of consecutive equal chunks") {
+    import spark.implicits._
+    // two blobs: runs AABBBA (starts at idx 0,2,5) and CCCC (start at 0)
+    val chunks = Seq(
+      (1L, 0L, "A"), (1L, 1L, "A"), (1L, 2L, "B"), (1L, 3L, "B"),
+      (1L, 4L, "B"), (1L, 5L, "A"),
+      (2L, 0L, "C"), (2L, 1L, "C"), (2L, 2L, "C"), (2L, 3L, "C"))
+      .toDF("doc_id", "chunk_idx", "chunk_fp")
+    val got = Multimodal.keyframes(chunks, "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 0L), (1L, 2L), (1L, 5L), (2L, 0L)))
+    // end-to-end over real chunk fingerprints: a repeated 64-byte period
+    // collapses interior chunks, and every blob keeps its first chunk
+    val pay = Multimodal.syntheticPayload(col("doc_id"),
+      repeat(rpad(substring(col("text"), 1, 60), 64, "x"), 4))
+    val all = Multimodal.chunkFingerprints(docs, "doc_id", pay, chunkSize = 64)
+    val kept = Multimodal.keyframes(all, "doc_id")
+    assert(kept.count() < all.count())
+    assert(kept.filter(col("chunk_idx") === 0).count() == docs.count())
+  }
+
   test("payload is BinaryType; sniffFormat follows the magic bytes") {
     assert(withBin.schema("bin").dataType.typeName == "binary")
     val got = withBin.select(col("doc_id"),

@@ -26,7 +26,7 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     val lsh = pairSet(Dedup.minHashLshPairs(docs, "doc_id", "text", threshold = 1.0))
     // ground truth: identical distinct-token sets
     val keyed = docs.select(col("doc_id"),
-      md5(concat_ws("", Dedup.tokenSet(col("text")))).as("k"))
+      md5(concat_ws("\u001f", Dedup.tokenSet(col("text")))).as("k"))
     val truth = pairSet(keyed.as("a")
       .join(keyed.as("b"), col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")))
@@ -1630,4 +1630,95 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
       .orderBy("i").collect().map(_.getString(1)).toSeq
     assert(got == cases.map(_._2))
   }
+
+  test("canonicalizeUrl: case, fragment, tracking, port, www, slash") {
+    import graft.operators.UrlFilter
+    import spark.implicits._
+    val cases = Seq(
+      // every normalization at once
+      ("https://www.Example.com:443/A/1/?utm_source=x&q=2#frag",
+        "https://example.com/a/1/?q=2"),
+      ("HTTPS://EXAMPLE.COM/a/1/", "https://example.com/a/1"),
+      ("https://example.com:80/a/1#nav", "https://example.com/a/1"),
+      ("https://example.com/a/1?ref=tw", "https://example.com/a/1"),
+      // a path segment that merely CONTAINS a tracking-lookalike is
+      // untouched (the strip is anchored at ?/&); dangling & cleaned
+      ("https://example.com/href=x/page?id=1&utm_campaign=z",
+        "https://example.com/href=x/page?id=1"),
+      // multiple tracking params back-to-back, kept param survives
+      ("http://example.com/p?gclid=1&fbclid=2&keep=3&mc_eid=4",
+        "http://example.com/p?keep=3"),
+      // port only strips when it IS the default; host case folds
+      ("https://Example.com:8443/x", "https://example.com:8443/x"))
+    val got = cases.map(_._1).zipWithIndex.map { case (u, i) => (i, u) }
+      .toDF("i", "u")
+      .select(col("i"), UrlFilter.canonicalizeUrl(col("u")).as("c"))
+      .orderBy("i").collect().map(_.getString(1)).toSeq
+    assert(got == cases.map(_._2))
+  }
+
+  test("dedupByCanonicalUrl keeps the best row per canonical form") {
+    import graft.operators.UrlFilter
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "https://www.site.com/a?utm_source=x", 10L),
+      (2L, "https://site.com/a/", 30L), // best of the /a group
+      (3L, "HTTP://SITE.COM/a", 30L),   // http scheme: its own canonical key
+      (4L, "https://site.com/b#f", 5L),
+      (5L, "https://site.com/a", 30L)   // ties with 2 -> doc_id asc wins
+    ).toDF("doc_id", "url", "score")
+    val got = UrlFilter.dedupByCanonicalUrl(rows, "url", "score", "doc_id")
+      .select("doc_id", "canon_url").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set(
+      (2L, "https://site.com/a"),
+      (3L, "http://site.com/a"),
+      (4L, "https://site.com/b")))
+    // refuses to silently clobber an existing column
+    intercept[IllegalArgumentException] {
+      UrlFilter.dedupByCanonicalUrl(
+        rows.withColumn("canon_url", lit("x")), "url", "score", "doc_id")
+    }
+  }
+
+  test("cleanText drops control/zero-width chars, maps NBSP, collapses ws") {
+    import spark.implicits._
+    val cases = Seq(
+      ("a\u0007b\u001fc\u007fd\u009fe", "abcde"),       // controls drop
+      ("x\u200by\u200cz\u200dw\ufeffv\ufffdu", "xyzwvu"), // zero-width drop
+      ("a\u00a0b  c\t\nd", "a b c d"),                  // NBSP + collapse
+      ("  tab\there  ", "tab here"),                    // trim
+      ("keep\nnewline\rCR", "keep newline CR"))
+    val got = cases.map(_._1).zipWithIndex.map { case (u, i) => (i, u) }
+      .toDF("i", "t")
+      .select(col("i"), TextAnalysis.cleanText(col("t")).as("c"))
+      .orderBy("i").collect().map(_.getString(1)).toSeq
+    assert(got == cases.map(_._2))
+  }
+
+  test("hashedLinearScoreMilli equals a JVM replay of the hash weights") {
+    import spark.implicits._
+    def w(tok: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8"))
+      val hex = d.take(2).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % 2001 - 1000
+    }
+    val texts = Seq("the cat sat", "THE the the", "", "one-token",
+      "a b c d e f g h")
+    val expect = texts.map(t =>
+      TextAnalysisReplay.normalize(t).split(" ", -1).map(w).sum)
+    val got = texts.zipWithIndex.map { case (t, i) => (i, t) }
+      .toDF("i", "text")
+      .select(col("i"),
+        TextAnalysis.hashedLinearScoreMilli(col("text")).as("s"))
+      .orderBy("i").collect().map(_.getLong(1)).toSeq
+    assert(got == expect)
+  }
+}
+
+/** The normalizeText contract replayed on the JVM for hand-checks. */
+private object TextAnalysisReplay {
+  def normalize(s: String): String =
+    s.trim.toLowerCase.replaceAll("\\s+", " ")
 }

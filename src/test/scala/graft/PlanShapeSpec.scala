@@ -195,4 +195,24 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(shuffles(p) == 2,
       s"expected one host exchange plus the output sort, got:\n$p")
   }
+
+  test("d19 url dedup: keep-1 rank limit pushed below the canonical-key exchange") {
+    val p = plan("d19_url_dedup")
+    // dedupByCanonicalUrl delegates to capPerDomain, so a viral canonical
+    // URL inherits the same map-side bound: at most 1 row per key leaves
+    // each map task
+    assert(p.linesIterator.exists(l =>
+        l.contains("WindowGroupLimit") && l.contains("Partial")),
+      s"expected a map-side Partial WindowGroupLimit:\n$p")
+    assert(scans(p) == 1, s"expected one corpus scan, got:\n$p")
+  }
+
+  test("m06 keyframes: one blob-key exchange plus output sort, one scan") {
+    val p = plan("m06_keyframes")
+    // chunking is a narrow explode; the only data shuffle is the per-blob
+    // window (lag needs blob-local order), then the contract output sort
+    assert(shuffles(p) == 2,
+      s"expected the blob exchange plus the output sort, got:\n$p")
+    assert(scans(p) == 1, s"expected one corpus scan, got:\n$p")
+  }
 }
