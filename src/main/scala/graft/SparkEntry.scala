@@ -1464,6 +1464,54 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // contiguous training-context packing: concat-then-slice positions
+    // (context id, in-context offset, straddle end) from ONE running
+    // total — the oracle replays the windowed cumsum arithmetic
+    "t22_pack_contexts" -> ((s, d) =>
+      PrefixScan.packContexts(
+          t(s, d, "documents").select(col("doc_id"),
+            TextAnalysis.tokenCount(col("text")).as("n_tokens")),
+          "doc_id", "n_tokens", contextLen = 512)
+        .orderBy("doc_id")),
+
+    // embedding generation (feature-hashing twin): 8 integer-milli
+    // coordinates per doc, exploded to (doc, dim, value) rows so the
+    // oracle replays every coordinate
+    "t24_hashed_embedding" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.hashedEmbeddingMilli(col("text"), 8)))
+        .withColumnRenamed("pos", "dim").withColumnRenamed("col", "val_milli")
+        .orderBy("doc_id", "dim")),
+
+    // incremental exact dedup: the 3/4 "existing corpus" seeds the
+    // fingerprint store; the 1/4 "new batch" dedups against it without
+    // a corpus rescan — only genuinely new fingerprints survive
+    "q47_incremental_dedup" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val seen = Dedup.exact(docs.filter(col("doc_id") % 4 =!= 0),
+        "doc_id", "text").select("fingerprint")
+      Dedup.exactIncremental(docs.filter(col("doc_id") % 4 === 0),
+          "doc_id", "text", seen)
+        .orderBy("fingerprint")
+    }),
+
+    // script identification: doc_id classes swap in Cyrillic/CJK/Arabic
+    // bodies (and one mixed Greek+Latin case) so every class and the
+    // argmax tie-break are exercised
+    "t23_script_id" -> ((s, d) => {
+      val swapped = t(s, d, "documents").select(col("doc_id"),
+        when(col("doc_id") % 5 === 1, lit("Привет мир это проверка"))
+          .when(col("doc_id") % 5 === 2, lit("你好世界 これはテスト"))
+          .when(col("doc_id") % 5 === 3, lit("مرحبا بالعالم هذا اختبار"))
+          .when(col("doc_id") % 5 === 4,
+            concat(lit("mixed Γειά σου "), substring(col("text"), 1, 20)))
+          .otherwise(col("text")).as("text"))
+      swapped.select(col("doc_id"),
+          TextAnalysis.dominantScript(col("text")).as("script"))
+        .orderBy("doc_id")
+    }),
+
     // keyframe extraction / temporal chunk dedup: payloads built as
     // runs of a 64-byte period so consecutive chunks repeat; only
     // scene-change chunks (run starts) survive
@@ -2875,6 +2923,75 @@ object SparkEntry {
          SELECT doc_id, trim(regexp_replace(t, '[ \t\n\r\f]+', ' ', 'g'))
                   AS clean
          FROM c3 ORDER BY doc_id""",
+
+    // the q39 cumsum replay with context arithmetic on top
+    "t22_pack_contexts" -> (NormCte +
+      """, c AS (SELECT doc_id, len(string_split(t, ' ')) AS n_tokens FROM n),
+         w AS (SELECT doc_id, n_tokens,
+                      CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+               FROM c)
+         SELECT doc_id, n_tokens, cum_tokens,
+                CAST((cum_tokens - n_tokens) // 512 AS BIGINT) AS context_id,
+                CAST((cum_tokens - n_tokens) % 512 AS BIGINT) AS offset,
+                CAST(greatest(cum_tokens - 1, cum_tokens - n_tokens) // 512
+                  AS BIGINT) AS end_context_id
+         FROM w ORDER BY doc_id"""),
+
+    // per-(token, dim) hash weights summed with multiplicity — the t20
+    // arithmetic with the dimension salted into the digest
+    "t24_hashed_embedding" -> (NormCte +
+      s""", tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS tk FROM n),
+         dims AS (SELECT unnest(generate_series(0, 7)) AS dim)
+         SELECT doc_id, dim,
+                CAST(sum(${hex16Sql("tk || ':' || CAST(dim AS VARCHAR)")}
+                  % 2001 - 1000) AS BIGINT) AS val_milli
+         FROM tok CROSS JOIN dims GROUP BY 1, 2 ORDER BY doc_id, dim"""),
+
+    // the d01 aggregate over the new batch, minus store membership
+    "q47_incremental_dedup" -> (NormCte +
+      """, seen AS (SELECT DISTINCT md5(t) AS fingerprint FROM n
+                    WHERE doc_id % 4 <> 0),
+         b AS (SELECT md5(t) AS fingerprint, min(doc_id) AS keep_id,
+                      count(*) AS dup_count
+               FROM n WHERE doc_id % 4 = 0 GROUP BY 1)
+         SELECT fingerprint, keep_id, dup_count FROM b
+         WHERE NOT EXISTS (SELECT 1 FROM seen
+                           WHERE seen.fingerprint = b.fingerprint)
+         ORDER BY fingerprint"""),
+
+    // per-script character counts + the ordered argmax, over the same
+    // swapped-in bodies
+    "t23_script_id" ->
+      """WITH sw AS (SELECT doc_id,
+           CASE CAST(doc_id % 5 AS INTEGER)
+             WHEN 1 THEN 'Привет мир это проверка'
+             WHEN 2 THEN '你好世界 これはテスト'
+             WHEN 3 THEN 'مرحبا بالعالم هذا اختبار'
+             WHEN 4 THEN 'mixed Γειά σου ' || substring(text, 1, 20)
+             ELSE text END AS text
+         FROM documents),
+         s AS (SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z\x{c0}-\x{ff}\x{100}-\x{17f}]')) AS latin,
+           len(regexp_extract_all(text, '[\x{400}-\x{4ff}]')) AS cyrillic,
+           len(regexp_extract_all(text, '[\x{370}-\x{3ff}]')) AS greek,
+           len(regexp_extract_all(text, '[\x{600}-\x{6ff}]')) AS arabic,
+           len(regexp_extract_all(text, '[\x{900}-\x{97f}]')) AS devanagari,
+           len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}\x{3040}-\x{30ff}]')) AS cjk,
+           len(regexp_extract_all(text, '[\x{ac00}-\x{d7af}]')) AS hangul
+         FROM sw)
+         SELECT doc_id,
+           CASE WHEN latin = b AND b > 0 THEN 'latin'
+                WHEN cyrillic = b AND b > 0 THEN 'cyrillic'
+                WHEN greek = b AND b > 0 THEN 'greek'
+                WHEN arabic = b AND b > 0 THEN 'arabic'
+                WHEN devanagari = b AND b > 0 THEN 'devanagari'
+                WHEN cjk = b AND b > 0 THEN 'cjk'
+                WHEN hangul = b AND b > 0 THEN 'hangul'
+                ELSE 'und' END AS script
+         FROM (SELECT *, greatest(latin, cyrillic, greek, arabic,
+                 devanagari, cjk, hangul) AS b FROM s)
+         ORDER BY doc_id""",
 
     // the m03 chunk replay over a 64-byte-period payload, then the lag
     // window keeps only scene-change chunks

@@ -82,6 +82,34 @@ object Dedup {
       Seq(idCol), "left_semi")
 
   /**
+   * Incremental exact dedup — the append-only corpus-growth path: a NEW
+   * batch dedups against the fingerprint store accumulated over all
+   * prior batches, so growing a 100 TB corpus never rescans it. `seen`
+   * carries one `fingerprint` column ([[exact]]'s convention). Output is
+   * the accepted (previously unseen) fingerprints with the in-batch
+   * winner and multiplicity — [[exact]]'s shape restricted to new
+   * content; the caller appends `accepted.select("fingerprint")` to the
+   * store to close the loop.
+   *
+   * Scale shape: one batch-sized aggregate, then one anti-join against
+   * the store keyed on the fingerprint. The batch side is
+   * new-arrivals-sized; the store side is corpus-scale but touches only
+   * its fingerprint column, and a store laid out with
+   * [[graft.catalog.Bucketing]] on `fingerprint` joins without
+   * re-shuffling — the steady-state cost is then the batch shuffle only.
+   */
+  def exactIncremental(batch: DataFrame, idCol: String, textCol: String,
+                       seen: DataFrame): DataFrame = {
+    require(seen.columns.contains("fingerprint"),
+      "seen store must carry a fingerprint column")
+    batch
+      .select(col(idCol), fingerprintMd5(col(textCol)).as("fingerprint"))
+      .groupBy("fingerprint")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+      .join(seen.select("fingerprint"), Seq("fingerprint"), "left_anti")
+  }
+
+  /**
    * Cross-corpus contamination detection — the decontamination primitive
    * of a training pipeline: for every corpus document, the PROBE documents
    * (benchmark/eval sets) it is near-duplicate of (n-gram Jaccard >=

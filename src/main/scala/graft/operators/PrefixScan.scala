@@ -137,4 +137,40 @@ object PrefixScan {
       .withColumn("shard",
         expr(s"(cum_tokens - cast(`$tok` as bigint)) div ${budget}L"))
   }
+
+  /**
+   * Contiguous training-context packing (the GPT-style pretraining
+   * layout): documents concatenate back-to-back in `orderCol` order into
+   * one token stream that is sliced into fixed `contextLen` windows —
+   * documents CROSS context boundaries (the standard concat-then-slice
+   * packing; next-fit whole-doc placement is [[packShards]]'s shape).
+   * Emits where each document lands in that virtual stream:
+   * `context_id`/`offset` (the context and in-context position of the
+   * doc's first token) and `end_context_id` (the context holding its
+   * last token — `> context_id` when the doc straddles), all in exact
+   * integer arithmetic over ONE [[runningTotal]] pass: the stream
+   * position of a doc's first token is just (running − own), so packing
+   * adds zero shuffles on top of the range exchange.
+   *
+   * A data-parallel writer then materializes context k from exactly the
+   * docs with `context_id <= k <= end_context_id` — range-partitioned by
+   * context id, no doc is read twice except boundary straddlers.
+   */
+  def packContexts(df: DataFrame, orderCol: String, tokenCol: String,
+                   contextLen: Long, buckets: Int = 0): DataFrame = {
+    require(contextLen > 0, "contextLen must be positive")
+    val clash = Seq("context_id", "offset", "end_context_id")
+      .filter(df.columns.contains)
+    require(clash.isEmpty, s"output column(s) ${clash.mkString(", ")} " +
+      "already exist on the input")
+    val tok = tokenCol.replace("`", "``")
+    runningTotal(df, orderCol, tokenCol, "cum_tokens", buckets)
+      .withColumn("__start", expr(s"cum_tokens - cast(`$tok` as bigint)"))
+      .withColumn("context_id", expr(s"__start div ${contextLen}L"))
+      .withColumn("offset", expr(s"__start % ${contextLen}L"))
+      // empty docs occupy no token: their end context is their start
+      .withColumn("end_context_id",
+        expr(s"greatest(cum_tokens - 1, __start) div ${contextLen}L"))
+      .drop("__start")
+  }
 }

@@ -53,6 +53,36 @@ object TextAnalysis {
     }
   }
 
+  /** Unicode script classes for [[dominantScript]] — explicit `\x{…}`
+   * codepoint ranges (shared Java/RE2 syntax, so an external engine
+   * replays the counts byte-exact). Ordered: ties break to the EARLIER
+   * entry, the t01 langId discipline. */
+  private val scriptRanges: Seq[(String, String)] = Seq(
+    "latin" -> "[A-Za-z\\x{c0}-\\x{ff}\\x{100}-\\x{17f}]",
+    "cyrillic" -> "[\\x{400}-\\x{4ff}]",
+    "greek" -> "[\\x{370}-\\x{3ff}]",
+    "arabic" -> "[\\x{600}-\\x{6ff}]",
+    "devanagari" -> "[\\x{900}-\\x{97f}]",
+    "cjk" -> "[\\x{4e00}-\\x{9fff}\\x{3040}-\\x{30ff}]",
+    "hangul" -> "[\\x{ac00}-\\x{d7af}]")
+
+  /**
+   * Dominant writing system of a document — the script-ID pass every
+   * crawl pipeline runs BEFORE language ID (fastText-style langid models
+   * are per-script; mixed-script spam is its own quality signal): count
+   * characters per script class, argmax with first-listed tie-break,
+   * `und` when no class matches (digits/punctuation only). One narrow
+   * codegen'd regexp pass per class over the raw text — no tokenize, no
+   * shuffle, scan speed at any corpus size.
+   */
+  def dominantScript(c: Column): Column = {
+    val scored = scriptRanges.map { case (s, pat) => s -> countMatches(c, pat) }
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    scored.foldRight(lit("und")) { case ((s, score), acc) =>
+      when(score === best && best > 0, lit(s)).otherwise(acc)
+    }
+  }
+
   def punctCount(c: Column): Column = countMatches(c, "[.,!?;:]")
   def digitCount(c: Column): Column = countMatches(c, "[0-9]")
   def stopwordCount(c: Column): Column =
@@ -658,6 +688,45 @@ object TextAnalysis {
     aggregate(tokens(c), lit(0L), (acc, tk) =>
       acc + (conv(substring(md5(tk.cast("binary")), 1, 4), 16, 10)
         .cast("long") % 2001 - 1000))
+
+  /**
+   * Deterministic hashed text embedding in integer milli-units — the
+   * embedding-GENERATION stage of a training/retrieval pipeline (doc →
+   * dense vector), built on the feature-hashing trick (Weinberger et
+   * al. 2009): dimension j of a document is the bag-of-words sum of
+   * per-(token, j) weights, here the same first-16-md5-bit stand-in
+   * [[hashedLinearScoreMilli]] uses (a REAL model's projection would
+   * replace the md5 arithmetic with learned weights via a broadcast
+   * table or a batched inference UDF — nothing else in the plumbing
+   * moves). Integer milli-units end to end, so an external engine
+   * replays every coordinate exactly.
+   *
+   * Zero shuffle: `transform` over the dimension range folds each
+   * coordinate inside the row — a 100 TB corpus embeds at scan speed,
+   * and the output array feeds [[graft.operators.Similarity]]'s ANN
+   * operators directly (L2-normalize via [[hashedEmbeddingUnit]]).
+   */
+  def hashedEmbeddingMilli(c: Column, d: Int): Column = {
+    require(d >= 1, "embedding needs at least one dimension")
+    transform(sequence(lit(0), lit(d - 1)), j =>
+      aggregate(tokens(c), lit(0L), (acc, tk) =>
+        acc + (conv(substring(md5(
+            concat(tk, lit(":"), j.cast("string")).cast("binary")), 1, 4),
+          16, 10).cast("long") % 2001 - 1000)))
+  }
+
+  /** [[hashedEmbeddingMilli]] L2-normalized to unit floats — the form
+   * cosine ANN consumes. Zero vectors (only possible if every
+   * coordinate hash-cancels) pass through unscaled rather than
+   * dividing by zero. */
+  def hashedEmbeddingUnit(c: Column, d: Int): Column = {
+    val m = hashedEmbeddingMilli(c, d)
+    val norm = sqrt(aggregate(m, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    transform(m, x =>
+      when(norm > 0, x.cast("double") / norm).otherwise(x.cast("double"))
+        .cast("float"))
+  }
 
   /**
    * Control/invisible-character cleanup — the normalization pass that

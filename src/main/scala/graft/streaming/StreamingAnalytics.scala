@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -148,4 +148,45 @@ object StreamingAnalytics {
           }
         })(stateEnc, enc)
   }
+
+  /**
+   * Streaming incremental view maintenance: each micro-batch of an
+   * I/U/D changelog (the [[graft.operators.Scd.snapshotDiff]] contract —
+   * key columns, a `change` column, the NEW side of every tracked
+   * column, at most one row per key per batch) folds into BOTH the
+   * maintained snapshot table and a downstream count/sum aggregate, via
+   * [[graft.operators.Ivm.applyCountSumDelta]]. The streaming twin of
+   * q46: a CDC feed keeps a dashboard aggregate current without ever
+   * rescanning the fact table — per trigger the work is changelog-sized
+   * plus one group-cardinality merge.
+   *
+   * Both tables must be pre-seeded in the store (the snapshot with its
+   * initial state, the aggregate with [[graft.operators.Ivm.countSumAgg]]
+   * over it). The versioned [[graft.catalog.SnapshotStore]] makes the
+   * read-then-overwrite inside one batch safe: reads pin the current
+   * version directory while the write lands the next one.
+   */
+  def maintainCountSum(changes: DataFrame, store: graft.catalog.SnapshotStore,
+                       db: String, snapTable: String, aggTable: String,
+                       keys: Seq[String], group: Column, value: Column,
+                       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (chg: DataFrame, _: Long) =>
+        if (!chg.isEmpty) {
+          val old = store.read(db, snapTable)
+          val agg = store.read(db, aggTable)
+          val newAgg = graft.operators.Ivm.applyCountSumDelta(
+            agg, old, chg, keys, group, value)
+          // snapshot fold: U/D keys leave, I/U new images arrive
+          val gone = chg.filter(col("change").isin("U", "D"))
+            .select(keys.map(col): _*)
+          val arrived = chg.filter(col("change").isin("I", "U")).drop("change")
+          val newSnap = old.join(gone, keys, "left_anti")
+            .unionByName(arrived.select(old.columns.map(col).toIndexedSeq: _*))
+          store.overwrite(db, aggTable, newAgg)
+          store.overwrite(db, snapTable, newSnap)
+        }
+      }
+      .start()
 }

@@ -1696,6 +1696,103 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(got == cases.map(_._2))
   }
 
+  test("exactIncremental accepts only unseen fingerprints, in-batch winner") {
+    import spark.implicits._
+    val corpus = Seq((1L, "alpha beta"), (2L, "gamma")).toDF("doc_id", "text")
+    val seen = Dedup.exact(corpus, "doc_id", "text").select("fingerprint")
+    // batch: one store dup (Alpha Beta normalizes onto doc 1's text),
+    // one in-batch dup pair, one singleton
+    val batch = Seq((10L, "  Alpha   BETA "), (11L, "delta"), (12L, "delta"),
+      (13L, "epsilon")).toDF("doc_id", "text")
+    val got = Dedup.exactIncremental(batch, "doc_id", "text", seen)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((11L, 2L), (13L, 1L))) // (keep_id, dup_count)
+    // closing the loop: replaying the same batch against the grown store
+    // accepts nothing
+    val grown = seen.union(
+      Dedup.exactIncremental(batch, "doc_id", "text", seen)
+        .select("fingerprint"))
+    assert(Dedup.exactIncremental(batch, "doc_id", "text", grown).isEmpty)
+  }
+
+  test("packContexts: concat-then-slice positions, straddle, invariance") {
+    import graft.operators.PrefixScan
+    import spark.implicits._
+    // cum 300,600,1100,1112 at C=512 -> starts 0,300,600,1100
+    val rows = Seq((1L, 300), (2L, 300), (3L, 500), (4L, 12))
+      .toDF("doc_id", "n_tokens")
+    val got = PrefixScan.packContexts(rows, "doc_id", "n_tokens", 512L)
+      .select("doc_id", "context_id", "offset", "end_context_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq((1L, 0L, 0L, 0L), (2L, 0L, 300L, 1L), // doc 2 straddles
+      (3L, 1L, 88L, 2L), (4L, 2L, 76L, 2L)))
+    graft.operators.Materialize.releaseAll()
+    // bucket count must not change the arithmetic
+    val alt = PrefixScan.packContexts(rows, "doc_id", "n_tokens", 512L,
+        buckets = 3)
+      .select("doc_id", "context_id", "offset", "end_context_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(alt == got)
+    graft.operators.Materialize.releaseAll()
+    intercept[IllegalArgumentException] {
+      PrefixScan.packContexts(rows.withColumn("offset", lit(1)),
+        "doc_id", "n_tokens", 512L)
+    }
+  }
+
+  test("dominantScript: per-class counts, ordered tie-break, und fallback") {
+    import spark.implicits._
+    val cases = Seq(
+      ("hello world", "latin"),
+      ("Привет мир", "cyrillic"),
+      ("你好世界 ここ", "cjk"),
+      ("مرحبا", "arabic"),
+      ("αβγδ", "greek"),
+      ("नमस्ते", "devanagari"),
+      ("안녕하세요", "hangul"),
+      ("3.14 1234 !!", "und"),     // no script characters at all
+      ("abПр", "latin"))           // 2 vs 2: earlier class wins the tie
+    val got = cases.map(_._1).zipWithIndex.map { case (t, i) => (i, t) }
+      .toDF("i", "text")
+      .select(col("i"), TextAnalysis.dominantScript(col("text")).as("s"))
+      .orderBy("i").collect().map(_.getString(1)).toSeq
+    assert(got == cases.map(_._2))
+  }
+
+  test("hashedEmbedding: JVM weight replay, unit norm, ANN-ready shape") {
+    import spark.implicits._
+    def w(tok: String, j: Int): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$tok:$j".getBytes("UTF-8"))
+      val hex = d.take(2).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % 2001 - 1000
+    }
+    val texts = Seq("the cat sat", "on the mat", "")
+    val expect = texts.map(t => (0 until 4).map(j =>
+      TextAnalysisReplay.normalize(t).split(" ", -1).map(w(_, j)).sum).toSeq)
+    val df = texts.zipWithIndex.map { case (t, i) => (i, t) }.toDF("i", "text")
+    val got = df
+      .select(col("i"), TextAnalysis.hashedEmbeddingMilli(col("text"), 4).as("e"))
+      .orderBy("i").collect().map(_.getSeq[Long](1).toSeq).toSeq
+    assert(got == expect)
+    // unit form: norm 1 within float tolerance, cosine-ready
+    val norms = df
+      .select(TextAnalysis.hashedEmbeddingUnit(col("text"), 4).as("e"))
+      .select(aggregate(col("e"), lit(0.0),
+        (a, x) => a + x.cast("double") * x.cast("double")).as("n2"))
+      .collect().map(_.getDouble(0))
+    norms.foreach(n2 => assert(math.abs(n2 - 1.0) < 1e-6))
+    // the generated vectors slot straight into the ANN stack
+    val emb = docs.limit(50).select(col("doc_id").as("vec_id"),
+      TextAnalysis.hashedEmbeddingUnit(col("text"), 8).as("embedding"))
+    val topk = Similarity.bruteForceTopK(emb, emb.limit(5), "vec_id",
+      "embedding", k = 3)
+    assert(topk.groupBy("query_id").count().collect()
+      .forall(_.getLong(1) == 3))
+  }
+
   test("hashedLinearScoreMilli equals a JVM replay of the hash weights") {
     import spark.implicits._
     def w(tok: String): Long = {
