@@ -1788,6 +1788,15 @@ object SparkEntry {
     s"(${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)})"
   }
 
+  /** [[hex16Sql]] at a dynamic 0-based hex offset `pos` (a SQL
+   * expression) — the 16-bit slice starting there, nibble-parsed
+   * (substring is 1-based, hence the +1..+4). */
+  private def hex16AtSql(x: String, pos: String): String = {
+    def nib(i: Int) =
+      s"(instr('0123456789abcdef', substring(md5($x), CAST(($pos) + $i AS INTEGER), 1)) - 1)"
+    s"(${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)})"
+  }
+
   private val pipelineSql: Map[String, String] = Map(
     "t01_lang_id" -> (NormCte +
       """, s AS (SELECT doc_id,
@@ -2938,13 +2947,13 @@ object SparkEntry {
                   AS BIGINT) AS end_context_id
          FROM w ORDER BY doc_id"""),
 
-    // per-(token, dim) hash weights summed with multiplicity — the t20
-    // arithmetic with the dimension salted into the digest
+    // one digest per token; dimension j reads the 16-bit slice at hex
+    // offset 4j (dim 0 = the t20 weight), summed with multiplicity
     "t24_hashed_embedding" -> (NormCte +
       s""", tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS tk FROM n),
          dims AS (SELECT unnest(generate_series(0, 7)) AS dim)
          SELECT doc_id, dim,
-                CAST(sum(${hex16Sql("tk || ':' || CAST(dim AS VARCHAR)")}
+                CAST(sum(${hex16AtSql("tk", "dim * 4")}
                   % 2001 - 1000) AS BIGINT) AS val_milli
          FROM tok CROSS JOIN dims GROUP BY 1, 2 ORDER BY doc_id, dim"""),
 

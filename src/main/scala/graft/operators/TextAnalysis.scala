@@ -708,11 +708,21 @@ object TextAnalysis {
    */
   def hashedEmbeddingMilli(c: Column, d: Int): Column = {
     require(d >= 1, "embedding needs at least one dimension")
-    transform(sequence(lit(0), lit(d - 1)), j =>
-      aggregate(tokens(c), lit(0L), (acc, tk) =>
-        acc + (conv(substring(md5(
-            concat(tk, lit(":"), j.cast("string")).cast("binary")), 1, 4),
-          16, 10).cast("long") % 2001 - 1000)))
+    // one md5 per TOKEN, not per (token, dim): the 128-bit digest is cut
+    // into eight disjoint 16-bit slices, one per dimension. Higher-order
+    // lambdas are interpreted (no codegen subexpression elimination), so
+    // the reuse must be structural — materialize the per-token digests
+    // first, then fold them into the d running sums. Dimension 0 reads
+    // the same leading 16 bits as [[hashedLinearScoreMilli]]: the
+    // classifier score IS coordinate 0 of the embedding.
+    require(d <= 8, "one 128-bit digest carries 8 16-bit slices; for " +
+      "d > 8 salt extra digests per 8-dim block (not needed here)")
+    val digests = transform(tokens(c), tk => md5(tk.cast("binary")))
+    val zeros = array_repeat(lit(0L), d)
+    aggregate(digests, zeros, (acc, dg) =>
+      zip_with(acc, sequence(lit(0), lit(d - 1)), (a, j) =>
+        a + (conv(dg.substr(j * 4 + 1, lit(4)), 16, 10)
+          .cast("long") % 2001 - 1000)))
   }
 
   /** [[hashedEmbeddingMilli]] L2-normalized to unit floats — the form

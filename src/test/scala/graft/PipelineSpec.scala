@@ -1764,9 +1764,10 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
   test("hashedEmbedding: JVM weight replay, unit norm, ANN-ready shape") {
     import spark.implicits._
     def w(tok: String, j: Int): Long = {
+      // dimension j = 16-bit slice at hex offset 4j of ONE digest
       val d = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$tok:$j".getBytes("UTF-8"))
-      val hex = d.take(2).map("%02x".format(_)).mkString
+        .digest(tok.getBytes("UTF-8"))
+      val hex = d.map("%02x".format(_)).mkString.substring(j * 4, j * 4 + 4)
       java.lang.Long.parseLong(hex, 16) % 2001 - 1000
     }
     val texts = Seq("the cat sat", "on the mat", "")
