@@ -1474,6 +1474,15 @@ object SparkEntry {
           "doc_id", "n_tokens", contextLen = 512)
         .orderBy("doc_id")),
 
+    // content-defined chunking: local-hash cut rule over the m01
+    // payloads — boundaries depend on content, not position, so they
+    // survive insertions that shift every fixed-grid chunk
+    "d20_cdc_chunks" -> ((s, d) =>
+      Multimodal.cdcChunks(t(s, d, "documents"), "doc_id",
+          Multimodal.syntheticPayload(col("doc_id"), col("text")),
+          w = 8, divisor = 16)
+        .orderBy("doc_id", "chunk_idx")),
+
     // embedding generation (feature-hashing twin): 8 integer-milli
     // coordinates per doc, exploded to (doc, dim, value) rows so the
     // oracle replays every coordinate
@@ -2946,6 +2955,29 @@ object SparkEntry {
                 CAST(greatest(cum_tokens - 1, cum_tokens - n_tokens) // 512
                   AS BIGINT) AS end_context_id
          FROM w ORDER BY doc_id"""),
+
+    // per-position window-hash cut flags, chunk id = cuts strictly
+    // before the byte (windowed cumsum), chunk bytes reassembled in
+    // order and hashed
+    "d20_cdc_chunks" -> (PayCte +
+      s""", pos AS (SELECT doc_id, pay,
+             unnest(generate_series(1, length(pay))) AS i FROM p),
+         b AS (SELECT doc_id, i,
+                 CASE WHEN i >= 8 AND
+                   ${hex16Sql("substring(pay, CAST(i - 7 AS INTEGER), 8)")}
+                     % 16 = 0
+                 THEN 1 ELSE 0 END AS cut,
+                 substring(pay, CAST(i AS INTEGER), 1) AS ch
+               FROM pos),
+         cid AS (SELECT doc_id, i, ch,
+                   CAST(coalesce(sum(cut) OVER (PARTITION BY doc_id
+                     ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), 0) AS BIGINT) AS chunk_idx
+                 FROM b)
+         SELECT doc_id, chunk_idx,
+                md5(string_agg(ch, '' ORDER BY i)) AS chunk_fp,
+                count(*) AS n_bytes
+         FROM cid GROUP BY 1, 2 ORDER BY doc_id, chunk_idx"""),
 
     // one digest per token; dimension j reads the 16-bit slice at hex
     // offset 4j (dim 0 = the t20 weight), summed with multiplicity

@@ -94,6 +94,56 @@ object Multimodal {
     chunks.filter(pmod(col("chunk_idx"), lit(every)) === 0)
 
   /**
+   * Content-defined chunking (the rsync/LBFS cut rule): a chunk boundary
+   * falls after byte i exactly when the rolling window of `w` bytes
+   * ending at i hashes to 0 mod `divisor` — so boundaries depend only on
+   * LOCAL content, and a byte inserted near the front of a blob shifts
+   * every [[chunkFingerprints]] fixed chunk but realigns here after one
+   * window: sub-file dedup across near-identical blobs (re-encoded
+   * uploads, appended logs) survives insertion where fixed-grid chunking
+   * loses everything downstream of the edit. Average chunk length ≈
+   * `divisor` bytes; the final partial chunk is always emitted.
+   *
+   * The window hash is the first-16-md5-bit integer of the raw window
+   * bytes — not a true rolling hash (the environment's engines both
+   * evaluate md5 natively; a Rabin polynomial would be faster per byte
+   * on a real deployment but not externally replayable), and the whole
+   * operator is per-row column expressions: zero shuffle, chunks at scan
+   * speed, O(bytes) digests per blob. Output mirrors
+   * [[chunkFingerprints]] (+ `n_bytes`), so [[keyframes]] and
+   * [[graft.operators.Dedup.fingerprintSetPairs]] consume it unchanged.
+   */
+  def cdcChunks(df: DataFrame, idCol: String, payload: Column, w: Int,
+                divisor: Int): DataFrame = {
+    require(w >= 2, "a 1-byte window makes boundaries byte-frequency noise")
+    require(divisor >= 2, "divisor < 2 cuts at every byte")
+    val pay = col("__pay")
+    def hex16(b: Column) =
+      conv(substring(md5(b), 1, 4), 16, 10).cast("long")
+    // window END positions that satisfy the cut rule (none for blobs
+    // shorter than one window — sequence() would run DESCENDING there)
+    val cuts = when(length(pay) >= w,
+      filter(sequence(lit(w), length(pay)), i =>
+        hex16(pay.substr(i - w + 1, lit(w))) % divisor === 0))
+      .otherwise(array().cast("array<int>"))
+    // every chunk's end: the cut positions plus the blob end (distinct —
+    // the last byte may itself be a cut)
+    val ends = array_distinct(concat(cuts, array(length(pay))))
+    val chunks = transform(sequence(lit(0), size(ends) - 1), j => {
+      val start = when(j === 0, lit(1)).otherwise(element_at(ends, j) + 1)
+      val len = element_at(ends, j + 1) - start + 1
+      struct(j.cast("long").as("chunk_idx"),
+        md5(pay.substr(start, len)).as("chunk_fp"),
+        len.cast("long").as("n_bytes"))
+    })
+    df.select(col(idCol), payload.as("__pay"))
+      .filter(length(pay) > 0)
+      .select(col(idCol), explode(chunks).as("__c"))
+      .select(col(idCol), col("__c.chunk_idx"), col("__c.chunk_fp"),
+        col("__c.n_bytes"))
+  }
+
+  /**
    * Keyframe extraction / temporal chunk dedup: keep each chunk whose
    * fingerprint DIFFERS from the immediately preceding chunk of the same
    * blob — the codec-free shape of video scene-change detection (a still

@@ -37,4 +37,63 @@ class BucketingSpec extends AnyFunSuite with SparkFixture {
       spark.sql("DROP TABLE IF EXISTS ord_b")
     }
   }
+
+  test("bucketed fingerprint store: incremental dedup never shuffles the store") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Dedup
+    val tmp = Files.createTempDirectory("graft-fp-store").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val corpus = docs.filter(col("doc_id") % 4 =!= 0)
+    val batch = docs.filter(col("doc_id") % 4 === 0)
+    // the store is the corpus-scale side — lay it out bucketed on the
+    // join key so growing the corpus only ever shuffles the batch
+    Bucketing.writeBucketed(
+      Dedup.exact(corpus, "doc_id", "text").select("fingerprint"),
+      "fp_store", s"$tmp/fp", "fingerprint", 8)
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val accepted = Dedup.exactIncremental(batch, "doc_id", "text",
+        spark.table("fp_store"))
+      // values: identical to the plain (unbucketed) store path
+      val plain = Dedup.exactIncremental(batch, "doc_id", "text",
+        Dedup.exact(corpus, "doc_id", "text").select("fingerprint"))
+      assert(accepted.exceptAll(plain).count() == 0)
+      assert(plain.exceptAll(accepted).count() == 0)
+      assert(accepted.count() > 0)
+      // plan: the store scan reads its buckets in place — the anti-join's
+      // STORE side carries no shuffle of any kind, only the bucketed scan
+      accepted.collect()
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+      // query stages are leaf wrappers — collect() does not descend into
+      // them, so walk the tree expanding each stage's inner plan
+      def deepCollect[T](p: SparkPlan)(f: PartialFunction[SparkPlan, T]): Seq[T] = {
+        val here = f.lift(p).toSeq
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: QueryStageExec => Seq(q.plan)
+          case other => other.children
+        }
+        here ++ kids.flatMap(deepCollect(_)(f))
+      }
+      val ex = accepted.queryExecution.executedPlan
+      val smj = deepCollect(ex) { case j: SortMergeJoinExec => j }.headOption
+      assert(smj.nonEmpty, s"expected a sort-merge anti-join:\n$ex")
+      val storeSide = smj.get.right
+      assert(deepCollect(storeSide) {
+          case n if n.nodeName.contains("Exchange") ||
+            n.nodeName.contains("ShuffleQueryStage") => n
+        }.isEmpty,
+        s"a shuffle feeds the bucketed store:\n$storeSide")
+      assert(deepCollect(storeSide) {
+          case f: FileSourceScanExec if f.bucketedScan => f
+        }.nonEmpty,
+        s"store scan lost its bucket layout:\n$storeSide")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+      spark.sql("DROP TABLE IF EXISTS fp_store")
+    }
+  }
 }

@@ -33,6 +33,35 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(kept.filter(col("chunk_idx") === 0).count() == docs.count())
   }
 
+  test("cdcChunks: boundaries realign after an insertion; grid chunks do not") {
+    val base = docs.limit(40).select(col("doc_id"),
+      col("text").cast("binary").as("pay"))
+    // three bytes inserted at the front — every fixed-grid chunk shifts
+    val edited = docs.limit(40).select(col("doc_id"),
+      concat(lit("INS").cast("binary"), col("text").cast("binary")).as("pay"))
+    def fps(df: org.apache.spark.sql.DataFrame,
+            chunker: (org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)) =
+      chunker(df).select("doc_id", "chunk_fp").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+    val cdcA = fps(base, d => Multimodal.cdcChunks(d, "doc_id", col("pay"), 8, 16))
+    val cdcB = fps(edited, d => Multimodal.cdcChunks(d, "doc_id", col("pay"), 8, 16))
+    val gridA = fps(base, d => Multimodal.chunkFingerprints(d, "doc_id", col("pay"), 16))
+    val gridB = fps(edited, d => Multimodal.chunkFingerprints(d, "doc_id", col("pay"), 16))
+    val cdcShared = (cdcA intersect cdcB).size.toDouble / cdcA.size
+    val gridShared = (gridA intersect gridB).size.toDouble / gridA.size
+    // content-defined boundaries survive the shift; the fixed grid loses
+    // (nearly) everything downstream of the edit
+    assert(cdcShared > 0.5, s"cdc kept only $cdcShared")
+    assert(gridShared < 0.2, s"grid unexpectedly kept $gridShared")
+    assert(cdcShared > gridShared)
+    // chunks partition the payload exactly: per-doc byte sums match
+    val sums = Multimodal.cdcChunks(base, "doc_id", col("pay"), 8, 16)
+      .groupBy("doc_id").agg(sum("n_bytes").as("n"))
+      .join(base.select(col("doc_id"), length(col("pay")).cast("long").as("l")),
+        Seq("doc_id"))
+    assert(sums.filter(col("n") =!= col("l")).count() == 0)
+  }
+
   test("payload is BinaryType; sniffFormat follows the magic bytes") {
     assert(withBin.schema("bin").dataType.typeName == "binary")
     val got = withBin.select(col("doc_id"),
