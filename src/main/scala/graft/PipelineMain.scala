@@ -386,7 +386,8 @@ object PipelineMain {
     // page; docs sharing (host, page) arrive as DIFFERENT surface URLs
     // (tracking params, www + default port, trailing slash) and must
     // collapse to one canonical key with the longest copy kept
-    val crawled = hosts.select(col("doc_id"), col("host"), col("n_tokens"),
+    val crawled = Materialize.eager(
+      hosts.select(col("doc_id"), col("host"), col("n_tokens"),
       concat(lit("https://"),
         when(col("doc_id") % 3 === 0, lit("www.")).otherwise(lit("")),
         col("host"),
@@ -395,7 +396,8 @@ object PipelineMain {
         when(col("doc_id") % 3 === 1, lit("/?utm_source=crawl"))
           .otherwise(lit("")),
         when(col("doc_id") % 3 === 2, lit("#top")).otherwise(lit("")))
-        .as("url"))
+        .as("url")))
+    val nCrawled = crawled.count()
     val urlKept = Materialize.eager(
       UrlFilter.dedupByCanonicalUrl(crawled, "url", "n_tokens", "doc_id"))
     val nKept = urlKept.count()
@@ -407,9 +409,9 @@ object PipelineMain {
     val nCanonIn = groups.count()
     val notBest = urlKept.join(groups, Seq("canon_url"))
       .filter(col("n_tokens") =!= col("mx")).count()
-    stage(14, s"url dedup -> ${crawled.count()} crawls collapse to $nKept " +
+    stage(14, s"url dedup -> $nCrawled crawls collapse to $nKept " +
         s"canonical pages ($notBest non-best kept)") {
-      nKept == nCanonIn && nKept < crawled.count() && notBest == 0
+      nKept == nCanonIn && nKept < nCrawled && notBest == 0
     }
     Materialize.releaseAll()
 

@@ -2887,15 +2887,18 @@ object SparkEntry {
                   || CAST(doc_id % 97 AS VARCHAR) || '#nav' END AS url
          FROM n),
          k1 AS (SELECT doc_id, n_tokens,
-                  regexp_replace(lower(url), '#.*$', '', 'g') AS u FROM c),
+                  regexp_replace(lower(regexp_extract(url, '^[^?#]*'))
+                      || regexp_replace(url, '^[^?#]*', ''),
+                    '#.*$', '', 'g') AS u FROM c),
          k2 AS (SELECT doc_id, n_tokens, regexp_replace(u,
-                  '([?&])(utm_[a-z0-9_]+|gclid|fbclid|msclkid|igshid|mc_eid|ref)=[^&#]*',
+                  '(?i)([?&])(utm_[a-z0-9_]+|gclid|fbclid|msclkid|igshid|mc_eid|ref)=[^&#]*',
                   '\1', 'g') AS u FROM k1),
          k3 AS (SELECT doc_id, n_tokens,
                   regexp_replace(regexp_replace(u, '&&+', '&', 'g'),
                     '\?&', '?', 'g') AS u FROM k2),
          k4 AS (SELECT doc_id, n_tokens,
-                  regexp_replace(u, '[?&]+$', '', 'g') AS u FROM k3),
+                  regexp_replace(regexp_replace(u, '[?&]+$', '', 'g'),
+                    '/+([?#])', '\1', 'g') AS u FROM k3),
          k5 AS (SELECT doc_id, n_tokens, regexp_replace(u,
                   '^(https?://[^/:?#]+):(80|443)([/?#]|$)', '\1\3', 'g') AS u
                 FROM k4),

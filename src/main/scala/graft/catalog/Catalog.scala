@@ -105,6 +105,14 @@ class SnapshotStore(spark: SparkSession, val catalog: Catalog, keepVersions: Int
   def readVersion(meta: TableMeta, version: Int): DataFrame =
     spark.read.format(meta.format).load(f"${meta.location}/v=$version%06d")
 
+  /** Latest committed version id, or -1 for a table with no snapshot yet
+   * — lets a caller PIN a version (with [[readVersion]]) so a retried
+   * computation re-reads the same bases instead of its own output. */
+  def latestVersion(db: String, table: String): Int = {
+    val vs = versions(catalog(db, table).location)
+    if (vs.isEmpty) -1 else vs.last
+  }
+
   /**
    * Snapshot-overwrite (reference parity). With `mergeSchema=true` the new
    * snapshot's schema is the union of the existing schema and `df`'s —

@@ -116,10 +116,12 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
   private[graft] def manifestEntries(db: String, table: String, version: Int): Map[Int, String] =
     readManifest(catalog0(db, table).location, version).buckets
 
-  private[graft] def latestVersion(db: String, table: String): Int = {
+  /** Latest committed MANIFEST version (this store's version space), -1
+   * when the table has none — the base-class contract, against manifest
+   * versions so it pairs with this store's [[readVersion]]. */
+  override def latestVersion(db: String, table: String): Int = {
     val vs = manifestVersions(catalog0(db, table).location)
-    require(vs.nonEmpty, s"no manifest versions for $db.$table")
-    vs.last
+    if (vs.isEmpty) -1 else vs.last
   }
 
   // ------------------------------------------------------------------- reads

@@ -728,15 +728,24 @@ object TextAnalysis {
   /** [[hashedEmbeddingMilli]] L2-normalized to unit floats — the form
    * cosine ANN consumes. Zero vectors (only possible if every
    * coordinate hash-cancels) pass through unscaled rather than
-   * dividing by zero. */
-  def hashedEmbeddingUnit(c: Column, d: Int): Column = {
-    val m = hashedEmbeddingMilli(c, d)
-    val norm = sqrt(aggregate(m, lit(0.0),
-      (acc, x) => acc + x.cast("double") * x.cast("double")))
-    transform(m, x =>
-      when(norm > 0, x.cast("double") / norm).otherwise(x.cast("double"))
-        .cast("float"))
-  }
+   * dividing by zero.
+   *
+   * The milli expression and its norm are each evaluated ONCE per row:
+   * splicing `m` into both the norm and the per-element division would
+   * re-run every per-token digest twice (lambdas are interpreted — no
+   * codegen subexpression elimination), so both are bound through
+   * single-element-array `transform` lambdas, the column-land
+   * equivalent of a `let`. */
+  def hashedEmbeddingUnit(c: Column, d: Int): Column =
+    element_at(transform(array(hashedEmbeddingMilli(c, d)), m =>
+      element_at(transform(
+          array(sqrt(aggregate(m, lit(0.0),
+            (acc, x) => acc + x.cast("double") * x.cast("double")))),
+          norm => transform(m, x =>
+            when(norm > 0, x.cast("double") / norm)
+              .otherwise(x.cast("double")).cast("float"))),
+        1)),
+      1)
 
   /**
    * Control/invisible-character cleanup — the normalization pass that

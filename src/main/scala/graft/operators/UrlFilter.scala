@@ -99,17 +99,28 @@ object UrlFilter {
    * the canonical form byte-for-byte.
    */
   def canonicalizeUrl(c: Column): Column = {
-    val noFrag = regexp_replace(lower(c), "#.*$", "")
+    // fold case ONLY up to the query: scheme/host are case-insensitive
+    // and path folding is a dedup-key choice, but query VALUES are often
+    // case-SENSITIVE ids (base64 video/doc ids) — folding them would
+    // merge genuinely distinct pages. Tracking-parameter NAMES still
+    // match case-insensitively via (?i) below.
+    val lowered = concat(lower(regexp_extract(c, "^[^?#]*", 0)),
+      regexp_replace(c, "^[^?#]*", ""))
+    val noFrag = regexp_replace(lowered, "#.*$", "")
     // the separator stays in (as $1) and separator RUNS collapse after,
     // so '?utm=a&b=1' -> '?&b=1' -> '?b=1' without ever fusing a kept
     // parameter onto the path
     val noTrack = regexp_replace(noFrag,
-      "([?&])(utm_[a-z0-9_]+|gclid|fbclid|msclkid|igshid|mc_eid|ref)=[^&#]*",
+      "(?i)([?&])(utm_[a-z0-9_]+|gclid|fbclid|msclkid|igshid|mc_eid|ref)=[^&#]*",
       "$1")
     val noRuns = regexp_replace(
       regexp_replace(noTrack, "&&+", "&"), "\\?&", "?")
     val noDangle = regexp_replace(noRuns, "[?&]+$", "")
-    val noPort = regexp_replace(noDangle,
+    // a path-final slash BEFORE a surviving query must collapse like the
+    // end-of-string one ('/a/1/?q=2' and '/a/1?q=2' are the same page);
+    // written without lookahead so RE2 engines replay it
+    val noSlashQ = regexp_replace(noDangle, "/+([?#])", "$1")
+    val noPort = regexp_replace(noSlashQ,
       "^(https?://[^/:?#]+):(80|443)([/?#]|$)", "$1$3")
     val noWww = regexp_replace(noPort, "^(https?://)www\\.", "$1")
     regexp_replace(noWww, "/+$", "")

@@ -2,6 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -162,9 +163,21 @@ object StreamingAnalytics {
    *
    * Both tables must be pre-seeded in the store (the snapshot with its
    * initial state, the aggregate with [[graft.operators.Ivm.countSumAgg]]
-   * over it). The versioned [[graft.catalog.SnapshotStore]] makes the
-   * read-then-overwrite inside one batch safe: reads pin the current
-   * version directory while the write lands the next one.
+   * over it).
+   *
+   * Replay safety: foreachBatch is at-least-once and the two overwrites
+   * are not atomic, so a naive read-latest fold would double-apply a
+   * batch replayed after a crash between them (the AGGREGATE fold is not
+   * idempotent). Instead the first attempt of each batch pins the BASE
+   * version of both tables in a marker under the checkpoint
+   * (tmp-write + rename, the landing-marker discipline), and every
+   * attempt — first or replayed — recomputes from those pinned versions
+   * via [[graft.catalog.SnapshotStore.readVersion]]: byte-identical
+   * results, so re-overwriting is harmless and the fold is idempotent by
+   * determinism, not by a done-flag. A retry chain deeper than the
+   * store's `keepVersions` loses the pinned base and FAILS the batch
+   * (readVersion throws) — fail-safe, never a silent double-apply; size
+   * `keepVersions` to the retry depth you want to ride out.
    */
   def maintainCountSum(changes: DataFrame, store: graft.catalog.SnapshotStore,
                        db: String, snapTable: String, aggTable: String,
@@ -172,10 +185,49 @@ object StreamingAnalytics {
                        checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     changes.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (chg: DataFrame, _: Long) =>
+      .foreachBatch { (chg: DataFrame, batchId: Long) =>
+        applyIvmBatch(chg, batchId, store, db, snapTable, aggTable,
+          keys, group, value, checkpoint)
+      }
+      .start()
+
+  /** One micro-batch of [[maintainCountSum]] — its own method so replay
+   * idempotence is directly testable (invoke twice with one batchId). */
+  private[graft] def applyIvmBatch(chg: DataFrame, batchId: Long,
+      store: graft.catalog.SnapshotStore, db: String, snapTable: String,
+      aggTable: String, keys: Seq[String], group: Column, value: Column,
+      checkpoint: String): Unit = {
         if (!chg.isEmpty) {
-          val old = store.read(db, snapTable)
-          val agg = store.read(db, aggTable)
+          val markers = new Path(new Path(checkpoint), "graft-ivm-base")
+          val fs = markers.getFileSystem(
+            chg.sparkSession.sparkContext.hadoopConfiguration)
+          val marker = new Path(markers, s"batch-$batchId")
+          val (aggV, snapV) =
+            if (fs.exists(marker)) {
+              val in = fs.open(marker)
+              val body = try scala.io.Source.fromInputStream(in, "UTF-8")
+                .mkString.trim finally in.close()
+              val parts = body.split(",")
+              require(parts.length == 2,
+                s"garbled IVM base marker $marker: '$body'")
+              (parts(0).toInt, parts(1).toInt)
+            } else {
+              val a = store.latestVersion(db, aggTable)
+              val s0 = store.latestVersion(db, snapTable)
+              require(a >= 0 && s0 >= 0,
+                s"seed $db.$aggTable and $db.$snapTable before streaming")
+              val tmp = new Path(markers, s".tmp-batch-$batchId")
+              val out = fs.create(tmp, true)
+              try out.write(s"$a,$s0".getBytes(
+                java.nio.charset.StandardCharsets.UTF_8))
+              finally out.close()
+              if (!fs.rename(tmp, marker))
+                throw new java.io.IOException(
+                  s"could not commit IVM base marker for batch $batchId")
+              (a, s0)
+            }
+          val old = store.readVersion(store.catalog(db, snapTable), snapV)
+          val agg = store.readVersion(store.catalog(db, aggTable), aggV)
           val newAgg = graft.operators.Ivm.applyCountSumDelta(
             agg, old, chg, keys, group, value)
           // snapshot fold: U/D keys leave, I/U new images arrive
@@ -186,7 +238,15 @@ object StreamingAnalytics {
             .unionByName(arrived.select(old.columns.map(col).toIndexedSeq: _*))
           store.overwrite(db, aggTable, newAgg)
           store.overwrite(db, snapTable, newSnap)
+          // completed batches never replay with a lower id: drop stale markers
+          try fs.listStatus(markers).map(_.getPath).foreach { p =>
+            p.getName match {
+              case s if s.startsWith("batch-") &&
+                scala.util.Try(s.stripPrefix("batch-").toLong)
+                  .toOption.exists(_ < batchId) => fs.delete(p, false)
+              case _ => ()
+            }
+          } catch { case _: java.io.FileNotFoundException => () }
         }
-      }
-      .start()
+  }
 }

@@ -1635,12 +1635,15 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     import graft.operators.UrlFilter
     import spark.implicits._
     val cases = Seq(
-      // every normalization at once
+      // every normalization at once — incl. the path-final slash BEFORE
+      // a surviving query collapsing like the end-of-string one
       ("https://www.Example.com:443/A/1/?utm_source=x&q=2#frag",
-        "https://example.com/a/1/?q=2"),
+        "https://example.com/a/1?q=2"),
       ("HTTPS://EXAMPLE.COM/a/1/", "https://example.com/a/1"),
       ("https://example.com:80/a/1#nav", "https://example.com/a/1"),
       ("https://example.com/a/1?ref=tw", "https://example.com/a/1"),
+      // slash variants with a query merge onto one key
+      ("https://example.com/a/1/?q=2", "https://example.com/a/1?q=2"),
       // a path segment that merely CONTAINS a tracking-lookalike is
       // untouched (the strip is anchored at ?/&); dangling & cleaned
       ("https://example.com/href=x/page?id=1&utm_campaign=z",
@@ -1649,7 +1652,11 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
       ("http://example.com/p?gclid=1&fbclid=2&keep=3&mc_eid=4",
         "http://example.com/p?keep=3"),
       // port only strips when it IS the default; host case folds
-      ("https://Example.com:8443/x", "https://example.com:8443/x"))
+      ("https://Example.com:8443/x", "https://example.com:8443/x"),
+      // query values keep their case (base64-style ids are
+      // case-SENSITIVE); tracking names still strip case-insensitively
+      ("https://example.com/watch?v=AbCdEf&UTM_Source=x",
+        "https://example.com/watch?v=AbCdEf"))
     val got = cases.map(_._1).zipWithIndex.map { case (u, i) => (i, u) }
       .toDF("i", "u")
       .select(col("i"), UrlFilter.canonicalizeUrl(col("u")).as("c"))

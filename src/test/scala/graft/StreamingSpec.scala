@@ -394,5 +394,15 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     // the maintained snapshot — the IVM invariant held across batches
     assert(agg == toMap(Ivm.countSumAgg(store.read("ivmdb", "snap"),
       col("grp_in"), col("v"))))
+    // foreachBatch is at-least-once: REPLAYING the last batch must be a
+    // no-op (the pinned base versions make the fold idempotent), not a
+    // second application of the delta
+    val lastBatch = Seq((2L, "D", Option.empty[String], Option.empty[Long]),
+      (3L, "U", Some("a"), Some(30L))).toDF("k", "change", "grp_in", "v")
+    StreamingAnalytics.applyIvmBatch(lastBatch, 1L, store, "ivmdb",
+      "snap", "agg", Seq("k"), col("grp_in"), col("v"), s"$tmp/ckpt")
+    assert(toMap(store.read("ivmdb", "agg")) == agg)
+    assert(agg == toMap(Ivm.countSumAgg(store.read("ivmdb", "snap"),
+      col("grp_in"), col("v"))))
   }
 }
