@@ -34,12 +34,17 @@ object Dedup {
   def ngramSet(c: Column, n: Int): Column =
     if (n <= 1) tokenSet(c)
     else {
-      val toks = split(normalizeText(c), " ")
-      when(size(toks) >= n,
-        array_sort(array_distinct(
-          transform(sequence(lit(0), size(toks) - n),
-            i => concat_ws(" ", slice(toks, i + 1, lit(n)))))))
-        .otherwise(array().cast("array<string>"))
+      // the token array is BOUND once through a single-element-array
+      // lambda: splicing `split(...)` into the per-gram slice would
+      // re-tokenize the document for every gram (lambdas are
+      // interpreted, no subexpression elimination) — O(len * grams)
+      // instead of O(len)
+      element_at(transform(array(split(normalizeText(c), " ")), toks =>
+        when(size(toks) >= n,
+          array_sort(array_distinct(
+            transform(sequence(lit(0), size(toks) - n),
+              i => concat_ws(" ", slice(toks, i + 1, lit(n)))))))
+          .otherwise(array().cast("array<string>"))), 1)
     }
 
   /** Content hash of a sorted n-gram set: two sets are equal iff their

@@ -127,15 +127,20 @@ object Multimodal {
         hex16(pay.substr(i - w + 1, lit(w))) % divisor === 0))
       .otherwise(array().cast("array<int>"))
     // every chunk's end: the cut positions plus the blob end (distinct —
-    // the last byte may itself be a cut)
+    // the last byte may itself be a cut). BOUND once through a
+    // single-element-array lambda: lambdas are interpreted (no
+    // subexpression elimination), so splicing `ends` into each per-chunk
+    // element_at would re-run the whole O(bytes)-digest cut scan per
+    // chunk — O(bytes * chunks) instead of O(bytes)
     val ends = array_distinct(concat(cuts, array(length(pay))))
-    val chunks = transform(sequence(lit(0), size(ends) - 1), j => {
-      val start = when(j === 0, lit(1)).otherwise(element_at(ends, j) + 1)
-      val len = element_at(ends, j + 1) - start + 1
-      struct(j.cast("long").as("chunk_idx"),
-        md5(pay.substr(start, len)).as("chunk_fp"),
-        len.cast("long").as("n_bytes"))
-    })
+    val chunks = element_at(transform(array(ends), es =>
+      transform(sequence(lit(0), size(es) - 1), j => {
+        val start = when(j === 0, lit(1)).otherwise(element_at(es, j) + 1)
+        val len = element_at(es, j + 1) - start + 1
+        struct(j.cast("long").as("chunk_idx"),
+          md5(pay.substr(start, len)).as("chunk_fp"),
+          len.cast("long").as("n_bytes"))
+      })), 1)
     df.select(col(idCol), payload.as("__pay"))
       .filter(length(pay) > 0)
       .select(col(idCol), explode(chunks).as("__c"))

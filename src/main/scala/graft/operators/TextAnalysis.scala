@@ -400,14 +400,17 @@ object TextAnalysis {
    * n-gram). Building block of [[repetitionRatios]] and
    * [[qualityGate]].
    */
-  def repetitionRatio(c: Column, n: Int): Column = {
-    val toks = split(normalizeText(c), " ")
-    val nt = size(toks)
-    val grams = transform(sequence(lit(0), nt - n),
-      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
-    when(nt >= n,
-      round(lit(1.0) - size(array_distinct(grams)).cast("double") / (nt - n + 1), 4))
-  }
+  def repetitionRatio(c: Column, n: Int): Column =
+    // token array bound once (single-element-array lambda): splicing the
+    // split into the per-gram slice would re-tokenize per gram —
+    // O(len * grams) on every doc of a corpus-wide quality pass
+    element_at(transform(array(split(normalizeText(c), " ")), toks => {
+      val nt = size(toks)
+      val grams = transform(sequence(lit(0), nt - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+      when(nt >= n,
+        round(lit(1.0) - size(array_distinct(grams)).cast("double") / (nt - n + 1), 4))
+    }), 1)
 
   /** Intra-document repetition ratios — the Gopher/MassiveText
    * repetition filters at word n-gram sizes 2 and 3: looping/generated
