@@ -1474,6 +1474,23 @@ object SparkEntry {
           "doc_id", "n_tokens", contextLen = 512)
         .orderBy("doc_id")),
 
+    // sentence segmentation: terminator+whitespace boundaries via an
+    // inserted separator (no lookbehind — RE2-portable), trimmed,
+    // empties dropped, dense post-filter positions. The synthetic corpus
+    // carries no sentence punctuation, so a period is planted after
+    // every third word first — otherwise the oracle would compare
+    // one-sentence rows and verify nothing
+    "t25_sentences" -> ((s, d) => {
+      val punct = t(s, d, "documents").select(col("doc_id"),
+        regexp_replace(col("text"),
+          "([a-z0-9]+ [a-z0-9]+ [a-z0-9]+) ", "$1. ").as("text"))
+      punct
+        .select(col("doc_id"), posexplode(TextAnalysis.sentences(col("text"))))
+        .withColumnRenamed("pos", "sent_idx")
+        .withColumnRenamed("col", "sentence")
+        .orderBy("doc_id", "sent_idx")
+    }),
+
     // content-defined chunking: local-hash cut rule over the m01
     // payloads — boundaries depend on content, not position, so they
     // survive insertions that shift every fixed-grid chunk
@@ -2958,6 +2975,28 @@ object SparkEntry {
                 CAST(greatest(cum_tokens - 1, cum_tokens - n_tokens) // 512
                   AS BIGINT) AS end_context_id
          FROM w ORDER BY doc_id"""),
+
+    // same inserted-separator split; positions are dense over the
+    // non-empty trimmed pieces
+    "t25_sentences" ->
+      """WITH j AS (SELECT doc_id,
+           regexp_replace(text, '([a-z0-9]+ [a-z0-9]+ [a-z0-9]+) ',
+             '\1. ', 'g') AS text
+         FROM documents),
+         sp AS (SELECT doc_id,
+           string_split(regexp_replace(text, '([.!?])\s+', '\1' || chr(31), 'g'),
+             chr(31)) AS ss
+         FROM j),
+         e AS (SELECT doc_id, ss,
+                 unnest(generate_series(1, len(ss))) AS i FROM sp),
+         s2 AS (SELECT doc_id, i, trim(ss[CAST(i AS INTEGER)]) AS sentence
+                FROM e),
+         k AS (SELECT doc_id, sentence,
+                 CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1
+                   AS BIGINT) AS sent_idx
+               FROM s2 WHERE length(sentence) > 0)
+         SELECT doc_id, sent_idx, sentence FROM k
+         ORDER BY doc_id, sent_idx""",
 
     // per-position window-hash cut flags, chunk id = cuts strictly
     // before the byte (windowed cumsum), chunk bytes reassembled in

@@ -693,6 +693,23 @@ object TextAnalysis {
         .cast("long") % 2001 - 1000))
 
   /**
+   * Sentence segmentation — the grain between [[chunkTokens]] windows
+   * and d13's paragraphs: a sentence ends at `.`/`!`/`?` followed by
+   * whitespace. Lookbehind is not RE2-portable, so the boundary is
+   * marked by INSERTING a U+001F separator after the terminator and
+   * splitting on it; pieces are trimmed and empties dropped (positions
+   * are post-filter, dense). The punctuation+space rule is the honest
+   * classical heuristic — it splits after abbreviations ("Mr. Smith");
+   * a model-based segmenter would slot in at this seam exactly like the
+   * classifier/embedding stand-ins. Pure narrow column expression.
+   */
+  def sentences(c: Column): Column =
+    filter(
+      transform(split(regexp_replace(c, "([.!?])\\s+", "$1\u001f"), "\u001f"),
+        s => trim(s)),
+      s => length(s) > 0)
+
+  /**
    * Deterministic hashed text embedding in integer milli-units — the
    * embedding-GENERATION stage of a training/retrieval pipeline (doc →
    * dense vector), built on the feature-hashing trick (Weinberger et

@@ -1749,6 +1749,26 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("sentences: terminator+space boundaries, trim, dense positions") {
+    import spark.implicits._
+    val cases = Seq(
+      ("One. Two! Three? Four", Seq("One.", "Two!", "Three?", "Four")),
+      ("No terminator at all", Seq("No terminator at all")),
+      // terminator at END: no trailing empty piece survives
+      ("Tail stays. End.", Seq("Tail stays.", "End.")),
+      // multiple spaces after the boundary collapse into the split
+      ("A.  B.", Seq("A.", "B.")),
+      // the documented abbreviation limitation — splits after 'Mr.'
+      ("Mr. Smith waved.", Seq("Mr.", "Smith waved.")),
+      // '...' splits once at the run's end, not per dot
+      ("Wait... done.", Seq("Wait...", "done.")))
+    val got = cases.map(_._1).zipWithIndex.map { case (t, i) => (i, t) }
+      .toDF("i", "text")
+      .select(col("i"), TextAnalysis.sentences(col("text")).as("ss"))
+      .orderBy("i").collect().map(_.getSeq[String](1).toSeq).toSeq
+    assert(got == cases.map(_._2))
+  }
+
   test("dominantScript: per-class counts, ordered tie-break, und fallback") {
     import spark.implicits._
     val cases = Seq(

@@ -207,6 +207,17 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(scans(p) == 1, s"expected one corpus scan, got:\n$p")
   }
 
+  test("t24 embedding + d20 cdc chunks: pure narrow passes — one scan, sort only") {
+    for (name <- Seq("t24_hashed_embedding", "d20_cdc_chunks")) {
+      val p = plan(name)
+      assert(scans(p) == 1, s"$name: expected one corpus scan:\n$p")
+      // the only exchange is the contract ORDER BY — embedding folds and
+      // chunk cuts never leave their row
+      assert(shuffles(p) == 1, s"$name: expected the output sort only:\n$p")
+      assert(!p.contains("Join"), s"$name: expected no join:\n$p")
+    }
+  }
+
   test("m06 keyframes: one blob-key exchange plus output sort, one scan") {
     val p = plan("m06_keyframes")
     // chunking is a narrow explode; the only data shuffle is the per-blob
