@@ -2914,17 +2914,19 @@ object SparkEntry {
                   regexp_replace(regexp_replace(u, '&&+', '&', 'g'),
                     '\?&', '?', 'g') AS u FROM k2),
          k4 AS (SELECT doc_id, n_tokens,
-                  regexp_replace(regexp_replace(u, '[?&]+$', '', 'g'),
-                    '/+([?#])', '\1', 'g') AS u FROM k3),
+                  regexp_replace(u, '[?&]+$', '', 'g') AS u FROM k3),
          k5 AS (SELECT doc_id, n_tokens, regexp_replace(u,
                   '^(https?://[^/:?#]+):(80|443)([/?#]|$)', '\1\3', 'g') AS u
                 FROM k4),
          k6 AS (SELECT doc_id, n_tokens,
-                  regexp_replace(regexp_replace(u, '^(https?://)www\.', '\1', 'g'),
-                    '/+$', '', 'g') AS canon_url FROM k5),
+                  regexp_replace(u, '^(https?://)www\.', '\1', 'g') AS u
+                FROM k5),
+         k7 AS (SELECT doc_id, n_tokens,
+                  regexp_replace(regexp_extract(u, '^[^?]*'), '/+$', '', 'g')
+                  || regexp_replace(u, '^[^?]*', '') AS canon_url FROM k6),
          r AS (SELECT doc_id, canon_url, n_tokens,
                  row_number() OVER (PARTITION BY canon_url
-                   ORDER BY n_tokens DESC, doc_id ASC) AS rn FROM k6)
+                   ORDER BY n_tokens DESC, doc_id ASC) AS rn FROM k7)
          SELECT doc_id, canon_url, n_tokens FROM r WHERE rn = 1
          ORDER BY doc_id"""),
 
@@ -2984,8 +2986,8 @@ object SparkEntry {
              '\1. ', 'g') AS text
          FROM documents),
          sp AS (SELECT doc_id,
-           string_split(regexp_replace(text, '([.!?])\s+', '\1' || chr(31), 'g'),
-             chr(31)) AS ss
+           string_split(regexp_replace(text, '([.!?])[ \t\n\r\f]+',
+             '\1' || chr(31), 'g'), chr(31)) AS ss
          FROM j),
          e AS (SELECT doc_id, ss,
                  unnest(generate_series(1, len(ss))) AS i FROM sp),

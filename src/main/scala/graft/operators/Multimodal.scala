@@ -114,9 +114,10 @@ object Multimodal {
    * [[graft.operators.Dedup.fingerprintSetPairs]] consume it unchanged.
    */
   def cdcChunks(df: DataFrame, idCol: String, payload: Column, w: Int,
-                divisor: Int): DataFrame = {
+                divisor: Int, maxBytes: Int = 4 << 20): DataFrame = {
     require(w >= 2, "a 1-byte window makes boundaries byte-frequency noise")
     require(divisor >= 2, "divisor < 2 cuts at every byte")
+    require(maxBytes >= w, "maxBytes smaller than one window")
     val pay = col("__pay")
     def hex16(b: Column) =
       conv(substring(md5(b), 1, 4), 16, 10).cast("long")
@@ -143,6 +144,17 @@ object Multimodal {
       })), 1)
     df.select(col(idCol), payload.as("__pay"))
       .filter(length(pay) > 0)
+      // the per-position index array lives in ONE row's evaluation — a
+      // multi-GB blob would materialize a same-order boxed array inside
+      // the interpreted lambda. FAIL LOUDLY past the bound rather than
+      // OOM an executor (no silent drop); blobs beyond it belong to the
+      // positional-explode form of this cut rule (the t05 winnowing
+      // shape: explode positions, flag cuts, windowed cumsum — same
+      // boundaries, row-at-a-time memory). assert_true inside a filter —
+      // an unused projected column would be PRUNED and never fire
+      .filter(assert_true(length(pay) <= maxBytes,
+        concat(lit(s"cdcChunks: blob over $maxBytes bytes ("), length(pay),
+          lit(") — use the positional-explode form"))).isNull)
       .select(col(idCol), explode(chunks).as("__c"))
       .select(col(idCol), col("__c.chunk_idx"), col("__c.chunk_fp"),
         col("__c.n_bytes"))

@@ -705,7 +705,7 @@ object TextAnalysis {
    */
   def sentences(c: Column): Column =
     filter(
-      transform(split(regexp_replace(c, "([.!?])\\s+", "$1\u001f"), "\u001f"),
+      transform(split(regexp_replace(c, "([.!?])[ \\t\\n\\r\\f]+", "$1\u001f"), "\u001f"),
         s => trim(s)),
       s => length(s) > 0)
 

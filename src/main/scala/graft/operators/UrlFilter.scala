@@ -84,15 +84,17 @@ object UrlFilter {
    * page re-crawled as `https://www.example.com/a/1/?utm_source=x`,
    * `HTTPS://EXAMPLE.COM:443/a/1#nav` and `https://example.com/a/1`
    * must collapse to ONE canonical form. Normalizations applied, in
-   * order: full lowercase (hosts/schemes are case-insensitive; paths are
-   * lowercased too — this is a DEDUP KEY, not a rewriting proxy, and
-   * case-only path variants are overwhelmingly the same page), fragment
-   * strip, tracking-parameter strip (`utm_*`, click ids, `ref` —
-   * anchored at a `?`/`&` separator so a path segment that merely
-   * CONTAINS a lookalike, e.g. `/href=x`, is untouched; the kept
-   * separator is then collapsed), dangling `?`/`&` cleanup,
-   * default-port strip (`:80`/`:443`), leading-`www.` strip,
-   * trailing-slash strip.
+   * order: lowercase of everything BEFORE the query (hosts/schemes are
+   * case-insensitive; path folding is a DEDUP-KEY choice — case-only
+   * path variants are overwhelmingly the same page — while query VALUES
+   * keep their case: base64-style ids are case-sensitive), fragment
+   * strip, tracking-parameter strip (`utm_*`, click ids, `ref`, matched
+   * case-insensitively — anchored at a `?`/`&` separator so a path
+   * segment that merely CONTAINS a lookalike, e.g. `/href=x`, is
+   * untouched; the kept separator is then collapsed), dangling `?`/`&`
+   * cleanup, default-port strip (`:80`/`:443`), leading-`www.` strip,
+   * PATH-final trailing-slash strip (before the query or at the end;
+   * never inside a query value).
    *
    * Pure narrow regexp chain (whole-stage codegen, no UDF), every
    * pattern RE2-and-Java compatible so an external SQL engine replays
@@ -116,14 +118,17 @@ object UrlFilter {
     val noRuns = regexp_replace(
       regexp_replace(noTrack, "&&+", "&"), "\\?&", "?")
     val noDangle = regexp_replace(noRuns, "[?&]+$", "")
-    // a path-final slash BEFORE a surviving query must collapse like the
-    // end-of-string one ('/a/1/?q=2' and '/a/1?q=2' are the same page);
-    // written without lookahead so RE2 engines replay it
-    val noSlashQ = regexp_replace(noDangle, "/+([?#])", "$1")
-    val noPort = regexp_replace(noSlashQ,
+    val noPort = regexp_replace(noDangle,
       "^(https?://[^/:?#]+):(80|443)([/?#]|$)", "$1$3")
     val noWww = regexp_replace(noPort, "^(https?://)www\\.", "$1")
-    regexp_replace(noWww, "/+$", "")
+    // trailing-slash strip applies to the PATH only — split at the first
+    // '?' and collapse the path side, so '/a/1/?q=2' and '/a/1?q=2'
+    // share a key while a '/?' INSIDE a query value (redirect/next-style
+    // params embedding URLs) stays untouched; the query-less case falls
+    // out of the same split (empty rest)
+    concat(
+      regexp_replace(regexp_extract(noWww, "^[^?]*", 0), "/+$", ""),
+      regexp_replace(noWww, "^[^?]*", ""))
   }
 
   /**

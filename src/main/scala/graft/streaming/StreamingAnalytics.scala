@@ -238,14 +238,18 @@ object StreamingAnalytics {
             .unionByName(arrived.select(old.columns.map(col).toIndexedSeq: _*))
           store.overwrite(db, aggTable, newAgg)
           store.overwrite(db, snapTable, newSnap)
-          // completed batches never replay with a lower id: drop stale markers
+          // completed batches never replay with a lower id: drop stale
+          // markers AND any orphaned tmp a crashed-before-rename attempt
+          // of an older batch left behind
           try fs.listStatus(markers).map(_.getPath).foreach { p =>
-            p.getName match {
-              case s if s.startsWith("batch-") &&
-                scala.util.Try(s.stripPrefix("batch-").toLong)
-                  .toOption.exists(_ < batchId) => fs.delete(p, false)
-              case _ => ()
+            val id = p.getName match {
+              case s if s.startsWith("batch-") =>
+                scala.util.Try(s.stripPrefix("batch-").toLong).toOption
+              case s if s.startsWith(".tmp-batch-") =>
+                scala.util.Try(s.stripPrefix(".tmp-batch-").toLong).toOption
+              case _ => None
             }
+            if (id.exists(_ < batchId)) fs.delete(p, false)
           } catch { case _: java.io.FileNotFoundException => () }
         }
   }

@@ -60,6 +60,13 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
       .join(base.select(col("doc_id"), length(col("pay")).cast("long").as("l")),
         Seq("doc_id"))
     assert(sums.filter(col("n") =!= col("l")).count() == 0)
+    // a blob past the bound fails LOUDLY instead of building a same-order
+    // in-row index array (no silent drop)
+    val boom = intercept[Exception] {
+      Multimodal.cdcChunks(base, "doc_id", col("pay"), 8, 16, maxBytes = 64)
+        .count()
+    }
+    assert(boom.getMessage != null)
   }
 
   test("payload is BinaryType; sniffFormat follows the magic bytes") {

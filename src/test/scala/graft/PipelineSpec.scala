@@ -1656,7 +1656,11 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
       // query values keep their case (base64-style ids are
       // case-SENSITIVE); tracking names still strip case-insensitively
       ("https://example.com/watch?v=AbCdEf&UTM_Source=x",
-        "https://example.com/watch?v=AbCdEf"))
+        "https://example.com/watch?v=AbCdEf"),
+      // a '/?' INSIDE a query value (redirect-style params embedding
+      // URLs) is data, not a path-final slash — it must survive
+      ("https://example.com/r?u=/a/?x=1",
+        "https://example.com/r?u=/a/?x=1"))
     val got = cases.map(_._1).zipWithIndex.map { case (u, i) => (i, u) }
       .toDF("i", "u")
       .select(col("i"), UrlFilter.canonicalizeUrl(col("u")).as("c"))
