@@ -1491,6 +1491,25 @@ object SparkEntry {
         .orderBy("doc_id", "sent_idx")
     }),
 
+    // sentence-grain boilerplate removal: periods planted (the t25
+    // synthesis), one of three shared boilerplate sentences appended per
+    // doc class plus a unique ref sentence — the shared ones vanish, the
+    // unique ones and the body survive in order
+    "d21_boilerplate_sentences" -> ((s, d) => {
+      val e = t(s, d, "documents").select(col("doc_id"), concat(
+          regexp_replace(col("text"),
+            "([a-z0-9]+ [a-z0-9]+ [a-z0-9]+) ", "$1. "),
+          lit(". "),
+          element_at(array(lit("Subscribe to our newsletter today."),
+            lit("All rights reserved example corp."),
+            lit("Cookie policy accept to continue.")),
+            (col("doc_id") % 3 + 1).cast("int")),
+          lit(" Ref doc "), col("doc_id").cast("string"), lit("."))
+        .as("text"))
+      Dedup.removeBoilerplateSentences(e, "doc_id", "text", minDocs = 3)
+        .orderBy("doc_id")
+    }),
+
     // content-defined chunking: local-hash cut rule over the m01
     // payloads — boundaries depend on content, not position, so they
     // survive insertions that shift every fixed-grid chunk
@@ -2999,6 +3018,37 @@ object SparkEntry {
                FROM s2 WHERE length(sentence) > 0)
          SELECT doc_id, sent_idx, sentence FROM k
          ORDER BY doc_id, sent_idx""",
+
+    // the t25 sentence replay over the planted text, then the d15
+    // boilerplate pattern at sentence grain (space-joined)
+    "d21_boilerplate_sentences" ->
+      """WITH e AS (SELECT doc_id,
+           regexp_replace(text, '([a-z0-9]+ [a-z0-9]+ [a-z0-9]+) ',
+             '\1. ', 'g')
+           || '. '
+           || (CASE CAST(doc_id % 3 AS INTEGER)
+                 WHEN 0 THEN 'Subscribe to our newsletter today.'
+                 WHEN 1 THEN 'All rights reserved example corp.'
+                 ELSE 'Cookie policy accept to continue.' END)
+           || ' Ref doc ' || CAST(doc_id AS VARCHAR) || '.' AS text
+         FROM documents),
+         sp AS (SELECT doc_id,
+           string_split(regexp_replace(text, '([.!?])[ \t\n\r\f]+',
+             '\1' || chr(31), 'g'), chr(31)) AS ss
+         FROM e),
+         ex AS (SELECT doc_id, ss,
+                  unnest(generate_series(1, len(ss))) AS i FROM sp),
+         s2 AS (SELECT doc_id, i, trim(ss[CAST(i AS INTEGER)]) AS sentence
+                FROM ex),
+         k AS (SELECT doc_id, i, sentence,
+                 md5(regexp_replace(trim(lower(sentence)), '\s+', ' ', 'g'))
+                   AS f
+               FROM s2 WHERE length(sentence) > 0),
+         boiler AS (SELECT f FROM (SELECT DISTINCT doc_id, f FROM k) df
+                    GROUP BY f HAVING count(*) >= 3)
+         SELECT doc_id, string_agg(sentence, ' ' ORDER BY i) AS text
+         FROM k WHERE f NOT IN (SELECT f FROM boiler)
+         GROUP BY doc_id ORDER BY doc_id""",
 
     // per-position window-hash cut flags, chunk id = cuts strictly
     // before the byte (windowed cumsum), chunk bytes reassembled in

@@ -903,21 +903,52 @@ object Dedup {
   def removeBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
                              minDocs: Long, sep: String = "\n"): DataFrame = {
     require(minDocs >= 2, "minDocs must be >= 2 — 1 would drop every line")
-    val lines = Materialize.eager(
+    removeBoilerplateSegments(
       df.select(col(idCol),
-          posexplode(split(col(textCol), "\\n")).as(Seq("pi0", "line")))
-        .withColumn("line_idx", (col("pi0") + 1).cast("long")).drop("pi0")
-        .filter(length(trim(col("line"))) > 0)
-        .withColumn("fp", fingerprintMd5(col("line"))))
-    val boiler = lines.select(col(idCol), col("fp")).distinct()
+          posexplode(split(col(textCol), "\\n")).as(Seq("pi0", "seg")))
+        .withColumn("seg_idx", (col("pi0") + 1).cast("long")).drop("pi0")
+        .filter(length(trim(col("seg"))) > 0),
+      idCol, minDocs, sep, textCol)
+  }
+
+  /** Sentence-grain boilerplate removal — the RefinedWeb variant of
+   * [[removeBoilerplateLines]] for corpora whose boilerplate is not
+   * line-delimited (crawl text flattened to one line carries its
+   * "subscribe to our newsletter" sentences inline): segment with
+   * [[TextAnalysis.sentences]], drop sentences appearing in >= `minDocs`
+   * DISTINCT documents, stitch the survivors back in order. Same scale
+   * shape as the line form — one segment explode, one
+   * distinct-doc-count aggregate over fingerprints (map-side combined),
+   * one anti-join, one per-doc regroup. */
+  def removeBoilerplateSentences(df: DataFrame, idCol: String,
+                                 textCol: String, minDocs: Long): DataFrame = {
+    require(minDocs >= 2, "minDocs must be >= 2 — 1 would drop every sentence")
+    removeBoilerplateSegments(
+      df.select(col(idCol),
+          posexplode(TextAnalysis.sentences(col(textCol)))
+            .as(Seq("pi0", "seg")))
+        .withColumn("seg_idx", (col("pi0") + 1).cast("long")).drop("pi0"),
+      idCol, minDocs, " ", textCol)
+  }
+
+  /** Shared boilerplate-removal core over pre-segmented text: fingerprint
+   * each (id, seg_idx, seg) row, count DISTINCT docs per fingerprint,
+   * anti-join the >= minDocs set, stitch survivors back with `joinSep`.
+   * The segment table is cut once — it feeds the count pass and the
+   * anti-join (without the cut the corpus would re-segment twice). */
+  private def removeBoilerplateSegments(segments: DataFrame, idCol: String,
+      minDocs: Long, joinSep: String, outCol: String): DataFrame = {
+    val segs = Materialize.eager(
+      segments.withColumn("fp", fingerprintMd5(col("seg"))))
+    val boiler = segs.select(col(idCol), col("fp")).distinct()
       .groupBy("fp").agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
       .select("fp")
-    lines.join(boiler, Seq("fp"), "left_anti")
+    segs.join(boiler, Seq("fp"), "left_anti")
       .groupBy(col(idCol))
-      .agg(concat_ws(sep, transform(
-        array_sort(collect_list(struct(col("line_idx"), col("line")))),
-        x => x.getField("line"))).as(textCol))
+      .agg(concat_ws(joinSep, transform(
+        array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
+        x => x.getField("seg"))).as(outCol))
   }
 
   // ------------------------------------------------- winnow near-dup

@@ -1753,6 +1753,23 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("removeBoilerplateSentences drops shared sentences, keeps order") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "Alpha body one. Buy our plan now! Beta body one."),
+      (2L, "Gamma two. Buy our plan now! Delta two."),
+      (3L, "Buy our plan now! Epsilon three."),
+      (4L, "Zeta four only.")).toDF("doc_id", "text")
+    val got = Dedup.removeBoilerplateSentences(rows, "doc_id", "text",
+        minDocs = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got == Map(
+      1L -> "Alpha body one. Beta body one.",
+      2L -> "Gamma two. Delta two.",
+      3L -> "Epsilon three.",
+      4L -> "Zeta four only."))
+  }
+
   test("sentences: terminator+space boundaries, trim, dense positions") {
     import spark.implicits._
     val cases = Seq(
