@@ -916,8 +916,11 @@ object Dedup {
    * line-delimited (crawl text flattened to one line carries its
    * "subscribe to our newsletter" sentences inline): segment with
    * [[TextAnalysis.sentences]], drop sentences appearing in >= `minDocs`
-   * DISTINCT documents, stitch the survivors back in order. Same scale
-   * shape as the line form — one segment explode, one
+   * DISTINCT documents, stitch the survivors back in order. A document
+   * whose EVERY sentence is boilerplate has no surviving segments and
+   * emits NO row (same contract as the line form) — callers needing
+   * row preservation left-join the result back by id and coalesce to
+   * empty. Same scale shape as the line form — one segment explode, one
    * distinct-doc-count aggregate over fingerprints (map-side combined),
    * one anti-join, one per-doc regroup. */
   def removeBoilerplateSentences(df: DataFrame, idCol: String,
@@ -934,8 +937,10 @@ object Dedup {
   /** Shared boilerplate-removal core over pre-segmented text: fingerprint
    * each (id, seg_idx, seg) row, count DISTINCT docs per fingerprint,
    * anti-join the >= minDocs set, stitch survivors back with `joinSep`.
-   * The segment table is cut once — it feeds the count pass and the
-   * anti-join (without the cut the corpus would re-segment twice). */
+   * An all-boilerplate document emits no row (no segments survive the
+   * anti-join). The segment table is cut once — it feeds the count pass
+   * and the anti-join (without the cut the corpus would re-segment
+   * twice). */
   private def removeBoilerplateSegments(segments: DataFrame, idCol: String,
       minDocs: Long, joinSep: String, outCol: String): DataFrame = {
     val segs = Materialize.eager(

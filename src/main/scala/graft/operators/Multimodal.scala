@@ -152,7 +152,11 @@ object Multimodal {
       // shape: explode positions, flag cuts, windowed cumsum — same
       // boundaries, row-at-a-time memory). assert_true inside a filter —
       // an unused projected column would be PRUNED and never fire
-      .filter(assert_true(length(pay) <= maxBytes,
+      // null-safe: CombineFilters merges this with the length>0 filter,
+      // and a NULL length would otherwise reach assert_true (three-valued
+      // And evaluates the right conjunct when the left is NULL) — a null
+      // payload must stay a silent drop, not a crash
+      .filter(assert_true(coalesce(length(pay) <= maxBytes, lit(true)),
         concat(lit(s"cdcChunks: blob over $maxBytes bytes ("), length(pay),
           lit(") — use the positional-explode form"))).isNull)
       .select(col(idCol), explode(chunks).as("__c"))

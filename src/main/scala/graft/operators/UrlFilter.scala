@@ -100,14 +100,22 @@ object UrlFilter {
    * pattern RE2-and-Java compatible so an external SQL engine replays
    * the canonical form byte-for-byte.
    */
+  /** Split `u` at the first occurrence of the `stop` character class:
+   * (prefix, rest). The extract and the replace MUST share one anchored
+   * pattern or the two halves desynchronize — hence the single helper. */
+  private def splitAt(u: Column, stop: String): (Column, Column) = {
+    val pat = s"^[^$stop]*"
+    (regexp_extract(u, pat, 0), regexp_replace(u, pat, ""))
+  }
+
   def canonicalizeUrl(c: Column): Column = {
     // fold case ONLY up to the query: scheme/host are case-insensitive
     // and path folding is a dedup-key choice, but query VALUES are often
     // case-SENSITIVE ids (base64 video/doc ids) — folding them would
     // merge genuinely distinct pages. Tracking-parameter NAMES still
     // match case-insensitively via (?i) below.
-    val lowered = concat(lower(regexp_extract(c, "^[^?#]*", 0)),
-      regexp_replace(c, "^[^?#]*", ""))
+    val (head, tail) = splitAt(c, "?#")
+    val lowered = concat(lower(head), tail)
     val noFrag = regexp_replace(lowered, "#.*$", "")
     // the separator stays in (as $1) and separator RUNS collapse after,
     // so '?utm=a&b=1' -> '?&b=1' -> '?b=1' without ever fusing a kept
@@ -126,9 +134,8 @@ object UrlFilter {
     // share a key while a '/?' INSIDE a query value (redirect/next-style
     // params embedding URLs) stays untouched; the query-less case falls
     // out of the same split (empty rest)
-    concat(
-      regexp_replace(regexp_extract(noWww, "^[^?]*", 0), "/+$", ""),
-      regexp_replace(noWww, "^[^?]*", ""))
+    val (path, query) = splitAt(noWww, "?")
+    concat(regexp_replace(path, "/+$", ""), query)
   }
 
   /**

@@ -61,12 +61,22 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
         Seq("doc_id"))
     assert(sums.filter(col("n") =!= col("l")).count() == 0)
     // a blob past the bound fails LOUDLY instead of building a same-order
-    // in-row index array (no silent drop)
+    // in-row index array (no silent drop) — pin the INTENDED error, not
+    // just any exception
     val boom = intercept[Exception] {
       Multimodal.cdcChunks(base, "doc_id", col("pay"), 8, 16, maxBytes = 64)
         .count()
     }
-    assert(boom.getMessage != null)
+    val messages = Iterator.iterate(boom: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString("\n")
+    assert(messages.contains("cdcChunks: blob over"), messages)
+    // a null payload stays a silent drop, never a crash
+    val withNull = base.unionByName(
+      spark.range(1).select(lit(-1L).as("doc_id"),
+        lit(null).cast("binary").as("pay")))
+    assert(Multimodal.cdcChunks(withNull, "doc_id", col("pay"), 8, 16)
+      .filter(col("doc_id") === -1L).isEmpty)
   }
 
   test("payload is BinaryType; sniffFormat follows the magic bytes") {
