@@ -47,6 +47,8 @@ import graft.operators.{ChangeLogApplier, CuratedApplier, Dedup, DomainRunner, I
  *  15. incremental aggregates  a snapshot edit's changelog folded into
  *                              a per-host aggregate, proven equal to
  *                              the from-scratch recompute (q45 + q46)
+ *  16. sentence hygiene        sentence segmentation + cross-document
+ *                              boilerplate-sentence removal (t25 + d21)
  *
  *   sbt "runMain graft.PipelineMain [workDir]"
  *
@@ -449,6 +451,27 @@ object PipelineMain {
         s"aggregates == recompute") {
       gotAgg == scratchAgg && Seq("I", "U", "D").forall(changeKinds.contains) &&
         ivmChanges.count() < oldHosts.count()
+    }
+    Materialize.releaseAll()
+
+    // 16. sentence hygiene (the t25 + d21 operators): the rebalanced
+    // corpus is segmented into sentences and cross-document boilerplate
+    // sentences are stripped — a shared footer planted on EVERY doc must
+    // vanish from EVERY survivor while the cleaned corpus keeps real body
+    // text
+    val footer = "Follow us on social media today."
+    val sentSrc = mixed.select(col("doc_id"), concat(
+        regexp_replace(col("text"),
+          "([a-z0-9]+ [a-z0-9]+ [a-z0-9]+) ", "$1. "),
+        lit(". " + footer)).as("text"))
+    val cleaned = Materialize.eager(
+      Dedup.removeBoilerplateSentences(sentSrc, "doc_id", "text", minDocs = 3))
+    val nCleaned = cleaned.count()
+    val leaked = cleaned.filter(col("text").contains(footer)).count()
+    val emptied = cleaned.filter(length(trim(col("text"))) === 0).count()
+    stage(16, s"sentence hygiene -> $nCleaned of $nMixed docs keep body " +
+        s"text, footer leaked in $leaked, emptied $emptied") {
+      nCleaned > 0 && nCleaned <= nMixed && leaked == 0 && emptied == 0
     }
     Materialize.releaseAll()
 
