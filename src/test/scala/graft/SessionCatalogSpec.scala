@@ -1,0 +1,60 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.{SessionCatalog, SnapshotStore, TableMeta}
+
+/** The session-catalog-backed Catalog: metadata round-trips through the
+ * metastore client surface, and the versioned snapshot store runs over it
+ * unchanged — the swap-the-metastore-by-conf seam, proven live. */
+class SessionCatalogSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  test("register/get/list round-trip incl. PK, partitioning, properties") {
+    val cat = new SessionCatalog(spark)
+    val tmp = Files.createTempDirectory("graft-sess-cat").toString
+    val meta = TableMeta("scdb", "offenders", s"$tmp/offenders",
+      primaryKey = Some("offender_id"), partitionBy = Seq("part_date"),
+      properties = Map("owner" -> "graft"))
+    cat.register(meta)
+    val got = cat("scdb", "offenders")
+    // a real metastore stores the QUALIFIED location (scheme attached);
+    // Hadoop Path treats both forms identically downstream
+    assert(got.location == meta.location || got.location == s"file:${meta.location}")
+    assert(got.primaryKey.contains("offender_id"))
+    assert(got.partitionBy == Seq("part_date"))
+    assert(got.properties("owner") == "graft")
+    assert(got.schema.isEmpty) // none registered -> none back
+    assert(cat.primaryKey("scdb", "offenders") == "offender_id")
+    // re-registration (the landing-write schema refresh) wins
+    val df = Seq((1L, "a")).toDF("offender_id", "name")
+    cat.register(meta.copy(schema = Some(df.schema)))
+    assert(cat("scdb", "offenders").schema.contains(df.schema))
+    assert(cat.list("scdb").map(_.name) == Seq("offenders"))
+    assert(cat.get("scdb", "missing").isEmpty)
+    assert(cat.get("no_such_db", "x").isEmpty)
+  }
+
+  test("the versioned snapshot store runs unchanged over the session catalog") {
+    val cat = new SessionCatalog(spark)
+    val tmp = Files.createTempDirectory("graft-sess-store").toString
+    cat.register(TableMeta("scdb2", "t", s"$tmp/t"))
+    val store = new SnapshotStore(spark, cat)
+    val v1 = Seq((1L, 10L), (2L, 20L)).toDF("k", "v")
+    store.overwrite("scdb2", "t", v1)
+    assert(store.latestVersion("scdb2", "t") == 0)
+    val v2 = Seq((1L, 11L), (3L, 30L)).toDF("k", "v")
+    store.overwrite("scdb2", "t", v2)
+    assert(store.latestVersion("scdb2", "t") == 1)
+    val got = store.read("scdb2", "t").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 11L), (3L, 30L)))
+    // pinned reads still see the earlier version
+    val old = store.readVersion(cat("scdb2", "t"), 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(old == Set((1L, 10L), (2L, 20L)))
+  }
+}
