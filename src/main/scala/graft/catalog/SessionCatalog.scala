@@ -33,11 +33,21 @@ final class SessionCatalog(spark: SparkSession) extends Catalog {
   /** Properties this adapter writes; everything else in the table's
    * property map belongs to the caller's `properties`. */
   private val AdapterProps = Set(PkProp, PartProp)
+  /** Separator for the partition-column list property — U+001F, never a
+   * legal column-name character, so names containing commas round-trip
+   * (the in-memory impl preserves them; this adapter must too). */
+  private val PartSep = "\u001f"
 
   private def sc = spark.sessionState.catalog
 
   private def ident(db: String, table: String) =
     TableIdentifier(table.toLowerCase, Some(db.toLowerCase))
+
+  /** Hadoop-Path parsing, not `new URI(...)`: locations with spaces or
+   * other URI-illegal characters are legal everywhere else in the engine
+   * (every store goes through Path), so the catalog must accept them. */
+  private def toUri(location: String): URI =
+    new org.apache.hadoop.fs.Path(location).toUri
 
   private def ensureDb(db: String): Unit = {
     val name = db.toLowerCase
@@ -45,7 +55,7 @@ final class SessionCatalog(spark: SparkSession) extends Catalog {
       val warehouse = spark.conf.get("spark.sql.warehouse.dir")
       sc.createDatabase(
         CatalogDatabase(name, s"graft database $name",
-          new URI(s"$warehouse/$name.db"), Map.empty),
+          toUri(s"$warehouse/$name.db"), Map.empty),
         ignoreIfExists = true)
     }
   }
@@ -56,20 +66,27 @@ final class SessionCatalog(spark: SparkSession) extends Catalog {
     val props = meta.properties ++
       meta.primaryKey.map(PkProp -> _).toMap ++
       (if (meta.partitionBy.nonEmpty)
-        Map(PartProp -> meta.partitionBy.mkString(",")) else Map.empty)
+        Map(PartProp -> meta.partitionBy.mkString(PartSep)) else Map.empty)
     val table = CatalogTable(
       identifier = id,
       tableType = CatalogTableType.EXTERNAL,
       storage = CatalogStorageFormat.empty.copy(
-        locationUri = Some(new URI(meta.location))),
+        locationUri = Some(toUri(meta.location))),
       schema = meta.schema.getOrElse(new StructType()),
       provider = Some(meta.format),
       properties = props)
-    // last registration wins, the InMemoryCatalog contract (schema
-    // re-registration after every landing write depends on it)
-    if (sc.tableExists(id)) sc.dropTable(id, ignoreIfNotExists = true,
-      purge = false)
-    sc.createTable(table, ignoreIfExists = false)
+    // last registration wins (the InMemoryCatalog contract — schema
+    // re-registration after every landing write depends on it), WITHOUT
+    // a drop+create window: alter in place when the table exists, and
+    // fall back to alter if a concurrent register won the create race —
+    // readers never observe the table missing
+    if (sc.tableExists(id)) sc.alterTable(table)
+    else
+      try sc.createTable(table, ignoreIfExists = false)
+      catch {
+        case _: org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException =>
+          sc.alterTable(table)
+      }
   }
 
   override def get(db: String, table: String): Option[TableMeta] =
@@ -81,9 +98,14 @@ final class SessionCatalog(spark: SparkSession) extends Catalog {
     }
 
   override def list(db: String): Seq[TableMeta] =
-    try sc.listTables(db.toLowerCase)
-      .flatMap(id => get(db, id.table))
-    catch { case _: NoSuchDatabaseException => Seq.empty }
+    try {
+      // catalog TABLES only (listTables also surfaces session-local temp
+      // views, which are not catalog entries and can shadow-duplicate a
+      // registered name), fetched as ONE batch metastore call rather
+      // than a metadata round-trip per table
+      val ids = sc.listTables(db.toLowerCase, "*", includeLocalTempViews = false)
+      sc.getTablesByName(ids).map(toMeta)
+    } catch { case _: NoSuchDatabaseException => Seq.empty }
 
   private def toMeta(ct: CatalogTable): TableMeta =
     TableMeta(
@@ -96,7 +118,7 @@ final class SessionCatalog(spark: SparkSession) extends Catalog {
       format = ct.provider.getOrElse("parquet"),
       primaryKey = ct.properties.get(PkProp),
       partitionBy = ct.properties.get(PartProp)
-        .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil),
+        .map(_.split(PartSep).toSeq.filter(_.nonEmpty)).getOrElse(Nil),
       properties = ct.properties -- AdapterProps,
       schema = Some(ct.schema).filter(_.nonEmpty))
 }

@@ -78,6 +78,14 @@ object UrlFilter {
       grey, default = 1.0, seed = seed)
   }
 
+  /** Split `u` at the first occurrence of the `stop` character class:
+   * (prefix, rest). The extract and the replace MUST share one anchored
+   * pattern or the two halves desynchronize — hence the single helper. */
+  private def splitAt(u: Column, stop: String): (Column, Column) = {
+    val pat = s"^[^$stop]*"
+    (regexp_extract(u, pat, 0), regexp_replace(u, pat, ""))
+  }
+
   /**
    * Canonical dedup key for a URL — the RefinedWeb-style URL-level dedup
    * step that runs BEFORE any content is fetched or compared: the same
@@ -100,14 +108,6 @@ object UrlFilter {
    * pattern RE2-and-Java compatible so an external SQL engine replays
    * the canonical form byte-for-byte.
    */
-  /** Split `u` at the first occurrence of the `stop` character class:
-   * (prefix, rest). The extract and the replace MUST share one anchored
-   * pattern or the two halves desynchronize — hence the single helper. */
-  private def splitAt(u: Column, stop: String): (Column, Column) = {
-    val pat = s"^[^$stop]*"
-    (regexp_extract(u, pat, 0), regexp_replace(u, pat, ""))
-  }
-
   def canonicalizeUrl(c: Column): Column = {
     // fold case ONLY up to the query: scheme/host are case-insensitive
     // and path folding is a dedup-key choice, but query VALUES are often
