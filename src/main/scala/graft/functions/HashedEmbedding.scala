@@ -1,0 +1,108 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/**
+ * Native Catalyst expression for the feature-hashing embedding fold
+ * (the t24 operator): dimension j of a document is the bag-of-words sum
+ * over tokens of the 16-bit md5 slice at byte offset 2j, mapped to
+ * [−1000, 1000] milli-units (`slice % 2001 − 1000`). The
+ * `aggregate(zip_with(...))` higher-order-function form evaluates
+ * interpreted — one lambda frame per (token, dim) plus a hex round-trip
+ * through `conv(substring(md5(...)))` — where this expression is one
+ * compiled loop per row with a reused digest instance, and it stays
+ * inside whole-stage codegen. Bit-identical to the HOF form
+ * (spec-asserted) and to the external oracle's nibble-parse arithmetic.
+ *
+ * Null semantics: a null token array yields NULL; a null ELEMENT yields
+ * NULL (the HOF fold's `acc + null` poisoning, made explicit).
+ */
+case class HashedBowEmbeddingMilli(child: Expression, d: Int)
+    extends UnaryExpression with Serializable {
+
+  require(d >= 1 && d <= 8,
+    "one 128-bit digest carries 8 16-bit slices; 1 <= d <= 8")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hashed_bow_embedding expects array<string>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hashed_bow_embedding"
+  override def nullable: Boolean = true
+
+  // one digest per TASK, reused across rows (expression trees are
+  // per-task copies, evaluated single-threaded)
+  @transient private lazy val md5 =
+    java.security.MessageDigest.getInstance("MD5")
+
+  override def nullSafeEval(tokens: Any): Any = {
+    val arr = tokens.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val sums = new Array[Long](d)
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      md5.reset()
+      val dg = md5.digest(arr.getUTF8String(i).getBytes)
+      var j = 0
+      while (j < d) {
+        val hi = ((dg(2 * j) & 0xff) << 8) | (dg(2 * j + 1) & 0xff)
+        sums(j) += hi % 2001 - 1000
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sums)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val digest = ctx.addMutableState("java.security.MessageDigest", "graftMd5",
+      v => s"""try { $v = java.security.MessageDigest.getInstance("MD5"); }
+              |catch (java.security.NoSuchAlgorithmException e) {
+              |  throw new RuntimeException(e);
+              |}""".stripMargin)
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val sums = ctx.freshName("sums")
+      val dg = ctx.freshName("dg")
+      val hi = ctx.freshName("hi")
+      s"""
+         |int $n = $a.numElements();
+         |long[] $sums = new long[$d];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  $digest.reset();
+         |  byte[] $dg = $digest.digest($a.getUTF8String($i).getBytes());
+         |  for (int $j = 0; $j < $d; $j++) {
+         |    int $hi = (($dg[2 * $j] & 0xff) << 8) | ($dg[2 * $j + 1] & 0xff);
+         |    $sums[$j] += $hi % 2001 - 1000;
+         |  }
+         |}
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sums);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): HashedBowEmbeddingMilli = copy(child = newChild)
+}
+
+object HashedEmbedding {
+  /** Codegen'd feature-hashing embedding over an `array<string>` token
+   * column: d integer milli-unit coordinates. */
+  def hashedBowMilli(tokens: Column, d: Int): Column =
+    ColumnBridge.column(
+      HashedBowEmbeddingMilli(ColumnBridge.expression(tokens), d))
+}

@@ -726,17 +726,21 @@ object TextAnalysis {
    * and the output array feeds [[graft.operators.Similarity]]'s ANN
    * operators directly (L2-normalize via [[hashedEmbeddingUnit]]).
    */
-  def hashedEmbeddingMilli(c: Column, d: Int): Column = {
-    require(d >= 1, "embedding needs at least one dimension")
+  def hashedEmbeddingMilli(c: Column, d: Int): Column =
     // one md5 per TOKEN, not per (token, dim): the 128-bit digest is cut
-    // into eight disjoint 16-bit slices, one per dimension. Higher-order
-    // lambdas are interpreted (no codegen subexpression elimination), so
-    // the reuse must be structural — materialize the per-token digests
-    // first, then fold them into the d running sums. Dimension 0 reads
-    // the same leading 16 bits as [[hashedLinearScoreMilli]]: the
-    // classifier score IS coordinate 0 of the embedding.
-    require(d <= 8, "one 128-bit digest carries 8 16-bit slices; for " +
-      "d > 8 salt extra digests per 8-dim block (not needed here)")
+    // into eight disjoint 16-bit slices, one per dimension. Dimension 0
+    // reads the same leading 16 bits as [[hashedLinearScoreMilli]]: the
+    // classifier score IS coordinate 0 of the embedding. The fold runs
+    // as a NATIVE codegen'd expression (one compiled loop per row, one
+    // digest instance per task) — the interpreted HOF form below is the
+    // reference implementation it is spec-asserted equal to.
+    graft.functions.HashedEmbedding.hashedBowMilli(tokens(c), d)
+
+  /** The higher-order-function form of [[hashedEmbeddingMilli]], kept as
+   * the reference implementation the native expression is tested
+   * against (the [[graft.operators.Similarity.dotHof]] discipline). */
+  private[graft] def hashedEmbeddingMilliHof(c: Column, d: Int): Column = {
+    require(d >= 1 && d <= 8, "one 128-bit digest carries 8 16-bit slices")
     val digests = transform(tokens(c), tk => md5(tk.cast("binary")))
     val zeros = array_repeat(lit(0L), d)
     aggregate(digests, zeros, (acc, dg) =>

@@ -1833,6 +1833,12 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
         (a, x) => a + x.cast("double") * x.cast("double")).as("n2"))
       .collect().map(_.getDouble(0))
     norms.foreach(n2 => assert(math.abs(n2 - 1.0) < 1e-6))
+    // native codegen'd fold == interpreted HOF reference, on real corpus
+    val mismatch = docs.select(
+        TextAnalysis.hashedEmbeddingMilli(col("text"), 8).as("a"),
+        TextAnalysis.hashedEmbeddingMilliHof(col("text"), 8).as("b"))
+      .filter(not(col("a") === col("b"))).count()
+    assert(mismatch == 0)
     // the generated vectors slot straight into the ANN stack
     val emb = docs.limit(50).select(col("doc_id").as("vec_id"),
       TextAnalysis.hashedEmbeddingUnit(col("text"), 8).as("embedding"))
