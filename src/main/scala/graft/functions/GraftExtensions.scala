@@ -3,7 +3,8 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
 
 /**
  * Session extension registering the engine's custom expressions as SQL
@@ -26,6 +27,19 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "dot_product(arrayA, arrayB) takes 2 arguments")
         DotProduct(args.head, args(1))
+      }), (
+      FunctionIdentifier("hashed_bow_embedding"),
+      new ExpressionInfo(classOf[HashedBowEmbeddingMilli].getName,
+        "hashed_bow_embedding"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "hashed_bow_embedding(tokens, d) takes 2 arguments")
+        val d = args(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"hashed_bow_embedding: d must be an integer literal, got $other")
+        }
+        HashedBowEmbeddingMilli(args.head, d)
       }))
 
   /** Register the functions on an already-built session (tests, REPLs). */

@@ -20,8 +20,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
  * inside whole-stage codegen. Bit-identical to the HOF form
  * (spec-asserted) and to the external oracle's nibble-parse arithmetic.
  *
- * Null semantics: a null token array yields NULL; a null ELEMENT yields
- * NULL (the HOF fold's `acc + null` poisoning, made explicit).
+ * Null semantics mirror the HOF fold exactly: a null token array yields
+ * NULL; a null ELEMENT yields an array of d NULL coordinates (zip_with's
+ * `acc + null` poisons every element, never the array itself).
  */
 case class HashedBowEmbeddingMilli(child: Expression, d: Int)
     extends UnaryExpression with Serializable {
@@ -34,7 +35,7 @@ case class HashedBowEmbeddingMilli(child: Expression, d: Int)
     case other => TypeCheckResult.TypeCheckFailure(
       s"hashed_bow_embedding expects array<string>, got ${other.simpleString}")
   }
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
   override def prettyName: String = "hashed_bow_embedding"
   override def nullable: Boolean = true
 
@@ -49,8 +50,8 @@ case class HashedBowEmbeddingMilli(child: Expression, d: Int)
     val sums = new Array[Long](d)
     var i = 0
     while (i < n) {
-      if (arr.isNullAt(i)) return null
-      md5.reset()
+      if (arr.isNullAt(i)) return new GenericArrayData(new Array[Any](d))
+      // digest(bytes) both updates and resets — no explicit reset needed
       val dg = md5.digest(arr.getUTF8String(i).getBytes)
       var j = 0
       while (j < d) {
@@ -76,21 +77,22 @@ case class HashedBowEmbeddingMilli(child: Expression, d: Int)
       val sums = ctx.freshName("sums")
       val dg = ctx.freshName("dg")
       val hi = ctx.freshName("hi")
+      val poisoned = ctx.freshName("poisoned")
       s"""
          |int $n = $a.numElements();
          |long[] $sums = new long[$d];
+         |boolean $poisoned = false;
          |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |  $digest.reset();
+         |  if ($a.isNullAt($i)) { $poisoned = true; break; }
          |  byte[] $dg = $digest.digest($a.getUTF8String($i).getBytes());
          |  for (int $j = 0; $j < $d; $j++) {
          |    int $hi = (($dg[2 * $j] & 0xff) << 8) | ($dg[2 * $j + 1] & 0xff);
          |    $sums[$j] += $hi % 2001 - 1000;
          |  }
          |}
-         |if (!${ev.isNull}) {
-         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sums);
-         |}
+         |${ev.value} = $poisoned
+         |  ? new org.apache.spark.sql.catalyst.util.GenericArrayData(new Object[$d])
+         |  : new org.apache.spark.sql.catalyst.util.GenericArrayData($sums);
        """.stripMargin
     })
   }

@@ -1834,11 +1834,31 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
       .collect().map(_.getDouble(0))
     norms.foreach(n2 => assert(math.abs(n2 - 1.0) < 1e-6))
     // native codegen'd fold == interpreted HOF reference, on real corpus
+    // (null-safe inequality: a one-sided NULL must COUNT as a mismatch,
+    // not silently drop from the filter)
     val mismatch = docs.select(
         TextAnalysis.hashedEmbeddingMilli(col("text"), 8).as("a"),
         TextAnalysis.hashedEmbeddingMilliHof(col("text"), 8).as("b"))
-      .filter(not(col("a") === col("b"))).count()
+      .filter(!(col("a") <=> col("b"))).count()
     assert(mismatch == 0)
+    // null-ELEMENT poisoning matches the HOF too: d null coordinates,
+    // not a null array
+    val poisoned = spark.range(1)
+      .select(array(lit("a"), lit(null).cast("string")).as("toks"))
+      .select(graft.functions.HashedEmbedding.hashedBowMilli(col("toks"), 3)
+        .as("e"))
+      .collect().head.getSeq[Any](0)
+    assert(poisoned == Seq(null, null, null))
+    // SQL registration path, the dot_product discipline
+    graft.functions.GraftExtensions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT hashed_bow_embedding(array('the', 'cat'), 2) AS e")
+      .collect().head.getSeq[Long](0).toSeq
+    val viaCol = spark.range(1)
+      .select(graft.functions.HashedEmbedding.hashedBowMilli(
+        array(lit("the"), lit("cat")), 2).as("e"))
+      .collect().head.getSeq[Long](0).toSeq
+    assert(viaSql == viaCol)
     // the generated vectors slot straight into the ANN stack
     val emb = docs.limit(50).select(col("doc_id").as("vec_id"),
       TextAnalysis.hashedEmbeddingUnit(col("text"), 8).as("embedding"))
