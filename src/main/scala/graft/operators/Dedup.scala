@@ -831,16 +831,33 @@ object Dedup {
    * [[dropDuplicateParagraphs]]: split on `sepPattern`, drop
    * whitespace-only paragraphs, fingerprint the NORMALIZED paragraph,
    * and mark each fingerprint's canonical (min id, then min position)
-   * occurrence corpus-wide via one rank window keyed by fingerprint. */
+   * occurrence corpus-wide.
+   *
+   * The canonical pick is a map-side-combinable
+   * `groupBy(fingerprint).agg(min(struct(id, para_idx)))` joined back —
+   * NOT a `row_number` window keyed by the fingerprint. A window would
+   * funnel EVERY occurrence of a hot fingerprint (a cookie banner in
+   * 10^7 crawl pages) — text and all — into one window partition; the
+   * aggregate ships fingerprint + two scalars on the shuffle, combines
+   * map-side so the hot key arrives pre-collapsed, and the join-back is
+   * an equi-join AQE can skew-split (and in practice broadcasts: the
+   * canonical frame is one row per DISTINCT fingerprint, no text).
+   * Same discipline as [[dropHotGrams]] / `fingerprintSetPairs`. */
   private def paraTable(df: DataFrame, idCol: String, textCol: String,
-                        sepPattern: String): DataFrame =
-    df.select(col(idCol),
+                        sepPattern: String): DataFrame = {
+    val paras = df.select(col(idCol),
         posexplode(split(col(textCol), sepPattern)).as(Seq("pi0", "para")))
       .withColumn("para_idx", (col("pi0") + 1).cast("long")).drop("pi0")
       .filter(length(trim(col("para"))) > 0)
       .withColumn("fingerprint", fingerprintMd5(col("para")))
-      .withColumn("keep", row_number().over(
-        Window.partitionBy("fingerprint").orderBy(col(idCol), col("para_idx"))) === 1)
+    val canon = paras
+      .groupBy("fingerprint")
+      .agg(min(struct(col(idCol), col("para_idx"))).as("__canon"))
+    paras.join(canon, Seq("fingerprint"))
+      .withColumn("keep", col("__canon")(idCol) === col(idCol) &&
+        col("__canon")("para_idx") === col("para_idx"))
+      .drop("__canon")
+  }
 
   /**
    * Paragraph-level exact dedup — the RefinedWeb curation step: a

@@ -120,6 +120,21 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       s"hot-shingle guard regressed to a gram-keyed window:\n$p")
   }
 
+  test("d13 paragraph dedup: canonical pick is an aggregate, never a window") {
+    val p = plan("d13_paragraph_dedup")
+    // the canonical (min id, min para_idx) occurrence per fingerprint
+    // comes from a map-side-combinable groupBy + join-back; a
+    // row_number window keyed by the fingerprint would funnel every
+    // occurrence of a hot paragraph (cookie banner, license footer) —
+    // full text included — into ONE window partition at crawl scale.
+    // The only window allowed on this path is d13's own output ordering
+    // (none — it sorts via Exchange rangepartitioning).
+    assert(!p.contains("windowspecdefinition"),
+      s"canonical pick regressed to a window:\n$p")
+    assert(p.linesIterator.exists(_.contains("partial_min")),
+      s"expected a map-side-combined min(struct) aggregate:\n$p")
+  }
+
   test("q40 url filter: blocklist broadcasts, corpus side never shuffles") {
     val p = plan("q40_url_filter")
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
