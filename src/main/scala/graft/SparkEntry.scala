@@ -2904,7 +2904,8 @@ object SparkEntry {
                             ELSE o_totalprice END) * 100) AS BIGINT) AS price_c
          FROM orders WHERE o_orderkey % 13 <> 0)
          SELECT o_orderpriority AS grp, count(*) AS cnt,
-                CAST(sum(price_c) AS BIGINT) AS sum_units
+                CAST(sum(price_c) AS BIGINT) AS sum_units,
+                count(price_c) AS nnv
          FROM newv GROUP BY 1 ORDER BY grp""",
 
     // the canonicalization chain replayed stage by stage (every

@@ -80,13 +80,28 @@ final class SessionCatalog(spark: SparkSession) extends Catalog {
     // a drop+create window: alter in place when the table exists, and
     // fall back to alter if a concurrent register won the create race —
     // readers never observe the table missing
-    if (sc.tableExists(id)) sc.alterTable(table)
+    if (sc.tableExists(id)) alterInPlace(id, table)
     else
       try sc.createTable(table, ignoreIfExists = false)
       catch {
         case _: org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException =>
-          sc.alterTable(table)
+          alterInPlace(id, table)
       }
+  }
+
+  /** Full in-place refresh of an existing entry. `alterTable` carries
+   * properties/location/format, but a HIVE-backed external catalog
+   * explicitly IGNORES schema changes on that path
+   * (`HiveExternalCatalog.alterTable` — schema travels only through the
+   * dedicated dataSchema call), so re-checking after the alter and
+   * pushing a differing schema through `alterTableDataSchema` is what
+   * makes "last registration wins" hold on a real metastore, not just
+   * on the in-memory catalog. An empty incoming schema is "unknown",
+   * never a wipe. */
+  private def alterInPlace(id: TableIdentifier, table: CatalogTable): Unit = {
+    sc.alterTable(table)
+    if (table.schema.nonEmpty && sc.getTableMetadata(id).schema != table.schema)
+      sc.alterTableDataSchema(id, table.schema)
   }
 
   override def get(db: String, table: String): Option[TableMeta] =
@@ -104,7 +119,16 @@ final class SessionCatalog(spark: SparkSession) extends Catalog {
       // registered name), fetched as ONE batch metastore call rather
       // than a metadata round-trip per table
       val ids = sc.listTables(db.toLowerCase, "*", includeLocalTempViews = false)
-      sc.getTablesByName(ids).map(toMeta)
+      // a SHARED metastore database can hold objects this adapter never
+      // wrote — views, foreign tables, location-less entries. Listing
+      // skips them instead of letting one foreign object crash the whole
+      // listing; get() on a directly addressed table still throws on a
+      // location-less entry (addressing it by name IS the error there)
+      sc.getTablesByName(ids)
+        .filter(ct => ct.storage.locationUri.isDefined &&
+          (ct.tableType == CatalogTableType.EXTERNAL ||
+            ct.tableType == CatalogTableType.MANAGED))
+        .map(toMeta)
     } catch { case _: NoSuchDatabaseException => Seq.empty }
 
   private def toMeta(ct: CatalogTable): TableMeta =

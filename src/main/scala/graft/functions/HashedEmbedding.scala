@@ -39,12 +39,21 @@ case class HashedBowEmbeddingMilli(child: Expression, d: Int)
   override def prettyName: String = "hashed_bow_embedding"
   override def nullable: Boolean = true
 
-  // one digest per TASK, reused across rows (expression trees are
-  // per-task copies, evaluated single-threaded)
+  // one digest per THREAD, reused across rows. Expression trees are
+  // normally per-task copies evaluated single-threaded, but the
+  // interpreted path cannot rely on that: the same instance can be
+  // evaluated from more than one thread (driver-side eval over a local
+  // relation, an InterpretedProjection cached across threads), and a
+  // shared MessageDigest interleaves state and produces wrong vectors
+  // SILENTLY. ThreadLocal keeps per-row cost at one map lookup while
+  // making cross-thread reuse safe; the codegen path has per-instance
+  // mutable state and is unaffected.
   @transient private lazy val md5 =
-    java.security.MessageDigest.getInstance("MD5")
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
 
   override def nullSafeEval(tokens: Any): Any = {
+    val digest = md5.get()
     val arr = tokens.asInstanceOf[ArrayData]
     val n = arr.numElements()
     val sums = new Array[Long](d)
@@ -52,7 +61,7 @@ case class HashedBowEmbeddingMilli(child: Expression, d: Int)
     while (i < n) {
       if (arr.isNullAt(i)) return new GenericArrayData(new Array[Any](d))
       // digest(bytes) both updates and resets — no explicit reset needed
-      val dg = md5.digest(arr.getUTF8String(i).getBytes)
+      val dg = digest.digest(arr.getUTF8String(i).getBytes)
       var j = 0
       while (j < d) {
         val hi = ((dg(2 * j) & 0xff) << 8) | (dg(2 * j + 1) & 0xff)

@@ -31,16 +31,26 @@ import org.apache.spark.sql.functions._
 object Ivm {
 
   /**
-   * Build the base aggregate: one row per `group` with `cnt` and the
-   * integer `value` sum. The shapes of this and [[applyCountSumDelta]]'s
-   * output are identical by construction, so maintenance composes:
-   * build once, apply deltas forever.
+   * Build the base aggregate: one row per `group` with `cnt`, the
+   * integer `value` sum, and `nnv` — the count of NON-NULL values. The
+   * shapes of this and [[applyCountSumDelta]]'s output are identical by
+   * construction, so maintenance composes: build once, apply deltas
+   * forever.
+   *
+   * `nnv` exists because SQL's `sum` over an all-NULL group is NULL,
+   * not 0 — a bare (cnt, sum) state cannot tell "all values NULL" from
+   * "values summing to zero", so delta maintenance would resurrect such
+   * a group's sum as 0 where a from-scratch recompute yields NULL.
+   * Carrying the non-null count keeps the bit-identical-to-recompute
+   * invariant for nullable value columns.
    */
   def countSumAgg(df: DataFrame, group: Column, value: Column,
                   groupOut: String = "grp", cntOut: String = "cnt",
-                  sumOut: String = "sum_units"): DataFrame =
+                  sumOut: String = "sum_units",
+                  nnvOut: String = "nnv"): DataFrame =
     df.groupBy(group.as(groupOut))
-      .agg(count(lit(1)).as(cntOut), sum(value).as(sumOut))
+      .agg(count(lit(1)).as(cntOut), sum(value).as(sumOut),
+        count(value).as(nnvOut))
 
   /**
    * Apply an I/U/D changelog (the [[Scd.snapshotDiff]] contract: key
@@ -60,27 +70,40 @@ object Ivm {
                          group: Column, value: Column,
                          groupOut: String = "grp", cntCol: String = "cnt",
                          sumCol: String = "sum_units",
+                         nnvCol: String = "nnv",
                          changeCol: String = "change"): DataFrame = {
     require(keys.nonEmpty, "need changelog key columns")
-    require(Seq(groupOut, cntCol, sumCol).forall(base.columns.contains),
-      s"base aggregate must carry $groupOut/$cntCol/$sumCol (countSumAgg's shape)")
+    require(Seq(groupOut, cntCol, sumCol, nnvCol).forall(base.columns.contains),
+      s"base aggregate must carry $groupOut/$cntCol/$sumCol/$nnvCol " +
+        "(countSumAgg's shape)")
+    val valueNn = value.isNotNull.cast("long")
     // old rows being replaced or deleted: their contribution leaves
+    // (a NULL value contributes nothing to the sum on either stream —
+    // sum skips NULLs — but its presence/absence is tracked via __dn)
     val removedKeys = changes.filter(col(changeCol).isin("U", "D"))
       .select(keys.map(col): _*)
     val minus = oldSnap.join(removedKeys, keys, "inner")
-      .select(group.as(groupOut), lit(-1L).as("__dc"), (-value).as("__ds"))
+      .select(group.as(groupOut), lit(-1L).as("__dc"), (-value).as("__ds"),
+        (-valueNn).as("__dn"))
     // new-side rows arriving: inserts and the new image of updates
     val plus = changes.filter(col(changeCol).isin("I", "U"))
-      .select(group.as(groupOut), lit(1L).as("__dc"), value.as("__ds"))
+      .select(group.as(groupOut), lit(1L).as("__dc"), value.as("__ds"),
+        valueNn.as("__dn"))
     val delta = minus.unionByName(plus)
       .groupBy(groupOut)
-      .agg(sum("__dc").as("__dc"), sum("__ds").as("__ds"))
+      .agg(sum("__dc").as("__dc"), sum("__ds").as("__ds"),
+        sum("__dn").as("__dn"))
+    val nnv2 = coalesce(col(nnvCol), lit(0L)) + coalesce(col("__dn"), lit(0L))
     base.join(delta, Seq(groupOut), "full_outer")
       .select(col(groupOut),
         (coalesce(col(cntCol), lit(0L)) + coalesce(col("__dc"), lit(0L)))
           .as(cntCol),
-        (coalesce(col(sumCol), lit(0L)) + coalesce(col("__ds"), lit(0L)))
-          .as(sumCol))
+        // an all-NULL-value group's sum is NULL, exactly as sum() yields
+        when(nnv2 === 0, lit(null))
+          .otherwise(coalesce(col(sumCol), lit(0L)) +
+            coalesce(col("__ds"), lit(0L)))
+          .as(sumCol),
+        nnv2.as(nnvCol))
       .filter(col(cntCol) > 0)
   }
 }

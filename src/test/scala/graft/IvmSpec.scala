@@ -66,6 +66,32 @@ class IvmSpec extends AnyFunSuite with SparkFixture {
       aggMap(Ivm.countSumAgg(newer, col("grp_in"), col("v"))))
   }
 
+  test("all-NULL-value groups round-trip as NULL sums, not 0") {
+    // group "n" has only NULL values: from-scratch sum is NULL. A
+    // maintained (cnt, sum)-only state could not distinguish that from
+    // a sum of 0 — the nnv column exists precisely for this.
+    val oldN = Seq((1L, "a", Some(10L)), (2L, "n", None), (7L, "a", None))
+      .toDF("k", "grp_in", "v")
+    // 2 updated (still NULL), 8 inserts a second all-NULL row into n,
+    // 9 creates all-NULL group m, 7's NULL value becomes non-NULL
+    val newN = Seq((1L, "a", Some(10L)), (2L, "n", None), (8L, "n", None),
+      (9L, "m", None), (7L, "a", Some(5L)))
+      .toDF("k", "grp_in", "v")
+    val base = Ivm.countSumAgg(oldN, col("grp_in"), col("v"))
+    val got = Ivm.applyCountSumDelta(base, oldN,
+      Scd.snapshotDiff(oldN, newN, Seq("k")), Seq("k"),
+      col("grp_in"), col("v"))
+    def full(df: DataFrame): Map[String, (Long, Option[Long], Long)] =
+      df.collect().map(r => r.getString(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          r.getLong(3)))).toMap
+    val scratch = Ivm.countSumAgg(newN, col("grp_in"), col("v"))
+    assert(full(got) == full(scratch))
+    assert(full(got)("n") == ((2L, None, 0L)))
+    assert(full(got)("m") == ((1L, None, 0L)))
+    assert(full(got)("a") == ((2L, Some(15L), 2L)))
+  }
+
   test("shape guard: a base without countSumAgg's columns is rejected") {
     intercept[IllegalArgumentException] {
       Ivm.applyCountSumDelta(oldSnap, oldSnap,
