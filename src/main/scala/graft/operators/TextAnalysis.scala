@@ -902,6 +902,144 @@ object TextAnalysis {
   }
 
   /**
+   * [[bpeSegment]] at production merge-table scale: the same trained
+   * merge table applied by a broadcast merge-RANK map and one
+   * `mapPartitions` greedy encoder (the [[winnowFingerprintsFast]]
+   * discipline) instead of a `|merges|`-deep replace-expression chain.
+   * The chain form is the oracle-replayable twin but its depth IS its
+   * ceiling — a ~32k-merge production tokenizer table will not codegen
+   * as 32k nested `replace`s — where this form's per-row cost is the
+   * classic BPE encode loop and the table rides along once per executor
+   * as a broadcast map. No cap on `merges.size`.
+   *
+   * Bit-identical to [[bpeSegment]] for TRAINING-CONSISTENT tables
+   * (every merge's lhs/rhs constructible from strictly earlier merges —
+   * what [[bpeMerges]] emits, and any prefix of it): for such tables,
+   * replaying merges in training order equals repeatedly fusing the
+   * lowest-rank pair present (Sennrich et al. 2016's two equivalent
+   * encode algorithms), and each fuse pass here is leftmost
+   * non-overlapping exactly like the JVM `replace`. Word boundaries
+   * need no special casing — the spaced encoding's ≥3-space runs that
+   * stop cross-word merges in the chain form correspond to encoding
+   * each whitespace-delimited word independently here. The three
+   * line-terminator code points that survive [[normalizeText]]
+   * (U+0085/U+2028/U+2029) are unmatched by the chain form's `(.)`
+   * wrapper and so can never merge; they stand as barrier symbols.
+   *
+   * Scale shape: one narrow pass, zero shuffles; the only driver-side
+   * payload is the merge table itself (config-scale — ~32k rows).
+   */
+  def bpeSegmentGreedy(df: DataFrame, idCol: String, textCol: String,
+                       merges: Seq[(String, String)]): DataFrame = {
+    require(merges.forall { case (l, r) => l.nonEmpty && r.nonEmpty &&
+      !l.contains(' ') && !r.contains(' ') },
+      "merge symbols must be non-empty and space-free — a space-bearing " +
+        "symbol would breach the word-boundary encoding")
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    df.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"bpeSegmentGreedy needs an integral id column, $idCol is $other")
+    }
+    val spark = df.sparkSession
+    val bcMerges = spark.sparkContext.broadcast(merges.toArray)
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("bpe", StringType, nullable = true),
+      StructField("n_bpe", IntegerType, nullable = true)))
+    val in = spreadAcrossCores(df.filter(col(idCol).isNotNull))
+      .select(col(idCol).cast("long"), normalizeText(col(textCol)))
+      .as[(Long, String)](Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
+    in.mapPartitions { it =>
+      val table = bcMerges.value
+      // duplicate pairs keep their FIRST (lowest) rank, matching the
+      // chain form where a later duplicate replays over already-fused
+      // text and finds nothing
+      val rank = new scala.collection.mutable.AnyRefMap[(String, String), Int]
+      var t = table.length - 1
+      while (t >= 0) { rank(table(t)) = t; t -= 1 }
+      def isBarrier(cp: Int) = // line terminators `(.)` never wraps
+        cp == 0x85 || cp == 0x2028 || cp == 0x2029
+      def encodeWord(word: String, out: StringBuilder): Int = {
+        var syms = new scala.collection.mutable.ArrayBuffer[String](word.length)
+        word.codePoints().forEach { cp =>
+          syms += new String(Character.toChars(cp)); () }
+        var done = false
+        while (!done) {
+          // lowest-rank pair present, barriers excluded by construction
+          // (a barrier code point never appears in a trained lhs/rhs)
+          var best = Int.MaxValue
+          var i = 0
+          while (i < syms.length - 1) {
+            val r = rank.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+            if (r < best) best = r
+            i += 1
+          }
+          if (best == Int.MaxValue) done = true
+          else {
+            val (l, r) = table(best)
+            val m = l + r
+            // fuse every occurrence, leftmost non-overlapping — the JVM
+            // replace pass over the spaced encoding, symbol-wise
+            val next = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+            var j = 0
+            while (j < syms.length) {
+              if (j < syms.length - 1 && syms(j) == l && syms(j + 1) == r) {
+                next += m; j += 2
+              } else { next += syms(j); j += 1 }
+            }
+            syms = next
+          }
+        }
+        var k = 0
+        while (k < syms.length) {
+          if (out.nonEmpty) out.append(' ')
+          out.append(syms(k))
+          k += 1
+        }
+        syms.length
+      }
+      it.map { case (id, text) =>
+        if (text == null) Row(id, null, null)
+        else {
+          val out = new StringBuilder
+          var n = 0
+          // normalized text is single-space separated, no edge spaces;
+          // barrier code points split a word into independently encoded
+          // runs with the barrier standing as its own piece
+          text.split(" ", -1).foreach { w =>
+            if (w.nonEmpty) {
+              var start = 0
+              var p = 0
+              while (p < w.length) {
+                val cp = w.codePointAt(p)
+                if (isBarrier(cp)) {
+                  if (p > start) n += encodeWord(w.substring(start, p), out)
+                  // a maximal RUN of unwrapped barrier code points has no
+                  // spaces between its members, so the chain form emits
+                  // the whole run as one piece
+                  var q = p + Character.charCount(cp)
+                  while (q < w.length && isBarrier(w.codePointAt(q)))
+                    q += Character.charCount(w.codePointAt(q))
+                  if (out.nonEmpty) out.append(' ')
+                  out.append(w.substring(p, q))
+                  n += 1
+                  start = q
+                  p = q
+                } else p += Character.charCount(cp)
+              }
+              if (w.length > start) n += encodeWord(w.substring(start), out)
+            }
+          }
+          // an all-blank document mirrors size(split('', ' ')) = 1
+          Row(id, out.toString, if (n == 0) 1 else n)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /**
    * Corpus bigram language-model score — the CCNet/KenLM-style quality
    * signal with no trained artifact: each document scored by the
    * add-one-smoothed conditional log-likelihood of its own token

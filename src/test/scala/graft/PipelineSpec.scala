@@ -1575,6 +1575,44 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(part.toSeq == Seq(("low e r", 3), ("s low", 2)))
   }
 
+  test("bpeSegmentGreedy == bpeSegment on trained tables, prefixes, corpus") {
+    import spark.implicits._
+    def asMap(df: org.apache.spark.sql.DataFrame): Map[Long, (String, Int)] =
+      df.collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    val corpus = Seq((0L, "low low low"), (1L, "lower lower"), (2L, "lowest"))
+      .toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeMerges(corpus, "text", nMerges = 8)
+      .orderBy("merge_round")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    // full table and every training-consistent prefix of it — prefix
+    // tables are what a truncated-vocab deployment applies
+    for (k <- 0 to merges.length) {
+      val m = merges.take(k)
+      assert(asMap(TextAnalysis.bpeSegmentGreedy(corpus, "doc_id", "text", m)) ==
+        asMap(TextAnalysis.bpeSegment(corpus, "doc_id", "text", m)),
+        s"greedy encoder diverged from the replay chain at prefix $k")
+    }
+    // out-of-vocabulary words, within-word repeats, empty and blank docs
+    val tricky = Seq((0L, "slow aaaa aaa"), (1L, ""), (2L, "   "),
+      (3L, "low lowlow unseen"), (4L, "a"))
+      .toDF("doc_id", "text")
+    assert(asMap(TextAnalysis.bpeSegmentGreedy(tricky, "doc_id", "text", merges)) ==
+      asMap(TextAnalysis.bpeSegment(tricky, "doc_id", "text", merges)))
+    // the real corpus at spec scale, trained on itself
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val dm = TextAnalysis.bpeMerges(docs, "text", nMerges = 12)
+      .orderBy("merge_round")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(asMap(TextAnalysis.bpeSegmentGreedy(docs, "doc_id", "text", dm)) ==
+      asMap(TextAnalysis.bpeSegment(docs, "doc_id", "text", dm)))
+    // the greedy path carries no table-size cap: a synthetic 5k-merge
+    // table (far past any replace-chain codegen depth) must just run
+    val big = merges ++ (1 to 5000).map(i => (s"z$i", s"q$i"))
+    assert(asMap(TextAnalysis.bpeSegmentGreedy(corpus, "doc_id", "text", big)) ==
+      asMap(TextAnalysis.bpeSegment(corpus, "doc_id", "text", merges)))
+  }
+
   test("bigramLogProb: hand-computed add-one bigram LM, exact micro replay") {
     import spark.implicits._
     // corpus: "a b" x3 and "a c" — bigram counts c(a,b)=3 c(a,c)=1,
