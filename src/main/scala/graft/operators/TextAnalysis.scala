@@ -736,6 +736,70 @@ object TextAnalysis {
     // reference implementation it is spec-asserted equal to.
     graft.functions.HashedEmbedding.hashedBowMilli(tokens(c), d)
 
+  /**
+   * [[hashedEmbeddingMilli]] with LEARNED weights — the seam the hashed
+   * stand-in documents, made loadable: `weights` is a trained
+   * term-weight table (read from parquet like any model artifact) with
+   * a string term column and either an `array<long>` weight-vector
+   * column of length `d` or a plain integral column (then `d` must
+   * be 1). It is collected (config-scale — a tokenizer-vocab-sized
+   * frame, the centroid-collect pattern) and broadcast once per
+   * executor; terms the table carries use their learned milli-weights,
+   * terms it does not fall back to the md5-slice arithmetic — so an
+   * empty table IS the hashed twin, bit for bit, and a trained table
+   * overrides it exactly where training spoke. Still one native
+   * codegen'd in-row fold, zero shuffle.
+   */
+  def hashedEmbeddingMilli(c: Column, d: Int, weights: DataFrame,
+                           termCol: String = "term",
+                           weightCol: String = "w_milli"): Column =
+    graft.functions.HashedEmbedding.weightedBowMilli(tokens(c), d,
+      broadcastWeights(weights, d, termCol, weightCol))
+
+  /** [[hashedLinearScoreMilli]] with learned weights: the weighted
+   * classifier score is coordinate 0 of the weighted embedding, exactly
+   * as the stand-in score is coordinate 0 of the hashed embedding. */
+  def hashedLinearScoreMilli(c: Column, weights: DataFrame,
+                             termCol: String = "term",
+                             weightCol: String = "w_milli"): Column =
+    element_at(hashedEmbeddingMilli(c, 1, weights, termCol, weightCol), 1)
+
+  /** Weight table → broadcast UTF8String-keyed map: the parquet →
+   * driver → broadcast leg of the learned-model seam. */
+  private def broadcastWeights(weights: DataFrame, d: Int,
+      termCol: String, weightCol: String)
+      : org.apache.spark.broadcast.Broadcast[
+        java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Array[Long]]] = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+    val wExpr = weights.schema(weightCol).dataType match {
+      case ArrayType(LongType, _) => col(weightCol)
+      case ByteType | ShortType | IntegerType | LongType =>
+        array(col(weightCol).cast("long"))
+      case other => throw new IllegalArgumentException(
+        s"$weightCol must be array<long> or integral, got $other")
+    }
+    // config-scale collect: a trained vocab is 10^4–10^6 terms; the cap
+    // keeps an accidentally-data-scale frame from flattening the driver
+    val rows = weights.select(col(termCol).cast("string"), wExpr).collect()
+    require(rows.length <= (1 << 21),
+      s"weight table has ${rows.length} terms — beyond vocab scale; " +
+        "a larger model belongs in a join, not a broadcast map")
+    val m = new java.util.HashMap[UTF8String, Array[Long]](rows.length * 2)
+    rows.foreach { r =>
+      require(!r.isNullAt(0) && !r.isNullAt(1),
+        "weight table must have no null terms or weights")
+      val w = r.getSeq[Any](1)
+      require(w.length == d && w.forall(_ != null),
+        s"each weight vector must be $d non-null longs")
+      val prev = m.put(UTF8String.fromString(r.getString(0)),
+        w.map(_.asInstanceOf[Long]).toArray)
+      require(prev == null,
+        s"duplicate term in weight table: ${r.getString(0)}")
+    }
+    weights.sparkSession.sparkContext.broadcast(m)
+  }
+
   /** The higher-order-function form of [[hashedEmbeddingMilli]], kept as
    * the reference implementation the native expression is tested
    * against (the [[graft.operators.Similarity.dotHof]] discipline). */

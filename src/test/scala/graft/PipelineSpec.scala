@@ -1906,6 +1906,61 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
       .forall(_.getLong(1) == 3))
   }
 
+  test("learned-weight seam: a loaded weight table overrides the md5 stand-in") {
+    import spark.implicits._
+    def hashW(tok: String, j: Int): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8"))
+      val hex = d.map("%02x".format(_)).mkString.substring(j * 4, j * 4 + 4)
+      java.lang.Long.parseLong(hex, 16) % 2001 - 1000
+    }
+    // the parquet -> driver -> broadcast leg: the fixture model artifact
+    // round-trips through parquet like any trained-weight table would
+    val dir = java.nio.file.Files.createTempDirectory("graft-weights").toString
+    Seq(("cat", Array(5L, -7L, 11L)), ("mat", Array(100L, 0L, -3L)))
+      .toDF("term", "w_milli").write.mode("overwrite").parquet(dir)
+    val weights = spark.read.parquet(dir)
+    val df = Seq((0, "the cat sat"), (1, "on the mat"), (2, "dog dog cat"))
+      .toDF("i", "text")
+    val got = df.select(col("i"),
+        TextAnalysis.hashedEmbeddingMilli(col("text"), 3, weights).as("e"))
+      .orderBy("i").collect().map(_.getSeq[Long](1).toSeq).toSeq
+    // trained terms take table weights, everything else the md5 slices
+    val learned = Map("cat" -> Seq(5L, -7L, 11L), "mat" -> Seq(100L, 0L, -3L))
+    val expect = Seq("the cat sat", "on the mat", "dog dog cat").map(t =>
+      (0 until 3).map(j => t.split(" ").map(tok =>
+        learned.get(tok).map(_(j)).getOrElse(hashW(tok, j))).sum).toSeq)
+    assert(got == expect)
+    // an EMPTY table recovers the hashed twin bit for bit, corpus-wide
+    val empty = spark.emptyDataset[(String, Array[Long])].toDF("term", "w_milli")
+    val mismatch = docs.select(
+        TextAnalysis.hashedEmbeddingMilli(col("text"), 8, empty).as("a"),
+        TextAnalysis.hashedEmbeddingMilli(col("text"), 8).as("b"))
+      .filter(!(col("a") <=> col("b"))).count()
+    assert(mismatch == 0)
+    // the scalar-weight classifier form: score is coordinate 0
+    val sw = Seq(("spamword", -5000L)).toDF("term", "w_milli")
+    val scored = Seq((0, "a spamword b"), (1, "a b"))
+      .toDF("i", "text")
+      .select(col("i"),
+        TextAnalysis.hashedLinearScoreMilli(col("text"), sw).as("s"),
+        TextAnalysis.hashedLinearScoreMilli(col("text")).as("s0"))
+      .orderBy("i").collect()
+    // doc 0: spamword's stand-in contribution replaced by -5000
+    assert(scored(0).getLong(1) ==
+      scored(0).getLong(2) - hashW("spamword", 0) + (-5000L))
+    // doc 1 has no trained term: learned == stand-in
+    assert(scored(1).getLong(1) == scored(1).getLong(2))
+    // malformed tables are rejected loudly, not silently mis-scored
+    intercept[IllegalArgumentException] {
+      TextAnalysis.hashedEmbeddingMilli(col("text"), 2, weights) // len 3 != 2
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.hashedEmbeddingMilli(col("text"), 3,
+        weights.unionByName(weights)) // duplicate terms
+    }
+  }
+
   test("hashedLinearScoreMilli equals a JVM replay of the hash weights") {
     import spark.implicits._
     def w(tok: String): Long = {
