@@ -1363,6 +1363,19 @@ object SparkEntry {
           "doc_id", Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
         .orderBy("doc_id")),
 
+    // trigram stupid-backoff LM: odd docs scored under a model trained
+    // on even docs, so unseen trigrams/bigrams genuinely back off (a
+    // corpus scored under itself never would); integer-micro fixed per
+    // distinct trigram, exact SQL replay of all three levels
+    "t26_trigram_backoff_lm" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      TextAnalysis.trigramBackoffLogProb(
+          docs.filter(col("doc_id") % 2 === 1),
+          docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // corpus bigram LM log-likelihood per doc (CCNet-style quality
     // signal, integer-micro fixed per distinct bigram term)
     "t19_bigram_lm" -> ((s, d) =>
@@ -2791,6 +2804,50 @@ object SparkEntry {
                      printf('%04x', CAST(floor((0.8 + 0.1) * 65536) AS BIGINT)) THEN 'val'
                 ELSE 'test' END AS split
          FROM documents ORDER BY doc_id""",
+
+    // the three backoff levels replayed literally: same counts, same
+    // canonical double evaluation order inside ln, same micro fix
+    "t26_trigram_backoff_lm" -> (NormCte +
+      """, tk AS (SELECT doc_id, string_split(t, ' ') AS ts FROM n),
+         mtk AS (SELECT ts FROM tk WHERE doc_id % 2 = 0),
+         uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cu
+                 FROM (SELECT unnest(ts) AS w FROM mtk) GROUP BY 1),
+         st AS (SELECT CAST(sum(cu) AS BIGINT) AS nn,
+                       CAST(count(*) AS BIGINT) AS vs FROM uni),
+         bex AS (SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS i
+                 FROM mtk WHERE len(ts) >= 2),
+         big AS (SELECT ts[i] AS w1, ts[i + 1] AS w2,
+                        CAST(count(*) AS BIGINT) AS cb
+                 FROM bex GROUP BY 1, 2),
+         tex AS (SELECT ts, unnest(generate_series(1, len(ts) - 2)) AS i
+                 FROM mtk WHERE len(ts) >= 3),
+         tri AS (SELECT ts[i] AS w1, ts[i + 1] AS w2, ts[i + 2] AS w3,
+                        CAST(count(*) AS BIGINT) AS c3
+                 FROM tex GROUP BY 1, 2, 3),
+         dex AS (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 2)) AS i
+                 FROM tk WHERE doc_id % 2 = 1 AND len(ts) >= 3),
+         td AS (SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2, ts[i + 2] AS w3,
+                       CAST(count(*) AS BIGINT) AS n_td
+                FROM dex GROUP BY 1, 2, 3, 4),
+         j AS (SELECT td.doc_id, td.n_td, tri.c3, b1.cb AS c2b, b2.cb AS c23,
+                      u2.cu AS cu2, u3.cu AS cu3, st.nn, st.vs
+               FROM td LEFT JOIN tri USING (w1, w2, w3)
+                       LEFT JOIN big b1 ON td.w1 = b1.w1 AND td.w2 = b1.w2
+                       LEFT JOIN big b2 ON td.w2 = b2.w1 AND td.w3 = b2.w2
+                       LEFT JOIN uni u2 ON td.w2 = u2.w
+                       LEFT JOIN uni u3 ON td.w3 = u3.w
+                       CROSS JOIN st),
+         m AS (SELECT doc_id, n_td,
+                 CAST(floor(ln(CASE
+                   WHEN c3 IS NOT NULL THEN c3 / c2b
+                   WHEN c23 IS NOT NULL THEN CAST(0.4 AS DOUBLE) * c23 / cu2
+                   ELSE CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE) *
+                        (CAST(coalesce(cu3, 0) AS DOUBLE) + 1.0) / (nn + vs)
+                 END) * 1000000.0 + 0.5) AS BIGINT) AS mic
+               FROM j)
+         SELECT doc_id, CAST(sum(n_td) AS BIGINT) AS n_tris,
+                CAST(sum(n_td * mic) AS BIGINT) AS logp_micro_sum
+         FROM m GROUP BY doc_id ORDER BY doc_id"""),
 
     // same aggregates, same micro-fixed log term, same integer sums
     "t19_bigram_lm" -> (NormCte +

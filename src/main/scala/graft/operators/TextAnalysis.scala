@@ -1156,6 +1156,92 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_pairs"), col("logp_micro_sum"))
   }
 
+  /**
+   * Trigram language-model scoring with STUPID BACKOFF (Brants et al.
+   * 2007, "Large Language Models in Machine Translation") — the
+   * higher-order extension of [[bigramLogProb]] and the shape CCNet's
+   * 5-gram filtering actually uses: each document in `df` is scored
+   * under counts trained on `model` (a held-out or reference corpus —
+   * scoring a corpus under ITSELF never backs off, every observed
+   * n-gram has count ≥ 1), per-trigram score
+   *
+   *   S(w3|w1,w2) = c(w1w2w3)/c(w1w2)            if the trigram was seen
+   *               = 0.4 · c(w2w3)/c(w2)          else if the bigram was
+   *               = 0.4 · 0.4 · (c(w3)+1)/(N+V)  else (add-one unigram,
+   *                                               so OOV words stay finite)
+   *
+   * summed as ln S over the document's trigram occurrences. Brants's
+   * score is deliberately not a normalized probability — backoff is a
+   * fixed 0.4 penalty, no discounting — which is what makes it
+   * count-replayable by an external engine.
+   *
+   * Determinism contract: each distinct scored trigram's ln S is fixed
+   * to integer MICROS (floor(ln·10⁶ + 0.5), the [[bigramLogProb]]
+   * recipe) before being weighted by its integer occurrence count;
+   * the ratio inside ln is spelled in one canonical double evaluation
+   * order (`c3/c2`, `0.4·c23/cu2`, `0.4·0.4·(cu3+1)/(N+V)`) mirrored
+   * literally by the SQL oracle so both engines round the same IEEE
+   * doubles. Returns (doc_id, n_tris, logp_micro_sum); docs shorter
+   * than one trigram drop out.
+   *
+   * Scale shape: model tokens are cut ONCE and feed the unigram,
+   * bigram, and trigram count aggregates (all map-side combinable,
+   * vocab-bounded — vocab³ worst case, Zipf-small in practice); the
+   * scoring side is a per-(doc, trigram) aggregate joined to the count
+   * tables on n-gram keys (AQE broadcasts the Zipf-small count tables),
+   * and the two corpus-wide scalars ride one broadcast stat frame. No
+   * all-pairs anything, nothing collects to the driver.
+   */
+  def trigramBackoffLogProb(df: DataFrame, model: DataFrame,
+                            idCol: String, textCol: String): DataFrame = {
+    val mts = Materialize.eager(
+      model.select(tokens(col(textCol)).as("ts")))
+    val uni = Materialize.eager(
+      mts.select(explode(col("ts")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cu")))
+    val stats = uni.agg(sum("cu").as("nn"), count(lit(1)).as("vs"))
+    val big = mts.filter(size(col("ts")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(ts) - 1), " +
+          "i -> struct(ts[i-1] AS w1, ts[i] AS w2))")).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("cb"))
+    val bigM = Materialize.eager(big) // feeds the prefix AND backoff joins
+    val triExpr = "transform(sequence(1, size(ts) - 2), " +
+      "i -> struct(ts[i-1] AS w1, ts[i] AS w2, ts[i+1] AS w3))"
+    val tri = mts.filter(size(col("ts")) >= 3)
+      .select(explode(expr(triExpr)).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"), col("p.w3").as("w3"))
+      .agg(count(lit(1)).as("c3"))
+    val td = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("ts"))
+      .filter(size(col("ts")) >= 3)
+      .select(col("doc_id"), explode(expr(triExpr)).as("p"))
+      .groupBy(col("doc_id"),
+        col("p.w1").as("w1"), col("p.w2").as("w2"), col("p.w3").as("w3"))
+      .agg(count(lit(1)).as("n_td"))
+    val joined = td
+      .join(tri, Seq("w1", "w2", "w3"), "left")
+      .join(bigM.withColumnRenamed("cb", "c2b"), Seq("w1", "w2"), "left")
+      .join(bigM.select(col("w1").as("w2"), col("w2").as("w3"),
+        col("cb").as("c23")), Seq("w2", "w3"), "left")
+      .join(uni.select(col("w").as("w2"), col("cu").as("cu2")), Seq("w2"), "left")
+      .join(uni.select(col("w").as("w3"), col("cu").as("cu3")), Seq("w3"), "left")
+      .crossJoin(broadcast(stats))
+    // expression text mirrored by the SQL oracle, level by level; a seen
+    // trigram implies a seen prefix bigram, a seen backoff bigram implies
+    // a seen middle unigram — the denominators can never be null-divides
+    val ratio = when(col("c3").isNotNull, col("c3") / col("c2b"))
+      .when(col("c23").isNotNull, lit(0.4) * col("c23") / col("cu2"))
+      .otherwise(lit(0.4) * lit(0.4) *
+        (coalesce(col("cu3"), lit(0L)).cast("double") + lit(1.0)) /
+        (col("nn") + col("vs")))
+    val mic = floor(log(ratio) * lit(1000000.0) + lit(0.5)).cast("long")
+    joined.groupBy("doc_id")
+      .agg(sum(col("n_td") * mic).as("logp_micro_sum"),
+        sum(col("n_td")).as("n_tris"))
+      .select(col("doc_id"), col("n_tris"), col("logp_micro_sum"))
+  }
+
   /** All features in one pass over the corpus. */
   def withTextFeatures(df: DataFrame, textCol: String): DataFrame = {
     val c = col(textCol)

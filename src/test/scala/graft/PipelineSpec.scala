@@ -1847,6 +1847,44 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(got == cases.map(_._2))
   }
 
+  test("trigramBackoffLogProb: hand-computed stupid backoff at every level") {
+    import spark.implicits._
+    // model: "a b c" x2, "a b d" — trained counts:
+    //   unigrams a:3 b:3 c:2 d:1  N=9 V=4
+    //   bigrams (a,b):3 (b,c):2 (b,d):1
+    //   trigrams (a,b,c):2 (a,b,d):1
+    val model = Seq((0L, "a b c"), (1L, "a b c"), (2L, "a b d"))
+      .toDF("doc_id", "text")
+    // scored docs: every backoff level fires —
+    //   doc 10 "a b c":   seen trigram        -> ln(2/3)
+    //   doc 11 "c b d"?? trigram (c,b,d) unseen, bigram (b,d) seen
+    //                                          -> ln(0.4 * 1/3)
+    //   doc 12 "b a x":   trigram unseen, bigram (a,x) unseen, x OOV
+    //                                          -> ln(0.4*0.4*(0+1)/(9+4))
+    //   doc 13 "c a d":   trigram unseen, bigram (a,d) unseen, d seen
+    //                                          -> ln(0.4*0.4*(1+1)/(9+4))
+    val scored = Seq((10L, "a b c"), (11L, "c b d"), (12L, "b a x"),
+      (13L, "c a d")).toDF("doc_id", "text")
+    val got = TextAnalysis.trigramBackoffLogProb(scored, model, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def mic(x: Double): Long = math.floor(math.log(x) * 1e6 + 0.5).toLong
+    assert(got.toSeq == Seq(
+      (10L, 1L, mic(2.0 / 3)),
+      (11L, 1L, mic(0.4 * 1 / 3.0)),
+      (12L, 1L, mic(0.4 * 0.4 * (0 + 1.0) / (9 + 4))),
+      (13L, 1L, mic(0.4 * 0.4 * (1 + 1.0) / (9 + 4)))))
+    // a doc shorter than one trigram drops out; occurrence weighting
+    // multiplies the fixed micro term
+    val rep = TextAnalysis.trigramBackoffLogProb(
+        Seq((20L, "a b c a b c"), (21L, "a b")).toDF("doc_id", "text"),
+        model, "doc_id", "text")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rep.toSeq == Seq((20L, 4L)))
+    // seen trigrams score strictly higher than backed-off ones
+    assert(got(0)._3 > got(1)._3 && got(1)._3 > got(3)._3 && got(3)._3 > got(2)._3)
+  }
+
   test("hashedEmbedding: JVM weight replay, unit norm, ANN-ready shape") {
     import spark.implicits._
     def w(tok: String, j: Int): Long = {
