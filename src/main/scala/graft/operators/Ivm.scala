@@ -106,4 +106,68 @@ object Ivm {
         nnv2.as(nnvCol))
       .filter(col(cntCol) > 0)
   }
+
+  /**
+   * [[Ivm]] composed with the table store: a registered count/sum
+   * aggregate maintained on every commit of its base table — the q46
+   * discipline running OVER store commits, closing the reference's CDC
+   * arc end to end (changelog → base table → downstream aggregate, no
+   * fact-table rescan anywhere; reference
+   * src/apply_change_log_to_delta.py:531-660 maintains only the base).
+   *
+   * Each [[commit]] folds one I/U/D changelog (the [[Scd.snapshotDiff]]
+   * contract, keyed by the base table's registered PK) into BOTH tables:
+   * the base via a partition-scoped [[graft.catalog.MergeSnapshotStore
+   * .mergeScoped]] commit when the store is a merge store (only the
+   * PK-hash buckets holding changed keys are rewritten — commit cost is
+   * changelog-proportional at 100 TB) and a full overwrite otherwise;
+   * the aggregate via [[applyCountSumDelta]] (delta-sized work, group-
+   * cardinality merge). Both plans are pinned to the PRE-commit versions
+   * before either commit happens, so the maintenance math always sees a
+   * consistent base/aggregate pair.
+   *
+   * The two commits are not atomic: this batch form is for single-writer
+   * pipelines that re-run a failed batch from scratch. An at-least-once
+   * runner needs the replay-idempotent marker discipline of the
+   * streaming twin ([[graft.streaming.StreamingAnalytics
+   * .maintainCountSum]]), which pins base versions per batch id.
+   */
+  final class MaintainedCountSum(store: graft.catalog.SnapshotStore,
+      db: String, baseTable: String, aggTable: String,
+      group: Column, value: Column) {
+
+    private def pk: String = store.catalog.primaryKey(db, baseTable)
+
+    /** Bootstrap both tables: the base from `initial`, the aggregate
+     * from [[countSumAgg]] over it. */
+    def seed(initial: DataFrame): Unit = {
+      store.overwrite(db, baseTable, initial)
+      store.overwrite(db, aggTable,
+        countSumAgg(store.read(db, baseTable), group, value))
+    }
+
+    /** One changelog commit: base and aggregate move together. */
+    def commit(changes: DataFrame): Unit = {
+      val k = pk
+      val old = store.read(db, baseTable) // version-pinned pre-commit
+      val agg = store.read(db, aggTable)
+      val newAgg = applyCountSumDelta(agg, old, changes, Seq(k), group, value)
+      def fold(target: DataFrame): DataFrame = {
+        val gone = changes.filter(col("change").isin("U", "D"))
+          .select(col(k))
+        val arrived = changes.filter(col("change").isin("I", "U")).drop("change")
+        target.join(gone, Seq(k), "left_anti")
+          .unionByName(arrived.select(target.columns.map(col).toIndexedSeq: _*))
+      }
+      store match {
+        case ms: graft.catalog.MergeSnapshotStore =>
+          ms.mergeScoped(db, baseTable, changes.select(col(k)))(fold)
+        case s => s.overwrite(db, baseTable, fold(old))
+      }
+      store.overwrite(db, aggTable, newAgg)
+    }
+
+    /** The maintained aggregate as currently committed. */
+    def read(): DataFrame = store.read(db, aggTable)
+  }
 }

@@ -382,6 +382,64 @@ class MergeStoreSpec extends AnyFunSuite with SparkFixture {
     assert(v1.nonEmpty)
   }
 
+  test("maintained aggregate: N scoped commits == from-scratch recompute") {
+    import graft.operators.{Ivm, Scd}
+    val store = mkStore(nBuckets = 8)
+    register(store, "mdb", "facts", "id")
+    register(store, "mdb", "facts_agg", "grp")
+    val maintained = new Ivm.MaintainedCountSum(store, "mdb", "facts",
+      "facts_agg", col("grp_in"), col("v"))
+    def snap(rows: Seq[(Int, String, java.lang.Long)]): DataFrame = {
+      import spark.implicits._
+      rows.toDF("id", "grp_in", "v")
+    }
+    def toMap(df: DataFrame): Map[String, (Long, Option[Long], Long)] =
+      df.collect().map(r => r.getString(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          r.getLong(3)))).toMap
+    // seed, then walk the table through four snapshots covering updates
+    // in place, group moves, deletes that EMPTY a group, inserts that
+    // create one, and an all-NULL-value group
+    val states = Seq(
+      Seq((1, "a", 10L: java.lang.Long), (2, "a", 20L: java.lang.Long),
+        (3, "b", 30L: java.lang.Long), (4, "c", 40L: java.lang.Long)),
+      Seq((1, "a", 11L: java.lang.Long), (2, "b", 20L: java.lang.Long),
+        (3, "b", 30L: java.lang.Long), (5, "a", 50L: java.lang.Long),
+        (6, "d", 60L: java.lang.Long)),
+      Seq((1, "d", 11L: java.lang.Long), (2, "b", 20L: java.lang.Long),
+        (3, "b", 30L: java.lang.Long), (6, "d", 60L: java.lang.Long),
+        (7, "n", null: java.lang.Long)),
+      Seq((2, "b", 21L: java.lang.Long), (3, "b", 30L: java.lang.Long),
+        (7, "n", null: java.lang.Long), (8, "n", null: java.lang.Long)))
+    maintained.seed(snap(states.head))
+    states.sliding(2).foreach { case Seq(prev, next) =>
+      maintained.commit(Scd.snapshotDiff(snap(prev), snap(next), Seq("id")))
+      // the maintained aggregate equals a recompute over the COMMITTED
+      // base table (not the in-memory frame: store round-trip included)
+      assert(toMap(maintained.read()) == toMap(Ivm.countSumAgg(
+        store.read("mdb", "facts"), col("grp_in"), col("v"))))
+    }
+    // base table itself folded correctly across all commits
+    assert(store.read("mdb", "facts").orderBy("id")
+      .collect().map(r => (r.getInt(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq ==
+      Seq((2, "b", Some(21L)), (3, "b", Some(30L)), (7, "n", None),
+        (8, "n", None)))
+    // the final all-NULL group round-trips as a NULL sum
+    assert(toMap(maintained.read())("n") == ((2L, None, 0L)))
+    // and the base commits really were partition-scoped: only the last
+    // two manifests survive vacuum (keepVersions = 2); the PREVIOUS one
+    // must carry at least one bucket dir from an older commit by
+    // reference (the last one may by chance touch every surviving
+    // bucket — hashing decides)
+    val lastV = store.latestVersion("mdb", "facts")
+    val carried = Seq(lastV - 1, lastV).flatMap(v =>
+      store.manifestEntries("mdb", "facts", v).values
+        .filter(d => !d.contains(f"c$v%06d")))
+    assert(carried.nonEmpty,
+      s"expected carried-over old bucket dirs in versions ${lastV - 1}/$lastV")
+  }
+
   // ---- plan shape: the target side of the apply never shuffles ----
 
   /** Expand an executed plan across AQE stage / reuse boundaries. */
