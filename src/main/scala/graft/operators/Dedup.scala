@@ -645,30 +645,23 @@ object Dedup {
       .agg(min(col("pa")).as("sa"), (max(col("pa")) + minTokens - 1).as("ea"))
   }
 
-  /** How many HOT gram types the span-family guard will ship as a
-   * broadcast list (~2M longs ≈ tens of MB). Zipf puts real corpora far
-   * under this at any sane maxOcc; the bound exists for the adversarial
-   * regime (tiny maxOcc over a corpus where most types repeat), where a
-   * forced broadcast would OOM the driver. */
-  private val BroadcastHotTypes = 2L * 1000 * 1000
-
   /** The span-family hot-gram guard: drop every index row whose gram
    * occurs more than `maxOcc` times in the index. The count is a
    * map-side-combinable groupBy (NOT a per-key window — the hot key
    * would funnel its 10^7 occurrences into one partition), and the hot
-   * TYPE list joins back anti, broadcast only when a driver-scalar
-   * count proves it under [[BroadcastHotTypes]] (the branch-pick
-   * pattern of [[jaccardPairs]]); past the bound the anti-join goes
-   * unhinted, where AQE's skew handling splits any hot left partition.
-   * Callers pass a [[Materialize]]d index, so the count pass and the
-   * join re-read the cut, not the corpus. */
+   * TYPE list joins back anti, UNHINTED: AQE sees the aggregated side's
+   * runtime size after its shuffle stage and converts to a broadcast
+   * join exactly when the hot-type list fits the broadcast threshold —
+   * the same decision the old eager `hot.count()` branch made, without
+   * its extra driver action per call (crossSpans calls this twice, so
+   * the fold removes whole jobs per query); past the threshold the
+   * sort-merge path keeps AQE's skew split for any hot probe partition.
+   * Callers pass a [[Materialize]]d index, so the count subtree and the
+   * probe side re-read the cut, not the corpus. */
   private def dropHotGrams(idx: DataFrame, maxOcc: Long): DataFrame = {
     val hot = idx.groupBy("g").agg(count(lit(1)).as("occ_n"))
       .filter(col("occ_n") > maxOcc).select("g")
-    val nHot = hot.count() // driver scalar: |hot types| picks the branch
-    if (nHot <= BroadcastHotTypes)
-      idx.join(broadcast(hot), Seq("g"), "left_anti")
-    else idx.join(hot, Seq("g"), "left_anti")
+    idx.join(hot, Seq("g"), "left_anti")
   }
 
   private def spansFromTokens(tokens: DataFrame, idCol: String,
@@ -684,10 +677,10 @@ object Dedup {
     // ONE window partition — the guard becoming the skew victim.
     // [[dropHotGrams]] counts by groupBy instead (map-side partial
     // aggregation bounds any key's reducer input at one row per map
-    // task) and anti-joins the hot gram TYPES back, broadcast only while
-    // that set is provably small. The index is cut ONCE and feeds the
-    // count pass and both pair-join sides (without the cut the corpus
-    // tokenizes twice).
+    // task) and anti-joins the hot gram TYPES back, broadcast when AQE
+    // proves the aggregated list small at runtime. The index is cut
+    // ONCE and feeds the hot-count subtree and both pair-join sides
+    // (without the cut the corpus tokenizes twice).
     val kept = dropHotGrams(occ, maxOcc)
     val matches = kept.select(col("g"), col("doc").as("doc_a"), col("p").as("pa"))
       .join(kept.select(col("g"), col("doc").as("doc_b"), col("p").as("pb")), Seq("g"))

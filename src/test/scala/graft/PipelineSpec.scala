@@ -419,6 +419,43 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(got == Set((1L, 3L, 6L), (4L, 3L, 6L)))
   }
 
+  test("crossSpans launches no eager guard-count jobs (folded driver actions)") {
+    val sc = spark.sparkContext
+    def jobsIn(group: String)(body: => Unit): Int = {
+      sc.setJobGroup(group, group, interruptOnCancel = false)
+      try body finally sc.clearJobGroup()
+      def n() = sc.statusTracker.getJobIdsForGroup(group).length
+      var prev = -1
+      var cur = n()
+      while (cur != prev) { Thread.sleep(300); prev = cur; cur = n() }
+      cur
+    }
+    // CONSTRUCTING the d18 plan runs exactly the two Materialize cuts
+    // (probe index, probe-restricted corpus index) and nothing else:
+    // the hot-gram guard's broadcast-or-not decision belongs to AQE at
+    // execution time now, so the two dropHotGrams calls contribute ZERO
+    // driver actions of their own — before the fold, construction also
+    // ran one eager hot.count() per guard call
+    var built: org.apache.spark.sql.DataFrame = null
+    val probes = docs.filter(col("doc_id") % 50 === 0)
+    val buildJobs = jobsIn("d18-build") {
+      built = Dedup.crossSpans(docs, probes, "doc_id", "text",
+        minTokens = 8, maxOcc = 64)
+    }
+    val execJobs = jobsIn("d18-exec") {
+      built.collect()
+      graft.operators.Materialize.releaseAll()
+    }
+    // measured on this fixture: post-fold construction = 6 jobs (each
+    // Materialize cut's action fans into AQE per-stage jobs); with the
+    // eager per-guard hot.count() restored it measures 12 — the two
+    // counts cost three jobs each. 7 discriminates with slack for AQE
+    // stage-count jitter.
+    assert(buildJobs <= 7,
+      s"crossSpans construction launched $buildJobs jobs — eager guard counts back?")
+    assert(execJobs >= 1)
+  }
+
   test("paragraphDedup keeps first occurrences, reassembly drops the rest") {
     import spark.implicits._
     val docs = Seq(
