@@ -5,7 +5,9 @@ import java.nio.file.Files
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.catalog.{InMemoryCatalog, MergeSnapshotStore, TableMeta}
+import org.apache.spark.sql.DataFrame
+
+import graft.catalog.{Catalog, InMemoryCatalog, MergeSnapshotStore, SessionCatalog, TableMeta}
 import graft.ingest.GgLogsToParquet
 import graft.operators.{ChangeLogApplier, CuratedApplier, Dedup, DomainRunner, Ivm, Materialize, PrefixScan, QueryRunner, Sampling, Scd, Similarity, TextAnalysis, UrlFilter}
 
@@ -57,6 +59,73 @@ import graft.operators.{ChangeLogApplier, CuratedApplier, Dedup, DomainRunner, I
 object PipelineMain {
   private val Db = "pipeline"
 
+  /** What the reference arc produced — everything main's stage gates
+   * (and the catalog-equivalence spec) inspect after the run. */
+  final case class ReferenceArc(
+      store: MergeSnapshotStore,
+      landed: DataFrame,
+      beforeOffenders: Long,
+      applied: Seq[String],
+      curated: Seq[String],
+      made: Seq[String],
+      query: DataFrame)
+
+  /**
+   * Stages 1–5 — the reference's five-executable Glue arc (ingest →
+   * change-log apply → curated → domains → ad-hoc query, run order per
+   * reference dev/_dummy_records_run_order.txt:8-14) — against an
+   * arbitrary [[Catalog]]. The arc is catalog-implementation-blind:
+   * the same run works over the in-memory map and over Spark's session
+   * metastore ([[SessionCatalog]] — the surface a cluster points at
+   * Glue/HMS by conf), which is exactly the reference's deployment
+   * story (its jobs resolve locations and PKs through Glue). The
+   * domain stage's schema registration exercises the metastore
+   * data-schema refresh path on the session-catalog run.
+   */
+  def referenceArc(spark: SparkSession, catalog: Catalog, work: String,
+                   refData: String, db: String = Db): ReferenceArc = {
+    val store = new MergeSnapshotStore(spark, catalog, nBuckets = 16)
+    catalog.register(TableMeta(db, "raw_events", s"$work/raw_events",
+      partitionBy = GgLogsToParquet.PartitionBy))
+    Seq("offenders", "offender_bookings").foreach { t =>
+      catalog.register(TableMeta(db, t, s"$work/$t", primaryKey = Some("offender_id")))
+      catalog.register(TableMeta(db, s"${t}_curated", s"$work/${t}_curated"))
+    }
+    catalog.register(TableMeta(db, "domain1_off_book", s"$work/domain1_off_book"))
+
+    // 1. ingest the raw JSON logs: the I/U/D dirs have ragged schemas
+    // (inserts lack `before`), unioned by name like the reference's
+    // union_dfs (gg_logs_to_parquet.py:216-226)
+    val rawRoot = s"$refData/kinesis/transac/json/oms_owner/offenders"
+    val raw = GgLogsToParquet.unionRagged(
+      Seq("base", "inserts", "deletes").map(d =>
+        GgLogsToParquet.readRaw(spark, s"$rawRoot/$d")))
+    store.appendPartitioned(db, "raw_events", GgLogsToParquet.ingest(raw))
+    val landed = store.readFlat(db, "raw_events")
+
+    // 2. bootstrap structured targets, then merge the change log
+    store.overwrite(db, "offenders",
+      spark.read.parquet(s"$refData/database/oms_owner/offenders"))
+    store.overwrite(db, "offender_bookings",
+      spark.read.parquet(s"$refData/database/oms_owner/offender_bookings"))
+    val before = store.read(db, "offenders").count()
+    val applied = ChangeLogApplier.run(spark, store, db, landed)
+
+    // 3. curated promotion (identity hook)
+    val curated = new CuratedApplier(store).run(db, applied)
+
+    // 4. domain materialization from the definitions CSV
+    val made = new DomainRunner(spark, store).run(db,
+      s"$refData/database/domain_definitions/domain_table_1.csv",
+      changedTables = applied)
+
+    // 5. ad-hoc query (docs/demo_querys:3)
+    val query = new QueryRunner(store).run(db, "offenders",
+      Seq("offender_id", "title", "first_name", "last_name", "birth_date"),
+      "offender_id > 15")
+    ReferenceArc(store, landed, before, applied, curated, made, query)
+  }
+
   def main(args: Array[String]): Unit = {
     val work =
       if (args.nonEmpty) args(0)
@@ -75,32 +144,24 @@ object PipelineMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // the incremental MERGE backend end-to-end: CDC batches commit only
-    // the PK-hash buckets they touch (stage-2 assert below proves it)
-    val catalog = new InMemoryCatalog
-    val store = new MergeSnapshotStore(spark, catalog, nBuckets = 16)
-    catalog.register(TableMeta(Db, "raw_events", s"$work/raw_events",
-      partitionBy = GgLogsToParquet.PartitionBy))
-    Seq("offenders", "offender_bookings").foreach { t =>
-      catalog.register(TableMeta(Db, t, s"$work/$t", primaryKey = Some("offender_id")))
-      catalog.register(TableMeta(Db, s"${t}_curated", s"$work/${t}_curated"))
-    }
-    catalog.register(TableMeta(Db, "domain1_off_book", s"$work/domain1_off_book"))
-
     def stage(n: Int, what: String)(ok: => Boolean): Unit = {
       if (!ok) { System.err.println(s"[pipeline] FAIL stage $n: $what"); sys.exit(1) }
       println(s"[pipeline] stage $n ok: $what")
     }
 
-    // 1. ingest the raw JSON logs: the I/U/D dirs have ragged schemas
-    // (inserts lack `before`), unioned by name like the reference's
-    // union_dfs (gg_logs_to_parquet.py:216-226)
-    val rawRoot = s"$refData/kinesis/transac/json/oms_owner/offenders"
-    val raw = GgLogsToParquet.unionRagged(
-      Seq("base", "inserts", "deletes").map(d =>
-        GgLogsToParquet.readRaw(spark, s"$rawRoot/$d")))
-    store.appendPartitioned(Db, "raw_events", GgLogsToParquet.ingest(raw))
-    val landed = store.readFlat(Db, "raw_events")
+    // the incremental MERGE backend end-to-end: CDC batches commit only
+    // the PK-hash buckets they touch (stage-2 assert below proves it).
+    // GRAFT_CATALOG=session runs the arc over Spark's session metastore
+    // (the Glue/HMS seam) instead of the in-memory map — same stages,
+    // same gates.
+    val catalog: Catalog = sys.env.get("GRAFT_CATALOG") match {
+      case Some("session") => new SessionCatalog(spark)
+      case _ => new InMemoryCatalog
+    }
+    val arc = referenceArc(spark, catalog, work, refData)
+    val store = arc.store
+    val landed = arc.landed
+
     val nLanded = landed.count()
     stage(1, s"ingest -> $nLanded hashed, date-partitioned events") {
       nLanded > 0 &&
@@ -109,13 +170,8 @@ object PipelineMain {
         !landed.columns.map(_.toLowerCase).contains("tokens")
     }
 
-    // 2. bootstrap structured targets, then merge the change log
-    store.overwrite(Db, "offenders",
-      spark.read.parquet(s"$refData/database/oms_owner/offenders"))
-    store.overwrite(Db, "offender_bookings",
-      spark.read.parquet(s"$refData/database/oms_owner/offender_bookings"))
-    val before = store.read(Db, "offenders").count()
-    val applied = ChangeLogApplier.run(spark, store, Db, landed)
+    val before = arc.beforeOffenders
+    val applied = arc.applied
     val after = store.read(Db, "offenders").count()
     // scoped-commit proof: every bucket the batch's keys did NOT touch
     // must be carried into v1 by reference (same data dir, no rewrite).
@@ -136,16 +192,14 @@ object PipelineMain {
     }
 
     // 3. curated promotion (identity hook)
-    val curated = new CuratedApplier(store).run(Db, applied)
+    val curated = arc.curated
     stage(3, s"curated -> $curated") {
       curated == Seq("offenders_curated") &&
         store.read(Db, "offenders_curated").count() == after
     }
 
     // 4. domain materialization from the definitions CSV
-    val made = new DomainRunner(spark, store).run(Db,
-      s"$refData/database/domain_definitions/domain_table_1.csv",
-      changedTables = applied)
+    val made = arc.made
     val domain = store.read(Db, "domain1_off_book")
     stage(4, s"domains -> $made, ${domain.count()} rows, " +
         s"schema registered=${catalog(Db, "domain1_off_book").schema.isDefined}") {
@@ -155,9 +209,7 @@ object PipelineMain {
     }
 
     // 5. ad-hoc query (docs/demo_querys:3)
-    val q = new QueryRunner(store).run(Db, "offenders",
-      Seq("offender_id", "title", "first_name", "last_name", "birth_date"),
-      "offender_id > 15").cache()
+    val q = arc.query.cache()
     q.show(10, truncate = false)
     val nQ = q.count()
     stage(5, s"query -> $nQ rows with offender_id > 15") {

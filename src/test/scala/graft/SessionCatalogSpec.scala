@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.catalog.{SessionCatalog, SnapshotStore, TableMeta}
+import graft.catalog.{Catalog, InMemoryCatalog, SessionCatalog, SnapshotStore, TableMeta}
 
 /** The session-catalog-backed Catalog: metadata round-trips through the
  * metastore client surface, and the versioned snapshot store runs over it
@@ -56,5 +56,46 @@ class SessionCatalogSpec extends AnyFunSuite with SparkFixture {
     val old = store.readVersion(cat("scdb2", "t"), 0).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(old == Set((1L, 10L), (2L, 20L)))
+  }
+
+  test("the reference arc is catalog-implementation-blind: stage outputs identical") {
+    // stages 1-5 (ingest -> apply -> curated -> domains -> query) run
+    // once over the in-memory map and once over the session metastore;
+    // every landed table and the query answer must be identical — the
+    // reference's Glue deployment story (jobs resolve locations/PKs/
+    // schemas through the metastore) with nothing catalog-specific in
+    // any stage. The two run-varying wall-clock stamps are excluded:
+    // process_id (reference apply_to_domains.py:54-68) and the applied
+    // rows' admin_event_ts (current_timestamp at apply, reference
+    // apply_change_log_to_delta.py's event-time stamp) — both differ
+    // between ANY two runs, catalog-blind or not.
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      val cols = df.columns
+        .filterNot(c => c == "process_id" ||
+          c.equalsIgnoreCase(graft.model.CdcModel.AdminEventTs))
+        .sorted.toSeq
+      df.select(cols.map(col): _*).collect().map(_.toString).sorted.toSeq
+    }
+    def runArc(cat: Catalog, db: String) = {
+      val work = Files.createTempDirectory(s"graft-arc-$db").toString
+      val arc = PipelineMain.referenceArc(spark, cat, work, RefData, db)
+      (arc, Map(
+        "raw_events" -> canon(arc.store.readFlat(db, "raw_events")),
+        "offenders" -> canon(arc.store.read(db, "offenders")),
+        "offenders_curated" -> canon(arc.store.read(db, "offenders_curated")),
+        "domain1_off_book" -> canon(arc.store.read(db, "domain1_off_book")),
+        "query" -> canon(arc.query)))
+    }
+    val (memArc, mem) = runArc(new InMemoryCatalog, "arc_mem")
+    val (sesArc, ses) = runArc(new SessionCatalog(spark), "arc_ms")
+    assert(memArc.applied == sesArc.applied && memArc.curated == sesArc.curated &&
+      memArc.made == sesArc.made)
+    mem.foreach { case (k, v) =>
+      assert(v.nonEmpty, s"stage output '$k' is empty")
+      assert(v == ses(k), s"stage output '$k' differs across catalog impls")
+    }
+    // the domain stage's narrowed schema registration went through the
+    // metastore data-schema path, not just the in-memory map
+    assert(new SessionCatalog(spark)("arc_ms", "domain1_off_book").schema.isDefined)
   }
 }
