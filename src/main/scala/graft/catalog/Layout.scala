@@ -1,6 +1,8 @@
 package graft.catalog
 
-import org.apache.spark.sql.{Column, DataFrame}
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -20,8 +22,9 @@ import org.apache.spark.sql.functions._
  * e.g. from approx quantiles, so outliers cannot flatten the buckets)
  * and bucketized with `width_bucket` — one codegen'd expression per
  * dimension, no shuffle. The interleave is a fixed chain of shift/or
- * expressions. The only shuffle in [[cluster]] is the range partition by
- * z-value that also gives one tight file per output partition.
+ * expressions. The only shuffle in [[cluster]] is ONE equal-width
+ * partition of the z domain (no sampling pass, deterministic layout)
+ * that gives one tight file per output partition.
  */
 object Layout {
 
@@ -98,11 +101,65 @@ object Layout {
       }
     val z = zValue(
       dims.map { case (c, ro) => (col(c), ro.getOrElse(inferred(c))) }, bits)
-    df.withColumn("__z", z)
-      .repartitionByRange(files, col("__z"))
-      .sortWithinPartitions(col("__z"))
-      .drop("__z")
+    // Partition by EQUAL-WIDTH z ranges, not repartitionByRange: range
+    // partitioning estimates bounds by SAMPLING the input — an extra
+    // full scan of a 100 TB table before the shuffle, and the sampler's
+    // seed derives from the RDD id, so two runs of the same job lay the
+    // same data out differently (file boundaries, and with them pruning
+    // effectiveness, become session-history-dependent). The z domain is
+    // known exactly (D*bits bits), so the file of a row is a pure
+    // expression of its z-value: zero extra passes, bit-deterministic
+    // layout. Bucket ranks are uniform when callers clip to quantile
+    // ranges, so equal z-width is also near-equal data volume.
+    val d = dims.size
+    if (files <= 1)
+      df.withColumn("__z", z).repartition(1).sortWithinPartitions(col("__z"))
+        .drop("__z")
+    else {
+      val domain = BigInt(1) << (d * bits)
+      val width = ((domain + files - 1) / files).toLong
+      // __p (the target file id) must land in ITS OWN shuffle partition.
+      // Hash partitioning would collide distinct ids into one task (a
+      // file then spans two disjoint z ranges — twice-wide stats), so
+      // each id routes through a probed token whose Murmur3 hash maps
+      // BIJECTIVELY onto the partition space: `repartition(n, col)` and
+      // `functions.hash` share Murmur3(seed 42), making the routing
+      // exact, still one shuffle, no sampling.
+      val tokens = array(bijectiveTokens(df.sparkSession, files).map(lit): _*)
+      df.withColumn("__z", z)
+        .withColumn("__t", // integer DIV: `/` is double division and
+          // loses exactness past 2^53, which D*bits <= 63 permits
+          element_at(tokens, expr(s"__z DIV ${width}L").cast("int") + 1))
+        .repartition(files, col("__t"))
+        .sortWithinPartitions(col("__z"))
+        .drop("__z", "__t")
+    }
   }
+
+  /** tokenCache(parts)(p) = a long whose Murmur3(seed 42) hash pmods to
+   * partition `p` of `parts` — probed once per distinct `parts` with
+   * tiny driver-local jobs (a few thousand hashed longs, no data scan)
+   * and cached for the session lifetime (the map is keyed by the pure
+   * integer `parts`, so it is JVM-global and session-safe). */
+  private val tokenCache = new ConcurrentHashMap[Int, Array[Long]]()
+
+  private def bijectiveTokens(spark: SparkSession, parts: Int): Array[Long] =
+    tokenCache.computeIfAbsent(parts, { _ =>
+      val found = Array.fill[Long](parts)(-1L)
+      var remaining = parts
+      var lo = 0L
+      while (remaining > 0) {
+        val batch = spark.range(lo, lo + parts * 64L, 1, 1)
+          .select(col("id"), pmod(hash(col("id")), lit(parts)).as("p"))
+          .collect() // loop control: O(parts) candidate tokens, no data scan
+        batch.foreach { r =>
+          val p = r.getInt(1)
+          if (found(p) < 0) { found(p) = r.getLong(0); remaining -= 1 }
+        }
+        lo += parts * 64L
+      }
+      found
+    })
 
   /** Two-dimension convenience overload of [[cluster]] (defaults live on
    * the N-dim core — Scala allows default arguments on only one

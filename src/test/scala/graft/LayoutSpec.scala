@@ -125,10 +125,13 @@ class LayoutSpec extends AnyFunSuite with SparkFixture {
 
     // a narrow box on ANY single dimension must skip most files: 64 files
     // split on the top 6 interleaved bits, i.e. each dimension's top two
-    // bucket bits, so per-file min/max spans ~1/4 of every dimension
+    // bucket bits, so per-file min/max spans ~1/4 of every dimension —
+    // and the equal-width z split makes that boundary EXACT (the box
+    // ranks 25..37 sit inside every dimension's first quarter), so the
+    // bound is deterministic, not a sampling-dependent coin flip
     for (dim <- Seq("x", "y", "z")) {
       val read = scanned(col(dim) >= 100 && col(dim) < 150)
-      assert(read < n / 2,
+      assert(read < n / 3,
         s"3-D z layout should prune $dim-only scans, read $read of $n")
     }
     // correctness: clustering is a pure re-layout
@@ -138,5 +141,47 @@ class LayoutSpec extends AnyFunSuite with SparkFixture {
         col("y") >= 100 && col("y") < 150).count() ==
       df.filter(col("x") >= 100 && col("x") < 150 &&
         col("y") >= 100 && col("y") < 150).count())
+  }
+
+  test("cluster layout is deterministic and contiguous regardless of session history") {
+    import spark.implicits._
+    // repartitionByRange's bound sampler seeds from the RDD id, so the
+    // SAME cluster() call used to lay data out differently depending on
+    // how many RDDs the session had created before — a rerun of a 100 TB
+    // layout job would shift every file boundary. The equal-width z
+    // split is a pure expression of the row, so layout must be
+    // bit-identical across session history, and every output partition
+    // must hold ONE contiguous, disjoint z range (no hash collisions —
+    // the bijective-token routing's contract).
+    val n = 4096
+    val df = spark.range(n).select(
+      (hash(col("id"), lit(1)).cast("long").bitwiseAND(255)).as("x"),
+      (hash(col("id"), lit(2)).cast("long").bitwiseAND(255)).as("y"))
+    def layout(): Map[Int, Seq[(Long, Long)]] =
+      Layout.cluster(df, "x", "y", files = 16,
+          aRange = Some((0.0, 255.0)), bRange = Some((0.0, 255.0)), bits = 8)
+        .withColumn("pid", spark_partition_id())
+        .collect()
+        .map(r => (r.getInt(2), (r.getLong(0), r.getLong(1))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    val first = layout()
+    // shift the session's RDD id counter the way a busy session would
+    (1 to 40).foreach(_ => spark.range(8).rdd.count())
+    val second = layout()
+    assert(first == second, "layout moved with session history")
+    // contiguity: the partitions' z intervals are pairwise disjoint
+    val zOf = (xy: (Long, Long)) =>
+      Layout.zValue(Seq((lit(xy._1).cast("long"), (0.0, 255.0)),
+        (lit(xy._2).cast("long"), (0.0, 255.0))), 8)
+    val zs = first.toSeq.map { case (pid, rows) =>
+      val vals = spark.range(1).select(array(rows.map(zOf): _*)).head()
+        .getSeq[Long](0)
+      (vals.min, vals.max)
+    }.sortBy(_._1)
+    zs.sliding(2).foreach {
+      case Seq((_, e1), (s2, _)) =>
+        assert(e1 < s2, s"partition z ranges overlap: $zs")
+      case _ =>
+    }
   }
 }
