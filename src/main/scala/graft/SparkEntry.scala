@@ -1554,6 +1554,49 @@ object SparkEntry {
         .orderBy("fingerprint")
     }),
 
+    // PK point lookup over the MERGE store: the table commits into
+    // PK-hash buckets; the lookup resolves its keys' buckets from the
+    // manifest and scans ONLY those directories (at 100 TB / 4096
+    // buckets a point read plans 1/4096th of the table's files, the
+    // pushed PK predicate row-group-pruning the rest) — proven equal to
+    // a full-scan filter by the oracle
+    "q48_point_lookup" -> ((s, d) => {
+      import graft.catalog.{InMemoryCatalog, MergeSnapshotStore, TableMeta}
+      val orders = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long").as("price_c"))
+      val work = java.nio.file.Files.createTempDirectory("graft-q48").toString
+      val cat = new InMemoryCatalog
+      cat.register(TableMeta("q48", "orders", s"$work/orders",
+        primaryKey = Some("o_orderkey")))
+      val store = new MergeSnapshotStore(s, cat, nBuckets = 32)
+      store.overwrite("q48", "orders", orders)
+      val keys = orders.filter(col("o_orderkey") % 9973 === 7).select("o_orderkey")
+      store.pointLookup("q48", "orders", keys).orderBy("o_orderkey")
+    }),
+
+    // min/max IVM: inserts fold monotonically into the aggregate;
+    // deletes/updates that hit a group's stored extremum trigger a
+    // rescan of ONLY the affected groups (delta-sized list, semi-join
+    // restricted) — maintained output bit-equal to the from-scratch
+    // recompute the oracle runs
+    "q49_ivm_minmax" -> ((s, d) => {
+      val base = t(s, d, "orders")
+      def cents(c: Column) = round(c * 100).cast("long")
+      val oldSnap = base.filter(col("o_orderkey") % 17 =!= 0)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          cents(col("o_totalprice")).as("price_c"))
+      val newSnap = base.filter(col("o_orderkey") % 13 =!= 0)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          cents(when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice"))).as("price_c"))
+      val baseAgg = Ivm.minMaxAgg(oldSnap, col("o_orderpriority"), col("price_c"))
+      val changes = Scd.snapshotDiff(oldSnap, newSnap, Seq("o_orderkey"))
+      Ivm.applyMinMaxDelta(baseAgg, oldSnap, newSnap, changes,
+          Seq("o_orderkey"), col("o_orderpriority"), col("price_c"))
+        .orderBy("grp")
+    }),
+
     // script identification: doc_id classes swap in Cyrillic/CJK/Arabic
     // bodies (and one mixed Greek+Latin case) so every class and the
     // argmax tie-break are exercised
@@ -3152,6 +3195,24 @@ object SparkEntry {
          WHERE NOT EXISTS (SELECT 1 FROM seen
                            WHERE seen.fingerprint = b.fingerprint)
          ORDER BY fingerprint"""),
+
+    // the bucket-pruned point lookup must equal a plain full-scan filter
+    "q48_point_lookup" ->
+      """SELECT o_orderkey, o_custkey, o_orderpriority,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+         FROM orders WHERE o_orderkey % 9973 = 7
+         ORDER BY o_orderkey""",
+
+    // the maintained min/max aggregate must equal the recompute over
+    // the new snapshot
+    "q49_ivm_minmax" ->
+      """WITH newv AS (SELECT o_orderkey, o_orderpriority,
+           CAST(round((CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+                            ELSE o_totalprice END) * 100) AS BIGINT) AS price_c
+         FROM orders WHERE o_orderkey % 13 <> 0)
+         SELECT o_orderpriority AS grp, count(*) AS cnt,
+                min(price_c) AS min_units, max(price_c) AS max_units
+         FROM newv GROUP BY 1 ORDER BY grp""",
 
     // per-script character counts + the ordered argmax, over the same
     // swapped-in bodies

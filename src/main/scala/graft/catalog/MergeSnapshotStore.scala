@@ -6,7 +6,7 @@ import scala.collection.immutable.SortedMap
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+import org.apache.spark.sql.functions.{array, col, hash, lit, pmod}
 import org.apache.spark.sql.types.{DataType, StructType}
 
 /**
@@ -146,6 +146,53 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     val vs = manifestVersions(meta.location)
     require(vs.nonEmpty, s"no manifest versions at ${meta.location}")
     load(meta, readManifest(meta.location, vs.last), Some(buckets.toSet))
+  }
+
+  /**
+   * PK point lookup: the rows of `keys` (any frame exposing the table's
+   * PK column; values are cast to the committed PK type, so a caller's
+   * literal ints match a bigint table) from the latest snapshot, read by
+   * scanning ONLY the keys' hash buckets. At 100 TB with 4096 buckets a
+   * one-key lookup plans a scan over 1/4096th of the table's files — the
+   * index-free point-read a keyed store owes its callers, where a naive
+   * `read().filter(pk === x)` would LIST and stat-check every file of
+   * the table. Driver-sized key sets (the point-lookup contract) become
+   * an `isin` predicate PUSHED into the parquet scan, so row-group
+   * min/max stats skip most of the surviving buckets too; a key set too
+   * large to inline falls back to a broadcast semi-join over the same
+   * pruned scan.
+   */
+  def pointLookup(db: String, table: String, keys: DataFrame): DataFrame = {
+    val meta = catalog0(db, table)
+    val pk = meta.primaryKey.getOrElse(throw new IllegalStateException(
+      s"pointLookup needs a registered PK for ${meta.qualified}"))
+    val vs = manifestVersions(meta.location)
+    require(vs.nonEmpty, s"no manifest versions at ${meta.location}")
+    val m = readManifest(meta.location, vs.last)
+    require(m.nBuckets == nBuckets,
+      s"${meta.qualified} is committed with nBuckets=${m.nBuckets}; " +
+        s"this store was built with nBuckets=$nBuckets")
+    val pkType = m.schema(pk).dataType
+    val typedKeys = keys.select(col(pk).cast(pkType).as(pk)).na.drop().distinct()
+    // loop control: the keys themselves, fetched only up to the inline
+    // bound — a caller passing a whole table's worth of "point" keys
+    // cannot OOM the driver, it just loses the pushdown form
+    val inline = typedKeys.limit(MergeSnapshotStore.MaxInlineKeys + 1)
+      .collect().map(_.get(0))
+    if (inline.length <= MergeSnapshotStore.MaxInlineKeys) {
+      // bucket ids via one tiny local job: Spark's hash() IS the bucket
+      // function, so evaluate it over the literal keys (no data scan)
+      val ids = spark.range(1).select(
+          array(inline.map(k => bucketOf(lit(k).cast(pkType))): _*))
+        .head().getSeq[Int](0).toSet
+      load(meta, m, Some(ids)).filter(col(pk).isInCollection(inline))
+    } else {
+      // bucket ids of the lookup keys (<= nBuckets values)
+      val touched = typedKeys.select(bucketOf(col(pk)).as("__b"))
+        .distinct().collect().map(_.getInt(0)).toSet
+      load(meta, m, Some(touched))
+        .join(org.apache.spark.sql.functions.broadcast(typedKeys), Seq(pk), "left_semi")
+    }
   }
 
   private def load(meta: TableMeta, m: Manifest, only: Option[Set[Int]]): DataFrame = {
@@ -398,4 +445,10 @@ object MergeSnapshotStore {
    * finish after its manifest expires, short enough that space reclaim is
    * still prompt. */
   val DefaultRetentionMs: Long = 30 * 60 * 1000L
+
+  /** Largest point-lookup key set inlined as a pushed `isin` predicate;
+   * bigger sets fall back to a broadcast semi-join (10k In-values is
+   * well within parquet filter evaluation comfort; far past it the set
+   * isn't a point lookup anymore). */
+  val MaxInlineKeys: Int = 10000
 }

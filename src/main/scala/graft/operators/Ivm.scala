@@ -108,6 +108,105 @@ object Ivm {
   }
 
   /**
+   * Build the base MIN/MAX aggregate: one row per `group` with `cnt`
+   * and the integer `value` min/max. Shape-identical to
+   * [[applyMinMaxDelta]]'s output, so maintenance composes.
+   */
+  def minMaxAgg(df: DataFrame, group: Column, value: Column,
+                groupOut: String = "grp", cntOut: String = "cnt",
+                minOut: String = "min_units",
+                maxOut: String = "max_units"): DataFrame =
+    df.groupBy(group.as(groupOut))
+      .agg(count(lit(1)).as(cntOut), min(value).as(minOut),
+        max(value).as(maxOut))
+
+  /** The groups [[applyMinMaxDelta]] must re-aggregate from the new
+   * snapshot: those where a removed (`U`/`D`) non-null value ties — or,
+   * defensively, passes — the stored extremum. Delta-sized: one join of
+   * the changelog's old rows against the group-cardinality base.
+   * Equality-triggering is conservative when the extremum is duplicated
+   * (the rescan then just confirms the old value) — the aggregate state
+   * would need per-group value multisets to know better, which is
+   * exactly what MIN/MAX not being self-maintainable under deletion
+   * means. */
+  private[graft] def minMaxRescanGroups(base: DataFrame, oldSnap: DataFrame,
+      changes: DataFrame, keys: Seq[String], group: Column, value: Column,
+      groupOut: String, minCol: String, maxCol: String,
+      changeCol: String): DataFrame = {
+    val removedKeys = changes.filter(col(changeCol).isin("U", "D"))
+      .select(keys.map(col): _*)
+    oldSnap.join(removedKeys, keys, "inner")
+      .select(group.as(groupOut), value.as("__v"))
+      .filter(col("__v").isNotNull)
+      .join(base.select(col(groupOut), col(minCol).as("__bmin"),
+        col(maxCol).as("__bmax")), Seq(groupOut))
+      .filter(col("__v") <= col("__bmin") || col("__v") >= col("__bmax"))
+      .select(groupOut).distinct()
+  }
+
+  /**
+   * Apply an I/U/D changelog to a base MIN/MAX aggregate built by
+   * [[minMaxAgg]]. COUNT/SUM deltas always fold ([[applyCountSumDelta]]);
+   * MIN/MAX folds monotonically on the INSERT side only — deleting a
+   * group's current extremum needs the runner-up, which the aggregate
+   * state does not carry (the classic non-self-maintainable case, Gupta
+   * & Mumick 1995). The fix here keeps maintenance delta-proportional
+   * anyway: only the delta-sized set of AFFECTED groups
+   * ([[minMaxRescanGroups]] — a removed value tied the stored extremum)
+   * re-aggregates, restricted from the new snapshot by a semi-join (AQE
+   * broadcasts the small group list; a group-clustered table layout —
+   * [[graft.catalog.Layout]] — additionally file-prunes the rescan).
+   * Every other group folds without touching the fact table at all.
+   * Output is bit-identical to `minMaxAgg(newSnap, ...)`.
+   */
+  def applyMinMaxDelta(base: DataFrame, oldSnap: DataFrame,
+                       newSnap: DataFrame, changes: DataFrame,
+                       keys: Seq[String], group: Column, value: Column,
+                       groupOut: String = "grp", cntCol: String = "cnt",
+                       minCol: String = "min_units",
+                       maxCol: String = "max_units",
+                       changeCol: String = "change"): DataFrame = {
+    require(keys.nonEmpty, "need changelog key columns")
+    require(Seq(groupOut, cntCol, minCol, maxCol).forall(base.columns.contains),
+      s"base aggregate must carry $groupOut/$cntCol/$minCol/$maxCol " +
+        "(minMaxAgg's shape)")
+    val removedKeys = changes.filter(col(changeCol).isin("U", "D"))
+      .select(keys.map(col): _*)
+    val minus = oldSnap.join(removedKeys, keys, "inner")
+      .select(group.as(groupOut), value.as("__v"))
+    val plus = changes.filter(col(changeCol).isin("I", "U"))
+      .select(group.as(groupOut), value.as("__v"))
+    val trig = minMaxRescanGroups(base, oldSnap, changes, keys, group, value,
+      groupOut, minCol, maxCol, changeCol)
+    val pagg = plus.groupBy(groupOut).agg(count(lit(1)).as("__pc"),
+      min("__v").as("__pmin"), max("__v").as("__pmax"))
+    val magg = minus.groupBy(groupOut).agg(count(lit(1)).as("__mc"))
+    // untriggered groups fold: counts add, extrema widen monotonically
+    // (least/greatest skip NULLs, so a new group takes the insert-side
+    // extrema and an all-NULL-value group keeps NULL); a group whose
+    // count reaches zero had its extremum removed (or held only NULLs)
+    // and drops here exactly as a recompute drops it
+    val folded = base.join(pagg, Seq(groupOut), "full_outer")
+      .join(magg, Seq(groupOut), "full_outer")
+      .join(trig, Seq(groupOut), "left_anti")
+      .select(col(groupOut),
+        (coalesce(col(cntCol), lit(0L)) + coalesce(col("__pc"), lit(0L)) -
+          coalesce(col("__mc"), lit(0L))).as(cntCol),
+        least(col(minCol), col("__pmin")).as(minCol),
+        greatest(col(maxCol), col("__pmax")).as(maxCol))
+      .filter(col(cntCol) > 0)
+    // group-targeted rescan: ONLY the affected groups, from the new
+    // snapshot; an emptied group yields no rows and so drops, exactly
+    // as a recompute drops it
+    val rescan = newSnap.select(group.as(groupOut), value.as("__v"))
+      .join(trig, Seq(groupOut), "left_semi")
+      .groupBy(groupOut)
+      .agg(count(lit(1)).as(cntCol), min("__v").as(minCol),
+        max("__v").as(maxCol))
+    folded.unionByName(rescan)
+  }
+
+  /**
    * [[Ivm]] composed with the table store: a registered count/sum
    * aggregate maintained on every commit of its base table — the q46
    * discipline running OVER store commits, closing the reference's CDC

@@ -99,4 +99,91 @@ class IvmSpec extends AnyFunSuite with SparkFixture {
         col("grp_in"), col("v"))
     }
   }
+
+  // ---- min/max maintenance (not self-maintainable under deletion) ----
+
+  // a: delete of the unique max (10); b: delete of ONE copy of the
+  // duplicated min (20); c: its only row MOVES to group a (c empties);
+  // e: all-NULL group gains a value via update; f: a strictly interior
+  // value deleted (extrema untouched); g: created by insert
+  private lazy val mmOld = Seq(
+    (1L, "a", Some(10L)), (2L, "a", Some(5L)), (3L, "a", Some(5L)),
+    (4L, "b", Some(30L)), (5L, "b", Some(20L)), (6L, "b", Some(20L)),
+    (7L, "c", Some(40L)),
+    (8L, "e", None), (9L, "e", None),
+    (10L, "f", Some(7L)), (11L, "f", Some(8L)), (12L, "f", Some(9L)))
+    .toDF("k", "grp_in", "v")
+  private lazy val mmNew = Seq(
+    (2L, "a", Some(5L)), (3L, "a", Some(5L)), (14L, "a", Some(6L)),
+    (7L, "a", Some(41L)),
+    (4L, "b", Some(30L)), (5L, "b", Some(20L)),
+    (8L, "e", Some(3L)), (9L, "e", None),
+    (10L, "f", Some(7L)), (12L, "f", Some(9L)),
+    (15L, "g", Some(100L)))
+    .toDF("k", "grp_in", "v")
+
+  private def mmMap(df: DataFrame): Map[String, (Long, Option[Long], Option[Long])] =
+    df.collect().map(r => r.getString(0) ->
+      ((r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+
+  test("min/max delta equals the recompute across every removal regime") {
+    val base = Ivm.minMaxAgg(mmOld, col("grp_in"), col("v"))
+    assert(mmMap(base) == Map(
+      "a" -> ((3L, Some(5L), Some(10L))), "b" -> ((3L, Some(20L), Some(30L))),
+      "c" -> ((1L, Some(40L), Some(40L))), "e" -> ((2L, None, None)),
+      "f" -> ((3L, Some(7L), Some(9L)))))
+    val changes = Scd.snapshotDiff(mmOld, mmNew, Seq("k"))
+    val got = Ivm.applyMinMaxDelta(base, mmOld, mmNew, changes, Seq("k"),
+      col("grp_in"), col("v"))
+    val scratch = Ivm.minMaxAgg(mmNew, col("grp_in"), col("v"))
+    assert(mmMap(got) == mmMap(scratch))
+    assert(mmMap(got) == Map(
+      "a" -> ((4L, Some(5L), Some(41L))), // max rescued by rescan + move-in
+      "b" -> ((2L, Some(20L), Some(30L))), // duplicated min survives its copy
+      "e" -> ((2L, Some(3L), Some(3L))),   // NULL extrema narrow via insert side
+      "f" -> ((2L, Some(7L), Some(9L))),   // interior delete folds, no rescan
+      "g" -> ((1L, Some(100L), Some(100L))))) // new group, insert-side extrema
+    // c is gone: its extremum removal triggered a rescan that found nothing
+    assert(!mmMap(got).contains("c"))
+  }
+
+  test("min/max rescan targets exactly the extremum-touched groups") {
+    val base = Ivm.minMaxAgg(mmOld, col("grp_in"), col("v"))
+    val changes = Scd.snapshotDiff(mmOld, mmNew, Seq("k"))
+    val trig = Ivm.minMaxRescanGroups(base, mmOld, changes, Seq("k"),
+        col("grp_in"), col("v"), "grp", "min_units", "max_units", "change")
+      .collect().map(_.getString(0)).toSet
+    // a (max deleted), b (a min copy deleted), c (only row moved away);
+    // NOT f (interior delete), NOT e (removed value was NULL), NOT g (new)
+    assert(trig == Set("a", "b", "c"))
+  }
+
+  test("min/max maintenance composes: two delta steps equal one recompute") {
+    val mid = mmNew
+    val fin = Seq(
+      (2L, "a", Some(5L)), (14L, "a", Some(6L)), // 3 deleted (a min copy), 7 deleted (a max)
+      (4L, "b", Some(30L)), (5L, "b", Some(20L)),
+      (8L, "e", Some(3L)), (9L, "e", None),
+      (10L, "f", Some(7L)), (12L, "f", Some(9L)),
+      (15L, "g", Some(99L))) // g's single value updated DOWN (max shrinks)
+      .toDF("k", "grp_in", "v")
+    val base = Ivm.minMaxAgg(mmOld, col("grp_in"), col("v"))
+    val step1 = Ivm.applyMinMaxDelta(base, mmOld,
+      mid, Scd.snapshotDiff(mmOld, mid, Seq("k")), Seq("k"),
+      col("grp_in"), col("v"))
+    val step2 = Ivm.applyMinMaxDelta(step1, mid,
+      fin, Scd.snapshotDiff(mid, fin, Seq("k")), Seq("k"),
+      col("grp_in"), col("v"))
+    assert(mmMap(step2) == mmMap(Ivm.minMaxAgg(fin, col("grp_in"), col("v"))))
+  }
+
+  test("min/max shape guard rejects a countSumAgg-shaped base") {
+    intercept[IllegalArgumentException] {
+      Ivm.applyMinMaxDelta(Ivm.countSumAgg(mmOld, col("grp_in"), col("v")),
+        mmOld, mmNew, Scd.snapshotDiff(mmOld, mmNew, Seq("k")), Seq("k"),
+        col("grp_in"), col("v"))
+    }
+  }
 }

@@ -54,6 +54,42 @@ class MergeStoreSpec extends AnyFunSuite with SparkFixture {
     assert(store.manifestEntries("mdb", "t1", 0).size > 1, "expected >1 bucket")
   }
 
+  test("pointLookup reads only the keys' bucket dirs, result equals full-scan filter") {
+    import spark.implicits._
+    val store = mkStore(nBuckets = 8)
+    register(store, "mdb", "tpl", "id")
+    store.overwrite("mdb", "tpl", idTable(200))
+    val keys = Seq(5, 37, 90).toDF("id")
+    val got = store.pointLookup("mdb", "tpl", keys)
+    // content: exactly the full-scan filter's rows
+    val expect = store.read("mdb", "tpl").filter(col("id").isin(5, 37, 90))
+    assert(got.exceptAll(expect).count() == 0 && expect.exceptAll(got).count() == 0)
+    assert(got.count() == 3)
+    // pruning: the lookup's planned files are a strict subset — only
+    // the three keys' bucket dirs, not the table's
+    val wantBuckets = keys
+      .select(store.bucketOf(col("id").cast("int")).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val lookupFiles = got.inputFiles.toSet
+    val allFiles = store.read("mdb", "tpl").inputFiles.toSet
+    assert(lookupFiles.nonEmpty && lookupFiles.size < allFiles.size,
+      s"lookup planned ${lookupFiles.size} of ${allFiles.size} files")
+    assert(lookupFiles.forall(f => wantBuckets.exists(b => f.contains(s"__b=$b"))),
+      s"lookup read outside its buckets: $lookupFiles")
+    // the PK predicate is pushed into the parquet scan (row-group
+    // stats can skip within the surviving buckets)
+    val scans = got.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty &&
+      scans.forall(_.metadata("PushedFilters").contains("In(id")),
+      s"expected pushed In(id...) filter: ${scans.map(_.metadata("PushedFilters"))}")
+    // keys absent from the table return no rows without error
+    assert(store.pointLookup("mdb", "tpl", Seq(100000).toDF("id")).count() == 0)
+    // a key frame of the "wrong" literal type still matches (cast seam)
+    assert(store.pointLookup("mdb", "tpl", Seq(5L).toDF("id")).count() == 1)
+  }
+
   test("a 1-row merge rewrites ONLY the touched bucket's files") {
     val store = mkStore()
     register(store, "mdb", "t2", "id")
