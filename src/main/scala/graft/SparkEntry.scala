@@ -941,6 +941,18 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // filtered (key-partitioned) ANN: each query's top-k restricted to
+    // corpus vectors sharing its label — candidate-space filtering, not
+    // top-k post-filtering, so the k-of-eligible contract holds even
+    // when a query's global neighbors all carry other labels
+    "s14_ann_filtered_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.keyedTopK(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", "label", k = 10)
+        .withColumn("cos", round(col("cos"), 4))
+        .orderBy("query_id", "rank")
+    }),
+
     // IVF-PQ: probe the query's 4 nearest cells, ADC-score only their
     // members from the m-byte codes — the production ANN composition,
     // with both quantizers on their deterministic oracle-replayable seams
@@ -1376,6 +1388,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // CCNet-style perplexity-bucketed mixture (Wenzek et al. 2020 §4.3:
+    // LM-score the corpus, cut head/middle/tail, keep each at its own
+    // rate): the t26 trigram score bucketed at FIXED integer-micro bars
+    // (a pure per-row function — no corpus-relative quantile pass to
+    // shuffle or drift), then the d10/t13 content-keyed digest keeps
+    // head fully, middle at 0.5, tail at 0.1. Composition is two narrow
+    // passes over the scored frame — the score chain dominates.
+    "t27_perplexity_mixture" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val scored = TextAnalysis.trigramBackoffLogProb(
+        docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+      val bucketed = scored.withColumn("bucket",
+        when(col("logp_micro_sum") >= lit(-3600000L) * col("n_tris"), "head")
+          .when(col("logp_micro_sum") >= lit(-3800000L) * col("n_tris"), "middle")
+          .otherwise("tail"))
+      Sampling.hashSampleBy(bucketed, "bucket", "doc_id",
+          Map("head" -> 1.0, "middle" -> 0.5, "tail" -> 0.1))
+        .orderBy("doc_id")
+    }),
+
     // corpus bigram LM log-likelihood per doc (CCNet-style quality
     // signal, integer-micro fixed per distinct bigram term)
     "t19_bigram_lm" -> ((s, d) =>
@@ -1410,6 +1443,31 @@ object SparkEntry {
             .otherwise(col("o_totalprice")))
       Scd.snapshotDiff(oldSnap, newSnap, Seq("o_orderkey"))
         .orderBy("o_orderkey")
+    }),
+
+    // change data feed from committed store versions: two snapshots
+    // commit (v0, v1) and the store derives the I/U/D changelog between
+    // them after the fact — no changelog recorded at write time; the
+    // oracle recomputes the same diff from the raw snapshots
+    "q51_version_diff" -> ((s, d) => {
+      import graft.catalog.{InMemoryCatalog, MergeSnapshotStore, TableMeta}
+      def cents(c: Column) = round(c * 100).cast("long")
+      val base = t(s, d, "orders")
+      val v0 = base.filter(col("o_orderkey") % 17 =!= 0)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          cents(col("o_totalprice")).as("price_c"))
+      val v1 = base.filter(col("o_orderkey") % 13 =!= 0)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          cents(when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice"))).as("price_c"))
+      val work = java.nio.file.Files.createTempDirectory("graft-q51").toString
+      val cat = new InMemoryCatalog
+      cat.register(TableMeta("q51", "orders", s"$work/orders",
+        primaryKey = Some("o_orderkey")))
+      val store = new MergeSnapshotStore(s, cat, nBuckets = 32)
+      store.overwrite("q51", "orders", v0)
+      store.overwrite("q51", "orders", v1)
+      store.changesBetween("q51", "orders", 0, 1).orderBy("o_orderkey")
     }),
 
     // incremental view maintenance: the q45 changelog folded into a
@@ -1898,6 +1956,50 @@ object SparkEntry {
     s"(${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)})"
   }
 
+  /** Shared oracle chain for t26/t27: the stupid-backoff trigram model
+   * trained on the even-doc half and scored per (doc, trigram) of the
+   * odd-doc half, ending with the `m(doc_id, n_td, mic)` CTE ready to
+   * aggregate — ONE source of truth so the score oracle and the
+   * downstream mixture oracle cannot drift apart. */
+  private val TriLmCte = NormCte +
+    """, tk AS (SELECT doc_id, string_split(t, ' ') AS ts FROM n),
+       mtk AS (SELECT ts FROM tk WHERE doc_id % 2 = 0),
+       uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cu
+               FROM (SELECT unnest(ts) AS w FROM mtk) GROUP BY 1),
+       st AS (SELECT CAST(sum(cu) AS BIGINT) AS nn,
+                     CAST(count(*) AS BIGINT) AS vs FROM uni),
+       bex AS (SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS i
+               FROM mtk WHERE len(ts) >= 2),
+       big AS (SELECT ts[i] AS w1, ts[i + 1] AS w2,
+                      CAST(count(*) AS BIGINT) AS cb
+               FROM bex GROUP BY 1, 2),
+       tex AS (SELECT ts, unnest(generate_series(1, len(ts) - 2)) AS i
+               FROM mtk WHERE len(ts) >= 3),
+       tri AS (SELECT ts[i] AS w1, ts[i + 1] AS w2, ts[i + 2] AS w3,
+                      CAST(count(*) AS BIGINT) AS c3
+               FROM tex GROUP BY 1, 2, 3),
+       dex AS (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 2)) AS i
+               FROM tk WHERE doc_id % 2 = 1 AND len(ts) >= 3),
+       td AS (SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2, ts[i + 2] AS w3,
+                     CAST(count(*) AS BIGINT) AS n_td
+              FROM dex GROUP BY 1, 2, 3, 4),
+       j AS (SELECT td.doc_id, td.n_td, tri.c3, b1.cb AS c2b, b2.cb AS c23,
+                    u2.cu AS cu2, u3.cu AS cu3, st.nn, st.vs
+             FROM td LEFT JOIN tri USING (w1, w2, w3)
+                     LEFT JOIN big b1 ON td.w1 = b1.w1 AND td.w2 = b1.w2
+                     LEFT JOIN big b2 ON td.w2 = b2.w1 AND td.w3 = b2.w2
+                     LEFT JOIN uni u2 ON td.w2 = u2.w
+                     LEFT JOIN uni u3 ON td.w3 = u3.w
+                     CROSS JOIN st),
+       m AS (SELECT doc_id, n_td,
+               CAST(floor(ln(CASE
+                 WHEN c3 IS NOT NULL THEN c3 / c2b
+                 WHEN c23 IS NOT NULL THEN CAST(0.4 AS DOUBLE) * c23 / cu2
+                 ELSE CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE) *
+                      (CAST(coalesce(cu3, 0) AS DOUBLE) + 1.0) / (nn + vs)
+               END) * 1000000.0 + 0.5) AS BIGINT) AS mic
+             FROM j)"""
+
   private val pipelineSql: Map[String, String] = Map(
     "t01_lang_id" -> (NormCte +
       """, s AS (SELECT doc_id,
@@ -2262,6 +2364,20 @@ object SparkEntry {
          r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                          ORDER BY cos DESC, neighbor_id ASC) AS rank FROM s)
          SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos
+         FROM r WHERE rank <= 10 ORDER BY query_id, rank""",
+
+    // same scan as s01 with the label equality in the candidate space
+    "s14_ann_filtered_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, label AS qkey,
+                           CAST(embedding AS DOUBLE[]) AS qv
+                    FROM embeddings WHERE vec_id < 5),
+         s AS (SELECT query_id, c.vec_id AS neighbor_id, c.label AS key,
+                      list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), qv) AS cos
+               FROM embeddings c, q
+               WHERE c.vec_id <> query_id AND c.label = qkey),
+         r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY cos DESC, neighbor_id ASC) AS rank FROM s)
+         SELECT query_id, rank, neighbor_id, key, round(cos, 4) AS cos
          FROM r WHERE rank <= 10 ORDER BY query_id, rank""",
 
     "s02_ann_lsh_topk" ->
@@ -2850,47 +2966,29 @@ object SparkEntry {
 
     // the three backoff levels replayed literally: same counts, same
     // canonical double evaluation order inside ln, same micro fix
-    "t26_trigram_backoff_lm" -> (NormCte +
-      """, tk AS (SELECT doc_id, string_split(t, ' ') AS ts FROM n),
-         mtk AS (SELECT ts FROM tk WHERE doc_id % 2 = 0),
-         uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cu
-                 FROM (SELECT unnest(ts) AS w FROM mtk) GROUP BY 1),
-         st AS (SELECT CAST(sum(cu) AS BIGINT) AS nn,
-                       CAST(count(*) AS BIGINT) AS vs FROM uni),
-         bex AS (SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS i
-                 FROM mtk WHERE len(ts) >= 2),
-         big AS (SELECT ts[i] AS w1, ts[i + 1] AS w2,
-                        CAST(count(*) AS BIGINT) AS cb
-                 FROM bex GROUP BY 1, 2),
-         tex AS (SELECT ts, unnest(generate_series(1, len(ts) - 2)) AS i
-                 FROM mtk WHERE len(ts) >= 3),
-         tri AS (SELECT ts[i] AS w1, ts[i + 1] AS w2, ts[i + 2] AS w3,
-                        CAST(count(*) AS BIGINT) AS c3
-                 FROM tex GROUP BY 1, 2, 3),
-         dex AS (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 2)) AS i
-                 FROM tk WHERE doc_id % 2 = 1 AND len(ts) >= 3),
-         td AS (SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2, ts[i + 2] AS w3,
-                       CAST(count(*) AS BIGINT) AS n_td
-                FROM dex GROUP BY 1, 2, 3, 4),
-         j AS (SELECT td.doc_id, td.n_td, tri.c3, b1.cb AS c2b, b2.cb AS c23,
-                      u2.cu AS cu2, u3.cu AS cu3, st.nn, st.vs
-               FROM td LEFT JOIN tri USING (w1, w2, w3)
-                       LEFT JOIN big b1 ON td.w1 = b1.w1 AND td.w2 = b1.w2
-                       LEFT JOIN big b2 ON td.w2 = b2.w1 AND td.w3 = b2.w2
-                       LEFT JOIN uni u2 ON td.w2 = u2.w
-                       LEFT JOIN uni u3 ON td.w3 = u3.w
-                       CROSS JOIN st),
-         m AS (SELECT doc_id, n_td,
-                 CAST(floor(ln(CASE
-                   WHEN c3 IS NOT NULL THEN c3 / c2b
-                   WHEN c23 IS NOT NULL THEN CAST(0.4 AS DOUBLE) * c23 / cu2
-                   ELSE CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE) *
-                        (CAST(coalesce(cu3, 0) AS DOUBLE) + 1.0) / (nn + vs)
-                 END) * 1000000.0 + 0.5) AS BIGINT) AS mic
-               FROM j)
-         SELECT doc_id, CAST(sum(n_td) AS BIGINT) AS n_tris,
+    "t26_trigram_backoff_lm" -> (TriLmCte +
+      """ SELECT doc_id, CAST(sum(n_td) AS BIGINT) AS n_tris,
                 CAST(sum(n_td * mic) AS BIGINT) AS logp_micro_sum
          FROM m GROUP BY doc_id ORDER BY doc_id"""),
+
+    // the t26 score chain, then fixed integer-micro bars cut CCNet-style
+    // head/middle/tail buckets and the d10/t13 md5 digest keeps each
+    // bucket at its rate
+    "t27_perplexity_mixture" -> (TriLmCte +
+      """, sc AS (SELECT doc_id, CAST(sum(n_td) AS BIGINT) AS n_tris,
+                CAST(sum(n_td * mic) AS BIGINT) AS logp_micro_sum
+         FROM m GROUP BY doc_id),
+         bk AS (SELECT doc_id, n_tris, logp_micro_sum,
+                  CASE WHEN logp_micro_sum >= -3600000 * n_tris THEN 'head'
+                       WHEN logp_micro_sum >= -3800000 * n_tris THEN 'middle'
+                       ELSE 'tail' END AS bucket
+                FROM sc)
+         SELECT doc_id, n_tris, logp_micro_sum, bucket FROM bk
+         WHERE substring(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 4) <
+               CASE bucket WHEN 'head' THEN 'zzzz'
+                    WHEN 'middle' THEN printf('%04x', CAST(floor(0.5 * 65536) AS BIGINT))
+                    ELSE printf('%04x', CAST(floor(0.1 * 65536) AS BIGINT)) END
+         ORDER BY doc_id"""),
 
     // same aggregates, same micro-fixed log term, same integer sums
     "t19_bigram_lm" -> (NormCte +
@@ -2992,6 +3090,25 @@ object SparkEntry {
                            THEN 'U' END AS change,
                       n.o_custkey, n.o_orderstatus, n.o_totalprice,
                       n.o_orderdate, n.o_orderpriority
+               FROM oldv o FULL OUTER JOIN newv n ON o.o_orderkey = n.o_orderkey)
+         SELECT * FROM j WHERE change IS NOT NULL ORDER BY o_orderkey""",
+
+    // the store's after-the-fact diff must equal the raw-snapshot diff
+    "q51_version_diff" ->
+      """WITH oldv AS (SELECT o_orderkey, o_orderpriority,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+         FROM orders WHERE o_orderkey % 17 <> 0),
+         newv AS (SELECT o_orderkey, o_orderpriority,
+           CAST(round((CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+                            ELSE o_totalprice END) * 100) AS BIGINT) AS price_c
+         FROM orders WHERE o_orderkey % 13 <> 0),
+         j AS (SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+                      CASE WHEN o.o_orderkey IS NULL THEN 'I'
+                           WHEN n.o_orderkey IS NULL THEN 'D'
+                           WHEN (o.o_orderpriority IS DISTINCT FROM n.o_orderpriority)
+                             OR (o.price_c IS DISTINCT FROM n.price_c)
+                           THEN 'U' END AS change,
+                      n.o_orderpriority, n.price_c
                FROM oldv o FULL OUTER JOIN newv n ON o.o_orderkey = n.o_orderkey)
          SELECT * FROM j WHERE change IS NOT NULL ORDER BY o_orderkey""",
 

@@ -164,6 +164,27 @@ class SnapshotStore(spark: SparkSession, val catalog: Catalog, keepVersions: Int
     df.write.mode(mode).json(path)
 
   /**
+   * Change data feed between two committed versions: the I/U/D
+   * changelog ([[graft.operators.Scd.snapshotDiff]] contract, keyed by
+   * the registered PK) that turns `fromVersion`'s snapshot into
+   * `toVersion`'s — the Delta/Iceberg CDF surface rebuilt from plain
+   * snapshots, so any pair of RETAINED versions feeds delta-sized
+   * consumers ([[graft.operators.Ivm]] folds, downstream replication,
+   * audits) even though the writer recorded no changelog at commit
+   * time. Cost is one full-outer join of the two version scans (on the
+   * merge store both are manifest-resolved pruned reads); both versions
+   * must still be inside the store's retention window.
+   */
+  def changesBetween(db: String, table: String, fromVersion: Int,
+                     toVersion: Int): DataFrame = {
+    val meta = catalog(db, table)
+    val pk = meta.primaryKey.getOrElse(throw new IllegalStateException(
+      s"changesBetween needs a registered PK for ${meta.qualified}"))
+    graft.operators.Scd.snapshotDiff(
+      readVersion(meta, fromVersion), readVersion(meta, toVersion), Seq(pk))
+  }
+
+  /**
    * Compaction: rewrite the latest snapshot into `targetFiles` files (a
    * new version — readers never see a partial state). Addresses the
    * reference's own "Large number of small files not efficient"

@@ -73,6 +73,45 @@ object Similarity {
   }
 
   /**
+   * Filtered / key-partitioned ANN top-k — the "filtered vector search"
+   * production shape (same-language neighbors, same-tenant retrieval,
+   * license-compatible matches): each query ranks ONLY corpus vectors
+   * sharing its `keyCol` value. The naive alternative — post-filtering
+   * a global top-k — silently under-returns whenever the filter is
+   * selective (a query whose k global neighbors all carry other keys
+   * gets zero rows); restricting the CANDIDATE space keeps the
+   * k-of-eligible contract, which is the point of the operator.
+   *
+   * Scale shape: the key equality rides the broadcast-join condition as
+   * a map-side filter — corpus scanned once, nothing shuffles, same as
+   * [[bruteForceTopK]]. At 100 TB a key-partitioned table layout
+   * (`partitionBy(key)` or [[graft.catalog.Layout]] clustering) turns
+   * the equality into file pruning when queries are key-batched; for an
+   * index-accelerated form, pre-filter the corpus per key batch and run
+   * the IVF family over it (the centroids then quantize the ELIGIBLE
+   * distribution rather than the whole corpus). NULL-keyed rows match
+   * nothing on either side (SQL equality), deliberately.
+   */
+  def keyedTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, keyCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("vid"),
+        col(vecCol).cast("array<double>").as("vec"), col(keyCol).as("key"))
+      .withColumn("nrm", l2Norm(col("vec")))
+    val q = queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qvec"), col(keyCol).as("qkey"))
+      .withColumn("qnrm", l2Norm(col("qvec")))
+    val scored = c.join(broadcast(q),
+        col("key") === col("qkey") && col("vid") =!= col("query_id"))
+      .withColumn("cos", dot(col("vec"), col("qvec")) / (col("nrm") * col("qnrm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vid").as("neighbor_id"),
+        col("key"), col("cos"))
+  }
+
+  /**
    * Two-stage truncated-dimension re-rank ANN — the Matryoshka/MRL
    * funnel (Kusupati et al. 2022, "Matryoshka Representation
    * Learning"): stage 1 ranks the whole corpus by cosine on the FIRST

@@ -90,6 +90,32 @@ class MergeStoreSpec extends AnyFunSuite with SparkFixture {
     assert(store.pointLookup("mdb", "tpl", Seq(5L).toDF("id")).count() == 1)
   }
 
+  test("changesBetween: committed-version diff replays v0 into v1") {
+    import spark.implicits._
+    val store = mkStore()
+    register(store, "mdb", "tcdf", "id")
+    store.overwrite("mdb", "tcdf", idTable(30))
+    // v1: id 3 updated, id 7 deleted, id 31 inserted
+    val v1 = idTable(30)
+      .filter(col("id") =!= 7)
+      .withColumn("name", when(col("id") === 3, lit("renamed")).otherwise(col("name")))
+      .unionByName(Seq((31, "name-31")).toDF("id", "name"))
+    store.overwrite("mdb", "tcdf", v1)
+    val cdf = store.changesBetween("mdb", "tcdf", 0, 1)
+    val kinds = cdf.collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(kinds == Map(3 -> "U", 7 -> "D", 31 -> "I"))
+    // replay: v0 minus U/D keys, plus I/U new rows == v1
+    val v0 = store.readVersion(store.catalog("mdb", "tcdf"), 0)
+    val replayed = v0
+      .join(cdf.filter(col("change").isin("U", "D")).select("id"), Seq("id"), "left_anti")
+      .unionByName(cdf.filter(col("change").isin("I", "U")).select("id", "name"))
+    val back = store.read("mdb", "tcdf")
+    assert(replayed.exceptAll(back).count() == 0 &&
+      back.exceptAll(replayed).count() == 0)
+    // diff of a version against itself is empty
+    assert(store.changesBetween("mdb", "tcdf", 1, 1).isEmpty)
+  }
+
   test("a 1-row merge rewrites ONLY the touched bucket's files") {
     val store = mkStore()
     register(store, "mdb", "t2", "id")

@@ -110,6 +110,37 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("keyedTopK == per-key brute force; post-filtering under-returns") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val k = 10
+    val got = Similarity.keyedTopK(emb, queries, "vec_id", "embedding",
+        "label", k)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // ground truth: brute-force top-k run separately inside each label
+    val labels = emb.select("label").distinct().collect().map(_.getInt(0))
+    val expect = labels.flatMap { l =>
+      Similarity.bruteForceTopK(emb.filter(col("label") === l),
+          queries.filter(col("label") === l), "vec_id", "embedding", k)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    }.toSet
+    assert(got == expect && got.nonEmpty)
+    // every query gets its full k (labels hold >> k vectors here)
+    val perQ = got.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(perQ.values.forall(_ == k))
+    // the operator's reason to exist: post-filtering a GLOBAL top-k by
+    // label under-returns — with ~5 labels a global top-10 keeps only
+    // the same-label subset, short of k for most queries
+    val qLabel = queries.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val post = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k)
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("label")),
+        Seq("neighbor_id"))
+      .collect().filter(r => r.getAs[Int]("label") == qLabel(r.getAs[Long]("query_id")))
+    val postPerQ = post.groupBy(_.getAs[Long]("query_id")).view.mapValues(_.size).toMap
+    assert(qLabel.keys.exists(q => postPerQ.getOrElse(q, 0) < k),
+      "post-filtering should under-return for at least one query")
+  }
+
   test("LSH top-k recall vs brute force is useful (>= 0.3 at k=10)") {
     val queries = emb.filter(col("vec_id") < 20)
     val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
