@@ -1445,6 +1445,29 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // distinct-count IVM through the multiplicity auxiliary view:
+    // COUNT(DISTINCT v) is not self-maintainable (deleting a value
+    // can't tell last-copy-gone from duplicates-remain), but the
+    // (group, value, mult) view folds deltas exactly and the distinct
+    // count reads off it — oracle recomputes count(DISTINCT) from
+    // scratch over the new snapshot
+    "q52_ivm_distinct" -> ((s, d) => {
+      val base = t(s, d, "orders")
+      val oldSnap = base.filter(col("o_orderkey") % 17 =!= 0)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          (col("o_custkey") % 199).as("cust_bucket"))
+      val newSnap = base.filter(col("o_orderkey") % 13 =!= 0)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          when(col("o_orderkey") % 7 === 0, (col("o_custkey") + 1) % 199)
+            .otherwise(col("o_custkey") % 199).as("cust_bucket"))
+      val aux = Ivm.distinctAux(oldSnap, col("o_orderpriority"),
+        col("cust_bucket"))
+      val changes = Scd.snapshotDiff(oldSnap, newSnap, Seq("o_orderkey"))
+      val newAux = Ivm.applyDistinctAuxDelta(aux, oldSnap, changes,
+        Seq("o_orderkey"), col("o_orderpriority"), col("cust_bucket"))
+      Ivm.distinctCount(newAux).orderBy("grp")
+    }),
+
     // change data feed from committed store versions: two snapshots
     // commit (v0, v1) and the store derives the I/U/D changelog between
     // them after the fact — no changelog recorded at write time; the
@@ -3092,6 +3115,17 @@ object SparkEntry {
                       n.o_orderdate, n.o_orderpriority
                FROM oldv o FULL OUTER JOIN newv n ON o.o_orderkey = n.o_orderkey)
          SELECT * FROM j WHERE change IS NOT NULL ORDER BY o_orderkey""",
+
+    // the maintained distinct count must equal the from-scratch
+    // count(DISTINCT) over the new snapshot
+    "q52_ivm_distinct" ->
+      """WITH newv AS (SELECT o_orderkey, o_orderpriority,
+           CASE WHEN o_orderkey % 7 = 0 THEN (o_custkey + 1) % 199
+                ELSE o_custkey % 199 END AS cust_bucket
+         FROM orders WHERE o_orderkey % 13 <> 0)
+         SELECT o_orderpriority AS grp,
+                count(DISTINCT cust_bucket) AS dcnt
+         FROM newv GROUP BY 1 ORDER BY grp""",
 
     // the store's after-the-fact diff must equal the raw-snapshot diff
     "q51_version_diff" ->

@@ -207,6 +207,74 @@ object Ivm {
   }
 
   /**
+   * Auxiliary view for DISTINCT-COUNT maintenance: one row per
+   * (group, value) with its multiplicity. COUNT(DISTINCT v) is not
+   * self-maintainable from (group, count) state — deleting a value
+   * can't tell "last copy gone" from "duplicates remain" — but it IS
+   * maintainable through this multiplicity view (the Gupta & Mumick
+   * auxiliary-view technique): the view folds I/U/D deltas exactly like
+   * a count aggregate keyed by (group, value), and the distinct count
+   * is just its per-group row count.
+   */
+  def distinctAux(df: DataFrame, group: Column, value: Column,
+                  groupOut: String = "grp", valOut: String = "val",
+                  multOut: String = "mult"): DataFrame =
+    df.groupBy(group.as(groupOut), value.as(valOut))
+      .agg(count(lit(1)).as(multOut))
+
+  /** The maintained aggregate read off the auxiliary view: per-group
+   * count of live DISTINCT non-null values (SQL `count(DISTINCT v)`
+   * semantics — NULL is not a value). Group-cardinality work. */
+  def distinctCount(aux: DataFrame, groupOut: String = "grp",
+                    valOut: String = "val",
+                    cntOut: String = "dcnt"): DataFrame =
+    aux.filter(col(valOut).isNotNull)
+      .groupBy(groupOut).agg(count(lit(1)).as(cntOut))
+
+  /**
+   * Fold an I/U/D changelog into a [[distinctAux]] view, returning the
+   * NEW view (pairs whose multiplicity reaches zero drop). Scale shape:
+   * the delta aggregates to changelog-sized (group, value) pairs
+   * map-side, then ONE join merges it with the view — AQE broadcasts
+   * the delta side in the common small-batch case, so the view itself
+   * never reshuffles; persist the view in the MERGE store bucketed by
+   * its key and the join is additionally bucket-pruned. The fact table
+   * is never rescanned — this is what makes the non-self-maintainable
+   * aggregate maintainable.
+   */
+  def applyDistinctAuxDelta(aux: DataFrame, oldSnap: DataFrame,
+                            changes: DataFrame, keys: Seq[String],
+                            group: Column, value: Column,
+                            groupOut: String = "grp", valOut: String = "val",
+                            multOut: String = "mult",
+                            changeCol: String = "change"): DataFrame = {
+    require(keys.nonEmpty, "need changelog key columns")
+    require(Seq(groupOut, valOut, multOut).forall(aux.columns.contains),
+      s"aux view must carry $groupOut/$valOut/$multOut (distinctAux's shape)")
+    val removedKeys = changes.filter(col(changeCol).isin("U", "D"))
+      .select(keys.map(col): _*)
+    val minus = oldSnap.join(removedKeys, keys, "inner")
+      .select(group.as(groupOut), value.as(valOut), lit(-1L).as("__dm"))
+    val plus = changes.filter(col(changeCol).isin("I", "U"))
+      .select(group.as(groupOut), value.as(valOut), lit(1L).as("__dm"))
+    val delta = minus.unionByName(plus)
+      .groupBy(groupOut, valOut).agg(sum("__dm").as("__dm"))
+    // NULL group/value keys are live data here (a NULL value's
+    // multiplicity must round-trip so its rows can later delete), so
+    // the merge is null-safe on both key columns
+    val a = aux.as("a")
+    val d = delta.as("d")
+    a.join(d, col(s"a.$groupOut") <=> col(s"d.$groupOut") &&
+        col(s"a.$valOut") <=> col(s"d.$valOut"), "full_outer")
+      .select(
+        coalesce(col(s"a.$groupOut"), col(s"d.$groupOut")).as(groupOut),
+        coalesce(col(s"a.$valOut"), col(s"d.$valOut")).as(valOut),
+        (coalesce(col(s"a.$multOut"), lit(0L)) +
+          coalesce(col("d.__dm"), lit(0L))).as(multOut))
+      .filter(col(multOut) > 0)
+  }
+
+  /**
    * [[Ivm]] composed with the table store: a registered count/sum
    * aggregate maintained on every commit of its base table — the q46
    * discipline running OVER store commits, closing the reference's CDC

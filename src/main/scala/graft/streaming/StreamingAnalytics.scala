@@ -183,20 +183,51 @@ object StreamingAnalytics {
                        db: String, snapTable: String, aggTable: String,
                        keys: Seq[String], group: Column, value: Column,
                        checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    maintainAggregate(changes, store, db, snapTable, aggTable, keys,
+      checkpoint) { (agg, old, _, chg) =>
+      graft.operators.Ivm.applyCountSumDelta(agg, old, chg, keys, group, value)
+    }
+
+  /** The min/max twin of [[maintainCountSum]]: same pinned-base replay
+   * discipline, folding each batch with
+   * [[graft.operators.Ivm.applyMinMaxDelta]] — a delete that hits a
+   * group's stored extremum re-aggregates only the affected groups
+   * against the batch's own NEW snapshot (which this runner computes
+   * anyway), so per-trigger work stays changelog-plus-affected-groups
+   * sized. Seed the aggregate with [[graft.operators.Ivm.minMaxAgg]]. */
+  def maintainMinMax(changes: DataFrame, store: graft.catalog.SnapshotStore,
+                     db: String, snapTable: String, aggTable: String,
+                     keys: Seq[String], group: Column, value: Column,
+                     checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    maintainAggregate(changes, store, db, snapTable, aggTable, keys,
+      checkpoint) { (agg, old, newSnap, chg) =>
+      graft.operators.Ivm.applyMinMaxDelta(agg, old, newSnap, chg, keys,
+        group, value)
+    }
+
+  /** The shared streaming-IVM runner: maintains the snapshot table and
+   * ONE downstream aggregate whose delta rule is `fold(agg, oldSnap,
+   * newSnap, changelog)` — count/sum and min/max are the shipped folds;
+   * any aggregate with a changelog delta rule slots in. */
+  def maintainAggregate(changes: DataFrame, store: graft.catalog.SnapshotStore,
+                        db: String, snapTable: String, aggTable: String,
+                        keys: Seq[String], checkpoint: String)(
+      fold: (DataFrame, DataFrame, DataFrame, DataFrame) => DataFrame)
+      : org.apache.spark.sql.streaming.StreamingQuery =
     changes.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (chg: DataFrame, batchId: Long) =>
         applyIvmBatch(chg, batchId, store, db, snapTable, aggTable,
-          keys, group, value, checkpoint)
+          keys, checkpoint)(fold)
       }
       .start()
 
-  /** One micro-batch of [[maintainCountSum]] — its own method so replay
+  /** One micro-batch of [[maintainAggregate]] — its own method so replay
    * idempotence is directly testable (invoke twice with one batchId). */
   private[graft] def applyIvmBatch(chg: DataFrame, batchId: Long,
       store: graft.catalog.SnapshotStore, db: String, snapTable: String,
-      aggTable: String, keys: Seq[String], group: Column, value: Column,
-      checkpoint: String): Unit = {
+      aggTable: String, keys: Seq[String], checkpoint: String)(
+      fold: (DataFrame, DataFrame, DataFrame, DataFrame) => DataFrame): Unit = {
         if (!chg.isEmpty) {
           val markers = new Path(new Path(checkpoint), "graft-ivm-base")
           val fs = markers.getFileSystem(
@@ -228,14 +259,13 @@ object StreamingAnalytics {
             }
           val old = store.readVersion(store.catalog(db, snapTable), snapV)
           val agg = store.readVersion(store.catalog(db, aggTable), aggV)
-          val newAgg = graft.operators.Ivm.applyCountSumDelta(
-            agg, old, chg, keys, group, value)
           // snapshot fold: U/D keys leave, I/U new images arrive
           val gone = chg.filter(col("change").isin("U", "D"))
             .select(keys.map(col): _*)
           val arrived = chg.filter(col("change").isin("I", "U")).drop("change")
           val newSnap = old.join(gone, keys, "left_anti")
             .unionByName(arrived.select(old.columns.map(col).toIndexedSeq: _*))
+          val newAgg = fold(agg, old, newSnap, chg)
           store.overwrite(db, aggTable, newAgg)
           store.overwrite(db, snapTable, newSnap)
           // completed batches never replay with a lower id: drop stale

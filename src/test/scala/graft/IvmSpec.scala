@@ -179,6 +179,63 @@ class IvmSpec extends AnyFunSuite with SparkFixture {
     assert(mmMap(step2) == mmMap(Ivm.minMaxAgg(fin, col("grp_in"), col("v"))))
   }
 
+  // ---- distinct-count maintenance (auxiliary multiplicity view) ----
+
+  // a: value 5 duplicated (keys 2,3) — deleting ONE copy must not move
+  // the count, deleting the max 10 must; b: value moves 20 -> 21 via
+  // update; c: group empties; e: NULL values (never counted, but their
+  // multiplicity must round-trip so deletes work); g: new group
+  private lazy val dcOld = Seq(
+    (1L, "a", Some(10L)), (2L, "a", Some(5L)), (3L, "a", Some(5L)),
+    (4L, "b", Some(30L)), (5L, "b", Some(20L)),
+    (7L, "c", Some(40L)),
+    (8L, "e", None), (9L, "e", Some(2L)))
+    .toDF("k", "grp_in", "v")
+  private lazy val dcNew = Seq(
+    (2L, "a", Some(5L)), (3L, "a", Some(5L)),     // 1 (the 10) deleted
+    (4L, "b", Some(30L)), (5L, "b", Some(21L)),   // 20 -> 21
+    (8L, "e", None), (9L, "e", Some(2L)),
+    (15L, "g", Some(100L)), (16L, "g", Some(100L)))
+    .toDF("k", "grp_in", "v")
+
+  test("distinct-count delta equals the recompute; aux view is exact") {
+    val aux = Ivm.distinctAux(dcOld, col("grp_in"), col("v"))
+    val changes = Scd.snapshotDiff(dcOld, dcNew, Seq("k"))
+    val newAux = Ivm.applyDistinctAuxDelta(aux, dcOld, changes, Seq("k"),
+      col("grp_in"), col("v"))
+    // the STRONG check: the maintained view equals the from-scratch view
+    val scratch = Ivm.distinctAux(dcNew, col("grp_in"), col("v"))
+    assert(newAux.exceptAll(scratch).count() == 0 &&
+      scratch.exceptAll(newAux).count() == 0)
+    // and the aggregate read off it matches count(DISTINCT) semantics
+    val got = Ivm.distinctCount(newAux)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 1L, "b" -> 2L, "e" -> 1L, "g" -> 1L))
+    // a: dup 5 survives its copies, the deleted 10 is gone (2 -> 1);
+    // e: NULL never counted; c: emptied group absent; g: two rows, one value
+    assert(!got.contains("c"))
+  }
+
+  test("distinct-count maintenance composes across two delta steps") {
+    val fin = Seq(
+      (3L, "a", Some(5L)),                        // 2 deleted: LAST copy of 5 stays via key 3
+      (4L, "b", Some(30L)), (5L, "b", Some(21L)),
+      (9L, "e", Some(3L)),                        // 8 (NULL) deleted, 9's value 2 -> 3
+      (15L, "g", Some(100L)))                     // 16 deleted: dup 100 -> one copy
+      .toDF("k", "grp_in", "v")
+    val aux0 = Ivm.distinctAux(dcOld, col("grp_in"), col("v"))
+    val aux1 = Ivm.applyDistinctAuxDelta(aux0, dcOld,
+      Scd.snapshotDiff(dcOld, dcNew, Seq("k")), Seq("k"), col("grp_in"), col("v"))
+    val aux2 = Ivm.applyDistinctAuxDelta(aux1, dcNew,
+      Scd.snapshotDiff(dcNew, fin, Seq("k")), Seq("k"), col("grp_in"), col("v"))
+    val scratch = Ivm.distinctAux(fin, col("grp_in"), col("v"))
+    assert(aux2.exceptAll(scratch).count() == 0 &&
+      scratch.exceptAll(aux2).count() == 0)
+    val got = Ivm.distinctCount(aux2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 1L, "b" -> 2L, "e" -> 1L, "g" -> 1L))
+  }
+
   test("min/max shape guard rejects a countSumAgg-shaped base") {
     intercept[IllegalArgumentException] {
       Ivm.applyMinMaxDelta(Ivm.countSumAgg(mmOld, col("grp_in"), col("v")),

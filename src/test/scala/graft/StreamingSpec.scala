@@ -400,9 +400,48 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     val lastBatch = Seq((2L, "D", Option.empty[String], Option.empty[Long]),
       (3L, "U", Some("a"), Some(30L))).toDF("k", "change", "grp_in", "v")
     StreamingAnalytics.applyIvmBatch(lastBatch, 1L, store, "ivmdb",
-      "snap", "agg", Seq("k"), col("grp_in"), col("v"), s"$tmp/ckpt")
+        "snap", "agg", Seq("k"), s"$tmp/ckpt") { (agg0, old, _, chg) =>
+      Ivm.applyCountSumDelta(agg0, old, chg, Seq("k"), col("grp_in"), col("v"))
+    }
     assert(toMap(store.read("ivmdb", "agg")) == agg)
     assert(agg == toMap(Ivm.countSumAgg(store.read("ivmdb", "snap"),
+      col("grp_in"), col("v"))))
+  }
+
+  test("streaming min/max IVM: extremum deletes rescan, aggregate == recompute") {
+    import spark.implicits._
+    import graft.operators.Ivm
+    val tmp = Files.createTempDirectory("graft-stream-minmax").toString
+    val catalog = new InMemoryCatalog
+    val store = new SnapshotStore(spark, catalog)
+    catalog.register(TableMeta("mmdb", "snap", s"$tmp/snap"))
+    catalog.register(TableMeta("mmdb", "agg", s"$tmp/agg"))
+    val init = Seq((1L, "a", 10L), (2L, "a", 5L), (3L, "b", 30L))
+      .toDF("k", "grp_in", "v")
+    store.overwrite("mmdb", "snap", init)
+    store.overwrite("mmdb", "agg",
+      Ivm.minMaxAgg(init, col("grp_in"), col("v")))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String, Option[String], Option[Long])]
+    val q = StreamingAnalytics.maintainMinMax(
+      ms.toDF().toDF("k", "change", "grp_in", "v"), store, "mmdb",
+      "snap", "agg", Seq("k"), col("grp_in"), col("v"), s"$tmp/ckpt")
+    try {
+      // batch 1: DELETE group a's max (key 1, value 10) — the rescan
+      // path — and insert a new b member below the max
+      ms.addData((1L, "D", None, None), (4L, "I", Some("b"), Some(20L)))
+      q.processAllAvailable()
+      // batch 2: update moves key 3 (b's max 30) into group a
+      ms.addData((3L, "U", Some("a"), Some(30L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val agg = toMap(store.read("mmdb", "agg"))
+    // hand state: k2(a,5), k3(a,30), k4(b,20)
+    assert(agg == Map("a" -> ((2L, 5L, 30L)), "b" -> ((1L, 20L, 20L))))
+    assert(agg == toMap(Ivm.minMaxAgg(store.read("mmdb", "snap"),
       col("grp_in"), col("v"))))
   }
 }
