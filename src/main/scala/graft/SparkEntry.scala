@@ -1282,6 +1282,25 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // the PERSISTED-index BM25 path: the index lands in the MERGE store
+    // (postings bucketed by term), then the query batch is served
+    // entirely from the store — the terms' postings load through the
+    // bucket-pruned point lookup, the corpus is never re-tokenized.
+    // Same scoring tail as t15, so the same oracle ranks it.
+    "t28_bm25_from_index" -> ((s, d) => {
+      import graft.catalog.{InMemoryCatalog, MergeSnapshotStore}
+      val docs = t(s, d, "documents")
+      val cat = new InMemoryCatalog
+      val store = new MergeSnapshotStore(s, cat, nBuckets = 32)
+      val work = java.nio.file.Files.createTempDirectory("graft-t28").toString
+      TextAnalysis.writeBm25Index(store, "t28", "bm", work,
+        TextAnalysis.buildBm25Index(docs, "doc_id", "text"))
+      TextAnalysis.bm25TopKFromStore(store, "t28", "bm",
+          docs.filter(col("doc_id") % 100 === 0), "doc_id", "text",
+          k = 10, maxDfFrac = 1.0)
+        .orderBy("query_id", "rank")
+    }),
+
     // quality-weighted (importance) sampling: each doc's keep
     // probability is its own quality score — the per-row md5 threshold
     // generalizes the stratified sampler; the oracle recomputes the
@@ -2022,6 +2041,39 @@ object SparkEntry {
                       (CAST(coalesce(cu3, 0) AS DOUBLE) + 1.0) / (nn + vs)
                END) * 1000000.0 + 0.5) AS BIGINT) AS mic
              FROM j)"""
+
+  /** Shared t15/t28 oracle: the inverted index + Lucene-idf BM25 with
+   * integer-micro term contributions — ONE ranking contract for the
+   * one-shot and persisted-index paths. */
+  private val Bm25Sql = NormCte +
+      """, tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS term FROM n),
+         tf AS (SELECT doc_id AS doc, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         dl AS (SELECT doc, sum(tf) AS dl FROM tf GROUP BY 1),
+         stats AS (SELECT count(*) AS nd,
+                          CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+         dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         qt AS (SELECT DISTINCT doc_id AS query_id, term FROM tok
+                WHERE doc_id % 100 = 0),
+         m AS (SELECT qt.query_id, tf.doc, tf.tf, dfreq.df, dl.dl,
+                      stats.nd, stats.avgdl
+               FROM tf JOIN qt USING (term)
+                       JOIN dfreq USING (term)
+                       JOIN dl USING (doc), stats
+               WHERE tf.doc <> qt.query_id AND dfreq.df <= stats.nd * 1.0),
+         c AS (SELECT query_id, doc,
+                      CAST(floor(ln(1.0 + (nd - df + 0.5) / (df + 0.5)) *
+                        ((tf * (1.2 + 1.0)) /
+                         (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))) *
+                        1000000.0 + 0.5) AS BIGINT) AS mic
+               FROM m),
+         sc AS (SELECT query_id, doc, sum(mic) AS score_micro
+                FROM c GROUP BY 1, 2),
+         r AS (SELECT query_id, doc, score_micro,
+                      row_number() OVER (PARTITION BY query_id
+                        ORDER BY score_micro DESC, doc ASC) AS rank FROM sc)
+         SELECT query_id, CAST(rank AS INTEGER) AS rank, doc AS doc_id,
+                CAST(score_micro AS BIGINT) AS score_micro
+         FROM r WHERE rank <= 10 ORDER BY query_id, rank"""
 
   private val pipelineSql: Map[String, String] = Map(
     "t01_lang_id" -> (NormCte +
@@ -2833,37 +2885,13 @@ object SparkEntry {
     // the corpus inverted index (tf/df/dl), Lucene-idf BM25 with each
     // term contribution fixed to integer micros before the per-doc sum —
     // expression text mirrors the Spark side so the doubles agree
-    "t15_bm25_topk" -> (NormCte +
-      """, tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS term FROM n),
-         tf AS (SELECT doc_id AS doc, term, count(*) AS tf FROM tok GROUP BY 1, 2),
-         dl AS (SELECT doc, sum(tf) AS dl FROM tf GROUP BY 1),
-         stats AS (SELECT count(*) AS nd,
-                          CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
-         dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-         qt AS (SELECT DISTINCT doc_id AS query_id, term FROM tok
-                WHERE doc_id % 100 = 0),
-         m AS (SELECT qt.query_id, tf.doc, tf.tf, dfreq.df, dl.dl,
-                      stats.nd, stats.avgdl
-               FROM tf JOIN qt USING (term)
-                       JOIN dfreq USING (term)
-                       JOIN dl USING (doc), stats
-               WHERE tf.doc <> qt.query_id AND dfreq.df <= stats.nd * 1.0),
-         c AS (SELECT query_id, doc,
-                      CAST(floor(ln(1.0 + (nd - df + 0.5) / (df + 0.5)) *
-                        ((tf * (1.2 + 1.0)) /
-                         (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))) *
-                        1000000.0 + 0.5) AS BIGINT) AS mic
-               FROM m),
-         sc AS (SELECT query_id, doc, sum(mic) AS score_micro
-                FROM c GROUP BY 1, 2),
-         r AS (SELECT query_id, doc, score_micro,
-                      row_number() OVER (PARTITION BY query_id
-                        ORDER BY score_micro DESC, doc ASC) AS rank FROM sc)
-         SELECT query_id, CAST(rank AS INTEGER) AS rank, doc AS doc_id,
-                CAST(score_micro AS BIGINT) AS score_micro
-         FROM r WHERE rank <= 10 ORDER BY query_id, rank"""),
+    "t15_bm25_topk" -> Bm25Sql,
 
-    // the d12 index construction, probe-restricted before the guard,
+    // identical ranking contract: the persisted-index path must land on
+    // exactly the one-shot path's answer
+    "t28_bm25_from_index" -> Bm25Sql,
+
+        // the d12 index construction, probe-restricted before the guard,
     // corpus-vs-probe match, corpus-side merged spans
     "d18_cross_spans" -> (NormCte +
       """, tk AS (SELECT doc_id, string_split(t, ' ') AS ts FROM n),

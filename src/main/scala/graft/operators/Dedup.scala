@@ -838,11 +838,20 @@ object Dedup {
    * Same discipline as [[dropHotGrams]] / `fingerprintSetPairs`. */
   private def paraTable(df: DataFrame, idCol: String, textCol: String,
                         sepPattern: String): DataFrame = {
-    val paras = df.select(col(idCol),
+    // cut: the paragraph table feeds BOTH the canonical-pick aggregate
+    // and the join probe — without it the corpus split/explode/md5 runs
+    // once per branch (no ReusedExchange across a self-join)
+    val paras = Materialize(df.select(col(idCol),
         posexplode(split(col(textCol), sepPattern)).as(Seq("pi0", "para")))
       .withColumn("para_idx", (col("pi0") + 1).cast("long")).drop("pi0")
       .filter(length(trim(col("para"))) > 0)
-      .withColumn("fingerprint", fingerprintMd5(col("para")))
+      .withColumn("fingerprint", fingerprintMd5(col("para"))))
+    // canonical pick as a map-side-combinable aggregate + join-back —
+    // NOT a per-fingerprint window: a boilerplate paragraph occurring
+    // 10^7 times would funnel every occurrence (with its text) into one
+    // window partition. The canonical frame carries fingerprint + ids
+    // only (no text on that shuffle); AQE broadcasts it when small and
+    // skew-splits the hot probe side when not.
     val canon = paras
       .groupBy("fingerprint")
       .agg(min(struct(col(idCol), col("para_idx"))).as("__canon"))
@@ -860,12 +869,15 @@ object Dedup {
    * Returns (id, para_idx, fingerprint, keep): the per-paragraph
    * decision table, 1-based positions.
    *
-   * Scale shape: one explode pass (paragraph rows, not token rows) and
-   * ONE window shuffle keyed by the content fingerprint — no joins, no
-   * candidate generation; d01's exact-dedup discipline applied at
-   * paragraph grain. The boilerplate this catches (nav bars, cookie
-   * banners, license footers) is exactly what document-level dedup
-   * (d01–d04) and span dedup under its minimum length miss.
+   * Scale shape: one explode pass (paragraph rows, not token rows,
+   * [[Materialize]]d once for both consumers), a map-side-combinable
+   * canonical-pick aggregate, and one fingerprint-keyed join-back —
+   * d01's exact-dedup discipline applied at paragraph grain, skew-safe
+   * for the hot-key case (a cookie banner in 10^7 documents) where a
+   * per-fingerprint window would funnel every occurrence into one task.
+   * The boilerplate this catches (nav bars, cookie banners, license
+   * footers) is exactly what document-level dedup (d01–d04) and span
+   * dedup under its minimum length miss.
    */
   def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
                      sepPattern: String = "\\n{2,}"): DataFrame =

@@ -281,27 +281,124 @@ object TextAnalysis {
   def bm25TopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                textCol: String, k: Int, k1: Double = 1.2, b: Double = 0.75,
                maxDfFrac: Double = 0.5): DataFrame = {
-    require(k >= 1, "k must be >= 1")
-    require(k1 > 0 && b >= 0 && b <= 1, "k1 > 0 and 0 <= b <= 1 required")
-    require(maxDfFrac > 0, "maxDfFrac <= 0 would drop every query term")
-    val tok = corpus.select(col(idCol).as("doc"),
-      explode(tokens(col(textCol))).as("term"))
     // eager: the stats consumer arrives through a broadcast exchange,
     // which AQE builds concurrently with the postings path — a lazy cut
     // would be recomputed once per racing consumer
     val tf = Materialize.eager(
-      tok.groupBy("doc", "term").agg(count(lit(1)).as("tf")))
+      corpus.select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("term"))
+        .groupBy("doc", "term").agg(count(lit(1)).as("tf")))
+    val idx = indexFromPostings(tf)
+    bm25TopKFromIndex(idx, queries, idCol, textCol, k, k1, b, maxDfFrac)
+  }
+
+  /**
+   * The persistable BM25 inverted index: the three tables [[bm25TopK]]
+   * derives per run — postings (term, doc, tf), doc lengths (doc, dl),
+   * term document frequencies (term, df) — plus the 1-row corpus stats
+   * frame (nd, avgdl). A production retrieval system builds this ONCE
+   * per corpus refresh and serves every query batch from it; the
+   * one-shot [[bm25TopK]] and the served [[bm25TopKFromIndex]] share
+   * the scoring tail, so the two paths cannot drift.
+   */
+  final case class Bm25Index(postings: DataFrame, docLens: DataFrame,
+                             docFreq: DataFrame, stats: DataFrame)
+
+  /** Derive the index tables from a corpus (one tokenize pass, three
+   * map-side-combinable aggregates). */
+  def buildBm25Index(corpus: DataFrame, idCol: String,
+                     textCol: String): Bm25Index =
+    indexFromPostings(
+      corpus.select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("term"))
+        .groupBy("doc", "term").agg(count(lit(1)).as("tf")))
+
+  private def indexFromPostings(tf: DataFrame): Bm25Index = {
     val dl = tf.groupBy("doc").agg(sum("tf").as("dl"))
     val stats = dl.agg(count(lit(1)).as("nd"),
       (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    Bm25Index(tf, dl, dfreq, stats)
+  }
+
+  /**
+   * Persist the index into the table store under `<prefix>_postings` /
+   * `_doclens` / `_docfreq` / `_stats` at `baseLocation`. The postings
+   * table registers with `term` as its (non-unique) bucket key, so the
+   * store's PK-hash layout CO-LOCATES each term's postings — a query
+   * batch then reads only its terms' buckets
+   * ([[graft.catalog.MergeSnapshotStore.pointLookup]] pruning), never
+   * the corpus-sized postings table. Doc lengths bucket by doc for the
+   * same reason on the join side.
+   */
+  def writeBm25Index(store: graft.catalog.SnapshotStore, db: String,
+                     prefix: String, baseLocation: String,
+                     idx: Bm25Index): Unit = {
+    import graft.catalog.TableMeta
+    store.catalog.register(TableMeta(db, s"${prefix}_postings",
+      s"$baseLocation/${prefix}_postings", primaryKey = Some("term")))
+    store.catalog.register(TableMeta(db, s"${prefix}_doclens",
+      s"$baseLocation/${prefix}_doclens", primaryKey = Some("doc")))
+    store.catalog.register(TableMeta(db, s"${prefix}_docfreq",
+      s"$baseLocation/${prefix}_docfreq", primaryKey = Some("term")))
+    store.catalog.register(TableMeta(db, s"${prefix}_stats",
+      s"$baseLocation/${prefix}_stats"))
+    store.overwrite(db, s"${prefix}_postings", idx.postings)
+    store.overwrite(db, s"${prefix}_doclens", idx.docLens)
+    store.overwrite(db, s"${prefix}_docfreq", idx.docFreq)
+    store.overwrite(db, s"${prefix}_stats", idx.stats)
+  }
+
+  /** The index read back from the store (latest committed version of
+   * each table). */
+  def readBm25Index(store: graft.catalog.SnapshotStore, db: String,
+                    prefix: String): Bm25Index =
+    Bm25Index(store.read(db, s"${prefix}_postings"),
+      store.read(db, s"${prefix}_doclens"),
+      store.read(db, s"${prefix}_docfreq"),
+      store.read(db, s"${prefix}_stats"))
+
+  /**
+   * Serve a query batch from a persisted index WITHOUT touching the
+   * corpus: the terms' postings load through the store's bucket-pruned
+   * point lookup (only the query terms' hash buckets are planned, with
+   * the term predicate pushed into the scan), then the shared scoring
+   * tail ranks them. This is the production retrieval path — per-batch
+   * cost is postings-of-query-terms, not corpus or index scale.
+   */
+  def bm25TopKFromStore(store: graft.catalog.MergeSnapshotStore, db: String,
+                        prefix: String, queries: DataFrame, idCol: String,
+                        textCol: String, k: Int, k1: Double = 1.2,
+                        b: Double = 0.75, maxDfFrac: Double = 0.5): DataFrame = {
     val qt = queries.select(col(idCol).as("query_id"),
       explode(tokens(col(textCol))).as("term")).distinct()
-    val m = tf.join(broadcast(qt), Seq("term"))
+    val postings = store.pointLookup(db, s"${prefix}_postings",
+      qt.select("term"))
+    val idx = Bm25Index(postings,
+      store.read(db, s"${prefix}_doclens"),
+      store.read(db, s"${prefix}_docfreq"),
+      store.read(db, s"${prefix}_stats"))
+    scoreBm25(idx, qt, k, k1, b, maxDfFrac)
+  }
+
+  /** Rank `queries` against an in-memory or read-back index — the
+   * one-shot path's tail, shared verbatim with the served paths. */
+  def bm25TopKFromIndex(idx: Bm25Index, queries: DataFrame, idCol: String,
+                        textCol: String, k: Int, k1: Double = 1.2,
+                        b: Double = 0.75, maxDfFrac: Double = 0.5): DataFrame =
+    scoreBm25(idx,
+      queries.select(col(idCol).as("query_id"),
+        explode(tokens(col(textCol))).as("term")).distinct(),
+      k, k1, b, maxDfFrac)
+
+  private def scoreBm25(idx: Bm25Index, qt: DataFrame, k: Int, k1: Double,
+                        b: Double, maxDfFrac: Double): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(k1 > 0 && b >= 0 && b <= 1, "k1 > 0 and 0 <= b <= 1 required")
+    require(maxDfFrac > 0, "maxDfFrac <= 0 would drop every query term")
+    val m = idx.postings.join(broadcast(qt), Seq("term"))
       .filter(col("doc") =!= col("query_id"))
-      .join(dfreq, Seq("term"))
-      .join(dl, Seq("doc"))
-      .crossJoin(broadcast(stats))
+      .join(idx.docFreq, Seq("term"))
+      .join(idx.docLens, Seq("doc"))
+      .crossJoin(broadcast(idx.stats))
       .filter(col("df") <= col("nd") * lit(maxDfFrac))
     // one double per (query, doc, term), fixed to micros before the sum;
     // expression structure mirrors the SQL oracle text exactly

@@ -110,6 +110,32 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("persisted BM25 index: served path == one-shot path, postings pruned") {
+    import graft.catalog.{InMemoryCatalog, MergeSnapshotStore}
+    val cat = new InMemoryCatalog
+    val store = new MergeSnapshotStore(spark, cat, nBuckets = 16)
+    val work = java.nio.file.Files.createTempDirectory("graft-bm25").toString
+    TextAnalysis.writeBm25Index(store, "bmdb", "bm", work,
+      TextAnalysis.buildBm25Index(docs, "doc_id", "text"))
+    val queries = docs.filter(col("doc_id") % 100 === 0)
+    val served = TextAnalysis.bm25TopKFromStore(store, "bmdb", "bm", queries,
+      "doc_id", "text", k = 10, maxDfFrac = 1.0)
+      .collect().map(_.toString).sorted.toSeq
+    val oneShot = TextAnalysis.bm25TopK(docs, queries, "doc_id", "text",
+      k = 10, maxDfFrac = 1.0)
+      .collect().map(_.toString).sorted.toSeq
+    graft.operators.Materialize.releaseAll()
+    assert(served == oneShot && served.nonEmpty)
+    // the production property: a small query batch's postings load is
+    // bucket-pruned — one term plans a strict subset of the files
+    import spark.implicits._
+    val term1 = docs.select(Dedup.tokenSet(col("text"))).head.getSeq[String](0).head
+    val pruned = store.pointLookup("bmdb", "bm_postings",
+      Seq(term1).toDF("term")).inputFiles.length
+    val full = store.read("bmdb", "bm_postings").inputFiles.length
+    assert(pruned > 0 && pruned < full, s"postings read $pruned of $full files")
+  }
+
   test("keyedTopK == per-key brute force; post-filtering under-returns") {
     val queries = emb.filter(col("vec_id") < 20)
     val k = 10
