@@ -138,14 +138,31 @@ object Bench {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
 
+    // opt-in local-iteration filter (comma-separated full names or
+    // short prefixes): the driver never sets it, so the contract run is
+    // always the full suite; unknown names fail fast like Verify's
+    val queries = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(csv) =>
+        val names = csv.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        val picked = SparkEntry.queries.filter { case (k, _) =>
+          names.contains(k) || names.contains(k.takeWhile(_ != '_'))
+        }
+        val matched = picked.keySet.map(_.takeWhile(_ != '_')) ++ picked.keySet
+        val unknown = names.diff(matched)
+        require(unknown.isEmpty, s"unknown bench filter name(s): " +
+          unknown.toSeq.sorted.mkString(", "))
+        picked
+      case None => SparkEntry.queries
+    }
+
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
-      SparkEntry.queries.foreach { case (_, fn) =>
+      queries.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
         finally graft.operators.Materialize.releaseAll()
       }
 
-    println(toJson(timeQueries(spark, sfDir, SparkEntry.queries), sfDir))
+    println(toJson(timeQueries(spark, sfDir, queries), sfDir))
     spark.stop()
   }
 }

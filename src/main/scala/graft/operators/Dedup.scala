@@ -837,15 +837,21 @@ object Dedup {
    * canonical frame is one row per DISTINCT fingerprint, no text).
    * Same discipline as [[dropHotGrams]] / `fingerprintSetPairs`. */
   private def paraTable(df: DataFrame, idCol: String, textCol: String,
-                        sepPattern: String): DataFrame = {
+                        sepPattern: String,
+                        keepText: Boolean = true): DataFrame = {
     // cut: the paragraph table feeds BOTH the canonical-pick aggregate
     // and the join probe — without it the corpus split/explode/md5 runs
-    // once per branch (no ReusedExchange across a self-join)
-    val paras = Materialize(df.select(col(idCol),
+    // once per branch (no ReusedExchange across a self-join). The
+    // decision-table caller (paragraphDedup) drops the paragraph TEXT
+    // before the cut: its output is (id, idx, fingerprint, keep), so
+    // carrying text through checkpoint + join would be pure dead weight
+    // — on a crawl corpus the text IS most of the bytes.
+    val full = df.select(col(idCol),
         posexplode(split(col(textCol), sepPattern)).as(Seq("pi0", "para")))
       .withColumn("para_idx", (col("pi0") + 1).cast("long")).drop("pi0")
       .filter(length(trim(col("para"))) > 0)
-      .withColumn("fingerprint", fingerprintMd5(col("para"))))
+      .withColumn("fingerprint", fingerprintMd5(col("para")))
+    val paras = Materialize(if (keepText) full else full.drop("para"))
     // canonical pick as a map-side-combinable aggregate + join-back —
     // NOT a per-fingerprint window: a boilerplate paragraph occurring
     // 10^7 times would funnel every occurrence (with its text) into one
@@ -881,7 +887,7 @@ object Dedup {
    */
   def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
                      sepPattern: String = "\\n{2,}"): DataFrame =
-    paraTable(df, idCol, textCol, sepPattern)
+    paraTable(df, idCol, textCol, sepPattern, keepText = false)
       .select(col(idCol), col("para_idx"), col("fingerprint"), col("keep"))
 
   /** The corpus with non-canonical duplicate paragraphs removed and the
