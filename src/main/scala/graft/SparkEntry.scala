@@ -1464,6 +1464,24 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // zone-map (file-stats) pruned box query: the table writes
+    // z-clustered with a per-file min/max manifest; the read plans only
+    // the files whose stats overlap the box and must still equal the
+    // full-scan filter the oracle runs
+    "q53_zonemap_scan" -> ((s, d) => {
+      import graft.catalog.Layout
+      val orders = t(s, d, "orders").select(col("o_orderkey"),
+        col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("price_c"))
+      val work = java.nio.file.Files.createTempDirectory("graft-q53").toString
+      Layout.writeClustered(orders, s"$work/orders_z",
+        Seq("o_custkey" -> None, "price_c" -> None), files = 32)
+      Layout.readPruned(s, s"$work/orders_z",
+          Map("o_custkey" -> ((100.0, 500.0)),
+            "price_c" -> ((5000000.0, 15000000.0))))
+        .orderBy("o_orderkey")
+    }),
+
     // distinct-count IVM through the multiplicity auxiliary view:
     // COUNT(DISTINCT v) is not self-maintainable (deleting a value
     // can't tell last-copy-gone from duplicates-remain), but the
@@ -3143,6 +3161,16 @@ object SparkEntry {
                       n.o_orderdate, n.o_orderpriority
                FROM oldv o FULL OUTER JOIN newv n ON o.o_orderkey = n.o_orderkey)
          SELECT * FROM j WHERE change IS NOT NULL ORDER BY o_orderkey""",
+
+    // the pruned box read must equal the plain full-scan filter
+    "q53_zonemap_scan" ->
+      """SELECT o_orderkey, o_custkey,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+         FROM orders
+         WHERE o_custkey BETWEEN 100 AND 500
+           AND CAST(round(o_totalprice * 100) AS BIGINT)
+               BETWEEN 5000000 AND 15000000
+         ORDER BY o_orderkey""",
 
     // the maintained distinct count must equal the from-scratch
     // count(DISTINCT) over the new snapshot

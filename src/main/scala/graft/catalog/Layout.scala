@@ -136,6 +136,97 @@ object Layout {
     }
   }
 
+  /** File-stats manifest name — one TSV line per (file, dimension) with
+   * the measured min/max, the zone-map a pruned read consults. */
+  private[graft] val StatsFile = "_graft_stats.tsv"
+
+  /**
+   * Write `df` z-clustered at `path` AND record a zone-map: per output
+   * file, the measured min/max of every clustered dimension
+   * (`_graft_stats.tsv` beside the data — the `_`-prefix keeps parquet
+   * readers from treating it as data). This is the file-skipping half
+   * of the lakehouse stats story (Delta/Iceberg per-file column stats):
+   * parquet row-group stats prune WITHIN a file only after the planner
+   * has listed and opened it; the manifest lets [[readPruned]] drop
+   * whole files before any footer is touched — at 100 TB the
+   * difference between planning thousands of files and planning the
+   * handful a box query overlaps. Stats are measured from the WRITTEN
+   * table (a column-pruned scan of just the dimension columns), so
+   * stats and data cannot disagree; a dimension with no non-null
+   * values in a file gets no stats line and the file is conservatively
+   * kept by pruned reads.
+   */
+  def writeClustered(df: DataFrame, path: String,
+                     dims: Seq[(String, Option[(Double, Double)])],
+                     files: Int, bits: Int = 8): Unit = {
+    val spark = df.sparkSession
+    cluster(df, dims, files, bits).write.mode("overwrite").parquet(path)
+    val cols = dims.map(_._1)
+    val written = spark.read.parquet(path)
+      .select(cols.map(c => col(c).cast("double").as(c)) :+
+        input_file_name().as("__f"): _*)
+    val aggs = cols.flatMap(c => Seq(min(col(c)).as(s"mn_$c"),
+      max(col(c)).as(s"mx_$c")))
+    val rows = written.groupBy("__f").agg(aggs.head, aggs.tail: _*)
+      .collect() // manifest-sized: one row per output file
+    val sb = new StringBuilder
+    rows.foreach { r =>
+      val f = new org.apache.hadoop.fs.Path(r.getString(0)).getName
+      cols.zipWithIndex.foreach { case (c, i) =>
+        if (!r.isNullAt(1 + 2 * i) && !r.isNullAt(2 + 2 * i))
+          sb.append(s"$f\t$c\t${r.getDouble(1 + 2 * i)}\t${r.getDouble(2 + 2 * i)}\n")
+      }
+    }
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(root, s".tmp-$StatsFile")
+    val fin = new org.apache.hadoop.fs.Path(root, StatsFile)
+    val out = fs.create(tmp, true)
+    try out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.delete(fin, false)
+    if (!fs.rename(tmp, fin))
+      throw new IllegalStateException(s"stats manifest commit failed: $tmp -> $fin")
+  }
+
+  /**
+   * Box-query read over a [[writeClustered]] table: plans ONLY the
+   * files whose zone-map overlaps every requested `[lo, hi]` range
+   * (inclusive), then applies the exact predicate — so the result
+   * equals a full-scan filter while the scan itself is file-pruned
+   * before any parquet footer is read. A file without stats for a
+   * requested dimension is kept (conservative); requesting a dimension
+   * the layout never clustered prunes nothing but still filters
+   * exactly.
+   */
+  def readPruned(spark: SparkSession, path: String,
+                 ranges: Map[String, (Double, Double)]): DataFrame = {
+    require(ranges.nonEmpty, "readPruned needs at least one range")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sf = new org.apache.hadoop.fs.Path(root, StatsFile)
+    require(fs.exists(sf), s"no $StatsFile at $path — written by writeClustered?")
+    val in = fs.open(sf)
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+      finally in.close()
+    val stats = lines.filter(_.nonEmpty).map { l =>
+      val Array(f, c, mn, mx) = l.split('\t')
+      (f, c, mn.toDouble, mx.toDouble)
+    }.groupBy(_._1)
+    val keep = stats.collect {
+      case (f, ss) if ranges.forall { case (c, (lo, hi)) =>
+        ss.find(_._2 == c).forall(s => s._4 >= lo && s._3 <= hi)
+      } => f
+    }.toSeq.sorted
+    val pred = ranges.map { case (c, (lo, hi)) =>
+      col(c) >= lit(lo) && col(c) <= lit(hi)
+    }.reduce(_ && _)
+    if (keep.isEmpty)
+      spark.read.parquet(path).filter(lit(false)) // schema-true empty
+    else spark.read.parquet(keep.map(f => s"$path/$f"): _*).filter(pred)
+  }
+
   /** tokenCache(parts)(p) = a long whose Murmur3(seed 42) hash pmods to
    * partition `p` of `parts` — probed once per distinct `parts` with
    * tiny driver-local jobs (a few thousand hashed longs, no data scan)

@@ -143,6 +143,44 @@ class LayoutSpec extends AnyFunSuite with SparkFixture {
         col("y") >= 100 && col("y") < 150).count())
   }
 
+  test("writeClustered + readPruned: exact answers from a file-pruned plan") {
+    import spark.implicits._
+    val n = 32768
+    val df = spark.range(n).select(
+      col("id"),
+      (hash(col("id"), lit(1)).cast("long").bitwiseAND(1023)).as("x"),
+      (hash(col("id"), lit(2)).cast("long").bitwiseAND(1023)).as("y"))
+    val base = Files.createTempDirectory("graft-zm").toString
+    Layout.writeClustered(df, s"$base/t",
+      Seq("x" -> Some((0.0, 1023.0)), "y" -> Some((0.0, 1023.0))), files = 64)
+    // the manifest exists and carries one (file, dim) line per pair
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$base/t", "_graft_stats.tsv")))
+    val box = Map("x" -> ((100.0, 150.0)), "y" -> ((100.0, 150.0)))
+    val pruned = Layout.readPruned(spark, s"$base/t", box)
+    val expect = spark.read.parquet(s"$base/t")
+      .filter(col("x").between(100, 150) && col("y").between(100, 150))
+    // exactness: the pruned read equals the full-scan filter
+    assert(pruned.exceptAll(expect).count() == 0 &&
+      expect.exceptAll(pruned).count() == 0)
+    assert(pruned.count() > 0)
+    // pruning: the 2-D box plans a small fraction of the 64 files —
+    // each dimension's quarter-span stats cut ~3/4, the box needs both
+    val all = spark.read.parquet(s"$base/t").inputFiles.length
+    val planned = pruned.inputFiles.length
+    assert(planned < all / 2, s"planned $planned of $all files")
+    // an impossible box returns an empty, schema-true frame
+    val none = Layout.readPruned(spark, s"$base/t",
+      Map("x" -> ((5000.0, 6000.0))))
+    assert(none.count() == 0 &&
+      none.columns.toSeq == Seq("id", "x", "y"))
+    // a range on an UNCLUSTERED column prunes nothing but filters exactly
+    val byId = Layout.readPruned(spark, s"$base/t",
+      Map("id" -> ((0.0, 99.0))))
+    assert(byId.count() ==
+      spark.read.parquet(s"$base/t").filter(col("id") <= 99).count())
+  }
+
   test("cluster layout is deterministic and contiguous regardless of session history") {
     import spark.implicits._
     // repartitionByRange's bound sampler seeds from the RDD id, so the
