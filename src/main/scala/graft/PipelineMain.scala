@@ -51,6 +51,11 @@ import graft.operators.{ChangeLogApplier, CuratedApplier, Dedup, DomainRunner, I
  *                              the from-scratch recompute (q45 + q46)
  *  16. sentence hygiene        sentence segmentation + cross-document
  *                              boilerplate-sentence removal (t25 + d21)
+ *  17. store serving           PK-keyed corpus + maintained aggregate
+ *                              commit together; version diff rebuilds
+ *                              the changelog; bucket-pruned point
+ *                              lookups; zone-mapped box query (q48 +
+ *                              q49/q52 + q51 + q53 composed)
  *
  *   sbt "runMain graft.PipelineMain [workDir]"
  *
@@ -524,6 +529,59 @@ object PipelineMain {
     stage(16, s"sentence hygiene -> $nCleaned of $nMixed docs keep body " +
         s"text, footer leaked in $leaked, emptied $emptied") {
       nCleaned > 0 && nCleaned <= nMixed && leaked == 0 && emptied == 0
+    }
+    Materialize.releaseAll()
+
+    // 17. store serving (the q48/q49/q51/q52/q53 arc composed): the
+    // host-attributed corpus lands PK-keyed in the MERGE store with a
+    // maintained per-host aggregate; a CDC edit batch commits through
+    // both (scoped bucket rewrite + delta fold); the two committed
+    // versions diff back into a changelog; point lookups plan only
+    // their keys' buckets; and a zone-mapped copy answers a box query
+    // file-pruned — every read path proven against its full-scan twin
+    val srv = hosts.select(col("doc_id"), col("host"),
+      col("n_tokens").cast("long").as("n_tokens"))
+    catalog.register(TableMeta(Db, "docs_keyed", s"$work/docs_keyed",
+      primaryKey = Some("doc_id")))
+    catalog.register(TableMeta(Db, "docs_agg", s"$work/docs_agg"))
+    val served = new Ivm.MaintainedCountSum(store, Db, "docs_keyed",
+      "docs_agg", col("host"), col("n_tokens"))
+    served.seed(srv)
+    val v0srv = store.latestVersion(Db, "docs_keyed")
+    val srvNew = srv.filter(col("doc_id") % 31 =!= 0)
+      .withColumn("n_tokens", when(col("doc_id") % 23 === 0,
+        col("n_tokens") + 7).otherwise(col("n_tokens")))
+    val srvEdits = Materialize.eager(Scd.snapshotDiff(srv, srvNew, Seq("doc_id")))
+    served.commit(srvEdits)
+    val v1srv = store.latestVersion(Db, "docs_keyed")
+    def aggMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val aggOk = aggMap(served.read()) ==
+      aggMap(Ivm.countSumAgg(store.read(Db, "docs_keyed"), col("host"),
+        col("n_tokens")))
+    val cdf = store.changesBetween(Db, "docs_keyed", v0srv, v1srv)
+    val cdfKinds = cdf.groupBy("change").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val editKinds = srvEdits.groupBy("change").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val lkKeys = srvNew.filter(col("doc_id") % 23 === 0).limit(3)
+      .select("doc_id")
+    val lk = store.pointLookup(Db, "docs_keyed", lkKeys)
+    val lkFiles = lk.inputFiles.length
+    val allFiles = store.read(Db, "docs_keyed").inputFiles.length
+    val lkOk = lk.count() == lkKeys.count() && lkFiles < allFiles
+    graft.catalog.Layout.writeClustered(srv, s"$work/docs_z",
+      Seq("doc_id" -> None, "n_tokens" -> None), files = 16)
+    val zBox = Map("doc_id" -> ((0.0, 200.0)), "n_tokens" -> ((50.0, 200.0)))
+    val zGot = graft.catalog.Layout.readPruned(spark, s"$work/docs_z", zBox)
+    val zWant = srv.filter(col("doc_id").between(0, 200) &&
+      col("n_tokens").between(50, 200))
+    val zOk = zGot.exceptAll(zWant).count() == 0 &&
+      zWant.exceptAll(zGot).count() == 0
+    stage(17, s"store serving -> maintained agg == recompute: $aggOk, " +
+        s"cdf $cdfKinds vs edits $editKinds, lookup planned " +
+        s"$lkFiles/$allFiles files, zone-map box ${zGot.count()} rows") {
+      aggOk && cdfKinds == editKinds && cdfKinds.nonEmpty && lkOk && zOk
     }
     Materialize.releaseAll()
 
