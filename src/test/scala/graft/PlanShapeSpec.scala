@@ -241,4 +241,44 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       s"expected the blob exchange plus the output sort, got:\n$p")
     assert(scans(p) == 1, s"expected one corpus scan, got:\n$p")
   }
+
+  test("s14 filtered ANN: queries broadcast with the key equality, no shuffle join") {
+    val p = plan("s14_ann_filtered_topk")
+    // the key restriction must ride the broadcast-join condition as a
+    // map-side filter — a shuffle join keyed on the label would
+    // repartition the 100 TB corpus by a low-cardinality key (worst-case
+    // skew) just to apply a filter
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"query side must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"key equality regressed to a corpus shuffle:\n$p")
+  }
+
+  test("q48 point lookup: pruned scan carries the pushed PK predicate") {
+    val p = plan("q48_point_lookup")
+    // the lookup path's scan must show the In(...) filter pushed into
+    // parquet (row-group stats skipping inside the surviving buckets);
+    // no join anywhere — the inline-keys form is a pure filtered scan
+    val lookupScan = p.linesIterator.filter(_.contains("FileScan"))
+      .filter(_.contains("o_orderkey")).toSeq
+    // a 1-key fixture folds In to EqualTo — either form proves pushdown
+    assert(lookupScan.exists(l => l.contains("In(o_orderkey") ||
+        l.contains("EqualTo(o_orderkey")),
+      s"PK predicate not pushed into the lookup scan:\n$p")
+    // and the scan's file index lists ONLY bucket dirs (the manifest
+    // pruned the table to the keys' buckets before planning)
+    assert(lookupScan.forall(_.contains("__b=")),
+      s"lookup scan not restricted to bucket dirs:\n$p")
+  }
+
+  test("q52 distinct-count IVM: no window, map-side-combined delta") {
+    val p = plan("q52_ivm_distinct")
+    // the delta and the view merge are aggregates + one join — a window
+    // on (grp, val) would funnel hot values; partial_count proves the
+    // delta combines map-side
+    assert(!p.contains("windowspecdefinition"),
+      s"distinct maintenance regressed to a window:\n$p")
+    assert(p.linesIterator.exists(_.contains("partial_count")),
+      s"expected map-side partial aggregation:\n$p")
+  }
 }
