@@ -155,6 +155,14 @@ object Layout {
    * stats and data cannot disagree; a dimension with no non-null
    * values in a file gets no stats line and the file is conservatively
    * kept by pruned reads.
+   *
+   * Stats (and [[readPruned]]'s range compare) live in DOUBLE space —
+   * exact for every dimension within ±2^53, which covers clustered
+   * layouts' real dimensions (timestamps, bucketized scores, sizes).
+   * Integral dimensions with magnitudes beyond 2^53 (snowflake-style
+   * ids) round in the stats AND in the promoted predicate the same way,
+   * so pruning stays self-consistent, but an integer-exact boundary
+   * query should re-filter in the column's own type after the read.
    */
   def writeClustered(df: DataFrame, path: String,
                      dims: Seq[(String, Option[(Double, Double)])],

@@ -190,8 +190,10 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
       // bucket ids of the lookup keys (<= nBuckets values)
       val touched = typedKeys.select(bucketOf(col(pk)).as("__b"))
         .distinct().collect().map(_.getInt(0)).toSet
-      load(meta, m, Some(touched))
-        .join(org.apache.spark.sql.functions.broadcast(typedKeys), Seq(pk), "left_semi")
+      // UNHINTED semi-join: the inline cap exists so an over-large key
+      // frame cannot land on the driver — a forced broadcast here would
+      // collect it anyway. AQE broadcasts when the measured size allows.
+      load(meta, m, Some(touched)).join(typedKeys, Seq(pk), "left_semi")
     }
   }
 

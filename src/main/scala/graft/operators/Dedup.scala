@@ -861,9 +861,16 @@ object Dedup {
     val canon = paras
       .groupBy("fingerprint")
       .agg(min(struct(col(idCol), col("para_idx"))).as("__canon"))
+    // NULL-SAFE canonical compare: with a NULL doc id in the corpus,
+    // min(struct) can pick the NULL-id occurrence as canonical, and a
+    // plain === would then evaluate keep to NULL for EVERY occurrence
+    // — dropDuplicateParagraphs' filter would silently delete the
+    // paragraph corpus-wide. (Like the rest of the dedup family, idCol
+    // is assumed unique per document; duplicated (id, idx) pairs are
+    // malformed input and both copies would keep.)
     paras.join(canon, Seq("fingerprint"))
-      .withColumn("keep", col("__canon")(idCol) === col(idCol) &&
-        col("__canon")("para_idx") === col("para_idx"))
+      .withColumn("keep", col("__canon")(idCol) <=> col(idCol) &&
+        col("__canon")("para_idx") <=> col("para_idx"))
       .drop("__canon")
   }
 

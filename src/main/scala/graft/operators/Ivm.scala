@@ -93,15 +93,24 @@ object Ivm {
       .groupBy(groupOut)
       .agg(sum("__dc").as("__dc"), sum("__ds").as("__ds"),
         sum("__dn").as("__dn"))
-    val nnv2 = coalesce(col(nnvCol), lit(0L)) + coalesce(col("__dn"), lit(0L))
-    base.join(delta, Seq(groupOut), "full_outer")
-      .select(col(groupOut),
-        (coalesce(col(cntCol), lit(0L)) + coalesce(col("__dc"), lit(0L)))
+    // NULL is a real group to groupBy, so the base/delta merge must be
+    // NULL-SAFE on the group key — a USING join's plain equality would
+    // leave a NULL group's base and delta rows unmatched (stale base
+    // row surviving next to a fresh delta row), breaking the
+    // bit-identical-to-recompute contract ([[applyDistinctAuxDelta]]'s
+    // discipline)
+    val b = base.as("b")
+    val d = delta.as("d")
+    val nnv2 = coalesce(col(s"b.$nnvCol"), lit(0L)) +
+      coalesce(col("d.__dn"), lit(0L))
+    b.join(d, col(s"b.$groupOut") <=> col(s"d.$groupOut"), "full_outer")
+      .select(coalesce(col(s"b.$groupOut"), col(s"d.$groupOut")).as(groupOut),
+        (coalesce(col(s"b.$cntCol"), lit(0L)) + coalesce(col("d.__dc"), lit(0L)))
           .as(cntCol),
         // an all-NULL-value group's sum is NULL, exactly as sum() yields
         when(nnv2 === 0, lit(null))
-          .otherwise(coalesce(col(sumCol), lit(0L)) +
-            coalesce(col("__ds"), lit(0L)))
+          .otherwise(coalesce(col(s"b.$sumCol"), lit(0L)) +
+            coalesce(col("d.__ds"), lit(0L)))
           .as(sumCol),
         nnv2.as(nnvCol))
       .filter(col(cntCol) > 0)
@@ -135,13 +144,17 @@ object Ivm {
       changeCol: String): DataFrame = {
     val removedKeys = changes.filter(col(changeCol).isin("U", "D"))
       .select(keys.map(col): _*)
-    oldSnap.join(removedKeys, keys, "inner")
+    val rem = oldSnap.join(removedKeys, keys, "inner")
       .select(group.as(groupOut), value.as("__v"))
       .filter(col("__v").isNotNull)
+    // NULL-safe group match: NULL is a real group to the aggregate, so
+    // a removed extremum of the NULL group must trigger its rescan too
+    rem.as("r")
       .join(base.select(col(groupOut), col(minCol).as("__bmin"),
-        col(maxCol).as("__bmax")), Seq(groupOut))
+        col(maxCol).as("__bmax")).as("bb"),
+        col(s"r.$groupOut") <=> col(s"bb.$groupOut"))
       .filter(col("__v") <= col("__bmin") || col("__v") >= col("__bmax"))
-      .select(groupOut).distinct()
+      .select(col(s"r.$groupOut").as(groupOut)).distinct()
   }
 
   /**
@@ -185,10 +198,21 @@ object Ivm {
     // (least/greatest skip NULLs, so a new group takes the insert-side
     // extrema and an all-NULL-value group keeps NULL); a group whose
     // count reaches zero had its extremum removed (or held only NULLs)
-    // and drops here exactly as a recompute drops it
-    val folded = base.join(pagg, Seq(groupOut), "full_outer")
-      .join(magg, Seq(groupOut), "full_outer")
-      .join(trig, Seq(groupOut), "left_anti")
+    // and drops here exactly as a recompute drops it. Every merge is
+    // NULL-SAFE on the group key — NULL is a real group to groupBy, and
+    // plain equality would leave its base and delta rows unmatched.
+    def nsJoin(l: DataFrame, r: DataFrame, how: String): DataFrame = {
+      val j = l.as("l").join(r.as("r"),
+        col(s"l.$groupOut") <=> col(s"r.$groupOut"), how)
+      val keep = (l.columns.filterNot(_ == groupOut).map(c => col(s"l.$c")) ++
+        r.columns.filterNot(_ == groupOut).map(c => col(s"r.$c"))).toSeq
+      j.select(coalesce(col(s"l.$groupOut"), col(s"r.$groupOut")).as(groupOut)
+        +: keep: _*)
+    }
+    val folded = nsJoin(nsJoin(base, pagg, "full_outer"), magg, "full_outer")
+      .as("f")
+      .join(trig.as("t"), col(s"f.$groupOut") <=> col(s"t.$groupOut"),
+        "left_anti")
       .select(col(groupOut),
         (coalesce(col(cntCol), lit(0L)) + coalesce(col("__pc"), lit(0L)) -
           coalesce(col("__mc"), lit(0L))).as(cntCol),
@@ -198,8 +222,9 @@ object Ivm {
     // group-targeted rescan: ONLY the affected groups, from the new
     // snapshot; an emptied group yields no rows and so drops, exactly
     // as a recompute drops it
-    val rescan = newSnap.select(group.as(groupOut), value.as("__v"))
-      .join(trig, Seq(groupOut), "left_semi")
+    val rescan = newSnap.select(group.as(groupOut), value.as("__v")).as("n")
+      .join(trig.as("t"), col(s"n.$groupOut") <=> col(s"t.$groupOut"),
+        "left_semi")
       .groupBy(groupOut)
       .agg(count(lit(1)).as(cntCol), min("__v").as(minCol),
         max("__v").as(maxCol))
@@ -313,25 +338,33 @@ object Ivm {
         countSumAgg(store.read(db, baseTable), group, value))
     }
 
-    /** One changelog commit: base and aggregate move together. */
+    /** One changelog commit: base and aggregate move together. The
+     * changelog is cut once up front — it feeds the aggregate delta
+     * (minus/plus streams), the snapshot fold (gone/arrived), and the
+     * scoped commit's touched-bucket scan, and an expensive caller plan
+     * (a [[Scd.snapshotDiff]] of two table-scale versions is the
+     * natural input) must not re-execute once per consumer. */
     def commit(changes: DataFrame): Unit = {
       val k = pk
-      val old = store.read(db, baseTable) // version-pinned pre-commit
-      val agg = store.read(db, aggTable)
-      val newAgg = applyCountSumDelta(agg, old, changes, Seq(k), group, value)
-      def fold(target: DataFrame): DataFrame = {
-        val gone = changes.filter(col("change").isin("U", "D"))
-          .select(col(k))
-        val arrived = changes.filter(col("change").isin("I", "U")).drop("change")
-        target.join(gone, Seq(k), "left_anti")
-          .unionByName(arrived.select(target.columns.map(col).toIndexedSeq: _*))
-      }
-      store match {
-        case ms: graft.catalog.MergeSnapshotStore =>
-          ms.mergeScoped(db, baseTable, changes.select(col(k)))(fold)
-        case s => s.overwrite(db, baseTable, fold(old))
-      }
-      store.overwrite(db, aggTable, newAgg)
+      val chg = Materialize(changes)
+      try {
+        val old = store.read(db, baseTable) // version-pinned pre-commit
+        val agg = store.read(db, aggTable)
+        val newAgg = applyCountSumDelta(agg, old, chg, Seq(k), group, value)
+        def fold(target: DataFrame): DataFrame = {
+          val gone = chg.filter(col("change").isin("U", "D"))
+            .select(col(k))
+          val arrived = chg.filter(col("change").isin("I", "U")).drop("change")
+          target.join(gone, Seq(k), "left_anti")
+            .unionByName(arrived.select(target.columns.map(col).toIndexedSeq: _*))
+        }
+        store match {
+          case ms: graft.catalog.MergeSnapshotStore =>
+            ms.mergeScoped(db, baseTable, chg.select(col(k)))(fold)
+          case s => s.overwrite(db, baseTable, fold(old))
+        }
+        store.overwrite(db, aggTable, newAgg)
+      } finally Materialize.release(chg)
     }
 
     /** The maintained aggregate as currently committed. */

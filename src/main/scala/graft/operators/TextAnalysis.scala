@@ -303,13 +303,16 @@ object TextAnalysis {
   final case class Bm25Index(postings: DataFrame, docLens: DataFrame,
                              docFreq: DataFrame, stats: DataFrame)
 
-  /** Derive the index tables from a corpus (one tokenize pass, three
-   * map-side-combinable aggregates). */
+  /** Derive the index tables from a corpus — ONE tokenize pass cut via
+   * [[Materialize]], because the four tables are typically written by
+   * four separate actions ([[writeBm25Index]]) and an uncut postings
+   * frame would re-tokenize the corpus per table; the cut follows the
+   * session's release discipline (harnesses release per query). */
   def buildBm25Index(corpus: DataFrame, idCol: String,
                      textCol: String): Bm25Index =
-    indexFromPostings(
+    indexFromPostings(Materialize.eager(
       corpus.select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("term"))
-        .groupBy("doc", "term").agg(count(lit(1)).as("tf")))
+        .groupBy("doc", "term").agg(count(lit(1)).as("tf"))))
 
   private def indexFromPostings(tf: DataFrame): Bm25Index = {
     val dl = tf.groupBy("doc").agg(sum("tf").as("dl"))
@@ -1089,6 +1092,14 @@ object TextAnalysis {
    *
    * Scale shape: one narrow pass, zero shuffles; the only driver-side
    * payload is the merge table itself (config-scale — ~32k rows).
+   *
+   * Row contract divergences from the chain twin (the
+   * [[winnowFingerprintsFast]] discipline, carved out here so the
+   * "bit-identical" claim is read correctly): NULL-id rows are DROPPED
+   * (the typed encoder has no null id) where the chain form passes them
+   * through, and the id column comes back as `long` regardless of its
+   * input width — feed non-null ids and compare on values, as the
+   * equivalence spec does.
    */
   def bpeSegmentGreedy(df: DataFrame, idCol: String, textCol: String,
                        merges: Seq[(String, String)]): DataFrame = {

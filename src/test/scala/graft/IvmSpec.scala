@@ -236,6 +236,41 @@ class IvmSpec extends AnyFunSuite with SparkFixture {
     assert(got == Map("a" -> 1L, "b" -> 2L, "e" -> 1L, "g" -> 1L))
   }
 
+  test("NULL group keys maintain exactly — count/sum, min/max, and rescan") {
+    // NULL is a real group to groupBy; every base/delta merge must be
+    // null-safe or the NULL group's base row survives unmatched next to
+    // a fresh delta row (stale aggregate, duplicated group)
+    val nOld = Seq((1L, Option.empty[String], Some(5L)),
+      (2L, Option.empty[String], Some(10L)), (3L, Some("a"), Some(7L)))
+      .toDF("k", "grp_in", "v")
+    val nNew = Seq((1L, Option.empty[String], Some(5L)),
+      (3L, Some("a"), Some(7L)), (4L, Option.empty[String], Some(6L)))
+      .toDF("k", "grp_in", "v") // NULL group: max 10 deleted, 6 inserted
+    val changes = Scd.snapshotDiff(nOld, nNew, Seq("k"))
+    // count/sum
+    val cs = Ivm.applyCountSumDelta(
+      Ivm.countSumAgg(nOld, col("grp_in"), col("v")), nOld, changes,
+      Seq("k"), col("grp_in"), col("v"))
+    def csMap(df: DataFrame) = df.collect()
+      .map(r => Option(r.getString(0)) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(csMap(cs) == csMap(Ivm.countSumAgg(nNew, col("grp_in"), col("v"))))
+    assert(csMap(cs)(None) == ((2L, 11L)))
+    assert(cs.filter(col("grp").isNull).count() == 1, "NULL group must merge, not duplicate")
+    // min/max: the deleted 10 was the NULL group's max — rescan path
+    val base = Ivm.minMaxAgg(nOld, col("grp_in"), col("v"))
+    val trig = Ivm.minMaxRescanGroups(base, nOld, changes, Seq("k"),
+        col("grp_in"), col("v"), "grp", "min_units", "max_units", "change")
+      .collect().map(r => Option(r.getString(0))).toSet
+    assert(trig == Set(None), "NULL group's extremum removal must trigger its rescan")
+    val mm = Ivm.applyMinMaxDelta(base, nOld, nNew, changes, Seq("k"),
+      col("grp_in"), col("v"))
+    def nmmMap(df: DataFrame) = df.collect()
+      .map(r => Option(r.getString(0)) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(nmmMap(mm) == nmmMap(Ivm.minMaxAgg(nNew, col("grp_in"), col("v"))))
+    assert(nmmMap(mm)(None) == ((2L, 5L, 6L)))
+  }
+
   test("min/max shape guard rejects a countSumAgg-shaped base") {
     intercept[IllegalArgumentException] {
       Ivm.applyMinMaxDelta(Ivm.countSumAgg(mmOld, col("grp_in"), col("v")),
