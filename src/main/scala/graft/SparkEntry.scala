@@ -941,6 +941,31 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // incremental IVF index maintenance: the index built on the OLD
+    // corpus folds an I/U/D vector changelog (deletes, re-embedded
+    // updates, inserts) against PINNED centroids; searching the
+    // maintained index must equal the s03-style search over an index
+    // rebuilt from scratch on the NEW corpus — which is exactly what
+    // the oracle computes
+    "s15_ann_incremental" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val oldC = emb.filter(col("vec_id") % 17 =!= 0)
+        .select(col("vec_id"), col("embedding"))
+      val newC = emb.filter(col("vec_id") % 13 =!= 0)
+        .select(col("vec_id"),
+          when(col("vec_id") % 7 === 0, reverse(col("embedding")))
+            .otherwise(col("embedding")).as("embedding"))
+      val cents = Similarity.defaultCentroids(oldC, "vec_id", "embedding", 16)
+      val base = Similarity.assignCellsFor(oldC, "vec_id", "embedding", cents)
+      val changes = Scd.snapshotDiff(oldC, newC, Seq("vec_id"))
+      val idx = Similarity.applyIndexDelta(base, changes, "vec_id",
+        "embedding", cents)
+      Similarity.ivfTopKFromIndex(idx, newC.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10, probes = 4, cents)
+        .select("query_id", "rank", "neighbor_id")
+        .orderBy("query_id", "rank")
+    }),
+
     // filtered (key-partitioned) ANN: each query's top-k restricted to
     // corpus vectors sharing its label — candidate-space filtering, not
     // top-k post-filtering, so the k-of-eligible contract holds even
@@ -2457,6 +2482,36 @@ object SparkEntry {
          r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                          ORDER BY cos DESC, neighbor_id ASC) AS rank FROM s)
          SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos
+         FROM r WHERE rank <= 10 ORDER BY query_id, rank""",
+
+    // the from-scratch rebuild over the NEW corpus with the OLD
+    // corpus's first-16 pinned centroids — the maintained index must
+    // land on exactly this answer
+    "s15_ann_incremental" ->
+      """WITH v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                     FROM embeddings WHERE vec_id % 17 <> 0),
+         cent AS (SELECT vec_id AS cid, e AS ce FROM v0
+                  ORDER BY vec_id LIMIT 16),
+         v AS (SELECT vec_id,
+                 CASE WHEN vec_id % 7 = 0
+                      THEN list_reverse(CAST(embedding AS DOUBLE[]))
+                      ELSE CAST(embedding AS DOUBLE[]) END AS e
+               FROM embeddings WHERE vec_id % 13 <> 0),
+         asg AS (SELECT vec_id, e, cid,
+                        ROW_NUMBER() OVER (PARTITION BY vec_id
+                          ORDER BY round(list_cosine_similarity(e, ce), 6) DESC,
+                                   cid ASC) AS crank
+                 FROM v, cent),
+         idx AS (SELECT vec_id, e, cid AS cell FROM asg WHERE crank = 1),
+         qp AS (SELECT vec_id AS query_id, e AS qe, cid AS cell FROM asg
+                WHERE vec_id < 5 AND crank <= 4),
+         s AS (SELECT query_id, c.vec_id AS neighbor_id,
+                      list_cosine_similarity(c.e, qe) AS cos
+               FROM idx c JOIN qp ON c.cell = qp.cell AND c.vec_id <> query_id),
+         r AS (SELECT query_id, neighbor_id,
+                      ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY cos DESC, neighbor_id ASC) AS rank FROM s)
+         SELECT query_id, rank, neighbor_id
          FROM r WHERE rank <= 10 ORDER BY query_id, rank""",
 
     // same scan as s01 with the label equality in the candidate space

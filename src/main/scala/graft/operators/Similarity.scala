@@ -323,6 +323,65 @@ object Similarity {
     (indexed, q)
   }
 
+  /**
+   * Incremental IVF index maintenance — the CDC arc pointed at the ANN
+   * stack. A production embedding index refreshes from a changelog (new
+   * documents embedded, stale ones deleted, re-embedded ones updated),
+   * it is not re-assigned corpus-wide per refresh; centroids re-train
+   * rarely and stay PINNED between re-trainings (the frozen-quantizer
+   * model). [[assignCellsFor]] materializes (id, cell, vec, nrm) index
+   * rows for a vector set; [[applyIndexDelta]] folds an I/U/D vector
+   * changelog into an existing index by assigning cells to ONLY the
+   * changed vectors — delta-sized work against the broadcast centroid
+   * table, plus the anti-join drop of replaced keys; and
+   * [[ivfTopKFromIndex]] searches the maintained index through the
+   * family's exact probe/rank seam, so a maintained index answers
+   * bit-identically to one rebuilt from scratch over the new corpus
+   * (the s15 oracle's claim).
+   */
+  def assignCellsFor(df: DataFrame, idCol: String, vecCol: String,
+                     centroids: DataFrame): DataFrame =
+    assignCells(df, idCol, vecCol, centroids)
+      .select(col("vid").as(idCol), col("cell"), col("vec"), col("nrm"))
+
+  /** Fold an I/U/D changelog (the [[graft.operators.Scd.snapshotDiff]]
+   * contract over (id, vector) rows) into a maintained index. */
+  def applyIndexDelta(index: DataFrame, changes: DataFrame, idCol: String,
+                      vecCol: String, centroids: DataFrame,
+                      changeCol: String = "change"): DataFrame = {
+    val gone = changes.filter(col(changeCol).isin("U", "D")).select(col(idCol))
+    val arrived = assignCellsFor(
+      changes.filter(col(changeCol).isin("I", "U")).select(col(idCol), col(vecCol)),
+      idCol, vecCol, centroids)
+    index.join(gone, Seq(idCol), "left_anti").unionByName(arrived)
+  }
+
+  /** IVF top-k over a maintained [[assignCellsFor]]-shaped index: same
+   * probe ranking and scoring as [[ivfTopK]], minus the assignment pass
+   * the index already paid. */
+  def ivfTopKFromIndex(index: DataFrame, queries: DataFrame, idCol: String,
+                       vecCol: String, k: Int, probes: Int,
+                       centroids: DataFrame): DataFrame = {
+    val indexed = index.select(col(idCol).as("vid"), col("cell"),
+      col("vec"), col("nrm"))
+    val qw = Window.partitionBy(col("vid"))
+      .orderBy(col("ccos").desc, col("cid").asc)
+    val q = cellScores(prepared(queries, idCol, vecCol), centroids)
+      .withColumn("crank", row_number().over(qw))
+      .filter(col("crank") <= probes)
+      .select(col("vid").as("query_id"), col("vec").as("qvec"),
+        col("nrm").as("qnrm"), col("cid").as("cell"))
+    val scored = indexed.join(broadcast(q),
+        indexed("cell") === q("cell") && col("vid") =!= col("query_id"))
+      .withColumn("cos", dot(col("vec"), col("qvec")) / (col("nrm") * col("qnrm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vid").as("neighbor_id"),
+        col("cos"))
+  }
+
   /** Each corpus row with its nearest cell (vid, cell, vec, nrm) — the
    * corpus half of [[ivfFlatPieces]], shared with [[semanticDedup]]. */
   private def assignCells(corpus: DataFrame, idCol: String, vecCol: String,
@@ -651,7 +710,7 @@ object Similarity {
   }
 
   /** First-nCells-by-id centroid seam shared by the IVF family. */
-  private def defaultCentroids(corpus: DataFrame, idCol: String,
+  private[graft] def defaultCentroids(corpus: DataFrame, idCol: String,
                                vecCol: String, nCells: Int): DataFrame =
     prepared(corpus.orderBy(col(idCol)).limit(nCells), idCol, vecCol)
       .select(col("vid").as("cid"), col("vec").as("cvec"), col("nrm").as("cnrm"))

@@ -110,6 +110,39 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("applyIndexDelta maintains the IVF index == from-scratch rebuild") {
+    val oldC = emb.filter(col("vec_id") % 17 =!= 0)
+      .select(col("vec_id"), col("embedding"))
+    // deletes (%13), re-embedded updates (%7 reversed), inserts (%17 back)
+    val newC = emb.filter(col("vec_id") % 13 =!= 0)
+      .select(col("vec_id"),
+        when(col("vec_id") % 7 === 0, reverse(col("embedding")))
+          .otherwise(col("embedding")).as("embedding"))
+    val cents = Similarity.defaultCentroids(oldC, "vec_id", "embedding", 16)
+    val base = Similarity.assignCellsFor(oldC, "vec_id", "embedding", cents)
+    val changes = graft.operators.Scd.snapshotDiff(oldC, newC, Seq("vec_id"))
+    // the delta really is delta-sized, not corpus-sized
+    assert(changes.count() < oldC.count() / 2)
+    val got = Similarity.applyIndexDelta(base, changes, "vec_id",
+      "embedding", cents)
+    val scratch = Similarity.assignCellsFor(newC, "vec_id", "embedding", cents)
+    def cellsOf(df: DataFrame) = df.select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(cellsOf(got) == cellsOf(scratch), "maintained assignment drifted")
+    // searching the maintained index equals searching the rebuilt one
+    val q = newC.filter(col("vec_id") < 5)
+    def search(idx: DataFrame) =
+      Similarity.ivfTopKFromIndex(idx, q, "vec_id", "embedding",
+          k = 10, probes = 4, cents)
+        .collect().map(_.toString).sorted.toSeq
+    assert(search(got) == search(scratch) && search(got).nonEmpty)
+    // a deleted id is gone from the maintained index
+    val deleted = emb.filter(col("vec_id") % 13 === 0 &&
+      col("vec_id") % 17 =!= 0).select("vec_id").limit(1)
+      .collect().head.getLong(0)
+    assert(got.filter(col("vec_id") === deleted).count() == 0)
+  }
+
   test("persisted BM25 index: served path == one-shot path, postings pruned") {
     import graft.catalog.{InMemoryCatalog, MergeSnapshotStore}
     val cat = new InMemoryCatalog
