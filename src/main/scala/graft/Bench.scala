@@ -81,16 +81,18 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     }
-    // seconds rounded to 4 decimals (0.1 ms — far below run-to-run noise):
+    // seconds rounded to 3 decimals (1 ms — far below run-to-run noise):
     // raw doubles print ~17 significant digits each, and with 70+ queries
     // that pushed the single contract line past the driver's tail-capture
-    // window two rounds running. toPlainString is locale-independent.
+    // window two rounds running; the window is the LAST 2000 bytes and
+    // sbt's trailer follows the line, so at 125 queries even 4-decimal
+    // values leave too little margin. toPlainString is locale-independent.
     // Non-finite values cannot come from System.nanoTime deltas today, but
     // a future non-finite metric must record as an explicit 0, not crash
     // the one line the driver reads (BigDecimal(NaN) throws).
     def num(v: Double): String =
       if (!java.lang.Double.isFinite(v)) "0"
-      else BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+      else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
         .bigDecimal.toPlainString
     // The driver's tail capture is a fixed window (2000 bytes observed);
     // 78 queries x full names is ~2.9 KB, so full-name keys can NEVER fit
