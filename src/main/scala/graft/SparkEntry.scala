@@ -878,6 +878,22 @@ object SparkEntry {
           "doc_id", "n_tokens", budget = 1000)
         .orderBy("doc_id")),
 
+    // shard EXPORT: the q39 packing materialized as shard=N dirs (one
+    // file each, bijective-token routing) plus a _shards.tsv manifest
+    // measured from the written files — the output is the manifest read
+    // back, so the oracle (the packing grouped by shard) checks the
+    // whole write-then-read round trip
+    "q54_shard_export" -> ((s, d) => {
+      val packed = PrefixScan.packShards(
+        t(s, d, "documents").select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens")),
+        "doc_id", "n_tokens", budget = 20000)
+      val work = java.nio.file.Files.createTempDirectory("graft-q54").toString
+      PrefixScan.writeShards(packed, "shard", "doc_id", "n_tokens",
+        s"$work/shards")
+      PrefixScan.readShardManifest(s, s"$work/shards").orderBy("shard")
+    }),
+
     // rolling-hash winnowing fingerprints (MOSS): k-gram hashes, window
     // minima, distinct per doc (typed fast form; expression form proven
     // equal in PipelineSpec)
@@ -2168,6 +2184,21 @@ object SparkEntry {
          SELECT doc_id, n_tokens, cum_tokens,
                 CAST((cum_tokens - n_tokens) // 1000 AS BIGINT) AS shard
          FROM w ORDER BY doc_id"""),
+
+    // the q39 packing at the export budget, grouped per shard — the
+    // written manifest must round-trip to exactly this
+    "q54_shard_export" -> (NormCte +
+      """, c AS (SELECT doc_id, len(string_split(t, ' ')) AS n_tokens FROM n),
+         w AS (SELECT doc_id, n_tokens,
+                      CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+               FROM c),
+         p AS (SELECT doc_id, n_tokens,
+                      CAST((cum_tokens - n_tokens) // 20000 AS BIGINT) AS shard
+               FROM w)
+         SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_tokens) AS BIGINT) AS tok_sum
+         FROM p GROUP BY 1 ORDER BY shard"""),
 
     "t08_repetition" -> (NormCte +
       """, tk AS (SELECT doc_id, string_split(t, ' ') AS toks FROM n),

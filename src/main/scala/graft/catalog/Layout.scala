@@ -242,7 +242,7 @@ object Layout {
    * integer `parts`, so it is JVM-global and session-safe). */
   private val tokenCache = new ConcurrentHashMap[Int, Array[Long]]()
 
-  private def bijectiveTokens(spark: SparkSession, parts: Int): Array[Long] =
+  private[graft] def bijectiveTokens(spark: SparkSession, parts: Int): Array[Long] =
     tokenCache.computeIfAbsent(parts, { _ =>
       val found = Array.fill[Long](parts)(-1L)
       var remaining = parts

@@ -139,6 +139,72 @@ object PrefixScan {
   }
 
   /**
+   * Materialize a [[packShards]] assignment as TRAINING SHARD FILES:
+   * `shard=N` directories with exactly ONE parquet file each (a shard
+   * is a data loader's unit of sequential read and of epoch-start
+   * shuffling — many small files per shard defeats both), plus a
+   * `_shards.tsv` manifest (shard → docs, token sum) a loader reads
+   * without listing data files. One-file-per-shard holds because each
+   * shard routes to its OWN write task via the bijective-token
+   * discipline ([[graft.catalog.Layout]]'s routing: `repartition` and
+   * `functions.hash` share Murmur3 seed 42) — a plain
+   * `repartition(col("shard"))` would hash-collide shards into shared
+   * tasks nondeterministically. One shuffle total; the manifest
+   * aggregate is shard-cardinality.
+   */
+  def writeShards(packed: DataFrame, shardCol: String, orderCol: String,
+                  tokenCol: String, path: String): Unit = {
+    val spark = packed.sparkSession
+    val shards = packed.select(col(shardCol).cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted // manifest-scale loop control
+    require(shards.nonEmpty, "no shards to write")
+    val n = shards.length
+    val toks = graft.catalog.Layout.bijectiveTokens(spark, n)
+    val route = map_from_arrays(
+      array(shards.map(lit(_)): _*),
+      array(shards.indices.map(i => lit(toks(i))): _*))
+    packed
+      .withColumn("__t", element_at(route, col(shardCol).cast("long")))
+      .repartition(n, col("__t"))
+      .sortWithinPartitions(col(orderCol))
+      .drop("__t")
+      .write.mode("overwrite").partitionBy(shardCol).parquet(path)
+    // manifest measured from the WRITTEN files, so it cannot disagree
+    val m = spark.read.parquet(path)
+      .groupBy(col(shardCol).cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(tokenCol).as("tok_sum"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val content = m.map { case (s, d, t) => s"$s\t$d\t$t" }.mkString("\n")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(root, ".tmp-_shards.tsv")
+    val fin = new org.apache.hadoop.fs.Path(root, "_shards.tsv")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.delete(fin, false)
+    if (!fs.rename(tmp, fin))
+      throw new IllegalStateException(s"shard manifest commit failed: $tmp -> $fin")
+  }
+
+  /** The shard manifest read back as (shard, n_docs, tok_sum). */
+  def readShardManifest(spark: org.apache.spark.sql.SparkSession,
+                        path: String): DataFrame = {
+    import spark.implicits._
+    val p = new org.apache.hadoop.fs.Path(path, "_shards.tsv")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"no _shards.tsv at $path — written by writeShards?")
+    val in = fs.open(p)
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+      finally in.close()
+    lines.filter(_.nonEmpty).map { l =>
+      val Array(s, d, t) = l.split('\t')
+      (s.toLong, d.toLong, t.toLong)
+    }.toDF("shard", "n_docs", "tok_sum")
+  }
+
+  /**
    * Contiguous training-context packing (the GPT-style pretraining
    * layout): documents concatenate back-to-back in `orderCol` order into
    * one token stream that is sliced into fixed `contextLen` windows —
