@@ -1259,6 +1259,23 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // perceptual-hash (aHash) near-dup over the m05 payload fixture:
+    // groups share an anchor body with per-doc tails, so same-group
+    // payloads land within Hamming 3 of each other's 64-bit downsample
+    // hash while cross-group pairs don't; banding recall is exact at
+    // this bound (pigeonhole), so the oracle is ALL pairs <= 3
+    "m07_perceptual_neardup" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val withAnchor = docs.select(col("doc_id"),
+          (col("doc_id") - col("doc_id") % 5).as("anchor_id"))
+        .join(docs.select(col("doc_id").as("anchor_id"), col("text").as("atext")),
+          Seq("anchor_id"))
+      val pay = Multimodal.syntheticPayload(col("anchor_id"),
+        concat(col("atext"), lit(" tail "), col("doc_id").cast("string")))
+      Multimodal.perceptualPairs(withAnchor, "doc_id", pay, maxHamming = 3)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // winnow-fingerprint near-dup pairs: MOSS matching at corpus scale —
     // position-robust fingerprint sets, hot-fingerprint guard, exact
     // Jaccard over the filtered fingerprint space
@@ -3037,6 +3054,41 @@ object SparkEntry {
 
     // anchor-shared payload chunks, distinct per doc, paired on shared
     // chunk fingerprints — same set-Jaccard shape as d17
+    // ground truth = ALL pairs at hamming <= 3 over the replayed aHash
+    // (no banding clause: pigeonhole makes 16-bit-chunk banding lossless
+    // at this bound, and equality against the banded operator PROVES it)
+    "m07_perceptual_neardup" ->
+      """WITH a AS (SELECT doc_id, doc_id - doc_id % 5 AS anchor_id
+                    FROM documents),
+         pj AS (SELECT a.doc_id, a.anchor_id, d.text AS atext
+                FROM a JOIN documents d ON d.doc_id = a.anchor_id),
+         p AS (SELECT doc_id,
+                 (CASE CAST(anchor_id % 3 AS INTEGER) WHEN 0 THEN 'PNG|'
+                  WHEN 1 THEN 'JPG|' ELSE 'GIF|' END)
+                 || atext || ' tail ' || CAST(doc_id AS VARCHAR) AS pay
+               FROM pj),
+         cs AS (SELECT doc_id,
+                  list_transform(range(0, 64), j ->
+                    CAST(ord(substring(pay,
+                      CAST((j * (length(pay) - 1)) // 63 AS INTEGER) + 1, 1))
+                      AS BIGINT)) AS c
+                FROM p WHERE length(pay) > 0),
+         hh AS (SELECT doc_id, c, CAST(list_sum(c) AS BIGINT) AS tot FROM cs),
+         h AS (SELECT doc_id,
+                 CAST(list_sum(list_transform(range(0, 32), j ->
+                   CASE WHEN 64 * c[j + 1] >= tot
+                        THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS h1,
+                 CAST(list_sum(list_transform(range(32, 64), j ->
+                   CASE WHEN 64 * c[j + 1] >= tot
+                        THEN (CAST(1 AS BIGINT) << (j - 32)) ELSE 0 END)) AS BIGINT) AS h2
+               FROM hh)
+         SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                CAST(bit_count(xor(x.h1, y.h1)) +
+                     bit_count(xor(x.h2, y.h2)) AS INTEGER) AS hamming
+         FROM h x JOIN h y ON x.doc_id < y.doc_id
+         WHERE bit_count(xor(x.h1, y.h1)) + bit_count(xor(x.h2, y.h2)) <= 3
+         ORDER BY doc_a, doc_b""",
+
     "m05_media_neardup" ->
       """WITH a AS (SELECT doc_id, doc_id - doc_id % 5 AS anchor_id
                     FROM documents),

@@ -191,6 +191,70 @@ object Multimodal {
   }
 
   /**
+   * Perceptual (average-hash) fingerprint of a payload — the aHash
+   * discipline (downsample → mean-threshold → bit string) applied to an
+   * opaque blob: 64 byte positions sampled evenly across the payload
+   * (`pos_j = (j * (len-1)) div 63`), bit j set iff sample j >= the
+   * mean of the 64 samples (compared as `64*sample >= sum` — exact
+   * integer arithmetic, no float threshold). Unlike the EXACT chunk
+   * fingerprints of [[chunkFingerprints]], small local edits flip a few
+   * bits instead of whole chunks, so near-duplicates sit at small
+   * Hamming distance — the property the pHash family buys for images.
+   * Emitted as two 32-bit words (`h1` low, `h2` high — the d03
+   * portable-simhash shape) so an external SQL engine replays the hash
+   * in plain integer arithmetic.
+   *
+   * Codec note: samples are read through the payload cast to string
+   * (`ascii` of each sampled character), which equals the byte value
+   * for the ASCII-range synthetic payloads this environment builds; a
+   * real image pipeline replaces the sampler with decoded luma pixels —
+   * the thresholding, packing, and pairing machinery is the production
+   * part. Payloads must be non-empty.
+   */
+  def perceptualHash(df: DataFrame, idCol: String, payload: Column): DataFrame =
+    df.select(col(idCol).as("doc"), payload.cast("string").as("ps"))
+      .filter(length(col("ps")) > 0)
+      .withColumn("n", length(col("ps")).cast("long"))
+      .withColumn("cs", expr(
+        "transform(sequence(0, 63), j -> cast(ascii(substring(" +
+          "ps, cast((j * (n - 1)) div 63 as int) + 1, 1)) as long))"))
+      .withColumn("tot", expr("aggregate(cs, 0L, (a, x) -> a + x)"))
+      .withColumn("h1", expr("aggregate(sequence(0, 31), 0L, " +
+        "(a, j) -> a + if(64 * cs[j] >= tot, shiftleft(1L, j), 0L))"))
+      .withColumn("h2", expr("aggregate(sequence(32, 63), 0L, " +
+        "(a, j) -> a + if(64 * cs[j] >= tot, shiftleft(1L, j - 32), 0L))"))
+      .select(col("doc"), col("h1"), col("h2"))
+
+  /**
+   * Perceptual near-duplicate pairs at Hamming distance <= `maxHamming`
+   * over the 64-bit [[perceptualHash]] — the d03 chunk-banding
+   * discipline: split each hash into four 16-bit chunks; by pigeonhole
+   * any pair within Hamming 3 shares at least one chunk, so candidates
+   * come from chunk-equality joins (bucket-local at scale, never
+   * all-pairs) and the exact Hamming filter keeps no false positives.
+   */
+  def perceptualPairs(df: DataFrame, idCol: String, payload: Column,
+                      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < 4, "chunk banding guarantees recall only for hamming <= 3")
+    // cut: both sides of the chunk self-join read the 24-byte/doc sketch
+    val sh = Materialize(perceptualHash(df, idCol, payload))
+    val chunked = sh.select(col("doc"), col("h1"), col("h2"), posexplode(array(
+      col("h1").bitwiseAND(0xFFFF), shiftright(col("h1"), 16),
+      col("h2").bitwiseAND(0xFFFF), shiftright(col("h2"), 16))))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_val")
+    chunked.as("x")
+      .join(chunked.as("y"),
+        col("x.chunk") === col("y.chunk") &&
+          col("x.chunk_val") === col("y.chunk_val") &&
+          col("x.doc") < col("y.doc"))
+      .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"),
+        (bit_count(col("x.h1").bitwiseXOR(col("y.h1"))) +
+          bit_count(col("x.h2").bitwiseXOR(col("y.h2")))).cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /**
    * The codec boundary: per-blob metadata extraction as a typed
    * `mapPartitions` (one iterator pass per partition, digest instance
    * reused across the batch — the shape a real decoder batch needs).

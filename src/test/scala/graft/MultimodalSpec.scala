@@ -177,4 +177,30 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
       assert(m.width >= 64 && m.width < 192 && m.height >= 64 && m.height < 192)
     }
   }
+
+  test("perceptualHash: hand-computed bits; identical payloads at hamming 0") {
+    import spark.implicits._
+    // 64-char payload: sampled position j is exactly character j. First
+    // 32 chars 'z' (above mean), last 32 'a' (below) -> h1 all-ones in
+    // 32 bits, h2 zero. A copy pairs at hamming 0; flipping ONE sampled
+    // char flips exactly one bit (hamming 1).
+    val base = "z" * 32 + "a" * 32
+    val flipped = "z" * 31 + "a" * 33 // char 31 drops below the mean
+    val df = Seq((1L, base), (2L, base), (3L, flipped)).toDF("doc_id", "pay")
+    val h = Multimodal.perceptualHash(df, "doc_id", col("pay"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(h(1L) == ((0xFFFFFFFFL, 0L)))
+    assert(h(1L) == h(2L))
+    assert(java.lang.Long.bitCount(h(1L)._1 ^ h(3L)._1) +
+      java.lang.Long.bitCount(h(1L)._2 ^ h(3L)._2) == 1)
+    val pairs = Multimodal.perceptualPairs(df, "doc_id", col("pay"),
+        maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    graft.operators.Materialize.releaseAll()
+    assert(pairs == Set((1L, 2L, 0), (1L, 3L, 1), (2L, 3L, 1)))
+    // the banding bound is enforced, not silently ignored
+    assertThrows[IllegalArgumentException] {
+      Multimodal.perceptualPairs(df, "doc_id", col("pay"), maxHamming = 9)
+    }
+  }
 }
