@@ -1259,6 +1259,17 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // tokenizer-vocabulary coverage: OOV occurrence rate per doc vs the
+    // t14-style top-200 trained vocabulary, integer counts + basis
+    // points — the pre-training signal that catches wrong-language and
+    // mojibake text the tokenizer would shred
+    "t29_oov_rate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      TextAnalysis.oovRate(docs, "doc_id", "text",
+          TextAnalysis.vocabTopK(docs, "text", k = 200), "token")
+        .orderBy("doc_id")
+    }),
+
     // perceptual-hash (aHash) near-dup over the m05 payload fixture:
     // groups share an anchor body with per-doc tails, so same-group
     // payloads land within Hamming 3 of each other's 64-bit downsample
@@ -3143,6 +3154,20 @@ object SparkEntry {
       """, tok AS (SELECT unnest(string_split(t, ' ')) AS token FROM n)
          SELECT token, count(*) AS n FROM tok
          GROUP BY token ORDER BY n DESC, token ASC LIMIT 100"""),
+
+    // the t14 vocabulary at k=200, then per-doc occurrence membership
+    "t29_oov_rate" -> (NormCte +
+      """, tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS token FROM n),
+         voc AS (SELECT token FROM (SELECT token, count(*) AS n FROM tok
+                 GROUP BY token ORDER BY n DESC, token ASC LIMIT 200)),
+         j AS (SELECT tok.doc_id,
+                 CASE WHEN voc.token IS NULL THEN 1 ELSE 0 END AS oov
+               FROM tok LEFT JOIN voc ON tok.token = voc.token)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                CAST(sum(oov) AS BIGINT) AS n_oov,
+                CAST(floor(sum(oov) * 10000.0 / count(*) + 0.5) AS BIGINT)
+                  AS oov_bp
+         FROM j GROUP BY doc_id ORDER BY doc_id"""),
 
     // the integer quality score as a per-doc keep probability, replayed
     // through the same 16-bit md5 digest compare as the d10 sampler

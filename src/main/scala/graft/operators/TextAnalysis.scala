@@ -720,6 +720,35 @@ object TextAnalysis {
   }
 
   /**
+   * Tokenizer vocabulary coverage / OOV rate — the curation signal a
+   * tokenizer-aware pipeline computes before training: the fraction of
+   * a document's token OCCURRENCES outside the trained vocabulary (high
+   * OOV = mojibake, the wrong language for the tokenizer, or junk the
+   * byte-fallback would shred into char-level pieces). `vocab` is any
+   * one-column token frame — the [[vocabTopK]] output, a trained BPE
+   * vocabulary, a loaded tokenizer table. Counts are exact integers and
+   * the rate is fixed to basis points half-up, so an external engine
+   * replays it bit-for-bit.
+   *
+   * Scale shape: one tokenize pass; membership rides a broadcast left
+   * join (vocabularies are config-scale — 32-256k rows); one map-side
+   * combinable per-doc aggregate. Zero-token documents drop (no
+   * occurrences to rate), matching the grouped-aggregate semantics.
+   */
+  def oovRate(df: DataFrame, idCol: String, textCol: String,
+              vocab: DataFrame, vocabCol: String): DataFrame = {
+    val v = vocab.select(col(vocabCol).as("token")).distinct()
+      .withColumn("__in", lit(1))
+    df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .join(broadcast(v), Seq("token"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_bp",
+        floor(col("n_oov") * 10000.0 / col("n_tokens") + 0.5).cast("long"))
+  }
+
+  /**
    * HTML/markup → text extraction — the step every crawl pipeline runs
    * before any text operator (C4/RefinedWeb start from WET/WARC HTML;
    * this engine's text operators all assume extracted text). A chain of

@@ -205,6 +205,23 @@ object StreamingAnalytics {
         group, value)
     }
 
+  /** The distinct-count twin: `auxTable` holds the MULTIPLICITY VIEW
+   * ([[graft.operators.Ivm.distinctAux]] shape — one row per group/value
+   * with its live count), maintained per batch by
+   * [[graft.operators.Ivm.applyDistinctAuxDelta]]; the distinct count
+   * itself is a group-cardinality read off the view
+   * ([[graft.operators.Ivm.distinctCount]]). Seed the view with
+   * `distinctAux` over the initial snapshot. */
+  def maintainDistinct(changes: DataFrame, store: graft.catalog.SnapshotStore,
+                       db: String, snapTable: String, auxTable: String,
+                       keys: Seq[String], group: Column, value: Column,
+                       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    maintainAggregate(changes, store, db, snapTable, auxTable, keys,
+      checkpoint) { (aux, old, _, chg) =>
+      graft.operators.Ivm.applyDistinctAuxDelta(aux, old, chg, keys,
+        group, value)
+    }
+
   /** The shared streaming-IVM runner: maintains the snapshot table and
    * ONE downstream aggregate whose delta rule is `fold(agg, oldSnap,
    * newSnap, changelog)` — count/sum and min/max are the shipped folds;

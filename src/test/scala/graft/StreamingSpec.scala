@@ -444,4 +444,40 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(agg == toMap(Ivm.minMaxAgg(store.read("mmdb", "snap"),
       col("grp_in"), col("v"))))
   }
+
+  test("streaming distinct-count IVM: the multiplicity view stays exact") {
+    import spark.implicits._
+    import graft.operators.Ivm
+    val tmp = Files.createTempDirectory("graft-stream-dc").toString
+    val catalog = new InMemoryCatalog
+    val store = new SnapshotStore(spark, catalog)
+    catalog.register(TableMeta("dcdb", "snap", s"$tmp/snap"))
+    catalog.register(TableMeta("dcdb", "aux", s"$tmp/aux"))
+    // value 5 duplicated in group a — deleting ONE copy must not move
+    // the distinct count, deleting the second must
+    val init = Seq((1L, "a", 5L), (2L, "a", 5L), (3L, "a", 9L), (4L, "b", 7L))
+      .toDF("k", "grp_in", "v")
+    store.overwrite("dcdb", "snap", init)
+    store.overwrite("dcdb", "aux",
+      Ivm.distinctAux(init, col("grp_in"), col("v")))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String, Option[String], Option[Long])]
+    val q = StreamingAnalytics.maintainDistinct(
+      ms.toDF().toDF("k", "change", "grp_in", "v"), store, "dcdb",
+      "snap", "aux", Seq("k"), col("grp_in"), col("v"), s"$tmp/ckpt")
+    try {
+      ms.addData((1L, "D", None, None)) // one copy of the dup 5 leaves
+      q.processAllAvailable()
+      ms.addData((2L, "U", Some("a"), Some(9L))) // last 5 becomes another 9
+      q.processAllAvailable()
+    } finally q.stop()
+    def dc(df: org.apache.spark.sql.DataFrame) =
+      Ivm.distinctCount(df).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = dc(store.read("dcdb", "aux"))
+    // a holds {9} twice -> 1 distinct; b holds {7}
+    assert(got == Map("a" -> 1L, "b" -> 1L))
+    assert(got == dc(Ivm.distinctAux(store.read("dcdb", "snap"),
+      col("grp_in"), col("v"))))
+  }
 }
