@@ -156,8 +156,15 @@ object PrefixScan {
                   tokenCol: String, path: String): Unit = {
     val spark = packed.sparkSession
     val shards = packed.select(col(shardCol).cast("long")).distinct()
+      .limit(100001)
       .collect().map(_.getLong(0)).sorted // manifest-scale loop control
     require(shards.nonEmpty, "no shards to write")
+    // shards are FILES: the routing map, the manifest, and the write
+    // tasks all scale with their count, and a six-figure-file export is
+    // a directory-sharding problem, not a flat one — fail fast instead
+    // of building a million-entry literal map into the plan
+    require(shards.length <= 100000,
+      "over 100k shards — raise the budget or shard by directory ranges")
     val n = shards.length
     val toks = graft.catalog.Layout.bijectiveTokens(spark, n)
     val route = map_from_arrays(
