@@ -3063,11 +3063,10 @@ object SparkEntry {
                 CAST(max(e) AS BIGINT) AS span_end
          FROM grp GROUP BY doc_id, grp ORDER BY doc_id, span_start"""),
 
-    // anchor-shared payload chunks, distinct per doc, paired on shared
-    // chunk fingerprints — same set-Jaccard shape as d17
-    // ground truth = ALL pairs at hamming <= 3 over the replayed aHash
-    // (no banding clause: pigeonhole makes 16-bit-chunk banding lossless
-    // at this bound, and equality against the banded operator PROVES it)
+    // m07 ground truth = ALL pairs at hamming <= 3 over the replayed
+    // aHash (no banding clause: pigeonhole makes 16-bit-chunk banding
+    // lossless at this bound, and equality against the banded operator
+    // PROVES it); m05 below keeps its own set-Jaccard chunk shape
     "m07_perceptual_neardup" ->
       """WITH a AS (SELECT doc_id, doc_id - doc_id % 5 AS anchor_id
                     FROM documents),
@@ -3100,6 +3099,8 @@ object SparkEntry {
          WHERE bit_count(xor(x.h1, y.h1)) + bit_count(xor(x.h2, y.h2)) <= 3
          ORDER BY doc_a, doc_b""",
 
+    // anchor-shared payload chunks, distinct per doc, paired on shared
+    // chunk fingerprints — same set-Jaccard shape as d17
     "m05_media_neardup" ->
       """WITH a AS (SELECT doc_id, doc_id - doc_id % 5 AS anchor_id
                     FROM documents),

@@ -140,6 +140,38 @@ object Layout {
    * the measured min/max, the zone-map a pruned read consults. */
   private[graft] val StatsFile = "_graft_stats.tsv"
 
+  /** Commit a small sidecar file next to a table (tmp-write + rename —
+   * readers see the old or the new manifest, never a torn one). ONE
+   * home for the discipline: the zone-map stats and the shard manifest
+   * both ride it, so the commit protocol cannot drift between them. */
+  private[graft] def writeSidecar(spark: SparkSession, dir: String,
+                                  name: String, content: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(root, s".tmp-$name")
+    val fin = new org.apache.hadoop.fs.Path(root, name)
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.delete(fin, false)
+    if (!fs.rename(tmp, fin))
+      throw new IllegalStateException(s"sidecar commit failed: $tmp -> $fin")
+  }
+
+  /** The sidecar's non-empty lines (requires it to exist — the caller
+   * names the writer in its own error message). */
+  private[graft] def readSidecarLines(spark: SparkSession, dir: String,
+                                      name: String, writtenBy: String): Vector[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir, name)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"no $name at $dir — written by $writtenBy?")
+    val in = fs.open(p)
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+      finally in.close()
+    lines.filter(_.nonEmpty)
+  }
+
   /**
    * Write `df` z-clustered at `path` AND record a zone-map: per output
    * file, the measured min/max of every clustered dimension
@@ -185,16 +217,7 @@ object Layout {
           sb.append(s"$f\t$c\t${r.getDouble(1 + 2 * i)}\t${r.getDouble(2 + 2 * i)}\n")
       }
     }
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(root, s".tmp-$StatsFile")
-    val fin = new org.apache.hadoop.fs.Path(root, StatsFile)
-    val out = fs.create(tmp, true)
-    try out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    fs.delete(fin, false)
-    if (!fs.rename(tmp, fin))
-      throw new IllegalStateException(s"stats manifest commit failed: $tmp -> $fin")
+    writeSidecar(spark, path, StatsFile, sb.toString)
   }
 
   /**
@@ -210,15 +233,8 @@ object Layout {
   def readPruned(spark: SparkSession, path: String,
                  ranges: Map[String, (Double, Double)]): DataFrame = {
     require(ranges.nonEmpty, "readPruned needs at least one range")
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val sf = new org.apache.hadoop.fs.Path(root, StatsFile)
-    require(fs.exists(sf), s"no $StatsFile at $path — written by writeClustered?")
-    val in = fs.open(sf)
-    val lines =
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
-      finally in.close()
-    val stats = lines.filter(_.nonEmpty).map { l =>
+    val lines = readSidecarLines(spark, path, StatsFile, "writeClustered")
+    val stats = lines.map { l =>
       val Array(f, c, mn, mx) = l.split('\t')
       (f, c, mn.toDouble, mx.toDouble)
     }.groupBy(_._1)

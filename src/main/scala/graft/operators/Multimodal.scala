@@ -250,8 +250,12 @@ object Multimodal {
       .select(col("x.doc").as("doc_a"), col("y.doc").as("doc_b"),
         (bit_count(col("x.h1").bitwiseXOR(col("y.h1"))) +
           bit_count(col("x.h2").bitwiseXOR(col("y.h2")))).cast("int").as("hamming"))
-      .distinct()
+      // Hamming filter BEFORE the dedup: random 16-bit chunk collisions
+      // dominate the candidate set at corpus scale, and the distinct's
+      // exchange must carry only the near-dup survivors, not the far
+      // pairs about to be discarded
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /**

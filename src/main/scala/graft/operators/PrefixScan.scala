@@ -156,15 +156,18 @@ object PrefixScan {
                   tokenCol: String, path: String): Unit = {
     val spark = packed.sparkSession
     val shards = packed.select(col(shardCol).cast("long")).distinct()
-      .limit(100001)
+      .limit(4097)
       .collect().map(_.getLong(0)).sorted // manifest-scale loop control
     require(shards.nonEmpty, "no shards to write")
-    // shards are FILES: the routing map, the manifest, and the write
-    // tasks all scale with their count, and a six-figure-file export is
-    // a directory-sharding problem, not a flat one — fail fast instead
-    // of building a million-entry literal map into the plan
-    require(shards.length <= 100000,
-      "over 100k shards — raise the budget or shard by directory ranges")
+    // shards are FILES: the routing-map literal, the token probe, the
+    // manifest, and the write tasks all scale with their count, and a
+    // flat directory of thousands of files is itself a listing hazard —
+    // fail fast at a bound the machinery comfortably survives (a 4096-
+    // entry map literal and a ~256k-row probe) instead of degrading into
+    // minutes of analysis on a plan-sized map; bigger exports should
+    // batch by directory ranges
+    require(shards.length <= 4096,
+      s"${shards.length} shards — raise the budget or export in directory-range batches")
     val n = shards.length
     val toks = graft.catalog.Layout.bijectiveTokens(spark, n)
     val route = map_from_arrays(
@@ -173,7 +176,11 @@ object PrefixScan {
     packed
       .withColumn("__t", element_at(route, col(shardCol).cast("long")))
       .repartition(n, col("__t"))
-      .sortWithinPartitions(col(orderCol))
+      // sort by (shard, order): partitionBy requires child ordering on
+      // the partition column — with orderCol alone the writer inserts
+      // its OWN sort by shard on top, and a spilling re-sort breaks
+      // orderCol ties arbitrarily, silently scrambling in-file doc order
+      .sortWithinPartitions(col(shardCol), col(orderCol))
       .drop("__t")
       .write.mode("overwrite").partitionBy(shardCol).parquet(path)
     // manifest measured from the WRITTEN files, so it cannot disagree
@@ -182,33 +189,19 @@ object PrefixScan {
       .agg(count(lit(1)).as("n_docs"), sum(tokenCol).as("tok_sum"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
     val content = m.map { case (s, d, t) => s"$s\t$d\t$t" }.mkString("\n")
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(root, ".tmp-_shards.tsv")
-    val fin = new org.apache.hadoop.fs.Path(root, "_shards.tsv")
-    val out = fs.create(tmp, true)
-    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    fs.delete(fin, false)
-    if (!fs.rename(tmp, fin))
-      throw new IllegalStateException(s"shard manifest commit failed: $tmp -> $fin")
+    graft.catalog.Layout.writeSidecar(spark, path, "_shards.tsv", content)
   }
 
   /** The shard manifest read back as (shard, n_docs, tok_sum). */
   def readShardManifest(spark: org.apache.spark.sql.SparkSession,
                         path: String): DataFrame = {
     import spark.implicits._
-    val p = new org.apache.hadoop.fs.Path(path, "_shards.tsv")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(p), s"no _shards.tsv at $path — written by writeShards?")
-    val in = fs.open(p)
-    val lines =
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
-      finally in.close()
-    lines.filter(_.nonEmpty).map { l =>
-      val Array(s, d, t) = l.split('\t')
-      (s.toLong, d.toLong, t.toLong)
-    }.toDF("shard", "n_docs", "tok_sum")
+    graft.catalog.Layout.readSidecarLines(spark, path, "_shards.tsv",
+        "writeShards")
+      .map { l =>
+        val Array(s, d, t) = l.split('\t')
+        (s.toLong, d.toLong, t.toLong)
+      }.toDF("shard", "n_docs", "tok_sum")
   }
 
   /**

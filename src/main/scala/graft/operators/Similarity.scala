@@ -287,14 +287,7 @@ object Similarity {
               probes: Int = 4, centroids: Option[DataFrame] = None): DataFrame = {
     val (indexed, q) =
       ivfFlatPieces(corpus, queries, idCol, vecCol, nCells, probes, centroids)
-    val scored = indexed.join(broadcast(q),
-        indexed("cell") === q("cell") && col("vid") =!= col("query_id"))
-      .withColumn("cos", dot(col("vec"), col("qvec")) / (col("nrm") * col("qnrm")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vid").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("vid").as("neighbor_id"), col("cos"))
+    scoreCells(indexed, q, k)
   }
 
   /** Shared IVF-flat stages — the ONE home of the assignment/probe seam
@@ -313,14 +306,7 @@ object Similarity {
                             centroids: Option[DataFrame]): (DataFrame, DataFrame) = {
     val cent = centroids.getOrElse(defaultCentroids(corpus, idCol, vecCol, nCells))
     val indexed = assignCells(corpus, idCol, vecCol, cent)
-    val qw = Window.partitionBy(col("vid"))
-      .orderBy(col("ccos").desc, col("cid").asc)
-    val q = cellScores(prepared(queries, idCol, vecCol), cent)
-      .withColumn("crank", row_number().over(qw))
-      .filter(col("crank") <= probes)
-      .select(col("vid").as("query_id"), col("vec").as("qvec"),
-        col("nrm").as("qnrm"), col("cid").as("cell"))
-    (indexed, q)
+    (indexed, probeCells(queries, idCol, vecCol, cent, probes))
   }
 
   /**
@@ -356,21 +342,34 @@ object Similarity {
     index.join(gone, Seq(idCol), "left_anti").unionByName(arrived)
   }
 
-  /** IVF top-k over a maintained [[assignCellsFor]]-shaped index: same
-   * probe ranking and scoring as [[ivfTopK]], minus the assignment pass
-   * the index already paid. */
+  /** IVF top-k over a maintained [[assignCellsFor]]-shaped index —
+   * [[probeCells]] and [[scoreCells]] are the SAME helpers [[ivfTopK]]
+   * runs through, so the maintained-index search cannot drift from the
+   * one-shot family seam. */
   def ivfTopKFromIndex(index: DataFrame, queries: DataFrame, idCol: String,
                        vecCol: String, k: Int, probes: Int,
-                       centroids: DataFrame): DataFrame = {
-    val indexed = index.select(col(idCol).as("vid"), col("cell"),
-      col("vec"), col("nrm"))
+                       centroids: DataFrame): DataFrame =
+    scoreCells(index.select(col(idCol).as("vid"), col("cell"),
+        col("vec"), col("nrm")),
+      probeCells(queries, idCol, vecCol, centroids, probes), k)
+
+  /** Each query's `probes` best cells (small side — one window): the
+   * query half of the family seam, shared by [[ivfFlatPieces]] and
+   * [[ivfTopKFromIndex]]. */
+  private def probeCells(queries: DataFrame, idCol: String, vecCol: String,
+                         cent: DataFrame, probes: Int): DataFrame = {
     val qw = Window.partitionBy(col("vid"))
       .orderBy(col("ccos").desc, col("cid").asc)
-    val q = cellScores(prepared(queries, idCol, vecCol), centroids)
+    cellScores(prepared(queries, idCol, vecCol), cent)
       .withColumn("crank", row_number().over(qw))
       .filter(col("crank") <= probes)
       .select(col("vid").as("query_id"), col("vec").as("qvec"),
         col("nrm").as("qnrm"), col("cid").as("cell"))
+  }
+
+  /** Score probed candidates and rank top-k per query: the shared tail
+   * of [[ivfTopK]] and [[ivfTopKFromIndex]]. */
+  private def scoreCells(indexed: DataFrame, q: DataFrame, k: Int): DataFrame = {
     val scored = indexed.join(broadcast(q),
         indexed("cell") === q("cell") && col("vid") =!= col("query_id"))
       .withColumn("cos", dot(col("vec"), col("qvec")) / (col("nrm") * col("qnrm")))
