@@ -328,46 +328,103 @@ object Ivm {
       db: String, baseTable: String, aggTable: String,
       group: Column, value: Column) {
 
-    private def pk: String = store.catalog.primaryKey(db, baseTable)
+    private val inner = new MaintainedAggregates(store, db, baseTable,
+      Seq(countSumSpec(aggTable, group, value)))
 
     /** Bootstrap both tables: the base from `initial`, the aggregate
      * from [[countSumAgg]] over it. */
+    def seed(initial: DataFrame): Unit = inner.seed(initial)
+
+    /** One changelog commit: base and aggregate move together. */
+    def commit(changes: DataFrame): Unit = inner.commit(changes)
+
+    /** The maintained aggregate as currently committed. */
+    def read(): DataFrame = store.read(db, aggTable)
+  }
+
+  /** One maintained downstream table: its store table name, how to seed
+   * it from the initial base snapshot, and its changelog delta rule
+   * `fold(agg, oldSnap, newSnap, changes, keys)`. */
+  final case class MaintainedAgg(
+      table: String,
+      seed: DataFrame => DataFrame,
+      fold: (DataFrame, DataFrame, DataFrame, DataFrame, Seq[String]) => DataFrame)
+
+  /** The shipped specs — one per delta rule in this file. */
+  def countSumSpec(table: String, group: Column, value: Column): MaintainedAgg =
+    MaintainedAgg(table, countSumAgg(_, group, value),
+      (agg, old, _, chg, keys) =>
+        applyCountSumDelta(agg, old, chg, keys, group, value))
+
+  def minMaxSpec(table: String, group: Column, value: Column): MaintainedAgg =
+    MaintainedAgg(table, minMaxAgg(_, group, value),
+      (agg, old, nw, chg, keys) =>
+        applyMinMaxDelta(agg, old, nw, chg, keys, group, value))
+
+  /** The maintained table holds the MULTIPLICITY VIEW ([[distinctAux]]
+   * shape); read the count off it with [[distinctCount]]. */
+  def distinctSpec(table: String, group: Column, value: Column): MaintainedAgg =
+    MaintainedAgg(table, distinctAux(_, group, value),
+      (aux, old, _, chg, keys) =>
+        applyDistinctAuxDelta(aux, old, chg, keys, group, value))
+
+  /**
+   * The registry form of [[MaintainedCountSum]]: ONE base table with ANY
+   * number of maintained downstream aggregates, all moved by one
+   * changelog commit — count/sum, min/max, and distinct-count dashboards
+   * over the same fact table share the one changelog cut, the one
+   * snapshot fold, and the one scoped base commit instead of each
+   * re-deriving them. Every aggregate's plan is pinned against the
+   * PRE-commit versions before anything commits (reads resolve their
+   * manifests eagerly; the store's retention keeps the pinned files
+   * live), so the maintenance math always sees a consistent pair. Same
+   * single-writer batch contract as [[MaintainedCountSum]]; the
+   * streaming twin's marker discipline covers at-least-once runners.
+   */
+  final class MaintainedAggregates(store: graft.catalog.SnapshotStore,
+      db: String, baseTable: String, aggs: Seq[MaintainedAgg]) {
+    require(aggs.nonEmpty, "need at least one maintained aggregate")
+    require(aggs.map(_.table).distinct.size == aggs.size,
+      "maintained aggregate tables must be distinct")
+
+    private def pk: String = store.catalog.primaryKey(db, baseTable)
+
     def seed(initial: DataFrame): Unit = {
       store.overwrite(db, baseTable, initial)
-      store.overwrite(db, aggTable,
-        countSumAgg(store.read(db, baseTable), group, value))
+      val base = store.read(db, baseTable)
+      aggs.foreach(a => store.overwrite(db, a.table, a.seed(base)))
     }
 
-    /** One changelog commit: base and aggregate move together. The
-     * changelog is cut once up front — it feeds the aggregate delta
-     * (minus/plus streams), the snapshot fold (gone/arrived), and the
-     * scoped commit's touched-bucket scan, and an expensive caller plan
-     * (a [[Scd.snapshotDiff]] of two table-scale versions is the
-     * natural input) must not re-execute once per consumer. */
+    /** One changelog commit: the base and EVERY aggregate move together.
+     * The changelog is cut once up front — it feeds each aggregate's
+     * delta, the snapshot fold, and the scoped commit's touched-bucket
+     * scan, and an expensive caller plan ([[Scd.snapshotDiff]] of two
+     * table-scale versions is the natural input) must not re-execute
+     * once per consumer. */
     def commit(changes: DataFrame): Unit = {
       val k = pk
       val chg = Materialize(changes)
       try {
         val old = store.read(db, baseTable) // version-pinned pre-commit
-        val agg = store.read(db, aggTable)
-        val newAgg = applyCountSumDelta(agg, old, chg, Seq(k), group, value)
-        def fold(target: DataFrame): DataFrame = {
-          val gone = chg.filter(col("change").isin("U", "D"))
-            .select(col(k))
-          val arrived = chg.filter(col("change").isin("I", "U")).drop("change")
+        val gone = chg.filter(col("change").isin("U", "D")).select(col(k))
+        val arrived = chg.filter(col("change").isin("I", "U")).drop("change")
+        def folded(target: DataFrame): DataFrame =
           target.join(gone, Seq(k), "left_anti")
             .unionByName(arrived.select(target.columns.map(col).toIndexedSeq: _*))
-        }
+        val newSnap = folded(old)
+        // pin every aggregate's inputs BEFORE any commit moves a version
+        val newAggs = aggs.map(a =>
+          a -> a.fold(store.read(db, a.table), old, newSnap, chg, Seq(k)))
         store match {
           case ms: graft.catalog.MergeSnapshotStore =>
-            ms.mergeScoped(db, baseTable, chg.select(col(k)))(fold)
-          case s => s.overwrite(db, baseTable, fold(old))
+            ms.mergeScoped(db, baseTable, chg.select(col(k)))(folded)
+          case s => s.overwrite(db, baseTable, newSnap)
         }
-        store.overwrite(db, aggTable, newAgg)
+        newAggs.foreach { case (a, df) => store.overwrite(db, a.table, df) }
       } finally Materialize.release(chg)
     }
 
-    /** The maintained aggregate as currently committed. */
-    def read(): DataFrame = store.read(db, aggTable)
+    /** A maintained table as currently committed. */
+    def read(table: String): DataFrame = store.read(db, table)
   }
 }

@@ -502,6 +502,40 @@ class MergeStoreSpec extends AnyFunSuite with SparkFixture {
       s"expected carried-over old bucket dirs in versions ${lastV - 1}/$lastV")
   }
 
+  test("MaintainedAggregates: three dashboards move together per commit") {
+    import graft.operators.{Ivm, Scd}
+    import spark.implicits._
+    val store = mkStore(nBuckets = 8)
+    register(store, "mdb", "facts3", "id")
+    Seq("f3_cs", "f3_mm", "f3_dc").foreach(t => register(store, "mdb", t, "grp"))
+    val m = new Ivm.MaintainedAggregates(store, "mdb", "facts3", Seq(
+      Ivm.countSumSpec("f3_cs", col("grp_in"), col("v")),
+      Ivm.minMaxSpec("f3_mm", col("grp_in"), col("v")),
+      Ivm.distinctSpec("f3_dc", col("grp_in"), col("v"))))
+    def snap(rows: Seq[(Int, String, Long)]) = rows.toDF("id", "grp_in", "v")
+    // dup value 5 in a (distinct-count regime), a's max deleted (min/max
+    // rescan regime), group move + insert (count/sum regime)
+    val s0 = Seq((1, "a", 10L), (2, "a", 5L), (3, "a", 5L), (4, "b", 30L))
+    val s1 = Seq((2, "a", 5L), (3, "a", 5L), (4, "c", 30L), (5, "a", 7L))
+    val s2 = Seq((3, "a", 5L), (4, "c", 31L), (5, "a", 7L), (6, "c", 31L))
+    m.seed(snap(s0))
+    Seq(s0 -> s1, s1 -> s2).foreach { case (prev, next) =>
+      m.commit(Scd.snapshotDiff(snap(prev), snap(next), Seq("id")))
+      val base = store.read("mdb", "facts3")
+      def canon(df: DataFrame) = df.collect().map(_.toString).toSet
+      assert(canon(m.read("f3_cs")) ==
+        canon(Ivm.countSumAgg(base, col("grp_in"), col("v"))))
+      assert(canon(m.read("f3_mm")) ==
+        canon(Ivm.minMaxAgg(base, col("grp_in"), col("v"))))
+      assert(canon(m.read("f3_dc")) ==
+        canon(Ivm.distinctAux(base, col("grp_in"), col("v"))))
+    }
+    // the distinct count reads off the maintained view
+    val dc = Ivm.distinctCount(m.read("f3_dc"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dc == Map("a" -> 2L, "c" -> 1L))
+  }
+
   // ---- plan shape: the target side of the apply never shuffles ----
 
   /** Expand an executed plan across AQE stage / reuse boundaries. */
