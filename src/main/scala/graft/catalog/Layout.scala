@@ -90,13 +90,28 @@ object Layout {
       if (missing.isEmpty) Map.empty
       else {
         val aggs = missing.flatMap(c =>
-          Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
+          Seq(min(col(c).cast("double")), max(col(c).cast("double")),
+            percentile_approx(col(c).cast("double"),
+              array(lit(0.01), lit(0.99)), lit(10000))))
         val r = df.agg(aggs.head, aggs.tail: _*).head()
         require(!r.anyNull,
           s"cannot infer clip ranges for (${missing.mkString(", ")}): input " +
             "is empty or a column is all-null — pass ranges explicitly")
         missing.zipWithIndex.map { case (c, i) =>
-          c -> (r.getDouble(2 * i), r.getDouble(2 * i + 1))
+          val (lo, hi) = (r.getDouble(3 * i), r.getDouble(3 * i + 1))
+          val ps = r.getSeq[Double](3 * i + 2)
+          // equal-width bucketing of a heavy-tailed dimension collapses:
+          // nearly every row ranks into the lowest buckets and one file
+          // swallows the table. The inference pass already sees the
+          // shape, so fail FAST with guidance instead of silently
+          // writing a skewed layout — callers clip to quantile ranges
+          // (outliers then saturate the edge ranks, which is what the
+          // bucketRank clip is for).
+          require(hi - lo <= 0d || hi - lo <= 20.0 * (ps(1) - ps(0)),
+            s"dimension $c is heavy-tailed (full range ${hi - lo} vs " +
+              s"1%-99% range ${ps(1) - ps(0)}): equal-width ranks would " +
+              "skew the layout — pass an explicit quantile clip range")
+          c -> (lo, hi)
         }.toMap
       }
     val z = zValue(
@@ -143,7 +158,13 @@ object Layout {
   /** Commit a small sidecar file next to a table (tmp-write + rename —
    * readers see the old or the new manifest, never a torn one). ONE
    * home for the discipline: the zone-map stats and the shard manifest
-   * both ride it, so the commit protocol cannot drift between them. */
+   * both ride it, so the commit protocol cannot drift between them.
+   * Rename is tried FIRST: POSIX-style filesystems rename over the
+   * destination atomically, so a concurrent reader never observes a
+   * missing manifest; only on stores whose rename refuses an existing
+   * destination (HDFS semantics) does the delete+retry fallback open
+   * its brief no-manifest window — the filesystem's limit, not the
+   * protocol's. */
   private[graft] def writeSidecar(spark: SparkSession, dir: String,
                                   name: String, content: String): Unit = {
     val root = new org.apache.hadoop.fs.Path(dir)
@@ -153,9 +174,11 @@ object Layout {
     val out = fs.create(tmp, true)
     try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    fs.delete(fin, false)
-    if (!fs.rename(tmp, fin))
-      throw new IllegalStateException(s"sidecar commit failed: $tmp -> $fin")
+    if (!fs.rename(tmp, fin)) {
+      fs.delete(fin, false)
+      if (!fs.rename(tmp, fin))
+        throw new IllegalStateException(s"sidecar commit failed: $tmp -> $fin")
+    }
   }
 
   /** The sidecar's non-empty lines (requires it to exist — the caller

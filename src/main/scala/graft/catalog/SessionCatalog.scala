@@ -97,11 +97,29 @@ final class SessionCatalog(spark: SparkSession) extends Catalog {
    * pushing a differing schema through `alterTableDataSchema` is what
    * makes "last registration wins" hold on a real metastore, not just
    * on the in-memory catalog. An empty incoming schema is "unknown",
-   * never a wipe. */
+   * never a wipe.
+   *
+   * The dataSchema path itself refuses NON-ADDITIVE changes (Spark's
+   * `alterTableDataSchema` throws when any existing column is missing
+   * from the new schema), so a re-registration that drops or renames a
+   * column — a domain whose definition SQL narrowed — would crash on a
+   * real metastore while winning on the in-memory one. For that case
+   * the only metastore-portable route is drop + recreate; the brief
+   * missing-table window it opens is confined to the rare narrowing
+   * re-registration (additive refreshes, the landing-write common case,
+   * stay windowless on the in-place path). */
   private def alterInPlace(id: TableIdentifier, table: CatalogTable): Unit = {
     sc.alterTable(table)
-    if (table.schema.nonEmpty && sc.getTableMetadata(id).schema != table.schema)
-      sc.alterTableDataSchema(id, table.schema)
+    val current = sc.getTableMetadata(id).schema
+    if (table.schema.nonEmpty && current != table.schema) {
+      val have = current.map(_.name.toLowerCase).toSet
+      val want = table.schema.map(_.name.toLowerCase).toSet
+      if (have.subsetOf(want)) sc.alterTableDataSchema(id, table.schema)
+      else {
+        sc.dropTable(id, ignoreIfNotExists = true, purge = false)
+        sc.createTable(table, ignoreIfExists = false)
+      }
+    }
   }
 
   override def get(db: String, table: String): Option[TableMeta] =

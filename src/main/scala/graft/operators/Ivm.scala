@@ -144,18 +144,25 @@ object Ivm {
       changeCol: String): DataFrame = {
     val removedKeys = changes.filter(col(changeCol).isin("U", "D"))
       .select(keys.map(col): _*)
-    val rem = oldSnap.join(removedKeys, keys, "inner")
-      .select(group.as(groupOut), value.as("__v"))
-      .filter(col("__v").isNotNull)
+    rescanFromMinus(base,
+      oldSnap.join(removedKeys, keys, "inner")
+        .select(group.as(groupOut), value.as("__v")),
+      groupOut, minCol, maxCol)
+  }
+
+  /** The trigger rule over an already-derived removed-rows frame —
+   * shared by [[applyMinMaxDelta]] (which cuts `minus` once for all its
+   * consumers) and the spec-facing [[minMaxRescanGroups]]. */
+  private def rescanFromMinus(base: DataFrame, minus: DataFrame,
+      groupOut: String, minCol: String, maxCol: String): DataFrame =
     // NULL-safe group match: NULL is a real group to the aggregate, so
     // a removed extremum of the NULL group must trigger its rescan too
-    rem.as("r")
+    minus.filter(col("__v").isNotNull).as("r")
       .join(base.select(col(groupOut), col(minCol).as("__bmin"),
         col(maxCol).as("__bmax")).as("bb"),
         col(s"r.$groupOut") <=> col(s"bb.$groupOut"))
       .filter(col("__v") <= col("__bmin") || col("__v") >= col("__bmax"))
       .select(col(s"r.$groupOut").as(groupOut)).distinct()
-  }
 
   /**
    * Apply an I/U/D changelog to a base MIN/MAX aggregate built by
@@ -185,12 +192,16 @@ object Ivm {
         "(minMaxAgg's shape)")
     val removedKeys = changes.filter(col(changeCol).isin("U", "D"))
       .select(keys.map(col): _*)
-    val minus = oldSnap.join(removedKeys, keys, "inner")
-      .select(group.as(groupOut), value.as("__v"))
+    // cut: the removed-row frame (one oldSnap join) feeds BOTH the
+    // count delta (magg) and the rescan trigger — uncut, the
+    // table-scale oldSnap would scan once per consumer, against this
+    // file's own delta-proportional discipline. The trigger is cut too:
+    // it feeds the folded anti-join and the rescan semi-join.
+    val minus = Materialize(oldSnap.join(removedKeys, keys, "inner")
+      .select(group.as(groupOut), value.as("__v")))
     val plus = changes.filter(col(changeCol).isin("I", "U"))
       .select(group.as(groupOut), value.as("__v"))
-    val trig = minMaxRescanGroups(base, oldSnap, changes, keys, group, value,
-      groupOut, minCol, maxCol, changeCol)
+    val trig = Materialize(rescanFromMinus(base, minus, groupOut, minCol, maxCol))
     val pagg = plus.groupBy(groupOut).agg(count(lit(1)).as("__pc"),
       min("__v").as("__pmin"), max("__v").as("__pmax"))
     val magg = minus.groupBy(groupOut).agg(count(lit(1)).as("__mc"))
@@ -248,13 +259,17 @@ object Ivm {
       .agg(count(lit(1)).as(multOut))
 
   /** The maintained aggregate read off the auxiliary view: per-group
-   * count of live DISTINCT non-null values (SQL `count(DISTINCT v)`
-   * semantics — NULL is not a value). Group-cardinality work. */
+   * count of live DISTINCT non-null values — exactly SQL
+   * `count(DISTINCT v)` semantics, including the edge it is easy to
+   * lose: a group whose live values are ALL NULL still EXISTS with
+   * count 0 (filtering nulls before the groupBy would silently drop
+   * it, and a dashboard could not tell "zero distinct values" from
+   * "no such group"). Group-cardinality work. */
   def distinctCount(aux: DataFrame, groupOut: String = "grp",
                     valOut: String = "val",
                     cntOut: String = "dcnt"): DataFrame =
-    aux.filter(col(valOut).isNotNull)
-      .groupBy(groupOut).agg(count(lit(1)).as(cntOut))
+    aux.groupBy(groupOut)
+      .agg(count(when(col(valOut).isNotNull, 1)).as(cntOut))
 
   /**
    * Fold an I/U/D changelog into a [[distinctAux]] view, returning the
@@ -318,11 +333,13 @@ object Ivm {
    * before either commit happens, so the maintenance math always sees a
    * consistent base/aggregate pair.
    *
-   * The two commits are not atomic: this batch form is for single-writer
-   * pipelines that re-run a failed batch from scratch. An at-least-once
-   * runner needs the replay-idempotent marker discipline of the
-   * streaming twin ([[graft.streaming.StreamingAnalytics
-   * .maintainCountSum]]), which pins base versions per batch id.
+   * The two commits are not atomic: a crash between them leaves the
+   * aggregate a batch behind the base (the base fold itself is replay-
+   * idempotent — see [[MaintainedAggregates]], whose failure contract
+   * this class inherits; recover with its [[MaintainedAggregates
+   * .reseedAggregates]] or run the at-least-once streaming twin
+   * ([[graft.streaming.StreamingAnalytics.maintainCountSum]]), which
+   * pins base versions per batch id).
    */
   final class MaintainedCountSum(store: graft.catalog.SnapshotStore,
       db: String, baseTable: String, aggTable: String,
@@ -340,6 +357,9 @@ object Ivm {
 
     /** The maintained aggregate as currently committed. */
     def read(): DataFrame = store.read(db, aggTable)
+
+    /** Crash recovery: recompute the aggregate from the committed base. */
+    def reseedAggregates(): Unit = inner.reseedAggregates()
   }
 
   /** One maintained downstream table: its store table name, how to seed
@@ -377,9 +397,18 @@ object Ivm {
    * re-deriving them. Every aggregate's plan is pinned against the
    * PRE-commit versions before anything commits (reads resolve their
    * manifests eagerly; the store's retention keeps the pinned files
-   * live), so the maintenance math always sees a consistent pair. Same
-   * single-writer batch contract as [[MaintainedCountSum]]; the
-   * streaming twin's marker discipline covers at-least-once runners.
+   * live), so the maintenance math always sees a consistent pair.
+   *
+   * Failure contract (single-writer batch): the base fold is
+   * IDEMPOTENT (the anti-join removes every changelog key, inserts
+   * included, before the new images union in — replaying a committed
+   * batch reproduces the same base), but the AGGREGATE folds are not —
+   * a crash between the base commit and the aggregate overwrites
+   * leaves aggregates one batch behind. Recover with
+   * [[reseedAggregates]] (recompute from the committed base — the
+   * always-correct reset) or run under the streaming twin
+   * ([[graft.streaming.StreamingAnalytics.maintainAggregate]]), whose
+   * pinned-base markers make whole-batch replay idempotent.
    */
   final class MaintainedAggregates(store: graft.catalog.SnapshotStore,
       db: String, baseTable: String, aggs: Seq[MaintainedAgg]) {
@@ -401,30 +430,45 @@ object Ivm {
      * scan, and an expensive caller plan ([[Scd.snapshotDiff]] of two
      * table-scale versions is the natural input) must not re-execute
      * once per consumer. */
-    def commit(changes: DataFrame): Unit = {
+    def commit(changes: DataFrame): Unit = Materialize.scoped {
+      // scoped: the changelog cut AND any operator-internal cuts the
+      // folds create (applyMinMaxDelta cuts its removed-rows frame) are
+      // released when the commit's actions finish — without the scope a
+      // long-lived caller (or the streaming runner) would pin a cut per
+      // commit forever
       val k = pk
       val chg = Materialize(changes)
-      try {
-        val old = store.read(db, baseTable) // version-pinned pre-commit
-        val gone = chg.filter(col("change").isin("U", "D")).select(col(k))
-        val arrived = chg.filter(col("change").isin("I", "U")).drop("change")
-        def folded(target: DataFrame): DataFrame =
-          target.join(gone, Seq(k), "left_anti")
-            .unionByName(arrived.select(target.columns.map(col).toIndexedSeq: _*))
-        val newSnap = folded(old)
-        // pin every aggregate's inputs BEFORE any commit moves a version
-        val newAggs = aggs.map(a =>
-          a -> a.fold(store.read(db, a.table), old, newSnap, chg, Seq(k)))
-        store match {
-          case ms: graft.catalog.MergeSnapshotStore =>
-            ms.mergeScoped(db, baseTable, chg.select(col(k)))(folded)
-          case s => s.overwrite(db, baseTable, newSnap)
-        }
-        newAggs.foreach { case (a, df) => store.overwrite(db, a.table, df) }
-      } finally Materialize.release(chg)
+      val old = store.read(db, baseTable) // version-pinned pre-commit
+      // anti-join ALL changelog keys (not just U/D): for a fresh apply
+      // the I keys are absent and the anti-join is a no-op, and for a
+      // REPLAYED batch it removes the previously inserted rows before
+      // re-adding them — the base fold is idempotent by construction
+      val gone = chg.select(col(k))
+      val arrived = chg.filter(col("change").isin("I", "U")).drop("change")
+      def folded(target: DataFrame): DataFrame =
+        target.join(gone, Seq(k), "left_anti")
+          .unionByName(arrived.select(target.columns.map(col).toIndexedSeq: _*))
+      val newSnap = folded(old)
+      // pin every aggregate's inputs BEFORE any commit moves a version
+      val newAggs = aggs.map(a =>
+        a -> a.fold(store.read(db, a.table), old, newSnap, chg, Seq(k)))
+      store match {
+        case ms: graft.catalog.MergeSnapshotStore =>
+          ms.mergeScoped(db, baseTable, chg.select(col(k)))(folded)
+        case s => s.overwrite(db, baseTable, newSnap)
+      }
+      newAggs.foreach { case (a, df) => store.overwrite(db, a.table, df) }
     }
 
     /** A maintained table as currently committed. */
     def read(table: String): DataFrame = store.read(db, table)
+
+    /** Recovery reset: recompute every maintained aggregate from the
+     * CURRENTLY COMMITTED base — the always-correct (if full-scan)
+     * repair after a crash left aggregates behind the base. */
+    def reseedAggregates(): Unit = {
+      val base = store.read(db, baseTable)
+      aggs.foreach(a => store.overwrite(db, a.table, a.seed(base)))
+    }
   }
 }

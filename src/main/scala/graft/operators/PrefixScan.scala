@@ -155,7 +155,10 @@ object PrefixScan {
   def writeShards(packed: DataFrame, shardCol: String, orderCol: String,
                   tokenCol: String, path: String): Unit = {
     val spark = packed.sparkSession
-    val shards = packed.select(col(shardCol).cast("long")).distinct()
+    // cut: the packed plan (a corpus-wide running-total pass) feeds the
+    // shard-id collect AND the data write — uncut it would execute twice
+    val cut = Materialize(packed)
+    val shards = cut.select(col(shardCol).cast("long")).distinct()
       .limit(4097)
       .collect().map(_.getLong(0)).sorted // manifest-scale loop control
     require(shards.nonEmpty, "no shards to write")
@@ -173,7 +176,7 @@ object PrefixScan {
     val route = map_from_arrays(
       array(shards.map(lit(_)): _*),
       array(shards.indices.map(i => lit(toks(i))): _*))
-    packed
+    cut
       .withColumn("__t", element_at(route, col(shardCol).cast("long")))
       .repartition(n, col("__t"))
       // sort by (shard, order): partitionBy requires child ordering on

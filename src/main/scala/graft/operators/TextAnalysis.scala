@@ -281,6 +281,7 @@ object TextAnalysis {
   def bm25TopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                textCol: String, k: Int, k1: Double = 1.2, b: Double = 0.75,
                maxDfFrac: Double = 0.5): DataFrame = {
+    requireBm25Args(k, k1, b, maxDfFrac) // BEFORE the eager corpus pass
     // eager: the stats consumer arrives through a broadcast exchange,
     // which AQE builds concurrently with the postings path — a lazy cut
     // would be recomputed once per racing consumer
@@ -371,8 +372,11 @@ object TextAnalysis {
                         prefix: String, queries: DataFrame, idCol: String,
                         textCol: String, k: Int, k1: Double = 1.2,
                         b: Double = 0.75, maxDfFrac: Double = 0.5): DataFrame = {
-    val qt = queries.select(col(idCol).as("query_id"),
-      explode(tokens(col(textCol))).as("term")).distinct()
+    requireBm25Args(k, k1, b, maxDfFrac)
+    // cut: the query tokenization feeds BOTH the point lookup's key
+    // collect and the scoring broadcast — one tiny cut, one pass
+    val qt = Materialize(queries.select(col(idCol).as("query_id"),
+      explode(tokens(col(textCol))).as("term")).distinct())
     val postings = store.pointLookup(db, s"${prefix}_postings",
       qt.select("term"))
     val idx = Bm25Index(postings,
@@ -392,11 +396,16 @@ object TextAnalysis {
         explode(tokens(col(textCol))).as("term")).distinct(),
       k, k1, b, maxDfFrac)
 
-  private def scoreBm25(idx: Bm25Index, qt: DataFrame, k: Int, k1: Double,
-                        b: Double, maxDfFrac: Double): DataFrame = {
+  private def requireBm25Args(k: Int, k1: Double, b: Double,
+                              maxDfFrac: Double): Unit = {
     require(k >= 1, "k must be >= 1")
     require(k1 > 0 && b >= 0 && b <= 1, "k1 > 0 and 0 <= b <= 1 required")
     require(maxDfFrac > 0, "maxDfFrac <= 0 would drop every query term")
+  }
+
+  private def scoreBm25(idx: Bm25Index, qt: DataFrame, k: Int, k1: Double,
+                        b: Double, maxDfFrac: Double): DataFrame = {
+    requireBm25Args(k, k1, b, maxDfFrac)
     val m = idx.postings.join(broadcast(qt), Seq("term"))
       .filter(col("doc") =!= col("query_id"))
       .join(idx.docFreq, Seq("term"))
@@ -893,9 +902,35 @@ object TextAnalysis {
                              weightCol: String = "w_milli"): Column =
     element_at(hashedEmbeddingMilli(c, 1, weights, termCol, weightCol), 1)
 
+  /** Per-session cache of collected weight broadcasts, keyed by the
+   * weight FRAME's identity plus the read shape: the natural pairing —
+   * one loaded table feeding both the score and the embedding column,
+   * or scoring many batches in a session — would otherwise re-collect
+   * and re-broadcast the up-to-2^21-entry map per call and leak
+   * undestroyed broadcasts for the session's lifetime. Weak keys let a
+   * dropped weight frame release its entry; a RELOADED table (new
+   * DataFrame identity) naturally gets a fresh broadcast. */
+  private val weightCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[DataFrame,
+      scala.collection.mutable.Map[(Int, String, String),
+        org.apache.spark.broadcast.Broadcast[
+          java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Array[Long]]]]]())
+
   /** Weight table → broadcast UTF8String-keyed map: the parquet →
    * driver → broadcast leg of the learned-model seam. */
   private def broadcastWeights(weights: DataFrame, d: Int,
+      termCol: String, weightCol: String)
+      : org.apache.spark.broadcast.Broadcast[
+        java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Array[Long]]] = {
+    val perFrame = weightCache.computeIfAbsent(weights,
+      _ => scala.collection.mutable.Map.empty)
+    perFrame.synchronized {
+      return perFrame.getOrElseUpdate((d, termCol, weightCol),
+        collectWeights(weights, d, termCol, weightCol))
+    }
+  }
+
+  private def collectWeights(weights: DataFrame, d: Int,
       termCol: String, weightCol: String)
       : org.apache.spark.broadcast.Broadcast[
         java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Array[Long]]] = {

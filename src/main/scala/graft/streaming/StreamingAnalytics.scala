@@ -245,7 +245,11 @@ object StreamingAnalytics {
       store: graft.catalog.SnapshotStore, db: String, snapTable: String,
       aggTable: String, keys: Seq[String], checkpoint: String)(
       fold: (DataFrame, DataFrame, DataFrame, DataFrame) => DataFrame): Unit = {
-        if (!chg.isEmpty) {
+        // scoped: operator-internal Materialize cuts a fold creates
+        // (the min/max delta cuts its removed-rows frame) release when
+        // the batch's writes land — otherwise every micro-batch would
+        // pin blocks for the stream's lifetime
+        if (!chg.isEmpty) graft.operators.Materialize.scoped {
           val markers = new Path(new Path(checkpoint), "graft-ivm-base")
           val fs = markers.getFileSystem(
             chg.sparkSession.sparkContext.hadoopConfiguration)

@@ -271,6 +271,17 @@ class IvmSpec extends AnyFunSuite with SparkFixture {
     assert(nmmMap(mm)(None) == ((2L, 5L, 6L)))
   }
 
+  test("distinctCount keeps an all-NULL-value group at 0, like count(DISTINCT)") {
+    val rows = Seq((1L, "a", Some(5L)), (2L, "n", Option.empty[Long]),
+      (3L, "n", Option.empty[Long])).toDF("k", "grp_in", "v")
+    val got = Ivm.distinctCount(Ivm.distinctAux(rows, col("grp_in"), col("v")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // SQL: SELECT grp, count(DISTINCT v) yields ('n', 0) — the group
+    // EXISTS with a zero count; dropping it would make "no distinct
+    // values" indistinguishable from "no such group"
+    assert(got == Map("a" -> 1L, "n" -> 0L))
+  }
+
   test("min/max shape guard rejects a countSumAgg-shaped base") {
     intercept[IllegalArgumentException] {
       Ivm.applyMinMaxDelta(Ivm.countSumAgg(mmOld, col("grp_in"), col("v")),

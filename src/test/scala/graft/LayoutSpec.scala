@@ -181,6 +181,27 @@ class LayoutSpec extends AnyFunSuite with SparkFixture {
       spark.read.parquet(s"$base/t").filter(col("id") <= 99).count())
   }
 
+  test("inferred ranges refuse a heavy-tailed dimension with guidance") {
+    import spark.implicits._
+    // 99.9% of values in [0, 100], a few outliers at 10^9: equal-width
+    // ranks over the inferred min/max would put the whole table in the
+    // lowest bucket — the inference pass must fail fast, not silently
+    // write a one-file layout
+    val skewed = spark.range(2000).select(
+      when(col("id") < 1995, col("id") % 100)
+        .otherwise(lit(1000000000L)).as("x"),
+      col("id").as("y"))
+    val e = intercept[IllegalArgumentException] {
+      Layout.cluster(skewed, Seq("x" -> None, "y" -> None), files = 8)
+        .count()
+    }
+    assert(e.getMessage.contains("heavy-tailed"))
+    // an explicit quantile clip range works (outliers saturate the edge)
+    val ok = Layout.cluster(skewed,
+      Seq("x" -> Some((0.0, 100.0)), "y" -> None), files = 8)
+    assert(ok.count() == 2000)
+  }
+
   test("cluster layout is deterministic and contiguous regardless of session history") {
     import spark.implicits._
     // repartitionByRange's bound sampler seeds from the RDD id, so the

@@ -536,6 +536,34 @@ class MergeStoreSpec extends AnyFunSuite with SparkFixture {
     assert(dc == Map("a" -> 2L, "c" -> 1L))
   }
 
+  test("MaintainedAggregates: base replay is idempotent; reseed repairs aggregates") {
+    import graft.operators.{Ivm, Scd}
+    import spark.implicits._
+    val store = mkStore(nBuckets = 8)
+    register(store, "mdb", "facts4", "id")
+    register(store, "mdb", "f4_cs", "grp")
+    val m = new Ivm.MaintainedAggregates(store, "mdb", "facts4",
+      Seq(Ivm.countSumSpec("f4_cs", col("grp_in"), col("v"))))
+    val s0 = Seq((1, "a", 10L), (2, "a", 20L), (3, "b", 30L)).toDF("id", "grp_in", "v")
+    val s1 = Seq((1, "a", 11L), (3, "b", 30L), (4, "b", 40L)).toDF("id", "grp_in", "v")
+    m.seed(s0)
+    val chg = Scd.snapshotDiff(s0, s1, Seq("id"))
+    m.commit(chg)
+    def baseSet() = store.read("mdb", "facts4").collect().map(_.toString).toSet
+    def aggSet() = m.read("f4_cs").collect().map(_.toString).toSet
+    val (base1, agg1) = (baseSet(), aggSet())
+    // an at-least-once runner REPLAYS the batch: the base fold must be
+    // idempotent (the I row is removed before re-insertion, never doubled)
+    m.commit(chg)
+    assert(baseSet() == base1, "replayed commit changed the base")
+    // aggregates are NOT replay-idempotent (the documented contract) —
+    // reseedAggregates is the repair, and it restores exact recompute
+    m.reseedAggregates()
+    assert(aggSet() == Ivm.countSumAgg(store.read("mdb", "facts4"),
+      col("grp_in"), col("v")).collect().map(_.toString).toSet)
+    assert(aggSet() == agg1)
+  }
+
   // ---- plan shape: the target side of the apply never shuffles ----
 
   /** Expand an executed plan across AQE stage / reuse boundaries. */
