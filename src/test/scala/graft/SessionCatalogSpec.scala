@@ -38,6 +38,30 @@ class SessionCatalogSpec extends AnyFunSuite with SparkFixture {
     assert(cat.get("no_such_db", "x").isEmpty)
   }
 
+  test("a NARROWING re-registration wins too (drop+recreate fallback)") {
+    // Spark's alterTableDataSchema refuses to drop columns on a real
+    // metastore, so "last registration wins" for a schema that removed
+    // or renamed a column must take the drop+recreate route — and keep
+    // the PK/partitioning properties through it
+    val cat = new SessionCatalog(spark)
+    val tmp = Files.createTempDirectory("graft-sess-narrow").toString
+    val wide = Seq((1L, "a", 2.0)).toDF("id", "name", "score")
+    val narrow = Seq((1L, "a")).toDF("id", "label") // drops + renames
+    val meta = TableMeta("scdb3", "t", s"$tmp/t",
+      primaryKey = Some("id"), schema = Some(wide.schema))
+    cat.register(meta)
+    assert(cat("scdb3", "t").schema.contains(wide.schema))
+    cat.register(meta.copy(schema = Some(narrow.schema)))
+    val got = cat("scdb3", "t")
+    assert(got.schema.contains(narrow.schema),
+      s"narrowed schema did not win: ${got.schema}")
+    assert(got.primaryKey.contains("id"), "PK property lost in recreate")
+    // additive refresh still takes the windowless in-place path
+    val wider = Seq((1L, "a", 5L)).toDF("id", "label", "extra")
+    cat.register(meta.copy(schema = Some(wider.schema)))
+    assert(cat("scdb3", "t").schema.contains(wider.schema))
+  }
+
   test("the versioned snapshot store runs unchanged over the session catalog") {
     val cat = new SessionCatalog(spark)
     val tmp = Files.createTempDirectory("graft-sess-store").toString
