@@ -564,6 +564,50 @@ class MergeStoreSpec extends AnyFunSuite with SparkFixture {
     assert(aggSet() == agg1)
   }
 
+  test("the ANN index rides the maintained-aggregate registry unchanged") {
+    // composition, no new API: applyIndexDelta's shape IS a MaintainedAgg
+    // fold, so one CDC commit keeps the vector index current in the store
+    // next to any dashboards sharing the changelog cut
+    import graft.operators.{Ivm, Scd, Similarity}
+    import spark.implicits._
+    val store = mkStore(nBuckets = 8)
+    register(store, "mdb", "vecs", "vec_id")
+    register(store, "mdb", "vecs_idx", "vec_id")
+    val rnd = new scala.util.Random(5)
+    def vec() = Seq.fill(8)(rnd.nextFloat())
+    val oldC = (1L to 40L).map(i => (i, vec())).toDF("vec_id", "embedding")
+    val cents = Similarity.defaultCentroids(oldC, "vec_id", "embedding", 4)
+    val idxSpec = Ivm.MaintainedAgg("vecs_idx",
+      base => Similarity.assignCellsFor(base, "vec_id", "embedding", cents),
+      (idx, _, _, chg, _) =>
+        Similarity.applyIndexDelta(idx, chg, "vec_id", "embedding", cents))
+    val m = new Ivm.MaintainedAggregates(store, "mdb", "vecs", Seq(idxSpec))
+    m.seed(oldC)
+    // deletes, one re-embedded update, inserts
+    val newC = oldC.filter(col("vec_id") % 5 =!= 0)
+      .unionByName(Seq((3L, vec()), (100L, vec()), (101L, vec()))
+        .toDF("vec_id", "embedding"))
+      .groupBy("vec_id").agg(last("embedding").as("embedding"))
+    val newRows = newC.collect().map(r =>
+      (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val newDf = newRows.toDF("vec_id", "embedding")
+    m.commit(Scd.snapshotDiff(store.read("mdb", "vecs"), newDf, Seq("vec_id")))
+    // the committed index equals a from-scratch assignment of the
+    // committed base, and searching it equals searching the rebuild
+    val base = store.read("mdb", "vecs")
+    val scratch = Similarity.assignCellsFor(base, "vec_id", "embedding", cents)
+    def cells(df: DataFrame) = df.select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(cells(m.read("vecs_idx")) == cells(scratch))
+    val q = newDf.filter(col("vec_id") <= 2)
+    def search(idx: DataFrame) =
+      Similarity.ivfTopKFromIndex(idx, q, "vec_id", "embedding",
+          k = 5, probes = 2, cents)
+        .collect().map(_.toString).sorted.toSeq
+    assert(search(m.read("vecs_idx")) == search(scratch))
+    assert(search(m.read("vecs_idx")).nonEmpty)
+  }
+
   // ---- plan shape: the target side of the apply never shuffles ----
 
   /** Expand an executed plan across AQE stage / reuse boundaries. */
