@@ -73,6 +73,32 @@ class IvmPropSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("snapshotDiff replay reconstructs the new snapshot on 25 random pairs") {
+    // the changelog's defining property: old MINUS changed keys PLUS the
+    // changelog's new images == new, for any random mix of regimes —
+    // the contract every IVM fold and the store CDF lean on
+    val rnd = new Random(777)
+    for (trial <- 1 to 25) {
+      val oldRows = snap(rnd, (1L to (15 + rnd.nextInt(25))).filter(_ => rnd.nextInt(5) > 0))
+      val newRows = oldRows.filter(_ => rnd.nextInt(4) > 0).map { case r @ (k, _, _) =>
+        if (rnd.nextInt(3) == 0) snap(rnd, Seq(k)).head else r
+      } ++ snap(rnd, 500L to (500L + rnd.nextInt(5)))
+      val (oldDf, newDf) = (df(oldRows), df(newRows))
+      val changes = Scd.snapshotDiff(oldDf, newDf, Seq("k"))
+      val replayed = oldDf
+        .join(changes.filter(col("change").isin("U", "D")).select("k"),
+          Seq("k"), "left_anti")
+        .unionByName(changes.filter(col("change").isin("I", "U"))
+          .select("k", "grp_in", "v"))
+      assert(canon(replayed) == canon(newDf), s"replay drifted on trial $trial")
+      // and the changelog is minimal: unchanged rows never appear
+      val changedKeys = changes.select("k").collect().map(_.getLong(0)).toSet
+      val sameBoth = oldRows.toSet.intersect(newRows.toSet).map(_._1)
+      assert(changedKeys.intersect(sameBoth).isEmpty,
+        s"changelog carried unchanged rows on trial $trial")
+    }
+  }
+
   test("two-step maintenance composes on 10 random three-snapshot chains") {
     val rnd = new Random(99)
     for (trial <- 1 to 10) {
