@@ -100,18 +100,21 @@ object Layout {
         missing.zipWithIndex.map { case (c, i) =>
           val (lo, hi) = (r.getDouble(3 * i), r.getDouble(3 * i + 1))
           val ps = r.getSeq[Double](3 * i + 2)
+          val (qlo, qhi) = (ps(0), ps(1))
           // equal-width bucketing of a heavy-tailed dimension collapses:
           // nearly every row ranks into the lowest buckets and one file
           // swallows the table. The inference pass already sees the
-          // shape, so fail FAST with guidance instead of silently
-          // writing a skewed layout — callers clip to quantile ranges
-          // (outliers then saturate the edge ranks, which is what the
-          // bucketRank clip is for).
-          require(hi - lo <= 0d || hi - lo <= 20.0 * (ps(1) - ps(0)),
-            s"dimension $c is heavy-tailed (full range ${hi - lo} vs " +
-              s"1%-99% range ${ps(1) - ps(0)}): equal-width ranks would " +
-              "skew the layout — pass an explicit quantile clip range")
-          c -> (lo, hi)
+          // shape, so AUTO-CLIP to the 1%-99% quantile range — outliers
+          // then saturate the edge ranks, which is exactly what
+          // bucketRank's clip exists for. Not a hard failure: the
+          // detection uses percentile_approx, so a borderline
+          // distribution could flip between passing and failing across
+          // runs — clipping is correct in either case (the written
+          // predicate-visible values are untouched; only the layout's
+          // bucket edges move).
+          val heavyTailed = hi - lo > 0d && qhi - qlo > 0d &&
+            hi - lo > 20.0 * (qhi - qlo)
+          c -> (if (heavyTailed) (qlo, qhi) else (lo, hi))
         }.toMap
       }
     val z = zValue(

@@ -179,14 +179,24 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     // cannot OOM the driver, it just loses the pushdown form
     val inline = typedKeys.limit(MergeSnapshotStore.MaxInlineKeys + 1)
       .collect().map(_.get(0))
-    if (inline.length <= MergeSnapshotStore.MaxInlineKeys) {
-      // bucket ids via one tiny local job: Spark's hash() IS the bucket
-      // function, so evaluate it over the literal keys (no data scan)
-      val ids = spark.range(1).select(
-          array(inline.map(k => bucketOf(lit(k).cast(pkType))): _*))
-        .head().getSeq[Int](0).toSet
-      load(meta, m, Some(ids)).filter(col(pk).isInCollection(inline))
-    } else {
+    val inlined: Option[DataFrame] =
+      if (inline.length > MergeSnapshotStore.MaxInlineKeys) None
+      else
+        // functions.lit cannot encode every JVM representation a
+        // collected PK value can take; a key set whose literals will
+        // not build must fall back to the semi-join path (which never
+        // round-trips values through literals) instead of failing a
+        // lookup the fallback would have answered
+        try {
+          // bucket ids via one tiny local job: Spark's hash() IS the
+          // bucket function, so evaluate it over the literal keys (no
+          // data scan)
+          val ids = spark.range(1).select(
+              array(inline.map(k => bucketOf(lit(k).cast(pkType))): _*))
+            .head().getSeq[Int](0).toSet
+          Some(load(meta, m, Some(ids)).filter(col(pk).isInCollection(inline)))
+        } catch { case scala.util.control.NonFatal(_) => None }
+    inlined.getOrElse {
       // bucket ids of the lookup keys (<= nBuckets values)
       val touched = typedKeys.select(bucketOf(col(pk)).as("__b"))
         .distinct().collect().map(_.getInt(0)).toSet

@@ -116,8 +116,22 @@ final class SessionCatalog(spark: SparkSession) extends Catalog {
       val want = table.schema.map(_.name.toLowerCase).toSet
       if (have.subsetOf(want)) sc.alterTableDataSchema(id, table.schema)
       else {
+        // narrowing re-registration: drop + recreate is the only
+        // metastore-portable route. If the recreate FAILS, restore the
+        // previously-fetched registration — without the restore a failed
+        // recreate loses the table from the metastore permanently, far
+        // worse than the documented brief missing-table window the drop
+        // itself opens (the restore is best-effort: a metastore that
+        // cannot create at all keeps the original failure as the cause).
+        val previous = sc.getTableMetadata(id)
         sc.dropTable(id, ignoreIfNotExists = true, purge = false)
-        sc.createTable(table, ignoreIfExists = false)
+        try sc.createTable(table, ignoreIfExists = false)
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            try sc.createTable(previous, ignoreIfExists = true)
+            catch { case scala.util.control.NonFatal(_) => () }
+            throw e
+        }
       }
     }
   }

@@ -333,13 +333,11 @@ object Ivm {
    * before either commit happens, so the maintenance math always sees a
    * consistent base/aggregate pair.
    *
-   * The two commits are not atomic: a crash between them leaves the
-   * aggregate a batch behind the base (the base fold itself is replay-
-   * idempotent — see [[MaintainedAggregates]], whose failure contract
-   * this class inherits; recover with its [[MaintainedAggregates
-   * .reseedAggregates]] or run the at-least-once streaming twin
-   * ([[graft.streaming.StreamingAnalytics.maintainCountSum]]), which
-   * pins base versions per batch id).
+   * The two commits are not atomic, but [[MaintainedAggregates]]'s
+   * per-batch commit marker (whose failure contract this class
+   * inherits) makes the recovery safe: re-running a crashed batch is
+   * DETECTED and repaired, and re-running a completed one is refused —
+   * never silently double-folded.
    */
   final class MaintainedCountSum(store: graft.catalog.SnapshotStore,
       db: String, baseTable: String, aggTable: String,
@@ -403,12 +401,24 @@ object Ivm {
    * IDEMPOTENT (the anti-join removes every changelog key, inserts
    * included, before the new images union in — replaying a committed
    * batch reproduces the same base), but the AGGREGATE folds are not —
-   * a crash between the base commit and the aggregate overwrites
-   * leaves aggregates one batch behind. Recover with
-   * [[reseedAggregates]] (recompute from the committed base — the
-   * always-correct reset) or run under the streaming twin
-   * ([[graft.streaming.StreamingAnalytics.maintainAggregate]]), whose
-   * pinned-base markers make whole-batch replay idempotent.
+   * naively re-folding an already-applied changelog would compute
+   * minus/plus against the already-folded base and silently corrupt
+   * the aggregates (a D key finds no old row so its decrement is lost;
+   * a U key picks the new image as the "removed" value). [[commit]]
+   * therefore records a tiny per-batch marker table (changelog digest
+   * + pre-commit base version, committed through the same store) and
+   * on a digest match DETECTS what the previous attempt reached: a
+   * crash before the base commit resumes normally, a crash after it
+   * repairs via [[reseedAggregates]] and marks the batch done, and a
+   * fully-applied batch is REFUSED with an exception. The one blind
+   * spot is two consecutive batches with byte-identical changelog
+   * content — indistinguishable from a replay by construction; such a
+   * batch is a semantic no-op for U/D rows, but callers whose
+   * workload can legitimately produce one (e.g. re-inserting rows
+   * deleted by the immediately preceding batch, byte-for-byte) should
+   * carry a batch-id column in the changelog to disambiguate. The
+   * streaming twin ([[graft.streaming.StreamingAnalytics
+   * .maintainAggregate]]) instead pins base versions per batch id.
    */
   final class MaintainedAggregates(store: graft.catalog.SnapshotStore,
       db: String, baseTable: String, aggs: Seq[MaintainedAgg]) {
@@ -418,10 +428,67 @@ object Ivm {
 
     private def pk: String = store.catalog.primaryKey(db, baseTable)
 
+    /** Test-only failpoint: simulate a crash between the base commit and
+     * the aggregate overwrites (the window the commit marker exists for). */
+    private[graft] var failAfterBaseCommit: Boolean = false
+
+    // ---- per-batch commit marker (crash/replay detection) ----
+
+    private def markerTable: String = s"${baseTable}__ivm_marker"
+
+    private def ensureMarkerRegistered(): Unit =
+      if (store.catalog.get(db, markerTable).isEmpty) {
+        val base = store.catalog(db, baseTable)
+        store.catalog.register(graft.catalog.TableMeta(db, markerTable,
+          s"${base.location.stripSuffix("/")}__ivm_marker", base.format))
+      }
+
+    /** Order-independent content digest of one changelog batch: row count
+     * plus the sum of per-row xxhash64 over the sorted-column struct.
+     * Deterministic across sessions, insensitive to partitioning and row
+     * order — exactly what "is this the same batch again?" needs. */
+    private def changelogDigest(chg: DataFrame): String = {
+      val r = chg
+        .select(xxhash64(struct(chg.columns.sorted.map(col).toIndexedSeq: _*))
+          // decimal(38,0) sum: exact and overflow-free under ANSI mode
+          // (a plain long sum of 64-bit hashes overflows almost surely)
+          .cast("decimal(38,0)").as("__h"))
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum("__h"), lit(0).cast("decimal(38,0)")).as("s"))
+        .head()
+      s"${r.getLong(0)}:${r.getDecimal(1).toBigInteger}"
+    }
+
+    private case class Marker(digest: String, baseVersionBefore: Int,
+                              aggsDone: Boolean)
+
+    private def readMarker(): Option[Marker] =
+      if (store.catalog.get(db, markerTable).isEmpty ||
+          !store.exists(db, markerTable)) None
+      else {
+        val r = store.read(db, markerTable).head()
+        Some(Marker(r.getAs[String]("digest"),
+          r.getAs[Int]("base_version_before"), r.getAs[Boolean]("aggs_done")))
+      }
+
+    private def writeMarker(spark: org.apache.spark.sql.SparkSession,
+                            mk: Marker): Unit = {
+      ensureMarkerRegistered()
+      import spark.implicits._
+      store.overwrite(db, markerTable,
+        Seq((mk.digest, mk.baseVersionBefore, mk.aggsDone))
+          .toDF("digest", "base_version_before", "aggs_done"))
+    }
+
     def seed(initial: DataFrame): Unit = {
       store.overwrite(db, baseTable, initial)
       val base = store.read(db, baseTable)
       aggs.foreach(a => store.overwrite(db, a.table, a.seed(base)))
+      // a fresh seed starts a new batch history: a stale digest from a
+      // previous life must not refuse this life's first commit ("seed"
+      // can never collide with a real "n:s" digest)
+      writeMarker(initial.sparkSession,
+        Marker("seed", store.latestVersion(db, baseTable), aggsDone = true))
     }
 
     /** One changelog commit: the base and EVERY aggregate move together.
@@ -438,26 +505,57 @@ object Ivm {
       // commit forever
       val k = pk
       val chg = Materialize(changes)
-      val old = store.read(db, baseTable) // version-pinned pre-commit
-      // anti-join ALL changelog keys (not just U/D): for a fresh apply
-      // the I keys are absent and the anti-join is a no-op, and for a
-      // REPLAYED batch it removes the previously inserted rows before
-      // re-adding them — the base fold is idempotent by construction
-      val gone = chg.select(col(k))
-      val arrived = chg.filter(col("change").isin("I", "U")).drop("change")
-      def folded(target: DataFrame): DataFrame =
-        target.join(gone, Seq(k), "left_anti")
-          .unionByName(arrived.select(target.columns.map(col).toIndexedSeq: _*))
-      val newSnap = folded(old)
-      // pin every aggregate's inputs BEFORE any commit moves a version
-      val newAggs = aggs.map(a =>
-        a -> a.fold(store.read(db, a.table), old, newSnap, chg, Seq(k)))
-      store match {
-        case ms: graft.catalog.MergeSnapshotStore =>
-          ms.mergeScoped(db, baseTable, chg.select(col(k)))(folded)
-        case s => s.overwrite(db, baseTable, newSnap)
+      val digest = changelogDigest(chg)
+      val baseVer = store.latestVersion(db, baseTable)
+      val replayOf = readMarker().filter(_.digest == digest)
+      // an empty batch is a semantic no-op; folding it would be too, but
+      // digest-tracking it would refuse the NEXT empty batch as a replay
+      if (digest == "0:0") ()
+      else if (replayOf.exists(_.aggsDone))
+        throw new IllegalStateException(
+          s"changelog batch (digest $digest) was already fully applied to " +
+            s"$db.$baseTable — refusing the replay: re-folding it would " +
+            "silently corrupt the maintained aggregates (see the class doc; " +
+            "identical-content consecutive batches need a batch-id column)")
+      else if (replayOf.exists(_.baseVersionBefore != baseVer)) {
+        // the previous attempt committed the base, then crashed before
+        // finishing the aggregate overwrites: the aggregates are behind
+        // (or partially ahead). The always-correct repair recomputes
+        // them from the committed base — which already holds this batch.
+        reseedAggregates()
+        writeMarker(changes.sparkSession,
+          Marker(digest, baseVer, aggsDone = true))
+      } else {
+        // fresh batch — or a replay whose previous attempt crashed
+        // before the base commit, which resumes as if fresh
+        writeMarker(changes.sparkSession,
+          Marker(digest, baseVer, aggsDone = false))
+        val old = store.read(db, baseTable) // version-pinned pre-commit
+        // anti-join ALL changelog keys (not just U/D): for a fresh apply
+        // the I keys are absent and the anti-join is a no-op, and for a
+        // REPLAYED batch it removes the previously inserted rows before
+        // re-adding them — the base fold is idempotent by construction
+        val gone = chg.select(col(k))
+        val arrived = chg.filter(col("change").isin("I", "U")).drop("change")
+        def folded(target: DataFrame): DataFrame =
+          target.join(gone, Seq(k), "left_anti")
+            .unionByName(arrived.select(target.columns.map(col).toIndexedSeq: _*))
+        val newSnap = folded(old)
+        // pin every aggregate's inputs BEFORE any commit moves a version
+        val newAggs = aggs.map(a =>
+          a -> a.fold(store.read(db, a.table), old, newSnap, chg, Seq(k)))
+        store match {
+          case ms: graft.catalog.MergeSnapshotStore =>
+            ms.mergeScoped(db, baseTable, chg.select(col(k)))(folded)
+          case s => s.overwrite(db, baseTable, newSnap)
+        }
+        if (failAfterBaseCommit)
+          throw new IllegalStateException(
+            "failpoint: crashed after base commit, before aggregates")
+        newAggs.foreach { case (a, df) => store.overwrite(db, a.table, df) }
+        writeMarker(changes.sparkSession,
+          Marker(digest, baseVer, aggsDone = true))
       }
-      newAggs.foreach { case (a, df) => store.overwrite(db, a.table, df) }
     }
 
     /** A maintained table as currently committed. */

@@ -181,22 +181,37 @@ class LayoutSpec extends AnyFunSuite with SparkFixture {
       spark.read.parquet(s"$base/t").filter(col("id") <= 99).count())
   }
 
-  test("inferred ranges refuse a heavy-tailed dimension with guidance") {
+  test("inferred ranges auto-clip a heavy-tailed dimension") {
     import spark.implicits._
     // 99.9% of values in [0, 100], a few outliers at 10^9: equal-width
     // ranks over the inferred min/max would put the whole table in the
-    // lowest bucket — the inference pass must fail fast, not silently
-    // write a one-file layout
+    // lowest bucket and one file would swallow the table. Inference
+    // auto-clips to the 1%-99% quantile range instead (not a hard fail:
+    // percentile_approx is approximate, so a borderline distribution
+    // must not flip between working and failing across runs).
     val skewed = spark.range(2000).select(
       when(col("id") < 1995, col("id") % 100)
         .otherwise(lit(1000000000L)).as("x"),
       col("id").as("y"))
-    val e = intercept[IllegalArgumentException] {
-      Layout.cluster(skewed, Seq("x" -> None, "y" -> None), files = 8)
-        .count()
-    }
-    assert(e.getMessage.contains("heavy-tailed"))
-    // an explicit quantile clip range works (outliers saturate the edge)
+    val base = java.nio.file.Files.createTempDirectory("graft-ht").toString
+    Layout.writeClustered(skewed, s"$base/t",
+      Seq("x" -> None, "y" -> None), files = 8)
+    val written = spark.read.parquet(s"$base/t")
+    assert(written.count() == 2000)
+    // the layout did NOT collapse: the bulk of the files carry narrow
+    // in-range x stats (outliers saturate the top edge rank only)
+    val stats = Layout.readSidecarLines(spark, s"$base/t",
+        Layout.StatsFile, "writeClustered")
+      .map(_.split('\t')).filter(_(1) == "x")
+    assert(stats.count(s => s(3).toDouble <= 100.0) > stats.size / 2,
+      s"auto-clipped layout still skewed: ${stats.map(_.mkString(",")).mkString("; ")}")
+    // and a box read over the clipped layout stays exact
+    val pruned = Layout.readPruned(spark, s"$base/t",
+      Map("x" -> ((10.0, 20.0))))
+    val expect = written.filter(col("x").between(10, 20))
+    assert(pruned.exceptAll(expect).count() == 0 &&
+      expect.exceptAll(pruned).count() == 0)
+    // an explicit quantile clip range still works (outliers saturate the edge)
     val ok = Layout.cluster(skewed,
       Seq("x" -> Some((0.0, 100.0)), "y" -> None), files = 8)
     assert(ok.count() == 2000)

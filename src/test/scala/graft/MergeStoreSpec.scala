@@ -536,7 +536,7 @@ class MergeStoreSpec extends AnyFunSuite with SparkFixture {
     assert(dc == Map("a" -> 2L, "c" -> 1L))
   }
 
-  test("MaintainedAggregates: base replay is idempotent; reseed repairs aggregates") {
+  test("MaintainedAggregates: replays are refused; crashed batches repair") {
     import graft.operators.{Ivm, Scd}
     import spark.implicits._
     val store = mkStore(nBuckets = 8)
@@ -546,22 +546,39 @@ class MergeStoreSpec extends AnyFunSuite with SparkFixture {
       Seq(Ivm.countSumSpec("f4_cs", col("grp_in"), col("v"))))
     val s0 = Seq((1, "a", 10L), (2, "a", 20L), (3, "b", 30L)).toDF("id", "grp_in", "v")
     val s1 = Seq((1, "a", 11L), (3, "b", 30L), (4, "b", 40L)).toDF("id", "grp_in", "v")
+    val s2 = Seq((1, "a", 12L), (4, "b", 40L), (5, "c", 50L)).toDF("id", "grp_in", "v")
     m.seed(s0)
     val chg = Scd.snapshotDiff(s0, s1, Seq("id"))
     m.commit(chg)
     def baseSet() = store.read("mdb", "facts4").collect().map(_.toString).toSet
     def aggSet() = m.read("f4_cs").collect().map(_.toString).toSet
+    def recompute() = Ivm.countSumAgg(store.read("mdb", "facts4"),
+      col("grp_in"), col("v")).collect().map(_.toString).toSet
     val (base1, agg1) = (baseSet(), aggSet())
-    // an at-least-once runner REPLAYS the batch: the base fold must be
-    // idempotent (the I row is removed before re-insertion, never doubled)
-    m.commit(chg)
-    assert(baseSet() == base1, "replayed commit changed the base")
-    // aggregates are NOT replay-idempotent (the documented contract) —
-    // reseedAggregates is the repair, and it restores exact recompute
-    m.reseedAggregates()
-    assert(aggSet() == Ivm.countSumAgg(store.read("mdb", "facts4"),
-      col("grp_in"), col("v")).collect().map(_.toString).toSet)
-    assert(aggSet() == agg1)
+    // an at-least-once runner REPLAYS the fully-applied batch: naively
+    // re-folding it would corrupt the aggregates (D decrements lost, U
+    // old-values wrong) — the commit marker detects and REFUSES it
+    val ex = intercept[IllegalStateException](m.commit(chg))
+    assert(ex.getMessage.contains("already fully applied"))
+    assert(baseSet() == base1, "refused replay changed the base")
+    assert(aggSet() == agg1, "refused replay changed the aggregates")
+    // crash INSIDE the window the marker exists for: base committed,
+    // aggregates not — the replayed batch is detected and REPAIRED
+    val chg2 = Scd.snapshotDiff(s1, s2, Seq("id"))
+    m.failAfterBaseCommit = true
+    intercept[IllegalStateException](m.commit(chg2))
+    m.failAfterBaseCommit = false
+    assert(aggSet() == agg1, "crash left aggregates at the previous batch")
+    m.commit(chg2) // the at-least-once retry
+    assert(aggSet() == recompute(),
+      "retried crashed batch must leave aggregates == recompute")
+    // and now that it IS fully applied, a further replay is refused
+    intercept[IllegalStateException](m.commit(chg2))
+    assert(aggSet() == recompute())
+    // an empty changelog is a plain no-op, twice in a row
+    val empty = chg2.filter(lit(false))
+    m.commit(empty); m.commit(empty)
+    assert(aggSet() == recompute())
   }
 
   test("the ANN index rides the maintained-aggregate registry unchanged") {
