@@ -1551,6 +1551,29 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // data skipping INSIDE the table store (q53's zone-map discipline
+    // moved into the commit path): every commit records per-file
+    // numeric min/max stats in the MergeSnapshotStore manifest, and a
+    // range read plans only the files whose stats overlap — here a
+    // price-range-partitioned commit answers a price-band scan from a
+    // handful of files; the oracle is the plain full-scan filter.
+    // (note: there is no q50 — the id is reserved/skipped, not lost)
+    "q55_store_range_scan" -> ((s, d) => {
+      import graft.catalog.{InMemoryCatalog, MergeSnapshotStore, TableMeta}
+      val orders = t(s, d, "orders").select(col("o_orderkey"),
+          col("o_custkey"),
+          round(col("o_totalprice") * 100).cast("long").as("price_c"))
+        .repartitionByRange(16, col("price_c"))
+      val work = java.nio.file.Files.createTempDirectory("graft-q55").toString
+      val cat = new InMemoryCatalog
+      cat.register(TableMeta("q55", "orders", s"$work/orders"))
+      val store = new MergeSnapshotStore(s, cat, nBuckets = 32)
+      store.overwrite("q55", "orders", orders)
+      store.readRange("q55", "orders",
+          Map("price_c" -> ((5000000.0, 15000000.0))))
+        .orderBy("o_orderkey")
+    }),
+
     // distinct-count IVM through the multiplicity auxiliary view:
     // COUNT(DISTINCT v) is not self-maintainable (deleting a value
     // can't tell last-copy-gone from duplicates-remain), but the
@@ -3333,6 +3356,16 @@ object SparkEntry {
          FROM orders
          WHERE o_custkey BETWEEN 100 AND 500
            AND CAST(round(o_totalprice * 100) AS BIGINT)
+               BETWEEN 5000000 AND 15000000
+         ORDER BY o_orderkey""",
+
+    // the store's stats-pruned range read must equal the plain
+    // full-scan filter
+    "q55_store_range_scan" ->
+      """SELECT o_orderkey, o_custkey,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+         FROM orders
+         WHERE CAST(round(o_totalprice * 100) AS BIGINT)
                BETWEEN 5000000 AND 15000000
          ORDER BY o_orderkey""",
 

@@ -6,8 +6,8 @@ import scala.collection.immutable.SortedMap
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{array, col, hash, lit, pmod}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.functions.{array, col, hash, input_file_name, lit, max, min, pmod}
+import org.apache.spark.sql.types.{DataType, NumericType, StructType}
 
 /**
  * Incremental MERGE-style table store: the scale answer to the reference's
@@ -61,8 +61,16 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
 
   // ---------------------------------------------------------------- manifest
 
+  /** Per-file column stat in DOUBLE space (the [[Layout]] zone-map
+   * discipline: exact within ±2^53; values beyond round the same way in
+   * the stats and in the promoted range predicate, so pruning stays
+   * self-consistent — integer-exact boundary queries re-filter in the
+   * column's own type after the read). */
+  private case class ColStat(column: String, mn: Double, mx: Double)
+
   private case class Manifest(schema: StructType, buckets: SortedMap[Int, String],
-                              nBuckets: Int)
+                              nBuckets: Int,
+                              stats: Map[String, Seq[ColStat]] = Map.empty)
 
   private def manifestVersions(location: String): Seq[Int] = {
     val p = new Path(location)
@@ -97,12 +105,19 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     val nb = lines.collectFirst { case s if s.startsWith("nbuckets\t") =>
       s.drop("nbuckets\t".length).toInt
     }.getOrElse(throw new IllegalStateException(s"manifest $p lacks nbuckets line"))
-    Manifest(schema, SortedMap(buckets: _*), nb)
+    val stats = lines.collect { case s if s.startsWith("s\t") =>
+      val Array(_, f, c, mn, mx) = s.split('\t')
+      f -> ColStat(c, mn.toDouble, mx.toDouble)
+    }.groupBy(_._1).map { case (f, ss) => f -> ss.map(_._2).toSeq }
+    Manifest(schema, SortedMap(buckets: _*), nb, stats)
   }
 
   private def writeManifest(location: String, v: Int, m: Manifest): Unit = {
     val content = (Seq(s"schema\t${m.schema.json}", s"nbuckets\t${m.nBuckets}") ++
-      m.buckets.toSeq.map { case (b, dir) => s"b\t$b\t$dir" }).mkString("\n")
+      m.buckets.toSeq.map { case (b, dir) => s"b\t$b\t$dir" } ++
+      m.stats.toSeq.sortBy(_._1).flatMap { case (f, ss) =>
+        ss.map(s => s"s\t$f\t${s.column}\t${s.mn}\t${s.mx}")
+      }).mkString("\n")
     val tmp = new Path(f"$location/.tmp-v=$v%06d.manifest")
     val fin = manifestPath(location, v)
     val f = fs(fin)
@@ -115,6 +130,12 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
   /** Test/diagnostic hook: the bucket->directory map of one version. */
   private[graft] def manifestEntries(db: String, table: String, version: Int): Map[Int, String] =
     readManifest(catalog0(db, table).location, version).buckets
+
+  /** Test/diagnostic hook: per-file (column, min, max) stats of one version. */
+  private[graft] def manifestStats(db: String, table: String,
+                                   version: Int): Map[String, Seq[(String, Double, Double)]] =
+    readManifest(catalog0(db, table).location, version).stats
+      .map { case (f, ss) => f -> ss.map(s => (s.column, s.mn, s.mx)) }
 
   /** Latest committed MANIFEST version (this store's version space), -1
    * when the table has none — the base-class contract, against manifest
@@ -160,9 +181,12 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
    * an `isin` predicate PUSHED into the parquet scan, so row-group
    * min/max stats skip most of the surviving buckets too; a key set too
    * large to inline falls back to a broadcast semi-join over the same
-   * pruned scan.
+   * pruned scan. A non-empty `ranges` additionally skips files WITHIN
+   * the keys' buckets whose manifest stats miss the ranges (the
+   * [[readRange]] discipline) and applies the exact range predicate.
    */
-  def pointLookup(db: String, table: String, keys: DataFrame): DataFrame = {
+  def pointLookup(db: String, table: String, keys: DataFrame,
+                  ranges: Map[String, (Double, Double)] = Map.empty): DataFrame = {
     val meta = catalog0(db, table)
     val pk = meta.primaryKey.getOrElse(throw new IllegalStateException(
       s"pointLookup needs a registered PK for ${meta.qualified}"))
@@ -194,7 +218,8 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
           val ids = spark.range(1).select(
               array(inline.map(k => bucketOf(lit(k).cast(pkType))): _*))
             .head().getSeq[Int](0).toSet
-          Some(load(meta, m, Some(ids)).filter(col(pk).isInCollection(inline)))
+          Some(loadRanged(meta, m, Some(ids), ranges)
+            .filter(col(pk).isInCollection(inline)))
         } catch { case scala.util.control.NonFatal(_) => None }
     inlined.getOrElse {
       // bucket ids of the lookup keys (<= nBuckets values)
@@ -203,7 +228,8 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
       // UNHINTED semi-join: the inline cap exists so an over-large key
       // frame cannot land on the driver — a forced broadcast here would
       // collect it anyway. AQE broadcasts when the measured size allows.
-      load(meta, m, Some(touched)).join(typedKeys, Seq(pk), "left_semi")
+      loadRanged(meta, m, Some(touched), ranges)
+        .join(typedKeys, Seq(pk), "left_semi")
     }
   }
 
@@ -213,6 +239,76 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     if (dirs.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
     else spark.read.format(meta.format).schema(m.schema).load(dirs: _*)
+  }
+
+  /**
+   * Data skipping over a committed snapshot: scan only the files whose
+   * manifest stats overlap EVERY requested `[lo, hi]` range (inclusive,
+   * double space — the [[graft.catalog.Layout.readPruned]] contract),
+   * then apply the exact predicate, so the result equals a full-scan
+   * filter while whole files are dropped before any parquet footer is
+   * read. A file lacking stats for a requested column is kept
+   * (conservative — all-NULL columns, pre-stats manifests); a range on
+   * a column the layout does not correlate with prunes little but still
+   * filters exactly.
+   *
+   * What actually prunes at 100 TB: PK-hash bucketing randomizes most
+   * columns across buckets, so on a PK table this prunes when the
+   * predicate column correlates with the key's hash — rarely. The real
+   * wins are (a) PK-LESS tables committed with a caller-chosen layout
+   * (sort or [[Layout.cluster]] output: files carry tight disjoint
+   * ranges and a box query plans a handful of them), and (b) serving
+   * tables whose bucket contents are value-homogeneous by construction
+   * (a term-bucketed postings table, a cell-bucketed vector index).
+   * Exactly Delta/Iceberg's story: stats are always recorded; layout
+   * decides how much they bite.
+   */
+  def readRange(db: String, table: String,
+                ranges: Map[String, (Double, Double)]): DataFrame = {
+    require(ranges.nonEmpty, "readRange needs at least one column range")
+    val meta = catalog0(db, table)
+    val vs = manifestVersions(meta.location)
+    require(vs.nonEmpty, s"no manifest versions at ${meta.location}")
+    loadRanged(meta, readManifest(meta.location, vs.last), None, ranges)
+  }
+
+  /** [[load]] restricted to the files whose stats overlap `ranges`, with
+   * the exact range predicate applied on top (so callers get exact
+   * results, not the pruning superset). Files are enumerated from the
+   * selected bucket directories — never from the stats map alone, so a
+   * file that produced no stats lines is still read. */
+  private def loadRanged(meta: TableMeta, m: Manifest, only: Option[Set[Int]],
+                         ranges: Map[String, (Double, Double)]): DataFrame = {
+    if (ranges.isEmpty) load(meta, m, only)
+    else {
+      val relDirs = m.buckets.toSeq
+        .collect { case (b, dir) if only.forall(_.contains(b)) => dir }
+      val f = fs(new Path(meta.location))
+      val files = relDirs.flatMap { dir =>
+        f.listStatus(new Path(s"${meta.location}/$dir")).toSeq
+          .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.startsWith("."))
+          .map(st => s"$dir/${st.getPath.getName}")
+      }
+      val keep = files.filter { rel =>
+        m.stats.get(rel) match {
+          case None => true // no stats: conservative keep
+          case Some(ss) => ranges.forall { case (c, (lo, hi)) =>
+            ss.find(_.column == c).forall(s => s.mx >= lo && s.mn <= hi)
+          }
+        }
+      }
+      val pred = ranges.map { case (c, (lo, hi)) =>
+        col(c) >= lit(lo) && col(c) <= lit(hi)
+      }.reduce(_ && _)
+      if (keep.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          m.schema).filter(pred)
+      else
+        spark.read.format(meta.format).schema(m.schema)
+          .load(keep.map(rel => s"${meta.location}/$rel"): _*)
+          .filter(pred)
+    }
   }
 
   // ----------------------------------------------------------------- commits
@@ -230,9 +326,9 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
       else df
     val pk = meta.primaryKey
     val next = vs.lastOption.getOrElse(-1) + 1
-    val written = writeData(meta, next, out, pk)
+    val (written, stats) = writeData(meta, next, out, pk)
     writeManifest(meta.location, next,
-      Manifest(dropBucketCol(out.schema), written, nBuckets))
+      Manifest(dropBucketCol(out.schema), written, nBuckets, stats))
     vacuum(meta, vs)
   }
 
@@ -266,16 +362,24 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     val old = load(meta, current, Some(touched.toSet))
     val out = rewrite(old)
     val next = vs.last + 1
-    val written = writeData(meta, next, out, Some(pk))
+    val (written, newStats) = writeData(meta, next, out, Some(pk))
     val stray = written.keySet.diff(touched.toSet)
     require(stray.isEmpty,
       s"merge rewrote buckets $stray outside the changed-key set $touched — " +
         "rewrite() must not introduce rows for untouched keys")
     // new manifest = old entries minus touched (covers emptied buckets),
-    // plus whatever the rewrite actually produced
-    val entries = (current.buckets -- touched) ++ written
+    // plus whatever the rewrite actually produced; carried-forward
+    // buckets KEEP their stats (their files are carried by reference,
+    // so the stats that measured them stay exact), touched buckets get
+    // the freshly-measured ones
+    val carried = (current.buckets -- touched)
+    val carriedDirs = carried.values.toSet
+    val carriedStats = current.stats.filter { case (fp, _) =>
+      carriedDirs.exists(d => fp.startsWith(s"$d/"))
+    }
     writeManifest(meta.location, next,
-      Manifest(dropBucketCol(out.schema), entries, nBuckets))
+      Manifest(dropBucketCol(out.schema), carried ++ written, nBuckets,
+        carriedStats ++ newStats))
     vacuum(meta, vs)
     touched
   }
@@ -298,11 +402,21 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
   }
 
   /** Write `df` grouped by PK bucket under data/c<next>; returns the
-   * bucket -> relative-dir map of what was actually produced. One shuffle
+   * bucket -> relative-dir map of what was actually produced, plus the
+   * per-file column stats measured from the written files. One shuffle
    * proportional to the committed rows keeps files at one-per-bucket
    * (the optimized-write pattern); the table itself never reshuffles.
    * PK-less tables land in one logical bucket but KEEP `df`'s own
    * partitioning, so executors still write their files in parallel.
+   *
+   * Stats are the Delta/Iceberg stats-in-manifest story: every NUMERIC
+   * column's min/max per written file, measured by ONE column-pruned
+   * scan of just the newly-written files (commit-proportional — a
+   * scoped merge stats only its touched buckets), so stats and data
+   * cannot disagree. [[readRange]]/[[pointLookup]] prune files against
+   * them before any footer is read. A file where a column is all-NULL
+   * gets no stats line for it and pruned reads keep the file
+   * (conservative).
    *
    * Crash safety: files go to a `.tmp-` directory first and a successful
    * write renames it into place. `next` is greater than every committed
@@ -310,7 +424,7 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
    * crashed previous attempt are orphans and are deleted up front,
    * keeping the table writable after any failure. */
   private def writeData(meta: TableMeta, next: Int, df: DataFrame,
-                        pk: Option[String]): SortedMap[Int, String] = {
+                        pk: Option[String]): (SortedMap[Int, String], Map[String, Seq[ColStat]]) = {
     val rel = f"data/c$next%06d"
     val dataDir = new Path(s"${meta.location}/$rel")
     val tmpDir = new Path(f"${meta.location}/data/.tmp-c$next%06d")
@@ -326,13 +440,41 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     if (!f.rename(tmpDir, dataDir))
       throw new IllegalStateException(s"data commit rename failed: $tmpDir -> $dataDir")
     val BucketDir = "^__b=(\\d+)$".r
-    val found = f.listStatus(dataDir).toSeq.flatMap { st =>
+    val found = SortedMap(f.listStatus(dataDir).toSeq.flatMap { st =>
       st.getPath.getName match {
         case BucketDir(b) if st.isDirectory => Some(b.toInt -> s"$rel/__b=$b")
         case _ => None
       }
-    }
-    SortedMap(found: _*)
+    }: _*)
+    val statCols = df.schema.fields.toSeq
+      .filter(sf => sf.name != "__b" && sf.dataType.isInstanceOf[NumericType])
+      .map(_.name)
+    val stats: Map[String, Seq[ColStat]] =
+      if (statCols.isEmpty || found.isEmpty) Map.empty
+      else {
+        val written = spark.read.format(meta.format).load(dataDir.toString)
+        val aggs = statCols.flatMap(c => Seq(min(col(c).cast("double")),
+          max(col(c).cast("double"))))
+        // manifest-sized collect: one row per written FILE
+        val rows = written.groupBy(input_file_name().as("__f"))
+          .agg(aggs.head, aggs.tail: _*).collect()
+        rows.flatMap { r =>
+          val p = r.getString(0)
+          // a written file's path always embeds its commit dir; the
+          // LAST occurrence belongs to the store (a table location
+          // containing "/data/c" itself cannot shadow it)
+          val cut = p.lastIndexOf("/data/c")
+          if (cut < 0) None
+          else {
+            val ss = statCols.zipWithIndex.flatMap { case (c, i) =>
+              if (r.isNullAt(1 + 2 * i) || r.isNullAt(2 + 2 * i)) None
+              else Some(ColStat(c, r.getDouble(1 + 2 * i), r.getDouble(2 + 2 * i)))
+            }
+            if (ss.isEmpty) None else Some(p.substring(cut + 1) -> ss)
+          }
+        }.toMap
+      }
+    (found, stats)
   }
 
   private def dropBucketCol(s: StructType): StructType =

@@ -417,6 +417,64 @@ class MergeStoreSpec extends AnyFunSuite with SparkFixture {
     assert(store.read("mdb", "t10").count() == 20000)
   }
 
+  test("manifest stats prune range reads; exact through merge, compact, lookup") {
+    import spark.implicits._
+    val store = mkStore(nBuckets = 8)
+    // (a) PK-LESS table with a caller-chosen layout: 16 range-partitioned
+    // files carry disjoint id ranges, so a narrow range predicate plans a
+    // handful of them — the stats-in-manifest story where layout bites
+    store.catalog.register(TableMeta("mdb", "flat",
+      Files.createTempDirectory("graft-merge-flat").toString))
+    val flat = spark.range(20000).select(col("id"), (col("id") % 97).as("v"))
+      .repartitionByRange(16, col("id"))
+    store.overwrite("mdb", "flat", flat)
+    val ranged = store.readRange("mdb", "flat", Map("id" -> ((3000.0, 4000.0))))
+    val expect = store.read("mdb", "flat").filter(col("id").between(3000, 4000))
+    assert(ranged.exceptAll(expect).count() == 0 &&
+      expect.exceptAll(ranged).count() == 0)
+    assert(ranged.count() == 1001)
+    val all = store.read("mdb", "flat").inputFiles.length
+    val planned = ranged.inputFiles.length
+    assert(planned < all / 2, s"planned $planned of $all files")
+    // (b) PK table through a scoped merge: touched buckets re-measure,
+    // carried buckets keep their stats, results stay == full-scan filter
+    register(store, "mdb", "tst", "id")
+    store.overwrite("mdb", "tst",
+      idTable(500).withColumn("v", col("id") * 2))
+    store.mergeScoped("mdb", "tst", Seq(7).toDF("id")) { old =>
+      old.withColumn("v",
+        when(col("id") === 7, lit(7000)).otherwise(col("v")))
+    }
+    def exact(lo: Double, hi: Double): DataFrame = {
+      val got = store.readRange("mdb", "tst", Map("v" -> ((lo, hi))))
+      val want = store.read("mdb", "tst")
+        .filter(col("v") >= lo && col("v") <= hi)
+      assert(got.exceptAll(want).count() == 0 &&
+        want.exceptAll(got).count() == 0, s"range [$lo,$hi] drifted")
+      got
+    }
+    // the merged-in extremum is found, and only its file is planned
+    // (every other file's v stays <= 1000)
+    val hot = exact(6999.0, 7001.0)
+    assert(hot.count() == 1 && hot.inputFiles.length == 1)
+    val v = store.latestVersion("mdb", "tst")
+    val entries = store.manifestEntries("mdb", "tst", v)
+    val stats = store.manifestStats("mdb", "tst", v)
+    val carriedDirs = entries.values.filter(d => !d.contains(f"c$v%06d"))
+    assert(carriedDirs.nonEmpty, "expected carried-over bucket dirs")
+    assert(carriedDirs.forall(d => stats.keys.exists(_.startsWith(s"$d/"))),
+      "carried buckets lost their stats across the scoped merge")
+    // compaction rewrites every bucket and re-measures its stats
+    store.compact("mdb", "tst", 4)
+    assert(exact(6999.0, 7001.0).count() == 1)
+    assert(exact(2.0, 100.0).count() == 49) // ids 1..50 minus the moved id 7
+    // pointLookup composes PK-bucket pruning with stats pruning and
+    // applies BOTH exact predicates
+    val pl = store.pointLookup("mdb", "tst", Seq(7, 9).toDF("id"),
+      Map("v" -> ((7000.0, 7000.0))))
+    assert(pl.collect().map(_.getInt(0)).toSeq == Seq(7))
+  }
+
   test("CDC run() through the merge store matches the full-rewrite store") {
     val events =
       spark.read.parquet(s"$RefData/kinesis/transac/parquet/oms_owner/offenders")
