@@ -1370,6 +1370,41 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // INCREMENTALLY MAINTAINED BM25 index: the corpus base table and
+    // the four index tables move together through ONE registry commit —
+    // only the changed docs (deletes % 13, text updates % 7, inserts
+    // % 101) are tokenized, postings/docfreq commit scoped to the
+    // changed TERM buckets and doclens to the changed DOC buckets —
+    // then the query batch is served from the maintained index. The
+    // oracle ranks against a from-scratch rebuild of the new corpus
+    // (the s15 incremental-index contract).
+    "t30_bm25_maintained" -> ((s, d) => {
+      import graft.catalog.{InMemoryCatalog, MergeSnapshotStore, TableMeta}
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val newC = docs.filter(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0,
+              concat(col("text"), lit(" updated payload")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs.filter(col("doc_id") % 101 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"),
+            concat(lit("fresh doc "), col("text")).as("text")))
+      val cat = new InMemoryCatalog
+      val store = new MergeSnapshotStore(s, cat, nBuckets = 32)
+      val work = java.nio.file.Files.createTempDirectory("graft-t30").toString
+      cat.register(TableMeta("t30", "docs", s"$work/docs",
+        primaryKey = Some("doc_id")))
+      TextAnalysis.registerBm25Tables(store, "t30", "bm", work)
+      val m = new Ivm.MaintainedAggregates(store, "t30", "docs",
+        TextAnalysis.bm25IndexSpecs("bm", "doc_id", "text"))
+      m.seed(docs)
+      m.commit(Scd.snapshotDiff(store.read("t30", "docs"), newC, Seq("doc_id")))
+      TextAnalysis.bm25TopKFromStore(store, "t30", "bm",
+          newC.filter(col("doc_id") % 100 === 0), "doc_id", "text",
+          k = 10, maxDfFrac = 1.0)
+        .orderBy("query_id", "rank")
+    }),
+
     // quality-weighted (importance) sampling: each doc's keep
     // probability is its own quality score — the per-row md5 threshold
     // generalizes the stratified sampler; the oracle recomputes the
@@ -2152,10 +2187,11 @@ object SparkEntry {
                END) * 1000000.0 + 0.5) AS BIGINT) AS mic
              FROM j)"""
 
-  /** Shared t15/t28 oracle: the inverted index + Lucene-idf BM25 with
+  /** Shared t15/t28/t30 oracle BODY (expects a CTE named `n` holding the
+   * normalized corpus): the inverted index + Lucene-idf BM25 with
    * integer-micro term contributions — ONE ranking contract for the
-   * one-shot and persisted-index paths. */
-  private val Bm25Sql = NormCte +
+   * one-shot, persisted-index, and maintained-index paths. */
+  private val Bm25Body =
       """, tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS term FROM n),
          tf AS (SELECT doc_id AS doc, term, count(*) AS tf FROM tok GROUP BY 1, 2),
          dl AS (SELECT doc, sum(tf) AS dl FROM tf GROUP BY 1),
@@ -2184,6 +2220,24 @@ object SparkEntry {
          SELECT query_id, CAST(rank AS INTEGER) AS rank, doc AS doc_id,
                 CAST(score_micro AS BIGINT) AS score_micro
          FROM r WHERE rank <= 10 ORDER BY query_id, rank"""
+
+  private val Bm25Sql = NormCte + Bm25Body
+
+  /** t30 oracle: the SAME ranking body over the POST-changelog corpus
+   * (deletes: doc_id % 13; text updates: % 7; inserts: % 101 re-keyed
+   * +1000000) — the maintained index must serve exactly what a rebuild
+   * over this corpus serves. */
+  private val Bm25MaintainedSql =
+    """WITH newc AS (
+         SELECT doc_id,
+                CASE WHEN doc_id % 7 = 0 THEN text || ' updated payload'
+                     ELSE text END AS text
+         FROM documents WHERE doc_id % 13 <> 0
+         UNION ALL
+         SELECT doc_id + 1000000 AS doc_id, 'fresh doc ' || text AS text
+         FROM documents WHERE doc_id % 101 = 0),
+       n AS (SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t
+             FROM newc)""" + Bm25Body
 
   private val pipelineSql: Map[String, String] = Map(
     "t01_lang_id" -> (NormCte +
@@ -3045,6 +3099,10 @@ object SparkEntry {
     // identical ranking contract: the persisted-index path must land on
     // exactly the one-shot path's answer
     "t28_bm25_from_index" -> Bm25Sql,
+
+    // the maintained index serves exactly what a rebuild over the
+    // post-changelog corpus serves
+    "t30_bm25_maintained" -> Bm25MaintainedSql,
 
         // the d12 index construction, probe-restricted before the guard,
     // corpus-vs-probe match, corpus-side merged spans

@@ -362,11 +362,26 @@ object Ivm {
 
   /** One maintained downstream table: its store table name, how to seed
    * it from the initial base snapshot, and its changelog delta rule
-   * `fold(agg, oldSnap, newSnap, changes, keys)`. */
+   * `fold(agg, oldSnap, newSnap, changes, keys)`.
+   *
+   * `scope` (optional) makes the table's commit PARTITION-SCOPED on a
+   * merge store: `scope(oldSnap, newSnap, changes, keys)` returns the
+   * frame of the AGGREGATE's own registered-PK values the batch can
+   * touch, and the fold then receives ONLY those buckets' current rows
+   * (instead of the whole table) and returns their replacement — so a
+   * corpus-sized maintained table (an inverted index, a vector index)
+   * commits at changelog-proportional cost, exactly like the base. The
+   * fold must be scope-closed: every row it removes or adds is keyed
+   * within the scope (the merge store fail-fasts on strays). Without
+   * `scope` — or on a store that is not a [[graft.catalog
+   * .MergeSnapshotStore]], or a table with no registered PK — the fold
+   * sees the whole aggregate and the commit is a full overwrite, which
+   * is right for group-cardinality dashboards. */
   final case class MaintainedAgg(
       table: String,
       seed: DataFrame => DataFrame,
-      fold: (DataFrame, DataFrame, DataFrame, DataFrame, Seq[String]) => DataFrame)
+      fold: (DataFrame, DataFrame, DataFrame, DataFrame, Seq[String]) => DataFrame,
+      scope: Option[(DataFrame, DataFrame, DataFrame, Seq[String]) => DataFrame] = None)
 
   /** The shipped specs — one per delta rule in this file. */
   def countSumSpec(table: String, group: Column, value: Column): MaintainedAgg =
@@ -480,7 +495,7 @@ object Ivm {
           .toDF("digest", "base_version_before", "aggs_done"))
     }
 
-    def seed(initial: DataFrame): Unit = {
+    def seed(initial: DataFrame): Unit = Materialize.scoped {
       store.overwrite(db, baseTable, initial)
       val base = store.read(db, baseTable)
       aggs.foreach(a => store.overwrite(db, a.table, a.seed(base)))
@@ -541,9 +556,27 @@ object Ivm {
           target.join(gone, Seq(k), "left_anti")
             .unionByName(arrived.select(target.columns.map(col).toIndexedSeq: _*))
         val newSnap = folded(old)
+        val mergeStore = store match {
+          case ms: graft.catalog.MergeSnapshotStore => Some(ms)
+          case _ => None
+        }
+        def scopedKeysOf(a: MaintainedAgg): Option[DataFrame] =
+          for {
+            ms <- mergeStore
+            sc <- a.scope
+            if store.catalog(db, a.table).primaryKey.isDefined
+          } yield sc(old, newSnap, chg, Seq(k))
         // pin every aggregate's inputs BEFORE any commit moves a version
-        val newAggs = aggs.map(a =>
-          a -> a.fold(store.read(db, a.table), old, newSnap, chg, Seq(k)))
+        // (a scoped table's fold runs lazily inside its own mergeScoped,
+        // but its snapshot inputs — old, newSnap, chg — are pinned here,
+        // and its own manifest cannot move before that commit runs)
+        val newAggs = aggs.map { a =>
+          scopedKeysOf(a) match {
+            case Some(keysFrame) => a -> Right(keysFrame)
+            case None =>
+              a -> Left(a.fold(store.read(db, a.table), old, newSnap, chg, Seq(k)))
+          }
+        }
         store match {
           case ms: graft.catalog.MergeSnapshotStore =>
             ms.mergeScoped(db, baseTable, chg.select(col(k)))(folded)
@@ -552,7 +585,12 @@ object Ivm {
         if (failAfterBaseCommit)
           throw new IllegalStateException(
             "failpoint: crashed after base commit, before aggregates")
-        newAggs.foreach { case (a, df) => store.overwrite(db, a.table, df) }
+        newAggs.foreach {
+          case (a, Left(df)) => store.overwrite(db, a.table, df)
+          case (a, Right(keysFrame)) =>
+            mergeStore.get.mergeScoped(db, a.table, keysFrame)(rows =>
+              a.fold(rows, old, newSnap, chg, Seq(k)))
+        }
         writeMarker(changes.sparkSession,
           Marker(digest, baseVer, aggsDone = true))
       }
@@ -564,7 +602,7 @@ object Ivm {
     /** Recovery reset: recompute every maintained aggregate from the
      * CURRENTLY COMMITTED base — the always-correct (if full-scan)
      * repair after a crash left aggregates behind the base. */
-    def reseedAggregates(): Unit = {
+    def reseedAggregates(): Unit = Materialize.scoped {
       val base = store.read(db, baseTable)
       aggs.foreach(a => store.overwrite(db, a.table, a.seed(base)))
     }

@@ -336,6 +336,19 @@ object TextAnalysis {
   def writeBm25Index(store: graft.catalog.SnapshotStore, db: String,
                      prefix: String, baseLocation: String,
                      idx: Bm25Index): Unit = {
+    registerBm25Tables(store, db, prefix, baseLocation)
+    store.overwrite(db, s"${prefix}_postings", idx.postings)
+    store.overwrite(db, s"${prefix}_doclens", idx.docLens)
+    store.overwrite(db, s"${prefix}_docfreq", idx.docFreq)
+    store.overwrite(db, s"${prefix}_stats", idx.stats)
+  }
+
+  /** Catalog entries for the four index tables — shared by the one-shot
+   * persist ([[writeBm25Index]]) and the maintained path
+   * ([[bm25IndexSpecs]]), so the layout (postings/docfreq bucketed by
+   * term, doclens by doc) cannot drift between them. */
+  def registerBm25Tables(store: graft.catalog.SnapshotStore, db: String,
+                         prefix: String, baseLocation: String): Unit = {
     import graft.catalog.TableMeta
     store.catalog.register(TableMeta(db, s"${prefix}_postings",
       s"$baseLocation/${prefix}_postings", primaryKey = Some("term")))
@@ -345,10 +358,129 @@ object TextAnalysis {
       s"$baseLocation/${prefix}_docfreq", primaryKey = Some("term")))
     store.catalog.register(TableMeta(db, s"${prefix}_stats",
       s"$baseLocation/${prefix}_stats"))
-    store.overwrite(db, s"${prefix}_postings", idx.postings)
-    store.overwrite(db, s"${prefix}_doclens", idx.docLens)
-    store.overwrite(db, s"${prefix}_docfreq", idx.docFreq)
-    store.overwrite(db, s"${prefix}_stats", idx.stats)
+  }
+
+  /**
+   * INCREMENTAL maintenance of the persisted BM25 index: the four index
+   * tables as [[graft.operators.Ivm.MaintainedAgg]] specs over a corpus
+   * base table keyed by `idCol`, so ONE [[graft.operators.Ivm
+   * .MaintainedAggregates]] changelog commit moves corpus + index
+   * together (with the registry's replay guard). Per commit, ONLY the
+   * changed documents are tokenized — a handful of delta-sized passes —
+   * and each table folds by its exact delta rule:
+   *
+   *  - postings: changed docs' rows out, new tokenizations in —
+   *    committed PARTITION-SCOPED to the changed docs' TERM buckets
+   *    (old terms ∪ new terms), so the corpus-sized postings table
+   *    rewrites only the buckets the batch touches;
+   *  - doclens: same shape, scoped to the changed DOC buckets;
+   *  - docfreq: per-term ±1 document-count deltas (distinct terms of
+   *    removed/added docs), merged group-wise, terms reaching df=0
+   *    drop; scoped to the same changed-term buckets;
+   *  - stats: exact integer (nd, sumdl) deltas on the 1-row table, with
+   *    avgdl re-derived by the same long-to-double division the builder
+   *    uses — bit-identical to a rebuild. The maintained stats table
+   *    carries `sumdl` (the builder's 2-column stats cannot delta a
+   *    mean); the served scorer ignores the extra column.
+   *
+   * The served results from the maintained index are EQUAL to
+   * [[bm25TopKFromStore]] over a from-scratch rebuild of the new
+   * corpus — the s15 incremental-index contract, proven by the t30
+   * oracle. Tokenization ([[tokens]]) is deterministic, which is what
+   * makes "delete by re-deriving the old rows" exact.
+   */
+  def bm25IndexSpecs(prefix: String, idCol: String,
+                     textCol: String): Seq[graft.operators.Ivm.MaintainedAgg] = {
+    import graft.operators.Ivm.MaintainedAgg
+    def tf0(docs: DataFrame): DataFrame =
+      docs.select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("term"))
+        .groupBy("doc", "term").agg(count(lit(1)).as("tf"))
+    def dlOf(t: DataFrame): DataFrame = t.groupBy("doc").agg(sum("tf").as("dl"))
+    // ALL changelog keys' old rows (not just U/D): mirrors the base
+    // fold's remove-then-reinsert discipline, so a misdeclared I for an
+    // existing doc still replaces its rows instead of doubling them
+    def oldChanged(oldSnap: DataFrame, chg: DataFrame): DataFrame =
+      oldSnap.join(chg.select(col(idCol)), Seq(idCol), "left_semi")
+    def newDocs(chg: DataFrame): DataFrame =
+      chg.filter(col("change").isin("I", "U")).select(col(idCol), col(textCol))
+    // The four seeds all receive the registry's ONE base frame, and the
+    // eight fold/scope closures of a commit all receive its ONE cut
+    // changelog frame — memoizing the tokenize cut on that frame's
+    // identity makes the corpus tokenize ONCE per seed and the changed
+    // docs tokenize ONCE per commit, instead of once per closure. The
+    // registry wraps seed/commit in Materialize.scoped, so the cuts
+    // release when the call's actions finish; the keys are frames the
+    // registry creates per call, so a dead entry can never be re-read
+    // (WeakHashMap lets it collect — the [[weightCache]] discipline).
+    val seedTf = new java.util.WeakHashMap[DataFrame, DataFrame]()
+    def tfSeed(base: DataFrame): DataFrame = seedTf.synchronized {
+      var v = seedTf.get(base)
+      if (v == null) { v = Materialize.eager(tf0(base)); seedTf.put(base, v) }
+      v
+    }
+    val chgTf = new java.util.WeakHashMap[DataFrame, (DataFrame, DataFrame)]()
+    def tfChanged(old: DataFrame, chg: DataFrame): (DataFrame, DataFrame) =
+      chgTf.synchronized {
+        var v = chgTf.get(chg)
+        if (v == null) {
+          v = (Materialize.eager(tf0(oldChanged(old, chg))),
+            Materialize.eager(tf0(newDocs(chg))))
+          chgTf.put(chg, v)
+        }
+        v
+      }
+    // the scope of a term-bucketed table: every term whose postings the
+    // batch can add OR remove — delta-sized (terms of changed docs)
+    def changedTerms(old: DataFrame, chg: DataFrame): DataFrame = {
+      val (oldT, newT) = tfChanged(old, chg)
+      oldT.select("term").unionByName(newT.select("term")).distinct()
+    }
+    val postings = MaintainedAgg(s"${prefix}_postings",
+      seed = base => tfSeed(base),
+      fold = (rows, old, _, chg, _) =>
+        rows.join(chg.select(col(idCol).as("doc")), Seq("doc"), "left_anti")
+          .unionByName(tfChanged(old, chg)._2),
+      scope = Some((old, _, chg, _) => changedTerms(old, chg)))
+    val doclens = MaintainedAgg(s"${prefix}_doclens",
+      seed = base => dlOf(tfSeed(base)),
+      fold = (rows, old, _, chg, _) =>
+        rows.join(chg.select(col(idCol).as("doc")), Seq("doc"), "left_anti")
+          .unionByName(dlOf(tfChanged(old, chg)._2)),
+      scope = Some((_, _, chg, _) => chg.select(col(idCol).as("doc"))))
+    val docfreq = MaintainedAgg(s"${prefix}_docfreq",
+      seed = base => tfSeed(base).groupBy("term").agg(count(lit(1)).as("df")),
+      fold = (rows, old, _, chg, _) => {
+        val (oldT, newT) = tfChanged(old, chg)
+        val delta = oldT.select(col("term"), lit(-1L).as("__d"))
+          .unionByName(newT.select(col("term"), lit(1L).as("__d")))
+          .groupBy("term").agg(sum("__d").as("__d"))
+        rows.join(delta, Seq("term"), "full_outer")
+          .select(col("term"),
+            (coalesce(col("df"), lit(0L)) + coalesce(col("__d"), lit(0L))).as("df"))
+          .filter(col("df") > 0)
+      },
+      scope = Some((old, _, chg, _) => changedTerms(old, chg)))
+    val stats = MaintainedAgg(s"${prefix}_stats",
+      // 3-column stats: the exact integer sumdl makes the mean
+      // delta-able; avgdl is re-derived by the builder's own division
+      seed = base => dlOf(tfSeed(base)).agg(count(lit(1)).as("nd"),
+        coalesce(sum("dl"), lit(0L)).as("sumdl"),
+        (sum("dl").cast("double") / count(lit(1))).as("avgdl")),
+      fold = (agg, old, _, chg, _) => {
+        val (oldT, newT) = tfChanged(old, chg)
+        val delta = dlOf(oldT)
+          .select(lit(-1L).as("__dn"), (-col("dl")).as("__ds"))
+          .unionByName(dlOf(newT)
+            .select(lit(1L).as("__dn"), col("dl").as("__ds")))
+          .agg(coalesce(sum("__dn"), lit(0L)).as("__dn"),
+            coalesce(sum("__ds"), lit(0L)).as("__ds"))
+        val nd2 = col("nd") + col("__dn")
+        val sumdl2 = col("sumdl") + col("__ds")
+        agg.crossJoin(delta).select(nd2.as("nd"), sumdl2.as("sumdl"),
+          when(nd2 === 0, lit(null).cast("double"))
+            .otherwise(sumdl2.cast("double") / nd2).as("avgdl"))
+      })
+    Seq(postings, doclens, docfreq, stats)
   }
 
   /** The index read back from the store (latest committed version of

@@ -198,6 +198,68 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(pruned > 0 && pruned < full, s"postings read $pruned of $full files")
   }
 
+  test("maintained BM25 index: one commit == rebuild, index commits bucket-scoped") {
+    import graft.catalog.{InMemoryCatalog, MergeSnapshotStore, TableMeta}
+    import graft.operators.{Ivm, Scd}
+    import spark.implicits._
+    // wide synthetic vocabulary (~120 terms over 16 buckets) so a small
+    // changelog touches FEW term buckets — provable scoped-ness; the
+    // sf-fixture corpus' ~31-word vocab would touch every bucket
+    val corpus = (0 until 200).map(i =>
+      (i.toLong, s"tok${i % 40}x tok${i % 40}y shared${i % 3}"))
+      .toDF("doc_id", "text")
+    val cat = new InMemoryCatalog
+    val store = new MergeSnapshotStore(spark, cat, nBuckets = 16)
+    val work = java.nio.file.Files.createTempDirectory("graft-bm25m").toString
+    cat.register(TableMeta("bmm", "docs", s"$work/docs",
+      primaryKey = Some("doc_id")))
+    TextAnalysis.registerBm25Tables(store, "bmm", "bm", work)
+    val m = new Ivm.MaintainedAggregates(store, "bmm", "docs",
+      TextAnalysis.bm25IndexSpecs("bm", "doc_id", "text"))
+    m.seed(corpus)
+    // delete 7, update 5 (new term), insert 1000 (new terms)
+    val newC = corpus.filter(col("doc_id") =!= 7)
+      .select(col("doc_id"),
+        when(col("doc_id") === 5, concat(col("text"), lit(" extrafive")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(Seq((1000L, "brandnew solo")).toDF("doc_id", "text"))
+    m.commit(Scd.snapshotDiff(store.read("bmm", "docs"), newC, Seq("doc_id")))
+    // every maintained table equals a from-scratch build over the
+    // committed base — deletes, the re-tokenized update, inserts
+    val base = store.read("bmm", "docs")
+    val scratch = TextAnalysis.buildBm25Index(base, "doc_id", "text")
+    def canon(df: DataFrame) = df.collect().map(_.toString).sorted.toSeq
+    assert(canon(store.read("bmm", "bm_postings")) == canon(scratch.postings))
+    assert(canon(store.read("bmm", "bm_doclens")) == canon(scratch.docLens))
+    assert(canon(store.read("bmm", "bm_docfreq")) == canon(scratch.docFreq))
+    val st = store.read("bmm", "bm_stats").select("nd", "avgdl").head
+    val st0 = scratch.stats.head
+    assert(st.getLong(0) == st0.getLong(0) &&
+      st.getDouble(1) == st0.getDouble(1),
+      "maintained stats drifted from the builder's")
+    // served results from the maintained index == one-shot over the
+    // new corpus (the t30 oracle contract, spec-local form)
+    val queries = newC.filter(col("doc_id") % 50 === 0)
+    val served = TextAnalysis.bm25TopKFromStore(store, "bmm", "bm", queries,
+        "doc_id", "text", k = 5, maxDfFrac = 1.0)
+      .collect().map(_.toString).sorted.toSeq
+    val oneShot = TextAnalysis.bm25TopK(base, queries, "doc_id", "text",
+        k = 5, maxDfFrac = 1.0)
+      .collect().map(_.toString).sorted.toSeq
+    graft.operators.Materialize.releaseAll()
+    assert(served == oneShot && served.nonEmpty)
+    // the index commits were PARTITION-SCOPED: the maintained postings
+    // manifest carries untouched term buckets from the seed by reference
+    val pv = store.latestVersion("bmm", "bm_postings")
+    assert(pv >= 1)
+    val carried = store.manifestEntries("bmm", "bm_postings", pv).values
+      .filter(d => !d.contains(f"c$pv%06d"))
+    assert(carried.nonEmpty, "postings commit rewrote every term bucket")
+    // a deleted doc is gone from the maintained postings
+    assert(store.read("bmm", "bm_postings")
+      .filter(col("doc") === 7).count() == 0)
+  }
+
   test("keyedTopK == per-key brute force; post-filtering under-returns") {
     val queries = emb.filter(col("vec_id") < 20)
     val k = 10
