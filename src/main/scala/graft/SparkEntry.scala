@@ -982,6 +982,42 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // the ANN index PERSISTED and SERVED from the store: vectors + the
+    // cell-bucketed index move through one registry commit (the index
+    // commit scoped to the touched cells' buckets), then the query
+    // batch point-looks-up ONLY its probed cells' buckets — the t28
+    // served-retrieval discipline for vectors. Same rebuild oracle as
+    // s15: the served answer must not drift from the in-memory one.
+    "s16_ann_served" -> ((s, d) => {
+      import graft.catalog.{InMemoryCatalog, MergeSnapshotStore, TableMeta}
+      val emb = t(s, d, "embeddings")
+      val oldC = emb.filter(col("vec_id") % 17 =!= 0)
+        .select(col("vec_id"), col("embedding"))
+      val newC = emb.filter(col("vec_id") % 13 =!= 0)
+        .select(col("vec_id"),
+          when(col("vec_id") % 7 === 0, reverse(col("embedding")))
+            .otherwise(col("embedding")).as("embedding"))
+      val cents = Similarity.defaultCentroids(oldC, "vec_id", "embedding", 16)
+      val cat = new InMemoryCatalog
+      val store = new MergeSnapshotStore(s, cat, nBuckets = 16)
+      val work = java.nio.file.Files.createTempDirectory("graft-s16").toString
+      cat.register(TableMeta("s16", "vecs", s"$work/vecs",
+        primaryKey = Some("vec_id")))
+      cat.register(TableMeta("s16", "vecs_cells", s"$work/vecs_cells",
+        primaryKey = Some("cell")))
+      val m = new Ivm.MaintainedAggregates(store, "s16", "vecs",
+        Seq(Similarity.ivfIndexSpec("vecs_cells", "vec_id", "embedding",
+          cents)))
+      m.seed(oldC)
+      m.commit(Scd.snapshotDiff(store.read("s16", "vecs"), newC,
+        Seq("vec_id")))
+      Similarity.ivfTopKFromStore(store, "s16", "vecs_cells",
+          newC.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, probes = 4, cents)
+        .select("query_id", "rank", "neighbor_id")
+        .orderBy("query_id", "rank")
+    }),
+
     // filtered (key-partitioned) ANN: each query's top-k restricted to
     // corpus vectors sharing its label — candidate-space filtering, not
     // top-k post-filtering, so the k-of-eligible contract holds even
@@ -2223,6 +2259,37 @@ object SparkEntry {
 
   private val Bm25Sql = NormCte + Bm25Body
 
+  /** Shared s15/s16 oracle: the IVF index rebuilt from scratch over the
+   * POST-changelog corpus with the old corpus's first-16 pinned
+   * centroids, searched by the family's probe/rank rule — ONE contract
+   * for the in-memory maintained index and the store-served one. */
+  private val IvfIncrementalSql =
+      """WITH v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                     FROM embeddings WHERE vec_id % 17 <> 0),
+         cent AS (SELECT vec_id AS cid, e AS ce FROM v0
+                  ORDER BY vec_id LIMIT 16),
+         v AS (SELECT vec_id,
+                 CASE WHEN vec_id % 7 = 0
+                      THEN list_reverse(CAST(embedding AS DOUBLE[]))
+                      ELSE CAST(embedding AS DOUBLE[]) END AS e
+               FROM embeddings WHERE vec_id % 13 <> 0),
+         asg AS (SELECT vec_id, e, cid,
+                        ROW_NUMBER() OVER (PARTITION BY vec_id
+                          ORDER BY round(list_cosine_similarity(e, ce), 6) DESC,
+                                   cid ASC) AS crank
+                 FROM v, cent),
+         idx AS (SELECT vec_id, e, cid AS cell FROM asg WHERE crank = 1),
+         qp AS (SELECT vec_id AS query_id, e AS qe, cid AS cell FROM asg
+                WHERE vec_id < 5 AND crank <= 4),
+         s AS (SELECT query_id, c.vec_id AS neighbor_id,
+                      list_cosine_similarity(c.e, qe) AS cos
+               FROM idx c JOIN qp ON c.cell = qp.cell AND c.vec_id <> query_id),
+         r AS (SELECT query_id, neighbor_id,
+                      ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY cos DESC, neighbor_id ASC) AS rank FROM s)
+         SELECT query_id, rank, neighbor_id
+         FROM r WHERE rank <= 10 ORDER BY query_id, rank"""
+
   /** t30 oracle: the SAME ranking body over the POST-changelog corpus
    * (deletes: doc_id % 13; text updates: % 7; inserts: % 101 re-keyed
    * +1000000) — the maintained index must serve exactly what a rebuild
@@ -2623,32 +2690,11 @@ object SparkEntry {
     // the from-scratch rebuild over the NEW corpus with the OLD
     // corpus's first-16 pinned centroids — the maintained index must
     // land on exactly this answer
-    "s15_ann_incremental" ->
-      """WITH v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
-                     FROM embeddings WHERE vec_id % 17 <> 0),
-         cent AS (SELECT vec_id AS cid, e AS ce FROM v0
-                  ORDER BY vec_id LIMIT 16),
-         v AS (SELECT vec_id,
-                 CASE WHEN vec_id % 7 = 0
-                      THEN list_reverse(CAST(embedding AS DOUBLE[]))
-                      ELSE CAST(embedding AS DOUBLE[]) END AS e
-               FROM embeddings WHERE vec_id % 13 <> 0),
-         asg AS (SELECT vec_id, e, cid,
-                        ROW_NUMBER() OVER (PARTITION BY vec_id
-                          ORDER BY round(list_cosine_similarity(e, ce), 6) DESC,
-                                   cid ASC) AS crank
-                 FROM v, cent),
-         idx AS (SELECT vec_id, e, cid AS cell FROM asg WHERE crank = 1),
-         qp AS (SELECT vec_id AS query_id, e AS qe, cid AS cell FROM asg
-                WHERE vec_id < 5 AND crank <= 4),
-         s AS (SELECT query_id, c.vec_id AS neighbor_id,
-                      list_cosine_similarity(c.e, qe) AS cos
-               FROM idx c JOIN qp ON c.cell = qp.cell AND c.vec_id <> query_id),
-         r AS (SELECT query_id, neighbor_id,
-                      ROW_NUMBER() OVER (PARTITION BY query_id
-                        ORDER BY cos DESC, neighbor_id ASC) AS rank FROM s)
-         SELECT query_id, rank, neighbor_id
-         FROM r WHERE rank <= 10 ORDER BY query_id, rank""",
+    "s15_ann_incremental" -> IvfIncrementalSql,
+
+    // the STORE-SERVED maintained index must land on the same rebuild
+    // answer (one contract for in-memory and served paths)
+    "s16_ann_served" -> IvfIncrementalSql,
 
     // same scan as s01 with the label equality in the candidate space
     "s14_ann_filtered_topk" ->

@@ -353,6 +353,70 @@ object Similarity {
         col("vec"), col("nrm")),
       probeCells(queries, idCol, vecCol, centroids, probes), k)
 
+  /**
+   * The [[assignCellsFor]] index as a maintained-registry spec
+   * ([[graft.operators.Ivm.MaintainedAgg]]) over a vector base table:
+   * one changelog commit moves vectors + index together, with the index
+   * table committed PARTITION-SCOPED to the cells the batch touches —
+   * cells of the changed ids' OLD vectors (re-derived against the
+   * PINNED centroids, which is exact because assignment is
+   * deterministic and the index was built by the same assignment) plus
+   * cells of the new assignments. Register the index table with
+   * `cell` as its bucket key; the same layout [[ivfTopKFromStore]]
+   * serves from.
+   */
+  def ivfIndexSpec(table: String, idCol: String, vecCol: String,
+                   centroids: DataFrame): graft.operators.Ivm.MaintainedAgg =
+    graft.operators.Ivm.MaintainedAgg(table,
+      seed = base => assignCellsFor(base, idCol, vecCol, centroids),
+      fold = (rows, _, _, chg, _) =>
+        applyIndexDelta(rows, chg, idCol, vecCol, centroids),
+      scope = Some((old, _, chg, _) =>
+        assignCellsFor(
+            old.join(chg.select(col(idCol)), Seq(idCol), "left_semi")
+              .select(col(idCol), col(vecCol)),
+            idCol, vecCol, centroids).select("cell")
+          .unionByName(assignCellsFor(
+            chg.filter(col("change").isin("I", "U"))
+              .select(col(idCol), col(vecCol)),
+            idCol, vecCol, centroids).select("cell"))
+          .distinct()))
+
+  /** Persist an [[assignCellsFor]]-shaped index into the table store,
+   * bucketed by CELL — each cell's members co-locate, so a query batch
+   * reads only its probed cells' buckets ([[ivfTopKFromStore]]). */
+  def writeIvfIndex(store: graft.catalog.SnapshotStore, db: String,
+                    table: String, location: String,
+                    index: DataFrame): Unit = {
+    store.catalog.register(graft.catalog.TableMeta(db, table, location,
+      primaryKey = Some("cell")))
+    store.overwrite(db, table, index)
+  }
+
+  /**
+   * Serve an IVF query batch from a persisted cell-bucketed index
+   * WITHOUT touching the corpus or the full index: the batch's probed
+   * cells (queries × probes ids — driver-sized by the point-lookup
+   * contract) load through the store's bucket-pruned point lookup with
+   * the cell predicate pushed into the scan, then the family's exact
+   * probe/rank seam scores them — the t28 served-retrieval discipline
+   * for vectors. Per-batch cost is members-of-probed-cells, never index
+   * scale; results are bit-identical to [[ivfTopKFromIndex]] over the
+   * same index (the s16 oracle's claim).
+   */
+  def ivfTopKFromStore(store: graft.catalog.MergeSnapshotStore, db: String,
+                       table: String, queries: DataFrame, idCol: String,
+                       vecCol: String, k: Int, probes: Int,
+                       centroids: DataFrame): DataFrame = {
+    // cut: the probe table feeds BOTH the point lookup's key collect
+    // and the scoring broadcast — one tiny cut, one pass (t28's qt
+    // discipline)
+    val q = Materialize(probeCells(queries, idCol, vecCol, centroids, probes))
+    val rows = store.pointLookup(db, table, q.select("cell"))
+    scoreCells(rows.select(col(idCol).as("vid"), col("cell"),
+      col("vec"), col("nrm")), q, k)
+  }
+
   /** Each query's `probes` best cells (small side — one window): the
    * query half of the family seam, shared by [[ivfFlatPieces]] and
    * [[ivfTopKFromIndex]]. */

@@ -683,6 +683,56 @@ class MergeStoreSpec extends AnyFunSuite with SparkFixture {
     assert(search(m.read("vecs_idx")).nonEmpty)
   }
 
+  test("served ANN index: cell-bucketed lookup prunes files, answers == in-memory") {
+    import graft.operators.{Ivm, Scd, Similarity}
+    import spark.implicits._
+    // 16 buckets so the 8 cells spread: a 4-cell batch then provably
+    // carries untouched cell buckets (8 buckets collapse cells 2-per)
+    val store = mkStore(nBuckets = 16)
+    register(store, "mdb", "svecs", "vec_id")
+    store.catalog.register(TableMeta("mdb", "svecs_cells",
+      Files.createTempDirectory("graft-svecs-cells").toString,
+      primaryKey = Some("cell")))
+    val rnd = new scala.util.Random(7)
+    def vec() = Seq.fill(8)(rnd.nextFloat())
+    val oldC = (1L to 60L).map(i => (i, vec())).toDF("vec_id", "embedding")
+    val cents = Similarity.defaultCentroids(oldC, "vec_id", "embedding", 8)
+    val m = new Ivm.MaintainedAggregates(store, "mdb", "svecs",
+      Seq(Similarity.ivfIndexSpec("svecs_cells", "vec_id", "embedding", cents)))
+    m.seed(oldC)
+    // small batch: one delete, one re-embed, one insert — touches few cells
+    val newC = oldC.filter(col("vec_id") =!= 10L)
+      .unionByName(Seq((3L, vec()), (100L, vec())).toDF("vec_id", "embedding"))
+      .groupBy("vec_id").agg(last("embedding").as("embedding"))
+    m.commit(Scd.snapshotDiff(store.read("mdb", "svecs"), newC, Seq("vec_id")))
+    // the committed index equals a from-scratch assignment of the base
+    val base = store.read("mdb", "svecs")
+    val scratch = Similarity.assignCellsFor(base, "vec_id", "embedding", cents)
+    def cells(df: DataFrame) = df.select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(cells(store.read("mdb", "svecs_cells")) == cells(scratch))
+    // and the commit was SCOPED: untouched cell buckets carried over
+    val pv = store.latestVersion("mdb", "svecs_cells")
+    assert(pv >= 1)
+    val carried = store.manifestEntries("mdb", "svecs_cells", pv).values
+      .filter(d => !d.contains(f"c$pv%06d"))
+    assert(carried.nonEmpty, "index commit rewrote every cell bucket")
+    // serving from the store == in-memory search over the rebuild, and
+    // the served read plans only the probed cells' bucket files
+    val q = newC.filter(col("vec_id") === 1L)
+    def canon(df: DataFrame) = df.collect().map(_.toString).sorted.toSeq
+    val served = Similarity.ivfTopKFromStore(store, "mdb", "svecs_cells",
+      q, "vec_id", "embedding", k = 5, probes = 2, cents)
+    val mem = Similarity.ivfTopKFromIndex(scratch, q, "vec_id", "embedding",
+      k = 5, probes = 2, cents)
+    assert(canon(served) == canon(mem) && served.count() > 0)
+    val full = store.read("mdb", "svecs_cells").inputFiles.length
+    val planned = served.inputFiles.length
+    assert(planned > 0 && planned < full,
+      s"served lookup planned $planned of $full index files")
+    graft.operators.Materialize.releaseAll()
+  }
+
   // ---- plan shape: the target side of the apply never shuffles ----
 
   /** Expand an executed plan across AQE stage / reuse boundaries. */
