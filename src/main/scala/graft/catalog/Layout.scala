@@ -158,6 +158,20 @@ object Layout {
    * the measured min/max, the zone-map a pruned read consults. */
   private[graft] val StatsFile = "_graft_stats.tsv"
 
+  /** The DISTRIBUTED form of the same manifest: a parquet sidecar dir
+   * (`_`-prefixed, so data scans skip it) with rows (f, dim, mn, mx).
+   * [[writeClustered]] switches to it above [[StatsInlineRows]] stats
+   * rows — at a 100 TB layout (10^5–10^6 files × dims) the TSV form
+   * means a multi-hundred-MB driver string on every write AND every
+   * pruned read; the parquet form is written by executors with no
+   * driver collect and pruned by a Spark filter, with only the
+   * SURVIVING file names ever landing on the driver. */
+  private[graft] val StatsPqDir = "_graft_stats.pq"
+
+  /** Stats-row bound up to which the TSV sidecar (human-readable,
+   * one driver string) is used; above it the parquet sidecar. */
+  private[graft] val StatsInlineRows = 4096
+
   /** Commit a small sidecar file next to a table (tmp-write + rename —
    * readers see the old or the new manifest, never a torn one). ONE
    * home for the discipline: the zone-map stats and the shard manifest
@@ -224,7 +238,8 @@ object Layout {
    */
   def writeClustered(df: DataFrame, path: String,
                      dims: Seq[(String, Option[(Double, Double)])],
-                     files: Int, bits: Int = 8): Unit = {
+                     files: Int, bits: Int = 8,
+                     statsInlineBound: Int = StatsInlineRows): Unit = {
     val spark = df.sparkSession
     cluster(df, dims, files, bits).write.mode("overwrite").parquet(path)
     val cols = dims.map(_._1)
@@ -233,17 +248,35 @@ object Layout {
         input_file_name().as("__f"): _*)
     val aggs = cols.flatMap(c => Seq(min(col(c)).as(s"mn_$c"),
       max(col(c)).as(s"mx_$c")))
-    val rows = written.groupBy("__f").agg(aggs.head, aggs.tail: _*)
-      .collect() // manifest-sized: one row per output file
-    val sb = new StringBuilder
-    rows.foreach { r =>
-      val f = new org.apache.hadoop.fs.Path(r.getString(0)).getName
-      cols.zipWithIndex.foreach { case (c, i) =>
-        if (!r.isNullAt(1 + 2 * i) && !r.isNullAt(2 + 2 * i))
-          sb.append(s"$f\t$c\t${r.getDouble(1 + 2 * i)}\t${r.getDouble(2 + 2 * i)}\n")
+    val agg = written.groupBy("__f").agg(aggs.head, aggs.tail: _*)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fsys = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (files.toLong * cols.size <= statsInlineBound) {
+      val rows = agg.collect() // manifest-sized: one row per output file
+      val sb = new StringBuilder
+      rows.foreach { r =>
+        val f = new org.apache.hadoop.fs.Path(r.getString(0)).getName
+        cols.zipWithIndex.foreach { case (c, i) =>
+          if (!r.isNullAt(1 + 2 * i) && !r.isNullAt(2 + 2 * i))
+            sb.append(s"$f\t$c\t${r.getDouble(1 + 2 * i)}\t${r.getDouble(2 + 2 * i)}\n")
+        }
       }
+      writeSidecar(spark, path, StatsFile, sb.toString)
+      // a re-layout from a bigger file count must not leave a stale
+      // parquet sidecar shadowing the fresh TSV
+      fsys.delete(new org.apache.hadoop.fs.Path(root, StatsPqDir), true)
+    } else {
+      // DISTRIBUTED manifest: long-format rows written by executors,
+      // never collected (the TSV form would be a 10^5..10^6-line driver
+      // string at real layouts)
+      val longDf = cols.map(c =>
+        agg.filter(col(s"mn_$c").isNotNull && col(s"mx_$c").isNotNull)
+          .select(expr("element_at(split(__f, '/'), -1)").as("f"),
+            lit(c).as("dim"), col(s"mn_$c").as("mn"), col(s"mx_$c").as("mx")))
+        .reduce(_ unionByName _)
+      longDf.write.mode("overwrite").parquet(s"$path/$StatsPqDir")
+      fsys.delete(new org.apache.hadoop.fs.Path(root, StatsFile), false)
     }
-    writeSidecar(spark, path, StatsFile, sb.toString)
   }
 
   /**
@@ -259,22 +292,49 @@ object Layout {
   def readPruned(spark: SparkSession, path: String,
                  ranges: Map[String, (Double, Double)]): DataFrame = {
     require(ranges.nonEmpty, "readPruned needs at least one range")
-    val lines = readSidecarLines(spark, path, StatsFile, "writeClustered")
-    val stats = lines.map { l =>
-      val Array(f, c, mn, mx) = l.split('\t')
-      (f, c, mn.toDouble, mx.toDouble)
-    }.groupBy(_._1)
-    val keep = stats.collect {
-      case (f, ss) if ranges.forall { case (c, (lo, hi)) =>
-        ss.find(_._2 == c).forall(s => s._4 >= lo && s._3 <= hi)
-      } => f
-    }.toSeq.sorted
+    val keep = pruneSet(spark, path, ranges)
     val pred = ranges.map { case (c, (lo, hi)) =>
       col(c) >= lit(lo) && col(c) <= lit(hi)
     }.reduce(_ && _)
     if (keep.isEmpty)
       spark.read.parquet(path).filter(lit(false)) // schema-true empty
     else spark.read.parquet(keep.map(f => s"$path/$f"): _*).filter(pred)
+  }
+
+  /** The surviving file names of a box query — the ONE pruning rule,
+   * evaluated against whichever sidecar form the layout carries: the
+   * parquet sidecar via a Spark filter (only survivors reach the
+   * driver), the TSV via the driver parse. A file whose stats lack a
+   * requested dimension is kept (conservative); the two forms MUST
+   * agree — LayoutSpec proves set-identity on a synthetic 10^5-entry
+   * manifest. */
+  private[graft] def pruneSet(spark: SparkSession, path: String,
+                              ranges: Map[String, (Double, Double)]): Seq[String] = {
+    val pq = new org.apache.hadoop.fs.Path(path, StatsPqDir)
+    val fsys = pq.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fsys.exists(pq)) {
+      // keep = files with NO violating stats row; dims without a row
+      // pass vacuously — identical semantics to the TSV fold below
+      val bad = ranges.foldLeft(lit(false)) { case (acc, (c, (lo, hi))) =>
+        acc || (col("dim") === lit(c) &&
+          !(col("mx") >= lit(lo) && col("mn") <= lit(hi)))
+      }
+      spark.read.parquet(pq.toString)
+        .groupBy("f").agg(max(bad.cast("int")).as("__bad"))
+        .filter(col("__bad") === 0)
+        .select("f").collect().map(_.getString(0)).toSeq.sorted
+    } else {
+      val lines = readSidecarLines(spark, path, StatsFile, "writeClustered")
+      val stats = lines.map { l =>
+        val Array(f, c, mn, mx) = l.split('\t')
+        (f, c, mn.toDouble, mx.toDouble)
+      }.groupBy(_._1)
+      stats.collect {
+        case (f, ss) if ranges.forall { case (c, (lo, hi)) =>
+          ss.find(_._2 == c).forall(s => s._4 >= lo && s._3 <= hi)
+        } => f
+      }.toSeq.sorted
+    }
   }
 
   /** tokenCache(parts)(p) = a long whose Murmur3(seed 42) hash pmods to

@@ -195,7 +195,13 @@ object PrefixScan {
     graft.catalog.Layout.writeSidecar(spark, path, "_shards.tsv", content)
   }
 
-  /** The shard manifest read back as (shard, n_docs, tok_sum). */
+  /** The shard manifest read back as (shard, n_docs, tok_sum). The
+   * driver-side TSV parse is BOUNDED by [[writeShards]]' 4096-shard
+   * fail-fast (a ~4k-line string), unlike the zone-map stats whose
+   * file count is unbounded — which is why the zone maps carry a
+   * distributed parquet sidecar form ([[graft.catalog.Layout
+   * .StatsPqDir]]) and this manifest does not; if the shard guard is
+   * ever raised past manifest scale, adopt that discipline here. */
   def readShardManifest(spark: org.apache.spark.sql.SparkSession,
                         path: String): DataFrame = {
     import spark.implicits._

@@ -217,6 +217,80 @@ class LayoutSpec extends AnyFunSuite with SparkFixture {
     assert(ok.count() == 2000)
   }
 
+  test("parquet-sidecar pruning == TSV pruning on a synthetic 1e5-entry manifest") {
+    import spark.implicits._
+    // deterministic synthetic zone map: 50k files x 2 dims; dim ranges
+    // derive from the file index so boxes cut real fractions, with some
+    // files missing one dim's stats (the conservative-keep edge)
+    val nFiles = 50000
+    val rows = (0 until nFiles).flatMap { i =>
+      val a = Seq(("f%05d.parquet".format(i), "x",
+        (i % 1000).toDouble, (i % 1000).toDouble + 5.0))
+      val b = if (i % 17 == 0) Nil // every 17th file: no stats for y
+        else Seq(("f%05d.parquet".format(i), "y",
+          (i / 50).toDouble, (i / 50).toDouble + 3.0))
+      a ++ b
+    }
+    val tsvDir = Files.createTempDirectory("graft-zm-tsv").toString
+    val pqDir = Files.createTempDirectory("graft-zm-pq").toString
+    Layout.writeSidecar(spark, tsvDir, Layout.StatsFile,
+      rows.map { case (f, d, mn, mx) => s"$f\t$d\t$mn\t$mx" }.mkString("\n"))
+    rows.toDF("f", "dim", "mn", "mx").repartition(8)
+      .write.parquet(s"$pqDir/${Layout.StatsPqDir}")
+    for (ranges <- Seq(
+        Map("x" -> ((100.0, 140.0))),
+        Map("x" -> ((100.0, 140.0)), "y" -> ((200.0, 260.0))),
+        Map("y" -> ((0.0, 5.0))),
+        Map("z" -> ((0.0, 1.0))), // unclustered dim: nothing prunes
+        Map("x" -> ((-50.0, -10.0))))) { // impossible box: empty
+      val tsv = Layout.pruneSet(spark, tsvDir, ranges)
+      val pq = Layout.pruneSet(spark, pqDir, ranges)
+      assert(tsv == pq, s"prune sets diverged for $ranges")
+    }
+    // and the sets are non-trivial: the 2-D box keeps a real subset
+    val subset = Layout.pruneSet(spark, pqDir,
+      Map("x" -> ((100.0, 140.0)), "y" -> ((200.0, 260.0))))
+    assert(subset.nonEmpty && subset.size < nFiles / 10)
+  }
+
+  test("writeClustered above the inline bound: distributed sidecar, same reads") {
+    import spark.implicits._
+    val df = spark.range(4096).select(
+      (hash(col("id"), lit(1)).cast("long").bitwiseAND(255)).as("x"),
+      (hash(col("id"), lit(2)).cast("long").bitwiseAND(255)).as("y"))
+    val base = Files.createTempDirectory("graft-zm-dist").toString
+    // bound 0 forces the parquet sidecar at any layout size
+    Layout.writeClustered(df, s"$base/t",
+      Seq("x" -> Some((0.0, 255.0)), "y" -> Some((0.0, 255.0))),
+      files = 16, statsInlineBound = 0)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$base/t", Layout.StatsPqDir)))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$base/t", Layout.StatsFile)))
+    val box = Map("x" -> ((50.0, 90.0)), "y" -> ((50.0, 90.0)))
+    val pruned = Layout.readPruned(spark, s"$base/t", box)
+    val expect = spark.read.parquet(s"$base/t")
+      .filter(col("x").between(50, 90) && col("y").between(50, 90))
+    assert(pruned.exceptAll(expect).count() == 0 &&
+      expect.exceptAll(pruned).count() == 0)
+    assert(pruned.count() > 0)
+    val all = spark.read.parquet(s"$base/t").inputFiles.length
+    assert(pruned.inputFiles.length < all, "distributed sidecar never pruned")
+    // re-layout UNDER the bound replaces the parquet sidecar with TSV
+    Layout.writeClustered(df, s"$base/t",
+      Seq("x" -> Some((0.0, 255.0)), "y" -> Some((0.0, 255.0))), files = 16)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$base/t", Layout.StatsFile)))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$base/t", Layout.StatsPqDir)))
+    // the old `expect` plan pins the replaced files — re-derive it
+    val expect2 = spark.read.parquet(s"$base/t")
+      .filter(col("x").between(50, 90) && col("y").between(50, 90))
+    val again = Layout.readPruned(spark, s"$base/t", box)
+    assert(again.exceptAll(expect2).count() == 0 &&
+      expect2.exceptAll(again).count() == 0)
+  }
+
   test("cluster layout is deterministic and contiguous regardless of session history") {
     import spark.implicits._
     // repartitionByRange's bound sampler seeds from the RDD id, so the
