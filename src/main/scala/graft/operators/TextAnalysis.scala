@@ -1181,15 +1181,48 @@ object TextAnalysis {
    * Scale shape: ONE corpus-sized pass (the tokenize-explode into a
    * map-side-combined word-frequency aggregate); every round after
    * operates on the VOCABULARY table — a pair-count aggregate (map-side
-   * combinable), a 1-row argmax collect (config-scale, the
+   * combinable), a small top-pair collect (config-scale, the
    * [[graft.operators.Similarity.trainIvfCentroids]] round-trip
-   * pattern), and a narrow replace. Each round's vocabulary is an eager
-   * [[Materialize]] cut (consumed by the next round's aggregate AND
-   * replace) released as soon as its successor exists, so lineage and
-   * storage stay O(1) in the round count.
+   * pattern), and a narrow replace chain. Each round's vocabulary is an
+   * eager [[Materialize]] cut (consumed by the next round's aggregate
+   * AND replace) released as soon as its successor exists, so lineage
+   * and storage stay O(1) in the round count.
+   *
+   * == Batched rounds ==
+   *
+   * One driver round per merge means a production 32k-merge vocabulary
+   * is 32k Spark jobs. Each round therefore applies up to `roundBatch`
+   * merges, chosen so the emitted sequence is PROVABLY IDENTICAL to the
+   * one-merge-per-round trainer's (the t16 oracle replays the
+   * sequential loop, so equality is oracle-checked): take the maximal
+   * prefix of the (count desc, lhs, rhs) pair ranking whose pairs are
+   * pairwise symbol-disjoint, stopping at the first pair sharing a
+   * symbol with an earlier taken pair, then TRIM to pairs whose count
+   * strictly exceeds the stop pair's. Why that is sequence-exact:
+   * merging a pair (a,b) cannot change the count of any symbol-disjoint
+   * pair, so the untrimmed prefix pairs keep their counts and relative
+   * order; every pair it CAN change — old pairs sharing a or b, and new
+   * pairs involving ab, whose counts are bounded by the old sharing
+   * pairs' ((x,ab) occurrences were (x,a) occurrences) — is
+   * non-batched, hence ranked at or below the stop pair, and the strict
+   * trim keeps every batched count above that ceiling, so no changed or
+   * created pair can outrank the rest of the batch mid-sequence. A tie
+   * with the stop count trims to the bare argmax, which is the
+   * sequential step itself. Disjoint replaces cannot overlap in the
+   * spaced-symbol encoding, so the chained application equals the
+   * sequential one.
    */
-  def bpeMerges(df: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+  def bpeMerges(df: DataFrame, textCol: String, nMerges: Int,
+                roundBatch: Int = 16): DataFrame =
+    bpeMergesCounted(df, textCol, nMerges, roundBatch)._1
+
+  /** [[bpeMerges]] plus the number of driver rounds it ran — the
+   * batching spec's observable (~nMerges/roundBatch on natural text). */
+  private[graft] def bpeMergesCounted(df: DataFrame, textCol: String,
+                                      nMerges: Int,
+                                      roundBatch: Int): (DataFrame, Int) = {
     require(nMerges >= 1 && nMerges <= 256, "nMerges must be in [1, 256]")
+    require(roundBatch >= 1, "roundBatch must be >= 1")
     val spark = df.sparkSession
     // corpus pass: word frequencies, then the spaced-symbol encoding.
     // regexp_replace wraps EACH character in single spaces; adjacent
@@ -1200,7 +1233,10 @@ object TextAnalysis {
         .select(regexp_replace(col("w"), "(.)", " $1 ").as("s"), col("n")))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     var exhausted = false
-    for (round <- 1 to nMerges if !exhausted) {
+    var rounds = 0
+    while (merges.size < nMerges && !exhausted) {
+      rounds += 1
+      val want = math.min(roundBatch, nMerges - merges.size)
       val syms = vocab.select(split(trim(col("s")), "  ").as("sy"), col("n"))
         .filter(size(col("sy")) >= 2)
       val top = syms
@@ -1210,22 +1246,42 @@ object TextAnalysis {
         .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
         .agg(sum(col("n")).as("pn"))
         .orderBy(col("pn").desc, col("lhs").asc, col("rhs").asc)
-        .limit(1).collect() // 1 row: the argmax pair — config, not data
+        .limit(want + 1).collect() // config-scale: the top pairs + stop probe
       if (top.isEmpty) exhausted = true // every word is one symbol
       else {
-        val (l, r, pn) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        merges += ((round, l, r, l + r, pn))
-        val next = Materialize.eager(vocab.select(
-          call_function("replace", col("s"),
-            lit(" " + l + "  " + r + " "), lit(" " + l + r + " ")).as("s"),
-          col("n")))
+        val rows = top.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        val used = scala.collection.mutable.Set.empty[String]
+        val taken = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        var stopCount: Option[Long] = None
+        for ((l, r, pn) <- rows if stopCount.isEmpty) {
+          if (taken.size >= want || used.contains(l) || used.contains(r))
+            stopCount = Some(pn)
+          else { taken += ((l, r, pn)); used += l; used += r }
+        }
+        // strict trim keeps a PREFIX (counts are non-increasing); an
+        // empty trim means the argmax itself ties the ceiling — one
+        // sequential merge is then the only safe step
+        val batch = stopCount match {
+          case Some(q) =>
+            val t = taken.filter(_._3 > q)
+            if (t.isEmpty) taken.take(1) else t
+          case None => taken
+        }
+        batch.foreach { case (l, r, pn) =>
+          merges += ((merges.size + 1, l, r, l + r, pn))
+        }
+        val newS = batch.foldLeft(col("s")) { case (c, (l, r, _)) =>
+          call_function("replace", c,
+            lit(" " + l + "  " + r + " "), lit(" " + l + r + " "))
+        }
+        val next = Materialize.eager(vocab.select(newS.as("s"), col("n")))
         Materialize.release(vocab)
         vocab = next
       }
     }
     Materialize.release(vocab)
     import spark.implicits._
-    merges.toSeq.toDF("merge_round", "lhs", "rhs", "merged", "pair_n")
+    (merges.toSeq.toDF("merge_round", "lhs", "rhs", "merged", "pair_n"), rounds)
   }
 
   /**

@@ -1766,6 +1766,38 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
       (1, "a", "a", 5L), (2, "aa", "a", 1L), (3, "aa", "aa", 1L)))
   }
 
+  test("batched BPE rounds emit the sequential merge sequence with fewer jobs") {
+    import spark.implicits._
+    def seq(corpus: DataFrame, n: Int,
+            batch: Int): (Seq[(Int, String, String, String, Long)], Int) = {
+      val (df, rounds) = TextAnalysis.bpeMergesCounted(corpus, "text",
+        nMerges = n, roundBatch = batch)
+      (df.orderBy("merge_round").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4))).toSeq, rounds)
+    }
+    // fixture corpus: equality is the load-bearing claim; the ~31-word
+    // shared-alphabet vocab keeps top pairs interacting (and tied), so
+    // the round gain is modest here — sequence-exactness caps it
+    val (sequential, r1) = seq(docs, 24, 1)
+    val (batched, r8) = seq(docs, 24, 8)
+    assert(sequential.size == 24 && r1 == 24)
+    assert(batched == sequential, "batched rounds diverged from sequential")
+    assert(r8 < r1, s"batching never fired: $r8 vs $r1")
+    // disjoint-alphabet corpus with distinct frequencies — the regime a
+    // real 32k-merge tail lives in (long disjoint symbols, untied
+    // counts): rounds collapse toward nMerges / batch
+    val words = Seq("abab", "cdcd", "efef", "ghgh", "ijij", "klkl",
+      "mnmn", "opop")
+    val syn = words.zipWithIndex.flatMap { case (w, i) =>
+      Seq.fill(100 - 7 * i)(w)
+    }.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val (seqSyn, rs1) = seq(syn, 16, 1)
+    val (batSyn, rs8) = seq(syn, 16, 8)
+    assert(batSyn == seqSyn && seqSyn.size == 16)
+    assert(rs8 <= rs1 / 3, s"expected ~batch-fold fewer rounds, got $rs8 vs $rs1")
+  }
+
   test("bpeSegment applies trained merges in order, never across words") {
     import spark.implicits._
     val corpus = Seq((0L, "low low low"), (1L, "lower lower"), (2L, "lowest"))
