@@ -1222,6 +1222,23 @@ object SparkEntry {
         .select("vec_id", "label")
         .orderBy("vec_id")),
 
+    // TOKEN-budget source mixing with epoch repeats (the Pile/LLaMA
+    // mixing table): sources weighted by token share, small classes
+    // repeat as distinct epochs up to their cap, the binding class
+    // realizes its cap exactly, fractional epochs keep the md5-subset
+    // at the fractional rate — the oracle replays token sums, the
+    // budget arithmetic, the epoch expansion, and the salted digest
+    "q56_token_mixture" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"),
+        (col("doc_id") % 4).cast("string").as("cls"),
+        TextAnalysis.tokenCount(col("text")).as("n_tok"))
+      Sampling.tokenMixtureSample(docs, "cls", "doc_id", "n_tok",
+          Map("0" -> 5.0, "1" -> 3.0, "2" -> 1.0),
+          Map("0" -> 3.0, "1" -> 1.5))
+        .select(col("doc_id"), col("cls"), col("epoch"))
+        .orderBy("doc_id", "epoch")
+    }),
+
     // sliding-window token chunking: fixed-size overlapping training
     // windows from each doc's token stream — one stepped-sequence
     // explode + one slice per window, no shuffle; starts, lengths, and
@@ -2804,6 +2821,39 @@ object SparkEntry {
                CASE WHEN r >= 1.0 THEN 'zzzz'
                     ELSE printf('%04x', CAST(floor(r * 65536) AS BIGINT)) END
          ORDER BY vec_id""",
+
+    // token sums per class, the capacity/budget arithmetic in the same
+    // left-to-right order, epoch expansion via generate_series, and the
+    // per-epoch salted md5 threshold — replayed end to end
+    "q56_token_mixture" -> (NormCte +
+      """, d AS (SELECT doc_id, CAST(doc_id % 4 AS VARCHAR) AS cls,
+           CAST(len(string_split(t, ' ')) AS BIGINT) AS n_tok FROM n),
+         wt(cls, w, rmax) AS (VALUES ('0', 5.0, 3.0), ('1', 3.0, 1.5),
+                                     ('2', 1.0, 1.0)),
+         tc AS (SELECT cls, CAST(sum(n_tok) AS DOUBLE) AS tc
+                FROM d JOIN wt USING (cls) GROUP BY 1),
+         nn AS (SELECT min(tc * rmax / w) AS bign FROM tc JOIN wt USING (cls)),
+         plan AS (SELECT cls, CASE WHEN tc * rmax / w = bign THEN rmax
+                                   ELSE least(rmax, w * bign / tc) END AS u
+                  FROM tc JOIN wt USING (cls), nn),
+         e AS (SELECT cls, CAST(floor(u) AS BIGINT) AS nfull,
+                      u - floor(u) AS frac FROM plan),
+         maxe AS (SELECT CAST(max(nfull +
+                    CASE WHEN frac > 0 THEN 1 ELSE 0 END) AS BIGINT) AS me
+                  FROM e),
+         ep AS (SELECT unnest(generate_series(0,
+                  (SELECT me FROM maxe) - 1)) AS epoch),
+         x AS (SELECT d.doc_id, d.cls, ep.epoch, e.nfull, e.frac
+               FROM d JOIN e USING (cls) CROSS JOIN ep
+               WHERE ep.epoch < e.nfull +
+                 CASE WHEN e.frac > 0 THEN 1 ELSE 0 END)
+         SELECT doc_id, cls, epoch FROM x
+         WHERE epoch < nfull
+            OR substring(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                 CAST(42 + epoch AS VARCHAR)), 1, 4) <
+               CASE WHEN frac <= 0 THEN '0000'
+                    ELSE printf('%04x', CAST(floor(frac * 65536) AS BIGINT)) END
+         ORDER BY doc_id, epoch"""),
 
     // position-carrying 8-token shingle index -> fixed-delta consecutive
     // runs -> per-doc overlap merge; same hot-shingle guard (occ <= 64)

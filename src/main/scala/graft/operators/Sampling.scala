@@ -110,6 +110,83 @@ object Sampling {
   }
 
   /**
+   * TOKEN-budget source mixing with EPOCH REPEATS — the Pile/LLaMA
+   * mixing-table semantics [[mixtureSample]]'s document-count,
+   * no-upsampling form cannot express: production mixes weight sources
+   * by TOKEN share and let small high-quality sources repeat (appear
+   * `k > 1` times, as distinct epochs) while the big crawl runs under
+   * one epoch. Targets are relative token weights; `maxEpochs` caps
+   * each class's repetition (unlisted target classes cap at
+   * `defaultMaxEpochs`). The output is the LARGEST mixture achievable
+   * under the caps: with per-class token mass T_c, cap R_c and weight
+   * w_c, the budget is N = min_c (T_c * R_c) / w_c, and class c
+   * realizes u_c = (w_c * N) / T_c epochs — floor(u_c) FULL copies
+   * plus, when fractional, one PARTIAL epoch keeping the [[hashSample]]
+   * md5-threshold subset at the fractional rate (token rates realized
+   * by document fraction — the standard estimator; membership is
+   * content-keyed, so stable across engines, partitionings, retries).
+   * Each copy carries a distinct `epoch` id (0-based), and the partial
+   * epoch's membership digest is salted with `seed + epoch`, so
+   * different epochs of one class would sample different subsets if
+   * several were partial. Binding-class arithmetic mirrors
+   * [[mixtureSample]]: the class with (T_c * R_c)/w_c == N realizes
+   * EXACTLY R_c (recomputing it can land one ulp under and silently
+   * shave the class).
+   *
+   * Scale shape: one tiny per-class token aggregate (|classes| rows —
+   * configuration, not data) and ONE corpus pass whose epoch expansion
+   * is a narrow `sequence`+`explode` (each row emits its class's epoch
+   * count — bounded by max(maxEpochs), not data) with the partial-epoch
+   * filter fused in; no shuffle, no upsampling joins. Left-to-right
+   * IEEE arithmetic throughout, replayed identically by the oracle.
+   */
+  def tokenMixtureSample(df: DataFrame, classCol: String, keyCol: String,
+                         tokenCol: String, targets: Map[String, Double],
+                         maxEpochs: Map[String, Double] = Map.empty,
+                         defaultMaxEpochs: Double = 1.0, seed: Long = 42L,
+                         epochCol: String = "epoch"): DataFrame = {
+    require(targets.nonEmpty && targets.values.forall(_ > 0.0),
+      "targets must be non-empty with positive weights")
+    require((maxEpochs.values ++ Seq(defaultMaxEpochs)).forall(_ > 0.0),
+      "epoch caps must be positive")
+    require(!df.columns.contains(epochCol),
+      s"output column $epochCol already exists on the input")
+    val toks = df.groupBy(col(classCol).cast("string").as("c"))
+      .agg(sum(col(tokenCol).cast("long")).as("t"))
+      .collect().flatMap(r =>
+        Option(r.getString(0)).map(_ -> r.getLong(1)))
+      .toMap
+    val present = targets.filter { case (c, _) => toks.get(c).exists(_ > 0L) }
+    require(present.nonEmpty, "no target class with tokens present in the data")
+    def cap(c: String): Double = maxEpochs.getOrElse(c, defaultMaxEpochs)
+    val bigN = present.map { case (c, w) => (toks(c).toDouble * cap(c)) / w }.min
+    // per-class plan: full epochs, fractional-epoch keep rate
+    val plan = present.map { case (c, w) =>
+      val u =
+        if ((toks(c).toDouble * cap(c)) / w == bigN) cap(c)
+        else math.min(cap(c), (w * bigN) / toks(c).toDouble)
+      val full = math.floor(u).toLong
+      val frac = u - full
+      c -> ((full, frac))
+    }
+    def caseOver(f: ((Long, Double)) => org.apache.spark.sql.Column,
+                 default: org.apache.spark.sql.Column) =
+      plan.foldLeft(default) { case (acc, (c, p)) =>
+        when(col(classCol).cast("string") === c, f(p)).otherwise(acc)
+      }
+    val fullC = caseOver(p => lit(p._1), lit(0L))
+    val nEpochC = caseOver(p => lit(p._1 + (if (p._2 > 0.0) 1L else 0L)), lit(0L))
+    val fracHexC = caseOver(p => lit(cutHex(p._2)), lit("0000"))
+    // partial-epoch digest: the hashSample contract salted per epoch
+    val epochDigest = substring(md5(concat(col(keyCol).cast("string"),
+      lit(":"), (lit(seed) + col(epochCol)).cast("string")).cast("binary")), 1, 4)
+    df.filter(col(classCol).cast("string").isin(present.keys.toSeq: _*))
+      .withColumn(epochCol,
+        explode(sequence(lit(0L), nEpochC - 1))) // nEpochC >= 1 for present classes
+      .filter(col(epochCol) < fullC || epochDigest < fracHexC)
+  }
+
+  /**
    * Deterministic train/validation/test SPLIT: every row labeled with
    * the name of the digest-range its content key falls in — the
    * holdout-assignment step of a training pipeline, under the same

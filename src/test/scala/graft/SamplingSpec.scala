@@ -163,6 +163,55 @@ class SamplingSpec extends AnyFunSuite with SparkFixture {
     assert(b.map(_._2) != a.map(_._2))
   }
 
+  test("tokenMixtureSample: epoch repeats are deterministic, distinct, budget-exact") {
+    import spark.implicits._
+    // three sources with token masses 1000 / 300 / 5000 (distinct docs,
+    // 10 tokens each): weights 1:1:2 with caps 1 / 4 / 1.
+    // capacities: a 1000/1=1000, b 300*4/1=1200, c 5000*1/2=2500 ->
+    // N=1000 (a binds, realizes exactly cap 1.0); u_b = 1000/300 =
+    // 3.333... -> 3 full epochs + partial ~1/3; u_c = 2000/5000 = 0.4
+    // -> partial only
+    val docs = ((0 until 100).map(i => (i.toLong, "a")) ++
+      (100 until 130).map(i => (i.toLong, "b")) ++
+      (200 until 700).map(i => (i.toLong, "c")))
+      .map { case (id, c) => (id, c, 10L) }
+      .toDF("doc_id", "cls", "n_tok")
+    def run() = Sampling.tokenMixtureSample(docs, "cls", "doc_id", "n_tok",
+        Map("a" -> 1.0, "b" -> 1.0, "c" -> 2.0),
+        Map("b" -> 4.0))
+      .select("doc_id", "cls", "epoch")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val got = run()
+    assert(got == run(), "token mixture is not deterministic")
+    val byCls = got.groupBy(_._2)
+    // binding class a: exactly one full epoch, nothing else
+    assert(byCls("a").map(_._3).toSet == Set(0L))
+    assert(byCls("a").size == 100)
+    // b: epochs 0..2 full (every doc), epoch 3 partial (~1/3 of docs)
+    val b = byCls("b")
+    (0L to 2L).foreach(e =>
+      assert(b.count(_._3 == e) == 30, s"epoch $e of b must be full"))
+    val bPartial = b.filter(_._3 == 3L)
+    assert(bPartial.nonEmpty && bPartial.size < 30)
+    // repeated epochs are DISTINCT rows of the same docs: (doc, epoch)
+    // unique, and full-epoch doc sets identical across epochs
+    assert(b.map(x => (x._1, x._3)).distinct.size == b.size)
+    assert(b.filter(_._3 == 0L).map(_._1).toSet ==
+      b.filter(_._3 == 2L).map(_._1).toSet)
+    // c: partial epoch only, ~40% of docs
+    val c = byCls("c")
+    assert(c.map(_._3).toSet == Set(0L))
+    assert(math.abs(c.size - 200) < 40, s"expected ~200 of 500, got ${c.size}")
+    // the partial subset is the content-keyed md5 subset: stable under
+    // a different physical partitioning of the input
+    val repart = Sampling.tokenMixtureSample(docs.repartition(13), "cls",
+        "doc_id", "n_tok", Map("a" -> 1.0, "b" -> 1.0, "c" -> 2.0),
+        Map("b" -> 4.0))
+      .select("doc_id", "cls", "epoch")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(repart.sorted == got.sorted)
+  }
+
   test("store JSON write round-trips (reference dev event-log generation)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-json").toString
     val cat = new graft.catalog.InMemoryCatalog
