@@ -606,5 +606,51 @@ object Ivm {
       val base = store.read(db, baseTable)
       aggs.foreach(a => store.overwrite(db, a.table, a.seed(base)))
     }
+
+    /**
+     * TIME TRAVEL for the dashboards: every maintained aggregate AS OF
+     * base version `toVersion`, rebuilt by seeding from `fromVersion`'s
+     * retained snapshot and folding the per-step changelogs the store
+     * derives after the fact ([[graft.catalog.SnapshotStore
+     * .changesBetween]]) — so the registry answers "what did this
+     * dashboard show at version N?" even though no writer recorded a
+     * changelog and the aggregate tables only hold their LATEST state.
+     * Returns table -> frame; commits nothing.
+     *
+     * Cost: one seed over `fromVersion`'s snapshot plus, per step, one
+     * version-pair diff (a full-outer join of two manifest-resolved
+     * reads) and the aggregate folds' delta-sized work — so replaying a
+     * few versions back is far cheaper than re-aggregating history from
+     * raw data, and seeding from a LATER retained version shortens the
+     * walk. Every version in `[fromVersion, toVersion]` must still be
+     * inside the store's retention window. Each step's aggregates are
+     * [[Materialize]]d (the fold chain would otherwise nest one plan
+     * per version) with superseded steps released eagerly; the RETURNED
+     * frames hold the final cuts — consume them under the session's
+     * release discipline ([[Materialize.scoped]] / `releaseAll`).
+     */
+    def replayAggregates(fromVersion: Int,
+                         toVersion: Int): Map[String, DataFrame] = {
+      require(fromVersion >= 0 && fromVersion <= toVersion,
+        s"need 0 <= fromVersion <= toVersion, got $fromVersion..$toVersion")
+      val meta = store.catalog(db, baseTable)
+      val k = pk
+      var cur: Map[String, DataFrame] = {
+        val base = store.readVersion(meta, fromVersion)
+        aggs.map(a => a.table -> Materialize.eager(a.seed(base))).toMap
+      }
+      for (v <- fromVersion + 1 to toVersion) {
+        val old = store.readVersion(meta, v - 1)
+        val nw = store.readVersion(meta, v)
+        val chg = Materialize(store.changesBetween(db, baseTable, v - 1, v))
+        val next = aggs.map(a =>
+          a.table -> Materialize.eager(
+            a.fold(cur(a.table), old, nw, chg, Seq(k)))).toMap
+        cur.values.foreach(Materialize.release)
+        Materialize.release(chg)
+        cur = next
+      }
+      cur
+    }
   }
 }

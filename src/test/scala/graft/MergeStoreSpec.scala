@@ -639,6 +639,49 @@ class MergeStoreSpec extends AnyFunSuite with SparkFixture {
     assert(aggSet() == recompute())
   }
 
+  test("replayAggregates rebuilds every dashboard at any retained version") {
+    import graft.operators.{Ivm, Scd}
+    import spark.implicits._
+    val store = mkStore(nBuckets = 8, keep = 10)
+    register(store, "mdb", "facts5", "id")
+    val tables = Seq("f5_cs", "f5_mm", "f5_dc")
+    tables.foreach(t => register(store, "mdb", t, "grp"))
+    val m = new Ivm.MaintainedAggregates(store, "mdb", "facts5", Seq(
+      Ivm.countSumSpec("f5_cs", col("grp_in"), col("v")),
+      Ivm.minMaxSpec("f5_mm", col("grp_in"), col("v")),
+      Ivm.distinctSpec("f5_dc", col("grp_in"), col("v"))))
+    def snap(rows: Seq[(Int, String, Long)]) = rows.toDF("id", "grp_in", "v")
+    // updates, group moves, an emptied group, duplicate values, inserts
+    val states = Seq(
+      Seq((1, "a", 10L), (2, "a", 5L), (3, "b", 30L)),
+      Seq((1, "a", 11L), (3, "b", 30L), (4, "c", 40L)),
+      Seq((3, "b", 31L), (4, "c", 40L), (5, "a", 7L), (6, "c", 40L)),
+      Seq((4, "c", 41L), (5, "a", 7L), (6, "c", 40L)))
+    m.seed(snap(states.head))
+    def canon(df: DataFrame) = df.collect().map(_.toString).toSet
+    val live = scala.collection.mutable.Map[Int, Map[String, Set[String]]]()
+    live(0) = tables.map(t => t -> canon(m.read(t))).toMap
+    states.sliding(2).zipWithIndex.foreach { case (Seq(p, n), i) =>
+      m.commit(Scd.snapshotDiff(snap(p), snap(n), Seq("id")))
+      live(i + 1) = tables.map(t => t -> canon(m.read(t))).toMap
+    }
+    // the dashboards' time travel: replay v0 -> each retained version
+    // equals what the live-maintained aggregates showed at that step —
+    // even though no changelog was recorded and the aggregate tables
+    // only hold their final state
+    (0 to 3).foreach { v =>
+      val replayed = m.replayAggregates(0, v)
+      tables.foreach { t =>
+        assert(canon(replayed(t)) == live(v)(t),
+          s"replay to v$v drifted on $t")
+      }
+    }
+    // seeding from a later retained version shortens the walk, same answer
+    val mid = m.replayAggregates(2, 3)
+    tables.foreach(t => assert(canon(mid(t)) == live(3)(t)))
+    graft.operators.Materialize.releaseAll()
+  }
+
   test("the ANN index rides the maintained-aggregate registry unchanged") {
     // composition, no new API: applyIndexDelta's shape IS a MaintainedAgg
     // fold, so one CDC commit keeps the vector index current in the store
