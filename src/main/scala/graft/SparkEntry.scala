@@ -1003,8 +1003,8 @@ object SparkEntry {
       val work = java.nio.file.Files.createTempDirectory("graft-s16").toString
       cat.register(TableMeta("s16", "vecs", s"$work/vecs",
         primaryKey = Some("vec_id")))
-      cat.register(TableMeta("s16", "vecs_cells", s"$work/vecs_cells",
-        primaryKey = Some("cell")))
+      cat.register(Similarity.ivfIndexMeta("s16", "vecs_cells",
+        s"$work/vecs_cells"))
       val m = new Ivm.MaintainedAggregates(store, "s16", "vecs",
         Seq(Similarity.ivfIndexSpec("vecs_cells", "vec_id", "embedding",
           cents)))

@@ -446,9 +446,16 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
         case _ => None
       }
     }: _*)
-    val statCols = df.schema.fields.toSeq
-      .filter(sf => sf.name != "__b" && sf.dataType.isInstanceOf[NumericType])
-      .map(_.name)
+    // per-table opt-out (the Delta dataSkippingNumIndexedCols=0 story):
+    // a table whose reads never carry numeric range predicates — a
+    // PK-point-lookup-only index table, a 1-row stats table — can skip
+    // the per-commit stats measurement job entirely; pruned reads then
+    // conservatively keep all its files
+    val statCols =
+      if (meta.properties.get(MergeSnapshotStore.StatsProp).contains("false")) Nil
+      else df.schema.fields.toSeq
+        .filter(sf => sf.name != "__b" && sf.dataType.isInstanceOf[NumericType])
+        .map(_.name)
     val stats: Map[String, Seq[ColStat]] =
       if (statCols.isEmpty || found.isEmpty) Map.empty
       else {
@@ -605,4 +612,8 @@ object MergeSnapshotStore {
    * well within parquet filter evaluation comfort; far past it the set
    * isn't a point lookup anymore). */
   val MaxInlineKeys: Int = 10000
+
+  /** Table property disabling per-file stats measurement at commit
+   * (`"false"` skips it) — for tables whose reads never range-filter. */
+  val StatsProp: String = "graft.stats"
 }

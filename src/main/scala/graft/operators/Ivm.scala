@@ -448,15 +448,15 @@ object Ivm {
     private[graft] var failAfterBaseCommit: Boolean = false
 
     // ---- per-batch commit marker (crash/replay detection) ----
+    // A sidecar FILE inside the base table's location (committed via the
+    // shared tmp+rename discipline — readers see the old or new marker,
+    // never a torn one; the `_`-prefix keeps data scans away), NOT a
+    // store table: a marker table would pay two full commit machineries
+    // (shuffle + manifest + vacuum + stats) per batch for three fields.
 
-    private def markerTable: String = s"${baseTable}__ivm_marker"
+    private val MarkerFile = "_ivm_marker.tsv"
 
-    private def ensureMarkerRegistered(): Unit =
-      if (store.catalog.get(db, markerTable).isEmpty) {
-        val base = store.catalog(db, baseTable)
-        store.catalog.register(graft.catalog.TableMeta(db, markerTable,
-          s"${base.location.stripSuffix("/")}__ivm_marker", base.format))
-      }
+    private def baseLocation: String = store.catalog(db, baseTable).location
 
     /** Order-independent content digest of one changelog batch: row count
      * plus the sum of per-row xxhash64 over the sorted-column struct.
@@ -477,23 +477,35 @@ object Ivm {
     private case class Marker(digest: String, baseVersionBefore: Int,
                               aggsDone: Boolean)
 
-    private def readMarker(): Option[Marker] =
-      if (store.catalog.get(db, markerTable).isEmpty ||
-          !store.exists(db, markerTable)) None
+    private def readMarker(spark: org.apache.spark.sql.SparkSession): Option[Marker] = {
+      val p = new org.apache.hadoop.fs.Path(baseLocation, MarkerFile)
+      val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!f.exists(p)) None
       else {
-        val r = store.read(db, markerTable).head()
-        Some(Marker(r.getAs[String]("digest"),
-          r.getAs[Int]("base_version_before"), r.getAs[Boolean]("aggs_done")))
+        val lines = graft.catalog.Layout.readSidecarLines(spark, baseLocation,
+          MarkerFile, "MaintainedAggregates")
+        lines.headOption.map(_.split('\t')) match {
+          case Some(Array(dg, ver, done)) =>
+            try Some(Marker(dg, ver.toInt, done.toBoolean))
+            catch { case scala.util.control.NonFatal(_) => garbled(p) }
+          case _ => garbled(p)
+        }
       }
+    }
+
+    /** A marker that exists but does not parse must FAIL the commit, not
+     * read as absent: "absent" would treat a replayed completed batch as
+     * fresh — the exact corruption the marker exists to prevent. The
+     * tmp+rename write makes this unreachable short of external damage. */
+    private def garbled(p: org.apache.hadoop.fs.Path): Nothing =
+      throw new IllegalStateException(
+        s"garbled IVM commit marker at $p — repair with reseedAggregates() " +
+          "and delete the marker before committing again")
 
     private def writeMarker(spark: org.apache.spark.sql.SparkSession,
-                            mk: Marker): Unit = {
-      ensureMarkerRegistered()
-      import spark.implicits._
-      store.overwrite(db, markerTable,
-        Seq((mk.digest, mk.baseVersionBefore, mk.aggsDone))
-          .toDF("digest", "base_version_before", "aggs_done"))
-    }
+                            mk: Marker): Unit =
+      graft.catalog.Layout.writeSidecar(spark, baseLocation, MarkerFile,
+        s"${mk.digest}\t${mk.baseVersionBefore}\t${mk.aggsDone}")
 
     def seed(initial: DataFrame): Unit = Materialize.scoped {
       store.overwrite(db, baseTable, initial)
@@ -522,7 +534,7 @@ object Ivm {
       val chg = Materialize(changes)
       val digest = changelogDigest(chg)
       val baseVer = store.latestVersion(db, baseTable)
-      val replayOf = readMarker().filter(_.digest == digest)
+      val replayOf = readMarker(changes.sparkSession).filter(_.digest == digest)
       // an empty batch is a semantic no-op; folding it would be too, but
       // digest-tracking it would refuse the NEXT empty batch as a replay
       if (digest == "0:0") ()

@@ -388,10 +388,18 @@ object Similarity {
   def writeIvfIndex(store: graft.catalog.SnapshotStore, db: String,
                     table: String, location: String,
                     index: DataFrame): Unit = {
-    store.catalog.register(graft.catalog.TableMeta(db, table, location,
-      primaryKey = Some("cell")))
+    store.catalog.register(ivfIndexMeta(db, table, location))
     store.overwrite(db, table, index)
   }
+
+  /** Catalog entry for a cell-bucketed index table: bucketed by `cell`,
+   * file-stats measurement opted out (reads are cell point lookups,
+   * never numeric ranges — the stats job would be per-commit overhead). */
+  def ivfIndexMeta(db: String, table: String,
+                   location: String): graft.catalog.TableMeta =
+    graft.catalog.TableMeta(db, table, location, primaryKey = Some("cell"),
+      properties =
+        Map(graft.catalog.MergeSnapshotStore.StatsProp -> "false"))
 
   /**
    * Serve an IVF query batch from a persisted cell-bucketed index

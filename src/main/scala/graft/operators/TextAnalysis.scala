@@ -350,14 +350,22 @@ object TextAnalysis {
   def registerBm25Tables(store: graft.catalog.SnapshotStore, db: String,
                          prefix: String, baseLocation: String): Unit = {
     import graft.catalog.TableMeta
+    // the index tables' reads are term/doc point lookups and full scans
+    // — never numeric range predicates — so per-commit file-stats
+    // measurement is pure overhead: opt out (the merge store's
+    // documented graft.stats switch)
+    val noStats = Map(graft.catalog.MergeSnapshotStore.StatsProp -> "false")
     store.catalog.register(TableMeta(db, s"${prefix}_postings",
-      s"$baseLocation/${prefix}_postings", primaryKey = Some("term")))
+      s"$baseLocation/${prefix}_postings", primaryKey = Some("term"),
+      properties = noStats))
     store.catalog.register(TableMeta(db, s"${prefix}_doclens",
-      s"$baseLocation/${prefix}_doclens", primaryKey = Some("doc")))
+      s"$baseLocation/${prefix}_doclens", primaryKey = Some("doc"),
+      properties = noStats))
     store.catalog.register(TableMeta(db, s"${prefix}_docfreq",
-      s"$baseLocation/${prefix}_docfreq", primaryKey = Some("term")))
+      s"$baseLocation/${prefix}_docfreq", primaryKey = Some("term"),
+      properties = noStats))
     store.catalog.register(TableMeta(db, s"${prefix}_stats",
-      s"$baseLocation/${prefix}_stats"))
+      s"$baseLocation/${prefix}_stats", properties = noStats))
   }
 
   /**

@@ -733,9 +733,8 @@ class MergeStoreSpec extends AnyFunSuite with SparkFixture {
     // carries untouched cell buckets (8 buckets collapse cells 2-per)
     val store = mkStore(nBuckets = 16)
     register(store, "mdb", "svecs", "vec_id")
-    store.catalog.register(TableMeta("mdb", "svecs_cells",
-      Files.createTempDirectory("graft-svecs-cells").toString,
-      primaryKey = Some("cell")))
+    store.catalog.register(graft.operators.Similarity.ivfIndexMeta("mdb",
+      "svecs_cells", Files.createTempDirectory("graft-svecs-cells").toString))
     val rnd = new scala.util.Random(7)
     def vec() = Seq.fill(8)(rnd.nextFloat())
     val oldC = (1L to 60L).map(i => (i, vec())).toDF("vec_id", "embedding")
