@@ -114,6 +114,16 @@ object Layout {
           // bucket edges move).
           val heavyTailed = hi - lo > 0d && qhi - qlo > 0d &&
             hi - lo > 20.0 * (qhi - qlo)
+          // a POINT-MASS bulk (zero-width quantile range) with outliers
+          // cannot be auto-clipped — a degenerate [q, q] range has no
+          // bucket widths — and silently falling through to the full
+          // range would write the exact one-file-swallows-the-table
+          // layout the clip exists to prevent; this is the one shape
+          // that still needs the caller's judgment
+          require(!(hi - lo > 0d && qhi - qlo <= 0d),
+            s"dimension $c is a point mass (1%-99% range is zero-width) " +
+              s"with outliers spanning ${hi - lo}: no clip range can be " +
+              "inferred — pass an explicit range")
           c -> (if (heavyTailed) (qlo, qhi) else (lo, hi))
         }.toMap
       }
@@ -243,9 +253,17 @@ object Layout {
     val spark = df.sparkSession
     cluster(df, dims, files, bits).write.mode("overwrite").parquet(path)
     val cols = dims.map(_._1)
+    // NaN excluded from measurement: max() returns NaN when any value is
+    // NaN, and a NaN bound defeats the overlap compare on both sidecar
+    // forms DIFFERENTLY (driver-side `mx >= lo` is false, Spark-side is
+    // true under NaN-largest ordering) — nulling NaN keeps finite bounds
+    // and the two pruning paths identical; NaN rows can never satisfy a
+    // finite range predicate anyway
     val written = spark.read.parquet(path)
-      .select(cols.map(c => col(c).cast("double").as(c)) :+
-        input_file_name().as("__f"): _*)
+      .select(cols.map { c =>
+        val d = col(c).cast("double")
+        when(!isnan(d), d).as(c)
+      } :+ input_file_name().as("__f"): _*)
     val aggs = cols.flatMap(c => Seq(min(col(c)).as(s"mn_$c"),
       max(col(c)).as(s"mx_$c")))
     val agg = written.groupBy("__f").agg(aggs.head, aggs.tail: _*)
@@ -268,12 +286,16 @@ object Layout {
     } else {
       // DISTRIBUTED manifest: long-format rows written by executors,
       // never collected (the TSV form would be a 10^5..10^6-line driver
-      // string at real layouts)
-      val longDf = cols.map(c =>
-        agg.filter(col(s"mn_$c").isNotNull && col(s"mx_$c").isNotNull)
-          .select(expr("element_at(split(__f, '/'), -1)").as("f"),
-            lit(c).as("dim"), col(s"mn_$c").as("mn"), col(s"mx_$c").as("mx")))
-        .reduce(_ unionByName _)
+      // string at real layouts). ONE aggregation pass reshaped by a
+      // narrow per-dimension explode — a per-dimension union would
+      // re-run the corpus-scale aggregate once per dimension
+      val longDf = agg
+        .select(expr("element_at(split(__f, '/'), -1)").as("f"),
+          explode(array(cols.map(c => struct(lit(c).as("dim"),
+            col(s"mn_$c").as("mn"), col(s"mx_$c").as("mx"))): _*)).as("s"))
+        .select(col("f"), col("s.dim").as("dim"),
+          col("s.mn").as("mn"), col("s.mx").as("mx"))
+        .filter(col("mn").isNotNull && col("mx").isNotNull)
       longDf.write.mode("overwrite").parquet(s"$path/$StatsPqDir")
       fsys.delete(new org.apache.hadoop.fs.Path(root, StatsFile), false)
     }

@@ -6,7 +6,7 @@ import scala.collection.immutable.SortedMap
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{array, col, hash, input_file_name, lit, max, min, pmod}
+import org.apache.spark.sql.functions.{array, col, hash, input_file_name, isnan, lit, max, min, pmod, when}
 import org.apache.spark.sql.types.{DataType, NumericType, StructType}
 
 /**
@@ -460,8 +460,18 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
       if (statCols.isEmpty || found.isEmpty) Map.empty
       else {
         val written = spark.read.format(meta.format).load(dataDir.toString)
-        val aggs = statCols.flatMap(c => Seq(min(col(c).cast("double")),
-          max(col(c).cast("double"))))
+        // NaN is excluded from the measurement: Spark's max() returns NaN
+        // when any value is NaN (NaN sorts largest), and a NaN bound
+        // poisons the overlap check (`mx >= lo` is false on the driver),
+        // silently pruning a file whose FINITE rows are in range. With
+        // NaN nulled out, a mixed file keeps its finite bounds (the NaN
+        // rows can never satisfy a finite range predicate anyway) and an
+        // all-NaN column yields no stats line — conservative keep.
+        def finite(c: String) = {
+          val d = col(c).cast("double")
+          when(!isnan(d), d)
+        }
+        val aggs = statCols.flatMap(c => Seq(min(finite(c)), max(finite(c))))
         // manifest-sized collect: one row per written FILE
         val rows = written.groupBy(input_file_name().as("__f"))
           .agg(aggs.head, aggs.tail: _*).collect()

@@ -840,18 +840,15 @@ object Dedup {
                         sepPattern: String,
                         keepText: Boolean = true): DataFrame = {
     // The paragraph table feeds BOTH the canonical-pick aggregate and
-    // the join probe (no ReusedExchange across a self-join), so one of
-    // the two must pay: either cut the table once, or let the corpus
-    // split/explode/md5 run once per branch. The trade differs by what
-    // the table carries. With TEXT (dropDuplicateParagraphs needs the
-    // paragraphs back), re-exploding means re-scanning the corpus bytes
-    // twice — the checkpoint is the cheaper side, so cut. WITHOUT text
-    // (paragraphDedup's decision table: id, idx, fingerprint), the
-    // second explode pass is a narrow recompute while a checkpoint
-    // round-trips every paragraph row through executor storage — there
-    // the UNCUT self-join is cheaper (measured 2x on the d13 gate), and
-    // the branch duplication is two scans of a column-pruned corpus
-    // read, not two shuffles.
+    // the join probe (no ReusedExchange across a self-join), so it is
+    // cut ONCE — and EAGERLY: the two consumers launch as racing query
+    // stages under AQE, and a lazy cut would be recomputed by each
+    // racer before its blocks cache (measured on the d13 gate: the lazy
+    // cut cost the same as no cut at all). The decision-table caller
+    // (paragraphDedup) drops the paragraph TEXT before the cut — its
+    // output is (id, idx, fingerprint, keep), so carrying text through
+    // checkpoint + join would be dead weight; on a crawl corpus the
+    // text IS most of the bytes.
     val full = df.select(col(idCol),
         posexplode(split(col(textCol), sepPattern)).as(Seq("pi0", "para")))
       .withColumn("para_idx", (col("pi0") + 1).cast("long")).drop("pi0")

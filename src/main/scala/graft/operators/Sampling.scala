@@ -154,7 +154,10 @@ object Sampling {
     val toks = df.groupBy(col(classCol).cast("string").as("c"))
       .agg(sum(col(tokenCol).cast("long")).as("t"))
       .collect().flatMap(r =>
-        Option(r.getString(0)).map(_ -> r.getLong(1)))
+        // a NULL class or an all-NULL token column contributes no mass
+        // (such a class is excluded below like any token-less class)
+        if (r.isNullAt(0) || r.isNullAt(1)) None
+        else Some(r.getString(0) -> r.getLong(1)))
       .toMap
     val present = targets.filter { case (c, _) => toks.get(c).exists(_ > 0L) }
     require(present.nonEmpty, "no target class with tokens present in the data")

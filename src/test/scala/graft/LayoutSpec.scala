@@ -215,6 +215,17 @@ class LayoutSpec extends AnyFunSuite with SparkFixture {
     val ok = Layout.cluster(skewed,
       Seq("x" -> Some((0.0, 100.0)), "y" -> None), files = 8)
     assert(ok.count() == 2000)
+    // the one shape auto-clip cannot save: a POINT-MASS bulk (zero-width
+    // quantile range) with outliers — silently using the full range
+    // would write the one-file layout the clip exists to prevent, so
+    // inference fails fast with guidance instead
+    val point = spark.range(2000).select(
+      when(col("id") < 1995, lit(5L)).otherwise(lit(1000000000L)).as("x"),
+      col("id").as("y"))
+    val e = intercept[IllegalArgumentException] {
+      Layout.cluster(point, Seq("x" -> None, "y" -> None), files = 8).count()
+    }
+    assert(e.getMessage.contains("point mass"))
   }
 
   test("parquet-sidecar pruning == TSV pruning on a synthetic 1e5-entry manifest") {

@@ -436,6 +436,24 @@ class MergeStoreSpec extends AnyFunSuite with SparkFixture {
     val all = store.read("mdb", "flat").inputFiles.length
     val planned = ranged.inputFiles.length
     assert(planned < all / 2, s"planned $planned of $all files")
+    // (a2) NaN rows must not poison a file's stats: NaN is excluded
+    // from the measurement, so a mixed file keeps its FINITE bounds and
+    // stays readable — without the exclusion max() returns NaN and the
+    // overlap check prunes every such file, silently losing in-range
+    // rows the full-scan filter returns
+    store.catalog.register(TableMeta("mdb", "fnan",
+      Files.createTempDirectory("graft-merge-fnan").toString))
+    val nan = spark.range(1000).select(col("id"),
+      when(col("id") % 100 === 0, lit(Double.NaN))
+        .otherwise(col("id").cast("double") / 2).as("v"))
+      .repartitionByRange(4, col("id"))
+    store.overwrite("mdb", "fnan", nan)
+    val gotNan = store.readRange("mdb", "fnan", Map("v" -> ((10.0, 20.0))))
+    val wantNan = store.read("mdb", "fnan")
+      .filter(col("v") >= 10.0 && col("v") <= 20.0)
+    assert(gotNan.exceptAll(wantNan).count() == 0 &&
+      wantNan.exceptAll(gotNan).count() == 0 && gotNan.count() > 0,
+      "NaN-bearing files were pruned away")
     // (b) PK table through a scoped merge: touched buckets re-measure,
     // carried buckets keep their stats, results stay == full-scan filter
     register(store, "mdb", "tst", "id")
