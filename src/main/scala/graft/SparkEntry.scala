@@ -1759,6 +1759,44 @@ object SparkEntry {
         TextAnalysis.hashedLinearScoreMilli(col("text")).as("score_milli"))
         .orderBy("doc_id")),
 
+    // MODEL-BASED multi-class language ID through the loadable-weights
+    // seam (fastText architecture): a per-term weight table — here an
+    // interpretable stopword model, four 1000-milli indicator
+    // coordinates with shared terms (de/un/que) voting for BOTH their
+    // languages — broadcast-joined to the token stream, per-class sums
+    // in one aggregate, argmax with first-class tie-break, 'und' when
+    // nothing the model knows appears; the oracle replays the table,
+    // the sums, and the argmax exactly
+    "t31_weighted_lang_id" -> ((s, d) => {
+      import s.implicits._
+      val lists = Seq(
+        "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that",
+          "it", "for"),
+        "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "est",
+          "que", "pour"),
+        "de" -> Seq("der", "die", "das", "und", "ein", "eine", "ist",
+          "zu", "mit", "von"),
+        "es" -> Seq("el", "los", "las", "de", "y", "un", "una", "es",
+          "que", "para"))
+      val classes = lists.map(_._1)
+      val weights = lists.zipWithIndex
+        .flatMap { case ((_, ts), j) => ts.map(_ -> j) }
+        .groupBy(_._1).toSeq
+        .map { case (term, js) =>
+          (term, classes.indices.map(j =>
+            if (js.exists(_._2 == j)) 1000L else 0L).toSeq)
+        }
+        .toDF("term", "w_milli")
+      TextAnalysis.classifyByWeights(t(s, d, "documents"), "doc_id",
+          "text", weights, classes)
+        .select(col("doc_id"), col("pred"),
+          element_at(col("scores_milli"), 1).as("s_en"),
+          element_at(col("scores_milli"), 2).as("s_fr"),
+          element_at(col("scores_milli"), 3).as("s_de"),
+          element_at(col("scores_milli"), 4).as("s_es"))
+        .orderBy("doc_id")
+    }),
+
     // control/zero-width/NBSP cleanup: junk is injected by doc_id class
     // so the operator provably strips each character family
     "t21_clean_text" -> ((s, d) => {
@@ -3199,6 +3237,42 @@ object SparkEntry {
     // the maintained index serves exactly what a rebuild over the
     // post-changelog corpus serves
     "t30_bm25_maintained" -> Bm25MaintainedSql,
+
+    // the stopword weight table (shared terms voting for both
+    // languages), per-class sums, and the first-class-wins argmax —
+    // replayed end to end
+    "t31_weighted_lang_id" -> (NormCte +
+      """, tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS term FROM n),
+         w(term, w0, w1, w2, w3) AS (VALUES
+           ('the',1000,0,0,0), ('a',1000,0,0,0), ('of',1000,0,0,0),
+           ('and',1000,0,0,0), ('to',1000,0,0,0), ('in',1000,0,0,0),
+           ('is',1000,0,0,0), ('that',1000,0,0,0), ('it',1000,0,0,0),
+           ('for',1000,0,0,0),
+           ('le',0,1000,0,0), ('la',0,1000,0,0), ('les',0,1000,0,0),
+           ('de',0,1000,0,1000), ('et',0,1000,0,0), ('un',0,1000,0,1000),
+           ('une',0,1000,0,0), ('est',0,1000,0,0), ('que',0,1000,0,1000),
+           ('pour',0,1000,0,0),
+           ('der',0,0,1000,0), ('die',0,0,1000,0), ('das',0,0,1000,0),
+           ('und',0,0,1000,0), ('ein',0,0,1000,0), ('eine',0,0,1000,0),
+           ('ist',0,0,1000,0), ('zu',0,0,1000,0), ('mit',0,0,1000,0),
+           ('von',0,0,1000,0),
+           ('el',0,0,0,1000), ('los',0,0,0,1000), ('las',0,0,0,1000),
+           ('y',0,0,0,1000), ('una',0,0,0,1000), ('es',0,0,0,1000),
+           ('para',0,0,0,1000)),
+         sc AS (SELECT doc_id,
+                  CAST(sum(coalesce(w0, 0)) AS BIGINT) AS s_en,
+                  CAST(sum(coalesce(w1, 0)) AS BIGINT) AS s_fr,
+                  CAST(sum(coalesce(w2, 0)) AS BIGINT) AS s_de,
+                  CAST(sum(coalesce(w3, 0)) AS BIGINT) AS s_es
+                FROM tok LEFT JOIN w USING (term) GROUP BY 1)
+         SELECT doc_id,
+                CASE WHEN greatest(s_en, s_fr, s_de, s_es) <= 0 THEN 'und'
+                     WHEN s_en = greatest(s_en, s_fr, s_de, s_es) THEN 'en'
+                     WHEN s_fr = greatest(s_en, s_fr, s_de, s_es) THEN 'fr'
+                     WHEN s_de = greatest(s_en, s_fr, s_de, s_es) THEN 'de'
+                     ELSE 'es' END AS pred,
+                s_en, s_fr, s_de, s_es
+         FROM sc ORDER BY doc_id"""),
 
         // the d12 index construction, probe-restricted before the guard,
     // corpus-vs-probe match, corpus-side merged spans

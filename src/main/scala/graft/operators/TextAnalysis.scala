@@ -1042,6 +1042,56 @@ object TextAnalysis {
                              weightCol: String = "w_milli"): Column =
     element_at(hashedEmbeddingMilli(c, 1, weights, termCol, weightCol), 1)
 
+  /**
+   * Model-based MULTI-CLASS classification over a loadable per-term
+   * weight table — the fastText-architecture language-ID / domain /
+   * quality classifier (Joulin et al. 2016; the model CCNet and
+   * RedPajama run per document), with the weights read from parquet
+   * like any model artifact. `weights` carries one row per term with an
+   * `array<long>` of per-class milli-weights (index = position in
+   * `classes`); a document's class scores are the bag-of-words sums of
+   * its tokens' vectors, the prediction is the argmax (ties to the
+   * EARLIEST class in `classes` — deterministic), and a document whose
+   * every score is <= 0 predicts `unknown` (nothing the model
+   * recognizes is evidence of nothing). Terms the table does not carry
+   * contribute zero — classifier semantics, unlike the embedding seam's
+   * md5 fallback ([[hashedEmbeddingMilli]]), because an UNTRAINED term
+   * must not vote. Integer milli-units end to end: an external engine
+   * replays every score and the argmax exactly.
+   *
+   * Scale shape: one tokenize pass; the weight table rides a broadcast
+   * left join (vocab-scale by the model contract); per-class sums are
+   * ONE map-side-combinable aggregate (C sum columns, not C passes).
+   * Documents with no tokens after normalization drop (no evidence
+   * rows), matching the grouped-aggregate semantics.
+   */
+  def classifyByWeights(df: DataFrame, idCol: String, textCol: String,
+                        weights: DataFrame, classes: Seq[String],
+                        termCol: String = "term",
+                        weightCol: String = "w_milli",
+                        outCol: String = "pred",
+                        unknown: String = "und"): DataFrame = {
+    require(classes.nonEmpty && classes.distinct.size == classes.size,
+      "classes must be non-empty and distinct")
+    require(!classes.contains(unknown),
+      s"the unknown label '$unknown' must not also be a class")
+    val w = weights.select(col(termCol).as("token"), col(weightCol).as("__w"))
+    val sums = classes.indices.map(j =>
+      sum(coalesce(element_at(col("__w"), j + 1), lit(0L))).as(s"__s$j"))
+    val arr = array(classes.indices.map(j => col(s"__s$j")): _*)
+    df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .join(broadcast(w), Seq("token"), "left")
+      .groupBy(col(idCol))
+      .agg(sums.head, sums.tail: _*)
+      .select(col(idCol),
+        when(array_max(arr) <= 0, lit(unknown))
+          .otherwise(element_at(
+            array(classes.map(lit): _*),
+            array_position(arr, array_max(arr)).cast("int")))
+          .as(outCol),
+        arr.as("scores_milli"))
+  }
+
   /** Per-session cache of collected weight broadcasts, keyed by the
    * weight FRAME's identity plus the read shape: the natural pairing —
    * one loaded table feeding both the score and the embedding column,

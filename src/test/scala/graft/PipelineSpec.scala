@@ -1798,6 +1798,41 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(rs8 <= rs1 / 3, s"expected ~batch-fold fewer rounds, got $rs8 vs $rs1")
   }
 
+  test("classifyByWeights: parquet-loaded model, argmax ties, unknown fallback") {
+    import spark.implicits._
+    val classes = Seq("en", "fr")
+    // the "model artifact": a parquet weight table, loaded like any
+    // trained model — 'bonjour' votes fr, 'hello' votes en, 'de'
+    // (ambiguous) votes both, 'bad' votes NEGATIVELY for en
+    val wdir = java.nio.file.Files.createTempDirectory("graft-w31").toString
+    Seq(("hello", Seq(1000L, 0L)), ("bonjour", Seq(0L, 1000L)),
+      ("de", Seq(1000L, 1000L)), ("bad", Seq(-500L, 0L)))
+      .toDF("term", "w_milli").write.mode("overwrite").parquet(wdir)
+    val weights = spark.read.parquet(wdir)
+    val corpus = Seq(
+      (1L, "hello hello bonjour"), // en 2000 > fr 1000
+      (2L, "bonjour mon ami"),     // fr
+      (3L, "de"),                  // tie 1000/1000 -> first class (en)
+      (4L, "xyz qqq unseen"),      // nothing known -> und
+      (5L, "bad bad"),             // only negative evidence -> und
+      // normalization lowercases but keeps punctuation attached:
+      // "BONJOUR!" is NOT the token "bonjour" — only the bare repeats vote
+      (6L, "hello BONJOUR! bonjour bonjour"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.classifyByWeights(corpus, "doc_id", "text",
+        weights, classes)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getSeq[Long](2))).toSeq
+    assert(got == Seq(
+      (1L, "en", Seq(2000L, 1000L)),
+      (2L, "fr", Seq(0L, 1000L)),
+      (3L, "en", Seq(1000L, 1000L)),
+      (4L, "und", Seq(0L, 0L)),
+      (5L, "und", Seq(-1000L, 0L)),
+      (6L, "fr", Seq(1000L, 2000L))))
+  }
+
   test("bpeSegment applies trained merges in order, never across words") {
     import spark.implicits._
     val corpus = Seq((0L, "low low low"), (1L, "lower lower"), (2L, "lowest"))
