@@ -239,12 +239,62 @@ object StreamingAnalytics {
       }
       .start()
 
+  /**
+   * The REGISTRY form of [[maintainAggregate]] — the streaming twin of
+   * [[graft.operators.Ivm.MaintainedAggregates]]: one changelog stream
+   * moves the snapshot table and ANY number of maintained aggregates
+   * per micro-batch, under the same pinned-base replay discipline (the
+   * batch marker pins EVERY table's pre-batch version, so first and
+   * replayed attempts recompute byte-identical frames and the
+   * re-overwrites are harmless). The aggregates are the batch
+   * registry's own [[graft.operators.Ivm.MaintainedAgg]] specs —
+   * count/sum, min/max, distinct, a vector index, the BM25 index — so
+   * the two runners cannot drift on delta rules. Two deliberate
+   * differences from the batch registry: commits here are always FULL
+   * overwrites (pinned-version replay needs deterministic recompute; a
+   * partition-scoped merge acts on latest state, which a replay must
+   * not), and seeds are not run (pre-seed every table — the specs'
+   * `seed` is available for exactly that, or run the batch registry's
+   * `seed` once before starting the stream).
+   */
+  def maintainAggregates(changes: DataFrame, store: graft.catalog.SnapshotStore,
+                         db: String, snapTable: String,
+                         aggs: Seq[graft.operators.Ivm.MaintainedAgg],
+                         keys: Seq[String], checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (chg: DataFrame, batchId: Long) =>
+        applyIvmRegistryBatch(chg, batchId, store, db, snapTable, aggs,
+          keys, checkpoint)
+      }
+      .start()
+
   /** One micro-batch of [[maintainAggregate]] — its own method so replay
-   * idempotence is directly testable (invoke twice with one batchId). */
+   * idempotence is directly testable (invoke twice with one batchId).
+   * Delegates to the registry batch with a single spec; the marker
+   * format ("aggV,snapV") is unchanged. */
   private[graft] def applyIvmBatch(chg: DataFrame, batchId: Long,
       store: graft.catalog.SnapshotStore, db: String, snapTable: String,
       aggTable: String, keys: Seq[String], checkpoint: String)(
-      fold: (DataFrame, DataFrame, DataFrame, DataFrame) => DataFrame): Unit = {
+      fold: (DataFrame, DataFrame, DataFrame, DataFrame) => DataFrame): Unit =
+    applyIvmRegistryBatch(chg, batchId, store, db, snapTable,
+      Seq(graft.operators.Ivm.MaintainedAgg(aggTable,
+        // the streaming runner never seeds (tables are pre-seeded);
+        // identity keeps the spec honest without a dead code path
+        seed = identity,
+        fold = (agg, old, nw, c, _) => fold(agg, old, nw, c))),
+      keys, checkpoint)
+
+  /** One micro-batch of [[maintainAggregates]]. The marker records the
+   * pre-batch version of every aggregate table (spec order) then the
+   * snapshot's — for a single aggregate exactly the historical
+   * "aggV,snapV" format. */
+  private[graft] def applyIvmRegistryBatch(chg: DataFrame, batchId: Long,
+      store: graft.catalog.SnapshotStore, db: String, snapTable: String,
+      aggs: Seq[graft.operators.Ivm.MaintainedAgg], keys: Seq[String],
+      checkpoint: String): Unit = {
+        require(aggs.nonEmpty, "need at least one maintained aggregate")
         // scoped: operator-internal Materialize cuts a fold creates
         // (the min/max delta cuts its removed-rows frame) release when
         // the batch's writes land — otherwise every micro-batch would
@@ -254,40 +304,46 @@ object StreamingAnalytics {
           val fs = markers.getFileSystem(
             chg.sparkSession.sparkContext.hadoopConfiguration)
           val marker = new Path(markers, s"batch-$batchId")
-          val (aggV, snapV) =
+          val versions: Seq[Int] =
             if (fs.exists(marker)) {
               val in = fs.open(marker)
               val body = try scala.io.Source.fromInputStream(in, "UTF-8")
                 .mkString.trim finally in.close()
               val parts = body.split(",")
-              require(parts.length == 2,
-                s"garbled IVM base marker $marker: '$body'")
-              (parts(0).toInt, parts(1).toInt)
+              require(parts.length == aggs.size + 1,
+                s"garbled IVM base marker $marker: '$body' (expected " +
+                  s"${aggs.size + 1} versions — did the spec list change " +
+                  "under a live checkpoint?)")
+              parts.toSeq.map(_.toInt)
             } else {
-              val a = store.latestVersion(db, aggTable)
-              val s0 = store.latestVersion(db, snapTable)
-              require(a >= 0 && s0 >= 0,
-                s"seed $db.$aggTable and $db.$snapTable before streaming")
+              val vs = aggs.map(a => store.latestVersion(db, a.table)) :+
+                store.latestVersion(db, snapTable)
+              require(vs.forall(_ >= 0),
+                s"seed $db.$snapTable and every aggregate table before streaming")
               val tmp = new Path(markers, s".tmp-batch-$batchId")
               val out = fs.create(tmp, true)
-              try out.write(s"$a,$s0".getBytes(
+              try out.write(vs.mkString(",").getBytes(
                 java.nio.charset.StandardCharsets.UTF_8))
               finally out.close()
               if (!fs.rename(tmp, marker))
                 throw new java.io.IOException(
                   s"could not commit IVM base marker for batch $batchId")
-              (a, s0)
+              vs
             }
-          val old = store.readVersion(store.catalog(db, snapTable), snapV)
-          val agg = store.readVersion(store.catalog(db, aggTable), aggV)
+          val old = store.readVersion(store.catalog(db, snapTable), versions.last)
           // snapshot fold: U/D keys leave, I/U new images arrive
           val gone = chg.filter(col("change").isin("U", "D"))
             .select(keys.map(col): _*)
           val arrived = chg.filter(col("change").isin("I", "U")).drop("change")
           val newSnap = old.join(gone, keys, "left_anti")
             .unionByName(arrived.select(old.columns.map(col).toIndexedSeq: _*))
-          val newAgg = fold(agg, old, newSnap, chg)
-          store.overwrite(db, aggTable, newAgg)
+          // every fold reads its own PINNED pre-batch version — never the
+          // latest, which on a replay already holds this batch
+          val newAggs = aggs.zip(versions.init).map { case (a, v) =>
+            a -> a.fold(store.readVersion(store.catalog(db, a.table), v),
+              old, newSnap, chg, keys)
+          }
+          newAggs.foreach { case (a, df) => store.overwrite(db, a.table, df) }
           store.overwrite(db, snapTable, newSnap)
           // completed batches never replay with a lower id: drop stale
           // markers AND any orphaned tmp a crashed-before-rename attempt

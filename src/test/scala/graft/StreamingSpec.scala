@@ -480,4 +480,58 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(got == dc(Ivm.distinctAux(store.read("dcdb", "snap"),
       col("grp_in"), col("v"))))
   }
+
+  test("streaming registry: three dashboards move on one changelog stream") {
+    import spark.implicits._
+    import graft.operators.Ivm
+    val tmp = Files.createTempDirectory("graft-stream-reg").toString
+    val catalog = new InMemoryCatalog
+    val store = new SnapshotStore(spark, catalog)
+    catalog.register(TableMeta("rdb", "snap", s"$tmp/snap"))
+    val tables = Seq("r_cs", "r_mm", "r_dc")
+    tables.foreach(t => catalog.register(TableMeta("rdb", t, s"$tmp/$t")))
+    // the BATCH registry's own specs drive the stream — the two runners
+    // share delta rules by construction
+    val specs = Seq(
+      Ivm.countSumSpec("r_cs", col("grp_in"), col("v")),
+      Ivm.minMaxSpec("r_mm", col("grp_in"), col("v")),
+      Ivm.distinctSpec("r_dc", col("grp_in"), col("v")))
+    val init = Seq((1L, "a", 10L), (2L, "a", 5L), (3L, "b", 30L))
+      .toDF("k", "grp_in", "v")
+    store.overwrite("rdb", "snap", init)
+    specs.foreach(a => store.overwrite("rdb", a.table, a.seed(init)))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String, Option[String], Option[Long])]
+    val q = StreamingAnalytics.maintainAggregates(
+      ms.toDF().toDF("k", "change", "grp_in", "v"), store, "rdb", "snap",
+      specs, Seq("k"), s"$tmp/ckpt")
+    try {
+      // batch 0: delete group a's max (min/max rescan), insert into b
+      ms.addData((1L, "D", None, None), (4L, "I", Some("b"), Some(40L)))
+      q.processAllAvailable()
+      // batch 1: move b's max into a, insert a dup value into a
+      ms.addData((3L, "U", Some("a"), Some(30L)),
+        (5L, "I", Some("a"), Some(5L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSet
+    val snap = store.read("rdb", "snap")
+    assert(canon(store.read("rdb", "r_cs")) ==
+      canon(Ivm.countSumAgg(snap, col("grp_in"), col("v"))))
+    assert(canon(store.read("rdb", "r_mm")) ==
+      canon(Ivm.minMaxAgg(snap, col("grp_in"), col("v"))))
+    assert(canon(store.read("rdb", "r_dc")) ==
+      canon(Ivm.distinctAux(snap, col("grp_in"), col("v"))))
+    // at-least-once: replaying the LAST batch is a no-op for EVERY
+    // dashboard (the marker pins every table's pre-batch version)
+    val before = tables.map(t => t -> canon(store.read("rdb", t))).toMap
+    val lastBatch = Seq((3L, "U", Some("a"), Some(30L)),
+      (5L, "I", Some("a"), Some(5L))).toDF("k", "change", "grp_in", "v")
+    StreamingAnalytics.applyIvmRegistryBatch(lastBatch, 1L, store, "rdb",
+      "snap", specs, Seq("k"), s"$tmp/ckpt")
+    tables.foreach(t =>
+      assert(canon(store.read("rdb", t)) == before(t), s"replay moved $t"))
+    assert(canon(store.read("rdb", "snap")) == canon(snap))
+  }
 }
