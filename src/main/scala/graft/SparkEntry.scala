@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Ivm, Joins, Multimodal, PrefixScan, QueryRunner, Sampling, Scd, Similarity, TextAnalysis, UrlFilter}
+import graft.operators.{Dedup, Graphs, Ivm, Joins, Multimodal, PrefixScan, QueryRunner, Sampling, Scd, Similarity, TextAnalysis, UrlFilter}
 
 /**
  * Driver contract — one `queries` entry per operator from SURVEY.md §2
@@ -1222,6 +1222,21 @@ object SparkEntry {
         .select("vec_id", "label")
         .orderBy("vec_id")),
 
+    // link-graph centrality (the CommonCrawl domain-ranking curation
+    // signal): deterministic integer-micro PageRank over a synthetic
+    // 97-domain link graph (two hash-derived edges per doc), 5 damped
+    // power iterations — integer division and long sums make every
+    // rank order-independent and exactly oracle-replayable
+    "q57_pagerank" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val edges = docs.select((col("doc_id") % 97).as("src"),
+          ((col("doc_id") * 31 + 7) % 97).as("dst"))
+        .unionByName(docs.select((col("doc_id") % 97).as("src"),
+          ((col("doc_id") * 17 + 3) % 97).as("dst")))
+      Graphs.pageRankMicro(edges, "src", "dst", iterations = 5)
+        .orderBy("node")
+    }),
+
     // TOKEN-budget source mixing with epoch repeats (the Pile/LLaMA
     // mixing table): sources weighted by token share, small classes
     // repeat as distinct epochs up to their cap, the binding class
@@ -2314,6 +2329,39 @@ object SparkEntry {
 
   private val Bm25Sql = NormCte + Bm25Body
 
+  /** q57 oracle: the integer-micro PageRank loop UNROLLED to `iters`
+   * join+aggregate rounds of DuckDB CTEs over the same synthetic
+   * 97-domain link graph — generated by a loop (the bpeCtes discipline)
+   * so the SQL cannot drift from the round count; integer division and
+   * the damped update use the same left-associative arithmetic as the
+   * operator, so every rank replays exactly. */
+  private def pageRankCtes(iters: Int, dampingPct: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH e AS (SELECT DISTINCT doc_id % 97 AS src,
+                   (doc_id * 31 + 7) % 97 AS dst FROM documents
+            UNION
+            SELECT doc_id % 97 AS src, (doc_id * 17 + 3) % 97 AS dst
+            FROM documents),
+         nodes AS (SELECT DISTINCT src AS node FROM e
+                   UNION SELECT DISTINCT dst FROM e),
+         eo AS (SELECT e.src, e.dst, d.outdeg
+                FROM e JOIN (SELECT src, count(*) AS outdeg
+                             FROM e GROUP BY 1) d USING (src)),
+         r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes)""")
+    for (i <- 1 to iters) {
+      sb.append(s""",
+         c$i AS (SELECT dst, sum(r // outdeg) AS s FROM eo
+                 JOIN r${i - 1} ON eo.src = r${i - 1}.node GROUP BY 1),
+         r$i AS (SELECT node, CAST(${(100 - dampingPct) * 10000L} +
+                   coalesce(s, 0) * $dampingPct // 100 AS BIGINT) AS r
+                 FROM nodes LEFT JOIN c$i ON node = dst)""")
+    }
+    sb.append(s"""
+         SELECT node, r AS rank_micro FROM r$iters ORDER BY node""")
+    sb.toString
+  }
+
   /** Shared s15/s16 oracle: the IVF index rebuilt from scratch over the
    * POST-changelog corpus with the old corpus's first-16 pinned
    * centroids, searched by the family's probe/rank rule — ONE contract
@@ -3237,6 +3285,9 @@ object SparkEntry {
     // the maintained index serves exactly what a rebuild over the
     // post-changelog corpus serves
     "t30_bm25_maintained" -> Bm25MaintainedSql,
+
+    // the unrolled 5-round integer PageRank — every rank replays exactly
+    "q57_pagerank" -> pageRankCtes(5, 85),
 
     // the stopword weight table (shared terms voting for both
     // languages), per-class sums, and the first-class-wins argmax —

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Graphs
+
+/** Integer-micro PageRank: hand-computed ranks, fixed points, edge
+ * dedup, and the dangling / no-inbound corners. */
+class GraphsSpec extends AnyFunSuite with SparkFixture {
+
+  private def ranks(edges: DataFrame, iters: Int): Map[String, Long] =
+    Graphs.pageRankMicro(edges, "s", "d", iterations = iters)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("hand-computed two iterations: feeder, cycle, dangling-source") {
+    import spark.implicits._
+    // A <-> B cycle, C feeds A and receives nothing
+    val e = Seq(("a", "b"), ("b", "a"), ("c", "a")).toDF("s", "d")
+    // iter 1: in(a) = r(b)/1 + r(c)/1 = 2e6 -> 150000 + 1700000
+    //         in(b) = r(a)/1 = 1e6     -> 150000 + 850000
+    //         in(c) = none             -> 150000
+    assert(ranks(e, 1) == Map(
+      "a" -> 1850000L, "b" -> 1000000L, "c" -> 150000L))
+    // iter 2: in(a) = 1000000 + 150000 = 1150000 -> 150000 + 977500
+    //         in(b) = 1850000           -> 150000 + 1572500
+    //         in(c) = none              -> 150000
+    assert(ranks(e, 2) == Map(
+      "a" -> 1127500L, "b" -> 1722500L, "c" -> 150000L))
+  }
+
+  test("a symmetric cycle is a fixed point; duplicate edges collapse") {
+    import spark.implicits._
+    val cycle = Seq(("x", "y"), ("y", "x")).toDF("s", "d")
+    // each node passes its full mass around the 2-cycle: 150000 +
+    // (1e6 * 85) / 100 = 1e6 exactly, at every iteration
+    assert(ranks(cycle, 1) == Map("x" -> 1000000L, "y" -> 1000000L))
+    assert(ranks(cycle, 7) == Map("x" -> 1000000L, "y" -> 1000000L))
+    // duplicated edge rows must not double mass or out-degree
+    val dup = Seq(("x", "y"), ("x", "y"), ("y", "x"), ("y", "x"))
+      .toDF("s", "d")
+    assert(ranks(dup, 3) == ranks(cycle, 3))
+  }
+
+  test("out-degree splits mass by integer division; null edges drop") {
+    import spark.implicits._
+    // h fans out to two sinks with an ODD rank after round 1 so the
+    // integer division is visible: give h an inbound feeder first
+    val e = Seq(("f", "h"), ("h", "p"), ("h", "q"),
+      (null.asInstanceOf[String], "p"), ("q", null.asInstanceOf[String]))
+      .toDF("s", "d")
+    // iter 1: in(h) = 1e6 -> r(h) = 1000000; in(p) = in(q) = 1e6 DIV 2
+    //   = 500000 -> 150000 + 425000 = 575000; f gets nothing -> 150000
+    assert(ranks(e, 1) == Map(
+      "f" -> 150000L, "h" -> 1000000L, "p" -> 575000L, "q" -> 575000L))
+    // iter 2: f decayed to its base 150000, so in(h) = 150000 ->
+    //   r(h) = 150000 + 127500; h's iter-1 mass 1000000 splits to p/q
+    //   as 500000 each -> 575000 again (q's own mass has nowhere to go
+    //   — its null edge dropped)
+    assert(ranks(e, 2) == Map(
+      "f" -> 150000L, "h" -> 277500L,
+      "p" -> 575000L, "q" -> 575000L))
+  }
+}
