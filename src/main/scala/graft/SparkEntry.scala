@@ -948,6 +948,26 @@ object SparkEntry {
         .withColumn("cos", round(col("cos"), 4))
         .orderBy("id_a", "id_b")),
 
+    // cross-corpus SEMANTIC decontamination: corpus rows within cosine
+    // 0.95 of ANY benchmark vector drop — the benchmark holds exact
+    // copies (% 41) and SCALED copies (% 43, x1.1 in double space;
+    // cosine ~1 but byte- and n-gram-distinct, exactly what the exact/
+    // bloom checks d08/d16 miss); one broadcast anti-join, corpus
+    // scanned once
+    "d22_semantic_decontaminate" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val bench = emb.filter(col("vec_id") % 41 === 0)
+        .select(col("embedding").cast("array<double>").as("embedding"))
+        .unionByName(emb.filter(col("vec_id") % 43 === 0)
+          .select(transform(col("embedding").cast("array<double>"),
+            x => x * lit(1.1)).as("embedding")))
+      Similarity.semanticDecontaminate(
+          emb.select("vec_id", "label", "embedding"), bench,
+          "embedding", threshold = 0.95)
+        .select("vec_id", "label")
+        .orderBy("vec_id")
+    }),
+
     // similarity search
     "s01_ann_brute_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
@@ -3288,6 +3308,20 @@ object SparkEntry {
 
     // the unrolled 5-round integer PageRank — every rank replays exactly
     "q57_pagerank" -> pageRankCtes(5, 85),
+
+    // the benchmark (exact + double-space-scaled copies) and the
+    // NOT-EXISTS cosine test, replayed 1:1
+    "d22_semantic_decontaminate" ->
+      """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+                    FROM embeddings),
+         bench AS (SELECT e AS be FROM v WHERE vec_id % 41 = 0
+                   UNION ALL
+                   SELECT list_transform(e, x -> x * 1.1) AS be
+                   FROM v WHERE vec_id % 43 = 0)
+         SELECT vec_id, label FROM v
+         WHERE NOT EXISTS (SELECT 1 FROM bench
+                           WHERE list_cosine_similarity(e, be) >= 0.95)
+         ORDER BY vec_id""",
 
     // the stopword weight table (shared terms voting for both
     // languages), per-class sums, and the first-class-wins argmax —

@@ -73,6 +73,43 @@ object Similarity {
   }
 
   /**
+   * Cross-corpus SEMANTIC decontamination — the embedding-space twin of
+   * the exact/bloom n-gram benchmark checks ([[graft.operators.Dedup
+   * .decontaminate]] / `bloomDecontaminate`): drop every corpus row
+   * whose vector is within cosine `threshold` of ANY benchmark vector,
+   * catching the paraphrased / reformatted / lightly-edited test items
+   * that token-overlap checks structurally miss (the modern
+   * contamination concern — scaled or re-embedded copies score cosine
+   * ~1 while sharing few exact n-grams). Returns the SURVIVING corpus
+   * rows with their original columns.
+   *
+   * Scale shape: benchmark suites are small by construction (10^4–10^5
+   * vectors), so the contaminated set leaves via ONE broadcast
+   * nested-loop ANTI join whose condition IS the cosine test — the
+   * corpus scans once with zero shuffle, and each row short-circuits at
+   * its first contaminating match (anti-join semantics), the common
+   * case for clean rows being a full sweep of the broadcast bench
+   * table at in-memory dot-product speed. If the "benchmark" side is
+   * corpus-scale this is the wrong operator — use the banded pair path
+   * ([[signCosinePairs]]) and anti-join its hits instead.
+   */
+  def semanticDecontaminate(corpus: DataFrame, bench: DataFrame,
+                            vecCol: String, threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      "threshold must be in (0, 1]")
+    val b = bench.select(col(vecCol).cast("array<double>").as("__bvec"))
+      .withColumn("__bnrm", l2Norm(col("__bvec")))
+    val withNorm = corpus
+      .withColumn("__cvec", col(vecCol).cast("array<double>"))
+      .withColumn("__cnrm", l2Norm(col("__cvec")))
+    withNorm.join(broadcast(b),
+        dot(col("__cvec"), col("__bvec")) / (col("__cnrm") * col("__bnrm"))
+          >= threshold,
+        "left_anti")
+      .drop("__cvec", "__cnrm")
+  }
+
+  /**
    * Filtered / key-partitioned ANN top-k — the "filtered vector search"
    * production shape (same-language neighbors, same-tenant retrieval,
    * license-compatible matches): each query ranks ONLY corpus vectors

@@ -260,6 +260,29 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
       .filter(col("doc") === 7).count() == 0)
   }
 
+  test("semanticDecontaminate: scaled and near copies drop, originals survive") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0)),   // exact direction of bench's scaled copy -> drops
+      (2L, Seq(1.0, 1.0)),   // cos 0.707 to bench -> survives
+      (3L, Seq(0.99, 0.1))). // cos ~0.995 -> paraphrase-grade near copy, drops
+      toDF("vec_id", "embedding")
+    // the benchmark vector is a SCALED copy (x2) of corpus vector 1:
+    // byte-distinct, zero shared n-grams, cosine exactly 1
+    val bench = Seq(Tuple1(Seq(2.0, 0.0))).toDF("embedding")
+    val got = Similarity.semanticDecontaminate(corpus, bench,
+        "embedding", threshold = 0.95)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(2L))
+    // survivors keep their original columns untouched
+    val full = Similarity.semanticDecontaminate(corpus, bench,
+      "embedding", threshold = 0.95)
+    assert(full.columns.toSeq == Seq("vec_id", "embedding"))
+    // an empty benchmark contaminates nothing
+    assert(Similarity.semanticDecontaminate(corpus, bench.limit(0),
+      "embedding", threshold = 0.95).count() == 3)
+  }
+
   test("keyedTopK == per-key brute force; post-filtering under-returns") {
     val queries = emb.filter(col("vec_id") < 20)
     val k = 10
