@@ -9,7 +9,7 @@ import org.apache.spark.sql.DataFrame
 
 import graft.catalog.{Catalog, InMemoryCatalog, MergeSnapshotStore, SessionCatalog, TableMeta}
 import graft.ingest.GgLogsToParquet
-import graft.operators.{ChangeLogApplier, CuratedApplier, Dedup, DomainRunner, Ivm, Materialize, PrefixScan, QueryRunner, Sampling, Scd, Similarity, TextAnalysis, UrlFilter}
+import graft.operators.{ChangeLogApplier, CuratedApplier, Dedup, DomainRunner, Graphs, Ivm, Materialize, PrefixScan, QueryRunner, Sampling, Scd, Similarity, TextAnalysis, UrlFilter}
 
 /**
  * One-command end-to-end run of the five reference stages on the
@@ -22,7 +22,7 @@ import graft.operators.{ChangeLogApplier, CuratedApplier, Dedup, DomainRunner, I
  *   4. apply_to_domains     definition CSV SQL -> domain snapshot
  *   5. glue_query           ad-hoc projection + predicate (demo_querys:3)
  *
- * plus seven training-data stages beyond the reference's surface:
+ * plus thirteen training-data stages beyond the reference's surface:
  *
  *   6. fused dedup pipeline    pairs -> clusters -> keep from ONE pair
  *                              graph, kept corpus landed as a table
@@ -56,6 +56,11 @@ import graft.operators.{ChangeLogApplier, CuratedApplier, Dedup, DomainRunner, I
  *                              the changelog; bucket-pruned point
  *                              lookups; zone-mapped box query (q48 +
  *                              q49/q52 + q51 + q53 composed)
+ *  18. served analytics        the store's own file stats answer a
+ *                              range scan pruned-and-exact; the
+ *                              dashboard time-travels to its pre-edit
+ *                              version; link-graph centrality ranks
+ *                              the curated hosts (q55 + replay + q57)
  *
  *   sbt "runMain graft.PipelineMain [workDir]"
  *
@@ -582,6 +587,37 @@ object PipelineMain {
         s"cdf $cdfKinds vs edits $editKinds, lookup planned " +
         s"$lkFiles/$allFiles files, zone-map box ${zGot.count()} rows") {
       aggOk && cdfKinds == editKinds && cdfKinds.nonEmpty && lkOk && zOk
+    }
+    Materialize.releaseAll()
+
+    // 18. the round-12 serving arcs composed over the SAME keyed table:
+    // the store's own per-file stats answer a token-range scan exactly
+    // (stats-in-manifest data skipping); the maintained dashboard
+    // time-travels to its PRE-EDIT version via after-the-fact
+    // changelogs (no changelog was recorded at write time); and
+    // link-graph centrality ranks the hosts the curation stages
+    // consumed — every path proven against its recompute twin
+    val rGot = store.readRange(Db, "docs_keyed",
+      Map("n_tokens" -> ((50.0, 150.0))))
+    val rWant = store.read(Db, "docs_keyed")
+      .filter(col("n_tokens").between(50, 150))
+    val rangeOk = rGot.exceptAll(rWant).count() == 0 &&
+      rWant.exceptAll(rGot).count() == 0
+    val replayed = served.replayTo(v0srv, v0srv)
+    val replayOk = aggMap(replayed) == aggMap(Ivm.countSumAgg(
+      store.readVersion(catalog(Db, "docs_keyed"), v0srv),
+      col("host"), col("n_tokens")))
+    val hostEdges = srv.select((col("doc_id") % 13).as("src"),
+      ((col("doc_id") * 7 + 1) % 13).as("dst"))
+    val pr = Graphs.pageRankMicro(hostEdges, "src", "dst", iterations = 3)
+    val prTop = pr.orderBy(col("rank_micro").desc).limit(1)
+      .collect().headOption.map(r => (r.getLong(0), r.getLong(1)))
+    val prOk = pr.count() == 13 &&
+      pr.agg(min("rank_micro")).head().getLong(0) >= 150000L
+    stage(18, s"served analytics -> stats-pruned range scan " +
+        s"${rGot.count()} rows exact: $rangeOk, dashboard replay@v$v0srv " +
+        s"== recompute: $replayOk, pagerank top host $prTop") {
+      rangeOk && replayOk && prOk
     }
     Materialize.releaseAll()
 

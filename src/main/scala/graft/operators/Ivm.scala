@@ -358,6 +358,11 @@ object Ivm {
 
     /** Crash recovery: recompute the aggregate from the committed base. */
     def reseedAggregates(): Unit = inner.reseedAggregates()
+
+    /** The aggregate AS OF a retained base version ([[MaintainedAggregates
+     * .replayAggregates]] — dashboard time travel). */
+    def replayTo(fromVersion: Int, toVersion: Int): DataFrame =
+      inner.replayAggregates(fromVersion, toVersion)(aggTable)
   }
 
   /** One maintained downstream table: its store table name, how to seed
