@@ -212,6 +212,68 @@ class SamplingSpec extends AnyFunSuite with SparkFixture {
     assert(repart.sorted == got.sorted)
   }
 
+  test("tokenMixtureSample == independent driver reimplementation on 15 random mixes") {
+    import spark.implicits._
+    import scala.util.Random
+    // full reimplementation of the contract OUTSIDE Spark — JVM
+    // MessageDigest md5, driver arithmetic — so the column pipeline is
+    // checked against an independent implementation, not itself
+    def digest4(k: Long, seed: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s"$k:$seed".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString.take(4)
+    }
+    def cutHex(f: Double): String =
+      if (f >= 1.0) "zzzz" else f"${math.floor(f * 65536).toLong}%04x"
+    def expected(rows: Seq[(Long, String, Long)], targets: Map[String, Double],
+                 caps: Map[String, Double], dflt: Double,
+                 seed: Long): Set[(Long, String, Long)] = {
+      val toks = rows.groupBy(_._2).map { case (c, rs) => c -> rs.map(_._3).sum }
+      val present = targets.filter { case (c, _) => toks.get(c).exists(_ > 0L) }
+      def cap(c: String) = caps.getOrElse(c, dflt)
+      val bigN = present.map { case (c, w) => (toks(c).toDouble * cap(c)) / w }.min
+      val plan = present.map { case (c, w) =>
+        val u =
+          if ((toks(c).toDouble * cap(c)) / w == bigN) cap(c)
+          else math.min(cap(c), (w * bigN) / toks(c).toDouble)
+        val full = math.floor(u).toLong
+        c -> ((full, u - full))
+      }
+      rows.flatMap { case (k, c, _) =>
+        plan.get(c).toSeq.flatMap { case (full, frac) =>
+          val nEp = full + (if (frac > 0.0) 1L else 0L)
+          (0L until nEp)
+            .filter(e => e < full || digest4(k, 42L + e) < cutHex(frac))
+            .map(e => (k, c, e))
+        }
+      }.toSet
+    }
+    val rnd = new Random(77)
+    for (trial <- 1 to 15) {
+      val classes = (0 until 2 + rnd.nextInt(3)).map(i => s"c$i")
+      val rows = classes.zipWithIndex.flatMap { case (c, ci) =>
+        (0 until 5 + rnd.nextInt(40)).map(j =>
+          ((ci * 100000 + j).toLong, c, (1 + rnd.nextInt(50)).toLong))
+      }
+      // weight/cap only a SUBSET sometimes (unlisted target classes use
+      // the default cap; classes outside targets drop entirely)
+      val targets = classes.filter(_ => rnd.nextInt(4) > 0)
+        .map(c => c -> (0.5 + rnd.nextInt(10) * 0.5)).toMap
+      if (targets.nonEmpty) {
+        val caps = classes.filter(_ => rnd.nextBoolean())
+          .map(c => c -> (0.5 + rnd.nextInt(6) * 0.5)).toMap
+        val got = Sampling.tokenMixtureSample(
+            rows.toDF("doc_id", "cls", "n_tok"), "cls", "doc_id", "n_tok",
+            targets, caps)
+          .select("doc_id", "cls", "epoch")
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+          .toSet
+        assert(got == expected(rows, targets, caps, 1.0, 42L),
+          s"trial $trial diverged (targets=$targets caps=$caps)")
+      }
+    }
+  }
+
   test("store JSON write round-trips (reference dev event-log generation)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-json").toString
     val cat = new graft.catalog.InMemoryCatalog
