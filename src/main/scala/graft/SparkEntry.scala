@@ -1493,6 +1493,14 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // T5-style span-corruption masks: 15% density, mean span 3, one
+    // span per equal-width bucket — lengths and offsets from 16-bit
+    // md5 slices of (doc, span), so every span is non-overlapping by
+    // construction and the oracle replays the grid and both hashes
+    "t32_corruption_spans" -> ((s, d) =>
+      TextAnalysis.corruptionSpans(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id", "span_idx")),
+
     // quality-weighted (importance) sampling: each doc's keep
     // probability is its own quality score — the per-row md5 threshold
     // generalizes the stratified sampler; the oracle recomputes the
@@ -3322,6 +3330,32 @@ object SparkEntry {
          WHERE NOT EXISTS (SELECT 1 FROM bench
                            WHERE list_cosine_similarity(e, be) >= 0.95)
          ORDER BY vec_id""",
+
+    // the bucket grid and both 16-bit md5 hashes (span length, in-
+    // bucket offset) replayed nibble by nibble
+    "t32_corruption_spans" -> (NormCte +
+      s""", d AS (SELECT doc_id, CAST(len(string_split(t, ' ')) AS BIGINT) AS n
+                  FROM n),
+         p AS (SELECT doc_id, n,
+                      least(greatest(1, n * 15 // 300), n) AS k FROM d),
+         mx AS (SELECT CAST(max(k) AS BIGINT) AS mk FROM p),
+         ix AS (SELECT unnest(generate_series(0,
+                  (SELECT mk FROM mx) - 1)) AS i),
+         e AS (SELECT doc_id, n, k, n // k AS w, i
+               FROM p CROSS JOIN ix WHERE i < k),
+         s AS (SELECT doc_id, i, w,
+                 least(1 + ${hex16Sql(
+                   "CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR) || ':len'")}
+                   % 5, w) AS slen
+               FROM e),
+         o AS (SELECT doc_id, i AS span_idx,
+                      i * w + ${hex16Sql(
+                        "CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR) || ':off'")}
+                        % (w - slen + 1) + 1 AS span_start,
+                      slen FROM s)
+         SELECT doc_id, span_idx, CAST(span_start AS BIGINT) AS span_start,
+                CAST(span_start + slen - 1 AS BIGINT) AS span_end
+         FROM o ORDER BY doc_id, span_idx"""),
 
     // the stopword weight table (shared terms voting for both
     // languages), per-class sums, and the first-class-wins argmax —

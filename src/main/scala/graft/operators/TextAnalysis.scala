@@ -1092,6 +1092,51 @@ object TextAnalysis {
         arr.as("scores_milli"))
   }
 
+  /**
+   * T5/UL2-style SPAN-CORRUPTION mask generation — the denoising-
+   * objective step between curation and training-example assembly
+   * (Raffel et al. 2020 §3.1.4 corrupt ~15% of tokens in mean-length-3
+   * spans; UL2 mixes several (density, length) configurations of
+   * exactly this shape). Returns one row per masked span: (id,
+   * span_idx, span_start, span_end), 1-based inclusive token
+   * positions. DETERMINISTIC (training data must replay bit-for-bit
+   * across retries and engines): the doc partitions into k equal
+   * buckets — k = clamp(n·density / (100·meanLen), 1, n) — and each
+   * bucket holds ONE span whose length (1..2·meanLen−1, mean meanLen)
+   * and in-bucket offset derive from 16-bit md5 slices of (id,
+   * span_idx), so spans are non-overlapping BY CONSTRUCTION, spread
+   * across the document, and reproducible from the row alone. The
+   * trailing n mod k tokens are never masked (the bucket remainder) —
+   * the classic grid trade for overlap-freedom without a sort.
+   *
+   * Compose with [[graft.operators.Dedup.removeSpans]] (or the
+   * token-table form) to materialize the corrupted INPUT text, and
+   * slice the same spans for the sentinel TARGETS. Pure narrow
+   * expressions + one per-row explode: a 100 TB corpus masks at scan
+   * speed, zero shuffles, and any SQL engine replays every span.
+   */
+  def corruptionSpans(df: DataFrame, idCol: String, textCol: String,
+                      densityPct: Int = 15, meanSpanLen: Int = 3): DataFrame = {
+    require(densityPct >= 1 && densityPct <= 100,
+      "densityPct is the masked-token percentage")
+    require(meanSpanLen >= 1, "meanSpanLen must be >= 1")
+    def h16(salt: String): Column =
+      conv(substring(md5(concat_ws(":", col(idCol).cast("string"),
+        col("span_idx").cast("string"), lit(salt)).cast("binary")), 1, 4),
+        16, 10).cast("long")
+    df.select(col(idCol), tokenCount(col(textCol)).cast("long").as("__n"))
+      .withColumn("__k", least(greatest(lit(1L),
+        expr(s"__n * $densityPct DIV ${100L * meanSpanLen}")), col("__n")))
+      .withColumn("span_idx", explode(sequence(lit(0L), col("__k") - 1)))
+      .withColumn("__w", expr("__n DIV __k"))
+      .withColumn("__len",
+        least(lit(1L) + h16("len") % lit(2L * meanSpanLen - 1), col("__w")))
+      .withColumn("span_start", col("span_idx") * col("__w") +
+        h16("off") % (col("__w") - col("__len") + 1) + 1)
+      .select(col(idCol), col("span_idx"), col("span_start"),
+        (col("span_start") + col("__len") - 1).as("span_end"))
+  }
+
   /** Per-session cache of collected weight broadcasts, keyed by the
    * weight FRAME's identity plus the read shape: the natural pairing —
    * one loaded table feeding both the score and the embedding column,

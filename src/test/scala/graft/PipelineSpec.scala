@@ -260,6 +260,41 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
       .filter(col("doc") === 7).count() == 0)
   }
 
+  test("corruptionSpans: in-bounds, disjoint, deterministic, ~density coverage") {
+    import spark.implicits._
+    val spans = TextAnalysis.corruptionSpans(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    val nTok = docs.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(spans.nonEmpty)
+    // every span inside its document, length >= 1
+    assert(spans.forall { case (id, _, s, e) =>
+      s >= 1 && e >= s && e <= nTok(id)
+    })
+    // spans of one doc are pairwise DISJOINT and idx-ordered by position
+    spans.groupBy(_._1).foreach { case (id, ss) =>
+      val ordered = ss.sortBy(_._2)
+      ordered.sliding(2).foreach {
+        case Seq((_, _, _, e1), (_, _, s2, _)) =>
+          assert(e1 < s2, s"overlapping spans in doc $id")
+        case _ => ()
+      }
+    }
+    // masked coverage lands near the requested 15% (span lengths are
+    // 1..5 uniform, mean 3; grid rounding pulls it a little under)
+    val masked = spans.map { case (_, _, s, e) => e - s + 1 }.sum.toDouble
+    val total = nTok.values.sum.toDouble
+    assert(masked / total > 0.08 && masked / total < 0.18,
+      s"coverage ${masked / total} far from requested density")
+    // bit-deterministic across invocations
+    val again = TextAnalysis.corruptionSpans(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(again.sorted == spans.sorted)
+  }
+
   test("semanticDecontaminate: scaled and near copies drop, originals survive") {
     import spark.implicits._
     val corpus = Seq(
