@@ -948,6 +948,17 @@ object SparkEntry {
         .withColumn("cos", round(col("cos"), 4))
         .orderBy("id_a", "id_b")),
 
+    // deterministic contrastive negative sampling: each anchor draws k
+    // pseudo-random corpus keys via a dense shuffle-order index and a
+    // 60-bit md5 pick, self-collisions dropped from a buffered draw —
+    // the oracle replays the index, both hashes, and the keep rule
+    "q58_negative_samples" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Sampling.negativeSamples(emb, emb.filter(col("vec_id") < 50),
+          "vec_id", k = 5)
+        .orderBy("anchor_id", "neg_rank")
+    }),
+
     // cross-corpus SEMANTIC decontamination: corpus rows within cosine
     // 0.95 of ANY benchmark vector drop — the benchmark holds exact
     // copies (% 41) and SCALED copies (% 43, x1.1 in double space;
@@ -2268,6 +2279,15 @@ object SparkEntry {
     s"(${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)})"
   }
 
+  /** The 60-bit twin of [[hex16Sql]] (first 15 md5 nibbles as a BIGINT —
+   * exact in 63 bits) for modulus-style hashes. */
+  private def hex60Sql(x: String): String = {
+    def nib(i: Int) = s"(instr('0123456789abcdef', substring(md5($x), $i, 1)) - 1)"
+    (1 to 15).map(i =>
+      s"${nib(i)} * ${java.math.BigInteger.valueOf(16).pow(15 - i)}")
+      .mkString("(", " + ", ")")
+  }
+
   /** [[hex16Sql]] at a dynamic 0-based hex offset `pos` (a SQL
    * expression) — the 16-bit slice starting there, nibble-parsed
    * (substring is 1-based, hence the +1..+4). */
@@ -3316,6 +3336,33 @@ object SparkEntry {
 
     // the unrolled 5-round integer PageRank — every rank replays exactly
     "q57_pagerank" -> pageRankCtes(5, 85),
+
+    // the dense shuffle-order index, the 60-bit candidate hash, the
+    // self-collision drop, and first-k-by-draw-order — replayed 1:1
+    "q58_negative_samples" -> (
+      s"""WITH v AS (SELECT DISTINCT vec_id FROM embeddings),
+         kx AS (SELECT vec_id,
+                       md5(CAST(vec_id AS VARCHAR) || ':42') || ':' ||
+                         CAST(vec_id AS VARCHAR) AS skey FROM v),
+         ix AS (SELECT vec_id AS neg,
+                       CAST(row_number() OVER (ORDER BY skey) - 1 AS BIGINT)
+                         AS idx FROM kx),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+         a AS (SELECT DISTINCT vec_id AS anchor FROM embeddings
+               WHERE vec_id < 50),
+         js AS (SELECT unnest(generate_series(0, 8)) AS j),
+         c AS (SELECT anchor, j,
+                      ${hex60Sql("CAST(anchor AS VARCHAR) || ':' || " +
+                        "CAST(j AS VARCHAR) || ':42'")} %
+                        (SELECT n FROM nn) AS idx
+               FROM a CROSS JOIN js),
+         m AS (SELECT anchor, j, neg FROM c JOIN ix USING (idx)
+               WHERE neg <> anchor),
+         r AS (SELECT anchor AS anchor_id, neg AS neg_id,
+                      CAST(row_number() OVER (PARTITION BY anchor
+                        ORDER BY j) AS INTEGER) AS neg_rank FROM m)
+         SELECT anchor_id, neg_rank, neg_id FROM r
+         WHERE neg_rank <= 5 ORDER BY anchor_id, neg_rank"""),
 
     // the benchmark (exact + double-space-scaled copies) and the
     // NOT-EXISTS cosine test, replayed 1:1

@@ -190,6 +190,64 @@ object Sampling {
   }
 
   /**
+   * Deterministic NEGATIVE sampling for contrastive training — the
+   * (anchor, negative) pair generation every embedding/reranker
+   * training set needs (random negatives per anchor; in-batch
+   * negatives are the loader's job, CORPUS negatives are this one's).
+   * For each anchor key, `k` pseudo-random corpus keys, reproducible
+   * bit-for-bit across engines, partitionings, and retries — a
+   * re-generated training set must pair identically.
+   *
+   * Mechanics: the corpus keys take a dense pseudo-random 0..N−1 index
+   * (the [[withShuffleOrder]] key ordered by the DISTRIBUTED prefix
+   * scan [[graft.operators.PrefixScan.runningTotal]] — no single-task
+   * window, no zipWithIndex partition coupling), and candidate j of an
+   * anchor is the corpus key at index md5₆₀(anchor:j:seed) mod N.
+   * Self-collisions drop and the first `k` surviving candidates (in j
+   * order) are kept, so a `buffer` of extra draws makes under-return
+   * vanishingly rare (probability ~(k+buffer choose buffer+1) ·
+   * N^-(buffer+1)); duplicates among a single anchor's negatives are
+   * possible at the birthday rate k²/N — at corpus scale both are
+   * noise, and determinism is the contract that matters.
+   *
+   * Scale shape: the index build is one shuffle-order projection + the
+   * prefix scan's two passes over corpus KEYS only; candidates are
+   * anchor-scale (|anchors| × (k+buffer) rows) and join the indexed
+   * corpus on the dense index — AQE broadcasts the candidate side in
+   * the common small-anchor-batch case. One count() action for N
+   * (corpus-scale metadata, the mixtureSample counts pattern).
+   */
+  def negativeSamples(corpus: DataFrame, anchors: DataFrame, keyCol: String,
+                      k: Int, buffer: Int = 4, seed: Long = 42L): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(buffer >= 0, "buffer must be >= 0")
+    val ordered = withShuffleOrder(
+      corpus.select(col(keyCol)).na.drop().distinct(), keyCol, seed)
+      .withColumn("__one", lit(1))
+    val indexed = graft.operators.PrefixScan
+      .runningTotal(ordered, "shuffle_key", "__one", "__cum")
+      .select(col(keyCol).as("__neg"), (col("__cum") - 1).as("__idx"))
+    val n = indexed.count() // one scalar: the modulus
+    require(n >= 2, "need at least two distinct corpus keys")
+    // 60-bit md5 slice: exact in a long, far past any corpus modulus
+    val h = conv(substring(md5(concat_ws(":",
+      col(keyCol).cast("string"), col("__j").cast("string"),
+      lit(seed.toString)).cast("binary")), 1, 15), 16, 10).cast("long")
+    val cand = anchors.select(col(keyCol)).na.drop().distinct()
+      .withColumn("__j",
+        explode(sequence(lit(0L), lit((k + buffer - 1).toLong))))
+      .withColumn("__idx", h % n)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("__j").asc)
+    cand.join(indexed, "__idx")
+      .filter(col("__neg") =!= col(keyCol))
+      .withColumn("neg_rank", row_number().over(w))
+      .filter(col("neg_rank") <= k)
+      .select(col(keyCol).as("anchor_id"), col("neg_rank"),
+        col("__neg").as("neg_id"))
+  }
+
+  /**
    * Deterministic train/validation/test SPLIT: every row labeled with
    * the name of the digest-range its content key falls in — the
    * holdout-assignment step of a training pipeline, under the same

@@ -274,6 +274,35 @@ class SamplingSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("negativeSamples: deterministic, self-excluded, k per anchor") {
+    import spark.implicits._
+    val corpus = (0L until 200L).toDF("id")
+    val anchors = (0L until 10L).toDF("id")
+    def run(c: org.apache.spark.sql.DataFrame) =
+      Sampling.negativeSamples(c, anchors, "id", k = 4)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+        .sorted
+    val got = run(corpus)
+    // every anchor gets exactly k negatives, ranks 1..k, none itself
+    assert(got.size == 40)
+    got.groupBy(_._1).foreach { case (a, ns) =>
+      assert(ns.map(_._2).sorted == Seq(1, 2, 3, 4))
+      assert(ns.forall(_._3 != a), s"anchor $a sampled itself")
+      assert(ns.forall(n => n._3 >= 0L && n._3 < 200L))
+    }
+    // bit-identical under a different physical partitioning
+    assert(run(corpus.repartition(13)) == got)
+    // negatives are spread, not clustered at low indices (the shuffle
+    // order is the point): more than half the distinct negatives > 100
+    val negs = got.map(_._3).distinct
+    assert(negs.count(_ > 100L) > negs.size / 4)
+    // degenerate corpus refuses
+    val e = intercept[IllegalArgumentException] {
+      Sampling.negativeSamples((0L until 1L).toDF("id"), anchors, "id", 2)
+    }
+    assert(e.getMessage.contains("two distinct"))
+  }
+
   test("store JSON write round-trips (reference dev event-log generation)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-json").toString
     val cat = new graft.catalog.InMemoryCatalog
