@@ -603,20 +603,28 @@ object PipelineMain {
       .filter(col("n_tokens").between(50, 150))
     val rangeOk = rGot.exceptAll(rWant).count() == 0 &&
       rWant.exceptAll(rGot).count() == 0
-    val replayed = served.replayTo(v0srv, v0srv)
-    val replayOk = aggMap(replayed) == aggMap(Ivm.countSumAgg(
-      store.readVersion(catalog(Db, "docs_keyed"), v0srv),
-      col("host"), col("n_tokens")))
+    // replay ACROSS the edit: seed at the pre-edit version, fold the
+    // after-the-fact v0->v1 changelog, land on the LIVE dashboard —
+    // the non-trivial path (a same-version replay would just re-seed)
+    val replayed = served.replayTo(v0srv, v1srv)
+    val replayOk = aggMap(replayed) == aggMap(served.read())
+    // coprime moduli so the link graph is IRREGULAR (a single-modulus
+    // arithmetic graph is a permutation — uniform ranks, nothing to
+    // rank): hosts 11-12 receive no links and sink to the base rank,
+    // hosts 0-10 accumulate real mass
     val hostEdges = srv.select((col("doc_id") % 13).as("src"),
-      ((col("doc_id") * 7 + 1) % 13).as("dst"))
+      (col("doc_id") % 11).as("dst"))
     val pr = Graphs.pageRankMicro(hostEdges, "src", "dst", iterations = 3)
     val prTop = pr.orderBy(col("rank_micro").desc).limit(1)
       .collect().headOption.map(r => (r.getLong(0), r.getLong(1)))
-    val prOk = pr.count() == 13 &&
-      pr.agg(min("rank_micro")).head().getLong(0) >= 150000L
+    val prStats = pr.agg(min("rank_micro"), max("rank_micro")).head()
+    // falsifiable: the base term alone gives every node >= 150000, so
+    // ALSO require real mass propagation (max strictly above min)
+    val prOk = pr.count() == 13 && prStats.getLong(0) >= 150000L &&
+      prStats.getLong(1) > prStats.getLong(0)
     stage(18, s"served analytics -> stats-pruned range scan " +
-        s"${rGot.count()} rows exact: $rangeOk, dashboard replay@v$v0srv " +
-        s"== recompute: $replayOk, pagerank top host $prTop") {
+        s"${rGot.count()} rows exact: $rangeOk, dashboard replay " +
+        s"v$v0srv->v$v1srv == live: $replayOk, pagerank top host $prTop") {
       rangeOk && replayOk && prOk
     }
     Materialize.releaseAll()

@@ -102,9 +102,16 @@ object Similarity {
     val withNorm = corpus
       .withColumn("__cvec", col(vecCol).cast("array<double>"))
       .withColumn("__cnrm", l2Norm(col("__cvec")))
+    // the norm guards are load-bearing: a zero-norm vector on EITHER
+    // side makes the cosine 0/0 = NaN, and Spark's NaN-largest ordering
+    // evaluates `NaN >= threshold` as TRUE — one all-zeros benchmark
+    // row (a failed/padded embedding, common in practice) would then
+    // silently drop the ENTIRE corpus. Zero-norm vectors have no
+    // direction, so they can contaminate nothing and match nothing.
     withNorm.join(broadcast(b),
-        dot(col("__cvec"), col("__bvec")) / (col("__cnrm") * col("__bnrm"))
-          >= threshold,
+        col("__cnrm") > 0 && col("__bnrm") > 0 &&
+          dot(col("__cvec"), col("__bvec")) / (col("__cnrm") * col("__bnrm"))
+            >= threshold,
         "left_anti")
       .drop("__cvec", "__cnrm")
   }

@@ -1124,7 +1124,11 @@ object TextAnalysis {
       conv(substring(md5(concat_ws(":", col(idCol).cast("string"),
         col("span_idx").cast("string"), lit(salt)).cast("binary")), 1, 4),
         16, 10).cast("long")
-    df.select(col(idCol), tokenCount(col(textCol)).cast("long").as("__n"))
+    // NULL text yields no spans (the classifier/explode discipline) —
+    // unguarded, tokenCount(null) is -1/null by conf and a negative __k
+    // would make sequence() emit a DESCENDING range of garbage span ids
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol), tokenCount(col(textCol)).cast("long").as("__n"))
       .withColumn("__k", least(greatest(lit(1L),
         expr(s"__n * $densityPct DIV ${100L * meanSpanLen}")), col("__n")))
       .withColumn("span_idx", explode(sequence(lit(0L), col("__k") - 1)))

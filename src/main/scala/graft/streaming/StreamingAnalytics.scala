@@ -295,25 +295,47 @@ object StreamingAnalytics {
       aggs: Seq[graft.operators.Ivm.MaintainedAgg], keys: Seq[String],
       checkpoint: String): Unit = {
         require(aggs.nonEmpty, "need at least one maintained aggregate")
-        // scoped: operator-internal Materialize cuts a fold creates
-        // (the min/max delta cuts its removed-rows frame) release when
-        // the batch's writes land — otherwise every micro-batch would
-        // pin blocks for the stream's lifetime
+        require(aggs.map(_.table).distinct.size == aggs.size,
+          "maintained aggregate tables must be distinct")
+        // scoped: the changelog cut below AND operator-internal cuts a
+        // fold creates (the min/max delta cuts its removed-rows frame)
+        // release when the batch's writes land — otherwise every
+        // micro-batch would pin blocks for the stream's lifetime
         if (!chg.isEmpty) graft.operators.Materialize.scoped {
+          // cut once: the changelog feeds the snapshot fold (referenced
+          // by EVERY aggregate and the snapshot write) plus each fold
+          // directly — uncut, the micro-batch source would re-execute
+          // once per write action (the batch registry's own rule)
+          val chgC = graft.operators.Materialize(chg)
           val markers = new Path(new Path(checkpoint), "graft-ivm-base")
           val fs = markers.getFileSystem(
             chg.sparkSession.sparkContext.hadoopConfiguration)
           val marker = new Path(markers, s"batch-$batchId")
+          // marker line 1: versions (aggs in spec order, then snapshot —
+          // for one aggregate exactly the historical "aggV,snapV");
+          // line 2: the TABLE each version pins. Version numbers alone
+          // cannot detect a spec list REORDERED under a live checkpoint
+          // — same count, wrong pairing, both aggregates rebuilt from
+          // wrong bases with no error. A one-line legacy marker (no
+          // names) is accepted by count alone.
+          val tableNames = aggs.map(_.table) :+ snapTable
           val versions: Seq[Int] =
             if (fs.exists(marker)) {
               val in = fs.open(marker)
               val body = try scala.io.Source.fromInputStream(in, "UTF-8")
                 .mkString.trim finally in.close()
-              val parts = body.split(",")
+              val lines = body.split('\n')
+              val parts = lines(0).split(",")
               require(parts.length == aggs.size + 1,
                 s"garbled IVM base marker $marker: '$body' (expected " +
                   s"${aggs.size + 1} versions — did the spec list change " +
                   "under a live checkpoint?)")
+              if (lines.length > 1)
+                require(lines(1).split(",").toSeq == tableNames,
+                  s"IVM base marker $marker pins tables ${lines(1)} but " +
+                    s"the spec list is ${tableNames.mkString(",")} — the " +
+                    "spec ORDER changed under a live checkpoint; restore " +
+                    "it (or clear the checkpoint) before resuming")
               parts.toSeq.map(_.toInt)
             } else {
               val vs = aggs.map(a => store.latestVersion(db, a.table)) :+
@@ -322,7 +344,8 @@ object StreamingAnalytics {
                 s"seed $db.$snapTable and every aggregate table before streaming")
               val tmp = new Path(markers, s".tmp-batch-$batchId")
               val out = fs.create(tmp, true)
-              try out.write(vs.mkString(",").getBytes(
+              try out.write((vs.mkString(",") + "\n" +
+                tableNames.mkString(",")).getBytes(
                 java.nio.charset.StandardCharsets.UTF_8))
               finally out.close()
               if (!fs.rename(tmp, marker))
@@ -332,16 +355,16 @@ object StreamingAnalytics {
             }
           val old = store.readVersion(store.catalog(db, snapTable), versions.last)
           // snapshot fold: U/D keys leave, I/U new images arrive
-          val gone = chg.filter(col("change").isin("U", "D"))
+          val gone = chgC.filter(col("change").isin("U", "D"))
             .select(keys.map(col): _*)
-          val arrived = chg.filter(col("change").isin("I", "U")).drop("change")
+          val arrived = chgC.filter(col("change").isin("I", "U")).drop("change")
           val newSnap = old.join(gone, keys, "left_anti")
             .unionByName(arrived.select(old.columns.map(col).toIndexedSeq: _*))
           // every fold reads its own PINNED pre-batch version — never the
           // latest, which on a replay already holds this batch
           val newAggs = aggs.zip(versions.init).map { case (a, v) =>
             a -> a.fold(store.readVersion(store.catalog(db, a.table), v),
-              old, newSnap, chg, keys)
+              old, newSnap, chgC, keys)
           }
           newAggs.foreach { case (a, df) => store.overwrite(db, a.table, df) }
           store.overwrite(db, snapTable, newSnap)

@@ -293,6 +293,13 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getLong(3))).toSeq
     assert(again.sorted == spans.sorted)
+    // NULL text yields no spans — not garbage descending span ids
+    import spark.implicits._
+    val withNull = Seq((1L, "one two three four five six"),
+      (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val ns = TextAnalysis.corruptionSpans(withNull, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ns.forall(_._1 == 1L) && ns.forall(_._2 >= 0L))
   }
 
   test("semanticDecontaminate: scaled and near copies drop, originals survive") {
@@ -316,6 +323,18 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     // an empty benchmark contaminates nothing
     assert(Similarity.semanticDecontaminate(corpus, bench.limit(0),
       "embedding", threshold = 0.95).count() == 3)
+    // a ZERO benchmark vector contaminates nothing either: its cosine
+    // is 0/0 = NaN, and Spark's NaN-largest ordering would otherwise
+    // read `NaN >= threshold` as true and drop the whole corpus
+    val zeroBench = Seq(Tuple1(Seq(0.0, 0.0))).toDF("embedding")
+    assert(Similarity.semanticDecontaminate(corpus, zeroBench,
+      "embedding", threshold = 0.95).count() == 3)
+    // and a zero CORPUS vector survives (no direction, no similarity)
+    val withZero = corpus.unionByName(
+      Seq((9L, Seq(0.0, 0.0))).toDF("vec_id", "embedding"))
+    assert(Similarity.semanticDecontaminate(withZero, bench,
+        "embedding", threshold = 0.95)
+      .filter(col("vec_id") === 9L).count() == 1)
   }
 
   test("keyedTopK == per-key brute force; post-filtering under-returns") {

@@ -533,5 +533,16 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     tables.foreach(t =>
       assert(canon(store.read("rdb", t)) == before(t), s"replay moved $t"))
     assert(canon(store.read("rdb", "snap")) == canon(snap))
+    // a replay under a REORDERED spec list must refuse, not silently
+    // pin each aggregate to another table's version (same count, wrong
+    // pairing — the corruption the marker's table line exists to catch)
+    val e = intercept[IllegalArgumentException] {
+      StreamingAnalytics.applyIvmRegistryBatch(lastBatch, 1L, store, "rdb",
+        "snap", specs.reverse, Seq("k"), s"$tmp/ckpt")
+    }
+    assert(e.getMessage.contains("spec ORDER changed"))
+    tables.foreach(t =>
+      assert(canon(store.read("rdb", t)) == before(t),
+        s"refused replay still moved $t"))
   }
 }
