@@ -9,7 +9,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.catalog.{InMemoryCatalog, SnapshotStore, TableMeta}
 import graft.ingest.GgLogsToParquet
-import graft.operators.ChangeLogApplier
+import graft.operators.{ChangeLogApplier, TextAnalysis}
 import graft.streaming.{StreamEvent, StreamingAnalytics, StreamingIngest}
 
 /**
@@ -544,5 +544,63 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     tables.foreach(t =>
       assert(canon(store.read("rdb", t)) == before(t),
         s"refused replay still moved $t"))
+  }
+
+  test("streaming BM25: the served index stays rebuild-exact under a doc stream") {
+    import spark.implicits._
+    // the batch registry's BM25 specs driven by the STREAMING registry —
+    // a live retrieval index maintained per micro-batch, only changed
+    // docs tokenized, proven equal to a from-scratch rebuild
+    val tmp = Files.createTempDirectory("graft-stream-bm25").toString
+    val catalog = new InMemoryCatalog
+    val store = new SnapshotStore(spark, catalog)
+    catalog.register(TableMeta("sbm", "docs", s"$tmp/docs"))
+    TextAnalysis.registerBm25Tables(store, "sbm", "bm", tmp)
+    val specs = TextAnalysis.bm25IndexSpecs("bm", "doc_id", "text")
+    val init = Seq((1L, "alpha beta"), (2L, "beta gamma"), (3L, "delta"))
+      .toDF("doc_id", "text")
+    store.overwrite("sbm", "docs", init)
+    val seeded = store.read("sbm", "docs")
+    specs.foreach(a => store.overwrite("sbm", a.table, a.seed(seeded)))
+    graft.operators.Materialize.releaseAll()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String, Option[String])]
+    val q = StreamingAnalytics.maintainAggregates(
+      ms.toDF().toDF("doc_id", "change", "text"), store, "sbm", "docs",
+      specs, Seq("doc_id"), s"$tmp/ckpt")
+    try {
+      // re-tokenized update + insert, then delete + insert
+      ms.addData((2L, "U", Some("beta beta epsilon")),
+        (4L, "I", Some("zeta alpha")))
+      q.processAllAvailable()
+      ms.addData((1L, "D", None), (5L, "I", Some("alpha alpha")))
+      q.processAllAvailable()
+    } finally q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSet
+    val base = store.read("sbm", "docs")
+    val scratch = TextAnalysis.buildBm25Index(base, "doc_id", "text")
+    assert(canon(store.read("sbm", "bm_postings")) == canon(scratch.postings))
+    assert(canon(store.read("sbm", "bm_doclens")) == canon(scratch.docLens))
+    assert(canon(store.read("sbm", "bm_docfreq")) == canon(scratch.docFreq))
+    val st = store.read("sbm", "bm_stats").select("nd", "avgdl").head()
+    val st0 = scratch.stats.head()
+    assert(st.getLong(0) == st0.getLong(0) &&
+      st.getDouble(1) == st0.getDouble(1))
+    // serving from the maintained tables == the one-shot path over the
+    // maintained corpus
+    val queries = Seq((100L, "alpha beta")).toDF("doc_id", "text")
+    val served = TextAnalysis.bm25TopKFromIndex(
+        TextAnalysis.readBm25Index(store, "sbm", "bm"), queries,
+        "doc_id", "text", k = 5, maxDfFrac = 1.0)
+      .collect().map(_.toString).sorted.toSeq
+    val oneShot = TextAnalysis.bm25TopK(base, queries, "doc_id", "text",
+        k = 5, maxDfFrac = 1.0)
+      .collect().map(_.toString).sorted.toSeq
+    graft.operators.Materialize.releaseAll()
+    assert(served == oneShot && served.nonEmpty)
+    // the deleted doc is out of the live index; the streamed-in docs are in
+    assert(store.read("sbm", "bm_postings").filter(col("doc") === 1L).count() == 0)
+    assert(store.read("sbm", "bm_postings").filter(col("doc") === 5L).count() > 0)
   }
 }
