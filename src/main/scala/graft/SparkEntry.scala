@@ -1374,6 +1374,21 @@ object SparkEntry {
     // payloads land within Hamming 3 of each other's 64-bit downsample
     // hash while cross-group pairs don't; banding recall is exact at
     // this bound (pigeonhole), so the oracle is ALL pairs <= 3
+    // VAD-shaped energy segmentation: sample streams with two planted
+    // 64-sample silence gaps frame at 16 samples; voiced runs (|b-32|
+    // energy >= 400) merge gaps-and-islands into segments — exact
+    // integers, the oracle replays frames, energies, and the merge
+    "m08_energy_segments" -> ((s, d) => {
+      val silence = lit(" " * 64)
+      val pay = concat(substring(col("text"), 1, 100), silence,
+        substring(col("text"), 101, 100), silence,
+        substring(col("text"), 201, 100))
+      Multimodal.energySegments(
+          t(s, d, "documents").select(col("doc_id"), pay.as("samples")),
+          "doc_id", col("samples"), frameLen = 16, minEnergy = 400L)
+        .orderBy("doc_id", "seg_start")
+    }),
+
     "m07_perceptual_neardup" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val withAnchor = docs.select(col("doc_id"),
@@ -3484,6 +3499,33 @@ object SparkEntry {
     // aHash (no banding clause: pigeonhole makes 16-bit-chunk banding
     // lossless at this bound, and equality against the banded operator
     // PROVES it); m05 below keeps its own set-Jaccard chunk shape
+    // frames, in-frame energy sums, the voiced threshold, and the
+    // islands merge — replayed with the same exact integers
+    "m08_energy_segments" ->
+      """WITH p AS (SELECT doc_id,
+                 substring(text, 1, 100) || repeat(' ', 64) ||
+                 substring(text, 101, 100) || repeat(' ', 64) ||
+                 substring(text, 201, 100) AS pay
+               FROM documents),
+         f AS (SELECT doc_id, pay, CAST(length(pay) AS BIGINT) AS n
+               FROM p WHERE length(pay) > 0),
+         mx AS (SELECT CAST(max((n - 1) // 16) AS BIGINT) AS mf FROM f),
+         ix AS (SELECT unnest(generate_series(0, (SELECT mf FROM mx))) AS fi),
+         fr AS (SELECT doc_id, fi,
+                  CAST(list_sum(list_transform(
+                    range(0, CAST(least(16, n - fi * 16) AS INTEGER)),
+                    j -> abs(ord(substring(pay,
+                      CAST(fi * 16 + j + 1 AS INTEGER), 1)) - 32)))
+                    AS BIGINT) AS e
+                FROM f CROSS JOIN ix WHERE fi <= (n - 1) // 16),
+         v AS (SELECT doc_id, fi FROM fr WHERE e >= 400),
+         g AS (SELECT doc_id, fi,
+                      fi - row_number() OVER (PARTITION BY doc_id
+                        ORDER BY fi) AS grp FROM v)
+         SELECT doc_id, CAST(min(fi) AS BIGINT) AS seg_start,
+                CAST(max(fi) AS BIGINT) AS seg_end, count(*) AS n_frames
+         FROM g GROUP BY doc_id, grp ORDER BY doc_id, seg_start""",
+
     "m07_perceptual_neardup" ->
       """WITH a AS (SELECT doc_id, doc_id - doc_id % 5 AS anchor_id
                     FROM documents),

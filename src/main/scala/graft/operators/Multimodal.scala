@@ -94,6 +94,58 @@ object Multimodal {
     chunks.filter(pmod(col("chunk_idx"), lit(every)) === 0)
 
   /**
+   * Energy-based segmentation — the VAD (voice-activity-detection)
+   * shape of an audio curation pipeline: frame the sample stream, score
+   * each frame's energy, keep frames above a threshold, and merge
+   * maximal runs of kept frames into segments (speech between
+   * silences; the same machinery segments any activity signal). Real
+   * PCM decode is this environment's documented stub boundary, so the
+   * operator takes the DECODED sample stream as a string of 8-bit
+   * samples (the synthetic-payload form — all plumbing real): frame f
+   * covers samples [f·W+1, f·W+W], its energy is the exact integer sum
+   * of |sample − 32| (space = rest level in the ASCII stand-in), and a
+   * frame is VOICED when energy ≥ `minEnergy`. Output: one row per
+   * maximal voiced run — (id, seg_start, seg_end, n_frames), 0-based
+   * inclusive frame indices, ordered by construction of the caller's
+   * sort.
+   *
+   * Scale shape: one narrow explode to frame rows with the energy
+   * folded IN-ROW (`aggregate` over the frame's samples — no
+   * per-sample rows ever exist), then the gaps-and-islands merge: one
+   * window + one aggregate PARTITIONED BY BLOB ID — per-blob work is
+   * bounded by the blob's own frame count, never a global window. The
+   * d12 span-merge discipline at media grain; exact integers, so any
+   * engine replays every segment.
+   */
+  def energySegments(df: DataFrame, idCol: String, samples: Column,
+                     frameLen: Int, minEnergy: Long): DataFrame = {
+    require(frameLen >= 1, "frameLen must be >= 1")
+    require(minEnergy >= 0, "minEnergy must be >= 0")
+    val framed = df
+      .select(col(idCol), samples.as("__s"),
+        length(samples).cast("long").as("__n"))
+      .filter(col("__n") > 0)
+      .select(col(idCol), col("__s"), col("__n"),
+        explode(sequence(lit(0L),
+          floor((col("__n") - 1) / frameLen).cast("long"))).as("frame_idx"))
+    val off = col("frame_idx") * frameLen
+    val flen = least(lit(frameLen.toLong), col("__n") - off)
+    val energy = aggregate(sequence(lit(1L), flen), lit(0L),
+      (acc, j) => acc +
+        abs(ascii(col("__s").substr((off + j).cast("int"), lit(1))) - 32))
+    val voiced = framed.withColumn("__e", energy)
+      .filter(col("__e") >= minEnergy)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("frame_idx"))
+    voiced
+      .withColumn("__g", col("frame_idx") - row_number().over(w))
+      .groupBy(col(idCol), col("__g"))
+      .agg(min("frame_idx").as("seg_start"), max("frame_idx").as("seg_end"),
+        count(lit(1)).as("n_frames"))
+      .drop("__g")
+  }
+
+  /**
    * Content-defined chunking (the rsync/LBFS cut rule): a chunk boundary
    * falls after byte i exactly when the rolling window of `w` bytes
    * ending at i hashes to 0 mod `divisor` — so boundaries depend only on

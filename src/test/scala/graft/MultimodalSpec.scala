@@ -203,4 +203,24 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
       Multimodal.perceptualPairs(df, "doc_id", col("pay"), maxHamming = 9)
     }
   }
+
+  test("energySegments: hand-computed frames, silence splits, partial tail") {
+    import spark.implicits._
+    def segs(s: String, frameLen: Int, min: Long): Seq[(Long, Long, Long)] =
+      Multimodal.energySegments(Seq((1L, s)).toDF("doc_id", "samples"),
+          "doc_id", col("samples"), frameLen, min)
+        .orderBy("seg_start")
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // 'A' = 65 -> |65-32| = 33 per sample; 2-sample frames score 66
+    assert(segs("AAAA", 2, 50L) == Seq((0L, 1L, 2L)))
+    // a silent middle frame splits the run: AA|..|AA -> two segments
+    assert(segs("AA  AA", 2, 50L) == Seq((0L, 0L, 1L), (2L, 2L, 1L)))
+    // the partial tail frame scores its own (shorter) sum: "AAA" ->
+    // frames 66, 33 — threshold between them keeps only the full frame
+    assert(segs("AAA", 2, 34L) == Seq((0L, 0L, 1L)))
+    assert(segs("AAA", 2, 33L) == Seq((0L, 1L, 2L)))
+    // all-silence and empty streams yield no segments
+    assert(segs("      ", 2, 1L).isEmpty)
+    assert(segs("", 2, 1L).isEmpty)
+  }
 }
