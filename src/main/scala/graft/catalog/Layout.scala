@@ -279,10 +279,14 @@ object Layout {
             sb.append(s"$f\t$c\t${r.getDouble(1 + 2 * i)}\t${r.getDouble(2 + 2 * i)}\n")
         }
       }
-      writeSidecar(spark, path, StatsFile, sb.toString)
-      // a re-layout from a bigger file count must not leave a stale
-      // parquet sidecar shadowing the fresh TSV
+      // delete the stale opposite-form sidecar BEFORE committing the
+      // fresh one: pruneSet prefers the parquet dir, so a crash after a
+      // fresh-TSV write but before the pq delete would silently resolve
+      // the PREVIOUS layout's stats (naming files the data overwrite
+      // already deleted). With delete-first the crash window instead
+      // leaves NO sidecar, which readSidecarLines fails loudly on.
       fsys.delete(new org.apache.hadoop.fs.Path(root, StatsPqDir), true)
+      writeSidecar(spark, path, StatsFile, sb.toString)
     } else {
       // DISTRIBUTED manifest: long-format rows written by executors,
       // never collected (the TSV form would be a 10^5..10^6-line driver
@@ -296,8 +300,14 @@ object Layout {
         .select(col("f"), col("s.dim").as("dim"),
           col("s.mn").as("mn"), col("s.mx").as("mx"))
         .filter(col("mn").isNotNull && col("mx").isNotNull)
-      longDf.write.mode("overwrite").parquet(s"$path/$StatsPqDir")
+      // same delete-first discipline, mirrored: drop the stale TSV
+      // before the pq dir lands. The crash windows then read as either
+      // "no sidecar" (loud require) or "pq dir exists" — pruneSet
+      // prefers pq, so once the overwrite completes the fresh stats
+      // win; a stale TSV can never shadow them, and a stale pq dir
+      // cannot survive past the delete on the other branch.
       fsys.delete(new org.apache.hadoop.fs.Path(root, StatsFile), false)
+      longDf.write.mode("overwrite").parquet(s"$path/$StatsPqDir")
     }
   }
 

@@ -430,15 +430,25 @@ object Ivm {
    * on a digest match DETECTS what the previous attempt reached: a
    * crash before the base commit resumes normally, a crash after it
    * repairs via [[reseedAggregates]] and marks the batch done, and a
-   * fully-applied batch is REFUSED with an exception. The one blind
-   * spot is two consecutive batches with byte-identical changelog
-   * content — indistinguishable from a replay by construction; such a
-   * batch is a semantic no-op for U/D rows, but callers whose
-   * workload can legitimately produce one (e.g. re-inserting rows
-   * deleted by the immediately preceding batch, byte-for-byte) should
-   * carry a batch-id column in the changelog to disambiguate. The
-   * streaming twin ([[graft.streaming.StreamingAnalytics
-   * .maintainAggregate]]) instead pins base versions per batch id.
+   * fully-applied batch is REFUSED with an exception. The
+   * stale-incomplete evidence (aggsDone=false with a moved base
+   * version) is also honored across DIGESTS: if a crashed batch's
+   * caller moves on and commits the next, different batch, the commit
+   * first repairs the aggregates from the committed base before
+   * proceeding — the aggregates can never silently fall a batch
+   * behind. Two blind spots remain, both inherent to a single-slot
+   * marker: (1) replay REFUSAL covers only the MOST RECENT batch —
+   * replaying an older completed batch is undetected because its
+   * marker was overwritten by later commits; (2) two consecutive
+   * batches with byte-identical changelog content are
+   * indistinguishable from a replay by construction; such a batch is
+   * a semantic no-op for U/D rows, but callers whose workload can
+   * legitimately produce either shape (multi-batch replay windows, or
+   * re-inserting rows deleted by the immediately preceding batch,
+   * byte-for-byte) should carry a batch-id column in the changelog to
+   * disambiguate. The streaming twin
+   * ([[graft.streaming.StreamingAnalytics.maintainAggregate]])
+   * instead pins base versions per batch id.
    */
   final class MaintainedAggregates(store: graft.catalog.SnapshotStore,
       db: String, baseTable: String, aggs: Seq[MaintainedAgg]) {
@@ -539,7 +549,26 @@ object Ivm {
       val chg = Materialize(changes)
       val digest = changelogDigest(chg)
       val baseVer = store.latestVersion(db, baseTable)
-      val replayOf = readMarker(changes.sparkSession).filter(_.digest == digest)
+      val marker = readMarker(changes.sparkSession)
+      // stale-incomplete evidence holds for ANY digest, not just a
+      // replay of the same batch: aggsDone=false with a MOVED base
+      // version means a previous batch's base committed but its
+      // aggregate overwrites never finished. If the caller now commits
+      // the NEXT, different batch instead of replaying the crashed one,
+      // filtering the marker by digest would discard that evidence, the
+      // new batch would run as "fresh", and the aggregates would be
+      // silently one batch behind forever. Repair FIRST (reseed from
+      // the committed base, which already holds the crashed batch),
+      // then let this batch proceed normally.
+      marker match {
+        case Some(m) if !m.aggsDone && m.baseVersionBefore != baseVer &&
+            m.digest != digest =>
+          reseedAggregates()
+          writeMarker(changes.sparkSession,
+            Marker(m.digest, baseVer, aggsDone = true))
+        case _ => ()
+      }
+      val replayOf = marker.filter(_.digest == digest)
       // an empty batch is a semantic no-op; folding it would be too, but
       // digest-tracking it would refuse the NEXT empty batch as a replay
       if (digest == "0:0") ()

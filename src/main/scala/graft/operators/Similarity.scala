@@ -108,8 +108,14 @@ object Similarity {
     // row (a failed/padded embedding, common in practice) would then
     // silently drop the ENTIRE corpus. Zero-norm vectors have no
     // direction, so they can contaminate nothing and match nothing.
+    // The isnan guards close the OTHER failed-embedding shape: a NaN
+    // COMPONENT makes the norm NaN, and under NaN-largest ordering
+    // `NaN > 0` is TRUE — the zero-norm guard alone would pass it and
+    // the NaN cosine would again drop everything. NaN vectors, like
+    // zero vectors, have no direction: they match nothing.
     withNorm.join(broadcast(b),
-        col("__cnrm") > 0 && col("__bnrm") > 0 &&
+        !isnan(col("__cnrm")) && !isnan(col("__bnrm")) &&
+          col("__cnrm") > 0 && col("__bnrm") > 0 &&
           dot(col("__cvec"), col("__bvec")) / (col("__cnrm") * col("__bnrm"))
             >= threshold,
         "left_anti")

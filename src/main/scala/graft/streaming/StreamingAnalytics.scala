@@ -317,7 +317,12 @@ object StreamingAnalytics {
           // cannot detect a spec list REORDERED under a live checkpoint
           // — same count, wrong pairing, both aggregates rebuilt from
           // wrong bases with no error. A one-line legacy marker (no
-          // names) is accepted by count alone.
+          // names) is accepted ONLY for a single-aggregate spec list:
+          // the single-aggregate runner is the only writer that ever
+          // produced that shape, so for a multi-aggregate checkpoint a
+          // names-less marker can only be damage — accepting it by
+          // count alone would re-open the reordered-spec mispairing
+          // the names line exists to refuse.
           val tableNames = aggs.map(_.table) :+ snapTable
           val versions: Seq[Int] =
             if (fs.exists(marker)) {
@@ -336,6 +341,14 @@ object StreamingAnalytics {
                     s"the spec list is ${tableNames.mkString(",")} — the " +
                     "spec ORDER changed under a live checkpoint; restore " +
                     "it (or clear the checkpoint) before resuming")
+              else
+                require(aggs.size == 1,
+                  s"IVM base marker $marker has no table-names line but " +
+                    s"the spec list has ${aggs.size} aggregates — only the " +
+                    "single-aggregate runner ever wrote names-less markers, " +
+                    "so this one cannot prove which version pins which " +
+                    "table; restore the marker (or clear the checkpoint) " +
+                    "before resuming")
               parts.toSeq.map(_.toInt)
             } else {
               val vs = aggs.map(a => store.latestVersion(db, a.table)) :+

@@ -657,6 +657,40 @@ class MergeStoreSpec extends AnyFunSuite with SparkFixture {
     assert(aggSet() == recompute())
   }
 
+  test("MaintainedAggregates: crashed batch followed by a DIFFERENT batch repairs first") {
+    import graft.operators.{Ivm, Scd}
+    import spark.implicits._
+    val store = mkStore(nBuckets = 8)
+    register(store, "mdb", "facts6", "id")
+    register(store, "mdb", "f6_cs", "grp")
+    val m = new Ivm.MaintainedAggregates(store, "mdb", "facts6",
+      Seq(Ivm.countSumSpec("f6_cs", col("grp_in"), col("v"))))
+    val s0 = Seq((1, "a", 10L), (2, "a", 20L), (3, "b", 30L)).toDF("id", "grp_in", "v")
+    val s1 = Seq((1, "a", 11L), (3, "b", 30L), (4, "b", 40L)).toDF("id", "grp_in", "v")
+    val s2 = Seq((1, "a", 12L), (4, "b", 40L), (5, "c", 50L)).toDF("id", "grp_in", "v")
+    m.seed(s0)
+    def aggSet() = m.read("f6_cs").collect().map(_.toString).toSet
+    def recompute() = Ivm.countSumAgg(store.read("mdb", "facts6"),
+      col("grp_in"), col("v")).collect().map(_.toString).toSet
+    // batch B crashes after its base commit, before the aggregates...
+    m.failAfterBaseCommit = true
+    intercept[IllegalStateException](
+      m.commit(Scd.snapshotDiff(s0, s1, Seq("id"))))
+    m.failAfterBaseCommit = false
+    // ...and the caller moves ON to the next, DIFFERENT batch instead
+    // of replaying B. The marker's digest doesn't match, but its
+    // stale-incomplete evidence (aggsDone=false, base version moved)
+    // must still fire: without the cross-digest repair, C runs as fresh
+    // and the aggregates are silently one batch behind forever.
+    m.commit(Scd.snapshotDiff(s1, s2, Seq("id")))
+    assert(aggSet() == recompute(),
+      "aggregates fell a batch behind: stale marker ignored for a new digest")
+    // and the repaired state keeps composing: one more normal commit
+    val s3 = Seq((1, "a", 13L), (5, "c", 51L)).toDF("id", "grp_in", "v")
+    m.commit(Scd.snapshotDiff(s2, s3, Seq("id")))
+    assert(aggSet() == recompute())
+  }
+
   test("replayAggregates rebuilds every dashboard at any retained version") {
     import graft.operators.{Ivm, Scd}
     import spark.implicits._

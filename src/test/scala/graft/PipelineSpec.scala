@@ -335,6 +335,21 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(Similarity.semanticDecontaminate(withZero, bench,
         "embedding", threshold = 0.95)
       .filter(col("vec_id") === 9L).count() == 1)
+    // a NaN-COMPONENT benchmark vector (the failed/padded-embedding
+    // case the zero-norm guard was built for) contaminates nothing:
+    // its norm is NaN, NaN > 0 is TRUE under Spark's NaN-largest
+    // ordering, and without the isnan guard the NaN cosine would pass
+    // `>= threshold` and silently drop the ENTIRE corpus
+    val nanBench = Seq(Tuple1(Seq(Double.NaN, 1.0))).toDF("embedding")
+    assert(Similarity.semanticDecontaminate(corpus, nanBench,
+      "embedding", threshold = 0.95).count() == 3)
+    // a NaN-component CORPUS row likewise survives rather than being
+    // silently dropped by a NaN cosine against every bench row
+    val withNan = corpus.unionByName(
+      Seq((10L, Seq(Double.NaN, 0.0))).toDF("vec_id", "embedding"))
+    assert(Similarity.semanticDecontaminate(withNan, bench,
+        "embedding", threshold = 0.95)
+      .filter(col("vec_id") === 10L).count() == 1)
   }
 
   test("keyedTopK == per-key brute force; post-filtering under-returns") {

@@ -363,7 +363,9 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     import graft.operators.Ivm
     val tmp = Files.createTempDirectory("graft-stream-ivm").toString
     val catalog = new InMemoryCatalog
-    val store = new SnapshotStore(spark, catalog)
+    // keepVersions = 4: the marker-pinned pre-batch versions must stay
+    // readable through the two extra replay commits this spec performs
+    val store = new SnapshotStore(spark, catalog, keepVersions = 4)
     catalog.register(TableMeta("ivmdb", "snap", s"$tmp/snap"))
     catalog.register(TableMeta("ivmdb", "agg", s"$tmp/agg"))
     val init = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L))
@@ -406,6 +408,26 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(toMap(store.read("ivmdb", "agg")) == agg)
     assert(agg == toMap(Ivm.countSumAgg(store.read("ivmdb", "snap"),
       col("grp_in"), col("v"))))
+    // a genuine LEGACY marker (single "aggV,snapV" line, no table-names
+    // line — the only shape the single-aggregate runner historically
+    // wrote) is still accepted for a single-aggregate replay
+    val markerPath = new org.apache.hadoop.fs.Path(
+      s"$tmp/ckpt/graft-ivm-base/batch-1")
+    val mfs = markerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val firstLine = {
+      val in = mfs.open(markerPath)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        .split('\n').head
+      finally in.close()
+    }
+    val out = mfs.create(markerPath, true)
+    try out.write(firstLine.getBytes("UTF-8")) finally out.close()
+    StreamingAnalytics.applyIvmBatch(lastBatch, 1L, store, "ivmdb",
+        "snap", "agg", Seq("k"), s"$tmp/ckpt") { (agg0, old, _, chg) =>
+      Ivm.applyCountSumDelta(agg0, old, chg, Seq("k"), col("grp_in"), col("v"))
+    }
+    assert(toMap(store.read("ivmdb", "agg")) == agg,
+      "legacy names-less marker must stay accepted for one aggregate")
   }
 
   test("streaming min/max IVM: extremum deletes rescan, aggregate == recompute") {
@@ -544,6 +566,30 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     tables.foreach(t =>
       assert(canon(store.read("rdb", t)) == before(t),
         s"refused replay still moved $t"))
+    // a NAMES-LESS (single-line) marker under a multi-aggregate spec
+    // list must refuse too: only the single-aggregate runner ever wrote
+    // that shape, so here it can only be damage — accepting it by count
+    // alone re-opens the reordered-spec mispairing
+    val markerPath = new org.apache.hadoop.fs.Path(
+      s"$tmp/ckpt/graft-ivm-base/batch-1")
+    val fs = markerPath.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val body = {
+      val in = fs.open(markerPath)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    }
+    val out = fs.create(markerPath, true)
+    try out.write(body.split('\n').head.getBytes("UTF-8"))
+    finally out.close()
+    val e2 = intercept[IllegalArgumentException] {
+      StreamingAnalytics.applyIvmRegistryBatch(lastBatch, 1L, store, "rdb",
+        "snap", specs, Seq("k"), s"$tmp/ckpt")
+    }
+    assert(e2.getMessage.contains("no table-names line"))
+    tables.foreach(t =>
+      assert(canon(store.read("rdb", t)) == before(t),
+        s"names-less refusal still moved $t"))
   }
 
   test("streaming BM25: the served index stays rebuild-exact under a doc stream") {
