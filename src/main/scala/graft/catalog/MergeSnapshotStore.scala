@@ -410,13 +410,22 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
    * partitioning, so executors still write their files in parallel.
    *
    * Stats are the Delta/Iceberg stats-in-manifest story: every NUMERIC
-   * column's min/max per written file, measured by ONE column-pruned
-   * scan of just the newly-written files (commit-proportional — a
-   * scoped merge stats only its touched buckets), so stats and data
-   * cannot disagree. [[readRange]]/[[pointLookup]] prune files against
-   * them before any footer is read. A file where a column is all-NULL
-   * gets no stats line for it and pruned reads keep the file
-   * (conservative).
+   * column's min/max per written file, lifted from the PARQUET FOOTERS
+   * the write itself just produced (the Iceberg write-metrics pattern)
+   * — per-commit cost is a footer read per written file (~KB each),
+   * never a second scan of the written data; a scoped merge pays only
+   * its touched buckets' footers, and above
+   * [[MergeSnapshotStore.FooterInlineFiles]] files the footers are
+   * read by a tiny distributed job instead of a driver loop. Footer
+   * min/max is what the writer measured from the written pages, so
+   * stats and data cannot disagree. [[readRange]]/[[pointLookup]]
+   * prune whole files against the manifest before any footer is
+   * touched at READ time — the point of copying the bounds up into the
+   * manifest. A file where a column is all-NULL (or whose footer
+   * carries no usable bounds — NaN-tainted float/double chunks, a
+   * stats-less writer) gets no stats line for it and pruned reads keep
+   * the file (conservative). Non-parquet formats fall back to the
+   * column-pruned measurement scan.
    *
    * Crash safety: files go to a `.tmp-` directory first and a successful
    * write renames it into place. `next` is greater than every committed
@@ -458,15 +467,53 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
         .map(_.name)
     val stats: Map[String, Seq[ColStat]] =
       if (statCols.isEmpty || found.isEmpty) Map.empty
-      else {
-        val written = spark.read.format(meta.format).load(dataDir.toString)
-        // NaN is excluded from the measurement: Spark's max() returns NaN
-        // when any value is NaN (NaN sorts largest), and a NaN bound
-        // poisons the overlap check (`mx >= lo` is false on the driver),
-        // silently pruning a file whose FINITE rows are in range. With
-        // NaN nulled out, a mixed file keeps its finite bounds (the NaN
-        // rows can never satisfy a finite range predicate anyway) and an
+      else if (meta.format == "parquet") {
+        // enumerate the just-written data files (driver-side listing of
+        // the bucket dirs already produced above — manifest-sized)
+        val rels = found.values.toSeq.flatMap { rel =>
+          f.listStatus(new Path(s"${meta.location}/$rel")).toSeq
+            .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+              !st.getPath.getName.startsWith("."))
+            .map(st => s"$rel/${st.getPath.getName}")
+        }
+        val bounds: Seq[(String, Seq[(String, Double, Double)])] =
+          if (rels.size <= MergeSnapshotStore.FooterInlineFiles) {
+            val conf = spark.sparkContext.hadoopConfiguration
+            rels.map(rel => rel -> MergeSnapshotStore.footerBounds(conf,
+              new Path(s"${meta.location}/$rel"), statCols))
+          } else {
+            // footer reads are per-file metadata I/O — at a 10^3..10^4
+            // file commit the driver loop would serialize thousands of
+            // round-trips, so ship them to executors. The Hadoop conf
+            // is rebuilt from its own entries (it is not serializable).
+            val confKv = {
+              val it = spark.sparkContext.hadoopConfiguration.iterator()
+              val buf = Seq.newBuilder[(String, String)]
+              while (it.hasNext) { val e = it.next(); buf += e.getKey -> e.getValue }
+              buf.result()
+            }
+            val bc = spark.sparkContext.broadcast(confKv)
+            val loc = meta.location
+            val cols = statCols
+            spark.sparkContext
+              .parallelize(rels, math.max(1, rels.size / 64))
+              .mapPartitions { it =>
+                val c = new org.apache.hadoop.conf.Configuration(false)
+                bc.value.foreach { case (k, v) => c.set(k, v) }
+                it.map(rel => rel ->
+                  MergeSnapshotStore.footerBounds(c, new Path(s"$loc/$rel"), cols))
+              }.collect().toSeq // manifest-sized: one entry per file
+          }
+        bounds.collect { case (rel, ss) if ss.nonEmpty =>
+          rel -> ss.map { case (c, mn, mx) => ColStat(c, mn, mx) }
+        }.toMap
+      } else {
+        // non-parquet formats carry no footer stats — measure with one
+        // column-pruned scan of the written files. NaN is excluded: a
+        // NaN bound poisons the overlap check (`mx >= lo` is false),
+        // silently pruning a file whose FINITE rows are in range; an
         // all-NaN column yields no stats line — conservative keep.
+        val written = spark.read.format(meta.format).load(dataDir.toString)
         def finite(c: String) = {
           val d = col(c).cast("double")
           when(!isnan(d), d)
@@ -626,4 +673,81 @@ object MergeSnapshotStore {
   /** Table property disabling per-file stats measurement at commit
    * (`"false"` skips it) — for tables whose reads never range-filter. */
   val StatsProp: String = "graft.stats"
+
+  /** Commits up to this many files read their footers in a driver loop
+   * (metadata-sized I/O, no job-scheduling overhead — the common scoped
+   * merge touches a handful of buckets); above it a distributed job
+   * reads them executor-side. */
+  val FooterInlineFiles: Int = 64
+
+  /**
+   * Min/max bounds of `cols` lifted from one parquet file's footer, in
+   * double space (the manifest's stats contract). Per column: all
+   * row-group chunk bounds combine (min of mins / max of maxes);
+   * all-NULL chunks contribute nothing; a chunk with missing stats, a
+   * NaN float/double bound (parquet NaN ordering is undefined — a NaN
+   * bound would poison the overlap compare), or a physical type this
+   * does not map yields NO stats line for the column — pruned reads
+   * then conservatively keep the file, never wrongly skip it. Decimal
+   * logical types rescale their unscaled int32/int64/binary
+   * representation; the int96 legacy timestamp and binary strings are
+   * not numeric and never requested (statCols filters on Spark
+   * NumericType).
+   */
+  private[catalog] def footerBounds(conf: org.apache.hadoop.conf.Configuration,
+                                    file: Path,
+                                    cols: Seq[String]): Seq[(String, Double, Double)] = {
+    import scala.jdk.CollectionConverters._
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(conf, file)
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      cols.flatMap { c =>
+        var mn = Double.PositiveInfinity
+        var mx = Double.NegativeInfinity
+        var seen = false
+        var usable = true
+        blocks.foreach { b =>
+          if (usable) b.getColumns.asScala.find(_.getPath.toDotString == c) match {
+            case None => usable = false // column absent from this file
+            case Some(cc) =>
+              val st = cc.getStatistics
+              if (st == null || st.isEmpty) usable = false
+              else if (!st.hasNonNullValue) () // all-null chunk: no bounds
+              else (boundToDouble(cc, st.genericGetMin.asInstanceOf[AnyRef]),
+                    boundToDouble(cc, st.genericGetMax.asInstanceOf[AnyRef])) match {
+                case (Some(lo), Some(hi)) if !lo.isNaN && !hi.isNaN =>
+                  mn = math.min(mn, lo); mx = math.max(mx, hi); seen = true
+                case _ => usable = false
+              }
+          }
+        }
+        if (usable && seen) Some((c, mn, mx)) else None
+      }
+    } finally reader.close()
+  }
+
+  /** One footer bound in double space — exact within ±2^53, the same
+   * rounding the promoted range predicate applies (the [[Layout]]
+   * contract), so pruning stays self-consistent. */
+  private def boundToDouble(cc: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData,
+                            v: AnyRef): Option[Double] = {
+    val scale = cc.getPrimitiveType.getLogicalTypeAnnotation match {
+      case d: org.apache.parquet.schema.LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+        Some(d.getScale)
+      case _ => None
+    }
+    (v, scale) match {
+      case (i: java.lang.Integer, Some(s)) =>
+        Some(BigDecimal(BigInt(i.longValue), s).toDouble)
+      case (l: java.lang.Long, Some(s)) =>
+        Some(BigDecimal(BigInt(l.longValue), s).toDouble)
+      case (b: org.apache.parquet.io.api.Binary, Some(s)) =>
+        Some(BigDecimal(BigInt(new java.math.BigInteger(b.getBytes)), s).toDouble)
+      case (i: java.lang.Integer, None) => Some(i.doubleValue)
+      case (l: java.lang.Long, None) => Some(l.doubleValue)
+      case (f: java.lang.Float, None) => Some(f.doubleValue)
+      case (d: java.lang.Double, None) => Some(d.doubleValue)
+      case _ => None
+    }
+  }
 }

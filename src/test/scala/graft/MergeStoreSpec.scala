@@ -493,6 +493,58 @@ class MergeStoreSpec extends AnyFunSuite with SparkFixture {
     assert(pl.collect().map(_.getInt(0)).toSeq == Seq(7))
   }
 
+  test("footer-lifted stats: decimal rescaling and the distributed footer job") {
+    import spark.implicits._
+    val store = mkStore(nBuckets = 8)
+    // (a) DECIMAL columns: footer bounds are the unscaled int32/int64
+    // (or binary) representation and must rescale — decimal(9,2) packs
+    // to INT32, decimal(18,3) to INT64, decimal(38,6) to binary, so all
+    // three physical encodings are crossed
+    store.catalog.register(TableMeta("mdb", "decs",
+      Files.createTempDirectory("graft-merge-dec").toString))
+    val decs = spark.range(1000).select(col("id"),
+      (col("id").cast("decimal(7,0)") / 100).cast("decimal(9,2)").as("d32"),
+      (col("id").cast("decimal(15,0)") / 1000).cast("decimal(18,3)").as("d64"),
+      (col("id").cast("decimal(30,0)") / 1000000).cast("decimal(38,6)").as("dbin"))
+      .repartitionByRange(4, col("id"))
+    store.overwrite("mdb", "decs", decs)
+    val v0 = store.latestVersion("mdb", "decs")
+    val decStats = store.manifestStats("mdb", "decs", v0)
+    assert(decStats.nonEmpty, "decimal table produced no stats")
+    // global bounds across files must equal the true decimal extremes
+    def bound(c: String, pick: Seq[Double] => Double): Double =
+      pick(decStats.values.flatten.filter(_._1 == c).map(s =>
+        pick(Seq(s._2, s._3))).toSeq)
+    assert(bound("d32", _.min) == 0.0 && bound("d32", _.max) == 9.99)
+    assert(bound("d64", _.min) == 0.0 && bound("d64", _.max) == 0.999)
+    assert(bound("dbin", _.min) == 0.0 && bound("dbin", _.max) == 0.000999)
+    // and a range read over the rescaled stats is exact AND pruning
+    val gotDec = store.readRange("mdb", "decs", Map("d32" -> ((2.0, 3.0))))
+    val wantDec = store.read("mdb", "decs")
+      .filter(col("d32") >= 2.0 && col("d32") <= 3.0)
+    assert(gotDec.exceptAll(wantDec).count() == 0 &&
+      wantDec.exceptAll(gotDec).count() == 0 && gotDec.count() > 0)
+    assert(gotDec.inputFiles.length <
+      store.read("mdb", "decs").inputFiles.length)
+    // (b) a commit writing MORE than FooterInlineFiles files takes the
+    // distributed footer job; its stats must be identical in coverage
+    // and exactness to the driver-loop form
+    assert(MergeSnapshotStore.FooterInlineFiles < 80)
+    store.catalog.register(TableMeta("mdb", "wide",
+      Files.createTempDirectory("graft-merge-wide").toString))
+    val wide = spark.range(8000).select(col("id"), (col("id") * 3).as("w"))
+      .repartitionByRange(80, col("id"))
+    store.overwrite("mdb", "wide", wide)
+    val wideStats = store.manifestStats("mdb", "wide",
+      store.latestVersion("mdb", "wide"))
+    assert(wideStats.size == 80,
+      s"expected stats for all 80 files, got ${wideStats.size}")
+    val gotWide = store.readRange("mdb", "wide", Map("id" -> ((100.0, 199.0))))
+    assert(gotWide.count() == 100)
+    assert(gotWide.inputFiles.length <= 3,
+      s"distributed-footer stats failed to prune: ${gotWide.inputFiles.length} files planned")
+  }
+
   test("CDC run() through the merge store matches the full-rewrite store") {
     val events =
       spark.read.parquet(s"$RefData/kinesis/transac/parquet/oms_owner/offenders")
