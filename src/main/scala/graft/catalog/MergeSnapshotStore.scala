@@ -17,8 +17,8 @@ import org.apache.spark.sql.types.{DataType, NumericType, StructType}
  *
  * Layout (Delta/Iceberg manifest pattern, no table-format jar needed):
  *
- *   <location>/data/c<NNNNNN>/__b=<bucket>/part-*.parquet   immutable files
- *   <location>/v=<NNNNNN>.manifest                          version commit
+ *   <location>/data/c<NNNNNN>-<nonce>/__b=<bucket>/part-*.parquet  immutable files
+ *   <location>/v=<NNNNNN>.manifest                                 version commit
  *
  * Rows are hash-bucketed by primary key (`pmod(hash(pk), nBuckets)`). A
  * version is a tiny manifest file mapping bucket -> the data directory that
@@ -46,6 +46,32 @@ import org.apache.spark.sql.types.{DataType, NumericType, StructType}
  * vacuuming WRITER's wall clock: with several writers and clock skew
  * the effective horizon shrinks by the skew, so keep the horizon well
  * above any plausible drift (minutes, not milliseconds).
+ *
+ * CONCURRENT WRITERS commit optimistically (the Delta/Iceberg
+ * optimistic-concurrency story): every commit writes its data under a
+ * nonce-unique directory (no two attempts ever share a path), then
+ * publishes `v=N+1.manifest` with a compare-and-swap — the publish
+ * succeeds only if no other writer has already committed N+1 (an
+ * atomic create-if-absent: hard-link on local filesystems,
+ * rename-refuses-existing on HDFS-semantics stores). A scoped merge
+ * that loses the race checks the winner's manifest at BUCKET
+ * granularity: if every bucket this merge touched still points at the
+ * exact directories it read from (and the schema is unchanged), its
+ * written output is still valid verbatim and it REBASES — republishes
+ * against the winner's manifest, carrying the winner's untouched-bucket
+ * work — and retries; if any touched bucket moved (or the schema
+ * changed), it refuses with [[java.util.ConcurrentModificationException]]
+ * and the caller re-runs against the new snapshot. A full [[overwrite]]
+ * replaces the table wholesale, so losing the race only bumps its
+ * version number and retries. A refused or crashed attempt's data
+ * directories are unreferenced by any manifest and are reclaimed by the
+ * normal vacuum tombstone cycle. Because a commit's data directories
+ * are orphans to every OTHER writer's vacuum until its manifest
+ * publishes, concurrent writers additionally require
+ * `vacuumRetentionMs` to exceed the longest write-to-publish window
+ * (the same rule Delta's deletedFileRetentionDuration imposes) — the
+ * default horizon satisfies this for any sane batch; only
+ * explicitly-eager (retention 0) stores must stay single-writer.
  */
 class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
                          val nBuckets: Int = 32, keepVersions: Int = 2,
@@ -112,19 +138,46 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     Manifest(schema, SortedMap(buckets: _*), nb, stats)
   }
 
-  private def writeManifest(location: String, v: Int, m: Manifest): Unit = {
+  /** Compare-and-swap manifest publish: commit `m` as version `v` iff no
+   * other writer has already committed `v`. The content lands in a
+   * nonce-unique tmp file first (two racing writers can never share a
+   * tmp path), then is published with an atomic create-if-absent:
+   * local filesystems hard-link (link(2) fails atomically when the
+   * destination exists — POSIX rename would silently OVERWRITE a
+   * concurrent winner); HDFS-semantics stores rename (their rename
+   * refuses an existing destination). Returns false when the version
+   * was already taken — the caller rebases or refuses. */
+  private def publishManifest(location: String, v: Int, m: Manifest): Boolean = {
     val content = (Seq(s"schema\t${m.schema.json}", s"nbuckets\t${m.nBuckets}") ++
       m.buckets.toSeq.map { case (b, dir) => s"b\t$b\t$dir" } ++
       m.stats.toSeq.sortBy(_._1).flatMap { case (f, ss) =>
         ss.map(s => s"s\t$f\t${s.column}\t${s.mn}\t${s.mx}")
       }).mkString("\n")
-    val tmp = new Path(f"$location/.tmp-v=$v%06d.manifest")
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new Path(f"$location/.tmp-v=$v%06d-$nonce.manifest")
     val fin = manifestPath(location, v)
     val f = fs(fin)
     val out = f.create(tmp, true)
     try out.write(content.getBytes(UTF_8)) finally out.close()
-    if (!f.rename(tmp, fin))
-      throw new IllegalStateException(s"manifest commit rename failed: $tmp -> $fin")
+    val committed =
+      if (f.getScheme == "file") {
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(fin.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      } else {
+        // HDFS contract: rename fails when the destination exists. The
+        // exists pre-check narrows (not closes) the window on stores
+        // that overwrite instead; object-store deployments should back
+        // this with a conditional-put LogStore.
+        !f.exists(fin) && f.rename(tmp, fin)
+      }
+    f.delete(tmp, false)
+    committed
   }
 
   /** Test/diagnostic hook: the bucket->directory map of one version. */
@@ -315,7 +368,10 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
 
   /** Full-snapshot commit (same contract as the base store): every bucket
    * is rewritten. Used for bootstrap loads and schema-evolving domain
-   * writes; CDC batches use [[mergeScoped]]. */
+   * writes; CDC batches use [[mergeScoped]]. Replaces the table
+   * wholesale, so losing a commit race never invalidates the written
+   * data — the CAS retry just republishes at the next version (last
+   * overwrite wins, the natural semantics of "overwrite"). */
   override def overwrite(db: String, table: String, df: DataFrame,
                          mergeSchema: Boolean = false): Unit = {
     val meta = catalog0(db, table)
@@ -325,12 +381,31 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
         SnapshotStore.alignToUnion(readManifest(meta.location, vs.last).schema, df)
       else df
     val pk = meta.primaryKey
-    val next = vs.lastOption.getOrElse(-1) + 1
-    val (written, stats) = writeData(meta, next, out, pk)
-    writeManifest(meta.location, next,
-      Manifest(dropBucketCol(out.schema), written, nBuckets, stats))
-    vacuum(meta, vs)
+    val (written, stats) = writeData(meta, vs.lastOption.getOrElse(-1) + 1, out, pk)
+    val m = Manifest(dropBucketCol(out.schema), written, nBuckets, stats)
+    var attempt = 0
+    var done = false
+    while (!done) {
+      val cur = manifestVersions(meta.location)
+      val next = cur.lastOption.getOrElse(-1) + 1
+      if (publishManifest(meta.location, next, m)) {
+        vacuum(meta, cur); clearTombstones(meta, written); done = true
+      }
+      else {
+        attempt += 1
+        if (attempt >= MergeSnapshotStore.MaxCommitAttempts)
+          throw new java.util.ConcurrentModificationException(
+            s"could not commit overwrite of ${meta.qualified} after $attempt " +
+              "attempts — a writer keeps taking every version; retry or " +
+              "serialize the writers")
+      }
+    }
   }
+
+  /** Test-only failpoint: runs once after a merge's data is written,
+   * before its first publish attempt — the window a concurrent writer's
+   * commit exercises the CAS rebase/refuse logic through. */
+  private[graft] var beforePublish: () => Unit = () => ()
 
   /**
    * Partition-scoped merge commit. `changedKeys` (any frame exposing the
@@ -339,6 +414,18 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
    * contents (kept rows + upserts; dropped rows delete). Untouched buckets'
    * files are carried into the new version by reference — never re-read,
    * never rewritten. Returns the touched bucket ids.
+   *
+   * Under concurrent writers the commit is optimistic: losing the
+   * version CAS to a writer whose commit left every bucket THIS merge
+   * touched untouched (and the schema unchanged) rebases — the written
+   * output is still byte-valid because its input directories are
+   * byte-identical, so the merge republishes carrying the winner's
+   * work and retries. A winner that moved any touched bucket (or the
+   * schema) invalidates this merge's inputs; it refuses with
+   * [[java.util.ConcurrentModificationException]] and the caller
+   * re-runs `rewrite` against the new snapshot. Nothing is ever
+   * half-committed: until the manifest CAS lands, the written data is
+   * invisible orphan files.
    */
   def mergeScoped(db: String, table: String, changedKeys: DataFrame)
                  (rewrite: DataFrame => DataFrame): Seq[Int] = {
@@ -361,26 +448,76 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     if (touched.isEmpty) return Nil
     val old = load(meta, current, Some(touched.toSet))
     val out = rewrite(old)
-    val next = vs.last + 1
-    val (written, newStats) = writeData(meta, next, out, Some(pk))
+    val (written, newStats) = writeData(meta, vs.last + 1, out, Some(pk))
     val stray = written.keySet.diff(touched.toSet)
     require(stray.isEmpty,
       s"merge rewrote buckets $stray outside the changed-key set $touched — " +
         "rewrite() must not introduce rows for untouched keys")
-    // new manifest = old entries minus touched (covers emptied buckets),
+    val hook = beforePublish; beforePublish = () => (); hook()
+    // new manifest = base entries minus touched (covers emptied buckets),
     // plus whatever the rewrite actually produced; carried-forward
     // buckets KEEP their stats (their files are carried by reference,
     // so the stats that measured them stay exact), touched buckets get
-    // the freshly-measured ones
-    val carried = (current.buckets -- touched)
-    val carriedDirs = carried.values.toSet
-    val carriedStats = current.stats.filter { case (fp, _) =>
-      carriedDirs.exists(d => fp.startsWith(s"$d/"))
+    // the freshly-measured ones. On a rebase the base advances to the
+    // winner's manifest — its untouched-bucket work is carried instead.
+    var base = current
+    var baseVer = vs.last
+    var attempt = 0
+    var committed = false
+    while (!committed) {
+      val carried = (base.buckets -- touched)
+      val carriedDirs = carried.values.toSet
+      val carriedStats = base.stats.filter { case (fp, _) =>
+        carriedDirs.exists(d => fp.startsWith(s"$d/"))
+      }
+      // on a rebase the manifest mixes OUR files (out's schema) with the
+      // winner's carried files (their schema — structurally identical,
+      // adjudicated below, but either side may have relaxed nullability)
+      // — OR the nullability so neither side's nulls become unreadable
+      val schema =
+        if (baseVer == vs.last) dropBucketCol(out.schema)
+        else MergeSnapshotStore.mergeNullability(dropBucketCol(out.schema), base.schema)
+      if (publishManifest(meta.location, baseVer + 1,
+          Manifest(schema, carried ++ written, nBuckets,
+            carriedStats ++ newStats))) {
+        vacuum(meta, manifestVersions(meta.location).filter(_ <= baseVer))
+        clearTombstones(meta, written)
+        committed = true
+      } else {
+        // lost the CAS: adjudicate at bucket granularity against the
+        // manifest we actually READ the rewritten rows from
+        val latest = manifestVersions(meta.location).last
+        val winner = readManifest(meta.location, latest)
+        require(winner.nBuckets == nBuckets,
+          s"${meta.qualified} was concurrently re-bucketed to " +
+            s"nBuckets=${winner.nBuckets}; rerun against the new layout")
+        // structural comparison (catalogString ignores nullability and
+        // metadata): a winner that relaxed a column to nullable is safe
+        // to rebase over (nullability is OR-merged at publish); a winner
+        // that added/dropped/retyped a column is not — our rewritten
+        // rows were computed against the old shape
+        if (winner.schema.catalogString != current.schema.catalogString)
+          throw new java.util.ConcurrentModificationException(
+            s"concurrent commit to ${meta.qualified} changed the schema " +
+              s"while this merge (base version ${vs.last}) was in flight — " +
+              "rerun the merge against the new snapshot")
+        val moved = touched.filter(b => winner.buckets.get(b) != current.buckets.get(b))
+        if (moved.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"concurrent commit to ${meta.qualified} rewrote buckets " +
+              s"${moved.mkString(",")} this merge also touched (base " +
+              s"version ${vs.last}, now $latest) — rerun the merge against " +
+              "the new snapshot")
+        attempt += 1
+        if (attempt >= MergeSnapshotStore.MaxCommitAttempts)
+          throw new java.util.ConcurrentModificationException(
+            s"could not commit merge to ${meta.qualified} after $attempt " +
+              "rebases — writers keep taking every version; retry or " +
+              "serialize the writers")
+        base = winner
+        baseVer = latest
+      }
     }
-    writeManifest(meta.location, next,
-      Manifest(dropBucketCol(out.schema), carried ++ written, nBuckets,
-        carriedStats ++ newStats))
-    vacuum(meta, vs)
     touched
   }
 
@@ -427,18 +564,21 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
    * the file (conservative). Non-parquet formats fall back to the
    * column-pruned measurement scan.
    *
-   * Crash safety: files go to a `.tmp-` directory first and a successful
-   * write renames it into place. `next` is greater than every committed
-   * version, so no manifest can reference either path — leftovers from a
-   * crashed previous attempt are orphans and are deleted up front,
-   * keeping the table writable after any failure. */
+   * Crash/concurrency safety: files go to a `.tmp-` directory first and
+   * a successful write renames it into place. Both paths carry a
+   * per-attempt NONCE, so no two attempts — crashed, concurrent, or
+   * rebased — can ever collide on a directory; `next` in the name is a
+   * human-readable label only (a rebased commit may publish its
+   * `c000005-*` dir under manifest v6). Leftovers from crashed or
+   * race-losing attempts are unreferenced by every manifest and are
+   * reclaimed by the vacuum tombstone cycle. */
   private def writeData(meta: TableMeta, next: Int, df: DataFrame,
                         pk: Option[String]): (SortedMap[Int, String], Map[String, Seq[ColStat]]) = {
-    val rel = f"data/c$next%06d"
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val rel = f"data/c$next%06d-$nonce"
     val dataDir = new Path(s"${meta.location}/$rel")
-    val tmpDir = new Path(f"${meta.location}/data/.tmp-c$next%06d")
+    val tmpDir = new Path(f"${meta.location}/data/.tmp-c$next%06d-$nonce")
     val f = fs(dataDir)
-    Seq(tmpDir, dataDir).foreach(p => if (f.exists(p)) f.delete(p, true))
     val bucketed = pk match {
       case Some(k) =>
         df.withColumn("__b", bucketOf(col(k))).repartition(nBuckets, col("__b"))
@@ -553,11 +693,19 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
   private def vacuum(meta: TableMeta, priorVersions: Seq[Int]): Unit = {
     val all = priorVersions :+ (priorVersions.lastOption.getOrElse(-1) + 1)
     val expired = all.dropRight(keepVersions)
-    val retained = all.takeRight(keepVersions)
-    val referenced = retained
-      .flatMap(v => readManifest(meta.location, v).buckets.values).toSet
     val f = fs(new Path(meta.location))
     expired.foreach(v => f.delete(manifestPath(meta.location, v), false))
+    // referenced = every dir ANY still-existing manifest points at —
+    // re-listed AFTER the expiry deletes, so a manifest a concurrent
+    // writer published while this vacuum ran protects its directories
+    // (computing from only OUR retained set would tombstone a live
+    // commit's dirs). A manifest a concurrent vacuum deletes between
+    // the listing and the read contributes nothing — its references
+    // were expired either way.
+    val referenced = manifestVersions(meta.location).flatMap { v =>
+      try readManifest(meta.location, v).buckets.values
+      catch { case _: java.io.FileNotFoundException => Nil }
+    }.toSet
     val now = System.currentTimeMillis()
     val dataRoot = new Path(s"${meta.location}/data")
     if (f.exists(dataRoot)) {
@@ -603,6 +751,20 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
         }
         if (f.listStatus(commit.getPath).isEmpty) f.delete(commit.getPath, true)
       }
+    }
+  }
+
+  /** A concurrent vacuum that scanned between this commit's data rename
+   * and its manifest publish saw the freshly-written dirs as orphans and
+   * may have started their retention clocks. Now that the dirs are
+   * referenced, clear the stray tombstones — otherwise a future expiry
+   * would inherit a pre-publish epoch and delete the dirs without the
+   * full retention horizon a pinned reader is promised. */
+  private def clearTombstones(meta: TableMeta, written: SortedMap[Int, String]): Unit = {
+    val f = fs(new Path(meta.location))
+    written.values.foreach { rel =>
+      try f.delete(new Path(s"${meta.location}/$rel/_expired_at"), false)
+      catch { case scala.util.control.NonFatal(_) => () }
     }
   }
 
@@ -673,6 +835,44 @@ object MergeSnapshotStore {
   /** Table property disabling per-file stats measurement at commit
    * (`"false"` skips it) — for tables whose reads never range-filter. */
   val StatsProp: String = "graft.stats"
+
+  /** Field-by-name nullability union of two STRUCTURALLY matching
+   * schemas (rebase publishes manifests mixing both writers' files;
+   * either side may have relaxed a column to nullable). Fields only on
+   * our side keep our shape — the carried side's extra columns follow
+   * the normal null-fill evolution path at read. */
+  private[catalog] def mergeNullability(ours: StructType, theirs: StructType): StructType = {
+    val t = theirs.fields.map(f => f.name -> f).toMap
+    StructType(ours.fields.map { f =>
+      t.get(f.name) match {
+        case Some(g) if g.dataType.catalogString == f.dataType.catalogString =>
+          f.copy(dataType = orNullable(f.dataType, g.dataType),
+            nullable = f.nullable || g.nullable)
+        case _ => f
+      }
+    })
+  }
+
+  private def orNullable(a: DataType, b: DataType): DataType = (a, b) match {
+    case (x: StructType, y: StructType) => mergeNullability(x, y)
+    case (x: org.apache.spark.sql.types.ArrayType,
+          y: org.apache.spark.sql.types.ArrayType) =>
+      org.apache.spark.sql.types.ArrayType(
+        orNullable(x.elementType, y.elementType),
+        x.containsNull || y.containsNull)
+    case (x: org.apache.spark.sql.types.MapType,
+          y: org.apache.spark.sql.types.MapType) =>
+      org.apache.spark.sql.types.MapType(
+        orNullable(x.keyType, y.keyType),
+        orNullable(x.valueType, y.valueType),
+        x.valueContainsNull || y.valueContainsNull)
+    case _ => a
+  }
+
+  /** CAS publish attempts before a commit gives up. Rebases are cheap
+   * (manifest-sized republish, no data rewrite), so a handful absorbs
+   * realistic contention; past it something is pathologically hot. */
+  val MaxCommitAttempts: Int = 10
 
   /** Commits up to this many files read their footers in a driver loop
    * (metadata-sized I/O, no job-scheduling overhead — the common scoped

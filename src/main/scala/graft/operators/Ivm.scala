@@ -522,6 +522,11 @@ object Ivm {
       graft.catalog.Layout.writeSidecar(spark, baseLocation, MarkerFile,
         s"${mk.digest}\t${mk.baseVersionBefore}\t${mk.aggsDone}")
 
+    private def deleteMarker(spark: org.apache.spark.sql.SparkSession): Unit = {
+      val p = new org.apache.hadoop.fs.Path(baseLocation, MarkerFile)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, false)
+    }
+
     def seed(initial: DataFrame): Unit = Materialize.scoped {
       store.overwrite(db, baseTable, initial)
       val base = store.read(db, baseTable)
@@ -560,13 +565,14 @@ object Ivm {
       // silently one batch behind forever. Repair FIRST (reseed from
       // the committed base, which already holds the crashed batch),
       // then let this batch proceed normally.
-      marker match {
+      val preBatchMarker: Option[Marker] = marker match {
         case Some(m) if !m.aggsDone && m.baseVersionBefore != baseVer &&
             m.digest != digest =>
           reseedAggregates()
-          writeMarker(changes.sparkSession,
-            Marker(m.digest, baseVer, aggsDone = true))
-        case _ => ()
+          val repaired = Marker(m.digest, baseVer, aggsDone = true)
+          writeMarker(changes.sparkSession, repaired)
+          Some(repaired)
+        case other => other
       }
       val replayOf = marker.filter(_.digest == digest)
       // an empty batch is a semantic no-op; folding it would be too, but
@@ -623,10 +629,28 @@ object Ivm {
               a -> Left(a.fold(store.read(db, a.table), old, newSnap, chg, Seq(k)))
           }
         }
-        store match {
-          case ms: graft.catalog.MergeSnapshotStore =>
-            ms.mergeScoped(db, baseTable, chg.select(col(k)))(folded)
-          case s => s.overwrite(db, baseTable, newSnap)
+        // a conflict-REFUSED base commit (a concurrent writer rewrote
+        // this batch's buckets) fails cleanly before any table moved —
+        // restore the pre-batch marker so the refusal leaves no
+        // fresh-incomplete evidence behind: without the restore, the
+        // caller's NEXT commit would read this batch's marker as a
+        // crashed-after-base attempt (the base version DID move — the
+        // concurrent winner moved it) and wrongly mark this digest
+        // applied. Crashes (no catch runs) keep the documented
+        // fresh-incomplete semantics, which are sound single-writer.
+        try
+          store match {
+            case ms: graft.catalog.MergeSnapshotStore =>
+              ms.mergeScoped(db, baseTable, chg.select(col(k)))(folded)
+            case s => s.overwrite(db, baseTable, newSnap)
+          }
+        catch {
+          case e: java.util.ConcurrentModificationException =>
+            preBatchMarker match {
+              case Some(pm) => writeMarker(changes.sparkSession, pm)
+              case None => deleteMarker(changes.sparkSession)
+            }
+            throw e
         }
         if (failAfterBaseCommit)
           throw new IllegalStateException(

@@ -24,10 +24,14 @@ class MergeStoreSpec extends AnyFunSuite with SparkFixture {
 
   // retention 0 = eager vacuum: these tests assert on prompt deletion.
   // The PRODUCTION default is a 30-minute horizon (tested below).
-  private def mkStore(nBuckets: Int = 8, keep: Int = 2): MergeSnapshotStore = {
+  // Concurrent-writer tests MUST pass a real horizon: a pre-publish data
+  // dir is an orphan to a racing writer's vacuum, and retention is what
+  // protects the write->publish window (the class doc's contract).
+  private def mkStore(nBuckets: Int = 8, keep: Int = 2,
+                      retentionMs: Long = 0L): MergeSnapshotStore = {
     val cat = new InMemoryCatalog
     new MergeSnapshotStore(spark, cat, nBuckets = nBuckets, keepVersions = keep,
-      vacuumRetentionMs = 0L)
+      vacuumRetentionMs = retentionMs)
   }
 
   private def register(store: MergeSnapshotStore, db: String, tbl: String,
@@ -135,7 +139,7 @@ class MergeStoreSpec extends AnyFunSuite with SparkFixture {
       assert(v1(b) == v0(b), s"untouched bucket $b was rewritten")
     }
     assert(v1(touched.head) != v0(touched.head))
-    assert(v1(touched.head).startsWith("data/c000001/"))
+    assert(v1(touched.head).startsWith("data/c000001"))
     // and the data is right
     val back = store.read("mdb", "t2")
     assert(back.count() == 100)
@@ -365,15 +369,15 @@ class MergeStoreSpec extends AnyFunSuite with SparkFixture {
     store.overwrite("mdb", "t8", idTable(100).repartition(4))
     val fs = new org.apache.hadoop.fs.Path(meta.location)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = fs.listStatus(new org.apache.hadoop.fs.Path(
-      s"${meta.location}/data/c000000/__b=0"))
+    def bucket0Dir(v: Int): String =
+      s"${meta.location}/${store.manifestEntries("mdb", "t8", v)(0)}"
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(bucket0Dir(0)))
       .count(_.getPath.getName.startsWith("part-"))
     assert(files == 4, s"expected 4 parallel files, got $files")
     assert(store.read("mdb", "t8").count() == 100)
     // compact collapses them to the requested count
     store.compact("mdb", "t8", targetFiles = 2)
-    val compacted = fs.listStatus(new org.apache.hadoop.fs.Path(
-      s"${meta.location}/data/c000001/__b=0"))
+    val compacted = fs.listStatus(new org.apache.hadoop.fs.Path(bucket0Dir(1)))
       .count(_.getPath.getName.startsWith("part-"))
     assert(compacted == 2, s"expected 2 compacted files, got $compacted")
     assert(store.read("mdb", "t8").count() == 100)
@@ -402,14 +406,19 @@ class MergeStoreSpec extends AnyFunSuite with SparkFixture {
     store.overwrite("mdb", "t10", idTable(20000))
     val fs = new org.apache.hadoop.fs.Path(meta.location)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def bytesUnder(rel: String): Long =
-      fs.getContentSummary(new org.apache.hadoop.fs.Path(s"${meta.location}/$rel"))
-        .getLength
-    val fullBytes = bytesUnder("data/c000000")
+    // commit dirs carry per-attempt nonces: resolve them from the
+    // manifest instead of assuming deterministic names
+    def bytesOfCommit(v: Int, marker: String): Long =
+      store.manifestEntries("mdb", "t10", v).values
+        .filter(_.contains(marker)).map(_.split("/").take(2).mkString("/"))
+        .toSet.map((rel: String) => fs.getContentSummary(
+          new org.apache.hadoop.fs.Path(s"${meta.location}/$rel")).getLength)
+        .sum
+    val fullBytes = bytesOfCommit(0, "c000000")
     store.mergeScoped("mdb", "t10", idTable(20000).filter(col("id") === 7).select("id")) {
       old => old.withColumn("name", when(col("id") === 7, lit("z")).otherwise(col("name")))
     }
-    val mergeBytes = bytesUnder("data/c000001")
+    val mergeBytes = bytesOfCommit(1, "c000001")
     // 1 touched bucket of 32 -> the commit should be far below a full
     // rewrite (parquet per-file overhead keeps it above exactly 1/32)
     assert(mergeBytes * 8 < fullBytes,
@@ -939,4 +948,157 @@ class MergeStoreSpec extends AnyFunSuite with SparkFixture {
 
   private def bucketIds(store: MergeSnapshotStore, df: DataFrame) =
     store.bucketOf(df("id")).as("__b")
+
+  /** id -> bucket for ids 1..n under this store's hash (driver-side,
+   * test-sized) — lets the concurrency tests pick keys with known
+   * bucket relationships. */
+  private def bucketsOf(store: MergeSnapshotStore, n: Int): Map[Int, Int] =
+    idTable(n).select(col("id"), store.bucketOf(col("id")).as("b"))
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+
+  test("optimistic concurrency: disjoint-bucket interleaved commits both land") {
+    import spark.implicits._
+    val store = mkStore(nBuckets = 8, retentionMs = 60000L)
+    register(store, "mdb", "occ1", "id")
+    store.overwrite("mdb", "occ1", idTable(100))
+    val bk = bucketsOf(store, 100)
+    val keyA = 1
+    val keyB = (2 to 100).find(bk(_) != bk(keyA)).get
+    // writer B commits BETWEEN writer A's data write and A's manifest
+    // publish — A loses the version CAS, sees B's buckets disjoint from
+    // its own, rebases (its written data is still byte-valid), and
+    // republishes carrying B's work
+    store.beforePublish = () =>
+      store.mergeScoped("mdb", "occ1", Seq(keyB).toDF("id")) { old =>
+        old.withColumn("name",
+          when(col("id") === keyB, lit("from-B")).otherwise(col("name")))
+      }
+    store.mergeScoped("mdb", "occ1", Seq(keyA).toDF("id")) { old =>
+      old.withColumn("name",
+        when(col("id") === keyA, lit("from-A")).otherwise(col("name")))
+    }
+    val back = store.read("mdb", "occ1")
+    assert(back.count() == 100)
+    assert(back.filter(col("id") === keyA).select("name").head().getString(0)
+      == "from-A", "the rebased loser's effect is missing")
+    assert(back.filter(col("id") === keyB).select("name").head().getString(0)
+      == "from-B", "the interleaved winner's effect was clobbered")
+    // two commits landed: versions advanced by 2 over the seed
+    assert(store.latestVersion("mdb", "occ1") == 2)
+    // and the rebased manifest carries the WINNER's bucket dir for keyB
+    val entries = store.manifestEntries("mdb", "occ1", 2)
+    val v1Entries = store.manifestEntries("mdb", "occ1", 1)
+    assert(entries(bk(keyB)) == v1Entries(bk(keyB)),
+      "rebase dropped the winner's bucket work")
+  }
+
+  test("optimistic concurrency: overlapping buckets refuse; rerun succeeds") {
+    import spark.implicits._
+    val store = mkStore(nBuckets = 8, retentionMs = 60000L)
+    register(store, "mdb", "occ2", "id")
+    store.overwrite("mdb", "occ2", idTable(100))
+    val bk = bucketsOf(store, 100)
+    val keyA = 1
+    // a DIFFERENT key in the SAME bucket: the conflict is adjudicated at
+    // bucket granularity, not key granularity
+    val keyB = (2 to 100).find(bk(_) == bk(keyA)).get
+    store.beforePublish = () =>
+      store.mergeScoped("mdb", "occ2", Seq(keyB).toDF("id")) { old =>
+        old.withColumn("name",
+          when(col("id") === keyB, lit("from-B")).otherwise(col("name")))
+      }
+    val e = intercept[java.util.ConcurrentModificationException] {
+      store.mergeScoped("mdb", "occ2", Seq(keyA).toDF("id")) { old =>
+        old.withColumn("name",
+          when(col("id") === keyA, lit("from-A")).otherwise(col("name")))
+      }
+    }
+    assert(e.getMessage.contains("rewrote buckets"))
+    // the winner's commit stands untouched; the loser left NO trace
+    val back = store.read("mdb", "occ2")
+    assert(back.count() == 100)
+    assert(back.filter(col("id") === keyB).select("name").head().getString(0)
+      == "from-B")
+    assert(back.filter(col("id") === keyA).select("name").head().getString(0)
+      == s"name-$keyA", "the refused loser's write leaked into the table")
+    assert(store.latestVersion("mdb", "occ2") == 1)
+    // the documented recovery — rerun against the new snapshot — works
+    store.mergeScoped("mdb", "occ2", Seq(keyA).toDF("id")) { old =>
+      old.withColumn("name",
+        when(col("id") === keyA, lit("from-A")).otherwise(col("name")))
+    }
+    val after = store.read("mdb", "occ2")
+    assert(after.filter(col("id") === keyA).select("name").head().getString(0)
+      == "from-A")
+    assert(after.filter(col("id") === keyB).select("name").head().getString(0)
+      == "from-B")
+  }
+
+  test("optimistic concurrency: a concurrent full overwrite refuses every merge") {
+    import spark.implicits._
+    val store = mkStore(nBuckets = 8, retentionMs = 60000L)
+    register(store, "mdb", "occ3", "id")
+    store.overwrite("mdb", "occ3", idTable(50))
+    store.beforePublish = () =>
+      store.overwrite("mdb", "occ3", idTable(50).withColumn("name", lit("ow")))
+    val e = intercept[java.util.ConcurrentModificationException] {
+      store.mergeScoped("mdb", "occ3", Seq(1).toDF("id")) { old =>
+        old.withColumn("name",
+          when(col("id") === 1, lit("merged")).otherwise(col("name")))
+      }
+    }
+    assert(e.getMessage.contains("rewrote buckets"))
+    // the overwrite (which rewrote every bucket) is what the table holds
+    assert(store.read("mdb", "occ3").filter(col("name") =!= "ow").count() == 0)
+  }
+
+  test("optimistic concurrency: a losing IVM registry commit leaves aggregates repairable") {
+    import graft.operators.{Ivm, Scd}
+    import spark.implicits._
+    val store = mkStore(nBuckets = 8, retentionMs = 60000L)
+    register(store, "mdb", "occ4", "id")
+    register(store, "mdb", "occ4_cs", "grp")
+    val m = new Ivm.MaintainedAggregates(store, "mdb", "occ4",
+      Seq(Ivm.countSumSpec("occ4_cs", col("grp_in"), col("v"))))
+    val s0 = Seq((1, "a", 10L), (2, "a", 20L), (3, "b", 30L)).toDF("id", "grp_in", "v")
+    val s1 = Seq((1, "a", 11L), (3, "b", 30L), (4, "b", 40L)).toDF("id", "grp_in", "v")
+    m.seed(s0)
+    def aggSet() = m.read("occ4_cs").collect().map(_.toString).toSet
+    def recompute() = Ivm.countSumAgg(store.read("mdb", "occ4"),
+      col("grp_in"), col("v")).collect().map(_.toString).toSet
+    val aggBefore = aggSet()
+    // a concurrent writer rewrites one of the batch's own keys between
+    // the registry's marker write and its base commit: the base commit
+    // refuses, and the refusal must leave the marker restored — without
+    // the restore, the RETRY would read a fresh-incomplete marker with a
+    // moved base version, wrongly conclude "crashed after base commit",
+    // reseed, and mark this batch applied though it never was
+    store.beforePublish = () =>
+      store.mergeScoped("mdb", "occ4", Seq(1).toDF("id")) { old =>
+        old.withColumn("v", when(col("id") === 1, lit(999L)).otherwise(col("v")))
+      }
+    val chg = Scd.snapshotDiff(s0, s1, Seq("id"))
+    intercept[java.util.ConcurrentModificationException](m.commit(chg))
+    assert(aggSet() == aggBefore, "refused commit moved the aggregates")
+    // the interleaver wrote the base OUT-OF-BAND (bypassing the
+    // registry), so the aggregates no longer match the base — the
+    // documented recovery for out-of-band writes is a reseed; the
+    // refusal's marker restore is what makes the SUBSEQUENT batch
+    // commit legal at all (a stale fresh-incomplete marker would make
+    // it wrongly conclude "crashed after base commit" and mark this
+    // batch applied though it never was)
+    m.reseedAggregates()
+    assert(aggSet() == recompute())
+    // the retry lands cleanly against the new base and the aggregates
+    // equal the from-scratch recompute — the batch was neither lost nor
+    // double-applied
+    m.commit(chg)
+    assert(aggSet() == recompute())
+    // the changelog's own image for key 1 won over the interleaver's
+    assert(store.read("mdb", "occ4").filter(col("id") === 1)
+      .select("v").head().getLong(0) == 11L)
+    // and the marker discipline survives: a replay is still refused
+    val ex = intercept[IllegalStateException](m.commit(chg))
+    assert(ex.getMessage.contains("already fully applied"))
+  }
 }
