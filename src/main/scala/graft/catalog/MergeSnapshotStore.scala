@@ -884,11 +884,13 @@ object MergeSnapshotStore {
    * Min/max bounds of `cols` lifted from one parquet file's footer, in
    * double space (the manifest's stats contract). Per column: all
    * row-group chunk bounds combine (min of mins / max of maxes);
-   * all-NULL chunks contribute nothing; a chunk with missing stats, a
-   * NaN float/double bound (parquet NaN ordering is undefined — a NaN
-   * bound would poison the overlap compare), or a physical type this
-   * does not map yields NO stats line for the column — pruned reads
-   * then conservatively keep the file, never wrongly skip it. Decimal
+   * provably-all-NULL chunks (num_nulls == value count) contribute
+   * nothing; a chunk with missing stats, a bound-less-but-not-all-null
+   * chunk (parquet-mr converts a NaN float/double min/max into
+   * hasNonNullValue=false on read, so the finite rows of a NaN-tainted
+   * chunk have no visible bounds), or a physical type this does not map
+   * yields NO stats line for the column — pruned reads then
+   * conservatively keep the file, never wrongly skip it. Decimal
    * logical types rescale their unscaled int32/int64/binary
    * representation; the int96 legacy timestamp and binary strings are
    * not numeric and never requested (statCols filters on Spark
@@ -912,7 +914,16 @@ object MergeSnapshotStore {
             case Some(cc) =>
               val st = cc.getStatistics
               if (st == null || st.isEmpty) usable = false
-              else if (!st.hasNonNullValue) () // all-null chunk: no bounds
+              else if (!st.hasNonNullValue) {
+                // bound-less but non-empty stats: EITHER a genuinely
+                // all-null chunk OR a NaN-tainted float/double chunk —
+                // parquet-mr's read path drops a NaN min/max bound and
+                // reports hasNonNullValue=false with num_nulls intact.
+                // Only the provably-all-null case contributes nothing;
+                // anything else poisons the column (conservative keep).
+                if (!(st.isNumNullsSet && st.getNumNulls == cc.getValueCount))
+                  usable = false
+              }
               else (boundToDouble(cc, st.genericGetMin.asInstanceOf[AnyRef]),
                     boundToDouble(cc, st.genericGetMax.asInstanceOf[AnyRef])) match {
                 case (Some(lo), Some(hi)) if !lo.isNaN && !hi.isNaN =>

@@ -255,7 +255,8 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("q48 point lookup: pruned scan carries the pushed PK predicate") {
-    val p = plan("q48_point_lookup")
+    val df = SparkEntry.queries("q48_point_lookup")(spark, sf)
+    val p = planOf(df)
     // the lookup path's scan must show the In(...) filter pushed into
     // parquet (row-group stats skipping inside the surviving buckets);
     // no join anywhere — the inline-keys form is a pure filtered scan
@@ -265,10 +266,20 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(lookupScan.exists(l => l.contains("In(o_orderkey") ||
         l.contains("EqualTo(o_orderkey")),
       s"PK predicate not pushed into the lookup scan:\n$p")
-    // and the scan's file index lists ONLY bucket dirs (the manifest
-    // pruned the table to the keys' buckets before planning)
-    assert(lookupScan.forall(_.contains("__b=")),
-      s"lookup scan not restricted to bucket dirs:\n$p")
+    // and the lookup's file index lists ONLY the keys' bucket dirs (the
+    // manifest pruned the 32-bucket table before planning). Asserted on
+    // the REAL file list, not the plan's `Location:` display string —
+    // Spark truncates that at spark.sql.maxMetadataStringLength, so a
+    // longer data-dir prefix silently pushes `__b=` past the cut.
+    val storeFiles = df.inputFiles.filter(_.contains("__b="))
+    assert(storeFiles.nonEmpty,
+      s"lookup read no store bucket dirs: ${df.inputFiles.mkString(", ")}")
+    val buckets = storeFiles.map { f =>
+      val i = f.indexOf("__b=")
+      f.substring(i, f.indexOf('/', i))
+    }.toSet
+    assert(buckets.size == 1,
+      s"single-bucket key set scanned ${buckets.size} buckets: $buckets")
   }
 
   test("q52 distinct-count IVM: no window, map-side-combined delta") {
