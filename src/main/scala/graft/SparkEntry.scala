@@ -979,6 +979,26 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // benchmark-SCALE decontamination: same contamination sweep, but the
+    // bench never broadcasts — both sides sketch to 8 sign bits, the
+    // corpus pre-filters map-side against the tiny probe-bucket set, and
+    // only colliding candidates (bucket Hamming <= 1) pay the exact
+    // cosine; the candidate predicate is part of the contract and the
+    // oracle replays it bit for bit
+    "d23_decontaminate_scaled" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val bench = emb.filter(col("vec_id") % 41 === 0)
+        .select(col("embedding").cast("array<double>").as("embedding"))
+        .unionByName(emb.filter(col("vec_id") % 43 === 0)
+          .select(transform(col("embedding").cast("array<double>"),
+            x => x * lit(1.1)).as("embedding")))
+      Similarity.semanticDecontaminateScaled(
+          emb.select("vec_id", "label", "embedding"), bench,
+          "vec_id", "embedding", threshold = 0.95, planes = 8)
+        .select("vec_id", "label")
+        .orderBy("vec_id")
+    }),
+
     // similarity search
     "s01_ann_brute_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
@@ -3392,6 +3412,27 @@ object SparkEntry {
          WHERE NOT EXISTS (SELECT 1 FROM bench
                            WHERE list_cosine_similarity(e, be) >= 0.95)
          ORDER BY vec_id""",
+
+    // the sign-bucket candidate contract replayed exactly: 8 sign bits
+    // over the leading dimensions, Hamming<=1 bucket proximity, exact
+    // cosine only on colliding candidates
+    "d23_decontaminate_scaled" -> {
+      def bkt(e: String): String = (0 until 8).map(i =>
+        s"(CASE WHEN $e[${i + 1}]>=0 THEN ${1 << i} ELSE 0 END)").mkString("+")
+      s"""WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+                     FROM embeddings),
+         bench AS (SELECT e AS be FROM v WHERE vec_id % 41 = 0
+                   UNION ALL
+                   SELECT list_transform(e, x -> x * 1.1) AS be
+                   FROM v WHERE vec_id % 43 = 0),
+         cb AS (SELECT vec_id, label, e, ${bkt("e")} AS bkt FROM v),
+         bb AS (SELECT be, ${bkt("be")} AS bkt FROM bench)
+         SELECT vec_id, label FROM cb
+         WHERE NOT EXISTS (SELECT 1 FROM bb
+                           WHERE bit_count(xor(cb.bkt, bb.bkt)) <= 1
+                             AND list_cosine_similarity(cb.e, bb.be) >= 0.95)
+         ORDER BY vec_id"""
+    },
 
     // the bucket grid and both 16-bit md5 hashes (span length, in-
     // bucket offset) replayed nibble by nibble

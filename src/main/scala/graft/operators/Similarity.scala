@@ -97,6 +97,16 @@ object Similarity {
                             vecCol: String, threshold: Double): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       "threshold must be in (0, 1]")
+    // the broadcast-NL form is bounded BY CONSTRUCTION, not by hope: an
+    // unbounded bench side would OOM executors long before the join
+    // errors usefully. The count is capped (limit pushdown stops the
+    // scan at the bound), so the guard itself never scans a large bench.
+    val benchRows = bench.limit(MaxBroadcastBenchRows + 1).count()
+    require(benchRows <= MaxBroadcastBenchRows,
+      s"bench side exceeds $MaxBroadcastBenchRows rows — the broadcast " +
+        "nested-loop form would materialize it per executor; use " +
+        "semanticDecontaminateScaled (sign-bucket candidate restriction) " +
+        "for corpus-scale benchmark sets")
     val b = bench.select(col(vecCol).cast("array<double>").as("__bvec"))
       .withColumn("__bnrm", l2Norm(col("__bvec")))
     val withNorm = corpus
@@ -120,6 +130,73 @@ object Similarity {
             >= threshold,
         "left_anti")
       .drop("__cvec", "__cnrm")
+  }
+
+  /** Bench-row bound for [[semanticDecontaminate]]'s broadcast form —
+   * generous headroom over real benchmark suites (10^4–10^5 items) while
+   * keeping the worst-case broadcast build side well under executor
+   * memory (256k × 768-dim doubles ≈ 1.6 GB). */
+  val MaxBroadcastBenchRows: Int = 262144
+
+  /**
+   * Benchmark-scale semantic decontamination — the candidate-restricted
+   * twin of [[semanticDecontaminate]] for bench sides too large to
+   * broadcast. Both sides sketch to a sign-bit bucket over the first
+   * `planes` dimensions ([[signBucket]] — zero-centered embeddings split
+   * ~evenly per bit); a corpus row is COMPARED only against bench rows
+   * whose bucket lies within Hamming distance 1 of its own, and drops
+   * iff such a bench row also passes the exact cosine test. The
+   * Hamming<=1 candidate predicate is part of the operator contract
+   * (the same discipline as [[signCosinePairs]]) — results are
+   * deterministic and oracle-reproducible, not best-effort.
+   *
+   * Scale shape, stage by stage: (1) the DISTINCT bench buckets expand
+   * to their single-bit-flip probe set — at most
+   * min(benchRows, 2^planes)·(planes+1) longs, bounded by the bucket
+   * space no matter how large the bench is — and broadcast as a
+   * semi-join, so the corpus scans once and non-candidates leave
+   * map-side with NO shuffle; (2) only the surviving candidates (the
+   * rows near any bench bucket) meet the bench in a hash join keyed on
+   * the probe id — a bucket pair within Hamming 1 meets on exactly one
+   * probe key — with the exact cosine evaluated per candidate pair;
+   * (3) contaminated ids anti-join back against the corpus (delta-sized,
+   * AQE broadcasts it). Nothing in the plan materializes the bench per
+   * executor, which is precisely the failure mode of the broadcast form
+   * this variant exists to avoid. Needs an id column (the anti-join
+   * key), unlike the broadcast form.
+   */
+  def semanticDecontaminateScaled(corpus: DataFrame, bench: DataFrame,
+                                  idCol: String, vecCol: String,
+                                  threshold: Double,
+                                  planes: Int = 16): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      "threshold must be in (0, 1]")
+    require(planes >= 1 && planes <= 62, "planes must be in [1, 62]")
+    val masks = array((lit(0L) +: (0 until planes).map(i => lit(1L << i))): _*)
+    // zero-norm / NaN bench vectors have no direction and can
+    // contaminate nothing — same guard as the broadcast form
+    val b = bench.select(col(vecCol).cast("array<double>").as("__bvec"))
+      .withColumn("__bnrm", l2Norm(col("__bvec")))
+      .filter(!isnan(col("__bnrm")) && col("__bnrm") > 0)
+      .withColumn("__bb", signBucket(col("__bvec"), planes))
+    val probeIds = b.select(
+        explode(transform(masks, m => col("__bb").bitwiseXOR(m))).as("__probe"))
+      .distinct()
+    val c = corpus
+      .withColumn("__cvec", col(vecCol).cast("array<double>"))
+      .withColumn("__cnrm", l2Norm(col("__cvec")))
+      .withColumn("__cb", signBucket(col("__cvec"), planes))
+    val candidates = c.join(broadcast(probeIds),
+      col("__cb") === col("__probe"), "left_semi")
+    val bProbes = b.select(col("__bvec"), col("__bnrm"),
+      explode(transform(masks, m => col("__bb").bitwiseXOR(m))).as("__probe"))
+    val contaminated = candidates
+      .join(bProbes, col("__cb") === col("__probe"))
+      .filter(!isnan(col("__cnrm")) && col("__cnrm") > 0 &&
+        dot(col("__cvec"), col("__bvec")) / (col("__cnrm") * col("__bnrm"))
+          >= threshold)
+      .select(col(idCol)).distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 
   /**
@@ -248,10 +325,14 @@ object Similarity {
   // ----------------------------------------------- sign-bit LSH (portable)
 
   /** Bucket from the sign bits of the first `planes` dimensions — balanced
-   * for zero-centered embeddings and reproducible by any SQL engine. */
+   * for zero-centered embeddings and reproducible by any SQL engine.
+   * Dimensions past the vector's length read as 0-bits (`try_element_at`
+   * yields NULL, failing the `>= 0` test) — the same semantics a SQL
+   * oracle's out-of-range `e[i]` produces, rather than an ANSI
+   * out-of-bounds error on short vectors. */
   def signBucket(vec: Column, planes: Int): Column =
     (0 until planes).map { i =>
-      when(element_at(vec, i + 1) >= 0, lit(1L << i)).otherwise(lit(0L))
+      when(try_element_at(vec, lit(i + 1)) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** Approximate top-k over sign-bit buckets with single-bit-flip probing

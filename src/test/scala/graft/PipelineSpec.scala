@@ -352,6 +352,58 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
       .filter(col("vec_id") === 10L).count() == 1)
   }
 
+  test("semanticDecontaminateScaled == broadcast form; oversized bench errors") {
+    import spark.implicits._
+    // planted geometry, planes = 4 over 2 dims (high bits read the
+    // missing elements as 0): exact copy, scaled copy and an unflipped
+    // near copy share the bench bucket and drop; an orthant-away far
+    // vector is not even a candidate and survives
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0)),    // exact direction of the bench -> drops
+      (2L, Seq(0.99, 0.1)),   // near copy, same sign bits -> drops
+      (3L, Seq(1.0, 1.0)),    // candidate but cos 0.707 -> survives
+      (4L, Seq(-1.0, -0.1))). // far orthant, Hamming 2 -> never compared
+      toDF("vec_id", "embedding")
+    val bench = Seq(Tuple1(Seq(2.0, 0.0))).toDF("embedding")
+    def scaled(c: org.apache.spark.sql.DataFrame,
+               b: org.apache.spark.sql.DataFrame) =
+      Similarity.semanticDecontaminateScaled(c, b, "vec_id", "embedding",
+        threshold = 0.95, planes = 4)
+    assert(scaled(corpus, bench).select("vec_id")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(3L, 4L))
+    // survivors keep their original columns untouched
+    assert(scaled(corpus, bench).columns.toSeq == Seq("vec_id", "embedding"))
+    // zero-norm / NaN vectors have no direction on either side
+    val zeroBench = Seq(Tuple1(Seq(0.0, 0.0))).toDF("embedding")
+    assert(scaled(corpus, zeroBench).count() == 4)
+    val withNan = corpus.unionByName(
+      Seq((10L, Seq(Double.NaN, 0.0))).toDF("vec_id", "embedding"))
+    assert(scaled(withNan, bench).filter(col("vec_id") === 10L).count() == 1)
+    // equivalence on the REAL embedding corpus: the restricted form and
+    // the broadcast-NL form agree row for row (the d22/d23 pairing)
+    val benchReal = emb.filter(col("vec_id") % 41 === 0)
+      .select(col("embedding").cast("array<double>").as("embedding"))
+      .unionByName(emb.filter(col("vec_id") % 43 === 0)
+        .select(transform(col("embedding").cast("array<double>"),
+          x => x * lit(1.1)).as("embedding")))
+    val slim = emb.select("vec_id", "label", "embedding")
+    val restricted = Similarity.semanticDecontaminateScaled(slim, benchReal,
+      "vec_id", "embedding", threshold = 0.95, planes = 8)
+    val broadcastNl = Similarity.semanticDecontaminate(slim, benchReal,
+      "embedding", threshold = 0.95)
+    assert(restricted.exceptAll(broadcastNl).count() == 0 &&
+      broadcastNl.exceptAll(restricted).count() == 0)
+    // an over-large bench refuses the broadcast form with a pointer at
+    // the scaled operator instead of OOMing an executor
+    val hugeBench = spark.range(Similarity.MaxBroadcastBenchRows + 1)
+      .select(array(lit(1.0), lit(0.0)).as("embedding"))
+    val err = intercept[IllegalArgumentException] {
+      Similarity.semanticDecontaminate(corpus, hugeBench,
+        "embedding", threshold = 0.95)
+    }
+    assert(err.getMessage.contains("semanticDecontaminateScaled"))
+  }
+
   test("keyedTopK == per-key brute force; post-filtering under-returns") {
     val queries = emb.filter(col("vec_id") < 20)
     val k = 10

@@ -282,6 +282,20 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       s"single-bucket key set scanned ${buckets.size} buckets: $buckets")
   }
 
+  test("d23 scaled decontamination: corpus meets only the probe set, never an NL join") {
+    val p = plan("d23_decontaminate_scaled")
+    // the candidate restriction must arrive map-side as a broadcast
+    // semi-join on the tiny probe-bucket set — the whole point of the
+    // scaled form is that the bench itself never rides a broadcast
+    // nested-loop over the corpus
+    assert(p.linesIterator.exists(l =>
+        l.contains("BroadcastHashJoin") && l.contains("LeftSemi")),
+      s"candidate restriction must be a broadcast semi-join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"),
+      s"scaled form must never NL-join the bench:\n$p")
+  }
+
   test("q52 distinct-count IVM: no window, map-side-combined delta") {
     val p = plan("q52_ivm_distinct")
     // the delta and the view merge are aggregates + one join — a window
