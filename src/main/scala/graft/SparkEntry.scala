@@ -1284,7 +1284,12 @@ object SparkEntry {
           ((col("doc_id") * 31 + 7) % 97).as("dst"))
         .unionByName(docs.select((col("doc_id") % 97).as("src"),
           ((col("doc_id") * 17 + 3) % 97).as("dst")))
-      Graphs.pageRankMicro(edges, "src", "dst", iterations = 5)
+      // the BUCKETED form: edges+degrees persist once keyed by src, so
+      // all 5 rounds join the corpus-scale edge side exchange-free —
+      // ranks bit-equal to the plain loop (integer micro-units), which
+      // is exactly what the unrolled oracle computes
+      Graphs.pageRankMicroBucketed(s, edges, "src", "dst", iterations = 5,
+          table = "graft_q57_edges")
         .orderBy("node")
     }),
 

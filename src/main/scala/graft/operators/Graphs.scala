@@ -54,23 +54,79 @@ object Graphs {
     // distinct+degree aggregate)
     val eo = Materialize.eager(
       e.join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src"))
-    val base = lit((100L - dampingPct) * 10000L) // (1-d) * 1e6 in micros
     var ranks = Materialize.eager(
       nodes.withColumn("rank_micro", lit(1000000L)))
     for (_ <- 1 to iterations) {
-      val contrib = eo.join(ranks, eo("src") === ranks("node"))
-        .select(col("dst"), expr("rank_micro DIV outdeg").as("__c"))
-        .groupBy("dst").agg(sum("__c").as("__in"))
-      val next = Materialize.eager(
-        ranks.select(col("node")).join(contrib,
-            col("node") === col("dst"), "left")
-          .select(col("node"),
-            (base + expr(s"coalesce(__in, 0L) * $dampingPct DIV 100"))
-              .as("rank_micro")))
+      val next = Materialize.eager(iteration(eo, ranks, dampingPct))
       Materialize.release(ranks)
       ranks = next
     }
     Materialize.release(eo)
+    ranks
+  }
+
+  /** One damped power-method round: rank mass splits over out-degrees,
+   * sums by destination, and the damped update lands per node. Shared
+   * verbatim by [[pageRankMicro]] and [[pageRankMicroBucketed]] — the
+   * plan-shape spec pins THIS function, so the pin covers every loop
+   * round of both variants. */
+  private[graft] def iteration(eo: DataFrame, ranks: DataFrame,
+                               dampingPct: Int): DataFrame = {
+    val base = lit((100L - dampingPct) * 10000L) // (1-d) * 1e6 in micros
+    val contrib = eo.join(ranks, eo("src") === ranks("node"))
+      .select(col("dst"), expr("rank_micro DIV outdeg").as("__c"))
+      .groupBy("dst").agg(sum("__c").as("__in"))
+    ranks.select(col("node")).join(contrib,
+        col("node") === col("dst"), "left")
+      .select(col("node"),
+        (base + expr(s"coalesce(__in, 0L) * $dampingPct DIV 100"))
+          .as("rank_micro"))
+  }
+
+  /**
+   * [[pageRankMicro]] over a BUCKETED edge table — the 100 TB-of-edges
+   * form this file's scale note prescribes. The deduplicated edges join
+   * their out-degrees ONCE and persist through [[graft.catalog.Bucketing]]
+   * keyed by `src`; every iteration's rank join then reads the bucketed
+   * scan's hash partitioning directly, so across all `iterations` rounds
+   * the edge table — the corpus-scale side — is NEVER shuffled: only the
+   * node-sized rank table moves, once per round, into the edges'
+   * partitioning. Ranks are bit-identical to [[pageRankMicro]] (integer
+   * micro-units are summation-order-independent), proven by spec and by
+   * sharing the q57 oracle.
+   *
+   * The bucketed table registers in the session catalog under `table`
+   * (bucket metadata only exists for catalog tables) with its files at a
+   * fresh temp path per call; concurrent PageRanks in one session must
+   * pass distinct names. The table is left registered — it IS the
+   * persisted edge index, reusable by later runs via `spark.table`.
+   */
+  def pageRankMicroBucketed(spark: SparkSession, edges: DataFrame,
+                            srcCol: String, dstCol: String,
+                            iterations: Int, dampingPct: Int = 85,
+                            buckets: Int = 32,
+                            table: String = "graft_pr_edges"): DataFrame = {
+    require(iterations >= 1 && iterations <= 50,
+      "iterations must be in [1, 50] — a config-scale round count")
+    require(dampingPct >= 0 && dampingPct <= 100, "dampingPct is a percentage")
+    require(buckets >= 1, "buckets must be >= 1")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .na.drop().distinct()
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-pr-edges").toString
+    graft.catalog.Bucketing.writeBucketed(
+      e.join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src"),
+      table, path, "src", buckets)
+    val eo = spark.table(table)
+    val nodes = eo.select(col("src").as("node"))
+      .unionByName(eo.select(col("dst").as("node"))).distinct()
+    var ranks = Materialize.eager(
+      nodes.withColumn("rank_micro", lit(1000000L)))
+    for (_ <- 1 to iterations) {
+      val next = Materialize.eager(iteration(eo, ranks, dampingPct))
+      Materialize.release(ranks)
+      ranks = next
+    }
     ranks
   }
 }

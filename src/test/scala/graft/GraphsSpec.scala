@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, lit}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Graphs
@@ -60,5 +61,71 @@ class GraphsSpec extends AnyFunSuite with SparkFixture {
     assert(ranks(e, 2) == Map(
       "f" -> 150000L, "h" -> 277500L,
       "p" -> 575000L, "q" -> 575000L))
+  }
+
+  test("bucketed-edge PageRank: ranks bit-equal, edge side never shuffles") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val e = Seq(("a", "b"), ("b", "a"), ("c", "a"), ("a", "c"),
+      ("c", "b"), ("d", "a")).toDF("s", "d")
+    val plain = Graphs.pageRankMicro(e, "s", "d", iterations = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force SMJ so the pin proves the bucketed layout (a broadcast of
+      // the tiny rank table would hide a broken bucket co-location)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val bucketed = Graphs.pageRankMicroBucketed(spark, e, "s", "d",
+        iterations = 4, buckets = 4, table = "graft_pr_spec")
+      assert(bucketed.collect().map(r => r.getString(0) -> r.getLong(1))
+        .toMap == plain, "bucketed ranks drifted from the plain form")
+      // the pin covers every loop round of both variants: the loop body
+      // IS Graphs.iteration, so pin its plan over the bucketed table
+      def deepCollect[T](p: SparkPlan)(f: PartialFunction[SparkPlan, T]): Seq[T] = {
+        val here = f.lift(p).toSeq
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: QueryStageExec => Seq(q.plan)
+          case other => other.children
+        }
+        here ++ kids.flatMap(deepCollect(_)(f))
+      }
+      val eo = spark.table("graft_pr_spec")
+      // the loop always materializes ranks before the next round — the
+      // localCheckpoint mirrors that, so the join's ONLY file scan is
+      // the edge table (a lazily-built rank side would re-read the
+      // bucketed table and confuse the side detection below)
+      val rk = eo.select(col("src").as("node"))
+        .unionByName(eo.select(col("dst").as("node"))).distinct()
+        .withColumn("rank_micro", lit(1000000L))
+        .localCheckpoint()
+      val round = Graphs.iteration(eo, rk, 85)
+      round.collect()
+      val smjs = deepCollect(round.queryExecution.executedPlan) {
+        case j: SortMergeJoinExec => j
+      }
+      // the rank->edge join is the one whose side holds the bucketed
+      // file scan DIRECTLY (the outer update join sees the same scan,
+      // but through the contrib join — skip those via the no-nested-join
+      // guard); that side must carry NO exchange of any kind
+      val edgeSides = smjs.flatMap(j => Seq(j.left, j.right)).filter(s =>
+        deepCollect(s) { case f: FileSourceScanExec if f.bucketedScan => f }
+          .nonEmpty &&
+        deepCollect(s) { case n if n.nodeName.contains("Join") => n }.isEmpty)
+      assert(edgeSides.nonEmpty,
+        s"edge side lost its bucketed scan:\n${round.queryExecution.executedPlan}")
+      edgeSides.foreach { s =>
+        assert(deepCollect(s) {
+            case n if n.nodeName.contains("Exchange") ||
+              n.nodeName.contains("ShuffleQueryStage") => n
+          }.isEmpty,
+          s"a shuffle feeds the bucketed edge table:\n$s")
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+      spark.sql("DROP TABLE IF EXISTS graft_pr_spec")
+    }
   }
 }
