@@ -1552,6 +1552,25 @@ object SparkEntry {
       TextAnalysis.corruptionSpans(t(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id", "span_idx")),
 
+    // unigram (SentencePiece-family) tokenizer training: substring seed,
+    // two hard-EM rounds of greedy-longest-match expectation counts with
+    // the (cnt desc, piece asc) prune — the oracle unrolls both rounds,
+    // the greedy walk a recursive CTE over per-position match lengths
+    "t33_unigram_train" -> ((s, d) =>
+      TextAnalysis.unigramTrain(t(s, d, "documents"), "text",
+          vocabSize = 40, maxPieceLen = 4, rounds = 2, seedSize = 64)
+        .orderBy("rank")),
+
+    // the apply twin: documents segmented under a fixed piece table by
+    // the same greedy longest-match, unknown characters standing as
+    // themselves; the oracle replays the walk and reassembles in
+    // (word index, position) order
+    "t34_unigram_segment" -> ((s, d) =>
+      TextAnalysis.unigramSegment(t(s, d, "documents"), "doc_id", "text",
+          pieces = Seq("th", "he", "in", "er", "an", "re", "ing", "ent"),
+          maxPieceLen = 4)
+        .orderBy("doc_id")),
+
     // quality-weighted (importance) sampling: each doc's keep
     // probability is its own quality score — the per-row md5 threshold
     // generalizes the stratified sampler; the oracle recomputes the
@@ -3438,6 +3457,106 @@ object SparkEntry {
                              AND list_cosine_similarity(cb.e, bb.be) >= 0.95)
          ORDER BY vec_id"""
     },
+
+    // both hard-EM rounds unrolled: seed substring counts, per-position
+    // match lengths under each round's vocabulary, the greedy walk as a
+    // recursive CTE (pos strictly increases, so it terminates), the
+    // (cnt desc, piece asc) prune with singles held out of the budget
+    "t33_unigram_train" -> {
+      def walkRound(v: String, r: Int): String = s"""
+         ml$r AS (SELECT c.w, c.p,
+                greatest(coalesce(max(CASE WHEN v.piece IS NOT NULL
+                                           THEN c.l END), 1), 1) AS ml
+            FROM cand c LEFT JOIN $v v ON c.piece = v.piece
+            GROUP BY c.w, c.p),
+         walk$r AS (
+            SELECT w.w, 0 AS pos FROM w
+            UNION ALL
+            SELECT m.w, m.p + m.ml FROM walk$r k
+            JOIN ml$r m ON m.w = k.w AND m.p = k.pos),
+         cnt$r AS (SELECT substr(k.w, k.pos + 1, m.ml) AS piece,
+                          sum(w.n) AS cnt
+            FROM walk$r k JOIN ml$r m ON m.w = k.w AND m.p = k.pos
+            JOIN w ON w.w = k.w
+            GROUP BY 1)"""
+      s"""WITH RECURSIVE n AS (SELECT doc_id,
+               regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t
+             FROM documents),
+         w AS (SELECT word AS w, count(*) AS n
+               FROM (SELECT unnest(string_split(t, ' ')) AS word FROM n)
+               WHERE len(word) > 0 GROUP BY 1),
+         mx AS (SELECT max(len(w)) AS m FROM w),
+         ps AS (SELECT unnest(generate_series(0, (SELECT m FROM mx) - 1)) AS p),
+         ls AS (SELECT unnest(generate_series(1, 4)) AS l),
+         cand AS (SELECT w.w, ps.p, ls.l, substr(w.w, ps.p + 1, ls.l) AS piece
+                  FROM w CROSS JOIN ps CROSS JOIN ls
+                  WHERE ps.p < len(w.w) AND ls.l <= len(w.w) - ps.p),
+         seed AS (SELECT c.piece, sum(w.n) AS cnt
+                  FROM cand c JOIN w ON w.w = c.w GROUP BY 1),
+         singles AS (SELECT piece FROM seed WHERE len(piece) = 1),
+         nsingles AS (SELECT count(*) AS k FROM singles),
+         v0 AS (SELECT piece FROM singles
+                UNION ALL
+                SELECT piece FROM (SELECT piece FROM seed WHERE len(piece) > 1
+                                   ORDER BY cnt DESC, piece LIMIT 64)),
+         ${walkRound("v0", 1)},
+         v1 AS (SELECT piece FROM singles
+                UNION ALL
+                SELECT piece FROM (SELECT piece FROM cnt1 WHERE len(piece) > 1
+                                   ORDER BY cnt DESC, piece
+                                   LIMIT (40 - (SELECT k FROM nsingles)))),
+         ${walkRound("v1", 2)},
+         final AS (SELECT s.piece, coalesce(c.cnt, 0) AS cnt
+                   FROM singles s LEFT JOIN cnt2 c ON s.piece = c.piece
+                   UNION ALL
+                   SELECT piece, cnt
+                   FROM (SELECT piece, cnt FROM cnt2 WHERE len(piece) > 1
+                         ORDER BY cnt DESC, piece
+                         LIMIT (40 - (SELECT k FROM nsingles))))
+         SELECT piece, cnt,
+                CAST(row_number() OVER (ORDER BY cnt DESC, piece) AS INT) AS rank
+         FROM final ORDER BY rank"""
+    },
+
+    // the fixed piece table as VALUES, the same match-length + greedy
+    // recursive walk, reassembled per document in (word index, position)
+    // order; blank documents vanish on both sides (no words, no rows)
+    "t34_unigram_segment" ->
+      s"""WITH RECURSIVE n AS (SELECT doc_id,
+               regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t
+             FROM documents),
+         voc(piece) AS (VALUES ('th'), ('he'), ('in'), ('er'), ('an'),
+                               ('re'), ('ing'), ('ent')),
+         d AS (SELECT doc_id, string_split(t, ' ') AS ws FROM n
+               WHERE t IS NOT NULL),
+         mxw AS (SELECT max(len(ws)) AS m FROM d),
+         wi AS (SELECT unnest(generate_series(1, (SELECT m FROM mxw))) AS i),
+         dw AS (SELECT doc_id, wi.i AS wi, ws[wi.i] AS w
+                FROM d CROSS JOIN wi
+                WHERE wi.i <= len(ws) AND len(ws[wi.i]) > 0),
+         wd AS (SELECT DISTINCT w FROM dw),
+         mx AS (SELECT max(len(w)) AS m FROM wd),
+         ps AS (SELECT unnest(generate_series(0, (SELECT m FROM mx) - 1)) AS p),
+         ls AS (SELECT unnest(generate_series(1, 4)) AS l),
+         cand AS (SELECT wd.w, ps.p, ls.l, substr(wd.w, ps.p + 1, ls.l) AS piece
+                  FROM wd CROSS JOIN ps CROSS JOIN ls
+                  WHERE ps.p < len(wd.w) AND ls.l <= len(wd.w) - ps.p),
+         ml AS (SELECT c.w, c.p,
+                  greatest(coalesce(max(CASE WHEN v.piece IS NOT NULL
+                                             THEN c.l END), 1), 1) AS ml
+                FROM cand c LEFT JOIN voc v ON c.piece = v.piece
+                GROUP BY c.w, c.p),
+         walk AS (SELECT wd.w, 0 AS pos FROM wd
+                  UNION ALL
+                  SELECT m.w, m.p + m.ml FROM walk k
+                  JOIN ml m ON m.w = k.w AND m.p = k.pos),
+         wp AS (SELECT k.w, k.pos, substr(k.w, k.pos + 1, m.ml) AS piece
+                FROM walk k JOIN ml m ON m.w = k.w AND m.p = k.pos)
+         SELECT dw.doc_id,
+                string_agg(wp.piece, ' ' ORDER BY dw.wi, wp.pos) AS pieces,
+                CAST(count(*) AS BIGINT) AS n_pieces
+         FROM dw JOIN wp ON wp.w = dw.w
+         GROUP BY dw.doc_id ORDER BY dw.doc_id""",
 
     // the bucket grid and both 16-bit md5 hashes (span length, in-
     // bucket offset) replayed nibble by nibble

@@ -1709,6 +1709,183 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_tris"), col("logp_micro_sum"))
   }
 
+  // ------------------------------------------- unigram (SentencePiece) family
+
+  /**
+   * Unigram-style subword vocabulary training — the OTHER major tokenizer
+   * family next to [[bpeMerges]]'s bottom-up merging: SentencePiece's
+   * unigram LM trainer (Kudo 2018, arXiv:1804.10959) works TOP-DOWN —
+   * seed a large candidate vocabulary from corpus substrings, then
+   * alternate (E) re-segment the corpus under the current vocabulary and
+   * collect each piece's expectation count with (M/prune) dropping the
+   * lowest-value pieces, until the target size.
+   *
+   * This trainer keeps that exact structure with one determinism-driven
+   * substitution, stated plainly: the E-step's segmentation is the
+   * DETERMINISTIC greedy longest-match (hard-EM assignment; ties
+   * impossible — match lengths are distinct) instead of float
+   * log-likelihood Viterbi. Probability-weighted Viterbi needs
+   * `ln(count/total)` per piece, and no floor/round of a float log is
+   * bit-reproducible across engines — the same reason [[bpeMerges]]
+   * counts integer pairs and [[pageRankMicro]]'s damping is integer
+   * percent arithmetic. Expectation counts here are therefore EXACT
+   * Longs (`Σ word_freq × uses-in-segmentation`), the prune rule is the
+   * total order (count desc, piece asc), and every round is replayable
+   * bit for bit by any SQL engine — the t33 oracle does. Single-character
+   * pieces are never pruned (the coverage guarantee SentencePiece gets
+   * from required characters), so segmentation is total.
+   *
+   * Scale shape: ONE corpus pass builds the word-frequency table
+   * (tokenize-explode into a map-side-combined aggregate); everything
+   * after runs on words, not documents. Per round: the substring
+   * candidate table (|word| × maxPieceLen rows per DISTINCT word) meets
+   * the config-scale vocabulary as a BROADCAST join, folds to per-position
+   * match lengths and then per-word greedy segmentations with two
+   * word-keyed aggregates (map-side combinable), and the prune is a
+   * global top-k (TakeOrdered — no full sort). `rounds` is config-scale
+   * driver rounds, the Lloyd's-iteration pattern; each round's
+   * vocabulary is an eager [[Materialize]] cut released when its
+   * successor exists. The greedy fold itself is a codegen'd `aggregate`
+   * HOF over the position array — no UDF, no mapPartitions.
+   *
+   * Returns the final vocabulary as (piece, cnt, rank): `cnt` the last
+   * round's expectation count, `rank` dense 1..n by (cnt desc, piece asc).
+   */
+  def unigramTrain(df: DataFrame, textCol: String, vocabSize: Int,
+                   maxPieceLen: Int = 4, rounds: Int = 2,
+                   seedSize: Int = 512): DataFrame = {
+    require(vocabSize >= 1, "vocabSize must be >= 1")
+    require(maxPieceLen >= 1 && maxPieceLen <= 16,
+      "maxPieceLen must be in [1, 16]")
+    require(rounds >= 1 && rounds <= 20,
+      "rounds must be in [1, 20] — config-scale driver rounds")
+    require(seedSize >= 1, "seedSize must be >= 1")
+    val words = Materialize.eager(
+      df.select(explode(tokens(col(textCol))).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("w").agg(count(lit(1)).as("n")))
+    val wordList = words.select("w")
+    // substring candidates of the distinct-word table (NOT the corpus):
+    // (w, p, l, piece) for every start p and length l <= maxPieceLen
+    val seedCnt = candidatePieces(wordList, maxPieceLen)
+      .join(words, "w")
+      .groupBy("piece").agg(sum("n").as("cnt"))
+    // single characters are the mandatory coverage floor; config-scale
+    // (an alphabet), so counting them on the driver is loop control
+    val singles = Materialize.eager(
+      seedCnt.filter(length(col("piece")) === 1))
+    val nSingles = singles.count()
+    require(vocabSize > nSingles,
+      s"vocabSize $vocabSize must exceed the $nSingles single-character " +
+        "pieces the corpus needs for coverage")
+    val multiBudget = (vocabSize - nSingles).toInt
+    var vocabCnt = Materialize.eager(
+      singles.unionByName(
+        seedCnt.filter(length(col("piece")) > 1)
+          .orderBy(col("cnt").desc, col("piece").asc).limit(seedSize)))
+    for (_ <- 1 to rounds) {
+      // E: expectation counts under the current vocabulary's greedy
+      // segmentation, exact Longs
+      val cnts = greedyPieces(wordList, vocabCnt.select("piece"), maxPieceLen)
+        .join(words, "w")
+        .select(col("n"), explode(col("pieces")).as("piece"))
+        .groupBy("piece").agg(sum("n").as("cnt"))
+      // M/prune: singles always survive (count 0 if unused this round);
+      // multi-char pieces keep the top of the (cnt desc, piece asc)
+      // total order within the budget
+      val next = Materialize.eager(
+        singles.select("piece").join(cnts, Seq("piece"), "left")
+          .select(col("piece"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+          .unionByName(cnts.filter(length(col("piece")) > 1)
+            .orderBy(col("cnt").desc, col("piece").asc).limit(multiBudget)))
+      Materialize.release(vocabCnt)
+      vocabCnt = next
+    }
+    Materialize.release(words)
+    Materialize.release(singles)
+    // single-partition window over the config-scale vocabulary — never
+    // data-scale (the result IS the trained artifact)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("piece").asc)
+    vocabCnt.withColumn("rank", row_number().over(w))
+  }
+
+  /** Substring candidates of a distinct-word frame: one row per
+   * (word, start position p, length l in [1, maxLen]) with the piece
+   * text — the shared explode [[unigramTrain]] and [[greedyPieces]]
+   * both segment over. */
+  private def candidatePieces(wordList: DataFrame, maxLen: Int): DataFrame =
+    wordList.select(col("w"),
+        explode(sequence(lit(0), length(col("w")) - 1)).as("p"))
+      .select(col("w"), col("p"),
+        explode(sequence(lit(1),
+          least(lit(maxLen), length(col("w")) - col("p")))).as("l"))
+      .withColumn("piece", expr("substring(w, p + 1, l)"))
+
+  /** Greedy longest-match segmentation of each distinct word under a
+   * piece vocabulary: returns (w, pieces array). A position no vocab
+   * piece matches falls back to its single character (the apply-time
+   * unknown-character rule; during training single chars are always in
+   * vocabulary, so the fallback is inert). The walk is one codegen'd
+   * fold over the per-position match lengths. */
+  private[graft] def greedyPieces(wordList: DataFrame, vocab: DataFrame,
+                                  maxLen: Int): DataFrame = {
+    val ml = candidatePieces(wordList, maxLen)
+      .join(broadcast(vocab.select(col("piece")).withColumn("__hit", lit(1))),
+        Seq("piece"), "left")
+      .groupBy("w", "p")
+      .agg(greatest(max(when(col("__hit") === 1, col("l"))), lit(1)).as("ml"))
+    ml.groupBy("w")
+      .agg(array_sort(collect_list(struct(col("p"), col("ml")))).as("pl"))
+      .select(col("w"), expr(
+        """aggregate(sequence(0, size(pl) - 1),
+             named_struct('nxt', 0, 'ps', CAST(array() AS array<string>)),
+             (acc, j) -> IF(j = acc.nxt,
+               named_struct(
+                 'nxt', j + element_at(pl, j + 1).ml,
+                 'ps', array_append(acc.ps,
+                         substring(w, j + 1, element_at(pl, j + 1).ml))),
+               acc),
+             acc -> acc.ps)""").as("pieces"))
+  }
+
+  /**
+   * [[unigramTrain]]'s apply twin (the [[bpeSegment]] shape for the
+   * unigram family): each document's words segment under the trained
+   * piece set by the same greedy longest-match, unknown characters
+   * falling back to themselves, and the word pieces come back
+   * single-space-joined in document order with their count.
+   *
+   * Scale shape: the corpus explodes to (doc, word-index, word) ONCE;
+   * segmentation runs over the DISTINCT word table (each word segments
+   * once no matter how often it occurs — the Zipf win) and joins back
+   * word-keyed; document reassembly is one doc-keyed aggregate sorting
+   * by word index. The piece table is config-scale and broadcasts
+   * inside [[greedyPieces]].
+   */
+  def unigramSegment(df: DataFrame, idCol: String, textCol: String,
+                     pieces: Seq[String], maxPieceLen: Int = 4): DataFrame = {
+    require(pieces.nonEmpty, "piece vocabulary must be non-empty")
+    require(pieces.forall(p => p.nonEmpty && !p.contains(' ')),
+      "pieces must be non-empty and space-free")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vocab = pieces.toDF("piece")
+    val docWords = df.select(col(idCol),
+        posexplode(tokens(col(textCol))).as(Seq("wi", "w")))
+      .filter(length(col("w")) > 0)
+    val segmented = greedyPieces(docWords.select("w").distinct(), vocab,
+      maxPieceLen)
+    docWords.join(segmented, "w")
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("wi"), col("pieces"))))
+        .as("wp"))
+      .select(col(idCol),
+        concat_ws(" ", flatten(expr("transform(wp, x -> x.pieces)")))
+          .as("pieces"),
+        size(flatten(expr("transform(wp, x -> x.pieces)"))).as("n_pieces"))
+  }
+
   /** All features in one pass over the corpus. */
   def withTextFeatures(df: DataFrame, textCol: String): DataFrame = {
     val c = col(textCol)

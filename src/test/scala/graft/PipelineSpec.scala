@@ -1977,6 +1977,72 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
       (6L, "fr", Seq(1000L, 2000L))))
   }
 
+  test("unigramTrain: hand-computed seed, expectation counts, prune rounds") {
+    import spark.implicits._
+    val corpus = Seq((0L, "abab ab"), (1L, "abab cd")).toDF("doc_id", "text")
+    // words: abab×2, ab×1, cd×1. Seed substring counts (maxPieceLen 2):
+    //   a:5 b:5 ab:5 ba:2 c:1 d:1 cd:1
+    // singles {a,b,c,d} are mandatory; seedSize 2 keeps multis {ab, ba}
+    // (cd, count 1, loses the (cnt desc, piece asc) order to ba at 2).
+    // Round 1 greedy longest-match: abab→[ab,ab], ab→[ab], cd→[c,d]
+    // (cd itself is NOT in the seeded vocab): counts ab:5 c:1 d:1,
+    // a/b/ba unused. vocabSize 5 − 4 singles = 1 multi slot → ab.
+    // Round 2 re-segments identically → same counts; final table:
+    val got = TextAnalysis.unigramTrain(corpus, "text", vocabSize = 5,
+        maxPieceLen = 2, rounds = 2, seedSize = 2)
+      .orderBy("rank")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(got.toSeq == Seq(
+      ("ab", 5L, 1), ("c", 1L, 2), ("d", 1L, 3), ("a", 0L, 4), ("b", 0L, 5)))
+    // a vocabSize that cannot even hold the alphabet refuses
+    val err = intercept[IllegalArgumentException] {
+      TextAnalysis.unigramTrain(corpus, "text", vocabSize = 3,
+        maxPieceLen = 2, rounds = 1, seedSize = 2)
+    }
+    assert(err.getMessage.contains("single-character"))
+  }
+
+  test("unigramTrain prunes a seed piece the segmentation never uses") {
+    import spark.implicits._
+    // seed keeps both "ab" and "ba" (ba occurs inside abab), but greedy
+    // longest-match from the left never SELECTS ba — after round 1 its
+    // expectation count is zero and it must leave the vocabulary while
+    // the unused-but-mandatory singles stay
+    val corpus = Seq((0L, "abab abab ab")).toDF("doc_id", "text")
+    val pieces = TextAnalysis.unigramTrain(corpus, "text", vocabSize = 4,
+        maxPieceLen = 2, rounds = 1, seedSize = 4)
+      .collect().map(_.getString(0)).toSet
+    assert(pieces == Set("ab", "a", "b"),
+      s"expected ba pruned and singles kept, got $pieces")
+  }
+
+  test("unigramSegment: greedy longest-match, unknown chars fall back, doc order holds") {
+    import spark.implicits._
+    val docs = Seq((1L, "abab xcy"), (2L, "  Abab  "), (3L, "")).
+      toDF("doc_id", "text")
+    val m = TextAnalysis.unigramSegment(docs, "doc_id", "text",
+        pieces = Seq("ab", "c"), maxPieceLen = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2))))
+      .toMap
+    // abab → [ab, ab]; xcy → x (fallback), c (vocab), y (fallback)
+    assert(m(1L) == ("ab ab x c y", 5))
+    // normalization lowers and trims before segmenting
+    assert(m(2L) == ("ab ab", 2))
+    // an all-blank document yields no words, hence no rows — the
+    // explode drops it (callers left-join if they need every doc)
+    assert(!m.contains(3L))
+    // training→apply round trip: segmenting with the trained pieces
+    // reproduces the training-time segmentation counts
+    val corpus = Seq((0L, "abab ab"), (1L, "abab cd")).toDF("doc_id", "text")
+    val trained = TextAnalysis.unigramTrain(corpus, "text", vocabSize = 5,
+        maxPieceLen = 2, rounds = 2, seedSize = 2)
+      .collect().map(_.getString(0)).toSeq
+    val seg = TextAnalysis.unigramSegment(corpus, "doc_id", "text",
+        trained, maxPieceLen = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(seg(0L) == "ab ab ab" && seg(1L) == "ab ab c d")
+  }
+
   test("bpeSegment applies trained merges in order, never across words") {
     import spark.implicits._
     val corpus = Seq((0L, "low low low"), (1L, "lower lower"), (2L, "lowest"))
