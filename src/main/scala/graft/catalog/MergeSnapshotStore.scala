@@ -239,13 +239,12 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
    * [[readRange]] discipline) and applies the exact range predicate.
    */
   def pointLookup(db: String, table: String, keys: DataFrame,
-                  ranges: Map[String, (Double, Double)] = Map.empty): DataFrame = {
+                  ranges: Map[String, (Double, Double)] = Map.empty,
+                  version: Option[Int] = None): DataFrame = {
     val meta = catalog0(db, table)
     val pk = meta.primaryKey.getOrElse(throw new IllegalStateException(
       s"pointLookup needs a registered PK for ${meta.qualified}"))
-    val vs = manifestVersions(meta.location)
-    require(vs.nonEmpty, s"no manifest versions at ${meta.location}")
-    val m = readManifest(meta.location, vs.last)
+    val m = readManifest(meta.location, resolveVersion(meta, version))
     require(m.nBuckets == nBuckets,
       s"${meta.qualified} is committed with nBuckets=${m.nBuckets}; " +
         s"this store was built with nBuckets=$nBuckets")
@@ -317,12 +316,30 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
    * decides how much they bite.
    */
   def readRange(db: String, table: String,
-                ranges: Map[String, (Double, Double)]): DataFrame = {
+                ranges: Map[String, (Double, Double)],
+                version: Option[Int] = None): DataFrame = {
     require(ranges.nonEmpty, "readRange needs at least one column range")
     val meta = catalog0(db, table)
+    loadRanged(meta, readManifest(meta.location, resolveVersion(meta, version)),
+      None, ranges)
+  }
+
+  /** The manifest version a read should resolve: the caller's explicit
+   * PIN if given (it must still be committed AND retained — a pin past
+   * the retention horizon fails loudly here instead of scanning
+   * directories a vacuum may already have reclaimed), else latest. */
+  private def resolveVersion(meta: TableMeta, version: Option[Int]): Int = {
     val vs = manifestVersions(meta.location)
     require(vs.nonEmpty, s"no manifest versions at ${meta.location}")
-    loadRanged(meta, readManifest(meta.location, vs.last), None, ranges)
+    version match {
+      case None => vs.last
+      case Some(v) =>
+        require(vs.contains(v),
+          s"version $v of ${meta.qualified} is not committed/retained " +
+            s"(have ${vs.mkString(",")}) — pinned readers must finish " +
+            "inside the vacuum retention window")
+        v
+    }
   }
 
   /** [[load]] restricted to the files whose stats overlap `ranges`, with

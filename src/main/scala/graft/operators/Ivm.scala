@@ -669,6 +669,45 @@ object Ivm {
     /** A maintained table as currently committed. */
     def read(table: String): DataFrame = store.read(db, table)
 
+    /**
+     * One CONSISTENT cross-table snapshot of the registry — the version
+     * of the base table and of every maintained aggregate as of some
+     * fully-committed batch, for version-pinned serving
+     * ([[graft.operators.TextAnalysis.bm25TopKFromStore]] /
+     * [[graft.operators.Similarity.ivfTopKFromStore]] pinned overloads)
+     * under concurrent maintenance. Per-table `latestVersion` reads are
+     * NOT enough: [[commit]] moves the base and each aggregate
+     * sequentially, so a sweep racing a commit can pair a new postings
+     * version with an old stats version — an index that never existed.
+     *
+     * The sweep is bracketed by the commit marker: [[commit]] flips the
+     * marker to aggsDone=false BEFORE the base moves and back to
+     * aggsDone=true only after the LAST aggregate commits, so a sweep
+     * that reads aggsDone=true markers with identical content on both
+     * sides observed a quiescent registry — no commit started, ran, or
+     * finished inside it. A mid-flight commit (aggsDone=false) or a
+     * marker change retries, bounded like the store's own CAS loop.
+     */
+    def pinVersions(): Map[String, Int] = {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val max = graft.catalog.MergeSnapshotStore.MaxCommitAttempts
+      var attempt = 0
+      while (attempt < max) {
+        attempt += 1
+        val m1 = readMarker(spark)
+        if (m1.forall(_.aggsDone)) {
+          val pin = (baseTable +: aggs.map(_.table))
+            .map(t => t -> store.latestVersion(db, t)).toMap
+          if (readMarker(spark) == m1) return pin
+        }
+      }
+      throw new IllegalStateException(
+        s"could not pin $db.$baseTable registry versions in $max attempts — " +
+          "either commits land faster than a two-marker-read sweep, or a " +
+          "crashed commit left aggsDone=false (repair via the next commit " +
+          "or reseedAggregates() + a marker rewrite)")
+    }
+
     /** Recovery reset: recompute every maintained aggregate from the
      * CURRENTLY COMMITTED base — the always-correct (if full-scan)
      * repair after a crash left aggregates behind the base. */

@@ -556,6 +556,25 @@ object Similarity {
       col("vec"), col("nrm")), q, k)
   }
 
+  /**
+   * [[ivfTopKFromStore]] pinned to one index snapshot — the serving form
+   * under concurrent maintenance: `pinVersion` is the index table's
+   * manifest version (from [[graft.operators.Ivm.MaintainedAggregates
+   * .pinVersions]] when the index is registry-maintained). A reader
+   * holding the pin keeps answering from that snapshot while commits
+   * land and vacuum runs; the retention horizon is the serving lease.
+   */
+  def ivfTopKFromStore(store: graft.catalog.MergeSnapshotStore, db: String,
+                       table: String, queries: DataFrame, idCol: String,
+                       vecCol: String, k: Int, probes: Int,
+                       centroids: DataFrame, pinVersion: Int): DataFrame = {
+    val q = Materialize(probeCells(queries, idCol, vecCol, centroids, probes))
+    val rows = store.pointLookup(db, table, q.select("cell"),
+      version = Some(pinVersion))
+    scoreCells(rows.select(col(idCol).as("vid"), col("cell"),
+      col("vec"), col("nrm")), q, k)
+  }
+
   /** Each query's `probes` best cells (small side — one window): the
    * query half of the family seam, shared by [[ivfFlatPieces]] and
    * [[ivfTopKFromIndex]]. */

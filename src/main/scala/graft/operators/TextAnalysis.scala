@@ -526,6 +526,38 @@ object TextAnalysis {
     scoreBm25(idx, qt, k, k1, b, maxDfFrac)
   }
 
+  /**
+   * [[bm25TopKFromStore]] pinned to one consistent index snapshot — the
+   * serving form under CONCURRENT maintenance: `pin` maps each of the
+   * four index tables to the manifest version to serve from (take it
+   * from [[Ivm.MaintainedAggregates.pinVersions]], which brackets the
+   * sweep with the commit marker so the four versions always belong to
+   * one fully-committed batch). A reader holding a pin keeps answering
+   * from that snapshot while registry commits land and vacuum runs —
+   * the store's retention horizon is the serving lease; a pin past it
+   * fails loudly in the store rather than scanning reclaimed files.
+   */
+  def bm25TopKFromStore(store: graft.catalog.MergeSnapshotStore, db: String,
+                        prefix: String, queries: DataFrame, idCol: String,
+                        textCol: String, k: Int, k1: Double,
+                        b: Double, maxDfFrac: Double,
+                        pin: Map[String, Int]): DataFrame = {
+    requireBm25Args(k, k1, b, maxDfFrac)
+    def ver(t: String): Int = pin.getOrElse(t, throw new IllegalArgumentException(
+      s"pin lacks a version for $t — pass Ivm.MaintainedAggregates.pinVersions()"))
+    def at(t: String): DataFrame =
+      store.readVersion(store.catalog(db, t), ver(t))
+    val qt = Materialize(queries.select(col(idCol).as("query_id"),
+      explode(tokens(col(textCol))).as("term")).distinct())
+    val postings = store.pointLookup(db, s"${prefix}_postings",
+      qt.select("term"), version = Some(ver(s"${prefix}_postings")))
+    val idx = Bm25Index(postings,
+      at(s"${prefix}_doclens"),
+      at(s"${prefix}_docfreq"),
+      at(s"${prefix}_stats"))
+    scoreBm25(idx, qt, k, k1, b, maxDfFrac)
+  }
+
   /** Rank `queries` against an in-memory or read-back index — the
    * one-shot path's tail, shared verbatim with the served paths. */
   def bm25TopKFromIndex(idx: Bm25Index, queries: DataFrame, idCol: String,
