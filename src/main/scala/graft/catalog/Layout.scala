@@ -84,6 +84,17 @@ object Layout {
    */
   def cluster(df: DataFrame, dims: Seq[(String, Option[(Double, Double)])],
               files: Int, bits: Int = 8): DataFrame = {
+    val resolved = resolveRanges(df, dims)
+    val z = zValue(resolved.map { case (c, r) => (col(c), r) }, bits)
+    clusterByZ(df, z, dims.size, files, bits)
+  }
+
+  /** Every dimension's clip range, explicit or inferred by ONE combined
+   * aggregate scan — factored so [[cluster]] and the store's
+   * cluster-on-compact resolve ranges identically (heavy-tail auto-clip
+   * to the 1%-99% quantiles, point-mass refusal). */
+  private[graft] def resolveRanges(df: DataFrame,
+      dims: Seq[(String, Option[(Double, Double)])]): Seq[(String, (Double, Double))] = {
     require(dims.nonEmpty, "need at least one dimension")
     val missing = dims.collect { case (c, None) => c }
     val inferred: Map[String, (Double, Double)] =
@@ -127,8 +138,14 @@ object Layout {
           c -> (if (heavyTailed) (qlo, qhi) else (lo, hi))
         }.toMap
       }
-    val z = zValue(
-      dims.map { case (c, ro) => (col(c), ro.getOrElse(inferred(c))) }, bits)
+    dims.map { case (c, ro) => c -> ro.getOrElse(inferred(c)) }
+  }
+
+  /** [[cluster]]'s partition-and-sort tail given the z column — shared
+   * with the store's cluster-on-compact, which composes the same slice
+   * rule with its PK buckets. */
+  private[graft] def clusterByZ(df: DataFrame, z: Column, d: Int,
+                                files: Int, bits: Int): DataFrame = {
     // Partition by EQUAL-WIDTH z ranges, not repartitionByRange: range
     // partitioning estimates bounds by SAMPLING the input — an extra
     // full scan of a 100 TB table before the shuffle, and the sampler's
@@ -139,7 +156,6 @@ object Layout {
     // expression of its z-value: zero extra passes, bit-deterministic
     // layout. Bucket ranks are uniform when callers clip to quantile
     // ranges, so equal z-width is also near-equal data volume.
-    val d = dims.size
     if (files <= 1)
       df.withColumn("__z", z).repartition(1).sortWithinPartitions(col("__z"))
         .drop("__z")

@@ -6,7 +6,7 @@ import scala.collection.immutable.SortedMap
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{array, col, hash, input_file_name, isnan, lit, max, min, pmod, when}
+import org.apache.spark.sql.functions.{array, col, element_at, expr, hash, input_file_name, isnan, lit, max, min, pmod, when}
 import org.apache.spark.sql.types.{DataType, NumericType, StructType}
 
 /**
@@ -50,10 +50,14 @@ import org.apache.spark.sql.types.{DataType, NumericType, StructType}
  * CONCURRENT WRITERS commit optimistically (the Delta/Iceberg
  * optimistic-concurrency story): every commit writes its data under a
  * nonce-unique directory (no two attempts ever share a path), then
- * publishes `v=N+1.manifest` with a compare-and-swap — the publish
- * succeeds only if no other writer has already committed N+1 (an
- * atomic create-if-absent: hard-link on local filesystems,
- * rename-refuses-existing on HDFS-semantics stores). A scoped merge
+ * publishes `v=N+1.manifest` with a compare-and-swap — on filesystems
+ * with an atomic create-if-absent primitive (hard-link on local
+ * filesystems, rename-refuses-existing on HDFS-semantics stores) the
+ * publish succeeds only if no other writer has already committed N+1;
+ * on object stores whose rename overwrites (s3a and friends) the CAS
+ * is ADVISORY — an exists pre-check narrows but cannot close the race,
+ * a loud warning fires, and multi-writer deployments there need a
+ * conditional-put LogStore (or a single writer). A scoped merge
  * that loses the race checks the winner's manifest at BUCKET
  * granularity: if every bucket this merge touched still points at the
  * exact directories it read from (and the schema is unchanged), its
@@ -173,8 +177,32 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
         // HDFS contract: rename fails when the destination exists. The
         // exists pre-check narrows (not closes) the window on stores
         // that overwrite instead; object-store deployments should back
-        // this with a conditional-put LogStore.
-        !f.exists(fin) && f.rename(tmp, fin)
+        // this with a conditional-put LogStore. Schemes KNOWN to
+        // overwrite on rename get a loud once-per-scheme warning — their
+        // CAS is advisory, so concurrent writers there can lose a commit
+        // silently (single-writer use stays fine).
+        if (MergeSnapshotStore.OverwritingRenameSchemes.contains(f.getScheme) &&
+            MergeSnapshotStore.warnedSchemes.add(f.getScheme))
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"filesystem scheme '${f.getScheme}' overwrites on rename: the " +
+              "manifest CAS cannot refuse a racing writer — run " +
+              "single-writer, or back the publish with a conditional-put " +
+              "LogStore")
+        if (f.exists(fin)) false
+        else if (f.rename(tmp, fin)) true
+        else if (f.exists(fin)) false // a racer took it mid-rename
+        else {
+          // the destination is still free, so this was NOT a lost CAS:
+          // counting a persistent rename failure (permissions, quota, a
+          // flaky connector) as contention would burn every retry
+          // against an UNCHANGED manifest and then misreport "writers
+          // keep taking every version" — surface the real failure
+          f.delete(tmp, false)
+          throw new java.io.IOException(
+            s"manifest publish rename failed at $fin but the version is " +
+              "untaken — a filesystem error, not writer contention; check " +
+              "permissions/quota/connector health")
+        }
       }
     f.delete(tmp, false)
     committed
@@ -397,8 +425,17 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
       if (mergeSchema && vs.nonEmpty)
         SnapshotStore.alignToUnion(readManifest(meta.location, vs.last).schema, df)
       else df
+    overwriteWith(meta, out)
+  }
+
+  /** The overwrite commit body, with an optional cluster layout for
+   * [[compactClustered]] (resolved dims, bits, files per bucket). */
+  private def overwriteWith(meta: TableMeta, out: DataFrame,
+      cluster: Option[(Seq[(String, (Double, Double))], Int, Int)] = None): Unit = {
+    val vs = manifestVersions(meta.location)
     val pk = meta.primaryKey
-    val (written, stats) = writeData(meta, vs.lastOption.getOrElse(-1) + 1, out, pk)
+    val (written, stats) =
+      writeData(meta, vs.lastOption.getOrElse(-1) + 1, out, pk, cluster)
     val m = Manifest(dropBucketCol(out.schema), written, nBuckets, stats)
     var attempt = 0
     var done = false
@@ -555,6 +592,38 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     overwrite(db, table, out)
   }
 
+  /**
+   * Compaction WITH VALUE CLUSTERING — the maintenance pass that restores
+   * data-skipping power as a table ages: incremental merges append each
+   * batch's rows wherever they arrive, so a bucket's files gradually all
+   * span the full value range and [[readRange]]'s per-file stats stop
+   * pruning anything. This rewrite keeps the PK-hash bucketing (point
+   * lookups stay exact) but lays each bucket out in `filesPerBucket`
+   * files of DISJOINT z-ranges over `dims` ([[Layout]]'s deterministic
+   * equal-width slice rule — no sampling, bit-stable layout), and the
+   * commit re-lifts footer stats from the rewritten files as every
+   * commit does — so a range read afterwards plans ~1/filesPerBucket of
+   * each bucket's files instead of all of them. Ranges default to
+   * inferred clip ranges (one aggregate pass, [[Layout.resolveRanges]]'s
+   * heavy-tail handling); pass them explicitly to skip the scan. Like
+   * [[compact]], this is a whole-table overwrite commit: the CAS loop,
+   * vacuum, and retention semantics are unchanged, and concurrent
+   * scoped merges that lose the race to it refuse (moved buckets) —
+   * rerun them against the compacted snapshot.
+   */
+  def compactClustered(db: String, table: String,
+                       dims: Seq[(String, Option[(Double, Double)])],
+                       filesPerBucket: Int, bits: Int = 8): Unit = {
+    require(filesPerBucket >= 1, "filesPerBucket must be >= 1")
+    val meta = catalog0(db, table)
+    require(meta.primaryKey.isDefined,
+      s"compactClustered keeps PK bucketing — ${meta.qualified} has no PK " +
+        "(PK-less tables: write through Layout.writeClustered instead)")
+    val df = read(db, table)
+    val resolved = Layout.resolveRanges(df, dims)
+    overwriteWith(meta, df, Some((resolved, bits, filesPerBucket)))
+  }
+
   /** Write `df` grouped by PK bucket under data/c<next>; returns the
    * bucket -> relative-dir map of what was actually produced, plus the
    * per-file column stats measured from the written files. One shuffle
@@ -590,16 +659,39 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
    * race-losing attempts are unreferenced by every manifest and are
    * reclaimed by the vacuum tombstone cycle. */
   private def writeData(meta: TableMeta, next: Int, df: DataFrame,
-                        pk: Option[String]): (SortedMap[Int, String], Map[String, Seq[ColStat]]) = {
+                        pk: Option[String],
+                        cluster: Option[(Seq[(String, (Double, Double))], Int, Int)] = None)
+      : (SortedMap[Int, String], Map[String, Seq[ColStat]]) = {
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val rel = f"data/c$next%06d-$nonce"
     val dataDir = new Path(s"${meta.location}/$rel")
     val tmpDir = new Path(f"${meta.location}/data/.tmp-c$next%06d-$nonce")
     val f = fs(dataDir)
-    val bucketed = pk match {
-      case Some(k) =>
+    val bucketed = (pk, cluster) match {
+      case (Some(k), Some((dims, bits, fpb))) if fpb > 1 =>
+        // cluster-on-compact: each PK bucket splits into fpb files of
+        // DISJOINT z ranges. The (bucket, slice) pair routes through a
+        // bijective token — Layout.cluster's exact-routing trick — so
+        // every file holds exactly one slice of one bucket and the
+        // re-lifted footer stats stay one-slice tight; the (__b, __z)
+        // sort satisfies the writer's partition-column ordering (no
+        // order-destroying extra sort) and keeps row groups tight too.
+        val z = Layout.zValue(dims.map { case (c, r) => (col(c), r) }, bits)
+        val domain = BigInt(1) << (dims.size * bits)
+        val width = ((domain + fpb - 1) / fpb).toLong
+        val parts = nBuckets * fpb
+        val tokens = array(Layout.bijectiveTokens(spark, parts).map(lit): _*)
+        df.withColumn("__b", bucketOf(col(k)))
+          .withColumn("__z", z)
+          .withColumn("__t", element_at(tokens,
+            col("__b") * lit(fpb) + expr(s"__z DIV ${width}L").cast("int")
+              + lit(1)))
+          .repartition(parts, col("__t"))
+          .sortWithinPartitions(col("__b"), col("__z"))
+          .drop("__z", "__t")
+      case (Some(k), _) =>
         df.withColumn("__b", bucketOf(col(k))).repartition(nBuckets, col("__b"))
-      case None => df.withColumn("__b", lit(0))
+      case (None, _) => df.withColumn("__b", lit(0))
     }
     bucketed.write.format(meta.format).mode("errorifexists")
       .partitionBy("__b").save(tmpDir.toString)
@@ -764,6 +856,17 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
                 now
               }
             if (now - expiredAt >= vacuumRetentionMs) f.delete(bdir.getPath, true)
+          } else {
+            // a racing vacuum can tombstone a commit's dirs between its
+            // data rename and manifest publish — and land AFTER that
+            // commit's clearTombstones swept. A tombstone on a dir that
+            // is REFERENCED now is stale by definition: drop it here so
+            // a later genuine expiry starts a fresh retention clock
+            // instead of inheriting the pre-publish epoch and deleting
+            // early under a pinned reader.
+            val tomb = new Path(bdir.getPath, "_expired_at")
+            try { if (f.exists(tomb)) f.delete(tomb, false) }
+            catch { case scala.util.control.NonFatal(_) => () }
           }
         }
         if (f.listStatus(commit.getPath).isEmpty) f.delete(commit.getPath, true)
@@ -827,6 +930,13 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
 }
 
 object MergeSnapshotStore {
+  /** Filesystem schemes whose rename OVERWRITES an existing destination
+   * (object stores emulating rename as copy+delete) — the manifest CAS
+   * degrades to advisory there; see the publish warning. */
+  private[catalog] val OverwritingRenameSchemes = Set("s3", "s3a", "s3n", "gs", "oss")
+  private[catalog] val warnedSchemes =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** Outcome of reading a tombstone. `Garbled` (missing / empty /
    * unparseable — a crashed writer's debris) is safe to repair by
    * overwriting; `Unreadable` (any other I/O failure) means the file may

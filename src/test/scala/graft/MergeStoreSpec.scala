@@ -1101,4 +1101,113 @@ class MergeStoreSpec extends AnyFunSuite with SparkFixture {
     val ex = intercept[IllegalStateException](m.commit(chg))
     assert(ex.getMessage.contains("already fully applied"))
   }
+
+  test("a persistent manifest-rename failure surfaces as I/O error, not contention") {
+    import spark.implicits._
+    spark.sparkContext.hadoopConfiguration.setClass("fs.faily.impl",
+      classOf[ManifestRenameFailingFs], classOf[org.apache.hadoop.fs.FileSystem])
+    val store = mkStore(nBuckets = 4)
+    val dir = Files.createTempDirectory("graft-faily").toString
+    store.catalog.register(TableMeta("mdb", "faily", s"faily://$dir",
+      primaryKey = Some("id")))
+    // the non-local publish path renames; this fs fails EVERY manifest
+    // rename while leaving the version untaken — before the fix the CAS
+    // loop burned all attempts and misreported writer contention
+    val err = intercept[java.io.IOException] {
+      store.overwrite("mdb", "faily", Seq((1L, 1.0)).toDF("id", "v"))
+    }
+    assert(err.getMessage.contains("not writer contention"),
+      s"expected the real I/O cause, got: ${err.getMessage}")
+  }
+
+  test("vacuum resets a stale tombstone on a dir that is currently referenced") {
+    import spark.implicits._
+    val store = mkStore(nBuckets = 2, keep = 2, retentionMs = 60L * 60 * 1000)
+    val meta = register(store, "mdb", "tmb", "id")
+    store.overwrite("mdb", "tmb", Seq((1L, 1.0)).toDF("id", "v"))
+    val v0 = store.latestVersion("mdb", "tmb")
+    val dir0 = store.manifestEntries("mdb", "tmb", v0).values.head
+    // simulate the racing vacuum that tombstoned this commit's dir
+    // between its data rename and manifest publish, landing AFTER
+    // clearTombstones swept: a stale epoch-0 tombstone on a LIVE dir
+    val tomb = new org.apache.hadoop.fs.Path(s"${meta.location}/$dir0/_expired_at")
+    val f = tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = f.create(tomb, true)
+    try out.write("0".getBytes("UTF-8")) finally out.close()
+    // the next commit's vacuum sees the dir still referenced and must
+    // DROP the stale tombstone — leaving it would let a later genuine
+    // expiry inherit epoch 0 and delete under pinned readers instantly
+    store.overwrite("mdb", "tmb", Seq((2L, 2.0)).toDF("id", "v"))
+    assert(!f.exists(tomb),
+      "stale tombstone on a referenced dir survived the vacuum pass")
+  }
+
+  test("cluster-on-compact: scattered buckets regain their prune fraction") {
+    import spark.implicits._
+    val store = mkStore(nBuckets = 4)
+    register(store, "mdb", "aged", "id")
+    // scattered arrival: values interleave across the id space, so each
+    // bucket's single file spans the WHOLE value range — the aged-table
+    // shape where per-file stats stop pruning anything
+    val rows = (0 until 1024).map(i => (i.toLong, ((i * 37) % 1024).toDouble))
+    store.overwrite("mdb", "aged", rows.toDF("id", "v"))
+    def planned(lo: Double, hi: Double): (Int, Int) = {
+      val got = store.readRange("mdb", "aged", Map("v" -> ((lo, hi))))
+      (got.inputFiles.length, store.read("mdb", "aged").inputFiles.length)
+    }
+    def exact(lo: Double, hi: Double): Unit = {
+      val got = store.readRange("mdb", "aged", Map("v" -> ((lo, hi))))
+      val want = store.read("mdb", "aged")
+        .filter(col("v") >= lo && col("v") <= hi)
+      assert(got.exceptAll(want).count() == 0 &&
+        want.exceptAll(got).count() == 0, s"range [$lo,$hi] drifted")
+    }
+    val (before, beforeTotal) = planned(100.0, 150.0)
+    assert(before == beforeTotal,
+      "the scattered fixture must leave stats unable to prune")
+    exact(100.0, 150.0)
+    // v is uniform over [0,1023]: 4 slices/bucket cut it into 256-wide
+    // disjoint slices, so a 51-wide range lives in ONE slice per bucket
+    store.compactClustered("mdb", "aged", Seq("v" -> None),
+      filesPerBucket = 4)
+    val (after, total) = planned(100.0, 150.0)
+    assert(total == 16, s"expected 4 buckets x 4 slice files, got $total")
+    assert(after.toDouble / total < before.toDouble / beforeTotal,
+      s"prune fraction did not improve: $after/$total vs $before/$beforeTotal")
+    assert(after <= 4, s"a one-slice range should plan <=1 file/bucket: $after")
+    exact(100.0, 150.0)
+    exact(1000.0, 1023.0)
+    // PK bucketing survived the clustered rewrite: point lookups stay
+    // exact and bucket-pruned
+    val pl = store.pointLookup("mdb", "aged", Seq(7L).toDF("id"))
+    assert(pl.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      Seq((7L, ((7 * 37) % 1024).toDouble)))
+    assert(pl.inputFiles.length <= 4,
+      "lookup should plan only one bucket's slice files")
+    // stats stay consistent through a later scoped merge + vacuum: the
+    // touched bucket rewrites (one file again), carried buckets keep
+    // their clustered slice stats by reference
+    store.mergeScoped("mdb", "aged", Seq(5L).toDF("id")) { bucketRows =>
+      bucketRows.withColumn("v",
+        when(col("id") === 5L, lit(2000.0)).otherwise(col("v")))
+    }
+    exact(100.0, 150.0)
+    exact(1999.0, 2001.0)
+    val (after2, total2) = planned(100.0, 150.0)
+    assert(after2.toDouble / total2 < 1.0,
+      "carried buckets must keep pruning after a scoped merge")
+  }
+}
+
+/** A local filesystem whose RENAME fails for manifest destinations only
+ * (data commits and committer renames pass) while `exists` stays honest —
+ * the "flaky connector / permission wall" shape the publish path must
+ * report as an I/O failure, never as writer contention. Top-level class:
+ * Hadoop instantiates filesystems reflectively. */
+class ManifestRenameFailingFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("faily:///")
+  override def getScheme: String = "faily"
+  override def rename(src: org.apache.hadoop.fs.Path,
+                      dst: org.apache.hadoop.fs.Path): Boolean =
+    if (dst.getName.endsWith(".manifest")) false else super.rename(src, dst)
 }
