@@ -1775,6 +1775,29 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // date-range data skipping (the CDC workload's natural predicate):
+    // DATE columns carry footer min/max as int32 days since epoch, the
+    // manifest lifts them into the same double space, and a time-window
+    // read plans only the overlapping files — the exact predicate
+    // re-types the bounds into DATE literals so it stays pushed into
+    // the scan; oracle = the plain full-scan date filter
+    "q59_store_date_scan" -> ((s, d) => {
+      import graft.catalog.{InMemoryCatalog, MergeSnapshotStore, TableMeta}
+      val orders = t(s, d, "orders").select(col("o_orderkey"),
+          col("o_orderdate").cast("date").as("o_date"),
+          col("o_orderpriority"))
+        .repartitionByRange(16, col("o_date"))
+      val work = java.nio.file.Files.createTempDirectory("graft-q59").toString
+      val cat = new InMemoryCatalog
+      cat.register(TableMeta("q59", "orders", s"$work/orders"))
+      val store = new MergeSnapshotStore(s, cat, nBuckets = 32)
+      store.overwrite("q59", "orders", orders)
+      val lo = java.time.LocalDate.of(1996, 1, 1).toEpochDay.toDouble
+      val hi = java.time.LocalDate.of(1996, 12, 31).toEpochDay.toDouble
+      store.readRange("q59", "orders", Map("o_date" -> ((lo, hi))))
+        .orderBy("o_orderkey")
+    }),
+
     // distinct-count IVM through the multiplicity auxiliary view:
     // COUNT(DISTINCT v) is not self-maintainable (deleting a value
     // can't tell last-copy-gone from duplicates-remain), but the
@@ -3968,6 +3991,16 @@ object SparkEntry {
          FROM orders
          WHERE CAST(round(o_totalprice * 100) AS BIGINT)
                BETWEEN 5000000 AND 15000000
+         ORDER BY o_orderkey""",
+
+    // the store's date-stats-pruned window read must equal the plain
+    // full-scan date filter
+    "q59_store_date_scan" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
+                o_orderpriority
+         FROM orders
+         WHERE CAST(o_orderdate AS DATE)
+               BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
          ORDER BY o_orderkey""",
 
     // the maintained distinct count must equal the from-scratch

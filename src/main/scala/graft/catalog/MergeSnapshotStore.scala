@@ -7,7 +7,7 @@ import scala.collection.immutable.SortedMap
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{array, col, element_at, expr, hash, input_file_name, isnan, lit, max, min, pmod, when}
-import org.apache.spark.sql.types.{DataType, NumericType, StructType}
+import org.apache.spark.sql.types.{DataType, DateType, NumericType, StructType, TimestampType}
 
 /**
  * Incremental MERGE-style table store: the scale answer to the reference's
@@ -396,8 +396,24 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
           }
         }
       }
+      // the exact predicate re-types the epoch-based double bounds into
+      // the column's own literal space (a date/timestamp literal keeps
+      // the comparison PUSHED into the parquet scan, where a promoted
+      // `unix_date(col) >= x` function-of-column form would not); dates
+      // are integral, so the bound tightens to [ceil(lo), floor(hi)]
       val pred = ranges.map { case (c, (lo, hi)) =>
-        col(c) >= lit(lo) && col(c) <= lit(hi)
+        m.schema(c).dataType match {
+          case DateType =>
+            val (dlo, dhi) = (math.ceil(lo).toLong, math.floor(hi).toLong)
+            col(c) >= lit(java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(dlo))) &&
+              col(c) <= lit(java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(dhi)))
+          case TimestampType =>
+            def ts(micros: Long) = java.time.Instant.ofEpochSecond(
+              Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L)
+            col(c) >= lit(ts(math.ceil(lo).toLong)) &&
+              col(c) <= lit(ts(math.floor(hi).toLong))
+          case _ => col(c) >= lit(lo) && col(c) <= lit(hi)
+        }
       }.reduce(_ && _)
       if (keep.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -712,7 +728,8 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     val statCols =
       if (meta.properties.get(MergeSnapshotStore.StatsProp).contains("false")) Nil
       else df.schema.fields.toSeq
-        .filter(sf => sf.name != "__b" && sf.dataType.isInstanceOf[NumericType])
+        .filter(sf => sf.name != "__b" && (sf.dataType.isInstanceOf[NumericType] ||
+          sf.dataType == DateType || sf.dataType == TimestampType))
         .map(_.name)
     val stats: Map[String, Seq[ColStat]] =
       if (statCols.isEmpty || found.isEmpty) Map.empty
@@ -764,7 +781,13 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
         // all-NaN column yields no stats line — conservative keep.
         val written = spark.read.format(meta.format).load(dataDir.toString)
         def finite(c: String) = {
-          val d = col(c).cast("double")
+          // temporal columns measure in the same epoch-based double
+          // space the footer path and the promoted predicate use
+          val d = written.schema(c).dataType match {
+            case DateType => org.apache.spark.sql.functions.unix_date(col(c)).cast("double")
+            case TimestampType => org.apache.spark.sql.functions.unix_micros(col(c)).cast("double")
+            case _ => col(c).cast("double")
+          }
           when(!isnan(d), d)
         }
         val aggs = statCols.flatMap(c => Seq(min(finite(c)), max(finite(c))))
@@ -1066,9 +1089,29 @@ object MergeSnapshotStore {
 
   /** One footer bound in double space — exact within ±2^53, the same
    * rounding the promoted range predicate applies (the [[Layout]]
-   * contract), so pruning stays self-consistent. */
+   * contract), so pruning stays self-consistent. Temporal logical
+   * types map to the EPOCH-BASED double space the read side promotes
+   * to: DATE int32 is already days since epoch (the generic int path),
+   * TIMESTAMP int64 normalizes to MICROS (MILLIS rescale exactly;
+   * NANOS and legacy INT96 yield None — Spark cannot read the former
+   * as timestamp and the latter's stats are unordered binary — so such
+   * columns get no stats line and reads conservatively keep the file). */
   private def boundToDouble(cc: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData,
                             v: AnyRef): Option[Double] = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+    cc.getPrimitiveType.getLogicalTypeAnnotation match {
+      case t: org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+        (v, t.getUnit) match {
+          case (l: java.lang.Long, TimeUnit.MICROS) => Some(l.doubleValue)
+          case (l: java.lang.Long, TimeUnit.MILLIS) => Some(l.doubleValue * 1000d)
+          case _ => None
+        }
+      case _ => boundToDoubleScaled(cc, v)
+    }
+  }
+
+  private def boundToDoubleScaled(cc: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData,
+                                  v: AnyRef): Option[Double] = {
     val scale = cc.getPrimitiveType.getLogicalTypeAnnotation match {
       case d: org.apache.parquet.schema.LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
         Some(d.getScale)

@@ -1102,6 +1102,55 @@ class MergeStoreSpec extends AnyFunSuite with SparkFixture {
     assert(ex.getMessage.contains("already fully applied"))
   }
 
+  test("temporal footer stats: date and micros-timestamp windows prune files") {
+    import spark.implicits._
+    val store = mkStore(nBuckets = 4)
+    // PK-less table: writeData keeps the range partitioning, so 8 files
+    // hold contiguous date slices — the shape time-window pruning bites
+    store.catalog.register(TableMeta("mdb", "evts",
+      Files.createTempDirectory("graft-evts").toString))
+    def fixture = spark.range(0, 800).select(col("id"),
+        date_add(to_date(lit("1995-01-01")), col("id").cast("int")).as("d"))
+      .withColumn("ts", col("d").cast("timestamp"))
+      .repartitionByRange(8, col("id"))
+    val tsType = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    try {
+      spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      store.overwrite("mdb", "evts", fixture)
+    } finally spark.conf.set("spark.sql.parquet.outputTimestampType", tsType)
+    val total = store.read("mdb", "evts").inputFiles.length
+    assert(total == 8, s"expected 8 range files, got $total")
+    // DATE window: ~30 of 800 days -> at most 2 of 8 files planned
+    def day(s: String) = java.time.LocalDate.parse(s).toEpochDay.toDouble
+    val gotD = store.readRange("mdb", "evts",
+      Map("d" -> ((day("1995-02-01"), day("1995-03-02")))))
+    val wantD = store.read("mdb", "evts").filter(
+      col("d") >= lit("1995-02-01") && col("d") <= lit("1995-03-02"))
+    assert(gotD.exceptAll(wantD).count() == 0 &&
+      wantD.exceptAll(gotD).count() == 0 && gotD.count() == 30)
+    assert(gotD.inputFiles.length <= 2,
+      s"date window failed to prune: ${gotD.inputFiles.length} of $total")
+    // TIMESTAMP window (micros since epoch): same pruning, same rows
+    def micros(s: String) =
+      java.time.LocalDate.parse(s).toEpochDay.toDouble * 86400d * 1e6
+    val gotT = store.readRange("mdb", "evts",
+      Map("ts" -> ((micros("1995-02-01"), micros("1995-03-02")))))
+    assert(gotT.exceptAll(wantD.select(wantD.columns.map(col).toIndexedSeq: _*))
+      .count() == 0 && gotT.count() == 30)
+    assert(gotT.inputFiles.length <= 2,
+      s"timestamp window failed to prune: ${gotT.inputFiles.length} of $total")
+    // legacy INT96 timestamps (the session default) carry no orderable
+    // stats: reads stay CORRECT, files conservatively all kept
+    store.catalog.register(TableMeta("mdb", "evts96",
+      Files.createTempDirectory("graft-evts96").toString))
+    store.overwrite("mdb", "evts96", fixture)
+    val got96 = store.readRange("mdb", "evts96",
+      Map("ts" -> ((micros("1995-02-01"), micros("1995-03-02")))))
+    assert(got96.count() == 30, "INT96 read must stay exact")
+    assert(got96.inputFiles.length == 8,
+      "INT96 stats are unusable — pruning would be unsound")
+  }
+
   test("a persistent manifest-rename failure surfaces as I/O error, not contention") {
     import spark.implicits._
     spark.sparkContext.hadoopConfiguration.setClass("fs.faily.impl",

@@ -1977,6 +1977,48 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
       (6L, "fr", Seq(1000L, 2000L))))
   }
 
+  test("bm25IndexSpecs fold path: fresh frames per closure, maintained == rebuild") {
+    import spark.implicits._
+    import graft.operators.{Ivm, Materialize}
+    // every closure gets a FRESH frame (new identity each call), so the
+    // WeakHashMap tokenize memo can never hit — this pins the memo as a
+    // pure optimization: correctness must not depend on the registry
+    // handing all closures the same cut frame
+    def mkBase() = Seq(
+      (1L, "alpha beta"), (2L, "beta gamma"), (3L, "gamma delta"),
+      (4L, "delta")).toDF("doc_id", "text")
+    def mkNew() = Seq(
+      (1L, "alpha beta"), (2L, "beta gamma updated"),
+      (4L, "delta"), (5L, "new doc epsilon")).toDF("doc_id", "text")
+    // an update, an insert, a delete, and a MISDECLARED insert for an
+    // existing doc (same content) — the remove-then-reinsert discipline
+    // the folds document must absorb it without doubling rows
+    def mkChg() = Seq(
+      (2L, "beta gamma updated", "U"), (5L, "new doc epsilon", "I"),
+      (3L, null.asInstanceOf[String], "D"), (1L, "alpha beta", "I")
+    ).toDF("doc_id", "text", "change")
+    val specs = TextAnalysis.bm25IndexSpecs("fp", "doc_id", "text")
+    assert(specs.size == 4)
+    def rowsOf(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    try {
+      specs.foreach { a: Ivm.MaintainedAgg =>
+        val seeded = a.seed(mkBase())
+        val folded = a.fold(seeded, mkBase(), mkNew(), mkChg(), Seq("doc_id"))
+        val rebuilt = a.seed(mkNew())
+        assert(rowsOf(folded) == rowsOf(rebuilt),
+          s"${a.table}: fold over fresh frames drifted from the rebuild")
+        // the scope closure also works on fresh frames and stays
+        // delta-sized (never the whole key/term space)
+        a.scope.foreach { sc =>
+          val s = sc(mkBase(), mkNew(), mkChg(), Seq("doc_id"))
+          assert(s.count() > 0 && s.count() < 12,
+            s"${a.table}: scope should be delta-sized")
+        }
+      }
+    } finally Materialize.releaseAll()
+  }
+
   test("unigramTrain: hand-computed seed, expectation counts, prune rounds") {
     import spark.implicits._
     val corpus = Seq((0L, "abab ab"), (1L, "abab cd")).toDF("doc_id", "text")
