@@ -1287,9 +1287,15 @@ object SparkEntry {
       // the BUCKETED form: edges+degrees persist once keyed by src, so
       // all 5 rounds join the corpus-scale edge side exchange-free —
       // ranks bit-equal to the plain loop (integer micro-units), which
-      // is exactly what the unrolled oracle computes
+      // is exactly what the unrolled oracle computes. 8 buckets: the
+      // fixture graph has 97 nodes, so more would just multiply tiny
+      // files (bucket count scales with the EDGE table, not a constant).
+      // Bench note: vs the r13 plain form this carries ~1s of FIXED cost
+      // (the bucketed-table write + per-round table resolution) that the
+      // 97-node fixture cannot amortize — the deliberate trade for the
+      // persisted, never-reshuffled edge index the 100 TB form needs
       Graphs.pageRankMicroBucketed(s, edges, "src", "dst", iterations = 5,
-          table = "graft_q57_edges")
+          buckets = 8, table = "graft_q57_edges")
         .orderBy("node")
     }),
 

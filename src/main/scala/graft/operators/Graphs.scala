@@ -110,18 +110,24 @@ object Graphs {
       "iterations must be in [1, 50] — a config-scale round count")
     require(dampingPct >= 0 && dampingPct <= 100, "dampingPct is a percentage")
     require(buckets >= 1, "buckets must be >= 1")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .na.drop().distinct()
+    // cut the deduplicated edges once: the degree join reads them twice
+    // and recomputing the distinct would scan the source three times
+    val e = Materialize.eager(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .na.drop().distinct())
     val path = java.nio.file.Files
       .createTempDirectory("graft-pr-edges").toString
     graft.catalog.Bucketing.writeBucketed(
       e.join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src"),
       table, path, "src", buckets)
     val eo = spark.table(table)
-    val nodes = eo.select(col("src").as("node"))
-      .unionByName(eo.select(col("dst").as("node"))).distinct()
+    // seed ranks from the still-cut edge frame (one pass over in-memory
+    // blocks) rather than re-scanning the freshly-written table twice
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
     var ranks = Materialize.eager(
       nodes.withColumn("rank_micro", lit(1000000L)))
+    Materialize.release(e) // the bucketed table IS the persisted form
     for (_ <- 1 to iterations) {
       val next = Materialize.eager(iteration(eo, ranks, dampingPct))
       Materialize.release(ranks)
