@@ -636,8 +636,26 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
       s"compactClustered keeps PK bucketing — ${meta.qualified} has no PK " +
         "(PK-less tables: write through Layout.writeClustered instead)")
     val df = read(db, table)
-    val resolved = Layout.resolveRanges(df, dims)
+    // range inference runs over the dims PROMOTED into the manifest's
+    // epoch-based double space (dates as days, timestamps as micros) —
+    // the same space readRange prunes in, so "cluster the event table
+    // by time" and time-window reads speak one coordinate system. A
+    // raw date would not even cast to double; a raw timestamp would
+    // silently land in SECONDS and disagree with the micros stats.
+    val shadow = df.select(dims.map { case (c, _) =>
+      promoted(col(c), df.schema(c).dataType).as(c) }: _*)
+    val resolved = Layout.resolveRanges(shadow, dims)
     overwriteWith(meta, df, Some((resolved, bits, filesPerBucket)))
+  }
+
+  /** A column promoted into the manifest's epoch-based double space —
+   * the shared coordinate system of footer stats, promoted range
+   * predicates, and cluster layouts. */
+  private def promoted(c: Column, dt: DataType): Column = dt match {
+    case DateType => org.apache.spark.sql.functions.unix_date(c).cast("double")
+    case TimestampType =>
+      org.apache.spark.sql.functions.unix_micros(c).cast("double")
+    case _ => c
   }
 
   /** Write `df` grouped by PK bucket under data/c<next>; returns the
@@ -692,7 +710,8 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
         // re-lifted footer stats stay one-slice tight; the (__b, __z)
         // sort satisfies the writer's partition-column ordering (no
         // order-destroying extra sort) and keeps row groups tight too.
-        val z = Layout.zValue(dims.map { case (c, r) => (col(c), r) }, bits)
+        val z = Layout.zValue(dims.map { case (c, r) =>
+          (promoted(col(c), df.schema(c).dataType), r) }, bits)
         val domain = BigInt(1) << (dims.size * bits)
         val width = ((domain + fpb - 1) / fpb).toLong
         val parts = nBuckets * fpb

@@ -1151,6 +1151,40 @@ class MergeStoreSpec extends AnyFunSuite with SparkFixture {
       "INT96 stats are unusable — pruning would be unsound")
   }
 
+  test("cluster-on-compact by DATE: time windows prune in the epoch double space") {
+    import spark.implicits._
+    val store = mkStore(nBuckets = 2)
+    register(store, "mdb", "dtevts", "id")
+    // dates arrive scattered: each bucket's single file spans the whole
+    // 400-day range, so a time-window read initially plans every file
+    val rows = (0 until 800).map { i =>
+      (i.toLong, java.sql.Date.valueOf(
+        java.time.LocalDate.parse("1995-01-01").plusDays((i * 37) % 400)))
+    }
+    store.overwrite("mdb", "dtevts", rows.toDF("id", "d"))
+    def day(s: String) = java.time.LocalDate.parse(s).toEpochDay.toDouble
+    def window(lo: String, hi: String) =
+      store.readRange("mdb", "dtevts", Map("d" -> ((day(lo), day(hi)))))
+    def wantWindow(lo: String, hi: String) =
+      store.read("mdb", "dtevts")
+        .filter(col("d") >= lit(lo).cast("date") && col("d") <= lit(hi).cast("date"))
+    val before = window("1995-02-01", "1995-03-02")
+    assert(before.inputFiles.length ==
+      store.read("mdb", "dtevts").inputFiles.length)
+    // a raw DATE cannot even cast to double — this proves the promotion
+    // path, not just the layout
+    store.compactClustered("mdb", "dtevts", Seq("d" -> None),
+      filesPerBucket = 4)
+    val total = store.read("mdb", "dtevts").inputFiles.length
+    assert(total == 8, s"expected 2 buckets x 4 slices, got $total")
+    val after = window("1995-02-01", "1995-03-02")
+    val want = wantWindow("1995-02-01", "1995-03-02")
+    assert(after.exceptAll(want).count() == 0 &&
+      want.exceptAll(after).count() == 0 && after.count() > 0)
+    assert(after.inputFiles.length <= 2,
+      s"a 30-of-400-day window should plan ~1 slice/bucket: ${after.inputFiles.length}")
+  }
+
   test("a persistent manifest-rename failure surfaces as I/O error, not contention") {
     import spark.implicits._
     spark.sparkContext.hadoopConfiguration.setClass("fs.faily.impl",
