@@ -1577,6 +1577,19 @@ object SparkEntry {
           maxPieceLen = 4)
         .orderBy("doc_id")),
 
+    // DSIR data selection: raw docs (doc_id % 7 != 0) scored by the
+    // hashed-bigram importance ratio against the % 7 == 0 "target
+    // domain" sample, top-200 kept — the oracle replays the 16-bit
+    // md5 bucket hash, both smoothed bucket models, and the micro-fixed
+    // log ratio; the pure top-k form, so key_micro == weight_micro
+    "t35_dsir_select" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      TextAnalysis.importanceResample(
+        docs.filter(col("doc_id") % 7 =!= 0),
+        docs.filter(col("doc_id") % 7 === 0),
+        "doc_id", "text", k = 200)
+    }),
+
     // quality-weighted (importance) sampling: each doc's keep
     // probability is its own quality score — the per-row md5 threshold
     // generalizes the stratified sampler; the oracle recomputes the
@@ -3586,6 +3599,40 @@ object SparkEntry {
                 CAST(count(*) AS BIGINT) AS n_pieces
          FROM dw JOIN wp ON wp.w = dw.w
          GROUP BY dw.doc_id ORDER BY dw.doc_id""",
+
+    // both smoothed hashed-bigram bucket models, the micro-fixed log
+    // ratio, and the (key desc, doc_id) top-k replayed exactly
+    "t35_dsir_select" -> (NormCte + s""",
+         tk AS (SELECT doc_id, string_split(t, ' ') AS ts FROM n),
+         ex AS (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 1)) AS i
+                FROM tk WHERE len(ts) >= 2),
+         fb AS (SELECT doc_id,
+                       (${hex16Sql("ts[i] || ':' || ts[i + 1]")}) % 256 AS b,
+                       CAST(count(*) AS BIGINT) AS n_db
+                FROM ex GROUP BY 1, 2),
+         tgt AS (SELECT b, sum(n_db) AS ct FROM fb WHERE doc_id % 7 = 0
+                 GROUP BY 1),
+         rawf AS (SELECT doc_id, b, n_db FROM fb WHERE doc_id % 7 <> 0),
+         rc AS (SELECT b, sum(n_db) AS cr FROM rawf GROUP BY 1),
+         tt AS (SELECT coalesce(sum(ct), 0) AS tt FROM tgt),
+         tr AS (SELECT coalesce(sum(cr), 0) AS tr FROM rc),
+         ids AS (SELECT unnest(generate_series(0, 255)) AS b),
+         ll AS (SELECT ids.b,
+                  CAST(floor(ln(((coalesce(ct, 0) + 1.0) * (tr + 256)) /
+                                ((coalesce(cr, 0) + 1.0) * (tt + 256)))
+                       * 1000000.0 + 0.5) AS BIGINT) AS dll
+                FROM ids LEFT JOIN tgt ON tgt.b = ids.b
+                LEFT JOIN rc ON rc.b = ids.b
+                CROSS JOIN tt CROSS JOIN tr),
+         sc AS (SELECT rawf.doc_id, CAST(sum(n_db * dll) AS BIGINT) AS weight_micro,
+                       CAST(sum(n_db) AS BIGINT) AS n_feats
+                FROM rawf JOIN ll ON ll.b = rawf.b GROUP BY 1)
+         SELECT n.doc_id, coalesce(weight_micro, 0) AS weight_micro,
+                coalesce(n_feats, 0) AS n_feats,
+                coalesce(weight_micro, 0) AS key_micro
+         FROM n LEFT JOIN sc ON sc.doc_id = n.doc_id
+         WHERE n.doc_id % 7 <> 0
+         ORDER BY key_micro DESC, n.doc_id LIMIT 200"""),
 
     // the bucket grid and both 16-bit md5 hashes (span length, in-
     // bucket offset) replayed nibble by nibble

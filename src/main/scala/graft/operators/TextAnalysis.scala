@@ -1741,6 +1741,107 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_tris"), col("logp_micro_sum"))
   }
 
+  // ------------------------------------------------- DSIR data selection
+
+  /**
+   * DSIR importance weights (Xie et al. 2023, "Data Selection for
+   * Language Models via Importance Resampling", arXiv:2302.03169): each
+   * `raw` document scored by how much more likely its HASHED-BIGRAM
+   * feature counts are under the `target` corpus's bucket distribution
+   * than under the raw corpus's own — `Σ_b n_db · ln(p_t(b) / p_r(b))`
+   * with add-one smoothing over the `buckets`-sized hashed feature
+   * space. This is the paper's exact recipe for "select web text that
+   * looks like the target domain" at corpus scale: hashing collapses
+   * the unbounded n-gram vocabulary to a fixed feature space, so the
+   * two language models are `buckets`-row tables however large the
+   * corpora. Returns (id, weight_micro, n_feats); documents too short
+   * for one bigram carry zero evidence (weight 0), deliberately kept so
+   * selection quotas see the whole corpus.
+   *
+   * Determinism contract: each bucket's log-ratio fixes to integer
+   * MICROS (floor(ln·10⁶ + 0.5), the t15/t26 recipe) before being
+   * weighted by the exact integer feature count and summed — long sums
+   * commute, so partitioning cannot drift a weight, and the bucket hash
+   * is the 16-bit md5 slice every sampler in this engine replays.
+   *
+   * Scale shape: each corpus makes ONE tokenize-explode pass into a
+   * (doc, bucket) map-side-combined aggregate (the raw side's is an
+   * eager [[Materialize]] cut — it feeds the model AND the scoring
+   * join); the model tables are `buckets`-bounded aggregates of those;
+   * the per-bucket log-ratio table BROADCASTS into the doc-score join.
+   * Beyond the doc-keyed feature aggregate nothing shuffles at corpus
+   * scale, and selection ([[importanceResample]]) is a global top-k
+   * (TakeOrdered, no full sort).
+   */
+  def importanceWeights(raw: DataFrame, target: DataFrame, idCol: String,
+                        textCol: String, buckets: Int = 256): DataFrame = {
+    require(buckets >= 2 && buckets <= 65536,
+      "buckets must be in [2, 65536] — the 16-bit hash space")
+    def feats(df: DataFrame): DataFrame =
+      df.select(col(idCol).as("__id"), tokens(col(textCol)).as("ts"))
+        .filter(size(col("ts")) >= 2)
+        .select(col("__id"), explode(expr(
+          "transform(sequence(1, size(ts) - 1), " +
+            "i -> concat(ts[i-1], ':', ts[i]))")).as("g"))
+        .select(col("__id"),
+          (conv(substring(md5(col("g").cast("binary")), 1, 4), 16, 10)
+            .cast("long") % buckets).as("b"))
+        .groupBy("__id", "b").agg(count(lit(1)).as("n_db"))
+    val rawF = Materialize.eager(feats(raw))
+    val tgtC = feats(target).groupBy("b").agg(sum("n_db").as("ct"))
+    val rawC = rawF.groupBy("b").agg(sum("n_db").as("cr"))
+    val tTot = tgtC.agg(coalesce(sum("ct"), lit(0L)).as("tt"))
+    val rTot = rawC.agg(coalesce(sum("cr"), lit(0L)).as("tr"))
+    // every bucket id appears, so a bucket unseen on either side still
+    // carries its smoothing prior (an out-of-target feature must PULL
+    // WEIGHT DOWN, not vanish). Expression text mirrored by the oracle.
+    val ids = raw.sparkSession.range(buckets).select(col("id").as("b"))
+    val ll = ids.join(tgtC, Seq("b"), "left").join(rawC, Seq("b"), "left")
+      .crossJoin(broadcast(tTot)).crossJoin(broadcast(rTot))
+      .select(col("b"), floor(log(
+          ((coalesce(col("ct"), lit(0L)) + lit(1.0)) * (col("tr") + lit(buckets))) /
+            ((coalesce(col("cr"), lit(0L)) + lit(1.0)) * (col("tt") + lit(buckets))))
+        * lit(1000000.0) + lit(0.5)).cast("long").as("dll"))
+    val scored = rawF.join(broadcast(ll), Seq("b"))
+      .groupBy("__id")
+      .agg(sum(col("n_db") * col("dll")).as("weight_micro"),
+        sum("n_db").as("n_feats"))
+    raw.select(col(idCol)).join(scored, col(idCol) === col("__id"), "left")
+      .select(col(idCol),
+        coalesce(col("weight_micro"), lit(0L)).as("weight_micro"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"))
+  }
+
+  /**
+   * DSIR selection over [[importanceWeights]]: the top `k` raw documents
+   * by importance, ties broken by id. With `gumbelSeed` set this is the
+   * paper's GUMBEL-TOP-K resampling (sampling without replacement with
+   * probability ∝ the importance ratio): each doc's key is its weight
+   * plus a deterministic md5-derived Gumbel draw — `-ln(-ln(u))` in the
+   * same integer micros, `u` from the 16-bit digest of (id, seed) — so
+   * the "random" selection is bit-reproducible by any engine. Without a
+   * seed the selection is the pure argmax form (the paper's top-k
+   * ablation), whose key equals the weight exactly.
+   */
+  def importanceResample(raw: DataFrame, target: DataFrame, idCol: String,
+                         textCol: String, k: Int, buckets: Int = 256,
+                         gumbelSeed: Option[Long] = None): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val w = importanceWeights(raw, target, idCol, textCol, buckets)
+    val key = gumbelSeed match {
+      case None => col("weight_micro")
+      case Some(s) =>
+        val u = (conv(substring(md5(concat(col(idCol).cast("string"),
+            lit(s":$s:gumbel")).cast("binary")), 1, 4), 16, 10).cast("double")
+          + lit(0.5)) / lit(65536.0)
+        col("weight_micro") +
+          floor(-log(-log(u)) * lit(1000000.0) + lit(0.5)).cast("long")
+    }
+    w.withColumn("key_micro", key)
+      .orderBy(col("key_micro").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   // ------------------------------------------- unigram (SentencePiece) family
 
   /**

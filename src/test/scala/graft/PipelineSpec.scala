@@ -1977,6 +1977,53 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
       (6L, "fr", Seq(1000L, 2000L))))
   }
 
+  test("DSIR selection: target lookalikes rank first; gumbel path deterministic") {
+    import spark.implicits._
+    // target = chemistry-flavored; raw mixes lookalikes, sports text,
+    // and a one-token doc (no bigram evidence at all)
+    val target = Seq(
+      (100L, "acid base reaction yields salt water"),
+      (101L, "acid base titration curve analysis")).toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "acid base reaction in the lab"),
+      (2L, "football season opening match report"),
+      (3L, "acid base chemistry acid base notes"),
+      (4L, "match report from the stadium"),
+      (5L, "word")).toDF("doc_id", "text")
+    val w = TextAnalysis.importanceWeights(raw, target, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.operators.Materialize.releaseAll()
+    assert(w.keySet == Set(1L, 2L, 3L, 4L, 5L), "every raw doc is scored")
+    assert(w(5L) == 0L, "a doc with no bigram carries zero evidence")
+    assert(Seq(1L, 3L).map(w).min > Seq(2L, 4L).map(w).max,
+      s"lookalikes must outscore off-domain docs: $w")
+    val picked = TextAnalysis.importanceResample(raw, target, "doc_id",
+        "text", k = 2)
+      .collect().map(_.getLong(0)).toSet
+    graft.operators.Materialize.releaseAll()
+    // selection IS the weights' top-k (ties by id) — computed from the
+    // weights themselves, because with a tiny target the add-one prior
+    // legitimately leaves some in-domain docs below the zero-evidence
+    // floor (the real DSIR smoothing artifact, not a bug to paper over)
+    val expected = w.toSeq.sortBy { case (id, wt) => (-wt, id) }
+      .take(2).map(_._1).toSet
+    assert(picked == expected, s"selection $picked != weight top-2 $expected")
+    // the gumbel form is deterministic under a fixed seed and changes
+    // only the ORDER evidence ties would leave ambiguous — rerunning
+    // yields the identical selection
+    def gum() = {
+      val out = TextAnalysis.importanceResample(raw, target, "doc_id",
+          "text", k = 3, gumbelSeed = Some(42L))
+        .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+      graft.operators.Materialize.releaseAll()
+      out
+    }
+    val g1 = gum()
+    assert(g1 == gum(), "seeded gumbel selection must be bit-stable")
+    // the perturbed key really differs from the raw weight (noise landed)
+    assert(g1.exists { case (id, key) => key != w(id) })
+  }
+
   test("bm25IndexSpecs fold path: fresh frames per closure, maintained == rebuild") {
     import spark.implicits._
     import graft.operators.{Ivm, Materialize}
