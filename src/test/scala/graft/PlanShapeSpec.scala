@@ -44,14 +44,28 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("d10 mixture sample: one pushed-filter scan plus the output sort") {
-    val p = plan("d10_mixture_sample")
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val df = SparkEntry.queries("d10_mixture_sample")(spark, sf)
+    val p = planOf(df)
     assert(scans(p) == 1, s"expected a single corpus scan:\n$p")
     // the md5 keep-rule must reach the scan NODE as a data filter — a
     // plan-wide contains() would also match a post-scan Filter over a
-    // full read, the exact regression this pins against
-    val scanLine = p.linesIterator.find(_.contains("FileScan")).get
-    assert(scanLine.contains("md5"),
-      s"keep filter did not reach the scan node: $scanLine")
+    // full read. Asserted on the scan exec's REAL dataFilters, not the
+    // display string (whose metadata sections Spark truncates at
+    // spark.sql.maxMetadataStringLength — the q48 lesson).
+    def deep(x: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] = {
+      val here = x match { case f: FileSourceScanExec => Seq(f); case _ => Nil }
+      val kids = x match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      here ++ kids.flatMap(deep)
+    }
+    val fscans = deep(df.queryExecution.executedPlan)
+    assert(fscans.exists(_.dataFilters.exists(_.toString.contains("md5"))),
+      s"keep filter did not reach the scan node:\n$p")
     assert(shuffles(p) == 1, s"only the orderBy may shuffle:\n$p")
   }
 
