@@ -1879,7 +1879,12 @@ object TextAnalysis {
    * driver rounds, the Lloyd's-iteration pattern; each round's
    * vocabulary is an eager [[Materialize]] cut released when its
    * successor exists. The greedy fold itself is a codegen'd `aggregate`
-   * HOF over the position array — no UDF, no mapPartitions.
+   * HOF over the position array — no UDF, no mapPartitions. Per-word
+   * cost grows with |word|·maxPieceLen (candidates) and |word| (the
+   * fold array), so pathological mega-tokens — megabyte unbroken
+   * "words" in raw crawl text — should be dropped by the standard
+   * length/quality gates upstream (t07–t11), exactly as production
+   * tokenizer-training pipelines do before SentencePiece.
    *
    * Returns the final vocabulary as (piece, cnt, rank): `cnt` the last
    * round's expectation count, `rank` dense 1..n by (cnt desc, piece asc).
