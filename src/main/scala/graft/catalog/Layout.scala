@@ -141,9 +141,22 @@ object Layout {
     dims.map { case (c, ro) => c -> ro.getOrElse(inferred(c)) }
   }
 
+  /** The equal-width slice id of a z-value — the ONE home of the
+   * domain/width math [[clusterByZ]] and the store's cluster-on-compact
+   * both route files through, so the two layouts can never
+   * desynchronize. `zCol` must NAME a column: integer `DIV` needs the
+   * SQL form (`/` is double division and loses exactness past 2^53,
+   * which d·bits <= 63 permits). */
+  private[graft] def sliceOf(zCol: String, d: Int, bits: Int,
+                             files: Int): Column = {
+    val domain = BigInt(1) << (d * bits)
+    val width = ((domain + files - 1) / files).toLong
+    expr(s"$zCol DIV ${width}L").cast("int")
+  }
+
   /** [[cluster]]'s partition-and-sort tail given the z column — shared
-   * with the store's cluster-on-compact, which composes the same slice
-   * rule with its PK buckets. */
+   * with the store's cluster-on-compact, which composes the same
+   * [[sliceOf]] rule with its PK buckets. */
   private[graft] def clusterByZ(df: DataFrame, z: Column, d: Int,
                                 files: Int, bits: Int): DataFrame = {
     // Partition by EQUAL-WIDTH z ranges, not repartitionByRange: range
@@ -160,8 +173,6 @@ object Layout {
       df.withColumn("__z", z).repartition(1).sortWithinPartitions(col("__z"))
         .drop("__z")
     else {
-      val domain = BigInt(1) << (d * bits)
-      val width = ((domain + files - 1) / files).toLong
       // __p (the target file id) must land in ITS OWN shuffle partition.
       // Hash partitioning would collide distinct ids into one task (a
       // file then spans two disjoint z ranges — twice-wide stats), so
@@ -171,9 +182,8 @@ object Layout {
       // exact, still one shuffle, no sampling.
       val tokens = array(bijectiveTokens(df.sparkSession, files).map(lit): _*)
       df.withColumn("__z", z)
-        .withColumn("__t", // integer DIV: `/` is double division and
-          // loses exactness past 2^53, which D*bits <= 63 permits
-          element_at(tokens, expr(s"__z DIV ${width}L").cast("int") + 1))
+        .withColumn("__t",
+          element_at(tokens, sliceOf("__z", d, bits, files) + 1))
         .repartition(files, col("__t"))
         .sortWithinPartitions(col("__z"))
         .drop("__z", "__t")

@@ -447,16 +447,33 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
   /** The overwrite commit body, with an optional cluster layout for
    * [[compactClustered]] (resolved dims, bits, files per bucket). */
   private def overwriteWith(meta: TableMeta, out: DataFrame,
-      cluster: Option[(Seq[(String, (Double, Double))], Int, Int)] = None): Unit = {
+      cluster: Option[(Seq[(String, (Double, Double))], Int, Int)] = None,
+      requireBase: Option[Int] = None): Unit = {
     val vs = manifestVersions(meta.location)
     val pk = meta.primaryKey
     val (written, stats) =
       writeData(meta, vs.lastOption.getOrElse(-1) + 1, out, pk, cluster)
     val m = Manifest(dropBucketCol(out.schema), written, nBuckets, stats)
+    val hook = beforePublish; beforePublish = () => (); hook()
     var attempt = 0
     var done = false
     while (!done) {
       val cur = manifestVersions(meta.location)
+      // a REWRITE of a snapshot (compact / compactClustered) must never
+      // win a race it lost: if the table moved past the version the
+      // rewrite read, republishing would silently CLOBBER the racing
+      // commit's rows under a new version number. Refuse instead — the
+      // caller re-runs against the new snapshot. Plain overwrite keeps
+      // its documented last-writer-wins semantics (requireBase = None).
+      requireBase.foreach { base =>
+        val now = cur.lastOption.getOrElse(-1)
+        if (now != base)
+          throw new java.util.ConcurrentModificationException(
+            s"${meta.qualified} moved from version $base to $now while a " +
+              "compaction rewrote it — the rewrite is stale; re-run " +
+              "against the new snapshot (a compaction must never clobber " +
+              "a concurrent commit)")
+      }
       val next = cur.lastOption.getOrElse(-1) + 1
       if (publishManifest(meta.location, next, m)) {
         vacuum(meta, cur); clearTombstones(meta, written); done = true
@@ -601,11 +618,14 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
    */
   override def compact(db: String, table: String, targetFiles: Int): Unit = {
     require(targetFiles >= 1, "targetFiles must be >= 1")
-    val df = read(db, table)
+    val meta = catalog0(db, table)
+    val vs = manifestVersions(meta.location)
+    require(vs.nonEmpty, s"no manifest versions at ${meta.location}")
+    val df = readVersion(meta, vs.last)
     val out =
-      if (catalog0(db, table).primaryKey.isDefined) df
+      if (meta.primaryKey.isDefined) df
       else df.repartition(targetFiles)
-    overwrite(db, table, out)
+    overwriteWith(meta, out, requireBase = Some(vs.last))
   }
 
   /**
@@ -622,10 +642,13 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
    * each bucket's files instead of all of them. Ranges default to
    * inferred clip ranges (one aggregate pass, [[Layout.resolveRanges]]'s
    * heavy-tail handling); pass them explicitly to skip the scan. Like
-   * [[compact]], this is a whole-table overwrite commit: the CAS loop,
-   * vacuum, and retention semantics are unchanged, and concurrent
-   * scoped merges that lose the race to it refuse (moved buckets) —
-   * rerun them against the compacted snapshot.
+   * [[compact]], this is a whole-table rewrite commit with vacuum and
+   * retention unchanged — but races resolve SAFELY in both directions:
+   * a concurrent scoped merge that loses to the compaction refuses
+   * (moved buckets) and re-runs, and the compaction itself REFUSES if
+   * the table moved past the version it read (republishing the stale
+   * rewrite would silently clobber the racing commit's rows — a
+   * maintenance pass must never win a race it lost).
    */
   def compactClustered(db: String, table: String,
                        dims: Seq[(String, Option[(Double, Double)])],
@@ -635,7 +658,10 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     require(meta.primaryKey.isDefined,
       s"compactClustered keeps PK bucketing — ${meta.qualified} has no PK " +
         "(PK-less tables: write through Layout.writeClustered instead)")
-    val df = read(db, table)
+    val vs = manifestVersions(meta.location)
+    require(vs.nonEmpty, s"no manifest versions at ${meta.location}")
+    val base = vs.last
+    val df = readVersion(meta, base)
     // range inference runs over the dims PROMOTED into the manifest's
     // epoch-based double space (dates as days, timestamps as micros) —
     // the same space readRange prunes in, so "cluster the event table
@@ -645,7 +671,8 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     val shadow = df.select(dims.map { case (c, _) =>
       promoted(col(c), df.schema(c).dataType).as(c) }: _*)
     val resolved = Layout.resolveRanges(shadow, dims)
-    overwriteWith(meta, df, Some((resolved, bits, filesPerBucket)))
+    overwriteWith(meta, df, Some((resolved, bits, filesPerBucket)),
+      requireBase = Some(base))
   }
 
   /** A column promoted into the manifest's epoch-based double space —
@@ -702,24 +729,24 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     val tmpDir = new Path(f"${meta.location}/data/.tmp-c$next%06d-$nonce")
     val f = fs(dataDir)
     val bucketed = (pk, cluster) match {
-      case (Some(k), Some((dims, bits, fpb))) if fpb > 1 =>
+      case (Some(k), Some((dims, bits, fpb))) =>
         // cluster-on-compact: each PK bucket splits into fpb files of
-        // DISJOINT z ranges. The (bucket, slice) pair routes through a
-        // bijective token — Layout.cluster's exact-routing trick — so
-        // every file holds exactly one slice of one bucket and the
-        // re-lifted footer stats stay one-slice tight; the (__b, __z)
-        // sort satisfies the writer's partition-column ordering (no
-        // order-destroying extra sort) and keeps row groups tight too.
+        // DISJOINT z ranges (fpb = 1 still sorts the bucket by __z, so
+        // its row groups carry tight bounds). The (bucket, slice) pair
+        // routes through a bijective token — Layout.cluster's
+        // exact-routing trick, slice ids from the SHARED Layout.sliceOf
+        // rule — so every file holds exactly one slice of one bucket
+        // and the re-lifted footer stats stay one-slice tight; the
+        // (__b, __z) sort satisfies the writer's partition-column
+        // ordering (no order-destroying extra sort).
         val z = Layout.zValue(dims.map { case (c, r) =>
           (promoted(col(c), df.schema(c).dataType), r) }, bits)
-        val domain = BigInt(1) << (dims.size * bits)
-        val width = ((domain + fpb - 1) / fpb).toLong
         val parts = nBuckets * fpb
         val tokens = array(Layout.bijectiveTokens(spark, parts).map(lit): _*)
         df.withColumn("__b", bucketOf(col(k)))
           .withColumn("__z", z)
           .withColumn("__t", element_at(tokens,
-            col("__b") * lit(fpb) + expr(s"__z DIV ${width}L").cast("int")
+            col("__b") * lit(fpb) + Layout.sliceOf("__z", dims.size, bits, fpb)
               + lit(1)))
           .repartition(parts, col("__t"))
           .sortWithinPartitions(col("__b"), col("__z"))

@@ -81,7 +81,11 @@ object Similarity {
    * that token-overlap checks structurally miss (the modern
    * contamination concern — scaled or re-embedded copies score cosine
    * ~1 while sharing few exact n-grams). Returns the SURVIVING corpus
-   * rows with their original columns.
+   * rows with their original columns. NOTE: unlike this file's other
+   * (lazy) builders, construction runs ONE eager limit-capped count of
+   * the bench side — the price of refusing an oversized bench with a
+   * clear error instead of an executor OOM mid-broadcast; callers with
+   * an expensive derived bench should cut it ([[Materialize]]) first.
    *
    * Scale shape: benchmark suites are small by construction (10^4–10^5
    * vectors), so the contaminated set leaves via ONE broadcast
@@ -546,15 +550,9 @@ object Similarity {
   def ivfTopKFromStore(store: graft.catalog.MergeSnapshotStore, db: String,
                        table: String, queries: DataFrame, idCol: String,
                        vecCol: String, k: Int, probes: Int,
-                       centroids: DataFrame): DataFrame = {
-    // cut: the probe table feeds BOTH the point lookup's key collect
-    // and the scoring broadcast — one tiny cut, one pass (t28's qt
-    // discipline)
-    val q = Materialize(probeCells(queries, idCol, vecCol, centroids, probes))
-    val rows = store.pointLookup(db, table, q.select("cell"))
-    scoreCells(rows.select(col(idCol).as("vid"), col("cell"),
-      col("vec"), col("nrm")), q, k)
-  }
+                       centroids: DataFrame): DataFrame =
+    ivfServed(store, db, table, queries, idCol, vecCol, k, probes,
+      centroids, None)
 
   /**
    * [[ivfTopKFromStore]] pinned to one index snapshot — the serving form
@@ -567,10 +565,23 @@ object Similarity {
   def ivfTopKFromStore(store: graft.catalog.MergeSnapshotStore, db: String,
                        table: String, queries: DataFrame, idCol: String,
                        vecCol: String, k: Int, probes: Int,
-                       centroids: DataFrame, pinVersion: Int): DataFrame = {
+                       centroids: DataFrame, pinVersion: Int): DataFrame =
+    ivfServed(store, db, table, queries, idCol, vecCol, k, probes,
+      centroids, Some(pinVersion))
+
+  /** The ONE served-ANN body behind both overloads — the version is the
+   * only difference between latest-snapshot and pinned serving. */
+  private def ivfServed(store: graft.catalog.MergeSnapshotStore, db: String,
+                        table: String, queries: DataFrame, idCol: String,
+                        vecCol: String, k: Int, probes: Int,
+                        centroids: DataFrame,
+                        version: Option[Int]): DataFrame = {
+    // cut: the probe table feeds BOTH the point lookup's key collect
+    // and the scoring broadcast — one tiny cut, one pass (t28's qt
+    // discipline)
     val q = Materialize(probeCells(queries, idCol, vecCol, centroids, probes))
     val rows = store.pointLookup(db, table, q.select("cell"),
-      version = Some(pinVersion))
+      version = version)
     scoreCells(rows.select(col(idCol).as("vid"), col("cell"),
       col("vec"), col("nrm")), q, k)
   }

@@ -511,20 +511,9 @@ object TextAnalysis {
   def bm25TopKFromStore(store: graft.catalog.MergeSnapshotStore, db: String,
                         prefix: String, queries: DataFrame, idCol: String,
                         textCol: String, k: Int, k1: Double = 1.2,
-                        b: Double = 0.75, maxDfFrac: Double = 0.5): DataFrame = {
-    requireBm25Args(k, k1, b, maxDfFrac)
-    // cut: the query tokenization feeds BOTH the point lookup's key
-    // collect and the scoring broadcast — one tiny cut, one pass
-    val qt = Materialize(queries.select(col(idCol).as("query_id"),
-      explode(tokens(col(textCol))).as("term")).distinct())
-    val postings = store.pointLookup(db, s"${prefix}_postings",
-      qt.select("term"))
-    val idx = Bm25Index(postings,
-      store.read(db, s"${prefix}_doclens"),
-      store.read(db, s"${prefix}_docfreq"),
-      store.read(db, s"${prefix}_stats"))
-    scoreBm25(idx, qt, k, k1, b, maxDfFrac)
-  }
+                        b: Double = 0.75, maxDfFrac: Double = 0.5): DataFrame =
+    bm25Served(store, db, prefix, queries, idCol, textCol, k, k1, b,
+      maxDfFrac, _ => None)
 
   /**
    * [[bm25TopKFromStore]] pinned to one consistent index snapshot — the
@@ -541,16 +530,32 @@ object TextAnalysis {
                         prefix: String, queries: DataFrame, idCol: String,
                         textCol: String, k: Int, k1: Double,
                         b: Double, maxDfFrac: Double,
-                        pin: Map[String, Int]): DataFrame = {
+                        pin: Map[String, Int]): DataFrame =
+    bm25Served(store, db, prefix, queries, idCol, textCol, k, k1, b,
+      maxDfFrac,
+      t => Some(pin.getOrElse(t, throw new IllegalArgumentException(
+        s"pin lacks a version for $t — pass " +
+          "Ivm.MaintainedAggregates.pinVersions()"))))
+
+  /** The ONE served-retrieval body behind both overloads — `verOf` is
+   * the only difference between latest-snapshot and pinned serving, so
+   * the scoring/index-assembly logic can never drift between them. */
+  private def bm25Served(store: graft.catalog.MergeSnapshotStore, db: String,
+                         prefix: String, queries: DataFrame, idCol: String,
+                         textCol: String, k: Int, k1: Double, b: Double,
+                         maxDfFrac: Double,
+                         verOf: String => Option[Int]): DataFrame = {
     requireBm25Args(k, k1, b, maxDfFrac)
-    def ver(t: String): Int = pin.getOrElse(t, throw new IllegalArgumentException(
-      s"pin lacks a version for $t — pass Ivm.MaintainedAggregates.pinVersions()"))
-    def at(t: String): DataFrame =
-      store.readVersion(store.catalog(db, t), ver(t))
+    def at(t: String): DataFrame = verOf(t) match {
+      case Some(v) => store.readVersion(store.catalog(db, t), v)
+      case None => store.read(db, t)
+    }
+    // cut: the query tokenization feeds BOTH the point lookup's key
+    // collect and the scoring broadcast — one tiny cut, one pass
     val qt = Materialize(queries.select(col(idCol).as("query_id"),
       explode(tokens(col(textCol))).as("term")).distinct())
     val postings = store.pointLookup(db, s"${prefix}_postings",
-      qt.select("term"), version = Some(ver(s"${prefix}_postings")))
+      qt.select("term"), version = verOf(s"${prefix}_postings"))
     val idx = Bm25Index(postings,
       at(s"${prefix}_doclens"),
       at(s"${prefix}_docfreq"),
@@ -2006,6 +2011,9 @@ object TextAnalysis {
     require(pieces.nonEmpty, "piece vocabulary must be non-empty")
     require(pieces.forall(p => p.nonEmpty && !p.contains(' ')),
       "pieces must be non-empty and space-free")
+    require(pieces.forall(_.length <= maxPieceLen),
+      s"pieces longer than maxPieceLen=$maxPieceLen could never match — " +
+        "raise maxPieceLen to cover the longest piece")
     val spark = df.sparkSession
     import spark.implicits._
     val vocab = pieces.toDF("piece")

@@ -67,17 +67,6 @@ class BucketingSpec extends AnyFunSuite with SparkFixture {
       import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
       import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
       import org.apache.spark.sql.execution.joins.SortMergeJoinExec
-      // query stages are leaf wrappers — collect() does not descend into
-      // them, so walk the tree expanding each stage's inner plan
-      def deepCollect[T](p: SparkPlan)(f: PartialFunction[SparkPlan, T]): Seq[T] = {
-        val here = f.lift(p).toSeq
-        val kids = p match {
-          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-          case q: QueryStageExec => Seq(q.plan)
-          case other => other.children
-        }
-        here ++ kids.flatMap(deepCollect(_)(f))
-      }
       val ex = accepted.queryExecution.executedPlan
       val smj = deepCollect(ex) { case j: SortMergeJoinExec => j }.headOption
       assert(smj.nonEmpty, s"expected a sort-merge anti-join:\n$ex")

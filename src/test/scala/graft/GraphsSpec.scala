@@ -83,15 +83,6 @@ class GraphsSpec extends AnyFunSuite with SparkFixture {
         .toMap == plain, "bucketed ranks drifted from the plain form")
       // the pin covers every loop round of both variants: the loop body
       // IS Graphs.iteration, so pin its plan over the bucketed table
-      def deepCollect[T](p: SparkPlan)(f: PartialFunction[SparkPlan, T]): Seq[T] = {
-        val here = f.lift(p).toSeq
-        val kids = p match {
-          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-          case q: QueryStageExec => Seq(q.plan)
-          case other => other.children
-        }
-        here ++ kids.flatMap(deepCollect(_)(f))
-      }
       val eo = spark.table("graft_pr_spec")
       // the loop always materializes ranks before the next round — the
       // localCheckpoint mirrors that, so the join's ONLY file scan is

@@ -1225,6 +1225,67 @@ class MergeStoreSpec extends AnyFunSuite with SparkFixture {
       "stale tombstone on a referenced dir survived the vacuum pass")
   }
 
+  test("a compaction that loses a race refuses instead of clobbering the winner") {
+    import spark.implicits._
+    val store = mkStore(nBuckets = 4)
+    register(store, "mdb", "cc", "id")
+    store.overwrite("mdb", "cc",
+      spark.range(1, 101).select(col("id"), (col("id") * 2).as("v")))
+    def raceWith(win: () => Unit)(lose: => Unit): Unit = {
+      store.beforePublish = () => win()
+      val ex = intercept[java.util.ConcurrentModificationException](lose)
+      assert(ex.getMessage.contains("stale"),
+        s"expected the stale-rewrite refusal, got: ${ex.getMessage}")
+    }
+    // a CDC batch lands between the compaction's read and its publish:
+    // the compaction must refuse — republishing its pre-race rewrite
+    // would resurrect id 7's old value under a NEW version number
+    def updateId7(): Unit =
+      store.mergeScoped("mdb", "cc", Seq(7L).toDF("id")) { rows =>
+        rows.withColumn("v",
+          when(col("id") === 7L, lit(999L)).otherwise(col("v")))
+      }
+    raceWith(() => updateId7()) { store.compact("mdb", "cc", 4) }
+    def v7(): Long = store.read("mdb", "cc")
+      .filter(col("id") === 7L).select("v").head().getLong(0)
+    assert(v7() == 999L, "the racing batch's commit must survive")
+    // the re-run against the new snapshot lands and keeps the winner
+    store.compact("mdb", "cc", 4)
+    assert(v7() == 999L && store.read("mdb", "cc").count() == 100)
+    // same refusal on the clustered form
+    raceWith(() =>
+      store.mergeScoped("mdb", "cc", Seq(8L).toDF("id")) { rows =>
+        rows.withColumn("v",
+          when(col("id") === 8L, lit(777L)).otherwise(col("v")))
+      }) {
+      store.compactClustered("mdb", "cc", Seq("v" -> None), filesPerBucket = 2)
+    }
+    assert(store.read("mdb", "cc").filter(col("id") === 8L)
+      .select("v").head().getLong(0) == 777L)
+    store.compactClustered("mdb", "cc", Seq("v" -> None), filesPerBucket = 2)
+    assert(v7() == 999L && store.read("mdb", "cc").count() == 100)
+  }
+
+  test("compactClustered with one file per bucket still sorts the bucket") {
+    import spark.implicits._
+    val store = mkStore(nBuckets = 2)
+    register(store, "mdb", "one", "id")
+    store.overwrite("mdb", "one",
+      spark.range(0, 200).select(col("id"),
+        ((col("id") * 37) % 200).cast("double").as("v")))
+    // fpb = 1 must take the clustered path (sorted buckets, re-lifted
+    // stats), not silently degrade to a plain rewrite after paying the
+    // range-inference scan
+    store.compactClustered("mdb", "one", Seq("v" -> None), filesPerBucket = 1)
+    val got = store.readRange("mdb", "one", Map("v" -> ((10.0, 20.0))))
+    val want = store.read("mdb", "one")
+      .filter(col("v") >= 10.0 && col("v") <= 20.0)
+    assert(got.exceptAll(want).count() == 0 &&
+      want.exceptAll(got).count() == 0 && got.count() == 11)
+    assert(store.read("mdb", "one").inputFiles.length == 2,
+      "one file per bucket expected")
+  }
+
   test("cluster-on-compact: scattered buckets regain their prune fraction") {
     import spark.implicits._
     val store = mkStore(nBuckets = 4)

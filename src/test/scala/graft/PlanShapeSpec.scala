@@ -54,16 +54,9 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     // full read. Asserted on the scan exec's REAL dataFilters, not the
     // display string (whose metadata sections Spark truncates at
     // spark.sql.maxMetadataStringLength — the q48 lesson).
-    def deep(x: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] = {
-      val here = x match { case f: FileSourceScanExec => Seq(f); case _ => Nil }
-      val kids = x match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case q: QueryStageExec => Seq(q.plan)
-        case other => other.children
-      }
-      here ++ kids.flatMap(deep)
+    val fscans = deepCollect(df.queryExecution.executedPlan) {
+      case f: FileSourceScanExec => f
     }
-    val fscans = deep(df.queryExecution.executedPlan)
     assert(fscans.exists(_.dataFilters.exists(_.toString.contains("md5"))),
       s"keep filter did not reach the scan node:\n$p")
     assert(shuffles(p) == 1, s"only the orderBy may shuffle:\n$p")

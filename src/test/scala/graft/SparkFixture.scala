@@ -25,4 +25,21 @@ object SparkFixture {
 trait SparkFixture {
   lazy val spark: SparkSession = SparkFixture.session
   val RefData = "/root/reference/tests/data/dummy"
+
+  /** Collect over an EXECUTED plan including adaptive query stages —
+   * `QueryStageExec` wraps its subtree as a leaf, so a plain
+   * `plan.collect` misses everything inside a finished stage. Every
+   * plan-shape pin that walks real plan nodes goes through this ONE
+   * helper, so the next AQE node-shape change has a single home. */
+  def deepCollect[T](p: org.apache.spark.sql.execution.SparkPlan)(
+      f: PartialFunction[org.apache.spark.sql.execution.SparkPlan, T]): Seq[T] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val here = f.lift(p).toSeq
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }
+    here ++ kids.flatMap(deepCollect(_)(f))
+  }
 }
