@@ -175,7 +175,13 @@ object Similarity {
                                   planes: Int = 16): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       "threshold must be in (0, 1]")
-    require(planes >= 1 && planes <= 62, "planes must be in [1, 62]")
+    // planes caps the PROBE BROADCAST, not just recall: the distinct
+    // probe set is min(benchBuckets, 2^planes)·(planes+1) longs, and
+    // only the 2^planes ceiling keeps it bench-size-independent — at 16
+    // bits that is ≤ ~9 MB however large the bench, while 2^24+ would
+    // let a huge bench regrow the very broadcast this operator exists
+    // to avoid
+    require(planes >= 1 && planes <= 16, "planes must be in [1, 16]")
     val masks = array((lit(0L) +: (0 until planes).map(i => lit(1L << i))): _*)
     // zero-norm / NaN bench vectors have no direction and can
     // contaminate nothing — same guard as the broadcast form
