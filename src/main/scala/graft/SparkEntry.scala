@@ -1817,6 +1817,29 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // cluster-on-compact end to end: the table commits with values
+    // SCATTERED across its PK buckets (stats prune nothing), then the
+    // clustered maintenance rewrite lays each bucket out in disjoint
+    // price slices — the subsequent stats-pruned band read must equal
+    // the plain full-scan filter, which is exactly what the oracle runs
+    "q60_compact_clustered_scan" -> ((s, d) => {
+      import graft.catalog.{InMemoryCatalog, MergeSnapshotStore, TableMeta}
+      val orders = t(s, d, "orders").select(col("o_orderkey"),
+        col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("price_c"))
+      val work = java.nio.file.Files.createTempDirectory("graft-q60").toString
+      val cat = new InMemoryCatalog
+      cat.register(TableMeta("q60", "orders", s"$work/orders",
+        primaryKey = Some("o_orderkey")))
+      val store = new MergeSnapshotStore(s, cat, nBuckets = 8)
+      store.overwrite("q60", "orders", orders)
+      store.compactClustered("q60", "orders", Seq("price_c" -> None),
+        filesPerBucket = 4)
+      store.readRange("q60", "orders",
+          Map("price_c" -> ((5000000.0, 15000000.0))))
+        .orderBy("o_orderkey")
+    }),
+
     // distinct-count IVM through the multiplicity auxiliary view:
     // COUNT(DISTINCT v) is not self-maintainable (deleting a value
     // can't tell last-copy-gone from duplicates-remain), but the
@@ -4039,6 +4062,16 @@ object SparkEntry {
     // the store's stats-pruned range read must equal the plain
     // full-scan filter
     "q55_store_range_scan" ->
+      """SELECT o_orderkey, o_custkey,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+         FROM orders
+         WHERE CAST(round(o_totalprice * 100) AS BIGINT)
+               BETWEEN 5000000 AND 15000000
+         ORDER BY o_orderkey""",
+
+    // the clustered rewrite changes LAYOUT only: the stats-pruned band
+    // read over the compacted table must equal the plain filter
+    "q60_compact_clustered_scan" ->
       """SELECT o_orderkey, o_custkey,
                 CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
          FROM orders
