@@ -3578,7 +3578,7 @@ object SparkEntry {
                    FROM (SELECT piece, cnt FROM cnt2 WHERE len(piece) > 1
                          ORDER BY cnt DESC, piece
                          LIMIT (40 - (SELECT k FROM nsingles))))
-         SELECT piece, cnt,
+         SELECT piece, CAST(cnt AS BIGINT) AS cnt,
                 CAST(row_number() OVER (ORDER BY cnt DESC, piece) AS INT) AS rank
          FROM final ORDER BY rank"""
     },
