@@ -98,7 +98,7 @@ object PipelineMain {
     catalog.register(TableMeta(db, "raw_events", s"$work/raw_events",
       partitionBy = GgLogsToParquet.PartitionBy))
     Seq("offenders", "offender_bookings").foreach { t =>
-      catalog.register(TableMeta(db, t, s"$work/$t", primaryKey = Some("offender_id")))
+      catalog.register(TableMeta(db, t, s"$work/$t", primaryKey = Seq("offender_id")))
       catalog.register(TableMeta(db, s"${t}_curated", s"$work/${t}_curated"))
     }
     catalog.register(TableMeta(db, "domain1_off_book", s"$work/domain1_off_book"))
@@ -547,7 +547,7 @@ object PipelineMain {
     val srv = hosts.select(col("doc_id"), col("host"),
       col("n_tokens").cast("long").as("n_tokens"))
     catalog.register(TableMeta(Db, "docs_keyed", s"$work/docs_keyed",
-      primaryKey = Some("doc_id")))
+      primaryKey = Seq("doc_id")))
     catalog.register(TableMeta(Db, "docs_agg", s"$work/docs_agg"))
     val served = new Ivm.MaintainedCountSum(store, Db, "docs_keyed",
       "docs_agg", col("host"), col("n_tokens"))

@@ -1053,7 +1053,7 @@ object SparkEntry {
       val store = new MergeSnapshotStore(s, cat, nBuckets = 16)
       val work = java.nio.file.Files.createTempDirectory("graft-s16").toString
       cat.register(TableMeta("s16", "vecs", s"$work/vecs",
-        primaryKey = Some("vec_id")))
+        primaryKey = Seq("vec_id")))
       cat.register(Similarity.ivfIndexMeta("s16", "vecs_cells",
         s"$work/vecs_cells"))
       val m = new Ivm.MaintainedAggregates(store, "s16", "vecs",
@@ -1538,7 +1538,7 @@ object SparkEntry {
       val store = new MergeSnapshotStore(s, cat, nBuckets = 32)
       val work = java.nio.file.Files.createTempDirectory("graft-t30").toString
       cat.register(TableMeta("t30", "docs", s"$work/docs",
-        primaryKey = Some("doc_id")))
+        primaryKey = Seq("doc_id")))
       TextAnalysis.registerBm25Tables(store, "t30", "bm", work)
       val m = new Ivm.MaintainedAggregates(store, "t30", "docs",
         TextAnalysis.bm25IndexSpecs("bm", "doc_id", "text"))
@@ -1830,7 +1830,7 @@ object SparkEntry {
       val work = java.nio.file.Files.createTempDirectory("graft-q60").toString
       val cat = new InMemoryCatalog
       cat.register(TableMeta("q60", "orders", s"$work/orders",
-        primaryKey = Some("o_orderkey")))
+        primaryKey = Seq("o_orderkey")))
       val store = new MergeSnapshotStore(s, cat, nBuckets = 8)
       store.overwrite("q60", "orders", orders)
       store.compactClustered("q60", "orders", Seq("price_c" -> None),
@@ -1881,7 +1881,7 @@ object SparkEntry {
       val work = java.nio.file.Files.createTempDirectory("graft-q51").toString
       val cat = new InMemoryCatalog
       cat.register(TableMeta("q51", "orders", s"$work/orders",
-        primaryKey = Some("o_orderkey")))
+        primaryKey = Seq("o_orderkey")))
       val store = new MergeSnapshotStore(s, cat, nBuckets = 32)
       store.overwrite("q51", "orders", v0)
       store.overwrite("q51", "orders", v1)
@@ -2082,7 +2082,7 @@ object SparkEntry {
       val work = java.nio.file.Files.createTempDirectory("graft-q48").toString
       val cat = new InMemoryCatalog
       cat.register(TableMeta("q48", "orders", s"$work/orders",
-        primaryKey = Some("o_orderkey")))
+        primaryKey = Seq("o_orderkey")))
       val store = new MergeSnapshotStore(s, cat, nBuckets = 32)
       store.overwrite("q48", "orders", orders)
       val keys = orders.filter(col("o_orderkey") % 9973 === 7).select("o_orderkey")

@@ -22,11 +22,13 @@ final case class TableMeta(
     name: String,
     location: String,
     format: String = "parquet",
-    primaryKey: Option[String] = None,
+    primaryKey: Seq[String] = Nil,
     partitionBy: Seq[String] = Nil,
     properties: Map[String, String] = Map.empty,
     schema: Option[StructType] = None) {
   def qualified: String = s"$db.$name"
+  /** True when the table has a registered (possibly composite) key. */
+  def hasPrimaryKey: Boolean = primaryKey.nonEmpty
 }
 
 trait Catalog {
@@ -38,9 +40,13 @@ trait Catalog {
     get(db, table).getOrElse(
       throw new NoSuchElementException(s"table not registered: $db.$table"))
 
-  def primaryKey(db: String, table: String): String =
-    apply(db, table).primaryKey.getOrElse(
-      throw new IllegalStateException(s"no PK registered for $db.$table"))
+  /** The registered key columns (size >= 1; composite keys supported). */
+  def primaryKey(db: String, table: String): Seq[String] = {
+    val pks = apply(db, table).primaryKey
+    if (pks.isEmpty)
+      throw new IllegalStateException(s"no PK registered for $db.$table")
+    pks
+  }
 }
 
 /** Driver-side metadata map; thread-safe so parallel per-table jobs can register. */
@@ -178,10 +184,11 @@ class SnapshotStore(spark: SparkSession, val catalog: Catalog, keepVersions: Int
   def changesBetween(db: String, table: String, fromVersion: Int,
                      toVersion: Int): DataFrame = {
     val meta = catalog(db, table)
-    val pk = meta.primaryKey.getOrElse(throw new IllegalStateException(
-      s"changesBetween needs a registered PK for ${meta.qualified}"))
+    if (!meta.hasPrimaryKey) throw new IllegalStateException(
+      s"changesBetween needs a registered PK for ${meta.qualified}")
     graft.operators.Scd.snapshotDiff(
-      readVersion(meta, fromVersion), readVersion(meta, toVersion), Seq(pk))
+      readVersion(meta, fromVersion), readVersion(meta, toVersion),
+      meta.primaryKey)
   }
 
   /**

@@ -86,8 +86,13 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
   require(vacuumRetentionMs >= 0, "vacuumRetentionMs must be >= 0")
   private val ManifestRe = "^v=(\\d{6})\\.manifest$".r
 
-  /** Bucket assignment — deterministic Murmur3 of the PK value. */
-  def bucketOf(pk: Column): Column = pmod(hash(pk), lit(nBuckets))
+  /** Bucket assignment — deterministic Murmur3 of the PK value(s).
+   * Composite keys hash every key column in registered order; the
+   * single-column form is the same function (`hash(c)` ==
+   * `hash(Seq(c): _*)`), so pre-composite tables' layouts are
+   * unchanged byte-for-byte. */
+  def bucketOf(pk: Column): Column = bucketOf(Seq(pk))
+  def bucketOf(pks: Seq[Column]): Column = pmod(hash(pks: _*), lit(nBuckets))
 
   // ---------------------------------------------------------------- manifest
 
@@ -252,7 +257,8 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
 
   /**
    * PK point lookup: the rows of `keys` (any frame exposing the table's
-   * PK column; values are cast to the committed PK type, so a caller's
+   * PK column(s) — composite keys look up on the full tuple; values are
+   * cast to the committed PK types, so a caller's
    * literal ints match a bigint table) from the latest snapshot, read by
    * scanning ONLY the keys' hash buckets. At 100 TB with 4096 buckets a
    * one-key lookup plans a scan over 1/4096th of the table's files — the
@@ -270,19 +276,21 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
                   ranges: Map[String, (Double, Double)] = Map.empty,
                   version: Option[Int] = None): DataFrame = {
     val meta = catalog0(db, table)
-    val pk = meta.primaryKey.getOrElse(throw new IllegalStateException(
-      s"pointLookup needs a registered PK for ${meta.qualified}"))
+    if (!meta.hasPrimaryKey) throw new IllegalStateException(
+      s"pointLookup needs a registered PK for ${meta.qualified}")
+    val pks = meta.primaryKey
     val m = readManifest(meta.location, resolveVersion(meta, version))
     require(m.nBuckets == nBuckets,
       s"${meta.qualified} is committed with nBuckets=${m.nBuckets}; " +
         s"this store was built with nBuckets=$nBuckets")
-    val pkType = m.schema(pk).dataType
-    val typedKeys = keys.select(col(pk).cast(pkType).as(pk)).na.drop().distinct()
+    val pkTypes = pks.map(k => m.schema(k).dataType)
+    val typedKeys = keys.select(pks.zip(pkTypes).map { case (k, t) =>
+      col(k).cast(t).as(k) }: _*).na.drop().distinct()
     // loop control: the keys themselves, fetched only up to the inline
     // bound — a caller passing a whole table's worth of "point" keys
     // cannot OOM the driver, it just loses the pushdown form
     val inline = typedKeys.limit(MergeSnapshotStore.MaxInlineKeys + 1)
-      .collect().map(_.get(0))
+      .collect().toSeq
     val inlined: Option[DataFrame] =
       if (inline.length > MergeSnapshotStore.MaxInlineKeys) None
       else
@@ -292,24 +300,33 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
         // round-trips values through literals) instead of failing a
         // lookup the fallback would have answered
         try {
+          val keyLits: Seq[Seq[Column]] = inline.map(r =>
+            pks.indices.map(i => lit(r.get(i)).cast(pkTypes(i))))
           // bucket ids via one tiny local job: Spark's hash() IS the
           // bucket function, so evaluate it over the literal keys (no
           // data scan)
           val ids = spark.range(1).select(
-              array(inline.map(k => bucketOf(lit(k).cast(pkType))): _*))
+              array(keyLits.map(ls => bucketOf(ls)): _*))
             .head().getSeq[Int](0).toSet
-          Some(loadRanged(meta, m, Some(ids), ranges)
-            .filter(col(pk).isInCollection(inline)))
+          // single-column keys push down as one parquet In filter;
+          // composite keys as an OR of per-key conjunctions (parquet
+          // accepts Or-of-And trees, so row-group stats still skip)
+          val pred =
+            if (pks.size == 1) col(pks.head).isInCollection(inline.map(_.get(0)))
+            else keyLits.map(ls =>
+              pks.zip(ls).map { case (k, l) => col(k) === l }
+                .reduce(_ && _)).reduce(_ || _)
+          Some(loadRanged(meta, m, Some(ids), ranges).filter(pred))
         } catch { case scala.util.control.NonFatal(_) => None }
     inlined.getOrElse {
       // bucket ids of the lookup keys (<= nBuckets values)
-      val touched = typedKeys.select(bucketOf(col(pk)).as("__b"))
+      val touched = typedKeys.select(bucketOf(pks.map(col)).as("__b"))
         .distinct().collect().map(_.getInt(0)).toSet
       // UNHINTED semi-join: the inline cap exists so an over-large key
       // frame cannot land on the driver — a forced broadcast here would
       // collect it anyway. AQE broadcasts when the measured size allows.
       loadRanged(meta, m, Some(touched), ranges)
-        .join(typedKeys, Seq(pk), "left_semi")
+        .join(typedKeys, pks, "left_semi")
     }
   }
 
@@ -450,9 +467,9 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
       cluster: Option[(Seq[(String, (Double, Double))], Int, Int)] = None,
       requireBase: Option[Int] = None): Unit = {
     val vs = manifestVersions(meta.location)
-    val pk = meta.primaryKey
     val (written, stats) =
-      writeData(meta, vs.lastOption.getOrElse(-1) + 1, out, pk, cluster)
+      writeData(meta, vs.lastOption.getOrElse(-1) + 1, out, meta.primaryKey,
+        cluster)
     val m = Manifest(dropBucketCol(out.schema), written, nBuckets, stats)
     val hook = beforePublish; beforePublish = () => (); hook()
     var attempt = 0
@@ -517,8 +534,9 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
   def mergeScoped(db: String, table: String, changedKeys: DataFrame)
                  (rewrite: DataFrame => DataFrame): Seq[Int] = {
     val meta = catalog0(db, table)
-    val pk = meta.primaryKey.getOrElse(throw new IllegalStateException(
-      s"mergeScoped needs a registered PK for ${meta.qualified}"))
+    if (!meta.hasPrimaryKey) throw new IllegalStateException(
+      s"mergeScoped needs a registered PK for ${meta.qualified}")
+    val pks = meta.primaryKey
     val vs = manifestVersions(meta.location)
     require(vs.nonEmpty, s"bootstrap ${meta.qualified} with overwrite() before merging")
     val current = readManifest(meta.location, vs.last)
@@ -530,12 +548,12 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
       s"${meta.qualified} is committed with nBuckets=${current.nBuckets}; " +
         s"this store was built with nBuckets=$nBuckets — open it with the " +
         "table's bucket count (or overwrite() to re-bucket)")
-    val touched = changedKeys.select(bucketOf(col(pk)).as("__b")).distinct()
+    val touched = changedKeys.select(bucketOf(pks.map(col)).as("__b")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted // loop control; <= nBuckets values
     if (touched.isEmpty) return Nil
     val old = load(meta, current, Some(touched.toSet))
     val out = rewrite(old)
-    val (written, newStats) = writeData(meta, vs.last + 1, out, Some(pk))
+    val (written, newStats) = writeData(meta, vs.last + 1, out, pks)
     val stray = written.keySet.diff(touched.toSet)
     require(stray.isEmpty,
       s"merge rewrote buckets $stray outside the changed-key set $touched — " +
@@ -623,7 +641,7 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     require(vs.nonEmpty, s"no manifest versions at ${meta.location}")
     val df = readVersion(meta, vs.last)
     val out =
-      if (meta.primaryKey.isDefined) df
+      if (meta.hasPrimaryKey) df
       else df.repartition(targetFiles)
     overwriteWith(meta, out, requireBase = Some(vs.last))
   }
@@ -655,7 +673,7 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
                        filesPerBucket: Int, bits: Int = 8): Unit = {
     require(filesPerBucket >= 1, "filesPerBucket must be >= 1")
     val meta = catalog0(db, table)
-    require(meta.primaryKey.isDefined,
+    require(meta.hasPrimaryKey,
       s"compactClustered keeps PK bucketing — ${meta.qualified} has no PK " +
         "(PK-less tables: write through Layout.writeClustered instead)")
     val vs = manifestVersions(meta.location)
@@ -720,7 +738,7 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
    * race-losing attempts are unreferenced by every manifest and are
    * reclaimed by the vacuum tombstone cycle. */
   private def writeData(meta: TableMeta, next: Int, df: DataFrame,
-                        pk: Option[String],
+                        pk: Seq[String],
                         cluster: Option[(Seq[(String, (Double, Double))], Int, Int)] = None)
       : (SortedMap[Int, String], Map[String, Seq[ColStat]]) = {
     val nonce = java.util.UUID.randomUUID().toString.take(8)
@@ -729,7 +747,7 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     val tmpDir = new Path(f"${meta.location}/data/.tmp-c$next%06d-$nonce")
     val f = fs(dataDir)
     val bucketed = (pk, cluster) match {
-      case (Some(k), Some((dims, bits, fpb))) =>
+      case (ks, Some((dims, bits, fpb))) if ks.nonEmpty =>
         // cluster-on-compact: each PK bucket splits into fpb files of
         // DISJOINT z ranges (fpb = 1 still sorts the bucket by __z, so
         // its row groups carry tight bounds). The (bucket, slice) pair
@@ -743,7 +761,7 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
           (promoted(col(c), df.schema(c).dataType), r) }, bits)
         val parts = nBuckets * fpb
         val tokens = array(Layout.bijectiveTokens(spark, parts).map(lit): _*)
-        df.withColumn("__b", bucketOf(col(k)))
+        df.withColumn("__b", bucketOf(ks.map(col)))
           .withColumn("__z", z)
           .withColumn("__t", element_at(tokens,
             col("__b") * lit(fpb) + Layout.sliceOf("__z", dims.size, bits, fpb)
@@ -751,9 +769,9 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
           .repartition(parts, col("__t"))
           .sortWithinPartitions(col("__b"), col("__z"))
           .drop("__z", "__t")
-      case (Some(k), _) =>
-        df.withColumn("__b", bucketOf(col(k))).repartition(nBuckets, col("__b"))
-      case (None, _) => df.withColumn("__b", lit(0))
+      case (ks, _) if ks.nonEmpty =>
+        df.withColumn("__b", bucketOf(ks.map(col))).repartition(nBuckets, col("__b"))
+      case _ => df.withColumn("__b", lit(0))
     }
     bucketed.write.format(meta.format).mode("errorifexists")
       .partitionBy("__b").save(tmpDir.toString)

@@ -64,7 +64,8 @@ final class SessionCatalog(spark: SparkSession) extends Catalog {
     ensureDb(meta.db)
     val id = ident(meta.db, meta.name)
     val props = meta.properties ++
-      meta.primaryKey.map(PkProp -> _).toMap ++
+      (if (meta.hasPrimaryKey)
+        Map(PkProp -> meta.primaryKey.mkString(PartSep)) else Map.empty) ++
       (if (meta.partitionBy.nonEmpty)
         Map(PartProp -> meta.partitionBy.mkString(PartSep)) else Map.empty)
     val table = CatalogTable(
@@ -172,7 +173,8 @@ final class SessionCatalog(spark: SparkSession) extends Catalog {
         .getOrElse(throw new IllegalStateException(
           s"catalog table ${ct.identifier} has no location")),
       format = ct.provider.getOrElse("parquet"),
-      primaryKey = ct.properties.get(PkProp),
+      primaryKey = ct.properties.get(PkProp)
+        .map(_.split(PartSep).toSeq.filter(_.nonEmpty)).getOrElse(Nil),
       partitionBy = ct.properties.get(PartProp)
         .map(_.split(PartSep).toSeq.filter(_.nonEmpty)).getOrElse(Nil),
       properties = ct.properties -- AdapterProps,

@@ -114,8 +114,16 @@ object ChangeLogApplier {
    * fold: the last event per key in `pos` order decides the row — U/I
    * replace the whole row, D deletes it; untouched target rows remain.
    */
-  def applyLastWins(target: DataFrame, mapped: DataFrame, pk: String): DataFrame = {
-    val w = Window.partitionBy(col(pk)).orderBy(col(AdminGgPos).desc)
+  def applyLastWins(target: DataFrame, mapped: DataFrame, pk: String): DataFrame =
+    applyLastWins(target, mapped, Seq(pk))
+
+  /** Composite-key form: the key is the full column tuple — real
+   * GoldenGate feeds routinely carry multi-column keys, which the
+   * reference's single-column PK registry idealizes away (reference
+   * src/apply_change_log_to_delta.py:141-150). */
+  def applyLastWins(target: DataFrame, mapped: DataFrame, pks: Seq[String]): DataFrame = {
+    require(pks.nonEmpty, "applyLastWins needs at least one key column")
+    val w = Window.partitionBy(pks.map(col): _*).orderBy(col(AdminGgPos).desc)
     val latest = mapped
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
@@ -135,10 +143,11 @@ object ChangeLogApplier {
     val guarded =
       if (!target.columns.exists(_.equalsIgnoreCase(AdminGgPos))) latest
       else {
-        val applied = target.select(col(pk), col(AdminGgPos).as("__applied_pos"))
-          .join(latest.select(col(pk)), Seq(pk), "left_semi")
+        val applied = target.select(pks.map(col) :+
+            col(AdminGgPos).as("__applied_pos"): _*)
+          .join(latest.select(pks.map(col): _*), pks, "left_semi")
         latest
-          .join(applied, Seq(pk), "left")
+          .join(applied, pks, "left")
           .filter(col("__applied_pos").isNull ||
             col(AdminGgPos) > col("__applied_pos"))
           .drop("__applied_pos")
@@ -148,7 +157,7 @@ object ChangeLogApplier {
       .select(target.columns.map(col).toSeq: _*)
     // anti-join build side = distinct surviving event keys (small vs the
     // target) -> AQE broadcasts it; the big target side does not shuffle.
-    target.join(guarded.select(col(pk)), Seq(pk), "left_anti")
+    target.join(guarded.select(pks.map(col): _*), pks, "left_anti")
       .unionByName(upserts)
   }
 
@@ -167,14 +176,20 @@ object ChangeLogApplier {
    * pass through untouched.
    */
   def applyFold(target: DataFrame, mapped: DataFrame, pk: String,
+                chainVerified: Boolean): DataFrame =
+    applyFold(target, mapped, Seq(pk), chainVerified)
+
+  /** Composite-key form: events group and fold on the full key tuple. */
+  def applyFold(target: DataFrame, mapped: DataFrame, pks: Seq[String],
                 chainVerified: Boolean): DataFrame = {
+    require(pks.nonEmpty, "applyFold needs at least one key column")
     val outSchema = target.schema
     val outNames = outSchema.fieldNames.map(_.toLowerCase).toSeq
     val mIdx = mapped.schema.fieldNames.map(_.toLowerCase).zipWithIndex.toMap
     val outToM = outNames.map(mIdx) // mapped carries every target column
-    val pkL = pk.toLowerCase
-    val keyT = outNames.indexOf(pkL)
-    val keyM = mIdx(pkL)
+    val pkL = pks.map(_.toLowerCase)
+    val keyT = pkL.map(outNames.indexOf(_))
+    val keyM = pkL.map(mIdx)
     val posM = mIdx(AdminGgPos)
     val posT = outNames.indexOf(AdminGgPos)
     val etM = mIdx(EventType)
@@ -183,10 +198,16 @@ object ChangeLogApplier {
     val n = outNames.length
 
     val rowEnc = Encoders.row(outSchema)
-    // null PKs group under a marker no real value can collide with (a bare
-    // "" would merge a null-PK event into the empty-string key)
-    val keyOf = (i: Int) => (r: Row) =>
-      if (r.isNullAt(i)) "\u0000<null>" else "v:" + String.valueOf(r.get(i))
+    // null PK parts group under a marker no real value can collide with
+    // (a bare "" would merge a null-PK event into the empty-string key);
+    // composite tuples concatenate LENGTH-PREFIXED parts ("3:abc"), so a
+    // string value containing any would-be separator cannot shift bytes
+    // between columns and alias two distinct tuples onto one group key
+    val keyOf = (is: Seq[Int]) => (r: Row) =>
+      is.map { i =>
+        if (r.isNullAt(i)) "\u0000<null>"
+        else { val s = String.valueOf(r.get(i)); s"${s.length}:$s" }
+      }.mkString
     val gTarget = target.groupByKey(keyOf(keyT))(Encoders.STRING)
     val gEvents = mapped.groupByKey(keyOf(keyM))(Encoders.STRING)
 
@@ -256,10 +277,15 @@ object ChangeLogApplier {
 
   /** Apply one table's events to one target frame. */
   def applyTable(target: DataFrame, events: DataFrame, pk: String,
-                 chainVerified: Boolean = false): DataFrame = {
+                 chainVerified: Boolean = false): DataFrame =
+    applyTable(target, events, Seq(pk), chainVerified)
+
+  /** Composite-key form. */
+  def applyTable(target: DataFrame, events: DataFrame, pks: Seq[String],
+                 chainVerified: Boolean): DataFrame = {
     val mapped = mapEvents(events, target.schema)
-    if (chainVerified) applyFold(target, mapped, pk, chainVerified = true)
-    else applyLastWins(target, mapped, pk)
+    if (chainVerified) applyFold(target, mapped, pks, chainVerified = true)
+    else applyLastWins(target, mapped, pks)
   }
 
   /**
@@ -306,7 +332,7 @@ object ChangeLogApplier {
               // the new version by manifest reference. Commit cost is
               // proportional to the change set, not the table.
               val mapped = mapEvents(events, ms.read(db, tbl).schema)
-              ms.mergeScoped(db, tbl, mapped.select(col(pk))) { old =>
+              ms.mergeScoped(db, tbl, mapped.select(pk.map(col): _*)) { old =>
                 if (chainVerified) applyFold(old, mapped, pk, chainVerified = true)
                 else applyLastWins(old, mapped, pk)
               }

@@ -456,7 +456,7 @@ object Ivm {
     require(aggs.map(_.table).distinct.size == aggs.size,
       "maintained aggregate tables must be distinct")
 
-    private def pk: String = store.catalog.primaryKey(db, baseTable)
+    private def pk: Seq[String] = store.catalog.primaryKey(db, baseTable)
 
     /** Test-only failpoint: simulate a crash between the base commit and
      * the aggregate overwrites (the window the commit marker exists for). */
@@ -550,7 +550,7 @@ object Ivm {
       // released when the commit's actions finish — without the scope a
       // long-lived caller (or the streaming runner) would pin a cut per
       // commit forever
-      val k = pk
+      val ks = pk
       val chg = Materialize(changes)
       val digest = changelogDigest(chg)
       val baseVer = store.latestVersion(db, baseTable)
@@ -602,10 +602,10 @@ object Ivm {
         // the I keys are absent and the anti-join is a no-op, and for a
         // REPLAYED batch it removes the previously inserted rows before
         // re-adding them — the base fold is idempotent by construction
-        val gone = chg.select(col(k))
+        val gone = chg.select(ks.map(col): _*)
         val arrived = chg.filter(col("change").isin("I", "U")).drop("change")
         def folded(target: DataFrame): DataFrame =
-          target.join(gone, Seq(k), "left_anti")
+          target.join(gone, ks, "left_anti")
             .unionByName(arrived.select(target.columns.map(col).toIndexedSeq: _*))
         val newSnap = folded(old)
         val mergeStore = store match {
@@ -616,8 +616,8 @@ object Ivm {
           for {
             ms <- mergeStore
             sc <- a.scope
-            if store.catalog(db, a.table).primaryKey.isDefined
-          } yield sc(old, newSnap, chg, Seq(k))
+            if store.catalog(db, a.table).hasPrimaryKey
+          } yield sc(old, newSnap, chg, ks)
         // pin every aggregate's inputs BEFORE any commit moves a version
         // (a scoped table's fold runs lazily inside its own mergeScoped,
         // but its snapshot inputs — old, newSnap, chg — are pinned here,
@@ -626,7 +626,7 @@ object Ivm {
           scopedKeysOf(a) match {
             case Some(keysFrame) => a -> Right(keysFrame)
             case None =>
-              a -> Left(a.fold(store.read(db, a.table), old, newSnap, chg, Seq(k)))
+              a -> Left(a.fold(store.read(db, a.table), old, newSnap, chg, ks))
           }
         }
         // a conflict-REFUSED base commit (a concurrent writer rewrote
@@ -641,7 +641,7 @@ object Ivm {
         try
           store match {
             case ms: graft.catalog.MergeSnapshotStore =>
-              ms.mergeScoped(db, baseTable, chg.select(col(k)))(folded)
+              ms.mergeScoped(db, baseTable, chg.select(ks.map(col): _*))(folded)
             case s => s.overwrite(db, baseTable, newSnap)
           }
         catch {
@@ -659,7 +659,7 @@ object Ivm {
           case (a, Left(df)) => store.overwrite(db, a.table, df)
           case (a, Right(keysFrame)) =>
             mergeStore.get.mergeScoped(db, a.table, keysFrame)(rows =>
-              a.fold(rows, old, newSnap, chg, Seq(k)))
+              a.fold(rows, old, newSnap, chg, ks))
         }
         writeMarker(changes.sparkSession,
           Marker(digest, baseVer, aggsDone = true))
@@ -743,7 +743,7 @@ object Ivm {
       require(fromVersion >= 0 && fromVersion <= toVersion,
         s"need 0 <= fromVersion <= toVersion, got $fromVersion..$toVersion")
       val meta = store.catalog(db, baseTable)
-      val k = pk
+      val ks = pk
       var cur: Map[String, DataFrame] = {
         val base = store.readVersion(meta, fromVersion)
         aggs.map(a => a.table -> Materialize.eager(a.seed(base))).toMap
@@ -754,7 +754,7 @@ object Ivm {
         val chg = Materialize(store.changesBetween(db, baseTable, v - 1, v))
         val next = aggs.map(a =>
           a.table -> Materialize.eager(
-            a.fold(cur(a.table), old, nw, chg, Seq(k)))).toMap
+            a.fold(cur(a.table), old, nw, chg, ks))).toMap
         cur.values.foreach(Materialize.release)
         Materialize.release(chg)
         cur = next

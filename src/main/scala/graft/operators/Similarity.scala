@@ -538,7 +538,7 @@ object Similarity {
    * never numeric ranges — the stats job would be per-commit overhead). */
   def ivfIndexMeta(db: String, table: String,
                    location: String): graft.catalog.TableMeta =
-    graft.catalog.TableMeta(db, table, location, primaryKey = Some("cell"),
+    graft.catalog.TableMeta(db, table, location, primaryKey = Seq("cell"),
       properties =
         Map(graft.catalog.MergeSnapshotStore.StatsProp -> "false"))
 

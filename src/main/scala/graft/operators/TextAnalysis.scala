@@ -356,13 +356,13 @@ object TextAnalysis {
     // documented graft.stats switch)
     val noStats = Map(graft.catalog.MergeSnapshotStore.StatsProp -> "false")
     store.catalog.register(TableMeta(db, s"${prefix}_postings",
-      s"$baseLocation/${prefix}_postings", primaryKey = Some("term"),
+      s"$baseLocation/${prefix}_postings", primaryKey = Seq("term"),
       properties = noStats))
     store.catalog.register(TableMeta(db, s"${prefix}_doclens",
-      s"$baseLocation/${prefix}_doclens", primaryKey = Some("doc"),
+      s"$baseLocation/${prefix}_doclens", primaryKey = Seq("doc"),
       properties = noStats))
     store.catalog.register(TableMeta(db, s"${prefix}_docfreq",
-      s"$baseLocation/${prefix}_docfreq", primaryKey = Some("term"),
+      s"$baseLocation/${prefix}_docfreq", primaryKey = Seq("term"),
       properties = noStats))
     store.catalog.register(TableMeta(db, s"${prefix}_stats",
       s"$baseLocation/${prefix}_stats", properties = noStats))

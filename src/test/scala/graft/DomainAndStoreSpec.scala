@@ -21,7 +21,7 @@ class DomainAndStoreSpec extends AnyFunSuite with SparkFixture {
   private def bootstrap(): Unit = synchronized {
     if (catalog.get("db", "offenders").isEmpty) {
       Seq("offenders", "offender_bookings", "domain1_off_book").foreach { t =>
-        catalog.register(TableMeta("db", t, s"$tmp/$t", primaryKey = Some("offender_id")))
+        catalog.register(TableMeta("db", t, s"$tmp/$t", primaryKey = Seq("offender_id")))
       }
       // curated fixtures: the pair whose offender_id ranges overlap
       // (reference test_4 joins the curated zone)

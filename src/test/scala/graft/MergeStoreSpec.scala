@@ -38,7 +38,7 @@ class MergeStoreSpec extends AnyFunSuite with SparkFixture {
                        pk: String): TableMeta = {
     val meta = TableMeta(db, tbl,
       Files.createTempDirectory(s"graft-merge-$tbl").toString,
-      primaryKey = Some(pk))
+      primaryKey = Seq(pk))
     store.catalog.register(meta)
     meta
   }
@@ -200,7 +200,7 @@ class MergeStoreSpec extends AnyFunSuite with SparkFixture {
     val guarded = new MergeSnapshotStore(spark, cat, nBuckets = 8,
       keepVersions = 2, vacuumRetentionMs = 60 * 60 * 1000L)
     val meta = TableMeta("mdb", "t8",
-      Files.createTempDirectory("graft-merge-t8").toString, primaryKey = Some("id"))
+      Files.createTempDirectory("graft-merge-t8").toString, primaryKey = Seq("id"))
     cat.register(meta)
     guarded.overwrite("mdb", "t8", idTable(20))          // v0
     val pinned = guarded.readVersion(meta, 0)            // manifest resolved NOW
@@ -250,7 +250,7 @@ class MergeStoreSpec extends AnyFunSuite with SparkFixture {
     // retention NOT passed: this is the default users get
     val store = new MergeSnapshotStore(spark, cat, nBuckets = 8, keepVersions = 2)
     val meta = TableMeta("mdb", "tDef",
-      Files.createTempDirectory("graft-merge-tdef").toString, primaryKey = Some("id"))
+      Files.createTempDirectory("graft-merge-tdef").toString, primaryKey = Seq("id"))
     cat.register(meta)
     store.overwrite("mdb", "tDef", idTable(20))          // v0
     val v0dirs = store.manifestEntries("mdb", "tDef", 0).values.toSet
@@ -286,7 +286,7 @@ class MergeStoreSpec extends AnyFunSuite with SparkFixture {
     val store = new MergeSnapshotStore(spark, cat, nBuckets = 8,
       keepVersions = 2, vacuumRetentionMs = 60 * 60 * 1000L)
     val meta = TableMeta("mdb", "tGar",
-      Files.createTempDirectory("graft-merge-tgar").toString, primaryKey = Some("id"))
+      Files.createTempDirectory("graft-merge-tgar").toString, primaryKey = Seq("id"))
     cat.register(meta)
     store.overwrite("mdb", "tGar", idTable(20))          // v0
     val v0dirs = store.manifestEntries("mdb", "tGar", 0).values.toSet
@@ -344,7 +344,7 @@ class MergeStoreSpec extends AnyFunSuite with SparkFixture {
   test("a store with the wrong nBuckets fails fast instead of corrupting") {
     val cat = new InMemoryCatalog
     val meta = TableMeta("mdb", "t7",
-      Files.createTempDirectory("graft-merge-t7").toString, primaryKey = Some("id"))
+      Files.createTempDirectory("graft-merge-t7").toString, primaryKey = Seq("id"))
     cat.register(meta)
     new MergeSnapshotStore(spark, cat, nBuckets = 8).overwrite("mdb", "t7", idTable(20))
     val wrong = new MergeSnapshotStore(spark, cat, nBuckets = 16)
@@ -563,7 +563,7 @@ class MergeStoreSpec extends AnyFunSuite with SparkFixture {
     val plain = new SnapshotStore(spark, plainCat)
     plainCat.register(TableMeta("cdb", "offenders",
       Files.createTempDirectory("graft-plain-off").toString,
-      primaryKey = Some("offender_id")))
+      primaryKey = Seq("offender_id")))
     plain.overwrite("cdb", "offenders", target)
     ChangeLogApplier.run(spark, plain, "cdb", events)
 
@@ -1192,7 +1192,7 @@ class MergeStoreSpec extends AnyFunSuite with SparkFixture {
     val store = mkStore(nBuckets = 4)
     val dir = Files.createTempDirectory("graft-faily").toString
     store.catalog.register(TableMeta("mdb", "faily", s"faily://$dir",
-      primaryKey = Some("id")))
+      primaryKey = Seq("id")))
     // the non-local publish path renames; this fs fails EVERY manifest
     // rename while leaving the version untaken — before the fix the CAS
     // loop burned all attempts and misreported writer contention

@@ -212,7 +212,7 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     val store = new MergeSnapshotStore(spark, cat, nBuckets = 16)
     val work = java.nio.file.Files.createTempDirectory("graft-bm25m").toString
     cat.register(TableMeta("bmm", "docs", s"$work/docs",
-      primaryKey = Some("doc_id")))
+      primaryKey = Seq("doc_id")))
     TextAnalysis.registerBm25Tables(store, "bmm", "bm", work)
     val m = new Ivm.MaintainedAggregates(store, "bmm", "docs",
       TextAnalysis.bm25IndexSpecs("bm", "doc_id", "text"))

@@ -17,7 +17,7 @@ class SessionCatalogSpec extends AnyFunSuite with SparkFixture {
     val cat = new SessionCatalog(spark)
     val tmp = Files.createTempDirectory("graft-sess-cat").toString
     val meta = TableMeta("scdb", "offenders", s"$tmp/offenders",
-      primaryKey = Some("offender_id"), partitionBy = Seq("part_date"),
+      primaryKey = Seq("offender_id"), partitionBy = Seq("part_date"),
       properties = Map("owner" -> "graft"))
     cat.register(meta)
     val got = cat("scdb", "offenders")
@@ -28,7 +28,7 @@ class SessionCatalogSpec extends AnyFunSuite with SparkFixture {
     assert(got.partitionBy == Seq("part_date"))
     assert(got.properties("owner") == "graft")
     assert(got.schema.isEmpty) // none registered -> none back
-    assert(cat.primaryKey("scdb", "offenders") == "offender_id")
+    assert(cat.primaryKey("scdb", "offenders") == Seq("offender_id"))
     // re-registration (the landing-write schema refresh) wins
     val df = Seq((1L, "a")).toDF("offender_id", "name")
     cat.register(meta.copy(schema = Some(df.schema)))
@@ -36,6 +36,15 @@ class SessionCatalogSpec extends AnyFunSuite with SparkFixture {
     assert(cat.list("scdb").map(_.name) == Seq("offenders"))
     assert(cat.get("scdb", "missing").isEmpty)
     assert(cat.get("no_such_db", "x").isEmpty)
+  }
+
+  test("composite PK round-trips through the metastore property") {
+    val cat = new SessionCatalog(spark)
+    val tmp = Files.createTempDirectory("graft-sess-cpk").toString
+    cat.register(TableMeta("scdbc", "links", s"$tmp/links",
+      primaryKey = Seq("src_id", "dst_id")))
+    assert(cat("scdbc", "links").primaryKey == Seq("src_id", "dst_id"))
+    assert(cat.primaryKey("scdbc", "links") == Seq("src_id", "dst_id"))
   }
 
   test("a NARROWING re-registration wins too (drop+recreate fallback)") {
@@ -48,7 +57,7 @@ class SessionCatalogSpec extends AnyFunSuite with SparkFixture {
     val wide = Seq((1L, "a", 2.0)).toDF("id", "name", "score")
     val narrow = Seq((1L, "a")).toDF("id", "label") // drops + renames
     val meta = TableMeta("scdb3", "t", s"$tmp/t",
-      primaryKey = Some("id"), schema = Some(wide.schema))
+      primaryKey = Seq("id"), schema = Some(wide.schema))
     cat.register(meta)
     assert(cat("scdb3", "t").schema.contains(wide.schema))
     cat.register(meta.copy(schema = Some(narrow.schema)))

@@ -75,7 +75,7 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     val catalog = new InMemoryCatalog
     val store = new SnapshotStore(spark, catalog)
     catalog.register(TableMeta("sdb", "offenders", s"$tmp/offenders",
-      primaryKey = Some("offender_id")))
+      primaryKey = Seq("offender_id")))
     store.overwrite("sdb", "offenders", target)
     val stream = spark.readStream.schema(events.schema)
       .parquet(s"$RefData/kinesis/transac/parquet/oms_owner/offenders")
@@ -99,7 +99,7 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     val catalog = new InMemoryCatalog
     val store = new SnapshotStore(spark, catalog)
     catalog.register(TableMeta("cdb", "offenders", s"$tmp/offenders",
-      primaryKey = Some("offender_id")))
+      primaryKey = Seq("offender_id")))
     store.overwrite("cdb", "offenders", target)
     val stream = spark.readStream.schema(events.schema)
       .parquet(s"$RefData/kinesis/transac/parquet/oms_owner/offenders")
@@ -122,7 +122,7 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     val catalog = new InMemoryCatalog
     val store = new MergeSnapshotStore(spark, catalog, nBuckets = 16)
     catalog.register(TableMeta("mdb", "offenders", s"$tmp/offenders",
-      primaryKey = Some("offender_id")))
+      primaryKey = Seq("offender_id")))
     store.overwrite("mdb", "offenders", target)
     val stream = spark.readStream.schema(events.schema)
       .parquet(s"$RefData/kinesis/transac/parquet/oms_owner/offenders")

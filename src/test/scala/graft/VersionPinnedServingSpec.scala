@@ -27,7 +27,7 @@ class VersionPinnedServingSpec extends AnyFunSuite with SparkFixture {
     val store = freshStore()
     val work = Files.createTempDirectory(s"graft-$db").toString
     store.catalog.register(TableMeta(db, "docs", s"$work/docs",
-      primaryKey = Some("doc_id")))
+      primaryKey = Seq("doc_id")))
     TextAnalysis.registerBm25Tables(store, db, "bm", work)
     val m = new Ivm.MaintainedAggregates(store, db, "docs",
       TextAnalysis.bm25IndexSpecs("bm", "doc_id", "text"))
@@ -129,7 +129,7 @@ class VersionPinnedServingSpec extends AnyFunSuite with SparkFixture {
     val db = "vp4"
     val work = Files.createTempDirectory(s"graft-$db").toString
     store.catalog.register(TableMeta(db, "vecs", s"$work/vecs",
-      primaryKey = Some("vec_id")))
+      primaryKey = Seq("vec_id")))
     store.catalog.register(
       Similarity.ivfIndexMeta(db, "vecs_idx", s"$work/vecs_idx"))
     val rnd = new scala.util.Random(11)
@@ -163,7 +163,7 @@ class VersionPinnedServingSpec extends AnyFunSuite with SparkFixture {
     val eager = new MergeSnapshotStore(spark, new InMemoryCatalog,
       nBuckets = 8, keepVersions = 2, vacuumRetentionMs = 0L)
     eager.catalog.register(TableMeta(db, "t", s"$work/eager",
-      primaryKey = Some("id")))
+      primaryKey = Seq("id")))
     eager.overwrite(db, "t", Seq((1L, 10.0)).toDF("id", "v"))
     val pinned = eager.latestVersion(db, "t")
     eager.overwrite(db, "t", Seq((2L, 20.0)).toDF("id", "v"))
