@@ -54,10 +54,12 @@ import org.apache.spark.sql.types.{DataType, DateType, NumericType, StructType, 
  * with an atomic create-if-absent primitive (hard-link on local
  * filesystems, rename-refuses-existing on HDFS-semantics stores) the
  * publish succeeds only if no other writer has already committed N+1;
- * on object stores whose rename overwrites (s3a and friends) the CAS
- * is ADVISORY — an exists pre-check narrows but cannot close the race,
- * a loud warning fires, and multi-writer deployments there need a
- * conditional-put LogStore (or a single writer). A scoped merge
+ * on object stores whose rename overwrites (s3a and friends) the
+ * DEFAULT log's CAS is ADVISORY — an exists pre-check narrows but
+ * cannot close the race and a loud warning fires. Multi-writer
+ * deployments there pass a [[ManifestLog]] built on the store's
+ * conditional-put API (S3 If-None-Match, GCS generation-match), which
+ * makes the publish a true CAS with no rename assumption. A scoped merge
  * that loses the race checks the winner's manifest at BUCKET
  * granularity: if every bucket this merge touched still points at the
  * exact directories it read from (and the schema is unchanged), its
@@ -79,7 +81,8 @@ import org.apache.spark.sql.types.{DataType, DateType, NumericType, StructType, 
  */
 class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
                          val nBuckets: Int = 32, keepVersions: Int = 2,
-                         vacuumRetentionMs: Long = MergeSnapshotStore.DefaultRetentionMs)
+                         vacuumRetentionMs: Long = MergeSnapshotStore.DefaultRetentionMs,
+                         manifestLog: ManifestLog = HadoopManifestLog)
     extends SnapshotStore(spark, catalog0, keepVersions) {
   import MergeSnapshotStore.{TombstoneEpoch, TombstoneGarbled, TombstoneRead, TombstoneUnreadable}
   require(nBuckets >= 1, "nBuckets must be >= 1")
@@ -148,69 +151,19 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
   }
 
   /** Compare-and-swap manifest publish: commit `m` as version `v` iff no
-   * other writer has already committed `v`. The content lands in a
-   * nonce-unique tmp file first (two racing writers can never share a
-   * tmp path), then is published with an atomic create-if-absent:
-   * local filesystems hard-link (link(2) fails atomically when the
-   * destination exists — POSIX rename would silently OVERWRITE a
-   * concurrent winner); HDFS-semantics stores rename (their rename
-   * refuses an existing destination). Returns false when the version
-   * was already taken — the caller rebases or refuses. */
+   * other writer has already committed `v`, via the store's
+   * [[ManifestLog]] create-if-absent primitive (default
+   * [[HadoopManifestLog]]: local hard-link / HDFS rename; object-store
+   * deployments pass a conditional-put log). Returns false when the
+   * version was already taken — the caller rebases or refuses. */
   private def publishManifest(location: String, v: Int, m: Manifest): Boolean = {
     val content = (Seq(s"schema\t${m.schema.json}", s"nbuckets\t${m.nBuckets}") ++
       m.buckets.toSeq.map { case (b, dir) => s"b\t$b\t$dir" } ++
       m.stats.toSeq.sortBy(_._1).flatMap { case (f, ss) =>
         ss.map(s => s"s\t$f\t${s.column}\t${s.mn}\t${s.mx}")
       }).mkString("\n")
-    val nonce = java.util.UUID.randomUUID().toString.take(8)
-    val tmp = new Path(f"$location/.tmp-v=$v%06d-$nonce.manifest")
     val fin = manifestPath(location, v)
-    val f = fs(fin)
-    val out = f.create(tmp, true)
-    try out.write(content.getBytes(UTF_8)) finally out.close()
-    val committed =
-      if (f.getScheme == "file") {
-        try {
-          java.nio.file.Files.createLink(
-            java.nio.file.Paths.get(fin.toUri.getPath),
-            java.nio.file.Paths.get(tmp.toUri.getPath))
-          true
-        } catch {
-          case _: java.nio.file.FileAlreadyExistsException => false
-        }
-      } else {
-        // HDFS contract: rename fails when the destination exists. The
-        // exists pre-check narrows (not closes) the window on stores
-        // that overwrite instead; object-store deployments should back
-        // this with a conditional-put LogStore. Schemes KNOWN to
-        // overwrite on rename get a loud once-per-scheme warning — their
-        // CAS is advisory, so concurrent writers there can lose a commit
-        // silently (single-writer use stays fine).
-        if (MergeSnapshotStore.OverwritingRenameSchemes.contains(f.getScheme) &&
-            MergeSnapshotStore.warnedSchemes.add(f.getScheme))
-          org.slf4j.LoggerFactory.getLogger(getClass).warn(
-            s"filesystem scheme '${f.getScheme}' overwrites on rename: the " +
-              "manifest CAS cannot refuse a racing writer — run " +
-              "single-writer, or back the publish with a conditional-put " +
-              "LogStore")
-        if (f.exists(fin)) false
-        else if (f.rename(tmp, fin)) true
-        else if (f.exists(fin)) false // a racer took it mid-rename
-        else {
-          // the destination is still free, so this was NOT a lost CAS:
-          // counting a persistent rename failure (permissions, quota, a
-          // flaky connector) as contention would burn every retry
-          // against an UNCHANGED manifest and then misreport "writers
-          // keep taking every version" — surface the real failure
-          f.delete(tmp, false)
-          throw new java.io.IOException(
-            s"manifest publish rename failed at $fin but the version is " +
-              "untaken — a filesystem error, not writer contention; check " +
-              "permissions/quota/connector health")
-        }
-      }
-    f.delete(tmp, false)
-    committed
+    manifestLog.putIfAbsent(fs(fin), fin, content)
   }
 
   /** Test/diagnostic hook: the bucket->directory map of one version. */
@@ -1017,13 +970,6 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
 }
 
 object MergeSnapshotStore {
-  /** Filesystem schemes whose rename OVERWRITES an existing destination
-   * (object stores emulating rename as copy+delete) — the manifest CAS
-   * degrades to advisory there; see the publish warning. */
-  private[catalog] val OverwritingRenameSchemes = Set("s3", "s3a", "s3n", "gs", "oss")
-  private[catalog] val warnedSchemes =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-
   /** Outcome of reading a tombstone. `Garbled` (missing / empty /
    * unparseable — a crashed writer's debris) is safe to repair by
    * overwriting; `Unreadable` (any other I/O failure) means the file may
