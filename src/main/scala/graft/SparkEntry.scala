@@ -1840,6 +1840,26 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // STRING data skipping in the table store (q55's discipline for
+    // string keys): every commit records per-file TRUNCATED
+    // lexicographic bounds (the Iceberg truncate(16) pattern — c_name's
+    // 18 chars genuinely truncate) and a name-range read plans only the
+    // overlapping files; the oracle is the plain full-scan filter
+    "q61_store_string_scan" -> ((s, d) => {
+      import graft.catalog.{InMemoryCatalog, MergeSnapshotStore, TableMeta}
+      val cust = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .repartitionByRange(16, col("c_name"))
+      val work = java.nio.file.Files.createTempDirectory("graft-q61").toString
+      val cat = new InMemoryCatalog
+      cat.register(TableMeta("q61", "customer", s"$work/customer"))
+      val store = new MergeSnapshotStore(s, cat, nBuckets = 32)
+      store.overwrite("q61", "customer", cust)
+      store.readStringRange("q61", "customer",
+          Map("c_name" -> (("Customer#000000100", "Customer#000000299"))))
+        .orderBy("c_custkey")
+    }),
+
     // distinct-count IVM through the multiplicity auxiliary view:
     // COUNT(DISTINCT v) is not self-maintainable (deleting a value
     // can't tell last-copy-gone from duplicates-remain), but the
@@ -4078,6 +4098,14 @@ object SparkEntry {
          WHERE CAST(round(o_totalprice * 100) AS BIGINT)
                BETWEEN 5000000 AND 15000000
          ORDER BY o_orderkey""",
+
+    // the store's truncated-string-stats-pruned read must equal the
+    // plain full-scan lexicographic filter
+    "q61_store_string_scan" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+         FROM customer
+         WHERE c_name BETWEEN 'Customer#000000100' AND 'Customer#000000299'
+         ORDER BY c_custkey""",
 
     // the store's date-stats-pruned window read must equal the plain
     // full-scan date filter

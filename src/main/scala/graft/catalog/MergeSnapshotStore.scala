@@ -7,7 +7,7 @@ import scala.collection.immutable.SortedMap
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{array, col, element_at, expr, hash, input_file_name, isnan, lit, max, min, pmod, when}
-import org.apache.spark.sql.types.{DataType, DateType, NumericType, StructType, TimestampType}
+import org.apache.spark.sql.types.{DataType, DateType, NumericType, StringType, StructType, TimestampType}
 
 /**
  * Incremental MERGE-style table store: the scale answer to the reference's
@@ -106,9 +106,19 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
    * column's own type after the read). */
   private case class ColStat(column: String, mn: Double, mx: Double)
 
+  /** Per-file TRUNCATED string bounds (the Iceberg `truncate(16)`
+   * pattern): `lo` is a prefix of the file's minimum (so `lo <= min`),
+   * `hi` is the truncated maximum with its last code point incremented
+   * (so `hi >= max`; None when no prefix can be incremented — the file
+   * is then unbounded above and never pruned by an upper bound). Bounds
+   * compare in UTF-8 byte order — the order Spark's UTF8String AND
+   * parquet's UNSIGNED binary stats both use. */
+  private case class StrStat(column: String, lo: String, hi: Option[String])
+
   private case class Manifest(schema: StructType, buckets: SortedMap[Int, String],
                               nBuckets: Int,
-                              stats: Map[String, Seq[ColStat]] = Map.empty)
+                              stats: Map[String, Seq[ColStat]] = Map.empty,
+                              strStats: Map[String, Seq[StrStat]] = Map.empty)
 
   private def manifestVersions(location: String): Seq[Int] = {
     val p = new Path(location)
@@ -147,7 +157,16 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
       val Array(_, f, c, mn, mx) = s.split('\t')
       f -> ColStat(c, mn.toDouble, mx.toDouble)
     }.groupBy(_._1).map { case (f, ss) => f -> ss.map(_._2).toSeq }
-    Manifest(schema, SortedMap(buckets: _*), nb, stats)
+    // string bounds travel base64-coded: a bound is arbitrary user text
+    // and must not be able to inject the manifest's own separators
+    def unb64(s: String) = new String(
+      java.util.Base64.getDecoder.decode(s), UTF_8)
+    val strStats = lines.collect { case s if s.startsWith("y\t") =>
+      val parts = s.split('\t')
+      parts(1) -> StrStat(parts(2), unb64(parts(3)),
+        if (parts(4) == "*") None else Some(unb64(parts(4))))
+    }.groupBy(_._1).map { case (f, ss) => f -> ss.map(_._2).toSeq }
+    Manifest(schema, SortedMap(buckets: _*), nb, stats, strStats)
   }
 
   /** Compare-and-swap manifest publish: commit `m` as version `v` iff no
@@ -157,10 +176,16 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
    * deployments pass a conditional-put log). Returns false when the
    * version was already taken — the caller rebases or refuses. */
   private def publishManifest(location: String, v: Int, m: Manifest): Boolean = {
+    def b64(s: String) =
+      java.util.Base64.getEncoder.encodeToString(s.getBytes(UTF_8))
     val content = (Seq(s"schema\t${m.schema.json}", s"nbuckets\t${m.nBuckets}") ++
       m.buckets.toSeq.map { case (b, dir) => s"b\t$b\t$dir" } ++
       m.stats.toSeq.sortBy(_._1).flatMap { case (f, ss) =>
         ss.map(s => s"s\t$f\t${s.column}\t${s.mn}\t${s.mx}")
+      } ++
+      m.strStats.toSeq.sortBy(_._1).flatMap { case (f, ss) =>
+        ss.map(s =>
+          s"y\t$f\t${s.column}\t${b64(s.lo)}\t${s.hi.map(b64).getOrElse("*")}")
       }).mkString("\n")
     val fin = manifestPath(location, v)
     manifestLog.putIfAbsent(fs(fin), fin, content)
@@ -175,6 +200,12 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
                                    version: Int): Map[String, Seq[(String, Double, Double)]] =
     readManifest(catalog0(db, table).location, version).stats
       .map { case (f, ss) => f -> ss.map(s => (s.column, s.mn, s.mx)) }
+
+  /** Test/diagnostic hook: per-file truncated string bounds of one version. */
+  private[graft] def manifestStrStats(db: String, table: String,
+                                      version: Int): Map[String, Seq[(String, String, Option[String])]] =
+    readManifest(catalog0(db, table).location, version).strStats
+      .map { case (f, ys) => f -> ys.map(y => (y.column, y.lo, y.hi)) }
 
   /** Latest committed MANIFEST version (this store's version space), -1
    * when the table has none — the base-class contract, against manifest
@@ -340,24 +371,30 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     }
   }
 
+  /** The data files of the selected buckets, enumerated from the bucket
+   * directories — never from the stats maps alone, so a file that
+   * produced no stats lines is still read. */
+  private def listDataFiles(meta: TableMeta, m: Manifest,
+                            only: Option[Set[Int]]): Seq[String] = {
+    val relDirs = m.buckets.toSeq
+      .collect { case (b, dir) if only.forall(_.contains(b)) => dir }
+    val f = fs(new Path(meta.location))
+    relDirs.flatMap { dir =>
+      f.listStatus(new Path(s"${meta.location}/$dir")).toSeq
+        .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
+        .map(st => s"$dir/${st.getPath.getName}")
+    }
+  }
+
   /** [[load]] restricted to the files whose stats overlap `ranges`, with
    * the exact range predicate applied on top (so callers get exact
-   * results, not the pruning superset). Files are enumerated from the
-   * selected bucket directories — never from the stats map alone, so a
-   * file that produced no stats lines is still read. */
+   * results, not the pruning superset). */
   private def loadRanged(meta: TableMeta, m: Manifest, only: Option[Set[Int]],
                          ranges: Map[String, (Double, Double)]): DataFrame = {
     if (ranges.isEmpty) load(meta, m, only)
     else {
-      val relDirs = m.buckets.toSeq
-        .collect { case (b, dir) if only.forall(_.contains(b)) => dir }
-      val f = fs(new Path(meta.location))
-      val files = relDirs.flatMap { dir =>
-        f.listStatus(new Path(s"${meta.location}/$dir")).toSeq
-          .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
-            !st.getPath.getName.startsWith("."))
-          .map(st => s"$dir/${st.getPath.getName}")
-      }
+      val files = listDataFiles(meta, m, only)
       val keep = files.filter { rel =>
         m.stats.get(rel) match {
           case None => true // no stats: conservative keep
@@ -385,14 +422,80 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
           case _ => col(c) >= lit(lo) && col(c) <= lit(hi)
         }
       }.reduce(_ && _)
-      if (keep.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          m.schema).filter(pred)
-      else
-        spark.read.format(meta.format).schema(m.schema)
-          .load(keep.map(rel => s"${meta.location}/$rel"): _*)
-          .filter(pred)
+      loadFiles(meta, m, keep, pred)
     }
+  }
+
+  private def loadFiles(meta: TableMeta, m: Manifest, keep: Seq[String],
+                        pred: Column): DataFrame =
+    if (keep.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        m.schema).filter(pred)
+    else
+      spark.read.format(meta.format).schema(m.schema)
+        .load(keep.map(rel => s"${meta.location}/$rel"): _*)
+        .filter(pred)
+
+  /**
+   * Data skipping on STRING columns: scan only the files whose
+   * truncated lexicographic bounds ([[StrStat]], the Iceberg
+   * `truncate(16)` pattern) admit a value in every requested inclusive
+   * `[lo, hi]` range, then apply the exact predicate. Bounds and
+   * predicate agree on UTF-8 byte order (Spark's own string order), and
+   * truncation only ever WIDENS a file's recorded range, so pruning is
+   * a superset and the result equals the full-scan filter. What prunes
+   * at 100 TB: string-keyed layouts with locality — a URL table
+   * committed clustered by canonical URL, lexicographic id ranges —
+   * exactly the numeric [[readRange]] story; a file lacking stats for a
+   * requested column is conservatively kept.
+   */
+  def readStringRange(db: String, table: String,
+                      ranges: Map[String, (String, String)],
+                      version: Option[Int] = None): DataFrame = {
+    require(ranges.nonEmpty, "readStringRange needs at least one column range")
+    val meta = catalog0(db, table)
+    val m = readManifest(meta.location, resolveVersion(meta, version))
+    val pred = ranges.map { case (c, (lo, hi)) =>
+      col(c) >= lit(lo) && col(c) <= lit(hi)
+    }.reduce(_ && _)
+    loadStringRanged(meta, m,
+      ranges.map { case (c, (lo, hi)) => c -> ((lo, Option(hi))) }, pred)
+  }
+
+  /**
+   * Prefix read — the string stats' headline use (URL prefixes,
+   * lexicographic ids): keeps the files whose bounds admit a value in
+   * `[prefix, incrementLast(prefix)]` (one key generous at the top —
+   * conservative, never wrong) and applies an exact `startswith`.
+   */
+  def readPrefix(db: String, table: String, column: String, prefix: String,
+                 version: Option[Int] = None): DataFrame = {
+    require(prefix.nonEmpty, "readPrefix needs a non-empty prefix")
+    val meta = catalog0(db, table)
+    val m = readManifest(meta.location, resolveVersion(meta, version))
+    loadStringRanged(meta, m,
+      Map(column -> ((prefix, MergeSnapshotStore.incrementLast(prefix)))),
+      col(column).startsWith(prefix))
+  }
+
+  /** String twin of [[loadRanged]]: `hi = None` means unbounded above
+   * (a prefix whose every code point is MAX). A file's upper bound of
+   * None likewise never prunes. */
+  private def loadStringRanged(meta: TableMeta, m: Manifest,
+                               ranges: Map[String, (String, Option[String])],
+                               pred: Column): DataFrame = {
+    import MergeSnapshotStore.strCmp
+    val keep = listDataFiles(meta, m, None).filter { rel =>
+      m.strStats.get(rel) match {
+        case None => true // no stats: conservative keep
+        case Some(ys) => ranges.forall { case (c, (lo, hi)) =>
+          ys.find(_.column == c).forall(y =>
+            y.hi.forall(h => strCmp(h, lo) >= 0) &&
+              hi.forall(hq => strCmp(y.lo, hq) <= 0))
+        }
+      }
+    }
+    loadFiles(meta, m, keep, pred)
   }
 
   // ----------------------------------------------------------------- commits
@@ -420,10 +523,11 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
       cluster: Option[(Seq[(String, (Double, Double))], Int, Int)] = None,
       requireBase: Option[Int] = None): Unit = {
     val vs = manifestVersions(meta.location)
-    val (written, stats) =
+    val (written, stats, strStats) =
       writeData(meta, vs.lastOption.getOrElse(-1) + 1, out, meta.primaryKey,
         cluster)
-    val m = Manifest(dropBucketCol(out.schema), written, nBuckets, stats)
+    val m = Manifest(dropBucketCol(out.schema), written, nBuckets, stats,
+      strStats)
     val hook = beforePublish; beforePublish = () => (); hook()
     var attempt = 0
     var done = false
@@ -506,7 +610,7 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     if (touched.isEmpty) return Nil
     val old = load(meta, current, Some(touched.toSet))
     val out = rewrite(old)
-    val (written, newStats) = writeData(meta, vs.last + 1, out, pks)
+    val (written, newStats, newStrStats) = writeData(meta, vs.last + 1, out, pks)
     val stray = written.keySet.diff(touched.toSet)
     require(stray.isEmpty,
       s"merge rewrote buckets $stray outside the changed-key set $touched — " +
@@ -528,6 +632,9 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
       val carriedStats = base.stats.filter { case (fp, _) =>
         carriedDirs.exists(d => fp.startsWith(s"$d/"))
       }
+      val carriedStrStats = base.strStats.filter { case (fp, _) =>
+        carriedDirs.exists(d => fp.startsWith(s"$d/"))
+      }
       // on a rebase the manifest mixes OUR files (out's schema) with the
       // winner's carried files (their schema — structurally identical,
       // adjudicated below, but either side may have relaxed nullability)
@@ -537,7 +644,7 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
         else MergeSnapshotStore.mergeNullability(dropBucketCol(out.schema), base.schema)
       if (publishManifest(meta.location, baseVer + 1,
           Manifest(schema, carried ++ written, nBuckets,
-            carriedStats ++ newStats))) {
+            carriedStats ++ newStats, carriedStrStats ++ newStrStats))) {
         vacuum(meta, manifestVersions(meta.location).filter(_ <= baseVer))
         clearTombstones(meta, written)
         committed = true
@@ -693,7 +800,7 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
   private def writeData(meta: TableMeta, next: Int, df: DataFrame,
                         pk: Seq[String],
                         cluster: Option[(Seq[(String, (Double, Double))], Int, Int)] = None)
-      : (SortedMap[Int, String], Map[String, Seq[ColStat]]) = {
+      : (SortedMap[Int, String], Map[String, Seq[ColStat]], Map[String, Seq[StrStat]]) = {
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val rel = f"data/c$next%06d-$nonce"
     val dataDir = new Path(s"${meta.location}/$rel")
@@ -748,8 +855,17 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
         .filter(sf => sf.name != "__b" && (sf.dataType.isInstanceOf[NumericType] ||
           sf.dataType == DateType || sf.dataType == TimestampType))
         .map(_.name)
-    val stats: Map[String, Seq[ColStat]] =
-      if (statCols.isEmpty || found.isEmpty) Map.empty
+    // string columns get TRUNCATED lexicographic bounds (StrStat) — the
+    // skipping story for URL prefixes and lexicographic ids; same
+    // per-table opt-out
+    val strCols =
+      if (meta.properties.get(MergeSnapshotStore.StatsProp).contains("false")) Nil
+      else df.schema.fields.toSeq
+        .filter(sf => sf.name != "__b" && sf.dataType == StringType)
+        .map(_.name)
+    val (stats: Map[String, Seq[ColStat]], strStats: Map[String, Seq[StrStat]]) =
+      if ((statCols.isEmpty && strCols.isEmpty) || found.isEmpty)
+        (Map.empty[String, Seq[ColStat]], Map.empty[String, Seq[StrStat]])
       else if (meta.format == "parquet") {
         // enumerate the just-written data files (driver-side listing of
         // the bucket dirs already produced above — manifest-sized)
@@ -759,11 +875,15 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
               !st.getPath.getName.startsWith("."))
             .map(st => s"$rel/${st.getPath.getName}")
         }
-        val bounds: Seq[(String, Seq[(String, Double, Double)])] =
+        val bounds: Seq[(String, Seq[(String, Double, Double)],
+                         Seq[(String, String, Option[String])])] =
           if (rels.size <= MergeSnapshotStore.FooterInlineFiles) {
             val conf = spark.sparkContext.hadoopConfiguration
-            rels.map(rel => rel -> MergeSnapshotStore.footerBounds(conf,
-              new Path(s"${meta.location}/$rel"), statCols))
+            rels.map { rel =>
+              val path = new Path(s"${meta.location}/$rel")
+              (rel, MergeSnapshotStore.footerBounds(conf, path, statCols),
+                MergeSnapshotStore.footerStrBounds(conf, path, strCols))
+            }
           } else {
             // footer reads are per-file metadata I/O — at a 10^3..10^4
             // file commit the driver loop would serialize thousands of
@@ -778,18 +898,25 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
             val bc = spark.sparkContext.broadcast(confKv)
             val loc = meta.location
             val cols = statCols
+            val scols = strCols
             spark.sparkContext
               .parallelize(rels, math.max(1, rels.size / 64))
               .mapPartitions { it =>
                 val c = new org.apache.hadoop.conf.Configuration(false)
                 bc.value.foreach { case (k, v) => c.set(k, v) }
-                it.map(rel => rel ->
-                  MergeSnapshotStore.footerBounds(c, new Path(s"$loc/$rel"), cols))
+                it.map { rel =>
+                  val path = new Path(s"$loc/$rel")
+                  (rel, MergeSnapshotStore.footerBounds(c, path, cols),
+                    MergeSnapshotStore.footerStrBounds(c, path, scols))
+                }
               }.collect().toSeq // manifest-sized: one entry per file
           }
-        bounds.collect { case (rel, ss) if ss.nonEmpty =>
+        (bounds.collect { case (rel, ss, _) if ss.nonEmpty =>
           rel -> ss.map { case (c, mn, mx) => ColStat(c, mn, mx) }
-        }.toMap
+        }.toMap,
+          bounds.collect { case (rel, _, ys) if ys.nonEmpty =>
+            rel -> ys.map { case (c, lo, hi) => StrStat(c, lo, hi) }
+          }.toMap)
       } else {
         // non-parquet formats carry no footer stats — measure with one
         // column-pruned scan of the written files. NaN is excluded: a
@@ -807,11 +934,15 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
           }
           when(!isnan(d), d)
         }
-        val aggs = statCols.flatMap(c => Seq(min(finite(c)), max(finite(c))))
-        // manifest-sized collect: one row per written FILE
+        val aggs = statCols.flatMap(c => Seq(min(finite(c)), max(finite(c)))) ++
+          strCols.flatMap(c => Seq(min(col(c)), max(col(c))))
+        // manifest-sized collect: one row per written FILE. Spark's
+        // string min/max order is UTF8String byte order — the manifest's
+        // bound order, so truncation applies directly.
         val rows = written.groupBy(input_file_name().as("__f"))
           .agg(aggs.head, aggs.tail: _*).collect()
-        rows.flatMap { r =>
+        val strOff = 1 + 2 * statCols.size
+        val pairs = rows.flatMap { r =>
           val p = r.getString(0)
           // a written file's path always embeds its commit dir; the
           // LAST occurrence belongs to the store (a table location
@@ -823,11 +954,20 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
               if (r.isNullAt(1 + 2 * i) || r.isNullAt(2 + 2 * i)) None
               else Some(ColStat(c, r.getDouble(1 + 2 * i), r.getDouble(2 + 2 * i)))
             }
-            if (ss.isEmpty) None else Some(p.substring(cut + 1) -> ss)
+            val ys = strCols.zipWithIndex.flatMap { case (c, i) =>
+              if (r.isNullAt(strOff + 2 * i) || r.isNullAt(strOff + 2 * i + 1)) None
+              else Some(StrStat(c,
+                MergeSnapshotStore.truncLower(r.getString(strOff + 2 * i)),
+                MergeSnapshotStore.truncUpper(r.getString(strOff + 2 * i + 1))))
+            }
+            if (ss.isEmpty && ys.isEmpty) None
+            else Some(p.substring(cut + 1) -> ((ss, ys)))
           }
-        }.toMap
+        }
+        (pairs.collect { case (f, (ss, _)) if ss.nonEmpty => f -> ss }.toMap,
+          pairs.collect { case (f, (_, ys)) if ys.nonEmpty => f -> ys }.toMap)
       }
-    (found, stats)
+    (found, stats, strStats)
   }
 
   private def dropBucketCol(s: StructType): StructType =
@@ -1039,6 +1179,127 @@ object MergeSnapshotStore {
    * merge touches a handful of buckets); above it a distributed job
    * reads them executor-side. */
   val FooterInlineFiles: Int = 64
+
+  /** Truncated string bounds keep at most this many chars — long URL /
+   * id prefixes stay discriminating while the manifest stays small (the
+   * Iceberg `truncate(16)` default). */
+  val StrBoundLen: Int = 16
+
+  /** UTF-8 unsigned byte order — the ONE order all three string-bound
+   * parties agree on: Spark's UTF8String comparisons, parquet's UNSIGNED
+   * binary stats, and the manifest's truncated bounds. Java's
+   * `String.compareTo` (UTF-16 code units) disagrees above the BMP and
+   * must not be used for pruning. */
+  private[graft] def strCmp(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  /** Lower-bound truncation: a code-point-safe prefix is always <= the
+   * value it truncates (prefix order), so the bound stays sound. */
+  private[graft] def truncLower(s: String): String =
+    if (s.length <= StrBoundLen) s
+    else {
+      // never split a surrogate pair: a dangling high surrogate has no
+      // valid UTF-8 form and would break the byte-order contract
+      val cut =
+        if (Character.isHighSurrogate(s.charAt(StrBoundLen - 1))) StrBoundLen - 1
+        else StrBoundLen
+      s.substring(0, cut)
+    }
+
+  /** Upper-bound truncation: the truncated prefix with its last
+   * incrementable code point bumped is >= the value AND every extension
+   * of it. None when nothing can be incremented (all code points at
+   * MAX) — the column is then unbounded above for this file. */
+  private[graft] def truncUpper(s: String): Option[String] =
+    if (s.length <= StrBoundLen) Some(s)
+    else incrementLast(truncLower(s))
+
+  /** The least string strictly greater than `p` AND every string with
+   * prefix `p`: increment the last incrementable code point, dropping
+   * MAX-valued tail code points (and skipping the surrogate gap —
+   * U+D7FF + 1 jumps to U+E000, still strictly greater). None when
+   * every code point is at MAX. Also the exclusive upper bound of a
+   * prefix scan. */
+  private[graft] def incrementLast(p: String): Option[String] = {
+    var i = p.length
+    while (i > 0) {
+      val cp = p.codePointBefore(i)
+      val start = i - Character.charCount(cp)
+      if (cp != Character.MAX_CODE_POINT) {
+        val next0 = cp + 1
+        val next = if (next0 >= 0xD800 && next0 <= 0xDFFF) 0xE000 else next0
+        return Some(p.substring(0, start) + new String(Character.toChars(next)))
+      }
+      i = start
+    }
+    None
+  }
+
+  /**
+   * TRUNCATED string bounds of `cols` lifted from one parquet file's
+   * footer. Per column: row-group BINARY/UTF8 chunk bounds combine in
+   * UTF-8 byte order; a bound whose bytes do not round-trip UTF-8
+   * decoding (foreign writer debris) poisons the column — decoding
+   * malformed bytes to U+FFFD could otherwise move a bound the wrong
+   * way and prune a live file. Same conservative rules as the numeric
+   * path: provably-all-null chunks contribute nothing, anything else
+   * unusable drops the column's stats line entirely.
+   */
+  private[catalog] def footerStrBounds(conf: org.apache.hadoop.conf.Configuration,
+                                       file: Path,
+                                       cols: Seq[String]): Seq[(String, String, Option[String])] = {
+    import scala.jdk.CollectionConverters._
+    if (cols.isEmpty) return Nil
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(conf, file)
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      cols.flatMap { c =>
+        var mn: String = null
+        var mx: String = null
+        var usable = true
+        def decode(v: AnyRef): Option[String] = v match {
+          case b: org.apache.parquet.io.api.Binary =>
+            val bytes = b.getBytes
+            val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+            if (java.util.Arrays.equals(
+                s.getBytes(java.nio.charset.StandardCharsets.UTF_8), bytes))
+              Some(s)
+            else None
+          case _ => None
+        }
+        blocks.foreach { b =>
+          if (usable) b.getColumns.asScala.find(_.getPath.toDotString == c) match {
+            case None => usable = false
+            case Some(cc) =>
+              val st = cc.getStatistics
+              if (st == null || st.isEmpty) usable = false
+              else if (!st.hasNonNullValue) {
+                if (!(st.isNumNullsSet && st.getNumNulls == cc.getValueCount))
+                  usable = false
+              }
+              else (decode(st.genericGetMin.asInstanceOf[AnyRef]),
+                    decode(st.genericGetMax.asInstanceOf[AnyRef])) match {
+                case (Some(lo), Some(hi)) =>
+                  if (mn == null || strCmp(lo, mn) < 0) mn = lo
+                  if (mx == null || strCmp(hi, mx) > 0) mx = hi
+                case _ => usable = false
+              }
+          }
+        }
+        if (usable && mn != null) Some((c, truncLower(mn), truncUpper(mx)))
+        else None
+      }
+    } finally reader.close()
+  }
 
   /**
    * Min/max bounds of `cols` lifted from one parquet file's footer, in
