@@ -1299,6 +1299,23 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // PageRank with DANGLING-MASS redistribution (the complete damped
+    // update real host ranking uses): the q57 circulation graph plus a
+    // second hash edge into 13 SINK nodes (97..109 — never sources), so
+    // every round a real dangling mass D arises and each node receives
+    // D DIV N extra inbound before damping — still exact integer, so
+    // the unrolled oracle replays every rank bit-for-bit
+    "q62_pagerank_dangling" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val edges = docs.select((col("doc_id") % 97).as("src"),
+          ((col("doc_id") * 31 + 7) % 97).as("dst"))
+        .unionByName(docs.select((col("doc_id") % 97).as("src"),
+          ((col("doc_id") % 13) + 97).as("dst")))
+      Graphs.pageRankMicro(edges, "src", "dst", iterations = 5,
+          redistributeDangling = true)
+        .orderBy("node")
+    }),
+
     // TOKEN-budget source mixing with epoch repeats (the Pile/LLaMA
     // mixing table): sources weighted by token share, small classes
     // repeat as distinct epochs up to their cap, the binding class
@@ -2554,6 +2571,45 @@ object SparkEntry {
     sb.toString
   }
 
+  /** q62 oracle: [[pageRankCtes]] with the dangling-mass term — the
+   * graph gains 13 sink nodes (97..109, never sources), each round a
+   * `d\$i` CTE sums the PREVIOUS ranks of the dangling set and every
+   * node's update adds `dm // N` before damping, exactly the operator's
+   * integer arithmetic. */
+  private def pageRankDanglingCtes(iters: Int, dampingPct: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH e AS (SELECT DISTINCT doc_id % 97 AS src,
+                   (doc_id * 31 + 7) % 97 AS dst FROM documents
+            UNION
+            SELECT doc_id % 97 AS src, doc_id % 13 + 97 AS dst
+            FROM documents),
+         nodes AS (SELECT DISTINCT src AS node FROM e
+                   UNION SELECT DISTINCT dst FROM e),
+         nn AS (SELECT count(*) AS n FROM nodes),
+         dang AS (SELECT node FROM nodes
+                  WHERE node NOT IN (SELECT src FROM e)),
+         eo AS (SELECT e.src, e.dst, d.outdeg
+                FROM e JOIN (SELECT src, count(*) AS outdeg
+                             FROM e GROUP BY 1) d USING (src)),
+         r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes)""")
+    for (i <- 1 to iters) {
+      sb.append(s""",
+         c$i AS (SELECT dst, sum(r // outdeg) AS s FROM eo
+                 JOIN r${i - 1} ON eo.src = r${i - 1}.node GROUP BY 1),
+         d$i AS (SELECT coalesce(sum(r), 0) AS dm
+                 FROM r${i - 1} JOIN dang USING (node)),
+         r$i AS (SELECT node, CAST(${(100 - dampingPct) * 10000L} +
+                   (coalesce(s, 0) + (SELECT dm FROM d$i)
+                      // (SELECT n FROM nn)) * $dampingPct // 100
+                   AS BIGINT) AS r
+                 FROM nodes LEFT JOIN c$i ON node = dst)""")
+    }
+    sb.append(s"""
+         SELECT node, r AS rank_micro FROM r$iters ORDER BY node""")
+    sb.toString
+  }
+
   /** Shared s15/s16 oracle: the IVF index rebuilt from scratch over the
    * POST-changelog corpus with the old corpus's first-16 pinned
    * centroids, searched by the family's probe/rank rule — ONE contract
@@ -3480,6 +3536,8 @@ object SparkEntry {
 
     // the unrolled 5-round integer PageRank — every rank replays exactly
     "q57_pagerank" -> pageRankCtes(5, 85),
+
+    "q62_pagerank_dangling" -> pageRankDanglingCtes(5, 85),
 
     // the dense shuffle-order index, the 60-bit candidate hash, the
     // self-collision drop, and first-k-by-draw-order — replayed 1:1

@@ -119,4 +119,105 @@ class GraphsSpec extends AnyFunSuite with SparkFixture {
       spark.sql("DROP TABLE IF EXISTS graft_pr_spec")
     }
   }
+
+  /** Driver-side mirror of the integer power loop — the independent
+   * arithmetic the redistribution and early-stop specs compare against
+   * (same truncating long division, same left-to-right update). */
+  private def mirror(edges: Seq[(String, String)], iters: Int,
+                     redistribute: Boolean): Map[String, Long] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    val outdeg = e.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val n = nodes.size.toLong
+    var r = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 1 to iters) {
+      val in = e.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s, _) => r(s) / outdeg(s) }.sum }
+      val dm = if (redistribute)
+        nodes.filterNot(outdeg.contains).map(r).sum else 0L
+      r = nodes.map(v => v -> (150000L +
+        (in.getOrElse(v, 0L) + (if (redistribute) dm / n else 0L))
+          * 85L / 100L)).toMap
+    }
+    r
+  }
+
+  test("dangling-mass redistribution matches the integer mirror") {
+    import spark.implicits._
+    // c receives from everyone and has no out-edge: the dangling node
+    val edges = Seq(("a", "c"), ("b", "c"), ("a", "b"))
+    val e = edges.toDF("s", "d")
+    for (iters <- Seq(1, 3, 5)) {
+      val got = Graphs.pageRankMicro(e, "s", "d", iterations = iters,
+          redistributeDangling = true)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == mirror(edges, iters, redistribute = true),
+        s"redistributed ranks drifted from the mirror at $iters rounds")
+    }
+    // the knob genuinely changes the answer on a dangling graph, and
+    // off-by-default stays the documented mass-dropping variant
+    assert(ranks(e, 3) == mirror(edges, 3, redistribute = false))
+    assert(ranks(e, 3) != mirror(edges, 3, redistribute = true))
+  }
+
+  test("a graph with no dangling nodes is knob-invariant") {
+    import spark.implicits._
+    val e = Seq(("a", "b"), ("b", "a"), ("c", "a"), ("a", "c")).toDF("s", "d")
+    val plain = ranks(e, 4)
+    val redis = Graphs.pageRankMicro(e, "s", "d", iterations = 4,
+        redistributeDangling = true)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(redis == plain, "zero dangling mass must redistribute nothing")
+  }
+
+  test("early-stop halts once no rank moves more than eps") {
+    import spark.implicits._
+    val edges = Seq(("a", "b"), ("b", "a"), ("c", "a"))
+    val e = edges.toDF("s", "d")
+    val eps = 450000L // the fixture's L-inf delta first dips under at round 5
+    // find the stop round in the mirror: first round whose L-inf delta
+    // from the previous round is within eps
+    val stopRound = (1 to 10).find { k =>
+      val prev = mirror(edges, k - 1, redistribute = false)
+      val cur = mirror(edges, k, redistribute = false)
+      cur.keys.map(v => math.abs(cur(v) - prev(v))).max <= eps
+    }.get
+    assert(stopRound > 1 && stopRound < 10,
+      s"fixture must converge mid-loop to prove the stop (got $stopRound)")
+    val got = Graphs.pageRankMicro(e, "s", "d", iterations = 10,
+        earlyStopDeltaMicro = Some(eps))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == mirror(edges, stopRound, redistribute = false),
+      "early-stop must freeze ranks exactly at the stop round")
+    assert(got != mirror(edges, 10, redistribute = false),
+      "fixture still moving at 10 rounds — the stop was never exercised")
+    // a fixed point stops immediately: the 2-cycle never moves
+    val cyc = Seq(("x", "y"), ("y", "x")).toDF("s", "d")
+    assert(Graphs.pageRankMicro(cyc, "s", "d", iterations = 7,
+        earlyStopDeltaMicro = Some(0L))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      == Map("x" -> 1000000L, "y" -> 1000000L))
+  }
+
+  test("bucketed twin: knobs bit-equal, caller-supplied edge path honored") {
+    import spark.implicits._
+    val edges = Seq(("a", "c"), ("b", "c"), ("a", "b"), ("c2", "a"))
+    val e = edges.toDF("s", "d")
+    val plain = Graphs.pageRankMicro(e, "s", "d", iterations = 3,
+        redistributeDangling = true)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-pr-path").toString
+    try {
+      val bucketed = Graphs.pageRankMicroBucketed(spark, e, "s", "d",
+          iterations = 3, buckets = 2, table = "graft_pr_path_spec",
+          path = Some(dir), redistributeDangling = true)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(bucketed == plain,
+        "bucketed redistributed ranks drifted from the plain form")
+      val files = new java.io.File(dir).listFiles()
+      assert(files != null && files.exists(_.getName.endsWith(".parquet")),
+        s"edge index files must land at the caller's path $dir")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_pr_path_spec")
+  }
 }
