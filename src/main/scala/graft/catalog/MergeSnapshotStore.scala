@@ -230,6 +230,19 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
   override def readVersion(meta: TableMeta, version: Int): DataFrame =
     load(meta, readManifest(meta.location, version), None)
 
+  /** [[readVersion]] under the pinned-read contract: the version must
+   * be committed AND retained ([[resolveVersion]]'s loud message), so a
+   * serving pin past the vacuum horizon fails with the
+   * finish-inside-the-retention-window error instead of a raw
+   * FileNotFoundException from a reclaimed directory. `None` reads the
+   * latest snapshot — the one seam both serving modes route through. */
+  def readPinned(db: String, table: String,
+                 version: Option[Int]): DataFrame = {
+    val meta = catalog0(db, table)
+    load(meta, readManifest(meta.location, resolveVersion(meta, version)),
+      None)
+  }
+
   /** Scan only the given buckets of the latest snapshot — the file-pruned
    * read a key-scoped merge or point-lookup wants. */
   def readBuckets(db: String, table: String, buckets: Seq[Int]): DataFrame = {

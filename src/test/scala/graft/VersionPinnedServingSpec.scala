@@ -174,4 +174,41 @@ class VersionPinnedServingSpec extends AnyFunSuite with SparkFixture {
     }
     assert(gone.getMessage.contains("retained"))
   }
+
+  test("an expired doclens pin fails with the retention error, not a raw file miss") {
+    import spark.implicits._
+    // eager store: keepVersions 2, zero retention — two commits age the
+    // seed manifests out
+    val store = new MergeSnapshotStore(spark, new InMemoryCatalog,
+      nBuckets = 8, keepVersions = 2, vacuumRetentionMs = 0L)
+    val db = "vp5"
+    val work = Files.createTempDirectory(s"graft-$db").toString
+    store.catalog.register(TableMeta(db, "docs", s"$work/docs",
+      primaryKey = Seq("doc_id")))
+    TextAnalysis.registerBm25Tables(store, db, "bm", work)
+    val m = new Ivm.MaintainedAggregates(store, db, "docs",
+      TextAnalysis.bm25IndexSpecs("bm", "doc_id", "text"))
+    var cur = Seq((1L, "alpha beta"), (2L, "alpha gamma"))
+      .toDF("doc_id", "text")
+    m.seed(cur)
+    val stale = m.pinVersions()
+    for (i <- 3 to 4) {
+      val next = cur.unionByName(
+        Seq((i.toLong, s"delta epsilon run$i")).toDF("doc_id", "text"))
+      m.commit(Scd.snapshotDiff(store.read(db, "docs"), next, Seq("doc_id")))
+      cur = next
+    }
+    val fresh = m.pinVersions()
+    assert(stale("bm_doclens") != fresh("bm_doclens"),
+      "fixture must age the seed doclens out")
+    // ONLY doclens expired: the postings pointLookup passes its own
+    // validation, so the failure exercises the doclens/docfreq/stats
+    // read path — which must raise the same loud retention error the
+    // lookup would, never a FileNotFoundException from a vacuumed dir
+    val mixed = fresh.updated("bm_doclens", stale("bm_doclens"))
+    val err = intercept[IllegalArgumentException] {
+      serveBm25(store, db, mixed)
+    }
+    assert(err.getMessage.contains("retained"))
+  }
 }
