@@ -700,6 +700,53 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
   }
 
   /**
+   * Layout-health report for `columns` of one snapshot — the signal
+   * that says WHEN to run [[compactClustered]], read purely from the
+   * manifest's per-file bounds (driver-side, manifest-scale; no data
+   * I/O). The metric is the expected scan fraction of a point
+   * predicate: for a point x uniform over the table's own [min, max]
+   * span of a column, P(file f must be read) = width(f) / span, so the
+   * expectation is the MEAN NORMALIZED FILE WIDTH. A freshly clustered
+   * layout scores ~1/filesPerBucket; incremental merges smear it toward
+   * 1.0 (every file spans everything — [[readRange]] prunes nothing).
+   * A file without stats for a column counts full-width (it must always
+   * be scanned) and is surfaced in `statless`. `compactAdvised` fires
+   * when the fraction exceeds `adviseAbove` AND the column carries
+   * measurable spread — a constant column (zero span) or a wholly
+   * statless table never advises, because a rewrite provably cannot
+   * improve what the stats cannot see.
+   */
+  def maintenanceAdvisor(db: String, table: String, columns: Seq[String],
+                         adviseAbove: Double = 0.5,
+                         version: Option[Int] = None)
+      : Seq[MergeSnapshotStore.LayoutHealth] = {
+    require(columns.nonEmpty, "advisor needs at least one column")
+    require(adviseAbove > 0 && adviseAbove < 1,
+      "adviseAbove is a strict scan fraction in (0, 1)")
+    val meta = catalog0(db, table)
+    val m = readManifest(meta.location, resolveVersion(meta, version))
+    val files = listDataFiles(meta, m, None)
+    columns.map { c =>
+      val bounds = files.map(f =>
+        m.stats.get(f).flatMap(_.find(_.column == c).map(s => (s.mn, s.mx))))
+      val known = bounds.flatten
+      val statless = bounds.count(_.isEmpty)
+      val span =
+        if (known.isEmpty) 0.0
+        else known.map(_._2).max - known.map(_._1).min
+      val frac =
+        if (files.isEmpty) 0.0
+        else if (span <= 0.0) 1.0 // all mass at one point: nothing prunes
+        else bounds.map {
+          case Some((mn, mx)) => math.min(1.0, (mx - mn) / span)
+          case None => 1.0
+        }.sum / files.size
+      MergeSnapshotStore.LayoutHealth(c, files.size, statless, frac,
+        frac > adviseAbove && files.size > 1 && span > 0.0)
+    }
+  }
+
+  /**
    * Compaction in the merge layout is bucket-granular: a PK table's
    * [[writeData]] already collapses each bucket to one file, so a full
    * rewrite IS the compacted form and `targetFiles` only shapes PK-less
@@ -1192,6 +1239,18 @@ object MergeSnapshotStore {
    * merge touches a handful of buckets); above it a distributed job
    * reads them executor-side. */
   val FooterInlineFiles: Int = 64
+
+  /** One column's layout health from [[MergeSnapshotStore
+   * .maintenanceAdvisor]]: `expectedScanFraction` is the mean
+   * normalized per-file width of the column's manifest bounds — the
+   * expected fraction of data files a uniformly-placed point predicate
+   * must scan; `statless` counts files contributing no bounds (always
+   * scanned, reported so a blind spot is visible); `compactAdvised`
+   * says a [[MergeSnapshotStore.compactClustered]] pass on this column
+   * would measurably restore pruning. */
+  case class LayoutHealth(column: String, files: Int, statless: Int,
+                          expectedScanFraction: Double,
+                          compactAdvised: Boolean)
 
   /** Truncated string bounds keep at most this many chars — long URL /
    * id prefixes stay discriminating while the manifest stays small (the

@@ -1,0 +1,116 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.{InMemoryCatalog, MergeSnapshotStore, TableMeta}
+
+/**
+ * The maintenance advisor: a manifest-only estimate of each column's
+ * expected scan fraction (mean normalized per-file bound width) that
+ * says WHEN to run [[MergeSnapshotStore.compactClustered]] — it fires
+ * on the scattered-arrival layout, goes quiet after the clustering
+ * rewrite restores the prune fraction, and never advises where a
+ * rewrite provably cannot help (constant columns, statless tables).
+ */
+class MaintenanceAdvisorSpec extends AnyFunSuite with SparkFixture {
+
+  private def mkStore(nBuckets: Int): MergeSnapshotStore =
+    new MergeSnapshotStore(spark, new InMemoryCatalog, nBuckets = nBuckets,
+      keepVersions = 2, vacuumRetentionMs = 0L)
+
+  private def register(store: MergeSnapshotStore, tbl: String,
+                       props: Map[String, String] = Map.empty): TableMeta = {
+    val meta = TableMeta("adb", tbl,
+      Files.createTempDirectory(s"graft-adv-$tbl").toString,
+      primaryKey = Seq("id"), properties = props)
+    store.catalog.register(meta)
+    meta
+  }
+
+  test("advisor fires on a smeared layout and goes quiet after compaction") {
+    import spark.implicits._
+    val store = mkStore(nBuckets = 4)
+    register(store, "aged")
+    // scattered arrival: each bucket's one file spans the whole v range
+    val rows = (0 until 1024).map(i => (i.toLong, ((i * 37) % 1024).toDouble))
+    store.overwrite("adb", "aged", rows.toDF("id", "v"))
+    val Seq(before) = store.maintenanceAdvisor("adb", "aged", Seq("v"))
+    assert(before.compactAdvised && before.expectedScanFraction > 0.9,
+      s"the scattered fixture must score near full-scan: $before")
+    assert(before.statless == 0)
+    // the estimate is honest against a REAL planned read: it predicted
+    // (nearly) every file must be scanned for a mid-range band
+    val total = store.read("adb", "aged").inputFiles.length
+    assert(store.readRange("adb", "aged", Map("v" -> ((100.0, 150.0))))
+      .inputFiles.length == total)
+    store.compactClustered("adb", "aged", Seq("v" -> None),
+      filesPerBucket = 4)
+    val Seq(after) = store.maintenanceAdvisor("adb", "aged", Seq("v"))
+    assert(!after.compactAdvised,
+      s"the clustered layout must drop below the default threshold: $after")
+    // 4 disjoint slices per bucket over a uniform column: ~1/4
+    assert(after.expectedScanFraction < 0.35 &&
+      after.expectedScanFraction > 0.15, s"expected ~0.25: $after")
+    assert(after.files == 16)
+  }
+
+  test("per-column verdicts: the unclustered dimension stays advised") {
+    import spark.implicits._
+    val store = mkStore(nBuckets = 4)
+    register(store, "multi")
+    val rows = (0 until 1024).map(i =>
+      (i.toLong, ((i * 37) % 1024).toDouble, ((i * 131) % 1024).toDouble))
+    store.overwrite("adb", "multi", rows.toDF("id", "v", "w"))
+    store.compactClustered("adb", "multi", Seq("v" -> None),
+      filesPerBucket = 4)
+    val Seq(v, w) = store.maintenanceAdvisor("adb", "multi", Seq("v", "w"))
+    assert(!v.compactAdvised, s"the clustered column must be quiet: $v")
+    assert(w.compactAdvised && w.expectedScanFraction > 0.9,
+      s"the dimension the rewrite did NOT cluster stays smeared: $w")
+  }
+
+  test("no advice without evidence: constant columns and statless tables") {
+    import spark.implicits._
+    val store = mkStore(nBuckets = 2)
+    register(store, "const")
+    store.overwrite("adb", "const",
+      (0 until 64).map(i => (i.toLong, 7.0)).toDF("id", "v"))
+    val Seq(c) = store.maintenanceAdvisor("adb", "const", Seq("v"))
+    assert(!c.compactAdvised && c.expectedScanFraction == 1.0,
+      s"a zero-span column scans everything but a rewrite cannot help: $c")
+    // stats disabled: every file is a blind spot — surfaced, not advised
+    register(store, "blind", props = Map("graft.stats" -> "false"))
+    store.overwrite("adb", "blind",
+      (0 until 64).map(i => (i.toLong, i.toDouble)).toDF("id", "v"))
+    val Seq(b) = store.maintenanceAdvisor("adb", "blind", Seq("v"))
+    assert(b.statless == b.files && b.files > 0 && !b.compactAdvised,
+      s"statless files must be visible and never advised on: $b")
+    assert(b.expectedScanFraction == 1.0)
+  }
+
+  test("advisor tracks versions and rejects empty or silly arguments") {
+    import spark.implicits._
+    val store = mkStore(nBuckets = 2)
+    register(store, "vers")
+    store.overwrite("adb", "vers",
+      (0 until 256).map(i => (i.toLong, ((i * 37) % 256).toDouble))
+        .toDF("id", "v"))
+    val v0 = store.latestVersion("adb", "vers")
+    store.compactClustered("adb", "vers", Seq("v" -> None),
+      filesPerBucket = 4)
+    // pinned to the pre-compaction snapshot the advisor still fires
+    val Seq(old) = store.maintenanceAdvisor("adb", "vers", Seq("v"),
+      version = Some(v0))
+    val Seq(now) = store.maintenanceAdvisor("adb", "vers", Seq("v"))
+    assert(old.compactAdvised && !now.compactAdvised)
+    intercept[IllegalArgumentException] {
+      store.maintenanceAdvisor("adb", "vers", Nil)
+    }
+    intercept[IllegalArgumentException] {
+      store.maintenanceAdvisor("adb", "vers", Seq("v"), adviseAbove = 1.5)
+    }
+  }
+}
