@@ -1877,6 +1877,28 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    // EQUALITY data skipping via per-file VALUE-SET stats (the
+    // enum-dimension story min/max bounds cannot tell: interleaved
+    // class VALUES share one range): customer commits split by market
+    // segment with c_mktsegment opted into graft.setstats, and an IN
+    // probe plans only the files whose recorded set intersects it; the
+    // oracle is the plain full-scan IN filter
+    "q63_store_setstats_scan" -> ((s, d) => {
+      import graft.catalog.{InMemoryCatalog, MergeSnapshotStore, TableMeta}
+      val cust = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .repartitionByRange(4, col("c_mktsegment"))
+      val work = java.nio.file.Files.createTempDirectory("graft-q63").toString
+      val cat = new InMemoryCatalog
+      cat.register(TableMeta("q63", "customer", s"$work/customer",
+        properties = Map(MergeSnapshotStore.SetStatsProp -> "c_mktsegment")))
+      val store = new MergeSnapshotStore(s, cat, nBuckets = 32)
+      store.overwrite("q63", "customer", cust)
+      store.readEquals("q63", "customer",
+          Map("c_mktsegment" -> Seq("BUILDING", "MACHINERY")))
+        .orderBy("c_custkey")
+    }),
+
     // distinct-count IVM through the multiplicity auxiliary view:
     // COUNT(DISTINCT v) is not self-maintainable (deleting a value
     // can't tell last-copy-gone from duplicates-remain), but the
@@ -4156,6 +4178,14 @@ object SparkEntry {
          WHERE CAST(round(o_totalprice * 100) AS BIGINT)
                BETWEEN 5000000 AND 15000000
          ORDER BY o_orderkey""",
+
+    // the store's value-set-pruned equality read must equal the plain
+    // full-scan IN filter
+    "q63_store_setstats_scan" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+         FROM customer
+         WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+         ORDER BY c_custkey""",
 
     // the store's truncated-string-stats-pruned read must equal the
     // plain full-scan lexicographic filter

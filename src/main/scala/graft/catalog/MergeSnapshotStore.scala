@@ -115,10 +115,20 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
    * parquet's UNSIGNED binary stats both use. */
   private case class StrStat(column: String, lo: String, hi: Option[String])
 
+  /** Per-file exact VALUE SET of one opted-in column ([[MergeSnapshotStore
+   * .SetStatsProp]]): values are the column's rows cast to string
+   * (Spark's canonical form — the same form probe values canonicalize
+   * to), at most [[MergeSnapshotStore.SetStatsMaxValues]] of them; a
+   * file past the cap records no SetStat at all. An EMPTY set is
+   * meaningful: the column is all-null in this file, so every equality
+   * probe prunes it. */
+  private case class SetStat(column: String, values: Seq[String])
+
   private case class Manifest(schema: StructType, buckets: SortedMap[Int, String],
                               nBuckets: Int,
                               stats: Map[String, Seq[ColStat]] = Map.empty,
-                              strStats: Map[String, Seq[StrStat]] = Map.empty)
+                              strStats: Map[String, Seq[StrStat]] = Map.empty,
+                              setStats: Map[String, Seq[SetStat]] = Map.empty)
 
   private def manifestVersions(location: String): Seq[Int] = {
     val p = new Path(location)
@@ -166,7 +176,18 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
       parts(1) -> StrStat(parts(2), unb64(parts(3)),
         if (parts(4) == "*") None else Some(unb64(parts(4))))
     }.groupBy(_._1).map { case (f, ss) => f -> ss.map(_._2).toSeq }
-    Manifest(schema, SortedMap(buckets: _*), nb, stats, strStats)
+    // set lines carry an explicit count so an empty set (all-null file,
+    // prunes every probe) survives tab-splitting and a lone
+    // empty-string VALUE (b64 "" == "") stays distinguishable from it
+    val setStats = lines.collect { case s if s.startsWith("v\t") =>
+      val parts = s.split('\t')
+      val n = parts(3).toInt
+      val vals =
+        if (n == 0) Nil
+        else parts(4).split(',').iterator.take(n).map(unb64).toSeq
+      parts(1) -> SetStat(parts(2), vals)
+    }.groupBy(_._1).map { case (f, ss) => f -> ss.map(_._2).toSeq }
+    Manifest(schema, SortedMap(buckets: _*), nb, stats, strStats, setStats)
   }
 
   /** Compare-and-swap manifest publish: commit `m` as version `v` iff no
@@ -186,6 +207,10 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
       m.strStats.toSeq.sortBy(_._1).flatMap { case (f, ss) =>
         ss.map(s =>
           s"y\t$f\t${s.column}\t${b64(s.lo)}\t${s.hi.map(b64).getOrElse("*")}")
+      } ++
+      m.setStats.toSeq.sortBy(_._1).flatMap { case (f, ss) =>
+        ss.map(s => s"v\t$f\t${s.column}\t${s.values.size}" +
+          (if (s.values.isEmpty) "" else s"\t${s.values.map(b64).mkString(",")}"))
       }).mkString("\n")
     val fin = manifestPath(location, v)
     manifestLog.putIfAbsent(fs(fin), fin, content)
@@ -206,6 +231,12 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
                                       version: Int): Map[String, Seq[(String, String, Option[String])]] =
     readManifest(catalog0(db, table).location, version).strStats
       .map { case (f, ys) => f -> ys.map(y => (y.column, y.lo, y.hi)) }
+
+  /** Test/diagnostic hook: per-file value sets of one version. */
+  private[graft] def manifestSetStats(db: String, table: String,
+                                      version: Int): Map[String, Seq[(String, Seq[String])]] =
+    readManifest(catalog0(db, table).location, version).setStats
+      .map { case (f, ss) => f -> ss.map(s => (s.column, s.values)) }
 
   /** Latest committed MANIFEST version (this store's version space), -1
    * when the table has none — the base-class contract, against manifest
@@ -476,6 +507,43 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
   }
 
   /**
+   * Equality / IN read with VALUE-SET file skipping: plans only the
+   * files whose recorded set ([[SetStat]], for columns opted in via
+   * [[MergeSnapshotStore.SetStatsProp]]) intersects EVERY probe list,
+   * then applies the exact `isin` predicate on top. Probes canonicalize
+   * to Spark's cast-to-string form — the form the sets were measured
+   * in — so a match decision is never representation-sensitive. A file
+   * without a set line for a probed column (not opted in, over the
+   * distinct cap, or written before the opt-in) is conservatively kept;
+   * an empty recorded set (all-null file) prunes. What prunes at
+   * 100 TB: the enum-dimension point read — segment / status /
+   * language / source-tagged corpora where a commit's files each carry
+   * a handful of classes; min/max bounds cannot separate interleaved
+   * class VALUES, the exact set can.
+   */
+  def readEquals(db: String, table: String, probes: Map[String, Seq[Any]],
+                 version: Option[Int] = None): DataFrame = {
+    require(probes.nonEmpty, "readEquals needs at least one probed column")
+    require(probes.values.forall(_.nonEmpty),
+      "every probed column needs at least one value")
+    val meta = catalog0(db, table)
+    val m = readManifest(meta.location, resolveVersion(meta, version))
+    val canon = probes.map { case (c, vs) =>
+      c -> vs.map(MergeSnapshotStore.canonicalSetValue).toSet }
+    val keep = listDataFiles(meta, m, None).filter { rel =>
+      m.setStats.get(rel) match {
+        case None => true // no set lines at all: conservative keep
+        case Some(ss) => canon.forall { case (c, vs) =>
+          ss.find(_.column == c).forall(_.values.exists(vs.contains))
+        }
+      }
+    }
+    val pred = probes.map { case (c, vs) => col(c).isin(vs: _*) }
+      .reduce(_ && _)
+    loadFiles(meta, m, keep, pred)
+  }
+
+  /**
    * Prefix read — the string stats' headline use (URL prefixes,
    * lexicographic ids): keeps the files whose bounds admit a value in
    * `[prefix, incrementLast(prefix)]` (one key generous at the top —
@@ -536,11 +604,11 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
       cluster: Option[(Seq[(String, (Double, Double))], Int, Int)] = None,
       requireBase: Option[Int] = None): Unit = {
     val vs = manifestVersions(meta.location)
-    val (written, stats, strStats) =
+    val (written, stats, strStats, setStats) =
       writeData(meta, vs.lastOption.getOrElse(-1) + 1, out, meta.primaryKey,
         cluster)
     val m = Manifest(dropBucketCol(out.schema), written, nBuckets, stats,
-      strStats)
+      strStats, setStats)
     val hook = beforePublish; beforePublish = () => (); hook()
     var attempt = 0
     var done = false
@@ -623,7 +691,8 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     if (touched.isEmpty) return Nil
     val old = load(meta, current, Some(touched.toSet))
     val out = rewrite(old)
-    val (written, newStats, newStrStats) = writeData(meta, vs.last + 1, out, pks)
+    val (written, newStats, newStrStats, newSetStats) =
+      writeData(meta, vs.last + 1, out, pks)
     val stray = written.keySet.diff(touched.toSet)
     require(stray.isEmpty,
       s"merge rewrote buckets $stray outside the changed-key set $touched — " +
@@ -648,6 +717,9 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
       val carriedStrStats = base.strStats.filter { case (fp, _) =>
         carriedDirs.exists(d => fp.startsWith(s"$d/"))
       }
+      val carriedSetStats = base.setStats.filter { case (fp, _) =>
+        carriedDirs.exists(d => fp.startsWith(s"$d/"))
+      }
       // on a rebase the manifest mixes OUR files (out's schema) with the
       // winner's carried files (their schema — structurally identical,
       // adjudicated below, but either side may have relaxed nullability)
@@ -657,7 +729,8 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
         else MergeSnapshotStore.mergeNullability(dropBucketCol(out.schema), base.schema)
       if (publishManifest(meta.location, baseVer + 1,
           Manifest(schema, carried ++ written, nBuckets,
-            carriedStats ++ newStats, carriedStrStats ++ newStrStats))) {
+            carriedStats ++ newStats, carriedStrStats ++ newStrStats,
+            carriedSetStats ++ newSetStats))) {
         vacuum(meta, manifestVersions(meta.location).filter(_ <= baseVer))
         clearTombstones(meta, written)
         committed = true
@@ -710,11 +783,13 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
    * layout scores ~1/filesPerBucket; incremental merges smear it toward
    * 1.0 (every file spans everything — [[readRange]] prunes nothing).
    * A file without stats for a column counts full-width (it must always
-   * be scanned) and is surfaced in `statless`. `compactAdvised` fires
-   * when the fraction exceeds `adviseAbove` AND the column carries
-   * measurable spread — a constant column (zero span) or a wholly
-   * statless table never advises, because a rewrite provably cannot
-   * improve what the stats cannot see.
+   * be scanned) and is surfaced in `statless`. STRING columns measure
+   * from their truncated bounds through the same monotone byte
+   * projection cluster-on-compact slices string dimensions in.
+   * `compactAdvised` fires when the fraction exceeds `adviseAbove` AND
+   * the column carries measurable spread — a constant column (zero
+   * span) or a wholly statless table never advises, because a rewrite
+   * provably cannot improve what the stats cannot see.
    */
   def maintenanceAdvisor(db: String, table: String, columns: Seq[String],
                          adviseAbove: Double = 0.5,
@@ -727,18 +802,32 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     val m = readManifest(meta.location, resolveVersion(meta, version))
     val files = listDataFiles(meta, m, None)
     columns.map { c =>
-      val bounds = files.map(f =>
-        m.stats.get(f).flatMap(_.find(_.column == c).map(s => (s.mn, s.mx))))
+      // per file Some((lo, hiOpt)); hiOpt None = unbounded above (a
+      // string bound whose prefix could not increment). STRING columns
+      // measure through the same monotone byte projection the cluster
+      // layout slices in; truncation only WIDENS a file's measured
+      // range, so the health verdict errs toward advising — never
+      // toward hiding a smear.
+      val bounds: Seq[Option[(Double, Option[Double])]] = files.map { f =>
+        m.stats.get(f).flatMap(_.find(_.column == c))
+          .map(s => (s.mn, Option(s.mx)))
+          .orElse(m.strStats.get(f).flatMap(_.find(_.column == c))
+            .map(y => (MergeSnapshotStore.strKeyToDouble(y.lo),
+              y.hi.map(MergeSnapshotStore.strKeyToDouble))))
+      }
       val known = bounds.flatten
       val statless = bounds.count(_.isEmpty)
-      val span =
-        if (known.isEmpty) 0.0
-        else known.map(_._2).max - known.map(_._1).min
+      val los = known.map(_._1)
+      val his = known.flatMap(_._2)
+      val span = if (los.isEmpty || his.isEmpty) 0.0 else his.max - los.min
       val frac =
         if (files.isEmpty) 0.0
         else if (span <= 0.0) 1.0 // all mass at one point: nothing prunes
         else bounds.map {
-          case Some((mn, mx)) => math.min(1.0, (mx - mn) / span)
+          case Some((mn, Some(mx))) =>
+            math.min(1.0, math.max(0.0, mx - mn) / span)
+          case Some((mn, None)) => // unbounded above: width to the top
+            math.min(1.0, math.max(0.0, his.max - mn) / span)
           case None => 1.0
         }.sum / files.size
       MergeSnapshotStore.LayoutHealth(c, files.size, statless, frac,
@@ -815,11 +904,30 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
 
   /** A column promoted into the manifest's epoch-based double space —
    * the shared coordinate system of footer stats, promoted range
-   * predicates, and cluster layouts. */
+   * predicates, and cluster layouts. STRING columns project through
+   * their first [[MergeSnapshotStore.StrKeyBytes]] UTF-8 bytes read as
+   * a big-endian integer (exact in a double: 48 bits < 2^53, and
+   * monotone in the same UTF-8 byte order the string bounds use), so a
+   * string dimension can drive cluster-on-compact: routing only needs a
+   * monotone binning — ties beyond the projected bytes merely share
+   * slice boundaries, and the re-lifted [[footerStrBounds]] describe
+   * the files that were ACTUALLY written, so `readStringRange`/
+   * `readPrefix` pruning stays exact. Two documented caveats of the
+   * projection: keys sharing a long common prefix (URLs!) all project
+   * to one point — cluster those on a derived key (reversed host,
+   * stripped scheme) instead; and digit-dense keys occupy a sparse
+   * slice of byte space, so equal-width z-slices may populate fewer
+   * than filesPerBucket files per bucket — pruning still improves, but
+   * exact file-count layouts want a numeric derived key. */
   private def promoted(c: Column, dt: DataType): Column = dt match {
     case DateType => org.apache.spark.sql.functions.unix_date(c).cast("double")
     case TimestampType =>
       org.apache.spark.sql.functions.unix_micros(c).cast("double")
+    case StringType =>
+      import org.apache.spark.sql.functions.{concat, conv, encode, hex, lit, substring}
+      conv(hex(substring(concat(encode(c, "UTF-8"),
+          lit(Array.fill[Byte](MergeSnapshotStore.StrKeyBytes)(0))),
+        1, MergeSnapshotStore.StrKeyBytes)), 16, 10).cast("double")
     case _ => c
   }
 
@@ -860,7 +968,36 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
   private def writeData(meta: TableMeta, next: Int, df: DataFrame,
                         pk: Seq[String],
                         cluster: Option[(Seq[(String, (Double, Double))], Int, Int)] = None)
-      : (SortedMap[Int, String], Map[String, Seq[ColStat]], Map[String, Seq[StrStat]]) = {
+      : (SortedMap[Int, String], Map[String, Seq[ColStat]],
+         Map[String, Seq[StrStat]], Map[String, Seq[SetStat]]) = {
+    // set-stats misconfiguration fails BEFORE the write job: an opted
+    // column must exist and carry a type whose canonical string is
+    // stable across the probe and cast sides
+    val setCols = meta.properties.get(MergeSnapshotStore.SetStatsProp)
+      .map(_.split(',').iterator.map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+    setCols.foreach { c =>
+      require(df.schema.fieldNames.contains(c),
+        s"${MergeSnapshotStore.SetStatsProp} names '$c' which " +
+          s"${meta.qualified} does not have (columns: " +
+          s"${df.schema.fieldNames.mkString(",")})")
+      require(MergeSnapshotStore.setStatsSupported(df.schema(c).dataType),
+        s"${MergeSnapshotStore.SetStatsProp} column '$c' has type " +
+          s"${df.schema(c).dataType.simpleString} — set-stats supports " +
+          "string/boolean/date/integral columns only")
+    }
+    val bloomCols = meta.properties.get(MergeSnapshotStore.BloomProp)
+      .map(MergeSnapshotStore.parseBloomProp).getOrElse(Nil)
+    if (bloomCols.nonEmpty) {
+      require(meta.format == "parquet",
+        s"${MergeSnapshotStore.BloomProp} is parquet-native; " +
+          s"${meta.qualified} writes ${meta.format}")
+      bloomCols.foreach { case (c, _) =>
+        require(df.schema.fieldNames.contains(c),
+          s"${MergeSnapshotStore.BloomProp} names '$c' which " +
+            s"${meta.qualified} does not have")
+      }
+    }
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val rel = f"data/c$next%06d-$nonce"
     val dataDir = new Path(s"${meta.location}/$rel")
@@ -893,8 +1030,16 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
         df.withColumn("__b", bucketOf(ks.map(col))).repartition(nBuckets, col("__b"))
       case _ => df.withColumn("__b", lit(0))
     }
-    bucketed.write.format(meta.format).mode("errorifexists")
-      .partitionBy("__b").save(tmpDir.toString)
+    // opted-in columns get parquet-native bloom filters written into
+    // every file (row-group-level equality skipping on read; the
+    // manifest carries nothing — blooms live where they amortize)
+    val writer = bloomCols.foldLeft(
+        bucketed.write.format(meta.format).mode("errorifexists")) {
+      case (w, (c, ndv)) => w
+        .option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", ndv.toString)
+    }
+    writer.partitionBy("__b").save(tmpDir.toString)
     if (!f.rename(tmpDir, dataDir))
       throw new IllegalStateException(s"data commit rename failed: $tmpDir -> $dataDir")
     val BucketDir = "^__b=(\\d+)$".r
@@ -1027,7 +1172,37 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
         (pairs.collect { case (f, (ss, _)) if ss.nonEmpty => f -> ss }.toMap,
           pairs.collect { case (f, (_, ys)) if ys.nonEmpty => f -> ys }.toMap)
       }
-    (found, stats, strStats)
+    // VALUE-SET stats for the opted-in columns: ONE column-pruned data
+    // pass over the written files (footers cannot yield distinct sets —
+    // this is why the property is an opt-in cost contract), aggregated
+    // per file by the size-capped set. Memory stays O(cap) per file;
+    // an over-cap file yields null and records no line (conservative
+    // keep); an all-null file records the EMPTY set (prunes every
+    // probe). Values travel as Spark's cast-to-string — the exact form
+    // [[readEquals]] canonicalizes probes into.
+    val setStats: Map[String, Seq[SetStat]] =
+      if (setCols.isEmpty || found.isEmpty) Map.empty
+      else {
+        val capSet = org.apache.spark.sql.functions.udaf(
+          new MergeSnapshotStore.CappedSetAgg(
+            MergeSnapshotStore.SetStatsMaxValues),
+          org.apache.spark.sql.Encoders.STRING)
+        val written = spark.read.format(meta.format).load(dataDir.toString)
+        val aggs = setCols.map(c => capSet(col(c).cast("string")))
+        val rows = written.groupBy(input_file_name().as("__f"))
+          .agg(aggs.head, aggs.tail: _*).collect()
+        rows.flatMap { r =>
+          val p = r.getString(0)
+          val cut = p.lastIndexOf("/data/c")
+          if (cut < 0) None
+          else Some(p.substring(cut + 1) -> setCols.zipWithIndex.flatMap {
+            case (c, i) =>
+              if (r.isNullAt(1 + i)) None // over cap: no line
+              else Some(SetStat(c, r.getSeq[String](1 + i).sorted))
+          })
+        }.collect { case (f, ss) if ss.nonEmpty => f -> ss }.toMap
+      }
+    (found, stats, strStats, setStats)
   }
 
   private def dropBucketCol(s: StructType): StructType =
@@ -1252,10 +1427,136 @@ object MergeSnapshotStore {
                           expectedScanFraction: Double,
                           compactAdvised: Boolean)
 
+  /** Table property opting columns INTO per-file VALUE-SET stats
+   * (comma-separated names): unlike the min/max and string bounds —
+   * free from parquet footers — a distinct set needs a DATA pass over
+   * the written files each commit, so the cost is an explicit contract.
+   * Meant for low-cardinality dimension columns (segment, status,
+   * language, source) whose reads are equality/IN point predicates. */
+  val SetStatsProp: String = "graft.setstats"
+
+  /** A file whose opted column exceeds this many distinct values gets
+   * NO set line (conservative keep on read): past the cap the set
+   * stops discriminating and would only bloat the manifest. */
+  val SetStatsMaxValues: Int = 32
+
+  /** Table property opting columns into PARQUET-NATIVE bloom filters
+   * (`col` or `col:expectedNdv`, comma-separated): the HIGH-cardinality
+   * complement to [[SetStatsProp]] — an exact value set caps out on id/
+   * URL columns, but a per-row-group bloom (written INTO the parquet
+   * file, where its size amortizes; never the manifest) lets the
+   * reader's pushed equality predicate skip row groups
+   * probabilistically. File-level planning is unchanged; the win lands
+   * inside the scan, which is where high-cardinality point reads spend
+   * their time at 100 TB. */
+  val BloomProp: String = "graft.bloom"
+
+  /** Default expected NDV per row group for [[BloomProp]] columns
+   * without an explicit `:ndv` — sized for ~64 KiB of bloom bits at 1%
+   * fpp rather than parquet's 1M-row default, which would write ~1 MiB
+   * of bloom per row group even for small files. */
+  val BloomDefaultNdv: Long = 65536L
+
+  /** Parse `graft.bloom`: `uid:1024,url` → Seq((uid,1024),(url,default)).
+   * Malformed entries fail loudly — a silently dropped bloom is a
+   * performance bug nobody sees. */
+  private[graft] def parseBloomProp(v: String): Seq[(String, Long)] =
+    v.split(',').iterator.map(_.trim).filter(_.nonEmpty).map { entry =>
+      entry.split(':') match {
+        case Array(c) => c -> BloomDefaultNdv
+        case Array(c, n) if n.forall(_.isDigit) && n.nonEmpty => c -> n.toLong
+        case _ => throw new IllegalArgumentException(
+          s"$BloomProp entry '$entry' is not 'col' or 'col:ndv'")
+      }
+    }.toSeq
+
+  /** Size-capped distinct-set aggregate: the set-stats measurement
+   * keeps O(cap) memory per file even when a high-cardinality column is
+   * (mis)opted in — past the cap the buffer abandons the set (null
+   * out), which the manifest records as "no line". A plain
+   * `collect_set` would buffer the file's whole distinct column in the
+   * executor; this is the guard that makes the opt-in safe to misuse. */
+  private class CappedSetAgg(cap: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        String, (Seq[String], Boolean), Seq[String]] {
+    def zero: (Seq[String], Boolean) = (Nil, false)
+    def reduce(b: (Seq[String], Boolean), v: String): (Seq[String], Boolean) =
+      if (b._2 || v == null || b._1.contains(v)) b
+      else if (b._1.size >= cap) (Nil, true)
+      else (b._1 :+ v, false)
+    def merge(x: (Seq[String], Boolean),
+              y: (Seq[String], Boolean)): (Seq[String], Boolean) =
+      if (x._2 || y._2) (Nil, true)
+      else {
+        val m = (x._1 ++ y._1).distinct
+        if (m.size > cap) (Nil, true) else (m, false)
+      }
+    def finish(b: (Seq[String], Boolean)): Seq[String] =
+      if (b._2) null else b._1
+    def bufferEncoder: org.apache.spark.sql.Encoder[(Seq[String], Boolean)] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    def outputEncoder: org.apache.spark.sql.Encoder[Seq[String]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** The types set-stats supports: those whose driver-side canonical
+   * string ([[canonicalSetValue]]) provably equals Spark's
+   * `cast(col AS STRING)` — the equality the skip check keys on.
+   * Fractional types are excluded on purpose: value-equality probes on
+   * floats are an antipattern and their string forms are
+   * representation-sensitive. */
+  private[graft] def setStatsSupported(dt: DataType): Boolean = dt match {
+    case StringType | DateType => true
+    case org.apache.spark.sql.types.BooleanType |
+         org.apache.spark.sql.types.ByteType |
+         org.apache.spark.sql.types.ShortType |
+         org.apache.spark.sql.types.IntegerType |
+         org.apache.spark.sql.types.LongType => true
+    case _ => false
+  }
+
+  /** One probe value's canonical string — must match Spark's
+   * cast-to-string of the column exactly, or a skip could prune a live
+   * file. Unsupported probe types fail loudly. */
+  private[graft] def canonicalSetValue(v: Any): String = v match {
+    case s: String => s
+    case b: Boolean => b.toString
+    case b: Byte => b.toString
+    case s: Short => s.toString
+    case i: Int => i.toString
+    case l: Long => l.toString
+    case d: java.sql.Date => d.toString
+    case d: java.time.LocalDate => d.toString
+    case null => throw new IllegalArgumentException(
+      "null probes are not equality-comparable — filter nulls explicitly")
+    case other => throw new IllegalArgumentException(
+      s"unsupported set-stats probe type ${other.getClass.getName}")
+  }
+
   /** Truncated string bounds keep at most this many chars — long URL /
    * id prefixes stay discriminating while the manifest stays small (the
    * Iceberg `truncate(16)` default). */
   val StrBoundLen: Int = 16
+
+  /** How many leading UTF-8 bytes a STRING dimension projects into the
+   * double coordinate space for clustering and layout health: 6 bytes =
+   * 48 bits, exact in a double and monotone in UTF-8 byte order. */
+  val StrKeyBytes: Int = 6
+
+  /** Driver-side twin of the string projection in `promoted`: the first
+   * [[StrKeyBytes]] UTF-8 bytes, zero-padded, as a big-endian integer —
+   * used by the maintenance advisor to measure string-bound widths in
+   * the same monotone space the cluster layout slices in. */
+  private[graft] def strKeyToDouble(s: String): Double = {
+    val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var v = 0L
+    var i = 0
+    while (i < StrKeyBytes) {
+      v = (v << 8) | (if (i < b.length) b(i) & 0xffL else 0L)
+      i += 1
+    }
+    v.toDouble
+  }
 
   /** UTF-8 unsigned byte order — the ONE order all three string-bound
    * parties agree on: Spark's UTF8String comparisons, parquet's UNSIGNED

@@ -153,6 +153,56 @@ class StringStatsSpec extends AnyFunSuite with SparkFixture {
     assert(got.select("v").head().getLong(0) == 9999L)
   }
 
+  test("string-dim cluster-on-compact restores prefix pruning; advisor tracks it") {
+    import spark.implicits._
+    val store = mkStore(nBuckets = 4)
+    register(store, "agedstr", pk = Seq("id"))
+    // scattered arrival: ids interleave the uid space, so each bucket's
+    // file spans the whole lexicographic range and nothing prunes
+    val rows = (0 until 1024).map(i => (i.toLong, f"u${(i * 37) % 1024}%04d"))
+    store.overwrite("sdb", "agedstr", rows.toDF("id", "uid"))
+    val Seq(before) = store.maintenanceAdvisor("sdb", "agedstr", Seq("uid"))
+    assert(before.compactAdvised && before.expectedScanFraction > 0.9,
+      s"the scattered string layout must score near full-scan: $before")
+    val total = store.read("sdb", "agedstr").inputFiles.length
+    assert(store.readPrefix("sdb", "agedstr", "uid", "u01")
+      .inputFiles.length == total, "scattered: a prefix read scans all")
+    // cluster ON THE STRING DIMENSION: the 6-byte monotone projection
+    // routes the z-slices; re-lifted string bounds make prefix reads
+    // prune again
+    store.compactClustered("sdb", "agedstr", Seq("uid" -> None),
+      filesPerBucket = 4)
+    val Seq(after) = store.maintenanceAdvisor("sdb", "agedstr", Seq("uid"))
+    assert(!after.compactAdvised && after.expectedScanFraction < 0.5,
+      s"clustering must restore string layout health: $after")
+    // digit-dense keys occupy a SPARSE slice of byte space, so
+    // equal-width z-slices may populate fewer than filesPerBucket files
+    // per bucket (here: 2 of 4 — 'u0999' -> 'u1000' jumps most of the
+    // projected span); the layout still splits and still prunes
+    val total2 = store.read("sdb", "agedstr").inputFiles.length
+    assert(total2 > total && total2 <= 16,
+      s"expected a finer split than $total files, got $total2")
+    val post = store.readPrefix("sdb", "agedstr", "uid", "u01")
+    assert(post.inputFiles.length < total2,
+      s"clustered prefix read must prune: ${post.inputFiles.length}/$total2")
+    val want = store.read("sdb", "agedstr")
+      .filter(col("uid").startsWith("u01"))
+    assert(post.exceptAll(want).count() == 0 &&
+      want.exceptAll(post).count() == 0)
+    // a lexicographic range read through the same layout, exact + pruned
+    val rr = store.readStringRange("sdb", "agedstr",
+      Map("uid" -> (("u0100", "u0299"))))
+    val wantR = store.read("sdb", "agedstr")
+      .filter(col("uid") >= "u0100" && col("uid") <= "u0299")
+    assert(rr.exceptAll(wantR).count() == 0 &&
+      wantR.exceptAll(rr).count() == 0)
+    assert(rr.inputFiles.length < total2)
+    // PK bucketing survived: the point lookup stays bucket-pruned
+    val pl = store.pointLookup("sdb", "agedstr", Seq(7L).toDF("id"))
+    assert(pl.collect().map(_.getString(1)).toSeq ==
+      Seq(f"u${(7 * 37) % 1024}%04d"))
+  }
+
   test("all-null and absent string columns stay conservative") {
     val store = mkStore()
     register(store, "nulls")
