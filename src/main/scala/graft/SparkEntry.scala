@@ -1594,6 +1594,23 @@ object SparkEntry {
           maxPieceLen = 4)
         .orderBy("doc_id")),
 
+    // HLL-sketch maintained distinct counts (the cardinality dashboard
+    // whose state never grows with value cardinality): seed on most
+    // docs, fold the rest in as an insert-only changelog — union is
+    // per-register max, so maintained == rebuild; per-group
+    // cardinality stays in the sketch's coupon-exact regime, so the
+    // estimates ARE the exact distinct counts the oracle computes
+    "t36_hll_distinct" -> ((s, d) => {
+      import graft.operators.{Ivm, Scd}
+      val all = t(s, d, "documents")
+        .select(col("doc_id"), (col("doc_id") % 997).as("v"))
+      val s0 = all.filter(col("doc_id") % 17 =!= 0)
+      val spec = Ivm.hllDistinctSpec("t36", col("doc_id") % 50, col("v"))
+      val folded = spec.fold(spec.seed(s0), s0, all,
+        Scd.snapshotDiff(s0, all, Seq("doc_id")), Seq("doc_id"))
+      Ivm.hllDistinctCount(folded).orderBy("grp")
+    }),
+
     // DSIR data selection: raw docs (doc_id % 7 != 0) scored by the
     // hashed-bigram importance ratio against the % 7 == 0 "target
     // domain" sample, top-200 kept — the oracle replays the 16-bit
@@ -3722,6 +3739,13 @@ object SparkEntry {
                 CAST(count(*) AS BIGINT) AS n_pieces
          FROM dw JOIN wp ON wp.w = dw.w
          GROUP BY dw.doc_id ORDER BY dw.doc_id""",
+
+    // the maintained HLL estimates are coupon-exact at this per-group
+    // cardinality, so the oracle is the plain exact distinct count
+    "t36_hll_distinct" ->
+      """SELECT doc_id % 50 AS grp,
+             CAST(count(DISTINCT doc_id % 997) AS BIGINT) AS dcnt
+         FROM documents GROUP BY 1 ORDER BY grp""",
 
     // both smoothed hashed-bigram bucket models, the micro-fixed log
     // ratio, and the (key desc, doc_id) top-k replayed exactly

@@ -407,6 +407,66 @@ object Ivm {
         applyDistinctAuxDelta(aux, old, chg, keys, group, value))
 
   /**
+   * HLL-SKETCH distinct-count maintenance — the cardinality dashboard
+   * at the scale where even [[distinctAux]] is too big: the exact
+   * multiplicity view carries one row per distinct (group, value),
+   * itself data-scale for high-cardinality values (distinct URLs per
+   * domain, distinct users per shard); an HLL sketch caps per-group
+   * state at the sketch size with DataSketches-standard error and
+   * merges by register-max UNION, so the fold is one delta-sized sketch
+   * aggregate + one group-keyed merge — the fact table is never
+   * rescanned and the maintained state never grows with value
+   * cardinality. The register state depends only on the SET of hashed
+   * values (union takes per-register max), so maintained estimates
+   * equal rebuild estimates exactly, regardless of batch boundaries.
+   *
+   * Sketches are NOT invertible — deleting from an HLL is
+   * information-theoretically impossible — so a changelog carrying U/D
+   * rows REFUSES loudly instead of silently over-counting. The honest
+   * contract is APPEND-ONLY facts (events, logs, crawls — exactly the
+   * tables whose cardinality gets sketched); where deletes are real,
+   * [[distinctSpec]]'s exact view remains the answer. Small
+   * cardinalities (up to the sketch's coupon-set regime, hundreds at
+   * the default lgK) estimate EXACTLY — what the oracle gate pins.
+   */
+  def hllDistinctSpec(table: String, group: Column, value: Column,
+                      lgK: Int = 12): MaintainedAgg = {
+    require(lgK >= 4 && lgK <= 21, "DataSketches lgK must be in [4, 21]")
+    MaintainedAgg(table,
+      df => df.groupBy(group.as("grp"))
+        .agg(hll_sketch_agg(value, lit(lgK)).as("hll")),
+      (agg, _, _, chg, _) => {
+        // refusal is eager and delta-sized: one limit-1 probe of the
+        // changelog, the price of never silently over-counting
+        require(chg.filter(col("change").isin("U", "D")).limit(1)
+            .collect().isEmpty,
+          s"hllDistinctSpec($table) maintains an APPEND-ONLY sketch — " +
+            "the changelog carries U/D rows, which no HLL can subtract; " +
+            "use distinctSpec's exact multiplicity view for tables with " +
+            "updates/deletes")
+        val delta = chg.filter(col("change") === "I")
+          .select(group.as("grp"), value.as("__v"))
+          .groupBy("grp").agg(hll_sketch_agg(col("__v"), lit(lgK)).as("__dh"))
+        // null-safe on the group key (NULL is a real group), union only
+        // where both sides exist — hll_union of a NULL side is NULL,
+        // which would erase a group's history
+        agg.as("a").join(delta.as("d"),
+            col("a.grp") <=> col("d.grp"), "full_outer")
+          .select(coalesce(col("a.grp"), col("d.grp")).as("grp"),
+            when(col("a.hll").isNull, col("__dh"))
+              .when(col("__dh").isNull, col("a.hll"))
+              .otherwise(hll_union(col("a.hll"), col("__dh"))).as("hll"))
+      })
+  }
+
+  /** The estimates read off an [[hllDistinctSpec]] table: per-group
+   * approximate distinct count (exact while the sketch is still in its
+   * coupon regime). */
+  def hllDistinctCount(agg: DataFrame, groupOut: String = "grp",
+                       cntOut: String = "dcnt"): DataFrame =
+    agg.select(col(groupOut), hll_sketch_estimate(col("hll")).as(cntOut))
+
+  /**
    * The registry form of [[MaintainedCountSum]]: ONE base table with ANY
    * number of maintained downstream aggregates, all moved by one
    * changelog commit — count/sum, min/max, and distinct-count dashboards

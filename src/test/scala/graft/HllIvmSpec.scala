@@ -1,0 +1,95 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.{InMemoryCatalog, MergeSnapshotStore, TableMeta}
+import graft.operators.{Ivm, Scd}
+
+/**
+ * HLL-sketch maintained distinct counts: per-group state is one sketch
+ * (never value-cardinality rows), the fold is a delta-sized sketch
+ * union, maintained estimates equal rebuild estimates exactly (union is
+ * per-register max — state depends only on the value SET), and a
+ * changelog carrying U/D rows refuses loudly because no HLL can
+ * subtract.
+ */
+class HllIvmSpec extends AnyFunSuite with SparkFixture {
+
+  private def mkStore(): MergeSnapshotStore =
+    new MergeSnapshotStore(spark, new InMemoryCatalog, nBuckets = 4,
+      keepVersions = 2, vacuumRetentionMs = 0L)
+
+  private def register(store: MergeSnapshotStore, tbl: String,
+                       pk: String): Unit =
+    store.catalog.register(TableMeta("hdb", tbl,
+      Files.createTempDirectory(s"graft-hll-$tbl").toString,
+      primaryKey = Seq(pk)))
+
+  private def snap(n: Int): DataFrame = {
+    import spark.implicits._
+    (0 until n).map(i => (i.toLong, s"g${i % 3}", (i * 7 % 97).toLong))
+      .toDF("id", "grp_in", "v")
+  }
+
+  private def canon(df: DataFrame): Map[String, Long] =
+    df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("append-only commits: maintained == rebuild == exact (coupon regime)") {
+    val store = mkStore()
+    register(store, "ev", "id")
+    register(store, "ev_hll", "grp")
+    val m = new Ivm.MaintainedAggregates(store, "hdb", "ev",
+      Seq(Ivm.hllDistinctSpec("ev_hll", col("grp_in"), col("v"))))
+    m.seed(snap(40))
+    var prev = 40
+    for (n <- Seq(80, 120)) {
+      m.commit(Scd.snapshotDiff(snap(prev), snap(n), Seq("id")))
+      prev = n
+      val base = store.read("hdb", "ev")
+      val rebuilt = Ivm.hllDistinctSpec("x", col("grp_in"), col("v"))
+        .seed(base)
+      assert(canon(Ivm.hllDistinctCount(m.read("ev_hll"))) ==
+        canon(Ivm.hllDistinctCount(rebuilt)),
+        "maintained sketch estimates drifted from a scratch rebuild")
+      // <=97 distinct per group: the sketch is still coupon-exact, so
+      // the estimates ARE the exact distinct counts
+      val exact = base.groupBy("grp_in")
+        .agg(countDistinct(col("v")).as("dcnt"))
+      assert(canon(Ivm.hllDistinctCount(m.read("ev_hll"))) == canon(exact))
+    }
+  }
+
+  test("a changelog with U/D rows refuses loudly; base sketch untouched") {
+    import spark.implicits._
+    val spec = Ivm.hllDistinctSpec("t", col("grp_in"), col("v"))
+    val agg0 = spec.seed(snap(10))
+    val bad = Seq(("D", 3L, "g0", 21L), ("I", 99L, "g1", 5L))
+      .toDF("change", "id", "grp_in", "v")
+    val err = intercept[IllegalArgumentException] {
+      spec.fold(agg0, snap(10), snap(10), bad, Seq("id"))
+    }
+    assert(err.getMessage.contains("APPEND-ONLY"))
+    // insert-only folds fine and the new group appears
+    val ok = Seq(("I", 99L, "g9", 5L)).toDF("change", "id", "grp_in", "v")
+    val folded = spec.fold(agg0, snap(10), snap(10), ok, Seq("id"))
+    val cnt = canon(Ivm.hllDistinctCount(folded))
+    assert(cnt("g9") == 1L)
+  }
+
+  test("estimates stay within DataSketches error past the coupon regime") {
+    import spark.implicits._
+    val spec = Ivm.hllDistinctSpec("t", col("g"), col("v"))
+    val agg = spec.seed((0 until 20000).map(i => ("one", i.toLong))
+      .toDF("g", "v"))
+    val est = canon(Ivm.hllDistinctCount(agg))("one").toDouble
+    assert(math.abs(est - 20000.0) / 20000.0 < 0.03,
+      s"lgK=12 estimate off by more than 3%: $est")
+    intercept[IllegalArgumentException] {
+      Ivm.hllDistinctSpec("t", col("g"), col("v"), lgK = 2)
+    }
+  }
+}
