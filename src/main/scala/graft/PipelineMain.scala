@@ -629,6 +629,59 @@ object PipelineMain {
     }
     Materialize.releaseAll()
 
+    // 19. storage self-maintenance + sketched cardinality (round-15
+    // arcs): scattered-arrival commits smear a keyed table's layout;
+    // the advisor fires from the MANIFEST ALONE (no data I/O),
+    // cluster-on-compact restores the prune fraction, and the advisor
+    // goes quiet — the full maintenance loop. Alongside: an enum
+    // dimension opted into value-set stats answers an equality read
+    // from a pruned plan, and an HLL dashboard folded through an
+    // insert-only batch matches its exact recompute (coupon regime).
+    catalog.register(TableMeta(Db, "maint_docs", s"$work/maint_docs",
+      primaryKey = Seq("doc_id")))
+    store.overwrite(Db, "maint_docs", mixed.select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).cast("double").as("ntok")))
+    val hB = store.maintenanceAdvisor(Db, "maint_docs", Seq("ntok")).head
+    store.compactClustered(Db, "maint_docs", Seq("ntok" -> None),
+      filesPerBucket = 4)
+    val hA = store.maintenanceAdvisor(Db, "maint_docs", Seq("ntok")).head
+    val mGot = store.readRange(Db, "maint_docs",
+      Map("ntok" -> ((40.0, 90.0))))
+    val mWant = store.read(Db, "maint_docs")
+      .filter(col("ntok").between(40.0, 90.0))
+    val maintOk = hA.expectedScanFraction < hB.expectedScanFraction &&
+      !hA.compactAdvised &&
+      mGot.exceptAll(mWant).count() == 0 &&
+      mWant.exceptAll(mGot).count() == 0
+    catalog.register(TableMeta(Db, "maint_enum", s"$work/maint_enum",
+      properties = Map(MergeSnapshotStore.SetStatsProp -> "cls")))
+    store.overwrite(Db, "maint_enum",
+      mixed.select(col("doc_id"),
+          concat(lit("cls"), (col("doc_id") % 4).cast("string")).as("cls"))
+        .repartitionByRange(4, col("cls")))
+    val eTotal = store.read(Db, "maint_enum").inputFiles.length
+    val eGot = store.readEquals(Db, "maint_enum", Map("cls" -> Seq("cls2")))
+    val eWant = store.read(Db, "maint_enum").filter(col("cls") === "cls2")
+    val enumOk = eGot.inputFiles.length < eTotal &&
+      eGot.exceptAll(eWant).count() == 0 &&
+      eWant.exceptAll(eGot).count() == 0
+    val hllAll = mixed.select(col("doc_id"), (col("doc_id") % 31).as("hv"))
+    val hllS0 = hllAll.filter(col("doc_id") % 9 =!= 0)
+    val hllSpec = Ivm.hllDistinctSpec("m_hll", col("doc_id") % 5, col("hv"))
+    val hllFolded = hllSpec.fold(hllSpec.seed(hllS0), hllS0, hllAll,
+      Scd.snapshotDiff(hllS0, hllAll, Seq("doc_id")), Seq("doc_id"))
+    def hllCanon(df: DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hllOk = hllCanon(Ivm.hllDistinctCount(hllFolded)) ==
+      hllCanon(hllAll.groupBy((col("doc_id") % 5).as("grp"))
+        .agg(countDistinct(col("hv")).as("dcnt")))
+    stage(19, f"storage maintenance -> advisor ${hB.expectedScanFraction}%.2f" +
+        f" -> ${hA.expectedScanFraction}%.2f, equality scan " +
+        s"${eGot.inputFiles.length}/$eTotal files, hll == exact: $hllOk") {
+      maintOk && enumOk && hllOk
+    }
+    Materialize.releaseAll()
+
     println(s"[pipeline] E2E complete under $work")
     spark.stop()
   }
