@@ -168,11 +168,14 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
       f -> ColStat(c, mn.toDouble, mx.toDouble)
     }.groupBy(_._1).map { case (f, ss) => f -> ss.map(_._2).toSeq }
     // string bounds travel base64-coded: a bound is arbitrary user text
-    // and must not be able to inject the manifest's own separators
+    // and must not be able to inject the manifest's own separators.
+    // Splits use limit -1 — b64("") is "" so a bound/value field may be
+    // EMPTY, and the default split would drop the trailing empty field
+    // and brick every read of a successfully-committed version.
     def unb64(s: String) = new String(
       java.util.Base64.getDecoder.decode(s), UTF_8)
     val strStats = lines.collect { case s if s.startsWith("y\t") =>
-      val parts = s.split('\t')
+      val parts = s.split("\t", -1)
       parts(1) -> StrStat(parts(2), unb64(parts(3)),
         if (parts(4) == "*") None else Some(unb64(parts(4))))
     }.groupBy(_._1).map { case (f, ss) => f -> ss.map(_._2).toSeq }
@@ -180,11 +183,11 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     // prunes every probe) survives tab-splitting and a lone
     // empty-string VALUE (b64 "" == "") stays distinguishable from it
     val setStats = lines.collect { case s if s.startsWith("v\t") =>
-      val parts = s.split('\t')
+      val parts = s.split("\t", -1)
       val n = parts(3).toInt
       val vals =
         if (n == 0) Nil
-        else parts(4).split(',').iterator.take(n).map(unb64).toSeq
+        else parts(4).split(",", -1).iterator.take(n).map(unb64).toSeq
       parts(1) -> SetStat(parts(2), vals)
     }.groupBy(_._1).map { case (f, ss) => f -> ss.map(_._2).toSeq }
     Manifest(schema, SortedMap(buckets: _*), nb, stats, strStats, setStats)
@@ -528,6 +531,21 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
       "every probed column needs at least one value")
     val meta = catalog0(db, table)
     val m = readManifest(meta.location, resolveVersion(meta, version))
+    // probe values must match the column's own type: the skip check
+    // compares canonical STRINGS while the exact predicate compares in
+    // Spark's coercion rules, and the two disagree across types (an int
+    // column probed with the string "05" canonicalizes to "05", misses
+    // the set's "5", and prunes a file the coercing filter would match)
+    probes.foreach { case (c, vs) =>
+      require(m.schema.fieldNames.contains(c),
+        s"readEquals column '$c' is not in ${meta.qualified}'s schema")
+      val dt = m.schema(c).dataType
+      vs.foreach(v => require(MergeSnapshotStore.probeMatches(dt, v),
+        s"readEquals probe ${Option(v).map(_.getClass.getSimpleName)
+          .getOrElse("null")} '$v' does not match column '$c' of type " +
+          s"${dt.simpleString} — pass the column's own type so the " +
+          "set-stats skip and the exact predicate agree"))
+    }
     val canon = probes.map { case (c, vs) =>
       c -> vs.map(MergeSnapshotStore.canonicalSetValue).toSet }
     val keep = listDataFiles(meta, m, None).filter { rel =>
@@ -1085,9 +1103,9 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
           if (rels.size <= MergeSnapshotStore.FooterInlineFiles) {
             val conf = spark.sparkContext.hadoopConfiguration
             rels.map { rel =>
-              val path = new Path(s"${meta.location}/$rel")
-              (rel, MergeSnapshotStore.footerBounds(conf, path, statCols),
-                MergeSnapshotStore.footerStrBounds(conf, path, strCols))
+              val (nb, sb) = MergeSnapshotStore.footerAllBounds(conf,
+                new Path(s"${meta.location}/$rel"), statCols, strCols)
+              (rel, nb, sb)
             }
           } else {
             // footer reads are per-file metadata I/O — at a 10^3..10^4
@@ -1110,9 +1128,9 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
                 val c = new org.apache.hadoop.conf.Configuration(false)
                 bc.value.foreach { case (k, v) => c.set(k, v) }
                 it.map { rel =>
-                  val path = new Path(s"$loc/$rel")
-                  (rel, MergeSnapshotStore.footerBounds(c, path, cols),
-                    MergeSnapshotStore.footerStrBounds(c, path, scols))
+                  val (nb, sb) = MergeSnapshotStore.footerAllBounds(c,
+                    new Path(s"$loc/$rel"), cols, scols)
+                  (rel, nb, sb)
                 }
               }.collect().toSeq // manifest-sized: one entry per file
           }
@@ -1462,9 +1480,12 @@ object MergeSnapshotStore {
    * performance bug nobody sees. */
   private[graft] def parseBloomProp(v: String): Seq[(String, Long)] =
     v.split(',').iterator.map(_.trim).filter(_.nonEmpty).map { entry =>
-      entry.split(':') match {
-        case Array(c) => c -> BloomDefaultNdv
-        case Array(c, n) if n.forall(_.isDigit) && n.nonEmpty => c -> n.toLong
+      // limit -1: a trailing ':' must be malformed, not silently the
+      // default NDV (split's trailing-empty removal would eat it)
+      entry.split(":", -1) match {
+        case Array(c) if c.nonEmpty => c -> BloomDefaultNdv
+        case Array(c, n) if c.nonEmpty && n.nonEmpty && n.forall(_.isDigit) =>
+          c -> n.toLong
         case _ => throw new IllegalArgumentException(
           s"$BloomProp entry '$entry' is not 'col' or 'col:ndv'")
       }
@@ -1513,6 +1534,22 @@ object MergeSnapshotStore {
          org.apache.spark.sql.types.IntegerType |
          org.apache.spark.sql.types.LongType => true
     case _ => false
+  }
+
+  /** Does a probe value's runtime type pair with the column type such
+   * that [[canonicalSetValue]] and Spark's own equality agree? Integral
+   * probes pair with any integral column (toString matches the cast for
+   * every width); everything else pairs only with its own type. */
+  private[graft] def probeMatches(dt: DataType, v: Any): Boolean = {
+    import org.apache.spark.sql.types.{BooleanType => BT, ByteType => Y,
+      IntegerType => I, LongType => L, ShortType => H}
+    (dt, v) match {
+      case (StringType, _: String) => true
+      case (BT, _: Boolean) => true
+      case (Y | H | I | L, _: Byte | _: Short | _: Int | _: Long) => true
+      case (DateType, _: java.sql.Date | _: java.time.LocalDate) => true
+      case _ => false
+    }
   }
 
   /** One probe value's canonical string — must match Spark's
@@ -1629,13 +1666,30 @@ object MergeSnapshotStore {
    */
   private[catalog] def footerStrBounds(conf: org.apache.hadoop.conf.Configuration,
                                        file: Path,
-                                       cols: Seq[String]): Seq[(String, String, Option[String])] = {
+                                       cols: Seq[String]): Seq[(String, String, Option[String])] =
+    footerAllBounds(conf, file, Nil, cols)._2
+
+  /** Both bound families from ONE footer open — the per-commit stats
+   * job pays exactly one metadata read per file (driver-inline or
+   * executor-side), not one per bound family; no open at all when
+   * neither family has columns. */
+  private[catalog] def footerAllBounds(conf: org.apache.hadoop.conf.Configuration,
+                                       file: Path, numCols: Seq[String],
+                                       strCols: Seq[String])
+      : (Seq[(String, Double, Double)], Seq[(String, String, Option[String])]) = {
     import scala.jdk.CollectionConverters._
-    if (cols.isEmpty) return Nil
+    if (numCols.isEmpty && strCols.isEmpty) return (Nil, Nil)
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(conf, file)
     try {
       val blocks = reader.getFooter.getBlocks.asScala.toSeq
-      cols.flatMap { c =>
+      (numBoundsOf(blocks, numCols), strBoundsOf(blocks, strCols))
+    } finally reader.close()
+  }
+
+  private def strBoundsOf(blocks: Seq[org.apache.parquet.hadoop.metadata.BlockMetaData],
+                          cols: Seq[String]): Seq[(String, String, Option[String])] = {
+    import scala.jdk.CollectionConverters._
+    cols.flatMap { c =>
         var mn: String = null
         var mx: String = null
         var usable = true
@@ -1671,7 +1725,6 @@ object MergeSnapshotStore {
         if (usable && mn != null) Some((c, truncLower(mn), truncUpper(mx)))
         else None
       }
-    } finally reader.close()
   }
 
   /**
@@ -1692,12 +1745,13 @@ object MergeSnapshotStore {
    */
   private[catalog] def footerBounds(conf: org.apache.hadoop.conf.Configuration,
                                     file: Path,
-                                    cols: Seq[String]): Seq[(String, Double, Double)] = {
+                                    cols: Seq[String]): Seq[(String, Double, Double)] =
+    footerAllBounds(conf, file, cols, Nil)._1
+
+  private def numBoundsOf(blocks: Seq[org.apache.parquet.hadoop.metadata.BlockMetaData],
+                          cols: Seq[String]): Seq[(String, Double, Double)] = {
     import scala.jdk.CollectionConverters._
-    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(conf, file)
-    try {
-      val blocks = reader.getFooter.getBlocks.asScala.toSeq
-      cols.flatMap { c =>
+    cols.flatMap { c =>
         var mn = Double.PositiveInfinity
         var mx = Double.NegativeInfinity
         var seen = false
@@ -1728,7 +1782,6 @@ object MergeSnapshotStore {
         }
         if (usable && seen) Some((c, mn, mx)) else None
       }
-    } finally reader.close()
   }
 
   /** One footer bound in double space — exact within ±2^53, the same

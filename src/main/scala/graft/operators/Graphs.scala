@@ -49,6 +49,7 @@ object Graphs {
                     iterations: Int, dampingPct: Int = 85,
                     redistributeDangling: Boolean = false,
                     earlyStopDeltaMicro: Option[Long] = None): DataFrame = {
+    validateArgs(iterations, dampingPct, earlyStopDeltaMicro)
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .na.drop().distinct()
     // the loop's two constant sides, cut once: edges with their
@@ -66,6 +67,20 @@ object Graphs {
     ranks
   }
 
+  /** Argument validation, FIRST in every public entry point — an
+   * invalid round count must throw before any edge dedup materializes,
+   * any bucketed table writes, or any cache pins (the exception path
+   * skips the release calls). */
+  private def validateArgs(iterations: Int, dampingPct: Int,
+                           earlyStopDeltaMicro: Option[Long]): Unit = {
+    require(iterations >= 1 && iterations <= 50,
+      "iterations must be in [1, 50] — a config-scale round count")
+    require(dampingPct >= 0 && dampingPct <= 100,
+      "dampingPct is a percentage")
+    earlyStopDeltaMicro.foreach(eps =>
+      require(eps >= 0L, "earlyStopDeltaMicro must be >= 0"))
+  }
+
   /** The shared power loop behind both public variants: seeds every
    * node at 1e6 micros and runs up to `iterations` rounds of
    * [[iteration]] over the prepared edge+degree side `eo`. Returns the
@@ -76,12 +91,7 @@ object Graphs {
                                   redistributeDangling: Boolean,
                                   earlyStopDeltaMicro: Option[Long])
       : (DataFrame, Int) = {
-    require(iterations >= 1 && iterations <= 50,
-      "iterations must be in [1, 50] — a config-scale round count")
-    require(dampingPct >= 0 && dampingPct <= 100,
-      "dampingPct is a percentage")
-    earlyStopDeltaMicro.foreach(eps =>
-      require(eps >= 0L, "earlyStopDeltaMicro must be >= 0"))
+    validateArgs(iterations, dampingPct, earlyStopDeltaMicro)
     // the dangling constant side, cut once: the nodes with NO out-edge
     // (their mass would otherwise drain) and the node count the uniform
     // share divides by — one scalar driver action, taken only when the
@@ -188,6 +198,7 @@ object Graphs {
                             redistributeDangling: Boolean = false,
                             earlyStopDeltaMicro: Option[Long] = None)
       : DataFrame = {
+    validateArgs(iterations, dampingPct, earlyStopDeltaMicro)
     require(buckets >= 1, "buckets must be >= 1")
     // cut the deduplicated edges once: the degree join reads them twice
     // and recomputing the distinct would scan the source three times

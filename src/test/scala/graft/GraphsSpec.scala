@@ -120,6 +120,26 @@ class GraphsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("invalid arguments throw before any side effects") {
+    import spark.implicits._
+    val e = Seq(("a", "b")).toDF("s", "d")
+    intercept[IllegalArgumentException] {
+      Graphs.pageRankMicro(e, "s", "d", iterations = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Graphs.pageRankMicro(e, "s", "d", iterations = 3,
+        earlyStopDeltaMicro = Some(-1L))
+    }
+    // the bucketed form must refuse BEFORE writing or registering the
+    // edge table (and before pinning any cache)
+    intercept[IllegalArgumentException] {
+      Graphs.pageRankMicroBucketed(spark, e, "s", "d", iterations = 0,
+        table = "graft_pr_never")
+    }
+    assert(!spark.catalog.tableExists("graft_pr_never"),
+      "a rejected call must not leave the edge table behind")
+  }
+
   /** Driver-side mirror of the integer power loop — the independent
    * arithmetic the redistribution and early-stop specs compare against
    * (same truncating long division, same left-to-right update). */

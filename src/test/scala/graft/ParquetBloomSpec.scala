@@ -103,6 +103,16 @@ class ParquetBloomSpec extends AnyFunSuite with SparkFixture {
     intercept[IllegalArgumentException] {
       MergeSnapshotStore.parseBloomProp("uid:abc")
     }
+    // a trailing colon is a truncated NDV, not the default — split's
+    // trailing-empty removal must not silently accept it
+    intercept[IllegalArgumentException] {
+      MergeSnapshotStore.parseBloomProp("uid:")
+    }
+    intercept[IllegalArgumentException] {
+      MergeSnapshotStore.parseBloomProp(":1024")
+    }
+    assert(MergeSnapshotStore.parseBloomProp("uid:1024, url") ==
+      Seq("uid" -> 1024L, "url" -> MergeSnapshotStore.BloomDefaultNdv))
     store.catalog.register(TableMeta("bdb", "badfmt",
       Files.createTempDirectory("graft-bloom-bf").toString, format = "json",
       properties = Map(MergeSnapshotStore.BloomProp -> "uid")))

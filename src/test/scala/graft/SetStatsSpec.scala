@@ -143,6 +143,50 @@ class SetStatsSpec extends AnyFunSuite with SparkFixture {
     assert(got.collect().map(_.getLong(0)).toSeq == Seq(7L))
   }
 
+  test("an empty-string VALUE round-trips the manifest (split-limit regression)") {
+    import spark.implicits._
+    val store = mkStore()
+    register(store, "es")
+    // one file whose only non-null class is "" — its set line's value
+    // field is the EMPTY base64 string, which a default tab-split would
+    // drop, bricking every later read of the committed version
+    store.overwrite("vdb", "es",
+      (0 until 16).map(i => (i.toLong, "", i.toDouble)).toDF("id", "cls", "v")
+        .repartition(2))
+    val sets = store.manifestSetStats("vdb", "es",
+      store.latestVersion("vdb", "es"))
+    assert(sets.values.flatten.exists { case (c, vs) =>
+      c == "cls" && vs == Seq("") }, s"expected a lone-empty-value set: $sets")
+    val got = store.readEquals("vdb", "es", Map("cls" -> Seq("")))
+    assert(got.count() == 16)
+    assert(store.readEquals("vdb", "es", Map("cls" -> Seq("x")))
+      .inputFiles.isEmpty)
+  }
+
+  test("a type-mismatched probe is rejected, not silently mis-pruned") {
+    import spark.implicits._
+    val store = mkStore()
+    register(store, "tm", setCols = "k")
+    store.overwrite("vdb", "tm",
+      (0 until 16).map(i => (i.toLong, (i % 3).toLong)).toDF("id", "k"))
+    // the bug this pins: "05" canonicalizes to "05", misses the set's
+    // "5", and PRUNES a file the coercing isin("05") filter would match
+    // — probing an int column with a string must refuse instead
+    val err = intercept[IllegalArgumentException] {
+      store.readEquals("vdb", "tm", Map("k" -> Seq("2")))
+    }
+    assert(err.getMessage.contains("does not match column"))
+    intercept[IllegalArgumentException] {
+      store.readEquals("vdb", "tm", Map("nope" -> Seq(1L)))
+    }
+    // string columns likewise refuse integral probes
+    register(store, "tm2")
+    store.overwrite("vdb", "tm2", classFrame(16))
+    intercept[IllegalArgumentException] {
+      store.readEquals("vdb", "tm2", Map("cls" -> Seq(5L)))
+    }
+  }
+
   test("misconfiguration and bad probes fail loudly") {
     import spark.implicits._
     val store = mkStore()

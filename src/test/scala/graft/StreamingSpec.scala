@@ -592,6 +592,52 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
         s"names-less refusal still moved $t"))
   }
 
+  test("streaming registry: HLL dashboard on an insert stream; a delete fails the stream") {
+    import spark.implicits._
+    import graft.operators.Ivm
+    val tmp = Files.createTempDirectory("graft-stream-hll").toString
+    val catalog = new InMemoryCatalog
+    val store = new SnapshotStore(spark, catalog)
+    catalog.register(TableMeta("hsdb", "snap", s"$tmp/snap"))
+    catalog.register(TableMeta("hsdb", "r_hll", s"$tmp/r_hll"))
+    val specs = Seq(Ivm.hllDistinctSpec("r_hll", col("grp_in"), col("v")))
+    val init = Seq((1L, "a", 10L), (2L, "a", 5L), (3L, "b", 30L))
+      .toDF("k", "grp_in", "v")
+    store.overwrite("hsdb", "snap", init)
+    specs.foreach(a => store.overwrite("hsdb", a.table, a.seed(init)))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String, Option[String], Option[Long])]
+    val q = StreamingAnalytics.maintainAggregates(
+      ms.toDF().toDF("k", "change", "grp_in", "v"), store, "hsdb", "snap",
+      specs, Seq("k"), s"$tmp/ckpt")
+    try {
+      ms.addData((4L, "I", Some("b"), Some(40L)),
+        (5L, "I", Some("a"), Some(5L)))
+      q.processAllAvailable()
+      ms.addData((6L, "I", Some("c"), Some(1L)))
+      q.processAllAvailable()
+      val snap = store.read("hsdb", "snap")
+      def cn(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(cn(Ivm.hllDistinctCount(store.read("hsdb", "r_hll"))) ==
+        cn(snap.groupBy(col("grp_in").as("grp"))
+          .agg(countDistinct(col("v")).as("dcnt"))),
+        "streamed sketch estimates drifted from the snapshot's exact counts")
+      // a delete refuses in the fold and FAILS THE STREAM — the sketch
+      // can never silently over-count past a retraction
+      ms.addData((4L, "D", None, None))
+      val err = intercept[
+          org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(err).exists(_.contains("APPEND-ONLY")),
+        s"expected the fold's refusal to surface: ${messages(err)}")
+    } finally q.stop()
+  }
+
   test("streaming BM25: the served index stays rebuild-exact under a doc stream") {
     import spark.implicits._
     // the batch registry's BM25 specs driven by the STREAMING registry —

@@ -203,6 +203,26 @@ class StringStatsSpec extends AnyFunSuite with SparkFixture {
       Seq(f"u${(7 * 37) % 1024}%04d"))
   }
 
+  test("empty-string bounds round-trip the manifest (split-limit regression)") {
+    val store = mkStore()
+    register(store, "empty")
+    // a column whose every value is "" writes bounds whose base64 form
+    // is the EMPTY string — a default tab-split would drop the trailing
+    // field and brick every read of the committed version
+    val df = spark.range(20)
+      .select(lit("").as("s"), col("id").as("v")).repartition(2)
+    store.overwrite("sdb", "empty", df)
+    val ys = store.manifestStrStats("sdb", "empty",
+      store.latestVersion("sdb", "empty")).values.flatten.toSeq
+    assert(ys.nonEmpty && ys.forall { case (c, lo, hi) =>
+      c == "s" && lo == "" && hi == Some("") }, s"bounds drifted: $ys")
+    assert(store.readStringRange("sdb", "empty", Map("s" -> (("", ""))))
+      .count() == 20)
+    // every file's range is ["",""], strictly below "a": all pruned
+    assert(store.readStringRange("sdb", "empty", Map("s" -> (("a", "b"))))
+      .inputFiles.isEmpty)
+  }
+
   test("all-null and absent string columns stay conservative") {
     val store = mkStore()
     register(store, "nulls")
