@@ -1916,6 +1916,50 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    // EXPRESSION-derived data skipping (readWhere): an arbitrary Column
+    // predicate — AND/OR mixing a numeric band, a value-set equality
+    // and a string prefix — walks the manifest stats and plans only the
+    // files that may hold a TRUE row; the oracle is the identical
+    // full-scan WHERE clause
+    "q64_store_predicate_scan" -> ((s, d) => {
+      import graft.catalog.{InMemoryCatalog, MergeSnapshotStore, TableMeta}
+      val cust = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+          col("c_acctbal"))
+        .repartitionByRange(8, col("c_acctbal"))
+      val work = java.nio.file.Files.createTempDirectory("graft-q64").toString
+      val cat = new InMemoryCatalog
+      cat.register(TableMeta("q64", "customer", s"$work/customer",
+        properties = Map(MergeSnapshotStore.SetStatsProp -> "c_mktsegment")))
+      val store = new MergeSnapshotStore(s, cat, nBuckets = 32)
+      store.overwrite("q64", "customer", cust)
+      store.readWhere("q64", "customer",
+          (col("c_acctbal") >= 1000.0 && col("c_acctbal") <= 3000.0 &&
+            col("c_mktsegment") === "BUILDING") ||
+            col("c_name").startsWith("Customer#00000001"))
+        .orderBy("c_custkey")
+    }),
+
+    // Predicate-scoped row-level DELETE (copy-on-write, Delta
+    // DeleteCommand shape): the store finds matches through stats-pruned
+    // candidate files, rewrites only the buckets owning one, carries the
+    // rest by reference, and the surviving snapshot must equal the
+    // oracle's NOT-filtered full scan
+    "q65_store_delete_where" -> ((s, d) => {
+      import graft.catalog.{InMemoryCatalog, MergeSnapshotStore, TableMeta}
+      val orders = t(s, d, "orders").select(col("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+      val work = java.nio.file.Files.createTempDirectory("graft-q65").toString
+      val cat = new InMemoryCatalog
+      cat.register(TableMeta("q65", "orders", s"$work/orders",
+        primaryKey = Seq("o_orderkey")))
+      val store = new MergeSnapshotStore(s, cat, nBuckets = 8)
+      store.overwrite("q65", "orders", orders)
+      store.deleteWhere("q65", "orders",
+        col("o_orderstatus") === "F" && col("o_totalprice") < 100000.0)
+      store.read("q65", "orders").orderBy("o_orderkey")
+    }),
+
     // distinct-count IVM through the multiplicity auxiliary view:
     // COUNT(DISTINCT v) is not self-maintainable (deleting a value
     // can't tell last-copy-gone from duplicates-remain), but the
@@ -4210,6 +4254,24 @@ object SparkEntry {
          FROM customer
          WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
          ORDER BY c_custkey""",
+
+    // the store's expression-derived pruned read must equal the
+    // identical full-scan WHERE clause
+    "q64_store_predicate_scan" ->
+      """SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+         FROM customer
+         WHERE (c_acctbal BETWEEN 1000.0 AND 3000.0
+                AND c_mktsegment = 'BUILDING')
+            OR c_name LIKE 'Customer#00000001%'
+         ORDER BY c_custkey""",
+
+    // after the copy-on-write DELETE the surviving snapshot must equal
+    // the NOT-filtered full scan
+    "q65_store_delete_where" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+         FROM orders
+         WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 100000.0)
+         ORDER BY o_orderkey""",
 
     // the store's truncated-string-stats-pruned read must equal the
     // plain full-scan lexicographic filter

@@ -597,6 +597,216 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     loadFiles(meta, m, keep, pred)
   }
 
+  /**
+   * Expression-derived data skipping — the general read the typed forms
+   * ([[readRange]]/[[readStringRange]]/[[readEquals]]/[[readPrefix]])
+   * are special cases of: the caller hands an arbitrary `Column`
+   * predicate and the store walks its expression tree against every
+   * file's manifest stats, planning only the files that MAY hold a row
+   * where the predicate is TRUE (Delta/Iceberg's dataFilters-to-file-
+   * skipping story, cf. Delta's DataSkippingReader). Shapes that prune:
+   * AND/OR over `=`, `<`, `<=`, `>`, `>=`, `IN`, `startswith` between a
+   * stats-carrying column and a literal — numeric/date/timestamp
+   * min-max bounds, truncated string bounds, and value-set lines all
+   * participate. EVERY other node (NOT, IS NULL, col-to-col, functions
+   * of columns, UDFs…) is conservatively satisfiable, and the exact
+   * predicate applies on top of the planned files, so the result always
+   * equals the full-scan filter: an unsupported shape costs pruning
+   * power, never correctness.
+   *
+   * Soundness under SQL's three-valued logic: pruning asks "can this
+   * file hold a row where the predicate is TRUE". AND prunes when
+   * either side is file-wide unsatisfiable (a row satisfying the
+   * conjunction would satisfy both sides), OR only when both are; a
+   * NULL comparison is never TRUE, and an all-null file carries no
+   * bounds line — the conservative keep is already correct. Numeric
+   * comparisons prune NON-strictly (`<` keeps `mn <= v`, not `mn < v`):
+   * bounds and literals meet in the manifest's double space, whose
+   * rounding is monotone but can tie beyond ±2^53 — a tie must keep
+   * the file, exactly the [[readRange]] self-consistency contract.
+   * String comparisons are exact in UTF-8 byte order against the
+   * truncated bounds (lo ≤ true min, hi ≥ true max, None = unbounded).
+   */
+  def readWhere(db: String, table: String, predicate: Column,
+                version: Option[Int] = None): DataFrame = {
+    val meta = catalog0(db, table)
+    val m = readManifest(meta.location, resolveVersion(meta, version))
+    val e = resolvePredicate(m, predicate)
+    val keep = listDataFiles(meta, m, None)
+      .filter(rel => fileMayMatch(e, m, rel))
+    loadFiles(meta, m, keep, predicate)
+  }
+
+  /** `predicate` resolved and type-coerced by Spark's OWN analyzer
+   * against the manifest schema — pruning must judge exactly the
+   * comparisons the scan will run, not the surface form the caller
+   * typed (a `Column` is a lazy node tree until analysis). Literal-only
+   * subtrees then fold (the ConstantFolding move): coercion wraps
+   * literals in casts on widening comparisons, and a folded cast is a
+   * typed literal the stats can judge — while a cast around a COLUMN
+   * (a genuine cross-type comparison) survives and lands in the
+   * conservative branch. A predicate naming a column the table lacks
+   * fails analysis here, loudly. */
+  private def resolvePredicate(m: Manifest, predicate: Column)
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
+    val cond = empty.filter(predicate).queryExecution.analyzed
+      .collectFirst { case f: Filter => f.condition }
+      .getOrElse(throw new IllegalStateException(
+        "predicate did not analyze to a Filter over the snapshot schema"))
+    cond.transformUp {
+      case e if e.foldable && !e.isInstanceOf[Literal] =>
+        Literal.create(e.eval(null), e.dataType)
+    }
+  }
+
+  /** Can file `rel` hold a row where `e` is TRUE, judged from its
+   * manifest stats alone? `true` means "cannot rule it out" — every
+   * unrecognized shape, type pairing, or missing stats line lands
+   * there, so the answer is a sound superset of the matching files. */
+  private def fileMayMatch(e: org.apache.spark.sql.catalyst.expressions.Expression,
+                           m: Manifest, rel: String): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import MergeSnapshotStore.{litCanonical, litDouble, strCmp}
+    val num = m.stats.getOrElse(rel, Nil).map(s => s.column -> s).toMap
+    val str = m.strStats.getOrElse(rel, Nil).map(s => s.column -> s).toMap
+    val set = m.setStats.getOrElse(rel, Nil).map(s => s.column -> s).toMap
+    // exact-case schema lookup: a predicate written in another case
+    // still FILTERS correctly (Spark resolves case-insensitively), it
+    // just loses pruning — a miss is the conservative branch
+    def dtOf(c: String): Option[DataType] =
+      m.schema.fields.find(_.name == c).map(_.dataType)
+    def attr(x: Expression): Option[String] = x match {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+        if a.nameParts.size == 1 => Some(a.nameParts.head)
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+    def isNum(t: DataType) = t.isInstanceOf[NumericType]
+    // the double bound space is shared only within a type family: any
+    // numeric literal against a numeric column, date days against
+    // DateType, timestamp micros against TimestampType — never across
+    def numCompatible(cdt: DataType, ldt: DataType): Boolean =
+      (isNum(cdt) && isNum(ldt)) ||
+        (cdt == DateType && ldt == DateType) ||
+        (cdt == TimestampType && ldt == TimestampType)
+    // value-set lines hold the COLUMN's cast-to-string form; a literal
+    // participates only when its canonical form provably matches it
+    def canonCompatible(cdt: DataType, ldt: DataType): Boolean = {
+      import org.apache.spark.sql.types.{BooleanType, ByteType, IntegerType,
+        LongType, ShortType}
+      def integral(t: DataType) =
+        t == ByteType || t == ShortType || t == IntegerType || t == LongType
+      (cdt, ldt) match {
+        case (StringType, StringType) => true
+        case (BooleanType, BooleanType) => true
+        case (DateType, DateType) => true
+        case (a, b) => integral(a) && integral(b)
+      }
+    }
+    def mayEq(c: String, value: Any, ldt: DataType): Boolean =
+      if (value == null) false // x = NULL is never TRUE
+      else dtOf(c) match {
+        case None => true
+        case Some(cdt) =>
+          val setOk =
+            if (!canonCompatible(cdt, ldt)) true
+            else litCanonical(value, ldt) match {
+              case Some(canon) => set.get(c).forall(_.values.contains(canon))
+              case None => true
+            }
+          val boundOk = (cdt, ldt) match {
+            case (StringType, StringType) =>
+              val v = value.toString
+              str.get(c).forall(y => strCmp(v, y.lo) >= 0 &&
+                y.hi.forall(h => strCmp(v, h) <= 0))
+            case _ if numCompatible(cdt, ldt) =>
+              litDouble(value) match {
+                case Some(v) => num.get(c).forall(s => v >= s.mn && v <= s.mx)
+                case None => true
+              }
+            case _ => true
+          }
+          setOk && boundOk
+      }
+    // op is the row-level comparison `col op v`; string pruning may be
+    // strict (bounds are exact strings), numeric pruning must not be
+    // (double-space ties keep the file)
+    def mayCmp(c: String, value: Any, ldt: DataType, op: String): Boolean =
+      if (value == null) false // a NULL comparison is never TRUE
+      else dtOf(c) match {
+        case None => true
+        case Some(StringType) if ldt == StringType =>
+          val v = value.toString
+          str.get(c).forall { y =>
+            op match {
+              case "<"  => strCmp(y.lo, v) < 0
+              case "<=" => strCmp(y.lo, v) <= 0
+              case ">"  => y.hi.forall(h => strCmp(h, v) > 0)
+              case ">=" => y.hi.forall(h => strCmp(h, v) >= 0)
+            }
+          }
+        case Some(cdt) if numCompatible(cdt, ldt) =>
+          litDouble(value) match {
+            case None => true
+            case Some(v) => num.get(c).forall { s =>
+              op match {
+                case "<" | "<=" => s.mn <= v
+                case ">" | ">=" => s.mx >= v
+              }
+            }
+          }
+        case _ => true
+      }
+    def may(x: Expression): Boolean = x match {
+      case And(l, r) => may(l) && may(r)
+      case Or(l, r) => may(l) || may(r)
+      case Literal(null, _) => false // constant NULL predicate: never TRUE
+      case Literal(b: Boolean, _) => b
+      case EqualTo(a, Literal(v, dt)) if attr(a).isDefined =>
+        mayEq(attr(a).get, v, dt)
+      case EqualTo(Literal(v, dt), a) if attr(a).isDefined =>
+        mayEq(attr(a).get, v, dt)
+      case EqualNullSafe(a, Literal(v, dt))
+        if attr(a).isDefined && v != null => mayEq(attr(a).get, v, dt)
+      case EqualNullSafe(Literal(v, dt), a)
+        if attr(a).isDefined && v != null => mayEq(attr(a).get, v, dt)
+      case LessThan(a, Literal(v, dt)) if attr(a).isDefined =>
+        mayCmp(attr(a).get, v, dt, "<")
+      case LessThan(Literal(v, dt), a) if attr(a).isDefined =>
+        mayCmp(attr(a).get, v, dt, ">")
+      case LessThanOrEqual(a, Literal(v, dt)) if attr(a).isDefined =>
+        mayCmp(attr(a).get, v, dt, "<=")
+      case LessThanOrEqual(Literal(v, dt), a) if attr(a).isDefined =>
+        mayCmp(attr(a).get, v, dt, ">=")
+      case GreaterThan(a, Literal(v, dt)) if attr(a).isDefined =>
+        mayCmp(attr(a).get, v, dt, ">")
+      case GreaterThan(Literal(v, dt), a) if attr(a).isDefined =>
+        mayCmp(attr(a).get, v, dt, "<")
+      case GreaterThanOrEqual(a, Literal(v, dt)) if attr(a).isDefined =>
+        mayCmp(attr(a).get, v, dt, ">=")
+      case GreaterThanOrEqual(Literal(v, dt), a) if attr(a).isDefined =>
+        mayCmp(attr(a).get, v, dt, "<=")
+      case In(a, vs) if attr(a).isDefined && vs.forall(_.isInstanceOf[Literal]) =>
+        vs.collect { case Literal(v, dt) => (v, dt) }
+          .exists { case (v, dt) => mayEq(attr(a).get, v, dt) }
+      case StartsWith(a, Literal(p, StringType)) if attr(a).isDefined && p != null =>
+        val prefix = p.toString
+        str.get(attr(a).get) match {
+          case None => true
+          case Some(y) =>
+            y.hi.forall(h => strCmp(h, prefix) >= 0) &&
+              MergeSnapshotStore.incrementLast(prefix)
+                .forall(u => strCmp(y.lo, u) < 0)
+        }
+      case _ => true // NOT, IS NULL, col-to-col, functions… — conservative
+    }
+    may(e)
+  }
+
   // ----------------------------------------------------------------- commits
 
   /** Full-snapshot commit (same contract as the base store): every bucket
@@ -707,10 +917,23 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     val touched = changedKeys.select(bucketOf(pks.map(col)).as("__b")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted // loop control; <= nBuckets values
     if (touched.isEmpty) return Nil
+    commitScoped(meta, vs.last, current, touched, pks)(rewrite)
+    touched
+  }
+
+  /** The scoped-commit core [[mergeScoped]] and [[deleteWhere]] share:
+   * read exactly the `touched` buckets of the manifest committed at
+   * `readVer`, replace their contents with `rewrite`'s output, carry
+   * every other bucket's files (and their stats) by reference, and
+   * publish optimistically with the bucket-granular rebase/refuse
+   * adjudication documented on [[mergeScoped]]. */
+  private def commitScoped(meta: TableMeta, readVer: Int, current: Manifest,
+                           touched: Seq[Int], pks: Seq[String])
+                          (rewrite: DataFrame => DataFrame): Unit = {
     val old = load(meta, current, Some(touched.toSet))
     val out = rewrite(old)
     val (written, newStats, newStrStats, newSetStats) =
-      writeData(meta, vs.last + 1, out, pks)
+      writeData(meta, readVer + 1, out, pks)
     val stray = written.keySet.diff(touched.toSet)
     require(stray.isEmpty,
       s"merge rewrote buckets $stray outside the changed-key set $touched — " +
@@ -723,7 +946,7 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     // the freshly-measured ones. On a rebase the base advances to the
     // winner's manifest — its untouched-bucket work is carried instead.
     var base = current
-    var baseVer = vs.last
+    var baseVer = readVer
     var attempt = 0
     var committed = false
     while (!committed) {
@@ -743,7 +966,7 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
       // adjudicated below, but either side may have relaxed nullability)
       // — OR the nullability so neither side's nulls become unreadable
       val schema =
-        if (baseVer == vs.last) dropBucketCol(out.schema)
+        if (baseVer == readVer) dropBucketCol(out.schema)
         else MergeSnapshotStore.mergeNullability(dropBucketCol(out.schema), base.schema)
       if (publishManifest(meta.location, baseVer + 1,
           Manifest(schema, carried ++ written, nBuckets,
@@ -768,14 +991,14 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
         if (winner.schema.catalogString != current.schema.catalogString)
           throw new java.util.ConcurrentModificationException(
             s"concurrent commit to ${meta.qualified} changed the schema " +
-              s"while this merge (base version ${vs.last}) was in flight — " +
+              s"while this merge (base version ${readVer}) was in flight — " +
               "rerun the merge against the new snapshot")
         val moved = touched.filter(b => winner.buckets.get(b) != current.buckets.get(b))
         if (moved.nonEmpty)
           throw new java.util.ConcurrentModificationException(
             s"concurrent commit to ${meta.qualified} rewrote buckets " +
               s"${moved.mkString(",")} this merge also touched (base " +
-              s"version ${vs.last}, now $latest) — rerun the merge against " +
+              s"version ${readVer}, now $latest) — rerun the merge against " +
               "the new snapshot")
         attempt += 1
         if (attempt >= MergeSnapshotStore.MaxCommitAttempts)
@@ -787,7 +1010,81 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
         baseVer = latest
       }
     }
-    touched
+  }
+
+  /**
+   * Predicate-scoped row-level DELETE — the takedown / right-to-be-
+   * forgotten / bad-source-purge path: remove every row where
+   * `predicate` is TRUE (SQL DELETE semantics — rows where it is NULL
+   * stay) as one copy-on-write commit. Two phases, both bounded by the
+   * predicate's footprint, the Delta DeleteCommand shape:
+   *
+   *  1. FIND — a [[fileMayMatch]]-pruned scan of the candidate files
+   *     only (manifest stats decide; a selective predicate on a
+   *     clustered or value-set-tracked column touches a handful of
+   *     files out of 10^4), aggregated per file to the matched-file
+   *     list + deleted-row count (manifest-sized collect).
+   *  2. REWRITE — only the buckets owning a matched file re-read and
+   *     rewrite (keeping `NOT coalesce(predicate, false)`); every other
+   *     bucket carries by reference through [[commitScoped]], with the
+   *     same optimistic rebase/refuse adjudication as a CDC merge.
+   *
+   * A delete matching nothing commits nothing (no version bump, no
+   * write). The deleted rows remain visible to pinned readers of prior
+   * versions until the vacuum horizon passes — physical erasure
+   * completes when the retention window does, the Delta/Iceberg
+   * `DELETE then VACUUM` compliance story. [[Catalog.changesBetween]]
+   * over the commit yields the pure-D changelog, so maintained
+   * aggregates fold the delete like any other change.
+   *
+   * The predicate must be deterministic: the find scan and the rewrite
+   * evaluate it independently, and a nondeterministic predicate could
+   * delete rows the count never saw. Rewritten buckets land in plain
+   * PK-bucket form — a clustered layout smears exactly as under a CDC
+   * merge; [[maintenanceAdvisor]] says when to re-cluster. Works on
+   * PK-less tables too (everything lives in bucket 0, so any match
+   * rewrites the table; the find phase still prunes, and a no-match
+   * delete is still free).
+   *
+   * Returns the number of rows deleted.
+   */
+  def deleteWhere(db: String, table: String, predicate: Column): Long = {
+    val meta = catalog0(db, table)
+    val vs = manifestVersions(meta.location)
+    require(vs.nonEmpty,
+      s"nothing committed at ${meta.qualified} to delete from")
+    val current = readManifest(meta.location, vs.last)
+    val e = resolvePredicate(current, predicate)
+    require(e.deterministic,
+      s"deleteWhere on ${meta.qualified} needs a deterministic predicate " +
+        "— the find scan and the bucket rewrite evaluate it independently")
+    require(current.nBuckets == nBuckets,
+      s"${meta.qualified} is committed with nBuckets=${current.nBuckets}; " +
+        s"this store was built with nBuckets=$nBuckets — open it with the " +
+        "table's bucket count")
+    val files = listDataFiles(meta, current, None)
+    val cand = files.filter(rel => fileMayMatch(e, current, rel))
+    if (cand.isEmpty) return 0L
+    // one pruned scan answers both "which files hold matches" and "how
+    // many rows go": per-file counts collapse to a manifest-sized collect
+    val matches = loadFiles(meta, current, cand, predicate)
+      .groupBy(input_file_name().as("__f")).count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    if (matches.isEmpty) return 0L
+    val byDir = current.buckets.toSeq.map { case (b, dir) =>
+      (new Path(s"${meta.location}/$dir").toUri.getPath, b) }
+    val touched = matches.map { case (f, _) =>
+      val p = new Path(f).toUri.getPath
+      byDir.collectFirst { case (dir, b) if p.startsWith(s"$dir/") => b }
+        .getOrElse(throw new IllegalStateException(
+          s"matched file $f is outside every bucket dir of ${meta.qualified}"))
+    }.distinct.sorted
+    val deleted = matches.map(_._2).sum
+    commitScoped(meta, vs.last, current, touched, meta.primaryKey) { old =>
+      old.filter(org.apache.spark.sql.functions.not(
+        org.apache.spark.sql.functions.coalesce(predicate, lit(false))))
+    }
+    deleted
   }
 
   /**
@@ -1569,6 +1866,43 @@ object MergeSnapshotStore {
     case other => throw new IllegalArgumentException(
       s"unsupported set-stats probe type ${other.getClass.getName}")
   }
+
+  /** A Catalyst literal's INTERNAL value in the manifest's double bound
+   * space — the same promotions the stats were measured in (a date's
+   * internal Int is already epoch days, a timestamp's internal Long
+   * already epoch micros, both the [[promoted]] spaces). None for
+   * anything the space can't hold soundly, including NaN (Spark orders
+   * NaN greatest; a Java double compare would prune live files). */
+  private[graft] def litDouble(value: Any): Option[Double] = value match {
+    case v: Byte => Some(v.toDouble)
+    case v: Short => Some(v.toDouble)
+    case v: Int => Some(v.toDouble)
+    case v: Long => Some(v.toDouble)
+    case v: Float if !v.isNaN => Some(v.toDouble)
+    case v: Double if !v.isNaN => Some(v)
+    case v: org.apache.spark.sql.types.Decimal => Some(v.toDouble)
+    case _ => None
+  }
+
+  /** A Catalyst literal's INTERNAL value in the value-set lines'
+   * canonical (Spark cast-to-string) form — [[canonicalSetValue]] for
+   * internal representations. The caller has already proven the
+   * column/literal pairing via canonCompatible, so a date's internal
+   * Int renders as the ISO date Spark's cast produces. */
+  private[graft] def litCanonical(value: Any, dt: DataType): Option[String] =
+    (value, dt) match {
+      case (null, _) => None
+      case (u: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+        Some(u.toString)
+      case (b: Boolean, _) => Some(b.toString)
+      case (d: Int, DateType) =>
+        Some(java.time.LocalDate.ofEpochDay(d.toLong).toString)
+      case (v: Byte, _) => Some(v.toString)
+      case (v: Short, _) => Some(v.toString)
+      case (v: Int, _) => Some(v.toString)
+      case (v: Long, _) => Some(v.toString)
+      case _ => None
+    }
 
   /** Truncated string bounds keep at most this many chars — long URL /
    * id prefixes stay discriminating while the manifest stays small (the

@@ -1,0 +1,285 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.{InMemoryCatalog, MergeSnapshotStore, TableMeta}
+
+/**
+ * Expression-derived data skipping ([[MergeSnapshotStore.readWhere]])
+ * and the predicate-scoped copy-on-write DELETE built on it
+ * ([[MergeSnapshotStore.deleteWhere]]). readWhere walks an arbitrary
+ * Column predicate against every file's manifest stats (numeric/
+ * temporal bounds, truncated string bounds, value sets) and plans only
+ * the files that may hold a TRUE row — unsupported shapes degrade to a
+ * conservative keep, never to a wrong prune. deleteWhere finds matches
+ * through the same pruning, rewrites only the buckets owning a matched
+ * file, and carries everything else by reference.
+ */
+class DeleteWhereSpec extends AnyFunSuite with SparkFixture {
+
+  private def mkStore(nBuckets: Int = 4): MergeSnapshotStore =
+    new MergeSnapshotStore(spark, new InMemoryCatalog, nBuckets = nBuckets,
+      keepVersions = 2, vacuumRetentionMs = 0L)
+
+  private def register(store: MergeSnapshotStore, tbl: String,
+                       pk: Seq[String] = Seq("id"),
+                       props: Map[String, String] = Map.empty): TableMeta = {
+    val meta = TableMeta("wdb", tbl,
+      Files.createTempDirectory(s"graft-where-$tbl").toString,
+      primaryKey = pk, properties = props)
+    store.catalog.register(meta)
+    meta
+  }
+
+  /** Rows range-split by `v` so each file carries a tight disjoint
+   * numeric range AND a tight name range — the layout where stats
+   * bite. cls cycles 4 values inside each file (ranges can't separate
+   * it; value sets can when opted in). */
+  private def rangedFrame(n: Int = 256): DataFrame = {
+    import spark.implicits._
+    (0 until n).map { i =>
+      (i.toLong, i.toLong, f"name$i%05d", s"c${i % 4}")
+    }.toDF("id", "v", "nm", "cls").repartitionByRange(4, col("v"))
+  }
+
+  private def assertExact(got: DataFrame, want: DataFrame): Unit =
+    assert(got.exceptAll(want).count() == 0 &&
+      want.exceptAll(got).count() == 0, "result drifted from full scan")
+
+  // ------------------------------------------------------------ readWhere
+
+  test("readWhere: AND of supported comparisons prunes to the overlapping files") {
+    val store = mkStore(nBuckets = 1)
+    register(store, "rw", pk = Nil)
+    store.overwrite("wdb", "rw", rangedFrame())
+    val full = store.read("wdb", "rw")
+    val total = full.inputFiles.length
+    assert(total >= 3, s"fixture needs range-split files, got $total")
+    val pred = col("v") >= 70L && col("v") < 80L && col("nm") =!= "nope"
+    val got = store.readWhere("wdb", "rw", pred)
+    assert(got.inputFiles.length < total,
+      s"a one-slice band must prune: ${got.inputFiles.length}/$total")
+    assertExact(got, full.filter(pred))
+  }
+
+  test("readWhere: OR keeps the union of branch files; a dead OR branch adds nothing") {
+    val store = mkStore(nBuckets = 1)
+    register(store, "or", pk = Nil)
+    store.overwrite("wdb", "or", rangedFrame())
+    val full = store.read("wdb", "or")
+    val total = full.inputFiles.length
+    val dead = col("v") > 100000L // beyond every file's max
+    val live = col("v") <= 5L
+    val got = store.readWhere("wdb", "or", dead || live)
+    assert(got.inputFiles.length < total, "dead-OR-live must still prune")
+    assertExact(got, full.filter(dead || live))
+    // both branches dead: nothing planned, empty result with the schema
+    val none = store.readWhere("wdb", "or", dead || col("v") < -1L)
+    assert(none.inputFiles.isEmpty && none.count() == 0)
+  }
+
+  test("readWhere: string bounds, prefixes and IN prune; value sets sharpen equality") {
+    val store = mkStore(nBuckets = 1)
+    register(store, "str", pk = Nil,
+      props = Map(MergeSnapshotStore.SetStatsProp -> "cls"))
+    store.overwrite("wdb", "str", rangedFrame())
+    val full = store.read("wdb", "str")
+    val total = full.inputFiles.length
+    val byName = store.readWhere("wdb", "str",
+      col("nm") >= "name00060" && col("nm") <= "name00070")
+    assert(byName.inputFiles.length < total, "string band must prune")
+    assertExact(byName,
+      full.filter(col("nm") >= "name00060" && col("nm") <= "name00070"))
+    val byPrefix = store.readWhere("wdb", "str",
+      col("nm").startsWith("name0024"))
+    assert(byPrefix.inputFiles.length < total, "prefix must prune")
+    assertExact(byPrefix, full.filter(col("nm").startsWith("name0024")))
+    val byIn = store.readWhere("wdb", "str",
+      col("v").isin(3L, 7L) && col("cls") === "c3")
+    assert(byIn.inputFiles.length < total, "IN band must prune")
+    assertExact(byIn, full.filter(col("v").isin(3L, 7L) && col("cls") === "c3"))
+  }
+
+  test("readWhere: unsupported shapes and cross-type literals stay conservative AND exact") {
+    val store = mkStore(nBuckets = 1)
+    register(store, "cons", pk = Nil)
+    store.overwrite("wdb", "cons", rangedFrame())
+    val full = store.read("wdb", "cons")
+    val total = full.inputFiles.length
+    // function-of-column, NOT, col-to-col: no pruning, exact results
+    val shapes = Seq(
+      length(col("nm")) > lit(3) && col("v") < 10L, // fn AND supported: still prunes on v
+      not(col("v") < 10L),                          // NOT: conservative
+      col("v") === col("id"),                       // col-to-col: conservative
+      col("v") === "5")                             // string literal on long col
+    shapes.foreach { p =>
+      assertExact(store.readWhere("wdb", "cons", p), full.filter(p))
+    }
+    assert(store.readWhere("wdb", "cons", not(col("v") < 10L))
+      .inputFiles.length == total, "NOT must keep every file")
+    assert(store.readWhere("wdb", "cons",
+        length(col("nm")) > lit(3) && col("v") < 10L)
+      .inputFiles.length < total,
+      "the supported conjunct must still prune beside an unsupported one")
+  }
+
+  test("readWhere: version pin reads the pinned snapshot") {
+    import spark.implicits._
+    val store = mkStore(nBuckets = 1)
+    register(store, "pin", pk = Nil)
+    store.overwrite("wdb", "pin", (0 until 8).map(i => (i.toLong, i.toLong))
+      .toDF("id", "v"))
+    val v1 = store.latestVersion("wdb", "pin")
+    store.overwrite("wdb", "pin", (0 until 8).map(i => (i.toLong, i + 100L))
+      .toDF("id", "v"))
+    val pinned = store.readWhere("wdb", "pin", col("v") < 50L, Some(v1))
+    assert(pinned.count() == 8, "the pin must see the pre-overwrite rows")
+    assert(store.readWhere("wdb", "pin", col("v") < 50L).count() == 0)
+  }
+
+  // ---------------------------------------------------------- deleteWhere
+
+  test("deleteWhere: deletes exactly the TRUE rows and reports the count") {
+    val store = mkStore()
+    register(store, "del")
+    store.overwrite("wdb", "del", rangedFrame())
+    val deleted = store.deleteWhere("wdb", "del",
+      col("v") >= 100L && col("cls") === "c0")
+    val expect = rangedFrame().filter(col("v") >= 100L && col("cls") === "c0")
+      .count()
+    assert(deleted == expect, s"count drifted: $deleted vs $expect")
+    assertExact(store.read("wdb", "del"),
+      rangedFrame().filter(!(col("v") >= 100L && col("cls") === "c0")))
+  }
+
+  test("deleteWhere: NULL-predicate rows survive (SQL DELETE semantics)") {
+    import spark.implicits._
+    val store = mkStore()
+    register(store, "nul")
+    store.overwrite("wdb", "nul",
+      Seq((1L, Some(5L)), (2L, None), (3L, Some(50L)))
+        .toDF("id", "v"))
+    val deleted = store.deleteWhere("wdb", "nul", col("v") > 10L)
+    assert(deleted == 1L)
+    assert(store.read("wdb", "nul").select("id").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L),
+      "the NULL-v row must stay — DELETE removes only TRUE rows")
+  }
+
+  test("deleteWhere: a no-match delete commits nothing") {
+    val store = mkStore()
+    register(store, "nom")
+    store.overwrite("wdb", "nom", rangedFrame())
+    val v = store.latestVersion("wdb", "nom")
+    assert(store.deleteWhere("wdb", "nom", col("v") > 100000L) == 0L)
+    assert(store.latestVersion("wdb", "nom") == v,
+      "a delete that matched nothing must not bump the version")
+  }
+
+  test("deleteWhere: untouched buckets carry by reference; stats keep pruning after") {
+    val store = mkStore(nBuckets = 8)
+    register(store, "carry")
+    store.overwrite("wdb", "carry", rangedFrame())
+    val v1 = store.latestVersion("wdb", "carry")
+    val before = store.read("wdb", "carry").inputFiles.toSet
+    // one specific row: its PK bucket rewrites, every other file must
+    // survive IDENTICALLY (carried by reference, not rewritten)
+    val deleted = store.deleteWhere("wdb", "carry", col("id") === 42L)
+    assert(deleted == 1L)
+    val after = store.read("wdb", "carry").inputFiles.toSet
+    val carried = before.intersect(after)
+    assert(carried.size == before.size - 1,
+      s"exactly one bucket file should rewrite: ${before.size} -> carried ${carried.size}")
+    assert(store.latestVersion("wdb", "carry") == v1 + 1)
+    // the carried files kept their manifest stats VERBATIM (their bytes
+    // were never re-read, so the measurements that described them still
+    // do) — PK-hash bucketing smears v across buckets, so the right
+    // assertion is stats identity, not prune counts
+    val statsBefore = store.manifestStats("wdb", "carry", v1)
+    val statsAfter = store.manifestStats("wdb", "carry", v1 + 1)
+    val carriedRels = statsAfter.keySet.intersect(statsBefore.keySet)
+    assert(carriedRels.nonEmpty, "carried files must keep manifest entries")
+    carriedRels.foreach { rel =>
+      assert(statsAfter(rel) == statsBefore(rel),
+        s"carried file $rel must keep its measured stats")
+    }
+    assertExact(store.readWhere("wdb", "carry", col("v") >= 200L),
+      store.read("wdb", "carry").filter(col("v") >= 200L))
+  }
+
+  test("deleteWhere: changesBetween yields the pure-D changelog of the delete") {
+    val store = mkStore()
+    register(store, "cdf")
+    store.overwrite("wdb", "cdf", rangedFrame())
+    val v1 = store.latestVersion("wdb", "cdf")
+    store.deleteWhere("wdb", "cdf", col("v") < 10L)
+    val v2 = store.latestVersion("wdb", "cdf")
+    val log = store.changesBetween("wdb", "cdf", v1, v2).collect()
+    assert(log.nonEmpty && log.forall(_.getAs[String]("change") == "D"),
+      "a delete commit must surface as D rows only")
+    assert(log.map(_.getAs[Long]("id")).toSet == (0L until 10L).toSet)
+  }
+
+  test("deleteWhere: nondeterministic predicates refuse loudly") {
+    val store = mkStore()
+    register(store, "rnd")
+    store.overwrite("wdb", "rnd", rangedFrame(16))
+    val err = intercept[IllegalArgumentException] {
+      store.deleteWhere("wdb", "rnd", rand() > 0.5)
+    }
+    assert(err.getMessage.contains("deterministic"))
+  }
+
+  test("deleteWhere: PK-less tables delete correctly (single-bucket rewrite)") {
+    val store = mkStore()
+    register(store, "nopk", pk = Nil)
+    store.overwrite("wdb", "nopk", rangedFrame(64))
+    val deleted = store.deleteWhere("wdb", "nopk", col("cls") === "c2")
+    assert(deleted == 16L)
+    assertExact(store.read("wdb", "nopk"),
+      rangedFrame(64).filter(col("cls") =!= "c2"))
+  }
+
+  test("deleteWhere vs concurrent merge: disjoint buckets rebase, shared buckets refuse") {
+    import spark.implicits._
+    // a REAL retention window: with retention 0 the racing writer's
+    // vacuum reclaims this delete's written-but-unpublished dir (orphan
+    // reclaim is tombstone-gated in production precisely so in-flight
+    // writers finish inside the window)
+    val store = new MergeSnapshotStore(spark, new InMemoryCatalog,
+      nBuckets = 8, keepVersions = 2, vacuumRetentionMs = 3600000L)
+    val meta = register(store, "race")
+    store.overwrite("wdb", "race", rangedFrame())
+    def bucketOfId(id: Long): Int = store.read("wdb", "race")
+      .filter(col("id") === id)
+      .select(store.bucketOf(Seq(col("id")))).head().getInt(0)
+    // pick two ids in DIFFERENT buckets and two in the SAME bucket
+    val ids = (0L until 64L).map(i => i -> bucketOfId(i))
+    val (idA, bA) = ids.head
+    val (idB, _) = ids.find(_._2 != bA).get
+    val (idC, _) = ids.tail.find(_._2 == bA).get
+    // disjoint: while the delete of idA's row is between write and
+    // publish, a merge commits idB's bucket -> the delete rebases
+    store.beforePublish = () => {
+      store.mergeScoped("wdb", "race",
+        Seq(idB).toDF("id"))(old => old.filter(col("id") =!= idB))
+      ()
+    }
+    assert(store.deleteWhere("wdb", "race", col("id") === idA) == 1L)
+    assert(store.read("wdb", "race").filter(col("id").isin(idA, idB)).count() == 0,
+      "both the rebased delete and the racing merge must stand")
+    // shared: a racing merge moves the SAME bucket the delete touched
+    store.beforePublish = () => {
+      store.mergeScoped("wdb", "race",
+        Seq(idC).toDF("id"))(old => old)
+      ()
+    }
+    intercept[java.util.ConcurrentModificationException] {
+      store.deleteWhere("wdb", "race", col("id") === idC)
+    }
+  }
+}
