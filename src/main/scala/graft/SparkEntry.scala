@@ -1611,6 +1611,29 @@ object SparkEntry {
       Ivm.hllDistinctCount(folded).orderBy("grp")
     }),
 
+    // KLL-sketch maintained quantiles (the percentile dashboard whose
+    // state never re-sorts the fact table): per group the first 101
+    // orders by key — odd count, inside the sketch's exact regime — so
+    // the maintained INCLUSIVE median after a seed + insert-only fold
+    // IS the exact middle element the oracle's median computes
+    "t37_kll_quantile" -> ((s, d) => {
+      import graft.operators.{Ivm, Scd}
+      import org.apache.spark.sql.expressions.Window
+      val byG = Window.partitionBy(col("grp_in"))
+      val cohort = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority").as("grp_in"),
+          col("o_totalprice").as("v"))
+        .withColumn("rn", row_number().over(byG.orderBy(col("o_orderkey"))))
+        .withColumn("gcnt", count(lit(1)).over(byG))
+        .filter(col("gcnt") >= 101 && col("rn") <= 101)
+      val s0 = cohort.filter(col("rn") <= 51).drop("rn", "gcnt")
+      val all = cohort.drop("rn", "gcnt")
+      val spec = Ivm.kllQuantileSpec("t37", col("grp_in"), col("v"))
+      val folded = spec.fold(spec.seed(s0), s0, all,
+        Scd.snapshotDiff(s0, all, Seq("o_orderkey")), Seq("o_orderkey"))
+      Ivm.kllQuantiles(folded, Seq(0.5)).orderBy("grp")
+    }),
+
     // DSIR data selection: raw docs (doc_id % 7 != 0) scored by the
     // hashed-bigram importance ratio against the % 7 == 0 "target
     // domain" sample, top-200 kept — the oracle replays the 16-bit
@@ -3790,6 +3813,20 @@ object SparkEntry {
       """SELECT doc_id % 50 AS grp,
              CAST(count(DISTINCT doc_id % 997) AS BIGINT) AS dcnt
          FROM documents GROUP BY 1 ORDER BY grp""",
+
+    // 101 values per group keep the KLL sketch in its exact regime, so
+    // the maintained INCLUSIVE median is the exact middle element —
+    // DuckDB's median over an odd count picks the same one
+    "t37_kll_quantile" ->
+      """WITH cohort AS (
+           SELECT o_orderpriority AS grp, o_totalprice AS v,
+                  row_number() OVER (PARTITION BY o_orderpriority
+                                     ORDER BY o_orderkey) AS rn,
+                  count(*) OVER (PARTITION BY o_orderpriority) AS gcnt
+           FROM orders)
+         SELECT grp, median(v) AS q50
+         FROM cohort WHERE gcnt >= 101 AND rn <= 101
+         GROUP BY grp ORDER BY grp""",
 
     // both smoothed hashed-bigram bucket models, the micro-fixed log
     // ratio, and the (key desc, doc_id) top-k replayed exactly

@@ -467,6 +467,67 @@ object Ivm {
     agg.select(col(groupOut), hll_sketch_estimate(col("hll")).as(cntOut))
 
   /**
+   * KLL-SKETCH quantile maintenance — the latency/size/score dashboard
+   * at the scale where exact per-group percentiles mean re-sorting the
+   * fact table every batch: per-group state is ONE DataSketches KLL
+   * sketch (k-bounded, default k=200 ≈ 1.65% normalized rank error),
+   * the fold is a delta-sized sketch aggregate plus a group-keyed
+   * pairwise merge, and the fact table is never rescanned. Merge is the
+   * sketch's own commutative/associative union, so within the EXACT
+   * regime (n ≤ k per group: nothing has compacted) the maintained
+   * sketch retains the same item set as a rebuild and every quantile is
+   * the exact order statistic — what the oracle gate pins; past it the
+   * DataSketches rank-error bound governs (and compaction draws a
+   * random offset, so past-exact maintained and rebuilt sketches agree
+   * in RANK ERROR, not bytes).
+   *
+   * Like every sketch, KLL cannot subtract: a changelog carrying U/D
+   * rows REFUSES loudly. Append-only facts (events, latencies, crawl
+   * sizes) are the honest contract; where deletes are real, recompute
+   * the percentile from the snapshot.
+   */
+  def kllQuantileSpec(table: String, group: Column, value: Column,
+                      k: Int = graft.functions.KllSketchExpressions.KllDefaultK)
+      : MaintainedAgg = {
+    import graft.functions.KllSketchExpressions.{kllAgg, kllMergePair}
+    MaintainedAgg(table,
+      df => df.groupBy(group.as("grp"))
+        .agg(kllAgg(value.cast("double"), k).as("kll")),
+      (agg, _, _, chg, _) => {
+        require(chg.filter(col("change").isin("U", "D")).limit(1)
+            .collect().isEmpty,
+          s"kllQuantileSpec($table) maintains an APPEND-ONLY sketch — " +
+            "the changelog carries U/D rows, which no quantile sketch " +
+            "can subtract; recompute from the snapshot where deletes " +
+            "are real")
+        val delta = chg.filter(col("change") === "I")
+          .select(group.as("grp"), value.cast("double").as("__v"))
+          .groupBy("grp").agg(kllAgg(col("__v"), k).as("__dk"))
+        // null-safe on the group key; kllMergePair passes a NULL side
+        // through, so a brand-new group adopts the delta sketch and an
+        // untouched group keeps its history verbatim
+        agg.as("a").join(delta.as("d"),
+            col("a.grp") <=> col("d.grp"), "full_outer")
+          .select(coalesce(col("a.grp"), col("d.grp")).as("grp"),
+            kllMergePair(col("a.kll"), col("__dk")).as("kll"))
+      })
+  }
+
+  /** The quantiles read off a [[kllQuantileSpec]] table: one DOUBLE
+   * column per requested rank (INCLUSIVE search — the smallest retained
+   * item whose rank reaches it; the exact order statistic while the
+   * sketch is in its exact regime). Column names are `q` + percent,
+   * e.g. ranks 0.5/0.99 → `q50`/`q99`. */
+  def kllQuantiles(agg: DataFrame, ranks: Seq[Double],
+                   groupOut: String = "grp"): DataFrame = {
+    require(ranks.nonEmpty, "ask for at least one rank")
+    import graft.functions.KllSketchExpressions.kllQuantile
+    agg.select(col(groupOut) +: ranks.map { r =>
+      kllQuantile(col("kll"), lit(r)).as(s"q${math.round(r * 100)}")
+    }: _*)
+  }
+
+  /**
    * The registry form of [[MaintainedCountSum]]: ONE base table with ANY
    * number of maintained downstream aggregates, all moved by one
    * changelog commit — count/sum, min/max, and distinct-count dashboards

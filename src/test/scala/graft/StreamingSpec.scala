@@ -638,6 +638,49 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("streaming registry: KLL quantile dashboard on an insert stream stays exact-regime-correct") {
+    import spark.implicits._
+    import graft.operators.Ivm
+    val tmp = Files.createTempDirectory("graft-stream-kll").toString
+    val catalog = new InMemoryCatalog
+    val store = new SnapshotStore(spark, catalog)
+    catalog.register(TableMeta("ksdb", "snap", s"$tmp/snap"))
+    catalog.register(TableMeta("ksdb", "r_kll", s"$tmp/r_kll"))
+    val specs = Seq(Ivm.kllQuantileSpec("r_kll", col("grp_in"), col("v")))
+    val init = Seq((1L, "a", 10.0), (2L, "a", 30.0), (3L, "b", 7.0))
+      .toDF("k", "grp_in", "v")
+    store.overwrite("ksdb", "snap", init)
+    specs.foreach(a => store.overwrite("ksdb", a.table, a.seed(init)))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String, Option[String], Option[Double])]
+    val q = StreamingAnalytics.maintainAggregates(
+      ms.toDF().toDF("k", "change", "grp_in", "v"), store, "ksdb", "snap",
+      specs, Seq("k"), s"$tmp/ckpt")
+    try {
+      ms.addData((4L, "I", Some("a"), Some(20.0)),
+        (5L, "I", Some("b"), Some(9.0)))
+      q.processAllAvailable()
+      ms.addData((6L, "I", Some("a"), Some(40.0)))
+      q.processAllAvailable()
+      // a: 10,20,30,40 -> inclusive median 20; b: 7,9 -> 7
+      val got = Ivm.kllQuantiles(store.read("ksdb", "r_kll"), Seq(0.5))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(got == Map("a" -> 20.0, "b" -> 7.0),
+        s"streamed exact-regime medians drifted: $got")
+      // a streamed delete refuses in the fold and FAILS THE STREAM
+      ms.addData((4L, "D", None, None))
+      val err = intercept[
+          org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(err).exists(_.contains("APPEND-ONLY")),
+        s"expected the fold's refusal to surface: ${messages(err)}")
+    } finally q.stop()
+  }
+
   test("streaming BM25: the served index stays rebuild-exact under a doc stream") {
     import spark.implicits._
     // the batch registry's BM25 specs driven by the STREAMING registry —
