@@ -1594,6 +1594,24 @@ object SparkEntry {
           maxPieceLen = 4)
         .orderBy("doc_id")),
 
+    // WordPiece merge training (the likelihood-scored third of the
+    // tokenizer triad): each round fuses the pair maximizing
+    // pair_n / (lhs_n * rhs_n) — the oracle unrolls the rounds with
+    // per-round symbol counts and the same IEEE score ranking
+    "t38_wordpiece_train" -> ((s, d) =>
+      TextAnalysis.wordPieceMerges(t(s, d, "documents"), "text", nMerges = 6)
+        .orderBy("merge_round")),
+
+    // WordPiece greedy longest-match segmentation with whole-word UNK:
+    // alphabetic words always segment under the letter-complete fixed
+    // vocabulary, anything carrying a digit or punctuation char becomes
+    // [UNK]; the oracle replays the MaxMatch walk
+    "t39_wordpiece_segment" -> ((s, d) =>
+      TextAnalysis.wordPieceSegment(t(s, d, "documents"), "doc_id", "text",
+          WordPieceVocab, maxPieceLen = 5)
+        .withColumn("n_pieces", col("n_pieces").cast("long"))
+        .orderBy("doc_id")),
+
     // HLL-sketch maintained distinct counts (the cardinality dashboard
     // whose state never grows with value cardinality): seed on most
     // docs, fold the rest in as an insert-only changelog — union is
@@ -2356,6 +2374,63 @@ object SparkEntry {
       s"""SELECT merge_round, lhs, rhs, merged, pair_n
           FROM (${(1 to nMerges).map(r => s"SELECT * FROM m$r").mkString(" UNION ALL ")}) m
           ORDER BY merge_round"""
+
+  /** t38 oracle: the WordPiece merge loop replayed round by round —
+   * the bpeCtes skeleton with the `##` continuation encoding, per-round
+   * SYMBOL counts, and the likelihood score `pair_n / (lhs_n * rhs_n)`
+   * (exact longs through IEEE doubles, identical in both engines)
+   * ranking each round's merge instead of the raw count. */
+  private def wordPieceMergesOracle(nMerges: Int): String = {
+    val rounds = (1 to nMerges).map { r =>
+      s"""
+       y$r AS (SELECT string_split(trim(s), '  ') AS sy, n FROM s${r - 1}),
+       c$r AS (SELECT sym, CAST(sum(n) AS BIGINT) AS sn
+               FROM (SELECT unnest(sy) AS sym, n FROM y$r) u GROUP BY sym),
+       e$r AS (SELECT sy, n, unnest(generate_series(1, len(sy) - 1)) AS i
+               FROM y$r WHERE len(sy) >= 2),
+       p$r AS (SELECT sy[i] AS lhs, sy[i + 1] AS rhs,
+                      CAST(sum(n) AS BIGINT) AS pair_n
+               FROM e$r GROUP BY 1, 2),
+       m$r AS MATERIALIZED (
+               SELECT $r AS merge_round, p.lhs, p.rhs,
+                      p.lhs || regexp_replace(p.rhs, '^##', '') AS merged,
+                      p.pair_n, cl.sn AS lhs_n, cr.sn AS rhs_n
+               FROM p$r p
+               JOIN c$r cl ON cl.sym = p.lhs
+               JOIN c$r cr ON cr.sym = p.rhs
+               ORDER BY CAST(p.pair_n AS DOUBLE) /
+                          (CAST(cl.sn AS DOUBLE) * CAST(cr.sn AS DOUBLE)) DESC,
+                        p.lhs ASC, p.rhs ASC
+               LIMIT 1),
+       s$r AS MATERIALIZED (
+               SELECT replace(s, ' ' || (SELECT lhs FROM m$r) || '  ' ||
+                                 (SELECT rhs FROM m$r) || ' ',
+                              ' ' || (SELECT merged FROM m$r) || ' ') AS s, n
+               FROM s${r - 1})"""
+    }.mkString(",")
+    NormCte +
+      """, w0 AS (SELECT w, count(*) AS n
+                  FROM (SELECT unnest(string_split(t, ' ')) AS w FROM n) u
+                  WHERE len(w) > 0
+                  GROUP BY w),
+       s0 AS MATERIALIZED (
+               SELECT regexp_replace(regexp_replace(w, '(.)', ' ##\1 ', 'g'),
+                                     '^ ##', ' ') AS s, n FROM w0)""" +
+      "," + rounds + "\n" +
+      s"""SELECT merge_round, lhs, rhs, merged, pair_n, lhs_n, rhs_n
+          FROM (${(1 to nMerges).map(r => s"SELECT * FROM m$r").mkString(" UNION ALL ")}) m
+          ORDER BY merge_round"""
+  }
+
+  /** The fixed piece vocabulary t39 segments under, shared verbatim by
+   * the Spark query and the DuckDB oracle: every ASCII letter in both
+   * positions (so alphabetic words always segment) plus a handful of
+   * common multi-char pieces; anything with a digit or punctuation
+   * character hits the whole-word-UNK path. */
+  private val WordPieceVocab: Seq[String] =
+    ('a' to 'z').map(_.toString) ++ ('a' to 'z').map(c => s"##$c") ++
+      Seq("th", "wh", "an", "re", "##he", "##the", "##an", "##in",
+        "##ing", "##er", "##ed", "##es", "##on", "##nd", "##ch")
 
   /** t18 oracle: the t16 merge CTEs replayed over each DOCUMENT's
    * spaced-character encoding (word boundaries widen to >= 3 spaces, so
@@ -3806,6 +3881,64 @@ object SparkEntry {
                 CAST(count(*) AS BIGINT) AS n_pieces
          FROM dw JOIN wp ON wp.w = dw.w
          GROUP BY dw.doc_id ORDER BY dw.doc_id""",
+
+    // the WordPiece merge loop unrolled: per-round symbol counts and
+    // the likelihood score replayed through the same IEEE doubles
+    "t38_wordpiece_train" -> wordPieceMergesOracle(6),
+
+    // the MaxMatch walk replayed: per-position longest vocabulary match
+    // (bare at word start, ##-keyed inside), whole-word [UNK] whenever
+    // the walk cannot reach the end of the word
+    "t39_wordpiece_segment" -> {
+      val values = WordPieceVocab.map(p => s"('$p')").mkString(", ")
+      s"""WITH RECURSIVE n AS (SELECT doc_id,
+               regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t
+             FROM documents),
+         voc(piece) AS (VALUES $values),
+         d AS (SELECT doc_id, string_split(t, ' ') AS ws FROM n
+               WHERE t IS NOT NULL),
+         mxw AS (SELECT max(len(ws)) AS m FROM d),
+         wi AS (SELECT unnest(generate_series(1, (SELECT m FROM mxw))) AS i),
+         dw AS (SELECT doc_id, wi.i AS wi, ws[wi.i] AS w
+                FROM d CROSS JOIN wi
+                WHERE wi.i <= len(ws) AND len(ws[wi.i]) > 0),
+         wd AS (SELECT DISTINCT w FROM dw),
+         mx AS (SELECT max(len(w)) AS m FROM wd),
+         ps AS (SELECT unnest(generate_series(0, (SELECT m FROM mx) - 1)) AS p),
+         ls AS (SELECT unnest(generate_series(1, 5)) AS l),
+         cand AS (SELECT wd.w, ps.p, ls.l,
+                         CASE WHEN ps.p = 0 THEN substr(wd.w, 1, ls.l)
+                              ELSE '##' || substr(wd.w, ps.p + 1, ls.l)
+                         END AS key
+                  FROM wd CROSS JOIN ps CROSS JOIN ls
+                  WHERE ps.p < len(wd.w) AND ls.l <= len(wd.w) - ps.p),
+         ml AS (SELECT c.w, c.p,
+                       max(CASE WHEN v.piece IS NOT NULL THEN c.l END) AS ml
+                FROM cand c LEFT JOIN voc v ON c.key = v.piece
+                GROUP BY c.w, c.p),
+         walk AS (SELECT wd.w, 0 AS pos FROM wd
+                  UNION ALL
+                  SELECT m.w, m.p + m.ml FROM walk k
+                  JOIN ml m ON m.w = k.w AND m.p = k.pos
+                            AND m.ml IS NOT NULL),
+         cw AS (SELECT DISTINCT k.w FROM walk k WHERE k.pos = len(k.w)),
+         wp AS (SELECT k.w, k.pos,
+                       CASE WHEN k.pos = 0 THEN substr(k.w, 1, m.ml)
+                            ELSE '##' || substr(k.w, k.pos + 1, m.ml)
+                       END AS piece
+                FROM walk k
+                JOIN ml m ON m.w = k.w AND m.p = k.pos AND m.ml IS NOT NULL
+                WHERE k.w IN (SELECT w FROM cw)),
+         seg AS (SELECT w, pos, piece FROM wp
+                 UNION ALL
+                 SELECT w, 0 AS pos, '[UNK]' AS piece FROM wd
+                 WHERE w NOT IN (SELECT w FROM cw))
+         SELECT dw.doc_id,
+                string_agg(seg.piece, ' ' ORDER BY dw.wi, seg.pos) AS pieces,
+                CAST(count(*) AS BIGINT) AS n_pieces
+         FROM dw JOIN seg ON seg.w = dw.w
+         GROUP BY dw.doc_id ORDER BY dw.doc_id"""
+    },
 
     // the maintained HLL estimates are coupon-exact at this per-group
     // cardinality, so the oracle is the plain exact distinct count

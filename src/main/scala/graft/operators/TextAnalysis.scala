@@ -2033,6 +2033,164 @@ object TextAnalysis {
         size(flatten(expr("transform(wp, x -> x.pieces)"))).as("n_pieces"))
   }
 
+  /**
+   * WordPiece merge training (Schuster & Nakajima 2012; the
+   * likelihood-scored third of the BPE/Unigram/WordPiece tokenizer
+   * triad, the BERT family's tokenizer): words encode as a first
+   * bare symbol plus `##`-prefixed continuations, and each round merges
+   * the adjacent pair maximizing `count(pair) / (count(lhs) *
+   * count(rhs))` — the pair whose fusion most raises corpus likelihood
+   * under a unigram-of-symbols model — instead of BPE's raw count.
+   * Merging `a` + `##b` yields `ab`; `##b` + `##c` yields `##bc`, so a
+   * piece's `##` marks word-internal position forever.
+   *
+   * Rounds are strictly ONE merge each — [[bpeMerges]]' sequence-exact
+   * batching is UNSOUND here, deliberately: batching relies on a merge
+   * leaving symbol-disjoint pairs' RANKS unchanged, which holds for raw
+   * counts but not for this score — every merge changes its symbols'
+   * occurrence counts, which sit in the DENOMINATOR of every pair they
+   * touch, so ranks can reorder mid-batch. Keep nMerges modest (the
+   * cap) or train on a sampled corpus; each round is two bounded
+   * aggregates over the DISTINCT-WORD table (Zipf: corpus-size
+   * independent past the word table) plus a top-1 collect.
+   *
+   * Scores compare as exact-long ratios via IEEE doubles (both factors
+   * < 2^53 — identical in any engine; the oracle replays them), ties
+   * broken (lhs, rhs) ascending. Returns one row per merge:
+   * (merge_round, lhs, rhs, merged, pair_n, lhs_n, rhs_n) — the exact
+   * longs, so the gate hashes no floats.
+   */
+  def wordPieceMerges(df: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    require(nMerges >= 1 && nMerges <= 64,
+      "nMerges must be in [1, 64] — one driver round per merge")
+    val spark = df.sparkSession
+    // corpus pass: word frequencies, then the spaced-symbol encoding
+    // with ## continuations ("abc" -> " a  ##b  ##c ")
+    var vocab = Materialize.eager(
+      df.select(explode(tokens(col(textCol))).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("w").agg(count(lit(1)).as("n"))
+        .select(regexp_replace(
+          regexp_replace(col("w"), "(.)", " ##$1 "), "^ ##", " ").as("s"),
+          col("n")))
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long, Long, Long)]
+    var exhausted = false
+    while (merges.size < nMerges && !exhausted) {
+      val syms = vocab.select(split(trim(col("s")), "  ").as("sy"), col("n"))
+      // per-round symbol occurrence counts — the score's denominator
+      val symCnt = syms.select(explode(col("sy")).as("sym"), col("n"))
+        .groupBy("sym").agg(sum(col("n")).as("sn"))
+      val top = syms.filter(size(col("sy")) >= 2)
+        .select(col("n"), explode(expr(
+          "transform(sequence(1, size(sy) - 1), " +
+            "i -> struct(sy[i-1] AS lhs, sy[i] AS rhs))")).as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum(col("n")).as("pn"))
+        .join(symCnt.select(col("sym").as("lhs"), col("sn").as("ln")), "lhs")
+        .join(symCnt.select(col("sym").as("rhs"), col("sn").as("rn")), "rhs")
+        .withColumn("score",
+          col("pn").cast("double") /
+            (col("ln").cast("double") * col("rn").cast("double")))
+        .orderBy(col("score").desc, col("lhs").asc, col("rhs").asc)
+        .limit(1).select("lhs", "rhs", "pn", "ln", "rn").collect()
+      if (top.isEmpty) exhausted = true // every word is one symbol
+      else {
+        val r = top.head
+        val (l, rh) = (r.getString(0), r.getString(1))
+        val merged = l + rh.stripPrefix("##")
+        merges += ((merges.size + 1, l, rh, merged,
+          r.getLong(2), r.getLong(3), r.getLong(4)))
+        val next = Materialize.eager(vocab.select(
+          call_function("replace", col("s"),
+            lit(" " + l + "  " + rh + " "), lit(" " + merged + " ")).as("s"),
+          col("n")))
+        Materialize.release(vocab)
+        vocab = next
+      }
+    }
+    Materialize.release(vocab)
+    import spark.implicits._
+    merges.toSeq
+      .toDF("merge_round", "lhs", "rhs", "merged", "pair_n", "lhs_n", "rhs_n")
+  }
+
+  /**
+   * WordPiece segmentation — greedy LONGEST-MATCH-FIRST (MaxMatch, the
+   * BERT tokenizer's apply rule) under an explicit piece vocabulary:
+   * at each position the longest vocabulary piece wins (bare form at
+   * word start, `##`-prefixed inside), and a word with ANY unmatchable
+   * position emits the single `unk` token — WordPiece's whole-word-UNK
+   * contract, unlike the unigram family's per-character fallback.
+   *
+   * Scale shape is [[unigramSegment]]'s: the corpus explodes to (doc,
+   * word-index, word) once, the DISTINCT word table segments (each word
+   * once, the Zipf win) against the broadcast vocabulary, the walk is
+   * one codegen'd fold over per-position match lengths, and reassembly
+   * is one doc-keyed aggregate.
+   */
+  def wordPieceSegment(df: DataFrame, idCol: String, textCol: String,
+                       vocab: Seq[String], unk: String = "[UNK]",
+                       maxPieceLen: Int = 8): DataFrame = {
+    require(vocab.nonEmpty, "piece vocabulary must be non-empty")
+    require(vocab.forall(p => p.nonEmpty && !p.contains(' ') && p != "##"),
+      "pieces must be non-empty, space-free and carry text past any ##")
+    require(vocab.forall(p => (p.stripPrefix("##").length +
+        (if (p.startsWith("##")) 2 else 0)) <= maxPieceLen + 2 &&
+        p.stripPrefix("##").length <= maxPieceLen),
+      s"pieces longer than maxPieceLen=$maxPieceLen could never match — " +
+        "raise maxPieceLen to cover the longest piece")
+    require(unk.nonEmpty && !unk.contains(' ') && !unk.contains('\''),
+      "unk must be non-empty, space-free and quote-free")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vocabDf = vocab.toDF("piece")
+    val docWords = df.select(col(idCol),
+        posexplode(tokens(col(textCol))).as(Seq("wi", "w")))
+      .filter(length(col("w")) > 0)
+    val wordList = docWords.select("w").distinct()
+    // per (word, position): the longest matching piece length, NULL
+    // when nothing matches (there is no fallback — that's the UNK path)
+    val ml = wordList.select(col("w"),
+        explode(sequence(lit(0), length(col("w")) - 1)).as("p"))
+      .select(col("w"), col("p"),
+        explode(sequence(lit(1),
+          least(lit(maxPieceLen), length(col("w")) - col("p")))).as("l"))
+      .withColumn("key",
+        when(col("p") === 0, expr("substring(w, 1, l)"))
+          .otherwise(concat(lit("##"), expr("substring(w, p + 1, l)"))))
+      .join(broadcast(vocabDf.withColumn("__hit", lit(1))),
+        col("key") === col("piece"), "left")
+      .groupBy("w", "p")
+      .agg(max(when(col("__hit") === 1, col("l"))).as("ml"))
+    val segmented = ml
+      .groupBy("w")
+      .agg(array_sort(collect_list(struct(col("p"), col("ml")))).as("pl"))
+      .select(col("w"), expr(
+        s"""aggregate(sequence(0, size(pl) - 1),
+             named_struct('nxt', 0, 'ps', CAST(array() AS array<string>),
+                          'bad', false),
+             (acc, j) -> IF(acc.bad OR j != acc.nxt, acc,
+               IF(element_at(pl, j + 1).ml IS NULL,
+                 named_struct('nxt', acc.nxt, 'ps', acc.ps, 'bad', true),
+                 named_struct(
+                   'nxt', j + element_at(pl, j + 1).ml,
+                   'ps', array_append(acc.ps,
+                     IF(j = 0,
+                        substring(w, 1, element_at(pl, j + 1).ml),
+                        '##' || substring(w, j + 1, element_at(pl, j + 1).ml))),
+                   'bad', false))),
+             acc -> IF(acc.bad, array('$unk'), acc.ps))""").as("pieces"))
+    docWords.join(segmented, "w")
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("wi"), col("pieces"))))
+        .as("wp"))
+      .select(col(idCol),
+        concat_ws(" ", flatten(expr("transform(wp, x -> x.pieces)")))
+          .as("pieces"),
+        size(flatten(expr("transform(wp, x -> x.pieces)"))).as("n_pieces"))
+  }
+
   /** All features in one pass over the corpus. */
   def withTextFeatures(df: DataFrame, textCol: String): DataFrame = {
     val c = col(textCol)
