@@ -999,6 +999,27 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // corpus-overlap audit by theta-sketch set algebra: per group the
+    // two corpus slices fold to one sketch each and |A|/|B|/|A∩B|/
+    // |A\B|/|B\A| read off the pair without a join; group sizes stay
+    // under 2^lgK, so the estimates are EXACT and the oracle is the
+    // plain exact set arithmetic
+    "d24_corpus_overlap" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val a = docs.filter(col("doc_id") % 3 =!= 0)
+        .select((col("doc_id") % 5).as("g"), col("doc_id").as("v"))
+      val b = docs.filter(col("doc_id") % 2 =!= 0)
+        .select((col("doc_id") % 5).as("g"), col("doc_id").as("v"))
+      Similarity.corpusOverlapSketch(a, b, col("g"), col("v"))
+        .select(col("grp"),
+          round(col("est_a")).cast("long").as("n_a"),
+          round(col("est_b")).cast("long").as("n_b"),
+          round(col("est_overlap")).cast("long").as("n_overlap"),
+          round(col("est_a_only")).cast("long").as("n_a_only"),
+          round(col("est_b_only")).cast("long").as("n_b_only"))
+        .orderBy("grp")
+    }),
+
     // similarity search
     "s01_ann_brute_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
@@ -3781,6 +3802,27 @@ object SparkEntry {
                              AND list_cosine_similarity(cb.e, bb.be) >= 0.95)
          ORDER BY vec_id"""
     },
+
+    // exact-regime theta estimates ARE the set sizes — the oracle is
+    // the plain exact per-group set arithmetic over the two slices
+    "d24_corpus_overlap" ->
+      """WITH a AS (SELECT doc_id % 5 AS grp, doc_id AS v FROM documents
+                    WHERE doc_id % 3 <> 0),
+         b AS (SELECT doc_id % 5 AS grp, doc_id AS v FROM documents
+               WHERE doc_id % 2 <> 0),
+         ga AS (SELECT grp, count(DISTINCT v) AS na FROM a GROUP BY grp),
+         gb AS (SELECT grp, count(DISTINCT v) AS nb FROM b GROUP BY grp),
+         ov AS (SELECT a.grp, count(DISTINCT a.v) AS no
+                FROM a JOIN b ON a.grp = b.grp AND a.v = b.v GROUP BY a.grp)
+         SELECT coalesce(ga.grp, gb.grp) AS grp,
+                CAST(coalesce(na, 0) AS BIGINT) AS n_a,
+                CAST(coalesce(nb, 0) AS BIGINT) AS n_b,
+                CAST(coalesce(no, 0) AS BIGINT) AS n_overlap,
+                CAST(coalesce(na, 0) - coalesce(no, 0) AS BIGINT) AS n_a_only,
+                CAST(coalesce(nb, 0) - coalesce(no, 0) AS BIGINT) AS n_b_only
+         FROM ga FULL OUTER JOIN gb ON ga.grp = gb.grp
+         LEFT JOIN ov ON ov.grp = coalesce(ga.grp, gb.grp)
+         ORDER BY grp""",
 
     // both hard-EM rounds unrolled: seed substring counts, per-position
     // match lengths under each round's vocabulary, the greedy walk as a

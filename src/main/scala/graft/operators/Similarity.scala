@@ -210,6 +210,51 @@ object Similarity {
   }
 
   /**
+   * Corpus-overlap audit by THETA SKETCH set algebra — the question the
+   * dedup/decontamination operators never answer cheaply: "HOW MUCH do
+   * corpus A and corpus B share?", per group, WITHOUT joining them.
+   * Each side folds to one k-bounded theta sketch per group in a single
+   * scan (live-buffer [[graft.functions.ThetaUnionAgg]] — map-side
+   * combine, group-cardinality-sized shuffle), and |A|, |B|, |A∩B|,
+   * |A\B|, |B\A| read off the sketch PAIR: the cross-corpus "join" is
+   * a full-outer on the group key over dashboard-scale rows. That is
+   * the 100 TB triage in front of exact decontamination: estimate the
+   * contamination MASS per (benchmark, shard) first, run the exact
+   * span-level machinery (d08/d16/d22) only where the estimate says
+   * there is something to remove. Estimates are EXACT while each side
+   * retains under its nominal 2^lgK entries (no sampling yet — the
+   * oracle-pinned regime); past it theta's ~1/sqrt(2^lgK) relative
+   * error governs. A group absent from one side reads as an empty set
+   * (zero overlap, everything "only").
+   *
+   * Both sides must feed the SAME value type — the sketch hashes by
+   * type, so a long 5 and a string "5" are different members; the
+   * aggregate's type check refuses anything but string/int/long/double.
+   */
+  def corpusOverlapSketch(a: DataFrame, b: DataFrame, group: Column,
+                          value: Column, lgK: Int = 12): DataFrame = {
+    import graft.functions.ThetaSketchExpressions.{thetaAgg, thetaAnotBEstimate,
+      thetaEstimate, thetaIntersectEstimate}
+    require(lgK >= 4 && lgK <= 26, "theta lgK must be in [4, 26]")
+    val sa = a.groupBy(group.as("grp")).agg(thetaAgg(value, lgK).as("__sa"))
+    val sb = b.groupBy(group.as("grp")).agg(thetaAgg(value, lgK).as("__sb"))
+    sa.join(sb, Seq("grp"), "full_outer")
+      .select(col("grp"),
+        coalesce(thetaEstimate(col("__sa")), lit(0.0)).as("est_a"),
+        coalesce(thetaEstimate(col("__sb")), lit(0.0)).as("est_b"),
+        coalesce(thetaIntersectEstimate(col("__sa"), col("__sb")), lit(0.0))
+          .as("est_overlap"),
+        when(col("__sa").isNull, lit(0.0))
+          .when(col("__sb").isNull, thetaEstimate(col("__sa")))
+          .otherwise(thetaAnotBEstimate(col("__sa"), col("__sb")))
+          .as("est_a_only"),
+        when(col("__sb").isNull, lit(0.0))
+          .when(col("__sa").isNull, thetaEstimate(col("__sb")))
+          .otherwise(thetaAnotBEstimate(col("__sb"), col("__sa")))
+          .as("est_b_only"))
+  }
+
+  /**
    * Filtered / key-partitioned ANN top-k — the "filtered vector search"
    * production shape (same-language neighbors, same-tenant retrieval,
    * license-compatible matches): each query ranks ONLY corpus vectors
