@@ -2022,6 +2022,27 @@ object SparkEntry {
       store.read("q65", "orders").orderBy("o_orderkey")
     }),
 
+    // Predicate-scoped row-level UPDATE (deleteWhere's copy-on-write
+    // twin): matched rows take the assignment expressions — evaluated
+    // against the PRE-update row — everything else passes through
+    // byte-identical; the oracle is the CASE-WHEN full scan
+    "q66_store_update_where" -> ((s, d) => {
+      import graft.catalog.{InMemoryCatalog, MergeSnapshotStore, TableMeta}
+      val orders = t(s, d, "orders").select(col("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+      val work = java.nio.file.Files.createTempDirectory("graft-q66").toString
+      val cat = new InMemoryCatalog
+      cat.register(TableMeta("q66", "orders", s"$work/orders",
+        primaryKey = Seq("o_orderkey")))
+      val store = new MergeSnapshotStore(s, cat, nBuckets = 8)
+      store.overwrite("q66", "orders", orders)
+      store.updateWhere("q66", "orders",
+        col("o_orderstatus") === "P",
+        Map("o_totalprice" -> (col("o_totalprice") * 2.0),
+          "o_custkey" -> lit(0L)))
+      store.read("q66", "orders").orderBy("o_orderkey")
+    }),
+
     // distinct-count IVM through the multiplicity auxiliary view:
     // COUNT(DISTINCT v) is not self-maintainable (deleting a value
     // can't tell last-copy-gone from duplicates-remain), but the
@@ -4483,6 +4504,18 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
          FROM orders
          WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 100000.0)
+         ORDER BY o_orderkey""",
+
+    // after the copy-on-write UPDATE the snapshot must equal the
+    // CASE-WHEN full scan (doubling doubles is exact in IEEE)
+    "q66_store_update_where" ->
+      """SELECT o_orderkey,
+                CASE WHEN o_orderstatus = 'P' THEN 0 ELSE o_custkey END
+                  AS o_custkey,
+                o_orderstatus,
+                CASE WHEN o_orderstatus = 'P' THEN o_totalprice * 2.0
+                     ELSE o_totalprice END AS o_totalprice
+         FROM orders
          ORDER BY o_orderkey""",
 
     // the store's truncated-string-stats-pruned read must equal the

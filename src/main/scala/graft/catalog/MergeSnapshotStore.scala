@@ -1062,15 +1062,33 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
       s"${meta.qualified} is committed with nBuckets=${current.nBuckets}; " +
         s"this store was built with nBuckets=$nBuckets — open it with the " +
         "table's bucket count")
+    matchedBuckets(meta, current, e, predicate) match {
+      case None => 0L
+      case Some((touched, matched)) =>
+        commitScoped(meta, vs.last, current, touched, meta.primaryKey) { old =>
+          old.filter(org.apache.spark.sql.functions.not(
+            org.apache.spark.sql.functions.coalesce(predicate, lit(false))))
+        }
+        matched
+    }
+  }
+
+  /** The DML find phase [[deleteWhere]] and [[updateWhere]] share: one
+   * [[fileMayMatch]]-pruned scan of the candidate files, collapsed to a
+   * manifest-sized per-file match count, mapped through the manifest's
+   * bucket dirs to (touched bucket ids, matched row count). None when
+   * nothing can match (no candidate files, or candidates held no TRUE
+   * row) — the caller then commits nothing. */
+  private def matchedBuckets(meta: TableMeta, current: Manifest,
+                             e: org.apache.spark.sql.catalyst.expressions.Expression,
+                             predicate: Column): Option[(Seq[Int], Long)] = {
     val files = listDataFiles(meta, current, None)
     val cand = files.filter(rel => fileMayMatch(e, current, rel))
-    if (cand.isEmpty) return 0L
-    // one pruned scan answers both "which files hold matches" and "how
-    // many rows go": per-file counts collapse to a manifest-sized collect
+    if (cand.isEmpty) return None
     val matches = loadFiles(meta, current, cand, predicate)
       .groupBy(input_file_name().as("__f")).count()
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    if (matches.isEmpty) return 0L
+    if (matches.isEmpty) return None
     val byDir = current.buckets.toSeq.map { case (b, dir) =>
       (new Path(s"${meta.location}/$dir").toUri.getPath, b) }
     val touched = matches.map { case (f, _) =>
@@ -1079,12 +1097,98 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
         .getOrElse(throw new IllegalStateException(
           s"matched file $f is outside every bucket dir of ${meta.qualified}"))
     }.distinct.sorted
-    val deleted = matches.map(_._2).sum
-    commitScoped(meta, vs.last, current, touched, meta.primaryKey) { old =>
-      old.filter(org.apache.spark.sql.functions.not(
-        org.apache.spark.sql.functions.coalesce(predicate, lit(false))))
+    Some((touched, matches.map(_._2).sum))
+  }
+
+  /**
+   * Predicate-scoped row-level UPDATE — [[deleteWhere]]'s copy-on-write
+   * twin for in-place corrections (relabel a source, fix a mis-scored
+   * quality tier, redact a column for a matched cohort): rows where
+   * `predicate` is TRUE take the assignment expressions, every other
+   * row — including NULL-predicate rows, per SQL UPDATE — passes
+   * through byte-identical. Same two phases as the delete: a
+   * stats-pruned FIND, then a REWRITE of only the buckets owning a
+   * matched file through [[commitScoped]] (carry-by-reference, CAS
+   * rebase/refuse, no-match commits nothing).
+   *
+   * Assignments cast to the column's EXISTING type: the untouched
+   * buckets carry by reference, so a commit must never change the
+   * table's schema out from under their files. Primary-key columns
+   * refuse — a PK rewrite re-routes the row to a different hash
+   * bucket, which is an identity change, not an update; express it as
+   * a CDC delete+insert through [[mergeScoped]]. Both the predicate
+   * and every assignment must be deterministic (find and rewrite
+   * evaluate them independently). [[Catalog.changesBetween]] over the
+   * commit yields the U changelog (rows updated to identical values
+   * don't appear in it — the diff is value-based).
+   *
+   * Returns the number of rows the predicate matched.
+   */
+  def updateWhere(db: String, table: String, predicate: Column,
+                  assignments: Map[String, Column]): Long = {
+    require(assignments.nonEmpty, "updateWhere needs at least one assignment")
+    val meta = catalog0(db, table)
+    val vs = manifestVersions(meta.location)
+    require(vs.nonEmpty,
+      s"nothing committed at ${meta.qualified} to update")
+    val current = readManifest(meta.location, vs.last)
+    require(current.nBuckets == nBuckets,
+      s"${meta.qualified} is committed with nBuckets=${current.nBuckets}; " +
+        s"this store was built with nBuckets=$nBuckets — open it with the " +
+        "table's bucket count")
+    assignments.keys.foreach { c =>
+      require(current.schema.fieldNames.contains(c),
+        s"updateWhere assigns '$c' which ${meta.qualified} does not have " +
+          s"(columns: ${current.schema.fieldNames.mkString(",")})")
+      require(!meta.primaryKey.contains(c),
+        s"updateWhere must not assign primary-key column '$c' — a PK " +
+          "rewrite re-routes the row to another bucket (an identity " +
+          "change); express it as a CDC delete+insert via mergeScoped")
     }
-    deleted
+    val e = resolvePredicate(current, predicate)
+    require(e.deterministic,
+      s"updateWhere on ${meta.qualified} needs a deterministic predicate " +
+        "— the find scan and the bucket rewrite evaluate it independently")
+    assignments.foreach { case (c, v) =>
+      require(resolveAgainst(current, v).deterministic,
+        s"updateWhere assignment for '$c' must be deterministic — the " +
+          "rewrite may re-evaluate under a CAS rebase")
+    }
+    matchedBuckets(meta, current, e, predicate) match {
+      case None => 0L
+      case Some((touched, matched)) =>
+        val hit = org.apache.spark.sql.functions.coalesce(predicate, lit(false))
+        commitScoped(meta, vs.last, current, touched, meta.primaryKey) { old =>
+          // every assignment resolves against the PRE-update row (SQL
+          // UPDATE semantics: SET a = b, b = a swaps), so the projection
+          // builds all new values in one select over the old columns
+          val cols = current.schema.fieldNames.toSeq.map { c =>
+            assignments.get(c) match {
+              case Some(v) =>
+                when(hit, v.cast(current.schema(c).dataType))
+                  .otherwise(col(c)).as(c)
+              case None => col(c)
+            }
+          }
+          old.select(cols: _*)
+        }
+        matched
+    }
+  }
+
+  /** An arbitrary expression Column resolved by Spark's analyzer
+   * against the snapshot schema — [[resolvePredicate]]'s projection
+   * twin, used to validate assignment expressions. */
+  private def resolveAgainst(m: Manifest, c: Column)
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
+    empty.select(c).queryExecution.analyzed match {
+      case p: Project => p.projectList.head
+      case other => throw new IllegalStateException(
+        s"expression did not analyze to a projection: ${other.nodeName}")
+    }
   }
 
   /**

@@ -244,6 +244,119 @@ class DeleteWhereSpec extends AnyFunSuite with SparkFixture {
       rangedFrame(64).filter(col("cls") =!= "c2"))
   }
 
+  test("deleteWhere composes with IVM: the commit's changelog folds the dashboards") {
+    import graft.operators.Ivm
+    val store = mkStore()
+    register(store, "ivm")
+    store.overwrite("wdb", "ivm", rangedFrame())
+    val spec = Ivm.countSumSpec("agg", col("cls"), col("v"))
+    val agg0 = spec.seed(store.read("wdb", "ivm"))
+    val v1 = store.latestVersion("wdb", "ivm")
+    store.deleteWhere("wdb", "ivm", col("v") >= 200L)
+    val v2 = store.latestVersion("wdb", "ivm")
+    // a deleteWhere commit is an ordinary version transition: its
+    // change feed is a fold like any CDC batch's
+    val folded = spec.fold(agg0,
+      store.readVersion(store.catalog("wdb", "ivm"), v1),
+      store.read("wdb", "ivm"),
+      store.changesBetween("wdb", "ivm", v1, v2), Seq("id"))
+    val rebuilt = spec.seed(store.read("wdb", "ivm"))
+    assertExact(folded, rebuilt)
+  }
+
+  // ---------------------------------------------------------- updateWhere
+
+  test("updateWhere: matched rows take the assignments, others pass through byte-identical") {
+    val store = mkStore()
+    register(store, "upd")
+    store.overwrite("wdb", "upd", rangedFrame())
+    val n = store.updateWhere("wdb", "upd", col("cls") === "c1",
+      Map("v" -> (col("v") + 1000L), "nm" -> concat(lit("x:"), col("nm"))))
+    assert(n == 64L)
+    val want = rangedFrame().select(col("id"),
+      when(col("cls") === "c1", col("v") + 1000L).otherwise(col("v")).as("v"),
+      when(col("cls") === "c1", concat(lit("x:"), col("nm")))
+        .otherwise(col("nm")).as("nm"),
+      col("cls"))
+    assertExact(store.read("wdb", "upd"), want)
+  }
+
+  test("updateWhere: SET a = b, b = a swaps (assignments see the PRE-update row)") {
+    import spark.implicits._
+    val store = mkStore()
+    register(store, "swap")
+    store.overwrite("wdb", "swap",
+      Seq((1L, 10L, 20L), (2L, 3L, 4L)).toDF("id", "a", "b"))
+    assert(store.updateWhere("wdb", "swap", col("id") === 1L,
+      Map("a" -> col("b"), "b" -> col("a"))) == 1L)
+    val got = store.read("wdb", "swap").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 20L, 10L), (2L, 3L, 4L)))
+  }
+
+  test("updateWhere: assignments cast to the column's existing type; schema never moves") {
+    val store = mkStore()
+    register(store, "cast")
+    store.overwrite("wdb", "cast", rangedFrame(32))
+    store.updateWhere("wdb", "cast", col("id") === 1L,
+      Map("v" -> lit(7))) // int literal into a LONG column
+    val schema = store.read("wdb", "cast").schema
+    assert(schema("v").dataType == org.apache.spark.sql.types.LongType,
+      s"assignment must cast into the column's type, got $schema")
+    assert(store.read("wdb", "cast").filter(col("id") === 1L)
+      .head().getLong(1) == 7L)
+  }
+
+  test("updateWhere: NULL-predicate rows stay; a no-match update commits nothing") {
+    import spark.implicits._
+    val store = mkStore()
+    register(store, "unul")
+    store.overwrite("wdb", "unul",
+      Seq((1L, Some(5L)), (2L, None)).toDF("id", "v"))
+    assert(store.updateWhere("wdb", "unul", col("v") > 1L,
+      Map("v" -> lit(0L))) == 1L)
+    val got = store.read("wdb", "unul").orderBy("id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    assert(got.toSeq == Seq((1L, Some(0L)), (2L, None)))
+    val v = store.latestVersion("wdb", "unul")
+    assert(store.updateWhere("wdb", "unul", col("v") > 100L,
+      Map("v" -> lit(1L))) == 0L)
+    assert(store.latestVersion("wdb", "unul") == v)
+  }
+
+  test("updateWhere: changesBetween yields the U changelog of value-changed rows") {
+    val store = mkStore()
+    register(store, "uchg")
+    store.overwrite("wdb", "uchg", rangedFrame(64))
+    val v1 = store.latestVersion("wdb", "uchg")
+    store.updateWhere("wdb", "uchg", col("id") < 4L, Map("v" -> lit(-1L)))
+    val log = store.changesBetween("wdb", "uchg", v1, v1 + 1).collect()
+    assert(log.nonEmpty && log.forall(_.getAs[String]("change") == "U"))
+    assert(log.map(_.getAs[Long]("id")).toSet == Set(0L, 1L, 2L, 3L))
+  }
+
+  test("updateWhere: PK assignment, unknown columns and nondeterminism refuse") {
+    val store = mkStore()
+    register(store, "uref")
+    store.overwrite("wdb", "uref", rangedFrame(16))
+    assert(intercept[IllegalArgumentException] {
+      store.updateWhere("wdb", "uref", col("v") > 0L, Map("id" -> lit(0L)))
+    }.getMessage.contains("primary-key"))
+    intercept[IllegalArgumentException] {
+      store.updateWhere("wdb", "uref", col("v") > 0L, Map("nope" -> lit(0L)))
+    }
+    assert(intercept[IllegalArgumentException] {
+      store.updateWhere("wdb", "uref", col("v") > 0L,
+        Map("v" -> (rand() * 10).cast("long")))
+    }.getMessage.contains("deterministic"))
+    intercept[IllegalArgumentException] {
+      store.updateWhere("wdb", "uref", rand() > 0.5, Map("v" -> lit(0L)))
+    }
+    intercept[IllegalArgumentException] {
+      store.updateWhere("wdb", "uref", col("v") > 0L, Map.empty)
+    }
+  }
+
   test("deleteWhere vs concurrent merge: disjoint buckets rebase, shared buckets refuse") {
     import spark.implicits._
     // a REAL retention window: with retention 0 the racing writer's
