@@ -682,6 +682,58 @@ object PipelineMain {
     }
     Materialize.releaseAll()
 
+    // 20. row-level DML on the governed store (round-15 arc): the
+    // takedown request arrives AFTER the data landed — updateWhere
+    // relabels a matched cohort in place (copy-on-write, only the
+    // owning buckets rewrite), deleteWhere purges a predicate (found
+    // through stats-pruned candidate files), the change feed exposes
+    // the delete as pure D rows, and a count/sum dashboard folds that
+    // feed to rebuild equality — deletes are ordinary version
+    // transitions to every delta rule. readWhere closes the loop: an
+    // arbitrary mixed predicate over the stage-19 CLUSTERED table
+    // plans a pruned file set and still equals the full-scan filter.
+    catalog.register(TableMeta(Db, "dml_docs", s"$work/dml_docs",
+      primaryKey = Seq("doc_id")))
+    store.overwrite(Db, "dml_docs", mixed.select(col("doc_id"),
+      concat(lit("src"), (col("doc_id") % 3).cast("string")).as("src"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("ntok")))
+    val relabeled = store.updateWhere(Db, "dml_docs",
+      col("src") === "src2" && col("doc_id") % 2 === 0,
+      Map("src" -> lit("src2-audited")))
+    val vPre = store.latestVersion(Db, "dml_docs")
+    val aggSpec = Ivm.countSumSpec("dml_agg", col("src"), col("ntok"))
+    val aggBefore = aggSpec.seed(store.read(Db, "dml_docs"))
+    val purged = store.deleteWhere(Db, "dml_docs", col("src") === "src0")
+    val vPost = store.latestVersion(Db, "dml_docs")
+    val feed = store.changesBetween(Db, "dml_docs", vPre, vPost)
+    val feedRows = feed.collect()
+    val feedOk = feedRows.length == purged.toInt &&
+      feedRows.forall(_.getAs[String]("change") == "D")
+    val aggFolded = aggSpec.fold(aggBefore,
+      store.readVersion(catalog(Db, "dml_docs"), vPre),
+      store.read(Db, "dml_docs"), feed, Seq("doc_id"))
+    val aggRebuilt = aggSpec.seed(store.read(Db, "dml_docs"))
+    val dashOk = aggFolded.exceptAll(aggRebuilt).count() == 0 &&
+      aggRebuilt.exceptAll(aggFolded).count() == 0
+    val survivors = store.read(Db, "dml_docs")
+    val dmlOk = relabeled > 0 && purged > 0 &&
+      survivors.filter(col("src") === "src0").count() == 0 &&
+      survivors.filter(col("src") === "src2-audited").count() == relabeled
+    val wTotal = store.read(Db, "maint_docs").inputFiles.length
+    val wPred = col("ntok") >= 40.0 && col("ntok") <= 90.0 &&
+      !col("doc_id").isNull
+    val wGot = store.readWhere(Db, "maint_docs", wPred)
+    val wWant = store.read(Db, "maint_docs").filter(wPred)
+    val whereOk = wGot.inputFiles.length < wTotal &&
+      wGot.exceptAll(wWant).count() == 0 &&
+      wWant.exceptAll(wGot).count() == 0
+    stage(20, s"row-level DML -> relabeled $relabeled, purged $purged " +
+        s"(feed pure-D: $feedOk, dashboard folds delete: $dashOk), " +
+        s"readWhere ${wGot.inputFiles.length}/$wTotal files exact") {
+      dmlOk && feedOk && dashOk && whereOk
+    }
+    Materialize.releaseAll()
+
     println(s"[pipeline] E2E complete under $work")
     spark.stop()
   }
