@@ -761,9 +761,104 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
           }
         case _ => true
       }
+    // Can a row make `x` FALSE — i.e., make NOT(x) TRUE? (A NULL x
+    // makes neither side TRUE, so both walks ask only about their own
+    // TRUE rows.) De Morgan distributes NOT over AND/OR; a negated
+    // comparison is its complement TRUE-wise (NOT(a < v) is TRUE iff
+    // a >= v); negated equality/IN/prefix prune only when the stats
+    // PROVE every non-null row matches — set lines ⊆ probes, pinched
+    // bounds, or a whole-file range inside the prefix interval.
+    def mayNot(x: Expression): Boolean = x match {
+      case Not(y) => may(y)
+      case And(l, r) => mayNot(l) || mayNot(r)
+      case Or(l, r) => mayNot(l) && mayNot(r)
+      case Literal(null, _) => false
+      case Literal(b: Boolean, _) => !b
+      case LessThan(a, Literal(v, dt)) if attr(a).isDefined =>
+        mayCmp(attr(a).get, v, dt, ">=")
+      case LessThan(Literal(v, dt), a) if attr(a).isDefined =>
+        mayCmp(attr(a).get, v, dt, "<=")
+      case LessThanOrEqual(a, Literal(v, dt)) if attr(a).isDefined =>
+        mayCmp(attr(a).get, v, dt, ">")
+      case LessThanOrEqual(Literal(v, dt), a) if attr(a).isDefined =>
+        mayCmp(attr(a).get, v, dt, "<")
+      case GreaterThan(a, Literal(v, dt)) if attr(a).isDefined =>
+        mayCmp(attr(a).get, v, dt, "<=")
+      case GreaterThan(Literal(v, dt), a) if attr(a).isDefined =>
+        mayCmp(attr(a).get, v, dt, ">=")
+      case GreaterThanOrEqual(a, Literal(v, dt)) if attr(a).isDefined =>
+        mayCmp(attr(a).get, v, dt, "<")
+      case GreaterThanOrEqual(Literal(v, dt), a) if attr(a).isDefined =>
+        mayCmp(attr(a).get, v, dt, ">")
+      case EqualTo(a, Literal(v, dt)) if attr(a).isDefined =>
+        mayNotEqualAny(attr(a).get, Seq((v, dt)))
+      case EqualTo(Literal(v, dt), a) if attr(a).isDefined =>
+        mayNotEqualAny(attr(a).get, Seq((v, dt)))
+      case In(a, vs) if attr(a).isDefined && vs.forall(_.isInstanceOf[Literal]) =>
+        mayNotEqualAny(attr(a).get,
+          vs.collect { case Literal(v, dt) => (v, dt) })
+      case StartsWith(a, Literal(p, StringType)) if attr(a).isDefined && p != null =>
+        // NOT(startswith): prune only when the WHOLE file provably sits
+        // inside [prefix, incrementLast(prefix)) — lo >= p implies
+        // min >= p (lo is a prefix of min), hi < upper implies max <
+        // upper (hi >= max); an unbounded hi never proves containment
+        val prefix = p.toString
+        str.get(attr(a).get) match {
+          case None => true
+          case Some(y) =>
+            !(strCmp(y.lo, prefix) >= 0 &&
+              y.hi.exists(h => MergeSnapshotStore.incrementLast(prefix)
+                .exists(u => strCmp(h, u) < 0)))
+        }
+      case _ => true
+    }
+    // Can a row be non-null AND outside `vs`? Prunable only when stats
+    // PROVE the file's every non-null value is one of the probes: a
+    // recorded value set contained in them, or bounds pinched onto a
+    // single probed point.
+    def mayNotEqualAny(c: String, vs: Seq[(Any, DataType)]): Boolean =
+      dtOf(c) match {
+        case None => true
+        case Some(cdt) =>
+          val bySet = set.get(c) match {
+            case Some(st) if vs.forall { case (_, ldt) => canonCompatible(cdt, ldt) } =>
+              val canon = vs.flatMap { case (v, ldt) => litCanonical(v, ldt) }.toSet
+              !st.values.forall(canon.contains) // all recorded values probed: no row escapes
+            case _ => true
+          }
+          val byBounds = (cdt, vs) match {
+            case (StringType, Seq((v: org.apache.spark.unsafe.types.UTF8String,
+                StringType))) =>
+              // airtight despite truncation: lo == s pins min == s (a
+              // longer min would truncate to >= 15 chars or sort above
+              // its own prefix), and max <= hi == s == min pins max
+              val s = v.toString
+              str.get(c).forall(y =>
+                !(y.lo == s && y.hi.contains(s)))
+            case _ if vs.size == 1 && numCompatible(cdt, vs.head._2) &&
+                !cdt.isInstanceOf[org.apache.spark.sql.types.DecimalType] =>
+              // pinched bounds prove all-equal only where the double
+              // image is injective: inside ±2^53 and never through
+              // decimal rounding — outside that, two different values
+              // (or value and probe) can share one image
+              litDouble(vs.head._1) match {
+                case Some(d) if math.abs(d) < 9007199254740992.0 =>
+                  num.get(c).forall(st => !(st.mn == d && st.mx == d))
+                case _ => true
+              }
+            case _ => true
+          }
+          bySet && byBounds
+      }
     def may(x: Expression): Boolean = x match {
       case And(l, r) => may(l) && may(r)
       case Or(l, r) => may(l) || may(r)
+      case Not(y) => mayNot(y)
+      case IsNotNull(a) if attr(a).isDefined =>
+        // an all-null file records the EMPTY value set — the one case
+        // the manifest can prove IS NOT NULL never fires
+        set.get(attr(a).get).forall(_.values.nonEmpty)
+      case IsNull(_) => true // no null counts in the manifest: keep
       case Literal(null, _) => false // constant NULL predicate: never TRUE
       case Literal(b: Boolean, _) => b
       case EqualTo(a, Literal(v, dt)) if attr(a).isDefined =>

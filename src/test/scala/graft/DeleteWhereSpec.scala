@@ -127,6 +127,69 @@ class DeleteWhereSpec extends AnyFunSuite with SparkFixture {
       "the supported conjunct must still prune beside an unsupported one")
   }
 
+  test("readWhere: NOT pushes down — De Morgan, complements, set/bound proofs") {
+    import spark.implicits._
+    val store = mkStore(nBuckets = 1)
+    register(store, "neg", pk = Nil,
+      props = Map(MergeSnapshotStore.SetStatsProp -> "cls"))
+    // 4 range-split files by v; cls is CONSTANT per file (one class per
+    // file), so negated equality can prove a whole file never escapes
+    val df = (0 until 256).map { i =>
+      (i.toLong, i.toLong, s"c${i / 64}")
+    }.toDF("id", "v", "cls").repartitionByRange(4, col("v"))
+    store.overwrite("wdb", "neg", df)
+    val full = store.read("wdb", "neg")
+    val total = full.inputFiles.length
+    assert(total == 4, s"fixture wants 4 range files, got $total")
+    // complement comparison: NOT(v < 64) prunes the low file
+    val notLt = store.readWhere("wdb", "neg", not(col("v") < 64L))
+    assert(notLt.inputFiles.length < total, "NOT(<) must prune via >=")
+    assertExact(notLt, full.filter(not(col("v") < 64L)))
+    // De Morgan over a band: only the strictly-inside file prunes
+    val notBand = store.readWhere("wdb", "neg",
+      not(col("v") >= 60L && col("v") <= 130L))
+    assert(notBand.inputFiles.length == total - 1,
+      s"the 64..127 file sits strictly inside the negated band: " +
+        s"${notBand.inputFiles.length}/$total")
+    assertExact(notBand, full.filter(not(col("v") >= 60L && col("v") <= 130L)))
+    // negated equality/IN through the value sets: a one-class file
+    // whose whole set is probed can never satisfy the NOT
+    val ne = store.readWhere("wdb", "neg", col("cls") =!= "c1")
+    assert(ne.inputFiles.length == total - 1, "!= must prune the c1 file")
+    assertExact(ne, full.filter(col("cls") =!= "c1"))
+    val notIn = store.readWhere("wdb", "neg",
+      not(col("cls").isin("c0", "c3")))
+    assert(notIn.inputFiles.length == total - 2, "NOT IN must prune both")
+    assertExact(notIn, full.filter(not(col("cls").isin("c0", "c3"))))
+    // double negation lands back on the positive walk
+    val dbl = store.readWhere("wdb", "neg", not(not(col("v") < 10L)))
+    assert(dbl.inputFiles.length == 1)
+    assertExact(dbl, full.filter(col("v") < 10L))
+  }
+
+  test("readWhere: IS NOT NULL prunes a provably all-null file; IS NULL keeps") {
+    import spark.implicits._
+    val store = mkStore(nBuckets = 1)
+    register(store, "nn", pk = Nil,
+      props = Map(MergeSnapshotStore.SetStatsProp -> "cls"))
+    // file 1: real classes; file 2: all-null cls (records the EMPTY set)
+    val live = (0 until 32).map(i => (i.toLong, Some(s"c${i % 2}")))
+    val nulls = (32 until 64).map(i => (i.toLong, None: Option[String]))
+    store.overwrite("wdb", "nn",
+      (live ++ nulls).toDF("id", "cls")
+        .repartitionByRange(2, col("id")))
+    val full = store.read("wdb", "nn")
+    val total = full.inputFiles.length
+    val nonNull = store.readWhere("wdb", "nn", col("cls").isNotNull)
+    assert(nonNull.inputFiles.length < total,
+      "the all-null file records the empty set and must prune")
+    assertExact(nonNull, full.filter(col("cls").isNotNull))
+    val isNull = store.readWhere("wdb", "nn", col("cls").isNull)
+    assert(isNull.inputFiles.length == total,
+      "no null counts in the manifest: IS NULL keeps everything")
+    assertExact(isNull, full.filter(col("cls").isNull))
+  }
+
   test("readWhere: version pin reads the pinned snapshot") {
     import spark.implicits._
     val store = mkStore(nBuckets = 1)
