@@ -1673,6 +1673,27 @@ object SparkEntry {
       Ivm.kllQuantiles(folded, Seq(0.5)).orderBy("grp")
     }),
 
+    // frequent-items (heavy-hitters) sketch maintenance: seed on most
+    // docs, fold the rest as an insert-only changelog; distinct items
+    // per group stay far under the purge point, so the maintained
+    // estimates ARE the exact per-group item counts the oracle computes
+    "t40_freq_items" -> ((s, d) => {
+      import graft.operators.{Ivm, Scd}
+      val all = t(s, d, "documents")
+        .select(col("doc_id"),
+          (col("doc_id") % 7).cast("string").as("grp_in"),
+          concat(lit("w"), ((col("doc_id") * col("doc_id")) % 13)
+            .cast("string")).as("item"))
+      val s0 = all.filter(col("doc_id") % 11 =!= 0)
+      val spec = Ivm.freqItemsSpec("t40", col("grp_in"), col("item"),
+        maxMapSize = 64)
+      val folded = spec.fold(spec.seed(s0), s0, all,
+        Scd.snapshotDiff(s0, all, Seq("doc_id")), Seq("doc_id"))
+      Ivm.freqTopItems(folded)
+        .select(col("grp"), col("item"), col("est"))
+        .orderBy("grp", "item")
+    }),
+
     // DSIR data selection: raw docs (doc_id % 7 != 0) scored by the
     // hashed-bigram importance ratio against the % 7 == 0 "target
     // domain" sample, top-200 kept — the oracle replays the 16-bit
@@ -4009,6 +4030,14 @@ object SparkEntry {
       """SELECT doc_id % 50 AS grp,
              CAST(count(DISTINCT doc_id % 997) AS BIGINT) AS dcnt
          FROM documents GROUP BY 1 ORDER BY grp""",
+
+    // distinct items per group sit far under the purge point, so the
+    // maintained frequency estimates are the exact per-group counts
+    "t40_freq_items" ->
+      """SELECT CAST(doc_id % 7 AS VARCHAR) AS grp,
+                'w' || CAST((doc_id * doc_id) % 13 AS VARCHAR) AS item,
+                CAST(count(*) AS BIGINT) AS est
+         FROM documents GROUP BY 1, 2 ORDER BY grp, item""",
 
     // 101 values per group keep the KLL sketch in its exact regime, so
     // the maintained INCLUSIVE median is the exact middle element —

@@ -528,6 +528,59 @@ object Ivm {
   }
 
   /**
+   * FREQUENT-ITEMS sketch maintenance — heavy hitters per group (top
+   * URLs per domain, dominant source tags per shard) with state bounded
+   * by `maxMapSize` counters no matter how many distinct items flow:
+   * the third maintained-dashboard sketch beside [[hllDistinctSpec]]
+   * (cardinality) and [[kllQuantileSpec]] (quantiles). The fold is one
+   * delta-sized sketch aggregate plus a group-keyed pairwise merge;
+   * EXACT while no purge has happened (distinct items per group under
+   * ~0.75·maxMapSize — the oracle-pinned regime), ε-bounded counts
+   * with NO_FALSE_NEGATIVES supersets past it. Like every sketch it
+   * cannot subtract: U/D changelogs REFUSE loudly; where deletes are
+   * real, recompute from the snapshot (or keep the exact groupBy —
+   * heavy hitters of a mutable table is a full-view question).
+   */
+  def freqItemsSpec(table: String, group: Column, item: Column,
+                    maxMapSize: Int =
+                      graft.functions.FreqSketchExpressions.FreqDefaultMapSize)
+      : MaintainedAgg = {
+    import graft.functions.FreqSketchExpressions.{freqAgg, freqMergePair}
+    MaintainedAgg(table,
+      df => df.groupBy(group.as("grp"))
+        .agg(freqAgg(item.cast("string"), maxMapSize).as("fi")),
+      (agg, _, _, chg, _) => {
+        require(chg.filter(col("change").isin("U", "D")).limit(1)
+            .collect().isEmpty,
+          s"freqItemsSpec($table) maintains an APPEND-ONLY sketch — " +
+            "the changelog carries U/D rows, which no frequency sketch " +
+            "can subtract; recompute from the snapshot where deletes " +
+            "are real")
+        val delta = chg.filter(col("change") === "I")
+          .select(group.as("grp"), item.cast("string").as("__i"))
+          .groupBy("grp").agg(freqAgg(col("__i"), maxMapSize).as("__df"))
+        agg.as("a").join(delta.as("d"),
+            col("a.grp") <=> col("d.grp"), "full_outer")
+          .select(coalesce(col("a.grp"), col("d.grp")).as("grp"),
+            freqMergePair(col("fi"), col("__df")).as("fi"))
+      })
+  }
+
+  /** The heavy hitters read off a [[freqItemsSpec]] table: one row per
+   * (group, item) with the estimate and its deterministic bounds,
+   * NO_FALSE_NEGATIVES (in the exact regime: exactly the per-group item
+   * counts). `minEst` drops the long tail. */
+  def freqTopItems(agg: DataFrame, minEst: Long = 1L,
+                   groupOut: String = "grp"): DataFrame = {
+    import graft.functions.FreqSketchExpressions.freqItems
+    agg.select(col(groupOut), explode(freqItems(col("fi"))).as("__r"))
+      .select(col(groupOut), col("__r.item").as("item"),
+        col("__r.est").as("est"), col("__r.lb").as("lb"),
+        col("__r.ub").as("ub"))
+      .filter(col("est") >= minEst)
+  }
+
+  /**
    * The registry form of [[MaintainedCountSum]]: ONE base table with ANY
    * number of maintained downstream aggregates, all moved by one
    * changelog commit — count/sum, min/max, and distinct-count dashboards
