@@ -681,6 +681,49 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("streaming registry: frequent-items dashboard on an insert stream; a delete fails the stream") {
+    import spark.implicits._
+    import graft.operators.Ivm
+    val tmp = Files.createTempDirectory("graft-stream-freq").toString
+    val catalog = new InMemoryCatalog
+    val store = new SnapshotStore(spark, catalog)
+    catalog.register(TableMeta("fsdb", "snap", s"$tmp/snap"))
+    catalog.register(TableMeta("fsdb", "r_fi", s"$tmp/r_fi"))
+    val specs = Seq(Ivm.freqItemsSpec("r_fi", col("grp_in"), col("item"),
+      maxMapSize = 64))
+    val init = Seq((1L, "a", "x"), (2L, "a", "x"), (3L, "b", "y"))
+      .toDF("k", "grp_in", "item")
+    store.overwrite("fsdb", "snap", init)
+    specs.foreach(a => store.overwrite("fsdb", a.table, a.seed(init)))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String, Option[String], Option[String])]
+    val q = StreamingAnalytics.maintainAggregates(
+      ms.toDF().toDF("k", "change", "grp_in", "item"), store, "fsdb", "snap",
+      specs, Seq("k"), s"$tmp/ckpt")
+    try {
+      ms.addData((4L, "I", Some("a"), Some("z")),
+        (5L, "I", Some("b"), Some("y")))
+      q.processAllAvailable()
+      ms.addData((6L, "I", Some("a"), Some("x")))
+      q.processAllAvailable()
+      val got = Ivm.freqTopItems(store.read("fsdb", "r_fi"))
+        .select("grp", "item", "est").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == Set(("a", "x", 3L), ("a", "z", 1L), ("b", "y", 2L)),
+        s"streamed exact-regime counts drifted: $got")
+      ms.addData((4L, "D", None, None))
+      val err = intercept[
+          org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(err).exists(_.contains("APPEND-ONLY")),
+        s"expected the fold's refusal to surface: ${messages(err)}")
+    } finally q.stop()
+  }
+
   test("streaming BM25: the served index stays rebuild-exact under a doc stream") {
     import spark.implicits._
     // the batch registry's BM25 specs driven by the STREAMING registry —
