@@ -35,6 +35,40 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
   private def scans(p: String): Int =
     p.linesIterator.count(_.contains("FileScan"))
 
+  test("readWhere: manifest-pruned file set AND the exact predicate pushed into the scan") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.functions._
+    import graft.catalog.{InMemoryCatalog, MergeSnapshotStore, TableMeta}
+    val work = java.nio.file.Files.createTempDirectory("graft-plan-rw").toString
+    val cat = new InMemoryCatalog
+    cat.register(TableMeta("pdb", "t", s"$work/t"))
+    val store = new MergeSnapshotStore(spark, cat, nBuckets = 1)
+    import spark.implicits._
+    store.overwrite("pdb", "t",
+      (0 until 256).map(i => (i.toLong, i.toLong, s"n$i"))
+        .toDF("id", "v", "nm").repartitionByRange(4, col("v")))
+    val df = store.readWhere("pdb", "t",
+      col("v") >= 70L && col("v") < 120L && col("nm") =!= "nope")
+    df.collect()
+    // two pruning layers must BOTH be in effect: the manifest plans a
+    // strict subset of the files before Spark sees them, and the exact
+    // predicate still reaches the scan node (dataFilters + parquet
+    // PushedFilters), so row groups inside the kept files skip too
+    assert(df.inputFiles.length == 1,
+      s"the one-slice band must plan one file, got ${df.inputFiles.length}")
+    val fscans = deepCollect(df.queryExecution.executedPlan) {
+      case f: FileSourceScanExec => f
+    }
+    assert(fscans.nonEmpty, "expected a parquet file scan")
+    assert(fscans.exists(_.dataFilters.exists(_.toString.contains("v#"))),
+      "the band predicate must reach the scan node as a data filter")
+    assert(fscans.exists(_.metadata.get("PushedFilters")
+        .exists(s => s.contains("GreaterThanOrEqual(v") ||
+          s.contains("IsNotNull(v"))),
+      s"the predicate must push into the parquet reader: " +
+        s"${fscans.map(_.metadata.get("PushedFilters")).mkString(",")}")
+  }
+
   test("s09 range search: probe join broadcasts, never a shuffle join") {
     val p = plan("s09_ann_range_search")
     assert(p.contains("BroadcastHashJoin"),
