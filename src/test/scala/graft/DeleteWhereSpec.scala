@@ -190,6 +190,32 @@ class DeleteWhereSpec extends AnyFunSuite with SparkFixture {
     assertExact(isNull, full.filter(col("cls").isNull))
   }
 
+  test("readWhere: date comparisons prune through the epoch-day space; date IN through sets") {
+    import spark.implicits._
+    val store = mkStore(nBuckets = 1)
+    register(store, "dt", pk = Nil,
+      props = Map(MergeSnapshotStore.SetStatsProp -> "d"))
+    val base = java.time.LocalDate.of(2024, 1, 1)
+    val df = (0 until 128).map { i =>
+      (i.toLong, java.sql.Date.valueOf(base.plusDays(i.toLong)))
+    }.toDF("id", "d").repartitionByRange(4, col("d"))
+    store.overwrite("wdb", "dt", df)
+    val full = store.read("wdb", "dt")
+    val total = full.inputFiles.length
+    val band = col("d") >= lit(java.sql.Date.valueOf(base.plusDays(40))) &&
+      col("d") < lit(java.sql.Date.valueOf(base.plusDays(50)))
+    val got = store.readWhere("wdb", "dt", band)
+    assert(got.inputFiles.length < total, "a 10-day band must prune")
+    assertExact(got, full.filter(band))
+    // equality/IN on the date goes through BOTH the epoch-day bounds
+    // and the ISO-canonical value sets
+    val in = col("d").isin(java.sql.Date.valueOf(base.plusDays(3)),
+      java.sql.Date.valueOf(base.plusDays(5)))
+    val gotIn = store.readWhere("wdb", "dt", in)
+    assert(gotIn.inputFiles.length == 1, "two near dates live in one file")
+    assertExact(gotIn, full.filter(in))
+  }
+
   test("readWhere: version pin reads the pinned snapshot") {
     import spark.implicits._
     val store = mkStore(nBuckets = 1)
