@@ -608,11 +608,18 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
    * AND/OR over `=`, `<`, `<=`, `>`, `>=`, `IN`, `startswith` between a
    * stats-carrying column and a literal — numeric/date/timestamp
    * min-max bounds, truncated string bounds, and value-set lines all
-   * participate. EVERY other node (NOT, IS NULL, col-to-col, functions
-   * of columns, UDFs…) is conservatively satisfiable, and the exact
-   * predicate applies on top of the planned files, so the result always
-   * equals the full-scan filter: an unsupported shape costs pruning
-   * power, never correctness.
+   * participate. NOT pushes down as well: De Morgan over AND/OR,
+   * comparisons flip to their TRUE-wise complements, and negated
+   * equality/IN/prefix prune only where the stats PROVE every non-null
+   * row matches (see [[fileMayMatch]]'s mayNot). IS NOT NULL prunes a
+   * file whose EMPTY value-set line proves the column all-null. EVERY
+   * remaining node (IS NULL, col-to-col, functions of columns, UDFs…)
+   * is conservatively satisfiable, and the exact predicate applies on
+   * top of the planned files, so the result always equals the full-scan
+   * filter: an unsupported shape costs pruning power, never
+   * correctness. Predicates reading the evaluation-time clock
+   * (current_timestamp & family) refuse — the pruning fold and the scan
+   * would evaluate at different instants.
    *
    * Soundness under SQL's three-valued logic: pruning asks "can this
    * file hold a row where the predicate is TRUE". AND prunes when
@@ -649,7 +656,8 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
    * fails analysis here, loudly. */
   private def resolvePredicate(m: Manifest, predicate: Column)
       : org.apache.spark.sql.catalyst.expressions.Expression = {
-    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.{CurrentDate,
+      CurrentTimestampLike, Literal, LocalTimestamp}
     import org.apache.spark.sql.catalyst.plans.logical.Filter
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
@@ -657,6 +665,22 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
       .collectFirst { case f: Filter => f.condition }
       .getOrElse(throw new IllegalStateException(
         "predicate did not analyze to a Filter over the snapshot schema"))
+    // evaluation-TIME-dependent expressions are Catalyst-"deterministic"
+    // (same value within one query) but this store evaluates the
+    // predicate at three separate instants — the pruning fold, the find
+    // scan, the bucket rewrite — and a clock that moves between them
+    // silently prunes matching files or deletes rows the count never
+    // saw. Refuse; the caller binds the clock to a literal once.
+    val clock = cond.collectFirst {
+      case e: CurrentTimestampLike => e
+      case e: CurrentDate => e
+      case e: LocalTimestamp => e
+    }
+    require(clock.isEmpty,
+      s"predicate reads the evaluation-time clock (${clock.get.prettyName}) " +
+        "— the pruning fold, the find scan and the rewrite evaluate at " +
+        "different instants; bind the time to a literal " +
+        "(lit(Instant.now())) before calling")
     cond.transformUp {
       case e if e.foldable && !e.isInstanceOf[Literal] =>
         Literal.create(e.eval(null), e.dataType)
@@ -897,7 +921,7 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
               MergeSnapshotStore.incrementLast(prefix)
                 .forall(u => strCmp(y.lo, u) < 0)
         }
-      case _ => true // NOT, IS NULL, col-to-col, functions… — conservative
+      case _ => true // IS NULL, col-to-col, functions… — conservative
     }
     may(e)
   }
@@ -1023,7 +1047,8 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
    * publish optimistically with the bucket-granular rebase/refuse
    * adjudication documented on [[mergeScoped]]. */
   private def commitScoped(meta: TableMeta, readVer: Int, current: Manifest,
-                           touched: Seq[Int], pks: Seq[String])
+                           touched: Seq[Int], pks: Seq[String],
+                           rebaseGuard: Manifest => Unit = _ => ())
                           (rewrite: DataFrame => DataFrame): Unit = {
     val old = load(meta, current, Some(touched.toSet))
     val out = rewrite(old)
@@ -1095,6 +1120,7 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
               s"${moved.mkString(",")} this merge also touched (base " +
               s"version ${readVer}, now $latest) — rerun the merge against " +
               "the new snapshot")
+        rebaseGuard(winner)
         attempt += 1
         if (attempt >= MergeSnapshotStore.MaxCommitAttempts)
           throw new java.util.ConcurrentModificationException(
@@ -1160,11 +1186,37 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     matchedBuckets(meta, current, e, predicate) match {
       case None => 0L
       case Some((touched, matched)) =>
-        commitScoped(meta, vs.last, current, touched, meta.primaryKey) { old =>
+        commitScoped(meta, vs.last, current, touched, meta.primaryKey,
+            dmlRebaseGuard(meta, current, e, "delete")) { old =>
           old.filter(org.apache.spark.sql.functions.not(
             org.apache.spark.sql.functions.coalesce(predicate, lit(false))))
         }
         matched
+    }
+  }
+
+  /** The DML rebase guard (Delta's ConcurrentAppendException contract):
+   * a CAS loss may rebase over a winner ONLY if none of the files the
+   * winner added or rewrote can match this DML's predicate — a
+   * concurrent insert of matching rows would otherwise survive a
+   * "successful" delete (or dodge an update) because the find phase
+   * never scanned it. Judged from the winner's OWN manifest stats;
+   * a stats-less file refuses conservatively. */
+  private def dmlRebaseGuard(meta: TableMeta, current: Manifest,
+                             e: org.apache.spark.sql.catalyst.expressions.Expression,
+                             op: String): Manifest => Unit = { winner =>
+    val changed = winner.buckets.collect {
+      case (b, dir) if !current.buckets.get(b).contains(dir) => b
+    }.toSet
+    if (changed.nonEmpty) {
+      val hit = listDataFiles(meta, winner, Some(changed))
+        .find(rel => fileMayMatch(e, winner, rel))
+      hit.foreach { rel =>
+        throw new java.util.ConcurrentModificationException(
+          s"concurrent commit to ${meta.qualified} wrote file $rel that " +
+            s"may match this ${op}'s predicate — the $op never scanned " +
+            "it; rerun against the new snapshot")
+      }
     }
   }
 
@@ -1253,7 +1305,8 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
       case None => 0L
       case Some((touched, matched)) =>
         val hit = org.apache.spark.sql.functions.coalesce(predicate, lit(false))
-        commitScoped(meta, vs.last, current, touched, meta.primaryKey) { old =>
+        commitScoped(meta, vs.last, current, touched, meta.primaryKey,
+            dmlRebaseGuard(meta, current, e, "update")) { old =>
           // every assignment resolves against the PRE-update row (SQL
           // UPDATE semantics: SET a = b, b = a swaps), so the projection
           // builds all new values in one select over the old columns

@@ -206,25 +206,28 @@ case class ThetaSetEstimate(left: Expression, right: Expression, op: String)
 
   override def eval(input: InternalRow): Any = {
     val l = left.eval(input)
-    val r = right.eval(input)
-    if (l == null || r == null) null
+    if (l == null) null
+    else if (op == "a") // never touches the right side
+      ThetaSketchExpressions.heapify(l.asInstanceOf[Array[Byte]]).getEstimate
     else {
-      val a = ThetaSketchExpressions.heapify(l.asInstanceOf[Array[Byte]])
-      op match {
-        case "a" => a.getEstimate
-        case _ =>
-          val b = ThetaSketchExpressions.heapify(r.asInstanceOf[Array[Byte]])
-          op match {
-            case "union" =>
-              val u = ThetaSketchExpressions.newUnion(
-                ThetaSketchExpressions.ThetaDefaultLgK)
-              u.union(a); u.union(b); u.getResult.getEstimate
-            case "intersect" =>
-              SetOperation.builder().buildIntersection()
-                .intersect(a, b).getEstimate
-            case "anotb" =>
-              SetOperation.builder().buildANotB().aNotB(a, b).getEstimate
-          }
+      val r = right.eval(input)
+      if (r == null) null
+      else {
+        val a = ThetaSketchExpressions.heapify(l.asInstanceOf[Array[Byte]])
+        val b = ThetaSketchExpressions.heapify(r.asInstanceOf[Array[Byte]])
+        op match {
+          case "union" =>
+            // max lgK: the union must never be the party that starts
+            // sampling — its nominal cap sits far above any input's, and
+            // the buffer grows lazily so an exact pair stays exact
+            val u = ThetaSketchExpressions.newUnion(26)
+            u.union(a); u.union(b); u.getResult.getEstimate
+          case "intersect" =>
+            SetOperation.builder().buildIntersection()
+              .intersect(a, b).getEstimate
+          case "anotb" =>
+            SetOperation.builder().buildANotB().aNotB(a, b).getEstimate
+        }
       }
     }
   }

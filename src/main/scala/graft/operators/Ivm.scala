@@ -522,8 +522,17 @@ object Ivm {
                    groupOut: String = "grp"): DataFrame = {
     require(ranks.nonEmpty, "ask for at least one rank")
     import graft.functions.KllSketchExpressions.kllQuantile
-    agg.select(col(groupOut) +: ranks.map { r =>
-      kllQuantile(col("kll"), lit(r)).as(s"q${math.round(r * 100)}")
+    // sub-percent ranks keep their decimals ('.'->'_': 0.999 -> q99_9),
+    // never rounding two requested ranks onto one column name
+    def nameOf(r: Double): String = {
+      val pct = BigDecimal(r) * 100
+      "q" + pct.underlying.stripTrailingZeros.toPlainString.replace('.', '_')
+    }
+    val names = ranks.map(nameOf)
+    require(names.distinct.size == names.size,
+      s"ranks collide on column names: ${ranks.zip(names).mkString(",")}")
+    agg.select(col(groupOut) +: ranks.zip(names).map { case (r, n) =>
+      kllQuantile(col("kll"), lit(r)).as(n)
     }: _*)
   }
 

@@ -323,6 +323,33 @@ class DeleteWhereSpec extends AnyFunSuite with SparkFixture {
     assert(err.getMessage.contains("deterministic"))
   }
 
+  test("evaluation-time clocks refuse everywhere: prune, find and rewrite disagree on 'now'") {
+    import spark.implicits._
+    val store = mkStore()
+    register(store, "clk")
+    store.overwrite("wdb", "clk",
+      Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+        .toDF("id", "ts"))
+    type Pred = org.apache.spark.sql.Column => org.apache.spark.sql.Column
+    Seq[Pred => Unit](
+      p => { store.readWhere("wdb", "clk", p(col("ts"))); () },
+      p => { store.deleteWhere("wdb", "clk", p(col("ts"))); () },
+      p => { store.updateWhere("wdb", "clk", p(col("ts")),
+        Map("ts" -> col("ts"))); () }
+    ).foreach { run =>
+      val err = intercept[IllegalArgumentException] {
+        run(c => c < current_timestamp())
+      }
+      assert(err.getMessage.contains("clock"), err.getMessage)
+      intercept[IllegalArgumentException] {
+        run(c => c.cast("date") < current_date())
+      }
+    }
+    // the bound-clock form works: the caller froze 'now' into a literal
+    val now = java.sql.Timestamp.valueOf("2025-01-01 00:00:00")
+    assert(store.deleteWhere("wdb", "clk", col("ts") < lit(now)) == 1L)
+  }
+
   test("deleteWhere: PK-less tables delete correctly (single-bucket rewrite)") {
     val store = mkStore()
     register(store, "nopk", pk = Nil)
@@ -446,7 +473,7 @@ class DeleteWhereSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
-  test("deleteWhere vs concurrent merge: disjoint buckets rebase, shared buckets refuse") {
+  test("deleteWhere vs concurrent commits: provably-clean rebase, may-match refusal") {
     import spark.implicits._
     // a REAL retention window: with retention 0 the racing writer's
     // vacuum reclaims this delete's written-but-unpublished dir (orphan
@@ -454,30 +481,55 @@ class DeleteWhereSpec extends AnyFunSuite with SparkFixture {
     // writers finish inside the window)
     val store = new MergeSnapshotStore(spark, new InMemoryCatalog,
       nBuckets = 8, keepVersions = 2, vacuumRetentionMs = 3600000L)
-    val meta = register(store, "race")
-    store.overwrite("wdb", "race", rangedFrame())
-    def bucketOfId(id: Long): Int = store.read("wdb", "race")
-      .filter(col("id") === id)
-      .select(store.bucketOf(Seq(col("id")))).head().getInt(0)
-    // pick two ids in DIFFERENT buckets and two in the SAME bucket
+    val meta = TableMeta("wdb", "race",
+      Files.createTempDirectory("graft-where-race").toString,
+      primaryKey = Seq("id"),
+      properties = Map(MergeSnapshotStore.SetStatsProp -> "cls"))
+    store.catalog.register(meta)
+    def bucketOfId(id: Long): Int =
+      spark.range(id, id + 1).select(store.bucketOf(Seq(col("id"))))
+        .head().getInt(0)
     val ids = (0L until 64L).map(i => i -> bucketOfId(i))
-    val (idA, bA) = ids.head
-    val (idB, _) = ids.find(_._2 != bA).get
-    val (idC, _) = ids.tail.find(_._2 == bA).get
-    // disjoint: while the delete of idA's row is between write and
-    // publish, a merge commits idB's bucket -> the delete rebases
+    val (idA, bA) = ids.head                       // the doomed row
+    val (idB, _) = ids.find(_._2 != bA).get        // a clean racer's row
+    val (idC, _) = ids.tail.find(_._2 == bA).get   // same-bucket racer
+    store.overwrite("wdb", "race",
+      (0L until 64L).map(i =>
+        (i, if (i == idA) "gone" else "keep")).toDF("id", "cls"))
+    // CLEAN rebase: while the delete of the 'gone' row is between write
+    // and publish, a merge rewrites idB's bucket — every row it writes
+    // is 'keep', the value-set line PROVES no 'gone' row appeared, so
+    // the rebase guard lets the delete carry the winner's work
     store.beforePublish = () => {
       store.mergeScoped("wdb", "race",
         Seq(idB).toDF("id"))(old => old.filter(col("id") =!= idB))
       ()
     }
-    assert(store.deleteWhere("wdb", "race", col("id") === idA) == 1L)
+    assert(store.deleteWhere("wdb", "race", col("cls") === "gone") == 1L)
     assert(store.read("wdb", "race").filter(col("id").isin(idA, idB)).count() == 0,
       "both the rebased delete and the racing merge must stand")
-    // shared: a racing merge moves the SAME bucket the delete touched
+    // MAY-MATCH refusal (the Delta ConcurrentAppendException contract):
+    // a racing merge INSERTS a row the in-flight delete's predicate
+    // matches, into a bucket the delete never touched — the delete's
+    // find phase never scanned it, so rebasing would let a matching
+    // row survive a "successful" takedown; it must refuse instead
+    val (idD, _) = ids.find(i => i._2 != bucketOfId(1000L) && i._2 != bA).get
+    store.mergeScoped("wdb", "race", Seq(idD).toDF("id"))(old =>
+      old.filter(col("id") =!= idD)
+        .unionByName(Seq((idD, "doomed2")).toDF("id", "cls")))
     store.beforePublish = () => {
-      store.mergeScoped("wdb", "race",
-        Seq(idC).toDF("id"))(old => old)
+      store.mergeScoped("wdb", "race", Seq(1000L).toDF("id"))(old =>
+        old.unionByName(Seq((1000L, "doomed2")).toDF("id", "cls")))
+      ()
+    }
+    intercept[java.util.ConcurrentModificationException] {
+      store.deleteWhere("wdb", "race", col("cls") === "doomed2")
+    }
+    store.beforePublish = () => ()
+    // shared-bucket adjudication still fires first: a racer moving the
+    // SAME bucket the delete touched refuses regardless of values
+    store.beforePublish = () => {
+      store.mergeScoped("wdb", "race", Seq(idC).toDF("id"))(old => old)
       ()
     }
     intercept[java.util.ConcurrentModificationException] {
