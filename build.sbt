@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// no "[success] Total time: ..." trailer: the bench/verify drivers
+// capture a fixed-size stdout TAIL, and the trailer printed after the
+// one-line JSON contract ate ~90 bytes of that window (BENCH r15
+// arrived front-clipped with "parsed": null)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -94,6 +94,14 @@ object Bench {
       if (!java.lang.Double.isFinite(v)) "0"
       else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
         .bigDecimal.toPlainString
+    // per-query values at 2 decimals (10 ms — still far below the
+    // ±20-35% run-to-run noise band): at 150+ queries the 3-decimal
+    // line crossed the 2000-byte tail window again in r15 ("parsed":
+    // null); the full-precision line lands in BENCH_DETAIL.json
+    def numQ(v: Double): String =
+      if (!java.lang.Double.isFinite(v)) "0"
+      else BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+        .bigDecimal.toPlainString
     // The driver's tail capture is a fixed window (2000 bytes observed);
     // 78 queries x full names is ~2.9 KB, so full-name keys can NEVER fit
     // no matter how the values are rounded — two rounds of BENCH_r{N}
@@ -104,7 +112,7 @@ object Bench {
     val short = results.map { case (k, _, _) => k -> k.takeWhile(_ != '_') }.toMap
     val key: String => String =
       if (short.values.toSet.size == short.size) short else identity
-    val qs = results.map { case (k, v, _) => s"\"${key(k)}\":${num(v)}" }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v, _) => s"\"${key(k)}\":${numQ(v)}" }.mkString("{", ",", "}")
     // a non-finite metric renders as "0" in queries (the line must stay
     // parseable), but silently — indistinguishable from a genuinely
     // 0-second query — so it is ALSO recorded under errors by name
@@ -120,7 +128,31 @@ object Bench {
       case (_, v, None) if java.lang.Double.isFinite(v) => v
     }.sum
     val errJson = if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
-    s"""{"metric":"total","value":${num(total)},"unit":"sec","runs":$runs,"agg":"min","queries":$qs$errJson,"sf":"$sfDir"}"""
+    // sf as the directory BASENAME: the full path spent 16 bytes of the
+    // driver's fixed tail window on a constant prefix
+    val sfName = sfDir.stripSuffix("/").split('/').last
+    s"""{"metric":"total","value":${num(total)},"unit":"sec","runs":$runs,"agg":"min","queries":$qs$errJson,"sf":"$sfName"}"""
+  }
+
+  /** The full-precision sidecar (3-decimal per-query values, full names,
+   * full sf path) — the contract STDOUT line is size-bounded by the
+   * driver's 2000-byte tail capture, so precision and full names live
+   * here; committed per round for the judge. */
+  def toDetailJson(results: Seq[(String, Double, Option[String])],
+                   sfDir: String, runs: Int): String = {
+    def num(v: Double): String =
+      if (!java.lang.Double.isFinite(v)) "0"
+      else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+        .bigDecimal.toPlainString
+    val qs = results.map { case (k, v, _) => s"""  "$k": ${num(v)}""" }
+      .mkString("{\n", ",\n", "\n}")
+    val errs = results.collect { case (k, _, Some(e)) =>
+      s"""  "$k": "${e.replaceAll("[\\\\\"\\n\\r\\t]", " ").take(200)}"""" }
+    val errJson =
+      if (errs.isEmpty) "" else errs.mkString(",\n\"errors\": {\n", ",\n", "\n}")
+    val total = results.collect {
+      case (_, v, None) if java.lang.Double.isFinite(v) => v }.sum
+    s"""{"metric":"total","value":${num(total)},"unit":"sec","runs":$runs,"agg":"min","sf":"$sfDir",\n"queries":$qs$errJson}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -164,7 +196,14 @@ object Bench {
         finally graft.operators.Materialize.releaseAll()
       }
 
-    println(toJson(timeQueries(spark, sfDir, queries), sfDir))
+    val results = timeQueries(spark, sfDir, queries)
+    // full-precision sidecar first (best effort — the contract line must
+    // print even if the cwd is read-only), then the one contract line
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      (toDetailJson(results, sfDir, Passes) + "\n").getBytes("UTF-8"))
+    catch { case scala.util.control.NonFatal(_) => () }
+    println(toJson(results, sfDir))
     spark.stop()
   }
 }

@@ -1354,9 +1354,12 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
    * from their truncated bounds through the same monotone byte
    * projection cluster-on-compact slices string dimensions in.
    * `compactAdvised` fires when the fraction exceeds `adviseAbove` AND
-   * the column carries measurable spread — a constant column (zero
-   * span) or a wholly statless table never advises, because a rewrite
-   * provably cannot improve what the stats cannot see.
+   * the column carries measurable spread — a provably constant column
+   * (zero span with every bound known) or a wholly statless table never
+   * advises, because a rewrite provably cannot improve what the stats
+   * cannot see. A zero span produced only by unbounded-above string
+   * bounds (truncated prefixes that could not increment) is NOT proof
+   * of constancy and advises like any other full-width smear.
    */
   def maintenanceAdvisor(db: String, table: String, columns: Seq[String],
                          adviseAbove: Double = 0.5,
@@ -1386,7 +1389,16 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
       val statless = bounds.count(_.isEmpty)
       val los = known.map(_._1)
       val his = known.flatMap(_._2)
-      val span = if (los.isEmpty || his.isEmpty) 0.0 else his.max - los.min
+      // span top falls back to los.max when every upper bound is
+      // unbounded (a string column whose truncated prefixes could never
+      // increment): those files ARE measurable smear — each spans from
+      // its lo to past everything — and routing them through the
+      // zero-span constant-column branch would suppress the advice the
+      // documented contract promises ("errs toward advising, never
+      // toward hiding a smear")
+      val spanTop = if (known.isEmpty) 0.0 else (his ++ los).max
+      val span = if (known.isEmpty) 0.0 else spanTop - los.min
+      val unboundedAbove = known.exists(_._2.isEmpty)
       val frac =
         if (files.isEmpty) 0.0
         else if (span <= 0.0) 1.0 // all mass at one point: nothing prunes
@@ -1394,11 +1406,16 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
           case Some((mn, Some(mx))) =>
             math.min(1.0, math.max(0.0, mx - mn) / span)
           case Some((mn, None)) => // unbounded above: width to the top
-            math.min(1.0, math.max(0.0, his.max - mn) / span)
+            math.min(1.0, math.max(0.0, spanTop - mn) / span)
           case None => 1.0
         }.sum / files.size
+      // a constant column (zero span, every bound known) still never
+      // advises — a rewrite cannot improve a single point; but a
+      // zero-span column with unbounded-above files is NOT provably
+      // constant, so it advises like any other full-width smear
       MergeSnapshotStore.LayoutHealth(c, files.size, statless, frac,
-        frac > adviseAbove && files.size > 1 && span > 0.0)
+        frac > adviseAbove && files.size > 1 &&
+          (span > 0.0 || unboundedAbove))
     }
   }
 

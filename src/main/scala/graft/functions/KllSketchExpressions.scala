@@ -73,6 +73,18 @@ case class KllDoublesAgg(child: Expression, k: Int,
     with UnaryLike[Expression] {
   require(k >= 8 && k <= 65535, "KLL k must be in [8, 65535]")
 
+  // update() casts to Double, so a wrong-typed column must fail at
+  // analysis (like the Freq/Theta siblings), not as an executor-side
+  // ClassCastException deep in a running job
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (child.dataType == DoubleType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName folds DOUBLE values, got ${child.dataType.simpleString} " +
+        "— cast explicitly so the quantile space is deliberate")
+  }
+
   override def createAggregationBuffer(): KllDoublesSketch =
     KllDoublesSketch.newHeapInstance(k)
 
@@ -113,6 +125,17 @@ case class KllDoublesMergeAgg(child: Expression, k: Int,
     extends TypedImperativeAggregate[KllDoublesSketch]
     with UnaryLike[Expression] {
   require(k >= 8 && k <= 65535, "KLL k must be in [8, 65535]")
+
+  // update() heapifies a byte array — non-BINARY input must fail at
+  // analysis, not as an executor-side ClassCastException
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName merges BINARY serialized sketches, got " +
+        child.dataType.simpleString)
+  }
 
   override def createAggregationBuffer(): KllDoublesSketch =
     KllDoublesSketch.newHeapInstance(k)

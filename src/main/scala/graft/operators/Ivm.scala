@@ -386,7 +386,15 @@ object Ivm {
       table: String,
       seed: DataFrame => DataFrame,
       fold: (DataFrame, DataFrame, DataFrame, DataFrame, Seq[String]) => DataFrame,
-      scope: Option[(DataFrame, DataFrame, DataFrame, Seq[String]) => DataFrame] = None)
+      scope: Option[(DataFrame, DataFrame, DataFrame, Seq[String]) => DataFrame] = None,
+      // true for folds that can only absorb I rows (sketches cannot
+      // subtract): the registry and streaming runner refuse a U/D
+      // changelog up front — before anything commits — at the cost of
+      // ONE probe per batch shared by every append-only spec, instead
+      // of one per spec. The fold itself still detects U/D inline (its
+      // delta aggregation raises), so standalone callers keep the
+      // refusal without any extra Spark action.
+      appendOnly: Boolean = false)
 
   /** The shipped specs — one per delta rule in this file. */
   def countSumSpec(table: String, group: Column, value: Column): MaintainedAgg =
@@ -436,17 +444,27 @@ object Ivm {
       df => df.groupBy(group.as("grp"))
         .agg(hll_sketch_agg(value, lit(lgK)).as("hll")),
       (agg, _, _, chg, _) => {
-        // refusal is eager and delta-sized: one limit-1 probe of the
-        // changelog, the price of never silently over-counting
-        require(chg.filter(col("change").isin("U", "D")).limit(1)
-            .collect().isEmpty,
-          s"hllDistinctSpec($table) maintains an APPEND-ONLY sketch — " +
-            "the changelog carries U/D rows, which no HLL can subtract; " +
-            "use distinctSpec's exact multiplicity view for tables with " +
-            "updates/deletes")
-        val delta = chg.filter(col("change") === "I")
-          .select(group.as("grp"), value.as("__v"))
-          .groupBy("grp").agg(hll_sketch_agg(col("__v"), lit(lgK)).as("__dh"))
+        // U/D refusal rides the delta aggregation itself — no separate
+        // probe action: the sketch folds only I-row values (U/D rows
+        // contribute NULL, which the aggregate skips) while the SAME
+        // pass counts U/D rows, and a nonzero count turns the group's
+        // sketch into raise_error, firing with the fold's own action.
+        // Registry/streaming callers refuse even earlier (before any
+        // commit) via the appendOnly flag.
+        val msg = s"hllDistinctSpec($table) maintains an APPEND-ONLY " +
+          "sketch — the changelog carries U/D rows, which no HLL can " +
+          "subtract; use distinctSpec's exact multiplicity view for " +
+          "tables with updates/deletes"
+        val delta = chg
+          .select(group.as("grp"),
+            when(col("change") === "I", value).as("__v"),
+            col("change").isin("U", "D").cast("long").as("__ud"))
+          .groupBy("grp")
+          .agg(hll_sketch_agg(col("__v"), lit(lgK)).as("__raw"),
+            sum("__ud").as("__b"))
+          .select(col("grp"),
+            when(col("__b") > 0, raise_error(lit(msg)))
+              .otherwise(col("__raw")).as("__dh"))
         // null-safe on the group key (NULL is a real group), union only
         // where both sides exist — hll_union of a NULL side is NULL,
         // which would erase a group's history
@@ -456,7 +474,8 @@ object Ivm {
             when(col("a.hll").isNull, col("__dh"))
               .when(col("__dh").isNull, col("a.hll"))
               .otherwise(hll_union(col("a.hll"), col("__dh"))).as("hll"))
-      })
+      },
+      appendOnly = true)
   }
 
   /** The estimates read off an [[hllDistinctSpec]] table: per-group
@@ -494,15 +513,22 @@ object Ivm {
       df => df.groupBy(group.as("grp"))
         .agg(kllAgg(value.cast("double"), k).as("kll")),
       (agg, _, _, chg, _) => {
-        require(chg.filter(col("change").isin("U", "D")).limit(1)
-            .collect().isEmpty,
-          s"kllQuantileSpec($table) maintains an APPEND-ONLY sketch — " +
-            "the changelog carries U/D rows, which no quantile sketch " +
-            "can subtract; recompute from the snapshot where deletes " +
-            "are real")
-        val delta = chg.filter(col("change") === "I")
-          .select(group.as("grp"), value.cast("double").as("__v"))
-          .groupBy("grp").agg(kllAgg(col("__v"), k).as("__dk"))
+        // inline U/D refusal in the delta aggregation (see
+        // hllDistinctSpec): zero extra actions, raises with the fold's
+        // own action
+        val msg = s"kllQuantileSpec($table) maintains an APPEND-ONLY " +
+          "sketch — the changelog carries U/D rows, which no quantile " +
+          "sketch can subtract; recompute from the snapshot where " +
+          "deletes are real"
+        val delta = chg
+          .select(group.as("grp"),
+            when(col("change") === "I", value.cast("double")).as("__v"),
+            col("change").isin("U", "D").cast("long").as("__ud"))
+          .groupBy("grp")
+          .agg(kllAgg(col("__v"), k).as("__raw"), sum("__ud").as("__b"))
+          .select(col("grp"),
+            when(col("__b") > 0, raise_error(lit(msg)))
+              .otherwise(col("__raw")).as("__dk"))
         // null-safe on the group key; kllMergePair passes a NULL side
         // through, so a brand-new group adopts the delta sketch and an
         // untouched group keeps its history verbatim
@@ -510,7 +536,8 @@ object Ivm {
             col("a.grp") <=> col("d.grp"), "full_outer")
           .select(coalesce(col("a.grp"), col("d.grp")).as("grp"),
             kllMergePair(col("a.kll"), col("__dk")).as("kll"))
-      })
+      },
+      appendOnly = true)
   }
 
   /** The quantiles read off a [[kllQuantileSpec]] table: one DOUBLE
@@ -559,20 +586,29 @@ object Ivm {
       df => df.groupBy(group.as("grp"))
         .agg(freqAgg(item.cast("string"), maxMapSize).as("fi")),
       (agg, _, _, chg, _) => {
-        require(chg.filter(col("change").isin("U", "D")).limit(1)
-            .collect().isEmpty,
-          s"freqItemsSpec($table) maintains an APPEND-ONLY sketch — " +
-            "the changelog carries U/D rows, which no frequency sketch " +
-            "can subtract; recompute from the snapshot where deletes " +
-            "are real")
-        val delta = chg.filter(col("change") === "I")
-          .select(group.as("grp"), item.cast("string").as("__i"))
-          .groupBy("grp").agg(freqAgg(col("__i"), maxMapSize).as("__df"))
+        // inline U/D refusal in the delta aggregation (see
+        // hllDistinctSpec): zero extra actions, raises with the fold's
+        // own action
+        val msg = s"freqItemsSpec($table) maintains an APPEND-ONLY " +
+          "sketch — the changelog carries U/D rows, which no frequency " +
+          "sketch can subtract; recompute from the snapshot where " +
+          "deletes are real"
+        val delta = chg
+          .select(group.as("grp"),
+            when(col("change") === "I", item.cast("string")).as("__i"),
+            col("change").isin("U", "D").cast("long").as("__ud"))
+          .groupBy("grp")
+          .agg(freqAgg(col("__i"), maxMapSize).as("__raw"),
+            sum("__ud").as("__b"))
+          .select(col("grp"),
+            when(col("__b") > 0, raise_error(lit(msg)))
+              .otherwise(col("__raw")).as("__df"))
         agg.as("a").join(delta.as("d"),
             col("a.grp") <=> col("d.grp"), "full_outer")
           .select(coalesce(col("a.grp"), col("d.grp")).as("grp"),
             freqMergePair(col("fi"), col("__df")).as("fi"))
-      })
+      },
+      appendOnly = true)
   }
 
   /** The heavy hitters read off a [[freqItemsSpec]] table: one row per
@@ -659,17 +695,21 @@ object Ivm {
     /** Order-independent content digest of one changelog batch: row count
      * plus the sum of per-row xxhash64 over the sorted-column struct.
      * Deterministic across sessions, insensitive to partitioning and row
-     * order — exactly what "is this the same batch again?" needs. */
-    private def changelogDigest(chg: DataFrame): String = {
+     * order — exactly what "is this the same batch again?" needs. The
+     * same single pass also counts U/D rows, so the append-only refusal
+     * for sketch aggregates costs no extra action. */
+    private def changelogDigest(chg: DataFrame): (String, Long) = {
       val r = chg
         .select(xxhash64(struct(chg.columns.sorted.map(col).toIndexedSeq: _*))
           // decimal(38,0) sum: exact and overflow-free under ANSI mode
           // (a plain long sum of 64-bit hashes overflows almost surely)
-          .cast("decimal(38,0)").as("__h"))
+          .cast("decimal(38,0)").as("__h"),
+          col("change").isin("U", "D").cast("long").as("__ud"))
         .agg(count(lit(1)).as("n"),
-          coalesce(sum("__h"), lit(0).cast("decimal(38,0)")).as("s"))
+          coalesce(sum("__h"), lit(0).cast("decimal(38,0)")).as("s"),
+          coalesce(sum("__ud"), lit(0L)).as("ud"))
         .head()
-      s"${r.getLong(0)}:${r.getDecimal(1).toBigInteger}"
+      (s"${r.getLong(0)}:${r.getDecimal(1).toBigInteger}", r.getLong(2))
     }
 
     private case class Marker(digest: String, baseVersionBefore: Int,
@@ -735,7 +775,21 @@ object Ivm {
       // commit forever
       val ks = pk
       val chg = Materialize(changes)
-      val digest = changelogDigest(chg)
+      val (digest, udRows) = changelogDigest(chg)
+      // append-only sketch specs refuse a U/D batch BEFORE anything
+      // commits (the folds also refuse inline, but by then the base
+      // would already have moved and the repair path would rebuild the
+      // sketches from the snapshot — an expensive rescue the up-front
+      // refusal exists to avoid); one shared check for every such spec,
+      // riding the digest pass
+      val appendOnlyTables = aggs.filter(_.appendOnly).map(_.table)
+      if (udRows > 0 && appendOnlyTables.nonEmpty)
+        throw new IllegalArgumentException(
+          s"registry on $db.$baseTable maintains APPEND-ONLY sketch " +
+            s"aggregates (${appendOnlyTables.mkString(", ")}) but the " +
+            s"changelog batch carries $udRows U/D rows, which no sketch " +
+            "can subtract; use exact maintained views (distinctSpec / " +
+            "countSumSpec / minMaxSpec) where updates and deletes are real")
       val baseVer = store.latestVersion(db, baseTable)
       val marker = readMarker(changes.sparkSession)
       // stale-incomplete evidence holds for ANY digest, not just a

@@ -307,6 +307,19 @@ object StreamingAnalytics {
           // directly — uncut, the micro-batch source would re-execute
           // once per write action (the batch registry's own rule)
           val chgC = graft.operators.Materialize(chg)
+          // ONE shared append-only probe per micro-batch (not one per
+          // sketch spec, which would stack an action per maintained
+          // sketch): refuse a U/D batch before any pinned fold writes,
+          // keeping every table untouched — the sketch folds also
+          // refuse inline, but by then earlier aggregates in the spec
+          // list may already have been overwritten this batch
+          val aoTables = aggs.filter(_.appendOnly).map(_.table)
+          if (aoTables.nonEmpty)
+            require(chgC.filter(col("change").isin("U", "D")).limit(1)
+                .collect().isEmpty,
+              "streaming registry maintains APPEND-ONLY sketch " +
+                s"aggregates (${aoTables.mkString(", ")}) but batch " +
+                s"$batchId carries U/D rows, which no sketch can subtract")
           val markers = new Path(new Path(checkpoint), "graft-ivm-base")
           val fs = markers.getFileSystem(
             chg.sparkSession.sparkContext.hadoopConfiguration)

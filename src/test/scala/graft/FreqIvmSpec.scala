@@ -73,10 +73,12 @@ class FreqIvmSpec extends AnyFunSuite with SparkFixture {
     val agg0 = spec.seed(snap(20))
     val bad = Seq(("D", 3L, "g0", "w1"), ("I", 99L, "g1", "w2"))
       .toDF("change", "id", "grp_in", "item")
-    val err = intercept[IllegalArgumentException] {
-      spec.fold(agg0, snap(20), snap(20), bad, Seq("id"))
+    // detection rides the delta aggregation (no separate probe action),
+    // so standalone the refusal surfaces when the fold is ACTED on
+    val err = intercept[Exception] {
+      spec.fold(agg0, snap(20), snap(20), bad, Seq("id")).collect()
     }
-    assert(err.getMessage.contains("APPEND-ONLY"))
+    assert(chainMessages(err).contains("APPEND-ONLY"))
     val ok = Seq(("I", 99L, "g9", "w0"), ("I", 100L, "g9", "w0"))
       .toDF("change", "id", "grp_in", "item")
     val folded = spec.fold(agg0, snap(20), snap(20), ok, Seq("id"))

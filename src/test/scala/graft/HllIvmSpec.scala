@@ -66,18 +66,45 @@ class HllIvmSpec extends AnyFunSuite with SparkFixture {
   test("a changelog with U/D rows refuses loudly; base sketch untouched") {
     import spark.implicits._
     val spec = Ivm.hllDistinctSpec("t", col("grp_in"), col("v"))
+    assert(spec.appendOnly, "sketch specs must declare append-only so the " +
+      "registry can refuse U/D batches before anything commits")
     val agg0 = spec.seed(snap(10))
     val bad = Seq(("D", 3L, "g0", 21L), ("I", 99L, "g1", 5L))
       .toDF("change", "id", "grp_in", "v")
-    val err = intercept[IllegalArgumentException] {
-      spec.fold(agg0, snap(10), snap(10), bad, Seq("id"))
+    // detection rides the delta aggregation (no separate probe action),
+    // so standalone the refusal surfaces when the fold is ACTED on
+    val err = intercept[Exception] {
+      spec.fold(agg0, snap(10), snap(10), bad, Seq("id")).collect()
     }
-    assert(err.getMessage.contains("APPEND-ONLY"))
+    assert(chainMessages(err).contains("APPEND-ONLY"))
     // insert-only folds fine and the new group appears
     val ok = Seq(("I", 99L, "g9", 5L)).toDF("change", "id", "grp_in", "v")
     val folded = spec.fold(agg0, snap(10), snap(10), ok, Seq("id"))
     val cnt = canon(Ivm.hllDistinctCount(folded))
     assert(cnt("g9") == 1L)
+  }
+
+  test("registry refuses a U/D batch up front — before the base commits") {
+    import spark.implicits._
+    val store = mkStore()
+    register(store, "ev2", "id")
+    register(store, "ev2_hll", "grp")
+    val m = new Ivm.MaintainedAggregates(store, "hdb", "ev2",
+      Seq(Ivm.hllDistinctSpec("ev2_hll", col("grp_in"), col("v"))))
+    m.seed(snap(10))
+    val v0 = store.latestVersion("hdb", "ev2")
+    val bad = Seq(("D", 3L, "g0", 21L)).toDF("change", "id", "grp_in", "v")
+    // the shared pre-check (riding the digest pass — no extra action)
+    // fires as a plain eager exception, and the base never moves: the
+    // inline fold refusal alone would fire only AFTER the base commit,
+    // forcing the marker machinery into a sketch rebuild
+    val err = intercept[IllegalArgumentException] { m.commit(bad) }
+    assert(err.getMessage.contains("APPEND-ONLY"))
+    assert(store.latestVersion("hdb", "ev2") == v0,
+      "refusal must land before the base table moves")
+    // the registry still accepts the next clean batch
+    m.commit(Seq(("I", 99L, "g9", 5L)).toDF("change", "id", "grp_in", "v"))
+    assert(canon(Ivm.hllDistinctCount(m.read("ev2_hll")))("g9") == 1L)
   }
 
   test("estimates stay within DataSketches error past the coupon regime") {

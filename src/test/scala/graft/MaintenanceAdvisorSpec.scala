@@ -91,6 +91,26 @@ class MaintenanceAdvisorSpec extends AnyFunSuite with SparkFixture {
     assert(b.expectedScanFraction == 1.0)
   }
 
+  test("all-unbounded string bounds are measurable smear, not a constant") {
+    import spark.implicits._
+    val store = mkStore(nBuckets = 2)
+    register(store, "unb")
+    // every value starts with 16 unincrementable max code points, so
+    // each file's truncated upper bound is None and every lo truncates
+    // to the same prefix: the measured span is zero, but that is NOT
+    // proof of constancy — the documented contract errs toward
+    // advising, never toward hiding a smear
+    val mx = new String(Character.toChars(Character.MAX_CODE_POINT)) * 16
+    store.overwrite("adb", "unb",
+      (0 until 64).map(i => (i.toLong, mx + s"tail$i")).toDF("id", "s"))
+    val Seq(h) = store.maintenanceAdvisor("adb", "unb", Seq("s"))
+    assert(h.statless == 0 && h.files > 1,
+      s"fixture must carry string stats over >1 file: $h")
+    assert(h.expectedScanFraction == 1.0)
+    assert(h.compactAdvised,
+      s"unbounded-above bounds must advise, not read as constant: $h")
+  }
+
   test("advisor tracks versions and rejects empty or silly arguments") {
     import spark.implicits._
     val store = mkStore(nBuckets = 2)

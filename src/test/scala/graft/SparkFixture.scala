@@ -26,6 +26,13 @@ trait SparkFixture {
   lazy val spark: SparkSession = SparkFixture.session
   val RefData = "/root/reference/tests/data/dummy"
 
+  /** Every message down a throwable's cause chain, joined — deferred
+   * errors (raise_error inside a fold, a failed stream) surface wrapped
+   * in SparkException layers, so asserting on the top message misses. */
+  def chainMessages(t: Throwable): String =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .flatMap(x => Option(x.getMessage)).mkString("\n")
+
   /** Collect over an EXECUTED plan including adaptive query stages —
    * `QueryStageExec` wraps its subtree as a leaf, so a plain
    * `plan.collect` misses everything inside a finished stage. Every
