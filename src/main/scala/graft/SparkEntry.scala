@@ -2064,6 +2064,46 @@ object SparkEntry {
       store.read("q66", "orders").orderBy("o_orderkey")
     }),
 
+    // The SQL surface THROUGH the storage engine (readSkipping /
+    // StoreFileIndex): the reference's primary query shape — domain SQL
+    // over temp views (reference src/apply_to_domains.py:54-68) — runs
+    // over store-backed views whose scans prune files via the manifest
+    // stats walk before any parquet footer opens; the date predicate
+    // reaches the range-laid-out orders scan THROUGH the join. The
+    // oracle is the identical SQL over the raw tables — skipping is a
+    // sound superset, so only the plan changes, never the answer
+    // (SqlSkippingSpec pins the file-list equality with readWhere)
+    "q67_store_sql_join" -> ((s, d) => {
+      import graft.catalog.{InMemoryCatalog, MergeSnapshotStore, TableMeta}
+      val orders = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderdate"))
+        .repartitionByRange(8, col("o_orderdate"))
+      val cust = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val work = java.nio.file.Files.createTempDirectory("graft-q67").toString
+      val cat = new InMemoryCatalog
+      cat.register(TableMeta("q67", "orders", s"$work/orders"))
+      cat.register(TableMeta("q67", "customer", s"$work/customer"))
+      val store = new MergeSnapshotStore(s, cat, nBuckets = 8)
+      store.overwrite("q67", "orders", orders)
+      store.overwrite("q67", "customer", cust)
+      store.readSkipping("q67", "orders")
+        .createOrReplaceTempView("q67_orders")
+      store.readSkipping("q67", "customer")
+        .createOrReplaceTempView("q67_customer")
+      s.sql(
+        """SELECT c.c_mktsegment,
+                  count(*) AS n,
+                  sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT))
+                    AS total_cents
+           FROM q67_orders o JOIN q67_customer c
+             ON o.o_custkey = c.c_custkey
+           WHERE o.o_orderdate >= DATE '1997-01-01'
+           GROUP BY c.c_mktsegment
+           ORDER BY c.c_mktsegment""")
+    }),
+
     // distinct-count IVM through the multiplicity auxiliary view:
     // COUNT(DISTINCT v) is not self-maintainable (deleting a value
     // can't tell last-copy-gone from duplicates-remain), but the
@@ -4546,6 +4586,19 @@ object SparkEntry {
                      ELSE o_totalprice END AS o_totalprice
          FROM orders
          ORDER BY o_orderkey""",
+
+    // SQL over store-backed skipping views must equal the identical SQL
+    // over the raw tables (pruning is a sound superset of the matches;
+    // cents-space sum keeps the aggregate exact across engines)
+    "q67_store_sql_join" ->
+      """SELECT c_mktsegment,
+                count(*) AS n,
+                CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                     AS BIGINT) AS total_cents
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE o_orderdate >= DATE '1997-01-01'
+         GROUP BY c_mktsegment
+         ORDER BY c_mktsegment""",
 
     // the store's truncated-string-stats-pruned read must equal the
     // plain full-scan lexicographic filter

@@ -4,7 +4,7 @@ import java.nio.charset.StandardCharsets.UTF_8
 
 import scala.collection.immutable.SortedMap
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{array, col, element_at, expr, hash, input_file_name, isnan, lit, max, min, pmod, when}
 import org.apache.spark.sql.types.{DataType, DateType, NumericType, StringType, StructType, TimestampType}
@@ -638,10 +638,87 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
                 version: Option[Int] = None): DataFrame = {
     val meta = catalog0(db, table)
     val m = readManifest(meta.location, resolveVersion(meta, version))
+    loadFiles(meta, m, prunedFilesOf(meta, m, predicate), predicate)
+  }
+
+  /** [[readWhere]]'s file-selection half alone — the plan-pin hook the
+   * SQL-path spec compares against [[StoreFileIndex.lastKept]]. */
+  private[graft] def prunedFiles(db: String, table: String,
+                                 predicate: Column,
+                                 version: Option[Int] = None): Seq[String] = {
+    val meta = catalog0(db, table)
+    val m = readManifest(meta.location, resolveVersion(meta, version))
+    prunedFilesOf(meta, m, predicate)
+  }
+
+  private def prunedFilesOf(meta: TableMeta, m: Manifest,
+                            predicate: Column): Seq[String] = {
     val e = resolvePredicate(m, predicate)
-    val keep = listDataFiles(meta, m, None)
-      .filter(rel => fileMayMatch(e, m, rel))
-    loadFiles(meta, m, keep, predicate)
+    listDataFiles(meta, m, None).filter(rel => fileMayMatch(e, m, rel))
+  }
+
+  /**
+   * The latest (or pinned) snapshot as a DataFrame whose SCAN prunes
+   * files through the manifest stats walk — the read that makes
+   * `spark.sql` over a registered view equal in skipping power to the
+   * typed [[readWhere]]: any predicate Catalyst pushes down to the scan
+   * (directly, or through a join via filter pushdown) reaches
+   * [[StoreFileIndex.listFiles]] as the resolved, constant-folded
+   * Catalyst expression and is judged per file by the SAME
+   * `fileMayMatch` walk — footer bounds, truncated string bounds,
+   * value sets, the negation/prefix/IN shapes included. Evaluation-time
+   * clock expressions need no refusal here (unlike the DML paths):
+   * Catalyst's ComputeCurrentTime folds them to one literal per query
+   * BEFORE planning, so pruning and scan see the same instant.
+   *
+   * The reference's primary query surface is exactly this shape —
+   * domain SQL over temp views (reference src/apply_to_domains.py:54-68)
+   * and the glue_query CLI predicate (reference dev/glue_query:5-9) —
+   * so [[graft.operators.DomainRunner]] and
+   * [[graft.operators.QueryRunner]] route through it when their store
+   * is a [[MergeSnapshotStore]].
+   *
+   * Non-parquet tables fall back to the plain full-scan [[read]] (the
+   * vectorized scan + stats contract is parquet's).
+   */
+  def readSkipping(db: String, table: String,
+                   version: Option[Int] = None): DataFrame =
+    skippingScan(db, table, version) match {
+      case Some((df, _)) => df
+      case None => version match {
+        case None => read(db, table)
+        case Some(_) => readPinned(db, table, version)
+      }
+    }
+
+  /** [[readSkipping]]'s body, exposing the [[StoreFileIndex]] for
+   * plan-pin specs; None when the table is not parquet-backed. */
+  private[graft] def skippingScan(db: String, table: String,
+                                  version: Option[Int] = None)
+      : Option[(DataFrame, StoreFileIndex)] = {
+    import org.apache.spark.sql.execution.datasources.HadoopFsRelation
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+    val meta = catalog0(db, table)
+    if (meta.format != "parquet") None
+    else {
+      val m = readManifest(meta.location, resolveVersion(meta, version))
+      val f = fs(new Path(meta.location))
+      // statuses (size + mtime) straight off the bucket listings — the
+      // same manifest-sized enumeration listDataFiles runs; sizes feed
+      // sizeInBytes so SQL joins auto-broadcast small store tables
+      val files: Seq[(String, FileStatus)] = m.buckets.toSeq.flatMap {
+        case (_, dir) =>
+          f.listStatus(new Path(s"${meta.location}/$dir")).toSeq
+            .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+              !st.getPath.getName.startsWith("."))
+            .map(st => (s"$dir/${st.getPath.getName}", st))
+      }
+      val index = new StoreFileIndex(meta.location, m.schema, files,
+        (e, rel) => fileMayMatch(e, m, rel))
+      val relation = HadoopFsRelation(index, new StructType(), m.schema,
+        None, new ParquetFileFormat(), Map.empty)(spark)
+      Some((spark.baseRelationToDataFrame(relation), index))
+    }
   }
 
   /** `predicate` resolved and type-coerced by Spark's OWN analyzer

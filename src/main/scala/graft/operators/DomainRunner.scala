@@ -44,10 +44,17 @@ final class DomainRunner(spark: SparkSession, store: SnapshotStore) {
   }
 
   /** Run one definition: temp views for dependencies, Catalyst SQL,
-   * process-id stamp (reference `run_statement`, src/apply_to_domains.py:54-68). */
+   * process-id stamp (reference `run_statement`, src/apply_to_domains.py:54-68).
+   * On a [[graft.catalog.MergeSnapshotStore]] the dependency views are
+   * SKIPPING scans ([[graft.catalog.MergeSnapshotStore.readSkipping]]):
+   * any predicate the Resolution SQL pushes to a scan prunes files
+   * through the manifest stats before a footer opens — results are
+   * identical (pruning is a sound superset), only the file list
+   * shrinks. */
   def runStatement(db: String, d: DomainDef, processId: Long): DataFrame = {
     d.dependencies.foreach { dep =>
-      store.read(db, dep.trim).createOrReplaceTempView(dep.trim)
+      DomainRunner.storeView(store, db, dep.trim)
+        .createOrReplaceTempView(dep.trim)
     }
     spark.sql(d.resolution).withColumn("process_id", lit(processId))
   }
@@ -72,6 +79,16 @@ final class DomainRunner(spark: SparkSession, store: SnapshotStore) {
 }
 
 object DomainRunner {
+  /** The store-table frame the SQL surfaces query: manifest-stats file
+   * skipping where the store supports it, plain snapshot read where it
+   * does not — one seam shared by [[DomainRunner]] and
+   * [[QueryRunner]]. */
+  private[operators] def storeView(store: SnapshotStore, db: String,
+                                   table: String): DataFrame = store match {
+    case ms: graft.catalog.MergeSnapshotStore => ms.readSkipping(db, table)
+    case s => s.read(db, table)
+  }
+
   /**
    * Catalog-registration type narrowing (reference `glue_datatypes` +
    * `schema_to_columns`, src/apply_to_domains.py:121-144): anything outside

@@ -33,9 +33,12 @@ final class CuratedApplier(store: SnapshotStore,
  * `run("offenders", Seq("offender_id","last_name"), "offender_id>15")`.
  */
 final class QueryRunner(store: SnapshotStore) {
+  /** On a MergeSnapshotStore the scan is the SKIPPING read: the parsed
+   * `where` prunes files through the manifest stats (same walk as the
+   * typed readWhere) before any footer opens. */
   def run(db: String, table: String, fields: Seq[String],
           where: String = "1=1"): DataFrame =
-    QueryRunner.select(store.read(db, table), fields, where)
+    QueryRunner.select(DomainRunner.storeView(store, db, table), fields, where)
 
   def apply(df: DataFrame, fields: Seq[String], where: String): DataFrame =
     QueryRunner.select(df, fields, where)

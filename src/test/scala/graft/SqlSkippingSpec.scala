@@ -1,0 +1,165 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.{InMemoryCatalog, MergeSnapshotStore, TableMeta}
+
+/**
+ * The SQL surface's data skipping ([[MergeSnapshotStore.readSkipping]]
+ * over [[graft.catalog.StoreFileIndex]]): `spark.sql` over a registered
+ * store view must prune files through the SAME manifest-stats walk as
+ * the typed `readWhere` — same file list for the same predicate — while
+ * producing full-scan-identical results, and the pruning must reach the
+ * scan through a JOIN (the reference's domain-SQL shape), not only
+ * through a direct filter.
+ */
+class SqlSkippingSpec extends AnyFunSuite with SparkFixture {
+
+  private def mkStore(nBuckets: Int = 8): MergeSnapshotStore =
+    new MergeSnapshotStore(spark, new InMemoryCatalog, nBuckets = nBuckets,
+      keepVersions = 2, vacuumRetentionMs = 0L)
+
+  private def register(store: MergeSnapshotStore, tbl: String,
+                       pk: Seq[String] = Nil,
+                       props: Map[String, String] = Map.empty,
+                       format: String = "parquet"): Unit =
+    store.catalog.register(TableMeta("sdb", tbl,
+      Files.createTempDirectory(s"graft-sqlskip-$tbl").toString,
+      format = format, primaryKey = pk, properties = props))
+
+  /** A PK-less fact laid out by range so files carry disjoint v-bounds
+   * (the layout where stats actually bite — the q64 fixture shape). */
+  private def fact(n: Int): DataFrame = {
+    import spark.implicits._
+    (0 until n).map(i => (i.toLong, i.toDouble, f"k$i%05d", i % 7))
+      .toDF("id", "v", "s", "tag")
+      .repartitionByRange(8, col("v"))
+  }
+
+  private def canon(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("SQL filter prunes the same files as readWhere, result full-scan-equal") {
+    val store = mkStore()
+    register(store, "t")
+    store.overwrite("sdb", "t", fact(2000))
+    val pred = col("v") >= 100.0 && col("v") <= 200.0
+
+    val Some((frame, idx)) = store.skippingScan("sdb", "t")
+    frame.createOrReplaceTempView("t_view")
+    val got = spark.sql("SELECT id, v, s, tag FROM t_view WHERE v >= 100.0 AND v <= 200.0")
+    val want = store.read("sdb", "t").filter(pred)
+    assert(canon(got) == canon(want), "skipping scan changed the answer")
+
+    // the plan pin: the SQL scan's kept file list IS readWhere's
+    val sqlKept = idx.lastKept.toSet
+    val typedKept = store.prunedFiles("sdb", "t", pred).toSet
+    assert(sqlKept == typedKept,
+      s"SQL pruning diverged from readWhere: sql=$sqlKept typed=$typedKept")
+    assert(sqlKept.size < idx.inputFiles.length,
+      "the range fixture must actually prune (else the pin is vacuous)")
+    // and the physical scan is Spark's own vectorized parquet scan
+    val scans = deepCollect(got.queryExecution.executedPlan) {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, "expected a FileSourceScanExec under the SQL plan")
+  }
+
+  test("domain-style SQL join: the fact-side predicate still prunes") {
+    val store = mkStore()
+    register(store, "fact2")
+    register(store, "dim2")
+    store.overwrite("sdb", "fact2", fact(2000))
+    import spark.implicits._
+    store.overwrite("sdb", "dim2",
+      (0 until 7).map(i => (i, s"name$i")).toDF("tag", "tag_name"))
+
+    val Some((factFrame, factIdx)) = store.skippingScan("sdb", "fact2")
+    factFrame.createOrReplaceTempView("fact_view")
+    store.readSkipping("sdb", "dim2").createOrReplaceTempView("dim_view")
+    val got = spark.sql(
+      """SELECT d.tag_name, count(*) AS n, sum(f.v) AS sv
+         FROM fact_view f JOIN dim_view d ON f.tag = d.tag
+         WHERE f.v < 250.0
+         GROUP BY d.tag_name""")
+    val want = store.read("sdb", "fact2").filter(col("v") < 250.0)
+      .join(store.read("sdb", "dim2"), "tag")
+      .groupBy("tag_name").agg(count(lit(1)).as("n"), sum("v").as("sv"))
+    assert(canon(got) == canon(want))
+    assert(factIdx.lastKept.toSet ==
+      store.prunedFiles("sdb", "fact2", col("v") < 250.0).toSet,
+      "the predicate must reach the fact scan through the join")
+    assert(factIdx.lastKept.size < factIdx.inputFiles.length)
+  }
+
+  test("q64's mixed AND/OR/prefix predicate prunes identically over SQL") {
+    val store = mkStore()
+    register(store, "mix",
+      props = Map(MergeSnapshotStore.SetStatsProp -> "s"))
+    store.overwrite("sdb", "mix", fact(2000))
+    val pred = (col("v") >= 100.0 && col("v") <= 200.0 &&
+      col("s") === "k00150") || col("s").startsWith("k0019")
+    val Some((frame, idx)) = store.skippingScan("sdb", "mix")
+    frame.createOrReplaceTempView("mix_view")
+    val got = spark.sql(
+      """SELECT * FROM mix_view
+         WHERE (v >= 100.0 AND v <= 200.0 AND s = 'k00150')
+            OR s LIKE 'k0019%'""")
+    val want = store.read("sdb", "mix").filter(pred)
+    assert(canon(got) == canon(want))
+    assert(idx.lastKept.toSet == store.prunedFiles("sdb", "mix", pred).toSet,
+      "the OR-of-conjunctions walk must agree across surfaces")
+  }
+
+  test("unpredicated SQL reads every file; pinned version reads the old list") {
+    val store = mkStore()
+    register(store, "pin")
+    store.overwrite("sdb", "pin", fact(500))
+    val v0 = store.latestVersion("sdb", "pin")
+    val n0 = store.read("sdb", "pin").count()
+    store.overwrite("sdb", "pin", fact(800))
+    // unpredicated: the index keeps everything
+    val Some((all, idx)) = store.skippingScan("sdb", "pin")
+    assert(all.count() == 800)
+    assert(idx.lastKept.size == idx.inputFiles.length)
+    // pinned: the frame is the OLD snapshot
+    assert(store.readSkipping("sdb", "pin", Some(v0)).count() == n0)
+  }
+
+  test("non-parquet tables fall back to the plain snapshot read") {
+    val store = mkStore(nBuckets = 2)
+    register(store, "js", format = "json")
+    import spark.implicits._
+    store.overwrite("sdb", "js",
+      (0 until 50).map(i => (i.toLong, s"w$i")).toDF("id", "w"))
+    assert(store.skippingScan("sdb", "js").isEmpty)
+    assert(canon(store.readSkipping("sdb", "js")) ==
+      canon(store.read("sdb", "js")))
+  }
+
+  test("runners route through the skipping scan with identical results") {
+    val store = mkStore()
+    register(store, "offenders")
+    store.overwrite("sdb", "offenders", fact(1000))
+    // QueryRunner (glue_query CLI shape): projection + string predicate
+    val qr = new graft.operators.QueryRunner(store)
+    val got = qr.run("sdb", "offenders", Seq("id", "v"), "v > 900.0")
+    assert(canon(got) ==
+      canon(store.read("sdb", "offenders").filter(col("v") > 900.0)
+        .select("id", "v")))
+    // and the scan under it pruned: fewer input files than the table has
+    val scanned = got.queryExecution.executedPlan
+    got.collect()
+    val files = deepCollect(scanned) { case f: FileSourceScanExec =>
+      f.relation.location.asInstanceOf[graft.catalog.StoreFileIndex]
+        .lastKept.size }
+    assert(files.nonEmpty && files.head <
+      store.read("sdb", "offenders").inputFiles.length,
+      s"QueryRunner's predicate must prune the scan: $files")
+  }
+}
