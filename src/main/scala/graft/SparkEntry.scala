@@ -2064,6 +2064,28 @@ object SparkEntry {
       store.read("q66", "orders").orderBy("o_orderkey")
     }),
 
+    // Merge-on-read DELETE (Iceberg v2 equality-delete shape): the same
+    // predicate as q65 removed via a SIDECAR — no data file rewritten,
+    // the deleted keys' PK tuples land as one delete file and every
+    // read funnel anti-joins it (sequence-ruled, so later re-inserts
+    // survive); the surviving logical snapshot must equal q65's oracle
+    // exactly — mode changes the physics, never the answer
+    "q68_store_delete_mor" -> ((s, d) => {
+      import graft.catalog.{InMemoryCatalog, MergeSnapshotStore, TableMeta}
+      val orders = t(s, d, "orders").select(col("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+      val work = java.nio.file.Files.createTempDirectory("graft-q68").toString
+      val cat = new InMemoryCatalog
+      cat.register(TableMeta("q68", "orders", s"$work/orders",
+        primaryKey = Seq("o_orderkey")))
+      val store = new MergeSnapshotStore(s, cat, nBuckets = 8)
+      store.overwrite("q68", "orders", orders)
+      store.deleteWhere("q68", "orders",
+        col("o_orderstatus") === "F" && col("o_totalprice") < 100000.0,
+        MergeSnapshotStore.MergeOnRead)
+      store.read("q68", "orders").orderBy("o_orderkey")
+    }),
+
     // The SQL surface THROUGH the storage engine (readSkipping /
     // StoreFileIndex): the reference's primary query shape — domain SQL
     // over temp views (reference src/apply_to_domains.py:54-68) — runs
@@ -4585,6 +4607,14 @@ object SparkEntry {
                 CASE WHEN o_orderstatus = 'P' THEN o_totalprice * 2.0
                      ELSE o_totalprice END AS o_totalprice
          FROM orders
+         ORDER BY o_orderkey""",
+
+    // the merge-on-read delete's logical snapshot must equal the same
+    // NOT-filtered full scan the copy-on-write oracle (q65) pins
+    "q68_store_delete_mor" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+         FROM orders
+         WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 100000.0)
          ORDER BY o_orderkey""",
 
     // SQL over store-backed skipping views must equal the identical SQL

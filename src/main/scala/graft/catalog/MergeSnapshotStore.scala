@@ -124,11 +124,22 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
    * probe prunes it. */
   private case class SetStat(column: String, values: Seq[String])
 
+  /** A merge-on-read delete sidecar (Iceberg v2 equality-delete shape):
+   * `rel` is a directory of parquet key files (the deleted rows' PK
+   * tuples), `version` the manifest version the delete committed at.
+   * The sidecar applies ONLY to data files whose commit number (the
+   * `cNNNNNN` in their directory name) is BELOW `version` — files
+   * written at or after it are exempt, so a later re-insert of a
+   * deleted key survives (the sequence-number rule that makes equality
+   * deletes sound under continued writes). */
+  private case class DeleteFile(rel: String, version: Int)
+
   private case class Manifest(schema: StructType, buckets: SortedMap[Int, String],
                               nBuckets: Int,
                               stats: Map[String, Seq[ColStat]] = Map.empty,
                               strStats: Map[String, Seq[StrStat]] = Map.empty,
-                              setStats: Map[String, Seq[SetStat]] = Map.empty)
+                              setStats: Map[String, Seq[SetStat]] = Map.empty,
+                              deletes: Seq[DeleteFile] = Nil)
 
   private def manifestVersions(location: String): Seq[Int] = {
     val p = new Path(location)
@@ -190,7 +201,14 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
         else parts(4).split(",", -1).iterator.take(n).map(unb64).toSeq
       parts(1) -> SetStat(parts(2), vals)
     }.groupBy(_._1).map { case (f, ss) => f -> ss.map(_._2).toSeq }
-    Manifest(schema, SortedMap(buckets: _*), nb, stats, strStats, setStats)
+    // delete sidecars (paths are store-generated, no encoding needed);
+    // manifests from before the MoR feature simply carry none
+    val deletes = lines.collect { case s if s.startsWith("d\t") =>
+      val Array(_, rel, ver) = s.split('\t')
+      DeleteFile(rel, ver.toInt)
+    }
+    Manifest(schema, SortedMap(buckets: _*), nb, stats, strStats, setStats,
+      deletes)
   }
 
   /** Compare-and-swap manifest publish: commit `m` as version `v` iff no
@@ -214,14 +232,28 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
       m.setStats.toSeq.sortBy(_._1).flatMap { case (f, ss) =>
         ss.map(s => s"v\t$f\t${s.column}\t${s.values.size}" +
           (if (s.values.isEmpty) "" else s"\t${s.values.map(b64).mkString(",")}"))
-      }).mkString("\n")
+      } ++
+      m.deletes.map(d => s"d\t${d.rel}\t${d.version}")).mkString("\n")
     val fin = manifestPath(location, v)
     manifestLog.putIfAbsent(fs(fin), fin, content)
   }
 
+  /** The commit number a data directory was written at, parsed from
+   * writeData's `data/cNNNNNN-<nonce>` naming; None for a name outside
+   * it (callers treat that conservatively). */
+  private def commitNumberOf(dir: String): Option[Int] =
+    MergeSnapshotStore.CommitDirRe.findFirstMatchIn(dir).map(_.group(1).toInt)
+
   /** Test/diagnostic hook: the bucket->directory map of one version. */
   private[graft] def manifestEntries(db: String, table: String, version: Int): Map[Int, String] =
     readManifest(catalog0(db, table).location, version).buckets
+
+  /** Test/diagnostic hook: (sidecar dir, applies-below version) of one
+   * version's merge-on-read delete files. */
+  private[graft] def manifestDeletes(db: String, table: String,
+                                     version: Int): Seq[(String, Int)] =
+    readManifest(catalog0(db, table).location, version).deletes
+      .map(d => (d.rel, d.version))
 
   /** Test/diagnostic hook: per-file (column, min, max) stats of one version. */
   private[graft] def manifestStats(db: String, table: String,
@@ -364,10 +396,49 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
   private def load(meta: TableMeta, m: Manifest, only: Option[Set[Int]]): DataFrame = {
     val dirs = m.buckets.toSeq
       .collect { case (b, dir) if only.forall(_.contains(b)) => s"${meta.location}/$dir" }
-    if (dirs.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
-    else spark.read.format(meta.format).schema(m.schema).load(dirs: _*)
+    val raw =
+      if (dirs.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
+      else spark.read.format(meta.format).schema(m.schema).load(dirs: _*)
+    applyDeletes(meta, m, raw)
   }
+
+  /** The merge-on-read delete view — the read-time half of
+   * [[deleteWhere]]'s MergeOnRead mode, applied by EVERY read funnel
+   * (full loads, pruned file loads, the SQL skipping scan): anti-join
+   * away rows whose PK appears in a delete sidecar that APPLIES to the
+   * row's file. Applicability is the sequence-number rule: a sidecar
+   * committed at version D erases only rows in files whose commit
+   * number (parsed from the `data/cNNNNNN-` directory the writer named)
+   * is BELOW D — files written at or after D are exempt, so a CDC
+   * merge that re-inserts a deleted key is not silently re-deleted.
+   * One broadcast anti-join regardless of how many sidecars exist (the
+   * keys union delete-sized by the MoR contract); zero cost when the
+   * manifest carries none. */
+  private def applyDeletes(meta: TableMeta, m: Manifest,
+                           df: DataFrame): DataFrame =
+    if (m.deletes.isEmpty) df
+    else {
+      import org.apache.spark.sql.functions.{broadcast, coalesce, input_file_name, regexp_extract}
+      val pks = meta.primaryKey
+      require(pks.nonEmpty,
+        s"${meta.qualified} carries delete sidecars but no PK — " +
+          "equality deletes are keyed; the manifest is corrupt")
+      val dels = m.deletes.map { d =>
+        spark.read.parquet(s"${meta.location}/${d.rel}")
+          .select(pks.map(col) :+ lit(d.version).as("__dv"): _*)
+      }.reduce(_.unionByName(_))
+      val keyed = pks.foldLeft(dels)((f, k) =>
+        f.withColumnRenamed(k, s"__dk_$k"))
+      // the row's file commit number, read in the scan stage; every
+      // data file lives under data/cNNNNNN-<nonce>/ by writeData's
+      // naming (sidecar dirs are d-prefixed, so they can never match)
+      val withFv = df.withColumn("__fv",
+        regexp_extract(input_file_name(), "data/c(\\d+)-", 1).cast("int"))
+      val cond = pks.map(k => withFv(k) <=> keyed(s"__dk_$k"))
+        .reduce(_ && _) && coalesce(withFv("__fv") < keyed("__dv"), lit(false))
+      withFv.join(broadcast(keyed), cond, "left_anti").drop("__fv")
+    }
 
   /**
    * Data skipping over a committed snapshot: scan only the files whose
@@ -479,8 +550,9 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         m.schema).filter(pred)
     else
-      spark.read.format(meta.format).schema(m.schema)
-        .load(keep.map(rel => s"${meta.location}/$rel"): _*)
+      applyDeletes(meta, m,
+        spark.read.format(meta.format).schema(m.schema)
+          .load(keep.map(rel => s"${meta.location}/$rel"): _*))
         .filter(pred)
 
   /**
@@ -717,7 +789,11 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
         (e, rel) => fileMayMatch(e, m, rel))
       val relation = HadoopFsRelation(index, new StructType(), m.schema,
         None, new ParquetFileFormat(), Map.empty)(spark)
-      Some((spark.baseRelationToDataFrame(relation), index))
+      // merge-on-read sidecars mask on top of the skipping scan too —
+      // the anti-join sits above the relation, so file pruning still
+      // runs below it and SQL readers see the logical snapshot
+      Some((applyDeletes(meta, m, spark.baseRelationToDataFrame(relation)),
+        index))
     }
   }
 
@@ -1165,10 +1241,22 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
       val schema =
         if (baseVer == readVer) dropBucketCol(out.schema)
         else MergeSnapshotStore.mergeNullability(dropBucketCol(out.schema), base.schema)
+      // delete sidecars carry forward for the carried buckets (their
+      // files predate the sidecars, so the read-time anti-join still
+      // applies); the REWRITTEN buckets' new files carry commit numbers
+      // >= every sidecar's version and are exempt — the rewrite read
+      // the logical view, so its output already excludes deleted rows.
+      // A sidecar no other bucket predates any more is DEAD and drops
+      // here (partial rewrites eventually clear what compaction clears
+      // wholesale); an unparseable dir name keeps its sidecars live.
+      val newBuckets = carried ++ written
+      val liveDeletes = base.deletes.filter(d =>
+        newBuckets.values.exists(dir =>
+          commitNumberOf(dir).forall(_ < d.version)))
       if (publishManifest(meta.location, baseVer + 1,
-          Manifest(schema, carried ++ written, nBuckets,
+          Manifest(schema, newBuckets, nBuckets,
             carriedStats ++ newStats, carriedStrStats ++ newStrStats,
-            carriedSetStats ++ newSetStats))) {
+            carriedSetStats ++ newSetStats, liveDeletes))) {
         vacuum(meta, manifestVersions(meta.location).filter(_ <= baseVer))
         clearTombstones(meta, written)
         committed = true
@@ -1190,6 +1278,17 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
             s"concurrent commit to ${meta.qualified} changed the schema " +
               s"while this merge (base version ${readVer}) was in flight — " +
               "rerun the merge against the new snapshot")
+        // a winner that changed the delete-sidecar set refuses: this
+        // rewrite read its buckets WITHOUT the winner's sidecar (its
+        // output may physically re-materialize rows the winner deleted
+        // — and new files would be exempt from the sidecar by the
+        // sequence rule), and a winner that CLEARED sidecars folded
+        // rows this rewrite still excludes
+        if (winner.deletes != current.deletes)
+          throw new java.util.ConcurrentModificationException(
+            s"concurrent commit to ${meta.qualified} changed the " +
+              s"merge-on-read delete set while this merge (base version " +
+              s"$readVer) was in flight — rerun against the new snapshot")
         val moved = touched.filter(b => winner.buckets.get(b) != current.buckets.get(b))
         if (moved.nonEmpty)
           throw new java.util.ConcurrentModificationException(
@@ -1245,8 +1344,26 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
    * delete is still free).
    *
    * Returns the number of rows deleted.
+   *
+   * `mode` picks the physical realization
+   * ([[MergeSnapshotStore.DeleteMode]]): CopyOnWrite is the rewrite
+   * described above; MergeOnRead writes an equality-delete SIDECAR (the
+   * matched rows' PK tuples, Iceberg v2's equality-delete shape) and
+   * leaves every data file untouched — a 1-row takedown then writes
+   * O(1) data instead of rewriting its whole bucket, the difference
+   * between GDPR-rate deletes being free and being a rolling compaction
+   * at 100 TB. Readers ([[applyDeletes]] in every read funnel,
+   * including the SQL skipping scan) anti-join the sidecar; the
+   * sequence rule (sidecars apply only to files COMMITTED BEFORE them)
+   * keeps later re-inserts of a deleted key alive; [[compact]] /
+   * [[compactClustered]] fold sidecars into a clean rewrite and clear
+   * them (bucket-scoped rewrites clear the ones they make dead). Both
+   * modes produce identical logical snapshots and identical
+   * [[Catalog.changesBetween]] pure-D changelogs.
    */
-  def deleteWhere(db: String, table: String, predicate: Column): Long = {
+  def deleteWhere(db: String, table: String, predicate: Column,
+                  mode: MergeSnapshotStore.DeleteMode =
+                    MergeSnapshotStore.CopyOnWrite): Long = {
     val meta = catalog0(db, table)
     val vs = manifestVersions(meta.location)
     require(vs.nonEmpty,
@@ -1260,16 +1377,109 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
       s"${meta.qualified} is committed with nBuckets=${current.nBuckets}; " +
         s"this store was built with nBuckets=$nBuckets — open it with the " +
         "table's bucket count")
-    matchedBuckets(meta, current, e, predicate) match {
-      case None => 0L
-      case Some((touched, matched)) =>
-        commitScoped(meta, vs.last, current, touched, meta.primaryKey,
-            dmlRebaseGuard(meta, current, e, "delete")) { old =>
-          old.filter(org.apache.spark.sql.functions.not(
-            org.apache.spark.sql.functions.coalesce(predicate, lit(false))))
+    mode match {
+      case MergeSnapshotStore.CopyOnWrite =>
+        matchedBuckets(meta, current, e, predicate) match {
+          case None => 0L
+          case Some((touched, matched)) =>
+            commitScoped(meta, vs.last, current, touched, meta.primaryKey,
+                dmlRebaseGuard(meta, current, e, "delete")) { old =>
+              old.filter(org.apache.spark.sql.functions.not(
+                org.apache.spark.sql.functions.coalesce(predicate, lit(false))))
+            }
+            matched
         }
-        matched
+      case MergeSnapshotStore.MergeOnRead =>
+        deleteWhereMor(meta, vs.last, current, e, predicate)
     }
+  }
+
+  /** The merge-on-read delete body: find matched keys through the
+   * stats-pruned candidate files (the same FIND as copy-on-write, over
+   * the LOGICAL view — rows an earlier sidecar already deleted never
+   * re-match), write them as one sidecar directory, and publish a
+   * manifest that is the current one plus the sidecar line — no bucket
+   * moves, no data rewrites. CAS losses rebase only when the winner
+   * neither touched a key-owning bucket (its rewrite carries rows this
+   * delete matched — by-key masking could erase a row the winner just
+   * updated out of the predicate) nor wrote files that may match the
+   * predicate (the concurrent-insert hazard the copy-on-write guard
+   * refuses too); the winner's sidecar set may grow — concurrent MoR
+   * deletes compose, their anti-joins are order-independent. */
+  private def deleteWhereMor(meta: TableMeta, readVer: Int,
+                             current: Manifest,
+                             e: org.apache.spark.sql.catalyst.expressions.Expression,
+                             predicate: Column): Long = {
+    require(meta.hasPrimaryKey,
+      s"merge-on-read delete needs a registered PK for ${meta.qualified} " +
+        "— the sidecar lists row identities (equality deletes); use " +
+        "CopyOnWrite on PK-less tables")
+    val pks = meta.primaryKey
+    val files = listDataFiles(meta, current, None)
+    val cand = files.filter(rel => fileMayMatch(e, current, rel))
+    if (cand.isEmpty) return 0L
+    // one job: the matched keys land as the sidecar (tmp + rename, the
+    // data-commit discipline); count and touched buckets read back off
+    // the written file — delete-sized
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val rel = f"data/d${readVer + 1}%06d-$nonce/k"
+    val tmp = new Path(f"${meta.location}/data/.tmp-d${readVer + 1}%06d-$nonce")
+    val fin = new Path(f"${meta.location}/data/d${readVer + 1}%06d-$nonce")
+    val f = fs(fin)
+    loadFiles(meta, current, cand, predicate)
+      .select(pks.map(col): _*)
+      .coalesce(1) // delete-sized by contract
+      .write.mode("errorifexists").parquet(s"$tmp/k")
+    if (!f.rename(tmp, fin))
+      throw new IllegalStateException(s"delete sidecar rename failed: $tmp -> $fin")
+    val keys = spark.read.parquet(s"${meta.location}/$rel")
+    val matched = keys.count()
+    if (matched == 0L) { f.delete(fin, true); return 0L }
+    val keyBuckets = keys.select(bucketOf(pks.map(col)).as("__b"))
+      .distinct().collect().map(_.getInt(0)).toSet // <= nBuckets values
+    val hook = beforePublish; beforePublish = () => (); hook()
+    var base = current
+    var baseVer = readVer
+    var attempt = 0
+    while (true) {
+      if (publishManifest(meta.location, baseVer + 1,
+          base.copy(deletes =
+            base.deletes :+ DeleteFile(rel, baseVer + 1)))) {
+        vacuum(meta, manifestVersions(meta.location).filter(_ <= baseVer))
+        // a racing vacuum may have tombstoned the fresh sidecar dir
+        // between its rename and this publish — same clear as data dirs
+        clearTombstones(meta, SortedMap(0 -> rel))
+        return matched
+      }
+      val latest = manifestVersions(meta.location).last
+      val winner = readManifest(meta.location, latest)
+      require(winner.nBuckets == nBuckets,
+        s"${meta.qualified} was concurrently re-bucketed to " +
+          s"nBuckets=${winner.nBuckets}; rerun against the new layout")
+      if (winner.schema.catalogString != current.schema.catalogString)
+        throw new java.util.ConcurrentModificationException(
+          s"concurrent commit to ${meta.qualified} changed the schema " +
+            s"while this delete (base version $readVer) was in flight — " +
+            "rerun against the new snapshot")
+      val moved = keyBuckets.filter(b =>
+        winner.buckets.get(b) != current.buckets.get(b))
+      if (moved.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"concurrent commit to ${meta.qualified} rewrote buckets " +
+            s"${moved.toSeq.sorted.mkString(",")} owning keys this " +
+            s"merge-on-read delete matched (base version $readVer, now " +
+            s"$latest) — rerun against the new snapshot")
+      dmlRebaseGuard(meta, current, e, "merge-on-read delete")(winner)
+      attempt += 1
+      if (attempt >= MergeSnapshotStore.MaxCommitAttempts)
+        throw new java.util.ConcurrentModificationException(
+          s"could not commit merge-on-read delete to ${meta.qualified} " +
+            s"after $attempt rebases — writers keep taking every version; " +
+            "retry or serialize the writers")
+      base = winner
+      baseVer = latest
+    }
+    matched // unreachable; the loop returns or throws
   }
 
   /** The DML rebase guard (Delta's ConcurrentAppendException contract):
@@ -1888,7 +2098,13 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     // the listing and the read contributes nothing — its references
     // were expired either way.
     val referenced = manifestVersions(meta.location).flatMap { v =>
-      try readManifest(meta.location, v).buckets.values
+      try {
+        val m = readManifest(meta.location, v)
+        // delete sidecars are manifest-referenced directories exactly
+        // like bucket dirs: a live sidecar must survive vacuum, and a
+        // cleared one ages out through the same tombstone retention
+        m.buckets.values.toSeq ++ m.deletes.map(_.rel)
+      }
       catch { case _: java.io.FileNotFoundException => Nil }
     }.toSet
     val now = System.currentTimeMillis()
@@ -2006,6 +2222,27 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
 }
 
 object MergeSnapshotStore {
+  /** How [[MergeSnapshotStore.deleteWhere]] realizes a delete.
+   *
+   *  - [[CopyOnWrite]] (default): rewrite every bucket owning a matched
+   *    file — reads stay sidecar-free, the right mode for bulk purges
+   *    where the rewrite amortizes.
+   *  - [[MergeOnRead]]: write an equality-delete sidecar (the deleted
+   *    rows' PK tuples) and leave every data file in place — O(deleted
+   *    rows) written no matter how big the owning buckets are, the
+   *    right mode for steady small takedowns (GDPR erasure) at corpus
+   *    scale; readers anti-join the sidecar until a compaction or a
+   *    bucket rewrite folds it in. PK tables only (the sidecar lists
+   *    row identities).
+   */
+  sealed trait DeleteMode
+  case object CopyOnWrite extends DeleteMode
+  case object MergeOnRead extends DeleteMode
+
+  /** writeData's data-directory naming — the per-file commit number
+   * merge-on-read delete applicability is judged against. */
+  private[catalog] val CommitDirRe = "data/c(\\d+)-".r
+
   /** Outcome of reading a tombstone. `Garbled` (missing / empty /
    * unparseable — a crashed writer's debris) is safe to repair by
    * overwriting; `Unreadable` (any other I/O failure) means the file may

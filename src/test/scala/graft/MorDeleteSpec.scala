@@ -1,0 +1,249 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.{InMemoryCatalog, MergeSnapshotStore, TableMeta}
+
+/**
+ * Merge-on-read deletes ([[MergeSnapshotStore.deleteWhere]] with
+ * `MergeOnRead`): a delete writes ONLY an equality-delete sidecar (the
+ * matched PK tuples — Iceberg v2's shape) and leaves every data file in
+ * place; readers anti-join it through every funnel; the sequence rule
+ * exempts files committed after the sidecar (re-inserts survive);
+ * compaction folds sidecars into a clean rewrite and clears them, and a
+ * bucket-scoped rewrite drops the sidecars it makes dead. Logical
+ * results are mode-independent: CopyOnWrite and MergeOnRead answer
+ * identically, including the changesBetween pure-D feed.
+ */
+class MorDeleteSpec extends AnyFunSuite with SparkFixture {
+
+  private val Mor = MergeSnapshotStore.MergeOnRead
+
+  private def mkStore(nBuckets: Int = 4): MergeSnapshotStore =
+    new MergeSnapshotStore(spark, new InMemoryCatalog, nBuckets = nBuckets,
+      keepVersions = 2, vacuumRetentionMs = 0L)
+
+  private def register(store: MergeSnapshotStore, tbl: String,
+                       pk: Seq[String] = Seq("id")): TableMeta = {
+    val meta = TableMeta("mdb", tbl,
+      Files.createTempDirectory(s"graft-mor-$tbl").toString,
+      primaryKey = pk)
+    store.catalog.register(meta)
+    meta
+  }
+
+  private def frame(n: Int = 256): DataFrame = {
+    import spark.implicits._
+    (0 until n).map(i => (i.toLong, i.toLong, s"c${i % 4}"))
+      .toDF("id", "v", "cls")
+  }
+
+  private def assertExact(got: DataFrame, want: DataFrame): Unit =
+    assert(got.exceptAll(want).count() == 0 &&
+      want.exceptAll(got).count() == 0, "result drifted")
+
+  test("a 1-row MoR delete writes O(1) data; modes answer identically") {
+    val store = mkStore()
+    register(store, "t")
+    register(store, "t_cow")
+    store.overwrite("mdb", "t", frame())
+    store.overwrite("mdb", "t_cow", frame())
+    val v0 = store.latestVersion("mdb", "t")
+    val buckets0 = store.manifestEntries("mdb", "t", v0)
+
+    assert(store.deleteWhere("mdb", "t", col("id") === 17L, Mor) == 1L)
+    assert(store.deleteWhere("mdb", "t_cow", col("id") === 17L) == 1L)
+
+    val v1 = store.latestVersion("mdb", "t")
+    // O(delete) written: NO bucket moved — the manifest's bucket map is
+    // byte-identical to v0's (a CoW 1-row delete rewrites whole buckets)
+    assert(store.manifestEntries("mdb", "t", v1) == buckets0,
+      "MoR must not rewrite any data bucket")
+    val Seq((rel, appliesBelow)) = store.manifestDeletes("mdb", "t", v1)
+    assert(appliesBelow == v1)
+    // the sidecar holds exactly the matched key
+    val sidecar = spark.read.parquet(
+      s"${store.catalog("mdb", "t").location}/$rel")
+    assert(sidecar.collect().map(_.getLong(0)).toSeq == Seq(17L))
+    // logical equivalence across modes, and against the plain filter
+    assertExact(store.read("mdb", "t"), store.read("mdb", "t_cow"))
+    assertExact(store.read("mdb", "t"), frame().filter(col("id") =!= 17L))
+  }
+
+  test("change-feed parity: the MoR commit yields the pure-D changelog") {
+    val store = mkStore()
+    register(store, "cf")
+    store.overwrite("mdb", "cf", frame())
+    val v0 = store.latestVersion("mdb", "cf")
+    assert(store.deleteWhere("mdb", "cf", col("cls") === "c1", Mor) == 64L)
+    val v1 = store.latestVersion("mdb", "cf")
+    val chg = store.changesBetween("mdb", "cf", v0, v1)
+    val byChange = chg.groupBy("change").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byChange == Map("D" -> 64L),
+      s"expected a pure-D feed of the deleted rows: $byChange")
+  }
+
+  test("every read funnel masks: read, readWhere, readRange, SQL skipping") {
+    val store = mkStore()
+    register(store, "fun")
+    store.overwrite("mdb", "fun", frame())
+    assert(store.deleteWhere("mdb", "fun",
+      col("v") >= 100L && col("v") < 120L, Mor) == 20L)
+    val want = frame().filter(!(col("v") >= 100L && col("v") < 120L))
+    assertExact(store.read("mdb", "fun"), want)
+    assertExact(store.readWhere("mdb", "fun", col("v") >= 90L && col("v") < 130L),
+      want.filter(col("v") >= 90L && col("v") < 130L))
+    assertExact(store.readRange("mdb", "fun", Map("v" -> ((90.0, 129.0)))),
+      want.filter(col("v") >= 90L && col("v") <= 129L))
+    store.readSkipping("mdb", "fun").createOrReplaceTempView("mor_fun")
+    assertExact(spark.sql("SELECT * FROM mor_fun WHERE v < 200"),
+      want.filter(col("v") < 200L))
+  }
+
+  test("sequence rule: a re-inserted key survives the older sidecar") {
+    import spark.implicits._
+    val store = mkStore()
+    register(store, "seq")
+    store.overwrite("mdb", "seq", frame())
+    assert(store.deleteWhere("mdb", "seq", col("id") === 5L, Mor) == 1L)
+    assert(store.read("mdb", "seq").filter(col("id") === 5L).count() == 0)
+    // CDC re-insert of the deleted key, new value
+    store.mergeScoped("mdb", "seq", Seq(5L).toDF("id"))(old =>
+      old.filter(col("id") =!= 5L)
+        .unionByName(Seq((5L, 9999L, "c9")).toDF("id", "v", "cls")))
+    val row = store.read("mdb", "seq").filter(col("id") === 5L).collect()
+    assert(row.length == 1 && row.head.getLong(1) == 9999L,
+      "the re-inserted key's NEW file postdates the sidecar and is exempt")
+  }
+
+  test("second MoR delete composes; deleted rows never re-match the find") {
+    val store = mkStore()
+    register(store, "two")
+    store.overwrite("mdb", "two", frame())
+    assert(store.deleteWhere("mdb", "two", col("v") < 10L, Mor) == 10L)
+    // overlapping predicate: already-deleted rows must not re-count
+    assert(store.deleteWhere("mdb", "two", col("v") < 20L, Mor) == 10L)
+    assertExact(store.read("mdb", "two"), frame().filter(col("v") >= 20L))
+    assert(store.manifestDeletes("mdb", "two",
+      store.latestVersion("mdb", "two")).size == 2)
+  }
+
+  test("compaction folds the sidecar in and clears it") {
+    val store = mkStore()
+    register(store, "fold")
+    store.overwrite("mdb", "fold", frame())
+    assert(store.deleteWhere("mdb", "fold", col("cls") === "c2", Mor) == 64L)
+    store.compact("mdb", "fold", targetFiles = 1)
+    val v = store.latestVersion("mdb", "fold")
+    assert(store.manifestDeletes("mdb", "fold", v).isEmpty,
+      "the full rewrite must clear the sidecar list")
+    assertExact(store.read("mdb", "fold"),
+      frame().filter(col("cls") =!= "c2"))
+    // physically folded too: the raw files of the new version hold no
+    // deleted row (read the bucket dirs without the masking view)
+    val loc = store.catalog("mdb", "fold").location
+    val raw = store.manifestEntries("mdb", "fold", v).values
+      .map(dir => spark.read.parquet(s"$loc/$dir"))
+      .reduce(_ unionByName _)
+    assert(raw.filter(col("cls") === "c2").count() == 0)
+  }
+
+  test("a bucket-scoped rewrite drops the sidecars it makes dead") {
+    import spark.implicits._
+    val store = mkStore(nBuckets = 2)
+    register(store, "dead")
+    store.overwrite("mdb", "dead", frame(64))
+    assert(store.deleteWhere("mdb", "dead", col("id") === 3L, Mor) == 1L)
+    // rewrite EVERY bucket (keys hashing to both) — after it, no data
+    // file predates the sidecar, so the carry filters it out
+    store.mergeScoped("mdb", "dead",
+      (0L until 64L).toDF("id"))(old => old)
+    val v = store.latestVersion("mdb", "dead")
+    assert(store.manifestDeletes("mdb", "dead", v).isEmpty,
+      "a sidecar no surviving file predates is dead and must drop")
+    assertExact(store.read("mdb", "dead"),
+      frame(64).filter(col("id") =!= 3L))
+  }
+
+  test("no-match MoR delete commits nothing; PK-less tables refuse") {
+    val store = mkStore()
+    register(store, "nm")
+    store.overwrite("mdb", "nm", frame())
+    val v0 = store.latestVersion("mdb", "nm")
+    assert(store.deleteWhere("mdb", "nm", col("v") > 100000L, Mor) == 0L)
+    assert(store.latestVersion("mdb", "nm") == v0, "no version bump")
+    assert(store.manifestDeletes("mdb", "nm", v0).isEmpty)
+    register(store, "nopk", pk = Nil)
+    store.overwrite("mdb", "nopk", frame())
+    val err = intercept[IllegalArgumentException] {
+      store.deleteWhere("mdb", "nopk", col("v") < 10L, Mor)
+    }
+    assert(err.getMessage.contains("PK"))
+  }
+
+  test("races: key-bucket rewrite refuses; elsewhere-merge rebases clean") {
+    import spark.implicits._
+    // a REAL retention window (the DeleteWhereSpec race contract): with
+    // retention 0 the racing writer's vacuum reclaims this delete's
+    // written-but-unpublished sidecar dir
+    val store = new MergeSnapshotStore(spark, new InMemoryCatalog,
+      nBuckets = 4, keepVersions = 2, vacuumRetentionMs = 3600000L)
+    // value-set stats on cls make the racer's files PROVABLY clean (the
+    // DeleteWhereSpec fixture shape) — hash-scattered id bounds alone
+    // could not prove a rewritten bucket holds no matching row
+    val meta = TableMeta("mdb", "race",
+      Files.createTempDirectory("graft-mor-race").toString,
+      primaryKey = Seq("id"),
+      properties = Map(MergeSnapshotStore.SetStatsProp -> "cls"))
+    store.catalog.register(meta)
+    def bucketOfId(id: Long): Int =
+      spark.range(id, id + 1).select(store.bucketOf(Seq(col("id"))))
+        .head().getInt(0)
+    val doomed = 7L
+    val other = (0L until 64L).find(i => bucketOfId(i) != bucketOfId(doomed)).get
+    store.overwrite("mdb", "race",
+      (0L until 64L).map(i =>
+        (i, if (i == doomed) "gone" else "keep")).toDF("id", "cls"))
+    // clean rebase: the racer rewrites a bucket owning NO matched key
+    // and its set stats PROVE no 'gone' row appeared
+    store.beforePublish = () => {
+      store.mergeScoped("mdb", "race", Seq(other).toDF("id"))(old =>
+        old.filter(col("id") =!= other))
+      ()
+    }
+    assert(store.deleteWhere("mdb", "race", col("cls") === "gone", Mor) == 1L)
+    assert(store.read("mdb", "race")
+      .filter(col("id").isin(doomed, other)).count() == 0,
+      "both the rebased MoR delete and the racing merge must stand")
+    // refusal: the racer rewrites the bucket owning a matched key — its
+    // rewrite carries the row without the sidecar's knowledge
+    val doomed2 = (0L until 64L)
+      .find(i => i != doomed && i != other).get
+    store.mergeScoped("mdb", "race", Seq(doomed2).toDF("id"))(old =>
+      old.filter(col("id") =!= doomed2)
+        .unionByName(Seq((doomed2, "gone2")).toDF("id", "cls")))
+    store.beforePublish = () => {
+      store.mergeScoped("mdb", "race", Seq(doomed2).toDF("id"))(old => old)
+      ()
+    }
+    intercept[java.util.ConcurrentModificationException] {
+      store.deleteWhere("mdb", "race", col("cls") === "gone2", Mor)
+    }
+    store.beforePublish = () => ()
+    // and the inverse: a MERGE racing an in-flight MoR delete refuses
+    // at its own CAS (the delete set changed under it)
+    store.beforePublish = () => {
+      store.deleteWhere("mdb", "race", col("id") === 11L, Mor)
+      ()
+    }
+    intercept[java.util.ConcurrentModificationException] {
+      store.mergeScoped("mdb", "race", Seq(12L).toDF("id"))(old => old)
+    }
+    store.beforePublish = () => ()
+  }
+}
