@@ -2064,6 +2064,30 @@ object SparkEntry {
       store.read("q66", "orders").orderBy("o_orderkey")
     }),
 
+    // DECIMAL footer stats: a money-typed band predicate (the classic
+    // finance shape) walks decimal bounds carried through the
+    // manifest's monotone double space and prunes files on a
+    // range-clustered decimal column; the oracle is the identical
+    // full-scan band in decimal literal space — non-strict pruning ties
+    // keep files, the exact predicate re-filters, so the answer never
+    // moves
+    "q69_store_decimal_scan" -> ((s, d) => {
+      import graft.catalog.{InMemoryCatalog, MergeSnapshotStore, TableMeta}
+      val orders = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(12,2)").as("o_price"))
+        .repartitionByRange(8, col("o_price"))
+      val work = java.nio.file.Files.createTempDirectory("graft-q69").toString
+      val cat = new InMemoryCatalog
+      cat.register(TableMeta("q69", "orders", s"$work/orders"))
+      val store = new MergeSnapshotStore(s, cat, nBuckets = 8)
+      store.overwrite("q69", "orders", orders)
+      store.readWhere("q69", "orders",
+          col("o_price") >= lit("50000.00").cast("decimal(12,2)") &&
+            col("o_price") <= lit("75000.00").cast("decimal(12,2)"))
+        .orderBy("o_orderkey")
+    }),
+
     // Merge-on-read DELETE (Iceberg v2 equality-delete shape): the same
     // predicate as q65 removed via a SIDECAR — no data file rewritten,
     // the deleted keys' PK tuples land as one delete file and every
@@ -4607,6 +4631,17 @@ object SparkEntry {
                 CASE WHEN o_orderstatus = 'P' THEN o_totalprice * 2.0
                      ELSE o_totalprice END AS o_totalprice
          FROM orders
+         ORDER BY o_orderkey""",
+
+    // the decimal-stats-pruned band read must equal the identical
+    // full-scan band in decimal space
+    "q69_store_decimal_scan" ->
+      """SELECT o_orderkey, o_orderstatus,
+                CAST(o_totalprice AS DECIMAL(12,2)) AS o_price
+         FROM orders
+         WHERE CAST(o_totalprice AS DECIMAL(12,2))
+               BETWEEN CAST('50000.00' AS DECIMAL(12,2))
+                   AND CAST('75000.00' AS DECIMAL(12,2))
          ORDER BY o_orderkey""",
 
     // the merge-on-read delete's logical snapshot must equal the same
