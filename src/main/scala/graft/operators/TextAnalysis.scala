@@ -2044,15 +2044,46 @@ object TextAnalysis {
    * Merging `a` + `##b` yields `ab`; `##b` + `##c` yields `##bc`, so a
    * piece's `##` marks word-internal position forever.
    *
-   * Rounds are strictly ONE merge each — [[bpeMerges]]' sequence-exact
-   * batching is UNSOUND here, deliberately: batching relies on a merge
-   * leaving symbol-disjoint pairs' RANKS unchanged, which holds for raw
-   * counts but not for this score — every merge changes its symbols'
-   * occurrence counts, which sit in the DENOMINATOR of every pair they
-   * touch, so ranks can reorder mid-batch. Keep nMerges modest (the
-   * cap) or train on a sampled corpus; each round is two bounded
-   * aggregates over the DISTINCT-WORD table (Zipf: corpus-size
-   * independent past the word table) plus a top-1 collect.
+   * [[bpeMerges]]' raw-count batching is UNSOUND here as-is — every
+   * merge changes its symbols' occurrence counts, which sit in the
+   * DENOMINATOR of every pair they touch, so ranks can reorder
+   * mid-batch — but a GUARDED batch provably replays the sequential
+   * order. Per round, take the maximal PREFIX of the (score desc, lhs,
+   * rhs)-sorted pair list that is pairwise symbol-disjoint and
+   * self-pair-free, then keep the longest sub-prefix whose EVERY score
+   * strictly exceeds
+   *
+   *   G = max( max over batch members of 1/pair_n ,
+   *            max over non-batch pairs touching a batch symbol of
+   *              pair_n / ((lhs_n − consumed(lhs)) · (rhs_n − consumed(rhs))) )
+   *
+   * Why that replays sequentially, merge by merge: (1) a batch member's
+   * own score never moves — its symbols are untouched by the other
+   * members (disjointness), and a merge elsewhere neither creates nor
+   * destroys an adjacency of two unconsumed symbols; (2) every pair a
+   * merge CREATES involves its new symbol m with count(m) = pair_n (an
+   * l≠r pattern cannot self-overlap, so replace() fires exactly pair_n
+   * times — the reason self-pairs ride alone), and any pair's score is
+   * ≤ 1/min-side-count ≤ 1/count(m) = 1/pair_n; (3) an EXISTING
+   * non-batch pair's score can only rise by its denominators falling,
+   * each by at most the consuming member's pair_n — the inflation
+   * bound above, computed from this round's own aggregate (a
+   * non-positive denominator reads as +∞ and blocks the batch); (4)
+   * every other pair ranked below the prefix and touches no batch
+   * symbol, so its score is unchanged and still below. Hence at each
+   * intermediate step the true argmax is exactly the next batch member,
+   * and the emitted sequence — exact longs included — is the
+   * sequential one. The guard is evaluated with the FULL tentative
+   * batch's consumption, which only over-states G for any kept prefix
+   * (conservative). The sequential t38 oracle stays the equality gate.
+   *
+   * Cost: a batch round adds one driver top-K collect (vs top-1) and
+   * one inflation aggregate; how much batching helps is corpus-shaped
+   * (natural text shares 'e'/'##s' across top pairs, so batches run
+   * short early and lengthen as symbols specialize). The cap is 1024
+   * merges; each round remains two bounded aggregates over the
+   * DISTINCT-WORD table (Zipf: corpus-size independent past the word
+   * table).
    *
    * Scores compare as exact-long ratios via IEEE doubles (both factors
    * < 2^53 — identical in any engine; the oracle replays them), ties
@@ -2060,9 +2091,12 @@ object TextAnalysis {
    * (merge_round, lhs, rhs, merged, pair_n, lhs_n, rhs_n) — the exact
    * longs, so the gate hashes no floats.
    */
-  def wordPieceMerges(df: DataFrame, textCol: String, nMerges: Int): DataFrame = {
-    require(nMerges >= 1 && nMerges <= 64,
-      "nMerges must be in [1, 64] — one driver round per merge")
+  def wordPieceMerges(df: DataFrame, textCol: String, nMerges: Int,
+                      maxBatch: Int = 16): DataFrame = {
+    require(nMerges >= 1 && nMerges <= 1024,
+      "nMerges must be in [1, 1024] — one driver round per merge BATCH")
+    require(maxBatch >= 1 && maxBatch <= 64,
+      "maxBatch must be in [1, 64] (1 forces the plain sequential loop)")
     val spark = df.sparkSession
     // corpus pass: word frequencies, then the spaced-symbol encoding
     // with ## continuations ("abc" -> " a  ##b  ##c ")
@@ -2081,7 +2115,7 @@ object TextAnalysis {
       // per-round symbol occurrence counts — the score's denominator
       val symCnt = syms.select(explode(col("sy")).as("sym"), col("n"))
         .groupBy("sym").agg(sum(col("n")).as("sn"))
-      val top = syms.filter(size(col("sy")) >= 2)
+      val pairs = syms.filter(size(col("sy")) >= 2)
         .select(col("n"), explode(expr(
           "transform(sequence(1, size(sy) - 1), " +
             "i -> struct(sy[i-1] AS lhs, sy[i] AS rhs))")).as("p"))
@@ -2092,21 +2126,85 @@ object TextAnalysis {
         .withColumn("score",
           col("pn").cast("double") /
             (col("ln").cast("double") * col("rn").cast("double")))
+      val top = pairs
         .orderBy(col("score").desc, col("lhs").asc, col("rhs").asc)
-        .limit(1).select("lhs", "rhs", "pn", "ln", "rn").collect()
+        .limit(maxBatch + 1).select("lhs", "rhs", "pn", "ln", "rn").collect()
       if (top.isEmpty) exhausted = true // every word is one symbol
       else {
-        val r = top.head
-        val (l, rh) = (r.getString(0), r.getString(1))
-        val merged = l + rh.stripPrefix("##")
-        merges += ((merges.size + 1, l, rh, merged,
-          r.getLong(2), r.getLong(3), r.getLong(4)))
-        val next = Materialize.eager(vocab.select(
-          call_function("replace", col("s"),
-            lit(" " + l + "  " + rh + " "), lit(" " + merged + " ")).as("s"),
-          col("n")))
+        // tentative batch: the maximal sorted prefix that is pairwise
+        // symbol-disjoint and self-pair-free (a self-pair can
+        // self-overlap, breaking the replacements == pair_n identity
+        // the creatable-pair bound rests on — it rides alone)
+        val want = math.min(maxBatch, nMerges - merges.size)
+        val cand = scala.collection.mutable.ArrayBuffer
+          .empty[org.apache.spark.sql.Row]
+        val used = scala.collection.mutable.Set.empty[String]
+        var stop = false
+        for (r <- top if !stop && cand.size < want) {
+          val (l, rh) = (r.getString(0), r.getString(1))
+          if (l == rh) { if (cand.isEmpty) cand += r; stop = true }
+          else if (used(l) || used(rh)) stop = true
+          else { cand += r; used += l; used += rh }
+        }
+        val batch: Seq[org.apache.spark.sql.Row] =
+          if (cand.size <= 1) cand.toSeq
+          else {
+            // the guard: keep the longest prefix whose every score
+            // strictly exceeds G (creatable-pair bound + inflated
+            // non-batch scores, both under the FULL tentative batch's
+            // consumption — an over-statement for any shorter prefix,
+            // so trimming once is sound)
+            val creatable = cand.map(r => 1.0 / r.getLong(2).toDouble).max
+            val consumed: Seq[(String, Long)] = cand.toSeq.flatMap(r => Seq(
+              r.getString(0) -> r.getLong(2), r.getString(1) -> r.getLong(2)))
+            val session = vocab.sparkSession
+            import session.implicits._
+            val consumedDf = consumed.toDF("sym", "c")
+            // symbols are whitespace-free (tokens() splits on it), so a
+            // single space separates (lhs, rhs) unambiguously
+            val candKeys: Seq[String] = cand.toSeq.map(r =>
+              r.getString(0) + " " + r.getString(1))
+            val inflated = pairs
+              .join(consumedDf.select(col("sym").as("lhs"), col("c").as("cl")),
+                Seq("lhs"), "left")
+              .join(consumedDf.select(col("sym").as("rhs"), col("c").as("cr")),
+                Seq("rhs"), "left")
+              .filter(col("cl").isNotNull || col("cr").isNotNull)
+              .filter(!concat_ws(" ", col("lhs"), col("rhs"))
+                .isin(candKeys: _*))
+              .select(when(
+                  (col("ln") - coalesce(col("cl"), lit(0L))) <= 0 ||
+                    (col("rn") - coalesce(col("cr"), lit(0L))) <= 0,
+                  lit(Double.PositiveInfinity))
+                .otherwise(col("pn").cast("double") /
+                  ((col("ln") - coalesce(col("cl"), lit(0L))).cast("double") *
+                    (col("rn") - coalesce(col("cr"), lit(0L))).cast("double")))
+                .as("g"))
+              .agg(max(col("g"))).head()
+            val g = math.max(creatable,
+              if (inflated.isNullAt(0)) Double.NegativeInfinity
+              else inflated.getDouble(0))
+            def scoreOf(r: org.apache.spark.sql.Row): Double =
+              r.getLong(2).toDouble / (r.getLong(3).toDouble * r.getLong(4).toDouble)
+            cand.takeWhile(r => scoreOf(r) > g) match {
+              case kept if kept.nonEmpty => kept.toSeq
+              case _ => cand.take(1).toSeq // argmax needs no guard
+            }
+          }
+        var next = vocab
+        batch.foreach { r =>
+          val (l, rh) = (r.getString(0), r.getString(1))
+          val merged = l + rh.stripPrefix("##")
+          merges += ((merges.size + 1, l, rh, merged,
+            r.getLong(2), r.getLong(3), r.getLong(4)))
+          next = next.select(
+            call_function("replace", col("s"),
+              lit(" " + l + "  " + rh + " "), lit(" " + merged + " ")).as("s"),
+            col("n"))
+        }
+        val cut = Materialize.eager(next)
         Materialize.release(vocab)
-        vocab = next
+        vocab = cut
       }
     }
     Materialize.release(vocab)

@@ -115,6 +115,51 @@ class WordPieceSpec extends AnyFunSuite with SparkFixture {
     assert(got.size == 10, "fixture must not exhaust before 10 merges")
   }
 
+  test("guarded batching replays the sequential order exactly") {
+    // the equality gate for the batch condition: with maxBatch = 1 the
+    // loop IS the pre-batching sequential trainer; any unsound batch —
+    // a creatable pair outscoring a batch member, an inflated existing
+    // pair overtaking, a self-pair inside a batch — would diverge in
+    // the merge SEQUENCE (exact longs included), not just the set
+    val rnd = new scala.util.Random(20260816L)
+    val alpha = "abcd"
+    for (trial <- 0 until 3) {
+      val words = (0 until 40).map { _ =>
+        val len = 1 + rnd.nextInt(6)
+        (Vector.fill(len)(alpha(rnd.nextInt(alpha.length))).mkString,
+          (1 + rnd.nextInt(7)).toLong)
+      }.distinct.toMap.toSeq
+      val corpus = corpusOf(words)
+      val n = 24
+      val sequential = collectMerges(
+        TextAnalysis.wordPieceMerges(corpus, "text", n, maxBatch = 1))
+      val batched = collectMerges(
+        TextAnalysis.wordPieceMerges(corpus, "text", n, maxBatch = 16))
+      assert(batched == sequential,
+        s"trial $trial: batched training diverged from sequential")
+      // and both equal the independent JVM mirror
+      assert(batched == mirrorMerges(words, n).take(batched.size))
+    }
+  }
+
+  test("the lifted cap trains past 64 merges and stays mirror-exact") {
+    val rnd = new scala.util.Random(20260817L)
+    val alpha = "abcdef"
+    val words = (0 until 120).map { _ =>
+      val len = 2 + rnd.nextInt(6)
+      (Vector.fill(len)(alpha(rnd.nextInt(alpha.length))).mkString,
+        (1 + rnd.nextInt(9)).toLong)
+    }.distinct.toMap.toSeq
+    val n = 96 // past the old 64-merge cap
+    val got = collectMerges(
+      TextAnalysis.wordPieceMerges(corpusOf(words), "text", n))
+    assert(got == mirrorMerges(words, n).take(got.size))
+    assert(got.size > 64, s"fixture must outlive the old cap: ${got.size}")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.wordPieceMerges(corpusOf(words), "text", 1025)
+    }
+  }
+
   test("segmentation: longest match first, ## continuations, whole-word UNK") {
     import spark.implicits._
     val vocab = Seq("a", "b", "c", "##a", "##b", "##c", "ab", "##bc")
