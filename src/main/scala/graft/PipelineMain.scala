@@ -734,6 +734,78 @@ object PipelineMain {
     }
     Materialize.releaseAll()
 
+    // 21. theta-triage decontamination (the d24 -> d17 composition the
+    // d24 scaladoc promises): ONE sketch pass estimates contamination
+    // mass per corpus shard WITHOUT joining corpus and benchmark, and
+    // the exact span machinery (crossSpans -> removeSpans) runs ONLY on
+    // the flagged shards. Gate soundness: the sketches fold the SAME
+    // md5 shingle space crossSpans matches in (Dedup.spanShingles), a
+    // span needs >= 1 shared shingle, and at lgK=18 both sides stay
+    // far inside theta's exact regime on this fixture (every retained
+    // hash kept, nothing sampled) — so est_overlap == 0 is PROOF of an
+    // empty intersection and the gate provably loses nothing. The run
+    // asserts exactly that: gated spans AND the cleaned corpus equal
+    // the ungated run's. Past the exact regime a positive threshold
+    // trades recall for scan mass — SCALE.md records that contract.
+    val MinSpan = 8
+    val NShards = 8
+    val shardOf = pmod(col("doc_id"), lit(NShards.toLong)).cast("int")
+    // contamination by construction: two synthetic benchmark sentences
+    // (tokens that occur nowhere in natural text) injected into docs of
+    // shards 2 and 5 only — flagged set is deterministic
+    val benchSent = Map(
+      2 -> (0 until MinSpan + 2).map(i => s"bmqzalpha$i").mkString(" "),
+      5 -> (0 until MinSpan + 2).map(i => s"bmqzbeta$i").mkString(" "))
+    val corpus21 = mixed.select(col("doc_id"),
+      when(shardOf === 2, concat(col("text"), lit(" " + benchSent(2))))
+        .when(shardOf === 5, concat(col("text"), lit(" " + benchSent(5))))
+        .otherwise(col("text")).as("text"))
+    val bench21 = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(2000000001L, benchSent(2)),
+        org.apache.spark.sql.Row(2000000002L, benchSent(5)))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+    val corpusGrams = Dedup.spanShingles(corpus21, "doc_id", "text", MinSpan)
+      .select(shardOf.as("shard"), col("g"))
+    // the benchmark is tiny: replicate its grams to every shard so the
+    // per-shard sketch pair is complete (a broadcast-scale explode)
+    val benchGrams = Dedup.spanShingles(bench21, "doc_id", "text", MinSpan)
+      .select(explode(sequence(lit(0), lit(NShards - 1))).as("shard"),
+        col("g"))
+    val overlap21 = Similarity.corpusOverlapSketch(corpusGrams, benchGrams,
+      col("shard"), col("g"), lgK = 18)
+    val flagged = overlap21.filter(col("est_overlap") > 0)
+      .select(col("grp").cast("int")).collect()
+      .map(_.getInt(0)).toSet // <= NShards values
+    val gatedCorpus = corpus21.filter(shardOf.isin(flagged.toSeq: _*))
+    val spansGated = Dedup.crossSpans(gatedCorpus, bench21, "doc_id",
+      "text", MinSpan)
+    val spansAll = Dedup.crossSpans(corpus21, bench21, "doc_id",
+      "text", MinSpan)
+    val nSpans = spansGated.count()
+    val gateLossless = nSpans == spansAll.count() &&
+      spansGated.exceptAll(spansAll).count() == 0 &&
+      spansAll.exceptAll(spansGated).count() == 0
+    val cleanedGated = Dedup.removeSpans(corpus21, "doc_id", "text",
+      spansGated)
+    val cleanedAll = Dedup.removeSpans(corpus21, "doc_id", "text", spansAll)
+    val keepEqual = cleanedGated.exceptAll(cleanedAll).count() == 0 &&
+      cleanedAll.exceptAll(cleanedGated).count() == 0
+    // and the cleanup actually removed the injected contamination
+    val residue = cleanedGated
+      .filter(col("text").contains("bmqzalpha0") ||
+        col("text").contains("bmqzbeta0")).count()
+    stage(21, s"theta triage -> ${flagged.size}/$NShards shards flagged " +
+        s"(${flagged.toSeq.sorted.mkString(",")}), $nSpans spans, " +
+        s"gate lossless: $gateLossless, keep set equal: $keepEqual") {
+      flagged == Set(2, 5) && nSpans > 0 && gateLossless && keepEqual &&
+        residue == 0
+    }
+    Materialize.releaseAll()
+
     println(s"[pipeline] E2E complete under $work")
     spark.stop()
   }

@@ -694,6 +694,23 @@ object Dedup {
     mergeSpans(spans)
   }
 
+  /** The (id, shingle) table the span machinery indexes — the md5 of
+   * each `minTokens`-token window over the normalized token sequence,
+   * one row per position. Public for the theta-triage composition
+   * ([[graft.operators.Similarity.corpusOverlapSketch]] over THIS gram
+   * space): a span needs at least one shared shingle, so "zero shingle
+   * overlap" is proof of "zero [[crossSpans]] matches" — a triage gate
+   * built on these grams cannot lose spans while the sketches are in
+   * their exact regime. */
+  def spanShingles(df: DataFrame, idCol: String, textCol: String,
+                   minTokens: Int): DataFrame = {
+    require(minTokens >= 2,
+      "minTokens < 2 is a vocabulary, not a shingle space")
+    posIndex(tokenTable(df, idCol, textCol)
+        .select(col(idCol).as("doc"), col("ts")), minTokens)
+      .select(col("doc").as(idCol), col("g"))
+  }
+
   /**
    * Cross-corpus SPAN decontamination — the Lee et al. span finder
    * pointed at a probe/benchmark set: runs of >= `minTokens`
