@@ -753,7 +753,10 @@ object Ivm {
     def seed(initial: DataFrame): Unit = Materialize.scoped {
       store.overwrite(db, baseTable, initial)
       val base = store.read(db, baseTable)
-      aggs.foreach(a => store.overwrite(db, a.table, a.seed(base)))
+      // independent tables, independent write jobs: land them
+      // concurrently (Materialize.fanOut), so the per-commit fixed
+      // cost overlaps instead of paying N× in wall time
+      Materialize.fanOut(aggs)(a => store.overwrite(db, a.table, a.seed(base)))
       // a fresh seed starts a new batch history: a stale digest from a
       // previous life must not refuse this life's first commit ("seed"
       // can never collide with a real "n:s" digest)
@@ -892,7 +895,13 @@ object Ivm {
         if (failAfterBaseCommit)
           throw new IllegalStateException(
             "failpoint: crashed after base commit, before aggregates")
-        newAggs.foreach {
+        // independent aggregate tables, independent write jobs — fan
+        // them out; a failure leaves the same aggsDone=false marker
+        // window as a sequential crash, repaired the same way. Cuts a
+        // scoped fold creates on a worker thread (the BM25 memoized
+        // tokenize tables, SHARED across sibling folds) join this
+        // commit's Materialize scope, not the worker's.
+        Materialize.fanOut(newAggs) {
           case (a, Left(df)) => store.overwrite(db, a.table, df)
           case (a, Right(keysFrame)) =>
             mergeStore.get.mergeScoped(db, a.table, keysFrame)(rows =>
@@ -950,7 +959,7 @@ object Ivm {
      * repair after a crash left aggregates behind the base. */
     def reseedAggregates(): Unit = Materialize.scoped {
       val base = store.read(db, baseTable)
-      aggs.foreach(a => store.overwrite(db, a.table, a.seed(base)))
+      Materialize.fanOut(aggs)(a => store.overwrite(db, a.table, a.seed(base)))
     }
 
     /**

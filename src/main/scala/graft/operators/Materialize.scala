@@ -287,6 +287,49 @@ object Materialize {
     }
   }
 
+  /**
+   * Run independent actions CONCURRENTLY, with every cut a task creates
+   * joining the CALLER's innermost [[scoped]] block — the fan-out shape
+   * a registry commit wants: N maintained aggregates land as N
+   * independent Spark write jobs whose per-commit fixed cost (write job
+   * + manifest publish + vacuum) overlaps in wall time instead of
+   * serializing, while cuts made on worker threads (e.g. a fold's
+   * memoized tokenize table, shared ACROSS the sibling tasks) stay
+   * alive until the caller's scope closes — releasing them per task
+   * would kill a memo a sibling still reads.
+   *
+   * Each worker runs under its own scope buffer (the thread-local is
+   * never shared, so no append races); the buffers merge into the
+   * parent scope AFTER every task settles, on the calling thread.
+   * Failure semantics match the sequential loop's crash window: all
+   * tasks run to completion or failure, the first failure then
+   * propagates — siblings may or may not have landed, exactly what the
+   * caller's repair machinery (commit markers) already handles. A
+   * single-element or empty input runs inline.
+   */
+  def fanOut[A](xs: Seq[A])(f: A => Unit): Unit =
+    if (xs.sizeIs <= 1) xs.foreach(f)
+    else {
+      import scala.concurrent.{Await, Future, blocking}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val settled = Await.result(Future.sequence(xs.map { x =>
+        Future {
+          val outer = scopeTl.get()
+          val mine = mutable.Buffer.empty[(SparkSession, RDD[_])]
+          scopeTl.set(mine)
+          // blocking(): Spark actions park the thread; let the global
+          // pool grow past core count instead of deadlocking on nesting
+          val t = scala.util.Try(blocking(f(x)))
+          scopeTl.set(outer)
+          (t, mine)
+        }
+      }), Duration.Inf)
+      val parent = scopeTl.get()
+      if (parent != null) settled.foreach { case (_, b) => parent ++= b }
+      settled.collectFirst { case (scala.util.Failure(e), _) => throw e }
+    }
+
   /** Release every live cut owned by `session` — for single-threaded
    * harnesses between queries. Other sessions' cuts in the same JVM are
    * untouched. Unsafe while another thread's query on THIS session is

@@ -557,9 +557,14 @@ object TextAnalysis {
       explode(tokens(col(textCol))).as("term")).distinct())
     val postings = store.pointLookup(db, s"${prefix}_postings",
       qt.select("term"), version = verOf(s"${prefix}_postings"))
+    // docfreq is term-keyed like postings: the same query-term point
+    // lookup prunes its scan to the terms' buckets (scoring joins it on
+    // term, so rows outside the query vocabulary never contribute)
+    val docFreq = store.pointLookup(db, s"${prefix}_docfreq",
+      qt.select("term"), version = verOf(s"${prefix}_docfreq"))
     val idx = Bm25Index(postings,
       at(s"${prefix}_doclens"),
-      at(s"${prefix}_docfreq"),
+      docFreq,
       at(s"${prefix}_stats"))
     scoreBm25(idx, qt, k, k1, b, maxDfFrac)
   }

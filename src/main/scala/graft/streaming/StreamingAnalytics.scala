@@ -392,7 +392,11 @@ object StreamingAnalytics {
             a -> a.fold(store.readVersion(store.catalog(db, a.table), v),
               old, newSnap, chgC, keys)
           }
-          newAggs.foreach { case (a, df) => store.overwrite(db, a.table, df) }
+          // independent aggregate tables land concurrently (the batch
+          // registry's fanOut rationale); replay safety is unchanged —
+          // every fold already read its own PINNED pre-batch version
+          graft.operators.Materialize.fanOut(newAggs) { case (a, df) =>
+            store.overwrite(db, a.table, df) }
           store.overwrite(db, snapTable, newSnap)
           // completed batches never replay with a lower id: drop stale
           // markers AND any orphaned tmp a crashed-before-rename attempt
