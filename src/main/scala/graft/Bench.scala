@@ -189,6 +189,13 @@ object Bench {
       case None => SparkEntry.queries
     }
 
+    // opt-in pass-count override for local scale runs (the driver never
+    // sets it, so the contract run stays min-of-Passes): a single pass
+    // at a big derived sf already costs minutes per query, and the
+    // scaling RATIO is read against a same-machine same-pass baseline
+    val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES")
+      .map(_.toInt).getOrElse(Passes)
+
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
       queries.foreach { case (_, fn) =>
@@ -196,14 +203,14 @@ object Bench {
         finally graft.operators.Materialize.releaseAll()
       }
 
-    val results = timeQueries(spark, sfDir, queries)
+    val results = timeQueries(spark, sfDir, queries, passes)
     // full-precision sidecar first (best effort — the contract line must
     // print even if the cwd is read-only), then the one contract line
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
-      (toDetailJson(results, sfDir, Passes) + "\n").getBytes("UTF-8"))
+      (toDetailJson(results, sfDir, passes) + "\n").getBytes("UTF-8"))
     catch { case scala.util.control.NonFatal(_) => () }
-    println(toJson(results, sfDir))
+    println(toJson(results, sfDir, passes))
     spark.stop()
   }
 }

@@ -1,0 +1,74 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/**
+ * Synthesize a larger scale factor from an existing one for SCALE
+ * validation runs (`sbt "runMain graft.tools.ScaleUp <srcDir> <outDir>
+ * [factor]"`): `factor` copies of `documents` and `embeddings` with
+ * ids offset per copy and CONTENT decorrelated across copies, so the
+ * derived corpus keeps the source's per-copy duplicate/near-dup RATE
+ * instead of turning every row into a 10-way near-duplicate (which
+ * would blow the dedup families' candidate sets up for data reasons
+ * and poison any scaling ratio read off the run):
+ *
+ *  - documents: a copy-specific marker token is spliced after every
+ *    4th word, so EVERY >=5-token shingle of a copied text differs
+ *    from the original's — MinHash/SimHash/n-gram machinery sees the
+ *    copies as unrelated documents, while in-copy near-dup families
+ *    survive verbatim (every member gets the same treatment).
+ *  - embeddings: each copy's vectors pass through a copy-specific
+ *    positive per-dimension scaling, which preserves in-copy cosine
+ *    geometry ONLY approximately but decorrelates cross-copy twins;
+ *    copy 0 is the untouched source.
+ *
+ * Copy 0 is byte-identical to the source for both tables, so the
+ * source scale factor is a subset of the derived one. This is NOT the
+ * driver's generator — derived data is for throughput-scaling reads
+ * (sec-per-query vs sf), never for correctness oracles.
+ */
+object ScaleUp {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: ScaleUp <srcDir> <outDir> [factor]")
+    val (src, out) = (args(0), args(1))
+    val factor = if (args.length > 2) args(2).toInt else 10
+    require(factor >= 2 && factor <= 100, "factor in [2, 100]")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val Stride = 100000000L
+
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val docCopies = (0 until factor).map { i =>
+      if (i == 0) docs
+      else docs.select(
+        (col("doc_id") + lit(i * Stride)).as("doc_id"),
+        // marker after every 4th word: every >=5-token window carries it
+        regexp_replace(col("text"), "((\\S+\\s+){4})", s"$$1zcp$i ")
+          .as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }
+    docCopies.reduce(_ unionByName _)
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val embCopies = (0 until factor).map { i =>
+      if (i == 0) emb
+      else emb.select(
+        (col("vec_id") + lit(i * Stride)).as("vec_id"),
+        expr(s"transform(embedding, (x, j) -> CAST(x * " +
+          s"(0.6 + 0.1 * pmod(j * 7 + $i * 3, 9)) AS FLOAT))")
+          .as("embedding"),
+        col("label"))
+    }
+    embCopies.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    println(s"[scaleup] wrote ${factor}x of $src to $out")
+    spark.stop()
+  }
+}
