@@ -108,6 +108,14 @@ class SnapshotStore(spark: SparkSession, val catalog: Catalog, keepVersions: Int
     readVersion(meta, vs.last)
   }
 
+  /** The read a SQL surface should register views over: stores with
+   * manifest-stats data skipping override it ([[MergeSnapshotStore]]'s
+   * StoreFileIndex-backed scan); the base contract is the plain
+   * snapshot read. A CAPABILITY on this seam — not an instanceof test
+   * at the call sites — so wrappers and future stores keep (or opt
+   * into) skipping without the runners knowing their class. */
+  def readSkipping(db: String, table: String): DataFrame = read(db, table)
+
   def readVersion(meta: TableMeta, version: Int): DataFrame =
     spark.read.format(meta.format).load(f"${meta.location}/v=$version%06d")
 

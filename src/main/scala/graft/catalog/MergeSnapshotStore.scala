@@ -419,7 +419,7 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
                            df: DataFrame): DataFrame =
     if (m.deletes.isEmpty) df
     else {
-      import org.apache.spark.sql.functions.{broadcast, coalesce, input_file_name, regexp_extract}
+      import org.apache.spark.sql.functions.{broadcast, coalesce, input_file_name, regexp_extract_all, try_element_at}
       val pks = meta.primaryKey
       require(pks.nonEmpty,
         s"${meta.qualified} carries delete sidecars but no PK — " +
@@ -432,9 +432,15 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
         f.withColumnRenamed(k, s"__dk_$k"))
       // the row's file commit number, read in the scan stage; every
       // data file lives under data/cNNNNNN-<nonce>/ by writeData's
-      // naming (sidecar dirs are d-prefixed, so they can never match)
+      // naming (sidecar dirs are d-prefixed, so they can never match).
+      // The LAST match in the absolute path is the table's own data
+      // dir: nothing below it can contain '/', while a table LOCATION
+      // that itself contains a "data/c<digits>-" segment would fool a
+      // first-match parse into one constant commit number — silently
+      // breaking the sequence rule in both directions
       val withFv = df.withColumn("__fv",
-        regexp_extract(input_file_name(), "data/c(\\d+)-", 1).cast("int"))
+        try_element_at(regexp_extract_all(input_file_name(),
+          lit("data/c(\\d+)-"), lit(1)), lit(-1)).cast("int"))
       val cond = pks.map(k => withFv(k) <=> keyed(s"__dk_$k"))
         .reduce(_ && _) && coalesce(withFv("__fv") < keyed("__dv"), lit(false))
       withFv.join(broadcast(keyed), cond, "left_anti").drop("__fv")
@@ -489,11 +495,15 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     }
   }
 
-  /** The data files of the selected buckets, enumerated from the bucket
-   * directories — never from the stats maps alone, so a file that
-   * produced no stats lines is still read. */
-  private def listDataFiles(meta: TableMeta, m: Manifest,
-                            only: Option[Set[Int]]): Seq[String] = {
+  /** The data-file STATUSES of the selected buckets, enumerated from
+   * the bucket directories — never from the stats maps alone, so a file
+   * that produced no stats lines is still read. The ONE enumeration
+   * (visibility rule included) both the name-only listing and the SQL
+   * skipping scan's status-carrying index derive from, so the hidden-
+   * file rule can never drift between the typed and SQL read paths. */
+  private def listDataFileStatuses(meta: TableMeta, m: Manifest,
+                                   only: Option[Set[Int]])
+      : Seq[(String, FileStatus)] = {
     val relDirs = m.buckets.toSeq
       .collect { case (b, dir) if only.forall(_.contains(b)) => dir }
     val f = fs(new Path(meta.location))
@@ -501,9 +511,13 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
       f.listStatus(new Path(s"${meta.location}/$dir")).toSeq
         .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
           !st.getPath.getName.startsWith("."))
-        .map(st => s"$dir/${st.getPath.getName}")
+        .map(st => (s"$dir/${st.getPath.getName}", st))
     }
   }
+
+  private def listDataFiles(meta: TableMeta, m: Manifest,
+                            only: Option[Set[Int]]): Seq[String] =
+    listDataFileStatuses(meta, m, only).map(_._1)
 
   /** [[load]] restricted to the files whose stats overlap `ranges`, with
    * the exact range predicate applied on top (so callers get exact
@@ -753,8 +767,12 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
    * Non-parquet tables fall back to the plain full-scan [[read]] (the
    * vectorized scan + stats contract is parquet's).
    */
+  override def readSkipping(db: String, table: String): DataFrame =
+    readSkipping(db, table, None)
+
+  /** [[readSkipping]] pinned to a committed-and-retained version. */
   def readSkipping(db: String, table: String,
-                   version: Option[Int] = None): DataFrame =
+                   version: Option[Int]): DataFrame =
     skippingScan(db, table, version) match {
       case Some((df, _)) => df
       case None => version match {
@@ -774,17 +792,10 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     if (meta.format != "parquet") None
     else {
       val m = readManifest(meta.location, resolveVersion(meta, version))
-      val f = fs(new Path(meta.location))
-      // statuses (size + mtime) straight off the bucket listings — the
-      // same manifest-sized enumeration listDataFiles runs; sizes feed
-      // sizeInBytes so SQL joins auto-broadcast small store tables
-      val files: Seq[(String, FileStatus)] = m.buckets.toSeq.flatMap {
-        case (_, dir) =>
-          f.listStatus(new Path(s"${meta.location}/$dir")).toSeq
-            .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
-              !st.getPath.getName.startsWith("."))
-            .map(st => (s"$dir/${st.getPath.getName}", st))
-      }
+      // statuses (size + mtime) off the SHARED bucket enumeration —
+      // sizes feed sizeInBytes so SQL joins auto-broadcast small store
+      // tables
+      val files = listDataFileStatuses(meta, m, None)
       val index = new StoreFileIndex(meta.location, m.schema, files,
         (e, rel) => fileMayMatch(e, m, rel))
       val relation = HadoopFsRelation(index, new StructType(), m.schema,
@@ -1692,8 +1703,12 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
         else bounds.map {
           case Some((mn, Some(mx))) =>
             math.min(1.0, math.max(0.0, mx - mn) / span)
-          case Some((mn, None)) => // unbounded above: width to the top
-            math.min(1.0, math.max(0.0, spanTop - mn) / span)
+          // unbounded above: the file's true range extends past every
+          // measured top, so it is FULL-width smear — measuring it as
+          // (spanTop − lo) would let a file whose lo sits AT the top
+          // read as zero width and hide exactly the layout a top-range
+          // query scans in full
+          case Some((_, None)) => 1.0
           case None => 1.0
         }.sum / files.size
       // a constant column (zero span, every bound known) still never

@@ -79,15 +79,16 @@ final class DomainRunner(spark: SparkSession, store: SnapshotStore) {
 }
 
 object DomainRunner {
-  /** The store-table frame the SQL surfaces query: manifest-stats file
-   * skipping where the store supports it, plain snapshot read where it
-   * does not — one seam shared by [[DomainRunner]] and
-   * [[QueryRunner]]. */
+  /** The store-table frame the SQL surfaces query: the store's own
+   * [[graft.catalog.SnapshotStore.readSkipping]] capability (manifest-
+   * stats file skipping where the store supports it, the plain snapshot
+   * read at the base contract) — one seam shared by [[DomainRunner]]
+   * and [[QueryRunner]], dispatching on the interface so wrappers and
+   * future stores keep skipping without the runners knowing their
+   * class. */
   private[operators] def storeView(store: SnapshotStore, db: String,
-                                   table: String): DataFrame = store match {
-    case ms: graft.catalog.MergeSnapshotStore => ms.readSkipping(db, table)
-    case s => s.read(db, table)
-  }
+                                   table: String): DataFrame =
+    store.readSkipping(db, table)
 
   /**
    * Catalog-registration type narrowing (reference `glue_datatypes` +

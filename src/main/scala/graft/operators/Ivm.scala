@@ -460,11 +460,16 @@ object Ivm {
             when(col("change") === "I", value).as("__v"),
             col("change").isin("U", "D").cast("long").as("__ud"))
           .groupBy("grp")
-          .agg(hll_sketch_agg(col("__v"), lit(lgK)).as("__raw"),
+          .agg(hll_sketch_agg(col("__v"), lit(lgK)).as("__dh"),
             sum("__ud").as("__b"))
-          .select(col("grp"),
-            when(col("__b") > 0, raise_error(lit(msg)))
-              .otherwise(col("__raw")).as("__dh"))
+          // the refusal rides the JOIN KEY, which no downstream
+          // projection can prune away — wrapped around the sketch
+          // column instead, a consumer selecting only group keys would
+          // column-prune the raise_error out of the plan and read a
+          // changelog the sketch could never absorb
+          .select(when(col("__b") > 0, raise_error(lit(msg)))
+              .otherwise(col("grp")).as("grp"),
+            col("__dh"))
         // null-safe on the group key (NULL is a real group), union only
         // where both sides exist — hll_union of a NULL side is NULL,
         // which would erase a group's history
@@ -525,10 +530,11 @@ object Ivm {
             when(col("change") === "I", value.cast("double")).as("__v"),
             col("change").isin("U", "D").cast("long").as("__ud"))
           .groupBy("grp")
-          .agg(kllAgg(col("__v"), k).as("__raw"), sum("__ud").as("__b"))
-          .select(col("grp"),
-            when(col("__b") > 0, raise_error(lit(msg)))
-              .otherwise(col("__raw")).as("__dk"))
+          .agg(kllAgg(col("__v"), k).as("__dk"), sum("__ud").as("__b"))
+          // refusal on the JOIN KEY (un-prunable; see hllDistinctSpec)
+          .select(when(col("__b") > 0, raise_error(lit(msg)))
+              .otherwise(col("grp")).as("grp"),
+            col("__dk"))
         // null-safe on the group key; kllMergePair passes a NULL side
         // through, so a brand-new group adopts the delta sketch and an
         // untouched group keeps its history verbatim
@@ -598,11 +604,12 @@ object Ivm {
             when(col("change") === "I", item.cast("string")).as("__i"),
             col("change").isin("U", "D").cast("long").as("__ud"))
           .groupBy("grp")
-          .agg(freqAgg(col("__i"), maxMapSize).as("__raw"),
+          .agg(freqAgg(col("__i"), maxMapSize).as("__df"),
             sum("__ud").as("__b"))
-          .select(col("grp"),
-            when(col("__b") > 0, raise_error(lit(msg)))
-              .otherwise(col("__raw")).as("__df"))
+          // refusal on the JOIN KEY (un-prunable; see hllDistinctSpec)
+          .select(when(col("__b") > 0, raise_error(lit(msg)))
+              .otherwise(col("grp")).as("grp"),
+            col("__df"))
         agg.as("a").join(delta.as("d"),
             col("a.grp") <=> col("d.grp"), "full_outer")
           .select(coalesce(col("a.grp"), col("d.grp")).as("grp"),

@@ -319,9 +319,13 @@ object Materialize {
           val mine = mutable.Buffer.empty[(SparkSession, RDD[_])]
           scopeTl.set(mine)
           // blocking(): Spark actions park the thread; let the global
-          // pool grow past core count instead of deadlocking on nesting
-          val t = scala.util.Try(blocking(f(x)))
-          scopeTl.set(outer)
+          // pool grow past core count instead of deadlocking on nesting.
+          // The restore sits in a finally: Try does not catch fatal
+          // throwables (InterruptedException from a cancelled job), and
+          // a reused pool thread left pointing at this dead buffer
+          // would leak every later cut it creates
+          val t = try scala.util.Try(blocking(f(x)))
+                  finally scopeTl.set(outer)
           (t, mine)
         }
       }), Duration.Inf)

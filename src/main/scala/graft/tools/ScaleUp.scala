@@ -45,9 +45,13 @@ object ScaleUp {
       if (i == 0) docs
       else docs.select(
         (col("doc_id") + lit(i * Stride)).as("doc_id"),
-        // marker after every 4th word: every >=5-token window carries it
-        regexp_replace(col("text"), "((\\S+\\s+){4})", s"$$1zcp$i ")
-          .as("text"),
+        // marker after every 4th word, PLUS an unconditional trailing
+        // marker: the splice regex needs whitespace after the 4th word,
+        // so a <=4-token doc would otherwise copy byte-identically and
+        // inflate the exact-duplicate rate 10x
+        concat(
+          regexp_replace(col("text"), "((\\S+\\s+){4})", s"$$1zcp$i "),
+          lit(s" zcp$i")).as("text"),
         col("lang"), col("source"), col("n_chars"))
     }
     docCopies.reduce(_ unionByName _)

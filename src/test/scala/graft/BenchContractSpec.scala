@@ -36,8 +36,11 @@ class BenchContractSpec extends AnyFunSuite with SparkFixture {
   test("toJson: colliding prefixes fall back to full names; non-finite is 0") {
     val res = Seq(("a_one", 1.0, None), ("a_two", Double.NaN, None))
     val json = Bench.toJson(res, "/x")
-    // "a" would be ambiguous for both queries -> full names kept
-    assert(json.contains(""""a_one":1.000"""))
+    // "a" would be ambiguous for both queries -> full names kept;
+    // per-query values print at 2 decimals (the 3-decimal line crossed
+    // the driver's 2000-byte tail window at 150+ queries — r16), the
+    // headline keeps 3
+    assert(json.contains(""""a_one":1.00"""))
     // NaN must format as an explicit 0, not crash the contract line —
     // and must ALSO surface under errors, or a dead metric would be
     // indistinguishable from a genuinely 0-second query

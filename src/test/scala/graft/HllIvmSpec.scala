@@ -77,6 +77,14 @@ class HllIvmSpec extends AnyFunSuite with SparkFixture {
       spec.fold(agg0, snap(10), snap(10), bad, Seq("id")).collect()
     }
     assert(chainMessages(err).contains("APPEND-ONLY"))
+    // column pruning must not bypass it: a consumer keeping only the
+    // group keys still trips the refusal (it rides the JOIN KEY, which
+    // no projection can prune)
+    val err2 = intercept[Exception] {
+      spec.fold(agg0, snap(10), snap(10), bad, Seq("id"))
+        .select("grp").collect()
+    }
+    assert(chainMessages(err2).contains("APPEND-ONLY"))
     // insert-only folds fine and the new group appears
     val ok = Seq(("I", 99L, "g9", 5L)).toDF("change", "id", "grp_in", "v")
     val folded = spec.fold(agg0, snap(10), snap(10), ok, Seq("id"))
