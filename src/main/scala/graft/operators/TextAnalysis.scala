@@ -2097,11 +2097,20 @@ object TextAnalysis {
    * longs, so the gate hashes no floats.
    */
   def wordPieceMerges(df: DataFrame, textCol: String, nMerges: Int,
-                      maxBatch: Int = 16): DataFrame = {
+                      maxBatch: Int = 0): DataFrame = {
     require(nMerges >= 1 && nMerges <= 1024,
       "nMerges must be in [1, 1024] — one driver round per merge BATCH")
-    require(maxBatch >= 1 && maxBatch <= 64,
-      "maxBatch must be in [1, 64] (1 forces the plain sequential loop)")
+    require(maxBatch >= 0 && maxBatch <= 64,
+      "maxBatch must be in [0, 64] (1 forces the plain sequential loop; " +
+        "0 picks it from nMerges)")
+    // the guard costs one extra aggregate + a top-K collect per round;
+    // it amortizes only across MANY rounds, so short trainings default
+    // to the plain sequential loop and long ones to wide batches
+    // (nMerges/8, capped at 16: a 96-merge run batches up to 12, the
+    // 1024-merge cap up to 16, a 6-merge gate query pays nothing)
+    val batchCap =
+      if (maxBatch > 0) maxBatch
+      else math.max(1, math.min(16, nMerges / 8))
     val spark = df.sparkSession
     // corpus pass: word frequencies, then the spaced-symbol encoding
     // with ## continuations ("abc" -> " a  ##b  ##c ")
@@ -2133,14 +2142,14 @@ object TextAnalysis {
             (col("ln").cast("double") * col("rn").cast("double")))
       val top = pairs
         .orderBy(col("score").desc, col("lhs").asc, col("rhs").asc)
-        .limit(maxBatch + 1).select("lhs", "rhs", "pn", "ln", "rn").collect()
+        .limit(batchCap + 1).select("lhs", "rhs", "pn", "ln", "rn").collect()
       if (top.isEmpty) exhausted = true // every word is one symbol
       else {
         // tentative batch: the maximal sorted prefix that is pairwise
         // symbol-disjoint and self-pair-free (a self-pair can
         // self-overlap, breaking the replacements == pair_n identity
         // the creatable-pair bound rests on — it rides alone)
-        val want = math.min(maxBatch, nMerges - merges.size)
+        val want = math.min(batchCap, nMerges - merges.size)
         val cand = scala.collection.mutable.ArrayBuffer
           .empty[org.apache.spark.sql.Row]
         val used = scala.collection.mutable.Set.empty[String]
