@@ -22,7 +22,7 @@ import graft.operators.{ChangeLogApplier, CuratedApplier, Dedup, DomainRunner, G
  *   4. apply_to_domains     definition CSV SQL -> domain snapshot
  *   5. glue_query           ad-hoc projection + predicate (demo_querys:3)
  *
- * plus thirteen training-data stages beyond the reference's surface:
+ * plus sixteen training-data stages beyond the reference's surface:
  *
  *   6. fused dedup pipeline    pairs -> clusters -> keep from ONE pair
  *                              graph, kept corpus landed as a table
@@ -61,6 +61,18 @@ import graft.operators.{ChangeLogApplier, CuratedApplier, Dedup, DomainRunner, G
  *                              dashboard time-travels to its pre-edit
  *                              version; link-graph centrality ranks
  *                              the curated hosts (q55 + replay + q57)
+ *  19. storage maintenance     the manifest-only advisor fires on a
+ *                              smeared layout, cluster-on-compact
+ *                              restores pruning, value-set equality
+ *                              scans prune, HLL dashboard == exact
+ *  20. row-level DML           updateWhere relabels a cohort in place,
+ *                              deleteWhere purges a predicate, the
+ *                              pure-D change feed folds the dashboards,
+ *                              readWhere plans pruned-and-exact
+ *  21. theta-triage decontam   one overlap-sketch pass gates the exact
+ *                              span machinery per shard; the gate is
+ *                              asserted LOSSLESS against the ungated
+ *                              run (d24 -> d17 composition)
  *
  *   sbt "runMain graft.PipelineMain [workDir]"
  *

@@ -170,6 +170,26 @@ class MorDeleteSpec extends AnyFunSuite with SparkFixture {
       frame(64).filter(col("id") =!= 3L))
   }
 
+  test("MoR composes with IVM: the pure-D feed folds a dashboard to rebuild equality") {
+    import graft.operators.Ivm
+    val store = mkStore()
+    register(store, "ivm")
+    store.overwrite("mdb", "ivm", frame())
+    val spec = Ivm.countSumSpec("ivm_agg", col("cls"), col("v"))
+    val before = spec.seed(store.read("mdb", "ivm"))
+    val v0 = store.latestVersion("mdb", "ivm")
+    assert(store.deleteWhere("mdb", "ivm", col("cls") === "c3", Mor) == 64L)
+    val v1 = store.latestVersion("mdb", "ivm")
+    val feed = store.changesBetween("mdb", "ivm", v0, v1)
+    // the MoR delete is an ordinary version transition to the delta
+    // rule: folding its feed lands exactly on the from-scratch rebuild
+    val folded = spec.fold(before,
+      store.readVersion(store.catalog("mdb", "ivm"), v0),
+      store.read("mdb", "ivm"), feed, Seq("id"))
+    val rebuilt = spec.seed(store.read("mdb", "ivm"))
+    assertExact(folded, rebuilt)
+  }
+
   test("no-match MoR delete commits nothing; PK-less tables refuse") {
     val store = mkStore()
     register(store, "nm")

@@ -116,6 +116,30 @@ class SqlSkippingSpec extends AnyFunSuite with SparkFixture {
       "the OR-of-conjunctions walk must agree across surfaces")
   }
 
+  test("sizeInBytes drives auto-broadcast: a small store dim broadcasts in SQL") {
+    val store = mkStore()
+    register(store, "bfact")
+    register(store, "bdim")
+    store.overwrite("sdb", "bfact", fact(2000))
+    import spark.implicits._
+    store.overwrite("sdb", "bdim",
+      (0 until 7).map(i => (i, s"nm$i")).toDF("tag", "tag_name"))
+    store.readSkipping("sdb", "bfact").createOrReplaceTempView("bfact_v")
+    store.readSkipping("sdb", "bdim").createOrReplaceTempView("bdim_v")
+    val joined = spark.sql(
+      "SELECT f.id, d.tag_name FROM bfact_v f JOIN bdim_v d ON f.tag = d.tag")
+    joined.collect()
+    // the index reports the snapshot's true byte size, so Catalyst's
+    // auto-broadcast threshold sees the dim as small — the join must
+    // plan as a broadcast, not a two-sided shuffle
+    val bhj = deepCollect(joined.queryExecution.executedPlan) {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }
+    assert(bhj.nonEmpty,
+      s"expected a BroadcastHashJoin over the small store dim:\n" +
+        joined.queryExecution.executedPlan.toString.take(2000))
+  }
+
   test("unpredicated SQL reads every file; pinned version reads the old list") {
     val store = mkStore()
     register(store, "pin")
