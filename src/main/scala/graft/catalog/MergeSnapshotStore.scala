@@ -157,8 +157,46 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
   private def manifestPath(location: String, v: Int) =
     new Path(f"$location/v=$v%06d.manifest")
 
+  /** Parsed manifests, LRU-bounded, instance-scoped. Manifest files are
+   * WRITE-ONCE (publishManifest goes through the log's putIfAbsent —
+   * a version file is created exactly once and never rewritten), so the
+   * parse is cacheable without revalidation: no per-hit exists() probe,
+   * which a lagging object store's list-after-put inconsistency would
+   * falsify anyway (ManifestLogSpec's fixture models exactly that).
+   * Expiry is handled where it happens: this store's OWN vacuum removes
+   * the entries for the manifests it deletes, so a same-store read of a
+   * vacuumed version still fails loudly (the keepVersions contract).
+   * A version another WRITER's vacuum expired may keep serving from
+   * this store's cache — which is the pinned-reader promise working as
+   * documented: the data dirs outlive the manifest by the retention
+   * window, so a reader that resolved its manifest keeps answering
+   * until the window closes (previously it failed the moment the file
+   * vanished, earlier than the promise); version resolution for NEW
+   * pins still goes through the live listing (resolveVersion) and
+   * refuses expired versions loudly. The win at scale: serving paths
+   * resolve four manifests per query batch — one GET + parse of a
+   * 10^4-file manifest each, every batch, without the cache. Out of
+   * contract: wiping a location's ENTIRE history out-of-band and
+   * re-creating version files at the same paths (the store itself never
+   * does — vacuum always keeps the newest manifest, so version numbers
+   * never reset) requires a fresh store instance. */
+  private val manifestCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, Manifest](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Manifest]): Boolean =
+        size() > MergeSnapshotStore.ManifestCacheEntries
+    })
+
+  /** Test hook: how many manifest files this store has actually parsed
+   * (cache misses). */
+  private[graft] val manifestParses = new java.util.concurrent.atomic.AtomicLong
+
   private def readManifest(location: String, v: Int): Manifest = {
     val p = manifestPath(location, v)
+    val key = p.toString
+    val cached = manifestCache.get(key)
+    if (cached != null) return cached
+    manifestParses.incrementAndGet()
     val in = fs(p).open(p)
     val text =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
@@ -207,8 +245,10 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
       val Array(_, rel, ver) = s.split('\t')
       DeleteFile(rel, ver.toInt)
     }
-    Manifest(schema, SortedMap(buckets: _*), nb, stats, strStats, setStats,
-      deletes)
+    val m = Manifest(schema, SortedMap(buckets: _*), nb, stats, strStats,
+      setStats, deletes)
+    manifestCache.put(key, m)
+    m
   }
 
   /** Compare-and-swap manifest publish: commit `m` as version `v` iff no
@@ -2104,7 +2144,13 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     val all = priorVersions :+ (priorVersions.lastOption.getOrElse(-1) + 1)
     val expired = all.dropRight(keepVersions)
     val f = fs(new Path(meta.location))
-    expired.foreach(v => f.delete(manifestPath(meta.location, v), false))
+    expired.foreach { v =>
+      val p = manifestPath(meta.location, v)
+      f.delete(p, false)
+      // expiry invalidates the parse cache HERE (not per-hit): a
+      // same-store read of a vacuumed version must fail loudly
+      manifestCache.remove(p.toString)
+    }
     // referenced = every dir ANY still-existing manifest points at —
     // re-listed AFTER the expiry deletes, so a manifest a concurrent
     // writer published while this vacuum ran protects its directories
@@ -2257,6 +2303,11 @@ object MergeSnapshotStore {
   /** writeData's data-directory naming — the per-file commit number
    * merge-on-read delete applicability is judged against. */
   private[catalog] val CommitDirRe = "data/c(\\d+)-".r
+
+  /** Per-store parsed-manifest LRU bound: entries are roughly
+   * manifest-file-sized, so 64 bounds the cache at ~64 manifests'
+   * worth of driver heap while covering every serving hot set. */
+  val ManifestCacheEntries: Int = 64
 
   /** Outcome of reading a tombstone. `Garbled` (missing / empty /
    * unparseable — a crashed writer's debris) is safe to repair by

@@ -60,9 +60,14 @@ class ManifestLogSpec extends AnyFunSuite with SparkFixture {
   test("FIXTURE: the default publish CAS is advisory on an overwriting object store") {
     // this pins the HAZARD the seam exists for: with lagging existence
     // checks and overwriting rename, the losing racer's publish silently
-    // clobbers the winner's manifest — its keyB commit vanishes. If this
-    // test ever starts seeing "from-B", the fixture no longer models the
-    // object-store shape and the seam test below proves nothing.
+    // clobbers the winner's manifest file — ONE of the two commits
+    // vanishes with no error. WHICH one surfaces depends on the reader:
+    // the on-disk v1 is the loser's (keyA), but a reader whose manifest
+    // parse cache saw the winner's v1 before the clobber answers the
+    // winner's (keyB) — the overwrite violates the write-once contract
+    // the cache is built on, which is exactly the fixture's point. If
+    // this test ever sees BOTH commits, the fixture no longer models
+    // the object-store shape and the seam test below proves nothing.
     val store = mkDefaultStore()
     registerOn(store, "adv")
     store.overwrite("mdb", "adv", idTable(100))
@@ -70,8 +75,8 @@ class ManifestLogSpec extends AnyFunSuite with SparkFixture {
     val back = store.read("mdb", "adv")
     val names = back.filter(col("name").startsWith("from-"))
       .select("name").collect().map(_.getString(0)).toSet
-    assert(names == Set("from-A"),
-      s"expected the winner's commit clobbered (the modeled hazard), got $names")
+    assert(names.size == 1,
+      s"expected exactly one commit silently lost (the modeled hazard), got $names")
   }
 
   test("a conditional-put ManifestLog serializes racing writers with no rename assumption") {

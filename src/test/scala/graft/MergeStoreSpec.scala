@@ -165,6 +165,41 @@ class MergeStoreSpec extends AnyFunSuite with SparkFixture {
       "emptied bucket should disappear from the manifest")
   }
 
+  test("manifest cache: one parse per version, vacuumed versions still fail loudly") {
+    val store = mkStore(nBuckets = 4)
+    register(store, "mc", "mc_t", "id")
+    store.overwrite("mc", "mc_t", idTable(64))
+    val meta = store.catalog("mc", "mc_t")
+    val p0 = store.manifestParses.get()
+    // repeated reads of one committed version parse its manifest ONCE
+    // (the file is write-once — putIfAbsent — so the parse is cacheable;
+    // serving paths resolve four manifests per query batch, and at
+    // object-store scale the GET+parse per read is the serving tax)
+    store.read("mc", "mc_t").count()
+    val p1 = store.manifestParses.get()
+    store.read("mc", "mc_t").count()
+    store.readVersion(meta, 0).count()
+    assert(store.manifestParses.get() == p1,
+      "re-reading a cached version must not re-parse its manifest")
+    // the overwrite's own vacuum may already have parsed-and-cached v0,
+    // so the reads above can be all-hits; the invariant is exactly ONE
+    // parse of this table's single committed manifest, ever
+    assert(p1 - p0 <= 1)
+    // this store's own vacuum INVALIDATES the cache entries it expires
+    // (no per-hit existence probe — a lagging object store would
+    // falsify it): after v0 expires, reading it fails loudly
+    store.overwrite("mc", "mc_t", idTable(65))
+    store.overwrite("mc", "mc_t", idTable(66)) // keepVersions=2: v0 manifest gone
+    intercept[java.io.FileNotFoundException] {
+      store.readVersion(meta, 0)
+    }
+    // and the pinned path keeps its own loud retention message
+    val err = intercept[IllegalArgumentException] {
+      store.readPinned("mc", "mc_t", Some(0))
+    }
+    assert(err.getMessage.contains("retention"))
+  }
+
   test("vacuum retains keepVersions manifests and deletes unreferenced dirs") {
     val store = mkStore(keep = 2)
     val meta = register(store, "mdb", "t4", "id")
