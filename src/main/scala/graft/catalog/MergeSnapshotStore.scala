@@ -1160,7 +1160,7 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
         cluster)
     val m = Manifest(dropBucketCol(out.schema), written, nBuckets, stats,
       strStats, setStats)
-    val hook = beforePublish; beforePublish = () => (); hook()
+    runBeforePublish()
     var attempt = 0
     var done = false
     while (!done) {
@@ -1197,8 +1197,19 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
 
   /** Test-only failpoint: runs once after a merge's data is written,
    * before its first publish attempt — the window a concurrent writer's
-   * commit exercises the CAS rebase/refuse logic through. */
-  private[graft] var beforePublish: () => Unit = () => ()
+   * commit exercises the CAS rebase/refuse logic through. Consumed
+   * atomically (getAndSet): registry commits fan independent table
+   * writes out across threads, and a racy read-then-reset could run one
+   * armed hook twice or lose it. */
+  private val beforePublishRef =
+    new java.util.concurrent.atomic.AtomicReference[() => Unit](() => ())
+  private[graft] def beforePublish: () => Unit = beforePublishRef.get()
+  private[graft] def beforePublish_=(f: () => Unit): Unit =
+    beforePublishRef.set(f)
+  /** Atomically take the armed hook (replacing it with a no-op) and run
+   * it — the one way commit paths consume the failpoint. */
+  private def runBeforePublish(): Unit =
+    beforePublishRef.getAndSet(() => ())()
 
   /**
    * Partition-scoped merge commit. `changedKeys` (any frame exposing the
@@ -1262,7 +1273,7 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     require(stray.isEmpty,
       s"merge rewrote buckets $stray outside the changed-key set $touched — " +
         "rewrite() must not introduce rows for untouched keys")
-    val hook = beforePublish; beforePublish = () => (); hook()
+    runBeforePublish()
     // new manifest = base entries minus touched (covers emptied buckets),
     // plus whatever the rewrite actually produced; carried-forward
     // buckets KEEP their stats (their files are carried by reference,
@@ -1488,7 +1499,7 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     if (matched == 0L) { f.delete(fin, true); return 0L }
     val keyBuckets = keys.select(bucketOf(pks.map(col)).as("__b"))
       .distinct().collect().map(_.getInt(0)).toSet // <= nBuckets values
-    val hook = beforePublish; beforePublish = () => (); hook()
+    runBeforePublish()
     var base = current
     var baseVer = readVer
     var attempt = 0
