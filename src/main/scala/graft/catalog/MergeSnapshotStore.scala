@@ -1581,8 +1581,17 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     val files = listDataFiles(meta, current, None)
     val cand = files.filter(rel => fileMayMatch(e, current, rel))
     if (cand.isEmpty) return None
-    val matches = loadFiles(meta, current, cand, predicate)
-      .groupBy(input_file_name().as("__f")).count()
+    // the file tag is captured on the RAW scan, before the merge-on-read
+    // anti-join joins a second source in — input_file_name() over the
+    // joined plan is ill-defined (and Spark refuses it), and the find
+    // phase must count the LOGICAL rows of each physical file
+    val tagged = applyDeletes(meta, current,
+      spark.read.format(meta.format).schema(current.schema)
+        .load(cand.map(rel => s"${meta.location}/$rel"): _*)
+        .withColumn("__file", input_file_name()))
+      .filter(predicate)
+    val matches = tagged
+      .groupBy(col("__file").as("__f")).count()
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     if (matches.isEmpty) return None
     val byDir = current.buckets.toSeq.map { case (b, dir) =>
