@@ -68,7 +68,11 @@ import graft.operators.{ChangeLogApplier, CuratedApplier, Dedup, DomainRunner, G
  *  20. row-level DML           updateWhere relabels a cohort in place,
  *                              deleteWhere purges a predicate, the
  *                              pure-D change feed folds the dashboards,
- *                              readWhere plans pruned-and-exact
+ *                              readWhere plans pruned-and-exact; a
+ *                              merge-on-read takedown lands as ONE key
+ *                              sidecar (no bucket moves), serves masked
+ *                              through the skipping SQL view, and
+ *                              compaction folds it flat
  *  21. theta-triage decontam   one overlap-sketch pass gates the exact
  *                              span machinery per shard; the gate is
  *                              asserted LOSSLESS against the ungated
@@ -739,10 +743,35 @@ object PipelineMain {
     val whereOk = wGot.inputFiles.length < wTotal &&
       wGot.exceptAll(wWant).count() == 0 &&
       wWant.exceptAll(wGot).count() == 0
+    // the MERGE-ON-READ takedown on the same governed table: a small
+    // predicate delete writes only a key sidecar (no bucket moves), the
+    // skipping SQL view serves the masked snapshot, and compaction
+    // folds the sidecar flat — the steady-takedown arc at the cost
+    // shape a 100 TB corpus needs (O(delete) written, not O(bucket))
+    val bucketsPre = store.manifestEntries(Db, "dml_docs",
+      store.latestVersion(Db, "dml_docs"))
+    val morPurged = store.deleteWhere(Db, "dml_docs",
+      col("src") === "src1" && col("ntok") % 7 === 0,
+      MergeSnapshotStore.MergeOnRead)
+    val vMor = store.latestVersion(Db, "dml_docs")
+    store.readSkipping(Db, "dml_docs").createOrReplaceTempView("dml_v")
+    val morSurvivors = spark.sql(
+      "SELECT count(*) AS n FROM dml_v WHERE src = 'src1' AND ntok % 7 = 0")
+      .head.getLong(0)
+    val morOk = morPurged > 0 && morSurvivors == 0 &&
+      store.manifestEntries(Db, "dml_docs", vMor) == bucketsPre &&
+      store.manifestDeletes(Db, "dml_docs", vMor).size == 1
+    store.compact(Db, "dml_docs", targetFiles = 4)
+    val morFolded = store.manifestDeletes(Db, "dml_docs",
+      store.latestVersion(Db, "dml_docs")).isEmpty &&
+      store.read(Db, "dml_docs")
+        .filter(col("src") === "src1" && col("ntok") % 7 === 0).count() == 0
     stage(20, s"row-level DML -> relabeled $relabeled, purged $purged " +
         s"(feed pure-D: $feedOk, dashboard folds delete: $dashOk), " +
-        s"readWhere ${wGot.inputFiles.length}/$wTotal files exact") {
-      dmlOk && feedOk && dashOk && whereOk
+        s"readWhere ${wGot.inputFiles.length}/$wTotal files exact, " +
+        s"MoR takedown $morPurged rows via 1 sidecar, no bucket moved: " +
+        s"$morOk, compaction folds: $morFolded") {
+      dmlOk && feedOk && dashOk && whereOk && morOk && morFolded
     }
     Materialize.releaseAll()
 

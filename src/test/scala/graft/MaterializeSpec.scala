@@ -171,6 +171,53 @@ class MaterializeSpec extends AnyFunSuite with SparkFixture {
       s"dedupPipeline leaked block sets: ${persisted -- before}")
   }
 
+  test("fanOut: worker cuts join the caller's scope, siblings share them live") {
+    Materialize.releaseAll()
+    val before = persisted
+    val shared = new java.util.concurrent.atomic.AtomicReference[
+      org.apache.spark.sql.DataFrame]()
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    Materialize.scoped {
+      Materialize.fanOut(Seq(1, 2)) {
+        case 1 =>
+          shared.set(Materialize.eager(spark.range(10).toDF("v")))
+          latch.countDown()
+        case _ =>
+          // the sibling reads the cut worker 1 created — per-task scope
+          // release would kill it mid-read (the BM25 memo hazard);
+          // fanOut defers release to the CALLER's scope instead
+          latch.await()
+          assert(shared.get().count() == 10)
+      }
+      assert(shared.get().count() == 10, "cut live until the scope closes")
+      assert((persisted -- before).nonEmpty)
+    }
+    assert((persisted -- before).isEmpty,
+      "fanOut worker cuts must release when the caller's scope closes")
+  }
+
+  test("fanOut: a failure propagates after every sibling settles; no leak") {
+    Materialize.releaseAll()
+    val before = persisted
+    val sibling = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val err = intercept[RuntimeException] {
+      Materialize.scoped {
+        Materialize.fanOut(Seq(1, 2)) {
+          case 1 =>
+            Materialize.eager(spark.range(5).toDF("v")).count()
+            throw new RuntimeException("boom")
+          case _ =>
+            Thread.sleep(100)
+            sibling.set(true)
+        }
+      }
+    }
+    assert(err.getMessage == "boom")
+    assert(sibling.get, "siblings run to completion before the rethrow")
+    assert((persisted -- before).isEmpty,
+      "a failed task's cuts still merge into the scope and release")
+  }
+
   test("clusters() releases every per-round frame except the returned labels") {
     Materialize.releaseAll()
     val before = persisted
