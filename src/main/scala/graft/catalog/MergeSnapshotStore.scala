@@ -97,6 +97,37 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
   def bucketOf(pk: Column): Column = bucketOf(Seq(pk))
   def bucketOf(pks: Seq[Column]): Column = pmod(hash(pks: _*), lit(nBuckets))
 
+  /** The bucket function of ONE TABLE — the store default unless the
+   * table overrides it ([[MergeSnapshotStore.BucketsProp]]). */
+  def bucketOf(meta: TableMeta, pks: Seq[Column]): Column =
+    pmod(hash(pks: _*), lit(nBucketsOf(meta)))
+
+  /** A table's bucket count: its `graft.nbuckets` property, else this
+   * store's default. Per-table counts matter at scale: one store mixes
+   * a 10^10-row fact (thousands of buckets so each file stays
+   * scan-sized) with config-scale dimensions and registry aggregate
+   * tables — giving THOSE the fact's bucket count turns every tiny
+   * table into thousands of near-empty files and every tiny commit
+   * into a thousands-of-task write job. The count travels with the
+   * TABLE (meta property, validated against the committed manifest's
+   * own nbuckets line), so a store opened with a different DEFAULT
+   * still reads and merges an overridden table correctly; changing the
+   * property on committed data refuses at the merge seam until an
+   * overwrite re-buckets. */
+  private[graft] def nBucketsOf(meta: TableMeta): Int =
+    meta.properties.get(MergeSnapshotStore.BucketsProp) match {
+      case None => nBuckets
+      case Some(s) =>
+        val n = try s.trim.toInt catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"${MergeSnapshotStore.BucketsProp}='$s' on ${meta.qualified} " +
+              "is not an integer")
+        }
+        require(n >= 1,
+          s"${MergeSnapshotStore.BucketsProp} must be >= 1 for ${meta.qualified}")
+        n
+    }
+
   // ---------------------------------------------------------------- manifest
 
   /** Per-file column stat in DOUBLE space (the [[Layout]] zone-map
@@ -383,9 +414,9 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
       s"pointLookup needs a registered PK for ${meta.qualified}")
     val pks = meta.primaryKey
     val m = readManifest(meta.location, resolveVersion(meta, version))
-    require(m.nBuckets == nBuckets,
+    require(m.nBuckets == nBucketsOf(meta),
       s"${meta.qualified} is committed with nBuckets=${m.nBuckets}; " +
-        s"this store was built with nBuckets=$nBuckets")
+        s"this table resolves to nBuckets=${nBucketsOf(meta)}")
     val pkTypes = pks.map(k => m.schema(k).dataType)
     val typedKeys = keys.select(pks.zip(pkTypes).map { case (k, t) =>
       col(k).cast(t).as(k) }: _*).na.drop().distinct()
@@ -409,7 +440,7 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
           // bucket function, so evaluate it over the literal keys (no
           // data scan)
           val ids = spark.range(1).select(
-              array(keyLits.map(ls => bucketOf(ls)): _*))
+              array(keyLits.map(ls => bucketOf(meta, ls)): _*))
             .head().getSeq[Int](0).toSet
           // single-column keys push down as one parquet In filter;
           // composite keys as an OR of per-key conjunctions (parquet
@@ -423,7 +454,7 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
         } catch { case scala.util.control.NonFatal(_) => None }
     inlined.getOrElse {
       // bucket ids of the lookup keys (<= nBuckets values)
-      val touched = typedKeys.select(bucketOf(pks.map(col)).as("__b"))
+      val touched = typedKeys.select(bucketOf(meta, pks.map(col)).as("__b"))
         .distinct().collect().map(_.getInt(0)).toSet
       // UNHINTED semi-join: the inline cap exists so an over-large key
       // frame cannot land on the driver — a forced broadcast here would
@@ -1158,8 +1189,8 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     val (written, stats, strStats, setStats) =
       writeData(meta, vs.lastOption.getOrElse(-1) + 1, out, meta.primaryKey,
         cluster)
-    val m = Manifest(dropBucketCol(out.schema), written, nBuckets, stats,
-      strStats, setStats)
+    val m = Manifest(dropBucketCol(out.schema), written, nBucketsOf(meta),
+      stats, strStats, setStats)
     runBeforePublish()
     var attempt = 0
     var done = false
@@ -1244,11 +1275,12 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     // store opened with a different nBuckets would compute bucket ids
     // against the wrong modulus and merge rows past their existing
     // versions (duplicate PKs, deletes that miss). Fail fast instead.
-    require(current.nBuckets == nBuckets,
+    require(current.nBuckets == nBucketsOf(meta),
       s"${meta.qualified} is committed with nBuckets=${current.nBuckets}; " +
-        s"this store was built with nBuckets=$nBuckets — open it with the " +
-        "table's bucket count (or overwrite() to re-bucket)")
-    val touched = changedKeys.select(bucketOf(pks.map(col)).as("__b")).distinct()
+        s"this table resolves to nBuckets=${nBucketsOf(meta)} — open the " +
+        "store/table with the committed bucket count (or overwrite() to " +
+        "re-bucket)")
+    val touched = changedKeys.select(bucketOf(meta, pks.map(col)).as("__b")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted // loop control; <= nBuckets values
     if (touched.isEmpty) return Nil
     commitScoped(meta, vs.last, current, touched, pks)(rewrite)
@@ -1316,7 +1348,7 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
         newBuckets.values.exists(dir =>
           commitNumberOf(dir).forall(_ < d.version)))
       if (publishManifest(meta.location, baseVer + 1,
-          Manifest(schema, newBuckets, nBuckets,
+          Manifest(schema, newBuckets, nBucketsOf(meta),
             carriedStats ++ newStats, carriedStrStats ++ newStrStats,
             carriedSetStats ++ newSetStats, liveDeletes))) {
         vacuum(meta, manifestVersions(meta.location).filter(_ <= baseVer))
@@ -1327,7 +1359,7 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
         // manifest we actually READ the rewritten rows from
         val latest = manifestVersions(meta.location).last
         val winner = readManifest(meta.location, latest)
-        require(winner.nBuckets == nBuckets,
+        require(winner.nBuckets == nBucketsOf(meta),
           s"${meta.qualified} was concurrently re-bucketed to " +
             s"nBuckets=${winner.nBuckets}; rerun against the new layout")
         // structural comparison (catalogString ignores nullability and
@@ -1435,10 +1467,10 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     require(e.deterministic,
       s"deleteWhere on ${meta.qualified} needs a deterministic predicate " +
         "— the find scan and the bucket rewrite evaluate it independently")
-    require(current.nBuckets == nBuckets,
+    require(current.nBuckets == nBucketsOf(meta),
       s"${meta.qualified} is committed with nBuckets=${current.nBuckets}; " +
-        s"this store was built with nBuckets=$nBuckets — open it with the " +
-        "table's bucket count")
+        s"this table resolves to nBuckets=${nBucketsOf(meta)} — open the " +
+        "store/table with the committed bucket count")
     mode match {
       case MergeSnapshotStore.CopyOnWrite =>
         matchedBuckets(meta, current, e, predicate) match {
@@ -1497,7 +1529,7 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     val keys = spark.read.parquet(s"${meta.location}/$rel")
     val matched = keys.count()
     if (matched == 0L) { f.delete(fin, true); return 0L }
-    val keyBuckets = keys.select(bucketOf(pks.map(col)).as("__b"))
+    val keyBuckets = keys.select(bucketOf(meta, pks.map(col)).as("__b"))
       .distinct().collect().map(_.getInt(0)).toSet // <= nBuckets values
     runBeforePublish()
     var base = current
@@ -1515,7 +1547,7 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
       }
       val latest = manifestVersions(meta.location).last
       val winner = readManifest(meta.location, latest)
-      require(winner.nBuckets == nBuckets,
+      require(winner.nBuckets == nBucketsOf(meta),
         s"${meta.qualified} was concurrently re-bucketed to " +
           s"nBuckets=${winner.nBuckets}; rerun against the new layout")
       if (winner.schema.catalogString != current.schema.catalogString)
@@ -1637,10 +1669,10 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     require(vs.nonEmpty,
       s"nothing committed at ${meta.qualified} to update")
     val current = readManifest(meta.location, vs.last)
-    require(current.nBuckets == nBuckets,
+    require(current.nBuckets == nBucketsOf(meta),
       s"${meta.qualified} is committed with nBuckets=${current.nBuckets}; " +
-        s"this store was built with nBuckets=$nBuckets — open it with the " +
-        "table's bucket count")
+        s"this table resolves to nBuckets=${nBucketsOf(meta)} — open the " +
+        "store/table with the committed bucket count")
     assignments.keys.foreach { c =>
       require(current.schema.fieldNames.contains(c),
         s"updateWhere assigns '$c' which ${meta.qualified} does not have " +
@@ -1962,9 +1994,9 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
         // ordering (no order-destroying extra sort).
         val z = Layout.zValue(dims.map { case (c, r) =>
           (promoted(col(c), df.schema(c).dataType), r) }, bits)
-        val parts = nBuckets * fpb
+        val parts = nBucketsOf(meta) * fpb
         val tokens = array(Layout.bijectiveTokens(spark, parts).map(lit): _*)
-        df.withColumn("__b", bucketOf(ks.map(col)))
+        df.withColumn("__b", bucketOf(meta, ks.map(col)))
           .withColumn("__z", z)
           .withColumn("__t", element_at(tokens,
             col("__b") * lit(fpb) + Layout.sliceOf("__z", dims.size, bits, fpb)
@@ -1973,7 +2005,8 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
           .sortWithinPartitions(col("__b"), col("__z"))
           .drop("__z", "__t")
       case (ks, _) if ks.nonEmpty =>
-        df.withColumn("__b", bucketOf(ks.map(col))).repartition(nBuckets, col("__b"))
+        df.withColumn("__b", bucketOf(meta, ks.map(col)))
+          .repartition(nBucketsOf(meta), col("__b"))
       case _ => df.withColumn("__b", lit(0))
     }
     // opted-in columns get parquet-native bloom filters written into
@@ -2323,6 +2356,13 @@ object MergeSnapshotStore {
   /** writeData's data-directory naming — the per-file commit number
    * merge-on-read delete applicability is judged against. */
   private[catalog] val CommitDirRe = "data/c(\\d+)-".r
+
+  /** Table property overriding the store's bucket count for ONE table
+   * (`graft.nbuckets`): config-scale dimensions and registry aggregate
+   * tables keep few files and cheap commits beside a thousands-of-
+   * buckets fact. Validated against the committed manifest on every
+   * merge-seam operation. */
+  val BucketsProp: String = "graft.nbuckets"
 
   /** Per-store parsed-manifest LRU bound: entries are roughly
    * manifest-file-sized, so 64 bounds the cache at ~64 manifests'

@@ -165,6 +165,59 @@ class MergeStoreSpec extends AnyFunSuite with SparkFixture {
       "emptied bucket should disappear from the manifest")
   }
 
+  test("per-table bucket counts: small dims keep few files beside a wide fact") {
+    import spark.implicits._
+    val store = mkStore(nBuckets = 16, retentionMs = 60000L)
+    store.catalog.register(TableMeta("ptb", "fact",
+      Files.createTempDirectory("graft-ptb-fact").toString,
+      primaryKey = Seq("id")))
+    val dimMeta = TableMeta("ptb", "dim",
+      Files.createTempDirectory("graft-ptb-dim").toString,
+      primaryKey = Seq("id"),
+      properties = Map(MergeSnapshotStore.BucketsProp -> "2"))
+    store.catalog.register(dimMeta)
+    store.overwrite("ptb", "fact", idTable(256))
+    store.overwrite("ptb", "dim", idTable(64))
+    assert(store.manifestEntries("ptb", "fact",
+      store.latestVersion("ptb", "fact")).size == 16)
+    assert(store.manifestEntries("ptb", "dim",
+      store.latestVersion("ptb", "dim")).size == 2,
+      "the override, not the store default, shapes the dim's layout")
+    // merge + point lookup run against the TABLE's own modulus
+    store.mergeScoped("ptb", "dim", Seq(7).toDF("id"))(old =>
+      old.withColumn("name",
+        when(col("id") === 7, lit("dim-upd")).otherwise(col("name"))))
+    assert(store.read("ptb", "dim")
+      .filter(col("name") === "dim-upd").count() == 1)
+    val lk = store.pointLookup("ptb", "dim", Seq(7).toDF("id"))
+    assert(lk.count() == 1)
+    assert(lk.inputFiles.length <
+      store.read("ptb", "dim").inputFiles.length,
+      "the lookup must prune to the key's own bucket")
+    // the count travels with the TABLE: a store opened with a different
+    // DEFAULT still reads and merges the overridden dim correctly...
+    val other = new MergeSnapshotStore(spark, store.catalog, nBuckets = 8,
+      keepVersions = 2, vacuumRetentionMs = 60000L)
+    assert(other.read("ptb", "dim").count() == 64)
+    other.mergeScoped("ptb", "dim", Seq(9).toDF("id"))(old =>
+      old.filter(col("id") =!= 9))
+    assert(other.read("ptb", "dim").count() == 63)
+    // ...while the DEFAULT-bucketed fact refuses under the wrong default
+    intercept[IllegalArgumentException] {
+      other.mergeScoped("ptb", "fact", Seq(1).toDF("id"))(old => old)
+    }
+    // changing the override on committed data refuses at the merge seam
+    // until an overwrite re-buckets
+    store.catalog.register(dimMeta.copy(properties =
+      Map(MergeSnapshotStore.BucketsProp -> "4")))
+    intercept[IllegalArgumentException] {
+      store.mergeScoped("ptb", "dim", Seq(3).toDF("id"))(old => old)
+    }
+    store.overwrite("ptb", "dim", idTable(64))
+    assert(store.manifestEntries("ptb", "dim",
+      store.latestVersion("ptb", "dim")).size == 4)
+  }
+
   test("manifest cache: one parse per version, vacuumed versions still fail loudly") {
     val store = mkStore(nBuckets = 4)
     register(store, "mc", "mc_t", "id")
