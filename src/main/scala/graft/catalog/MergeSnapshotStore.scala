@@ -94,6 +94,10 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
    * single-column form is the same function (`hash(c)` ==
    * `hash(Seq(c): _*)`), so pre-composite tables' layouts are
    * unchanged byte-for-byte. */
+  /** Bucket id under the STORE DEFAULT count — only valid for tables
+   * without a [[MergeSnapshotStore.BucketsProp]] override; a table
+   * carrying one must go through [[bucketOf(meta:TableMeta*]], or the
+   * ids come out under the wrong modulus with no error. */
   def bucketOf(pk: Column): Column = bucketOf(Seq(pk))
   def bucketOf(pks: Seq[Column]): Column = pmod(hash(pks: _*), lit(nBuckets))
 
@@ -198,13 +202,16 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
    * the entries for the manifests it deletes, so a same-store read of a
    * vacuumed version still fails loudly (the keepVersions contract).
    * A version another WRITER's vacuum expired may keep serving from
-   * this store's cache — which is the pinned-reader promise working as
-   * documented: the data dirs outlive the manifest by the retention
-   * window, so a reader that resolved its manifest keeps answering
-   * until the window closes (previously it failed the moment the file
-   * vanished, earlier than the promise); version resolution for NEW
-   * pins still goes through the live listing (resolveVersion) and
-   * refuses expired versions loudly. The win at scale: serving paths
+   * this store's cache: inside the retention window that is the
+   * pinned-reader promise working as documented (the data dirs outlive
+   * the manifest file, so a reader that resolved its manifest keeps
+   * answering — previously it failed the moment the file vanished,
+   * earlier than the promise); PAST the window a cached cross-writer
+   * read fails at scan time with a missing-path error rather than the
+   * retention message — the cross-store trade the cache makes (no
+   * wrong data is possible: version paths never recur). Version
+   * resolution for NEW pins still goes through the live listing
+   * (resolveVersion) and refuses expired versions loudly. The win at scale: serving paths
    * resolve four manifests per query batch — one GET + parse of a
    * 10^4-file manifest each, every batch, without the cache. Out of
    * contract: wiping a location's ENTIRE history out-of-band and
@@ -279,6 +286,13 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     val m = Manifest(schema, SortedMap(buckets: _*), nb, stats, strStats,
       setStats, deletes)
     manifestCache.put(key, m)
+    // close the parse-vs-vacuum race: a concurrent vacuum that deleted
+    // this file and swept the cache BETWEEN our open and our put would
+    // leave the entry resurrecting a vacuumed version forever; one
+    // exists() per MISS (never per hit) catches every interleaving —
+    // on a store whose exists() lags (the object-store fixture) this
+    // merely disables caching there, which is the safe direction
+    if (!fs(p).exists(p)) manifestCache.remove(key)
     m
   }
 
@@ -629,16 +643,26 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     }
   }
 
+  /** The pruned-file read funnel. `tagCol` (the DML find phase) adds
+   * input_file_name() ON THE RAW SCAN, before [[applyDeletes]] joins a
+   * second source in — the expression is ill-defined (and refused by
+   * Spark) over the joined plan. One funnel, so the masking layers can
+   * never diverge between the find phase and every other read. */
   private def loadFiles(meta: TableMeta, m: Manifest, keep: Seq[String],
-                        pred: Column): DataFrame =
+                        pred: Column,
+                        tagCol: Option[String] = None): DataFrame =
     if (keep.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        m.schema).filter(pred)
-    else
-      applyDeletes(meta, m,
-        spark.read.format(meta.format).schema(m.schema)
-          .load(keep.map(rel => s"${meta.location}/$rel"): _*))
+      tagCol.foldLeft(
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          m.schema))((df, c) => df.withColumn(c, lit("")))
         .filter(pred)
+    else {
+      val raw = spark.read.format(meta.format).schema(m.schema)
+        .load(keep.map(rel => s"${meta.location}/$rel"): _*)
+      applyDeletes(meta, m,
+        tagCol.foldLeft(raw)((df, c) => df.withColumn(c, input_file_name())))
+        .filter(pred)
+    }
 
   /**
    * Data skipping on STRING columns: scan only the files whose
@@ -1613,16 +1637,9 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     val files = listDataFiles(meta, current, None)
     val cand = files.filter(rel => fileMayMatch(e, current, rel))
     if (cand.isEmpty) return None
-    // the file tag is captured on the RAW scan, before the merge-on-read
-    // anti-join joins a second source in — input_file_name() over the
-    // joined plan is ill-defined (and Spark refuses it), and the find
-    // phase must count the LOGICAL rows of each physical file
-    val tagged = applyDeletes(meta, current,
-      spark.read.format(meta.format).schema(current.schema)
-        .load(cand.map(rel => s"${meta.location}/$rel"): _*)
-        .withColumn("__file", input_file_name()))
-      .filter(predicate)
-    val matches = tagged
+    // the tagged funnel counts each physical file's LOGICAL rows (the
+    // tag is captured on the raw scan, before the MoR anti-join)
+    val matches = loadFiles(meta, current, cand, predicate, Some("__file"))
       .groupBy(col("__file").as("__f")).count()
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     if (matches.isEmpty) return None

@@ -126,18 +126,23 @@ class SqlSkippingSpec extends AnyFunSuite with SparkFixture {
       (0 until 7).map(i => (i, s"nm$i")).toDF("tag", "tag_name"))
     store.readSkipping("sdb", "bfact").createOrReplaceTempView("bfact_v")
     store.readSkipping("sdb", "bdim").createOrReplaceTempView("bdim_v")
-    val joined = spark.sql(
-      "SELECT f.id, d.tag_name FROM bfact_v f JOIN bdim_v d ON f.tag = d.tag")
-    joined.collect()
-    // the index reports the snapshot's true byte size, so Catalyst's
-    // auto-broadcast threshold sees the dim as small — the join must
-    // plan as a broadcast, not a two-sided shuffle
-    val bhj = deepCollect(joined.queryExecution.executedPlan) {
-      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
-    }
-    assert(bhj.nonEmpty,
-      s"expected a BroadcastHashJoin over the small store dim:\n" +
-        joined.queryExecution.executedPlan.toString.take(2000))
+    // AQE OFF for the pin: adaptive execution would convert the join to
+    // a broadcast at RUNTIME from the observed shuffle size even if
+    // sizeInBytes were wrong — the static plan is what proves the
+    // index's statistic drives Catalyst's auto-broadcast decision
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val joined = spark.sql(
+        "SELECT f.id, d.tag_name FROM bfact_v f JOIN bdim_v d ON f.tag = d.tag")
+      assert(joined.count() == 2000)
+      val bhj = deepCollect(joined.queryExecution.executedPlan) {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+      }
+      assert(bhj.nonEmpty,
+        s"expected a statically planned BroadcastHashJoin over the small " +
+          s"store dim:\n" +
+          joined.queryExecution.executedPlan.toString.take(2000))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
   test("unpredicated SQL reads every file; pinned version reads the old list") {
