@@ -92,6 +92,42 @@ class HllIvmSpec extends AnyFunSuite with SparkFixture {
     assert(cnt("g9") == 1L)
   }
 
+  test("sketch folds are pure plan builders: zero Spark jobs launched") {
+    // The U/D refusal must ride the delta aggregation itself — the old
+    // shape ran a separate limit(1)-probe ACTION per sketch per batch,
+    // which at N maintained sketches is N extra jobs every micro-batch.
+    // Pin the contract: invoking all three sketch folds builds plans
+    // and launches NOTHING; the refusal (previous test) then fires with
+    // the fold's own materializing action.
+    import spark.implicits._
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    val sc = spark.sparkContext
+    org.apache.spark.GraftListenerBusAccess.waitUntilEmpty(sc)
+    sc.addSparkListener(l)
+    try {
+      val base = snap(10)
+      val chg = Seq(("I", 99L, "g9", 5L)).toDF("change", "id", "grp_in", "v")
+      val specs = Seq(
+        Ivm.hllDistinctSpec("t", col("grp_in"), col("v")),
+        Ivm.kllQuantileSpec("t", col("grp_in"), col("v").cast("double")),
+        Ivm.freqItemsSpec("t", col("grp_in"), col("v")))
+      val folded = specs.map { s =>
+        s.fold(s.seed(base), base, base, chg, Seq("id"))
+      }
+      org.apache.spark.GraftListenerBusAccess.waitUntilEmpty(sc)
+      assert(jobs.get() == 0,
+        s"building ${specs.size} sketch folds launched ${jobs.get()} " +
+          "Spark job(s) — a per-sketch probe action is back")
+      // the plans are real: each materializes cleanly in its own action
+      folded.foreach(f => assert(f.count() > 0))
+    } finally sc.removeSparkListener(l)
+  }
+
   test("registry refuses a U/D batch up front — before the base commits") {
     import spark.implicits._
     val store = mkStore()

@@ -135,4 +135,23 @@ class KllIvmSpec extends AnyFunSuite with SparkFixture {
     assert(rows("a") == Some(5.0), "nulls must not perturb the sketch")
     assert(rows("b") == None, "an all-null group has no quantile")
   }
+
+  test("value-type discipline: non-double input refuses at analysis") {
+    // update() casts to Double, so a wrong-typed column must fail as an
+    // analysis error (like the Theta/Freq siblings) — not surface as an
+    // executor-side ClassCastException deep inside a running fold
+    import spark.implicits._
+    import graft.functions.KllSketchExpressions.kllAgg
+    val bad = Seq((1L, "not-a-double")).toDF("g", "v")
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      bad.groupBy("g").agg(kllAgg(col("v")).as("kll")).collect()
+    }
+    assert(err.getMessage.contains("DOUBLE"),
+      s"expected the deliberate-cast message, got: ${err.getMessage}")
+    // the spec helper casts for the caller, so the ergonomic path stays
+    // open for any numeric input
+    val ok = Ivm.kllQuantileSpec("t", col("grp_in"), col("v"))
+      .seed(Seq((1L, "a", 5)).toDF("id", "grp_in", "v"))
+    assert(Ivm.kllQuantiles(ok, Seq(0.5)).collect().head.getDouble(1) == 5.0)
+  }
 }
