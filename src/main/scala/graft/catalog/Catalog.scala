@@ -116,6 +116,17 @@ class SnapshotStore(spark: SparkSession, val catalog: Catalog, keepVersions: Int
    * into) skipping without the runners knowing their class. */
   def readSkipping(db: String, table: String): DataFrame = read(db, table)
 
+  /** [[readSkipping]] pinned to a committed version (`None` = latest):
+   * the seam AS-OF SQL surfaces route through, so stores with
+   * manifest-stats skipping ([[MergeSnapshotStore]]'s override) prune a
+   * pinned read's files exactly as they prune HEAD's. Base contract:
+   * the plain versioned snapshot read. */
+  def readSkipping(db: String, table: String,
+                   version: Option[Int]): DataFrame = version match {
+    case None => readSkipping(db, table)
+    case Some(v) => readVersion(catalog(db, table), v)
+  }
+
   def readVersion(meta: TableMeta, version: Int): DataFrame =
     spark.read.format(meta.format).load(f"${meta.location}/v=$version%06d")
 
@@ -206,13 +217,30 @@ class SnapshotStore(spark: SparkSession, val catalog: Catalog, keepVersions: Int
    * (README.md:53): frequent small CDC batches fragment snapshots;
    * periodic compaction restores scan-sized files. The version vacuum
    * already bounds the "large number of generations" complaint
-   * (README.md:54).
+   * (README.md:54). Returns what the pass accomplished — the base
+   * store carries no delete sidecars, so its report only names the new
+   * version; [[MergeSnapshotStore]]'s override reports the
+   * merge-on-read debt it folded away.
    */
-  def compact(db: String, table: String, targetFiles: Int): Unit = {
+  def compact(db: String, table: String, targetFiles: Int): CompactionReport = {
     require(targetFiles >= 1, "targetFiles must be >= 1")
     overwrite(db, table, read(db, table).repartition(targetFiles))
+    CompactionReport(latestVersion(db, table), 0, 0L)
   }
 }
+
+/** What one maintenance rewrite ([[SnapshotStore.compact]] /
+ * [[MergeSnapshotStore.compactClustered]]) accomplished: the version it
+ * published, and the merge-on-read delete debt it folded away —
+ * `clearedSidecars` sidecar directories whose keys stop riding every
+ * read's anti-join, carrying `clearedDeletedRows` recorded keys (the sum
+ * of the cleared sidecars' KNOWN counts; sidecars from manifests
+ * predating the count field contribute 0 here while still counting in
+ * `clearedSidecars`). Pairs with [[MergeSnapshotStore.deleteDebt]]: the
+ * advisor says when to run maintenance, the report says what it paid
+ * off. */
+case class CompactionReport(version: Int, clearedSidecars: Int,
+                            clearedDeletedRows: Long)
 
 object SnapshotStore {
   /** Align `df` to the union of `existing` and `df.schema` (nulls for gaps). */

@@ -166,8 +166,15 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
    * `cNNNNNN` in their directory name) is BELOW `version` — files
    * written at or after it are exempt, so a later re-insert of a
    * deleted key survives (the sequence-number rule that makes equality
-   * deletes sound under continued writes). */
-  private case class DeleteFile(rel: String, version: Int)
+   * deletes sound under continued writes). `rows` is the sidecar's key
+   * count, recorded at write time so [[deleteDebt]] can price the
+   * read-time anti-join from the manifest alone (-1 on manifests from
+   * before the field existed — count unknown, never zero). `kind`
+   * distinguishes equality sidecars (PK tuples, keyed tables) from
+   * position sidecars ((file, row-ordinal) addresses, PK-less tables)
+   * — Iceberg v2's two delete-file kinds. */
+  private case class DeleteFile(rel: String, version: Int, rows: Long = -1L,
+                                kind: String = MergeSnapshotStore.EqDeleteKind)
 
   private case class Manifest(schema: StructType, buckets: SortedMap[Int, String],
                               nBuckets: Int,
@@ -278,10 +285,18 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
       parts(1) -> SetStat(parts(2), vals)
     }.groupBy(_._1).map { case (f, ss) => f -> ss.map(_._2).toSeq }
     // delete sidecars (paths are store-generated, no encoding needed);
-    // manifests from before the MoR feature simply carry none
+    // manifests from before the MoR feature simply carry none, 3-field
+    // lines from before the row-count field read as unknown, and the
+    // kind field defaults to equality (the only kind that predates it)
     val deletes = lines.collect { case s if s.startsWith("d\t") =>
-      val Array(_, rel, ver) = s.split('\t')
-      DeleteFile(rel, ver.toInt)
+      s.split('\t') match {
+        case Array(_, rel, ver) => DeleteFile(rel, ver.toInt)
+        case Array(_, rel, ver, rows) => DeleteFile(rel, ver.toInt, rows.toLong)
+        case Array(_, rel, ver, rows, kind) =>
+          DeleteFile(rel, ver.toInt, rows.toLong, kind)
+        case other => throw new IllegalStateException(
+          s"malformed delete-sidecar manifest line: ${other.mkString("\\t")}")
+      }
     }
     val m = Manifest(schema, SortedMap(buckets: _*), nb, stats, strStats,
       setStats, deletes)
@@ -318,7 +333,8 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
         ss.map(s => s"v\t$f\t${s.column}\t${s.values.size}" +
           (if (s.values.isEmpty) "" else s"\t${s.values.map(b64).mkString(",")}"))
       } ++
-      m.deletes.map(d => s"d\t${d.rel}\t${d.version}")).mkString("\n")
+      m.deletes.map(d =>
+        s"d\t${d.rel}\t${d.version}\t${d.rows}\t${d.kind}")).mkString("\n")
     val fin = manifestPath(location, v)
     manifestLog.putIfAbsent(fs(fin), fin, content)
   }
@@ -386,13 +402,14 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
    * serving pin past the vacuum horizon fails with the
    * finish-inside-the-retention-window error instead of a raw
    * FileNotFoundException from a reclaimed directory. `None` reads the
-   * latest snapshot — the one seam both serving modes route through. */
+   * latest snapshot — the one seam both serving modes route through.
+   * The read IS the skipping scan ([[readSkipping]] at the pinned
+   * version): an AS-OF query's pushed predicates prune files through
+   * the pinned manifest's stats exactly as HEAD SQL does — a serving
+   * pin changes WHICH manifest answers, never how much it scans. */
   def readPinned(db: String, table: String,
-                 version: Option[Int]): DataFrame = {
-    val meta = catalog0(db, table)
-    load(meta, readManifest(meta.location, resolveVersion(meta, version)),
-      None)
-  }
+                 version: Option[Int]): DataFrame =
+    readSkipping(db, table, version)
 
   /** Scan only the given buckets of the latest snapshot — the file-pruned
    * read a key-scoped merge or point-lookup wants. */
@@ -481,40 +498,46 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
   private def load(meta: TableMeta, m: Manifest, only: Option[Set[Int]]): DataFrame = {
     val dirs = m.buckets.toSeq
       .collect { case (b, dir) if only.forall(_.contains(b)) => s"${meta.location}/$dir" }
-    val raw =
-      if (dirs.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
-      else spark.read.format(meta.format).schema(m.schema).load(dirs: _*)
-    applyDeletes(meta, m, raw)
+    // an empty selection masks to an empty selection — and the local
+    // empty relation has no scan metadata columns for the position-
+    // delete arm to read, so applyDeletes must not see it
+    if (dirs.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
+    else
+      applyDeletes(meta, m,
+        spark.read.format(meta.format).schema(m.schema).load(dirs: _*))
   }
 
   /** The merge-on-read delete view — the read-time half of
    * [[deleteWhere]]'s MergeOnRead mode, applied by EVERY read funnel
-   * (full loads, pruned file loads, the SQL skipping scan): anti-join
-   * away rows whose PK appears in a delete sidecar that APPLIES to the
-   * row's file. Applicability is the sequence-number rule: a sidecar
-   * committed at version D erases only rows in files whose commit
-   * number (parsed from the `data/cNNNNNN-` directory the writer named)
-   * is BELOW D — files written at or after D are exempt, so a CDC
-   * merge that re-inserts a deleted key is not silently re-deleted.
-   * One broadcast anti-join regardless of how many sidecars exist (the
-   * keys union delete-sized by the MoR contract); zero cost when the
-   * manifest carries none. */
+   * (full loads, pruned file loads, the SQL skipping scan). Two sidecar
+   * kinds, Iceberg v2's pair:
+   *
+   *  - EQUALITY deletes (keyed tables): anti-join away rows whose PK
+   *    appears in a sidecar that APPLIES to the row's file, under the
+   *    sequence-number rule — a sidecar committed at version D erases
+   *    only rows in files whose commit number (parsed from the
+   *    `data/cNNNNNN-` directory the writer named) is BELOW D, so a CDC
+   *    merge that re-inserts a deleted key is not silently re-deleted.
+   *  - POSITION deletes (PK-less tables): anti-join away exact
+   *    (file, row-ordinal) addresses. Addresses bind to the physical
+   *    file identity, so re-inserts are exempt BY CONSTRUCTION (new
+   *    files are new paths) and no version rule is needed.
+   *
+   * One broadcast anti-join per kind regardless of how many sidecars
+   * exist (the keys union delete-sized by the MoR contract); zero cost
+   * when the manifest carries none. Scan-stage address columns
+   * (file commit number, row address) are captured BEFORE any join —
+   * metadata columns resolve on the relation, not through join output. */
   private def applyDeletes(meta: TableMeta, m: Manifest,
                            df: DataFrame): DataFrame =
     if (m.deletes.isEmpty) df
     else {
       import org.apache.spark.sql.functions.{broadcast, coalesce, input_file_name, regexp_extract_all, try_element_at}
-      val pks = meta.primaryKey
-      require(pks.nonEmpty,
-        s"${meta.qualified} carries delete sidecars but no PK — " +
-          "equality deletes are keyed; the manifest is corrupt")
-      val dels = m.deletes.map { d =>
-        spark.read.parquet(s"${meta.location}/${d.rel}")
-          .select(pks.map(col) :+ lit(d.version).as("__dv"): _*)
-      }.reduce(_.unionByName(_))
-      val keyed = pks.foldLeft(dels)((f, k) =>
-        f.withColumnRenamed(k, s"__dk_$k"))
+      val (eqDels, posDels) =
+        m.deletes.partition(_.kind == MergeSnapshotStore.EqDeleteKind)
+      // ---- scan-stage address capture (both kinds, before any join)
       // the row's file commit number, read in the scan stage; every
       // data file lives under data/cNNNNNN-<nonce>/ by writeData's
       // naming (sidecar dirs are d-prefixed, so they can never match).
@@ -523,13 +546,72 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
       // that itself contains a "data/c<digits>-" segment would fool a
       // first-match parse into one constant commit number — silently
       // breaking the sequence rule in both directions
-      val withFv = df.withColumn("__fv",
-        try_element_at(regexp_extract_all(input_file_name(),
-          lit("data/c(\\d+)-"), lit(1)), lit(-1)).cast("int"))
-      val cond = pks.map(k => withFv(k) <=> keyed(s"__dk_$k"))
-        .reduce(_ && _) && coalesce(withFv("__fv") < keyed("__dv"), lit(false))
-      withFv.join(broadcast(keyed), cond, "left_anti").drop("__fv")
+      val withFv =
+        if (eqDels.isEmpty) df
+        else df.withColumn("__fv",
+          try_element_at(regexp_extract_all(input_file_name(),
+            lit("data/c(\\d+)-"), lit(1)), lit(-1)).cast("int"))
+      // a find scan passes a frame already carrying row addresses (it
+      // needs them for its own sidecar); every other funnel derives
+      // them here and gets them dropped below
+      val hadAddr = df.columns.contains(MergeSnapshotStore.PosFileCol)
+      val addressed =
+        if (posDels.isEmpty || hadAddr) withFv else withRowAddress(withFv)
+      // ---- equality kind
+      val afterEq =
+        if (eqDels.isEmpty) addressed
+        else {
+          val pks = meta.primaryKey
+          require(pks.nonEmpty,
+            s"${meta.qualified} carries equality-delete sidecars but no " +
+              "PK — equality deletes are keyed; the manifest is corrupt")
+          val dels = eqDels.map { d =>
+            spark.read.parquet(s"${meta.location}/${d.rel}")
+              .select(pks.map(col) :+ lit(d.version).as("__dv"): _*)
+          }.reduce(_.unionByName(_))
+          val keyed = pks.foldLeft(dels)((f, k) =>
+            f.withColumnRenamed(k, s"__dk_$k"))
+          val cond = pks.map(k => addressed(k) <=> keyed(s"__dk_$k"))
+            .reduce(_ && _) &&
+            coalesce(addressed("__fv") < keyed("__dv"), lit(false))
+          addressed.join(broadcast(keyed), cond, "left_anti")
+        }
+      // ---- position kind
+      val afterPos =
+        if (posDels.isEmpty) afterEq
+        else {
+          val addrs = posDels.map { d =>
+            spark.read.parquet(s"${meta.location}/${d.rel}")
+              .select(col("__file"), col("__pos"))
+          }.reduce(_.unionByName(_))
+          val cond =
+            afterEq(MergeSnapshotStore.PosFileCol) === addrs("__file") &&
+              afterEq(MergeSnapshotStore.PosPosCol) === addrs("__pos")
+          afterEq.join(broadcast(addrs), cond, "left_anti")
+        }
+      afterPos.drop(
+        (Seq("__fv") ++ (if (hadAddr) Nil
+          else Seq(MergeSnapshotStore.PosFileCol,
+            MergeSnapshotStore.PosPosCol))): _*)
     }
+
+  /** The row's physical address — its file's table-relative path and
+   * its ordinal within that file — captured from the scan's metadata
+   * columns (`_metadata.file_path` / `_metadata.row_index`, the parquet
+   * reader's row-position support). The relative form survives a table
+   * LOCATION move and normalizes scheme differences; an unmatched path
+   * yields "" and the position-delete WRITER refuses it loudly (a
+   * silent empty address would drop the delete at read time). */
+  private def withRowAddress(df: DataFrame): DataFrame =
+    df.withColumn(MergeSnapshotStore.PosFileCol,
+        org.apache.spark.sql.functions.regexp_extract(
+          // the exact three-segment tail writeData produces
+          // (commit dir / bucket dir / file); $-anchored and
+          // segment-typed, so a table LOCATION containing a look-alike
+          // "data/c" segment can never shift the capture
+          col("_metadata.file_path"),
+          "(data/c\\d+-[^/]+/__b=\\d+/[^/]+)$", 1))
+      .withColumn(MergeSnapshotStore.PosPosCol, col("_metadata.row_index"))
 
   /**
    * Data skipping over a committed snapshot: scan only the files whose
@@ -866,14 +948,16 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     readSkipping(db, table, None)
 
   /** [[readSkipping]] pinned to a committed-and-retained version. */
-  def readSkipping(db: String, table: String,
-                   version: Option[Int]): DataFrame =
+  override def readSkipping(db: String, table: String,
+                            version: Option[Int]): DataFrame =
     skippingScan(db, table, version) match {
       case Some((df, _)) => df
-      case None => version match {
-        case None => read(db, table)
-        case Some(_) => readPinned(db, table, version)
-      }
+      case None =>
+        // non-parquet fallback: the plain manifest-resolved load (same
+        // retention-validated version resolution, no FileIndex)
+        val meta = catalog0(db, table)
+        load(meta,
+          readManifest(meta.location, resolveVersion(meta, version)), None)
     }
 
   /** [[readSkipping]]'s body, exposing the [[StoreFileIndex]] for
@@ -1527,11 +1611,16 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
   private def deleteWhereMor(meta: TableMeta, readVer: Int,
                              current: Manifest,
                              e: org.apache.spark.sql.catalyst.expressions.Expression,
-                             predicate: Column): Long = {
-    require(meta.hasPrimaryKey,
-      s"merge-on-read delete needs a registered PK for ${meta.qualified} " +
-        "— the sidecar lists row identities (equality deletes); use " +
-        "CopyOnWrite on PK-less tables")
+                             predicate: Column): Long =
+    if (meta.hasPrimaryKey) deleteWhereMorEq(meta, readVer, current, e, predicate)
+    else deleteWhereMorPos(meta, readVer, current, e, predicate)
+
+  /** The equality-delete body (keyed tables): the sidecar lists matched
+   * PK tuples; the sequence rule exempts later files. */
+  private def deleteWhereMorEq(meta: TableMeta, readVer: Int,
+                               current: Manifest,
+                               e: org.apache.spark.sql.catalyst.expressions.Expression,
+                               predicate: Column): Long = {
     val pks = meta.primaryKey
     val files = listDataFiles(meta, current, None)
     val cand = files.filter(rel => fileMayMatch(e, current, rel))
@@ -1555,6 +1644,80 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     if (matched == 0L) { f.delete(fin, true); return 0L }
     val keyBuckets = keys.select(bucketOf(meta, pks.map(col)).as("__b"))
       .distinct().collect().map(_.getInt(0)).toSet // <= nBuckets values
+    publishMorSidecar(meta, readVer, current, e, rel, matched, keyBuckets,
+      MergeSnapshotStore.EqDeleteKind, "merge-on-read delete")
+  }
+
+  /** The position-delete body (PK-less tables — raw crawl shards, log
+   * dumps): with no row identity to list, the sidecar records each
+   * matched row's PHYSICAL address — its data file's table-relative
+   * path and its ordinal within that file, captured from the parquet
+   * reader's metadata columns. Addresses bind to file identity, so no
+   * sequence rule is needed: a later re-insert lands in a NEW file and
+   * is exempt by construction, and a rewrite of a referenced file makes
+   * the sidecar line dead the same way the eq kind's does. The find
+   * scan runs over the LOGICAL view (earlier sidecars of either kind
+   * mask already-deleted rows, so they never re-match) with the
+   * addresses captured at the scan stage. Rebase adjudication guards
+   * the REFERENCED buckets: a racing rewrite of a bucket whose files
+   * this delete addressed would orphan those addresses (the file dies,
+   * the delete silently un-happens), so it refuses like the eq path's
+   * key-owning buckets. */
+  private def deleteWhereMorPos(meta: TableMeta, readVer: Int,
+                                current: Manifest,
+                                e: org.apache.spark.sql.catalyst.expressions.Expression,
+                                predicate: Column): Long = {
+    require(meta.format == "parquet",
+      s"merge-on-read position deletes on ${meta.qualified} need parquet " +
+        "data files (row addresses come from the reader's " +
+        "_metadata.row_index) — use CopyOnWrite for other formats")
+    val files = listDataFiles(meta, current, None)
+    val cand = files.filter(rel => fileMayMatch(e, current, rel))
+    if (cand.isEmpty) return 0L
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val rel = f"data/d${readVer + 1}%06d-$nonce/k"
+    val tmp = new Path(f"${meta.location}/data/.tmp-d${readVer + 1}%06d-$nonce")
+    val fin = new Path(f"${meta.location}/data/d${readVer + 1}%06d-$nonce")
+    val f = fs(fin)
+    val raw = spark.read.format(meta.format).schema(current.schema)
+      .load(cand.map(r => s"${meta.location}/$r"): _*)
+    applyDeletes(meta, current, withRowAddress(raw))
+      .filter(predicate)
+      .select(col(MergeSnapshotStore.PosFileCol).as("__file"),
+        col(MergeSnapshotStore.PosPosCol).as("__pos"))
+      .coalesce(1) // delete-sized by contract
+      .write.mode("errorifexists").parquet(s"$tmp/k")
+    if (!f.rename(tmp, fin))
+      throw new IllegalStateException(s"delete sidecar rename failed: $tmp -> $fin")
+    val addrs = spark.read.parquet(s"${meta.location}/$rel")
+    val matched = addrs.count()
+    if (matched == 0L) { f.delete(fin, true); return 0L }
+    // a row whose file path failed to relativize would be silently
+    // unmaskable at read time — refuse before publishing
+    require(addrs.filter(col("__file") === "").isEmpty,
+      s"position delete on ${meta.qualified} matched rows in a data file " +
+        "outside the store's data/cNNNNNN naming — refusing to publish " +
+        "an unmaskable address")
+    val refFiles = addrs.select("__file").distinct()
+      .collect().map(_.getString(0)).toSet // <= candidate file count
+    val refBuckets = current.buckets.collect {
+      case (b, dir) if refFiles.exists(_.startsWith(s"$dir/")) => b
+    }.toSet
+    publishMorSidecar(meta, readVer, current, e, rel, matched, refBuckets,
+      MergeSnapshotStore.PosDeleteKind, "merge-on-read position delete")
+  }
+
+  /** The shared CAS-publish tail of both MoR delete kinds: append one
+   * sidecar line to the current manifest, rebasing on losses only when
+   * the winner neither rewrote a guarded bucket (key-owning for eq,
+   * address-referenced for pos) nor wrote files that may match the
+   * predicate (the [[dmlRebaseGuard]] concurrent-insert hazard). */
+  private def publishMorSidecar(meta: TableMeta, readVer: Int,
+                                current: Manifest,
+                                e: org.apache.spark.sql.catalyst.expressions.Expression,
+                                rel: String, matched: Long,
+                                guardBuckets: Set[Int],
+                                kind: String, op: String): Long = {
     runBeforePublish()
     var base = current
     var baseVer = readVer
@@ -1562,7 +1725,7 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     while (true) {
       if (publishManifest(meta.location, baseVer + 1,
           base.copy(deletes =
-            base.deletes :+ DeleteFile(rel, baseVer + 1)))) {
+            base.deletes :+ DeleteFile(rel, baseVer + 1, matched, kind)))) {
         vacuum(meta, manifestVersions(meta.location).filter(_ <= baseVer))
         // a racing vacuum may have tombstoned the fresh sidecar dir
         // between its rename and this publish — same clear as data dirs
@@ -1577,23 +1740,23 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
       if (winner.schema.catalogString != current.schema.catalogString)
         throw new java.util.ConcurrentModificationException(
           s"concurrent commit to ${meta.qualified} changed the schema " +
-            s"while this delete (base version $readVer) was in flight — " +
+            s"while this $op (base version $readVer) was in flight — " +
             "rerun against the new snapshot")
-      val moved = keyBuckets.filter(b =>
+      val moved = guardBuckets.filter(b =>
         winner.buckets.get(b) != current.buckets.get(b))
       if (moved.nonEmpty)
         throw new java.util.ConcurrentModificationException(
           s"concurrent commit to ${meta.qualified} rewrote buckets " +
-            s"${moved.toSeq.sorted.mkString(",")} owning keys this " +
-            s"merge-on-read delete matched (base version $readVer, now " +
-            s"$latest) — rerun against the new snapshot")
-      dmlRebaseGuard(meta, current, e, "merge-on-read delete")(winner)
+            s"${moved.toSeq.sorted.mkString(",")} this $op depends on " +
+            s"(base version $readVer, now $latest) — rerun against the " +
+            "new snapshot")
+      dmlRebaseGuard(meta, current, e, op)(winner)
       attempt += 1
       if (attempt >= MergeSnapshotStore.MaxCommitAttempts)
         throw new java.util.ConcurrentModificationException(
-          s"could not commit merge-on-read delete to ${meta.qualified} " +
-            s"after $attempt rebases — writers keep taking every version; " +
-            "retry or serialize the writers")
+          s"could not commit $op to ${meta.qualified} after $attempt " +
+            "rebases — writers keep taking every version; retry or " +
+            "serialize the writers")
       base = winner
       baseVer = latest
     }
@@ -1831,6 +1994,51 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
   }
 
   /**
+   * Merge-on-read delete debt of one snapshot — [[maintenanceAdvisor]]'s
+   * sidecar dimension (the Iceberg `rewrite_position_deletes`
+   * maintenance story): a table taking steady MoR takedowns pays a
+   * growing broadcast anti-join on EVERY read until a whole-table
+   * rewrite ([[compact]] / [[compactClustered]]) re-materializes the
+   * logical view and drops the sidecars, and without this signal
+   * nothing tells the operator when. Read purely from the manifest
+   * (driver-side, manifest-scale; no data I/O): the read-time price is
+   * one parquet open per sidecar plus the union of their keys riding
+   * the broadcast, so the advice fires when EITHER the sidecar COUNT
+   * reaches `adviseAtSidecars` (per-read open/union overhead) or the
+   * recorded deleted-key MASS reaches `adviseAtRows` (broadcast size —
+   * the anti-join must stay delete-sized to stay a broadcast).
+   *
+   * `deletedRows` sums the manifest-recorded key counts; sidecars from
+   * manifests predating the count field report -1 there and contribute
+   * nothing, so the sum is a LOWER bound and `rowsKnown` says whether
+   * it is exact — the count threshold still sees every sidecar, so
+   * accumulation is never invisible. `liveSidecars` counts sidecars at
+   * least one current data file still predates (the rest are dead
+   * weight the next commit drops on its own); ADVICE keys off the
+   * total, because even a dead sidecar's keys are opened and
+   * broadcast on every read until a commit retires the line.
+   */
+  def deleteDebt(db: String, table: String,
+                 adviseAtSidecars: Int = 4,
+                 adviseAtRows: Long = 1L << 20,
+                 version: Option[Int] = None)
+      : MergeSnapshotStore.DeleteDebt = {
+    require(adviseAtSidecars >= 1, "adviseAtSidecars must be >= 1")
+    require(adviseAtRows >= 1L, "adviseAtRows must be >= 1")
+    val meta = catalog0(db, table)
+    val m = readManifest(meta.location, resolveVersion(meta, version))
+    val live = m.deletes.count(d =>
+      m.buckets.values.exists(dir =>
+        commitNumberOf(dir).forall(_ < d.version)))
+    val known = m.deletes.filter(_.rows >= 0L)
+    val rows = known.map(_.rows).sum
+    MergeSnapshotStore.DeleteDebt(m.deletes.size, live, rows,
+      rowsKnown = known.size == m.deletes.size,
+      compactAdvised =
+        m.deletes.size >= adviseAtSidecars || rows >= adviseAtRows)
+  }
+
+  /**
    * Compaction in the merge layout is bucket-granular: a PK table's
    * [[writeData]] already collapses each bucket to one file, so a full
    * rewrite IS the compacted form and `targetFiles` only shapes PK-less
@@ -1838,16 +2046,35 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
    * base implementation's `repartition(targetFiles)` would be silently
    * re-partitioned on the bucket column here.
    */
-  override def compact(db: String, table: String, targetFiles: Int): Unit = {
+  override def compact(db: String, table: String, targetFiles: Int)
+      : CompactionReport = {
     require(targetFiles >= 1, "targetFiles must be >= 1")
     val meta = catalog0(db, table)
     val vs = manifestVersions(meta.location)
     require(vs.nonEmpty, s"no manifest versions at ${meta.location}")
+    val before = readManifest(meta.location, vs.last).deletes
     val df = readVersion(meta, vs.last)
     val out =
       if (meta.hasPrimaryKey) df
       else df.repartition(targetFiles)
     overwriteWith(meta, out, requireBase = Some(vs.last))
+    compactionReport(meta, before)
+  }
+
+  /** The [[CompactionReport]] of a just-published rewrite: the debt paid
+   * is the sidecar set the pre-rewrite manifest carried (captured BEFORE
+   * the rewrite — the commit's vacuum may reclaim that manifest) minus
+   * whatever survived into the new head (a full rewrite postdates every
+   * sidecar, so normally all of it; a racing MoR delete can land a NEW
+   * sidecar between our read and the report, which correctly does not
+   * count as cleared). */
+  private def compactionReport(meta: TableMeta,
+                               before: Seq[DeleteFile]): CompactionReport = {
+    val now = manifestVersions(meta.location).last
+    val after = readManifest(meta.location, now).deletes.map(_.rel).toSet
+    val cleared = before.filterNot(d => after.contains(d.rel))
+    CompactionReport(now, cleared.size,
+      cleared.collect { case d if d.rows >= 0 => d.rows }.sum)
   }
 
   /**
@@ -1874,7 +2101,7 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
    */
   def compactClustered(db: String, table: String,
                        dims: Seq[(String, Option[(Double, Double)])],
-                       filesPerBucket: Int, bits: Int = 8): Unit = {
+                       filesPerBucket: Int, bits: Int = 8): CompactionReport = {
     require(filesPerBucket >= 1, "filesPerBucket must be >= 1")
     val meta = catalog0(db, table)
     require(meta.hasPrimaryKey,
@@ -1890,11 +2117,13 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     // by time" and time-window reads speak one coordinate system. A
     // raw date would not even cast to double; a raw timestamp would
     // silently land in SECONDS and disagree with the micros stats.
+    val before = readManifest(meta.location, base).deletes
     val shadow = df.select(dims.map { case (c, _) =>
       promoted(col(c), df.schema(c).dataType).as(c) }: _*)
     val resolved = Layout.resolveRanges(shadow, dims)
     overwriteWith(meta, df, Some((resolved, bits, filesPerBucket)),
       requireBase = Some(base))
+    compactionReport(meta, before)
   }
 
   /** A column promoted into the manifest's epoch-based double space —
@@ -2456,6 +2685,17 @@ object MergeSnapshotStore {
    * reads them executor-side. */
   val FooterInlineFiles: Int = 64
 
+  /** Delete-sidecar kinds (Iceberg v2's pair): equality sidecars hold
+   * PK tuples and obey the sequence-number rule; position sidecars hold
+   * (file, row-ordinal) addresses and bind to physical file identity. */
+  private[catalog] val EqDeleteKind: String = "eq"
+  private[catalog] val PosDeleteKind: String = "pos"
+
+  /** Internal column names a position-delete find scan and the read
+   * funnel share for the row's physical address. */
+  private[catalog] val PosFileCol: String = "__graft_pos_file"
+  private[catalog] val PosPosCol: String = "__graft_pos_idx"
+
   /** One column's layout health from [[MergeSnapshotStore
    * .maintenanceAdvisor]]: `expectedScanFraction` is the mean
    * normalized per-file width of the column's manifest bounds — the
@@ -2467,6 +2707,19 @@ object MergeSnapshotStore {
   case class LayoutHealth(column: String, files: Int, statless: Int,
                           expectedScanFraction: Double,
                           compactAdvised: Boolean)
+
+  /** One snapshot's merge-on-read delete debt from
+   * [[MergeSnapshotStore.deleteDebt]]: `sidecars` delete directories
+   * ride every read's anti-join (of which `liveSidecars` still mask at
+   * least one current data file — the rest retire at the next commit),
+   * carrying `deletedRows` recorded keys (`rowsKnown` false when any
+   * sidecar predates the count field, making the sum a lower bound);
+   * `compactAdvised` says a [[MergeSnapshotStore.compact]] /
+   * [[MergeSnapshotStore.compactClustered]] pass would measurably
+   * cheapen reads, per the thresholds the caller asked about. */
+  case class DeleteDebt(sidecars: Int, liveSidecars: Int,
+                        deletedRows: Long, rowsKnown: Boolean,
+                        compactAdvised: Boolean)
 
   /** Table property opting columns INTO per-file VALUE-SET stats
    * (comma-separated names): unlike the min/max and string bounds —

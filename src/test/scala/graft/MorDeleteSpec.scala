@@ -170,6 +170,76 @@ class MorDeleteSpec extends AnyFunSuite with SparkFixture {
       frame(64).filter(col("id") =!= 3L))
   }
 
+  test("delete-debt advisor: fires on sidecar buildup, quiet after compaction") {
+    import graft.catalog.MergeSnapshotStore.DeleteDebt
+    val store = mkStore()
+    register(store, "debt")
+    store.overwrite("mdb", "debt", frame(256))
+    assert(store.deleteDebt("mdb", "debt") ==
+      DeleteDebt(0, 0, 0L, rowsKnown = true, compactAdvised = false),
+      "a sidecar-free table carries no debt")
+
+    // three 1-row takedowns: counts and recorded key mass are exact,
+    // below the default thresholds — no advice yet
+    (0 until 3).foreach { i =>
+      assert(store.deleteWhere("mdb", "debt", col("id") === i.toLong, Mor) == 1L)
+    }
+    val d3 = store.deleteDebt("mdb", "debt")
+    assert(d3 == DeleteDebt(3, 3, 3L, rowsKnown = true, compactAdvised = false))
+
+    // threshold math, both dimensions independently: the same state
+    // advises at a count threshold it reaches, and at a mass threshold
+    // the recorded keys reach — the advisor prices per-read sidecar
+    // opens AND broadcast mass, whichever crosses first
+    assert(store.deleteDebt("mdb", "debt", adviseAtSidecars = 3).compactAdvised)
+    assert(store.deleteDebt("mdb", "debt", adviseAtRows = 3L).compactAdvised)
+    assert(!store.deleteDebt("mdb", "debt",
+      adviseAtSidecars = 4, adviseAtRows = 4L).compactAdvised)
+
+    // a fourth, fatter takedown crosses the default count threshold
+    assert(store.deleteWhere("mdb", "debt", col("cls") === "c3", Mor) == 64L)
+    val d4 = store.deleteDebt("mdb", "debt")
+    assert(d4 == DeleteDebt(4, 4, 67L, rowsKnown = true, compactAdvised = true))
+
+    // compaction reports exactly the debt it folded away, and the
+    // advisor goes quiet on the rewritten table
+    val rep = store.compact("mdb", "debt", targetFiles = 1)
+    assert(rep.version == store.latestVersion("mdb", "debt"))
+    assert(rep.clearedSidecars == 4 && rep.clearedDeletedRows == 67L)
+    assert(store.deleteDebt("mdb", "debt") ==
+      DeleteDebt(0, 0, 0L, rowsKnown = true, compactAdvised = false))
+    assertExact(store.read("mdb", "debt"),
+      frame(256).filter(col("cls") =!= "c3" && col("id") >= 3L))
+  }
+
+  test("pre-count-field manifests read as rows-unknown, still counted") {
+    // a 3-field `d` line (manifests written before the row-count field)
+    // must parse as rows = unknown: the mass sum turns lower-bound and
+    // rowsKnown false, while the COUNT threshold still sees the sidecar
+    // — accumulation is never invisible on an old table
+    val store = mkStore()
+    val meta = register(store, "old")
+    store.overwrite("mdb", "old", frame(64))
+    assert(store.deleteWhere("mdb", "old", col("id") === 5L, Mor) == 1L)
+    val v = store.latestVersion("mdb", "old")
+    val mf = java.nio.file.Paths.get(meta.location, f"v=$v%06d.manifest")
+    val stripped = new String(java.nio.file.Files.readAllBytes(mf), "UTF-8")
+      .linesIterator.map { l =>
+        if (l.startsWith("d\t")) l.split('\t').take(3).mkString("\t") else l
+      }.mkString("\n")
+    java.nio.file.Files.write(mf, stripped.getBytes("UTF-8"))
+    // a FRESH store re-parses (the writer's instance-scoped cache still
+    // holds the 4-field form — write-once manifests are never re-read)
+    val reader = new MergeSnapshotStore(spark, store.catalog, nBuckets = 4,
+      keepVersions = 2, vacuumRetentionMs = 0L)
+    val d = reader.deleteDebt("mdb", "old")
+    assert(d.sidecars == 1 && d.deletedRows == 0L && !d.rowsKnown)
+    assert(reader.deleteDebt("mdb", "old", adviseAtSidecars = 1).compactAdvised)
+    // and the logical view is untouched by the missing field
+    assertExact(reader.read("mdb", "old"),
+      frame(64).filter(col("id") =!= 5L))
+  }
+
   test("MoR composes with IVM: the pure-D feed folds a dashboard to rebuild equality") {
     import graft.operators.Ivm
     val store = mkStore()
@@ -190,7 +260,7 @@ class MorDeleteSpec extends AnyFunSuite with SparkFixture {
     assertExact(folded, rebuilt)
   }
 
-  test("no-match MoR delete commits nothing; PK-less tables refuse") {
+  test("no-match MoR delete commits nothing (either kind)") {
     val store = mkStore()
     register(store, "nm")
     store.overwrite("mdb", "nm", frame())
@@ -198,12 +268,64 @@ class MorDeleteSpec extends AnyFunSuite with SparkFixture {
     assert(store.deleteWhere("mdb", "nm", col("v") > 100000L, Mor) == 0L)
     assert(store.latestVersion("mdb", "nm") == v0, "no version bump")
     assert(store.manifestDeletes("mdb", "nm", v0).isEmpty)
+    register(store, "nopk_nm", pk = Nil)
+    store.overwrite("mdb", "nopk_nm", frame())
+    val p0 = store.latestVersion("mdb", "nopk_nm")
+    assert(store.deleteWhere("mdb", "nopk_nm", col("v") > 100000L, Mor) == 0L)
+    assert(store.latestVersion("mdb", "nopk_nm") == p0, "no version bump")
+  }
+
+  test("position deletes: PK-less MoR masks exact row addresses, O(delete) written") {
+    val store = mkStore()
     register(store, "nopk", pk = Nil)
     store.overwrite("mdb", "nopk", frame())
-    val err = intercept[IllegalArgumentException] {
-      store.deleteWhere("mdb", "nopk", col("v") < 10L, Mor)
-    }
-    assert(err.getMessage.contains("PK"))
+    val v0 = store.latestVersion("mdb", "nopk")
+    val buckets0 = store.manifestEntries("mdb", "nopk", v0)
+
+    assert(store.deleteWhere("mdb", "nopk", col("cls") === "c1", Mor) == 64L)
+    val v1 = store.latestVersion("mdb", "nopk")
+    assert(store.manifestEntries("mdb", "nopk", v1) == buckets0,
+      "a position delete must not rewrite any data file")
+    // every read funnel masks: full load, stats-pruned load, SQL scan
+    assertExact(store.read("mdb", "nopk"),
+      frame().filter(col("cls") =!= "c1"))
+    assertExact(store.readWhere("mdb", "nopk", col("v") < 10L),
+      frame().filter(col("v") < 10L && col("cls") =!= "c1"))
+    val Some((sqlFrame, _)) = store.skippingScan("mdb", "nopk")
+    assert(sqlFrame.count() == 192L)
+
+    // composition: a second delete works over the logical view — rows
+    // the first sidecar masked never re-match
+    assert(store.deleteWhere("mdb", "nopk", col("v") === 0L, Mor) == 1L)
+    assert(store.deleteWhere("mdb", "nopk", col("cls") === "c1", Mor) == 0L)
+    assertExact(store.read("mdb", "nopk"),
+      frame().filter(col("cls") =!= "c1" && col("v") =!= 0L))
+
+    // the debt advisor and the compaction report see position sidecars
+    // exactly like equality ones, and compact folds them away
+    val debt = store.deleteDebt("mdb", "nopk")
+    assert(debt.sidecars == 2 && debt.deletedRows == 65L && debt.rowsKnown)
+    val rep = store.compact("mdb", "nopk", targetFiles = 2)
+    assert(rep.clearedSidecars == 2 && rep.clearedDeletedRows == 65L)
+    assert(store.manifestDeletes("mdb", "nopk",
+      store.latestVersion("mdb", "nopk")).isEmpty)
+    assertExact(store.read("mdb", "nopk"),
+      frame().filter(col("cls") =!= "c1" && col("v") =!= 0L))
+  }
+
+  test("position deletes mask duplicate physical rows individually") {
+    import spark.implicits._
+    // PK-less corpora hold byte-identical rows (raw crawl shards); a
+    // position delete erases the MATCHED PHYSICAL rows — the count is
+    // the physical row count, not the distinct-value count
+    val store = mkStore()
+    register(store, "dup", pk = Nil)
+    val rows = Seq(("a", 1L), ("a", 1L), ("a", 1L), ("b", 2L))
+      .toDF("k", "v")
+    store.overwrite("mdb", "dup", rows)
+    assert(store.deleteWhere("mdb", "dup", col("k") === "a", Mor) == 3L)
+    assert(store.read("mdb", "dup").collect().map(_.getString(0)).toSeq ==
+      Seq("b"))
   }
 
   test("races: key-bucket rewrite refuses; elsewhere-merge rebases clean") {

@@ -104,4 +104,61 @@ class MorPropSpec extends AnyFunSuite with SparkFixture {
       }
     }
   }
+
+  test("random PK-less interleavings: position deletes == multiset model") {
+    import spark.implicits._
+    // PK-less tables have no row identity, so the model is a MULTISET —
+    // the seed data deliberately carries duplicate rows (v collides mod
+    // 40), the shape where equality semantics would be WRONG (all copies
+    // die) and position semantics must erase exactly the matched
+    // physical rows. Interleaves position MoR deletes, copy-on-write
+    // deletes, and compactions; after every op the store's logical
+    // snapshot equals the model's multiset exactly.
+    for (seed <- Seq(1L, 2L, 3L)) {
+      val rnd = new scala.util.Random(20260815L * seed + 7)
+      val store = new MergeSnapshotStore(spark, new InMemoryCatalog,
+        nBuckets = 4, keepVersions = 3, vacuumRetentionMs = 60000L)
+      val tbl = s"p$seed"
+      store.catalog.register(TableMeta("pdb", tbl,
+        Files.createTempDirectory(s"graft-morprop-$tbl").toString))
+      var model: Seq[(Long, String)] =
+        (0L until 48L).map(i => (i * 3 % 40, s"c${i % 4}"))
+      store.overwrite("pdb", tbl,
+        model.toDF("v", "cls").repartition(4, col("v")))
+      def check(at: String): Unit = {
+        val got = store.read("pdb", tbl).collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+        assert(got == model.sorted, s"store diverged from the model after $at")
+      }
+      check("seed")
+      for (step <- 1 to 8) {
+        val what = rnd.nextInt(3) match {
+          case 0 => // position MoR delete by value band
+            val lo = rnd.nextLong(40)
+            val hi = lo + rnd.nextLong(15)
+            val n = store.deleteWhere("pdb", tbl,
+              col("v") >= lo && col("v") <= hi, Mor)
+            val (dead, live) = model.partition { case (v, _) => v >= lo && v <= hi }
+            assert(n == dead.size,
+              s"pos count at [$lo,$hi]: got $n want ${dead.size}")
+            model = live
+            s"posDelete[$lo,$hi]"
+          case 1 => // copy-on-write delete by class (single-bucket rewrite)
+            val cls = s"c${rnd.nextInt(4)}"
+            val n = store.deleteWhere("pdb", tbl, col("cls") === cls)
+            val (dead, live) = model.partition(_._2 == cls)
+            assert(n == dead.size, s"CoW count at $cls")
+            model = live
+            s"cowDelete($cls)"
+          case 2 => // compaction folds position sidecars flat
+            store.compact("pdb", tbl, targetFiles = 2)
+            assert(store.manifestDeletes("pdb", tbl,
+              store.latestVersion("pdb", tbl)).isEmpty,
+              "compaction must clear the position sidecar list")
+            "compact"
+        }
+        check(s"seed=$seed step=$step $what")
+      }
+    }
+  }
 }
