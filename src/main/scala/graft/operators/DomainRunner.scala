@@ -51,9 +51,18 @@ final class DomainRunner(spark: SparkSession, store: SnapshotStore) {
    * through the manifest stats before a footer opens — results are
    * identical (pruning is a sound superset), only the file list
    * shrinks. */
-  def runStatement(db: String, d: DomainDef, processId: Long): DataFrame = {
+  def runStatement(db: String, d: DomainDef, processId: Long): DataFrame =
+    runStatement(db, d, processId, Map.empty)
+
+  /** [[runStatement]] with per-dependency version pins (AS-OF domain
+   * SQL): a pinned dependency's temp view is the SKIPPING scan of that
+   * committed-and-retained version, so time-travel resolutions prune
+   * files exactly as HEAD resolutions do; unpinned dependencies read
+   * HEAD as before. */
+  def runStatement(db: String, d: DomainDef, processId: Long,
+                   pins: Map[String, Int]): DataFrame = {
     d.dependencies.foreach { dep =>
-      DomainRunner.storeView(store, db, dep.trim)
+      DomainRunner.storeView(store, db, dep.trim, pins.get(dep.trim))
         .createOrReplaceTempView(dep.trim)
     }
     spark.sql(d.resolution).withColumn("process_id", lit(processId))
@@ -87,8 +96,9 @@ object DomainRunner {
    * future stores keep skipping without the runners knowing their
    * class. */
   private[operators] def storeView(store: SnapshotStore, db: String,
-                                   table: String): DataFrame =
-    store.readSkipping(db, table)
+                                   table: String,
+                                   version: Option[Int] = None): DataFrame =
+    store.readSkipping(db, table, version)
 
   /**
    * Catalog-registration type narrowing (reference `glue_datatypes` +

@@ -35,10 +35,14 @@ final class CuratedApplier(store: SnapshotStore,
 final class QueryRunner(store: SnapshotStore) {
   /** On a MergeSnapshotStore the scan is the SKIPPING read: the parsed
    * `where` prunes files through the manifest stats (same walk as the
-   * typed readWhere) before any footer opens. */
+   * typed readWhere) before any footer opens. `asOfVersion` pins the
+   * read to a committed-and-retained version — AS-OF queries prune
+   * through the pinned manifest exactly as HEAD queries do. */
   def run(db: String, table: String, fields: Seq[String],
-          where: String = "1=1"): DataFrame =
-    QueryRunner.select(DomainRunner.storeView(store, db, table), fields, where)
+          where: String = "1=1",
+          asOfVersion: Option[Int] = None): DataFrame =
+    QueryRunner.select(
+      DomainRunner.storeView(store, db, table, asOfVersion), fields, where)
 
   def apply(df: DataFrame, fields: Seq[String], where: String): DataFrame =
     QueryRunner.select(df, fields, where)

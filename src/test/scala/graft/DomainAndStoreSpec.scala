@@ -126,6 +126,25 @@ class DomainAndStoreSpec extends AnyFunSuite with SparkFixture {
     assert(out.count() > 0)
   }
 
+  test("domain SQL with a pinned dependency resolves AS-OF that version") {
+    import graft.model.DomainDef
+    // own fixture table — the shared offenders bootstrap stays untouched
+    catalog.register(TableMeta("db", "asof_dep", s"$tmp/asof_dep"))
+    import spark.implicits._
+    store.overwrite("db", "asof_dep",
+      (0 until 20).map(i => (i.toLong, s"r$i")).toDF("id", "name"))
+    val v0 = store.latestVersion("db", "asof_dep")
+    store.overwrite("db", "asof_dep",
+      (0 until 5).map(i => (i.toLong, s"r$i")).toDF("id", "name"))
+    val d = DomainDef("live", "table", "dom", Seq("asof_dep"), "asof_out",
+      "SELECT id, name FROM asof_dep")
+    val runner = new DomainRunner(spark, store)
+    // HEAD resolution sees the new snapshot; the pinned one sees v0
+    assert(runner.runStatement("db", d, 1L).count() == 5)
+    assert(runner.runStatement("db", d, 1L,
+      pins = Map("asof_dep" -> v0)).count() == 20)
+  }
+
   test("curated promotion is the identity hook (reference stage 3)") {
     bootstrap()
     catalog.register(TableMeta("db", "offenders_curated", s"$tmp/offenders_curated"))

@@ -160,6 +160,42 @@ class SqlSkippingSpec extends AnyFunSuite with SparkFixture {
     assert(store.readSkipping("sdb", "pin", Some(v0)).count() == n0)
   }
 
+  test("AS-OF SQL prunes through the pinned manifest exactly like readWhere there") {
+    val store = mkStore()
+    register(store, "asof")
+    store.overwrite("sdb", "asof", fact(2000))
+    val v0 = store.latestVersion("sdb", "asof")
+    // move HEAD to a different snapshot so the pin is provably non-HEAD
+    store.overwrite("sdb", "asof", fact(400))
+    val pred = col("v") >= 100.0 && col("v") <= 200.0
+
+    val Some((frame, idx)) = store.skippingScan("sdb", "asof", Some(v0))
+    frame.createOrReplaceTempView("asof_view")
+    val got = spark.sql(
+      "SELECT id, v, s, tag FROM asof_view WHERE v >= 100.0 AND v <= 200.0")
+    val want = store.readVersion(store.catalog("sdb", "asof"), v0).filter(pred)
+    assert(canon(got) == canon(want), "AS-OF skipping changed the answer")
+    // file-list equality with the typed readWhere AT THE PINNED VERSION
+    assert(idx.lastKept.toSet ==
+      store.prunedFiles("sdb", "asof", pred, Some(v0)).toSet,
+      "pinned SQL pruning diverged from pinned readWhere")
+    assert(idx.lastKept.size < idx.inputFiles.length,
+      "the pinned range fixture must actually prune")
+
+    // the serving seam routes through the same scan: QueryRunner AS-OF
+    // answers from the pinned snapshot
+    val qr = new graft.operators.QueryRunner(store)
+    assert(canon(qr.run("sdb", "asof", Seq("id", "v"),
+        "v >= 100.0 AND v <= 200.0", asOfVersion = Some(v0))) ==
+      canon(want.select("id", "v")))
+    // and readPinned (now the skipping scan) keeps the retention-window
+    // validation contract for expired pins
+    val err = intercept[IllegalArgumentException] {
+      store.readPinned("sdb", "asof", Some(v0 + 99))
+    }
+    assert(err.getMessage.contains("retention"))
+  }
+
   test("non-parquet tables fall back to the plain snapshot read") {
     val store = mkStore(nBuckets = 2)
     register(store, "js", format = "json")
