@@ -364,6 +364,43 @@ object StreamingAnalytics {
                     "before resuming")
               parts.toSeq.map(_.toInt)
             } else {
+              // FRESH batch: before pinning, detect OUT-OF-BAND commits
+              // since this runner's previous batch — a merge-on-read
+              // takedown (or any direct DML) landing on the base between
+              // micro-batches moves rows the delta contract never sees,
+              // so folding this batch naively would leave the aggregates
+              // permanently carrying the taken-down rows' contribution.
+              // The previous batch's marker proves where the runner left
+              // every table (each +1: one overwrite per table per
+              // batch); any table past that means foreign commits —
+              // repair by RESEEDING every aggregate from the CURRENT
+              // logical snapshot (the masked, sidecar-applied view: the
+              // read funnels apply deletes), the batch registry's own
+              // repair discipline, then fold this batch on top. Reseed
+              // is snapshot-priced and runs ONLY when drift is proven.
+              val prevVs: Option[Seq[Int]] =
+                (try fs.listStatus(markers).toSeq
+                 catch { case _: java.io.FileNotFoundException => Nil })
+                  .flatMap { st =>
+                    val n = st.getPath.getName
+                    if (!n.startsWith("batch-")) None
+                    else scala.util.Try(n.stripPrefix("batch-").toLong)
+                      .toOption.filter(_ < batchId).map(_ -> st.getPath)
+                  }.sortBy(_._1).lastOption.map { case (_, p) =>
+                    val in = fs.open(p)
+                    val body = try scala.io.Source.fromInputStream(in,
+                      "UTF-8").mkString.trim finally in.close()
+                    body.split('\n')(0).split(",").toSeq.map(_.toInt)
+                  }
+              val now = aggs.map(a => store.latestVersion(db, a.table)) :+
+                store.latestVersion(db, snapTable)
+              prevVs.filter(_.size == now.size).foreach { pv =>
+                if (now != pv.map(_ + 1)) {
+                  val cur = store.read(db, snapTable)
+                  graft.operators.Materialize.fanOut(aggs) { a =>
+                    store.overwrite(db, a.table, a.seed(cur)) }
+                }
+              }
               val vs = aggs.map(a => store.latestVersion(db, a.table)) :+
                 store.latestVersion(db, snapTable)
               require(vs.forall(_ >= 0),

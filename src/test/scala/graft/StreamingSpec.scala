@@ -592,6 +592,57 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
         s"names-less refusal still moved $t"))
   }
 
+  test("streaming MoR visibility: a mid-stream takedown folds masked, dashboard repairs") {
+    import spark.implicits._
+    import graft.operators.Ivm
+    import graft.catalog.MergeSnapshotStore
+    val tmp = Files.createTempDirectory("graft-stream-mor").toString
+    val catalog = new InMemoryCatalog
+    // a REAL retention window: the runner's pinned reads and the
+    // takedown's sidecar must outlive each other's vacuums
+    val store = new MergeSnapshotStore(spark, catalog, nBuckets = 4,
+      keepVersions = 3, vacuumRetentionMs = 60000L)
+    catalog.register(TableMeta("xdb", "snap", s"$tmp/snap",
+      primaryKey = Seq("k")))
+    catalog.register(TableMeta("xdb", "x_cs", s"$tmp/x_cs"))
+    val specs = Seq(Ivm.countSumSpec("x_cs", col("grp_in"), col("v")))
+    val init = Seq((1L, "a", 10L), (2L, "a", 5L), (3L, "b", 30L))
+      .toDF("k", "grp_in", "v")
+    store.overwrite("xdb", "snap", init)
+    specs.foreach(a => store.overwrite("xdb", a.table, a.seed(init)))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String, Option[String], Option[Long])]
+    val q = StreamingAnalytics.maintainAggregates(
+      ms.toDF().toDF("k", "change", "grp_in", "v"), store, "xdb", "snap",
+      specs, Seq("k"), s"$tmp/ckpt")
+    try {
+      ms.addData((4L, "I", Some("b"), Some(40L)))
+      q.processAllAvailable()
+      // OUT-OF-BAND merge-on-read takedown directly on the base: the
+      // sidecar masks group a's rows; no changelog rides the stream
+      assert(store.deleteWhere("xdb", "snap", col("grp_in") === "a",
+        MergeSnapshotStore.MergeOnRead) == 2L)
+      assert(store.manifestDeletes("xdb", "snap",
+        store.latestVersion("xdb", "snap")).nonEmpty,
+        "the takedown must land as a sidecar, not a rewrite")
+      // the next micro-batch must fold against the MASKED snapshot
+      // (read funnels apply deletes) and the runner must detect the
+      // foreign commit and repair the dashboard before folding
+      ms.addData((5L, "I", Some("b"), Some(7L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSet
+    val snap = store.read("xdb", "snap")
+    // the masked rows stayed gone through the fold and the new row landed
+    assert(canon(snap.select("k")) == Set("[3]", "[4]", "[5]"),
+      s"snapshot diverged: ${canon(snap)}")
+    // maintained == rebuild-from-scratch on the post-takedown snapshot
+    assert(canon(store.read("xdb", "x_cs")) ==
+      canon(Ivm.countSumAgg(snap, col("grp_in"), col("v"))),
+      "the dashboard must repair to the masked truth")
+  }
+
   test("streaming registry: HLL dashboard on an insert stream; a delete fails the stream") {
     import spark.implicits._
     import graft.operators.Ivm
