@@ -171,6 +171,11 @@ object Bench {
     // of that can clip the single JSON contract line off a captured tail
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
+    // re-registering a checkpoint block logs "Block rdd_N already
+    // exists" from the BlockManager at WARN — same fixed-tail hazard
+    // (r16's captured window arrived part-filled with these)
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.storage", org.apache.logging.log4j.Level.ERROR)
 
     // opt-in local-iteration filter (comma-separated full names or
     // short prefixes): the driver never sets it, so the contract run is
