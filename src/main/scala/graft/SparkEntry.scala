@@ -2121,6 +2121,85 @@ object SparkEntry {
       store.read("q68", "orders").orderBy("o_orderkey")
     }),
 
+    // Merge-on-read POSITION delete (Iceberg v2's other delete-file
+    // kind): the same takedown as q68 on a PK-LESS table — no row
+    // identity to list, so the sidecar records each matched row's
+    // physical (file, row-ordinal) address from the parquet scan's
+    // metadata columns; re-inserts are exempt by construction (new
+    // files are new paths) and the logical snapshot must equal the
+    // same NOT-filtered oracle — the sidecar KIND changes the physics,
+    // never the answer
+    "q70_store_pos_delete" -> ((s, d) => {
+      import graft.catalog.{InMemoryCatalog, MergeSnapshotStore, TableMeta}
+      val orders = t(s, d, "orders").select(col("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+      val work = java.nio.file.Files.createTempDirectory("graft-q70").toString
+      val cat = new InMemoryCatalog
+      cat.register(TableMeta("q70", "orders", s"$work/orders")) // NO PK
+      val store = new MergeSnapshotStore(s, cat, nBuckets = 8)
+      store.overwrite("q70", "orders", orders.repartition(8))
+      store.deleteWhere("q70", "orders",
+        col("o_orderstatus") === "F" && col("o_totalprice") < 100000.0,
+        MergeSnapshotStore.MergeOnRead)
+      store.read("q70", "orders").orderBy("o_orderkey")
+    }),
+
+    // AS-OF SQL through the skipping scan: HEAD moves on (only open
+    // orders survive the second overwrite), then the ad-hoc query
+    // surface asks the PINNED version a band question — the predicate
+    // prunes files through v0's own manifest stats exactly as HEAD SQL
+    // would, and the answer is v0's full band (time travel changes
+    // WHICH manifest answers, never the answer's truth)
+    "q71_store_asof_scan" -> ((s, d) => {
+      import graft.catalog.{InMemoryCatalog, MergeSnapshotStore, TableMeta}
+      import graft.operators.QueryRunner
+      val orders = t(s, d, "orders").select(col("o_orderkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+      val work = java.nio.file.Files.createTempDirectory("graft-q71").toString
+      val cat = new InMemoryCatalog
+      cat.register(TableMeta("q71", "orders", s"$work/orders"))
+      val store = new MergeSnapshotStore(s, cat, nBuckets = 8,
+        keepVersions = 3)
+      store.overwrite("q71", "orders",
+        orders.repartitionByRange(8, col("o_totalprice")))
+      val v0 = store.latestVersion("q71", "orders")
+      store.overwrite("q71", "orders",
+        orders.filter(col("o_orderstatus") === "O"))
+      new QueryRunner(store)
+        .run("q71", "orders", Seq("o_orderkey", "o_totalprice"),
+          "o_totalprice >= 50000.0 AND o_totalprice <= 75000.0",
+          asOfVersion = Some(v0))
+        .orderBy("o_orderkey")
+    }),
+
+    // The delete-debt advisor as an oracle-gated fact: two MoR
+    // takedowns with disjoint predicates land two sidecars whose
+    // recorded key mass the manifest carries exactly — the advisor's
+    // counts must equal the oracle's own count of the matched rows,
+    // and the count threshold fires at 2
+    "q72_store_delete_debt" -> ((s, d) => {
+      import graft.catalog.{InMemoryCatalog, MergeSnapshotStore, TableMeta}
+      val orders = t(s, d, "orders").select(col("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+      val work = java.nio.file.Files.createTempDirectory("graft-q72").toString
+      val cat = new InMemoryCatalog
+      cat.register(TableMeta("q72", "orders", s"$work/orders",
+        primaryKey = Seq("o_orderkey")))
+      val store = new MergeSnapshotStore(s, cat, nBuckets = 8)
+      store.overwrite("q72", "orders", orders)
+      store.deleteWhere("q72", "orders",
+        col("o_orderstatus") === "F" && col("o_totalprice") < 100000.0,
+        MergeSnapshotStore.MergeOnRead)
+      store.deleteWhere("q72", "orders", col("o_orderstatus") === "P",
+        MergeSnapshotStore.MergeOnRead)
+      val debt = store.deleteDebt("q72", "orders", adviseAtSidecars = 2)
+      import s.implicits._
+      Seq((debt.sidecars, debt.liveSidecars, debt.deletedRows,
+        debt.rowsKnown, debt.compactAdvised))
+        .toDF("sidecars", "live_sidecars", "deleted_rows",
+          "rows_known", "advised")
+    }),
+
     // The SQL surface THROUGH the storage engine (readSkipping /
     // StoreFileIndex): the reference's primary query shape — domain SQL
     // over temp views (reference src/apply_to_domains.py:54-68) — runs
@@ -4665,6 +4744,32 @@ object SparkEntry {
          FROM orders
          WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 100000.0)
          ORDER BY o_orderkey""",
+
+    // the position-delete snapshot equals the same NOT-filtered scan —
+    // the sidecar kind (addresses vs keys) never moves the answer
+    "q70_store_pos_delete" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+         FROM orders
+         WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 100000.0)
+         ORDER BY o_orderkey""",
+
+    // the AS-OF band answers from the PINNED (full) snapshot, not the
+    // open-orders HEAD the second overwrite left behind
+    "q71_store_asof_scan" ->
+      """SELECT o_orderkey, o_totalprice
+         FROM orders
+         WHERE o_totalprice >= 50000.0 AND o_totalprice <= 75000.0
+         ORDER BY o_orderkey""",
+
+    // the advisor's manifest-read debt equals the oracle's own count of
+    // the two takedowns' matched rows; the count threshold fires at 2
+    "q72_store_delete_debt" ->
+      """SELECT 2 AS sidecars, 2 AS live_sidecars,
+                (SELECT count(*) FROM orders
+                 WHERE o_orderstatus = 'F' AND o_totalprice < 100000.0)
+                + (SELECT count(*) FROM orders
+                   WHERE o_orderstatus = 'P') AS deleted_rows,
+                TRUE AS rows_known, TRUE AS advised""",
 
     // SQL over store-backed skipping views must equal the identical SQL
     // over the raw tables (pruning is a sound superset of the matches;
