@@ -120,11 +120,21 @@ class SnapshotStore(spark: SparkSession, val catalog: Catalog, keepVersions: Int
    * the seam AS-OF SQL surfaces route through, so stores with
    * manifest-stats skipping ([[MergeSnapshotStore]]'s override) prune a
    * pinned read's files exactly as they prune HEAD's. Base contract:
-   * the plain versioned snapshot read. */
+   * the plain versioned snapshot read, under the same pinned-read
+   * validation the override gives — an uncommitted or vacuumed version
+   * fails HERE with the retention-window message, not lazily with a
+   * path-not-found at action time. */
   def readSkipping(db: String, table: String,
                    version: Option[Int]): DataFrame = version match {
     case None => readSkipping(db, table)
-    case Some(v) => readVersion(catalog(db, table), v)
+    case Some(v) =>
+      val meta = catalog(db, table)
+      val vs = versions(meta.location)
+      require(vs.contains(v),
+        s"version $v of ${meta.qualified} is not committed/retained " +
+          s"(have ${vs.mkString(",")}) — pinned readers must finish " +
+          "inside the vacuum retention window")
+      readVersion(meta, v)
   }
 
   def readVersion(meta: TableMeta, version: Int): DataFrame =

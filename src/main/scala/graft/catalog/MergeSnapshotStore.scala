@@ -2039,6 +2039,38 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
   }
 
   /**
+   * One-call maintenance policy — the cron-able closure of the
+   * advise→act loop: consult BOTH advisors ([[deleteDebt]] for
+   * merge-on-read sidecar buildup, [[maintenanceAdvisor]] for layout
+   * smear on `layout`'s columns) and rewrite the table ONLY when one of
+   * them says so, returning the [[CompactionReport]] of what the pass
+   * paid off (None = healthy, nothing written, no version consumed).
+   * The rewrite is [[compactClustered]] when layout columns are given
+   * on a keyed table (restoring data-skipping power AND folding
+   * sidecars in one commit) and plain [[compact]] otherwise. Two
+   * checks, both driver-side manifest reads — a no-op call on a healthy
+   * table costs no job, so a maintenance sweep over thousands of tables
+   * only ever rewrites the ones that need it.
+   */
+  def maintainIfAdvised(db: String, table: String,
+                        layout: Seq[String] = Nil,
+                        filesPerBucket: Int = 4,
+                        adviseAbove: Double = 0.5,
+                        adviseAtSidecars: Int = 4,
+                        adviseAtRows: Long = 1L << 20)
+      : Option[CompactionReport] = {
+    val debt = deleteDebt(db, table, adviseAtSidecars, adviseAtRows)
+    val smear =
+      if (layout.isEmpty) Nil
+      else maintenanceAdvisor(db, table, layout, adviseAbove)
+    if (!debt.compactAdvised && !smear.exists(_.compactAdvised)) None
+    else Some(
+      if (layout.nonEmpty && catalog0(db, table).hasPrimaryKey)
+        compactClustered(db, table, layout.map(_ -> None), filesPerBucket)
+      else compact(db, table, targetFiles = math.max(1, filesPerBucket)))
+  }
+
+  /**
    * Compaction in the merge layout is bucket-granular: a PK table's
    * [[writeData]] already collapses each bucket to one file, so a full
    * rewrite IS the compacted form and `targetFiles` only shapes PK-less
@@ -2197,6 +2229,21 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     // set-stats misconfiguration fails BEFORE the write job: an opted
     // column must exist and carry a type whose canonical string is
     // stable across the probe and cast sides
+    // internal column names are reserved at the write boundary: __b is
+    // the bucket routing column this method adds, __fv the read-time
+    // file-commit column (withColumn would silently REPLACE a same-named
+    // user column), and __graft_* the position-delete row addresses
+    // (applyDeletes detects a find scan by that name — a user column
+    // would skip address derivation and anti-join data against file
+    // paths). Refusing here keeps every read/delete funnel sound.
+    df.schema.fieldNames.filter(n =>
+        n == "__b" || n == "__fv" || n.startsWith("__graft_")) match {
+      case Array() => ()
+      case bad => throw new IllegalArgumentException(
+        s"${meta.qualified} schema uses reserved internal column " +
+          s"name(s) ${bad.mkString(", ")} — __b, __fv and __graft_* " +
+          "belong to the store's bucketing and merge-on-read machinery")
+    }
     val setCols = meta.properties.get(MergeSnapshotStore.SetStatsProp)
       .map(_.split(',').iterator.map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)

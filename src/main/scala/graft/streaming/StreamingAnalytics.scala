@@ -184,8 +184,11 @@ object StreamingAnalytics {
                        keys: Seq[String], group: Column, value: Column,
                        checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     maintainAggregate(changes, store, db, snapTable, aggTable, keys,
-      checkpoint) { (agg, old, _, chg) =>
-      graft.operators.Ivm.applyCountSumDelta(agg, old, chg, keys, group, value)
+      checkpoint,
+      seed = Some(df => graft.operators.Ivm.countSumAgg(df, group, value))) {
+      (agg, old, _, chg) =>
+        graft.operators.Ivm.applyCountSumDelta(agg, old, chg, keys, group,
+          value)
     }
 
   /** The min/max twin of [[maintainCountSum]]: same pinned-base replay
@@ -200,9 +203,11 @@ object StreamingAnalytics {
                      keys: Seq[String], group: Column, value: Column,
                      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     maintainAggregate(changes, store, db, snapTable, aggTable, keys,
-      checkpoint) { (agg, old, newSnap, chg) =>
-      graft.operators.Ivm.applyMinMaxDelta(agg, old, newSnap, chg, keys,
-        group, value)
+      checkpoint,
+      seed = Some(df => graft.operators.Ivm.minMaxAgg(df, group, value))) {
+      (agg, old, newSnap, chg) =>
+        graft.operators.Ivm.applyMinMaxDelta(agg, old, newSnap, chg, keys,
+          group, value)
     }
 
   /** The distinct-count twin: `auxTable` holds the MULTIPLICITY VIEW
@@ -217,9 +222,11 @@ object StreamingAnalytics {
                        keys: Seq[String], group: Column, value: Column,
                        checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     maintainAggregate(changes, store, db, snapTable, auxTable, keys,
-      checkpoint) { (aux, old, _, chg) =>
-      graft.operators.Ivm.applyDistinctAuxDelta(aux, old, chg, keys,
-        group, value)
+      checkpoint,
+      seed = Some(df => graft.operators.Ivm.distinctAux(df, group, value))) {
+      (aux, old, _, chg) =>
+        graft.operators.Ivm.applyDistinctAuxDelta(aux, old, chg, keys,
+          group, value)
     }
 
   /** The shared streaming-IVM runner: maintains the snapshot table and
@@ -228,14 +235,15 @@ object StreamingAnalytics {
    * any aggregate with a changelog delta rule slots in. */
   def maintainAggregate(changes: DataFrame, store: graft.catalog.SnapshotStore,
                         db: String, snapTable: String, aggTable: String,
-                        keys: Seq[String], checkpoint: String)(
+                        keys: Seq[String], checkpoint: String,
+                        seed: Option[DataFrame => DataFrame] = None)(
       fold: (DataFrame, DataFrame, DataFrame, DataFrame) => DataFrame)
       : org.apache.spark.sql.streaming.StreamingQuery =
     changes.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (chg: DataFrame, batchId: Long) =>
         applyIvmBatch(chg, batchId, store, db, snapTable, aggTable,
-          keys, checkpoint)(fold)
+          keys, checkpoint, seed)(fold)
       }
       .start()
 
@@ -253,9 +261,12 @@ object StreamingAnalytics {
    * differences from the batch registry: commits here are always FULL
    * overwrites (pinned-version replay needs deterministic recompute; a
    * partition-scoped merge acts on latest state, which a replay must
-   * not), and seeds are not run (pre-seed every table — the specs'
-   * `seed` is available for exactly that, or run the batch registry's
-   * `seed` once before starting the stream).
+   * not), and seeds do not run at start (pre-seed every table — the
+   * specs' `seed` is available for exactly that, or run the batch
+   * registry's `seed` once before starting the stream). The specs'
+   * `seed` IS invoked by the out-of-band drift repair: a foreign commit
+   * landing on a table between micro-batches reseeds every aggregate
+   * from the current logical snapshot before the next fold.
    */
   def maintainAggregates(changes: DataFrame, store: graft.catalog.SnapshotStore,
                          db: String, snapTable: String,
@@ -270,19 +281,39 @@ object StreamingAnalytics {
       }
       .start()
 
+  /** The one home of the IVM base-marker wire format's READ side: open,
+   * decode, trim, split — both the replay pin and the fresh-batch drift
+   * check parse through here, so the format can never drift between
+   * them. */
+  private def markerLines(fs: org.apache.hadoop.fs.FileSystem,
+                          p: Path): Array[String] = {
+    val in = fs.open(p)
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .mkString.trim finally in.close()
+    body.split('\n')
+  }
+
   /** One micro-batch of [[maintainAggregate]] — its own method so replay
    * idempotence is directly testable (invoke twice with one batchId).
    * Delegates to the registry batch with a single spec; the marker
-   * format ("aggV,snapV") is unchanged. */
+   * format ("aggV,snapV") is unchanged. `seed` feeds the drift repair
+   * (an out-of-band commit on the base reseeds the aggregate); callers
+   * without a seed rule get a LOUD refusal if repair is ever needed —
+   * silently reseeding with the raw snapshot would hand the next fold a
+   * wrong-shaped aggregate. */
   private[graft] def applyIvmBatch(chg: DataFrame, batchId: Long,
       store: graft.catalog.SnapshotStore, db: String, snapTable: String,
-      aggTable: String, keys: Seq[String], checkpoint: String)(
+      aggTable: String, keys: Seq[String], checkpoint: String,
+      seed: Option[DataFrame => DataFrame] = None)(
       fold: (DataFrame, DataFrame, DataFrame, DataFrame) => DataFrame): Unit =
     applyIvmRegistryBatch(chg, batchId, store, db, snapTable,
       Seq(graft.operators.Ivm.MaintainedAgg(aggTable,
-        // the streaming runner never seeds (tables are pre-seeded);
-        // identity keeps the spec honest without a dead code path
-        seed = identity,
+        seed = seed.getOrElse((_: DataFrame) => throw new IllegalStateException(
+          s"out-of-band commits moved $db.$snapTable under a streaming " +
+            s"maintainAggregate of $aggTable that has no seed rule — the " +
+            "drift repair cannot rebuild the aggregate; pass a seed, use " +
+            "maintainAggregates with a full MaintainedAgg spec, or reseed " +
+            "manually and restart the stream")),
         fold = (agg, old, nw, c, _) => fold(agg, old, nw, c))),
       keys, checkpoint)
 
@@ -337,15 +368,14 @@ object StreamingAnalytics {
           // count alone would re-open the reordered-spec mispairing
           // the names line exists to refuse.
           val tableNames = aggs.map(_.table) :+ snapTable
+          val replay = fs.exists(marker)
           val versions: Seq[Int] =
-            if (fs.exists(marker)) {
-              val in = fs.open(marker)
-              val body = try scala.io.Source.fromInputStream(in, "UTF-8")
-                .mkString.trim finally in.close()
-              val lines = body.split('\n')
+            if (replay) {
+              val lines = markerLines(fs, marker)
               val parts = lines(0).split(",")
               require(parts.length == aggs.size + 1,
-                s"garbled IVM base marker $marker: '$body' (expected " +
+                s"garbled IVM base marker $marker: " +
+                  s"'${lines.mkString("\\n")}' (expected " +
                   s"${aggs.size + 1} versions — did the spec list change " +
                   "under a live checkpoint?)")
               if (lines.length > 1)
@@ -387,22 +417,37 @@ object StreamingAnalytics {
                     else scala.util.Try(n.stripPrefix("batch-").toLong)
                       .toOption.filter(_ < batchId).map(_ -> st.getPath)
                   }.sortBy(_._1).lastOption.map { case (_, p) =>
-                    val in = fs.open(p)
-                    val body = try scala.io.Source.fromInputStream(in,
-                      "UTF-8").mkString.trim finally in.close()
-                    body.split('\n')(0).split(",").toSeq.map(_.toInt)
+                    val lines = markerLines(fs, p)
+                    val parsed = lines(0).split(",").toSeq
+                      .map(s => scala.util.Try(s.toInt).toOption)
+                    require(parsed.forall(_.isDefined),
+                      s"garbled IVM base marker $p: " +
+                        s"'${lines.mkString("\\n")}' — restore it (or " +
+                        "clear the checkpoint) before resuming")
+                    parsed.flatten
                   }
+              // versions observed ONCE; the drift verdict, the reseed's
+              // snapshot pin, and the marker all speak from this listing
+              // — re-listing after the check would absorb a foreign
+              // commit landing in the window into the pin, hiding it
+              // from every future batch's drift check
               val now = aggs.map(a => store.latestVersion(db, a.table)) :+
                 store.latestVersion(db, snapTable)
-              prevVs.filter(_.size == now.size).foreach { pv =>
-                if (now != pv.map(_ + 1)) {
-                  val cur = store.read(db, snapTable)
+              val reseeded = prevVs.filter(_.size == now.size).exists { pv =>
+                now != pv.map(_ + 1) && {
+                  val cur = store.readVersion(
+                    store.catalog(db, snapTable), now.last)
                   graft.operators.Materialize.fanOut(aggs) { a =>
                     store.overwrite(db, a.table, a.seed(cur)) }
+                  true
                 }
               }
-              val vs = aggs.map(a => store.latestVersion(db, a.table)) :+
-                store.latestVersion(db, snapTable)
+              // the reseed moved every aggregate table; the snapshot pin
+              // stays the checked one
+              val vs =
+                if (!reseeded) now
+                else aggs.map(a => store.latestVersion(db, a.table)) :+
+                  now.last
               require(vs.forall(_ >= 0),
                 s"seed $db.$snapTable and every aggregate table before streaming")
               val tmp = new Path(markers, s".tmp-batch-$batchId")
@@ -429,6 +474,18 @@ object StreamingAnalytics {
             a -> a.fold(store.readVersion(store.catalog(db, a.table), v),
               old, newSnap, chgC, keys)
           }
+          // a foreign commit landing MID-batch (after the pin, before
+          // the writes) would be clobbered by the full snapshot
+          // overwrite below — a takedown silently un-happening — so the
+          // batch refuses loudly instead; between batches the drift
+          // check repairs, mid-batch the single-writer contract holds
+          val snapNow = store.latestVersion(db, snapTable)
+          if (!replay && snapNow != versions.last)
+            throw new java.util.ConcurrentModificationException(
+              s"$db.$snapTable moved to version $snapNow while batch " +
+                s"$batchId was folding against pinned ${versions.last} — " +
+                "out-of-band commits must land BETWEEN micro-batches " +
+                "(the drift repair handles those); rerun the batch")
           // independent aggregate tables land concurrently (the batch
           // registry's fanOut rationale); replay safety is unchanged —
           // every fold already read its own PINNED pre-batch version

@@ -143,6 +143,12 @@ class DomainAndStoreSpec extends AnyFunSuite with SparkFixture {
     assert(runner.runStatement("db", d, 1L).count() == 5)
     assert(runner.runStatement("db", d, 1L,
       pins = Map("asof_dep" -> v0)).count() == 20)
+    // an uncommitted pin refuses EAGERLY with the retention-window
+    // message on the base store too — never a lazy path-not-found
+    val err = intercept[IllegalArgumentException] {
+      runner.runStatement("db", d, 1L, pins = Map("asof_dep" -> 99))
+    }
+    assert(err.getMessage.contains("retention"))
   }
 
   test("curated promotion is the identity hook (reference stage 3)") {

@@ -47,6 +47,23 @@ class MergeStoreSpec extends AnyFunSuite with SparkFixture {
     spark.range(1, n + 1).select(col("id").cast("int").as("id"),
       concat(lit("name-"), col("id")).as("name"))
 
+  test("reserved internal column names refuse at the write boundary") {
+    import spark.implicits._
+    // __b is the bucket routing column, __fv the read-time file-commit
+    // column, __graft_* the position-delete addresses — a user column
+    // with any of these names would be silently replaced or would skip
+    // address derivation, so the write refuses loudly instead
+    val store = mkStore()
+    val meta = register(store, "rdb", "resv", "id")
+    Seq("__b", "__fv", "__graft_pos_file").foreach { bad =>
+      val err = intercept[IllegalArgumentException] {
+        store.overwrite("rdb", "resv",
+          Seq((1L, "x")).toDF("id", bad))
+      }
+      assert(err.getMessage.contains("reserved"), s"$bad must refuse")
+    }
+  }
+
   test("overwrite + read roundtrip spreads rows across buckets") {
     val store = mkStore()
     register(store, "mdb", "t1", "id")

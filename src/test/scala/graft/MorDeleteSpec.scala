@@ -212,6 +212,34 @@ class MorDeleteSpec extends AnyFunSuite with SparkFixture {
       frame(256).filter(col("cls") =!= "c3" && col("id") >= 3L))
   }
 
+  test("maintainIfAdvised: acts only when an advisor fires, reports the debt paid") {
+    import graft.catalog.MergeSnapshotStore.DeleteDebt
+    val store = mkStore()
+    register(store, "auto")
+    store.overwrite("mdb", "auto", frame())
+    // a fresh hash-bucketed table smears v across every file, so the
+    // LAYOUT advisor fires and the pass cluster-compacts (no sidecars
+    // yet — the report's debt side is zero)
+    val rep0 = store.maintainIfAdvised("mdb", "auto", layout = Seq("v"))
+    assert(rep0.exists(r => r.clearedSidecars == 0 && r.clearedDeletedRows == 0L))
+    // clustered now: both advisors quiet — no write, no version consumed
+    val v1 = store.latestVersion("mdb", "auto")
+    assert(store.maintainIfAdvised("mdb", "auto", layout = Seq("v")).isEmpty)
+    assert(store.latestVersion("mdb", "auto") == v1,
+      "a healthy table must not pay a rewrite")
+    // sidecar buildup crosses the count threshold: the same call now
+    // folds the debt and says exactly what it paid
+    (0 until 4).foreach { i =>
+      assert(store.deleteWhere("mdb", "auto", col("id") === i.toLong, Mor) == 1L)
+    }
+    val rep = store.maintainIfAdvised("mdb", "auto", layout = Seq("v"))
+    assert(rep.exists(r => r.clearedSidecars == 4 && r.clearedDeletedRows == 4L))
+    assert(store.deleteDebt("mdb", "auto") ==
+      DeleteDebt(0, 0, 0L, rowsKnown = true, compactAdvised = false))
+    assert(store.maintainIfAdvised("mdb", "auto", layout = Seq("v")).isEmpty)
+    assertExact(store.read("mdb", "auto"), frame().filter(col("id") >= 4L))
+  }
+
   test("pre-count-field manifests read as rows-unknown, still counted") {
     // a 3-field `d` line (manifests written before the row-count field)
     // must parse as rows = unknown: the mass sum turns lower-bound and
@@ -326,6 +354,38 @@ class MorDeleteSpec extends AnyFunSuite with SparkFixture {
     assert(store.deleteWhere("mdb", "dup", col("k") === "a", Mor) == 3L)
     assert(store.read("mdb", "dup").collect().map(_.getString(0)).toSeq ==
       Seq("b"))
+  }
+
+  test("pos races: a racing pos delete composes; a data rewrite refuses") {
+    // PK-less tables hold ONE logical bucket, so any data rewrite moves
+    // it and a CAS-losing position delete must refuse (its recorded
+    // addresses point at files the winner just killed — rebasing would
+    // publish a delete that silently un-happens); a racing MoR delete
+    // moves no bucket, so the loser rebases and the two compose
+    val store = new MergeSnapshotStore(spark, new InMemoryCatalog,
+      nBuckets = 4, keepVersions = 2, vacuumRetentionMs = 3600000L)
+    store.catalog.register(TableMeta("mdb", "prace",
+      Files.createTempDirectory("graft-mor-prace").toString))
+    store.overwrite("mdb", "prace", frame(64))
+    store.beforePublish = () => {
+      store.deleteWhere("mdb", "prace", col("v") === 1L, Mor)
+      ()
+    }
+    assert(store.deleteWhere("mdb", "prace", col("v") === 2L, Mor) == 1L)
+    store.beforePublish = () => ()
+    assertExact(store.read("mdb", "prace"),
+      frame(64).filter(col("v") =!= 1L && col("v") =!= 2L))
+    store.beforePublish = () => {
+      store.compact("mdb", "prace", targetFiles = 2)
+      ()
+    }
+    intercept[java.util.ConcurrentModificationException] {
+      store.deleteWhere("mdb", "prace", col("v") === 3L, Mor)
+    }
+    store.beforePublish = () => ()
+    // the refused delete left no trace; the racer's compaction stands
+    assertExact(store.read("mdb", "prace"),
+      frame(64).filter(col("v") =!= 1L && col("v") =!= 2L))
   }
 
   test("races: key-bucket rewrite refuses; elsewhere-merge rebases clean") {

@@ -592,6 +592,45 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
         s"names-less refusal still moved $t"))
   }
 
+  test("legacy single-aggregate runner repairs after out-of-band DML (real seed)") {
+    import spark.implicits._
+    import graft.operators.Ivm
+    // the drift repair invokes the spec's seed; the single-aggregate
+    // wrappers now carry their true seed rules, so an out-of-band
+    // overwrite of the base between micro-batches must reseed the
+    // aggregate — not hand the next fold a raw-snapshot-shaped table
+    val tmp = Files.createTempDirectory("graft-stream-oob").toString
+    val catalog = new InMemoryCatalog
+    val store = new SnapshotStore(spark, catalog, keepVersions = 4)
+    catalog.register(TableMeta("odb", "snap", s"$tmp/snap"))
+    catalog.register(TableMeta("odb", "agg", s"$tmp/agg"))
+    val init = Seq((1L, "a", 10L), (2L, "b", 30L)).toDF("k", "grp_in", "v")
+    store.overwrite("odb", "snap", init)
+    store.overwrite("odb", "agg",
+      Ivm.countSumAgg(init, col("grp_in"), col("v")))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String, Option[String], Option[Long])]
+    val q = StreamingAnalytics.maintainCountSum(
+      ms.toDF().toDF("k", "change", "grp_in", "v"), store, "odb",
+      "snap", "agg", Seq("k"), col("grp_in"), col("v"), s"$tmp/ckpt")
+    try {
+      ms.addData((3L, "I", Some("b"), Some(5L)))
+      q.processAllAvailable()
+      // out-of-band: a direct overwrite drops group a entirely
+      store.overwrite("odb", "snap",
+        store.read("odb", "snap").filter(col("grp_in") =!= "a"))
+      ms.addData((4L, "I", Some("b"), Some(2L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val agg = toMap(store.read("odb", "agg"))
+    assert(agg == toMap(Ivm.countSumAgg(store.read("odb", "snap"),
+      col("grp_in"), col("v"))),
+      "the legacy runner's drift repair must rebuild through its seed")
+    assert(!agg.contains("a"), "the out-of-band drop must reach the dashboard")
+  }
+
   test("streaming MoR visibility: a mid-stream takedown folds masked, dashboard repairs") {
     import spark.implicits._
     import graft.operators.Ivm
