@@ -847,6 +847,56 @@ object PipelineMain {
     }
     Materialize.releaseAll()
 
+    // 22. PK-less takedown lifecycle (round-17 arc): raw shard tables
+    // have no row identity, so takedowns land as POSITION sidecars
+    // ((file, row-ordinal) addresses — no data file moves); steady
+    // takedowns accumulate read-side debt the advisor prices straight
+    // off the manifest, ONE maintainIfAdvised call folds it exactly
+    // when a threshold crosses (and refuses to act below it), and an
+    // AS-OF query over the pre-compaction version still serves the
+    // masked logical snapshot through the pinned manifest's skipping
+    // scan — the full advise -> act -> time-travel loop on the corpus
+    // shape a 100 TB crawl store actually has.
+    catalog.register(TableMeta(Db, "shard_docs", s"$work/shard_docs"))
+    store.overwrite(Db, "shard_docs",
+      corpus21.select(col("doc_id"), col("text")).repartition(4))
+    val total22 = store.read(Db, "shard_docs").count()
+    val buckets22 = store.manifestEntries(Db, "shard_docs",
+      store.latestVersion(Db, "shard_docs"))
+    val take1 = store.deleteWhere(Db, "shard_docs",
+      col("doc_id") % 5 === 0, MergeSnapshotStore.MergeOnRead)
+    val take2 = store.deleteWhere(Db, "shard_docs",
+      col("doc_id") % 7 === 1, MergeSnapshotStore.MergeOnRead)
+    val vMasked = store.latestVersion(Db, "shard_docs")
+    val noMove = store.manifestEntries(Db, "shard_docs", vMasked) == buckets22
+    val debt22 = store.deleteDebt(Db, "shard_docs", adviseAtSidecars = 2)
+    val debtOk = debt22.sidecars == 2 && debt22.rowsKnown &&
+      debt22.deletedRows == take1 + take2 && debt22.compactAdvised
+    // below the threshold the policy refuses to pay a rewrite; at the
+    // crossed threshold one call folds the debt and reports it
+    val held = store.maintainIfAdvised(Db, "shard_docs",
+      adviseAtSidecars = 3, adviseAtRows = 1L << 40).isEmpty
+    val rep22 = store.maintainIfAdvised(Db, "shard_docs",
+      adviseAtSidecars = 2, adviseAtRows = 1L << 40)
+    val paidOk = rep22.exists(r =>
+      r.clearedSidecars == 2 && r.clearedDeletedRows == take1 + take2)
+    val masked = store.read(Db, "shard_docs").count()
+    // AS-OF through the pinned skipping scan: the pre-compaction
+    // version answers the SAME masked snapshot (its manifest carries
+    // the sidecars; pinned reads apply them like HEAD reads do)
+    val asof = new QueryRunner(store).run(Db, "shard_docs",
+      Seq("doc_id"), "1=1", asOfVersion = Some(vMasked)).count()
+    stage(22, s"PK-less takedowns -> $take1 + $take2 of $total22 rows " +
+        s"via position sidecars (no bucket moved: $noMove), debt " +
+        s"advised: $debtOk, policy holds below threshold: $held, " +
+        s"fold pays ${rep22.map(_.clearedDeletedRows).getOrElse(-1L)} " +
+        s"keys, AS-OF($vMasked) == masked: ${asof == masked}") {
+      take1 > 0 && take2 > 0 && noMove && debtOk && held && paidOk &&
+        masked == total22 - take1 - take2 && asof == masked &&
+        store.deleteDebt(Db, "shard_docs").sidecars == 0
+    }
+    Materialize.releaseAll()
+
     println(s"[pipeline] E2E complete under $work")
     spark.stop()
   }
