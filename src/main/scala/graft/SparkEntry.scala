@@ -2200,6 +2200,26 @@ object SparkEntry {
           "rows_known", "advised")
     }),
 
+    // Online bucket-count evolution: the table commits under 8 PK-hash
+    // buckets, data growth invalidates the modulus, and ONE rebucket
+    // rewrite re-hashes it to 32 — the logical snapshot must equal the
+    // plain full scan (a layout choice must never move the answer),
+    // while point lookups and scoped merges follow the new modulus
+    // (MergeStoreSpec pins those)
+    "q73_store_rebucket" -> ((s, d) => {
+      import graft.catalog.{InMemoryCatalog, MergeSnapshotStore, TableMeta}
+      val orders = t(s, d, "orders").select(col("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+      val work = java.nio.file.Files.createTempDirectory("graft-q73").toString
+      val cat = new InMemoryCatalog
+      cat.register(TableMeta("q73", "orders", s"$work/orders",
+        primaryKey = Seq("o_orderkey")))
+      val store = new MergeSnapshotStore(s, cat, nBuckets = 8)
+      store.overwrite("q73", "orders", orders)
+      store.rebucket("q73", "orders", 32)
+      store.read("q73", "orders").orderBy("o_orderkey")
+    }),
+
     // The SQL surface THROUGH the storage engine (readSkipping /
     // StoreFileIndex): the reference's primary query shape — domain SQL
     // over temp views (reference src/apply_to_domains.py:54-68) — runs
@@ -4759,6 +4779,13 @@ object SparkEntry {
       """SELECT o_orderkey, o_totalprice
          FROM orders
          WHERE o_totalprice >= 50000.0 AND o_totalprice <= 75000.0
+         ORDER BY o_orderkey""",
+
+    // the re-bucketed snapshot equals the plain full scan — a physical
+    // layout choice must never move the answer
+    "q73_store_rebucket" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+         FROM orders
          ORDER BY o_orderkey""",
 
     // the advisor's manifest-read debt equals the oracle's own count of

@@ -2039,6 +2039,46 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
   }
 
   /**
+   * Online bucket-count evolution — the Iceberg bucket-transform
+   * evolution story: the PK-hash modulus is a physical layout choice
+   * that data growth invalidates (a fact that grew 100× needs more
+   * buckets so each file stays scan-sized; a shrunken one fewer, so
+   * tiny commits stop paying near-empty write tasks), and without this
+   * pass the only way out is a manual property edit plus an overwrite.
+   * One whole-table rewrite commit: read the LOGICAL snapshot
+   * (merge-on-read sidecars applied — the rewrite folds any delete debt
+   * as a side effect, reported), re-register the table's
+   * [[MergeSnapshotStore.BucketsProp]], and write under the new
+   * modulus. Safety is the existing seams': the rewrite pins its base
+   * version and REFUSES if the table moved (maintenance never clobbers
+   * a racing commit), concurrent writers that read the old layout
+   * refuse at their own CAS ("concurrently re-bucketed") and re-run,
+   * and a reader between the property flip and the publish refuses on
+   * the manifest-vs-meta count check — loud, never wrong. On any
+   * failure the old property is restored, so the catalog never lies
+   * about committed data.
+   */
+  def rebucket(db: String, table: String,
+               newBuckets: Int): CompactionReport = {
+    require(newBuckets >= 1, "newBuckets must be >= 1")
+    val meta = catalog0(db, table)
+    require(meta.hasPrimaryKey,
+      s"rebucket re-hashes PK buckets — ${meta.qualified} has no PK " +
+        "(PK-less tables hold one logical bucket; size files with compact)")
+    val vs = manifestVersions(meta.location)
+    require(vs.nonEmpty, s"no manifest versions at ${meta.location}")
+    val base = vs.last
+    val before = readManifest(meta.location, base).deletes
+    val df = readVersion(meta, base)
+    val newMeta = meta.copy(properties = meta.properties +
+      (MergeSnapshotStore.BucketsProp -> newBuckets.toString))
+    catalog.register(newMeta)
+    try overwriteWith(newMeta, df, requireBase = Some(base))
+    catch { case t: Throwable => catalog.register(meta); throw t }
+    compactionReport(newMeta, before)
+  }
+
+  /**
    * One-call maintenance policy — the cron-able closure of the
    * advise→act loop: consult BOTH advisors ([[deleteDebt]] for
    * merge-on-read sidecar buildup, [[maintenanceAdvisor]] for layout

@@ -47,6 +47,78 @@ class MergeStoreSpec extends AnyFunSuite with SparkFixture {
     spark.range(1, n + 1).select(col("id").cast("int").as("id"),
       concat(lit("name-"), col("id")).as("name"))
 
+  test("rebucket: online bucket-count evolution; lookups and merges follow") {
+    import spark.implicits._
+    val store = mkStore(nBuckets = 4)
+    register(store, "mdb", "grow", "id")
+    val df = idTable(256)
+    store.overwrite("mdb", "grow", df)
+    assert(store.manifestEntries("mdb", "grow",
+      store.latestVersion("mdb", "grow")).size == 4)
+    // a takedown sidecar rides into the rewrite: the rebucket folds it
+    // and the report says so
+    assert(store.deleteWhere("mdb", "grow", col("id") === 7,
+      MergeSnapshotStore.MergeOnRead) == 1L)
+
+    val rep = store.rebucket("mdb", "grow", 16)
+    assert(rep.clearedSidecars == 1 && rep.clearedDeletedRows == 1L)
+    val v = store.latestVersion("mdb", "grow")
+    assert(rep.version == v)
+    assert(store.manifestEntries("mdb", "grow", v).size == 16,
+      "the rewrite must land under the new modulus")
+    val want = df.filter(col("id") =!= 7)
+    val back = store.read("mdb", "grow")
+    assert(back.exceptAll(want).count() == 0 &&
+      want.exceptAll(back).count() == 0,
+      "rebucketing must not move the logical snapshot")
+    // the catalog's meta now carries the new count, so lookups and
+    // scoped merges hash with the committed modulus
+    assert(store.pointLookup("mdb", "grow",
+      Seq(42).toDF("id")).count() == 1)
+    store.mergeScoped("mdb", "grow", Seq(999).toDF("id"))(old =>
+      old.unionByName(Seq((999, "name-999")).toDF("id", "name")))
+    assert(store.read("mdb", "grow").count() == 256)
+    // refusals: no PK, silly count
+    store.catalog.register(TableMeta("mdb", "nopk_rb",
+      Files.createTempDirectory("graft-merge-nopk-rb").toString))
+    intercept[IllegalArgumentException] {
+      store.rebucket("mdb", "nopk_rb", 8)
+    }
+    intercept[IllegalArgumentException] { store.rebucket("mdb", "grow", 0) }
+  }
+
+  test("rebucket racing a commit refuses and restores the old property") {
+    import spark.implicits._
+    val store = mkStore(nBuckets = 4, retentionMs = 3600000L)
+    val meta = register(store, "mdb", "rrace", "id")
+    store.overwrite("mdb", "rrace", idTable(64))
+    // the racer writes through its OWN catalog still holding the
+    // pre-flip meta (the shared-catalog case refuses EAGERLY on the
+    // manifest-vs-meta count check — loud, never wrong — so the true
+    // base-moved race needs an independent writer)
+    store.beforePublish = () => {
+      val sideCat = new InMemoryCatalog
+      sideCat.register(meta)
+      val side = new MergeSnapshotStore(spark, sideCat, nBuckets = 4,
+        keepVersions = 2, vacuumRetentionMs = 3600000L)
+      side.mergeScoped("mdb", "rrace", Seq(3).toDF("id"))(old =>
+        old.filter(col("id") =!= 3))
+      ()
+    }
+    intercept[java.util.ConcurrentModificationException] {
+      store.rebucket("mdb", "rrace", 16)
+    }
+    store.beforePublish = () => ()
+    // the refused rewrite restored the old property: the racing commit
+    // stands and the table still merges under its committed modulus
+    assert(store.catalog("mdb", "rrace")
+      .properties.get(MergeSnapshotStore.BucketsProp).isEmpty)
+    assert(store.read("mdb", "rrace").count() == 63)
+    store.mergeScoped("mdb", "rrace", Seq(5).toDF("id"))(old =>
+      old.filter(col("id") =!= 5))
+    assert(store.read("mdb", "rrace").count() == 62)
+  }
+
   test("reserved internal column names refuse at the write boundary") {
     import spark.implicits._
     // __b is the bucket routing column, __fv the read-time file-commit
