@@ -2065,17 +2065,29 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     require(meta.hasPrimaryKey,
       s"rebucket re-hashes PK buckets — ${meta.qualified} has no PK " +
         "(PK-less tables hold one logical bucket; size files with compact)")
+    require(newBuckets != nBucketsOf(meta),
+      s"${meta.qualified} already resolves to nBuckets=$newBuckets — " +
+        "a same-modulus rewrite is compact, not rebucket")
     val vs = manifestVersions(meta.location)
     require(vs.nonEmpty, s"no manifest versions at ${meta.location}")
     val base = vs.last
-    val before = readManifest(meta.location, base).deletes
     val df = readVersion(meta, base)
     val newMeta = meta.copy(properties = meta.properties +
       (MergeSnapshotStore.BucketsProp -> newBuckets.toString))
     catalog.register(newMeta)
-    try overwriteWith(newMeta, df, requireBase = Some(base))
-    catch { case t: Throwable => catalog.register(meta); throw t }
-    compactionReport(newMeta, before)
+    try rewriteCommit(newMeta, base, df)
+    catch {
+      case t: Throwable =>
+        // restore the old property ONLY if the new-modulus manifest was
+        // never published — a failure AFTER the publish (vacuum /
+        // tombstone-clear hiccup) must leave the flipped property in
+        // place, or every later read/merge refuses on a
+        // manifest-vs-meta count mismatch the catalog itself caused
+        val landed = manifestVersions(meta.location).lastOption.exists(v =>
+          readManifest(meta.location, v).nBuckets == newBuckets)
+        if (!landed) catalog.register(meta)
+        throw t
+    }
   }
 
   /**
@@ -2099,13 +2111,22 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
                         adviseAtSidecars: Int = 4,
                         adviseAtRows: Long = 1L << 20)
       : Option[CompactionReport] = {
+    // layout columns need a clustered rewrite to quiet the advisor, and
+    // clustering needs PK buckets — on a PK-less table the pair would
+    // fire a plain (random-repartition) rewrite that improves nothing
+    // and fires again on every sweep, a full-table rewrite per cron
+    // tick forever; refuse the configuration like compactClustered does
+    require(layout.isEmpty || catalog0(db, table).hasPrimaryKey,
+      s"maintainIfAdvised layout columns need PK bucketing — $db.$table " +
+        "has no PK (gate PK-less tables on delete debt alone, or write " +
+        "through Layout.writeClustered)")
     val debt = deleteDebt(db, table, adviseAtSidecars, adviseAtRows)
     val smear =
       if (layout.isEmpty) Nil
       else maintenanceAdvisor(db, table, layout, adviseAbove)
     if (!debt.compactAdvised && !smear.exists(_.compactAdvised)) None
     else Some(
-      if (layout.nonEmpty && catalog0(db, table).hasPrimaryKey)
+      if (layout.nonEmpty)
         compactClustered(db, table, layout.map(_ -> None), filesPerBucket)
       else compact(db, table, targetFiles = math.max(1, filesPerBucket)))
   }
@@ -2124,13 +2145,11 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     val meta = catalog0(db, table)
     val vs = manifestVersions(meta.location)
     require(vs.nonEmpty, s"no manifest versions at ${meta.location}")
-    val before = readManifest(meta.location, vs.last).deletes
     val df = readVersion(meta, vs.last)
     val out =
       if (meta.hasPrimaryKey) df
       else df.repartition(targetFiles)
-    overwriteWith(meta, out, requireBase = Some(vs.last))
-    compactionReport(meta, before)
+    rewriteCommit(meta, vs.last, out)
   }
 
   /** The [[CompactionReport]] of a just-published rewrite: the debt paid
@@ -2147,6 +2166,18 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     val cleared = before.filterNot(d => after.contains(d.rel))
     CompactionReport(now, cleared.size,
       cleared.collect { case d if d.rows >= 0 => d.rows }.sum)
+  }
+
+  /** The one base-pinned-rewrite-with-report seam [[compact]],
+   * [[compactClustered]] and [[rebucket]] share: capture the base
+   * manifest's sidecars, rewrite on the pinned base (refusing if the
+   * table moved — maintenance never clobbers), report the debt paid. */
+  private def rewriteCommit(meta: TableMeta, base: Int, df: DataFrame,
+      cluster: Option[(Seq[(String, (Double, Double))], Int, Int)] = None)
+      : CompactionReport = {
+    val before = readManifest(meta.location, base).deletes
+    overwriteWith(meta, df, cluster, requireBase = Some(base))
+    compactionReport(meta, before)
   }
 
   /**
@@ -2189,13 +2220,10 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     // by time" and time-window reads speak one coordinate system. A
     // raw date would not even cast to double; a raw timestamp would
     // silently land in SECONDS and disagree with the micros stats.
-    val before = readManifest(meta.location, base).deletes
     val shadow = df.select(dims.map { case (c, _) =>
       promoted(col(c), df.schema(c).dataType).as(c) }: _*)
     val resolved = Layout.resolveRanges(shadow, dims)
-    overwriteWith(meta, df, Some((resolved, bits, filesPerBucket)),
-      requireBase = Some(base))
-    compactionReport(meta, before)
+    rewriteCommit(meta, base, df, Some((resolved, bits, filesPerBucket)))
   }
 
   /** A column promoted into the manifest's epoch-based double space —
@@ -2276,8 +2304,13 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     // (applyDeletes detects a find scan by that name — a user column
     // would skip address derivation and anti-join data against file
     // paths). Refusing here keeps every read/delete funnel sound.
-    df.schema.fieldNames.filter(n =>
-        n == "__b" || n == "__fv" || n.startsWith("__graft_")) match {
+    // compared case-INSENSITIVELY: Spark's default resolution is, so a
+    // user column named __FV would otherwise pass here and still be
+    // replaced by the read funnel's withColumn("__fv", ...)
+    df.schema.fieldNames.filter { n =>
+      val lc = n.toLowerCase
+      lc == "__b" || lc == "__fv" || lc.startsWith("__graft_")
+    } match {
       case Array() => ()
       case bad => throw new IllegalArgumentException(
         s"${meta.qualified} schema uses reserved internal column " +

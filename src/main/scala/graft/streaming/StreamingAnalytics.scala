@@ -281,6 +281,13 @@ object StreamingAnalytics {
       }
       .start()
 
+  /** Test-only failpoint: runs once on the next registry batch after
+   * the marker is pinned and the folds are built, BEFORE the mid-batch
+   * guard and the writes — the window a foreign commit lands in for the
+   * guard's spec. CONSUMED atomically on first fire (the store
+   * failpoints' discipline), so a rerun never re-triggers it. */
+  private[graft] var beforeBatchWrites: () => Unit = () => ()
+
   /** The one home of the IVM base-marker wire format's READ side: open,
    * decode, trim, split — both the replay pin and the fresh-batch drift
    * check parse through here, so the format can never drift between
@@ -407,7 +414,14 @@ object StreamingAnalytics {
               // logical snapshot (the masked, sidecar-applied view: the
               // read funnels apply deletes), the batch registry's own
               // repair discipline, then fold this batch on top. Reseed
-              // is snapshot-priced and runs ONLY when drift is proven.
+              // is snapshot-priced and fires only on version drift.
+              // One benign false positive: a crash whose replay
+              // re-committed some tables (+2 where the first attempt's
+              // write landed) trips it too — versions alone cannot
+              // distinguish that shape from a foreign commit, and the
+              // reseed is then a semantic no-op (post-replay the tables
+              // are already consistent), so the spurious cost is one
+              // snapshot-sized recompute per crash, never a wrong state.
               val prevVs: Option[Seq[Int]] =
                 (try fs.listStatus(markers).toSeq
                  catch { case _: java.io.FileNotFoundException => Nil })
@@ -478,14 +492,33 @@ object StreamingAnalytics {
           // the writes) would be clobbered by the full snapshot
           // overwrite below — a takedown silently un-happening — so the
           // batch refuses loudly instead; between batches the drift
-          // check repairs, mid-batch the single-writer contract holds
+          // check repairs, mid-batch the single-writer contract holds.
+          // The just-written marker is DELETED before the throw: left
+          // in place, the instructed rerun would take the replay path,
+          // which (correctly) skips both this guard and the drift
+          // check, and fold against the stale pin — exactly the clobber
+          // this refusal exists to prevent. Deleting it makes the rerun
+          // a FRESH batch that sees the foreign commit and repairs.
+          locally {
+            val fp = beforeBatchWrites
+            beforeBatchWrites = () => ()
+            fp()
+          }
           val snapNow = store.latestVersion(db, snapTable)
-          if (!replay && snapNow != versions.last)
+          if (!replay && snapNow != versions.last) {
+            val cleared =
+              try fs.delete(marker, false)
+              catch { case _: java.io.IOException => false }
             throw new java.util.ConcurrentModificationException(
               s"$db.$snapTable moved to version $snapNow while batch " +
                 s"$batchId was folding against pinned ${versions.last} — " +
                 "out-of-band commits must land BETWEEN micro-batches " +
-                "(the drift repair handles those); rerun the batch")
+                "(the drift repair handles those); rerun the batch" +
+                (if (cleared) ""
+                 else s" AFTER removing the stale marker $marker — it " +
+                   "could not be deleted, and a rerun that replays " +
+                   "through it would fold against the stale pin"))
+          }
           // independent aggregate tables land concurrently (the batch
           // registry's fanOut rationale); replay safety is unchanged —
           // every fold already read its own PINNED pre-batch version

@@ -631,6 +631,61 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(!agg.contains("a"), "the out-of-band drop must reach the dashboard")
   }
 
+  test("mid-BATCH foreign commit: guard refuses, clears its marker, rerun repairs") {
+    import spark.implicits._
+    import graft.operators.Ivm
+    import graft.catalog.MergeSnapshotStore
+    // a takedown landing INSIDE the batch window (pin taken, writes not
+    // yet) must refuse — the full snapshot overwrite would resurrect
+    // the taken-down rows — and must take its own marker with it: left
+    // behind, the instructed rerun would REPLAY through it (skipping
+    // both guards) and fold against the stale pin
+    val tmp = Files.createTempDirectory("graft-stream-midbatch").toString
+    val catalog = new InMemoryCatalog
+    val store = new MergeSnapshotStore(spark, catalog, nBuckets = 4,
+      keepVersions = 3, vacuumRetentionMs = 60000L)
+    catalog.register(TableMeta("ydb", "snap", s"$tmp/snap",
+      primaryKey = Seq("k")))
+    catalog.register(TableMeta("ydb", "y_cs", s"$tmp/y_cs"))
+    val specs = Seq(Ivm.countSumSpec("y_cs", col("grp_in"), col("v")))
+    val init = Seq((1L, "a", 10L), (2L, "b", 30L)).toDF("k", "grp_in", "v")
+    store.overwrite("ydb", "snap", init)
+    specs.foreach(a => store.overwrite("ydb", a.table, a.seed(init)))
+    // a prior committed batch gives the drift check its baseline marker
+    // (the first-ever batch has no history to prove drift against)
+    StreamingAnalytics.applyIvmRegistryBatch(
+      Seq((3L, "I", Some("b"), Some(1L))).toDF("k", "change", "grp_in", "v"),
+      0L, store, "ydb", "snap", specs, Seq("k"), s"$tmp/ckpt")
+    val batch = Seq((9L, "I", Some("b"), Some(4L)))
+      .toDF("k", "change", "grp_in", "v")
+    StreamingAnalytics.beforeBatchWrites = () => {
+      store.deleteWhere("ydb", "snap", col("grp_in") === "a",
+        MergeSnapshotStore.MergeOnRead)
+      ()
+    }
+    val err = intercept[java.util.ConcurrentModificationException] {
+      StreamingAnalytics.applyIvmRegistryBatch(batch, 5L, store, "ydb",
+        "snap", specs, Seq("k"), s"$tmp/ckpt")
+    }
+    assert(err.getMessage.contains("moved to version"))
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$tmp/ckpt/graft-ivm-base/batch-5")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(marker),
+      "the refused batch must take its marker with it")
+    // the rerun is a FRESH batch: the drift check repairs the dashboard
+    // from the masked snapshot, then the fold lands
+    StreamingAnalytics.applyIvmRegistryBatch(batch, 5L, store, "ydb",
+      "snap", specs, Seq("k"), s"$tmp/ckpt")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSet
+    val snap = store.read("ydb", "snap")
+    assert(canon(snap.select("k")) == Set("[2]", "[3]", "[9]"),
+      s"takedown must stand and the batch row must land: ${canon(snap)}")
+    assert(canon(store.read("ydb", "y_cs")) ==
+      canon(Ivm.countSumAgg(snap, col("grp_in"), col("v"))))
+  }
+
   test("streaming MoR visibility: a mid-stream takedown folds masked, dashboard repairs") {
     import spark.implicits._
     import graft.operators.Ivm
