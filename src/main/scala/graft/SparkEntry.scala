@@ -1961,6 +1961,38 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // PARTIAL clustered maintenance (q60's layout restored bucket-by-
+    // bucket): scoped merges age SOME buckets back to full-span files,
+    // the per-bucket advisor names exactly those, and the rewrite
+    // commits ONLY them — untouched buckets carry by reference — before
+    // the same stats-pruned band read; the oracle is q60's full-scan
+    // band, because layout maintenance never moves the answer
+    "q74_store_partial_compact" -> ((s, d) => {
+      import graft.catalog.{InMemoryCatalog, MergeSnapshotStore, TableMeta}
+      val orders = t(s, d, "orders").select(col("o_orderkey"),
+        col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("price_c"))
+      val work = java.nio.file.Files.createTempDirectory("graft-q74").toString
+      val cat = new InMemoryCatalog
+      cat.register(TableMeta("q74", "orders", s"$work/orders",
+        primaryKey = Seq("o_orderkey")))
+      val store = new MergeSnapshotStore(s, cat, nBuckets = 8)
+      store.overwrite("q74", "orders", orders)
+      store.compactClustered("q74", "orders", Seq("price_c" -> None),
+        filesPerBucket = 4)
+      store.mergeScoped("q74", "orders",
+        orders.filter(col("o_orderkey") % 7 === 0)
+          .select("o_orderkey"))(old => old)
+      val advised = store.bucketHealth("q74", "orders", "price_c")
+        .filter(_.compactAdvised).map(_.bucket)
+      if (advised.nonEmpty)
+        store.compactBucketsClustered("q74", "orders",
+          Seq("price_c" -> None), filesPerBucket = 4, buckets = advised)
+      store.readRange("q74", "orders",
+          Map("price_c" -> ((5000000.0, 15000000.0))))
+        .orderBy("o_orderkey")
+    }),
+
     // STRING data skipping in the table store (q55's discipline for
     // string keys): every commit records per-file TRUNCATED
     // lexicographic bounds (the Iceberg truncate(16) pattern — c_name's
@@ -4698,6 +4730,16 @@ object SparkEntry {
     // the clustered rewrite changes LAYOUT only: the stats-pruned band
     // read over the compacted table must equal the plain filter
     "q60_compact_clustered_scan" ->
+      """SELECT o_orderkey, o_custkey,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+         FROM orders
+         WHERE CAST(round(o_totalprice * 100) AS BIGINT)
+               BETWEEN 5000000 AND 15000000
+         ORDER BY o_orderkey""",
+
+    // partial clustered maintenance never moves the answer: the band
+    // read after the bucket-scoped rewrite equals q60's full-scan band
+    "q74_store_partial_compact" ->
       """SELECT o_orderkey, o_custkey,
                 CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
          FROM orders

@@ -1403,12 +1403,13 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
    * adjudication documented on [[mergeScoped]]. */
   private def commitScoped(meta: TableMeta, readVer: Int, current: Manifest,
                            touched: Seq[Int], pks: Seq[String],
-                           rebaseGuard: Manifest => Unit = _ => ())
+                           rebaseGuard: Manifest => Unit = _ => (),
+                           cluster: Option[(Seq[(String, (Double, Double))], Int, Int)] = None)
                           (rewrite: DataFrame => DataFrame): Unit = {
     val old = load(meta, current, Some(touched.toSet))
     val out = rewrite(old)
     val (written, newStats, newStrStats, newSetStats) =
-      writeData(meta, readVer + 1, out, pks)
+      writeData(meta, readVer + 1, out, pks, cluster)
     val stray = written.keySet.diff(touched.toSet)
     require(stray.isEmpty,
       s"merge rewrote buckets $stray outside the changed-key set $touched — " +
@@ -1942,55 +1943,141 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     val m = readManifest(meta.location, resolveVersion(meta, version))
     val files = listDataFiles(meta, m, None)
     columns.map { c =>
-      // per file Some((lo, hiOpt)); hiOpt None = unbounded above (a
-      // string bound whose prefix could not increment). STRING columns
-      // measure through the same monotone byte projection the cluster
-      // layout slices in; truncation only WIDENS a file's measured
-      // range, so the health verdict errs toward advising — never
-      // toward hiding a smear.
-      val bounds: Seq[Option[(Double, Option[Double])]] = files.map { f =>
-        m.stats.get(f).flatMap(_.find(_.column == c))
-          .map(s => (s.mn, Option(s.mx)))
-          .orElse(m.strStats.get(f).flatMap(_.find(_.column == c))
-            .map(y => (MergeSnapshotStore.strKeyToDouble(y.lo),
-              y.hi.map(MergeSnapshotStore.strKeyToDouble))))
-      }
-      val known = bounds.flatten
-      val statless = bounds.count(_.isEmpty)
-      val los = known.map(_._1)
-      val his = known.flatMap(_._2)
-      // span top falls back to los.max when every upper bound is
-      // unbounded (a string column whose truncated prefixes could never
-      // increment): those files ARE measurable smear — each spans from
-      // its lo to past everything — and routing them through the
-      // zero-span constant-column branch would suppress the advice the
-      // documented contract promises ("errs toward advising, never
-      // toward hiding a smear")
-      val spanTop = if (known.isEmpty) 0.0 else (his ++ los).max
-      val span = if (known.isEmpty) 0.0 else spanTop - los.min
-      val unboundedAbove = known.exists(_._2.isEmpty)
-      val frac =
-        if (files.isEmpty) 0.0
-        else if (span <= 0.0) 1.0 // all mass at one point: nothing prunes
-        else bounds.map {
-          case Some((mn, Some(mx))) =>
-            math.min(1.0, math.max(0.0, mx - mn) / span)
-          // unbounded above: the file's true range extends past every
-          // measured top, so it is FULL-width smear — measuring it as
-          // (spanTop − lo) would let a file whose lo sits AT the top
-          // read as zero width and hide exactly the layout a top-range
-          // query scans in full
-          case Some((_, None)) => 1.0
-          case None => 1.0
-        }.sum / files.size
+      val bounds = fileBounds(m, files, c)
+      val (span, unboundedAbove, fr) = scanFractions(bounds)
+      val frac = if (files.isEmpty) 0.0 else fr.sum / files.size
       // a constant column (zero span, every bound known) still never
       // advises — a rewrite cannot improve a single point; but a
       // zero-span column with unbounded-above files is NOT provably
       // constant, so it advises like any other full-width smear
-      MergeSnapshotStore.LayoutHealth(c, files.size, statless, frac,
+      MergeSnapshotStore.LayoutHealth(c, files.size,
+        bounds.count(_.isEmpty), frac,
         frac > adviseAbove && files.size > 1 &&
           (span > 0.0 || unboundedAbove))
     }
+  }
+
+  /** Per file Some((lo, hiOpt)) bounds of `c` in the manifest's double
+   * space; hiOpt None = unbounded above (a string bound whose prefix
+   * could not increment), outer None = no stats. STRING columns measure
+   * through the same monotone byte projection the cluster layout slices
+   * in; truncation only WIDENS a file's measured range, so every health
+   * verdict built on this errs toward advising — never toward hiding a
+   * smear. The one bound measure [[maintenanceAdvisor]] and
+   * [[bucketHealth]] share. */
+  private def fileBounds(m: Manifest, files: Seq[String], c: String)
+      : Seq[Option[(Double, Option[Double])]] =
+    files.map { f =>
+      m.stats.get(f).flatMap(_.find(_.column == c))
+        .map(s => (s.mn, Option(s.mx)))
+        .orElse(m.strStats.get(f).flatMap(_.find(_.column == c))
+          .map(y => (MergeSnapshotStore.strKeyToDouble(y.lo),
+            y.hi.map(MergeSnapshotStore.strKeyToDouble))))
+    }
+
+  /** (table-wide span, any-unbounded-above, per-file scan fraction):
+   * the span top falls back to los.max when every upper bound is
+   * unbounded — those files ARE measurable smear; a file is full-width
+   * (1.0) when statless, unbounded above (measuring it as spanTop − lo
+   * would let a file whose lo sits AT the top read as zero width), or
+   * when the whole span is a point (nothing prunes). */
+  private def scanFractions(bounds: Seq[Option[(Double, Option[Double])]])
+      : (Double, Boolean, Seq[Double]) = {
+    val known = bounds.flatten
+    val los = known.map(_._1)
+    val his = known.flatMap(_._2)
+    val spanTop = if (known.isEmpty) 0.0 else (his ++ los).max
+    val span = if (known.isEmpty) 0.0 else spanTop - los.min
+    val unboundedAbove = known.exists(_._2.isEmpty)
+    val fr = bounds.map {
+      case Some((mn, Some(mx))) if span > 0.0 =>
+        math.min(1.0, math.max(0.0, mx - mn) / span)
+      case _ => 1.0
+    }
+    (span, unboundedAbove, fr)
+  }
+
+  /**
+   * Per-BUCKET layout health — [[maintenanceAdvisor]] at the
+   * granularity PARTIAL maintenance acts on: at 100 TB a whole-table
+   * clustered rewrite is prohibitive, but smear is rarely uniform (the
+   * buckets recent merges touched are smeared; the rest still carry
+   * their last clustering), so the maintenance pass should rewrite the
+   * smeared 3%, not the table. Fractions measure over the TABLE-wide
+   * span (the space predicates prune in), aggregated per bucket; a
+   * single full-width file in a bucket advises — splitting it into
+   * filesPerBucket disjoint slices is exactly what the rewrite buys.
+   * Driver-side manifest math like every advisor.
+   */
+  def bucketHealth(db: String, table: String, column: String,
+                   adviseAbove: Double = 0.5,
+                   version: Option[Int] = None)
+      : Seq[MergeSnapshotStore.BucketHealth] = {
+    require(adviseAbove > 0 && adviseAbove < 1,
+      "adviseAbove is a strict scan fraction in (0, 1)")
+    val meta = catalog0(db, table)
+    val m = readManifest(meta.location, resolveVersion(meta, version))
+    val files = listDataFiles(meta, m, None)
+    val bounds = fileBounds(m, files, column)
+    val (span, unboundedAbove, fr) = scanFractions(bounds)
+    m.buckets.toSeq.map { case (b, dir) =>
+      val idx = files.zipWithIndex.collect {
+        case (f, i) if f.startsWith(s"$dir/") => i
+      }
+      val frac = if (idx.isEmpty) 0.0 else idx.map(fr).sum / idx.size
+      MergeSnapshotStore.BucketHealth(b, idx.size,
+        idx.count(i => bounds(i).isEmpty), frac,
+        frac > adviseAbove && idx.nonEmpty &&
+          (span > 0.0 || unboundedAbove))
+    }
+  }
+
+  /**
+   * PARTIAL clustered maintenance — rewrite ONLY the given buckets
+   * (typically [[bucketHealth]]'s advised set) into filesPerBucket
+   * disjoint z-slices each, carrying every other bucket's files and
+   * stats by reference: the Iceberg `rewrite_data_files`-with-a-filter
+   * story, and the difference between maintenance costing O(smeared
+   * buckets) and O(table) at 100 TB. The commit is the scoped-merge
+   * machinery itself (identity fold over the LOGICAL view, so
+   * merge-on-read sidecars fold into the rewritten buckets and drop
+   * when the rewrite makes them dead — reported), with the same CAS
+   * discipline: losses rebase only when the winner touched none of
+   * these buckets. Slice ranges infer from the SCOPED rows (their own
+   * clip ranges — at least as tight as table-wide ones; pruning
+   * correctness never depends on range choice, only file bounds).
+   */
+  def compactBucketsClustered(db: String, table: String,
+                              dims: Seq[(String, Option[(Double, Double)])],
+                              filesPerBucket: Int, buckets: Seq[Int],
+                              bits: Int = 8): CompactionReport = {
+    require(filesPerBucket >= 1, "filesPerBucket must be >= 1")
+    require(buckets.nonEmpty, "pass the buckets to rewrite " +
+      "(bucketHealth(...).filter(_.compactAdvised) is the usual source)")
+    val meta = catalog0(db, table)
+    require(meta.hasPrimaryKey,
+      s"compactBucketsClustered keeps PK bucketing — ${meta.qualified} " +
+        "has no PK")
+    val vs = manifestVersions(meta.location)
+    require(vs.nonEmpty, s"no manifest versions at ${meta.location}")
+    val base = vs.last
+    val current = readManifest(meta.location, base)
+    require(current.nBuckets == nBucketsOf(meta),
+      s"${meta.qualified} is committed with nBuckets=${current.nBuckets}; " +
+        s"this table resolves to nBuckets=${nBucketsOf(meta)} — open the " +
+        "store/table with the committed bucket count")
+    val missing = buckets.filterNot(current.buckets.contains)
+    require(missing.isEmpty,
+      s"buckets ${missing.sorted.mkString(",")} of ${meta.qualified} " +
+        "hold no committed files")
+    val before = current.deletes
+    val scoped = load(meta, current, Some(buckets.toSet))
+    val shadow = scoped.select(dims.map { case (c, _) =>
+      promoted(col(c), scoped.schema(c).dataType).as(c) }: _*)
+    val resolved = Layout.resolveRanges(shadow, dims)
+    commitScoped(meta, base, current, buckets, meta.primaryKey,
+      cluster = Some((resolved, bits, filesPerBucket)))(identity)
+    compactionReport(meta, before)
   }
 
   /**
@@ -2825,6 +2912,16 @@ object MergeSnapshotStore {
    * says a [[MergeSnapshotStore.compactClustered]] pass on this column
    * would measurably restore pruning. */
   case class LayoutHealth(column: String, files: Int, statless: Int,
+                          expectedScanFraction: Double,
+                          compactAdvised: Boolean)
+
+  /** One bucket's layout health from [[MergeSnapshotStore.bucketHealth]]
+   * — [[LayoutHealth]]'s shape at partial-maintenance granularity:
+   * `expectedScanFraction` is the mean normalized width of the bucket's
+   * files over the TABLE-wide span; `compactAdvised` says a
+   * [[MergeSnapshotStore.compactBucketsClustered]] pass on THIS bucket
+   * would measurably restore pruning. */
+  case class BucketHealth(bucket: Int, files: Int, statless: Int,
                           expectedScanFraction: Double,
                           compactAdvised: Boolean)
 

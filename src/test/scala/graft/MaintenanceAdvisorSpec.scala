@@ -57,6 +57,63 @@ class MaintenanceAdvisorSpec extends AnyFunSuite with SparkFixture {
     assert(after.files == 16)
   }
 
+  test("partial maintenance: bucketHealth flags the smeared buckets, scoped rewrite quiets them") {
+    import spark.implicits._
+    val store = mkStore(nBuckets = 4)
+    register(store, "partial")
+    val rows = (0 until 1024).map(i => (i.toLong, ((i * 37) % 1024).toDouble))
+    val df = rows.toDF("id", "v")
+    store.overwrite("adb", "partial", df)
+    store.compactClustered("adb", "partial", Seq("v" -> None),
+      filesPerBucket = 4)
+    assert(store.bucketHealth("adb", "partial", "v")
+      .forall(!_.compactAdvised), "freshly clustered: every bucket quiet")
+
+    // age TWO buckets: a scoped merge collapses each touched bucket to
+    // one file spanning its whole value range — the other two keep
+    // their clustered files BY REFERENCE
+    val keyBuckets = spark.range(0, 1024)
+      .select(col("id"), store.bucketOf(Seq(col("id"))).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1))
+    val targets = keyBuckets.map(_._2).distinct.take(2).toSet
+    val touchKeys = keyBuckets.collect { case (id, b) if targets(b) => id }
+    store.mergeScoped("adb", "partial",
+      touchKeys.toSeq.toDF("id"))(old => old)
+    val health = store.bucketHealth("adb", "partial", "v")
+    assert(health.filter(_.compactAdvised).map(_.bucket).toSet == targets,
+      s"exactly the touched buckets must advise: $health")
+
+    // rewrite ONLY the advised buckets; untouched dirs carry verbatim
+    val entriesPre = store.manifestEntries("adb", "partial",
+      store.latestVersion("adb", "partial"))
+    val advised = health.filter(_.compactAdvised).map(_.bucket)
+    val rep = store.compactBucketsClustered("adb", "partial",
+      Seq("v" -> None), filesPerBucket = 4, buckets = advised)
+    val entriesPost = store.manifestEntries("adb", "partial", rep.version)
+    (entriesPre.keySet -- targets).foreach { b =>
+      assert(entriesPost(b) == entriesPre(b),
+        s"untouched bucket $b must carry its dir by reference")
+    }
+    assert(store.bucketHealth("adb", "partial", "v")
+      .forall(!_.compactAdvised), "every bucket quiet after the rewrite")
+    // the logical snapshot never moved
+    val back = store.read("adb", "partial")
+    assert(back.exceptAll(df).count() == 0 && df.exceptAll(back).count() == 0)
+    // and pruning power is back: a narrow band plans a strict subset
+    val total = back.inputFiles.length
+    assert(store.readRange("adb", "partial",
+      Map("v" -> ((100.0, 150.0)))).inputFiles.length < total)
+    // refusals: unknown bucket, empty set
+    intercept[IllegalArgumentException] {
+      store.compactBucketsClustered("adb", "partial", Seq("v" -> None),
+        4, buckets = Seq(99))
+    }
+    intercept[IllegalArgumentException] {
+      store.compactBucketsClustered("adb", "partial", Seq("v" -> None),
+        4, buckets = Nil)
+    }
+  }
+
   test("per-column verdicts: the unclustered dimension stays advised") {
     import spark.implicits._
     val store = mkStore(nBuckets = 4)
