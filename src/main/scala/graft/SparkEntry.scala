@@ -2252,6 +2252,86 @@ object SparkEntry {
       store.read("q73", "orders").orderBy("o_orderkey")
     }),
 
+    // PARTIAL merge-on-read debt fold (the Iceberg
+    // rewrite_position_deletes story at file granularity): a PK-less
+    // takedown lands a position sidecar; compactDebt rewrites ONLY the
+    // addressed files (the table commits range-laid files, so the
+    // narrow band names a strict subset) and carries every unaddressed
+    // file VERBATIM as per-file manifest lines — O(deleted region)
+    // maintenance instead of a whole-table rewrite. The folded
+    // snapshot, read through the mixed dir+carry layout, must equal
+    // the same NOT-filtered scan
+    "q75_store_debt_fold" -> ((s, d) => {
+      import graft.catalog.{InMemoryCatalog, MergeSnapshotStore, TableMeta}
+      val orders = t(s, d, "orders").select(col("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+      val work = java.nio.file.Files.createTempDirectory("graft-q75").toString
+      val cat = new InMemoryCatalog
+      cat.register(TableMeta("q75", "orders", s"$work/orders")) // NO PK
+      val store = new MergeSnapshotStore(s, cat, nBuckets = 8)
+      store.overwrite("q75", "orders",
+        orders.repartitionByRange(8, col("o_totalprice")))
+      store.deleteWhere("q75", "orders",
+        col("o_totalprice") < 25000.0, MergeSnapshotStore.MergeOnRead)
+      val rep = store.compactDebt("q75", "orders")
+      require(rep.clearedSidecars == 1,
+        "the fold must retire the position sidecar")
+      require(store.manifestCarries("q75", "orders", rep.version)
+        .getOrElse(0, Nil).nonEmpty,
+        "a partial fold must carry the unaddressed files as manifest lines")
+      store.read("q75", "orders").orderBy("o_orderkey")
+    }),
+
+    // Scoped-merge SCHEMA EVOLUTION: an evolving CDC feed adds a
+    // nullable column through a partition-scoped merge — the widened
+    // schema lands in the manifest, the touched buckets rewrite with
+    // values, and every row carried from a pre-evolution file reads as
+    // NULL under the new schema. The assignment rule is key-based, so
+    // the final table is bucket-independent and the oracle expresses
+    // it as one CASE
+    "q76_store_schema_evolution" -> ((s, d) => {
+      import graft.catalog.{InMemoryCatalog, MergeSnapshotStore, TableMeta}
+      val orders = t(s, d, "orders").select(col("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+      val work = java.nio.file.Files.createTempDirectory("graft-q76").toString
+      val cat = new InMemoryCatalog
+      cat.register(TableMeta("q76", "orders", s"$work/orders",
+        primaryKey = Seq("o_orderkey")))
+      val store = new MergeSnapshotStore(s, cat, nBuckets = 8)
+      store.overwrite("q76", "orders", orders)
+      store.mergeScoped("q76", "orders",
+        orders.filter(col("o_orderkey") < 1000).select("o_orderkey")) { old =>
+        old.withColumn("o_tier",
+          when(col("o_orderkey") < 1000, lit("hot"))
+            .otherwise(lit(null).cast("string")))
+      }
+      store.read("q76", "orders").orderBy("o_orderkey")
+    }),
+
+    // SQL DML on the store: the q65 takedown and a q66-shaped
+    // correction expressed as STATEMENTS (the reference's users live
+    // in SQL — src/apply_to_domains.py:54-68), parsed by Spark's own
+    // grammar and routed to deleteWhere/updateWhere; the final
+    // snapshot must equal the oracle's NOT-filter + CASE projection
+    "q77_store_sql_dml" -> ((s, d) => {
+      import graft.catalog.{InMemoryCatalog, MergeSnapshotStore, TableMeta}
+      import graft.operators.QueryRunner
+      val orders = t(s, d, "orders").select(col("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+      val work = java.nio.file.Files.createTempDirectory("graft-q77").toString
+      val cat = new InMemoryCatalog
+      cat.register(TableMeta("q77", "orders", s"$work/orders",
+        primaryKey = Seq("o_orderkey")))
+      val store = new MergeSnapshotStore(s, cat, nBuckets = 8)
+      store.overwrite("q77", "orders", orders)
+      val runner = new QueryRunner(store)
+      runner.dml("q77",
+        "DELETE FROM orders WHERE o_orderstatus = 'F' AND o_totalprice < 100000.0")
+      runner.dml("q77",
+        "UPDATE orders SET o_orderstatus = 'X' WHERE o_orderstatus = 'P'")
+      store.read("q77", "orders").orderBy("o_orderkey")
+    }),
+
     // The SQL surface THROUGH the storage engine (readSkipping /
     // StoreFileIndex): the reference's primary query shape — domain SQL
     // over temp views (reference src/apply_to_domains.py:54-68) — runs
@@ -4828,6 +4908,36 @@ object SparkEntry {
     "q73_store_rebucket" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
          FROM orders
+         ORDER BY o_orderkey""",
+
+    // the folded snapshot (addressed files rewritten, the rest carried
+    // file-granularly) equals the same NOT-filtered scan — a partial
+    // maintenance pass must never move the answer
+    "q75_store_debt_fold" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+         FROM orders
+         WHERE NOT (o_totalprice < 25000.0)
+         ORDER BY o_orderkey""",
+
+    // the evolved snapshot equals the CASE projection: rewritten keys
+    // carry the new column's value, rows carried from pre-evolution
+    // files read as NULL
+    "q76_store_schema_evolution" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                CASE WHEN o_orderkey < 1000 THEN 'hot' END AS o_tier
+         FROM orders
+         ORDER BY o_orderkey""",
+
+    // the statement-driven takedown + correction equal the same
+    // NOT-filter and CASE the typed q65/q66 oracles pin — the SQL
+    // dialect changes nothing about the answer
+    "q77_store_sql_dml" ->
+      """SELECT o_orderkey, o_custkey,
+                CASE WHEN o_orderstatus = 'P' THEN 'X'
+                     ELSE o_orderstatus END AS o_orderstatus,
+                o_totalprice
+         FROM orders
+         WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 100000.0)
          ORDER BY o_orderkey""",
 
     // the advisor's manifest-read debt equals the oracle's own count of

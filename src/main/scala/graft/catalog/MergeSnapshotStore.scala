@@ -176,12 +176,24 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
   private case class DeleteFile(rel: String, version: Int, rows: Long = -1L,
                                 kind: String = MergeSnapshotStore.EqDeleteKind)
 
+  /** `carries` are CARRIED FILES: per bucket, individual data files
+   * (table-relative paths, living under OLDER commit dirs) that belong
+   * to the bucket IN ADDITION to its directory entry — the
+   * file-granular carry a partial position-delete fold needs on a
+   * PK-less table (one logical bucket, so bucket-granular carry would
+   * be the whole table). A carried file keeps its original path, so the
+   * equality sequence rule (commit number parsed from the path at read
+   * time) and its per-file stats (keyed by exact path) stay exact. A
+   * bucket may have carries with or without a directory entry (a fold
+   * whose rewrite emitted no survivors leaves only carries).
+   * Manifests from before the field simply carry none. */
   private case class Manifest(schema: StructType, buckets: SortedMap[Int, String],
                               nBuckets: Int,
                               stats: Map[String, Seq[ColStat]] = Map.empty,
                               strStats: Map[String, Seq[StrStat]] = Map.empty,
                               setStats: Map[String, Seq[SetStat]] = Map.empty,
-                              deletes: Seq[DeleteFile] = Nil)
+                              deletes: Seq[DeleteFile] = Nil,
+                              carries: Map[Int, Seq[String]] = Map.empty)
 
   private def manifestVersions(location: String): Seq[Int] = {
     val p = new Path(location)
@@ -298,8 +310,14 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
           s"malformed delete-sidecar manifest line: ${other.mkString("\\t")}")
       }
     }
+    // carried files (paths are store-generated like sidecar rels — no
+    // encoding needed); sorted so a manifest round-trips bit-stably
+    val carries = lines.collect { case s if s.startsWith("f\t") =>
+      val Array(_, b, rel) = s.split('\t')
+      b.toInt -> rel
+    }.groupBy(_._1).map { case (b, rs) => b -> rs.map(_._2).toSeq.sorted }
     val m = Manifest(schema, SortedMap(buckets: _*), nb, stats, strStats,
-      setStats, deletes)
+      setStats, deletes, carries)
     manifestCache.put(key, m)
     // close the parse-vs-vacuum race: a concurrent vacuum that deleted
     // this file and swept the cache BETWEEN our open and our put would
@@ -322,6 +340,9 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
       java.util.Base64.getEncoder.encodeToString(s.getBytes(UTF_8))
     val content = (Seq(s"schema\t${m.schema.json}", s"nbuckets\t${m.nBuckets}") ++
       m.buckets.toSeq.map { case (b, dir) => s"b\t$b\t$dir" } ++
+      m.carries.toSeq.sortBy(_._1).flatMap { case (b, rels) =>
+        rels.sorted.map(rel => s"f\t$b\t$rel")
+      } ++
       m.stats.toSeq.sortBy(_._1).flatMap { case (f, ss) =>
         ss.map(s => s"s\t$f\t${s.column}\t${s.mn}\t${s.mx}")
       } ++
@@ -348,6 +369,12 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
   /** Test/diagnostic hook: the bucket->directory map of one version. */
   private[graft] def manifestEntries(db: String, table: String, version: Int): Map[Int, String] =
     readManifest(catalog0(db, table).location, version).buckets
+
+  /** Test/diagnostic hook: the per-bucket CARRIED-FILE lists of one
+   * version (files from older commit dirs carried by reference). */
+  private[graft] def manifestCarries(db: String, table: String,
+                                     version: Int): Map[Int, Seq[String]] =
+    readManifest(catalog0(db, table).location, version).carries
 
   /** Test/diagnostic hook: (sidecar dir, applies-below version) of one
    * version's merge-on-read delete files. */
@@ -498,15 +525,21 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
   private def load(meta: TableMeta, m: Manifest, only: Option[Set[Int]]): DataFrame = {
     val dirs = m.buckets.toSeq
       .collect { case (b, dir) if only.forall(_.contains(b)) => s"${meta.location}/$dir" }
+    // carried files load alongside the bucket dirs (spark.read takes a
+    // mix of dirs and files) — a bucket may even consist of carries only
+    val carryPaths = m.carries.toSeq
+      .collect { case (b, rels) if only.forall(_.contains(b)) => rels }
+      .flatten.map(rel => s"${meta.location}/$rel")
+    val paths = dirs ++ carryPaths
     // an empty selection masks to an empty selection — and the local
     // empty relation has no scan metadata columns for the position-
     // delete arm to read, so applyDeletes must not see it
-    if (dirs.isEmpty)
+    if (paths.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
     else
       applyDeletes(meta, m,
-        spark.read.format(meta.format).schema(m.schema).load(dirs: _*))
+        spark.read.format(meta.format).schema(m.schema).load(paths: _*))
   }
 
   /** The merge-on-read delete view — the read-time half of
@@ -674,13 +707,27 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     val relDirs = m.buckets.toSeq
       .collect { case (b, dir) if only.forall(_.contains(b)) => dir }
     val f = fs(new Path(meta.location))
-    relDirs.flatMap { dir =>
+    val fromDirs = relDirs.flatMap { dir =>
       f.listStatus(new Path(s"${meta.location}/$dir")).toSeq
         .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
           !st.getPath.getName.startsWith("."))
         .map(st => (s"$dir/${st.getPath.getName}", st))
     }
+    // carried files enumerate alongside (one getFileStatus per carry —
+    // carry-count-sized driver I/O, same scale as the dir listings)
+    val fromCarries = m.carries.toSeq
+      .collect { case (b, rels) if only.forall(_.contains(b)) => rels }
+      .flatten
+      .map(rel => (rel, f.getFileStatus(new Path(s"${meta.location}/$rel"))))
+    fromDirs ++ fromCarries
   }
+
+  /** The bucket a table-relative file path belongs to — its bucket
+   * dir's prefix, or its carry line. None for a path outside both
+   * (callers treat that as the error it is). */
+  private def bucketOfFile(m: Manifest, rel: String): Option[Int] =
+    m.buckets.collectFirst { case (b, dir) if rel.startsWith(s"$dir/") => b }
+      .orElse(m.carries.collectFirst { case (b, rels) if rels.contains(rel) => b })
 
   private def listDataFiles(meta: TableMeta, m: Manifest,
                             only: Option[Set[Int]]): Seq[String] =
@@ -1404,10 +1451,47 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
   private def commitScoped(meta: TableMeta, readVer: Int, current: Manifest,
                            touched: Seq[Int], pks: Seq[String],
                            rebaseGuard: Manifest => Unit = _ => (),
-                           cluster: Option[(Seq[(String, (Double, Double))], Int, Int)] = None)
+                           cluster: Option[(Seq[(String, (Double, Double))], Int, Int)] = None,
+                           dropDeletes: Set[String] = Set.empty)
                           (rewrite: DataFrame => DataFrame): Unit = {
     val old = load(meta, current, Some(touched.toSet))
     val out = rewrite(old)
+    // scoped-merge schema EVOLUTION contract (spec-pinned): a rewrite
+    // may ADD columns — an evolving CDC feed's natural shape; the
+    // widened schema lands in the manifest, carried old-schema files
+    // read under it with NULLs for the missing column (load supplies
+    // the manifest schema to the scan), and their stats simply lack
+    // the new column (every pruning family keeps a file it has no
+    // bounds for). Added columns must be NULLABLE: the carried rows
+    // WILL surface NULL there, so a non-nullable add would publish a
+    // schema the data immediately violates. DROPPING or RETYPING a
+    // column refuses loudly — untouched buckets carry by reference
+    // and their files cannot re-shape; evolve those with a full
+    // overwrite(mergeSchema) instead.
+    locally {
+      val outSchema = dropBucketCol(out.schema)
+      val cur = current.schema.fields.map(f => f.name.toLowerCase -> f).toMap
+      val nxt = outSchema.fields.map(f => f.name.toLowerCase -> f).toMap
+      val dropped = cur.keySet -- nxt.keySet
+      require(dropped.isEmpty,
+        s"scoped merge to ${meta.qualified} DROPS column(s) " +
+          s"${dropped.toSeq.sorted.mkString(", ")} — untouched buckets " +
+          "carry their files by reference and cannot re-shape; use " +
+          "overwrite() to restructure the table")
+      cur.foreach { case (n, f) =>
+        require(nxt(n).dataType.catalogString == f.dataType.catalogString,
+          s"scoped merge to ${meta.qualified} RETYPES column ${f.name} " +
+            s"(${f.dataType.simpleString} -> ${nxt(n).dataType.simpleString})" +
+            " — carried files hold the old type; use overwrite() to " +
+            "restructure the table")
+      }
+      (nxt.keySet -- cur.keySet).foreach { n =>
+        require(nxt(n).nullable,
+          s"scoped merge to ${meta.qualified} adds NON-NULLABLE column " +
+            s"${nxt(n).name} — rows carried from pre-evolution files " +
+            "surface NULL there; add the column as nullable")
+      }
+    }
     val (written, newStats, newStrStats, newSetStats) =
       writeData(meta, readVer + 1, out, pks, cluster)
     val stray = written.keySet.diff(touched.toSet)
@@ -1428,15 +1512,16 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     while (!committed) {
       val carried = (base.buckets -- touched)
       val carriedDirs = carried.values.toSet
-      val carriedStats = base.stats.filter { case (fp, _) =>
-        carriedDirs.exists(d => fp.startsWith(s"$d/"))
-      }
-      val carriedStrStats = base.strStats.filter { case (fp, _) =>
-        carriedDirs.exists(d => fp.startsWith(s"$d/"))
-      }
-      val carriedSetStats = base.setStats.filter { case (fp, _) =>
-        carriedDirs.exists(d => fp.startsWith(s"$d/"))
-      }
+      // untouched buckets' CARRY lines ride along too (their files were
+      // neither read nor rewritten); a touched bucket's carries were
+      // part of its load and fold into the rewrite output, so they drop
+      val carriedCarries = base.carries -- touched
+      val carriedFiles = carriedCarries.values.flatten.toSet
+      def keeps(fp: String) =
+        carriedDirs.exists(d => fp.startsWith(s"$d/")) || carriedFiles(fp)
+      val carriedStats = base.stats.filter { case (fp, _) => keeps(fp) }
+      val carriedStrStats = base.strStats.filter { case (fp, _) => keeps(fp) }
+      val carriedSetStats = base.setStats.filter { case (fp, _) => keeps(fp) }
       // on a rebase the manifest mixes OUR files (out's schema) with the
       // winner's carried files (their schema — structurally identical,
       // adjudicated below, but either side may have relaxed nullability)
@@ -1453,13 +1538,21 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
       // here (partial rewrites eventually clear what compaction clears
       // wholesale); an unparseable dir name keeps its sidecars live.
       val newBuckets = carried ++ written
-      val liveDeletes = base.deletes.filter(d =>
-        newBuckets.values.exists(dir =>
-          commitNumberOf(dir).forall(_ < d.version)))
+      // `dropDeletes` names sidecars the CALLER proved this rewrite
+      // folds (a debt fold rewrote every bucket/file the sidecar
+      // masks) — they drop regardless of the commit-number rule, which
+      // cannot see key membership and would keep them as long as ANY
+      // older dir survives. Sound under rebase: a winner that changed
+      // the delete set refuses below before this set is ever republished.
+      val liveDeletes = base.deletes
+        .filterNot(d => dropDeletes.contains(d.rel))
+        .filter(d =>
+          (newBuckets.values ++ carriedCarries.values.flatten).exists(p =>
+            commitNumberOf(p).forall(_ < d.version)))
       if (publishManifest(meta.location, baseVer + 1,
           Manifest(schema, newBuckets, nBucketsOf(meta),
             carriedStats ++ newStats, carriedStrStats ++ newStrStats,
-            carriedSetStats ++ newSetStats, liveDeletes))) {
+            carriedSetStats ++ newSetStats, liveDeletes, carriedCarries))) {
         vacuum(meta, manifestVersions(meta.location).filter(_ <= baseVer))
         clearTombstones(meta, written)
         committed = true
@@ -1492,7 +1585,9 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
             s"concurrent commit to ${meta.qualified} changed the " +
               s"merge-on-read delete set while this merge (base version " +
               s"$readVer) was in flight — rerun against the new snapshot")
-        val moved = touched.filter(b => winner.buckets.get(b) != current.buckets.get(b))
+        val moved = touched.filter(b =>
+          winner.buckets.get(b) != current.buckets.get(b) ||
+            winner.carries.get(b) != current.carries.get(b))
         if (moved.nonEmpty)
           throw new java.util.ConcurrentModificationException(
             s"concurrent commit to ${meta.qualified} rewrote buckets " +
@@ -1701,9 +1796,7 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
         "an unmaskable address")
     val refFiles = addrs.select("__file").distinct()
       .collect().map(_.getString(0)).toSet // <= candidate file count
-    val refBuckets = current.buckets.collect {
-      case (b, dir) if refFiles.exists(_.startsWith(s"$dir/")) => b
-    }.toSet
+    val refBuckets = refFiles.flatMap(bucketOfFile(current, _))
     publishMorSidecar(meta, readVer, current, e, rel, matched, refBuckets,
       MergeSnapshotStore.PosDeleteKind, "merge-on-read position delete")
   }
@@ -1744,7 +1837,8 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
             s"while this $op (base version $readVer) was in flight — " +
             "rerun against the new snapshot")
       val moved = guardBuckets.filter(b =>
-        winner.buckets.get(b) != current.buckets.get(b))
+        winner.buckets.get(b) != current.buckets.get(b) ||
+          winner.carries.get(b) != current.carries.get(b))
       if (moved.nonEmpty)
         throw new java.util.ConcurrentModificationException(
           s"concurrent commit to ${meta.qualified} rewrote buckets " +
@@ -1774,9 +1868,11 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
   private def dmlRebaseGuard(meta: TableMeta, current: Manifest,
                              e: org.apache.spark.sql.catalyst.expressions.Expression,
                              op: String): Manifest => Unit = { winner =>
-    val changed = winner.buckets.collect {
+    val changed = (winner.buckets.collect {
       case (b, dir) if !current.buckets.get(b).contains(dir) => b
-    }.toSet
+    } ++ winner.carries.collect {
+      case (b, rels) if !current.carries.get(b).contains(rels) => b
+    }).toSet
     if (changed.nonEmpty) {
       val hit = listDataFiles(meta, winner, Some(changed))
         .find(rel => fileMayMatch(e, winner, rel))
@@ -1809,9 +1905,12 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     if (matches.isEmpty) return None
     val byDir = current.buckets.toSeq.map { case (b, dir) =>
       (new Path(s"${meta.location}/$dir").toUri.getPath, b) }
+    val byCarry = current.carries.toSeq.flatMap { case (b, rels) =>
+      rels.map(rel => (new Path(s"${meta.location}/$rel").toUri.getPath, b)) }.toMap
     val touched = matches.map { case (f, _) =>
       val p = new Path(f).toUri.getPath
       byDir.collectFirst { case (dir, b) if p.startsWith(s"$dir/") => b }
+        .orElse(byCarry.get(p))
         .getOrElse(throw new IllegalStateException(
           s"matched file $f is outside every bucket dir of ${meta.qualified}"))
     }.distinct.sorted
@@ -2020,9 +2119,10 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     val files = listDataFiles(meta, m, None)
     val bounds = fileBounds(m, files, column)
     val (span, unboundedAbove, fr) = scanFractions(bounds)
-    m.buckets.toSeq.map { case (b, dir) =>
+    val allBuckets = (m.buckets.keySet ++ m.carries.keySet).toSeq.sorted
+    allBuckets.map { b =>
       val idx = files.zipWithIndex.collect {
-        case (f, i) if f.startsWith(s"$dir/") => i
+        case (f, i) if bucketOfFile(m, f).contains(b) => i
       }
       val frac = if (idx.isEmpty) 0.0 else idx.map(fr).sum / idx.size
       MergeSnapshotStore.BucketHealth(b, idx.size,
@@ -2051,10 +2151,21 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
                               dims: Seq[(String, Option[(Double, Double)])],
                               filesPerBucket: Int, buckets: Seq[Int],
                               bits: Int = 8): CompactionReport = {
+    val meta = catalog0(db, table)
+    compactBucketsClusteredCore(meta, dims, filesPerBucket, buckets, bits,
+      Set.empty)
+  }
+
+  /** [[compactBucketsClustered]]'s body, with the `dropDeletes` seam
+   * [[maintainIfAdvised]] composes debt folding through — the caller
+   * proves every named sidecar's masked rows live in `buckets`. */
+  private def compactBucketsClusteredCore(meta: TableMeta,
+      dims: Seq[(String, Option[(Double, Double)])],
+      filesPerBucket: Int, buckets: Seq[Int], bits: Int,
+      dropDeletes: Set[String]): CompactionReport = {
     require(filesPerBucket >= 1, "filesPerBucket must be >= 1")
     require(buckets.nonEmpty, "pass the buckets to rewrite " +
       "(bucketHealth(...).filter(_.compactAdvised) is the usual source)")
-    val meta = catalog0(db, table)
     require(meta.hasPrimaryKey,
       s"compactBucketsClustered keeps PK bucketing — ${meta.qualified} " +
         "has no PK")
@@ -2066,7 +2177,8 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
       s"${meta.qualified} is committed with nBuckets=${current.nBuckets}; " +
         s"this table resolves to nBuckets=${nBucketsOf(meta)} — open the " +
         "store/table with the committed bucket count")
-    val missing = buckets.filterNot(current.buckets.contains)
+    val missing = buckets.filterNot(b =>
+      current.buckets.contains(b) || current.carries.contains(b))
     require(missing.isEmpty,
       s"buckets ${missing.sorted.mkString(",")} of ${meta.qualified} " +
         "hold no committed files")
@@ -2076,7 +2188,8 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
       promoted(col(c), scoped.schema(c).dataType).as(c) }: _*)
     val resolved = Layout.resolveRanges(shadow, dims)
     commitScoped(meta, base, current, buckets, meta.primaryKey,
-      cluster = Some((resolved, bits, filesPerBucket)))(identity)
+      cluster = Some((resolved, bits, filesPerBucket)),
+      dropDeletes = dropDeletes)(identity)
     compactionReport(meta, before)
   }
 
@@ -2101,9 +2214,15 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
    * it is exact — the count threshold still sees every sidecar, so
    * accumulation is never invisible. `liveSidecars` counts sidecars at
    * least one current data file still predates (the rest are dead
-   * weight the next commit drops on its own); ADVICE keys off the
-   * total, because even a dead sidecar's keys are opened and
-   * broadcast on every read until a commit retires the line.
+   * weight the next commit drops on its own); for POSITION sidecars
+   * the count is an UPPER bound — a pos sidecar is truly live only
+   * while its referenced file paths still exist, which this
+   * manifest-only read cannot see without opening the sidecar parquet
+   * (the commit-number rule errs toward counting it live; a
+   * [[compactDebt]] pass, which does open the sidecars, retires the
+   * stale ones exactly). ADVICE keys off the total, because even a
+   * dead sidecar's keys are opened and broadcast on every read until
+   * a commit retires the line.
    */
   def deleteDebt(db: String, table: String,
                  adviseAtSidecars: Int = 4,
@@ -2115,14 +2234,192 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     val meta = catalog0(db, table)
     val m = readManifest(meta.location, resolveVersion(meta, version))
     val live = m.deletes.count(d =>
-      m.buckets.values.exists(dir =>
-        commitNumberOf(dir).forall(_ < d.version)))
+      (m.buckets.values ++ m.carries.values.flatten).exists(p =>
+        commitNumberOf(p).forall(_ < d.version)))
     val known = m.deletes.filter(_.rows >= 0L)
     val rows = known.map(_.rows).sum
     MergeSnapshotStore.DeleteDebt(m.deletes.size, live, rows,
       rowsKnown = known.size == m.deletes.size,
       compactAdvised =
         m.deletes.size >= adviseAtSidecars || rows >= adviseAtRows)
+  }
+
+  /** The buckets a snapshot's EQUALITY sidecars actually mask rows in:
+   * each sidecar's keys hash to their buckets (one small read per
+   * sidecar — sidecar count and key mass are delete-sized by the MoR
+   * contract), intersected with the buckets whose earliest file commit
+   * number PREDATES the sidecar (the sequence rule — a bucket every
+   * file of which postdates the sidecar holds nothing it masks). An
+   * unparseable path counts as predating (conservative: the bucket is
+   * rewritten, never skipped). This is the exact footprint a partial
+   * debt fold must rewrite to retire every sidecar. */
+  private def eqDebtBuckets(meta: TableMeta, current: Manifest): Set[Int] = {
+    val pks = meta.primaryKey
+    def minCommit(b: Int): Int =
+      (current.buckets.get(b).toSeq ++ current.carries.getOrElse(b, Nil))
+        .map(p => commitNumberOf(p).getOrElse(-1)).min
+    val known = current.buckets.keySet ++ current.carries.keySet
+    current.deletes.iterator.flatMap { d =>
+      val keyBuckets = spark.read.parquet(s"${meta.location}/${d.rel}")
+        .select(bucketOf(meta, pks.map(col)).as("__b"))
+        .distinct().collect().map(_.getInt(0)) // <= nBuckets values
+      keyBuckets.filter(b => known.contains(b) && minCommit(b) < d.version)
+    }.toSet
+  }
+
+  /**
+   * PARTIAL merge-on-read debt fold — clear every delete sidecar by
+   * rewriting ONLY what the sidecars actually touch, carrying the rest
+   * by reference: the Iceberg `rewrite_position_deletes` /
+   * delete-file-compaction story at the granularity the sidecars
+   * themselves name. Where [[compact]] / [[compactClustered]] pay a
+   * whole-table rewrite to retire debt, this pass pays O(deleted
+   * region): at 100 TB with GDPR-rate takedowns, the difference
+   * between a maintenance sweep that rewrites a few smeared gigabytes
+   * and one that rewrites the table per advisor firing.
+   *
+   *  - KEYED tables (equality sidecars): each sidecar's keys hash to
+   *    their buckets ([[eqDebtBuckets]]); only buckets that own masked
+   *    rows rewrite, through the scoped-commit carry ([[commitScoped]]
+   *    with an identity fold over the LOGICAL view), and every sidecar
+   *    drops — all its masked rows are in the rewritten set by
+   *    construction (key-owning AND predating), so the read answer is
+   *    invariant.
+   *  - PK-LESS tables (position sidecars): addresses name exact files,
+   *    so only the REFERENCED files re-read and rewrite (their
+   *    survivors land in a fresh commit dir); every unreferenced file
+   *    carries by reference — file-granular, via the manifest's
+   *    carried-file lines, since the single logical bucket makes
+   *    bucket-granular carry the whole table. A bucket dir none of
+   *    whose files are referenced keeps its dir entry verbatim.
+   *    Sidecars whose referenced files no longer exist (a prior
+   *    rewrite already orphaned their addresses) are retired without
+   *    any data I/O.
+   *
+   * A table with no sidecars returns a zero report without consuming a
+   * version. A table whose sidecars are all DEAD (mask nothing) clears
+   * them with a metadata-only commit — no data job at all. Like every
+   * maintenance rewrite, the pass pins its base version and REFUSES
+   * ([[java.util.ConcurrentModificationException]]) rather than
+   * clobber a racing commit; re-run against the new snapshot.
+   */
+  def compactDebt(db: String, table: String): CompactionReport = {
+    val meta = catalog0(db, table)
+    val vs = manifestVersions(meta.location)
+    require(vs.nonEmpty, s"no manifest versions at ${meta.location}")
+    val base = vs.last
+    val current = readManifest(meta.location, base)
+    if (current.deletes.isEmpty) return CompactionReport(base, 0, 0L)
+    require(current.nBuckets == nBucketsOf(meta),
+      s"${meta.qualified} is committed with nBuckets=${current.nBuckets}; " +
+        s"this table resolves to nBuckets=${nBucketsOf(meta)} — open the " +
+        "store/table with the committed bucket count")
+    val before = current.deletes
+    if (meta.hasPrimaryKey) {
+      // keyed tables only ever carry equality sidecars (deleteWhereMor
+      // dispatches by key presence); a pos sidecar here is corruption
+      require(before.forall(_.kind == MergeSnapshotStore.EqDeleteKind),
+        s"${meta.qualified} is keyed but carries position-delete " +
+          "sidecars — the manifest is corrupt")
+      val affected = eqDebtBuckets(meta, current)
+      if (affected.isEmpty) publishDeleteClear(meta, base, current)
+      else
+        commitScoped(meta, base, current, affected.toSeq.sorted,
+          meta.primaryKey,
+          dropDeletes = before.map(_.rel).toSet)(identity)
+    } else {
+      require(before.forall(_.kind == MergeSnapshotStore.PosDeleteKind),
+        s"${meta.qualified} is PK-less but carries equality-delete " +
+          "sidecars — the manifest is corrupt")
+      compactDebtPos(meta, base, current)
+    }
+    compactionReport(meta, before)
+  }
+
+  /** The metadata-only debt clear: every sidecar is provably dead (no
+   * masked rows anywhere), so the new manifest is the old one minus
+   * its delete lines — no data job, one CAS publish, refuse on loss
+   * (another writer moved the table; its commit re-judged liveness). */
+  private def publishDeleteClear(meta: TableMeta, base: Int,
+                                 current: Manifest): Unit = {
+    runBeforePublish()
+    if (!publishManifest(meta.location, base + 1,
+        current.copy(deletes = Nil)))
+      throw new java.util.ConcurrentModificationException(
+        s"${meta.qualified} moved past version $base while compactDebt " +
+          "cleared its dead sidecars — re-run against the new snapshot")
+    vacuum(meta, manifestVersions(meta.location).filter(_ <= base))
+  }
+
+  /** The position-kind debt fold body: rewrite exactly the files the
+   * sidecars address, carry every other file by reference (dir entries
+   * where a whole dir is untouched, carried-file lines where a dir is
+   * split), drop all sidecars. Base-pinned, refuse-on-loss. */
+  private def compactDebtPos(meta: TableMeta, base: Int,
+                             current: Manifest): Unit = {
+    // referenced files, intersected with what still exists — an address
+    // whose file a prior rewrite already removed is a dead line
+    val refAll = current.deletes.iterator.flatMap { d =>
+      spark.read.parquet(s"${meta.location}/${d.rel}")
+        .select("__file").distinct().collect().map(_.getString(0))
+    }.toSet
+    val f = fs(new Path(meta.location))
+    val dirFiles: Seq[(Int, String, Seq[String])] =
+      current.buckets.toSeq.map { case (b, dir) =>
+        val fl = f.listStatus(new Path(s"${meta.location}/$dir")).toSeq
+          .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.startsWith("."))
+          .map(st => s"$dir/${st.getPath.getName}")
+        (b, dir, fl)
+      }
+    val existing = dirFiles.flatMap(_._3).toSet ++
+      current.carries.values.flatten
+    val refLive = refAll.intersect(existing)
+    if (refLive.isEmpty) { publishDeleteClear(meta, base, current); return }
+    // survivors of the referenced files under the LOGICAL view (the
+    // sidecars mask their addressed rows; nothing else is read)
+    val survivors = loadFiles(meta, current, refLive.toSeq.sorted, lit(true))
+    val (written, newStats, newStrStats, newSetStats) =
+      writeData(meta, base + 1, survivors, Nil)
+    // dir entries: fully-unreferenced dirs keep their entry verbatim —
+    // unless the rewrite wrote that bucket a fresh dir (one dir per
+    // bucket), in which case the old dir's files become carries
+    val keptDirs = dirFiles.collect {
+      case (b, dir, fl) if fl.forall(!refLive(_)) && !written.contains(b) =>
+        b -> dir
+    }
+    val keptDirBuckets = keptDirs.map(_._1).toSet
+    val carriesNew: Map[Int, Seq[String]] = {
+      val fromDirs = dirFiles.flatMap { case (b, _, fl) =>
+        if (keptDirBuckets.contains(b)) Nil
+        else fl.filterNot(refLive).map(b -> _)
+      }
+      val fromCarries = current.carries.toSeq.flatMap { case (b, rels) =>
+        rels.filterNot(refLive).map(b -> _)
+      }
+      (fromDirs ++ fromCarries).groupBy(_._1)
+        .map { case (b, rs) => b -> rs.map(_._2).sorted }
+        .filter(_._2.nonEmpty)
+    }
+    val keptFiles = carriesNew.values.flatten.toSet
+    val keptDirSet = keptDirs.map(_._2).toSet
+    def keeps(fp: String) =
+      keptDirSet.exists(d => fp.startsWith(s"$d/")) || keptFiles(fp)
+    runBeforePublish()
+    if (!publishManifest(meta.location, base + 1,
+        Manifest(current.schema,
+          SortedMap((keptDirs ++ written.toSeq): _*), current.nBuckets,
+          current.stats.filter(kv => keeps(kv._1)) ++ newStats,
+          current.strStats.filter(kv => keeps(kv._1)) ++ newStrStats,
+          current.setStats.filter(kv => keeps(kv._1)) ++ newSetStats,
+          Nil, carriesNew)))
+      throw new java.util.ConcurrentModificationException(
+        s"${meta.qualified} moved past version $base while compactDebt " +
+          "rewrote its addressed files — the rewrite is stale; re-run " +
+          "against the new snapshot (a maintenance pass must never " +
+          "clobber a concurrent commit)")
+    vacuum(meta, manifestVersions(meta.location).filter(_ <= base))
+    clearTombstones(meta, written)
   }
 
   /**
@@ -2180,23 +2477,38 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
   /**
    * One-call maintenance policy — the cron-able closure of the
    * advise→act loop: consult BOTH advisors ([[deleteDebt]] for
-   * merge-on-read sidecar buildup, [[maintenanceAdvisor]] for layout
-   * smear on `layout`'s columns) and rewrite the table ONLY when one of
-   * them says so, returning the [[CompactionReport]] of what the pass
-   * paid off (None = healthy, nothing written, no version consumed).
-   * The rewrite is [[compactClustered]] when layout columns are given
-   * on a keyed table (restoring data-skipping power AND folding
-   * sidecars in one commit) and plain [[compact]] otherwise. Two
-   * checks, both driver-side manifest reads — a no-op call on a healthy
-   * table costs no job, so a maintenance sweep over thousands of tables
-   * only ever rewrites the ones that need it.
+   * merge-on-read sidecar buildup, [[bucketHealth]] per layout column
+   * for layout smear) and act ONLY when one of them says so, returning
+   * the [[CompactionReport]] of what the pass paid off (None = healthy,
+   * nothing written, no version consumed). The pass pays the PARTIAL
+   * price by default — the 100 TB posture, where smear and debt are
+   * rarely uniform:
+   *
+   *  - debt only (no layout columns): [[compactDebt]] — rewrites only
+   *    the buckets/files the sidecars name, both table kinds.
+   *  - layout smear on a keyed table: the union of the ADVISED buckets
+   *    (per-column [[bucketHealth]]) plus, when debt also fired, the
+   *    sidecars' masked buckets ([[eqDebtBuckets]]) rewrites in ONE
+   *    scoped clustered commit ([[compactBucketsClustered]] with the
+   *    debt fold composed in); only when that union exceeds
+   *    `partialAbove` of the table's buckets does the pass fall back
+   *    to the whole-table [[compactClustered]] — at that fraction the
+   *    scoped carry saves little and the full rewrite lays out every
+   *    bucket fresh.
+   *
+   * Advice checks are driver-side manifest reads (the debt-bucket
+   * mapping adds one small read per sidecar only when debt actually
+   * fired) — a no-op call on a healthy table costs no job, so a
+   * maintenance sweep over thousands of tables only ever rewrites the
+   * ones that need it, and only the parts that need it.
    */
   def maintainIfAdvised(db: String, table: String,
                         layout: Seq[String] = Nil,
                         filesPerBucket: Int = 4,
                         adviseAbove: Double = 0.5,
                         adviseAtSidecars: Int = 4,
-                        adviseAtRows: Long = 1L << 20)
+                        adviseAtRows: Long = 1L << 20,
+                        partialAbove: Double = 0.5)
       : Option[CompactionReport] = {
     // layout columns need a clustered rewrite to quiet the advisor, and
     // clustering needs PK buckets — on a PK-less table the pair would
@@ -2207,15 +2519,44 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
       s"maintainIfAdvised layout columns need PK bucketing — $db.$table " +
         "has no PK (gate PK-less tables on delete debt alone, or write " +
         "through Layout.writeClustered)")
+    require(partialAbove > 0 && partialAbove <= 1,
+      "partialAbove is an advised-bucket fraction in (0, 1]")
     val debt = deleteDebt(db, table, adviseAtSidecars, adviseAtRows)
-    val smear =
-      if (layout.isEmpty) Nil
-      else maintenanceAdvisor(db, table, layout, adviseAbove)
-    if (!debt.compactAdvised && !smear.exists(_.compactAdvised)) None
-    else Some(
-      if (layout.nonEmpty)
+    val smearBuckets: Set[Int] =
+      if (layout.isEmpty) Set.empty
+      else layout.iterator.flatMap(c =>
+        bucketHealth(db, table, c, adviseAbove)
+          .filter(_.compactAdvised).map(_.bucket)).toSet
+    if (!debt.compactAdvised && smearBuckets.isEmpty) return None
+    if (layout.isEmpty)
+      // debt alone can fire on a layout-less table (either key kind):
+      // the debt fold is partial by construction
+      return Some(compactDebt(db, table))
+    // keyed table with layout columns: fold smear and debt in ONE
+    // clustered commit — a plain (unclustered) debt fold would smear
+    // the buckets it rewrites and re-arm the layout advisor, a
+    // rewrite-per-sweep ping-pong
+    val meta = catalog0(db, table)
+    val current = readManifest(meta.location,
+      manifestVersions(meta.location).last)
+    val debtBuckets =
+      if (debt.compactAdvised) eqDebtBuckets(meta, current)
+      else Set.empty[Int]
+    val rewrite = smearBuckets ++ debtBuckets
+    if (rewrite.isEmpty)
+      // debt advised but every sidecar is dead (masks nothing):
+      // compactDebt retires them with a metadata-only commit
+      return Some(compactDebt(db, table))
+    val total = (current.buckets.keySet ++ current.carries.keySet).size
+    Some(
+      if (total > 0 && rewrite.size.toDouble / total > partialAbove)
         compactClustered(db, table, layout.map(_ -> None), filesPerBucket)
-      else compact(db, table, targetFiles = math.max(1, filesPerBucket)))
+      else
+        compactBucketsClusteredCore(meta, layout.map(_ -> None),
+          filesPerBucket, rewrite.toSeq.sorted, bits = 8,
+          dropDeletes =
+            if (debt.compactAdvised) current.deletes.map(_.rel).toSet
+            else Set.empty))
   }
 
   /**
@@ -2669,8 +3010,14 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
         val m = readManifest(meta.location, v)
         // delete sidecars are manifest-referenced directories exactly
         // like bucket dirs: a live sidecar must survive vacuum, and a
-        // cleared one ages out through the same tombstone retention
-        m.buckets.values.toSeq ++ m.deletes.map(_.rel)
+        // cleared one ages out through the same tombstone retention.
+        // A CARRIED FILE protects its whole parent bucket dir (vacuum
+        // is dir-granular; the dir's rewritten siblings ride along as
+        // dead weight until no manifest carries from it — retention
+        // space, never a correctness issue)
+        m.buckets.values.toSeq ++ m.deletes.map(_.rel) ++
+          m.carries.values.flatten.map(rel =>
+            rel.substring(0, rel.lastIndexOf('/')))
       }
       catch { case _: java.io.FileNotFoundException => Nil }
     }.toSet

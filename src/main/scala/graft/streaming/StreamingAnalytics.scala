@@ -284,9 +284,15 @@ object StreamingAnalytics {
   /** Test-only failpoint: runs once on the next registry batch after
    * the marker is pinned and the folds are built, BEFORE the mid-batch
    * guard and the writes — the window a foreign commit lands in for the
-   * guard's spec. CONSUMED atomically on first fire (the store
-   * failpoints' discipline), so a rerun never re-triggers it. */
-  private[graft] var beforeBatchWrites: () => Unit = () => ()
+   * guard's spec. CONSUMED atomically (getAndSet, the store
+   * failpoints' discipline) so two concurrently-running streaming
+   * queries in one JVM can neither run an armed hook twice nor lose
+   * it; a rerun never re-triggers it. */
+  private val beforeBatchWritesRef =
+    new java.util.concurrent.atomic.AtomicReference[() => Unit](() => ())
+  private[graft] def beforeBatchWrites: () => Unit = beforeBatchWritesRef.get()
+  private[graft] def beforeBatchWrites_=(f: () => Unit): Unit =
+    beforeBatchWritesRef.set(f)
 
   /** The one home of the IVM base-marker wire format's READ side: open,
    * decode, trim, split — both the replay pin and the fresh-batch drift
@@ -376,6 +382,7 @@ object StreamingAnalytics {
           // the names line exists to refuse.
           val tableNames = aggs.map(_.table) :+ snapTable
           val replay = fs.exists(marker)
+          val doneMarker = new Path(markers, s"done-$batchId")
           val versions: Seq[Int] =
             if (replay) {
               val lines = markerLines(fs, marker)
@@ -399,7 +406,43 @@ object StreamingAnalytics {
                     "so this one cannot prove which version pins which " +
                     "table; restore the marker (or clear the checkpoint) " +
                     "before resuming")
-              parts.toSeq.map(_.toInt)
+              val pinned = parts.toSeq.map(_.toInt)
+              // the DONE marker proves every write of this batch landed;
+              // a replay through it (crash between the last write and
+              // the stream's own checkpoint commit) skips ALL writes —
+              // the re-overwrites would be byte-identical recomputes
+              // from the pre-batch pins, so skipping is exact, and it
+              // closes the clobber window where an out-of-band commit
+              // (a MoR takedown) landing AFTER the completed attempt
+              // would be silently resurrected by a stale re-overwrite.
+              // The skip sits AFTER the marker validation above, so a
+              // spec list reordered under a live checkpoint still
+              // refuses loudly instead of sailing past on a done batch.
+              if (fs.exists(doneMarker)) {
+                dropStaleMarkers(fs, markers, batchId)
+                return
+              }
+              // a replay WITHOUT a done marker crashed mid-writes: its
+              // own attempt accounts for at most ONE version on the
+              // snapshot, so a snapshot MORE than one past the pin is
+              // provably a foreign commit — folding against the stale
+              // pin would resurrect its takedowns through the full
+              // overwrite below. Refuse loudly (the marker stays: a
+              // naive rerun must not take the fresh path and double-
+              // fold). Exactly +1 stays accepted as the crashed
+              // attempt's own landed write — the residual one-version
+              // ambiguity the done marker closes for completed attempts.
+              val snapAtReplay = store.latestVersion(db, snapTable)
+              if (snapAtReplay > pinned.last + 1)
+                throw new java.util.ConcurrentModificationException(
+                  s"$db.$snapTable is at version $snapAtReplay but batch " +
+                    s"$batchId's replay pins ${pinned.last} — more than " +
+                    "the crashed attempt's one possible write, so a " +
+                    "foreign commit landed while the batch was down; " +
+                    "replaying would fold against the stale pin and " +
+                    "clobber it. Reseed the aggregates from the current " +
+                    "snapshot and clear the checkpoint before resuming")
+              pinned
             } else {
               // FRESH batch: before pinning, detect OUT-OF-BAND commits
               // since this runner's previous batch — a merge-on-read
@@ -409,19 +452,26 @@ object StreamingAnalytics {
               // permanently carrying the taken-down rows' contribution.
               // The previous batch's marker proves where the runner left
               // every table (each +1: one overwrite per table per
-              // batch); any table past that means foreign commits —
-              // repair by RESEEDING every aggregate from the CURRENT
-              // logical snapshot (the masked, sidecar-applied view: the
-              // read funnels apply deletes), the batch registry's own
-              // repair discipline, then fold this batch on top. Reseed
-              // is snapshot-priced and fires only on version drift.
+              // batch); any table past that means foreign commits.
+              // Repair is DELTA-SIZED where sound: the missed commits'
+              // own changelog (a snapshot diff between the version the
+              // registry left and the version that now stands — for the
+              // common case, one takedown's pure-D feed) folds through
+              // each spec's existing delta rule, exactly as if the
+              // foreign commits had arrived as micro-batches. RESEED
+              // from the current logical snapshot (the masked,
+              // sidecar-applied view) remains the fallback where the
+              // delta fold is unsound: the aggregate TABLE itself
+              // drifted (its state is no longer the registry's),
+              // the spec is append-only (sketches cannot subtract a
+              // takedown's D rows), or the registry's pinned base is
+              // no longer retained.
               // One benign false positive: a crash whose replay
               // re-committed some tables (+2 where the first attempt's
               // write landed) trips it too — versions alone cannot
               // distinguish that shape from a foreign commit, and the
-              // reseed is then a semantic no-op (post-replay the tables
-              // are already consistent), so the spurious cost is one
-              // snapshot-sized recompute per crash, never a wrong state.
+              // repair is then a semantic no-op (post-replay the tables
+              // are already consistent), never a wrong state.
               val prevVs: Option[Seq[Int]] =
                 (try fs.listStatus(markers).toSeq
                  catch { case _: java.io.FileNotFoundException => Nil })
@@ -447,19 +497,45 @@ object StreamingAnalytics {
               // from every future batch's drift check
               val now = aggs.map(a => store.latestVersion(db, a.table)) :+
                 store.latestVersion(db, snapTable)
-              val reseeded = prevVs.filter(_.size == now.size).exists { pv =>
+              val repaired = prevVs.filter(_.size == now.size).exists { pv =>
                 now != pv.map(_ + 1) && {
                   val cur = store.readVersion(
                     store.catalog(db, snapTable), now.last)
-                  graft.operators.Materialize.fanOut(aggs) { a =>
-                    store.overwrite(db, a.table, a.seed(cur)) }
+                  // where the registry left the snapshot; the foreign
+                  // feed turns that version into the current one
+                  val leftSnapV = pv.last + 1
+                  val snapMoved = now.last != leftSnapV
+                  val delta: Option[(DataFrame, DataFrame)] =
+                    if (!snapMoved) None
+                    else scala.util.Try {
+                      val oldSnap = store.readVersion(
+                        store.catalog(db, snapTable), leftSnapV)
+                      val feed = graft.operators.Materialize(
+                        graft.operators.Scd.snapshotDiff(oldSnap, cur, keys))
+                      (oldSnap, feed) // readVersion throws past retention
+                    }.toOption
+                  graft.operators.Materialize.fanOut(
+                      aggs.zipWithIndex.toSeq) { case (a, i) =>
+                    val aggDrifted = now(i) != pv(i) + 1
+                    val repairedDf = delta match {
+                      case Some((oldSnap, feed))
+                          if !aggDrifted && !a.appendOnly =>
+                        a.fold(store.readVersion(
+                            store.catalog(db, a.table), now(i)),
+                          oldSnap, cur, feed, keys)
+                      case _ if aggDrifted || snapMoved => a.seed(cur)
+                      case _ => null // this table is consistent; skip
+                    }
+                    if (repairedDf != null)
+                      store.overwrite(db, a.table, repairedDf)
+                  }
                   true
                 }
               }
-              // the reseed moved every aggregate table; the snapshot pin
+              // the repair moved aggregate tables; the snapshot pin
               // stays the checked one
               val vs =
-                if (!reseeded) now
+                if (!repaired) now
                 else aggs.map(a => store.latestVersion(db, a.table)) :+
                   now.last
               require(vs.forall(_ >= 0),
@@ -499,11 +575,7 @@ object StreamingAnalytics {
           // check, and fold against the stale pin — exactly the clobber
           // this refusal exists to prevent. Deleting it makes the rerun
           // a FRESH batch that sees the foreign commit and repairs.
-          locally {
-            val fp = beforeBatchWrites
-            beforeBatchWrites = () => ()
-            fp()
-          }
+          beforeBatchWritesRef.getAndSet(() => ())()
           val snapNow = store.latestVersion(db, snapTable)
           if (!replay && snapNow != versions.last) {
             val cleared =
@@ -525,19 +597,37 @@ object StreamingAnalytics {
           graft.operators.Materialize.fanOut(newAggs) { case (a, df) =>
             store.overwrite(db, a.table, df) }
           store.overwrite(db, snapTable, newSnap)
-          // completed batches never replay with a lower id: drop stale
-          // markers AND any orphaned tmp a crashed-before-rename attempt
-          // of an older batch left behind
-          try fs.listStatus(markers).map(_.getPath).foreach { p =>
-            val id = p.getName match {
-              case s if s.startsWith("batch-") =>
-                scala.util.Try(s.stripPrefix("batch-").toLong).toOption
-              case s if s.startsWith(".tmp-batch-") =>
-                scala.util.Try(s.stripPrefix(".tmp-batch-").toLong).toOption
-              case _ => None
-            }
-            if (id.exists(_ < batchId)) fs.delete(p, false)
-          } catch { case _: java.io.FileNotFoundException => () }
+          // the batch is fully written: commit the DONE marker (tmp +
+          // rename, the marker discipline) so a replay skips its writes
+          val doneTmp = new Path(markers, s".tmp-done-$batchId")
+          val dOut = fs.create(doneTmp, true)
+          try dOut.write("done\n".getBytes(
+            java.nio.charset.StandardCharsets.UTF_8))
+          finally dOut.close()
+          if (!fs.rename(doneTmp, doneMarker) && !fs.exists(doneMarker))
+            throw new java.io.IOException(
+              s"could not commit IVM done marker for batch $batchId")
+          dropStaleMarkers(fs, markers, batchId)
         }
   }
+
+  /** Completed batches never replay with a lower id: drop stale batch
+   * and done markers AND any orphaned tmp a crashed-before-rename
+   * attempt of an older batch left behind. */
+  private def dropStaleMarkers(fs: org.apache.hadoop.fs.FileSystem,
+                               markers: Path, batchId: Long): Unit =
+    try fs.listStatus(markers).map(_.getPath).foreach { p =>
+      val id = p.getName match {
+        case s if s.startsWith("batch-") =>
+          scala.util.Try(s.stripPrefix("batch-").toLong).toOption
+        case s if s.startsWith(".tmp-batch-") =>
+          scala.util.Try(s.stripPrefix(".tmp-batch-").toLong).toOption
+        case s if s.startsWith("done-") =>
+          scala.util.Try(s.stripPrefix("done-").toLong).toOption
+        case s if s.startsWith(".tmp-done-") =>
+          scala.util.Try(s.stripPrefix(".tmp-done-").toLong).toOption
+        case _ => None
+      }
+      if (id.exists(_ < batchId)) fs.delete(p, false)
+    } catch { case _: java.io.FileNotFoundException => () }
 }

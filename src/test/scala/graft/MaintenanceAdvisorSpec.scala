@@ -114,6 +114,107 @@ class MaintenanceAdvisorSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("maintainIfAdvised pays the partial price: one call, only advised buckets move") {
+    import spark.implicits._
+    val store = mkStore(nBuckets = 8)
+    register(store, "policy")
+    val rows = (0 until 2048).map(i => (i.toLong, ((i * 37) % 2048).toDouble))
+    val df = rows.toDF("id", "v")
+    store.overwrite("adb", "policy", df)
+    store.compactClustered("adb", "policy", Seq("v" -> None),
+      filesPerBucket = 4)
+    assert(store.maintainIfAdvised("adb", "policy", layout = Seq("v")).isEmpty,
+      "freshly clustered: the policy must not pay anything")
+
+    // smear TWO of eight buckets (25% < the default partialAbove=0.5)
+    val keyBuckets = spark.range(0, 2048)
+      .select(col("id"), store.bucketOf(Seq(col("id"))).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1))
+    val targets = keyBuckets.map(_._2).distinct.take(2).toSet
+    val touchKeys = keyBuckets.collect { case (id, b) if targets(b) => id }
+    store.mergeScoped("adb", "policy",
+      touchKeys.toSeq.toDF("id"))(old => old)
+    val vPre = store.latestVersion("adb", "policy")
+    val entriesPre = store.manifestEntries("adb", "policy", vPre)
+
+    // ONE cron call: only the smeared buckets rewrite, the other six
+    // carry byte-verbatim, and the advisors go quiet
+    val rep = store.maintainIfAdvised("adb", "policy", layout = Seq("v"))
+    assert(rep.isDefined && rep.get.version == vPre + 1)
+    val entriesPost = store.manifestEntries("adb", "policy", rep.get.version)
+    (entriesPre.keySet -- targets).foreach { b =>
+      assert(entriesPost(b) == entriesPre(b),
+        s"unadvised bucket $b must carry verbatim under the policy")
+    }
+    targets.foreach { b =>
+      assert(entriesPost(b) != entriesPre(b), s"advised bucket $b must move")
+    }
+    assert(store.maintainIfAdvised("adb", "policy", layout = Seq("v")).isEmpty,
+      "quiet after the partial rewrite")
+    val back = store.read("adb", "policy")
+    assert(back.exceptAll(df).count() == 0 && df.exceptAll(back).count() == 0)
+
+    // above the fraction gate the policy falls back to the whole-table
+    // clustered rewrite: smear every bucket, pass partialAbove = 0.1
+    store.mergeScoped("adb", "policy",
+      (0L until 2048L).toDF("id"))(old => old)
+    val vAll = store.latestVersion("adb", "policy")
+    val repAll = store.maintainIfAdvised("adb", "policy", layout = Seq("v"),
+      partialAbove = 0.1)
+    assert(repAll.isDefined && repAll.get.version == vAll + 1)
+    assert(store.maintainIfAdvised("adb", "policy", layout = Seq("v")).isEmpty)
+  }
+
+  test("maintainIfAdvised composes smear and debt into one clustered commit") {
+    import spark.implicits._
+    val store = mkStore(nBuckets = 8)
+    register(store, "combo")
+    val rows = (0 until 2048).map(i => (i.toLong, ((i * 37) % 2048).toDouble))
+    store.overwrite("adb", "combo", rows.toDF("id", "v"))
+    store.compactClustered("adb", "combo", Seq("v" -> None),
+      filesPerBucket = 4)
+    // smear ONE bucket and pile up MoR takedowns landing in (likely)
+    // other buckets — the policy must rewrite the union in one commit,
+    // clustered, dropping every sidecar
+    val keyBuckets = spark.range(0, 2048)
+      .select(col("id"), store.bucketOf(Seq(col("id"))).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1))
+    val smearTarget = keyBuckets.head._2
+    val touchKeys = keyBuckets.collect { case (id, b) if b == smearTarget => id }
+    store.mergeScoped("adb", "combo",
+      touchKeys.toSeq.toDF("id"))(old => old)
+    val bucketOfId = keyBuckets.toMap
+    // two 1-row takedowns (union of smear + debt buckets stays under
+    // the default partialAbove=0.5 of the 8 buckets)
+    val doomed = Seq(100L, 113L)
+    doomed.foreach { id =>
+      assert(store.deleteWhere("adb", "combo", col("id") === id,
+        MergeSnapshotStore.MergeOnRead) == 1L)
+    }
+    val vPre = store.latestVersion("adb", "combo")
+    val entriesPre = store.manifestEntries("adb", "combo", vPre)
+    val debtBuckets = doomed.map(bucketOfId).toSet
+
+    val rep = store.maintainIfAdvised("adb", "combo", layout = Seq("v"),
+      adviseAtSidecars = 2)
+    assert(rep.isDefined && rep.get.version == vPre + 1,
+      "smear + debt must fold in ONE commit")
+    assert(rep.get.clearedSidecars == 2 && rep.get.clearedDeletedRows == 2L)
+    val entriesPost = store.manifestEntries("adb", "combo", rep.get.version)
+    val moved = Set(smearTarget) ++ debtBuckets
+    (entriesPre.keySet -- moved).foreach { b =>
+      assert(entriesPost(b) == entriesPre(b),
+        s"bucket $b is neither smeared nor debt-owning and must carry")
+    }
+    assert(store.manifestDeletes("adb", "combo", rep.get.version).isEmpty)
+    assert(store.maintainIfAdvised("adb", "combo", layout = Seq("v")).isEmpty,
+      "both advisors quiet — the clustered fold must not re-arm the layout advisor")
+    val want = rows.filterNot { case (id, _) => doomed.contains(id) }
+      .toDF("id", "v")
+    val back = store.read("adb", "combo")
+    assert(back.exceptAll(want).count() == 0 && want.exceptAll(back).count() == 0)
+  }
+
   test("per-column verdicts: the unclustered dimension stays advised") {
     import spark.implicits._
     val store = mkStore(nBuckets = 4)

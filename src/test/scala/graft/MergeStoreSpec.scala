@@ -47,6 +47,83 @@ class MergeStoreSpec extends AnyFunSuite with SparkFixture {
     spark.range(1, n + 1).select(col("id").cast("int").as("id"),
       concat(lit("name-"), col("id")).as("name"))
 
+  test("scoped-merge schema evolution: add-column CDC batch, carried files read as NULL") {
+    import spark.implicits._
+    // keep enough versions for the cross-evolution change feed below
+    val store = mkStore(nBuckets = 8, keep = 4)
+    register(store, "mdb", "evo", "id")
+    store.overwrite("mdb", "evo", idTable(256))
+    val v0 = store.latestVersion("mdb", "evo")
+    val entries0 = store.manifestEntries("mdb", "evo", v0)
+    // MoR sidecar BEFORE the evolution: the mask must keep applying to
+    // carried pre-evolution files after the schema widens
+    assert(store.deleteWhere("mdb", "evo", col("id") === 200,
+      MergeSnapshotStore.MergeOnRead) == 1L)
+    // the evolving CDC batch: keys < 40 arrive with a NEW column; the
+    // rewrite widens every row of the touched buckets (the assignment
+    // rule is key-based, so the final table is bucket-independent)
+    val touched = store.mergeScoped("mdb", "evo",
+      (1 to 39).toDF("id")) { old =>
+      old.withColumn("tier",
+        when(col("id") < 40, lit("hot")).otherwise(lit(null).cast("string")))
+    }
+    val v1 = store.latestVersion("mdb", "evo")
+    // the manifest schema widened; untouched buckets carried VERBATIM
+    val entries1 = store.manifestEntries("mdb", "evo", v1)
+    (entries0.keySet -- touched).foreach { b =>
+      assert(entries1(b) == entries0(b),
+        s"untouched bucket $b must carry its pre-evolution files")
+    }
+    // end-to-end read: carried rows surface NULL in the new column,
+    // rewritten rows carry their values, the sidecar still masks
+    val got = store.read("mdb", "evo")
+    assert(got.schema.fieldNames.toSeq ==
+      Seq("id", "name", "tier"))
+    assert(got.filter(col("id") === 200).isEmpty,
+      "the pre-evolution sidecar must keep masking carried files")
+    assert(got.filter(col("tier") === "hot").count() == 39)
+    assert(got.filter(col("id") >= 40 && col("tier").isNotNull).count() == 0,
+      "carried rows must read as NULL in the added column")
+    assert(got.count() == 255)
+    // pruned reads on the NEW column: carried files have no stats for
+    // it (conservative keep), rewritten files do — answers stay exact
+    assert(store.readWhere("mdb", "evo", col("tier") === "hot").count() == 39)
+    assert(store.readWhere("mdb", "evo",
+      col("tier").isNull && col("id") <= 50).count() ==
+      (50 - 39)) // ids 40..50
+    // the change feed across the evolution commit compares the SHARED
+    // columns (the diff cannot see a column one side lacks): the
+    // key-preserving rewrite emits no spurious rows
+    val feed = store.changesBetween("mdb", "evo", v0, v1)
+    assert(feed.filter(col("change") =!= "D").isEmpty,
+      "a value-preserving evolution commit must not fabricate I/U rows")
+    // a later plain merge against the evolved table keeps the column
+    store.mergeScoped("mdb", "evo", Seq(300).toDF("id")) { old =>
+      old.unionByName(Seq((300, "name-300", "hot"))
+        .toDF("id", "name", "tier"))
+    }
+    assert(store.read("mdb", "evo").filter(col("tier") === "hot").count() == 40)
+    // refusals: dropping and retyping refuse loudly; a non-nullable
+    // add refuses before any manifest moves
+    val eDrop = intercept[IllegalArgumentException] {
+      store.mergeScoped("mdb", "evo", Seq(1).toDF("id"))(_.drop("tier"))
+    }
+    assert(eDrop.getMessage.contains("DROPS column"))
+    val eRetype = intercept[IllegalArgumentException] {
+      store.mergeScoped("mdb", "evo", Seq(1).toDF("id"))(old =>
+        old.withColumn("name", col("name").cast("binary")))
+    }
+    assert(eRetype.getMessage.contains("RETYPES column"))
+    val vStable = store.latestVersion("mdb", "evo")
+    val eNonNull = intercept[IllegalArgumentException] {
+      store.mergeScoped("mdb", "evo", Seq(1).toDF("id"))(old =>
+        old.withColumn("flag", lit(true)))
+    }
+    assert(eNonNull.getMessage.contains("NON-NULLABLE column"))
+    assert(store.latestVersion("mdb", "evo") == vStable,
+      "a refused evolution must not consume a version")
+  }
+
   test("rebucket: online bucket-count evolution; lookups and merges follow") {
     import spark.implicits._
     val store = mkStore(nBuckets = 4)

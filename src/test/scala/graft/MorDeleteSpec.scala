@@ -240,6 +240,148 @@ class MorDeleteSpec extends AnyFunSuite with SparkFixture {
     assertExact(store.read("mdb", "auto"), frame().filter(col("id") >= 4L))
   }
 
+  test("compactDebt: keyed fold rewrites only key-owning buckets, clears every sidecar") {
+    import spark.implicits._
+    val store = mkStore()
+    register(store, "pfold")
+    store.overwrite("mdb", "pfold", frame())
+    def bucketOfId(id: Long): Int =
+      spark.range(id, id + 1).select(store.bucketOf(Seq(col("id"))))
+        .head().getInt(0)
+    // two takedowns whose keys land in DIFFERENT buckets
+    val k1 = 3L
+    val k2 = (4L until 64L).find(i => bucketOfId(i) != bucketOfId(k1)).get
+    assert(store.deleteWhere("mdb", "pfold", col("id") === k1, Mor) == 1L)
+    assert(store.deleteWhere("mdb", "pfold", col("id") === k2, Mor) == 1L)
+    val vPre = store.latestVersion("mdb", "pfold")
+    val entriesPre = store.manifestEntries("mdb", "pfold", vPre)
+    val owning = Set(bucketOfId(k1), bucketOfId(k2))
+
+    val rep = store.compactDebt("mdb", "pfold")
+    assert(rep.clearedSidecars == 2 && rep.clearedDeletedRows == 2L)
+    assert(rep.version == vPre + 1)
+    val entriesPost = store.manifestEntries("mdb", "pfold", rep.version)
+    // O(deleted region): every bucket owning no masked key carries its
+    // dir byte-verbatim; exactly the owning buckets moved
+    entriesPre.keySet.foreach { b =>
+      if (owning(b)) assert(entriesPost(b) != entriesPre(b),
+        s"key-owning bucket $b must rewrite")
+      else assert(entriesPost(b) == entriesPre(b),
+        s"bucket $b owns no masked key and must carry verbatim")
+    }
+    assert(store.manifestDeletes("mdb", "pfold", rep.version).isEmpty,
+      "the fold must retire every sidecar")
+    // fold-then-read equality, and physically folded: the rewritten
+    // buckets' raw files hold no masked row
+    assertExact(store.read("mdb", "pfold"),
+      frame().filter(col("id") =!= k1 && col("id") =!= k2))
+    val loc = store.catalog("mdb", "pfold").location
+    owning.foreach { b =>
+      val raw = spark.read.parquet(s"$loc/${entriesPost(b)}")
+      assert(raw.filter(col("id").isin(k1, k2)).count() == 0)
+    }
+    // idempotent: a debt-free table returns a zero report, no version
+    val again = store.compactDebt("mdb", "pfold")
+    assert(again == graft.catalog.CompactionReport(rep.version, 0, 0L))
+    assert(store.latestVersion("mdb", "pfold") == rep.version)
+  }
+
+  test("compactDebt: dead sidecars clear metadata-only; re-inserts survive the fold") {
+    import spark.implicits._
+    val store = mkStore()
+    register(store, "dfold")
+    store.overwrite("mdb", "dfold", frame(64))
+    assert(store.deleteWhere("mdb", "dfold", col("id") === 5L, Mor) == 1L)
+    // re-insert the deleted key (rewrites its bucket — the sidecar's
+    // only masked row is gone, but OTHER buckets still predate it, so
+    // the commit-number rule keeps the line alive as dead weight)
+    store.mergeScoped("mdb", "dfold", Seq(5L).toDF("id"))(old =>
+      old.filter(col("id") =!= 5L)
+        .unionByName(Seq((5L, 9999L, "c9")).toDF("id", "v", "cls")))
+    val vPre = store.latestVersion("mdb", "dfold")
+    assert(store.manifestDeletes("mdb", "dfold", vPre).size == 1,
+      "fixture: the dead sidecar must still ride the manifest")
+    val entriesPre = store.manifestEntries("mdb", "dfold", vPre)
+
+    val rep = store.compactDebt("mdb", "dfold")
+    assert(rep.version == vPre + 1 && rep.clearedSidecars == 1)
+    // metadata-only: NO bucket moved, the delete lines just dropped
+    assert(store.manifestEntries("mdb", "dfold", rep.version) == entriesPre,
+      "a dead-sidecar clear must not touch any data")
+    assert(store.manifestDeletes("mdb", "dfold", rep.version).isEmpty)
+    val row = store.read("mdb", "dfold").filter(col("id") === 5L).collect()
+    assert(row.length == 1 && row.head.getLong(1) == 9999L,
+      "the re-inserted key must survive the fold")
+  }
+
+  test("compactDebt: PK-less fold rewrites only addressed files, carries the rest; folds stack") {
+    val store = mkStore()
+    register(store, "posfold", pk = Nil)
+    // disjoint v ranges per file so the position delete addresses a
+    // strict subset of the files
+    store.overwrite("mdb", "posfold",
+      frame().repartitionByRange(4, col("v")))
+    val v0 = store.latestVersion("mdb", "posfold")
+    val loc = store.catalog("mdb", "posfold").location
+    val dir0 = store.manifestEntries("mdb", "posfold", v0)(0)
+    val files0 = new java.io.File(s"$loc/$dir0").listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+      .map(f => s"$dir0/${f.getName}").toSet
+    assert(files0.size == 4, s"fixture wants 4 range files: $files0")
+
+    assert(store.deleteWhere("mdb", "posfold", col("v") < 10L, Mor) == 10L)
+    val rep = store.compactDebt("mdb", "posfold")
+    assert(rep.clearedSidecars == 1 && rep.clearedDeletedRows == 10L)
+    assert(store.manifestDeletes("mdb", "posfold", rep.version).isEmpty)
+    // file-granular carry: the three unaddressed files ride as carried
+    // lines with their ORIGINAL paths; only the addressed file rewrote
+    val carries = store.manifestCarries("mdb", "posfold", rep.version)
+    assert(carries.keySet == Set(0))
+    assert(carries(0).toSet.subsetOf(files0) && carries(0).size == 3,
+      s"expected 3 of the 4 original files carried verbatim: $carries")
+    assertExact(store.read("mdb", "posfold"),
+      frame().filter(col("v") >= 10L))
+    // the pruned funnels read the mixed dir+carry layout identically
+    assertExact(store.readWhere("mdb", "posfold", col("v") < 100L),
+      frame().filter(col("v") >= 10L && col("v") < 100L))
+    store.readSkipping("mdb", "posfold").createOrReplaceTempView("posfold_v")
+    assert(spark.sql("SELECT count(*) AS n FROM posfold_v").head().getLong(0)
+      == 246L)
+
+    // a second delete lands in a CARRIED file; the second fold reads it,
+    // rewrites it, keeps the 2 unaddressed carries verbatim, and turns
+    // the first fold's (unaddressed, but bucket-colliding) dir into
+    // carries — paths only ever come from the prior version
+    assert(store.deleteWhere("mdb", "posfold",
+      col("v") >= 240L && col("v") < 250L, Mor) == 10L)
+    val dir1 = store.manifestEntries("mdb", "posfold", rep.version)(0)
+    val dir1Files = new java.io.File(s"$loc/$dir1").listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+      .map(f => s"$dir1/${f.getName}").toSet
+    val rep2 = store.compactDebt("mdb", "posfold")
+    assert(rep2.clearedSidecars == 1 && rep2.clearedDeletedRows == 10L)
+    val carries2 = store.manifestCarries("mdb", "posfold", rep2.version)
+    val untouched = carries(0).toSet.intersect(carries2(0).toSet)
+    assert(untouched.size == 2,
+      s"2 of the 3 prior carries must ride verbatim: $carries2")
+    assert(carries2(0).toSet == untouched ++ dir1Files,
+      s"second fold must not invent paths: $carries2")
+    assertExact(store.read("mdb", "posfold"),
+      frame().filter(col("v") >= 10L &&
+        !(col("v") >= 240L && col("v") < 250L)))
+
+    // CoW DML over the mixed layout folds carries back into a dir
+    assert(store.deleteWhere("mdb", "posfold", col("v") === 100L) == 1L)
+    assertExact(store.read("mdb", "posfold"),
+      frame().filter(col("v") >= 10L && col("v") =!= 100L &&
+        !(col("v") >= 240L && col("v") < 250L)))
+    assert(store.manifestCarries("mdb", "posfold",
+      store.latestVersion("mdb", "posfold")).isEmpty,
+      "the whole-bucket CoW rewrite subsumes every carry")
+  }
+
   test("pre-count-field manifests read as rows-unknown, still counted") {
     // a 3-field `d` line (manifests written before the row-count field)
     // must parse as rows = unknown: the mass sum turns lower-bound and

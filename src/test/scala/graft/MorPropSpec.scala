@@ -11,7 +11,8 @@ import graft.catalog.{InMemoryCatalog, MergeSnapshotStore, TableMeta}
 /**
  * Model-based interleaving property for the DML surface: a pseudo-random
  * sequence of CDC upserts, CDC deletes, merge-on-read deletes,
- * copy-on-write deletes, and compactions applied to BOTH the merge
+ * copy-on-write deletes, compactions, and partial debt folds
+ * ([[MergeSnapshotStore.compactDebt]]) applied to BOTH the merge
  * store and a driver-side Map model — after every operation the store's
  * logical snapshot must equal the model exactly, and a stats-pruned
  * readWhere band must equal the model's filter. This is the composition
@@ -49,7 +50,7 @@ class MorPropSpec extends AnyFunSuite with SparkFixture {
       check(store, tbl, model, "seed")
 
       for (step <- 1 to 10) {
-        val op = rnd.nextInt(5)
+        val op = rnd.nextInt(6)
         val what = op match {
           case 0 => // CDC upsert: random keys take fresh values (some new)
             val keys = (0 until 6).map(_ => rnd.nextLong(64)).distinct
@@ -93,6 +94,12 @@ class MorPropSpec extends AnyFunSuite with SparkFixture {
               store.latestVersion("pdb", tbl)).isEmpty,
               "compaction must clear the sidecar list")
             "compact"
+          case 5 => // PARTIAL debt fold: only key-owning buckets rewrite
+            store.compactDebt("pdb", tbl)
+            assert(store.manifestDeletes("pdb", tbl,
+              store.latestVersion("pdb", tbl)).isEmpty,
+              "the partial fold must clear the sidecar list")
+            "compactDebt"
         }
         check(store, tbl, model, s"seed=$seed step=$step $what")
         // the stats-pruned band read answers from the same logical view
@@ -112,8 +119,9 @@ class MorPropSpec extends AnyFunSuite with SparkFixture {
     // 40), the shape where equality semantics would be WRONG (all copies
     // die) and position semantics must erase exactly the matched
     // physical rows. Interleaves position MoR deletes, copy-on-write
-    // deletes, and compactions; after every op the store's logical
-    // snapshot equals the model's multiset exactly.
+    // deletes, compactions, and partial debt folds (file-granular
+    // carry); after every op the store's logical snapshot equals the
+    // model's multiset exactly.
     for (seed <- Seq(1L, 2L, 3L)) {
       val rnd = new scala.util.Random(20260815L * seed + 7)
       val store = new MergeSnapshotStore(spark, new InMemoryCatalog,
@@ -132,7 +140,7 @@ class MorPropSpec extends AnyFunSuite with SparkFixture {
       }
       check("seed")
       for (step <- 1 to 8) {
-        val what = rnd.nextInt(3) match {
+        val what = rnd.nextInt(4) match {
           case 0 => // position MoR delete by value band
             val lo = rnd.nextLong(40)
             val hi = lo + rnd.nextLong(15)
@@ -156,6 +164,13 @@ class MorPropSpec extends AnyFunSuite with SparkFixture {
               store.latestVersion("pdb", tbl)).isEmpty,
               "compaction must clear the position sidecar list")
             "compact"
+          case 3 => // PARTIAL debt fold: only addressed files rewrite,
+            // the rest carry as file-granular manifest lines
+            store.compactDebt("pdb", tbl)
+            assert(store.manifestDeletes("pdb", tbl,
+              store.latestVersion("pdb", tbl)).isEmpty,
+              "the partial fold must clear the position sidecar list")
+            "compactDebt"
         }
         check(s"seed=$seed step=$step $what")
       }

@@ -1,0 +1,131 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.{InMemoryCatalog, MergeSnapshotStore, TableMeta}
+import graft.operators.QueryRunner
+
+/**
+ * SQL DML dispatch ([[QueryRunner.dml]]): `DELETE FROM` / `UPDATE`
+ * statements parse through Spark's own SQL grammar and route to the
+ * store's row-level [[MergeSnapshotStore.deleteWhere]] /
+ * [[MergeSnapshotStore.updateWhere]] — answer parity with the typed
+ * calls (the q65/q66 oracle shapes), both delete modes, faithful
+ * literal/identifier round-tripping, and loud refusals for everything
+ * that is not a single-table DML statement.
+ */
+class SqlDmlSpec extends AnyFunSuite with SparkFixture {
+
+  private def mkStore(): MergeSnapshotStore =
+    new MergeSnapshotStore(spark, new InMemoryCatalog, nBuckets = 4,
+      keepVersions = 2, vacuumRetentionMs = 0L)
+
+  private def register(store: MergeSnapshotStore, tbl: String): TableMeta = {
+    val meta = TableMeta("sdb", tbl,
+      Files.createTempDirectory(s"graft-sqldml-$tbl").toString,
+      primaryKey = Seq("id"))
+    store.catalog.register(meta)
+    meta
+  }
+
+  private def frame(n: Int = 128): DataFrame = {
+    import spark.implicits._
+    (0 until n).map(i => (i.toLong, i.toLong, s"c${i % 4}"))
+      .toDF("id", "v", "cls")
+  }
+
+  private def assertExact(got: DataFrame, want: DataFrame): Unit =
+    assert(got.exceptAll(want).count() == 0 &&
+      want.exceptAll(got).count() == 0, "result drifted")
+
+  test("DELETE FROM routes to deleteWhere: typed-call parity, both modes") {
+    val store = mkStore()
+    val runner = new QueryRunner(store)
+    Seq("t_sql", "t_typed", "t_mor").foreach(register(store, _))
+    Seq("t_sql", "t_typed", "t_mor").foreach(t =>
+      store.overwrite("sdb", t, frame()))
+    val typed = store.deleteWhere("sdb", "t_typed",
+      col("cls") === "c1" && col("v") < 100L)
+    val viaSql = runner.dml("sdb",
+      "DELETE FROM t_sql WHERE cls = 'c1' AND v < 100")
+    assert(viaSql == typed && typed > 0L,
+      s"SQL and typed counts must agree: $viaSql vs $typed")
+    assertExact(store.read("sdb", "t_sql"), store.read("sdb", "t_typed"))
+    // merge-on-read through the same statement: a sidecar, no rewrite
+    val entries0 = store.manifestEntries("sdb", "t_mor",
+      store.latestVersion("sdb", "t_mor"))
+    val viaMor = runner.dml("sdb",
+      "DELETE FROM t_mor WHERE cls = 'c1' AND v < 100",
+      MergeSnapshotStore.MergeOnRead)
+    assert(viaMor == typed)
+    val vMor = store.latestVersion("sdb", "t_mor")
+    assert(store.manifestEntries("sdb", "t_mor", vMor) == entries0,
+      "MoR via SQL must not rewrite any bucket")
+    assert(store.manifestDeletes("sdb", "t_mor", vMor).size == 1)
+    assertExact(store.read("sdb", "t_mor"), store.read("sdb", "t_typed"))
+    // no-WHERE form keeps SQL semantics: every row goes
+    assert(runner.dml("sdb", "DELETE FROM t_sql") ==
+      128L - typed)
+    assert(store.read("sdb", "t_sql").isEmpty)
+  }
+
+  test("UPDATE routes to updateWhere: typed-call parity, expressions in SET") {
+    val store = mkStore()
+    val runner = new QueryRunner(store)
+    Seq("u_sql", "u_typed").foreach(register(store, _))
+    Seq("u_sql", "u_typed").foreach(t => store.overwrite("sdb", t, frame()))
+    val typed = store.updateWhere("sdb", "u_typed", col("cls") === "c2",
+      Map("v" -> (col("v") * 10L + 1L), "cls" -> lit("fixed")))
+    val viaSql = runner.dml("sdb",
+      "UPDATE u_sql SET v = v * 10 + 1, cls = 'fixed' WHERE cls = 'c2'")
+    assert(viaSql == typed && typed > 0L)
+    assertExact(store.read("sdb", "u_sql"), store.read("sdb", "u_typed"))
+    // duplicate SET targets refuse before anything commits
+    val v0 = store.latestVersion("sdb", "u_sql")
+    intercept[IllegalArgumentException] {
+      runner.dml("sdb", "UPDATE u_sql SET v = 1, v = 2 WHERE id = 1")
+    }
+    assert(store.latestVersion("sdb", "u_sql") == v0)
+  }
+
+  test("literals and identifiers round-trip faithfully through the parser") {
+    import spark.implicits._
+    val store = mkStore()
+    val runner = new QueryRunner(store)
+    register(store, "lit")
+    store.overwrite("sdb", "lit",
+      Seq((1L, "O'Brien"), (2L, "plain"), (3L, "O'Brien"))
+        .toDF("id", "name"))
+    // an embedded quote must survive parse -> render -> re-parse
+    assert(runner.dml("sdb",
+      "DELETE FROM lit WHERE name = 'O''Brien'") == 2L)
+    assert(store.read("sdb", "lit").collect().map(_.getString(1)).toSeq ==
+      Seq("plain"))
+    // db-qualified target agrees with the bound db; a foreign one refuses
+    assert(runner.dml("sdb", "DELETE FROM sdb.lit WHERE id = 2") == 1L)
+    intercept[IllegalArgumentException] {
+      runner.dml("sdb", "DELETE FROM otherdb.lit WHERE id = 2")
+    }
+  }
+
+  test("non-DML statements and non-merge stores refuse loudly") {
+    val store = mkStore()
+    val runner = new QueryRunner(store)
+    register(store, "r")
+    store.overwrite("sdb", "r", frame(16))
+    val eSel = intercept[IllegalArgumentException] {
+      runner.dml("sdb", "SELECT * FROM r")
+    }
+    assert(eSel.getMessage.contains("not a DML statement"))
+    // the base snapshot store has no row-level DML to route to
+    val plain = new graft.catalog.SnapshotStore(spark, new InMemoryCatalog)
+    val ePlain = intercept[IllegalArgumentException] {
+      QueryRunner.dml(plain, "sdb", "DELETE FROM r WHERE id = 1")
+    }
+    assert(ePlain.getMessage.contains("MergeSnapshotStore"))
+  }
+}

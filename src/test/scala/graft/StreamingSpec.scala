@@ -686,6 +686,128 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       canon(Ivm.countSumAgg(snap, col("grp_in"), col("v"))))
   }
 
+  test("drift repair is delta-sized: the foreign feed folds through the delta rule, seed never fires") {
+    import spark.implicits._
+    import graft.operators.Ivm
+    import graft.catalog.MergeSnapshotStore
+    // an out-of-band takedown between micro-batches must repair through
+    // the missed commits' OWN changelog (diff of the version the
+    // registry left vs the version that stands — delta-sized for the
+    // common one-takedown case), NOT a snapshot reseed: the seed spy
+    // proves the expensive path never ran for a delta-foldable spec,
+    // while an APPEND-ONLY spec (sketches cannot subtract the
+    // takedown's D rows) still falls back to its seed
+    val tmp = Files.createTempDirectory("graft-stream-deltarepair").toString
+    val catalog = new InMemoryCatalog
+    val store = new MergeSnapshotStore(spark, catalog, nBuckets = 4,
+      keepVersions = 4, vacuumRetentionMs = 60000L)
+    catalog.register(TableMeta("ddb", "snap", s"$tmp/snap",
+      primaryKey = Seq("k")))
+    catalog.register(TableMeta("ddb", "d_cs", s"$tmp/d_cs"))
+    catalog.register(TableMeta("ddb", "d_ao", s"$tmp/d_ao"))
+    val csSeeds = new java.util.concurrent.atomic.AtomicInteger
+    val aoSeeds = new java.util.concurrent.atomic.AtomicInteger
+    val base = Ivm.countSumSpec("d_cs", col("grp_in"), col("v"))
+    val specs = Seq(
+      base.copy(seed = df => { csSeeds.incrementAndGet(); base.seed(df) }),
+      base.copy(table = "d_ao",
+        seed = df => { aoSeeds.incrementAndGet(); base.seed(df) },
+        appendOnly = true))
+    val init = Seq((1L, "a", 10L), (2L, "b", 30L), (3L, "a", 7L))
+      .toDF("k", "grp_in", "v")
+    store.overwrite("ddb", "snap", init)
+    specs.foreach(a => store.overwrite("ddb", a.table, base.seed(init)))
+    StreamingAnalytics.applyIvmRegistryBatch(
+      Seq((4L, "I", Some("b"), Some(1L))).toDF("k", "change", "grp_in", "v"),
+      0L, store, "ddb", "snap", specs, Seq("k"), s"$tmp/ckpt")
+    assert(csSeeds.get() == 0 && aoSeeds.get() == 0,
+      "normal batches never touch the seeds")
+    // out-of-band takedown: one foreign pure-D commit
+    assert(store.deleteWhere("ddb", "snap", col("grp_in") === "a",
+      MergeSnapshotStore.MergeOnRead) == 2L)
+    // next batch detects the drift and repairs before folding
+    StreamingAnalytics.applyIvmRegistryBatch(
+      Seq((5L, "I", Some("b"), Some(2L))).toDF("k", "change", "grp_in", "v"),
+      1L, store, "ddb", "snap", specs, Seq("k"), s"$tmp/ckpt")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val snap = store.read("ddb", "snap")
+    val rebuild = toMap(Ivm.countSumAgg(snap, col("grp_in"), col("v")))
+    assert(toMap(store.read("ddb", "d_cs")) == rebuild,
+      "the delta repair must land exactly on the from-scratch rebuild")
+    assert(toMap(store.read("ddb", "d_ao")) == rebuild)
+    assert(!rebuild.contains("a"), "the takedown must reach the dashboards")
+    assert(csSeeds.get() == 0,
+      "a delta-foldable spec must repair through its fold, never its seed")
+    assert(aoSeeds.get() == 1,
+      "an append-only spec cannot subtract the takedown and must reseed")
+  }
+
+  test("replay guards: a done batch's replay skips; a mid-write replay refuses proven foreign commits") {
+    import spark.implicits._
+    import graft.operators.Ivm
+    import graft.catalog.MergeSnapshotStore
+    // two crash shapes a replay must survive WITHOUT un-happening an
+    // out-of-band takedown: (a) crash AFTER every write landed (done
+    // marker present) — the replay must skip its writes entirely, or a
+    // byte-identical-but-stale re-overwrite resurrects the takedown;
+    // (b) crash MID-writes (no done marker) — a snapshot more than one
+    // version past the pin is provably foreign and the replay refuses.
+    val tmp = Files.createTempDirectory("graft-stream-replayguard").toString
+    val catalog = new InMemoryCatalog
+    val store = new MergeSnapshotStore(spark, catalog, nBuckets = 4,
+      keepVersions = 4, vacuumRetentionMs = 60000L)
+    catalog.register(TableMeta("gdb", "snap", s"$tmp/snap",
+      primaryKey = Seq("k")))
+    catalog.register(TableMeta("gdb", "g_cs", s"$tmp/g_cs"))
+    val specs = Seq(Ivm.countSumSpec("g_cs", col("grp_in"), col("v")))
+    val init = Seq((1L, "a", 10L), (2L, "b", 30L)).toDF("k", "grp_in", "v")
+    store.overwrite("gdb", "snap", init)
+    specs.foreach(a => store.overwrite("gdb", a.table, a.seed(init)))
+    val batch0 = Seq((3L, "I", Some("b"), Some(1L)))
+      .toDF("k", "change", "grp_in", "v")
+    StreamingAnalytics.applyIvmRegistryBatch(batch0, 0L, store, "gdb",
+      "snap", specs, Seq("k"), s"$tmp/ckpt")
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$tmp/ckpt/graft-ivm-base/done-0")),
+      "a completed batch must commit its done marker")
+
+    // (a) out-of-band takedown AFTER completion, then a replay of the
+    // completed batch: every write must be skipped — versions frozen,
+    // the takedown still standing
+    assert(store.deleteWhere("gdb", "snap", col("grp_in") === "a",
+      MergeSnapshotStore.MergeOnRead) == 1L)
+    val snapV = store.latestVersion("gdb", "snap")
+    val aggV = store.latestVersion("gdb", "g_cs")
+    StreamingAnalytics.applyIvmRegistryBatch(batch0, 0L, store, "gdb",
+      "snap", specs, Seq("k"), s"$tmp/ckpt")
+    assert(store.latestVersion("gdb", "snap") == snapV &&
+      store.latestVersion("gdb", "g_cs") == aggV,
+      "a done batch's replay must not write anything")
+    assert(store.read("gdb", "snap").filter(col("grp_in") === "a").isEmpty,
+      "the post-completion takedown must survive the replay")
+
+    // (b) the same replay WITHOUT its done marker (crash mid-writes):
+    // the snapshot sits MORE than one version past the pin (its own
+    // write + the takedown), which is provably foreign — refuse, and
+    // leave the marker so a rerun cannot take the fresh path
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$tmp/ckpt/graft-ivm-base/done-0"), false)
+    val err = intercept[java.util.ConcurrentModificationException] {
+      StreamingAnalytics.applyIvmRegistryBatch(batch0, 0L, store, "gdb",
+        "snap", specs, Seq("k"), s"$tmp/ckpt")
+    }
+    assert(err.getMessage.contains("foreign commit landed"))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$tmp/ckpt/graft-ivm-base/batch-0")),
+      "the refusing replay must keep its marker (a fresh rerun would " +
+        "double-fold)")
+    assert(store.read("gdb", "snap").filter(col("grp_in") === "a").isEmpty,
+      "the refused replay must leave the takedown standing")
+  }
+
   test("streaming MoR visibility: a mid-stream takedown folds masked, dashboard repairs") {
     import spark.implicits._
     import graft.operators.Ivm
