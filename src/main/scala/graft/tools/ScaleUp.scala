@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 /**
  * Synthesize a larger scale factor from an existing one for SCALE
  * validation runs (`sbt "runMain graft.tools.ScaleUp <srcDir> <outDir>
- * [factor]"`): `factor` copies of `documents` and `embeddings` with
+ * [factor]"`): `factor` copies of `documents`, `embeddings`, `orders`
+ * and `customer` with
  * ids offset per copy and CONTENT decorrelated across copies, so the
  * derived corpus keeps the source's per-copy duplicate/near-dup RATE
  * instead of turning every row into a 10-way near-duplicate (which
@@ -57,6 +58,35 @@ object ScaleUp {
     docCopies.reduce(_ unionByName _)
       .repartition(64)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    // orders + customer feed the STORE lifecycle family (q65..q77):
+    // keys offset per copy (PK uniqueness and the per-copy join rate
+    // survive — o_custkey moves with c_custkey), every value column
+    // verbatim so predicate selectivity RATES are scale-invariant;
+    // key types are preserved so derived-sf schemas match the source
+    val orders = spark.read.parquet(s"$src/orders.parquet")
+    val okT = orders.schema("o_orderkey").dataType
+    val ocT = orders.schema("o_custkey").dataType
+    (0 until factor).map { i =>
+      if (i == 0) orders
+      else orders
+        .withColumn("o_orderkey",
+          (col("o_orderkey") + lit(i * Stride)).cast(okT))
+        .withColumn("o_custkey",
+          (col("o_custkey") + lit(i * Stride)).cast(ocT))
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+
+    val cust = spark.read.parquet(s"$src/customer.parquet")
+    val ccT = cust.schema("c_custkey").dataType
+    (0 until factor).map { i =>
+      if (i == 0) cust
+      else cust.withColumn("c_custkey",
+        (col("c_custkey") + lit(i * Stride)).cast(ccT))
+    }.reduce(_ unionByName _)
+      .repartition(16)
+      .write.mode("overwrite").parquet(s"$out/customer.parquet")
 
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     val embCopies = (0 until factor).map { i =>
