@@ -2332,6 +2332,40 @@ object SparkEntry {
       store.read("q77", "orders").orderBy("o_orderkey")
     }),
 
+    // MERGE INTO — the CDC apply surface as ONE statement (the
+    // reference's apply_events fold is exactly this shape): a
+    // conditional DELETE arm, an UPDATE arm, and an INSERT arm apply
+    // first-match-wins through the partition-scoped merge commit (only
+    // the source keys' buckets rewrite); the source derives from
+    // orders itself so the oracle expresses the final state as a
+    // CASE + NOT-filter + UNION ALL
+    "q78_store_merge_into" -> ((s, d) => {
+      import graft.catalog.{InMemoryCatalog, MergeSnapshotStore, TableMeta}
+      import graft.operators.QueryRunner
+      val orders = t(s, d, "orders").select(col("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+      val work = java.nio.file.Files.createTempDirectory("graft-q78").toString
+      val cat = new InMemoryCatalog
+      cat.register(TableMeta("q78", "orders", s"$work/orders",
+        primaryKey = Seq("o_orderkey")))
+      val store = new MergeSnapshotStore(s, cat, nBuckets = 8)
+      store.overwrite("q78", "orders", orders)
+      orders.filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"))
+        .unionByName(orders.filter(col("o_orderkey") % 1000 === 0)
+          .select((col("o_orderkey") + 100000000L).as("k"),
+            col("o_totalprice").as("p")))
+        .createOrReplaceTempView("q78_chg")
+      new QueryRunner(store).dml("q78",
+        """MERGE INTO orders t USING q78_chg s ON t.o_orderkey = s.k
+           WHEN MATCHED AND s.p > 150000.0 THEN DELETE
+           WHEN MATCHED THEN UPDATE SET o_orderstatus = 'M'
+           WHEN NOT MATCHED THEN INSERT
+             (o_orderkey, o_custkey, o_orderstatus, o_totalprice)
+             VALUES (s.k, 0, 'I', s.p)""")
+      store.read("q78", "orders").orderBy("o_orderkey")
+    }),
+
     // The SQL surface THROUGH the storage engine (readSkipping /
     // StoreFileIndex): the reference's primary query shape — domain SQL
     // over temp views (reference src/apply_to_domains.py:54-68) — runs
@@ -4939,6 +4973,23 @@ object SparkEntry {
          FROM orders
          WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 100000.0)
          ORDER BY o_orderkey""",
+
+    // the merged snapshot: matched rows past the delete arm's price
+    // threshold are gone, the rest of the matched keys read 'M', and
+    // the not-matched source keys arrive as 'I' inserts
+    "q78_store_merge_into" ->
+      """SELECT * FROM (
+           SELECT o_orderkey, o_custkey,
+                  CASE WHEN o_orderkey % 10 = 0 THEN 'M'
+                       ELSE o_orderstatus END AS o_orderstatus,
+                  o_totalprice
+           FROM orders
+           WHERE NOT (o_orderkey % 10 = 0 AND o_totalprice > 150000.0)
+           UNION ALL
+           SELECT o_orderkey + 100000000 AS o_orderkey,
+                  0 AS o_custkey, 'I' AS o_orderstatus, o_totalprice
+           FROM orders WHERE o_orderkey % 1000 = 0
+         ) ORDER BY o_orderkey""",
 
     // the advisor's manifest-read debt equals the oracle's own count of
     // the two takedowns' matched rows; the count threshold fires at 2

@@ -134,10 +134,234 @@ object QueryRunner {
           "duplicate assignment targets in UPDATE")
         ms.updateWhere(db, tableOf(t),
           condition.map(columnOf).getOrElse(expr("true")), sets)
+      case m: org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable =>
+        mergeInto(ms, db, m, tableOf)
       case other => throw new IllegalArgumentException(
-        s"not a DML statement (DELETE FROM … / UPDATE … SET …): " +
-          s"parsed as ${other.nodeName}; run queries through " +
-          "QueryRunner.run or spark.sql over a registered view")
+        s"not a DML statement (DELETE FROM … / UPDATE … SET … / " +
+          s"MERGE INTO …): parsed as ${other.nodeName}; run queries " +
+          "through QueryRunner.run or spark.sql over a registered view")
     }
   }
+
+  /**
+   * `MERGE INTO target USING source ON … WHEN MATCHED [AND …] THEN
+   * UPDATE/DELETE … WHEN NOT MATCHED [AND …] THEN INSERT …` — the CDC
+   * apply surface (the reference's apply_events fold IS a merge) as a
+   * statement, routed through [[graft.catalog.MergeSnapshotStore
+   * .mergeScoped]] so it keeps the scoped-commit physics: only the
+   * source keys' hash buckets rewrite, everything else carries by
+   * reference, CAS adjudication unchanged. Scope and contract:
+   *
+   *  - the ON clause must be the target PRIMARY KEY equated to source
+   *    columns (AND of equalities) — that is what makes the merge
+   *    SCOPABLE (source keys name the touched buckets); anything else
+   *    refuses loudly.
+   *  - `source` is a registered store table (read at its snapshot) or
+   *    a session temp view; subqueries refuse — stage them as a view.
+   *  - matched/not-matched actions apply in statement order,
+   *    first-match-wins (the SQL rule); a matched row no action claims
+   *    passes through; a source row no insert action claims is
+   *    ignored. `UPDATE/INSERT *` map columns by name. Assignments
+   *    cast to the column's existing type (the carried buckets pin the
+   *    schema, exactly like updateWhere).
+   *  - WHEN NOT MATCHED BY SOURCE refuses: its semantics sweep the
+   *    WHOLE table while a scoped merge rewrites only the source
+   *    keys' buckets — express table-wide sweeps as deleteWhere /
+   *    updateWhere.
+   *  - more than one source row per key refuses (the SQL cardinality
+   *    violation — the update would be nondeterministic).
+   *
+   * Returns the number of rows the merge changed (matched rows an
+   * action claimed + inserted rows).
+   */
+  private def mergeInto(ms: graft.catalog.MergeSnapshotStore, db: String,
+      m: org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable,
+      tableOf: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan => String)
+      : Long = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+    import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression}
+    import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, InsertAction, InsertStarAction, LogicalPlan, SubqueryAlias, UpdateAction, UpdateStarAction}
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+    val spark = org.apache.spark.sql.SparkSession.active
+    require(m.notMatchedBySourceActions.isEmpty,
+      "WHEN NOT MATCHED BY SOURCE sweeps the whole table; a scoped " +
+        "merge rewrites only the source keys' buckets — express " +
+        "table-wide sweeps as DELETE FROM / UPDATE statements")
+    require(!m.schemaEvolutionEnabled,
+      "MERGE WITH SCHEMA EVOLUTION is not supported on this surface — " +
+        "evolve through mergeScoped directly (nullable adds) or " +
+        "overwrite(mergeSchema)")
+    def unwrap(p: LogicalPlan): (Option[String], LogicalPlan) = p match {
+      case SubqueryAlias(ident, child) => (Some(ident.name), child)
+      case other => (None, other)
+    }
+    val (tAliasOpt, tPlan) = unwrap(m.targetTable)
+    val target = tableOf(tPlan)
+    val tAlias = tAliasOpt.getOrElse(target)
+    val (sAliasOpt, sPlan) = unwrap(m.sourceTable)
+    val (sName, source0) = sPlan match {
+      case u: UnresolvedRelation =>
+        val n = u.multipartIdentifier.last
+        val df =
+          if (ms.exists(db, n)) ms.read(db, n)
+          else spark.table(u.multipartIdentifier.map(q => s"`$q`").mkString("."))
+        (n, df)
+      case other => throw new IllegalArgumentException(
+        s"unsupported MERGE source (${other.nodeName}) — use a store " +
+          "table or register the query as a temp view first")
+    }
+    val sAlias = sAliasOpt.getOrElse(sName)
+    val meta = ms.catalog(db, target)
+    require(meta.primaryKey.nonEmpty,
+      s"MERGE INTO needs a registered PK on ${meta.qualified} — the ON " +
+        "clause scopes by key buckets")
+    val pks = meta.primaryKey
+    // the ON clause: an AND-tree of target-PK = source-column
+    // equalities, classified by qualifier (or, unqualified, by which
+    // side owns the name — ambiguity refuses)
+    def flat(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => flat(l) ++ flat(r)
+      case x => Seq(x)
+    }
+    val sCols = source0.columns.map(_.toLowerCase).toSet
+    val keyMap: Map[String, String] = flat(m.mergeCondition).map {
+      case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute) =>
+        def side(x: UnresolvedAttribute): Option[Char] =
+          x.nameParts match {
+            case Seq(q, _) if q.equalsIgnoreCase(tAlias) => Some('t')
+            case Seq(q, _) if q.equalsIgnoreCase(sAlias) => Some('s')
+            case Seq(n) =>
+              val inT = pks.exists(_.equalsIgnoreCase(n))
+              val inS = sCols.contains(n.toLowerCase)
+              if (inT && !inS) Some('t')
+              else if (inS && !inT) Some('s')
+              else None
+            case _ => None
+          }
+        (side(a), side(b)) match {
+          case (Some('t'), Some('s')) => a.nameParts.last -> b.nameParts.last
+          case (Some('s'), Some('t')) => b.nameParts.last -> a.nameParts.last
+          case _ => throw new IllegalArgumentException(
+            s"cannot classify ON term ${a.sql} = ${b.sql} — qualify " +
+              s"both sides ($tAlias.…, $sAlias.…)")
+        }
+      case other => throw new IllegalArgumentException(
+        s"MERGE ON must be an AND of key equalities (got ${other.sql}) " +
+          "— the key columns are what make the merge bucket-scopable")
+    }.toMap
+    val missing = pks.filterNot(k => keyMap.keys.exists(_.equalsIgnoreCase(k)))
+    require(missing.isEmpty,
+      s"MERGE ON must equate the FULL primary key of ${meta.qualified} " +
+        s"(missing: ${missing.mkString(", ")})")
+    val srcKeyOf = pks.map(k =>
+      k -> keyMap.find(_._1.equalsIgnoreCase(k)).get._2).toMap
+    // SQL cardinality rule: more than one source row per key would make
+    // the matched-row update nondeterministic — refuse before writing
+    require(source0.groupBy(srcKeyOf.values.toSeq.map(col): _*).count()
+        .filter(col("count") > 1).limit(1).collect().isEmpty,
+      s"MERGE source has more than one row per key — the SQL " +
+        "cardinality violation; dedup the source first")
+    val onExpr = columnOfSql(m.mergeCondition)
+    def firstMatch(conds: Seq[Option[Expression]]): org.apache.spark.sql.Column =
+      coalesce(conds.zipWithIndex.map { case (c, i) =>
+        when(c.map(columnOfSql).getOrElse(lit(true)), lit(i))
+      } :+ lit(null).cast("int"): _*)
+    val fieldType = ms.read(db, target).schema.fields
+      .map(f => f.name -> f.dataType).toMap
+    def assignedCol(name: String,
+                    byAction: Seq[(Int, Option[org.apache.spark.sql.Column])],
+                    fallback: org.apache.spark.sql.Column)
+        : org.apache.spark.sql.Column = {
+      val c = byAction.foldLeft(org.apache.spark.sql.functions
+          .when(lit(false), lit(null))) { case (acc, (i, vOpt)) =>
+        acc.when(col("__act") === i,
+          vOpt.getOrElse(fallback).cast(fieldType(name)))
+      }
+      c.otherwise(fallback).as(name)
+    }
+    var affected = 0L
+    // keys CAST to the target PK types: the bucket hash is type-
+    // sensitive (hash(300: int) != hash(300L)), so an uncast source
+    // key of a wider type would scope the wrong buckets silently
+    ms.mergeScoped(db, target,
+        source0.select(pks.map(k =>
+          col(srcKeyOf(k)).cast(fieldType(k)).as(k)): _*)) { old =>
+      val cols = old.columns.toSeq
+      val oldA = old.alias(tAlias)
+      val srcA = source0.alias(sAlias)
+      val keep = oldA.join(srcA, onExpr, "left_anti")
+      // ---- matched rows: first action whose condition holds claims
+      // the row (update rewrites, delete drops); unclaimed rows pass
+      val matchedActs = m.matchedActions
+      val matched0 = oldA.join(srcA, onExpr, "inner")
+        .withColumn("__act", firstMatch(matchedActs.map {
+          case u: UpdateAction => u.condition
+          case d: DeleteAction => d.condition
+          case u: UpdateStarAction => u.condition
+          case a => throw new IllegalArgumentException(
+            s"unsupported WHEN MATCHED action: ${a.getClass.getSimpleName}")
+        }))
+      val deleteIdx = matchedActs.zipWithIndex.collect {
+        case (_: DeleteAction, i) => i
+      }.toSet
+      val updates: Map[String, Seq[(Int, Option[org.apache.spark.sql.Column])]] =
+        cols.map { c =>
+          c -> matchedActs.zipWithIndex.flatMap {
+            case (u: UpdateAction, i) =>
+              u.assignments.collectFirst {
+                case Assignment(k: UnresolvedAttribute, v)
+                    if k.nameParts.last.equalsIgnoreCase(c) =>
+                  (i, Some(columnOfSql(v)))
+              }
+            case (_: UpdateStarAction, i) =>
+              Some((i, Some(col(s"$sAlias.$c"))))
+            case _ => None
+          }
+        }.toMap
+      val survivors = (if (deleteIdx.isEmpty) matched0
+        else matched0.filter(col("__act").isNull ||
+          !col("__act").isin(deleteIdx.toSeq: _*)))
+        .select(cols.map(c =>
+          assignedCol(c, updates(c), col(s"$tAlias.$c"))): _*)
+      // ---- not-matched source rows: first insert action claims the
+      // row; unassigned target columns NULL-fill (the Delta rule)
+      val inserts0 = srcA.join(oldA, onExpr, "left_anti")
+        .withColumn("__act", firstMatch(m.notMatchedActions.map {
+          case ia: InsertAction => ia.condition
+          case ia: InsertStarAction => ia.condition
+          case a => throw new IllegalArgumentException(
+            s"unsupported WHEN NOT MATCHED action: ${a.getClass.getSimpleName}")
+        }))
+        .filter(col("__act").isNotNull)
+      val insertAssigns: Map[String, Seq[(Int, Option[org.apache.spark.sql.Column])]] =
+        cols.map { c =>
+          c -> m.notMatchedActions.zipWithIndex.flatMap {
+            case (ia: InsertAction, i) =>
+              ia.assignments.collectFirst {
+                case Assignment(k: UnresolvedAttribute, v)
+                    if k.nameParts.last.equalsIgnoreCase(c) =>
+                  (i, Some(columnOfSql(v)))
+              }.orElse(Some((i, Some(lit(null).cast(fieldType(c))))))
+            case (_: InsertStarAction, i) =>
+              Some((i, Some(col(s"$sAlias.$c"))))
+            case _ => None
+          }
+        }.toMap
+      val inserted = inserts0.select(cols.map(c =>
+        assignedCol(c, insertAssigns(c), lit(null).cast(fieldType(c)))): _*)
+      // affected = matched rows an action claimed + inserted rows —
+      // delta-sized counts (source-bucket joins), recomputed per rebase
+      affected = matched0.filter(col("__act").isNotNull).count() +
+        inserted.count()
+      keep.select(cols.map(c => col(s"$tAlias.$c")): _*)
+        .unionByName(survivors).unionByName(inserted)
+    }
+    affected
+  }
+
+  /** Parsed-but-unresolved expression → lazy Column via its own SQL
+   * rendering (shared by every DML route in this object). */
+  private def columnOfSql(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.Column = expr(e.sql)
 }
