@@ -2986,7 +2986,12 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
    * is older than `vacuumRetentionMs` (a dir can never be re-referenced —
    * manifests only carry forward refs that are still live — so a
    * tombstone is permanent). Runs on every commit, so overdue tombstones
-   * from earlier commits are purged even when nothing expired this time. */
+   * from earlier commits are purged even when nothing expired this time.
+   * Directories referenced ONLY through carried-file lines additionally
+   * reclaim their NON-carried files (a partial debt fold's rewritten
+   * leftovers) under the same retention discipline, clocked by a
+   * `_carry_only_at` marker from the moment the last dir-referencing
+   * manifest expired. */
   private def vacuum(meta: TableMeta, priorVersions: Seq[Int]): Unit = {
     val all = priorVersions :+ (priorVersions.lastOption.getOrElse(-1) + 1)
     val expired = all.dropRight(keepVersions)
@@ -3005,22 +3010,31 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     // commit's dirs). A manifest a concurrent vacuum deletes between
     // the listing and the read contributes nothing — its references
     // were expired either way.
-    val referenced = manifestVersions(meta.location).flatMap { v =>
-      try {
-        val m = readManifest(meta.location, v)
-        // delete sidecars are manifest-referenced directories exactly
-        // like bucket dirs: a live sidecar must survive vacuum, and a
-        // cleared one ages out through the same tombstone retention.
-        // A CARRIED FILE protects its whole parent bucket dir (vacuum
-        // is dir-granular; the dir's rewritten siblings ride along as
-        // dead weight until no manifest carries from it — retention
-        // space, never a correctness issue)
-        m.buckets.values.toSeq ++ m.deletes.map(_.rel) ++
-          m.carries.values.flatten.map(rel =>
-            rel.substring(0, rel.lastIndexOf('/')))
+    // two reference grades: a dir some retained manifest names as a
+    // BUCKET or SIDECAR entry must survive whole (pinned readers scan
+    // the directory); a dir referenced ONLY through carried-file lines
+    // needs just those files — its other files are the rewritten
+    // siblings a partial debt fold left behind, reclaimable
+    // file-granularly under the same retention discipline
+    val (refDirs, refCarryFiles) = {
+      val dirs = Set.newBuilder[String]
+      val carries = Set.newBuilder[String]
+      manifestVersions(meta.location).foreach { v =>
+        try {
+          val m = readManifest(meta.location, v)
+          // delete sidecars are manifest-referenced directories exactly
+          // like bucket dirs: a live sidecar must survive vacuum, and a
+          // cleared one ages out through the same tombstone retention
+          dirs ++= m.buckets.values
+          dirs ++= m.deletes.map(_.rel)
+          carries ++= m.carries.values.flatten
+        }
+        catch { case _: java.io.FileNotFoundException => () }
       }
-      catch { case _: java.io.FileNotFoundException => Nil }
-    }.toSet
+      (dirs.result(), carries.result())
+    }
+    val referenced = refDirs ++
+      refCarryFiles.map(rel => rel.substring(0, rel.lastIndexOf('/')))
     val now = System.currentTimeMillis()
     val dataRoot = new Path(s"${meta.location}/data")
     if (f.exists(dataRoot)) {
@@ -3073,6 +3087,40 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
             val tomb = new Path(bdir.getPath, "_expired_at")
             try { if (f.exists(tomb)) f.delete(tomb, false) }
             catch { case scala.util.control.NonFatal(_) => () }
+            val relDir = s"data/$cname/${bdir.getPath.getName}"
+            if (!refDirs.contains(relDir)) {
+              // referenced ONLY through carried-file lines: the other
+              // files are a partial fold's rewritten leftovers. Reclaim
+              // them file-granularly under the same retention horizon,
+              // clocked from when the dir FIRST became carry-only (a
+              // reader pinned on the just-expired dir-referencing
+              // manifest gets its full window before any file under it
+              // disappears). The carried set only ever SHRINKS across
+              // versions (folds subtract, nothing re-carries a file a
+              // retained manifest doesn't name), so a file observed
+              // non-carried stays non-carried — deletion is permanent-
+              // safe like the dir tombstones.
+              val marker = new Path(bdir.getPath, "_carry_only_at")
+              val since =
+                if (f.exists(marker)) readTombstoneEpoch(f, marker) match {
+                  case TombstoneEpoch(e) => e
+                  case TombstoneGarbled =>
+                    f.delete(marker, false); writeTombstone(f, marker, now); now
+                  case TombstoneUnreadable => now
+                }
+                else { writeTombstone(f, marker, now); now }
+              if (now - since >= vacuumRetentionMs) {
+                val keep = refCarryFiles
+                  .filter(_.startsWith(s"$relDir/"))
+                  .map(_.substring(relDir.length + 1))
+                f.listStatus(bdir.getPath).foreach { st =>
+                  val n = st.getPath.getName
+                  if (st.isFile && !n.startsWith("_") && !n.startsWith(".") &&
+                      !keep.contains(n))
+                    f.delete(st.getPath, false)
+                }
+              }
+            }
           }
         }
         if (f.listStatus(commit.getPath).isEmpty) f.delete(commit.getPath, true)

@@ -382,6 +382,50 @@ class MorDeleteSpec extends AnyFunSuite with SparkFixture {
       "the whole-bucket CoW rewrite subsumes every carry")
   }
 
+  test("vacuum reclaims a carry-only dir's rewritten leftovers file-granularly") {
+    val store = mkStore() // keepVersions = 2, retention 0 (eager)
+    register(store, "vc", pk = Nil)
+    store.overwrite("mdb", "vc", frame().repartitionByRange(4, col("v")))
+    val loc = store.catalog("mdb", "vc").location
+    val v0 = store.latestVersion("mdb", "vc")
+    val dir0 = store.manifestEntries("mdb", "vc", v0)(0)
+    def dirFiles(): Set[String] = new java.io.File(s"$loc/$dir0").listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+      .map(_.getName).toSet
+    val files0 = dirFiles()
+    assert(files0.size == 4)
+
+    assert(store.deleteWhere("mdb", "vc", col("v") < 10L,
+      MergeSnapshotStore.MergeOnRead) == 10L) // v1
+    val rep = store.compactDebt("mdb", "vc") // v2: dir0 split into carries
+    val carried = store.manifestCarries("mdb", "vc", rep.version)(0)
+      .map(_.split('/').last).toSet
+    val rewritten = files0 -- carried
+    assert(rewritten.size == 1)
+    // v1 (which still names dir0 as a bucket entry) is retained, so the
+    // rewritten leftover must SURVIVE this commit's vacuum
+    assert(dirFiles() == files0,
+      "a dir-referencing retained manifest protects the whole dir")
+
+    // the next commit expires v1: dir0 becomes carry-only and the
+    // leftover reclaims file-granularly (retention 0 = same pass);
+    // the three carried files stay byte-verbatim
+    assert(store.deleteWhere("mdb", "vc", col("v") === 50L,
+      MergeSnapshotStore.MergeOnRead) == 1L) // v3
+    assert(dirFiles() == carried,
+      s"carry-only reclaim must drop exactly the rewritten leftover: " +
+        s"left=${dirFiles()}, carried=$carried")
+    // reads over the post-reclaim mixed layout stay exact, and a second
+    // fold still reads the carried files fine
+    assertExact(store.read("mdb", "vc"),
+      frame().filter(col("v") >= 10L && col("v") =!= 50L))
+    val rep2 = store.compactDebt("mdb", "vc")
+    assert(rep2.clearedSidecars == 1)
+    assertExact(store.read("mdb", "vc"),
+      frame().filter(col("v") >= 10L && col("v") =!= 50L))
+  }
+
   test("pre-count-field manifests read as rows-unknown, still counted") {
     // a 3-field `d` line (manifests written before the row-count field)
     // must parse as rows = unknown: the mass sum turns lower-bound and
