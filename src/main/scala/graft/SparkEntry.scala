@@ -2366,6 +2366,35 @@ object SparkEntry {
       store.read("q78", "orders").orderBy("o_orderkey")
     }),
 
+    // PK-LESS partial maintenance (fileHealth + file-scoped clustered
+    // rewrite): an unsorted PK-less arrival smears every file; a
+    // position takedown adds sidecar debt; ONE maintainIfAdvised call
+    // folds both at FILE granularity (carried files ride as manifest
+    // lines) — and the maintained snapshot must equal the same
+    // NOT-filtered scan: layout + debt maintenance never move the
+    // answer
+    "q79_store_pkless_maintain" -> ((s, d) => {
+      import graft.catalog.{InMemoryCatalog, MergeSnapshotStore, TableMeta}
+      val orders = t(s, d, "orders").select(col("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+      val work = java.nio.file.Files.createTempDirectory("graft-q79").toString
+      val cat = new InMemoryCatalog
+      cat.register(TableMeta("q79", "orders", s"$work/orders")) // NO PK
+      val store = new MergeSnapshotStore(s, cat, nBuckets = 8)
+      store.overwrite("q79", "orders", orders.repartition(8)) // unsorted
+      store.deleteWhere("q79", "orders",
+        col("o_totalprice") < 10000.0, MergeSnapshotStore.MergeOnRead)
+      val rep = store.maintainIfAdvised("q79", "orders",
+        layout = Seq("o_totalprice"), filesPerBucket = 8,
+        adviseAtSidecars = 1)
+      require(rep.exists(_.clearedSidecars == 1),
+        "the pass must fold the position sidecar")
+      require(store.fileHealth("q79", "orders", "o_totalprice")
+        .forall(!_.compactAdvised),
+        "the pass must quiet every file")
+      store.read("q79", "orders").orderBy("o_orderkey")
+    }),
+
     // The SQL surface THROUGH the storage engine (readSkipping /
     // StoreFileIndex): the reference's primary query shape — domain SQL
     // over temp views (reference src/apply_to_domains.py:54-68) — runs
@@ -4972,6 +5001,14 @@ object SparkEntry {
                 o_totalprice
          FROM orders
          WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 100000.0)
+         ORDER BY o_orderkey""",
+
+    // file-scoped layout + debt maintenance never move the answer: the
+    // maintained PK-less snapshot equals the same NOT-filtered scan
+    "q79_store_pkless_maintain" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+         FROM orders
+         WHERE NOT (o_totalprice < 10000.0)
          ORDER BY o_orderkey""",
 
     // the merged snapshot: matched rows past the delete arm's price

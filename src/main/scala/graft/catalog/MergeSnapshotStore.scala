@@ -2194,6 +2194,97 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
   }
 
   /**
+   * Per-FILE layout health — [[bucketHealth]]'s PK-less twin, at the
+   * granularity PK-less partial maintenance acts on: a single logical
+   * bucket makes bucket-scoped rewrites the whole table, but smear is
+   * per-file (a debt fold's survivors, an unsorted arrival) and the
+   * remedy is file-scoped ([[compactFilesClustered]]). Fractions
+   * measure over the TABLE-wide span, same bound measure as the other
+   * advisors; a statless file reads full-width (rewriting it at least
+   * measures it). Driver-side manifest math like every advisor.
+   */
+  def fileHealth(db: String, table: String, column: String,
+                 adviseAbove: Double = 0.5,
+                 version: Option[Int] = None)
+      : Seq[MergeSnapshotStore.FileHealth] = {
+    require(adviseAbove > 0 && adviseAbove < 1,
+      "adviseAbove is a strict scan fraction in (0, 1)")
+    val meta = catalog0(db, table)
+    val m = readManifest(meta.location, resolveVersion(meta, version))
+    val files = listDataFiles(meta, m, None)
+    val bounds = fileBounds(m, files, column)
+    val (span, unboundedAbove, fr) = scanFractions(bounds)
+    files.zipWithIndex.map { case (rel, i) =>
+      MergeSnapshotStore.FileHealth(rel, bounds(i).isEmpty, fr(i),
+        fr(i) > adviseAbove && (span > 0.0 || unboundedAbove))
+    }
+  }
+
+  /**
+   * PARTIAL clustered maintenance for PK-LESS tables — rewrite ONLY the
+   * given files (typically [[fileHealth]]'s advised set) into
+   * `targetFiles` disjoint z-slices, carrying every other file by
+   * reference through the carried-file manifest lines: the same
+   * Iceberg `rewrite_data_files`-with-a-filter story
+   * [[compactBucketsClustered]] tells for keyed tables, at the
+   * granularity a single logical bucket actually permits. The commit
+   * is the file-scoped machinery of the debt fold (logical view, so
+   * position sidecars mask during the rewrite; sidecars not proved
+   * folded ride along — their addresses into rewritten files are dead
+   * lines). Slice ranges infer from the SCOPED rows; layout choice
+   * never changes answers, only pruning power.
+   */
+  def compactFilesClustered(db: String, table: String,
+                            dims: Seq[(String, Option[(Double, Double)])],
+                            targetFiles: Int, files: Seq[String],
+                            bits: Int = 8): CompactionReport = {
+    val meta = catalog0(db, table)
+    compactFilesClusteredCore(meta, dims, targetFiles, files, bits, Set.empty)
+  }
+
+  /** [[compactFilesClustered]]'s body, with the `dropDeletes` seam
+   * [[maintainIfAdvised]] composes the PK-less debt fold through. */
+  private def compactFilesClusteredCore(meta: TableMeta,
+      dims: Seq[(String, Option[(Double, Double)])], targetFiles: Int,
+      files: Seq[String], bits: Int,
+      dropDeletes: Set[String]): CompactionReport = {
+    require(targetFiles >= 1, "targetFiles must be >= 1")
+    require(files.nonEmpty, "pass the files to rewrite " +
+      "(fileHealth(...).filter(_.compactAdvised) is the usual source)")
+    require(!meta.hasPrimaryKey,
+      s"compactFilesClustered is the PK-less partial rewrite — " +
+        s"${meta.qualified} is keyed; use compactBucketsClustered")
+    val vs = manifestVersions(meta.location)
+    require(vs.nonEmpty, s"no manifest versions at ${meta.location}")
+    val base = vs.last
+    val current = readManifest(meta.location, base)
+    require(current.nBuckets == nBucketsOf(meta),
+      s"${meta.qualified} is committed with nBuckets=${current.nBuckets}; " +
+        s"this table resolves to nBuckets=${nBucketsOf(meta)} — open the " +
+        "store/table with the committed bucket count")
+    val listing = listDataFiles(meta, current, None).toSet
+    val missing = files.filterNot(listing)
+    require(missing.isEmpty,
+      s"files ${missing.sorted.mkString(",")} are not part of " +
+        s"${meta.qualified}'s current snapshot")
+    val before = current.deletes
+    commitFileScoped(meta, base, current, files.toSet, dropDeletes) { rows =>
+      // an all-masked selection has nothing to lay out — identity
+      // (writeData emits no files; the selection just disappears)
+      if (rows.isEmpty) rows
+      else {
+        val shadow = rows.select(dims.map { case (c, _) =>
+          promoted(col(c), rows.schema(c).dataType).as(c) }: _*)
+        val resolved = Layout.resolveRanges(shadow, dims)
+        val z = Layout.zValue(resolved.map { case (c, r) =>
+          (promoted(col(c), rows.schema(c).dataType), r) }, bits)
+        Layout.clusterByZ(rows, z, dims.size, targetFiles, bits)
+      }
+    }
+    compactionReport(meta, before)
+  }
+
+  /**
    * Merge-on-read delete debt of one snapshot — [[maintenanceAdvisor]]'s
    * sidecar dimension (the Iceberg `rewrite_position_deletes`
    * maintenance story): a table taking steady MoR takedowns pays a
@@ -2351,18 +2442,42 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     vacuum(meta, manifestVersions(meta.location).filter(_ <= base))
   }
 
-  /** The position-kind debt fold body: rewrite exactly the files the
-   * sidecars address, carry every other file by reference (dir entries
-   * where a whole dir is untouched, carried-file lines where a dir is
-   * split), drop all sidecars. Base-pinned, refuse-on-loss. */
-  private def compactDebtPos(meta: TableMeta, base: Int,
-                             current: Manifest): Unit = {
-    // referenced files, intersected with what still exists — an address
-    // whose file a prior rewrite already removed is a dead line
+  /** The files a PK-less snapshot's POSITION sidecars still address:
+   * each sidecar's distinct `__file` set (one small read per sidecar),
+   * intersected with what the manifest still lists — an address whose
+   * file a prior rewrite already removed is a dead line. This is the
+   * exact footprint a partial debt fold must rewrite. */
+  private def posDebtFiles(meta: TableMeta, current: Manifest): Set[String] = {
     val refAll = current.deletes.iterator.flatMap { d =>
       spark.read.parquet(s"${meta.location}/${d.rel}")
         .select("__file").distinct().collect().map(_.getString(0))
     }.toSet
+    refAll.intersect(listDataFiles(meta, current, None).toSet)
+  }
+
+  /** The position-kind debt fold body: rewrite exactly the files the
+   * sidecars address, carry every other file by reference, drop all
+   * sidecars. Base-pinned, refuse-on-loss. */
+  private def compactDebtPos(meta: TableMeta, base: Int,
+                             current: Manifest): Unit = {
+    val refLive = posDebtFiles(meta, current)
+    if (refLive.isEmpty) publishDeleteClear(meta, base, current)
+    else commitFileScoped(meta, base, current, refLive,
+      current.deletes.map(_.rel).toSet)(identity)
+  }
+
+  /** The FILE-scoped rewrite commit PK-less maintenance shares
+   * ([[compactDebtPos]] with an identity shape, [[compactFilesClustered]]
+   * with a clustering one): read the LOGICAL rows of exactly `refLive`,
+   * replace them with `shape`'s output, carry every other file by
+   * reference — dir entries where a whole dir is untouched,
+   * carried-file lines where a dir is split — and retire the
+   * `dropDeletes` sidecars the caller proved folded. Base-pinned,
+   * refuse-on-loss (a maintenance pass never clobbers). */
+  private def commitFileScoped(meta: TableMeta, base: Int,
+                               current: Manifest, refLive: Set[String],
+                               dropDeletes: Set[String])
+                              (shape: DataFrame => DataFrame): Unit = {
     val f = fs(new Path(meta.location))
     val dirFiles: Seq[(Int, String, Seq[String])] =
       current.buckets.toSeq.map { case (b, dir) =>
@@ -2372,13 +2487,10 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
           .map(st => s"$dir/${st.getPath.getName}")
         (b, dir, fl)
       }
-    val existing = dirFiles.flatMap(_._3).toSet ++
-      current.carries.values.flatten
-    val refLive = refAll.intersect(existing)
-    if (refLive.isEmpty) { publishDeleteClear(meta, base, current); return }
     // survivors of the referenced files under the LOGICAL view (the
     // sidecars mask their addressed rows; nothing else is read)
-    val survivors = loadFiles(meta, current, refLive.toSeq.sorted, lit(true))
+    val survivors = shape(loadFiles(meta, current, refLive.toSeq.sorted,
+      lit(true)))
     val (written, newStats, newStrStats, newSetStats) =
       writeData(meta, base + 1, survivors, Nil)
     // dir entries: fully-unreferenced dirs keep their entry verbatim —
@@ -2405,6 +2517,12 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     val keptDirSet = keptDirs.map(_._2).toSet
     def keeps(fp: String) =
       keptDirSet.exists(d => fp.startsWith(s"$d/")) || keptFiles(fp)
+    // sidecars the caller did NOT prove folded stay — their addresses
+    // into rewritten files are dead lines (new files are new paths, the
+    // anti-join matches nothing), their addresses into carried files
+    // keep masking
+    val liveDeletes = current.deletes
+      .filterNot(d => dropDeletes.contains(d.rel))
     runBeforePublish()
     if (!publishManifest(meta.location, base + 1,
         Manifest(current.schema,
@@ -2412,10 +2530,10 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
           current.stats.filter(kv => keeps(kv._1)) ++ newStats,
           current.strStats.filter(kv => keeps(kv._1)) ++ newStrStats,
           current.setStats.filter(kv => keeps(kv._1)) ++ newSetStats,
-          Nil, carriesNew)))
+          liveDeletes, carriesNew)))
       throw new java.util.ConcurrentModificationException(
-        s"${meta.qualified} moved past version $base while compactDebt " +
-          "rewrote its addressed files — the rewrite is stale; re-run " +
+        s"${meta.qualified} moved past version $base while a file-scoped " +
+          "maintenance pass rewrote it — the rewrite is stale; re-run " +
           "against the new snapshot (a maintenance pass must never " +
           "clobber a concurrent commit)")
     vacuum(meta, manifestVersions(meta.location).filter(_ <= base))
@@ -2495,6 +2613,13 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
    *    to the whole-table [[compactClustered]] — at that fraction the
    *    scoped carry saves little and the full rewrite lays out every
    *    bucket fresh.
+   *  - layout smear on a PK-LESS table: the same composition at FILE
+   *    granularity — per-column [[fileHealth]]-advised files plus the
+   *    position sidecars' addressed files ([[posDebtFiles]]) rewrite in
+   *    ONE clustered file-scoped commit ([[compactFilesClustered]]);
+   *    past the fraction gate the whole file set rewrites through the
+   *    same path (zero carries). `filesPerBucket` is the rewritten
+   *    set's output slice count here.
    *
    * Advice checks are driver-side manifest reads (the debt-bucket
    * mapping adds one small read per sidecar only when debt actually
@@ -2510,53 +2635,75 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
                         adviseAtRows: Long = 1L << 20,
                         partialAbove: Double = 0.5)
       : Option[CompactionReport] = {
-    // layout columns need a clustered rewrite to quiet the advisor, and
-    // clustering needs PK buckets — on a PK-less table the pair would
-    // fire a plain (random-repartition) rewrite that improves nothing
-    // and fires again on every sweep, a full-table rewrite per cron
-    // tick forever; refuse the configuration like compactClustered does
-    require(layout.isEmpty || catalog0(db, table).hasPrimaryKey,
-      s"maintainIfAdvised layout columns need PK bucketing — $db.$table " +
-        "has no PK (gate PK-less tables on delete debt alone, or write " +
-        "through Layout.writeClustered)")
     require(partialAbove > 0 && partialAbove <= 1,
-      "partialAbove is an advised-bucket fraction in (0, 1]")
+      "partialAbove is an advised-fraction gate in (0, 1]")
+    val meta = catalog0(db, table)
     val debt = deleteDebt(db, table, adviseAtSidecars, adviseAtRows)
-    val smearBuckets: Set[Int] =
-      if (layout.isEmpty) Set.empty
-      else layout.iterator.flatMap(c =>
-        bucketHealth(db, table, c, adviseAbove)
-          .filter(_.compactAdvised).map(_.bucket)).toSet
-    if (!debt.compactAdvised && smearBuckets.isEmpty) return None
-    if (layout.isEmpty)
+    if (layout.isEmpty) {
+      if (!debt.compactAdvised) return None
       // debt alone can fire on a layout-less table (either key kind):
       // the debt fold is partial by construction
       return Some(compactDebt(db, table))
-    // keyed table with layout columns: fold smear and debt in ONE
-    // clustered commit — a plain (unclustered) debt fold would smear
-    // the buckets it rewrites and re-arm the layout advisor, a
-    // rewrite-per-sweep ping-pong
-    val meta = catalog0(db, table)
-    val current = readManifest(meta.location,
-      manifestVersions(meta.location).last)
-    val debtBuckets =
-      if (debt.compactAdvised) eqDebtBuckets(meta, current)
-      else Set.empty[Int]
-    val rewrite = smearBuckets ++ debtBuckets
-    if (rewrite.isEmpty)
-      // debt advised but every sidecar is dead (masks nothing):
-      // compactDebt retires them with a metadata-only commit
-      return Some(compactDebt(db, table))
-    val total = (current.buckets.keySet ++ current.carries.keySet).size
-    Some(
-      if (total > 0 && rewrite.size.toDouble / total > partialAbove)
-        compactClustered(db, table, layout.map(_ -> None), filesPerBucket)
-      else
-        compactBucketsClusteredCore(meta, layout.map(_ -> None),
-          filesPerBucket, rewrite.toSeq.sorted, bits = 8,
-          dropDeletes =
-            if (debt.compactAdvised) current.deletes.map(_.rel).toSet
-            else Set.empty))
+    }
+    if (meta.hasPrimaryKey) {
+      // keyed table with layout columns: fold smear and debt in ONE
+      // clustered commit — a plain (unclustered) debt fold would smear
+      // the buckets it rewrites and re-arm the layout advisor, a
+      // rewrite-per-sweep ping-pong
+      val smearBuckets: Set[Int] = layout.iterator.flatMap(c =>
+        bucketHealth(db, table, c, adviseAbove)
+          .filter(_.compactAdvised).map(_.bucket)).toSet
+      if (!debt.compactAdvised && smearBuckets.isEmpty) return None
+      val current = readManifest(meta.location,
+        manifestVersions(meta.location).last)
+      val debtBuckets =
+        if (debt.compactAdvised) eqDebtBuckets(meta, current)
+        else Set.empty[Int]
+      val rewrite = smearBuckets ++ debtBuckets
+      if (rewrite.isEmpty)
+        // debt advised but every sidecar is dead (masks nothing):
+        // compactDebt retires them with a metadata-only commit
+        return Some(compactDebt(db, table))
+      val total = (current.buckets.keySet ++ current.carries.keySet).size
+      Some(
+        if (total > 0 && rewrite.size.toDouble / total > partialAbove)
+          compactClustered(db, table, layout.map(_ -> None), filesPerBucket)
+        else
+          compactBucketsClusteredCore(meta, layout.map(_ -> None),
+            filesPerBucket, rewrite.toSeq.sorted, bits = 8,
+            dropDeletes =
+              if (debt.compactAdvised) current.deletes.map(_.rel).toSet
+              else Set.empty))
+    } else {
+      // PK-less table with layout columns: the same composition at FILE
+      // granularity — the union of per-column fileHealth-advised files
+      // and the position sidecars' addressed files rewrites in ONE
+      // clustered file-scoped commit; past the fraction gate the whole
+      // file set rewrites (same path, zero carries — the clean
+      // whole-table layout)
+      val smearFiles: Set[String] = layout.iterator.flatMap(c =>
+        fileHealth(db, table, c, adviseAbove)
+          .filter(_.compactAdvised).map(_.file)).toSet
+      if (!debt.compactAdvised && smearFiles.isEmpty) return None
+      val current = readManifest(meta.location,
+        manifestVersions(meta.location).last)
+      val debtFiles =
+        if (debt.compactAdvised) posDebtFiles(meta, current)
+        else Set.empty[String]
+      val rewrite = smearFiles ++ debtFiles
+      if (rewrite.isEmpty) return Some(compactDebt(db, table))
+      val all = listDataFiles(meta, current, None)
+      val target =
+        if (all.nonEmpty && rewrite.size.toDouble / all.size > partialAbove)
+          all.toSet
+        else rewrite
+      Some(compactFilesClusteredCore(meta, layout.map(_ -> None),
+        targetFiles = math.max(1, filesPerBucket), target.toSeq.sorted,
+        bits = 8,
+        dropDeletes =
+          if (debt.compactAdvised) current.deletes.map(_.rel).toSet
+          else Set.empty))
+    }
   }
 
   /**
@@ -3319,6 +3466,16 @@ object MergeSnapshotStore {
   case class BucketHealth(bucket: Int, files: Int, statless: Int,
                           expectedScanFraction: Double,
                           compactAdvised: Boolean)
+
+  /** One file's layout health from [[MergeSnapshotStore.fileHealth]]
+   * — [[BucketHealth]]'s shape at the PK-less (file) granularity:
+   * `expectedScanFraction` is the file's normalized bound width over
+   * the TABLE-wide span; `compactAdvised` says a
+   * [[MergeSnapshotStore.compactFilesClustered]] pass including THIS
+   * file would measurably restore pruning. */
+  case class FileHealth(file: String, statless: Boolean,
+                        expectedScanFraction: Double,
+                        compactAdvised: Boolean)
 
   /** One snapshot's merge-on-read delete debt from
    * [[MergeSnapshotStore.deleteDebt]]: `sidecars` delete directories

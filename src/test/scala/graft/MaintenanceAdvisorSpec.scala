@@ -215,6 +215,82 @@ class MaintenanceAdvisorSpec extends AnyFunSuite with SparkFixture {
     assert(back.exceptAll(want).count() == 0 && want.exceptAll(back).count() == 0)
   }
 
+  test("PK-less partial maintenance: fileHealth flags smeared files, file-scoped clustered rewrite quiets them") {
+    import spark.implicits._
+    import graft.catalog.MergeSnapshotStore
+    val store = mkStore(nBuckets = 4)
+    // PK-LESS: one logical bucket, so partial maintenance must be
+    // file-granular (bucket-scoped would be the whole table)
+    val meta = TableMeta("adb", "nopk",
+      Files.createTempDirectory("graft-adv-nopk").toString)
+    store.catalog.register(meta)
+    // an UNSORTED arrival: every file spans the whole v range
+    val rows = (0 until 2048).map(i => (i.toLong, ((i * 37) % 2048).toDouble))
+    val df = rows.toDF("id", "v")
+    store.overwrite("adb", "nopk", df.repartition(8))
+    assert(store.fileHealth("adb", "nopk", "v").forall(_.compactAdvised),
+      "hash-scattered files must all read as smear")
+    // the one-call policy clusters the advised set (here: everything —
+    // fraction gate passes the full file list through the same path)
+    val rep = store.maintainIfAdvised("adb", "nopk", layout = Seq("v"),
+      filesPerBucket = 8)
+    assert(rep.isDefined)
+    assert(store.fileHealth("adb", "nopk", "v").forall(!_.compactAdvised),
+      "clustered: every file quiet")
+    assert(store.maintainIfAdvised("adb", "nopk", layout = Seq("v"),
+      filesPerBucket = 8).isEmpty, "healthy table pays nothing")
+    val back = store.read("adb", "nopk")
+    assert(back.exceptAll(df).count() == 0 && df.exceptAll(back).count() == 0)
+    // pruning power: a narrow band plans a strict subset of the files
+    val total = back.inputFiles.length
+    assert(store.readRange("adb", "nopk",
+      Map("v" -> ((100.0, 150.0)))).inputFiles.length < total)
+
+    // partial aging: cluster only SOME files through the direct call,
+    // leaving a mixed layout — then the policy rewrites exactly the
+    // still-smeared rest, carrying the clustered output verbatim
+    store.overwrite("adb", "nopk", df.repartition(8))
+    val health = store.fileHealth("adb", "nopk", "v")
+    val subset = health.map(_.file).take(4)
+    store.compactFilesClustered("adb", "nopk", Seq("v" -> None),
+      targetFiles = 4, files = subset)
+    val mixed = store.fileHealth("adb", "nopk", "v")
+    val (quiet, smeared) = mixed.partition(!_.compactAdvised)
+    assert(quiet.nonEmpty && smeared.nonEmpty,
+      s"fixture wants a mixed layout: $mixed")
+    val vPre = store.latestVersion("adb", "nopk")
+    val carriesPre = store.manifestCarries("adb", "nopk", vPre)
+    val rep2 = store.maintainIfAdvised("adb", "nopk", layout = Seq("v"),
+      filesPerBucket = 4)
+    assert(rep2.isDefined && rep2.get.version == vPre + 1)
+    // the previously-clustered files ride as carries into the new
+    // version untouched
+    val carriesPost = store.manifestCarries("adb", "nopk", rep2.get.version)
+    val quietSet = quiet.map(_.file).toSet
+    assert(quietSet.subsetOf(carriesPost.values.flatten.toSet),
+      s"clustered files must carry verbatim: " +
+        s"pre=$carriesPre post=$carriesPost quiet=$quietSet")
+    assert(store.fileHealth("adb", "nopk", "v").forall(!_.compactAdvised))
+    val back2 = store.read("adb", "nopk")
+    assert(back2.exceptAll(df).count() == 0 && df.exceptAll(back2).count() == 0)
+
+    // debt composes: with the layout quiet, a position takedown alone
+    // fires the policy, which folds ONLY the addressed file (the other
+    // files carry) and clears the sidecar in the same clustered commit
+    assert(store.deleteWhere("adb", "nopk", col("v") === 100.0,
+      MergeSnapshotStore.MergeOnRead) == 1L)
+    val rep3 = store.maintainIfAdvised("adb", "nopk", layout = Seq("v"),
+      filesPerBucket = 4, adviseAtSidecars = 1)
+    assert(rep3.isDefined && rep3.get.clearedSidecars == 1)
+    assert(store.manifestDeletes("adb", "nopk", rep3.get.version).isEmpty)
+    assert(store.fileHealth("adb", "nopk", "v").forall(!_.compactAdvised),
+      "the debt fold's clustered shape must not re-arm the layout advisor")
+    val back3 = store.read("adb", "nopk")
+    val want3 = df.filter(col("v") =!= 100.0)
+    assert(back3.exceptAll(want3).count() == 0 &&
+      want3.exceptAll(back3).count() == 0)
+  }
+
   test("per-column verdicts: the unclustered dimension stays advised") {
     import spark.implicits._
     val store = mkStore(nBuckets = 4)
