@@ -135,7 +135,14 @@ object Layout {
             s"dimension $c is a point mass (1%-99% range is zero-width) " +
               s"with outliers spanning ${hi - lo}: no clip range can be " +
               "inferred — pass an explicit range")
-          c -> (if (heavyTailed) (qlo, qhi) else (lo, hi))
+          // a CONSTANT dimension (zero width, no outliers) cannot shape
+          // the layout — every row shares its rank; widen to a harmless
+          // non-degenerate range instead of failing bucketRank's
+          // hi > lo contract (a scoped maintenance rewrite legitimately
+          // sees constant slices of a non-constant table column)
+          c -> (if (heavyTailed) (qlo, qhi)
+                else if (hi - lo > 0d) (lo, hi)
+                else (lo, lo + 1d))
         }.toMap
       }
     dims.map { case (c, ro) => c -> ro.getOrElse(inferred(c)) }

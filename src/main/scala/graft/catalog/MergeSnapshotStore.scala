@@ -2184,11 +2184,18 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
         "hold no committed files")
     val before = current.deletes
     val scoped = load(meta, current, Some(buckets.toSet))
-    val shadow = scoped.select(dims.map { case (c, _) =>
-      promoted(col(c), scoped.schema(c).dataType).as(c) }: _*)
-    val resolved = Layout.resolveRanges(shadow, dims)
+    // a fully-masked selection has nothing to lay out: the identity
+    // rewrite then just drops the empty buckets' files (and range
+    // inference has no rows to see) — plain scoped commit
+    val clusterOpt =
+      if (scoped.isEmpty) None
+      else {
+        val shadow = scoped.select(dims.map { case (c, _) =>
+          promoted(col(c), scoped.schema(c).dataType).as(c) }: _*)
+        Some((Layout.resolveRanges(shadow, dims), bits, filesPerBucket))
+      }
     commitScoped(meta, base, current, buckets, meta.primaryKey,
-      cluster = Some((resolved, bits, filesPerBucket)),
+      cluster = clusterOpt,
       dropDeletes = dropDeletes)(identity)
     compactionReport(meta, before)
   }

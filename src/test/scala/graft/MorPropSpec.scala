@@ -50,7 +50,7 @@ class MorPropSpec extends AnyFunSuite with SparkFixture {
       check(store, tbl, model, "seed")
 
       for (step <- 1 to 10) {
-        val op = rnd.nextInt(6)
+        val op = rnd.nextInt(7)
         val what = op match {
           case 0 => // CDC upsert: random keys take fresh values (some new)
             val keys = (0 until 6).map(_ => rnd.nextLong(64)).distinct
@@ -100,6 +100,12 @@ class MorPropSpec extends AnyFunSuite with SparkFixture {
               store.latestVersion("pdb", tbl)).isEmpty,
               "the partial fold must clear the sidecar list")
             "compactDebt"
+          case 6 => // the cron policy: smear + debt fold in one
+            // clustered commit when either advisor fires (answer must
+            // never move either way)
+            store.maintainIfAdvised("pdb", tbl, layout = Seq("v"),
+              filesPerBucket = 2, adviseAtSidecars = 1)
+            "maintainIfAdvised"
         }
         check(store, tbl, model, s"seed=$seed step=$step $what")
         // the stats-pruned band read answers from the same logical view
@@ -140,7 +146,7 @@ class MorPropSpec extends AnyFunSuite with SparkFixture {
       }
       check("seed")
       for (step <- 1 to 8) {
-        val what = rnd.nextInt(4) match {
+        val what = rnd.nextInt(5) match {
           case 0 => // position MoR delete by value band
             val lo = rnd.nextLong(40)
             val hi = lo + rnd.nextLong(15)
@@ -171,6 +177,11 @@ class MorPropSpec extends AnyFunSuite with SparkFixture {
               store.latestVersion("pdb", tbl)).isEmpty,
               "the partial fold must clear the position sidecar list")
             "compactDebt"
+          case 4 => // the PK-less cron policy: file-scoped clustered
+            // fold of smear + addressed files in one commit
+            store.maintainIfAdvised("pdb", tbl, layout = Seq("v"),
+              filesPerBucket = 2, adviseAtSidecars = 1)
+            "maintainIfAdvised"
         }
         check(s"seed=$seed step=$step $what")
       }
