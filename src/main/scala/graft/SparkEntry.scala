@@ -2350,10 +2350,12 @@ object SparkEntry {
         primaryKey = Seq("o_orderkey")))
       val store = new MergeSnapshotStore(s, cat, nBuckets = 8)
       store.overwrite("q78", "orders", orders)
+      // insert keys offset FAR past any real key space (incl. derived
+      // scale factors, whose per-copy key stride is 1e8 x factor<=100)
       orders.filter(col("o_orderkey") % 10 === 0)
         .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"))
         .unionByName(orders.filter(col("o_orderkey") % 1000 === 0)
-          .select((col("o_orderkey") + 100000000L).as("k"),
+          .select((col("o_orderkey") + 100000000000L).as("k"),
             col("o_totalprice").as("p")))
         .createOrReplaceTempView("q78_chg")
       new QueryRunner(store).dml("q78",
@@ -5023,7 +5025,7 @@ object SparkEntry {
            FROM orders
            WHERE NOT (o_orderkey % 10 = 0 AND o_totalprice > 150000.0)
            UNION ALL
-           SELECT o_orderkey + 100000000 AS o_orderkey,
+           SELECT o_orderkey + 100000000000 AS o_orderkey,
                   0 AS o_custkey, 'I' AS o_orderstatus, o_totalprice
            FROM orders WHERE o_orderkey % 1000 = 0
          ) ORDER BY o_orderkey""",
