@@ -897,6 +897,69 @@ object PipelineMain {
     }
     Materialize.releaseAll()
 
+    // 23. Round-18 arc — the DML surface speaks SQL and maintenance
+    // pays the PARTIAL price: a clustered keyed serving table ages (a
+    // scoped identity merge smears ONE of its 16 buckets) while a
+    // statement-driven takedown (DELETE FROM …, Spark's own parser,
+    // merge-on-read) lands a sidecar whose keys live in that same
+    // bucket; ONE maintainIfAdvised call rewrites exactly that bucket
+    // — the other fifteen carry byte-verbatim — and retires the
+    // sidecar in the same clustered commit; a MERGE INTO statement
+    // then applies a CDC correction batch through the scoped merge.
+    // The takedown story end-to-end, in the dialect its users speak,
+    // at the price a 100 TB table can afford.
+    catalog.register(TableMeta(Db, "serve23", s"$work/serve23",
+      primaryKey = Seq("doc_id")))
+    val base23 = corpus21.select(col("doc_id"), col("text"),
+      length(col("text")).cast("double").as("len"))
+    store.overwrite(Db, "serve23", base23)
+    store.compactClustered(Db, "serve23", Seq("len" -> None),
+      filesPerBucket = 4)
+    val kb23 = store.read(Db, "serve23").select(col("doc_id"),
+      store.bucketOf(Seq(col("doc_id"))).as("b")).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    val target23 = kb23.head._2
+    val bucketKeys23 = kb23.collect { case (k, b) if b == target23 => k }
+    locally {
+      import spark.implicits._
+      store.mergeScoped(Db, "serve23",
+        bucketKeys23.toSeq.toDF("doc_id"))(old => old)
+    }
+    val doomed23 = bucketKeys23.take(3)
+    val runner23 = new QueryRunner(store)
+    val del23 = runner23.dml(Db,
+      s"DELETE FROM serve23 WHERE doc_id IN (${doomed23.mkString(", ")})",
+      MergeSnapshotStore.MergeOnRead)
+    val vPre23 = store.latestVersion(Db, "serve23")
+    val entriesPre23 = store.manifestEntries(Db, "serve23", vPre23)
+    val rep23 = store.maintainIfAdvised(Db, "serve23", layout = Seq("len"),
+      filesPerBucket = 4, adviseAtSidecars = 1)
+    val entriesPost23 = store.manifestEntries(Db, "serve23",
+      rep23.map(_.version).getOrElse(vPre23))
+    val carried23 = (entriesPre23.keySet - target23)
+      .forall(b => entriesPost23(b) == entriesPre23(b))
+    val moved23 = entriesPost23(target23) != entriesPre23(target23)
+    val debtGone23 = store.deleteDebt(Db, "serve23").sidecars == 0
+    base23.filter(col("doc_id") % 11 === 2).select(col("doc_id").as("k"))
+      .createOrReplaceTempView("fix23")
+    val merged23 = runner23.dml(Db,
+      """MERGE INTO serve23 t USING fix23 s ON t.doc_id = s.k
+         WHEN MATCHED THEN UPDATE SET len = -1.0""")
+    val got23 = store.read(Db, "serve23")
+    val nNeg23 = got23.filter(col("len") === -1.0).count()
+    val wantNeg23 = base23.filter(col("doc_id") % 11 === 2 &&
+      !col("doc_id").isin(doomed23.toSeq: _*)).count()
+    stage(23, s"statement DML + partial maintenance -> SQL takedown of " +
+        s"$del23 keys, ONE policy call rewrote bucket $target23 only " +
+        s"(15 carried verbatim: $carried23), sidecar retired: " +
+        s"$debtGone23, MERGE statement corrected $merged23 rows") {
+      del23 == 3 && rep23.exists(_.clearedSidecars == 1) && carried23 &&
+        moved23 && debtGone23 && merged23 == wantNeg23 &&
+        nNeg23 == wantNeg23 &&
+        got23.count() == base23.count() - del23
+    }
+    Materialize.releaseAll()
+
     println(s"[pipeline] E2E complete under $work")
     spark.stop()
   }
