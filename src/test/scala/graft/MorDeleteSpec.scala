@@ -342,8 +342,13 @@ class MorDeleteSpec extends AnyFunSuite with SparkFixture {
       s"expected 3 of the 4 original files carried verbatim: $carries")
     assertExact(store.read("mdb", "posfold"),
       frame().filter(col("v") >= 10L))
-    // the pruned funnels read the mixed dir+carry layout identically
-    assertExact(store.readWhere("mdb", "posfold", col("v") < 100L),
+    // the pruned funnels read the mixed dir+carry layout identically —
+    // and the CARRIED files' stats keep pruning: a v<100 band plans
+    // only the rewritten dir + the one carried range file that overlaps
+    val pruned = store.readWhere("mdb", "posfold", col("v") < 100L)
+    assert(pruned.inputFiles.length == 2,
+      s"carried stats must keep biting: planned ${pruned.inputFiles.length}")
+    assertExact(pruned,
       frame().filter(col("v") >= 10L && col("v") < 100L))
     store.readSkipping("mdb", "posfold").createOrReplaceTempView("posfold_v")
     assert(spark.sql("SELECT count(*) AS n FROM posfold_v").head().getLong(0)
