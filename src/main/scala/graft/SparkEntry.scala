@@ -2397,6 +2397,27 @@ object SparkEntry {
       store.read("q79", "orders").orderBy("o_orderkey")
     }),
 
+    // The PK-LESS change feed (multiset delta): a coarse projection of
+    // orders holds many duplicate row images (no row identity — the
+    // raw-shard shape); a takedown commit's feed must report, per
+    // distinct image, exactly how many physical copies left — the
+    // audit a keyed CDF cannot give a PK-less table
+    "q80_store_multiset_feed" -> ((s, d) => {
+      import graft.catalog.{InMemoryCatalog, MergeSnapshotStore, TableMeta}
+      val rows = t(s, d, "orders").select(col("o_orderstatus"),
+        floor(col("o_totalprice") / 10000).cast("int").as("band"))
+      val work = java.nio.file.Files.createTempDirectory("graft-q80").toString
+      val cat = new InMemoryCatalog
+      cat.register(TableMeta("q80", "orders", s"$work/orders")) // NO PK
+      val store = new MergeSnapshotStore(s, cat, nBuckets = 8)
+      store.overwrite("q80", "orders", rows)
+      val v0 = store.latestVersion("q80", "orders")
+      store.deleteWhere("q80", "orders", col("band") < 5)
+      val v1 = store.latestVersion("q80", "orders")
+      store.multisetChangesBetween("q80", "orders", v0, v1)
+        .orderBy("o_orderstatus", "band")
+    }),
+
     // The SQL surface THROUGH the storage engine (readSkipping /
     // StoreFileIndex): the reference's primary query shape — domain SQL
     // over temp views (reference src/apply_to_domains.py:54-68) — runs
@@ -5004,6 +5025,19 @@ object SparkEntry {
          FROM orders
          WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 100000.0)
          ORDER BY o_orderkey""",
+
+    // the multiset feed of the takedown commit: per surviving distinct
+    // image nothing, per deleted image one D row carrying the exact
+    // physical copy count
+    "q80_store_multiset_feed" ->
+      """SELECT o_orderstatus, band, 'D' AS change,
+                count(*) AS copies
+         FROM (SELECT o_orderstatus,
+                      CAST(floor(o_totalprice / 10000) AS INT) AS band
+               FROM orders)
+         WHERE band < 5
+         GROUP BY o_orderstatus, band
+         ORDER BY o_orderstatus, band""",
 
     // file-scoped layout + debt maintenance never move the answer: the
     // maintained PK-less snapshot equals the same NOT-filtered scan

@@ -214,10 +214,58 @@ class SnapshotStore(spark: SparkSession, val catalog: Catalog, keepVersions: Int
                      toVersion: Int): DataFrame = {
     val meta = catalog(db, table)
     if (!meta.hasPrimaryKey) throw new IllegalStateException(
-      s"changesBetween needs a registered PK for ${meta.qualified}")
+      s"changesBetween needs a registered PK for ${meta.qualified} — " +
+        "PK-less tables get the multiset feed (multisetChangesBetween)")
     graft.operators.Scd.snapshotDiff(
       readVersion(meta, fromVersion), readVersion(meta, toVersion),
       meta.primaryKey)
+  }
+
+  /**
+   * The PK-LESS change feed: the exact MULTISET delta between two
+   * retained versions — per distinct ROW IMAGE, how many physical
+   * copies arrived (`change` = I) or left (D), with the net `copies`
+   * count. Raw crawl shards and log dumps have no row identity for
+   * the keyed diff, but takedown audits ("which physical rows did the
+   * out-of-band commits remove, and how many copies?") and downstream
+   * replication still need what-changed; counting by the full row is
+   * the only identity such a table has. A row whose copy count is
+   * unchanged does not appear; an UPDATE has no meaning here (it reads
+   * as one D and one I, which is exactly what replaying the delta onto
+   * `fromVersion`'s multiset needs to reach `toVersion`'s). Cost: one
+   * count-aggregate per version scan plus a null-safe full-outer join
+   * on the row image — the same class as the keyed diff. Both versions
+   * must be inside the retention window.
+   */
+  def multisetChangesBetween(db: String, table: String, fromVersion: Int,
+                             toVersion: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{abs, col, lit, when}
+    val meta = catalog(db, table)
+    val old0 = readVersion(meta, fromVersion)
+    val new0 = readVersion(meta, toVersion)
+    val cols = old0.columns.toSeq
+    require(cols.nonEmpty && new0.columns.toSeq == cols,
+      s"multiset diff needs identical schemas on both versions of " +
+        s"${meta.qualified} (a schema-evolving overwrite sits between " +
+        s"$fromVersion and $toVersion — diff within one schema era)")
+    val o = old0.groupBy(cols.map(col): _*).count()
+      .withColumnRenamed("count", "__n0")
+    val n = new0.groupBy(cols.map(col): _*).count()
+      .withColumnRenamed("count", "__n1")
+    // null-safe equality: NULL-valued cells are part of the row image
+    // (groupBy already grouped them), so the join must match them too
+    val cond = cols.map(c => o(c) <=> n(c)).reduce(_ && _)
+    val joined = o.join(n, cond, "full_outer")
+    val n0 = org.apache.spark.sql.functions.coalesce(col("__n0"), lit(0L))
+    val n1 = org.apache.spark.sql.functions.coalesce(col("__n1"), lit(0L))
+    joined
+      .select(cols.map(c =>
+        org.apache.spark.sql.functions.coalesce(o(c), n(c)).as(c)) ++
+        Seq((n1 - n0).as("__d")): _*)
+      .filter(col("__d") =!= 0L)
+      .withColumn("change", when(col("__d") > 0, lit("I")).otherwise(lit("D")))
+      .withColumn("copies", abs(col("__d")))
+      .drop("__d")
   }
 
   /**
