@@ -2418,6 +2418,71 @@ object SparkEntry {
         .orderBy("o_orderstatus", "band")
     }),
 
+    // RESTORE (Delta RESTORE TABLE / Iceberg rollback): a takedown
+    // lands at v1 and a bad correction at v2; the statement-dialect
+    // rewind to v1 republishes that manifest verbatim at head+1 —
+    // metadata-only, no data job — so the final read equals the
+    // post-takedown, pre-correction snapshot. The fixture pins the
+    // no-rewrite property (restored manifest entries == v1's) before
+    // returning the scan
+    "q81_store_restore" -> ((s, d) => {
+      import graft.catalog.{InMemoryCatalog, MergeSnapshotStore, TableMeta}
+      import graft.operators.QueryRunner
+      val orders = t(s, d, "orders").select(col("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+      val work = java.nio.file.Files.createTempDirectory("graft-q81").toString
+      val cat = new InMemoryCatalog
+      cat.register(TableMeta("q81", "orders", s"$work/orders",
+        primaryKey = Seq("o_orderkey")))
+      val store = new MergeSnapshotStore(s, cat, nBuckets = 8,
+        keepVersions = 8)
+      store.overwrite("q81", "orders", orders)
+      store.deleteWhere("q81", "orders", col("o_totalprice") < 50000.0)
+      val v1 = store.latestVersion("q81", "orders")
+      store.updateWhere("q81", "orders", expr("o_orderstatus = 'O'"),
+        Map("o_orderstatus" -> lit("BAD")))
+      val runner = new QueryRunner(store)
+      val restored = runner.dml("q81",
+        s"RESTORE TABLE orders TO VERSION AS OF $v1").toInt
+      require(store.manifestEntries("q81", "orders", restored) ==
+        store.manifestEntries("q81", "orders", v1),
+        "restore must republish the target's file references verbatim")
+      store.read("q81", "orders").orderBy("o_orderkey")
+    }),
+
+    // SHALLOW CLONE (Delta CREATE TABLE … SHALLOW CLONE): a zero-copy
+    // clone borrows the source's files by absolute manifest reference —
+    // no data job — then diverges with its own takedown; the source
+    // must stay byte-identical and the clone's scoped delete rewrites
+    // only the touched buckets locally while still borrowing the rest.
+    // The fixture pins all three properties (no copied bytes at clone
+    // time, absolute borrowed refs, untouched source) before returning
+    // the diverged clone's scan
+    "q82_store_shallow_clone" -> ((s, d) => {
+      import graft.catalog.{InMemoryCatalog, MergeSnapshotStore, TableMeta}
+      val orders = t(s, d, "orders").select(col("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+      val work = java.nio.file.Files.createTempDirectory("graft-q82").toString
+      val cat = new InMemoryCatalog
+      cat.register(TableMeta("q82", "orders", s"$work/orders",
+        primaryKey = Seq("o_orderkey")))
+      val store = new MergeSnapshotStore(s, cat, nBuckets = 8)
+      store.overwrite("q82", "orders", orders)
+      val srcCount = store.read("q82", "orders").count()
+      val v0 = store.cloneTable("q82", "orders", "q82", "orders_clone",
+        s"$work/orders_clone")
+      require(!new java.io.File(s"$work/orders_clone/data").exists(),
+        "a shallow clone must not copy a byte")
+      require(store.manifestEntries("q82", "orders_clone", v0)
+        .values.forall(_.startsWith(s"$work/orders")),
+        "borrowed refs must be absolute into the source")
+      store.deleteWhere("q82", "orders_clone",
+        col("o_orderstatus") === "F" && col("o_totalprice") < 150000.0)
+      require(store.read("q82", "orders").count() == srcCount,
+        "the clone's takedown must not touch the source")
+      store.read("q82", "orders_clone").orderBy("o_orderkey")
+    }),
+
     // The SQL surface THROUGH the storage engine (readSkipping /
     // StoreFileIndex): the reference's primary query shape — domain SQL
     // over temp views (reference src/apply_to_domains.py:54-68) — runs
@@ -5038,6 +5103,22 @@ object SparkEntry {
          WHERE band < 5
          GROUP BY o_orderstatus, band
          ORDER BY o_orderstatus, band""",
+
+    // the diverged clone: the source rows minus the clone's own
+    // takedown — borrowing is invisible in the answer
+    "q82_store_shallow_clone" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+         FROM orders
+         WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 150000.0)
+         ORDER BY o_orderkey""",
+
+    // the rewind lands exactly at the takedown version: the deleted
+    // rows stay gone, the later bad correction un-happens
+    "q81_store_restore" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+         FROM orders
+         WHERE NOT (o_totalprice < 50000.0)
+         ORDER BY o_orderkey""",
 
     // file-scoped layout + debt maintenance never move the answer: the
     // maintained PK-less snapshot equals the same NOT-filtered scan

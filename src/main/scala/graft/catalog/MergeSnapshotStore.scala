@@ -366,6 +366,19 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
   private def commitNumberOf(dir: String): Option[Int] =
     MergeSnapshotStore.CommitDirRe.findFirstMatchIn(dir).map(_.group(1).toInt)
 
+  /** A manifest file reference joined to its table location. References
+   * are normally TABLE-RELATIVE (writeData's `data/cNNNNNN-…/b=K`
+   * naming, plus per-file carry lines under it); a SHALLOW CLONE's
+   * manifest ([[cloneTable]]) references the SOURCE table's files
+   * ABSOLUTELY (rooted `/…` or scheme-qualified `scheme://…`), and an
+   * absolute reference resolves as itself. One rule for every
+   * read/maintenance path, so a clone is indistinguishable from a
+   * native table everywhere past the manifest — and a clone's own new
+   * commits (relative, under its own location) mix freely with
+   * borrowed absolute references in the same manifest. */
+  private def refPath(location: String, rel: String): String =
+    if (MergeSnapshotStore.isAbsoluteRef(rel)) rel else s"$location/$rel"
+
   /** Test/diagnostic hook: the bucket->directory map of one version. */
   private[graft] def manifestEntries(db: String, table: String, version: Int): Map[Int, String] =
     readManifest(catalog0(db, table).location, version).buckets
@@ -524,12 +537,12 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
 
   private def load(meta: TableMeta, m: Manifest, only: Option[Set[Int]]): DataFrame = {
     val dirs = m.buckets.toSeq
-      .collect { case (b, dir) if only.forall(_.contains(b)) => s"${meta.location}/$dir" }
+      .collect { case (b, dir) if only.forall(_.contains(b)) => refPath(meta.location, dir) }
     // carried files load alongside the bucket dirs (spark.read takes a
     // mix of dirs and files) — a bucket may even consist of carries only
     val carryPaths = m.carries.toSeq
       .collect { case (b, rels) if only.forall(_.contains(b)) => rels }
-      .flatten.map(rel => s"${meta.location}/$rel")
+      .flatten.map(rel => refPath(meta.location, rel))
     val paths = dirs ++ carryPaths
     // an empty selection masks to an empty selection — and the local
     // empty relation has no scan metadata columns for the position-
@@ -599,7 +612,7 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
             s"${meta.qualified} carries equality-delete sidecars but no " +
               "PK — equality deletes are keyed; the manifest is corrupt")
           val dels = eqDels.map { d =>
-            spark.read.parquet(s"${meta.location}/${d.rel}")
+            spark.read.parquet(refPath(meta.location, d.rel))
               .select(pks.map(col) :+ lit(d.version).as("__dv"): _*)
           }.reduce(_.unionByName(_))
           val keyed = pks.foldLeft(dels)((f, k) =>
@@ -614,7 +627,7 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
         if (posDels.isEmpty) afterEq
         else {
           val addrs = posDels.map { d =>
-            spark.read.parquet(s"${meta.location}/${d.rel}")
+            spark.read.parquet(refPath(meta.location, d.rel))
               .select(col("__file"), col("__pos"))
           }.reduce(_.unionByName(_))
           val cond =
@@ -708,7 +721,7 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
       .collect { case (b, dir) if only.forall(_.contains(b)) => dir }
     val f = fs(new Path(meta.location))
     val fromDirs = relDirs.flatMap { dir =>
-      f.listStatus(new Path(s"${meta.location}/$dir")).toSeq
+      f.listStatus(new Path(refPath(meta.location, dir))).toSeq
         .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
           !st.getPath.getName.startsWith("."))
         .map(st => (s"$dir/${st.getPath.getName}", st))
@@ -718,7 +731,7 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     val fromCarries = m.carries.toSeq
       .collect { case (b, rels) if only.forall(_.contains(b)) => rels }
       .flatten
-      .map(rel => (rel, f.getFileStatus(new Path(s"${meta.location}/$rel"))))
+      .map(rel => (rel, f.getFileStatus(new Path(refPath(meta.location, rel)))))
     fromDirs ++ fromCarries
   }
 
@@ -787,7 +800,7 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
         .filter(pred)
     else {
       val raw = spark.read.format(meta.format).schema(m.schema)
-        .load(keep.map(rel => s"${meta.location}/$rel"): _*)
+        .load(keep.map(rel => refPath(meta.location, rel)): _*)
       applyDeletes(meta, m,
         tagCol.foldLeft(raw)((df, c) => df.withColumn(c, input_file_name())))
         .filter(pred)
@@ -1735,7 +1748,7 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
       .write.mode("errorifexists").parquet(s"$tmp/k")
     if (!f.rename(tmp, fin))
       throw new IllegalStateException(s"delete sidecar rename failed: $tmp -> $fin")
-    val keys = spark.read.parquet(s"${meta.location}/$rel")
+    val keys = spark.read.parquet(refPath(meta.location, rel))
     val matched = keys.count()
     if (matched == 0L) { f.delete(fin, true); return 0L }
     val keyBuckets = keys.select(bucketOf(meta, pks.map(col)).as("__b"))
@@ -1776,7 +1789,7 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     val fin = new Path(f"${meta.location}/data/d${readVer + 1}%06d-$nonce")
     val f = fs(fin)
     val raw = spark.read.format(meta.format).schema(current.schema)
-      .load(cand.map(r => s"${meta.location}/$r"): _*)
+      .load(cand.map(r => refPath(meta.location, r)): _*)
     applyDeletes(meta, current, withRowAddress(raw))
       .filter(predicate)
       .select(col(MergeSnapshotStore.PosFileCol).as("__file"),
@@ -1785,7 +1798,7 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
       .write.mode("errorifexists").parquet(s"$tmp/k")
     if (!f.rename(tmp, fin))
       throw new IllegalStateException(s"delete sidecar rename failed: $tmp -> $fin")
-    val addrs = spark.read.parquet(s"${meta.location}/$rel")
+    val addrs = spark.read.parquet(refPath(meta.location, rel))
     val matched = addrs.count()
     if (matched == 0L) { f.delete(fin, true); return 0L }
     // a row whose file path failed to relativize would be silently
@@ -1904,9 +1917,9 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     if (matches.isEmpty) return None
     val byDir = current.buckets.toSeq.map { case (b, dir) =>
-      (new Path(s"${meta.location}/$dir").toUri.getPath, b) }
+      (new Path(refPath(meta.location, dir)).toUri.getPath, b) }
     val byCarry = current.carries.toSeq.flatMap { case (b, rels) =>
-      rels.map(rel => (new Path(s"${meta.location}/$rel").toUri.getPath, b)) }.toMap
+      rels.map(rel => (new Path(refPath(meta.location, rel)).toUri.getPath, b)) }.toMap
     val touched = matches.map { case (f, _) =>
       val p = new Path(f).toUri.getPath
       byDir.collectFirst { case (dir, b) if p.startsWith(s"$dir/") => b }
@@ -2358,7 +2371,7 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
         .map(p => commitNumberOf(p).getOrElse(-1)).min
     val known = current.buckets.keySet ++ current.carries.keySet
     current.deletes.iterator.flatMap { d =>
-      val keyBuckets = spark.read.parquet(s"${meta.location}/${d.rel}")
+      val keyBuckets = spark.read.parquet(refPath(meta.location, d.rel))
         .select(bucketOf(meta, pks.map(col)).as("__b"))
         .distinct().collect().map(_.getInt(0)) // <= nBuckets values
       keyBuckets.filter(b => known.contains(b) && minCommit(b) < d.version)
@@ -2456,7 +2469,7 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
    * exact footprint a partial debt fold must rewrite. */
   private def posDebtFiles(meta: TableMeta, current: Manifest): Set[String] = {
     val refAll = current.deletes.iterator.flatMap { d =>
-      spark.read.parquet(s"${meta.location}/${d.rel}")
+      spark.read.parquet(refPath(meta.location, d.rel))
         .select("__file").distinct().collect().map(_.getString(0))
     }.toSet
     refAll.intersect(listDataFiles(meta, current, None).toSet)
@@ -2488,7 +2501,7 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     val f = fs(new Path(meta.location))
     val dirFiles: Seq[(Int, String, Seq[String])] =
       current.buckets.toSeq.map { case (b, dir) =>
-        val fl = f.listStatus(new Path(s"${meta.location}/$dir")).toSeq
+        val fl = f.listStatus(new Path(refPath(meta.location, dir))).toSeq
           .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
             !st.getPath.getName.startsWith("."))
           .map(st => s"$dir/${st.getPath.getName}")
@@ -2597,6 +2610,149 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
         if (!landed) catalog.register(meta)
         throw t
     }
+  }
+
+  /**
+   * RESTORE — rewind the table to a committed-and-retained version as a
+   * NEW commit (the Delta `RESTORE TABLE` / Iceberg rollback story):
+   * the target version's manifest republishes VERBATIM at head+1, so
+   * the rewind is itself history — the change feed between the
+   * pre-restore head and the restored version is the exact undo delta,
+   * AS-OF reads of the undone versions keep answering inside the
+   * retention window, and vacuum treats the restore like any commit.
+   *
+   * METADATA-ONLY: no data job runs. The republished manifest
+   * re-references the target's data files, which the retention
+   * contract guarantees still exist — [[resolveVersion]] refuses an
+   * expired target loudly (restore past the vacuum horizon is
+   * impossible by construction, never a silent dangling manifest), and
+   * the post-publish [[vacuum]] pass drops any stale tombstone a racing
+   * vacuum put on the re-referenced directories. At 100 TB, undoing a
+   * bad commit costs one manifest write.
+   *
+   * Restoring ACROSS a rebucket rewinds the bucket count too: the
+   * manifest carries its own modulus, and the catalog property follows
+   * under [[rebucket]]'s own discipline (flip before publish, restore
+   * the old property only if the restore never landed). Restoring to
+   * the current head is a no-op returning head — no version consumed.
+   * Like every maintenance commit, restore pins the head it read and
+   * REFUSES ([[java.util.ConcurrentModificationException]]) rather
+   * than clobber a racing commit; re-run against the new snapshot if
+   * the rewind is still wanted.
+   */
+  def restore(db: String, table: String, toVersion: Int): Int = {
+    val meta = catalog0(db, table)
+    val vs = manifestVersions(meta.location)
+    require(vs.nonEmpty, s"no manifest versions at ${meta.location}")
+    val head = vs.last
+    val target = resolveVersion(meta, Some(toVersion))
+    if (target == head) return head
+    val m = readManifest(meta.location, target)
+    val needFlip = m.nBuckets != nBucketsOf(meta)
+    if (needFlip)
+      catalog.register(meta.copy(properties = meta.properties +
+        (MergeSnapshotStore.BucketsProp -> m.nBuckets.toString)))
+    try {
+      runBeforePublish()
+      val cur = manifestVersions(meta.location)
+      val now = cur.lastOption.getOrElse(-1)
+      if (now != head)
+        throw new java.util.ConcurrentModificationException(
+          s"${meta.qualified} moved from version $head to $now while a " +
+            "restore targeted it — the rewind would clobber the racing " +
+            "commit; re-read the history and re-run if still wanted")
+      val next = head + 1
+      if (!publishManifest(meta.location, next, m))
+        throw new java.util.ConcurrentModificationException(
+          s"${meta.qualified} took version $next while a restore " +
+            "targeted $head — re-read the history and re-run if still " +
+            "wanted")
+      vacuum(meta, cur)
+      clearTombstones(meta, m.buckets)
+      next
+    } catch {
+      case t: Throwable =>
+        if (needFlip) {
+          val landed = manifestVersions(meta.location).lastOption.exists(v =>
+            readManifest(meta.location, v).nBuckets == m.nBuckets)
+          if (!landed) catalog.register(meta)
+        }
+        throw t
+    }
+  }
+
+  /**
+   * SHALLOW CLONE — a new table whose first manifest references the
+   * source's data files (and live delete sidecars) by ABSOLUTE path,
+   * without copying a byte: the Delta `CREATE TABLE … SHALLOW CLONE` /
+   * Iceberg snapshot-ref story. METADATA-ONLY — one manifest write, so
+   * cloning a 100 TB table costs the same as cloning a 100 MB one; the
+   * borrowed references carry the source's per-file stats lines
+   * verbatim, so the clone's skipping scans prune exactly like the
+   * source's from the first read.
+   *
+   * The clone is a fully independent table from its first commit:
+   * writes land under ITS location (row-level DML, merges, maintenance
+   * all work — the scoped-commit carry keeps borrowing untouched
+   * source files by reference), its version history starts fresh, and
+   * its vacuum NEVER reclaims borrowed directories (absolute
+   * references are another table's files; only the source's own vacuum
+   * governs them). `version` pins the clone to a committed-and-retained
+   * source version (None = head).
+   *
+   * THE one liability of borrowing, stated loudly: the source's vacuum
+   * does not know about clones (exactly Delta's documented shallow-
+   * clone contract). While the source still references the cloned
+   * files the clone is safe; once the SOURCE rewrites them away
+   * (compact / overwrite) and its retention window passes, the clone's
+   * reads fail with missing paths — loud, never wrong data. Sever the
+   * dependency any time with `deep = true` here, or later with one
+   * [[compact]] on the clone (any whole-table rewrite re-materializes
+   * every borrowed row under the clone's own location).
+   *
+   * Version numbering: the clone's first manifest publishes at source
+   * version + 1, which places every borrowed commit directory's number
+   * (≤ the source version, by writeData's naming) BELOW every future
+   * clone commit — the merge-on-read sequence rule (sidecar masks
+   * exactly the files that predate it) keeps working across the
+   * borrowed/native boundary without translation. Returns that first
+   * version.
+   */
+  def cloneTable(srcDb: String, srcTable: String,
+                 dstDb: String, dstTable: String, dstLocation: String,
+                 version: Option[Int] = None,
+                 deep: Boolean = false): Int = {
+    val srcMeta = catalog0(srcDb, srcTable)
+    val srcVer = resolveVersion(srcMeta, version)
+    val m = readManifest(srcMeta.location, srcVer)
+    require(manifestVersions(dstLocation).isEmpty,
+      s"$dstLocation already holds a committed table — clone into a " +
+        "fresh location")
+    // a source ref may itself be absolute (cloning a clone keeps
+    // borrowing the ORIGINAL files — no chain of indirection to walk)
+    def abs(rel: String): String = refPath(srcMeta.location, rel)
+    val cloned = Manifest(
+      m.schema,
+      m.buckets.map { case (b, dir) => b -> abs(dir) },
+      m.nBuckets,
+      m.stats.map { case (fp, ss) => abs(fp) -> ss },
+      m.strStats.map { case (fp, ss) => abs(fp) -> ss },
+      m.setStats.map { case (fp, ss) => abs(fp) -> ss },
+      m.deletes.map(d => d.copy(rel = abs(d.rel))),
+      m.carries.map { case (b, rels) => b -> rels.map(abs) })
+    val dstMeta = srcMeta.copy(db = dstDb, name = dstTable,
+      location = dstLocation,
+      properties = srcMeta.properties +
+        (MergeSnapshotStore.BucketsProp -> m.nBuckets.toString))
+    catalog.register(dstMeta)
+    val v0 = srcVer + 1
+    if (!publishManifest(dstLocation, v0, cloned))
+      throw new java.util.ConcurrentModificationException(
+        s"$dstLocation took version $v0 while the clone committed — " +
+          "clone into a fresh location")
+    if (deep) compact(dstDb, dstTable,
+      targetFiles = math.max(1, m.buckets.size))
+    latestVersion(dstDb, dstTable)
   }
 
   /**
@@ -3290,7 +3446,10 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
    * full retention horizon a pinned reader is promised. */
   private def clearTombstones(meta: TableMeta, written: SortedMap[Int, String]): Unit = {
     val f = fs(new Path(meta.location))
-    written.values.foreach { rel =>
+    // absolute references are another table's directories (a shallow
+    // clone's borrowed source files) — their tombstone lifecycle belongs
+    // to that table's own vacuum; this store never writes there
+    written.values.filterNot(MergeSnapshotStore.isAbsoluteRef).foreach { rel =>
       try f.delete(new Path(s"${meta.location}/$rel/_expired_at"), false)
       catch { case scala.util.control.NonFatal(_) => () }
     }
@@ -3358,6 +3517,13 @@ object MergeSnapshotStore {
   /** writeData's data-directory naming — the per-file commit number
    * merge-on-read delete applicability is judged against. */
   private[catalog] val CommitDirRe = "data/c(\\d+)-".r
+
+  /** True for a manifest file reference that is ABSOLUTE (a shallow
+   * clone's borrowed source path) rather than table-relative. Relative
+   * references are writeData's own `data/c…` naming, which never
+   * starts with `/` and never contains a scheme separator. */
+  private[catalog] def isAbsoluteRef(rel: String): Boolean =
+    rel.startsWith("/") || rel.contains(":/")
 
   /** Table property overriding the store's bucket count for ONE table
    * (`graft.nbuckets`): config-scale dimensions and registry aggregate

@@ -57,6 +57,14 @@ final class QueryRunner(store: SnapshotStore) {
 }
 
 object QueryRunner {
+  /** Maintenance-statement dialect (Delta's shapes), driver-parsed
+   * because Spark's grammar lacks them. Anchored end-to-end with an
+   * optional trailing `;`; names are bare `[db.]table` identifiers. */
+  private val RestoreRe =
+    """(?is)^\s*RESTORE\s+TABLE\s+([\w.`]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
+  private val OptimizeRe =
+    """(?is)^\s*OPTIMIZE\s+([\w.`]+)(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*$""".r
+
   /** The projection + predicate core, store-free for direct frames. */
   def select(df: DataFrame, fields: Seq[String], where: String): DataFrame = {
     val projected = if (fields.isEmpty || fields == Seq("*")) df
@@ -85,6 +93,21 @@ object QueryRunner {
    * `DELETE FROM t` with no WHERE deletes every row (SQL semantics).
    * `mode` picks the delete's physical realization (copy-on-write
    * rewrite or merge-on-read sidecar) exactly like the typed call.
+   *
+   * MAINTENANCE statements ride the same dispatch in the dialect Delta
+   * established, parsed driver-side because Spark's own grammar lacks
+   * them (Delta adds them through its extension parser — same seam,
+   * same shape):
+   *
+   *  - `RESTORE TABLE t TO VERSION AS OF n` →
+   *    [[graft.catalog.MergeSnapshotStore.restore]]; returns the NEW
+   *    head version (the rewind is itself a commit).
+   *  - `OPTIMIZE t` → [[graft.catalog.MergeSnapshotStore.compact]]
+   *    (bin-pack; PK-less output width defaults to the session's
+   *    shuffle parallelism — call the typed API for exact control);
+   *    `OPTIMIZE t ZORDER BY (c1, c2)` →
+   *    [[graft.catalog.MergeSnapshotStore.compactClustered]]. Both
+   *    return the committed version.
    */
   def dml(store: SnapshotStore, db: String, statement: String,
           mode: graft.catalog.MergeSnapshotStore.DeleteMode =
@@ -97,6 +120,41 @@ object QueryRunner {
         "SQL DML routes to row-level DELETE/UPDATE, which are the " +
           "merge store's operators — open the table through a " +
           "MergeSnapshotStore")
+    }
+    // the dialect statements Spark's grammar cannot parse dispatch
+    // FIRST (parsePlan would throw on them); a name here is the bare
+    // identifier form only — quoted/exotic names go through the typed
+    // API, which takes the name as data rather than as syntax
+    def namedTable(raw: String): String = {
+      raw.replace("`", "").split('.') match {
+        case Array(tbl) => tbl
+        case Array(d, tbl) =>
+          require(d == db,
+            s"statement names database $d but this runner is bound to $db")
+          tbl
+        case parts => throw new IllegalArgumentException(
+          s"unsupported table name ${parts.mkString(".")} — use [db.]table")
+      }
+    }
+    statement match {
+      case RestoreRe(raw, v) =>
+        return ms.restore(db, namedTable(raw), v.toInt).toLong
+      case OptimizeRe(raw, zorder) =>
+        val tbl = namedTable(raw)
+        val report =
+          if (zorder == null)
+            ms.compact(db, tbl, targetFiles =
+              org.apache.spark.sql.SparkSession.active.sessionState.conf
+                .numShufflePartitions)
+          else {
+            val dims = zorder.split(',').toSeq
+              .map(_.trim.replace("`", "")).filter(_.nonEmpty)
+            require(dims.nonEmpty, "ZORDER BY needs at least one column")
+            ms.compactClustered(db, tbl, dims.map(_ -> None),
+              filesPerBucket = 4)
+          }
+        return report.version.toLong
+      case _ => ()
     }
     val spark = org.apache.spark.sql.SparkSession.active
     val plan = spark.sessionState.sqlParser.parsePlan(statement)

@@ -1,0 +1,211 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.{InMemoryCatalog, MergeSnapshotStore, TableMeta}
+
+/**
+ * SHALLOW CLONE ([[MergeSnapshotStore.cloneTable]]): a new table whose
+ * first manifest borrows the source's files by absolute reference —
+ * the Delta `SHALLOW CLONE` story. Pins: the clone is metadata-only
+ * (no data copied, borrowed refs absolute, stats lines ride along);
+ * both tables diverge independently from the clone point; scoped DML
+ * on the clone rewrites only touched buckets locally and keeps
+ * borrowing the rest; merge-on-read state (and the sidecar sequence
+ * rule) crosses the borrowed/native boundary; the clone's vacuum never
+ * reclaims source directories; `deep = true` (or any later compact)
+ * severs the borrow; cloning a clone borrows the ORIGINAL files.
+ */
+class CloneSpec extends AnyFunSuite with SparkFixture {
+
+  private def mkStore(keep: Int = 10): MergeSnapshotStore =
+    new MergeSnapshotStore(spark, new InMemoryCatalog, nBuckets = 4,
+      keepVersions = keep, vacuumRetentionMs = 0L)
+
+  private def register(store: MergeSnapshotStore, tbl: String,
+                       pk: Seq[String] = Seq("id")): TableMeta = {
+    val meta = TableMeta("cdb", tbl,
+      Files.createTempDirectory(s"graft-clone-$tbl").toString,
+      primaryKey = pk)
+    store.catalog.register(meta)
+    meta
+  }
+
+  private def frame(n: Int = 96): DataFrame = {
+    import spark.implicits._
+    (0 until n).map(i => (i.toLong, i.toLong, s"c${i % 4}"))
+      .toDF("id", "v", "cls")
+  }
+
+  private def freshLoc(tag: String): String =
+    Files.createTempDirectory(s"graft-clone-$tag").toString + "/t"
+
+  private def sortedRows(df: DataFrame): Seq[org.apache.spark.sql.Row] =
+    df.collect().toSeq.sortBy(_.getLong(0))
+
+  test("a shallow clone is metadata-only and reads equal the source") {
+    val store = mkStore()
+    val src = register(store, "src")
+    store.overwrite("cdb", "src", frame())
+    val loc = freshLoc("dst")
+    store.cloneTable("cdb", "src", "cdb", "dst", loc)
+    assert(sortedRows(store.read("cdb", "dst")) ==
+      sortedRows(store.read("cdb", "src")))
+    // every borrowed reference is absolute, rooted at the SOURCE
+    val entries = store.manifestEntries("cdb", "dst",
+      store.latestVersion("cdb", "dst"))
+    assert(entries.nonEmpty && entries.values.forall(
+      _.startsWith(src.location)), s"borrowed refs must be absolute: $entries")
+    // …and not a byte landed under the clone's own location
+    val dataRoot = new java.io.File(s"$loc/data")
+    assert(!dataRoot.exists() || dataRoot.listFiles().isEmpty,
+      "a shallow clone must not copy data")
+    // the source's per-file stats lines rode along (rekeyed absolute),
+    // so the clone's skipping scans prune from the first read
+    val stats = store.manifestStats("cdb", "dst",
+      store.latestVersion("cdb", "dst"))
+    assert(stats.nonEmpty && stats.keys.forall(_.startsWith(src.location)))
+  }
+
+  test("source and clone diverge independently from the clone point") {
+    val store = mkStore()
+    register(store, "src")
+    store.overwrite("cdb", "src", frame())
+    store.cloneTable("cdb", "src", "cdb", "dst", freshLoc("div"))
+    val want = sortedRows(store.read("cdb", "src"))
+    // a write to the clone leaves the source untouched
+    store.deleteWhere("cdb", "dst", col("cls") === "c1")
+    assert(sortedRows(store.read("cdb", "src")) == want)
+    assert(store.read("cdb", "dst").count() == 72)
+    // a write to the source leaves the clone untouched (id 6 is in
+    // cls c2, which the clone's own delete above did not touch)
+    store.updateWhere("cdb", "src", col("id") === 6L, Map("v" -> lit(-6L)))
+    assert(store.read("cdb", "dst").filter(col("id") === 6L)
+      .select("v").head().getLong(0) == 6L)
+  }
+
+  test("scoped DML on a clone rewrites only the touched bucket locally") {
+    val store = mkStore()
+    val src = register(store, "src")
+    store.overwrite("cdb", "src", frame())
+    val loc = freshLoc("dml")
+    store.cloneTable("cdb", "src", "cdb", "dst", loc)
+    store.deleteWhere("cdb", "dst", col("id") === 3L)
+    val v = store.latestVersion("cdb", "dst")
+    val entries = store.manifestEntries("cdb", "dst", v)
+    val (local, borrowed) = entries.values.partition(_.startsWith("data/"))
+    assert(local.size == 1,
+      s"exactly the touched bucket rewrites under the clone: $entries")
+    assert(borrowed.size == 3 && borrowed.forall(_.startsWith(src.location)),
+      "untouched buckets keep borrowing the source's files")
+    assert(store.read("cdb", "dst").count() == 95)
+  }
+
+  test("merge-on-read crosses the borrowed/native boundary") {
+    val store = mkStore()
+    register(store, "src")
+    store.overwrite("cdb", "src", frame())
+    // a LIVE sidecar at clone time clones with the manifest
+    store.deleteWhere("cdb", "src", col("cls") === "c2",
+      MergeSnapshotStore.MergeOnRead)
+    store.cloneTable("cdb", "src", "cdb", "dst", freshLoc("mor"))
+    assert(store.read("cdb", "dst").count() == 72)
+    assert(store.manifestDeletes("cdb", "dst",
+      store.latestVersion("cdb", "dst")).size == 1)
+    // a NEW sidecar on the clone masks BORROWED files: the sequence
+    // rule works because every borrowed commit number predates the
+    // clone's own version space
+    store.deleteWhere("cdb", "dst", col("cls") === "c3",
+      MergeSnapshotStore.MergeOnRead)
+    assert(store.read("cdb", "dst").count() == 48)
+    // and folding the debt retires both sidecars without moving answers
+    val rep = store.compactDebt("cdb", "dst")
+    assert(rep.clearedSidecars == 2)
+    assert(store.read("cdb", "dst").count() == 48)
+  }
+
+  test("the clone's vacuum never reclaims borrowed source directories") {
+    val store = mkStore(keep = 2)
+    register(store, "src")
+    store.overwrite("cdb", "src", frame())
+    store.cloneTable("cdb", "src", "cdb", "dst", freshLoc("vac"))
+    val want = sortedRows(store.read("cdb", "src"))
+    // churn the clone until its borrowed-ref manifests expire: with
+    // keep=2 and retention 0 the clone's vacuum deletes aggressively —
+    // but only ever under its own location
+    (1 to 3).foreach(i =>
+      store.overwrite("cdb", "dst", frame().filter(col("id") < 10 * i)))
+    assert(sortedRows(store.read("cdb", "src")) == want,
+      "source data must survive the clone's vacuum")
+  }
+
+  test("deep = true severs the borrow at clone time") {
+    val store = mkStore()
+    val src = register(store, "src")
+    store.overwrite("cdb", "src", frame())
+    store.cloneTable("cdb", "src", "cdb", "dst", freshLoc("deep"),
+      deep = true)
+    val entries = store.manifestEntries("cdb", "dst",
+      store.latestVersion("cdb", "dst"))
+    assert(entries.values.forall(_.startsWith("data/")),
+      s"a deep clone holds no borrowed refs: $entries")
+    // the clone now survives the source's complete disappearance
+    val f = new Path(src.location)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new Path(src.location), true)
+    assert(store.read("cdb", "dst").count() == 96)
+  }
+
+  test("a later compact severs a shallow clone the same way") {
+    val store = mkStore()
+    val src = register(store, "src")
+    store.overwrite("cdb", "src", frame())
+    store.cloneTable("cdb", "src", "cdb", "dst", freshLoc("sever"))
+    store.compact("cdb", "dst", targetFiles = 2)
+    val f = new Path(src.location)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new Path(src.location), true)
+    assert(store.read("cdb", "dst").count() == 96)
+  }
+
+  test("cloning a clone borrows the ORIGINAL files (no indirection chain)") {
+    val store = mkStore()
+    val src = register(store, "src")
+    store.overwrite("cdb", "src", frame())
+    val loc1 = freshLoc("c1")
+    store.cloneTable("cdb", "src", "cdb", "c1", loc1)
+    store.cloneTable("cdb", "c1", "cdb", "c2", freshLoc("c2"))
+    val entries = store.manifestEntries("cdb", "c2",
+      store.latestVersion("cdb", "c2"))
+    assert(entries.values.forall(_.startsWith(src.location)),
+      s"clone-of-clone must reference the original location: $entries")
+    assert(store.read("cdb", "c2").count() == 96)
+  }
+
+  test("a pinned-version clone ignores later source commits") {
+    val store = mkStore()
+    register(store, "src")
+    store.overwrite("cdb", "src", frame())
+    val v0 = store.latestVersion("cdb", "src")
+    store.deleteWhere("cdb", "src", col("cls") === "c0")
+    store.cloneTable("cdb", "src", "cdb", "dst", freshLoc("pin"),
+      version = Some(v0))
+    assert(store.read("cdb", "dst").count() == 96)
+  }
+
+  test("clone into a used location refuses") {
+    val store = mkStore()
+    register(store, "src")
+    store.overwrite("cdb", "src", frame())
+    val loc = freshLoc("used")
+    store.cloneTable("cdb", "src", "cdb", "dst", loc)
+    intercept[IllegalArgumentException] {
+      store.cloneTable("cdb", "src", "cdb", "dst2", loc)
+    }
+  }
+}
