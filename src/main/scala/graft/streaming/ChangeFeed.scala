@@ -1,0 +1,180 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import graft.catalog.SnapshotStore
+
+/**
+ * The store's change feed as a STRUCTURED STREAMING source — the Delta
+ * CDF `readStream` story (`readChangeFeed` + `startingVersion`),
+ * rebuilt on two public seams: the store's committed-version diff
+ * ([[SnapshotStore.changesBetween]] keyed /
+ * [[SnapshotStore.multisetChangesBetween]] PK-less) and Spark's own
+ * file stream source.
+ *
+ * Shape: a feed DIRECTORY owned by the exporter. Each [[advance]] call
+ * diffs the last exported version against the current head and lands
+ * the delta as one immutable `delta_v<from>_v<to>` parquet directory
+ * (tmp + atomic rename, every row stamped `_from_version` /
+ * `_commit_version`); [[readStream]] is Spark's file source over those
+ * directories, so consumers get watermarks, exactly-once via their own
+ * checkpoints, and executor-parallel reads for free. The exporter is
+ * cron-shaped — call advance() after commits, or on a schedule; each
+ * call costs one delta-sized diff job (two manifest-resolved version
+ * scans joined; output delta-sized), nothing when the table hasn't
+ * moved.
+ *
+ * Crash discipline: the feed directory itself is the source of truth —
+ * the next export resumes from the MAX `_commit_version` any landed
+ * delta directory names (the `_last_exported` file is a cache of that
+ * listing, never trusted over it), so a crash between rename and state
+ * write cannot re-export an overlapping range, and a crash before the
+ * rename leaves only an invisible tmp directory the next advance
+ * sweeps. Both versions of a diff must still be retained:
+ * an exporter paused past the source's vacuum horizon refuses loudly
+ * (the store's own pinned-read message) rather than fabricate a gap —
+ * re-seed a fresh feed directory in that case.
+ *
+ * At 100 TB: the exporter writes deltas, never snapshots, so feed cost
+ * tracks change rate, not table size; the stream side reads only new
+ * files. The feed directory grows one dir per advance — age out
+ * consumed deltas with any retention sweep once every consumer's
+ * checkpoint has passed them (the dirs are immutable, so deleting old
+ * ones never disturbs a reader mid-batch).
+ */
+object ChangeFeed {
+
+  private val DeltaRe = "^delta_v(\\d+)_v(\\d+)$".r
+  private val StateFile = "_last_exported"
+  private val SchemaFile = "_schema.json"
+
+  private def fs(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The feed's resume point: max exported `to` version across landed
+   * delta dirs (the state file is only a fallback for a feed that has
+   * recorded a baseline but exported no delta yet). None = virgin feed. */
+  private def lastExported(f: FileSystem, dir: Path): Option[Int] = {
+    val fromDirs =
+      if (!f.exists(dir)) Nil
+      else f.listStatus(dir).toSeq.collect {
+        case st if st.isDirectory =>
+          st.getPath.getName match {
+            case DeltaRe(_, to) => Some(to.toInt)
+            case _ => None
+          }
+      }.flatten
+    if (fromDirs.nonEmpty) Some(fromDirs.max)
+    else {
+      val sf = new Path(dir, StateFile)
+      if (!f.exists(sf)) None
+      else {
+        val in = f.open(sf)
+        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                   finally in.close()
+        Some(text.trim.toInt)
+      }
+    }
+  }
+
+  private def writeState(f: FileSystem, dir: Path, v: Int): Unit = {
+    val out = f.create(new Path(dir, StateFile), true)
+    try out.write(v.toString.getBytes(UTF_8)) finally out.close()
+  }
+
+  /**
+   * Export the source table's changes since the last advance into
+   * `feedDir`. Returns the exported (fromVersion, toVersion) range, or
+   * None when the table hasn't moved. The FIRST call records the
+   * baseline: by default it exports nothing and starts the feed at the
+   * current head ("changes from now on"); pass `startVersion =
+   * Some(v)` to backfill the feed from a retained version v instead
+   * (the first delta is then v → head — on a keyed table every
+   * post-baseline row arrives as the I/U/D that produced it, the
+   * standard CDF backfill).
+   *
+   * Keyed tables export the keyed I/U/D diff; PK-less tables export
+   * the multiset feed (per distinct row image, copies arrived/left) —
+   * each the exact delta its table kind supports.
+   */
+  def advance(store: SnapshotStore, db: String, table: String,
+              feedDir: String,
+              startVersion: Option[Int] = None): Option[(Int, Int)] = {
+    val spark = SparkSession.active
+    val dir = new Path(feedDir)
+    val f = fs(spark, dir)
+    f.mkdirs(dir)
+    // sweep tmp leftovers of a crashed export — invisible to consumers
+    f.listStatus(dir).foreach { st =>
+      if (st.isDirectory && st.getPath.getName.startsWith(".tmp_delta_"))
+        f.delete(st.getPath, true)
+    }
+    val head = store.latestVersion(db, table)
+    require(head >= 0, s"$db.$table has no committed versions")
+    val last = lastExported(f, dir) match {
+      case Some(v) => v
+      case None =>
+        val base = startVersion.getOrElse(head)
+        writeState(f, dir, base)
+        base
+    }
+    if (head <= last) return None
+    // surface the retention refusal with the store's own loud message
+    // (an exporter paused past the vacuum horizon must not fabricate a
+    // gap): the pinned skipping read resolves the FROM version or refuses
+    store.readSkipping(db, table, Some(last))
+    val meta = store.catalog(db, table)
+    val delta0 =
+      if (meta.hasPrimaryKey) store.changesBetween(db, table, last, head)
+      else store.multisetChangesBetween(db, table, last, head)
+    val delta = delta0
+      .withColumn("_from_version", lit(last))
+      .withColumn("_commit_version", lit(head))
+    val fin = new Path(dir, s"delta_v${last}_v$head")
+    if (!f.exists(fin)) {
+      val tmp = new Path(dir, s".tmp_delta_v${last}_v$head")
+      delta.write.mode("overwrite").parquet(tmp.toString)
+      // first export pins the feed schema for readStream (immutable: a
+      // schema-evolving source needs a fresh feed directory)
+      val sf = new Path(dir, SchemaFile)
+      if (!f.exists(sf)) {
+        val out = f.create(sf, false)
+        try out.write(delta.schema.json.getBytes(UTF_8)) finally out.close()
+      }
+      if (!f.rename(tmp, fin))
+        throw new java.util.ConcurrentModificationException(
+          s"$fin landed while this export wrote it — two exporters are " +
+            "advancing one feed; serialize them")
+    }
+    writeState(f, dir, head)
+    Some((last, head))
+  }
+
+  /** The feed's pinned schema (written by the first export). */
+  def schemaOf(spark: SparkSession, feedDir: String): StructType = {
+    val sf = new Path(feedDir, SchemaFile)
+    val f = fs(spark, sf)
+    require(f.exists(sf),
+      s"$feedDir has no exported delta yet — advance() the feed first")
+    val in = f.open(sf)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+               finally in.close()
+    DataType.fromJson(text).asInstanceOf[StructType]
+  }
+
+  /**
+   * The feed as a streaming DataFrame: Spark's file source over the
+   * immutable delta directories. Consumers own their exactly-once
+   * (checkpointLocation on the query); `_commit_version` orders
+   * batches that arrive together.
+   */
+  def readStream(spark: SparkSession, feedDir: String): DataFrame =
+    spark.readStream
+      .schema(schemaOf(spark, feedDir))
+      .parquet(s"$feedDir/delta_*")
+}

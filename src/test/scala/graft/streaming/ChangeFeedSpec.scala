@@ -1,0 +1,175 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+import graft.catalog.{InMemoryCatalog, MergeSnapshotStore, TableMeta}
+
+/**
+ * The store's change feed as a streaming source ([[ChangeFeed]]):
+ * advance() exports committed-version diffs as immutable delta
+ * directories; readStream() is Spark's file source over them. Pins:
+ * the exported delta equals the store's own changesBetween; advance is
+ * idempotent and crash-safe (the directory listing, not the state
+ * file, is the resume point); the default baseline is "changes from
+ * now on" with an optional backfill version; PK-less tables export the
+ * multiset feed; a real streaming query consumes the feed exactly-once
+ * across restarts via its own checkpoint; an exporter paused past the
+ * source's retention refuses loudly.
+ */
+class ChangeFeedSpec extends AnyFunSuite with SparkFixture {
+
+  private def mkStore(keep: Int = 10): MergeSnapshotStore =
+    new MergeSnapshotStore(spark, new InMemoryCatalog, nBuckets = 4,
+      keepVersions = keep, vacuumRetentionMs = 0L)
+
+  private def register(store: MergeSnapshotStore, tbl: String,
+                       pk: Seq[String] = Seq("id")): TableMeta = {
+    val meta = TableMeta("fdb", tbl,
+      Files.createTempDirectory(s"graft-feed-$tbl").toString,
+      primaryKey = pk)
+    store.catalog.register(meta)
+    meta
+  }
+
+  private def frame(n: Int = 64): DataFrame = {
+    import spark.implicits._
+    (0 until n).map(i => (i.toLong, i.toLong, s"c${i % 4}"))
+      .toDF("id", "v", "cls")
+  }
+
+  private def feedDir(tag: String): String =
+    Files.createTempDirectory(s"graft-feed-dir-$tag").toString + "/feed"
+
+  test("advance exports exactly the store's own diff, then goes quiet") {
+    val store = mkStore()
+    register(store, "t")
+    store.overwrite("fdb", "t", frame())
+    val dir = feedDir("basic")
+    // baseline: nothing exported, feed starts at the current head
+    assert(ChangeFeed.advance(store, "fdb", "t", dir).isEmpty)
+    val v0 = store.latestVersion("fdb", "t")
+    store.deleteWhere("fdb", "t", col("cls") === "c1")
+    store.updateWhere("fdb", "t", col("id") === 2L, Map("v" -> lit(-2L)))
+    val head = store.latestVersion("fdb", "t")
+    val Some((from, to)) = ChangeFeed.advance(store, "fdb", "t", dir)
+    assert(from == v0 && to == head)
+    val got = spark.read.parquet(s"$dir/delta_v${from}_v$to")
+    assert(got.select("_from_version", "_commit_version").distinct()
+      .head() == org.apache.spark.sql.Row(v0, head))
+    val want = store.changesBetween("fdb", "t", v0, head)
+    assert(got.drop("_from_version", "_commit_version")
+      .exceptAll(want).count() == 0 &&
+      want.exceptAll(got.drop("_from_version", "_commit_version"))
+        .count() == 0, "the exported delta must equal the live diff")
+    // D rows for the 16 deleted keys + U row for id 2
+    assert(got.filter(col("change") === "D").count() == 16)
+    assert(got.filter(col("change") === "U").count() == 1)
+    // no movement → no export
+    assert(ChangeFeed.advance(store, "fdb", "t", dir).isEmpty)
+  }
+
+  test("advance is idempotent and resumes from the directory listing") {
+    val store = mkStore()
+    register(store, "t")
+    store.overwrite("fdb", "t", frame())
+    val dir = feedDir("idem")
+    ChangeFeed.advance(store, "fdb", "t", dir)
+    store.deleteWhere("fdb", "t", col("id") < 8L)
+    ChangeFeed.advance(store, "fdb", "t", dir)
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def deltaDirs = f.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).filter(_.startsWith("delta_")).toSeq.sorted
+    val before = deltaDirs
+    // simulate the crash between rename and state write: the state file
+    // vanishes, but the landed delta directory is the resume point
+    f.delete(new org.apache.hadoop.fs.Path(dir, "_last_exported"), false)
+    assert(ChangeFeed.advance(store, "fdb", "t", dir).isEmpty,
+      "a re-advance after the crash must not re-export")
+    assert(deltaDirs == before, "no duplicate or overlapping delta dirs")
+  }
+
+  test("startVersion backfills the feed from a retained version") {
+    val store = mkStore()
+    register(store, "t")
+    store.overwrite("fdb", "t", frame())
+    val v0 = store.latestVersion("fdb", "t")
+    store.deleteWhere("fdb", "t", col("cls") === "c0")
+    val dir = feedDir("backfill")
+    val Some((from, to)) =
+      ChangeFeed.advance(store, "fdb", "t", dir, startVersion = Some(v0))
+    assert(from == v0 && to == v0 + 1)
+    val got = spark.read.parquet(s"$dir/delta_v${from}_v$to")
+    assert(got.count() == 16 &&
+      got.filter(col("change") === "D").count() == 16)
+  }
+
+  test("a PK-less source exports the multiset feed") {
+    val store = mkStore()
+    register(store, "t", pk = Nil)
+    store.overwrite("fdb", "t", frame())
+    val dir = feedDir("multiset")
+    ChangeFeed.advance(store, "fdb", "t", dir)
+    store.deleteWhere("fdb", "t", col("cls") === "c3")
+    val Some((from, to)) = ChangeFeed.advance(store, "fdb", "t", dir)
+    val got = spark.read.parquet(s"$dir/delta_v${from}_v$to")
+    assert(got.columns.contains("copies"),
+      s"PK-less feed is the multiset delta: ${got.columns.toSeq}")
+    assert(got.count() == 16 && // 16 distinct deleted images, 1 copy each
+      got.filter(col("change") === "D").count() == 16 &&
+      got.agg(sum("copies")).head().getLong(0) == 16L)
+  }
+
+  test("a streaming query consumes the feed exactly-once across restarts") {
+    val store = mkStore()
+    register(store, "t")
+    store.overwrite("fdb", "t", frame())
+    val dir = feedDir("stream")
+    val ckpt = Files.createTempDirectory("graft-feed-ckpt").toString
+    ChangeFeed.advance(store, "fdb", "t", dir)
+    store.deleteWhere("fdb", "t", col("cls") === "c1")
+    ChangeFeed.advance(store, "fdb", "t", dir)
+    val out = Files.createTempDirectory("graft-feed-out").toString + "/sink"
+    def runOnce(): Unit = {
+      val q = ChangeFeed.readStream(spark, dir)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    assert(spark.read.parquet(out).count() == 16)
+    // more commits land; the restarted query (same checkpoint) appends
+    // ONLY the new delta — never a re-read of consumed directories
+    store.updateWhere("fdb", "t", col("id") === 2L, Map("v" -> lit(99L)))
+    ChangeFeed.advance(store, "fdb", "t", dir)
+    runOnce()
+    val sunk = spark.read.parquet(out)
+    assert(sunk.count() == 17, "the restart must consume exactly the " +
+      s"unseen delta: ${sunk.count()} rows")
+    assert(sunk.filter(col("change") === "U").count() == 1)
+  }
+
+  test("an exporter paused past the source's retention refuses loudly") {
+    val store = mkStore(keep = 2)
+    register(store, "t")
+    store.overwrite("fdb", "t", frame())
+    val dir = feedDir("retention")
+    ChangeFeed.advance(store, "fdb", "t", dir) // baseline at v0
+    // three commits age the baseline manifest out (keep=2)
+    store.deleteWhere("fdb", "t", col("id") === 1L)
+    store.deleteWhere("fdb", "t", col("id") === 2L)
+    store.deleteWhere("fdb", "t", col("id") === 3L)
+    val ex = intercept[IllegalArgumentException] {
+      ChangeFeed.advance(store, "fdb", "t", dir)
+    }
+    assert(ex.getMessage.contains("not committed/retained"),
+      s"wanted the retention refusal, got: ${ex.getMessage}")
+  }
+}
