@@ -64,6 +64,9 @@ object QueryRunner {
     """(?is)^\s*RESTORE\s+TABLE\s+([\w.`]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
   private val OptimizeRe =
     """(?is)^\s*OPTIMIZE\s+([\w.`]+)(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*$""".r
+  private val CloneRe =
+    ("""(?is)^\s*CREATE\s+TABLE\s+([\w.`]+)\s+SHALLOW\s+CLONE\s+([\w.`]+)""" +
+      """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s+LOCATION\s+'([^']+)'\s*;?\s*$""").r
 
   /** The projection + predicate core, store-free for direct frames. */
   def select(df: DataFrame, fields: Seq[String], where: String): DataFrame = {
@@ -108,6 +111,10 @@ object QueryRunner {
    *    `OPTIMIZE t ZORDER BY (c1, c2)` →
    *    [[graft.catalog.MergeSnapshotStore.compactClustered]]. Both
    *    return the committed version.
+   *  - `CREATE TABLE dst SHALLOW CLONE src [VERSION AS OF n]
+   *    LOCATION '<path>'` →
+   *    [[graft.catalog.MergeSnapshotStore.cloneTable]] within the
+   *    bound db; returns the clone's first version.
    */
   def dml(store: SnapshotStore, db: String, statement: String,
           mode: graft.catalog.MergeSnapshotStore.DeleteMode =
@@ -139,6 +146,9 @@ object QueryRunner {
     statement match {
       case RestoreRe(raw, v) =>
         return ms.restore(db, namedTable(raw), v.toInt).toLong
+      case CloneRe(dstRaw, srcRaw, v, loc) =>
+        return ms.cloneTable(db, namedTable(srcRaw), db, namedTable(dstRaw),
+          loc, version = Option(v).map(_.toInt)).toLong
       case OptimizeRe(raw, zorder) =>
         val tbl = namedTable(raw)
         val report =

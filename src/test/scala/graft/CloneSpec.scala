@@ -198,6 +198,22 @@ class CloneSpec extends AnyFunSuite with SparkFixture {
     assert(store.read("cdb", "dst").count() == 96)
   }
 
+  test("CREATE TABLE … SHALLOW CLONE statement dispatches through dml") {
+    val store = mkStore()
+    register(store, "src")
+    store.overwrite("cdb", "src", frame())
+    val v0 = store.latestVersion("cdb", "src")
+    store.deleteWhere("cdb", "src", col("cls") === "c0")
+    val loc = freshLoc("sqlclone")
+    val runner = new graft.operators.QueryRunner(store)
+    val got = runner.dml("cdb",
+      s"CREATE TABLE dst SHALLOW CLONE src VERSION AS OF $v0 LOCATION '$loc'")
+    assert(got == store.latestVersion("cdb", "dst").toLong)
+    assert(store.read("cdb", "dst").count() == 96,
+      "the pinned-version statement clone reads the pre-delete snapshot")
+    assert(!new java.io.File(s"$loc/data").exists())
+  }
+
   test("clone into a used location refuses") {
     val store = mkStore()
     register(store, "src")
