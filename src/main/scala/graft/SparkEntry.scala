@@ -2483,6 +2483,34 @@ object SparkEntry {
       store.read("q82", "orders_clone").orderBy("o_orderkey")
     }),
 
+    // DESCRIBE HISTORY (Delta parity): every commit path stamps its
+    // manifest with the operation that published it; the history read
+    // is driver-side manifest parsing only. A scripted DML lifecycle
+    // must read back as exactly its own operation log — the oracle is
+    // the script itself (a VALUES table), which also pins version
+    // arithmetic (one version per commit, restore names its target)
+    "q83_store_history" -> ((s, d) => {
+      import graft.catalog.{InMemoryCatalog, MergeSnapshotStore, TableMeta}
+      val orders = t(s, d, "orders").select(col("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+      val work = java.nio.file.Files.createTempDirectory("graft-q83").toString
+      val cat = new InMemoryCatalog
+      cat.register(TableMeta("q83", "orders", s"$work/orders",
+        primaryKey = Seq("o_orderkey")))
+      val store = new MergeSnapshotStore(s, cat, nBuckets = 8,
+        keepVersions = 16)
+      store.overwrite("q83", "orders", orders)                      // v0
+      store.deleteWhere("q83", "orders", col("o_totalprice") < 10000.0) // v1
+      store.updateWhere("q83", "orders", expr("o_orderstatus = 'P'"),
+        Map("o_orderstatus" -> lit("X")))                           // v2
+      store.deleteWhere("q83", "orders", col("o_totalprice") > 150000.0,
+        MergeSnapshotStore.MergeOnRead)                             // v3
+      store.compactDebt("q83", "orders")                            // v4
+      store.restore("q83", "orders", 2)                             // v5
+      store.history("q83", "orders")
+        .select(col("version"), col("operation")).orderBy("version")
+    }),
+
     // The SQL surface THROUGH the storage engine (readSkipping /
     // StoreFileIndex): the reference's primary query shape — domain SQL
     // over temp views (reference src/apply_to_domains.py:54-68) — runs
@@ -5103,6 +5131,14 @@ object SparkEntry {
          WHERE band < 5
          GROUP BY o_orderstatus, band
          ORDER BY o_orderstatus, band""",
+
+    // the operation log IS the script that produced it
+    "q83_store_history" ->
+      """SELECT * FROM (VALUES
+           (0, 'overwrite'), (1, 'delete'), (2, 'update'),
+           (3, 'delete-mor'), (4, 'debt-fold'), (5, 'restore(v=2)'))
+         AS t(version, operation)
+         ORDER BY version""",
 
     // the diverged clone: the source rows minus the clone's own
     // takedown — borrowing is invisible in the answer

@@ -7,7 +7,7 @@ import scala.collection.immutable.SortedMap
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{array, col, element_at, expr, hash, input_file_name, isnan, lit, max, min, pmod, when}
-import org.apache.spark.sql.types.{DataType, DateType, NumericType, StringType, StructType, TimestampType}
+import org.apache.spark.sql.types.{DataType, DateType, IntegerType, NumericType, StringType, StructField, StructType, TimestampType}
 
 /**
  * Incremental MERGE-style table store: the scale answer to the reference's
@@ -193,7 +193,13 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
                               strStats: Map[String, Seq[StrStat]] = Map.empty,
                               setStats: Map[String, Seq[SetStat]] = Map.empty,
                               deletes: Seq[DeleteFile] = Nil,
-                              carries: Map[Int, Seq[String]] = Map.empty)
+                              carries: Map[Int, Seq[String]] = Map.empty,
+                              // commit provenance (DESCRIBE HISTORY):
+                              // the operation that published this
+                              // version and its wall-clock stamp;
+                              // manifests from before the field read
+                              // as ""/-1 and report "unknown"
+                              op: String = "", at: Long = -1L)
 
   private def manifestVersions(location: String): Seq[Int] = {
     val p = new Path(location)
@@ -316,8 +322,13 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
       val Array(_, b, rel) = s.split('\t')
       b.toInt -> rel
     }.groupBy(_._1).map { case (b, rs) => b -> rs.map(_._2).toSeq.sorted }
+    // commit provenance: absent on pre-history manifests (op stays "")
+    val (op, at) = lines.collectFirst { case s if s.startsWith("o\t") =>
+      val parts = s.split("\t", -1)
+      (parts(1), parts(2).toLong)
+    }.getOrElse(("", -1L))
     val m = Manifest(schema, SortedMap(buckets: _*), nb, stats, strStats,
-      setStats, deletes, carries)
+      setStats, deletes, carries, op, at)
     manifestCache.put(key, m)
     // close the parse-vs-vacuum race: a concurrent vacuum that deleted
     // this file and swept the cache BETWEEN our open and our put would
@@ -355,7 +366,10 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
           (if (s.values.isEmpty) "" else s"\t${s.values.map(b64).mkString(",")}"))
       } ++
       m.deletes.map(d =>
-        s"d\t${d.rel}\t${d.version}\t${d.rows}\t${d.kind}")).mkString("\n")
+        s"d\t${d.rel}\t${d.version}\t${d.rows}\t${d.kind}") ++
+      // provenance line last: optional, so pre-history manifests (and
+      // their golden fixtures) round-trip unchanged
+      (if (m.op.isEmpty) Nil else Seq(s"o\t${m.op}\t${m.at}"))).mkString("\n")
     val fin = manifestPath(location, v)
     manifestLog.putIfAbsent(fs(fin), fin, content)
   }
@@ -1352,13 +1366,15 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
    * [[compactClustered]] (resolved dims, bits, files per bucket). */
   private def overwriteWith(meta: TableMeta, out: DataFrame,
       cluster: Option[(Seq[(String, (Double, Double))], Int, Int)] = None,
-      requireBase: Option[Int] = None): Unit = {
+      requireBase: Option[Int] = None,
+      op: String = "overwrite"): Unit = {
     val vs = manifestVersions(meta.location)
     val (written, stats, strStats, setStats) =
       writeData(meta, vs.lastOption.getOrElse(-1) + 1, out, meta.primaryKey,
         cluster)
     val m = Manifest(dropBucketCol(out.schema), written, nBucketsOf(meta),
-      stats, strStats, setStats)
+      stats, strStats, setStats,
+      op = op, at = System.currentTimeMillis())
     runBeforePublish()
     var attempt = 0
     var done = false
@@ -1465,7 +1481,8 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
                            touched: Seq[Int], pks: Seq[String],
                            rebaseGuard: Manifest => Unit = _ => (),
                            cluster: Option[(Seq[(String, (Double, Double))], Int, Int)] = None,
-                           dropDeletes: Set[String] = Set.empty)
+                           dropDeletes: Set[String] = Set.empty,
+                           op: String = "merge")
                           (rewrite: DataFrame => DataFrame): Unit = {
     val old = load(meta, current, Some(touched.toSet))
     val out = rewrite(old)
@@ -1565,7 +1582,8 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
       if (publishManifest(meta.location, baseVer + 1,
           Manifest(schema, newBuckets, nBucketsOf(meta),
             carriedStats ++ newStats, carriedStrStats ++ newStrStats,
-            carriedSetStats ++ newSetStats, liveDeletes, carriedCarries))) {
+            carriedSetStats ++ newSetStats, liveDeletes, carriedCarries,
+            op = op, at = System.currentTimeMillis()))) {
         vacuum(meta, manifestVersions(meta.location).filter(_ <= baseVer))
         clearTombstones(meta, written)
         committed = true
@@ -1694,7 +1712,8 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
           case None => 0L
           case Some((touched, matched)) =>
             commitScoped(meta, vs.last, current, touched, meta.primaryKey,
-                dmlRebaseGuard(meta, current, e, "delete")) { old =>
+                dmlRebaseGuard(meta, current, e, "delete"),
+                op = "delete") { old =>
               old.filter(org.apache.spark.sql.functions.not(
                 org.apache.spark.sql.functions.coalesce(predicate, lit(false))))
             }
@@ -1832,7 +1851,8 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     while (true) {
       if (publishManifest(meta.location, baseVer + 1,
           base.copy(deletes =
-            base.deletes :+ DeleteFile(rel, baseVer + 1, matched, kind)))) {
+            base.deletes :+ DeleteFile(rel, baseVer + 1, matched, kind),
+            op = "delete-mor", at = System.currentTimeMillis()))) {
         vacuum(meta, manifestVersions(meta.location).filter(_ <= baseVer))
         // a racing vacuum may have tombstoned the fresh sidecar dir
         // between its rename and this publish — same clear as data dirs
@@ -1989,7 +2009,8 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
       case Some((touched, matched)) =>
         val hit = org.apache.spark.sql.functions.coalesce(predicate, lit(false))
         commitScoped(meta, vs.last, current, touched, meta.primaryKey,
-            dmlRebaseGuard(meta, current, e, "update")) { old =>
+            dmlRebaseGuard(meta, current, e, "update"),
+            op = "update") { old =>
           // every assignment resolves against the PRE-update row (SQL
           // UPDATE semantics: SET a = b, b = a swaps), so the projection
           // builds all new values in one select over the old columns
@@ -2209,7 +2230,9 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
       }
     commitScoped(meta, base, current, buckets, meta.primaryKey,
       cluster = clusterOpt,
-      dropDeletes = dropDeletes)(identity)
+      dropDeletes = dropDeletes,
+      op = if (dropDeletes.nonEmpty) "debt-fold" else "compact-buckets")(
+      identity)
     compactionReport(meta, before)
   }
 
@@ -2288,7 +2311,8 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
       s"files ${missing.sorted.mkString(",")} are not part of " +
         s"${meta.qualified}'s current snapshot")
     val before = current.deletes
-    commitFileScoped(meta, base, current, files.toSet, dropDeletes) { rows =>
+    commitFileScoped(meta, base, current, files.toSet, dropDeletes,
+      op = if (dropDeletes.nonEmpty) "debt-fold" else "compact-files") { rows =>
       // an all-masked selection has nothing to lay out — identity
       // (writeData emits no files; the selection just disappears)
       if (rows.isEmpty) rows
@@ -2437,7 +2461,7 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
       else
         commitScoped(meta, base, current, affected.toSeq.sorted,
           meta.primaryKey,
-          dropDeletes = before.map(_.rel).toSet)(identity)
+          dropDeletes = before.map(_.rel).toSet, op = "debt-fold")(identity)
     } else {
       require(before.forall(_.kind == MergeSnapshotStore.PosDeleteKind),
         s"${meta.qualified} is PK-less but carries equality-delete " +
@@ -2455,7 +2479,8 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
                                  current: Manifest): Unit = {
     runBeforePublish()
     if (!publishManifest(meta.location, base + 1,
-        current.copy(deletes = Nil)))
+        current.copy(deletes = Nil,
+          op = "debt-clear", at = System.currentTimeMillis())))
       throw new java.util.ConcurrentModificationException(
         s"${meta.qualified} moved past version $base while compactDebt " +
           "cleared its dead sidecars — re-run against the new snapshot")
@@ -2483,7 +2508,7 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     val refLive = posDebtFiles(meta, current)
     if (refLive.isEmpty) publishDeleteClear(meta, base, current)
     else commitFileScoped(meta, base, current, refLive,
-      current.deletes.map(_.rel).toSet)(identity)
+      current.deletes.map(_.rel).toSet, op = "debt-fold")(identity)
   }
 
   /** The FILE-scoped rewrite commit PK-less maintenance shares
@@ -2496,7 +2521,8 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
    * refuse-on-loss (a maintenance pass never clobbers). */
   private def commitFileScoped(meta: TableMeta, base: Int,
                                current: Manifest, refLive: Set[String],
-                               dropDeletes: Set[String])
+                               dropDeletes: Set[String],
+                               op: String = "compact-files")
                               (shape: DataFrame => DataFrame): Unit = {
     val f = fs(new Path(meta.location))
     val dirFiles: Seq[(Int, String, Seq[String])] =
@@ -2550,7 +2576,8 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
           current.stats.filter(kv => keeps(kv._1)) ++ newStats,
           current.strStats.filter(kv => keeps(kv._1)) ++ newStrStats,
           current.setStats.filter(kv => keeps(kv._1)) ++ newSetStats,
-          liveDeletes, carriesNew)))
+          liveDeletes, carriesNew,
+          op = op, at = System.currentTimeMillis())))
       throw new java.util.ConcurrentModificationException(
         s"${meta.qualified} moved past version $base while a file-scoped " +
           "maintenance pass rewrote it — the rewrite is stale; re-run " +
@@ -2597,7 +2624,7 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     val newMeta = meta.copy(properties = meta.properties +
       (MergeSnapshotStore.BucketsProp -> newBuckets.toString))
     catalog.register(newMeta)
-    try rewriteCommit(newMeta, base, df)
+    try rewriteCommit(newMeta, base, df, "rebucket")
     catch {
       case t: Throwable =>
         // restore the old property ONLY if the new-modulus manifest was
@@ -2662,7 +2689,9 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
             "restore targeted it — the rewind would clobber the racing " +
             "commit; re-read the history and re-run if still wanted")
       val next = head + 1
-      if (!publishManifest(meta.location, next, m))
+      if (!publishManifest(meta.location, next,
+          m.copy(op = s"restore(v=$target)",
+            at = System.currentTimeMillis())))
         throw new java.util.ConcurrentModificationException(
           s"${meta.qualified} took version $next while a restore " +
             "targeted $head — re-read the history and re-run if still " +
@@ -2679,6 +2708,43 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
         }
         throw t
     }
+  }
+
+  /**
+   * DESCRIBE HISTORY — the retained commit log as a DataFrame (the
+   * Delta `DESCRIBE HISTORY` story): one row per retained version with
+   * the OPERATION that published it (every commit path stamps its
+   * manifest — overwrite, merge, delete/delete-mor, update, compact*,
+   * debt-fold/debt-clear, rebucket, `restore(v=N)`, `clone(src@v)`),
+   * its wall-clock timestamp, and the manifest's shape counts. Driver-
+   * side manifest reads only (no data I/O), and the listing is bounded
+   * by the retention window — like Delta, history truncates where
+   * vacuum has expired the log; manifests from before the provenance
+   * field read as operation `unknown` with a null timestamp.
+   */
+  def history(db: String, table: String): DataFrame = {
+    val meta = catalog0(db, table)
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      new java.util.ArrayList()
+    manifestVersions(meta.location).reverse.foreach { v =>
+      val m = readManifest(meta.location, v)
+      rows.add(org.apache.spark.sql.Row(
+        v,
+        if (m.op.isEmpty) "unknown" else m.op,
+        if (m.at < 0L) null else new java.sql.Timestamp(m.at),
+        m.buckets.size,
+        m.carries.values.map(_.size).sum,
+        m.deletes.size,
+        m.nBuckets))
+    }
+    spark.createDataFrame(rows, StructType(Seq(
+      StructField("version", IntegerType, nullable = false),
+      StructField("operation", StringType, nullable = false),
+      StructField("timestamp", TimestampType, nullable = true),
+      StructField("bucket_dirs", IntegerType, nullable = false),
+      StructField("carried_files", IntegerType, nullable = false),
+      StructField("delete_sidecars", IntegerType, nullable = false),
+      StructField("n_buckets", IntegerType, nullable = false))))
   }
 
   /**
@@ -2746,7 +2812,9 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
         (MergeSnapshotStore.BucketsProp -> m.nBuckets.toString))
     catalog.register(dstMeta)
     val v0 = srcVer + 1
-    if (!publishManifest(dstLocation, v0, cloned))
+    if (!publishManifest(dstLocation, v0,
+        cloned.copy(op = s"clone(${srcMeta.qualified}@$srcVer)",
+          at = System.currentTimeMillis())))
       throw new java.util.ConcurrentModificationException(
         s"$dstLocation took version $v0 while the clone committed — " +
           "clone into a fresh location")
@@ -2887,7 +2955,7 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     val out =
       if (meta.hasPrimaryKey) df
       else df.repartition(targetFiles)
-    rewriteCommit(meta, vs.last, out)
+    rewriteCommit(meta, vs.last, out, "compact")
   }
 
   /** The [[CompactionReport]] of a just-published rewrite: the debt paid
@@ -2911,10 +2979,11 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
    * manifest's sidecars, rewrite on the pinned base (refusing if the
    * table moved — maintenance never clobbers), report the debt paid. */
   private def rewriteCommit(meta: TableMeta, base: Int, df: DataFrame,
+                            op: String,
       cluster: Option[(Seq[(String, (Double, Double))], Int, Int)] = None)
       : CompactionReport = {
     val before = readManifest(meta.location, base).deletes
-    overwriteWith(meta, df, cluster, requireBase = Some(base))
+    overwriteWith(meta, df, cluster, requireBase = Some(base), op = op)
     compactionReport(meta, before)
   }
 
@@ -2961,7 +3030,8 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     val shadow = df.select(dims.map { case (c, _) =>
       promoted(col(c), df.schema(c).dataType).as(c) }: _*)
     val resolved = Layout.resolveRanges(shadow, dims)
-    rewriteCommit(meta, base, df, Some((resolved, bits, filesPerBucket)))
+    rewriteCommit(meta, base, df, "compact-clustered",
+      Some((resolved, bits, filesPerBucket)))
   }
 
   /** A column promoted into the manifest's epoch-based double space —
