@@ -2511,6 +2511,62 @@ object SparkEntry {
         .select(col("version"), col("operation")).orderBy("version")
     }),
 
+    // CHECK constraints (Delta invariants): writes enforce in-flight —
+    // the guard rides the write job (Or short-circuits, to_json only on
+    // violation), so a violating UPDATE fails inside its own job,
+    // names the row, and consumes no version. The fixture pins the
+    // refusal mid-script (statement-added constraint, violating
+    // correction refused, conforming one lands) and the oracle is the
+    // conforming end state
+    "q84_store_check_constraint" -> ((s, d) => {
+      import graft.catalog.{InMemoryCatalog, MergeSnapshotStore, TableMeta}
+      import graft.operators.QueryRunner
+      val orders = t(s, d, "orders").select(col("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+      val work = java.nio.file.Files.createTempDirectory("graft-q84").toString
+      val cat = new InMemoryCatalog
+      cat.register(TableMeta("q84", "orders", s"$work/orders",
+        primaryKey = Seq("o_orderkey")))
+      val store = new MergeSnapshotStore(s, cat, nBuckets = 8)
+      val runner = new QueryRunner(store)
+      store.overwrite("q84", "orders", orders)
+      runner.dml("q84",
+        "ALTER TABLE orders ADD CONSTRAINT price_pos CHECK (o_totalprice > 0)")
+      val v = store.latestVersion("q84", "orders")
+      val refused =
+        try { runner.dml("q84",
+          "UPDATE orders SET o_totalprice = -1.0 WHERE o_orderstatus = 'F'")
+          false }
+        catch { case _: Throwable => true }
+      require(refused && store.latestVersion("q84", "orders") == v,
+        "the violating correction must refuse without consuming a version")
+      runner.dml("q84",
+        "UPDATE orders SET o_totalprice = 1.0 WHERE o_orderstatus = 'F'")
+      store.read("q84", "orders").orderBy("o_orderkey")
+    }),
+
+    // Manifest row counts: count(*) answered from per-file counts the
+    // stats lift recorded — a driver-side sum, ZERO Spark jobs (the
+    // fixture pins the fast path via manifestRowCount before returning)
+    // — across an overwrite and a CoW takedown. At 100 TB this is a
+    // metadata lookup where a count job would scan the table
+    "q85_store_manifest_count" -> ((s, d) => {
+      import s.implicits._
+      import graft.catalog.{InMemoryCatalog, MergeSnapshotStore, TableMeta}
+      val li = t(s, d, "lineitem").select(col("l_orderkey"),
+        col("l_linenumber"), col("l_quantity"), col("l_returnflag"))
+      val work = java.nio.file.Files.createTempDirectory("graft-q85").toString
+      val cat = new InMemoryCatalog
+      cat.register(TableMeta("q85", "lineitem", s"$work/lineitem",
+        primaryKey = Seq("l_orderkey", "l_linenumber")))
+      val store = new MergeSnapshotStore(s, cat, nBuckets = 8)
+      store.overwrite("q85", "lineitem", li)
+      store.deleteWhere("q85", "lineitem", col("l_returnflag") === "R")
+      require(store.manifestRowCount("q85", "lineitem").isDefined,
+        "the CoW snapshot must answer count(*) from the manifest alone")
+      Seq(store.countRows("q85", "lineitem")).toDF("cnt")
+    }),
+
     // The SQL surface THROUGH the storage engine (readSkipping /
     // StoreFileIndex): the reference's primary query shape — domain SQL
     // over temp views (reference src/apply_to_domains.py:54-68) — runs
@@ -5131,6 +5187,20 @@ object SparkEntry {
          WHERE band < 5
          GROUP BY o_orderstatus, band
          ORDER BY o_orderstatus, band""",
+
+    // the manifest-only count equals the real cardinality
+    "q85_store_manifest_count" ->
+      """SELECT count(*) AS cnt FROM lineitem
+         WHERE NOT (l_returnflag = 'R')""",
+
+    // the conforming end state: the refused correction left no trace,
+    // the conforming one set F prices to 1.0
+    "q84_store_check_constraint" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+                CASE WHEN o_orderstatus = 'F' THEN 1.0
+                     ELSE o_totalprice END AS o_totalprice
+         FROM orders
+         ORDER BY o_orderkey""",
 
     // the operation log IS the script that produced it
     "q83_store_history" ->

@@ -6,7 +6,7 @@ import scala.collection.immutable.SortedMap
 
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{array, col, element_at, expr, hash, input_file_name, isnan, lit, max, min, pmod, when}
+import org.apache.spark.sql.functions.{array, coalesce, col, concat, element_at, expr, hash, input_file_name, isnan, lit, max, min, pmod, raise_error, struct, to_json, when}
 import org.apache.spark.sql.types.{DataType, DateType, IntegerType, NumericType, StringType, StructField, StructType, TimestampType}
 
 /**
@@ -199,7 +199,13 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
                               // version and its wall-clock stamp;
                               // manifests from before the field read
                               // as ""/-1 and report "unknown"
-                              op: String = "", at: Long = -1L)
+                              op: String = "", at: Long = -1L,
+                              // per-file row counts (footer-lifted at
+                              // write, carried with the stats): the
+                              // manifest-only count(*) fast path; a
+                              // file without a line forces the scan
+                              // fallback
+                              rows: Map[String, Long] = Map.empty)
 
   private def manifestVersions(location: String): Seq[Int] = {
     val p = new Path(location)
@@ -327,8 +333,12 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
       val parts = s.split("\t", -1)
       (parts(1), parts(2).toLong)
     }.getOrElse(("", -1L))
+    val rowsMap = lines.collect { case s if s.startsWith("r\t") =>
+      val Array(_, fp, n) = s.split('\t')
+      fp -> n.toLong
+    }.toMap
     val m = Manifest(schema, SortedMap(buckets: _*), nb, stats, strStats,
-      setStats, deletes, carries, op, at)
+      setStats, deletes, carries, op, at, rowsMap)
     manifestCache.put(key, m)
     // close the parse-vs-vacuum race: a concurrent vacuum that deleted
     // this file and swept the cache BETWEEN our open and our put would
@@ -367,6 +377,7 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
       } ++
       m.deletes.map(d =>
         s"d\t${d.rel}\t${d.version}\t${d.rows}\t${d.kind}") ++
+      m.rows.toSeq.sorted.map { case (fp, n) => s"r\t$fp\t$n" } ++
       // provenance line last: optional, so pre-history manifests (and
       // their golden fixtures) round-trip unchanged
       (if (m.op.isEmpty) Nil else Seq(s"o\t${m.op}\t${m.at}"))).mkString("\n")
@@ -1369,12 +1380,12 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
       requireBase: Option[Int] = None,
       op: String = "overwrite"): Unit = {
     val vs = manifestVersions(meta.location)
-    val (written, stats, strStats, setStats) =
+    val (written, stats, strStats, setStats, fileRows) =
       writeData(meta, vs.lastOption.getOrElse(-1) + 1, out, meta.primaryKey,
         cluster)
     val m = Manifest(dropBucketCol(out.schema), written, nBucketsOf(meta),
       stats, strStats, setStats,
-      op = op, at = System.currentTimeMillis())
+      op = op, at = System.currentTimeMillis(), rows = fileRows)
     runBeforePublish()
     var attempt = 0
     var done = false
@@ -1522,7 +1533,7 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
             "surface NULL there; add the column as nullable")
       }
     }
-    val (written, newStats, newStrStats, newSetStats) =
+    val (written, newStats, newStrStats, newSetStats, newRows) =
       writeData(meta, readVer + 1, out, pks, cluster)
     val stray = written.keySet.diff(touched.toSet)
     require(stray.isEmpty,
@@ -1583,7 +1594,9 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
           Manifest(schema, newBuckets, nBucketsOf(meta),
             carriedStats ++ newStats, carriedStrStats ++ newStrStats,
             carriedSetStats ++ newSetStats, liveDeletes, carriedCarries,
-            op = op, at = System.currentTimeMillis()))) {
+            op = op, at = System.currentTimeMillis(),
+            rows = base.rows.filter { case (fp, _) => keeps(fp) } ++
+              newRows))) {
         vacuum(meta, manifestVersions(meta.location).filter(_ <= baseVer))
         clearTombstones(meta, written)
         committed = true
@@ -2537,7 +2550,7 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     // sidecars mask their addressed rows; nothing else is read)
     val survivors = shape(loadFiles(meta, current, refLive.toSeq.sorted,
       lit(true)))
-    val (written, newStats, newStrStats, newSetStats) =
+    val (written, newStats, newStrStats, newSetStats, newRows) =
       writeData(meta, base + 1, survivors, Nil)
     // dir entries: fully-unreferenced dirs keep their entry verbatim —
     // unless the rewrite wrote that bucket a fresh dir (one dir per
@@ -2577,7 +2590,8 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
           current.strStats.filter(kv => keeps(kv._1)) ++ newStrStats,
           current.setStats.filter(kv => keeps(kv._1)) ++ newSetStats,
           liveDeletes, carriesNew,
-          op = op, at = System.currentTimeMillis())))
+          op = op, at = System.currentTimeMillis(),
+          rows = current.rows.filter(kv => keeps(kv._1)) ++ newRows)))
       throw new java.util.ConcurrentModificationException(
         s"${meta.qualified} moved past version $base while a file-scoped " +
           "maintenance pass rewrote it — the rewrite is stale; re-run " +
@@ -2711,6 +2725,93 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
   }
 
   /**
+   * `count(*)` without a scan when the manifest can answer it EXACTLY:
+   * per-file row counts ride the stats lift (the same footer opens that
+   * produce min/max bounds record each file's row count), so a
+   * snapshot's cardinality is a driver-side sum — at 100 TB, the
+   * difference between a metadata lookup and a full-table count job.
+   *
+   * The fast path requires (a) no live delete sidecars — a sidecar's
+   * masked-row count is NOT safely subtractable in general (a later
+   * scoped rewrite can re-home rows the sidecar's recorded count
+   * included without retiring the line), so merge-on-read debt forces
+   * the honest scan until a fold clears it — and (b) a recorded count
+   * for EVERY data file the manifest resolves to (pre-feature commits
+   * and stats-disabled tables lack lines). Anything else falls back to
+   * counting the logical view; [[manifestRowCount]] exposes which path
+   * a snapshot would take.
+   */
+  def countRows(db: String, table: String,
+                version: Option[Int] = None): Long = {
+    val meta = catalog0(db, table)
+    val v = resolveVersion(meta, version)
+    manifestRowCount(db, table, version).getOrElse(
+      readVersion(meta, v).count())
+  }
+
+  /** The manifest-only count of one snapshot, when exact (see
+   * [[countRows]] for the two conditions); None = the fast path is
+   * unavailable and countRows would run the scan. Driver-side: one
+   * manifest read plus the dir listings planning already pays. */
+  def manifestRowCount(db: String, table: String,
+                       version: Option[Int] = None): Option[Long] = {
+    val meta = catalog0(db, table)
+    val m = readManifest(meta.location, resolveVersion(meta, version))
+    if (m.deletes.nonEmpty) return None
+    // count what the READ would actually resolve: the live file listing
+    // (a file on disk but missing its count line refuses the fast path;
+    // a recorded file a rewrite removed must not count)
+    val files = listDataFiles(meta, m, None)
+    if (files.nonEmpty && files.forall(m.rows.contains))
+      Some(files.iterator.map(m.rows).sum)
+    else if (files.isEmpty) Some(0L)
+    else None
+  }
+
+  /**
+   * ADD a CHECK constraint (Delta `ALTER TABLE … ADD CONSTRAINT … CHECK`
+   * parity): the predicate must hold on the CURRENT snapshot before the
+   * table accepts it — one scan job, and a violating row refuses with
+   * its image — then every future data-writing commit enforces it
+   * in-flight (writeData's guard: a violating write fails inside its
+   * own job with the constraint name and the row's JSON, and no version
+   * is consumed). SQL CHECK semantics: only FALSE violates, NULL
+   * passes — `col IS NOT NULL` expresses a NOT NULL invariant.
+   * Constraints live in the catalog's table properties
+   * ([[MergeSnapshotStore.CheckPropPrefix]]), so they clone with the
+   * table and survive re-registration.
+   */
+  def addCheckConstraint(db: String, table: String, name: String,
+                         predicate: String): Unit = {
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"constraint name '$name' must be a plain identifier")
+    val meta = catalog0(db, table)
+    val key = MergeSnapshotStore.CheckPropPrefix + name
+    require(!meta.properties.contains(key),
+      s"${meta.qualified} already has a CHECK constraint named $name " +
+        s"(${meta.properties(key)}) — drop it first")
+    if (latestVersion(db, table) >= 0) {
+      val bad = read(db, table)
+        .filter(!coalesce(expr(predicate), lit(true)))
+        .limit(1).collect()
+      require(bad.isEmpty,
+        s"cannot add CHECK constraint $name ($predicate) to " +
+          s"${meta.qualified}: an existing row violates it: ${bad.head}")
+    }
+    catalog.register(meta.copy(
+      properties = meta.properties + (key -> predicate)))
+  }
+
+  /** Drop a CHECK constraint added by [[addCheckConstraint]]. */
+  def dropCheckConstraint(db: String, table: String, name: String): Unit = {
+    val meta = catalog0(db, table)
+    val key = MergeSnapshotStore.CheckPropPrefix + name
+    require(meta.properties.contains(key),
+      s"${meta.qualified} has no CHECK constraint named $name")
+    catalog.register(meta.copy(properties = meta.properties - key))
+  }
+
+  /**
    * DESCRIBE HISTORY — the retained commit log as a DataFrame (the
    * Delta `DESCRIBE HISTORY` story): one row per retained version with
    * the OPERATION that published it (every commit path stamps its
@@ -2805,7 +2906,8 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
       m.strStats.map { case (fp, ss) => abs(fp) -> ss },
       m.setStats.map { case (fp, ss) => abs(fp) -> ss },
       m.deletes.map(d => d.copy(rel = abs(d.rel))),
-      m.carries.map { case (b, rels) => b -> rels.map(abs) })
+      m.carries.map { case (b, rels) => b -> rels.map(abs) },
+      rows = m.rows.map { case (fp, n) => abs(fp) -> n })
     val dstMeta = srcMeta.copy(db = dstDb, name = dstTable,
       location = dstLocation,
       properties = srcMeta.properties +
@@ -3101,7 +3203,8 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
                         pk: Seq[String],
                         cluster: Option[(Seq[(String, (Double, Double))], Int, Int)] = None)
       : (SortedMap[Int, String], Map[String, Seq[ColStat]],
-         Map[String, Seq[StrStat]], Map[String, Seq[SetStat]]) = {
+         Map[String, Seq[StrStat]], Map[String, Seq[SetStat]],
+         Map[String, Long]) = {
     // set-stats misconfiguration fails BEFORE the write job: an opted
     // column must exist and carry a type whose canonical string is
     // stable across the probe and cast sides
@@ -3124,6 +3227,20 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
         s"${meta.qualified} schema uses reserved internal column " +
           s"name(s) ${bad.mkString(", ")} — __b, __fv and __graft_* " +
           "belong to the store's bucketing and merge-on-read machinery")
+    }
+    // CHECK constraints ride the write job itself: the guard is a
+    // filter whose Or short-circuits in codegen, so a conforming row
+    // pays one predicate eval and a violating row raises with the
+    // constraint name and its own JSON image (to_json evaluates only on
+    // violation) — in-flight enforcement, no extra validation pass, no
+    // version consumed (the publish never runs). SQL CHECK semantics:
+    // only FALSE violates; NULL passes (coalesce to true).
+    val checked = MergeSnapshotStore.checksOf(meta).foldLeft(df) {
+      case (d, (name, predSql)) =>
+        d.filter(coalesce(expr(predSql), lit(true)) ||
+          raise_error(concat(
+            lit(s"CHECK constraint $name ($predSql) violated by row: "),
+            to_json(struct(d.columns.map(col): _*)))).isNotNull)
     }
     val setCols = meta.properties.get(MergeSnapshotStore.SetStatsProp)
       .map(_.split(',').iterator.map(_.trim).filter(_.nonEmpty).toSeq)
@@ -3170,7 +3287,7 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
           (promoted(col(c), df.schema(c).dataType), r) }, bits)
         val parts = nBucketsOf(meta) * fpb
         val tokens = array(Layout.bijectiveTokens(spark, parts).map(lit): _*)
-        df.withColumn("__b", bucketOf(meta, ks.map(col)))
+        checked.withColumn("__b", bucketOf(meta, ks.map(col)))
           .withColumn("__z", z)
           .withColumn("__t", element_at(tokens,
             col("__b") * lit(fpb) + Layout.sliceOf("__z", dims.size, bits, fpb)
@@ -3179,9 +3296,9 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
           .sortWithinPartitions(col("__b"), col("__z"))
           .drop("__z", "__t")
       case (ks, _) if ks.nonEmpty =>
-        df.withColumn("__b", bucketOf(meta, ks.map(col)))
+        checked.withColumn("__b", bucketOf(meta, ks.map(col)))
           .repartition(nBucketsOf(meta), col("__b"))
-      case _ => df.withColumn("__b", lit(0))
+      case _ => checked.withColumn("__b", lit(0))
     }
     // opted-in columns get parquet-native bloom filters written into
     // every file (row-group-level equality skipping on read; the
@@ -3221,9 +3338,11 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
       else df.schema.fields.toSeq
         .filter(sf => sf.name != "__b" && sf.dataType == StringType)
         .map(_.name)
-    val (stats: Map[String, Seq[ColStat]], strStats: Map[String, Seq[StrStat]]) =
+    val (stats: Map[String, Seq[ColStat]], strStats: Map[String, Seq[StrStat]],
+         fileRows: Map[String, Long]) =
       if ((statCols.isEmpty && strCols.isEmpty) || found.isEmpty)
-        (Map.empty[String, Seq[ColStat]], Map.empty[String, Seq[StrStat]])
+        (Map.empty[String, Seq[ColStat]], Map.empty[String, Seq[StrStat]],
+          Map.empty[String, Long])
       else if (meta.format == "parquet") {
         // enumerate the just-written data files (driver-side listing of
         // the bucket dirs already produced above — manifest-sized)
@@ -3234,13 +3353,13 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
             .map(st => s"$rel/${st.getPath.getName}")
         }
         val bounds: Seq[(String, Seq[(String, Double, Double)],
-                         Seq[(String, String, Option[String])])] =
+                         Seq[(String, String, Option[String])], Long)] =
           if (rels.size <= MergeSnapshotStore.FooterInlineFiles) {
             val conf = spark.sparkContext.hadoopConfiguration
             rels.map { rel =>
-              val (nb, sb) = MergeSnapshotStore.footerAllBounds(conf,
+              val (nb, sb, n) = MergeSnapshotStore.footerAllBounds(conf,
                 new Path(s"${meta.location}/$rel"), statCols, strCols)
-              (rel, nb, sb)
+              (rel, nb, sb, n)
             }
           } else {
             // footer reads are per-file metadata I/O — at a 10^3..10^4
@@ -3263,18 +3382,20 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
                 val c = new org.apache.hadoop.conf.Configuration(false)
                 bc.value.foreach { case (k, v) => c.set(k, v) }
                 it.map { rel =>
-                  val (nb, sb) = MergeSnapshotStore.footerAllBounds(c,
+                  val (nb, sb, n) = MergeSnapshotStore.footerAllBounds(c,
                     new Path(s"$loc/$rel"), cols, scols)
-                  (rel, nb, sb)
+                  (rel, nb, sb, n)
                 }
               }.collect().toSeq // manifest-sized: one entry per file
           }
-        (bounds.collect { case (rel, ss, _) if ss.nonEmpty =>
+        (bounds.collect { case (rel, ss, _, _) if ss.nonEmpty =>
           rel -> ss.map { case (c, mn, mx) => ColStat(c, mn, mx) }
         }.toMap,
-          bounds.collect { case (rel, _, ys) if ys.nonEmpty =>
+          bounds.collect { case (rel, _, ys, _) if ys.nonEmpty =>
             rel -> ys.map { case (c, lo, hi) => StrStat(c, lo, hi) }
-          }.toMap)
+          }.toMap,
+          bounds.collect { case (rel, _, _, n) if n >= 0L => rel -> n }
+            .toMap)
       } else {
         // non-parquet formats carry no footer stats — measure with one
         // column-pruned scan of the written files. NaN is excluded: a
@@ -3293,7 +3414,8 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
           when(!isnan(d), d)
         }
         val aggs = statCols.flatMap(c => Seq(min(finite(c)), max(finite(c)))) ++
-          strCols.flatMap(c => Seq(min(col(c)), max(col(c))))
+          strCols.flatMap(c => Seq(min(col(c)), max(col(c)))) ++
+          Seq(org.apache.spark.sql.functions.count(lit(1L)))
         // manifest-sized collect: one row per written FILE. Spark's
         // string min/max order is UTF8String byte order — the manifest's
         // bound order, so truncation applies directly.
@@ -3318,12 +3440,14 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
                 MergeSnapshotStore.truncLower(r.getString(strOff + 2 * i)),
                 MergeSnapshotStore.truncUpper(r.getString(strOff + 2 * i + 1))))
             }
-            if (ss.isEmpty && ys.isEmpty) None
-            else Some(p.substring(cut + 1) -> ((ss, ys)))
+            val n = r.getLong(strOff + 2 * strCols.size)
+            if (ss.isEmpty && ys.isEmpty && n < 0) None
+            else Some(p.substring(cut + 1) -> ((ss, ys, n)))
           }
         }
-        (pairs.collect { case (f, (ss, _)) if ss.nonEmpty => f -> ss }.toMap,
-          pairs.collect { case (f, (_, ys)) if ys.nonEmpty => f -> ys }.toMap)
+        (pairs.collect { case (f, (ss, _, _)) if ss.nonEmpty => f -> ss }.toMap,
+          pairs.collect { case (f, (_, ys, _)) if ys.nonEmpty => f -> ys }.toMap,
+          pairs.collect { case (f, (_, _, n)) if n >= 0 => f -> n }.toMap)
       }
     // VALUE-SET stats for the opted-in columns: ONE column-pruned data
     // pass over the written files (footers cannot yield distinct sets —
@@ -3355,7 +3479,7 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
           })
         }.collect { case (f, ss) if ss.nonEmpty => f -> ss }.toMap
       }
-    (found, stats, strStats, setStats)
+    (found, stats, strStats, setStats, fileRows)
   }
 
   private def dropBucketCol(s: StructType): StructType =
@@ -3757,6 +3881,22 @@ object MergeSnapshotStore {
    * their time at 100 TB. */
   val BloomProp: String = "graft.bloom"
 
+  /** CHECK-constraint property prefix: `graft.check.<name> -> <sql
+   * predicate>` (Delta table-constraint parity). Enforced IN-FLIGHT by
+   * every data-writing commit (writeData's guard filter — violation
+   * raises with the constraint name and the row's JSON image, no
+   * version consumed) and validated against the existing snapshot when
+   * added ([[MergeSnapshotStore.addCheckConstraint]]). SQL CHECK
+   * semantics: only a FALSE predicate violates; NULL passes. */
+  val CheckPropPrefix: String = "graft.check."
+
+  /** The (name, predicate) CHECK constraints registered on a table. */
+  private[catalog] def checksOf(meta: TableMeta): Seq[(String, String)] =
+    meta.properties.toSeq
+      .collect { case (k, v) if k.startsWith(CheckPropPrefix) =>
+        k.drop(CheckPropPrefix.length) -> v }
+      .sortBy(_._1)
+
   /** Default expected NDV per row group for [[BloomProp]] columns
    * without an explicit `:ndv` — sized for ~64 KiB of bloom bits at 1%
    * fpp rather than parquet's 1M-row default, which would write ~1 MiB
@@ -4001,13 +4141,16 @@ object MergeSnapshotStore {
   private[catalog] def footerAllBounds(conf: org.apache.hadoop.conf.Configuration,
                                        file: Path, numCols: Seq[String],
                                        strCols: Seq[String])
-      : (Seq[(String, Double, Double)], Seq[(String, String, Option[String])]) = {
+      : (Seq[(String, Double, Double)], Seq[(String, String, Option[String])], Long) = {
     import scala.jdk.CollectionConverters._
-    if (numCols.isEmpty && strCols.isEmpty) return (Nil, Nil)
+    // row count rides the same footer open (-1 = not read): the
+    // manifest-only count(*) fast path costs nothing extra at write
+    if (numCols.isEmpty && strCols.isEmpty) return (Nil, Nil, -1L)
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(conf, file)
     try {
       val blocks = reader.getFooter.getBlocks.asScala.toSeq
-      (numBoundsOf(blocks, numCols), strBoundsOf(blocks, strCols))
+      (numBoundsOf(blocks, numCols), strBoundsOf(blocks, strCols),
+        blocks.map(_.getRowCount).sum)
     } finally reader.close()
   }
 

@@ -67,6 +67,11 @@ object QueryRunner {
   private val CloneRe =
     ("""(?is)^\s*CREATE\s+TABLE\s+([\w.`]+)\s+SHALLOW\s+CLONE\s+([\w.`]+)""" +
       """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s+LOCATION\s+'([^']+)'\s*;?\s*$""").r
+  private val AddConstraintRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+ADD\s+CONSTRAINT\s+(\w+)""" +
+      """\s+CHECK\s*\((.+)\)\s*;?\s*$""").r
+  private val DropConstraintRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*$""".r
 
   /** The projection + predicate core, store-free for direct frames. */
   def select(df: DataFrame, fields: Seq[String], where: String): DataFrame = {
@@ -115,6 +120,11 @@ object QueryRunner {
    *    LOCATION '<path>'` →
    *    [[graft.catalog.MergeSnapshotStore.cloneTable]] within the
    *    bound db; returns the clone's first version.
+   *  - `ALTER TABLE t ADD CONSTRAINT name CHECK (pred)` /
+   *    `ALTER TABLE t DROP CONSTRAINT name` →
+   *    [[graft.catalog.MergeSnapshotStore.addCheckConstraint]] /
+   *    `dropCheckConstraint` (ADD validates the existing snapshot
+   *    first, like Delta); both return 0.
    */
   def dml(store: SnapshotStore, db: String, statement: String,
           mode: graft.catalog.MergeSnapshotStore.DeleteMode =
@@ -149,6 +159,12 @@ object QueryRunner {
       case CloneRe(dstRaw, srcRaw, v, loc) =>
         return ms.cloneTable(db, namedTable(srcRaw), db, namedTable(dstRaw),
           loc, version = Option(v).map(_.toInt)).toLong
+      case AddConstraintRe(raw, name, pred) =>
+        ms.addCheckConstraint(db, namedTable(raw), name, pred.trim)
+        return 0L
+      case DropConstraintRe(raw, name) =>
+        ms.dropCheckConstraint(db, namedTable(raw), name)
+        return 0L
       case OptimizeRe(raw, zorder) =>
         val tbl = namedTable(raw)
         val report =

@@ -1,0 +1,113 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog.{InMemoryCatalog, MergeSnapshotStore, TableMeta}
+
+/**
+ * Manifest row counts ([[MergeSnapshotStore.countRows]] /
+ * `manifestRowCount`): per-file counts ride the stats lift, so
+ * `count(*)` is a driver-side sum — ZERO Spark jobs — whenever the
+ * manifest can answer exactly. Pins: parity with the real count across
+ * overwrite / CoW delete / scoped merge / clone; the fast path runs
+ * job-free; merge-on-read sidecars force the honest scan fallback
+ * (masked counts are not safely subtractable) until a fold clears
+ * them; stats-disabled tables fall back; a version pin counts the
+ * pinned snapshot.
+ */
+class RowCountSpec extends AnyFunSuite with SparkFixture {
+
+  private def mkStore(): MergeSnapshotStore =
+    new MergeSnapshotStore(spark, new InMemoryCatalog, nBuckets = 4,
+      keepVersions = 8, vacuumRetentionMs = 0L)
+
+  private def register(store: MergeSnapshotStore, tbl: String,
+                       props: Map[String, String] = Map.empty): TableMeta = {
+    val meta = TableMeta("ndb", tbl,
+      Files.createTempDirectory(s"graft-cnt-$tbl").toString,
+      primaryKey = Seq("id"), properties = props)
+    store.catalog.register(meta)
+    meta
+  }
+
+  private def frame(n: Int = 96): DataFrame = {
+    import spark.implicits._
+    (0 until n).map(i => (i.toLong, i.toLong, s"c${i % 4}"))
+      .toDF("id", "v", "cls")
+  }
+
+  private def jobFree[A](body: => A): A = {
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    val sc = spark.sparkContext
+    org.apache.spark.GraftListenerBusAccess.waitUntilEmpty(sc)
+    sc.addSparkListener(l)
+    try {
+      val out = body
+      org.apache.spark.GraftListenerBusAccess.waitUntilEmpty(sc)
+      assert(jobs.get() == 0,
+        s"the manifest count fast path launched ${jobs.get()} Spark job(s)")
+      out
+    } finally sc.removeSparkListener(l)
+  }
+
+  test("count(*) is a job-free manifest sum across the commit paths") {
+    val store = mkStore()
+    register(store, "t")
+    store.overwrite("ndb", "t", frame())
+    assert(jobFree(store.countRows("ndb", "t")) == 96L)
+    val v0 = store.latestVersion("ndb", "t")
+    // CoW delete: touched buckets re-counted at their rewrite
+    store.deleteWhere("ndb", "t", col("cls") === "c1")
+    assert(jobFree(store.countRows("ndb", "t")) == 72L)
+    // scoped merge: carried files keep their lines, the rewritten
+    // bucket's fresh files record theirs
+    store.mergeScoped("ndb", "t",
+      frame().filter(col("id") < 2).select("id")) { old =>
+      old.withColumn("v", col("v") + 1L)
+    }
+    assert(jobFree(store.countRows("ndb", "t")) == 72L)
+    assert(store.countRows("ndb", "t") == store.read("ndb", "t").count())
+    // a version pin counts the pinned snapshot
+    assert(jobFree(store.countRows("ndb", "t", Some(v0))) == 96L)
+  }
+
+  test("merge-on-read debt forces the honest scan until a fold clears it") {
+    val store = mkStore()
+    register(store, "t")
+    store.overwrite("ndb", "t", frame())
+    store.deleteWhere("ndb", "t", col("cls") === "c2",
+      MergeSnapshotStore.MergeOnRead)
+    assert(store.manifestRowCount("ndb", "t").isEmpty,
+      "a live sidecar must refuse the manifest-only count")
+    assert(store.countRows("ndb", "t") == 72L, "the fallback is exact")
+    store.compactDebt("ndb", "t")
+    assert(jobFree(store.countRows("ndb", "t")) == 72L,
+      "folding the debt restores the fast path")
+  }
+
+  test("a clone's borrowed files keep their counts") {
+    val store = mkStore()
+    register(store, "src")
+    store.overwrite("ndb", "src", frame())
+    store.cloneTable("ndb", "src", "ndb", "dst",
+      Files.createTempDirectory("graft-cnt-clone").toString + "/t")
+    assert(jobFree(store.countRows("ndb", "dst")) == 96L)
+  }
+
+  test("stats-disabled tables fall back to the scan, exactly") {
+    val store = mkStore()
+    register(store, "t", props = Map(MergeSnapshotStore.StatsProp -> "false"))
+    store.overwrite("ndb", "t", frame())
+    assert(store.manifestRowCount("ndb", "t").isEmpty)
+    assert(store.countRows("ndb", "t") == 96L)
+  }
+}
