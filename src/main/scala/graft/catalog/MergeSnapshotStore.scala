@@ -2725,6 +2725,39 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
   }
 
   /**
+   * TIMESTAMP AS OF resolution (Delta parity): the latest version whose
+   * provenance stamp is at or before `epochMs` — the manifest-priced
+   * bridge from wall-clock time travel to the engine's version pins
+   * (pass the result anywhere a `version`/`asOfVersion` parameter
+   * goes: [[readPinned]], [[graft.operators.QueryRunner.run]], change
+   * feeds, clones). Stamps are the PUBLISHING writer's clock, so the
+   * mapping is as good as the fleet's clock discipline — same contract
+   * as Delta/Iceberg timestamp travel. Pre-provenance versions carry no
+   * stamp and are invisible to time resolution (documented, not
+   * silent: resolving an instant before the first STAMPED version
+   * refuses and names the window). Bounded by retention like every
+   * version read.
+   */
+  def versionAt(db: String, table: String, epochMs: Long): Int = {
+    val meta = catalog0(db, table)
+    val vs = manifestVersions(meta.location)
+    require(vs.nonEmpty, s"no manifest versions at ${meta.location}")
+    val stamped = vs.map(v => v -> readManifest(meta.location, v).at)
+      .filter(_._2 >= 0L)
+    require(stamped.nonEmpty,
+      s"${meta.qualified} has no provenance-stamped versions — " +
+        "TIMESTAMP AS OF needs commits made by a history-aware engine; " +
+        "pin by version number instead")
+    val visible = stamped.filter(_._2 <= epochMs)
+    require(visible.nonEmpty,
+      s"no version of ${meta.qualified} was committed at or before " +
+        s"epoch $epochMs (earliest stamped: version ${stamped.head._1} " +
+        s"at ${stamped.head._2}) — the instant predates the table (or " +
+        "the retained window)")
+    visible.map(_._1).max
+  }
+
+  /**
    * `count(*)` without a scan when the manifest can answer it EXACTLY:
    * per-file row counts ride the stats lift (the same footer opens that
    * produce min/max bounds record each file's row count), so a
@@ -3542,9 +3575,17 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     val now = System.currentTimeMillis()
     val dataRoot = new Path(s"${meta.location}/data")
     if (f.exists(dataRoot)) {
-      f.listStatus(dataRoot).filter(_.isDirectory).foreach { commit =>
+      // a dir listed here can vanish before the inner listing: a racing
+      // writeData renames its `.tmp-c…` dir to final mid-walk, and a
+      // racing vacuum can reap an expired dir we also saw. Either way
+      // the dir's CURRENT state belongs to the next vacuum — skip it;
+      // skipping never deletes early, it only delays cleanup one commit
+      def listOrEmpty(p: Path): Seq[FileStatus] =
+        try f.listStatus(p).toSeq
+        catch { case _: java.io.FileNotFoundException => Nil }
+      listOrEmpty(dataRoot).filter(_.isDirectory).foreach { commit =>
         val cname = commit.getPath.getName
-        f.listStatus(commit.getPath).filter(_.isDirectory).foreach { bdir =>
+        listOrEmpty(commit.getPath).filter(_.isDirectory).foreach { bdir =>
           if (!referenced.contains(s"data/$cname/${bdir.getPath.getName}")) {
             val tomb = new Path(bdir.getPath, "_expired_at")
             // A 0-byte or garbled tombstone (crash mid-write on a store
@@ -3627,7 +3668,13 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
             }
           }
         }
-        if (f.listStatus(commit.getPath).isEmpty) f.delete(commit.getPath, true)
+        // empty-commit-dir sweep: NEVER touch dot-dirs — an in-flight
+        // write's `.tmp-c…` dir is legitimately empty between its
+        // creation and its first task file, and deleting it fails that
+        // writer's tasks; a crashed tmp's CONTENTS age out through the
+        // bucket-dir tombstones above, which is cleanup enough
+        if (!cname.startsWith(".") && listOrEmpty(commit.getPath).isEmpty)
+          f.delete(commit.getPath, true)
       }
     }
   }
@@ -3667,27 +3714,38 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
    * crash mid-write leaves either no tombstone or a complete one — never
    * the truncated file the parse guard above exists for. */
   private def writeTombstone(f: org.apache.hadoop.fs.FileSystem, tomb: Path,
-                             epoch: Long): Unit = {
-    val tmp = new Path(tomb.getParent, s".tmp-${tomb.getName}")
-    val out = f.create(tmp, true)
-    try out.write(epoch.toString.getBytes(UTF_8)) finally out.close()
-    if (!f.rename(tmp, tomb)) {
-      // rename refuses when the destination exists (HDFS/object-store
-      // semantics; RawLocalFileSystem's POSIX renameTo is the outlier
-      // that overwrites). A destination holding a VALID epoch means we
-      // lost a race with a concurrent vacuum that tombstoned first —
-      // its epoch stands, drop our tmp. Only provably-garbled debris
-      // (crashed writer) is cleared and retried; a transient READ error
-      // must also keep the destination — deleting on a flaky read would
-      // replace a valid older epoch and restart the retention clock.
-      readTombstoneEpoch(f, tomb) match {
-        case TombstoneGarbled =>
-          f.delete(tomb, false)
-          if (!f.rename(tmp, tomb)) f.delete(tmp, false)
-        case _ => f.delete(tmp, false)
+                             epoch: Long): Unit =
+    // NEVER let a tombstone write fail the commit that triggered this
+    // vacuum: a swallowed failure just means no clock file lands, and
+    // the next vacuum restarts the clock at ITS now — delete later,
+    // never earlier, the retention-safe direction. (Concrete race this
+    // closes: two commits' vacuums tombstoning the same dir — the local
+    // FS's create/chmod/rename internals are not atomic against a racer
+    // renaming the tmp away mid-write.)
+    try {
+      // tmp is WRITER-UNIQUE: a shared tmp name lets one racer's rename
+      // steal another's half-written file (and crash its chmod)
+      val tmp = new Path(tomb.getParent,
+        s".tmp-${tomb.getName}-${java.util.UUID.randomUUID().toString.take(8)}")
+      val out = f.create(tmp, true)
+      try out.write(epoch.toString.getBytes(UTF_8)) finally out.close()
+      if (!f.rename(tmp, tomb)) {
+        // rename refuses when the destination exists (HDFS/object-store
+        // semantics; RawLocalFileSystem's POSIX renameTo is the outlier
+        // that overwrites). A destination holding a VALID epoch means we
+        // lost a race with a concurrent vacuum that tombstoned first —
+        // its epoch stands, drop our tmp. Only provably-garbled debris
+        // (crashed writer) is cleared and retried; a transient READ error
+        // must also keep the destination — deleting on a flaky read would
+        // replace a valid older epoch and restart the retention clock.
+        readTombstoneEpoch(f, tomb) match {
+          case TombstoneGarbled =>
+            f.delete(tomb, false)
+            if (!f.rename(tmp, tomb)) f.delete(tmp, false)
+          case _ => f.delete(tmp, false)
+        }
       }
-    }
-  }
+    } catch { case scala.util.control.NonFatal(_) => () }
 }
 
 object MergeSnapshotStore {

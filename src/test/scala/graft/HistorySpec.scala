@@ -93,6 +93,29 @@ class HistorySpec extends AnyFunSuite with SparkFixture {
     assert(versions == Seq(2, 3), s"retained history drifted: $versions")
   }
 
+  test("TIMESTAMP AS OF resolves through the provenance stamps") {
+    val store = mkStore()
+    register(store, "t")
+    store.overwrite("hdb", "t", frame())                     // v0
+    Thread.sleep(5)
+    val betweenV0andV1 = System.currentTimeMillis()
+    Thread.sleep(5)
+    store.deleteWhere("hdb", "t", col("cls") === "c0")       // v1
+    Thread.sleep(5)
+    val afterV1 = System.currentTimeMillis()
+    assert(store.versionAt("hdb", "t", betweenV0andV1) == 0,
+      "an instant between commits resolves to the earlier version")
+    assert(store.versionAt("hdb", "t", afterV1) == 1)
+    // the resolved pin reads the snapshot of that instant
+    assert(store.readPinned("hdb", "t",
+      Some(store.versionAt("hdb", "t", betweenV0andV1))).count() == 64)
+    // an instant before the table refuses loudly
+    val ex = intercept[IllegalArgumentException] {
+      store.versionAt("hdb", "t", 1000L)
+    }
+    assert(ex.getMessage.contains("predates"))
+  }
+
   test("pre-provenance manifests read as unknown, not a parse failure") {
     val store = mkStore()
     val meta = register(store, "t")
