@@ -156,6 +156,48 @@ class ChangeFeedSpec extends AnyFunSuite with SparkFixture {
     assert(sunk.filter(col("change") === "U").count() == 1)
   }
 
+  test("the feed drives downstream replication + a maintained aggregate") {
+    import graft.operators.Ivm
+    // UPSTREAM: the table of record takes DML
+    val up = mkStore()
+    register(up, "src")
+    up.overwrite("fdb", "src", frame())
+    val dir = feedDir("compose")
+    ChangeFeed.advance(up, "fdb", "src", dir)
+    // DOWNSTREAM: a mirror + dashboard seeded from the initial snapshot,
+    // then maintained from the FEED alone — the source never rescans
+    val downTmp = Files.createTempDirectory("graft-feed-down").toString
+    val downCat = new InMemoryCatalog
+    val down = new graft.catalog.SnapshotStore(spark, downCat,
+      keepVersions = 4)
+    downCat.register(TableMeta("ddb", "mirror", s"$downTmp/mirror"))
+    downCat.register(TableMeta("ddb", "agg", s"$downTmp/agg"))
+    val init = up.read("fdb", "src")
+    down.overwrite("ddb", "mirror", init)
+    down.overwrite("ddb", "agg", Ivm.countSumAgg(init, col("cls"), col("v")))
+    // upstream DML lands; the exporter advances
+    up.deleteWhere("fdb", "src", col("cls") === "c1")
+    up.updateWhere("fdb", "src", col("id") === 2L, Map("v" -> lit(222L)))
+    ChangeFeed.advance(up, "fdb", "src", dir)
+    val q = StreamingAnalytics.maintainCountSum(
+      ChangeFeed.readStream(spark, dir).drop("_from_version",
+        "_commit_version"),
+      down, "ddb", "mirror", "agg", Seq("id"), col("cls"), col("v"),
+      s"$downTmp/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    // the mirror equals the source; the dashboard equals the recompute
+    val want = up.read("fdb", "src").collect().toSeq.sortBy(_.getLong(0))
+    assert(down.read("ddb", "mirror").collect().toSeq
+      .sortBy(_.getLong(0)) == want)
+    val agg = down.read("ddb", "agg").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val fresh = Ivm.countSumAgg(up.read("fdb", "src"),
+      col("cls"), col("v")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(agg == fresh,
+      s"the feed-maintained dashboard drifted: $agg vs $fresh")
+  }
+
   test("an exporter paused past the source's retention refuses loudly") {
     val store = mkStore(keep = 2)
     register(store, "t")
