@@ -44,6 +44,22 @@ final class QueryRunner(store: SnapshotStore) {
     QueryRunner.select(
       DomainRunner.storeView(store, db, table, asOfVersion), fields, where)
 
+  /** [[run]] pinned by WALL-CLOCK instant instead of version number:
+   * the epoch resolves through the provenance stamps
+   * ([[graft.catalog.MergeSnapshotStore.versionAt]]) and the read is
+   * the same pinned skipping scan an AS-OF version query gets. */
+  def runAt(db: String, table: String, fields: Seq[String],
+            where: String, asOfEpochMs: Long): DataFrame = {
+    val ms = store match {
+      case m: graft.catalog.MergeSnapshotStore => m
+      case _ => throw new IllegalArgumentException(
+        "TIMESTAMP AS OF resolves through commit provenance stamps — " +
+          "open the table through a MergeSnapshotStore")
+    }
+    run(db, table, fields, where,
+      asOfVersion = Some(ms.versionAt(db, table, asOfEpochMs)))
+  }
+
   def apply(df: DataFrame, fields: Seq[String], where: String): DataFrame =
     QueryRunner.select(df, fields, where)
 

@@ -177,4 +177,34 @@ object ChangeFeed {
     spark.readStream
       .schema(schemaOf(spark, feedDir))
       .parquet(s"$feedDir/delta_*")
+
+  /**
+   * Retention sweep: delete delta directories whose whole range is at
+   * or below `consumedVersion` (every consumer's checkpoint has passed
+   * them — the CALLER asserts that, exactly like Delta VACUUM's
+   * retention contract). Deleting an immutable, already-consumed dir
+   * never disturbs a reader mid-batch: the file source's checkpoint
+   * names files, and a restarted query only lists FORWARD. Returns the
+   * number of directories reclaimed. The resume point survives — the
+   * state file carries the last exported version even when every delta
+   * dir is swept.
+   */
+  def expireConsumed(spark: SparkSession, feedDir: String,
+                     consumedVersion: Int): Int = {
+    val dir = new Path(feedDir)
+    val f = fs(spark, dir)
+    if (!f.exists(dir)) return 0
+    // the state file must hold the resume point BEFORE dirs vanish
+    // (lastExported prefers the listing; after the sweep only the
+    // cache remains for the swept prefix)
+    lastExported(f, dir).foreach(v => writeState(f, dir, v))
+    val victims = f.listStatus(dir).toSeq.filter { st =>
+      st.isDirectory && (st.getPath.getName match {
+        case DeltaRe(_, to) => to.toInt <= consumedVersion
+        case _ => false
+      })
+    }
+    victims.foreach(st => f.delete(st.getPath, true))
+    victims.size
+  }
 }

@@ -78,6 +78,19 @@ object ScaleUp {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/orders.parquet")
 
+    // lineitem feeds the composite-PK store fixtures (q85): the
+    // (l_orderkey, l_linenumber) key stays unique when l_orderkey
+    // offsets per copy; every value column verbatim
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    val lkT = li.schema("l_orderkey").dataType
+    (0 until factor).map { i =>
+      if (i == 0) li
+      else li.withColumn("l_orderkey",
+        (col("l_orderkey") + lit(i * Stride)).cast(lkT))
+    }.reduce(_ unionByName _)
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+
     val cust = spark.read.parquet(s"$src/customer.parquet")
     val ccT = cust.schema("c_custkey").dataType
     (0 until factor).map { i =>

@@ -114,6 +114,13 @@ class HistorySpec extends AnyFunSuite with SparkFixture {
       store.versionAt("hdb", "t", 1000L)
     }
     assert(ex.getMessage.contains("predates"))
+    // the query surface: runAt pins the scan to the resolved instant
+    val runner = new graft.operators.QueryRunner(store)
+    assert(runner.runAt("hdb", "t", Seq("id"), "cls = 'c0'",
+      betweenV0andV1).count() == 16,
+      "TIMESTAMP AS OF must see the pre-delete snapshot")
+    assert(runner.runAt("hdb", "t", Seq("id"), "cls = 'c0'",
+      afterV1).count() == 0)
   }
 
   test("pre-provenance manifests read as unknown, not a parse failure") {

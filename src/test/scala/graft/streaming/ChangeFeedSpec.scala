@@ -198,6 +198,31 @@ class ChangeFeedSpec extends AnyFunSuite with SparkFixture {
       s"the feed-maintained dashboard drifted: $agg vs $fresh")
   }
 
+  test("expireConsumed reclaims passed deltas; the resume point survives") {
+    val store = mkStore()
+    register(store, "t")
+    store.overwrite("fdb", "t", frame())
+    val dir = feedDir("expire")
+    ChangeFeed.advance(store, "fdb", "t", dir)
+    store.deleteWhere("fdb", "t", col("id") === 1L)
+    val Some((_, v1)) = ChangeFeed.advance(store, "fdb", "t", dir)
+    store.deleteWhere("fdb", "t", col("id") === 2L)
+    val Some((_, v2)) = ChangeFeed.advance(store, "fdb", "t", dir)
+    assert(ChangeFeed.expireConsumed(spark, dir, v1) == 1,
+      "exactly the fully-consumed delta dir is reclaimed")
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val left = f.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).filter(_.startsWith("delta_")).toSeq
+    assert(left == Seq(s"delta_v${v1}_v$v2"))
+    // the resume point survives a FULL sweep: no overlap, no re-export
+    assert(ChangeFeed.expireConsumed(spark, dir, v2) == 1)
+    assert(ChangeFeed.advance(store, "fdb", "t", dir).isEmpty)
+    store.deleteWhere("fdb", "t", col("id") === 3L)
+    val Some((from3, _)) = ChangeFeed.advance(store, "fdb", "t", dir)
+    assert(from3 == v2, "the next export resumes exactly past the sweep")
+  }
+
   test("an exporter paused past the source's retention refuses loudly") {
     val store = mkStore(keep = 2)
     register(store, "t")
