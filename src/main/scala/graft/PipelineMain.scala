@@ -960,6 +960,63 @@ object PipelineMain {
     }
     Materialize.releaseAll()
 
+    // 24. Governance drill — the ops surface end to end, statements
+    // first: a CHECK constraint guards the serving table (ALTER
+    // statement, existing snapshot validated); a violating correction
+    // REFUSES in-flight without consuming a version; a conforming but
+    // WRONG correction lands (the incident); DESCRIBE HISTORY names it;
+    // TIMESTAMP AS OF resolves the pre-incident instant and RESTORE
+    // un-happens it as one metadata-only commit; a SHALLOW CLONE pins
+    // the repaired state for forensics without copying a byte; and
+    // count(*) reads off the manifest, zero jobs. Every step is the
+    // 100 TB price: validation rides the write, the rewind and the
+    // clone are manifest writes, the audit and the count are
+    // driver-side parses.
+    val tsBefore24 = System.currentTimeMillis()
+    Thread.sleep(5)
+    runner23.dml(Db,
+      "ALTER TABLE serve23 ADD CONSTRAINT len_floor CHECK (len >= -1.0)")
+    val vGuard24 = store.latestVersion(Db, "serve23")
+    val refused24 =
+      try {
+        runner23.dml(Db, "UPDATE serve23 SET len = -2.0 WHERE doc_id % 7 = 0")
+        false
+      } catch { case scala.util.control.NonFatal(_) => true }
+    val noVersion24 = store.latestVersion(Db, "serve23") == vGuard24
+    // the incident: conforming, wrong, and marked by a sentinel value
+    runner23.dml(Db,
+      "UPDATE serve23 SET len = -0.5 WHERE doc_id % 7 = 0")
+    val incidentV24 = store.latestVersion(Db, "serve23")
+    val tainted24 = store.read(Db, "serve23")
+      .filter(col("len") === -0.5).count()
+    val audit24 = store.history(Db, "serve23")
+      .orderBy(col("version").desc).head()
+    val auditOk24 = audit24.getInt(0) == incidentV24 &&
+      audit24.getString(1) == "update"
+    val restoreTo24 = store.versionAt(Db, "serve23", tsBefore24)
+    runner23.dml(Db,
+      s"RESTORE TABLE serve23 TO VERSION AS OF $restoreTo24")
+    val clean24 = store.read(Db, "serve23")
+      .filter(col("len") === -0.5).count() == 0
+    val cloneV24 = runner23.dml(Db,
+      s"CREATE TABLE forensic24 SHALLOW CLONE serve23 " +
+        s"LOCATION '$work/forensic24'")
+    val cloneOk24 =
+      store.read(Db, "forensic24").count() ==
+        store.read(Db, "serve23").count() &&
+        !new java.io.File(s"$work/forensic24/data").exists()
+    val cnt24 = store.manifestRowCount(Db, "serve23")
+    stage(24, s"governance drill -> violating statement refused " +
+        s"($refused24, no version consumed: $noVersion24), incident of " +
+        s"$tainted24 rows audited as v$incidentV24/update, restored to " +
+        s"v$restoreTo24 (clean: $clean24), forensic clone at " +
+        s"v$cloneV24 zero-copy: $cloneOk24, manifest count: $cnt24") {
+      refused24 && noVersion24 && tainted24 > 0 && auditOk24 &&
+        restoreTo24 == vGuard24 && clean24 && cloneOk24 &&
+        cnt24.contains(store.read(Db, "serve23").count())
+    }
+    Materialize.releaseAll()
+
     println(s"[pipeline] E2E complete under $work")
     spark.stop()
   }

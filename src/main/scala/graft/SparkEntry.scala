@@ -2567,6 +2567,39 @@ object SparkEntry {
       Seq(store.countRows("q85", "lineitem")).toDF("cnt")
     }),
 
+    // Change-feed EXPORT (the Delta CDF readStream story): a takedown
+    // and a correction land as commits; advance() exports the combined
+    // keyed I/U/D delta as one immutable directory. The exported rows
+    // ARE the oracle-expressible diff: one D per deleted key (new-side
+    // columns null), one U per surviving corrected key carrying the
+    // new values
+    "q86_store_change_feed" -> ((s, d) => {
+      import graft.catalog.{InMemoryCatalog, MergeSnapshotStore, TableMeta}
+      import graft.streaming.ChangeFeed
+      val orders = t(s, d, "orders").select(col("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+      val work = java.nio.file.Files.createTempDirectory("graft-q86").toString
+      val cat = new InMemoryCatalog
+      cat.register(TableMeta("q86", "orders", s"$work/orders",
+        primaryKey = Seq("o_orderkey")))
+      // keepVersions must cover the exporter's lag: the diff pins the
+      // baseline version, so it has to outlive the two commits
+      val store = new MergeSnapshotStore(s, cat, nBuckets = 8,
+        keepVersions = 8)
+      store.overwrite("q86", "orders", orders)
+      val feed = s"$work/feed"
+      require(ChangeFeed.advance(store, "q86", "orders", feed).isEmpty,
+        "the baseline advance exports nothing")
+      store.deleteWhere("q86", "orders", col("o_totalprice") < 30000.0)
+      store.updateWhere("q86", "orders", expr("o_orderstatus = 'P'"),
+        Map("o_orderstatus" -> lit("X")))
+      val Some((from, to)) = ChangeFeed.advance(store, "q86", "orders", feed)
+      s.read.parquet(s"$feed/delta_v${from}_v$to")
+        .select(col("o_orderkey"), col("change"), col("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
+
     // The SQL surface THROUGH the storage engine (readSkipping /
     // StoreFileIndex): the reference's primary query shape — domain SQL
     // over temp views (reference src/apply_to_domains.py:54-68) — runs
@@ -5187,6 +5220,22 @@ object SparkEntry {
          WHERE band < 5
          GROUP BY o_orderstatus, band
          ORDER BY o_orderstatus, band""",
+
+    // the exported delta is the diff itself: D per deleted key
+    // (new side null), U per surviving corrected key
+    "q86_store_change_feed" ->
+      """SELECT * FROM (
+           SELECT o_orderkey, 'D' AS change,
+                  CAST(NULL AS BIGINT) AS o_custkey,
+                  CAST(NULL AS VARCHAR) AS o_orderstatus,
+                  CAST(NULL AS DOUBLE) AS o_totalprice
+           FROM orders WHERE o_totalprice < 30000.0
+           UNION ALL
+           SELECT o_orderkey, 'U' AS change, o_custkey,
+                  'X' AS o_orderstatus, o_totalprice
+           FROM orders
+           WHERE NOT (o_totalprice < 30000.0) AND o_orderstatus = 'P')
+         ORDER BY o_orderkey""",
 
     // the manifest-only count equals the real cardinality
     "q85_store_manifest_count" ->
