@@ -2725,6 +2725,47 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
   }
 
   /**
+   * The FILES metadata table (Iceberg `…$files` / Delta DESCRIBE
+   * DETAIL's file view): one row per live data file of a snapshot —
+   * its bucket, size, recorded row count (null where the manifest has
+   * no line), whether the manifest carries it as an individual FILE
+   * line (a partial fold's survivor) and whether it is BORROWED from
+   * another table's location (a shallow clone's reference). Driver-
+   * side: the manifest parse plus the dir listings planning already
+   * pays; the one ops question it answers at 100 TB — "what exactly
+   * would this snapshot scan, and why is it shaped like that" —
+   * costs no data I/O.
+   */
+  def filesOf(db: String, table: String,
+              version: Option[Int] = None): DataFrame = {
+    val meta = catalog0(db, table)
+    val m = readManifest(meta.location, resolveVersion(meta, version))
+    val carried = m.carries.values.flatten.toSet
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      new java.util.ArrayList()
+    listDataFileStatuses(meta, m, None).foreach { case (rel, st) =>
+      rows.add(org.apache.spark.sql.Row(
+        bucketOfFile(m, rel).map(Integer.valueOf).orNull,
+        rel,
+        st.getLen,
+        m.rows.get(rel).map(java.lang.Long.valueOf).orNull,
+        carried.contains(rel),
+        MergeSnapshotStore.isAbsoluteRef(rel)))
+    }
+    spark.createDataFrame(rows, StructType(Seq(
+      StructField("bucket", IntegerType, nullable = true),
+      StructField("file", StringType, nullable = false),
+      StructField("bytes", org.apache.spark.sql.types.LongType,
+        nullable = false),
+      StructField("rows", org.apache.spark.sql.types.LongType,
+        nullable = true),
+      StructField("carried", org.apache.spark.sql.types.BooleanType,
+        nullable = false),
+      StructField("borrowed", org.apache.spark.sql.types.BooleanType,
+        nullable = false))))
+  }
+
+  /**
    * TIMESTAMP AS OF resolution (Delta parity): the latest version whose
    * provenance stamp is at or before `epochMs` — the manifest-priced
    * bridge from wall-clock time travel to the engine's version pins

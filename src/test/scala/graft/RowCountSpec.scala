@@ -103,6 +103,43 @@ class RowCountSpec extends AnyFunSuite with SparkFixture {
     assert(jobFree(store.countRows("ndb", "dst")) == 96L)
   }
 
+  test("the files metadata table describes exactly what a scan would read") {
+    val store = mkStore()
+    val src = register(store, "src")
+    store.overwrite("ndb", "src", frame())
+    store.deleteWhere("ndb", "src", col("cls") === "c0")
+    val files = store.filesOf("ndb", "src")
+    // recorded rows sum to the manifest count; every file is native
+    assert(files.agg(sum("rows")).head().getLong(0) ==
+      store.countRows("ndb", "src"))
+    assert(files.filter(col("borrowed") || col("carried")).count() == 0)
+    assert(files.filter(col("bytes") <= 0L).count() == 0)
+    // a clone's view marks every file borrowed…
+    store.cloneTable("ndb", "src", "ndb", "dst",
+      Files.createTempDirectory("graft-cnt-files").toString + "/t")
+    val cloneFiles = store.filesOf("ndb", "dst")
+    assert(cloneFiles.count() == files.count() &&
+      cloneFiles.filter(!col("borrowed")).count() == 0)
+    // …until a scoped write lands native files for the touched bucket
+    store.deleteWhere("ndb", "dst", col("id") === 3L)
+    val after = store.filesOf("ndb", "dst")
+    assert(after.filter(!col("borrowed")).count() > 0 &&
+      after.filter(col("borrowed")).count() > 0)
+    assert(after.agg(sum("rows")).head().getLong(0) ==
+      store.countRows("ndb", "dst"))
+    // a partial debt fold's survivors surface as carried file lines
+    val meta2 = TableMeta("ndb", "pkless",
+      Files.createTempDirectory("graft-cnt-fold").toString)
+    store.catalog.register(meta2)
+    store.overwrite("ndb", "pkless",
+      frame().repartitionByRange(4, col("v")))
+    store.deleteWhere("ndb", "pkless", col("v") < 8L,
+      MergeSnapshotStore.MergeOnRead)
+    store.compactDebt("ndb", "pkless")
+    assert(store.filesOf("ndb", "pkless")
+      .filter(col("carried")).count() > 0)
+  }
+
   test("stats-disabled tables fall back to the scan, exactly") {
     val store = mkStore()
     register(store, "t", props = Map(MergeSnapshotStore.StatsProp -> "false"))
