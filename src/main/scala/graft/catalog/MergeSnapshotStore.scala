@@ -1378,11 +1378,12 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
   private def overwriteWith(meta: TableMeta, out: DataFrame,
       cluster: Option[(Seq[(String, (Double, Double))], Int, Int)] = None,
       requireBase: Option[Int] = None,
-      op: String = "overwrite"): Unit = {
+      op: String = "overwrite",
+      enforceChecks: Boolean = true): Unit = {
     val vs = manifestVersions(meta.location)
     val (written, stats, strStats, setStats, fileRows) =
       writeData(meta, vs.lastOption.getOrElse(-1) + 1, out, meta.primaryKey,
-        cluster)
+        cluster, enforceChecks)
     val m = Manifest(dropBucketCol(out.schema), written, nBucketsOf(meta),
       stats, strStats, setStats,
       op = op, at = System.currentTimeMillis(), rows = fileRows)
@@ -1493,7 +1494,8 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
                            rebaseGuard: Manifest => Unit = _ => (),
                            cluster: Option[(Seq[(String, (Double, Double))], Int, Int)] = None,
                            dropDeletes: Set[String] = Set.empty,
-                           op: String = "merge")
+                           op: String = "merge",
+                           enforceChecks: Boolean = true)
                           (rewrite: DataFrame => DataFrame): Unit = {
     val old = load(meta, current, Some(touched.toSet))
     val out = rewrite(old)
@@ -1534,7 +1536,7 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
       }
     }
     val (written, newStats, newStrStats, newSetStats, newRows) =
-      writeData(meta, readVer + 1, out, pks, cluster)
+      writeData(meta, readVer + 1, out, pks, cluster, enforceChecks)
     val stray = written.keySet.diff(touched.toSet)
     require(stray.isEmpty,
       s"merge rewrote buckets $stray outside the changed-key set $touched — " +
@@ -2244,7 +2246,8 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     commitScoped(meta, base, current, buckets, meta.primaryKey,
       cluster = clusterOpt,
       dropDeletes = dropDeletes,
-      op = if (dropDeletes.nonEmpty) "debt-fold" else "compact-buckets")(
+      op = if (dropDeletes.nonEmpty) "debt-fold" else "compact-buckets",
+      enforceChecks = false)(
       identity)
     compactionReport(meta, before)
   }
@@ -2474,7 +2477,8 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
       else
         commitScoped(meta, base, current, affected.toSeq.sorted,
           meta.primaryKey,
-          dropDeletes = before.map(_.rel).toSet, op = "debt-fold")(identity)
+          dropDeletes = before.map(_.rel).toSet, op = "debt-fold",
+          enforceChecks = false)(identity)
     } else {
       require(before.forall(_.kind == MergeSnapshotStore.PosDeleteKind),
         s"${meta.qualified} is PK-less but carries equality-delete " +
@@ -2551,7 +2555,7 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     val survivors = shape(loadFiles(meta, current, refLive.toSeq.sorted,
       lit(true)))
     val (written, newStats, newStrStats, newSetStats, newRows) =
-      writeData(meta, base + 1, survivors, Nil)
+      writeData(meta, base + 1, survivors, Nil, enforceChecks = false)
     // dir entries: fully-unreferenced dirs keep their entry verbatim —
     // unless the rewrite wrote that bucket a fresh dir (one dir per
     // bucket), in which case the old dir's files become carries
@@ -2708,7 +2712,7 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
             at = System.currentTimeMillis())))
         throw new java.util.ConcurrentModificationException(
           s"${meta.qualified} took version $next while a restore " +
-            "targeted $head — re-read the history and re-run if still " +
+            s"targeted $head — re-read the history and re-run if still " +
             "wanted")
       vacuum(meta, cur)
       clearTombstones(meta, m.buckets)
@@ -2986,7 +2990,12 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
       location = dstLocation,
       properties = srcMeta.properties +
         (MergeSnapshotStore.BucketsProp -> m.nBuckets.toString))
-    catalog.register(dstMeta)
+    // manifest FIRST, catalog entry only on success: registering before
+    // the publish leaves — on a failed publish — a catalog entry whose
+    // reads die with the generic "no manifest versions" instead of a
+    // clone failure. A failure AFTER the publish but before register
+    // leaves only an unregistered-but-complete location, re-cloneable
+    // nowhere and re-registerable by a retry into the same dst names.
     val v0 = srcVer + 1
     if (!publishManifest(dstLocation, v0,
         cloned.copy(op = s"clone(${srcMeta.qualified}@$srcVer)",
@@ -2994,6 +3003,9 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
       throw new java.util.ConcurrentModificationException(
         s"$dstLocation took version $v0 while the clone committed — " +
           "clone into a fresh location")
+    catalog.register(dstMeta)
+    // a deep clone that fails mid-compact leaves a VALID shallow clone
+    // (v0 is committed); the caller can retry the sever with compact()
     if (deep) compact(dstDb, dstTable,
       targetFiles = math.max(1, m.buckets.size))
     latestVersion(dstDb, dstTable)
@@ -3159,7 +3171,8 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
       cluster: Option[(Seq[(String, (Double, Double))], Int, Int)] = None)
       : CompactionReport = {
     val before = readManifest(meta.location, base).deletes
-    overwriteWith(meta, df, cluster, requireBase = Some(base), op = op)
+    overwriteWith(meta, df, cluster, requireBase = Some(base), op = op,
+      enforceChecks = false)
     compactionReport(meta, before)
   }
 
@@ -3275,7 +3288,8 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
    * reclaimed by the vacuum tombstone cycle. */
   private def writeData(meta: TableMeta, next: Int, df: DataFrame,
                         pk: Seq[String],
-                        cluster: Option[(Seq[(String, (Double, Double))], Int, Int)] = None)
+                        cluster: Option[(Seq[(String, (Double, Double))], Int, Int)] = None,
+                        enforceChecks: Boolean = true)
       : (SortedMap[Int, String], Map[String, Seq[ColStat]],
          Map[String, Seq[StrStat]], Map[String, Seq[SetStat]],
          Map[String, Long]) = {
@@ -3309,7 +3323,16 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     // violation) — in-flight enforcement, no extra validation pass, no
     // version consumed (the publish never runs). SQL CHECK semantics:
     // only FALSE violates; NULL passes (coalesce to true).
-    val checked = MergeSnapshotStore.checksOf(meta).foldLeft(df) {
+    // Data-PRESERVING maintenance rewrites (compact*, debt folds,
+    // rebucket) skip the guard: they move existing rows, never mint
+    // them, and a RESTORE to a pre-constraint version (metadata-only,
+    // never re-validated — Delta's contract too) would otherwise wedge
+    // every maintenance pass on the table until the constraint is
+    // dropped. DML stays enforced: UPDATE mints new values, and INSERT/
+    // MERGE/overwrite introduce rows.
+    val checks =
+      if (enforceChecks) MergeSnapshotStore.checksOf(meta) else Nil
+    val checked = checks.foldLeft(df) {
       case (d, (name, predSql)) =>
         d.filter(coalesce(expr(predSql), lit(true)) ||
           raise_error(concat(

@@ -53,6 +53,16 @@ object ChangeFeed {
   private val StateFile = "_last_exported"
   private val SchemaFile = "_schema.json"
 
+  // one-shot test seam (the store's beforePublish pattern): runs between
+  // the tmp write and the rename — the window where a racing exporter's
+  // delta can land
+  private val beforeRenameRef =
+    new java.util.concurrent.atomic.AtomicReference[() => Unit](() => ())
+  private[graft] def onBeforeRename(f: () => Unit): Unit =
+    beforeRenameRef.set(f)
+  private def runBeforeRename(): Unit =
+    beforeRenameRef.getAndSet(() => ())()
+
   private def fs(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -77,14 +87,38 @@ object ChangeFeed {
         val in = f.open(sf)
         val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
                    finally in.close()
-        Some(text.trim.toInt)
+        // after expireConsumed swept every delta dir this file is the
+        // feed's ONLY resume record — a garbled one must fail by NAME,
+        // not as a bare NumberFormatException the caller can't place
+        try Some(text.trim.toInt)
+        catch {
+          case _: NumberFormatException => throw new IllegalStateException(
+            s"$sf is unreadable (content ${text.trim.take(40)}) — the " +
+              "feed's resume point is lost; re-seed a fresh feed " +
+              "directory (or restore the file to the last exported " +
+              "version by hand)")
+        }
       }
     }
   }
 
+  /** tmp + atomic rename (the store's own tombstone discipline): the
+   * state file is the feed's only resume record once every delta dir
+   * has been swept, so an in-place overwrite crashed mid-write would
+   * garble it permanently. */
   private def writeState(f: FileSystem, dir: Path, v: Int): Unit = {
-    val out = f.create(new Path(dir, StateFile), true)
+    val sf = new Path(dir, StateFile)
+    val tmp = new Path(dir,
+      s".tmp-$StateFile-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = f.create(tmp, true)
     try out.write(v.toString.getBytes(UTF_8)) finally out.close()
+    if (!f.rename(tmp, sf)) {
+      // HDFS/object-store rename refuses when the destination exists;
+      // replace it (the newer export's version wins — advance() only
+      // ever moves the resume point forward)
+      f.delete(sf, false)
+      if (!f.rename(tmp, sf)) f.delete(tmp, false)
+    }
   }
 
   /**
@@ -146,10 +180,39 @@ object ChangeFeed {
         val out = f.create(sf, false)
         try out.write(delta.schema.json.getBytes(UTF_8)) finally out.close()
       }
+      runBeforeRename()
       if (!f.rename(tmp, fin))
         throw new java.util.ConcurrentModificationException(
           s"$fin landed while this export wrote it — two exporters are " +
             "advancing one feed; serialize them")
+      // the rename collision above only catches racers on the IDENTICAL
+      // range. Two advance() calls that read the same `last` but
+      // different heads land delta_vL_vH1 and delta_vL_vH2 — disjoint
+      // names, overlapping change ranges, and a stream consumer would
+      // receive the L→min(H1,H2) changes twice. Post-rename, re-list
+      // and withdraw OUR dir if any OTHER landed dir overlaps
+      // (last, head]: at most one overlapping export survives (the one
+      // that listed before the other's rename), and when both see each
+      // other both withdraw — an empty round, never a double delivery.
+      // Best-effort by nature (a consumer may list between our rename
+      // and the withdrawal — the same window Delta's own file-listing
+      // sources have); serialize exporters for a hard guarantee.
+      val overlapping = f.listStatus(dir).toSeq.collect {
+        case st if st.isDirectory && st.getPath.getName != fin.getName =>
+          st.getPath.getName match {
+            case DeltaRe(l2, h2) if l2.toInt < head && h2.toInt > last =>
+              Some(st.getPath.getName)
+            case _ => None
+          }
+      }.flatten
+      if (overlapping.nonEmpty) {
+        f.delete(fin, true)
+        throw new java.util.ConcurrentModificationException(
+          s"export delta_v${last}_v$head overlaps already-landed " +
+            s"${overlapping.mkString(", ")} — two exporters advanced " +
+            "this feed concurrently; this export withdrew its delta, " +
+            "serialize the exporters and re-run advance()")
+      }
     }
     writeState(f, dir, head)
     Some((last, head))

@@ -128,6 +128,29 @@ class ConstraintSpec extends AnyFunSuite with SparkFixture {
     assert(store.read("kdb", "t").filter(col("v") < 0).count() == 64)
   }
 
+  test("maintenance is never wedged: restore to a pre-constraint snapshot, compact still runs") {
+    val store = mkStore()
+    register(store, "t")
+    // a violating snapshot committed BEFORE the constraint existed
+    store.overwrite("kdb", "t", frame().withColumn("v",
+      when(col("id") === 5L, lit(-5L)).otherwise(col("v"))))
+    val vBad = store.latestVersion("kdb", "t")
+    store.overwrite("kdb", "t", frame())
+    store.addCheckConstraint("kdb", "t", "v_nonneg", "v >= 0")
+    // RESTORE is metadata-only and never re-validates (Delta's contract)
+    store.restore("kdb", "t", vBad)
+    // the data-preserving rewrite must NOT refuse on the carried rows —
+    // a wedged compact would leave the table unmaintainable until the
+    // constraint is dropped
+    store.compact("kdb", "t", targetFiles = 4)
+    assert(store.read("kdb", "t").filter(col("v") < 0).count() == 1,
+      "compact moves existing rows verbatim, violating or not")
+    // while genuinely NEW data stays gated
+    intercept[Throwable] {
+      store.overwrite("kdb", "t", frame().withColumn("v", lit(-1L)))
+    }
+  }
+
   test("constraints clone with the table") {
     val store = mkStore()
     register(store, "src")

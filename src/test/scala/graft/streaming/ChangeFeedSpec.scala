@@ -223,6 +223,60 @@ class ChangeFeedSpec extends AnyFunSuite with SparkFixture {
     assert(from3 == v2, "the next export resumes exactly past the sweep")
   }
 
+  test("a racing exporter on a DIFFERENT head withdraws its overlapping delta") {
+    val store = mkStore()
+    register(store, "t")
+    store.overwrite("fdb", "t", frame())
+    val dir = feedDir("overlap")
+    ChangeFeed.advance(store, "fdb", "t", dir) // baseline at v0
+    val v0 = store.latestVersion("fdb", "t")
+    store.deleteWhere("fdb", "t", col("id") === 1L) // v0+1
+    store.deleteWhere("fdb", "t", col("id") === 2L) // v0+2
+    val head = store.latestVersion("fdb", "t")
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the race: another exporter read the same last=v0 but an EARLIER
+    // head, and its delta_v{v0}_v{v0+1} lands between our tmp write and
+    // our rename — disjoint names, overlapping change ranges
+    val racer = new org.apache.hadoop.fs.Path(dir, s"delta_v${v0}_v${v0 + 1}")
+    ChangeFeed.onBeforeRename(() => f.mkdirs(racer))
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      ChangeFeed.advance(store, "fdb", "t", dir)
+    }
+    assert(ex.getMessage.contains("overlaps"), ex.getMessage)
+    def deltaDirs = f.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).filter(_.startsWith("delta_")).toSeq.sorted
+    assert(deltaDirs == Seq(s"delta_v${v0}_v${v0 + 1}"),
+      s"our delta must be withdrawn, the racer's kept: $deltaDirs")
+    // recovery: the next advance resumes past the racer's export and
+    // lands exactly the missing tail — no gap, no double delivery
+    val Some((from, to)) = ChangeFeed.advance(store, "fdb", "t", dir)
+    assert(from == v0 + 1 && to == head)
+  }
+
+  test("a garbled resume record fails by name, not as a bare parse error") {
+    val store = mkStore()
+    register(store, "t")
+    store.overwrite("fdb", "t", frame())
+    val dir = feedDir("garble")
+    ChangeFeed.advance(store, "fdb", "t", dir)
+    store.deleteWhere("fdb", "t", col("id") === 1L)
+    val Some((_, v1)) = ChangeFeed.advance(store, "fdb", "t", dir)
+    // full sweep: the state file becomes the feed's only resume record…
+    ChangeFeed.expireConsumed(spark, dir, v1)
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sf = new org.apache.hadoop.fs.Path(dir, "_last_exported")
+    val out = f.create(sf, true)
+    try out.write("garbage".getBytes("UTF-8")) finally out.close()
+    store.deleteWhere("fdb", "t", col("id") === 2L)
+    val ex = intercept[IllegalStateException] {
+      ChangeFeed.advance(store, "fdb", "t", dir)
+    }
+    assert(ex.getMessage.contains("re-seed") &&
+      ex.getMessage.contains("garbage"), ex.getMessage)
+  }
+
   test("an exporter paused past the source's retention refuses loudly") {
     val store = mkStore(keep = 2)
     register(store, "t")
