@@ -2600,6 +2600,52 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // Callable VACUUM + time-based retention (Delta VACUUM parity):
+    // a merge-on-read takedown then a debt fold leave the masked bytes
+    // in tombstoned directories the table's retention horizon (per-
+    // table property, 1 hour here) protects through every commit-path
+    // pass; on the now COMMIT-QUIET table an explicit vacuum inside
+    // the window reclaims nothing, and the RETAIN-overridden pass (the
+    // operator's assertion that the window has served its purpose)
+    // physically reclaims them. The fixture pins the physics (files
+    // actually left the disk, nothing inside the window, no version
+    // consumed) and the oracle pins ANSWER INVARIANCE: a vacuum may
+    // delete bytes, never rows
+    "q87_store_vacuum" -> ((s, d) => {
+      import graft.catalog.{InMemoryCatalog, MergeSnapshotStore, TableMeta}
+      val orders = t(s, d, "orders").select(col("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+      val work = java.nio.file.Files.createTempDirectory("graft-q87").toString
+      val cat = new InMemoryCatalog
+      cat.register(TableMeta("q87", "orders", s"$work/orders",
+        primaryKey = Seq("o_orderkey"),
+        properties = Map(MergeSnapshotStore.RetentionProp ->
+          (3600L * 1000L).toString)))
+      val store = new MergeSnapshotStore(s, cat, nBuckets = 8,
+        keepVersions = 1)
+      store.overwrite("q87", "orders", orders)
+      store.deleteWhere("q87", "orders", col("o_totalprice") < 30000.0,
+        MergeSnapshotStore.MergeOnRead)
+      store.compactDebt("q87", "orders")
+      val head = store.latestVersion("q87", "orders")
+      def diskFiles(): Long = {
+        val root = new java.io.File(s"$work/orders/data")
+        if (!root.exists()) 0L
+        else java.nio.file.Files.walk(root.toPath)
+          .filter(p => p.toString.endsWith(".parquet")).count()
+      }
+      val filesBefore = diskFiles()
+      require(store.vacuum("q87", "orders").dirsReclaimed == 0 &&
+        diskFiles() == filesBefore,
+        "inside the window a vacuum must reclaim nothing")
+      val report = store.vacuum("q87", "orders", retainMs = Some(0L))
+      require(report.dirsReclaimed > 0 && diskFiles() < filesBefore,
+        s"the horizon-cleared vacuum must physically reclaim: $report")
+      require(store.latestVersion("q87", "orders") == head,
+        "vacuum is lifecycle, not a commit — no version consumed")
+      store.read("q87", "orders").orderBy("o_orderkey")
+    }),
+
     // The SQL surface THROUGH the storage engine (readSkipping /
     // StoreFileIndex): the reference's primary query shape — domain SQL
     // over temp views (reference src/apply_to_domains.py:54-68) — runs
@@ -5235,6 +5281,15 @@ object SparkEntry {
                   'X' AS o_orderstatus, o_totalprice
            FROM orders
            WHERE NOT (o_totalprice < 30000.0) AND o_orderstatus = 'P')
+         ORDER BY o_orderkey""",
+
+    // answer invariance across physical erasure: a vacuum deletes
+    // bytes, never rows — the post-vacuum read equals the logical
+    // survivor set
+    "q87_store_vacuum" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+         FROM orders
+         WHERE NOT (o_totalprice < 30000.0)
          ORDER BY o_orderkey""",
 
     // the manifest-only count equals the real cardinality

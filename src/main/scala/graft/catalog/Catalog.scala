@@ -300,6 +300,19 @@ class SnapshotStore(spark: SparkSession, val catalog: Catalog, keepVersions: Int
 case class CompactionReport(version: Int, clearedSidecars: Int,
                             clearedDeletedRows: Long)
 
+/** What one [[MergeSnapshotStore.vacuum(db:String*]] pass did —
+ * `manifestsExpired` versions aged past the keepVersions floor,
+ * `dirsReclaimed` unreferenced data directories whose tombstones
+ * cleared the retention horizon (physical erasure), plus
+ * `carryFilesReclaimed` individual leftovers under carry-only dirs.
+ * `dirsAwaitingHorizon` counts directories tombstoned but still inside
+ * the window — nonzero means a re-run after the horizon finishes the
+ * job, the number a retention cron alerts on. */
+case class VacuumReport(manifestsExpired: Int, dirsReclaimed: Int,
+                        carryFilesReclaimed: Int, dirsAwaitingHorizon: Int) {
+  def reclaimed: Int = dirsReclaimed + carryFilesReclaimed
+}
+
 object SnapshotStore {
   /** Align `df` to the union of `existing` and `df.schema` (nulls for gaps). */
   private[catalog] def alignToUnion(existing: StructType, df: DataFrame): DataFrame = {

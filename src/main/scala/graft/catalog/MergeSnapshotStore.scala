@@ -728,7 +728,8 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
         require(vs.contains(v),
           s"version $v of ${meta.qualified} is not committed/retained " +
             s"(have ${vs.mkString(",")}) — pinned readers must finish " +
-            "inside the vacuum retention window")
+            "inside the vacuum retention window (" +
+            s"${retentionMsOf(meta)} ms for this table)")
         v
     }
   }
@@ -3584,7 +3585,8 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
 
   /** Keep the last `keepVersions` manifests; tombstone bucket directories
    * no retained manifest references and delete them once their tombstone
-   * is older than `vacuumRetentionMs` (a dir can never be re-referenced —
+   * is older than the table's retention horizon ([[retentionMsOf]] —
+   * per-table property, store default as fallback; a dir can never be re-referenced —
    * manifests only carry forward refs that are still live — so a
    * tombstone is permanent). Runs on every commit, so overdue tombstones
    * from earlier commits are purged even when nothing expired this time.
@@ -3595,11 +3597,71 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
    * manifest expired. */
   private def vacuum(meta: TableMeta, priorVersions: Seq[Int]): Unit = {
     val all = priorVersions :+ (priorVersions.lastOption.getOrElse(-1) + 1)
+    vacuumCore(meta, all, retentionMsOf(meta))
+    ()
+  }
+
+  /**
+   * Callable VACUUM — Delta's `VACUUM t [RETAIN n HOURS]`, the missing
+   * end of the takedown story: merge-on-read erasure is only LOGICAL
+   * until the masked files' directories age out, and the commit-
+   * triggered vacuum never fires on a commit-quiet table, so "bytes
+   * gone within N days" needs a pass an operator (or cron) can invoke
+   * directly. This runs exactly the commit-path expiry — keepVersions
+   * stays the manifest floor, unreferenced directories tombstone and
+   * reclaim only after the table's retention horizon
+   * ([[MergeSnapshotStore.RetentionProp]], else the store default) —
+   * so calling it never deletes anything a commit's own vacuum would
+   * have kept. `retainMs` overrides the horizon for THIS pass only
+   * (Delta's RETAIN clause); shrinking it below the table's horizon is
+   * the operator's assertion that no reader/writer is in flight, the
+   * same contract Delta documents on RETAIN 0.
+   *
+   * Consumes no version: vacuum is physical-space lifecycle, not a
+   * table mutation — history, reads and the change feed see the exact
+   * same snapshots before and after (answer invariance is oracle-
+   * pinned). Returns what the pass did, so a retention sweep can
+   * alert on tables whose reclaim is stuck waiting on the horizon.
+   */
+  def vacuum(db: String, table: String,
+             retainMs: Option[Long] = None): VacuumReport = {
+    val meta = catalog0(db, table)
+    val vs = manifestVersions(meta.location)
+    require(vs.nonEmpty, s"no manifest versions at ${meta.location}")
+    retainMs.foreach(r => require(r >= 0, "retainMs must be >= 0"))
+    vacuumCore(meta, vs, retainMs.getOrElse(retentionMsOf(meta)))
+  }
+
+  /** A table's retention horizon in WALL-CLOCK time: its
+   * [[MergeSnapshotStore.RetentionProp]] property if set, else this
+   * store's constructor default. Per-TABLE because the horizon is a
+   * compliance number (a GDPR corpus promises erasure in days; a
+   * scratch table wants minutes), not a deployment constant. */
+  private[graft] def retentionMsOf(meta: TableMeta): Long =
+    meta.properties.get(MergeSnapshotStore.RetentionProp) match {
+      case None => vacuumRetentionMs
+      case Some(s) =>
+        val ms = try s.trim.toLong catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"${MergeSnapshotStore.RetentionProp}='$s' on " +
+              s"${meta.qualified} is not a millisecond count")
+        }
+        require(ms >= 0,
+          s"${MergeSnapshotStore.RetentionProp} must be >= 0 for ${meta.qualified}")
+        ms
+    }
+
+  private def vacuumCore(meta: TableMeta, all: Seq[Int],
+                         retainMs: Long): VacuumReport = {
+    var manifestsExpired = 0
+    var dirsReclaimed = 0
+    var carryFilesReclaimed = 0
+    var dirsAwaitingHorizon = 0
     val expired = all.dropRight(keepVersions)
     val f = fs(new Path(meta.location))
     expired.foreach { v =>
       val p = manifestPath(meta.location, v)
-      f.delete(p, false)
+      if (f.delete(p, false)) manifestsExpired += 1
       // expiry invalidates the parse cache HERE (not per-hit): a
       // same-store read of a vacuumed version must fail loudly
       manifestCache.remove(p.toString)
@@ -3684,7 +3746,9 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
                 writeTombstone(f, tomb, now)
                 now
               }
-            if (now - expiredAt >= vacuumRetentionMs) f.delete(bdir.getPath, true)
+            if (now - expiredAt >= retainMs) {
+              if (f.delete(bdir.getPath, true)) dirsReclaimed += 1
+            } else dirsAwaitingHorizon += 1
           } else {
             // a racing vacuum can tombstone a commit's dirs between its
             // data rename and manifest publish — and land AFTER that
@@ -3718,15 +3782,15 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
                   case TombstoneUnreadable => now
                 }
                 else { writeTombstone(f, marker, now); now }
-              if (now - since >= vacuumRetentionMs) {
+              if (now - since >= retainMs) {
                 val keep = refCarryFiles
                   .filter(_.startsWith(s"$relDir/"))
                   .map(_.substring(relDir.length + 1))
                 f.listStatus(bdir.getPath).foreach { st =>
                   val n = st.getPath.getName
                   if (st.isFile && !n.startsWith("_") && !n.startsWith(".") &&
-                      !keep.contains(n))
-                    f.delete(st.getPath, false)
+                      !keep.contains(n) && f.delete(st.getPath, false))
+                    carryFilesReclaimed += 1
                 }
               }
             }
@@ -3741,6 +3805,8 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
           f.delete(commit.getPath, true)
       }
     }
+    VacuumReport(manifestsExpired, dirsReclaimed, carryFilesReclaimed,
+      dirsAwaitingHorizon)
   }
 
   /** A concurrent vacuum that scanned between this commit's data rename
@@ -3868,6 +3934,16 @@ object MergeSnapshotStore {
    * finish after its manifest expires, short enough that space reclaim is
    * still prompt. */
   val DefaultRetentionMs: Long = 30 * 60 * 1000L
+
+  /** Table property: this table's vacuum retention horizon in
+   * MILLISECONDS of wall-clock time, overriding the store default —
+   * Delta's deletedFileRetentionDuration as a per-table number. The
+   * horizon is the compliance half of the takedown story: a merge-on-
+   * read erasure's masked bytes become physically reclaimable exactly
+   * this long after the last manifest referencing them expires, so
+   * "bytes gone within N days" = this property + a [[MergeSnapshotStore.vacuum(db:String*]]
+   * call (cron or the VACUUM statement) any time after the window. */
+  val RetentionProp: String = "graft.vacuum.retention.ms"
 
   /** Largest point-lookup key set inlined as a pushed `isin` predicate;
    * bigger sets fall back to a broadcast semi-join (10k In-values is

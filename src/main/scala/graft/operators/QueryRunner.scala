@@ -70,6 +70,14 @@ final class QueryRunner(store: SnapshotStore) {
           mode: graft.catalog.MergeSnapshotStore.DeleteMode =
             graft.catalog.MergeSnapshotStore.CopyOnWrite): Long =
     QueryRunner.dml(store, db, statement, mode)
+
+  /** Frame-returning statement surface (`DESCRIBE HISTORY` / `SELECT *
+   * FROM files(t)` / everything [[dml]] runs as a one-row `affected`
+   * frame). See [[QueryRunner.sql]]. */
+  def sql(db: String, statement: String,
+          mode: graft.catalog.MergeSnapshotStore.DeleteMode =
+            graft.catalog.MergeSnapshotStore.CopyOnWrite): DataFrame =
+    QueryRunner.sql(store, db, statement, mode)
 }
 
 object QueryRunner {
@@ -78,16 +86,88 @@ object QueryRunner {
    * optional trailing `;`; names are bare `[db.]table` identifiers. */
   private val RestoreRe =
     """(?is)^\s*RESTORE\s+TABLE\s+([\w.`]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
+  private val RestoreTsRe =
+    """(?is)^\s*RESTORE\s+TABLE\s+([\w.`]+)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*$""".r
   private val OptimizeRe =
-    """(?is)^\s*OPTIMIZE\s+([\w.`]+)(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*$""".r
+    ("""(?is)^\s*OPTIMIZE\s+([\w.`]+)(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?""" +
+      """(?:\s+OPTIONS\s*\(([^)]+)\))?\s*;?\s*$""").r
   private val CloneRe =
     ("""(?is)^\s*CREATE\s+TABLE\s+([\w.`]+)\s+SHALLOW\s+CLONE\s+([\w.`]+)""" +
-      """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s+LOCATION\s+'([^']+)'\s*;?\s*$""").r
+      """(?:\s+VERSION\s+AS\s+OF\s+(\d+)|\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?""" +
+      """\s+LOCATION\s+'([^']+)'\s*;?\s*$""").r
+  private val VacuumRe =
+    """(?is)^\s*VACUUM\s+([\w.`]+)(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?\s*;?\s*$""".r
+  private val DescribeHistoryRe =
+    """(?is)^\s*DESCRIBE\s+HISTORY\s+([\w.`]+)\s*;?\s*$""".r
+  private val FilesTableRe =
+    ("""(?is)^\s*SELECT\s+\*\s+FROM\s+files\s*\(\s*([\w.`]+)""" +
+      """(?:\s*,\s*(\d+))?\s*\)\s*;?\s*$""").r
   private val AddConstraintRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+ADD\s+CONSTRAINT\s+(\w+)""" +
       """\s+CHECK\s*\((.+)\)\s*;?\s*$""").r
   private val DropConstraintRe =
     """(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*$""".r
+
+  /** `TIMESTAMP AS OF` operand → epoch ms: `'yyyy-MM-dd[ HH:mm:ss[.f]]'`
+   * (JDBC escape forms) or bare epoch-millisecond digits. */
+  private def epochOf(ts: String): Long = {
+    val t = ts.trim
+    if (t.matches("\\d+")) t.toLong
+    else try java.sql.Timestamp.valueOf(t).getTime
+    catch {
+      case _: IllegalArgumentException =>
+        try java.sql.Date.valueOf(t).getTime
+        catch {
+          case _: IllegalArgumentException =>
+            throw new IllegalArgumentException(
+              s"cannot parse TIMESTAMP AS OF '$t' — use " +
+                "'yyyy-MM-dd[ HH:mm:ss[.fff]]' or epoch milliseconds")
+        }
+    }
+  }
+
+  /** Bare `[db.]table` identifier → table name, refusing a foreign db. */
+  private def tableName(db: String, raw: String): String =
+    raw.replace("`", "").split('.') match {
+      case Array(tbl) => tbl
+      case Array(d, tbl) =>
+        require(d == db,
+          s"statement names database $d but this runner is bound to $db")
+        tbl
+      case parts => throw new IllegalArgumentException(
+        s"unsupported table name ${parts.mkString(".")} — use [db.]table")
+    }
+
+  /**
+   * The statement surface that RETURNS A FRAME — `spark.sql`'s shape
+   * over the store dialect. `DESCRIBE HISTORY t` is the commit log
+   * ([[graft.catalog.MergeSnapshotStore.history]]); `SELECT * FROM
+   * files(t[, version])` is the files metadata table
+   * ([[graft.catalog.MergeSnapshotStore.filesOf]] — Iceberg `$files`).
+   * Any other statement routes through [[dml]] and comes back as a
+   * one-row `affected` frame, so one entry point runs the whole
+   * dialect. Both metadata forms are driver-side manifest reads — no
+   * data job at any table size.
+   */
+  def sql(store: SnapshotStore, db: String, statement: String,
+          mode: graft.catalog.MergeSnapshotStore.DeleteMode =
+            graft.catalog.MergeSnapshotStore.CopyOnWrite): DataFrame = {
+    val ms = store match {
+      case m: graft.catalog.MergeSnapshotStore => m
+      case _ => throw new IllegalArgumentException(
+        "the statement dialect is the merge store's — open the table " +
+          "through a MergeSnapshotStore")
+    }
+    statement match {
+      case DescribeHistoryRe(raw) => ms.history(db, tableName(db, raw))
+      case FilesTableRe(raw, v) =>
+        ms.filesOf(db, tableName(db, raw), Option(v).map(_.toInt))
+      case _ =>
+        val spark = org.apache.spark.sql.SparkSession.active
+        import spark.implicits._
+        Seq(dml(store, db, statement, mode)).toDF("affected")
+    }
+  }
 
   /** The projection + predicate core, store-free for direct frames. */
   def select(df: DataFrame, fields: Seq[String], where: String): DataFrame = {
@@ -123,17 +203,23 @@ object QueryRunner {
    * them (Delta adds them through its extension parser — same seam,
    * same shape):
    *
-   *  - `RESTORE TABLE t TO VERSION AS OF n` →
+   *  - `RESTORE TABLE t TO VERSION AS OF n` (or `TO TIMESTAMP AS OF
+   *    '<ts>'`, resolved through the provenance stamps) →
    *    [[graft.catalog.MergeSnapshotStore.restore]]; returns the NEW
    *    head version (the rewind is itself a commit).
-   *  - `OPTIMIZE t` → [[graft.catalog.MergeSnapshotStore.compact]]
-   *    (bin-pack; PK-less output width defaults to the session's
-   *    shuffle parallelism — call the typed API for exact control);
-   *    `OPTIMIZE t ZORDER BY (c1, c2)` →
+   *  - `OPTIMIZE t [OPTIONS (targetFiles = n)]` →
+   *    [[graft.catalog.MergeSnapshotStore.compact]] (bin-pack;
+   *    targetFiles defaults to the session's shuffle parallelism);
+   *    `OPTIMIZE t ZORDER BY (c1, c2) [OPTIONS (filesPerBucket = n)]` →
    *    [[graft.catalog.MergeSnapshotStore.compactClustered]]. Both
    *    return the committed version.
-   *  - `CREATE TABLE dst SHALLOW CLONE src [VERSION AS OF n]
-   *    LOCATION '<path>'` →
+   *  - `VACUUM t [RETAIN n HOURS]` →
+   *    [[graft.catalog.MergeSnapshotStore.vacuum(db:String*]]; the
+   *    horizon is the table's own retention unless RETAIN overrides
+   *    this pass; returns directories + files reclaimed. Consumes no
+   *    version.
+   *  - `CREATE TABLE dst SHALLOW CLONE src [VERSION AS OF n |
+   *    TIMESTAMP AS OF '<ts>'] LOCATION '<path>'` →
    *    [[graft.catalog.MergeSnapshotStore.cloneTable]] within the
    *    bound db; returns the clone's first version.
    *  - `ALTER TABLE t ADD CONSTRAINT name CHECK (pred)` /
@@ -158,42 +244,72 @@ object QueryRunner {
     // FIRST (parsePlan would throw on them); a name here is the bare
     // identifier form only — quoted/exotic names go through the typed
     // API, which takes the name as data rather than as syntax
-    def namedTable(raw: String): String = {
-      raw.replace("`", "").split('.') match {
-        case Array(tbl) => tbl
-        case Array(d, tbl) =>
-          require(d == db,
-            s"statement names database $d but this runner is bound to $db")
-          tbl
-        case parts => throw new IllegalArgumentException(
-          s"unsupported table name ${parts.mkString(".")} — use [db.]table")
-      }
-    }
+    def namedTable(raw: String): String = tableName(db, raw)
     statement match {
       case RestoreRe(raw, v) =>
         return ms.restore(db, namedTable(raw), v.toInt).toLong
-      case CloneRe(dstRaw, srcRaw, v, loc) =>
-        return ms.cloneTable(db, namedTable(srcRaw), db, namedTable(dstRaw),
-          loc, version = Option(v).map(_.toInt)).toLong
+      case RestoreTsRe(raw, ts) =>
+        val tbl = namedTable(raw)
+        return ms.restore(db, tbl, ms.versionAt(db, tbl, epochOf(ts))).toLong
+      case CloneRe(dstRaw, srcRaw, v, ts, loc) =>
+        val src = namedTable(srcRaw)
+        val pinned =
+          if (v != null) Some(v.toInt)
+          else Option(ts).map(t => ms.versionAt(db, src, epochOf(t)))
+        return ms.cloneTable(db, src, db, namedTable(dstRaw),
+          loc, version = pinned).toLong
+      case VacuumRe(raw, hours) =>
+        // Delta's VACUUM statement: the retention horizon stays the
+        // table's own (property, else store default) unless RETAIN
+        // overrides it for this pass. Returns how much was reclaimed.
+        val report = ms.vacuum(db, namedTable(raw),
+          retainMs = Option(hours).map(h =>
+            (h.toDouble * 3600 * 1000).toLong))
+        return report.reclaimed.toLong
       case AddConstraintRe(raw, name, pred) =>
         ms.addCheckConstraint(db, namedTable(raw), name, pred.trim)
         return 0L
       case DropConstraintRe(raw, name) =>
         ms.dropCheckConstraint(db, namedTable(raw), name)
         return 0L
-      case OptimizeRe(raw, zorder) =>
+      case OptimizeRe(raw, zorder, opts) =>
         val tbl = namedTable(raw)
+        // OPTIONS exposes the typed knobs the bare statement defaults:
+        // targetFiles (bin-pack width) and filesPerBucket (clustered
+        // slice count) — a driver-side dialect, since Delta's grammar
+        // has no spelling for either
+        val knobs: Map[String, Int] = Option(opts).map { s =>
+          s.split(',').iterator.map(_.trim).filter(_.nonEmpty).map { kv =>
+            kv.split('=') match {
+              case Array(k, n) if n.trim.matches("\\d+") =>
+                k.trim.toLowerCase -> n.trim.toInt
+              case _ => throw new IllegalArgumentException(
+                s"OPTIMIZE OPTIONS entry '$kv' is not key = <int>")
+            }
+          }.toMap
+        }.getOrElse(Map.empty)
+        val known = Set("targetfiles", "filesperbucket")
+        val unknown = knobs.keySet -- known
+        require(unknown.isEmpty,
+          s"unknown OPTIMIZE option(s) ${unknown.mkString(", ")} — " +
+            "supported: targetFiles, filesPerBucket")
         val report =
-          if (zorder == null)
-            ms.compact(db, tbl, targetFiles =
+          if (zorder == null) {
+            require(!knobs.contains("filesperbucket"),
+              "filesPerBucket applies to ZORDER BY compaction — plain " +
+                "OPTIMIZE takes targetFiles")
+            ms.compact(db, tbl, targetFiles = knobs.getOrElse("targetfiles",
               org.apache.spark.sql.SparkSession.active.sessionState.conf
-                .numShufflePartitions)
-          else {
+                .numShufflePartitions))
+          } else {
+            require(!knobs.contains("targetfiles"),
+              "targetFiles applies to plain OPTIMIZE — ZORDER BY takes " +
+                "filesPerBucket")
             val dims = zorder.split(',').toSeq
               .map(_.trim.replace("`", "")).filter(_.nonEmpty)
             require(dims.nonEmpty, "ZORDER BY needs at least one column")
             ms.compactClustered(db, tbl, dims.map(_ -> None),
-              filesPerBucket = 4)
+              filesPerBucket = knobs.getOrElse("filesperbucket", 4))
           }
         return report.version.toLong
       case _ => ()
