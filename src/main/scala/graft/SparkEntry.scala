@@ -2885,9 +2885,12 @@ object SparkEntry {
 
     // content-defined chunking: local-hash cut rule over the m01
     // payloads — boundaries depend on content, not position, so they
-    // survive insertions that shift every fixed-grid chunk
+    // survive insertions that shift every fixed-grid chunk. Runs the
+    // STREAMED form (one pass per blob, row-at-a-time memory — the
+    // at-scale path); the expression form is its spec-pinned,
+    // oracle-replayable twin
     "d20_cdc_chunks" -> ((s, d) =>
-      Multimodal.cdcChunks(t(s, d, "documents"), "doc_id",
+      Multimodal.cdcChunksStreamed(t(s, d, "documents"), "doc_id",
           Multimodal.syntheticPayload(col("doc_id"), col("text")),
           w = 8, divisor = 16)
         .orderBy("doc_id", "chunk_idx")),

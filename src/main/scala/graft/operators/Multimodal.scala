@@ -199,10 +199,10 @@ object Multimodal {
       // the per-position index array lives in ONE row's evaluation — a
       // multi-GB blob would materialize a same-order boxed array inside
       // the interpreted lambda. FAIL LOUDLY past the bound rather than
-      // OOM an executor (no silent drop); blobs beyond it belong to the
-      // positional-explode form of this cut rule (the t05 winnowing
-      // shape: explode positions, flag cuts, windowed cumsum — same
-      // boundaries, row-at-a-time memory). assert_true inside a filter —
+      // OOM an executor (no silent drop); blobs beyond it belong to
+      // [[cdcChunksStreamed]] (same cut rule as one streaming pass,
+      // row-at-a-time memory, equality spec-pinned). assert_true
+      // inside a filter —
       // an unused projected column would be PRUNED and never fire
       // null-safe: CombineFilters merges this with the length>0 filter,
       // and a NULL length would otherwise reach assert_true (three-valued
@@ -210,10 +210,85 @@ object Multimodal {
       // payload must stay a silent drop, not a crash
       .filter(assert_true(coalesce(length(pay) <= maxBytes, lit(true)),
         concat(lit(s"cdcChunks: blob over $maxBytes bytes ("), length(pay),
-          lit(") — use the positional-explode form"))).isNull)
+          lit(") — use cdcChunksStreamed"))).isNull)
       .select(col(idCol), explode(chunks).as("__c"))
       .select(col(idCol), col("__c.chunk_idx"), col("__c.chunk_fp"),
         col("__c.n_bytes"))
+  }
+
+  /**
+   * [[cdcChunks]] as ONE STREAMING PASS per blob — the same LBFS cut
+   * rule (window md5's first 16 bits ≡ 0 mod `divisor`, final partial
+   * chunk emitted) with row-at-a-time memory: a typed `mapPartitions`
+   * walks each payload once, keeping only the live window and the cut
+   * list, so a blob costs its own length — no per-position array, no
+   * interpreted-lambda boxing, no `maxBytes` refusal. This is the
+   * at-scale form (the [[graft.operators.TextAnalysis]] winnowing
+   * precedent: expression twin for external replayability, partition-
+   * iterator twin for the hot path); boundaries and output are pinned
+   * EQUAL to [[cdcChunks]] on shared fixtures, and the expression form
+   * remains the oracle-replayable spelling of the rule.
+   *
+   * mapPartitions is justified here the same way as the BPE encoder
+   * and the prefix-scan fold: the per-row computation is an inherently
+   * sequential O(bytes) scan whose expression spelling materializes
+   * O(bytes) arrays inside a single row's evaluation — the engine can
+   * parallelize across rows either way, and this form frees it from
+   * holding a row's worth of positions at once.
+   */
+  def cdcChunksStreamed(df: DataFrame, idCol: String, payload: Column,
+                        w: Int, divisor: Int): DataFrame = {
+    require(w >= 2, "a 1-byte window makes boundaries byte-frequency noise")
+    require(divisor >= 2, "divisor < 2 cuts at every byte")
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val in = df.select(col(idCol), payload.cast("string").as("__pay"))
+      .filter(col("__pay").isNotNull && length(col("__pay")) > 0)
+    val idField = in.schema.head
+    val outSchema = StructType(Seq(idField,
+      StructField("chunk_idx", LongType, nullable = false),
+      StructField("chunk_fp", StringType, nullable = true),
+      StructField("n_bytes", LongType, nullable = false)))
+    val out = in.rdd.mapPartitions { it =>
+      // Charset is not Serializable — resolve the static inside the task
+      val utf8 = java.nio.charset.StandardCharsets.UTF_8
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      val hexChars = "0123456789abcdef".toCharArray
+      def hex(bs: Array[Byte]): String = {
+        val sb = new java.lang.StringBuilder(bs.length * 2)
+        bs.foreach { b =>
+          sb.append(hexChars((b >> 4) & 0xf)); sb.append(hexChars(b & 0xf))
+        }
+        sb.toString
+      }
+      it.flatMap { row =>
+        val id = row.get(0)
+        val s = row.getString(1)
+        val n = s.length
+        // cut ENDS: 1-based positions i where the window of w chars
+        // ending at i satisfies the rule — CHARACTER semantics to match
+        // the expression form's substr, md5 over the window's UTF-8
+        // bytes to match Spark's md5-of-string
+        val ends = scala.collection.mutable.ArrayBuffer.empty[Int]
+        var i = w
+        while (i <= n) {
+          digest.reset()
+          val h = digest.digest(s.substring(i - w, i).getBytes(utf8))
+          val h16 = ((h(0) & 0xff) << 8) | (h(1) & 0xff)
+          if (h16 % divisor == 0) ends += i
+          i += 1
+        }
+        if (ends.isEmpty || ends.last != n) ends += n
+        var prev = 0
+        ends.iterator.zipWithIndex.map { case (e, j) =>
+          digest.reset()
+          val fp = hex(digest.digest(s.substring(prev, e).getBytes(utf8)))
+          val r = org.apache.spark.sql.Row(id, j.toLong, fp, (e - prev).toLong)
+          prev = e
+          r
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(out, outSchema)
   }
 
   /**

@@ -79,6 +79,55 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
       .filter(col("doc_id") === -1L).isEmpty)
   }
 
+  test("cdcChunksStreamed: byte-identical to the expression form on shared fixtures") {
+    val base = docs.limit(60).select(col("doc_id"),
+      col("text").cast("binary").as("pay"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .toSet
+    val expr = rows(Multimodal.cdcChunks(base, "doc_id", col("pay"), 8, 16))
+    val strm = rows(Multimodal.cdcChunksStreamed(base, "doc_id", col("pay"), 8, 16))
+    assert(strm == expr, "the two forms must agree on every chunk: " +
+      s"only-expr=${(expr -- strm).take(3)} only-strm=${(strm -- expr).take(3)}")
+    // schema parity too (a d20 swap must not flip the oracle hash)
+    assert(Multimodal.cdcChunksStreamed(base, "doc_id", col("pay"), 8, 16)
+      .columns.toSeq ==
+      Multimodal.cdcChunks(base, "doc_id", col("pay"), 8, 16).columns.toSeq)
+    // blobs SHORTER than one window: single whole-blob chunk, both forms
+    import spark.implicits._
+    val tiny = Seq((7L, "abc")).toDF("doc_id", "s")
+      .select(col("doc_id"), col("s").cast("binary").as("pay"))
+    assert(rows(Multimodal.cdcChunksStreamed(tiny, "doc_id", col("pay"), 8, 16)) ==
+      rows(Multimodal.cdcChunks(tiny, "doc_id", col("pay"), 8, 16)))
+    // null payloads stay a silent drop
+    val withNull = base.unionByName(
+      spark.range(1).select(lit(-1L).as("doc_id"),
+        lit(null).cast("binary").as("pay")))
+    assert(Multimodal.cdcChunksStreamed(withNull, "doc_id", col("pay"), 8, 16)
+      .filter(col("doc_id") === -1L).isEmpty)
+  }
+
+  test("cdcChunksStreamed: a blob past the expression form's bound chunks fine") {
+    import spark.implicits._
+    // ~1 MiB of periodic-but-not-trivial content — far past a maxBytes
+    // the expression form would refuse, processed in one streaming pass
+    val big = spark.range(1).select(lit(1L).as("doc_id"),
+      repeat(concat(lit("payload-"), md5(lit("seed")), lit("|")), 25000)
+        .cast("binary").as("pay"))
+    intercept[Exception] {
+      Multimodal.cdcChunks(big, "doc_id", col("pay"), 8, 16, maxBytes = 1 << 16)
+        .count()
+    }
+    val chunks = Multimodal.cdcChunksStreamed(big, "doc_id", col("pay"), 8, 16)
+    val agg = chunks.agg(sum("n_bytes"), count(lit(1))).head()
+    val total = big.select(length(col("pay").cast("string"))).head().getInt(0)
+    assert(agg.getLong(0) == total.toLong,
+      "chunks must partition the payload exactly")
+    // avg chunk ≈ divisor: the cut rule really fired throughout the blob
+    assert(agg.getLong(1) > total / 64,
+      s"expected dense cuts, got ${agg.getLong(1)} chunks over $total bytes")
+  }
+
   test("payload is BinaryType; sniffFormat follows the magic bytes") {
     assert(withBin.schema("bin").dataType.typeName == "binary")
     val got = withBin.select(col("doc_id"),
