@@ -2646,6 +2646,47 @@ object SparkEntry {
       store.read("q87", "orders").orderBy("o_orderkey")
     }),
 
+    // Column-mapping RENAME (Delta columnMapping / Iceberg field ids):
+    // files and stats always spell columns PHYSICALLY, so the rename
+    // is one manifest write — carried files keep reading correct
+    // values under the new name (never silent NULLs), post-rename DML
+    // binds the new name over pre-rename files, and the change feed
+    // treats the renamed column as the SAME column. The fixture pins
+    // metadata-only (file set unchanged across the rename) and the
+    // feed alignment; the oracle projects the post-rename schema
+    "q88_store_rename_column" -> ((s, d) => {
+      import graft.catalog.{InMemoryCatalog, MergeSnapshotStore, TableMeta}
+      import graft.operators.QueryRunner
+      val orders = t(s, d, "orders").select(col("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+      val work = java.nio.file.Files.createTempDirectory("graft-q88").toString
+      val cat = new InMemoryCatalog
+      cat.register(TableMeta("q88", "orders", s"$work/orders",
+        primaryKey = Seq("o_orderkey")))
+      val store = new MergeSnapshotStore(s, cat, nBuckets = 8,
+        keepVersions = 8)
+      val runner = new QueryRunner(store)
+      store.overwrite("q88", "orders", orders)
+      // a scoped takedown first, so the table holds carried files
+      store.deleteWhere("q88", "orders", col("o_totalprice") < 20000.0)
+      val v1 = store.latestVersion("q88", "orders")
+      val filesBefore = store.filesOf("q88", "orders").count()
+      runner.dml("q88",
+        "ALTER TABLE orders RENAME COLUMN o_totalprice TO total_price")
+      require(store.filesOf("q88", "orders").count() == filesBefore,
+        "a rename is metadata-only: the same files serve the new schema")
+      // post-rename DML binds the NEW name over pre-rename files
+      runner.dml("q88", "DELETE FROM orders WHERE total_price > 180000.0")
+      // the feed across the rename compares by physical identity: the
+      // D rows spell the NEW name
+      val feed = store.changesBetween("q88", "orders", v1,
+        store.latestVersion("q88", "orders"))
+      require(feed.columns.contains("total_price") &&
+        !feed.columns.contains("o_totalprice"),
+        s"feed must spell the newer version's names: ${feed.columns.toSeq}")
+      store.read("q88", "orders").orderBy("o_orderkey")
+    }),
+
     // The SQL surface THROUGH the storage engine (readSkipping /
     // StoreFileIndex): the reference's primary query shape — domain SQL
     // over temp views (reference src/apply_to_domains.py:54-68) — runs
@@ -5284,6 +5325,16 @@ object SparkEntry {
                   'X' AS o_orderstatus, o_totalprice
            FROM orders
            WHERE NOT (o_totalprice < 30000.0) AND o_orderstatus = 'P')
+         ORDER BY o_orderkey""",
+
+    // the renamed column is the same column: pre-rename takedown,
+    // post-rename takedown under the new name, projected new schema
+    "q88_store_rename_column" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+                o_totalprice AS total_price
+         FROM orders
+         WHERE NOT (o_totalprice < 20000.0)
+           AND NOT (o_totalprice > 180000.0)
          ORDER BY o_orderkey""",
 
     // answer invariance across physical erasure: a vacuum deletes

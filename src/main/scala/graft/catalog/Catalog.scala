@@ -35,6 +35,10 @@ trait Catalog {
   def get(db: String, table: String): Option[TableMeta]
   def register(meta: TableMeta): Unit
   def list(db: String): Seq[TableMeta]
+  /** Every registered table across databases — the cross-table view a
+   * clone-aware vacuum needs (does any sibling's retained manifest
+   * borrow files from the location about to be reclaimed?). */
+  def listAll: Seq[TableMeta]
 
   def apply(db: String, table: String): TableMeta =
     get(db, table).getOrElse(
@@ -58,6 +62,7 @@ final class InMemoryCatalog extends Catalog {
     tables.update((meta.db.toLowerCase, meta.name.toLowerCase), meta)
   override def list(db: String): Seq[TableMeta] =
     tables.collect { case ((d, _), m) if d == db.toLowerCase => m }.toSeq
+  override def listAll: Seq[TableMeta] = tables.values.toSeq
 }
 
 /**
@@ -239,33 +244,9 @@ class SnapshotStore(spark: SparkSession, val catalog: Catalog, keepVersions: Int
    */
   def multisetChangesBetween(db: String, table: String, fromVersion: Int,
                              toVersion: Int): DataFrame = {
-    import org.apache.spark.sql.functions.{abs, col, lit, when}
     val meta = catalog(db, table)
-    val old0 = readVersion(meta, fromVersion)
-    val new0 = readVersion(meta, toVersion)
-    val cols = old0.columns.toSeq
-    require(cols.nonEmpty && new0.columns.toSeq == cols,
-      s"multiset diff needs identical schemas on both versions of " +
-        s"${meta.qualified} (a schema-evolving overwrite sits between " +
-        s"$fromVersion and $toVersion — diff within one schema era)")
-    val o = old0.groupBy(cols.map(col): _*).count()
-      .withColumnRenamed("count", "__n0")
-    val n = new0.groupBy(cols.map(col): _*).count()
-      .withColumnRenamed("count", "__n1")
-    // null-safe equality: NULL-valued cells are part of the row image
-    // (groupBy already grouped them), so the join must match them too
-    val cond = cols.map(c => o(c) <=> n(c)).reduce(_ && _)
-    val joined = o.join(n, cond, "full_outer")
-    val n0 = org.apache.spark.sql.functions.coalesce(col("__n0"), lit(0L))
-    val n1 = org.apache.spark.sql.functions.coalesce(col("__n1"), lit(0L))
-    joined
-      .select(cols.map(c =>
-        org.apache.spark.sql.functions.coalesce(o(c), n(c)).as(c)) ++
-        Seq((n1 - n0).as("__d")): _*)
-      .filter(col("__d") =!= 0L)
-      .withColumn("change", when(col("__d") > 0, lit("I")).otherwise(lit("D")))
-      .withColumn("copies", abs(col("__d")))
-      .drop("__d")
+    SnapshotStore.multisetDiff(readVersion(meta, fromVersion),
+      readVersion(meta, toVersion), meta.qualified, fromVersion, toVersion)
   }
 
   /**
@@ -307,13 +288,48 @@ case class CompactionReport(version: Int, clearedSidecars: Int,
  * `carryFilesReclaimed` individual leftovers under carry-only dirs.
  * `dirsAwaitingHorizon` counts directories tombstoned but still inside
  * the window — nonzero means a re-run after the horizon finishes the
- * job, the number a retention cron alerts on. */
+ * job, the number a retention cron alerts on. `borrowedSkipped` counts
+ * directories a sibling table's shallow clone still borrows (released
+ * once the borrower severs or leaves the catalog). */
 case class VacuumReport(manifestsExpired: Int, dirsReclaimed: Int,
-                        carryFilesReclaimed: Int, dirsAwaitingHorizon: Int) {
+                        carryFilesReclaimed: Int, dirsAwaitingHorizon: Int,
+                        borrowedSkipped: Int = 0) {
   def reclaimed: Int = dirsReclaimed + carryFilesReclaimed
 }
 
 object SnapshotStore {
+  /** The multiset-delta core [[SnapshotStore.multisetChangesBetween]]
+   * and its column-mapping-aware override share: per distinct row
+   * image, copies arrived/left between the two frames. */
+  private[catalog] def multisetDiff(old0: DataFrame, new0: DataFrame,
+                                    qualified: String, fromVersion: Int,
+                                    toVersion: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{abs, col, lit, when}
+    val cols = old0.columns.toSeq
+    require(cols.nonEmpty && new0.columns.toSeq == cols,
+      s"multiset diff needs identical schemas on both versions of " +
+        s"$qualified (a schema-evolving overwrite sits between " +
+        s"$fromVersion and $toVersion — diff within one schema era)")
+    val o = old0.groupBy(cols.map(col): _*).count()
+      .withColumnRenamed("count", "__n0")
+    val n = new0.groupBy(cols.map(col): _*).count()
+      .withColumnRenamed("count", "__n1")
+    // null-safe equality: NULL-valued cells are part of the row image
+    // (groupBy already grouped them), so the join must match them too
+    val cond = cols.map(c => o(c) <=> n(c)).reduce(_ && _)
+    val joined = o.join(n, cond, "full_outer")
+    val n0 = org.apache.spark.sql.functions.coalesce(col("__n0"), lit(0L))
+    val n1 = org.apache.spark.sql.functions.coalesce(col("__n1"), lit(0L))
+    joined
+      .select(cols.map(c =>
+        org.apache.spark.sql.functions.coalesce(o(c), n(c)).as(c)) ++
+        Seq((n1 - n0).as("__d")): _*)
+      .filter(col("__d") =!= 0L)
+      .withColumn("change", when(col("__d") > 0, lit("I")).otherwise(lit("D")))
+      .withColumn("copies", abs(col("__d")))
+      .drop("__d")
+  }
+
   /** Align `df` to the union of `existing` and `df.schema` (nulls for gaps). */
   private[catalog] def alignToUnion(existing: StructType, df: DataFrame): DataFrame = {
     val have = df.schema.map(f => f.name.toLowerCase).toSet

@@ -560,6 +560,24 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     }
   }
 
+  /** Physical-named scan output → the manifest's LOGICAL spelling.
+   * Identity when the schema has no renames (zero plan change for every
+   * pre-rename table); otherwise one aliasing projection Catalyst folds
+   * filters straight through, so pushdown and pruning are unaffected.
+   * `extras` survive the projection (a find scan's tag column). */
+  private def toLogical(df: DataFrame, s: StructType,
+                        extras: Seq[String] = Nil): DataFrame =
+    if (!MergeSnapshotStore.hasRenames(s)) df
+    else df.select(s.fields.toSeq.map(f =>
+      // Metadata.empty: an Alias inherits its child attribute's field
+      // metadata, and the mapping key must NOT leak into read output —
+      // a whole-table rewrite republishes the read's schema, and a
+      // stale mapping over logically-named fresh files would NULL the
+      // column on every later scan
+      df(MergeSnapshotStore.physicalOf(f))
+        .as(f.name, org.apache.spark.sql.types.Metadata.empty)) ++
+      extras.map(c => df(c)): _*)
+
   private def load(meta: TableMeta, m: Manifest, only: Option[Set[Int]]): DataFrame = {
     val dirs = m.buckets.toSeq
       .collect { case (b, dir) if only.forall(_.contains(b)) => refPath(meta.location, dir) }
@@ -574,10 +592,17 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     // delete arm to read, so applyDeletes must not see it
     if (paths.isEmpty)
       spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        MergeSnapshotStore.plainLogical(m.schema))
     else
-      applyDeletes(meta, m,
-        spark.read.format(meta.format).schema(m.schema).load(paths: _*))
+      // the scan reads the files' own PHYSICAL spelling (a carried
+      // pre-rename file resolves by name); the logical projection sits
+      // above the delete masking — PK names never rename (refused), so
+      // the anti-joins bind identically on either side
+      toLogical(applyDeletes(meta, m,
+        spark.read.format(meta.format)
+          .schema(MergeSnapshotStore.physicalSchema(m.schema))
+          .load(paths: _*)), m.schema)
   }
 
   /** The merge-on-read delete view — the read-time half of
@@ -784,7 +809,8 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
         m.stats.get(rel) match {
           case None => true // no stats: conservative keep
           case Some(ss) => ranges.forall { case (c, (lo, hi)) =>
-            ss.find(_.column == c).forall(s => s.mx >= lo && s.mn <= hi)
+            val key = MergeSnapshotStore.statKeyOf(m.schema, c)
+            ss.find(_.column == key).forall(s => s.mx >= lo && s.mn <= hi)
           }
         }
       }
@@ -822,13 +848,16 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     if (keep.isEmpty)
       tagCol.foldLeft(
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          m.schema))((df, c) => df.withColumn(c, lit("")))
+          MergeSnapshotStore.plainLogical(m.schema)))(
+        (df, c) => df.withColumn(c, lit("")))
         .filter(pred)
     else {
-      val raw = spark.read.format(meta.format).schema(m.schema)
+      val raw = spark.read.format(meta.format)
+        .schema(MergeSnapshotStore.physicalSchema(m.schema))
         .load(keep.map(rel => refPath(meta.location, rel)): _*)
-      applyDeletes(meta, m,
-        tagCol.foldLeft(raw)((df, c) => df.withColumn(c, input_file_name())))
+      toLogical(applyDeletes(meta, m,
+        tagCol.foldLeft(raw)((df, c) => df.withColumn(c, input_file_name()))),
+        m.schema, extras = tagCol.toSeq)
         .filter(pred)
     }
 
@@ -901,7 +930,8 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
       m.setStats.get(rel) match {
         case None => true // no set lines at all: conservative keep
         case Some(ss) => canon.forall { case (c, vs) =>
-          ss.find(_.column == c).forall(_.values.exists(vs.contains))
+          val key = MergeSnapshotStore.statKeyOf(m.schema, c)
+          ss.find(_.column == key).forall(_.values.exists(vs.contains))
         }
       }
     }
@@ -937,7 +967,8 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
       m.strStats.get(rel) match {
         case None => true // no stats: conservative keep
         case Some(ys) => ranges.forall { case (c, (lo, hi)) =>
-          ys.find(_.column == c).forall(y =>
+          val key = MergeSnapshotStore.statKeyOf(m.schema, c)
+          ys.find(_.column == key).forall(y =>
             y.hi.forall(h => strCmp(h, lo) >= 0) &&
               hi.forall(hq => strCmp(y.lo, hq) <= 0))
         }
@@ -1061,15 +1092,22 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
       // sizes feed sizeInBytes so SQL joins auto-broadcast small store
       // tables
       val files = listDataFileStatuses(meta, m, None)
-      val index = new StoreFileIndex(meta.location, m.schema, files,
+      // the relation reads the files' PHYSICAL spelling; pushed-down
+      // predicates arrive at the index with physical attribute names,
+      // which is exactly how the stats lines are keyed
+      val phys = MergeSnapshotStore.physicalSchema(m.schema)
+      val index = new StoreFileIndex(meta.location, phys, files,
         (e, rel) => fileMayMatch(e, m, rel))
-      val relation = HadoopFsRelation(index, new StructType(), m.schema,
+      val relation = HadoopFsRelation(index, new StructType(), phys,
         None, new ParquetFileFormat(), Map.empty)(spark)
       // merge-on-read sidecars mask on top of the skipping scan too —
       // the anti-join sits above the relation, so file pruning still
-      // runs below it and SQL readers see the logical snapshot
-      Some((applyDeletes(meta, m, spark.baseRelationToDataFrame(relation)),
-        index))
+      // runs below it and SQL readers see the logical snapshot; the
+      // logical aliasing sits above BOTH, and Catalyst rewrites pushed
+      // filters through it down to the physical scan
+      Some((toLogical(
+        applyDeletes(meta, m, spark.baseRelationToDataFrame(relation)),
+        m.schema), index))
     }
   }
 
@@ -1110,9 +1148,23 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
         "— the pruning fold, the find scan and the rewrite evaluate at " +
         "different instants; bind the time to a literal " +
         "(lit(Instant.now())) before calling")
-    cond.transformUp {
+    val folded = cond.transformUp {
       case e if e.foldable && !e.isInstanceOf[Literal] =>
         Literal.create(e.eval(null), e.dataType)
+    }
+    // pruning judges stats lines, which are keyed by PHYSICAL column
+    // names — rewrite the analyzed attributes to the files' spelling
+    // (the SQL path needs no rewrite: its predicates push down against
+    // the physical-named relation already)
+    if (!MergeSnapshotStore.hasRenames(m.schema)) folded
+    else {
+      val l2p = m.schema.fields.map(f =>
+        f.name.toLowerCase -> MergeSnapshotStore.physicalOf(f)).toMap
+      folded.transformUp {
+        case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
+            if l2p.get(a.name.toLowerCase).exists(_ != a.name) =>
+          a.withName(l2p(a.name.toLowerCase))
+      }
     }
   }
 
@@ -1129,9 +1181,15 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     val set = m.setStats.getOrElse(rel, Nil).map(s => s.column -> s).toMap
     // exact-case schema lookup: a predicate written in another case
     // still FILTERS correctly (Spark resolves case-insensitively), it
-    // just loses pruning — a miss is the conservative branch
+    // just loses pruning — a miss is the conservative branch. The
+    // attributes arriving here spell columns PHYSICALLY (the stats-line
+    // key space — resolvePredicate rewrites the typed path, the SQL
+    // path pushes against the physical-named relation), so the type
+    // lookup resolves by physical spelling first, logical as the
+    // pre-mapping fallback.
     def dtOf(c: String): Option[DataType] =
-      m.schema.fields.find(_.name == c).map(_.dataType)
+      m.schema.fields.find(f => MergeSnapshotStore.physicalOf(f) == c)
+        .orElse(m.schema.fields.find(_.name == c)).map(_.dataType)
     def attr(x: Expression): Option[String] = x match {
       case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
         if a.nameParts.size == 1 => Some(a.nameParts.head)
@@ -1385,7 +1443,13 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     val (written, stats, strStats, setStats, fileRows) =
       writeData(meta, vs.lastOption.getOrElse(-1) + 1, out, meta.primaryKey,
         cluster, enforceChecks)
-    val m = Manifest(dropBucketCol(out.schema), written, nBucketsOf(meta),
+    // a whole-table rewrite re-materializes every file under the
+    // CURRENT logical names — the column mapping RESETS (defensive
+    // strip: a frame derived from a renamed table's read must not
+    // smuggle the old mapping over logically-named fresh files)
+    val m = Manifest(
+      MergeSnapshotStore.plainLogical(dropBucketCol(out.schema)),
+      written, nBucketsOf(meta),
       stats, strStats, setStats,
       op = op, at = System.currentTimeMillis(), rows = fileRows)
     runBeforePublish()
@@ -1521,7 +1585,8 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
         s"scoped merge to ${meta.qualified} DROPS column(s) " +
           s"${dropped.toSeq.sorted.mkString(", ")} — untouched buckets " +
           "carry their files by reference and cannot re-shape; use " +
-          "overwrite() to restructure the table")
+          "renameColumn() for a rename, overwrite() to restructure " +
+          "the table")
       cur.foreach { case (n, f) =>
         require(nxt(n).dataType.catalogString == f.dataType.catalogString,
           s"scoped merge to ${meta.qualified} RETYPES column ${f.name} " +
@@ -1536,8 +1601,15 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
             "surface NULL there; add the column as nullable")
       }
     }
+    // the published schema carries the table's column mapping forward:
+    // kept fields keep their physical spelling, evolution-added fields
+    // write under their own name (attachPhysical refuses a name that
+    // shadows a carried physical column)
+    val pubSchema = MergeSnapshotStore.attachPhysical(current.schema,
+      dropBucketCol(out.schema))
     val (written, newStats, newStrStats, newSetStats, newRows) =
-      writeData(meta, readVer + 1, out, pks, cluster, enforceChecks)
+      writeData(meta, readVer + 1, out, pks, cluster, enforceChecks,
+        pubSchema)
     val stray = written.keySet.diff(touched.toSet)
     require(stray.isEmpty,
       s"merge rewrote buckets $stray outside the changed-key set $touched — " +
@@ -1571,8 +1643,8 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
       // adjudicated below, but either side may have relaxed nullability)
       // — OR the nullability so neither side's nulls become unreadable
       val schema =
-        if (baseVer == readVer) dropBucketCol(out.schema)
-        else MergeSnapshotStore.mergeNullability(dropBucketCol(out.schema), base.schema)
+        if (baseVer == readVer) pubSchema
+        else MergeSnapshotStore.mergeNullability(pubSchema, base.schema)
       // delete sidecars carry forward for the carried buckets (their
       // files predate the sidecars, so the read-time anti-join still
       // applies); the REWRITTEN buckets' new files carry commit numbers
@@ -2115,14 +2187,16 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
    * smear. The one bound measure [[maintenanceAdvisor]] and
    * [[bucketHealth]] share. */
   private def fileBounds(m: Manifest, files: Seq[String], c: String)
-      : Seq[Option[(Double, Option[Double])]] =
+      : Seq[Option[(Double, Option[Double])]] = {
+    val key = MergeSnapshotStore.statKeyOf(m.schema, c)
     files.map { f =>
-      m.stats.get(f).flatMap(_.find(_.column == c))
+      m.stats.get(f).flatMap(_.find(_.column == key))
         .map(s => (s.mn, Option(s.mx)))
-        .orElse(m.strStats.get(f).flatMap(_.find(_.column == c))
+        .orElse(m.strStats.get(f).flatMap(_.find(_.column == key))
           .map(y => (MergeSnapshotStore.strKeyToDouble(y.lo),
             y.hi.map(MergeSnapshotStore.strKeyToDouble))))
     }
+  }
 
   /** (table-wide span, any-unbounded-above, per-file scan fraction):
    * the span top falls back to los.max when every upper bound is
@@ -2556,7 +2630,8 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     val survivors = shape(loadFiles(meta, current, refLive.toSeq.sorted,
       lit(true)))
     val (written, newStats, newStrStats, newSetStats, newRows) =
-      writeData(meta, base + 1, survivors, Nil, enforceChecks = false)
+      writeData(meta, base + 1, survivors, Nil, enforceChecks = false,
+        publishSchema = current.schema)
     // dir entries: fully-unreferenced dirs keep their entry verbatim —
     // unless the rewrite wrote that bucket a fresh dir (one dir per
     // bucket), in which case the old dir's files become carries
@@ -2656,6 +2731,155 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
         if (!landed) catalog.register(meta)
         throw t
     }
+  }
+
+  /**
+   * Column RENAME without a byte rewritten — column mapping (Delta
+   * `columnMapping` / Iceberg field-id evolution, carried as names):
+   * data files and stats lines always spell columns PHYSICALLY (the
+   * name the column had when it first committed); the rename publishes
+   * a new manifest whose schema field carries the new LOGICAL name
+   * plus a [[MergeSnapshotStore.PhysicalKey]] metadata entry holding
+   * the on-disk spelling. Carried files keep reading (scans run under
+   * the physical spelling, one aliasing projection restores the
+   * logical one), stats keep pruning both directions (lookups and
+   * resolved predicates translate logical → physical), scoped merges
+   * keep carrying by reference, the change feed compares versions by
+   * physical identity, and RESTORE across the rename reverts it —
+   * all metadata-only, at any table size. A later whole-table rewrite
+   * (overwrite / compact / rebucket) re-materializes every file under
+   * the current logical names and RESETS the mapping.
+   *
+   * Refusals, each loud: unknown column; a new name the table already
+   * has, that shadows another column's PHYSICAL spelling (carried
+   * files hold that on-disk column — the scan could not tell the two
+   * apart), or that is a reserved internal name; a PRIMARY KEY column
+   * (its name threads the catalog registration, equality-delete
+   * sidecars, and every scoped-commit funnel — restructure with
+   * overwrite() + re-register); a column a CHECK constraint or the
+   * set-stats/bloom properties reference (re-point those first).
+   * Returns the new head version.
+   */
+  def renameColumn(db: String, table: String,
+                   oldName: String, newName: String): Int = {
+    val meta = catalog0(db, table)
+    val vs = manifestVersions(meta.location)
+    require(vs.nonEmpty,
+      s"bootstrap ${meta.qualified} with overwrite() before renaming")
+    val m = readManifest(meta.location, vs.last)
+    val field = m.schema.fields.find(_.name.equalsIgnoreCase(oldName))
+      .getOrElse(throw new IllegalArgumentException(
+        s"${meta.qualified} has no column $oldName (columns: " +
+          s"${m.schema.fieldNames.mkString(", ")})"))
+    require(newName.trim.nonEmpty, "new column name must be non-empty")
+    require(!newName.equalsIgnoreCase(field.name),
+      s"rename $oldName -> $newName is a no-op")
+    locally {
+      val lc = newName.toLowerCase
+      require(!(lc == "__b" || lc == "__fv" || lc.startsWith("__graft_")),
+        s"$newName is a reserved internal column name — __b, __fv and " +
+          "__graft_* belong to the store's bucketing and merge-on-read " +
+          "machinery")
+    }
+    require(!m.schema.fields.exists(_.name.equalsIgnoreCase(newName)),
+      s"${meta.qualified} already has a column $newName")
+    m.schema.fields.filterNot(_.name.equalsIgnoreCase(oldName))
+      .find(f => MergeSnapshotStore.physicalOf(f).equalsIgnoreCase(newName))
+      .foreach { owner =>
+        throw new IllegalArgumentException(
+          s"cannot rename to $newName: carried files already hold a " +
+            s"physical column '${MergeSnapshotStore.physicalOf(owner)}' " +
+            s"(the on-disk spelling of renamed column ${owner.name}) — " +
+            "pick another name")
+      }
+    require(!meta.primaryKey.exists(_.equalsIgnoreCase(oldName)),
+      s"renaming PRIMARY KEY column $oldName of ${meta.qualified} is " +
+        "not supported — the key's name threads the catalog " +
+        "registration, equality-delete sidecars and the scoped-commit " +
+        "funnels; restructure with overwrite() and re-register")
+    Seq(MergeSnapshotStore.SetStatsProp, MergeSnapshotStore.BloomProp)
+      .foreach { prop =>
+        meta.properties.get(prop).foreach { v =>
+          require(!v.split(',').map(_.trim.takeWhile(_ != ':'))
+              .exists(_.equalsIgnoreCase(oldName)),
+            s"$prop on ${meta.qualified} names $oldName — re-point the " +
+              "property before renaming")
+        }
+      }
+    MergeSnapshotStore.checksOf(meta).foreach { case (name, predSql) =>
+      val re = ("(?i)\\b" +
+        java.util.regex.Pattern.quote(oldName) + "\\b").r
+      require(re.findFirstIn(predSql).isEmpty,
+        s"CHECK constraint $name ($predSql) references $oldName — drop " +
+          "the constraint and re-add it under the new name")
+    }
+    val physical = MergeSnapshotStore.physicalOf(field)
+    val newField =
+      if (physical == newName)
+        // renamed BACK to its on-disk spelling: the mapping dissolves
+        field.copy(name = newName,
+          metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(field.metadata)
+            .remove(MergeSnapshotStore.PhysicalKey).build())
+      else field.copy(name = newName,
+        metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(field.metadata)
+          .putString(MergeSnapshotStore.PhysicalKey, physical).build())
+    val newSchema = StructType(m.schema.fields.map(f =>
+      if (f.name.equalsIgnoreCase(oldName)) newField else f))
+    runBeforePublish()
+    val next = vs.last + 1
+    if (!publishManifest(meta.location, next,
+        m.copy(schema = newSchema, op = s"rename($oldName->$newName)",
+          at = System.currentTimeMillis())))
+      throw new java.util.ConcurrentModificationException(
+        s"${meta.qualified} took version $next while a rename " +
+          "committed — re-run against the new snapshot")
+    vacuum(meta, vs)
+    clearTombstones(meta, m.buckets)
+    next
+  }
+
+  /** The old version's frame with its columns ALIGNED to the new
+   * version's logical spelling by PHYSICAL identity — what makes the
+   * change feed survive a rename (a renamed column is the same column,
+   * not a drop + add). */
+  private def alignedOld(meta: TableMeta, from: Int, to: Int): DataFrame = {
+    val sOld = readManifest(meta.location, from).schema
+    val sNew = readManifest(meta.location, to).schema
+    val oldDf = readVersion(meta, from)
+    val p2lNew = sNew.fields.map(f =>
+      MergeSnapshotStore.physicalOf(f).toLowerCase -> f.name).toMap
+    val renames = sOld.fields.toSeq.flatMap { f =>
+      p2lNew.get(MergeSnapshotStore.physicalOf(f).toLowerCase)
+        .filter(_ != f.name).map(f.name -> _)
+    }
+    renames.foldLeft(oldDf) { case (d, (o, n)) => d.withColumnRenamed(o, n) }
+  }
+
+  /** [[SnapshotStore.changesBetween]] comparing versions by PHYSICAL
+   * column identity, so the feed survives a rename between the two
+   * versions (output columns spell the NEWER version's names). */
+  override def changesBetween(db: String, table: String, fromVersion: Int,
+                              toVersion: Int): DataFrame = {
+    val meta = catalog0(db, table)
+    if (!meta.hasPrimaryKey) throw new IllegalStateException(
+      s"changesBetween needs a registered PK for ${meta.qualified} — " +
+        "PK-less tables get the multiset feed (multisetChangesBetween)")
+    graft.operators.Scd.snapshotDiff(
+      alignedOld(meta, fromVersion, toVersion),
+      readVersion(meta, toVersion), meta.primaryKey)
+  }
+
+  /** [[SnapshotStore.multisetChangesBetween]] under the same
+   * physical-identity alignment. */
+  override def multisetChangesBetween(db: String, table: String,
+                                      fromVersion: Int,
+                                      toVersion: Int): DataFrame = {
+    val meta = catalog0(db, table)
+    SnapshotStore.multisetDiff(
+      alignedOld(meta, fromVersion, toVersion),
+      readVersion(meta, toVersion), meta.qualified, fromVersion, toVersion)
   }
 
   /**
@@ -2810,15 +3034,18 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
    * snapshot's cardinality is a driver-side sum — at 100 TB, the
    * difference between a metadata lookup and a full-table count job.
    *
-   * The fast path requires (a) no live delete sidecars — a sidecar's
-   * masked-row count is NOT safely subtractable in general (a later
-   * scoped rewrite can re-home rows the sidecar's recorded count
-   * included without retiring the line), so merge-on-read debt forces
-   * the honest scan until a fold clears it — and (b) a recorded count
-   * for EVERY data file the manifest resolves to (pre-feature commits
-   * and stats-disabled tables lack lines). Anything else falls back to
-   * counting the logical view; [[manifestRowCount]] exposes which path
-   * a snapshot would take.
+   * The fast path requires (a) a recorded count for EVERY data file
+   * the manifest resolves to (pre-feature commits and stats-disabled
+   * tables lack lines), and (b) either NO live delete sidecars, or the
+   * provably SUBTRACTABLE merge-on-read window (every sidecar counted,
+   * every file predating every sidecar, nothing but the sidecar
+   * commits since — the fresh-takedown state; see
+   * [[manifestRowCount]]'s guard). A sidecar's masked-row count is NOT
+   * safely subtractable in general — a later scoped rewrite can
+   * re-home rows the recorded count included without retiring the
+   * line — so anything past the window falls back to counting the
+   * logical view; [[manifestRowCount]] exposes which path a snapshot
+   * would take.
    */
   def countRows(db: String, table: String,
                 version: Option[Int] = None): Long = {
@@ -2835,16 +3062,41 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
   def manifestRowCount(db: String, table: String,
                        version: Option[Int] = None): Option[Long] = {
     val meta = catalog0(db, table)
-    val m = readManifest(meta.location, resolveVersion(meta, version))
-    if (m.deletes.nonEmpty) return None
+    val v = resolveVersion(meta, version)
+    val m = readManifest(meta.location, v)
     // count what the READ would actually resolve: the live file listing
     // (a file on disk but missing its count line refuses the fast path;
     // a recorded file a rewrite removed must not count)
     val files = listDataFiles(meta, m, None)
-    if (files.nonEmpty && files.forall(m.rows.contains))
-      Some(files.iterator.map(m.rows).sum)
-    else if (files.isEmpty) Some(0L)
-    else None
+    if (files.isEmpty) return Some(0L)
+    if (!files.forall(m.rows.contains)) return None
+    val total = files.iterator.map(m.rows).sum
+    if (m.deletes.isEmpty) return Some(total)
+    // SUBTRACTABLE merge-on-read window — the takedown-heavy table's
+    // common state (fresh sidecars, nothing else since), exactly when
+    // the table is most monitored. The masked-row total equals the
+    // recorded sidecar counts when those counts are provably disjoint
+    // and fully live:
+    //  - every sidecar records its count (pre-count-field manifests
+    //    report -1 and fall back),
+    //  - every listed file PREDATES every sidecar (no rewrite landed
+    //    after the first sidecar — a rewrite could drop masked rows
+    //    from the file sum, and a newer file could re-insert a key the
+    //    sequence rule exempts), and
+    //  - the commits SINCE the first sidecar are exactly the sidecar
+    //    commits themselves (MoR deletes publish one version each and
+    //    move no data), so nothing else reshaped the table.
+    // Each delete's find phase ran on the LOGICAL view, so no two
+    // sidecars count the same row — the sum subtracts exactly.
+    val sidecarVs = m.deletes.map(_.version).sorted
+    val counts = m.deletes.map(_.rows)
+    val commitNums = files.map(commitNumberOf)
+    val subtractable =
+      counts.forall(_ >= 0L) &&
+        commitNums.forall(_.isDefined) &&
+        commitNums.flatten.forall(_ < sidecarVs.head) &&
+        sidecarVs == (v - sidecarVs.size + 1).to(v)
+    if (subtractable) Some(total - counts.sum) else None
   }
 
   /**
@@ -2946,15 +3198,19 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
    * governs them). `version` pins the clone to a committed-and-retained
    * source version (None = head).
    *
-   * THE one liability of borrowing, stated loudly: the source's vacuum
-   * does not know about clones (exactly Delta's documented shallow-
-   * clone contract). While the source still references the cloned
-   * files the clone is safe; once the SOURCE rewrites them away
-   * (compact / overwrite) and its retention window passes, the clone's
-   * reads fail with missing paths — loud, never wrong data. Sever the
-   * dependency any time with `deep = true` here, or later with one
-   * [[compact]] on the clone (any whole-table rewrite re-materializes
-   * every borrowed row under the clone's own location).
+   * The borrowing liability, ENFORCED within one catalog: before the
+   * source's vacuum deletes a directory it checks every sibling
+   * table's retained manifests for absolute references into it and
+   * SKIPS what a clone still borrows (`VacuumReport.borrowedSkipped`
+   * counts the holds; the space releases once the borrower severs or
+   * drops out of the catalog). A borrower in a DIFFERENT catalog
+   * remains Delta's documented shallow-clone contract: once the
+   * source rewrites the borrowed files away and its retention window
+   * passes, that clone's reads fail with missing paths — loud, never
+   * wrong data. Sever the dependency any time with `deep = true`
+   * here, or later with one [[compact]] on the clone (any whole-table
+   * rewrite re-materializes every borrowed row under the clone's own
+   * location).
    *
    * Version numbering: the clone's first manifest publishes at source
    * version + 1, which places every borrowed commit directory's number
@@ -3290,7 +3546,8 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
   private def writeData(meta: TableMeta, next: Int, df: DataFrame,
                         pk: Seq[String],
                         cluster: Option[(Seq[(String, (Double, Double))], Int, Int)] = None,
-                        enforceChecks: Boolean = true)
+                        enforceChecks: Boolean = true,
+                        publishSchema: StructType = new StructType())
       : (SortedMap[Int, String], Map[String, Seq[ColStat]],
          Map[String, Seq[StrStat]], Map[String, Seq[SetStat]],
          Map[String, Long]) = {
@@ -3333,12 +3590,34 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     // MERGE/overwrite introduce rows.
     val checks =
       if (enforceChecks) MergeSnapshotStore.checksOf(meta) else Nil
-    val checked = checks.foldLeft(df) {
+    val checked0 = checks.foldLeft(df) {
       case (d, (name, predSql)) =>
         d.filter(coalesce(expr(predSql), lit(true)) ||
           raise_error(concat(
             lit(s"CHECK constraint $name ($predSql) violated by row: "),
             to_json(struct(d.columns.map(col): _*)))).isNotNull)
+    }
+    // column-mapping write seam: files ALWAYS spell columns physically.
+    // The frame arrives logical (user-facing names); when the schema
+    // this commit publishes carries renames, swap to the physical
+    // spelling here — one no-op-for-most-tables rename pass — and
+    // translate the cluster dims alongside. PK and set-/bloom-property
+    // columns never rename (renameColumn refuses), so their names are
+    // identical in both spellings.
+    val renameMap: Map[String, String] =
+      if (!MergeSnapshotStore.hasRenames(publishSchema)) Map.empty
+      else publishSchema.fields.toSeq.collect {
+        case fld if MergeSnapshotStore.physicalOf(fld) != fld.name =>
+          fld.name.toLowerCase -> MergeSnapshotStore.physicalOf(fld)
+      }.toMap
+    def physName(c: String): String = renameMap.getOrElse(c.toLowerCase, c)
+    val checked =
+      if (renameMap.isEmpty) checked0
+      else checked0.columns.foldLeft(checked0)((d, c) =>
+        renameMap.get(c.toLowerCase)
+          .map(p => d.withColumnRenamed(c, p)).getOrElse(d))
+    val physCluster = cluster.map { case (dims, bits, fpb) =>
+      (dims.map { case (c, r) => physName(c) -> r }, bits, fpb)
     }
     val setCols = meta.properties.get(MergeSnapshotStore.SetStatsProp)
       .map(_.split(',').iterator.map(_.trim).filter(_.nonEmpty).toSeq)
@@ -3370,7 +3649,7 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     val dataDir = new Path(s"${meta.location}/$rel")
     val tmpDir = new Path(f"${meta.location}/data/.tmp-c$next%06d-$nonce")
     val f = fs(dataDir)
-    val bucketed = (pk, cluster) match {
+    val bucketed = (pk, physCluster) match {
       case (ks, Some((dims, bits, fpb))) if ks.nonEmpty =>
         // cluster-on-compact: each PK bucket splits into fpb files of
         // DISJOINT z ranges (fpb = 1 still sorts the bucket by __z, so
@@ -3382,7 +3661,7 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
         // (__b, __z) sort satisfies the writer's partition-column
         // ordering (no order-destroying extra sort).
         val z = Layout.zValue(dims.map { case (c, r) =>
-          (promoted(col(c), df.schema(c).dataType), r) }, bits)
+          (promoted(col(c), checked.schema(c).dataType), r) }, bits)
         val parts = nBucketsOf(meta) * fpb
         val tokens = array(Layout.bijectiveTokens(spark, parts).map(lit): _*)
         checked.withColumn("__b", bucketOf(meta, ks.map(col)))
@@ -3422,9 +3701,11 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     // PK-point-lookup-only index table, a 1-row stats table — can skip
     // the per-commit stats measurement job entirely; pruned reads then
     // conservatively keep all its files
+    // measured over the WRITTEN files, so the names here are PHYSICAL
+    // (checked's post-rename schema) — exactly how stats lines key
     val statCols =
       if (meta.properties.get(MergeSnapshotStore.StatsProp).contains("false")) Nil
-      else df.schema.fields.toSeq
+      else checked.schema.fields.toSeq
         .filter(sf => sf.name != "__b" && (sf.dataType.isInstanceOf[NumericType] ||
           sf.dataType == DateType || sf.dataType == TimestampType))
         .map(_.name)
@@ -3433,7 +3714,7 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     // per-table opt-out
     val strCols =
       if (meta.properties.get(MergeSnapshotStore.StatsProp).contains("false")) Nil
-      else df.schema.fields.toSeq
+      else checked.schema.fields.toSeq
         .filter(sf => sf.name != "__b" && sf.dataType == StringType)
         .map(_.name)
     val (stats: Map[String, Seq[ColStat]], strStats: Map[String, Seq[StrStat]],
@@ -3657,8 +3938,41 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     var dirsReclaimed = 0
     var carryFilesReclaimed = 0
     var dirsAwaitingHorizon = 0
+    var borrowedSkipped = 0
     val expired = all.dropRight(keepVersions)
     val f = fs(new Path(meta.location))
+    // CLONE-AWARE deletion guard: a shallow clone borrows this table's
+    // files by ABSOLUTE manifest reference, and a vacuum that cannot
+    // see the borrowers severs them at read time — Delta documents the
+    // liability; within one catalog this store can do better. Before
+    // anything is deleted, collect every absolute reference INTO this
+    // table's location from every sibling's retained manifests
+    // (driver-side, manifest-sized, parse-cached) and skip what they
+    // still borrow: the borrower's own lifecycle (deep-clone compact,
+    // or its table dropping out of the catalog) releases the hold on a
+    // later pass. Lazy — a pass with nothing to delete reads no
+    // sibling manifest. Borrowers OUTSIDE this catalog remain the
+    // documented residual liability.
+    lazy val borrowed: Set[String] = {
+      val out = Set.newBuilder[String]
+      val prefix = s"${meta.location}/"
+      catalog.listAll.filterNot(_.location == meta.location).foreach { sib =>
+        manifestVersions(sib.location).foreach { v =>
+          try {
+            val sm = readManifest(sib.location, v)
+            (sm.buckets.values ++ sm.deletes.map(_.rel) ++
+              sm.carries.values.flatten).foreach { r =>
+              if (MergeSnapshotStore.isAbsoluteRef(r) && r.startsWith(prefix))
+                out += r
+            }
+          } catch { case _: java.io.FileNotFoundException => () }
+        }
+      }
+      out.result()
+    }
+    def isBorrowed(absDir: String): Boolean =
+      borrowed.contains(absDir) ||
+        borrowed.exists(_.startsWith(s"$absDir/"))
     expired.foreach { v =>
       val p = manifestPath(meta.location, v)
       if (f.delete(p, false)) manifestsExpired += 1
@@ -3747,7 +4061,10 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
                 now
               }
             if (now - expiredAt >= retainMs) {
-              if (f.delete(bdir.getPath, true)) dirsReclaimed += 1
+              if (isBorrowed(s"${meta.location}/data/$cname/" +
+                  bdir.getPath.getName))
+                borrowedSkipped += 1
+              else if (f.delete(bdir.getPath, true)) dirsReclaimed += 1
             } else dirsAwaitingHorizon += 1
           } else {
             // a racing vacuum can tombstone a commit's dirs between its
@@ -3789,7 +4106,9 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
                 f.listStatus(bdir.getPath).foreach { st =>
                   val n = st.getPath.getName
                   if (st.isFile && !n.startsWith("_") && !n.startsWith(".") &&
-                      !keep.contains(n) && f.delete(st.getPath, false))
+                      !keep.contains(n) &&
+                      !borrowed.contains(s"${meta.location}/$relDir/$n") &&
+                      f.delete(st.getPath, false))
                     carryFilesReclaimed += 1
                 }
               }
@@ -3806,7 +4125,7 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
       }
     }
     VacuumReport(manifestsExpired, dirsReclaimed, carryFilesReclaimed,
-      dirsAwaitingHorizon)
+      dirsAwaitingHorizon, borrowedSkipped)
   }
 
   /** A concurrent vacuum that scanned between this commit's data rename
@@ -3934,6 +4253,77 @@ object MergeSnapshotStore {
    * finish after its manifest expires, short enough that space reclaim is
    * still prompt. */
   val DefaultRetentionMs: Long = 30 * 60 * 1000L
+
+  /** Field-metadata key carrying a column's PHYSICAL name — the
+   * column-mapping seam (Delta `columnMapping`, Iceberg field ids, as
+   * names): data files and stats lines are ALWAYS written under
+   * physical names, which never change after the column first
+   * commits; a RENAME changes only the logical spelling in the
+   * manifest schema, so carried files keep reading and pruning
+   * without a byte rewritten. Absent metadata means physical ==
+   * logical (every pre-rename column). */
+  val PhysicalKey: String = "graft.physical"
+
+  /** A field's on-disk column name. */
+  def physicalOf(f: StructField): String =
+    if (f.metadata.contains(PhysicalKey)) f.metadata.getString(PhysicalKey)
+    else f.name
+
+  private[catalog] def hasRenames(s: StructType): Boolean =
+    s.fields.exists(f => physicalOf(f) != f.name)
+
+  /** The schema as the FILES spell it (scan-side). */
+  private[catalog] def physicalSchema(s: StructType): StructType =
+    if (!hasRenames(s)) s
+    else StructType(s.fields.map(f => f.copy(name = physicalOf(f))))
+
+  /** The logical schema with the mapping metadata stripped — what a
+   * reader-facing frame should expose. */
+  private[catalog] def plainLogical(s: StructType): StructType =
+    StructType(s.fields.map { f =>
+      if (f.metadata.contains(PhysicalKey)) {
+        val mb = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata).remove(PhysicalKey).build()
+        f.copy(metadata = mb)
+      } else f
+    })
+
+  /** The stats-line key a LOGICAL column name resolves to. */
+  private[catalog] def statKeyOf(s: StructType, logical: String): String =
+    s.fields.find(_.name.equalsIgnoreCase(logical)).map(physicalOf)
+      .getOrElse(logical)
+
+  /** Carry the physical mapping of `prior` onto `next` (a scoped
+   * commit's published schema): a field `next` shares with `prior` (by
+   * logical name, ci) keeps prior's physical spelling; a field NEW to
+   * the schema writes under its own name — refusing, loudly, a name
+   * that would SHADOW another field's physical spelling (the carried
+   * files already hold a column by that on-disk name, and the scan
+   * could not tell the two apart). */
+  private[catalog] def attachPhysical(prior: StructType,
+                                      next: StructType): StructType = {
+    if (!hasRenames(prior)) return next
+    val byLogical = prior.fields.map(f => f.name.toLowerCase -> f).toMap
+    StructType(next.fields.map { f =>
+      byLogical.get(f.name.toLowerCase) match {
+        case Some(p) if physicalOf(p) != f.name =>
+          f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata).putString(PhysicalKey, physicalOf(p))
+            .build())
+        case Some(_) => f
+        case None =>
+          prior.fields.find(p => physicalOf(p).equalsIgnoreCase(f.name) &&
+              !p.name.equalsIgnoreCase(f.name)).foreach { owner =>
+            throw new IllegalArgumentException(
+              s"cannot add column ${f.name}: carried files already hold " +
+                s"a physical column '${physicalOf(owner)}' (the on-disk " +
+                s"spelling of renamed column ${owner.name}) — pick " +
+                "another name")
+          }
+          f
+      }
+    })
+  }
 
   /** Table property: this table's vacuum retention horizon in
    * MILLISECONDS of wall-clock time, overriding the store default —

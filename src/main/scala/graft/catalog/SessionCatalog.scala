@@ -164,6 +164,9 @@ final class SessionCatalog(spark: SparkSession) extends Catalog {
         .map(toMeta)
     } catch { case _: NoSuchDatabaseException => Seq.empty }
 
+  override def listAll: Seq[TableMeta] =
+    sc.listDatabases().flatMap(list)
+
   private def toMeta(ct: CatalogTable): TableMeta =
     TableMeta(
       db = ct.identifier.database.getOrElse(""),

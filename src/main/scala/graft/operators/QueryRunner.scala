@@ -107,6 +107,9 @@ object QueryRunner {
       """\s+CHECK\s*\((.+)\)\s*;?\s*$""").r
   private val DropConstraintRe =
     """(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*$""".r
+  private val RenameColumnRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+RENAME\s+COLUMN\s+""" +
+      """([\w`]+)\s+TO\s+([\w`]+)\s*;?\s*$""").r
 
   /** `TIMESTAMP AS OF` operand → epoch ms: `'yyyy-MM-dd[ HH:mm:ss[.f]]'`
    * (JDBC escape forms) or bare epoch-millisecond digits. */
@@ -272,6 +275,11 @@ object QueryRunner {
       case DropConstraintRe(raw, name) =>
         ms.dropCheckConstraint(db, namedTable(raw), name)
         return 0L
+      case RenameColumnRe(raw, o, n) =>
+        // metadata-only column mapping (Delta ALTER TABLE RENAME
+        // COLUMN): returns the new head version
+        return ms.renameColumn(db, namedTable(raw),
+          o.replace("`", ""), n.replace("`", "")).toLong
       case OptimizeRe(raw, zorder, opts) =>
         val tbl = namedTable(raw)
         // OPTIONS exposes the typed knobs the bare statement defaults:

@@ -214,6 +214,33 @@ class CloneSpec extends AnyFunSuite with SparkFixture {
     assert(!new java.io.File(s"$loc/data").exists())
   }
 
+  test("the source's vacuum skips directories a live borrower references") {
+    // keepVersions 1 + zero retention: without the clone-aware guard,
+    // the source's next rewrite would physically sever the clone
+    val store = mkStore(keep = 1)
+    register(store, "src")
+    store.overwrite("cdb", "src", frame())
+    val loc = freshLoc("hold")
+    store.cloneTable("cdb", "src", "cdb", "dst", loc)
+    val cloneRows = sortedRows(store.read("cdb", "dst"))
+    // the source rewrites everything away; its commit-path vacuum runs
+    // eagerly — and must leave the borrowed directories standing
+    store.overwrite("cdb", "src", frame().withColumn("v", col("v") * 2))
+    val rep = store.vacuum("cdb", "src", retainMs = Some(0L))
+    assert(rep.borrowedSkipped > 0,
+      s"the borrower's hold must be visible in the report: $rep")
+    assert(sortedRows(store.read("cdb", "dst")) == cloneRows,
+      "a live borrower must keep reading after the source's vacuum")
+    // SEVERING releases the hold: one compact on the clone
+    // re-materializes every borrowed row under its own location…
+    store.compact("cdb", "dst", targetFiles = 4)
+    val rep2 = store.vacuum("cdb", "src", retainMs = Some(0L))
+    assert(rep2.borrowedSkipped == 0 && rep2.dirsReclaimed > 0,
+      s"a severed clone releases the source's space: $rep2")
+    assert(sortedRows(store.read("cdb", "dst")) == cloneRows,
+      "the severed clone reads from its own files")
+  }
+
   test("clone into a used location refuses") {
     val store = mkStore()
     register(store, "src")

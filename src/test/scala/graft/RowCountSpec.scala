@@ -80,18 +80,33 @@ class RowCountSpec extends AnyFunSuite with SparkFixture {
     assert(jobFree(store.countRows("ndb", "t", Some(v0))) == 96L)
   }
 
-  test("merge-on-read debt forces the honest scan until a fold clears it") {
+  test("merge-on-read debt: the fresh-takedown window subtracts job-free") {
     val store = mkStore()
     register(store, "t")
     store.overwrite("ndb", "t", frame())
     store.deleteWhere("ndb", "t", col("cls") === "c2",
       MergeSnapshotStore.MergeOnRead)
+    // the takedown-heavy table's common state — fresh sidecar, nothing
+    // else since — answers count(*) by subtracting the recorded masked
+    // counts, still without a job
+    assert(store.manifestRowCount("ndb", "t").contains(72L),
+      "a fresh sidecar window is provably subtractable")
+    assert(jobFree(store.countRows("ndb", "t")) == 72L)
+    // a second stacked takedown stays in the window (finds ran on the
+    // logical view, so the counts are disjoint)
+    store.deleteWhere("ndb", "t", col("id") === 0L,
+      MergeSnapshotStore.MergeOnRead)
+    assert(jobFree(store.countRows("ndb", "t")) == 71L)
+    // …but a scoped REWRITE after the sidecars closes it: new files
+    // postdate the sidecars (re-inserted keys would be exempt, dropped
+    // masked rows would double-subtract), so the honest scan takes over
+    store.deleteWhere("ndb", "t", col("id") === 1L) // CoW: one bucket
     assert(store.manifestRowCount("ndb", "t").isEmpty,
-      "a live sidecar must refuse the manifest-only count")
-    assert(store.countRows("ndb", "t") == 72L, "the fallback is exact")
+      "past the window the manifest count must refuse")
+    assert(store.countRows("ndb", "t") == 70L, "the fallback is exact")
     store.compactDebt("ndb", "t")
-    assert(jobFree(store.countRows("ndb", "t")) == 72L,
-      "folding the debt restores the fast path")
+    assert(jobFree(store.countRows("ndb", "t")) == 70L,
+      "folding the debt restores the unconditional fast path")
   }
 
   test("a clone's borrowed files keep their counts") {
