@@ -128,4 +128,70 @@ class SqlDmlSpec extends AnyFunSuite with SparkFixture {
     }
     assert(ePlain.getMessage.contains("MergeSnapshotStore"))
   }
+
+  test("TIMESTAMP AS OF statements resolve through the provenance stamps") {
+    // deep history: the restore commit must not age the stamped target
+    // out before the clone statement pins it
+    val store = new MergeSnapshotStore(spark, new InMemoryCatalog,
+      nBuckets = 4, keepVersions = 8, vacuumRetentionMs = 0L)
+    val runner = new QueryRunner(store)
+    register(store, "t")
+    store.overwrite("sdb", "t", frame())
+    store.deleteWhere("sdb", "t", col("id") < 8L)
+    // versionAt pins by instant; the RESTORE statement's TIMESTAMP form
+    // must land on exactly the version the typed call names
+    val stamp = store.history("sdb", "t").orderBy("version")
+      .collect().head.getAs[java.sql.Timestamp]("timestamp")
+    val typed = store.versionAt("sdb", "t", stamp.getTime)
+    assert(typed == 0)
+    val restored = runner.dml("sdb",
+      s"RESTORE TABLE t TO TIMESTAMP AS OF '${stamp.getTime}'")
+    assert(restored == store.latestVersion("sdb", "t").toLong)
+    assert(store.read("sdb", "t").count() == 128,
+      "the timestamp restore rewinds to the pre-delete snapshot")
+    // a clone pinned by timestamp borrows the same snapshot
+    val loc = java.nio.file.Files
+      .createTempDirectory("graft-sqldml-tsclone").toString + "/t"
+    runner.dml("sdb", "CREATE TABLE dst SHALLOW CLONE t TIMESTAMP AS OF " +
+      s"'${stamp.getTime}' LOCATION '$loc'")
+    assert(store.read("sdb", "dst").count() == 128)
+  }
+
+  test("OPTIMIZE OPTIONS exposes the typed knobs; unknown keys refuse") {
+    val store = mkStore()
+    val runner = new QueryRunner(store)
+    register(store, "t")
+    store.overwrite("sdb", "t", frame(512))
+    runner.dml("sdb", "OPTIMIZE t ZORDER BY (v) OPTIONS (filesPerBucket = 2)")
+    val perBucket = store.filesOf("sdb", "t").groupBy("bucket").count()
+      .agg(max("count")).head().getLong(0)
+    assert(perBucket <= 2, s"filesPerBucket must reach the rewrite: $perBucket")
+    val bad = intercept[IllegalArgumentException] {
+      runner.dml("sdb", "OPTIMIZE t OPTIONS (fileCount = 3)")
+    }
+    assert(bad.getMessage.contains("unknown OPTIMIZE option"))
+    val cross = intercept[IllegalArgumentException] {
+      runner.dml("sdb", "OPTIMIZE t OPTIONS (filesPerBucket = 3)")
+    }
+    assert(cross.getMessage.contains("ZORDER"))
+  }
+
+  test("the frame-returning sql surface: DESCRIBE HISTORY and files()") {
+    val store = mkStore()
+    val runner = new QueryRunner(store)
+    register(store, "t")
+    store.overwrite("sdb", "t", frame())
+    store.deleteWhere("sdb", "t", col("id") === 1L)
+    val hist = runner.sql("sdb", "DESCRIBE HISTORY t")
+    assert(hist.columns.contains("operation") && hist.count() ==
+      store.history("sdb", "t").count())
+    val files = runner.sql("sdb", "SELECT * FROM files(t)")
+    assert(files.count() == store.filesOf("sdb", "t").count())
+    // pinned files() form
+    val v0files = runner.sql("sdb", "SELECT * FROM files(t, 0)")
+    assert(v0files.count() == store.filesOf("sdb", "t", Some(0)).count())
+    // a DML statement through sql() comes back as a one-row frame
+    val del = runner.sql("sdb", "DELETE FROM t WHERE id = 2")
+    assert(del.columns.toSeq == Seq("affected") && del.head().getLong(0) == 1L)
+  }
 }
