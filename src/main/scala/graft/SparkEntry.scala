@@ -2687,6 +2687,48 @@ object SparkEntry {
       store.read("q88", "orders").orderBy("o_orderkey")
     }),
 
+    // Column-mapping DROP (the second half of schema evolution): the
+    // manifest's schema simply loses the field — no data job, carried
+    // files keep serving the remaining columns, and the dropped
+    // column's on-disk name joins the RETIRED list so a later ADD
+    // cannot resurrect carried data. The fixture pins metadata-only
+    // (file set unchanged), the resurrection refusal, and post-drop
+    // DML over carried files; the oracle projects the narrowed schema
+    "q89_store_drop_column" -> ((s, d) => {
+      import graft.catalog.{InMemoryCatalog, MergeSnapshotStore, TableMeta}
+      import graft.operators.QueryRunner
+      val orders = t(s, d, "orders").select(col("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+      val work = java.nio.file.Files.createTempDirectory("graft-q89").toString
+      val cat = new InMemoryCatalog
+      cat.register(TableMeta("q89", "orders", s"$work/orders",
+        primaryKey = Seq("o_orderkey")))
+      val store = new MergeSnapshotStore(s, cat, nBuckets = 8,
+        keepVersions = 8)
+      val runner = new QueryRunner(store)
+      store.overwrite("q89", "orders", orders)
+      // a scoped takedown first, so carried files hold the full schema
+      store.deleteWhere("q89", "orders", col("o_totalprice") < 20000.0)
+      val filesBefore = store.filesOf("q89", "orders").count()
+      runner.dml("q89", "ALTER TABLE orders DROP COLUMN o_orderstatus")
+      require(store.filesOf("q89", "orders").count() == filesBefore,
+        "a drop is metadata-only: the same files serve the new schema")
+      // re-adding the dropped name must refuse — the carried files
+      // still hold it and the add would resurrect takedown-era data
+      val refused =
+        try { store.mergeScoped("q89", "orders",
+            store.read("q89", "orders").limit(1).select("o_orderkey")) {
+            old => old.withColumn("o_orderstatus",
+              when(col("o_orderkey") >= 0L, lit("X")))
+          }; false }
+        catch { case e: IllegalArgumentException =>
+          e.getMessage.contains("resurrect") }
+      require(refused, "the resurrection add must refuse by name")
+      // post-drop DML over the carried files
+      runner.dml("q89", "DELETE FROM orders WHERE o_totalprice > 180000.0")
+      store.read("q89", "orders").orderBy("o_orderkey")
+    }),
+
     // The SQL surface THROUGH the storage engine (readSkipping /
     // StoreFileIndex): the reference's primary query shape — domain SQL
     // over temp views (reference src/apply_to_domains.py:54-68) — runs
@@ -5325,6 +5367,15 @@ object SparkEntry {
                   'X' AS o_orderstatus, o_totalprice
            FROM orders
            WHERE NOT (o_totalprice < 30000.0) AND o_orderstatus = 'P')
+         ORDER BY o_orderkey""",
+
+    // the dropped column leaves the answer; everything else survives
+    // the carried-file reads and the post-drop takedown
+    "q89_store_drop_column" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+         FROM orders
+         WHERE NOT (o_totalprice < 20000.0)
+           AND NOT (o_totalprice > 180000.0)
          ORDER BY o_orderkey""",
 
     // the renamed column is the same column: pre-rename takedown,

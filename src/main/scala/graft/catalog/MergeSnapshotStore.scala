@@ -205,7 +205,15 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
                               // manifest-only count(*) fast path; a
                               // file without a line forces the scan
                               // fallback
-                              rows: Map[String, Long] = Map.empty)
+                              rows: Map[String, Long] = Map.empty,
+                              // RETIRED physical column names (column-
+                              // mapping DROP): carried files still hold
+                              // these on-disk columns, so an evolution
+                              // ADD under any of them would silently
+                              // RESURRECT dropped data — the add
+                              // refuses while any carry era survives; a
+                              // whole-table rewrite resets the list
+                              retired: Seq[String] = Nil)
 
   private def manifestVersions(location: String): Seq[Int] = {
     val p = new Path(location)
@@ -337,8 +345,11 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
       val Array(_, fp, n) = s.split('\t')
       fp -> n.toLong
     }.toMap
+    val retired = lines.collect { case s if s.startsWith("x\t") =>
+      s.split('\t')(1)
+    }
     val m = Manifest(schema, SortedMap(buckets: _*), nb, stats, strStats,
-      setStats, deletes, carries, op, at, rowsMap)
+      setStats, deletes, carries, op, at, rowsMap, retired)
     manifestCache.put(key, m)
     // close the parse-vs-vacuum race: a concurrent vacuum that deleted
     // this file and swept the cache BETWEEN our open and our put would
@@ -378,6 +389,7 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
       m.deletes.map(d =>
         s"d\t${d.rel}\t${d.version}\t${d.rows}\t${d.kind}") ++
       m.rows.toSeq.sorted.map { case (fp, n) => s"r\t$fp\t$n" } ++
+      m.retired.sorted.map(r => s"x\t$r") ++
       // provenance line last: optional, so pre-history manifests (and
       // their golden fixtures) round-trip unchanged
       (if (m.op.isEmpty) Nil else Seq(s"o\t${m.op}\t${m.at}"))).mkString("\n")
@@ -1606,7 +1618,7 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     // write under their own name (attachPhysical refuses a name that
     // shadows a carried physical column)
     val pubSchema = MergeSnapshotStore.attachPhysical(current.schema,
-      dropBucketCol(out.schema))
+      current.retired.toSet, dropBucketCol(out.schema))
     val (written, newStats, newStrStats, newSetStats, newRows) =
       writeData(meta, readVer + 1, out, pks, cluster, enforceChecks,
         pubSchema)
@@ -1671,7 +1683,8 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
             carriedSetStats ++ newSetStats, liveDeletes, carriedCarries,
             op = op, at = System.currentTimeMillis(),
             rows = base.rows.filter { case (fp, _) => keeps(fp) } ++
-              newRows))) {
+              newRows,
+            retired = base.retired))) {
         vacuum(meta, manifestVersions(meta.location).filter(_ <= baseVer))
         clearTombstones(meta, written)
         committed = true
@@ -2671,7 +2684,8 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
           current.setStats.filter(kv => keeps(kv._1)) ++ newSetStats,
           liveDeletes, carriesNew,
           op = op, at = System.currentTimeMillis(),
-          rows = current.rows.filter(kv => keeps(kv._1)) ++ newRows)))
+          rows = current.rows.filter(kv => keeps(kv._1)) ++ newRows,
+          retired = current.retired)))
       throw new java.util.ConcurrentModificationException(
         s"${meta.qualified} moved past version $base while a file-scoped " +
           "maintenance pass rewrote it — the rewrite is stale; re-run " +
@@ -2840,21 +2854,90 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     next
   }
 
+  /**
+   * Column DROP without a byte rewritten — the second half of column
+   * mapping: the new manifest's schema simply lacks the field, scans
+   * project the remaining physical columns (parquet reads a subset by
+   * name), and the dropped column's on-disk spelling joins the
+   * manifest's RETIRED list so a later evolution ADD under that name
+   * refuses instead of silently resurrecting carried data (the Delta
+   * columnMapping hazard its UUID physical names exist for). A
+   * whole-table rewrite re-materializes without the column and resets
+   * the list; RESTORE across the drop reverts it.
+   *
+   * Refusals: unknown column; the last data column; a PRIMARY KEY
+   * column; a column a CHECK constraint or the set-stats/bloom
+   * properties reference. Returns the new head version.
+   */
+  def dropColumn(db: String, table: String, name: String): Int = {
+    val meta = catalog0(db, table)
+    val vs = manifestVersions(meta.location)
+    require(vs.nonEmpty,
+      s"bootstrap ${meta.qualified} with overwrite() before dropping")
+    val m = readManifest(meta.location, vs.last)
+    val field = m.schema.fields.find(_.name.equalsIgnoreCase(name))
+      .getOrElse(throw new IllegalArgumentException(
+        s"${meta.qualified} has no column $name (columns: " +
+          s"${m.schema.fieldNames.mkString(", ")})"))
+    require(m.schema.fields.length > 1,
+      s"cannot drop the last column of ${meta.qualified}")
+    require(!meta.primaryKey.exists(_.equalsIgnoreCase(name)),
+      s"dropping PRIMARY KEY column $name of ${meta.qualified} is not " +
+        "supported — restructure with overwrite() and re-register")
+    Seq(MergeSnapshotStore.SetStatsProp, MergeSnapshotStore.BloomProp)
+      .foreach { prop =>
+        meta.properties.get(prop).foreach { v =>
+          require(!v.split(',').map(_.trim.takeWhile(_ != ':'))
+              .exists(_.equalsIgnoreCase(name)),
+            s"$prop on ${meta.qualified} names $name — re-point the " +
+              "property before dropping")
+        }
+      }
+    MergeSnapshotStore.checksOf(meta).foreach { case (cname, predSql) =>
+      val re = ("(?i)\\b" + java.util.regex.Pattern.quote(name) + "\\b").r
+      require(re.findFirstIn(predSql).isEmpty,
+        s"CHECK constraint $cname ($predSql) references $name — drop " +
+          "the constraint first")
+    }
+    val newSchema = StructType(
+      m.schema.fields.filterNot(_.name.equalsIgnoreCase(name)))
+    runBeforePublish()
+    val next = vs.last + 1
+    if (!publishManifest(meta.location, next,
+        m.copy(schema = newSchema,
+          retired = (m.retired :+ MergeSnapshotStore.physicalOf(field))
+            .distinct,
+          op = s"drop($name)", at = System.currentTimeMillis())))
+      throw new java.util.ConcurrentModificationException(
+        s"${meta.qualified} took version $next while a drop committed — " +
+          "re-run against the new snapshot")
+    vacuum(meta, vs)
+    clearTombstones(meta, m.buckets)
+    next
+  }
+
   /** The old version's frame with its columns ALIGNED to the new
    * version's logical spelling by PHYSICAL identity — what makes the
-   * change feed survive a rename (a renamed column is the same column,
-   * not a drop + add). */
+   * change feed survive a rename or a drop (a renamed column is the
+   * same column, not a drop + add; a DROPPED column leaves the diff —
+   * the new version has no values to compare it against). */
   private def alignedOld(meta: TableMeta, from: Int, to: Int): DataFrame = {
     val sOld = readManifest(meta.location, from).schema
     val sNew = readManifest(meta.location, to).schema
     val oldDf = readVersion(meta, from)
     val p2lNew = sNew.fields.map(f =>
       MergeSnapshotStore.physicalOf(f).toLowerCase -> f.name).toMap
-    val renames = sOld.fields.toSeq.flatMap { f =>
+    val kept = sOld.fields.toSeq.filter(f =>
+      p2lNew.contains(MergeSnapshotStore.physicalOf(f).toLowerCase))
+    val projected =
+      if (kept.size == sOld.fields.length) oldDf
+      else oldDf.select(kept.map(f => col(f.name)): _*)
+    val renames = kept.flatMap { f =>
       p2lNew.get(MergeSnapshotStore.physicalOf(f).toLowerCase)
         .filter(_ != f.name).map(f.name -> _)
     }
-    renames.foldLeft(oldDf) { case (d, (o, n)) => d.withColumnRenamed(o, n) }
+    renames.foldLeft(projected) { case (d, (o, n)) =>
+      d.withColumnRenamed(o, n) }
   }
 
   /** [[SnapshotStore.changesBetween]] comparing versions by PHYSICAL
@@ -3242,7 +3325,8 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
       m.setStats.map { case (fp, ss) => abs(fp) -> ss },
       m.deletes.map(d => d.copy(rel = abs(d.rel))),
       m.carries.map { case (b, rels) => b -> rels.map(abs) },
-      rows = m.rows.map { case (fp, n) => abs(fp) -> n })
+      rows = m.rows.map { case (fp, n) => abs(fp) -> n },
+      retired = m.retired)
     val dstMeta = srcMeta.copy(db = dstDb, name = dstTable,
       location = dstLocation,
       properties = srcMeta.properties +
@@ -4297,13 +4381,16 @@ object MergeSnapshotStore {
    * commit's published schema): a field `next` shares with `prior` (by
    * logical name, ci) keeps prior's physical spelling; a field NEW to
    * the schema writes under its own name — refusing, loudly, a name
-   * that would SHADOW another field's physical spelling (the carried
-   * files already hold a column by that on-disk name, and the scan
-   * could not tell the two apart). */
+   * that would SHADOW another field's physical spelling OR a RETIRED
+   * physical name (the carried files already hold a column by that
+   * on-disk name — the scan could not tell the two apart, and for a
+   * retired name it would silently RESURRECT dropped data). */
   private[catalog] def attachPhysical(prior: StructType,
+                                      retired: Set[String],
                                       next: StructType): StructType = {
-    if (!hasRenames(prior)) return next
+    if (!hasRenames(prior) && retired.isEmpty) return next
     val byLogical = prior.fields.map(f => f.name.toLowerCase -> f).toMap
+    val retiredLc = retired.map(_.toLowerCase)
     StructType(next.fields.map { f =>
       byLogical.get(f.name.toLowerCase) match {
         case Some(p) if physicalOf(p) != f.name =>
@@ -4312,6 +4399,13 @@ object MergeSnapshotStore {
             .build())
         case Some(_) => f
         case None =>
+          if (retiredLc.contains(f.name.toLowerCase))
+            throw new IllegalArgumentException(
+              s"cannot add column ${f.name}: a DROPPED column's data " +
+                s"still lives under that on-disk name in carried files " +
+                "and the add would resurrect it — pick another name, or " +
+                "compact/overwrite first (a whole-table rewrite retires " +
+                "the carried era)")
           prior.fields.find(p => physicalOf(p).equalsIgnoreCase(f.name) &&
               !p.name.equalsIgnoreCase(f.name)).foreach { owner =>
             throw new IllegalArgumentException(

@@ -110,6 +110,8 @@ object QueryRunner {
   private val RenameColumnRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+RENAME\s+COLUMN\s+""" +
       """([\w`]+)\s+TO\s+([\w`]+)\s*;?\s*$""").r
+  private val DropColumnRe =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+DROP\s+COLUMN\s+([\w`]+)\s*;?\s*$""".r
 
   /** `TIMESTAMP AS OF` operand → epoch ms: `'yyyy-MM-dd[ HH:mm:ss[.f]]'`
    * (JDBC escape forms) or bare epoch-millisecond digits. */
@@ -280,6 +282,9 @@ object QueryRunner {
         // COLUMN): returns the new head version
         return ms.renameColumn(db, namedTable(raw),
           o.replace("`", ""), n.replace("`", "")).toLong
+      case DropColumnRe(raw, c) =>
+        return ms.dropColumn(db, namedTable(raw),
+          c.replace("`", "")).toLong
       case OptimizeRe(raw, zorder, opts) =>
         val tbl = namedTable(raw)
         // OPTIONS exposes the typed knobs the bare statement defaults:

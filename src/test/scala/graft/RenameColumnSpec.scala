@@ -218,6 +218,87 @@ class RenameColumnSpec extends AnyFunSuite with SparkFixture {
     assert(ex.getMessage.contains("physical"), ex.getMessage)
   }
 
+  test("DROP: metadata-only; re-ADD refuses resurrection; a rewrite resets") {
+    val store = mkStore()
+    register(store, "t")
+    store.overwrite("rdb", "t", frame())
+    // carried eras exist (a scoped merge first)
+    store.mergeScoped("rdb", "t", frame().filter(col("id") === 7L)
+      .select("id")) { old =>
+      old.withColumn("v", when(col("id") === 7L, lit(700L)).otherwise(col("v")))
+    }
+    val filesBefore = store.filesOf("rdb", "t").count()
+    val vDrop = store.dropColumn("rdb", "t", "v")
+    assert(store.filesOf("rdb", "t").count() == filesBefore,
+      "a drop is metadata-only: the same files serve the narrowed schema")
+    assert(store.read("rdb", "t").columns.toSeq == Seq("id", "cls"))
+    assert(store.history("rdb", "t").filter(col("operation") === "drop(v)")
+      .count() == 1)
+    // re-ADDING the dropped name would RESURRECT carried data — refuse
+    val ex = intercept[IllegalArgumentException] {
+      store.mergeScoped("rdb", "t", frame().filter(col("id") === 1L)
+        .select("id")) { old =>
+        old.withColumn("v", when(col("id") >= 0L, lit(0L)))
+      }
+    }
+    assert(ex.getMessage.contains("resurrect"), ex.getMessage)
+    // RESTORE reverts the drop — values included
+    store.restore("rdb", "t", vDrop - 1)
+    assert(store.read("rdb", "t").filter(col("id") === 7L)
+      .head().getLong(1) == 700L)
+    // drop again, then a whole-table rewrite: the carried era is gone,
+    // so the name is free again — and the values do NOT come back
+    store.dropColumn("rdb", "t", "v")
+    store.compact("rdb", "t", targetFiles = 4)
+    store.mergeScoped("rdb", "t", frame().filter(col("id") === 1L)
+      .select("id")) { old =>
+      old.withColumn("v", when(col("id") < 0L, lit(0L))) // all-NULL add
+    }
+    val revived = store.read("rdb", "t")
+    assert(revived.columns.contains("v") &&
+      revived.filter(col("v").isNotNull).count() == 0,
+      "after the reset the re-added column starts empty — never the " +
+        "dropped data")
+  }
+
+  test("DROP refusals; the feed and the statement across a drop") {
+    val store = mkStore()
+    register(store, "t",
+      props = Map(MergeSnapshotStore.SetStatsProp -> "cls"))
+    store.overwrite("rdb", "t", frame())
+    def refuse(c: String, needle: String): Unit = {
+      val ex = intercept[IllegalArgumentException] {
+        store.dropColumn("rdb", "t", c)
+      }
+      assert(ex.getMessage.toLowerCase.contains(needle.toLowerCase),
+        s"drop $c: ${ex.getMessage}")
+    }
+    refuse("id", "PRIMARY KEY")
+    refuse("nope", "no column")
+    refuse("cls", MergeSnapshotStore.SetStatsProp)
+    store.addCheckConstraint("rdb", "t", "v_nonneg", "v >= 0")
+    refuse("v", "constraint")
+    store.dropCheckConstraint("rdb", "t", "v_nonneg")
+    // last-column refusal (PK-less two-column table)
+    register(store, "two", pk = Nil)
+    import spark.implicits._
+    store.overwrite("rdb", "two",
+      (0 until 8).map(i => (i.toLong, i.toLong)).toDF("a", "b"))
+    store.dropColumn("rdb", "two", "b")
+    intercept[IllegalArgumentException] {
+      store.dropColumn("rdb", "two", "a")
+    }
+    // the keyed feed across a drop compares the surviving columns
+    val v0 = store.latestVersion("rdb", "t")
+    val runner = new QueryRunner(store)
+    assert(runner.dml("rdb", "ALTER TABLE t DROP COLUMN v") == v0 + 1)
+    store.deleteWhere("rdb", "t", col("cls") === "c1")
+    val feed = store.changesBetween("rdb", "t", v0,
+      store.latestVersion("rdb", "t"))
+    assert(!feed.columns.contains("v") &&
+      feed.filter(col("change") === "D").count() == 16)
+  }
+
   test("the ALTER TABLE RENAME COLUMN statement rides the dialect") {
     val store = mkStore()
     register(store, "t")
