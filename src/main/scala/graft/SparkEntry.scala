@@ -2687,6 +2687,34 @@ object SparkEntry {
       store.read("q88", "orders").orderBy("o_orderkey")
     }),
 
+    // Guaranteed time travel (graft.manifest.keep.ms — Delta's
+    // logRetentionDuration per table): manifests younger than the
+    // window survive vacuum expiry beyond the keepVersions COUNT
+    // floor, so an AS-OF read the count alone would have expired keeps
+    // answering. keepVersions=1 + two commits + an eager explicit
+    // vacuum: without the property v0 is gone; with it, the pinned
+    // read of v0 IS the oracle (the pre-delete snapshot)
+    "q90_store_time_travel" -> ((s, d) => {
+      import graft.catalog.{InMemoryCatalog, MergeSnapshotStore, TableMeta}
+      val orders = t(s, d, "orders").select(col("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+      val work = java.nio.file.Files.createTempDirectory("graft-q90").toString
+      val cat = new InMemoryCatalog
+      cat.register(TableMeta("q90", "orders", s"$work/orders",
+        primaryKey = Seq("o_orderkey"),
+        properties = Map(MergeSnapshotStore.ManifestKeepProp ->
+          (3600L * 1000L).toString)))
+      val store = new MergeSnapshotStore(s, cat, nBuckets = 8,
+        keepVersions = 1)
+      store.overwrite("q90", "orders", orders)              // v0
+      store.deleteWhere("q90", "orders",
+        col("o_totalprice") < 50000.0)                      // v1
+      store.vacuum("q90", "orders", retainMs = Some(0L))
+      require(store.history("q90", "orders").count() == 2,
+        "the keep window must hold BOTH manifests past the count floor")
+      store.readPinned("q90", "orders", Some(0)).orderBy("o_orderkey")
+    }),
+
     // Column-mapping DROP (the second half of schema evolution): the
     // manifest's schema simply loses the field — no data job, carried
     // files keep serving the remaining columns, and the dropped
@@ -5367,6 +5395,12 @@ object SparkEntry {
                   'X' AS o_orderstatus, o_totalprice
            FROM orders
            WHERE NOT (o_totalprice < 30000.0) AND o_orderstatus = 'P')
+         ORDER BY o_orderkey""",
+
+    // the window-retained AS-OF read answers the PRE-delete snapshot
+    "q90_store_time_travel" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+         FROM orders
          ORDER BY o_orderkey""",
 
     // the dropped column leaves the answer; everything else survives

@@ -3987,14 +3987,28 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
    * same snapshots before and after (answer invariance is oracle-
    * pinned). Returns what the pass did, so a retention sweep can
    * alert on tables whose reclaim is stuck waiting on the horizon.
+   *
+   * `dryRun = true` (Delta's `VACUUM … DRY RUN`) reports what the pass
+   * WOULD do — same counts, including directories whose retention
+   * clock has not started yet counting as reclaimable-at-horizon —
+   * while touching nothing: no manifest expiry, no tombstone writes,
+   * no deletion.
+   *
+   * TIME-BASED MANIFEST RETENTION (opt-in,
+   * [[MergeSnapshotStore.ManifestKeepProp]]): a table promising
+   * "time travel for N hours" sets the property and manifests younger
+   * than the window survive expiry even beyond the keepVersions count
+   * (the floor is unchanged — at least keepVersions always remain);
+   * manifests with no provenance stamp age out by count as before.
    */
   def vacuum(db: String, table: String,
-             retainMs: Option[Long] = None): VacuumReport = {
+             retainMs: Option[Long] = None,
+             dryRun: Boolean = false): VacuumReport = {
     val meta = catalog0(db, table)
     val vs = manifestVersions(meta.location)
     require(vs.nonEmpty, s"no manifest versions at ${meta.location}")
     retainMs.foreach(r => require(r >= 0, "retainMs must be >= 0"))
-    vacuumCore(meta, vs, retainMs.getOrElse(retentionMsOf(meta)))
+    vacuumCore(meta, vs, retainMs.getOrElse(retentionMsOf(meta)), dryRun)
   }
 
   /** A table's retention horizon in WALL-CLOCK time: its
@@ -4016,15 +4030,45 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
         ms
     }
 
+  /** A table's guaranteed time-travel window in ms (0 = none): its
+   * [[MergeSnapshotStore.ManifestKeepProp]] property. */
+  private def manifestKeepMsOf(meta: TableMeta): Long =
+    meta.properties.get(MergeSnapshotStore.ManifestKeepProp) match {
+      case None => 0L
+      case Some(s) =>
+        val ms = try s.trim.toLong catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"${MergeSnapshotStore.ManifestKeepProp}='$s' on " +
+              s"${meta.qualified} is not a millisecond count")
+        }
+        require(ms >= 0,
+          s"${MergeSnapshotStore.ManifestKeepProp} must be >= 0 for " +
+            meta.qualified)
+        ms
+    }
+
   private def vacuumCore(meta: TableMeta, all: Seq[Int],
-                         retainMs: Long): VacuumReport = {
+                         retainMs: Long,
+                         dryRun: Boolean = false): VacuumReport = {
     var manifestsExpired = 0
     var dirsReclaimed = 0
     var carryFilesReclaimed = 0
     var dirsAwaitingHorizon = 0
     var borrowedSkipped = 0
-    val expired = all.dropRight(keepVersions)
     val f = fs(new Path(meta.location))
+    // expiry candidates: past the keepVersions FLOOR, and — when the
+    // table promises a time-travel window — older than it (a manifest
+    // without a provenance stamp ages out by count, as always)
+    val keepMs = manifestKeepMsOf(meta)
+    val nowForKeep = System.currentTimeMillis()
+    val expired = all.dropRight(keepVersions).filter { v =>
+      keepMs == 0L || {
+        val at =
+          try readManifest(meta.location, v).at
+          catch { case _: java.io.FileNotFoundException => -1L }
+        at < 0L || nowForKeep - at >= keepMs
+      }
+    }
     // CLONE-AWARE deletion guard: a shallow clone borrows this table's
     // files by ABSOLUTE manifest reference, and a vacuum that cannot
     // see the borrowers severs them at read time — Delta documents the
@@ -4059,10 +4103,13 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
         borrowed.exists(_.startsWith(s"$absDir/"))
     expired.foreach { v =>
       val p = manifestPath(meta.location, v)
-      if (f.delete(p, false)) manifestsExpired += 1
-      // expiry invalidates the parse cache HERE (not per-hit): a
-      // same-store read of a vacuumed version must fail loudly
-      manifestCache.remove(p.toString)
+      if (dryRun) { if (f.exists(p)) manifestsExpired += 1 }
+      else {
+        if (f.delete(p, false)) manifestsExpired += 1
+        // expiry invalidates the parse cache HERE (not per-hit): a
+        // same-store read of a vacuumed version must fail loudly
+        manifestCache.remove(p.toString)
+      }
     }
     // referenced = every dir ANY still-existing manifest points at —
     // re-listed AFTER the expiry deletes, so a manifest a concurrent
@@ -4080,7 +4127,11 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     val (refDirs, refCarryFiles) = {
       val dirs = Set.newBuilder[String]
       val carries = Set.newBuilder[String]
-      manifestVersions(meta.location).foreach { v =>
+      // a DRY run deleted nothing, so the would-expire manifests are
+      // still listed — exclude them here or the report under-counts
+      // exactly the reclaim the real pass would perform
+      manifestVersions(meta.location)
+        .filterNot(v => dryRun && expired.contains(v)).foreach { v =>
         try {
           val m = readManifest(meta.location, v)
           // delete sidecars are manifest-referenced directories exactly
@@ -4129,8 +4180,11 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
                     // does), so the stale file must be dropped first or
                     // the repair silently no-ops and this branch returns
                     // `now` on every commit — a permanent space leak.
-                    f.delete(tomb, false)
-                    writeTombstone(f, tomb, now); now
+                    if (!dryRun) {
+                      f.delete(tomb, false)
+                      writeTombstone(f, tomb, now)
+                    }
+                    now
                   case TombstoneUnreadable =>
                     // transient read failure: the on-disk epoch may be old
                     // and valid — leave the file alone and act as if the
@@ -4141,13 +4195,14 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
               } else {
                 // first observation: start the retention clock (hidden
                 // `_`-prefixed file — parquet readers mid-scan ignore it)
-                writeTombstone(f, tomb, now)
+                if (!dryRun) writeTombstone(f, tomb, now)
                 now
               }
             if (now - expiredAt >= retainMs) {
               if (isBorrowed(s"${meta.location}/data/$cname/" +
                   bdir.getPath.getName))
                 borrowedSkipped += 1
+              else if (dryRun) dirsReclaimed += 1
               else if (f.delete(bdir.getPath, true)) dirsReclaimed += 1
             } else dirsAwaitingHorizon += 1
           } else {
@@ -4159,7 +4214,7 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
             // instead of inheriting the pre-publish epoch and deleting
             // early under a pinned reader.
             val tomb = new Path(bdir.getPath, "_expired_at")
-            try { if (f.exists(tomb)) f.delete(tomb, false) }
+            try { if (!dryRun && f.exists(tomb)) f.delete(tomb, false) }
             catch { case scala.util.control.NonFatal(_) => () }
             val relDir = s"data/$cname/${bdir.getPath.getName}"
             if (!refDirs.contains(relDir)) {
@@ -4179,10 +4234,13 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
                 if (f.exists(marker)) readTombstoneEpoch(f, marker) match {
                   case TombstoneEpoch(e) => e
                   case TombstoneGarbled =>
-                    f.delete(marker, false); writeTombstone(f, marker, now); now
+                    if (!dryRun) {
+                      f.delete(marker, false); writeTombstone(f, marker, now)
+                    }
+                    now
                   case TombstoneUnreadable => now
                 }
-                else { writeTombstone(f, marker, now); now }
+                else { if (!dryRun) writeTombstone(f, marker, now); now }
               if (now - since >= retainMs) {
                 val keep = refCarryFiles
                   .filter(_.startsWith(s"$relDir/"))
@@ -4192,7 +4250,7 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
                   if (st.isFile && !n.startsWith("_") && !n.startsWith(".") &&
                       !keep.contains(n) &&
                       !borrowed.contains(s"${meta.location}/$relDir/$n") &&
-                      f.delete(st.getPath, false))
+                      (dryRun || f.delete(st.getPath, false)))
                     carryFilesReclaimed += 1
                 }
               }
@@ -4204,7 +4262,8 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
         // creation and its first task file, and deleting it fails that
         // writer's tasks; a crashed tmp's CONTENTS age out through the
         // bucket-dir tombstones above, which is cleanup enough
-        if (!cname.startsWith(".") && listOrEmpty(commit.getPath).isEmpty)
+        if (!dryRun && !cname.startsWith(".") &&
+            listOrEmpty(commit.getPath).isEmpty)
           f.delete(commit.getPath, true)
       }
     }
@@ -4428,6 +4487,13 @@ object MergeSnapshotStore {
    * "bytes gone within N days" = this property + a [[MergeSnapshotStore.vacuum(db:String*]]
    * call (cron or the VACUUM statement) any time after the window. */
   val RetentionProp: String = "graft.vacuum.retention.ms"
+
+  /** Table property: guaranteed TIME-TRAVEL window in milliseconds —
+   * manifests younger than this survive vacuum expiry even beyond the
+   * keepVersions count (which stays the floor). Delta's
+   * logRetentionDuration as a per-table number; unset = count-based
+   * expiry only, today's default. */
+  val ManifestKeepProp: String = "graft.manifest.keep.ms"
 
   /** Largest point-lookup key set inlined as a pushed `isin` predicate;
    * bigger sets fall back to a broadcast semi-join (10k In-values is

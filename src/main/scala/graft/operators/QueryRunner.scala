@@ -96,7 +96,8 @@ object QueryRunner {
       """(?:\s+VERSION\s+AS\s+OF\s+(\d+)|\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?""" +
       """\s+LOCATION\s+'([^']+)'\s*;?\s*$""").r
   private val VacuumRe =
-    """(?is)^\s*VACUUM\s+([\w.`]+)(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?\s*;?\s*$""".r
+    ("""(?is)^\s*VACUUM\s+([\w.`]+)(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?""" +
+      """(\s+DRY\s+RUN)?\s*;?\s*$""").r
   private val DescribeHistoryRe =
     """(?is)^\s*DESCRIBE\s+HISTORY\s+([\w.`]+)\s*;?\s*$""".r
   private val FilesTableRe =
@@ -263,13 +264,15 @@ object QueryRunner {
           else Option(ts).map(t => ms.versionAt(db, src, epochOf(t)))
         return ms.cloneTable(db, src, db, namedTable(dstRaw),
           loc, version = pinned).toLong
-      case VacuumRe(raw, hours) =>
+      case VacuumRe(raw, hours, dry) =>
         // Delta's VACUUM statement: the retention horizon stays the
         // table's own (property, else store default) unless RETAIN
-        // overrides it for this pass. Returns how much was reclaimed.
+        // overrides it for this pass; DRY RUN reports without touching
+        // anything. Returns how much was (or would be) reclaimed.
         val report = ms.vacuum(db, namedTable(raw),
           retainMs = Option(hours).map(h =>
-            (h.toDouble * 3600 * 1000).toLong))
+            (h.toDouble * 3600 * 1000).toLong),
+          dryRun = dry != null)
         return report.reclaimed.toLong
       case AddConstraintRe(raw, name, pred) =>
         ms.addCheckConstraint(db, namedTable(raw), name, pred.trim)

@@ -180,6 +180,53 @@ class VacuumSpec extends AnyFunSuite with SparkFixture {
     assert(f.columns.toSeq == Seq("affected") && f.head().getLong(0) == 0L)
   }
 
+  test("DRY RUN reports exactly the real pass's reclaim and touches nothing") {
+    // a 1h-horizon table whose fold left tombstoned pre-fold dirs: a
+    // RETAIN-0 pass would reclaim them — the dry run must SAY so and
+    // DO nothing
+    val store2 = mkStore(keep = 1, retentionMs = 0L)
+    val meta2 = register(store2, "t2",
+      Map(MergeSnapshotStore.RetentionProp -> HourMs.toString))
+    store2.overwrite("vdb", "t2", frame())
+    store2.deleteWhere("vdb", "t2", col("id") === 9L,
+      MergeSnapshotStore.MergeOnRead)
+    store2.compactDebt("vdb", "t2")
+    val filesBefore = rawFiles(meta2.location).size
+    val dry = store2.vacuum("vdb", "t2", retainMs = Some(0L), dryRun = true)
+    assert(dry.dirsReclaimed > 0, s"the dry run must report the reclaim: $dry")
+    assert(rawFiles(meta2.location).size == filesBefore,
+      "a dry run deletes nothing")
+    val real = store2.vacuum("vdb", "t2", retainMs = Some(0L))
+    assert(real.dirsReclaimed == dry.dirsReclaimed,
+      s"dry ($dry) and real ($real) passes must agree on the reclaim")
+    assert(rawFiles(meta2.location).size < filesBefore)
+    // the statement form
+    val runner = new QueryRunner(store2)
+    assert(runner.dml("vdb", "VACUUM t2 RETAIN 0 HOURS DRY RUN") == 0L,
+      "nothing left to reclaim — and DRY RUN parses")
+  }
+
+  test("graft.manifest.keep.ms guarantees time travel beyond the count floor") {
+    val store = mkStore(keep = 1, retentionMs = 0L)
+    register(store, "t",
+      Map(MergeSnapshotStore.ManifestKeepProp -> HourMs.toString))
+    store.overwrite("vdb", "t", frame())
+    store.deleteWhere("vdb", "t", col("id") === 1L)
+    store.deleteWhere("vdb", "t", col("id") === 2L)
+    store.vacuum("vdb", "t", retainMs = Some(0L))
+    // keepVersions=1 would have expired everything but head; the window
+    // keeps every young manifest readable — guaranteed time travel
+    assert(store.history("vdb", "t").count() == 3,
+      "manifests younger than the window must survive expiry")
+    assert(store.readPinned("vdb", "t", Some(0)).count() == 64)
+    // an unparseable window refuses loudly
+    register(store, "t2",
+      Map(MergeSnapshotStore.ManifestKeepProp -> "forever"))
+    intercept[IllegalArgumentException] {
+      store.overwrite("vdb", "t2", frame())
+    }
+  }
+
   test("a malformed retention property refuses loudly; negatives refuse") {
     val store = mkStore()
     register(store, "t",
