@@ -2687,6 +2687,36 @@ object SparkEntry {
       store.read("q88", "orders").orderBy("o_orderkey")
     }),
 
+    // Metadata-only ADD COLUMN (Delta ALTER TABLE ADD COLUMNS): the
+    // widened schema reads NULL from every existing file — no data
+    // job — and the first write that provides values (an UPDATE
+    // backfill here) lands them normally. The fixture pins
+    // metadata-only (file set unchanged across the DDL); the oracle
+    // computes the backfill as a projection
+    "q91_store_add_column" -> ((s, d) => {
+      import graft.catalog.{InMemoryCatalog, MergeSnapshotStore, TableMeta}
+      import graft.operators.QueryRunner
+      val orders = t(s, d, "orders").select(col("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+      val work = java.nio.file.Files.createTempDirectory("graft-q91").toString
+      val cat = new InMemoryCatalog
+      cat.register(TableMeta("q91", "orders", s"$work/orders",
+        primaryKey = Seq("o_orderkey")))
+      val store = new MergeSnapshotStore(s, cat, nBuckets = 8,
+        keepVersions = 8)
+      val runner = new QueryRunner(store)
+      store.overwrite("q91", "orders", orders)
+      // a scoped takedown first, so carried pre-DDL files exist
+      store.deleteWhere("q91", "orders", col("o_totalprice") < 20000.0)
+      val filesBefore = store.filesOf("q91", "orders").count()
+      runner.dml("q91", "ALTER TABLE orders ADD COLUMN note string")
+      require(store.filesOf("q91", "orders").count() == filesBefore,
+        "an add is metadata-only: the same files serve the widened schema")
+      runner.dml("q91",
+        "UPDATE orders SET note = 'flagged' WHERE o_orderstatus = 'F'")
+      store.read("q91", "orders").orderBy("o_orderkey")
+    }),
+
     // Guaranteed time travel (graft.manifest.keep.ms — Delta's
     // logRetentionDuration per table): manifests younger than the
     // window survive vacuum expiry beyond the keepVersions COUNT
@@ -5395,6 +5425,16 @@ object SparkEntry {
                   'X' AS o_orderstatus, o_totalprice
            FROM orders
            WHERE NOT (o_totalprice < 30000.0) AND o_orderstatus = 'P')
+         ORDER BY o_orderkey""",
+
+    // the metadata-added column reads NULL everywhere the backfill
+    // did not reach
+    "q91_store_add_column" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                CASE WHEN o_orderstatus = 'F' THEN 'flagged'
+                     ELSE NULL END AS note
+         FROM orders
+         WHERE NOT (o_totalprice < 20000.0)
          ORDER BY o_orderkey""",
 
     // the window-retained AS-OF read answers the PRE-delete snapshot

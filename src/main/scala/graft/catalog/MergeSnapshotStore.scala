@@ -2916,6 +2916,61 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     next
   }
 
+  /**
+   * Metadata-only ADD COLUMN — the third of the evolution trio
+   * (Delta `ALTER TABLE … ADD COLUMNS`): the new manifest's schema
+   * gains the field, every existing file reads NULL for it (the scan
+   * supplies the widened schema; parquet resolves by name), and the
+   * first write that provides values lands them normally — no data
+   * job at any table size. The field is ALWAYS nullable (every
+   * existing row surfaces NULL — a non-nullable add would publish a
+   * schema the data immediately violates, the same rule the scoped-
+   * merge evolution guard enforces).
+   *
+   * Refusals: a name the table already has; a RETIRED physical name
+   * (the add would resurrect dropped data from carried files); a name
+   * shadowing a renamed column's on-disk spelling; reserved internal
+   * names. Returns the new head version.
+   */
+  def addColumn(db: String, table: String, name: String,
+                dataType: DataType): Int = {
+    val meta = catalog0(db, table)
+    val vs = manifestVersions(meta.location)
+    require(vs.nonEmpty,
+      s"bootstrap ${meta.qualified} with overwrite() before adding columns")
+    val m = readManifest(meta.location, vs.last)
+    require(name.trim.nonEmpty, "column name must be non-empty")
+    locally {
+      val lc = name.toLowerCase
+      require(!(lc == "__b" || lc == "__fv" || lc.startsWith("__graft_")),
+        s"$name is a reserved internal column name — __b, __fv and " +
+          "__graft_* belong to the store's bucketing and merge-on-read " +
+          "machinery")
+    }
+    require(!m.schema.fields.exists(_.name.equalsIgnoreCase(name)),
+      s"${meta.qualified} already has a column $name")
+    // the same resurrection/shadow guards the scoped-merge add path
+    // enforces (attachPhysical) — checked HERE so the statement fails
+    // at the DDL, not at the next write
+    MergeSnapshotStore.attachPhysical(m.schema, m.retired.toSet,
+      StructType(m.schema.fields :+
+        StructField(name, dataType, nullable = true)))
+    val newSchema = StructType(m.schema.fields :+
+      StructField(name, dataType, nullable = true))
+    runBeforePublish()
+    val next = vs.last + 1
+    if (!publishManifest(meta.location, next,
+        m.copy(schema = newSchema,
+          op = s"add($name ${dataType.catalogString})",
+          at = System.currentTimeMillis())))
+      throw new java.util.ConcurrentModificationException(
+        s"${meta.qualified} took version $next while an add committed — " +
+          "re-run against the new snapshot")
+    vacuum(meta, vs)
+    clearTombstones(meta, m.buckets)
+    next
+  }
+
   /** The old version's frame with its columns ALIGNED to the new
    * version's logical spelling by PHYSICAL identity — what makes the
    * change feed survive a rename or a drop (a renamed column is the

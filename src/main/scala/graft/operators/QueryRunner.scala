@@ -113,6 +113,9 @@ object QueryRunner {
       """([\w`]+)\s+TO\s+([\w`]+)\s*;?\s*$""").r
   private val DropColumnRe =
     """(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+DROP\s+COLUMN\s+([\w`]+)\s*;?\s*$""".r
+  private val AddColumnRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+ADD\s+COLUMN\s+([\w`]+)""" +
+      """\s+([^;]+?)\s*;?\s*$""").r
 
   /** `TIMESTAMP AS OF` operand → epoch ms: `'yyyy-MM-dd[ HH:mm:ss[.f]]'`
    * (JDBC escape forms) or bare epoch-millisecond digits. */
@@ -288,6 +291,13 @@ object QueryRunner {
       case DropColumnRe(raw, c) =>
         return ms.dropColumn(db, namedTable(raw),
           c.replace("`", "")).toLong
+      case AddColumnRe(raw, c, typeDdl) =>
+        // the type parses through Spark's OWN DDL grammar (decimal
+        // precision, nested types, intervals all come for free)
+        val dt = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+          .parseDataType(typeDdl.trim)
+        return ms.addColumn(db, namedTable(raw),
+          c.replace("`", ""), dt).toLong
       case OptimizeRe(raw, zorder, opts) =>
         val tbl = namedTable(raw)
         // OPTIONS exposes the typed knobs the bare statement defaults:

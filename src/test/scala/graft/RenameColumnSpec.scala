@@ -299,6 +299,47 @@ class RenameColumnSpec extends AnyFunSuite with SparkFixture {
       feed.filter(col("change") === "D").count() == 16)
   }
 
+  test("ADD COLUMN: metadata-only, NULL for every existing row, backfill lands") {
+    val store = mkStore()
+    register(store, "t")
+    store.overwrite("rdb", "t", frame())
+    val filesBefore = store.filesOf("rdb", "t").count()
+    store.addColumn("rdb", "t", "note",
+      org.apache.spark.sql.types.StringType)
+    assert(store.filesOf("rdb", "t").count() == filesBefore,
+      "an add is metadata-only: the same files serve the widened schema")
+    val widened = store.read("rdb", "t")
+    assert(widened.columns.toSeq == Seq("id", "v", "cls", "note"))
+    assert(widened.filter(col("note").isNotNull).count() == 0,
+      "every existing row surfaces NULL for the added column")
+    // the first write that provides values lands them normally
+    store.updateWhere("rdb", "t", col("cls") === "c1",
+      Map("note" -> lit("flagged")))
+    assert(store.read("rdb", "t").filter(col("note") === "flagged")
+      .count() == 16)
+    assert(store.read("rdb", "t").filter(col("note").isNull).count() == 48)
+    // refusals: duplicates, reserved, resurrection, physical shadows
+    def refuse(c: String, needle: String): Unit = {
+      val ex = intercept[IllegalArgumentException] {
+        store.addColumn("rdb", "t", c,
+          org.apache.spark.sql.types.LongType)
+      }
+      assert(ex.getMessage.toLowerCase.contains(needle.toLowerCase),
+        s"add $c: ${ex.getMessage}")
+    }
+    refuse("NOTE", "already has")
+    refuse("__fv", "reserved")
+    store.dropColumn("rdb", "t", "note")
+    refuse("note", "resurrect")
+    store.renameColumn("rdb", "t", "v", "val2")
+    refuse("v", "physical")
+    // the statement form, type through Spark's own DDL grammar
+    val runner = new QueryRunner(store)
+    runner.dml("rdb", "ALTER TABLE t ADD COLUMN score decimal(8,2)")
+    assert(store.read("rdb", "t").schema("score").dataType ==
+      org.apache.spark.sql.types.DecimalType(8, 2))
+  }
+
   test("the ALTER TABLE RENAME COLUMN statement rides the dialect") {
     val store = mkStore()
     register(store, "t")
