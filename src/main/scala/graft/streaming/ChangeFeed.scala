@@ -171,6 +171,24 @@ object ChangeFeed {
       .withColumn("_commit_version", lit(head))
     val fin = new Path(dir, s"delta_v${last}_v$head")
     if (!f.exists(fin)) {
+      // the feed schema is PINNED at first export (readStream needs one
+      // schema for every delta dir). A source that evolved since —
+      // rename/drop/add are all one-manifest DDL on the store — would
+      // land a delta the pinned schema resolves WRONGLY (a renamed
+      // column reads silent NULLs by-name): refuse BEFORE writing and
+      // name the remedy. Consumers drain the old directory to its end;
+      // a fresh feed directory carries the new schema era.
+      val sf0 = new Path(dir, SchemaFile)
+      if (f.exists(sf0)) {
+        val pinned = schemaOf(spark, feedDir)
+        val pinnedCols = pinned.fields.map(f0 => f0.name.toLowerCase).toSeq
+        val deltaCols = delta.schema.fields.map(_.name.toLowerCase).toSeq
+        require(pinnedCols == deltaCols,
+          s"$feedDir pinned schema (${pinnedCols.mkString(",")}) no " +
+            s"longer matches the source's delta (${deltaCols.mkString(",")})" +
+            " — the table's schema evolved; finish draining this feed " +
+            "directory and seed a FRESH one for the new schema era")
+      }
       val tmp = new Path(dir, s".tmp_delta_v${last}_v$head")
       delta.write.mode("overwrite").parquet(tmp.toString)
       // first export pins the feed schema for readStream (immutable: a

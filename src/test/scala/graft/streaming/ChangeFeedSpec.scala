@@ -277,6 +277,35 @@ class ChangeFeedSpec extends AnyFunSuite with SparkFixture {
       ex.getMessage.contains("garbage"), ex.getMessage)
   }
 
+  test("a schema-evolved source refuses the pinned feed, naming the remedy") {
+    val store = mkStore()
+    register(store, "t")
+    store.overwrite("fdb", "t", frame())
+    val dir = feedDir("evolve")
+    ChangeFeed.advance(store, "fdb", "t", dir)
+    store.deleteWhere("fdb", "t", col("id") === 1L)
+    ChangeFeed.advance(store, "fdb", "t", dir) // pins the schema
+    // the source RENAMES a column (one-manifest DDL); the next delta
+    // would resolve WRONGLY under the pinned schema — refuse loudly
+    store.renameColumn("fdb", "t", "v", "val2")
+    store.deleteWhere("fdb", "t", col("id") === 2L)
+    val ex = intercept[IllegalArgumentException] {
+      ChangeFeed.advance(store, "fdb", "t", dir)
+    }
+    assert(ex.getMessage.contains("FRESH"), ex.getMessage)
+    // a fresh feed directory carries the new era, backfilled from the
+    // last version the old feed exported — no gap, no silent NULLs
+    val last = spark.read.parquet(s"$dir/delta_*")
+      .agg(max("_commit_version")).head().getInt(0)
+    val dir2 = feedDir("evolve2")
+    val Some((from, _)) = ChangeFeed.advance(store, "fdb", "t", dir2,
+      startVersion = Some(last))
+    assert(from == last)
+    val got = spark.read.parquet(s"$dir2/delta_*")
+    assert(got.columns.contains("val2") &&
+      got.filter(col("change") === "D").count() >= 1)
+  }
+
   test("an exporter paused past the source's retention refuses loudly") {
     val store = mkStore(keep = 2)
     register(store, "t")
