@@ -340,6 +340,33 @@ class RenameColumnSpec extends AnyFunSuite with SparkFixture {
       org.apache.spark.sql.types.DecimalType(8, 2))
   }
 
+  test("a rename landing under an in-flight merge refuses the merge, never mixes eras") {
+    val store = mkStore()
+    register(store, "t")
+    store.overwrite("rdb", "t", frame())
+    // the DDL lands between the merge's read and its publish — the
+    // merge's rewritten rows were computed against the OLD spelling,
+    // so the schema CAS must refuse rather than publish a mixed era
+    store.beforePublish = () => { store.renameColumn("rdb", "t", "v", "val2"); () }
+    intercept[java.util.ConcurrentModificationException] {
+      store.mergeScoped("rdb", "t", frame().filter(col("id") === 3L)
+        .select("id")) { old =>
+        old.withColumn("v", when(col("id") === 3L, lit(-3L)).otherwise(col("v")))
+      }
+    }
+    // the rename won; the table reads consistently under the new name
+    val got = store.read("rdb", "t")
+    assert(got.columns.toSeq == Seq("id", "val2", "cls") &&
+      got.count() == 64)
+    // the re-run against the new snapshot (the refusal's remedy) lands
+    store.mergeScoped("rdb", "t", frame().filter(col("id") === 3L)
+      .select("id")) { old =>
+      old.withColumn("val2",
+        when(col("id") === 3L, lit(-3L)).otherwise(col("val2")))
+    }
+    assert(store.read("rdb", "t").filter(col("val2") === -3L).count() == 1)
+  }
+
   test("the ALTER TABLE RENAME COLUMN statement rides the dialect") {
     val store = mkStore()
     register(store, "t")
