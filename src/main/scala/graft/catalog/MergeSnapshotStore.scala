@@ -3292,6 +3292,67 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
    * vacuum has expired the log; manifests from before the provenance
    * field read as operation `unknown` with a null timestamp.
    */
+  /**
+   * DESCRIBE DETAIL — one row summarizing the table's CURRENT snapshot
+   * (Delta's `DESCRIBE DETAIL` shape): identity, layout, live file
+   * footprint and lifecycle state, all from the manifest the read path
+   * already parses plus the file listing planning already pays — no
+   * data I/O at any table size. `num_rows` is the manifest-only count
+   * when exact ([[manifestRowCount]]'s guard), null when only a scan
+   * could answer.
+   */
+  def describeDetail(db: String, table: String): DataFrame = {
+    val meta = catalog0(db, table)
+    val vs = manifestVersions(meta.location)
+    require(vs.nonEmpty, s"no manifest versions at ${meta.location}")
+    val m = readManifest(meta.location, vs.last)
+    val files = listDataFileStatuses(meta, m, None)
+    val row = org.apache.spark.sql.Row(
+      meta.qualified,
+      meta.format,
+      meta.location,
+      vs.last,
+      if (m.at < 0L) null else new java.sql.Timestamp(m.at),
+      meta.primaryKey.mkString(","),
+      m.nBuckets,
+      files.size,
+      files.map(_._2.getLen).sum,
+      manifestRowCount(db, table).map(java.lang.Long.valueOf).orNull,
+      m.deletes.size,
+      m.carries.values.map(_.size).sum,
+      m.retired.mkString(","),
+      vs.size)
+    spark.createDataFrame(java.util.List.of(row), StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("format", StringType, nullable = false),
+      StructField("location", StringType, nullable = false),
+      StructField("version", IntegerType, nullable = false),
+      StructField("last_modified", TimestampType, nullable = true),
+      StructField("primary_key", StringType, nullable = false),
+      StructField("n_buckets", IntegerType, nullable = false),
+      StructField("num_files", IntegerType, nullable = false),
+      StructField("size_bytes", org.apache.spark.sql.types.LongType,
+        nullable = false),
+      StructField("num_rows", org.apache.spark.sql.types.LongType,
+        nullable = true),
+      StructField("delete_sidecars", IntegerType, nullable = false),
+      StructField("carried_files", IntegerType, nullable = false),
+      StructField("retired_columns", StringType, nullable = false),
+      StructField("retained_versions", IntegerType, nullable = false))))
+  }
+
+  /** SHOW TBLPROPERTIES — the catalog's property map as (key, value)
+   * rows, sorted for stable output. */
+  def showProperties(db: String, table: String): DataFrame = {
+    val meta = catalog0(db, table)
+    val rows = meta.properties.toSeq.sortBy(_._1)
+      .map { case (k, v) => org.apache.spark.sql.Row(k, v) }
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), StructType(Seq(
+        StructField("key", StringType, nullable = false),
+        StructField("value", StringType, nullable = false))))
+  }
+
   def history(db: String, table: String): DataFrame = {
     val meta = catalog0(db, table)
     val rows: java.util.List[org.apache.spark.sql.Row] =

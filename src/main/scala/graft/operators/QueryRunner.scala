@@ -100,6 +100,10 @@ object QueryRunner {
       """(\s+DRY\s+RUN)?\s*;?\s*$""").r
   private val DescribeHistoryRe =
     """(?is)^\s*DESCRIBE\s+HISTORY\s+([\w.`]+)\s*;?\s*$""".r
+  private val DescribeDetailRe =
+    """(?is)^\s*DESCRIBE\s+DETAIL\s+([\w.`]+)\s*;?\s*$""".r
+  private val ShowPropsRe =
+    """(?is)^\s*SHOW\s+TBLPROPERTIES\s+([\w.`]+)\s*;?\s*$""".r
   private val FilesTableRe =
     ("""(?is)^\s*SELECT\s+\*\s+FROM\s+files\s*\(\s*([\w.`]+)""" +
       """(?:\s*,\s*(\d+))?\s*\)\s*;?\s*$""").r
@@ -169,6 +173,8 @@ object QueryRunner {
     }
     statement match {
       case DescribeHistoryRe(raw) => ms.history(db, tableName(db, raw))
+      case DescribeDetailRe(raw) => ms.describeDetail(db, tableName(db, raw))
+      case ShowPropsRe(raw) => ms.showProperties(db, tableName(db, raw))
       case FilesTableRe(raw, v) =>
         ms.filesOf(db, tableName(db, raw), Option(v).map(_.toInt))
       case _ =>

@@ -194,4 +194,28 @@ class SqlDmlSpec extends AnyFunSuite with SparkFixture {
     val del = runner.sql("sdb", "DELETE FROM t WHERE id = 2")
     assert(del.columns.toSeq == Seq("affected") && del.head().getLong(0) == 1L)
   }
+
+  test("DESCRIBE DETAIL and SHOW TBLPROPERTIES summarize the snapshot") {
+    val store = mkStore()
+    val runner = new QueryRunner(store)
+    register(store, "t")
+    store.overwrite("sdb", "t", frame())
+    store.deleteWhere("sdb", "t", col("id") === 1L,
+      MergeSnapshotStore.MergeOnRead)
+    val d = runner.sql("sdb", "DESCRIBE DETAIL t").head()
+    assert(d.getAs[String]("name") == "sdb.t")
+    assert(d.getAs[String]("primary_key") == "id")
+    assert(d.getAs[Int]("version") == store.latestVersion("sdb", "t"))
+    assert(d.getAs[Int]("num_files") ==
+      store.filesOf("sdb", "t").count().toInt)
+    assert(d.getAs[Long]("size_bytes") > 0L)
+    assert(d.getAs[Int]("delete_sidecars") == 1)
+    // a fresh-sidecar window answers num_rows from the manifest
+    assert(d.getAs[java.lang.Long]("num_rows") == 127L)
+    store.addCheckConstraint("sdb", "t", "v_nonneg", "v >= 0")
+    val props = runner.sql("sdb", "SHOW TBLPROPERTIES t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.exists(_._1.contains("v_nonneg")),
+      s"constraints live in the property map: $props")
+  }
 }
