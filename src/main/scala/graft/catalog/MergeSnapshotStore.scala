@@ -4127,6 +4127,17 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     vacuumCore(meta, vs, retainMs.getOrElse(retentionMsOf(meta)), dryRun)
   }
 
+  /** The retention CRON's one-call form: vacuum every committed table
+   * of `db` under its own horizon (skipping empty registrations), one
+   * report per table — over thousands of tables a sweep costs manifest
+   * reads plus whatever is genuinely reclaimable, and the reports say
+   * which tables are stuck waiting on their windows or on borrowers. */
+  def vacuumAll(db: String, dryRun: Boolean = false): Map[String, VacuumReport] =
+    catalog.list(db).flatMap { meta =>
+      if (manifestVersions(meta.location).isEmpty) None
+      else Some(meta.name -> vacuum(db, meta.name, dryRun = dryRun))
+    }.toMap
+
   /** A table's retention horizon in WALL-CLOCK time: its
    * [[MergeSnapshotStore.RetentionProp]] property if set, else this
    * store's constructor default. Per-TABLE because the horizon is a

@@ -227,6 +227,30 @@ class VacuumSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("vacuumAll sweeps a database: per-table horizons, empty tables skipped") {
+    val store = mkStore(keep = 1, retentionMs = 0L)
+    register(store, "eager")
+    val held = register(store, "held",
+      Map(MergeSnapshotStore.RetentionProp -> HourMs.toString))
+    register(store, "empty") // registered, never committed
+    Seq("eager", "held").foreach { t =>
+      store.overwrite("vdb", t, frame())
+      store.deleteWhere("vdb", t, col("id") === 9L,
+        MergeSnapshotStore.MergeOnRead)
+      store.compactDebt("vdb", t)
+    }
+    val dry = store.vacuumAll("vdb", dryRun = true)
+    assert(dry.keySet == Set("eager", "held"),
+      s"empty registrations are skipped: ${dry.keySet}")
+    // the eager table's fold already reclaimed under retention 0; the
+    // held table waits on its hour — per-table horizons, one sweep
+    assert(dry("held").dirsAwaitingHorizon > 0 &&
+      dry("held").dirsReclaimed == 0, s"${dry("held")}")
+    val real = store.vacuumAll("vdb")
+    assert(rawHolds(held.location, Seq(9L)),
+      "the sweep must honor the held table's window")
+  }
+
   test("a malformed retention property refuses loudly; negatives refuse") {
     val store = mkStore()
     register(store, "t",
