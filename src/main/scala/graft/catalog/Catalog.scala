@@ -35,10 +35,15 @@ trait Catalog {
   def get(db: String, table: String): Option[TableMeta]
   def register(meta: TableMeta): Unit
   def list(db: String): Seq[TableMeta]
-  /** Every registered table across databases — the cross-table view a
-   * clone-aware vacuum needs (does any sibling's retained manifest
-   * borrow files from the location about to be reclaimed?). */
-  def listAll: Seq[TableMeta]
+  /** Every registered table across databases — used at CLONE time to
+   * find which registered table owns a borrowed absolute reference
+   * (clone-of-a-clone borrows the ORIGINAL's files). Default: none —
+   * an external Catalog that does not override this still gets
+   * borrower protection for direct clones (the source table is known
+   * without a listing); only chained-clone owner discovery degrades,
+   * and [[graft.catalog.MergeSnapshotStore.registerHold]] covers that
+   * explicitly. */
+  def listAll: Seq[TableMeta] = Nil
 
   def apply(db: String, table: String): TableMeta =
     get(db, table).getOrElse(

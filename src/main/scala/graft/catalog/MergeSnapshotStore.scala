@@ -2991,8 +2991,45 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
       p2lNew.get(MergeSnapshotStore.physicalOf(f).toLowerCase)
         .filter(_ != f.name).map(f.name -> _)
     }
-    renames.foldLeft(projected) { case (d, (o, n)) =>
+    val named = renames.foldLeft(projected) { case (d, (o, n)) =>
       d.withColumnRenamed(o, n) }
+    // TYPE alignment: a WIDENED column (int→long, float→double, decimal
+    // growth — any lossless up-cast) is the same column, so the diff
+    // compares the old values under the new type instead of failing
+    // analysis; a retype no up-cast covers is a different column in the
+    // same clothes and stays unaligned for the era guard to refuse
+    val newTypes = sNew.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
+    val widened = named.schema.fields.toSeq.flatMap { f =>
+      newTypes.get(f.name.toLowerCase) match {
+        case Some(nt) if nt != f.dataType &&
+            org.apache.spark.sql.catalyst.expressions.Cast
+              .canUpCast(f.dataType, nt) => Some(f.name -> nt)
+        case _ => None
+      }
+    }
+    widened.foldLeft(named) { case (d, (c, t)) =>
+      d.withColumn(c, col(c).cast(t)) }
+  }
+
+  /** Loud schema-ERA guard for the version diffs: after physical-name
+   * and up-cast alignment, a column whose types STILL differ between
+   * the two versions means a restructuring overwrite sits between them
+   * — the diff would be comparing different columns in the same
+   * clothes (or failing analysis deep in the plan). */
+  private def requireOneEra(meta: TableMeta, old0: DataFrame,
+                            new0: DataFrame, fromVersion: Int,
+                            toVersion: Int): Unit = {
+    val oldTypes = old0.schema.fields
+      .map(f => f.name.toLowerCase -> f.dataType).toMap
+    new0.schema.fields.foreach { f =>
+      oldTypes.get(f.name.toLowerCase).foreach { ot =>
+        require(ot == f.dataType,
+          s"${meta.qualified} column ${f.name} changed type " +
+            s"(${ot.catalogString} -> ${f.dataType.catalogString}) " +
+            s"between v$fromVersion and v$toVersion — a restructuring " +
+            "overwrite sits between them; diff within one schema era")
+      }
+    }
   }
 
   /** [[SnapshotStore.changesBetween]] comparing versions by PHYSICAL
@@ -3004,9 +3041,10 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     if (!meta.hasPrimaryKey) throw new IllegalStateException(
       s"changesBetween needs a registered PK for ${meta.qualified} — " +
         "PK-less tables get the multiset feed (multisetChangesBetween)")
-    graft.operators.Scd.snapshotDiff(
-      alignedOld(meta, fromVersion, toVersion),
-      readVersion(meta, toVersion), meta.primaryKey)
+    val old0 = alignedOld(meta, fromVersion, toVersion)
+    val new0 = readVersion(meta, toVersion)
+    requireOneEra(meta, old0, new0, fromVersion, toVersion)
+    graft.operators.Scd.snapshotDiff(old0, new0, meta.primaryKey)
   }
 
   /** [[SnapshotStore.multisetChangesBetween]] under the same
@@ -3015,9 +3053,11 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
                                       fromVersion: Int,
                                       toVersion: Int): DataFrame = {
     val meta = catalog0(db, table)
-    SnapshotStore.multisetDiff(
-      alignedOld(meta, fromVersion, toVersion),
-      readVersion(meta, toVersion), meta.qualified, fromVersion, toVersion)
+    val old0 = alignedOld(meta, fromVersion, toVersion)
+    val new0 = readVersion(meta, toVersion)
+    requireOneEra(meta, old0, new0, fromVersion, toVersion)
+    SnapshotStore.multisetDiff(old0, new0,
+      meta.qualified, fromVersion, toVersion)
   }
 
   /**
@@ -3397,15 +3437,21 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
    * governs them). `version` pins the clone to a committed-and-retained
    * source version (None = head).
    *
-   * The borrowing liability, ENFORCED within one catalog: before the
-   * source's vacuum deletes a directory it checks every sibling
-   * table's retained manifests for absolute references into it and
+   * The borrowing liability, ENFORCED within one catalog: the clone
+   * indexes itself on the source's [[MergeSnapshotStore.HoldsProp]]
+   * BEFORE its manifest publishes, the source's vacuum checks only the
+   * held locations' retained manifests before deleting anything and
    * SKIPS what a clone still borrows (`VacuumReport.borrowedSkipped`
-   * counts the holds; the space releases once the borrower severs or
-   * drops out of the catalog). A borrower in a DIFFERENT catalog
-   * remains Delta's documented shallow-clone contract: once the
-   * source rewrites the borrowed files away and its retention window
-   * passes, that clone's reads fail with missing paths — loud, never
+   * counts the holds; the space releases once the borrower severs —
+   * the auto-release in vacuum's borrower scan), and the clone
+   * re-verifies the source manifest ON DISK after publishing, unwinding
+   * with a loud refusal if a racing vacuum expired it first — a
+   * silently severed clone is impossible here at any interleaving. A
+   * borrower cloned through a DIFFERENT catalog is covered exactly
+   * when [[registerHold]] is called on the source's side; without it,
+   * that clone remains Delta's documented shallow-clone contract: once
+   * the source rewrites the borrowed files away and its retention
+   * window passes, its reads fail with missing paths — loud, never
    * wrong data. Sever the dependency any time with `deep = true`
    * here, or later with one [[compact]] on the clone (any whole-table
    * rewrite re-materializes every borrowed row under the clone's own
@@ -3447,19 +3493,68 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
       location = dstLocation,
       properties = srcMeta.properties +
         (MergeSnapshotStore.BucketsProp -> m.nBuckets.toString))
-    // manifest FIRST, catalog entry only on success: registering before
+    // HOLD before publish, VERIFY after: the borrower index must be
+    // visible before the clone manifest lands, and the source manifest
+    // must still exist after. This closes the clone-vs-vacuum race —
+    // vacuum expires manifests BEFORE it reads the borrower index
+    // (vacuumCore forces `borrowed` only at deletion time, after the
+    // expiry loop), so a vacuum pass that missed this hold must have
+    // expired the source manifest before our post-publish check sees
+    // it, and a pass that sees the hold skips the borrowed dirs. Either
+    // way: the clone borrows files that survive, or refuses loudly —
+    // never a silently severed clone within one catalog.
+    val borrowedRefs = (cloned.buckets.values ++
+      cloned.deletes.map(_.rel) ++ cloned.carries.values.flatten)
+      .filter(MergeSnapshotStore.isAbsoluteRef).toSeq
+    // owners: the source, plus — for a clone of a clone, whose refs
+    // point at the ORIGINAL table — any registered table whose
+    // location prefixes a borrowed ref
+    val owners = (catalog.listAll.filter(t =>
+        t.location != dstLocation &&
+          borrowedRefs.exists(_.startsWith(s"${t.location}/"))) ++
+      Seq(srcMeta).filter(_ =>
+        borrowedRefs.exists(_.startsWith(s"${srcMeta.location}/"))))
+      .map(t => (t.db, t.name)).distinct
+    owners.foreach { case (d, t) => registerHold(d, t, dstLocation) }
+    // manifest next, catalog entry only on success: registering before
     // the publish leaves — on a failed publish — a catalog entry whose
     // reads die with the generic "no manifest versions" instead of a
     // clone failure. A failure AFTER the publish but before register
     // leaves only an unregistered-but-complete location, re-cloneable
     // nowhere and re-registerable by a retry into the same dst names.
     val v0 = srcVer + 1
+    def unwind(): Unit = {
+      try fs(new Path(dstLocation)).delete(manifestPath(dstLocation, v0), false)
+      catch { case scala.util.control.NonFatal(_) => () }
+      owners.foreach { case (d, t) =>
+        try releaseHold(d, t, dstLocation)
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+    }
     if (!publishManifest(dstLocation, v0,
         cloned.copy(op = s"clone(${srcMeta.qualified}@$srcVer)",
-          at = System.currentTimeMillis())))
+          at = System.currentTimeMillis()))) {
+      owners.foreach { case (d, t) =>
+        try releaseHold(d, t, dstLocation)
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
       throw new java.util.ConcurrentModificationException(
         s"$dstLocation took version $v0 while the clone committed — " +
           "clone into a fresh location")
+    }
+    // post-publish source check, ON DISK (the parse cache would hide
+    // an expiry): a concurrent vacuum that read the borrower index
+    // before our hold landed can only have hurt us by expiring this
+    // manifest first — in which case the clone unwinds and refuses
+    if (borrowedRefs.nonEmpty &&
+        !fs(new Path(srcMeta.location))
+          .exists(manifestPath(srcMeta.location, srcVer))) {
+      unwind()
+      throw new java.util.ConcurrentModificationException(
+        s"${srcMeta.qualified}@$srcVer was vacuumed while the clone " +
+          "committed — the borrowed files' survival cannot be " +
+          "guaranteed; re-run the clone against a retained version")
+    }
     catalog.register(dstMeta)
     // a deep clone that fails mid-compact leaves a VALID shallow clone
     // (v0 is committed); the caller can retry the sever with compact()
@@ -4174,6 +4269,54 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
         ms
     }
 
+  /** The borrower locations indexed on `meta` (see
+   * [[MergeSnapshotStore.HoldsProp]]). */
+  private def holdsOf(meta: TableMeta): Seq[String] =
+    meta.properties.get(MergeSnapshotStore.HoldsProp)
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+
+  /** Index `borrowerLocation` as a shallow-clone borrower of
+   * `db.table`'s files, so this table's vacuum checks that location's
+   * retained manifests before reclaiming anything ([[MergeSnapshotStore.HoldsProp]]).
+   * [[cloneTable]] calls this itself; call it EXPLICITLY when the clone
+   * was created through a DIFFERENT catalog (the same table registered
+   * in two catalogs shares files but not properties — without the
+   * registration that borrower is invisible here and remains the
+   * documented sever liability). Idempotent. */
+  def registerHold(db: String, table: String,
+                   borrowerLocation: String): Unit = {
+    require(borrowerLocation.trim.nonEmpty, "borrowerLocation is empty")
+    // read-modify-write on the property: serialized on the catalog so
+    // concurrent cloners of the same source cannot lose each other's
+    // hold (cross-PROCESS raciness is the metastore's to arbitrate)
+    catalog.synchronized {
+      val live = catalog0(db, table)
+      val holds = holdsOf(live)
+      if (!holds.contains(borrowerLocation))
+        catalog.register(live.copy(properties = live.properties +
+          (MergeSnapshotStore.HoldsProp ->
+            (holds :+ borrowerLocation).mkString(","))))
+    }
+  }
+
+  /** Drop `borrowerLocation` from `db.table`'s borrower index — the
+   * explicit release for a borrower vacuum's auto-release cannot see
+   * (severed in another catalog, or its location deleted wholesale).
+   * After this, nothing shields that clone from the source's reclaim:
+   * only call it when the borrower is truly severed or gone. */
+  def releaseHold(db: String, table: String,
+                  borrowerLocation: String): Unit = {
+    catalog.synchronized {
+      val live = catalog0(db, table)
+      val kept = holdsOf(live).filterNot(_ == borrowerLocation)
+      catalog.register(live.copy(properties =
+        if (kept.isEmpty) live.properties - MergeSnapshotStore.HoldsProp
+        else live.properties +
+          (MergeSnapshotStore.HoldsProp -> kept.mkString(","))))
+    }
+  }
+
   private def vacuumCore(meta: TableMeta, all: Seq[Int],
                          retainMs: Long,
                          dryRun: Boolean = false): VacuumReport = {
@@ -4199,29 +4342,52 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     // CLONE-AWARE deletion guard: a shallow clone borrows this table's
     // files by ABSOLUTE manifest reference, and a vacuum that cannot
     // see the borrowers severs them at read time — Delta documents the
-    // liability; within one catalog this store can do better. Before
-    // anything is deleted, collect every absolute reference INTO this
-    // table's location from every sibling's retained manifests
-    // (driver-side, manifest-sized, parse-cached) and skip what they
-    // still borrow: the borrower's own lifecycle (deep-clone compact,
-    // or its table dropping out of the catalog) releases the hold on a
-    // later pass. Lazy — a pass with nothing to delete reads no
-    // sibling manifest. Borrowers OUTSIDE this catalog remain the
-    // documented residual liability.
+    // liability; this store does better through the
+    // [[MergeSnapshotStore.HoldsProp]] borrower index. Before anything
+    // is deleted, read each HELD location's retained manifests
+    // (driver-side, manifest-sized, parse-cached — O(borrowers ×
+    // versions), never the whole catalog) and skip what they still
+    // borrow. A hold whose location has committed manifests but no
+    // remaining reference into us auto-releases here (a sever-compact,
+    // or the borrower's own expiry); a hold with NO manifests yet is
+    // kept — that is a clone between its hold registration and its
+    // first publish, and dropping it would re-open the race the
+    // registration order exists to close. Lazy — a pass with nothing
+    // to delete reads no borrower manifest. Borrowers never registered
+    // (another catalog, no registerHold call) remain the documented
+    // residual liability.
     lazy val borrowed: Set[String] = {
       val out = Set.newBuilder[String]
       val prefix = s"${meta.location}/"
-      catalog.listAll.filterNot(_.location == meta.location).foreach { sib =>
-        manifestVersions(sib.location).foreach { v =>
+      val holds = holdsOf(meta)
+      val releasable = Seq.newBuilder[String]
+      holds.foreach { loc =>
+        val vs2 = manifestVersions(loc)
+        var refsHere = false
+        vs2.foreach { v =>
           try {
-            val sm = readManifest(sib.location, v)
+            val sm = readManifest(loc, v)
             (sm.buckets.values ++ sm.deletes.map(_.rel) ++
               sm.carries.values.flatten).foreach { r =>
-              if (MergeSnapshotStore.isAbsoluteRef(r) && r.startsWith(prefix))
+              if (MergeSnapshotStore.isAbsoluteRef(r) && r.startsWith(prefix)) {
                 out += r
+                refsHere = true
+              }
             }
           } catch { case _: java.io.FileNotFoundException => () }
         }
+        if (vs2.nonEmpty && !refsHere) releasable += loc
+      }
+      val done = releasable.result()
+      if (done.nonEmpty && !dryRun) catalog.synchronized {
+        // re-read the LIVE entry inside the lock — a concurrent
+        // registerHold must not be clobbered by this pass's stale copy
+        val live = catalog.get(meta.db, meta.name).getOrElse(meta)
+        val kept = holdsOf(live).filterNot(done.contains)
+        catalog.register(live.copy(properties =
+          if (kept.isEmpty) live.properties - MergeSnapshotStore.HoldsProp
+          else live.properties +
+            (MergeSnapshotStore.HoldsProp -> kept.mkString(","))))
       }
       out.result()
     }
@@ -4507,6 +4673,20 @@ object MergeSnapshotStore {
    * manifest-file-sized, so 64 bounds the cache at ~64 manifests'
    * worth of driver heap while covering every serving hot set. */
   val ManifestCacheEntries: Int = 64
+
+  /** Table property: comma-separated LOCATIONS of shallow clones that
+   * borrow this table's files by absolute reference — the clone-aware
+   * vacuum's borrower INDEX. [[MergeSnapshotStore.cloneTable]] writes
+   * the hold before its clone manifest publishes; vacuum reads ONLY the
+   * held locations' retained manifests (O(borrowers × versions), not
+   * O(catalog tables × versions)) and auto-releases a hold whose
+   * location has committed manifests but no remaining reference into
+   * this table (a sever-compact, or the borrower's own expiry). A
+   * borrower cloned through a DIFFERENT catalog is visible exactly when
+   * someone calls [[MergeSnapshotStore.registerHold]] on this side —
+   * the explicit cross-catalog registration; without it that clone
+   * remains Delta's documented shallow-clone liability. */
+  val HoldsProp: String = "graft.holds"
 
   /** Outcome of reading a tombstone. `Garbled` (missing / empty /
    * unparseable — a crashed writer's debris) is safe to repair by

@@ -235,14 +235,31 @@ object Multimodal {
    * O(bytes) arrays inside a single row's evaluation — the engine can
    * parallelize across rows either way, and this form frees it from
    * holding a row's worth of positions at once.
+   *
+   * Equality holds PER PAYLOAD TYPE, because the expression form's own
+   * semantics are type-dependent: on BINARY payloads (the operator's
+   * stated domain) `length`/`substr` are raw byte offsets and `md5`
+   * digests the byte slice, so this form walks the byte array directly
+   * — no string decode anywhere (a UTF-8 cast would mangle arbitrary
+   * bytes into replacement chars and count UTF-16 units, silently
+   * shifting every boundary). On STRING payloads `length`/`substr`
+   * count CODE POINTS and `md5` digests the slice's UTF-8 bytes, so
+   * this form walks a code-point array (Java `String.length`/`substring`
+   * count UTF-16 units and would diverge on any non-BMP char). Other
+   * payload types cast to string first, exactly as the expression form
+   * would need.
    */
   def cdcChunksStreamed(df: DataFrame, idCol: String, payload: Column,
                         w: Int, divisor: Int): DataFrame = {
     require(w >= 2, "a 1-byte window makes boundaries byte-frequency noise")
     require(divisor >= 2, "divisor < 2 cuts at every byte")
-    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
-    val in = df.select(col(idCol), payload.cast("string").as("__pay"))
-      .filter(col("__pay").isNotNull && length(col("__pay")) > 0)
+    import org.apache.spark.sql.types.{BinaryType, LongType, StringType, StructField, StructType}
+    val typed = df.select(col(idCol), payload.as("__pay"))
+    val isBinary = typed.schema(1).dataType == BinaryType
+    val in =
+      (if (isBinary) typed
+       else df.select(col(idCol), payload.cast("string").as("__pay")))
+        .filter(col("__pay").isNotNull && length(col("__pay")) > 0)
     val idField = in.schema.head
     val outSchema = StructType(Seq(idField,
       StructField("chunk_idx", LongType, nullable = false),
@@ -262,17 +279,29 @@ object Multimodal {
       }
       it.flatMap { row =>
         val id = row.get(0)
-        val s = row.getString(1)
-        val n = s.length
-        // cut ENDS: 1-based positions i where the window of w chars
-        // ending at i satisfies the rule — CHARACTER semantics to match
-        // the expression form's substr, md5 over the window's UTF-8
-        // bytes to match Spark's md5-of-string
+        // (unit count, md5 of units [a, b)) in the payload type's own
+        // unit: raw BYTES for binary, CODE POINTS (digested as their
+        // UTF-8 bytes, matching Spark's md5-of-string) for strings
+        val (n, md5Of): (Int, (Int, Int) => Array[Byte]) =
+          if (isBinary) {
+            val bytes = row.getAs[Array[Byte]](1)
+            (bytes.length, (a: Int, b: Int) => {
+              digest.reset(); digest.update(bytes, a, b - a); digest.digest()
+            })
+          } else {
+            val cps = row.getString(1).codePoints().toArray
+            (cps.length, (a: Int, b: Int) => {
+              digest.reset()
+              digest.digest(new String(cps, a, b - a).getBytes(utf8))
+            })
+          }
+        // cut ENDS: 1-based positions i where the window of w units
+        // ending at i satisfies the rule — same positions the expression
+        // form's substr walks
         val ends = scala.collection.mutable.ArrayBuffer.empty[Int]
         var i = w
         while (i <= n) {
-          digest.reset()
-          val h = digest.digest(s.substring(i - w, i).getBytes(utf8))
+          val h = md5Of(i - w, i)
           val h16 = ((h(0) & 0xff) << 8) | (h(1) & 0xff)
           if (h16 % divisor == 0) ends += i
           i += 1
@@ -280,8 +309,7 @@ object Multimodal {
         if (ends.isEmpty || ends.last != n) ends += n
         var prev = 0
         ends.iterator.zipWithIndex.map { case (e, j) =>
-          digest.reset()
-          val fp = hex(digest.digest(s.substring(prev, e).getBytes(utf8)))
+          val fp = hex(md5Of(prev, e))
           val r = org.apache.spark.sql.Row(id, j.toLong, fp, (e - prev).toLong)
           prev = e
           r

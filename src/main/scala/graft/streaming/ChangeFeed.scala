@@ -117,7 +117,19 @@ object ChangeFeed {
       // replace it (the newer export's version wins — advance() only
       // ever moves the resume point forward)
       f.delete(sf, false)
-      if (!f.rename(tmp, sf)) f.delete(tmp, false)
+      if (!f.rename(tmp, sf)) {
+        // the old state file is already deleted and the new one did not
+        // land: once expireConsumed has swept the delta dirs this file
+        // is the feed's ONLY resume record, so a silent tmp cleanup
+        // here would discard the advance and re-baseline the feed at
+        // the current head, silently skipping changes. Fail LOUDLY and
+        // leave tmp in place as the recovery artifact.
+        throw new java.io.IOException(
+          s"could not publish feed state $sf: the replacement rename " +
+            s"failed after the old state was removed — the resume " +
+            s"point survives only in $tmp; rename it to $sf by hand " +
+            "(or re-run advance) before consuming further")
+      }
     }
   }
 
@@ -181,8 +193,15 @@ object ChangeFeed {
       val sf0 = new Path(dir, SchemaFile)
       if (f.exists(sf0)) {
         val pinned = schemaOf(spark, feedDir)
-        val pinnedCols = pinned.fields.map(f0 => f0.name.toLowerCase).toSeq
-        val deltaCols = delta.schema.fields.map(_.name.toLowerCase).toSeq
+        // names AND types: a whole-table overwrite can retype a column
+        // without renaming it, and a delta whose parquet types mismatch
+        // the pinned readStream schema would fail at CONSUME time deep
+        // in the stream — refuse here, at export, with the remedy
+        def shape(s: org.apache.spark.sql.types.StructType): Seq[String] =
+          s.fields.map(f0 =>
+            s"${f0.name.toLowerCase} ${f0.dataType.catalogString}").toSeq
+        val pinnedCols = shape(pinned)
+        val deltaCols = shape(delta.schema)
         require(pinnedCols == deltaCols,
           s"$feedDir pinned schema (${pinnedCols.mkString(",")}) no " +
             s"longer matches the source's delta (${deltaCols.mkString(",")})" +

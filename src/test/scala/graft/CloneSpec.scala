@@ -241,6 +241,97 @@ class CloneSpec extends AnyFunSuite with SparkFixture {
       "the severed clone reads from its own files")
   }
 
+  test("cross-CATALOG borrower: registerHold makes it visible; releaseHold frees") {
+    // the same source registered in two catalogs (shared filesystem,
+    // separate metastores): a clone through store B updates B's entry's
+    // borrower index, which store A's vacuum cannot see — the explicit
+    // registerHold on A's side is the documented remedy
+    val storeA = mkStore(keep = 1)
+    val src = register(storeA, "src")
+    storeA.overwrite("cdb", "src", frame())
+    val storeB = mkStore(keep = 1)
+    storeB.catalog.register(src) // same table, B's catalog
+    val loc = freshLoc("xcat")
+    storeB.cloneTable("cdb", "src", "cdb", "dst", loc)
+    val cloneRows = sortedRows(storeB.read("cdb", "dst"))
+    // A-side registration (operator action after the B-side clone)
+    storeA.registerHold("cdb", "src", loc)
+    storeA.overwrite("cdb", "src", frame().withColumn("v", col("v") * 2))
+    val rep = storeA.vacuum("cdb", "src", retainMs = Some(0L))
+    assert(rep.borrowedSkipped > 0, s"the A-side hold must protect: $rep")
+    assert(sortedRows(storeB.read("cdb", "dst")) == cloneRows)
+    // sever on B, then explicit release on A (A's auto-release also
+    // works — it reads the borrower's manifests off the shared
+    // filesystem — but the explicit call must free space NOW)
+    storeB.compact("cdb", "dst", targetFiles = 4)
+    storeA.releaseHold("cdb", "src", loc)
+    val rep2 = storeA.vacuum("cdb", "src", retainMs = Some(0L))
+    assert(rep2.borrowedSkipped == 0 && rep2.dirsReclaimed > 0, s"$rep2")
+    assert(sortedRows(storeB.read("cdb", "dst")) == cloneRows)
+  }
+
+  test("RACE: cloners vs the source's churn+vacuum — survive or refuse, never severed") {
+    // keep=1 + zero retention: every source commit's vacuum expires the
+    // prior manifest and reclaims its dirs IMMEDIATELY. Cloners race
+    // clones of the moving head across that reclaim. Pinned outcome:
+    // every clone either (a) reads back the full snapshot it pinned —
+    // and KEEPS reading it while churn continues (the hold protects the
+    // borrowed dirs) — or (b) refused loudly at clone time. A clone
+    // that was handed back successfully and then fails to read is a
+    // silently severed clone: the exact bug the hold-before-publish /
+    // verify-after-publish protocol exists to prevent.
+    val store = mkStore(keep = 1)
+    register(store, "src")
+    store.overwrite("cdb", "src", frame())
+    val refused = new java.util.concurrent.atomic.AtomicInteger
+    val okCount = new java.util.concurrent.atomic.AtomicInteger
+    val severed = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    @volatile var writerDone = false
+    val writer = new Thread(() => {
+      (1 to 18).foreach { k =>
+        store.overwrite("cdb", "src",
+          frame().withColumn("v", col("v") + lit(k.toLong)))
+      }
+      writerDone = true
+    })
+    val live = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    val cloners = (1 to 3).map { i =>
+      new Thread(() => {
+        var k = 0
+        while (!writerDone && k < 10) {
+          val name = s"dst${i}_$k"
+          try {
+            val head = store.latestVersion("cdb", "src")
+            store.cloneTable("cdb", "src", "cdb", name,
+              freshLoc(s"race$i-$k"), version = Some(head))
+            // the immediate read exercises the clone under ongoing churn
+            if (store.read("cdb", name).count() == 96L) {
+              okCount.incrementAndGet(); live.add(name)
+            } else severed.add(s"$name: wrong row count")
+          } catch {
+            case _: java.util.ConcurrentModificationException |
+                 _: IllegalArgumentException |
+                 _: java.io.FileNotFoundException =>
+              refused.incrementAndGet() // loud refusals are the OK arm
+            case e: Throwable => severed.add(s"$name at clone: $e")
+          }
+          k += 1
+        }
+      })
+    }
+    (writer +: cloners).foreach(_.start())
+    (writer +: cloners).foreach(_.join(300000))
+    assert(severed.isEmpty, s"severed clones: ${severed.toArray.mkString("; ")}")
+    assert(okCount.get > 0, "the race never produced a successful clone " +
+      s"(refused=${refused.get}) — the fixture is not exercising the window")
+    // every surviving clone STILL reads in full after all churn+vacuum
+    live.forEach { name =>
+      val n = try store.read("cdb", name).count()
+      catch { case e: Throwable => fail(s"$name severed post-hoc: $e") }
+      assert(n == 96L, s"$name reads $n rows after churn")
+    }
+  }
+
   test("clone into a used location refuses") {
     val store = mkStore()
     register(store, "src")

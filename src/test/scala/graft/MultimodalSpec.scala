@@ -107,6 +107,39 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
       .filter(col("doc_id") === -1L).isEmpty)
   }
 
+  test("cdcChunksStreamed: equality holds on RAW bytes and non-BMP strings") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .toSet
+    // arbitrary NON-UTF8 bytes (md5 output re-encoded as raw binary): a
+    // lossy string decode would replace invalid sequences and count
+    // UTF-16 units, shifting every window position, boundary, n_bytes
+    // and fingerprint — the operator's stated domain is exactly these
+    // opaque re-encoded payloads
+    val raw = docs.limit(40).select(col("doc_id"),
+      unhex(concat((1 to 8).map(i =>
+        md5(concat(col("text"), lit(i.toString)))): _*)).as("pay"))
+    assert(raw.schema("pay").dataType.typeName == "binary")
+    val exprB = rows(Multimodal.cdcChunks(raw, "doc_id", col("pay"), 8, 16))
+    val strmB = rows(Multimodal.cdcChunksStreamed(raw, "doc_id", col("pay"), 8, 16))
+    assert(strmB == exprB, "binary payloads must chunk over raw bytes: " +
+      s"only-expr=${(exprB -- strmB).take(3)} only-strm=${(strmB -- exprB).take(3)}")
+    // per-doc n_bytes sums equal the BYTE length (128 = 8 md5s × 16)
+    assert(Multimodal.cdcChunksStreamed(raw, "doc_id", col("pay"), 8, 16)
+      .groupBy("doc_id").agg(sum("n_bytes").as("n"))
+      .filter(col("n") =!= 128L).count() == 0)
+    // STRING payload with non-BMP chars: Spark's length/substr count
+    // CODE POINTS; Java String.length counts UTF-16 units (an emoji is
+    // two) — the streamed walk must agree with the expression form
+    import spark.implicits._
+    val emoji = Seq((1L, ("a😀b🍕" * 40) + "tail"),
+      (2L, "😀" * 25)).toDF("doc_id", "pay")
+    val exprS = rows(Multimodal.cdcChunks(emoji, "doc_id", col("pay"), 8, 16))
+    val strmS = rows(Multimodal.cdcChunksStreamed(emoji, "doc_id", col("pay"), 8, 16))
+    assert(strmS == exprS, "string payloads must chunk over code points: " +
+      s"only-expr=${(exprS -- strmS).take(3)} only-strm=${(strmS -- exprS).take(3)}")
+  }
+
   test("cdcChunksStreamed: a blob past the expression form's bound chunks fine") {
     import spark.implicits._
     // ~1 MiB of periodic-but-not-trivial content — far past a maxBytes

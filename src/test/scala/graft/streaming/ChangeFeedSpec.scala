@@ -306,6 +306,26 @@ class ChangeFeedSpec extends AnyFunSuite with SparkFixture {
       got.filter(col("change") === "D").count() >= 1)
   }
 
+  test("a RETYPED source (same names, new types) also refuses the pin") {
+    val store = mkStore()
+    register(store, "t")
+    store.overwrite("fdb", "t", frame())
+    val dir = feedDir("retype")
+    ChangeFeed.advance(store, "fdb", "t", dir)
+    store.deleteWhere("fdb", "t", col("id") === 1L)
+    ChangeFeed.advance(store, "fdb", "t", dir) // pins the schema
+    // overwrite restructures freely: v becomes a string, names unchanged
+    // — a name-only guard would pass this and land a delta whose parquet
+    // types mismatch the pinned readStream schema, failing at CONSUME
+    // time instead of here
+    store.overwrite("fdb", "t",
+      frame().withColumn("v", concat(lit("s"), col("v"))))
+    val ex = intercept[IllegalArgumentException] {
+      ChangeFeed.advance(store, "fdb", "t", dir)
+    }
+    assert(ex.getMessage.contains("FRESH"), ex.getMessage)
+  }
+
   test("an exporter paused past the source's retention refuses loudly") {
     val store = mkStore(keep = 2)
     register(store, "t")
