@@ -2717,6 +2717,92 @@ object SparkEntry {
       store.read("q91", "orders").orderBy("o_orderkey")
     }),
 
+    // Metadata-only type WIDENING (Delta type widening / Iceberg
+    // safe-cast evolution — the reference's GoldenGate NUMBER
+    // precision ladder arriving downstream): the manifest's schema
+    // carries the wider type, carried narrow files PROMOTE at scan
+    // (int32 pages surface as bigint, decimal re-scales), and
+    // post-widen DML lands values only the wide type can hold. The
+    // fixture pins metadata-only (file set unchanged across BOTH
+    // widens), the promotion correctness over carried files, and the
+    // feed's up-cast alignment; the oracle computes the same ledger
+    // in DuckDB under explicit casts
+    "q92_store_widen_column" -> ((s, d) => {
+      import graft.catalog.{InMemoryCatalog, MergeSnapshotStore, TableMeta}
+      import graft.operators.QueryRunner
+      val orders = t(s, d, "orders").select(col("o_orderkey"),
+        col("o_custkey").cast("int").as("cust"), col("o_orderstatus"),
+        (col("o_orderkey") % 90000).cast("decimal(7,2)").as("amt"))
+      val work = java.nio.file.Files.createTempDirectory("graft-q92").toString
+      val cat = new InMemoryCatalog
+      cat.register(TableMeta("q92", "orders", s"$work/orders",
+        primaryKey = Seq("o_orderkey")))
+      val store = new MergeSnapshotStore(s, cat, nBuckets = 8,
+        keepVersions = 8)
+      val runner = new QueryRunner(store)
+      store.overwrite("q92", "orders", orders)
+      // a scoped takedown first, so carried narrow files exist
+      store.deleteWhere("q92", "orders", col("amt") < 1000)
+      val v1 = store.latestVersion("q92", "orders")
+      val filesBefore = store.filesOf("q92", "orders").count()
+      runner.dml("q92", "ALTER TABLE orders ALTER COLUMN cust TYPE bigint")
+      runner.dml("q92",
+        "ALTER TABLE orders ALTER COLUMN amt TYPE decimal(12, 4)")
+      require(store.filesOf("q92", "orders").count() == filesBefore,
+        "a widen is metadata-only: the same files serve the wider schema")
+      // a value past Int.MaxValue, written THROUGH the widened schema
+      // over buckets whose untouched siblings carry int32 files
+      runner.dml("q92",
+        "UPDATE orders SET cust = cust + 3000000000 " +
+          "WHERE o_orderstatus = 'F'")
+      // the feed across the widen up-casts the narrow side: one column,
+      // wider clothes — never a drop+add
+      val feed = store.changesBetween("q92", "orders", v1,
+        store.latestVersion("q92", "orders"))
+      require(feed.schema("cust").dataType ==
+        org.apache.spark.sql.types.LongType,
+        s"feed must spell the widened type: ${feed.schema("cust").dataType}")
+      store.read("q92", "orders").orderBy("o_orderkey")
+    }),
+
+    // Per-table-reference SQL time travel (Delta's reader syntax,
+    // parsed by Spark's own grammar): one statement joins the HEAD
+    // fact against a VERSION AS OF-pinned dimension, each reference
+    // resolving through its own pinned skipping scan. The fixture
+    // REDACTS names at the dim's head so the pin provably does the
+    // work (an unpinned join would surface the redactions); the oracle
+    // computes the same join with the pristine dimension
+    "q93_sql_time_travel_join" -> ((s, d) => {
+      import graft.catalog.{InMemoryCatalog, MergeSnapshotStore, TableMeta}
+      import graft.operators.QueryRunner
+      val work = java.nio.file.Files.createTempDirectory("graft-q93").toString
+      val cat = new InMemoryCatalog
+      cat.register(TableMeta("q93", "orders", s"$work/orders",
+        primaryKey = Seq("o_orderkey")))
+      cat.register(TableMeta("q93", "cust", s"$work/cust",
+        primaryKey = Seq("c_custkey")))
+      val store = new MergeSnapshotStore(s, cat, nBuckets = 8,
+        keepVersions = 8)
+      val runner = new QueryRunner(store)
+      store.overwrite("q93", "cust", t(s, d, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal")))
+      val dv0 = store.latestVersion("q93", "cust")
+      runner.dml("q93",
+        "UPDATE cust SET c_name = 'REDACTED' WHERE c_acctbal < 0.0")
+      require(store.read("q93", "cust")
+          .filter(col("c_name") === "REDACTED").count() > 0,
+        "the head must differ from the pin, or the pin proves nothing")
+      store.overwrite("q93", "orders", t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")))
+      store.deleteWhere("q93", "orders", col("o_totalprice") < 50000.0)
+      runner.sql("q93",
+        s"""SELECT o.o_orderkey, c.c_name AS name_asof, o.o_totalprice
+            FROM orders o JOIN cust VERSION AS OF $dv0 c
+            ON o.o_custkey = c.c_custkey
+            WHERE o.o_totalprice > 150000.0
+            ORDER BY o.o_orderkey""")
+    }),
+
     // Guaranteed time travel (graft.manifest.keep.ms — Delta's
     // logRetentionDuration per table): manifests younger than the
     // window survive vacuum expiry beyond the keepVersions COUNT
@@ -5436,6 +5522,28 @@ object SparkEntry {
          FROM orders
          WHERE NOT (o_totalprice < 20000.0)
          ORDER BY o_orderkey""",
+
+    // the widened columns carry the SAME values (plus the post-widen
+    // backfill only the wide type can hold) under explicit casts
+    "q92_store_widen_column" ->
+      """SELECT o_orderkey,
+                CASE WHEN o_orderstatus = 'F'
+                     THEN CAST(o_custkey AS BIGINT) + 3000000000
+                     ELSE CAST(o_custkey AS BIGINT) END AS cust,
+                o_orderstatus,
+                CAST(o_orderkey % 90000 AS DECIMAL(12, 4)) AS amt
+         FROM orders
+         WHERE NOT (o_orderkey % 90000 < 1000)
+         ORDER BY o_orderkey""",
+
+    // the pinned dimension is the PRISTINE customer set (the head's
+    // redactions never reach the AS-OF reference)
+    "q93_sql_time_travel_join" ->
+      """SELECT o.o_orderkey, c.c_name AS name_asof, o.o_totalprice
+         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         WHERE NOT (o.o_totalprice < 50000.0)
+           AND o.o_totalprice > 150000.0
+         ORDER BY o.o_orderkey""",
 
     // the window-retained AS-OF read answers the PRE-delete snapshot
     "q90_store_time_travel" ->

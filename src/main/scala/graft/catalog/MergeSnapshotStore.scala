@@ -7,7 +7,7 @@ import scala.collection.immutable.SortedMap
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{array, coalesce, col, concat, element_at, expr, hash, input_file_name, isnan, lit, max, min, pmod, raise_error, struct, to_json, when}
-import org.apache.spark.sql.types.{DataType, DateType, IntegerType, NumericType, StringType, StructField, StructType, TimestampType}
+import org.apache.spark.sql.types.{ByteType, DataType, DateType, DecimalType, DoubleType, FloatType, IntegerType, LongType, NumericType, ShortType, StringType, StructField, StructType, TimestampType}
 
 /**
  * Incremental MERGE-style table store: the scale answer to the reference's
@@ -2971,6 +2971,98 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     next
   }
 
+  /**
+   * Type WIDENING without a byte rewritten — the fourth face of the
+   * metadata-only evolution surface (`ALTER TABLE t ALTER COLUMN c TYPE
+   * <wider>`; Delta's type-widening table feature, Iceberg's safe-cast
+   * evolution): the new manifest's schema carries the WIDER type while
+   * carried files keep their narrow on-disk encoding — the scan always
+   * supplies the manifest schema, and both Spark parquet readers
+   * PROMOTE at read (int32 pages surface as long, float as double,
+   * narrow decimal re-scales), so a 100 TB fact widens in one manifest
+   * write. This is the GoldenGate-era schema change the reference's
+   * Oracle type map exists for (reference
+   * src/apply_change_log_to_delta.py:69-87 — a NUMBER precision
+   * ladder): upstream precision grows and downstream must follow
+   * without a rewrite.
+   *
+   * Safe set — everything lossless AND parquet-promotable:
+   * byte→short→int→long along the integral ladder; float→double;
+   * byte/short/int→double; decimal(p,s)→decimal(p',s') growing both
+   * the integer space (p'−s' ≥ p−s) and the scale (s' ≥ s). Everything
+   * else refuses: narrowing loses data, long→double loses precision,
+   * cross-family retypes change semantics — restructure those with
+   * `overwrite(mergeSchema)`. Numeric pruning bounds live in DOUBLE
+   * space in the manifest, so carried files' min/max keep pruning
+   * exactly under the widened type; the change feed up-casts the old
+   * side of a cross-widen diff (same column, wider clothes).
+   *
+   * Refusals, each loud: unknown column; a conversion outside the safe
+   * set; a PRIMARY KEY column (bucket routing hashes the key under its
+   * TYPE — murmur3 of 5:int and 5L:long differ — so carried buckets
+   * would stop matching the widened key's hash; restructure with
+   * overwrite() + re-register); a partition column; a column the
+   * set-stats/bloom properties reference (those sidecars hashed the
+   * narrow values at write time, and probing them with widened values
+   * would false-negative-prune — re-point the properties first).
+   * Returns the new head version.
+   */
+  def alterColumnType(db: String, table: String, name: String,
+                      to: DataType): Int = {
+    val meta = catalog0(db, table)
+    val vs = manifestVersions(meta.location)
+    require(vs.nonEmpty,
+      s"bootstrap ${meta.qualified} with overwrite() before widening")
+    val m = readManifest(meta.location, vs.last)
+    val field = m.schema.fields.find(_.name.equalsIgnoreCase(name))
+      .getOrElse(throw new IllegalArgumentException(
+        s"${meta.qualified} has no column $name (columns: " +
+          s"${m.schema.fieldNames.mkString(", ")})"))
+    require(field.dataType != to,
+      s"${meta.qualified}.$name is already ${to.catalogString} — no-op")
+    require(MergeSnapshotStore.isSafeWidening(field.dataType, to),
+      s"cannot widen ${meta.qualified}.$name from " +
+        s"${field.dataType.catalogString} to ${to.catalogString} — the " +
+        "metadata-only safe set is byte->short->int->long, " +
+        "float->double, byte/short/int->double, and decimal growth " +
+        "(p'-s' >= p-s, s' >= s); anything else needs " +
+        "overwrite(mergeSchema) to restructure the table")
+    require(!meta.primaryKey.exists(_.equalsIgnoreCase(name)),
+      s"widening PRIMARY KEY column $name of ${meta.qualified} is not " +
+        "supported — bucket routing hashes the key under its type, so " +
+        "carried buckets would stop matching; restructure with " +
+        "overwrite() and re-register")
+    require(!meta.partitionBy.exists(_.equalsIgnoreCase(name)),
+      s"widening partition column $name of ${meta.qualified} is not " +
+        "supported — partition directory values were rendered under " +
+        "the narrow type; restructure with overwrite()")
+    Seq(MergeSnapshotStore.SetStatsProp, MergeSnapshotStore.BloomProp)
+      .foreach { prop =>
+        meta.properties.get(prop).foreach { v =>
+          require(!v.split(',').map(_.trim.takeWhile(_ != ':'))
+              .exists(_.equalsIgnoreCase(name)),
+            s"$prop on ${meta.qualified} names $name — its sidecars " +
+              "hashed the narrow values; re-point the property before " +
+              "widening")
+        }
+      }
+    val newSchema = StructType(m.schema.fields.map(f =>
+      if (f.name.equalsIgnoreCase(name)) f.copy(dataType = to) else f))
+    runBeforePublish()
+    val next = vs.last + 1
+    if (!publishManifest(meta.location, next,
+        m.copy(schema = newSchema,
+          op = s"widen($name ${field.dataType.catalogString}->" +
+            s"${to.catalogString})",
+          at = System.currentTimeMillis())))
+      throw new java.util.ConcurrentModificationException(
+        s"${meta.qualified} took version $next while a widen committed " +
+          "— re-run against the new snapshot")
+    vacuum(meta, vs)
+    clearTombstones(meta, m.buckets)
+    next
+  }
+
   /** The old version's frame with its columns ALIGNED to the new
    * version's logical spelling by PHYSICAL identity — what makes the
    * change feed survive a rename or a drop (a renamed column is the
@@ -4737,6 +4829,24 @@ object MergeSnapshotStore {
         f.copy(metadata = mb)
       } else f
     })
+
+  /** True when `from` → `to` is in [[MergeSnapshotStore.alterColumnType]]'s
+   * metadata-only safe set: lossless, and promoted by both Spark
+   * parquet readers when a narrow-typed carried file is scanned under
+   * the widened schema. */
+  private[catalog] def isSafeWidening(from: DataType, to: DataType): Boolean =
+    (from, to) match {
+      case (a, b) if a == b => false
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (ByteType | ShortType | IntegerType, DoubleType) => true
+      case (a: DecimalType, b: DecimalType) =>
+        b.scale >= a.scale &&
+          (b.precision - b.scale) >= (a.precision - a.scale)
+      case _ => false
+    }
 
   /** The stats-line key a LOGICAL column name resolves to. */
   private[catalog] def statKeyOf(s: StructType, logical: String): String =

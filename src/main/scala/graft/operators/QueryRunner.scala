@@ -120,6 +120,9 @@ object QueryRunner {
   private val AddColumnRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+ADD\s+COLUMN\s+([\w`]+)""" +
       """\s+([^;]+?)\s*;?\s*$""").r
+  private val AlterTypeRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+ALTER\s+COLUMN\s+([\w`]+)""" +
+      """\s+TYPE\s+([^;]+?)\s*;?\s*$""").r
 
   /** `TIMESTAMP AS OF` operand → epoch ms: `'yyyy-MM-dd[ HH:mm:ss[.f]]'`
    * (JDBC escape forms) or bare epoch-millisecond digits. */
@@ -177,11 +180,88 @@ object QueryRunner {
       case ShowPropsRe(raw) => ms.showProperties(db, tableName(db, raw))
       case FilesTableRe(raw, v) =>
         ms.filesOf(db, tableName(db, raw), Option(v).map(_.toInt))
+      case s if s.trim.take(6).equalsIgnoreCase("SELECT") ||
+          s.trim.take(5).equalsIgnoreCase("WITH ") =>
+        select(ms, db, statement)
       case _ =>
         val spark = org.apache.spark.sql.SparkSession.active
         import spark.implicits._
         Seq(dml(store, db, statement, mode)).toDF("affected")
     }
+  }
+
+  /**
+   * `SELECT` statements over STORE tables with PER-TABLE-REFERENCE
+   * time travel: Spark's own grammar already parses `FROM t VERSION AS
+   * OF n` and `FROM t TIMESTAMP AS OF '<ts>'` (the Delta reader
+   * syntax), so the statement parses once and each table reference is
+   * SPLICED with the store's resolved scan — pinned references through
+   * the pinned SKIPPING read (same manifest-stats file pruning as a
+   * HEAD read, same loud refusal past retention), unpinned references
+   * through the HEAD skipping read, and names that are NOT registered
+   * store tables left untouched for Spark's own resolution (temp
+   * views keep working). A mixed-version join — HEAD fact against a
+   * pinned dimension — is one statement, each side pruning through
+   * its own manifest.
+   *
+   * The splice is the temp-view substitution Spark's analyzer performs
+   * internally, done eagerly: each reference becomes a
+   * `SubqueryAlias(table, <analyzed store scan>)`, so qualified
+   * attributes (`t.col`) resolve and the outer statement analyzes
+   * normally over the already-resolved children.
+   */
+  private def select(ms: graft.catalog.MergeSnapshotStore, db: String,
+                     statement: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias
+    val spark = org.apache.spark.sql.SparkSession.active
+    def named(parts: Seq[String]): Option[String] = parts match {
+      case Seq(t) => Some(t)
+      case Seq(d0, t) if d0.equalsIgnoreCase(db) => Some(t)
+      case _ => None
+    }
+    def registered(t: String): Boolean = ms.catalog.get(db, t).nonEmpty
+    def splice(tbl: String, pin: Option[Int]) =
+      SubqueryAlias(tbl,
+        ms.readSkipping(db, tbl, pin).queryExecution.analyzed)
+    val plan = spark.sessionState.sqlParser.parsePlan(statement)
+    val spliced = plan.transformUpWithSubqueries {
+      case RelationTimeTravel(u: UnresolvedRelation, ts, ver) =>
+        val tbl = named(u.multipartIdentifier).getOrElse(
+          throw new IllegalArgumentException(
+            s"time travel names ${u.multipartIdentifier.mkString(".")} — " +
+              s"use [db.]table within the bound db $db"))
+        require(registered(tbl),
+          s"FROM $tbl VERSION/TIMESTAMP AS OF: $db.$tbl is not a " +
+            "registered store table (time travel resolves through the " +
+            "store's manifests)")
+        val pin = ver match {
+          case Some(v) =>
+            try v.toInt catch {
+              case _: NumberFormatException =>
+                throw new IllegalArgumentException(
+                  s"VERSION AS OF wants a version number, got '$v'")
+            }
+          case None => ts match {
+            case Some(l: Literal)
+                if l.dataType == org.apache.spark.sql.types.StringType =>
+              ms.versionAt(db, tbl, epochOf(String.valueOf(l.value)))
+            case Some(l: Literal)
+                if l.dataType == org.apache.spark.sql.types.LongType ||
+                  l.dataType == org.apache.spark.sql.types.IntegerType =>
+              ms.versionAt(db, tbl, String.valueOf(l.value).toLong)
+            case other => throw new IllegalArgumentException(
+              s"TIMESTAMP AS OF wants a '<ts>' string (or epoch-ms) " +
+                s"literal, got $other")
+          }
+        }
+        splice(tbl, Some(pin))
+      case u: UnresolvedRelation =>
+        named(u.multipartIdentifier).filter(registered)
+          .map(t => splice(t, None)).getOrElse(u)
+    }
+    org.apache.spark.sql.graftbridge.ColumnBridge.dataset(spark, spliced)
   }
 
   /** The projection + predicate core, store-free for direct frames. */
@@ -237,6 +317,10 @@ object QueryRunner {
    *    TIMESTAMP AS OF '<ts>'] LOCATION '<path>'` →
    *    [[graft.catalog.MergeSnapshotStore.cloneTable]] within the
    *    bound db; returns the clone's first version.
+   *  - `ALTER TABLE t ALTER COLUMN c TYPE <wider>` →
+   *    [[graft.catalog.MergeSnapshotStore.alterColumnType]]
+   *    (metadata-only type widening; unsafe conversions refuse with
+   *    the safe-set message); returns the new head version.
    *  - `ALTER TABLE t ADD CONSTRAINT name CHECK (pred)` /
    *    `ALTER TABLE t DROP CONSTRAINT name` →
    *    [[graft.catalog.MergeSnapshotStore.addCheckConstraint]] /
@@ -303,6 +387,14 @@ object QueryRunner {
         val dt = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
           .parseDataType(typeDdl.trim)
         return ms.addColumn(db, namedTable(raw),
+          c.replace("`", ""), dt).toLong
+      case AlterTypeRe(raw, c, typeDdl) =>
+        // metadata-only type WIDENING (Delta ALTER COLUMN … TYPE):
+        // returns the new head version; unsafe conversions refuse in
+        // the store with the safe-set message
+        val dt = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+          .parseDataType(typeDdl.trim)
+        return ms.alterColumnType(db, namedTable(raw),
           c.replace("`", ""), dt).toLong
       case OptimizeRe(raw, zorder, opts) =>
         val tbl = namedTable(raw)

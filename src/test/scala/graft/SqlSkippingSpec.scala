@@ -196,6 +196,75 @@ class SqlSkippingSpec extends AnyFunSuite with SparkFixture {
     assert(err.getMessage.contains("retention"))
   }
 
+  test("FROM t VERSION/TIMESTAMP AS OF — per-table-reference time travel in SQL") {
+    val store = mkStore()
+    register(store, "tfact")
+    store.overwrite("sdb", "tfact", fact(2000))
+    val v0 = store.latestVersion("sdb", "tfact")
+    val t0 = System.currentTimeMillis(); Thread.sleep(15)
+    store.overwrite("sdb", "tfact", fact(400))
+    val runner = new graft.operators.QueryRunner(store)
+    // pinned single-table SELECT == the typed pinned read, and it PRUNES
+    val got = runner.sql("sdb", s"SELECT id, v FROM tfact VERSION AS OF " +
+      s"$v0 WHERE v >= 100.0 AND v <= 200.0")
+    val want = store.readPinned("sdb", "tfact", Some(v0))
+      .filter(col("v") >= 100.0 && col("v") <= 200.0).select("id", "v")
+    assert(canon(got) == canon(want), "pinned SQL changed the answer")
+    got.collect()
+    val files = deepCollect(got.queryExecution.executedPlan) {
+      case f: FileSourceScanExec =>
+        f.relation.location.asInstanceOf[graft.catalog.StoreFileIndex]
+          .lastKept.size
+    }
+    assert(files.nonEmpty && files.head ==
+      store.prunedFiles("sdb", "tfact",
+        col("v") >= 100.0 && col("v") <= 200.0, Some(v0)).size,
+      s"the pinned reference must prune through its manifest: $files")
+    // TIMESTAMP AS OF resolves through the provenance stamps (epoch-ms
+    // literal form); the pre-second-overwrite instant answers v0
+    val byTs = runner.sql("sdb",
+      s"SELECT count(*) AS n FROM tfact TIMESTAMP AS OF $t0")
+    assert(byTs.head().getLong(0) == 2000L, "the stamp must resolve v0")
+    // MIXED-VERSION JOIN: HEAD fact against the pinned dimension, each
+    // side pruning through its own manifest — one statement
+    register(store, "tdim", pk = Seq("k"))
+    import spark.implicits._
+    store.overwrite("sdb", "tdim",
+      (0 until 7).map(i => (i, s"A$i")).toDF("k", "name"))
+    val dv0 = store.latestVersion("sdb", "tdim")
+    store.overwrite("sdb", "tdim",
+      (0 until 7).map(i => (i, s"B$i")).toDF("k", "name"))
+    val mixed = runner.sql("sdb",
+      s"SELECT f.id, d.name FROM tfact f JOIN tdim VERSION AS OF $dv0 d " +
+        "ON f.tag = d.k WHERE f.v < 50.0")
+    val wantMixed = store.read("sdb", "tfact").filter(col("v") < 50.0)
+      .join(store.readPinned("sdb", "tdim", Some(dv0)),
+        col("tag") === col("k")).select("id", "name")
+    assert(canon(mixed) == canon(wantMixed),
+      "HEAD fact x pinned dim must answer each side from its own manifest")
+    assert(mixed.collect().forall(_.getString(1).startsWith("A")),
+      "the dim pin must surface the OLD names")
+    // refusal past retention, with the store's own loud message
+    val err = intercept[IllegalArgumentException] {
+      runner.sql("sdb", "SELECT * FROM tfact VERSION AS OF 99").collect()
+    }
+    assert(err.getMessage.contains("retained"), err.getMessage)
+    // an unregistered name in a time-travel clause refuses by name;
+    // a plain temp view keeps resolving through Spark
+    val err2 = intercept[IllegalArgumentException] {
+      runner.sql("sdb", "SELECT * FROM nosuch VERSION AS OF 0")
+    }
+    assert(err2.getMessage.contains("not a registered store table"))
+    (0 until 3).map(i => (i, i * 2)).toDF("k", "dbl")
+      .createOrReplaceTempView("side_view")
+    val withView = runner.sql("sdb",
+      s"SELECT f.id, s.dbl FROM tfact VERSION AS OF $v0 f " +
+        "JOIN side_view s ON f.tag = s.k WHERE f.v < 10.0")
+    assert(withView.count() ==
+      store.readPinned("sdb", "tfact", Some(v0))
+        .filter(col("v") < 10.0 && col("tag") < 3).count())
+  }
+
   test("non-parquet tables fall back to the plain snapshot read") {
     val store = mkStore(nBuckets = 2)
     register(store, "js", format = "json")
