@@ -1090,6 +1090,42 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // s16's ATTRIBUTION control: the IDENTICAL fixture build (seed +
+    // maintained-index changelog commit into the store) with a cheap
+    // aggregate read of the committed cell state instead of the serve
+    // batch — so each bench round's serve cost is attributable as
+    // s16 − s17 (the build wall-time cancels), and a bounce in s16
+    // splits into "fixture build moved" vs "serving moved" by data.
+    // The oracle rebuilds the same post-changelog cell assignment
+    "s17_ann_index_build" -> ((s, d) => {
+      import graft.catalog.{InMemoryCatalog, MergeSnapshotStore, TableMeta}
+      val emb = t(s, d, "embeddings")
+      val oldC = emb.filter(col("vec_id") % 17 =!= 0)
+        .select(col("vec_id"), col("embedding"))
+      val newC = emb.filter(col("vec_id") % 13 =!= 0)
+        .select(col("vec_id"),
+          when(col("vec_id") % 7 === 0, reverse(col("embedding")))
+            .otherwise(col("embedding")).as("embedding"))
+      val cents = Similarity.defaultCentroids(oldC, "vec_id", "embedding", 16)
+      val cat = new InMemoryCatalog
+      val store = new MergeSnapshotStore(s, cat, nBuckets = 16)
+      val work = java.nio.file.Files.createTempDirectory("graft-s17").toString
+      cat.register(TableMeta("s17", "vecs", s"$work/vecs",
+        primaryKey = Seq("vec_id")))
+      cat.register(Similarity.ivfIndexMeta("s17", "vecs_cells",
+        s"$work/vecs_cells"))
+      val m = new Ivm.MaintainedAggregates(store, "s17", "vecs",
+        Seq(Similarity.ivfIndexSpec("vecs_cells", "vec_id", "embedding",
+          cents)))
+      m.seed(oldC)
+      m.commit(Scd.snapshotDiff(store.read("s17", "vecs"), newC,
+        Seq("vec_id")))
+      store.read("s17", "vecs_cells")
+        .groupBy("cell").agg(count(lit(1)).as("n_members"),
+          min("vec_id").as("lo"), max("vec_id").as("hi"))
+        .orderBy("cell")
+    }),
+
     // filtered (key-partitioned) ANN: each query's top-k restricted to
     // corpus vectors sharing its label — candidate-space filtering, not
     // top-k post-filtering, so the k-of-eligible contract holds even
@@ -3706,11 +3742,10 @@ object SparkEntry {
     sb.toString
   }
 
-  /** Shared s15/s16 oracle: the IVF index rebuilt from scratch over the
-   * POST-changelog corpus with the old corpus's first-16 pinned
-   * centroids, searched by the family's probe/rank rule — ONE contract
-   * for the in-memory maintained index and the store-served one. */
-  private val IvfIncrementalSql =
+  /** The s15/s16/s17 shared CTE: the IVF index rebuilt from scratch
+   * over the POST-changelog corpus with the old corpus's first-16
+   * pinned centroids — `idx` is the maintained cell assignment. */
+  private val IvfIdxCte =
       """WITH v0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
                      FROM embeddings WHERE vec_id % 17 <> 0),
          cent AS (SELECT vec_id AS cid, e AS ce FROM v0
@@ -3725,7 +3760,13 @@ object SparkEntry {
                           ORDER BY round(list_cosine_similarity(e, ce), 6) DESC,
                                    cid ASC) AS crank
                  FROM v, cent),
-         idx AS (SELECT vec_id, e, cid AS cell FROM asg WHERE crank = 1),
+         idx AS (SELECT vec_id, e, cid AS cell FROM asg WHERE crank = 1)"""
+
+  /** Shared s15/s16 oracle: [[IvfIdxCte]] searched by the family's
+   * probe/rank rule — ONE contract for the in-memory maintained index
+   * and the store-served one. */
+  private val IvfIncrementalSql = IvfIdxCte +
+      """,
          qp AS (SELECT vec_id AS query_id, e AS qe, cid AS cell FROM asg
                 WHERE vec_id < 5 AND crank <= 4),
          s AS (SELECT query_id, c.vec_id AS neighbor_id,
@@ -3736,6 +3777,14 @@ object SparkEntry {
                         ORDER BY cos DESC, neighbor_id ASC) AS rank FROM s)
          SELECT query_id, rank, neighbor_id
          FROM r WHERE rank <= 10 ORDER BY query_id, rank"""
+
+  /** s17 oracle: the committed cell STATE of the same build — s16's
+   * attribution control reads this instead of serving a batch. */
+  private val IvfBuildStateSql = IvfIdxCte +
+      """
+         SELECT cell, count(*) AS n_members,
+                min(vec_id) AS lo, max(vec_id) AS hi
+         FROM idx GROUP BY cell ORDER BY cell"""
 
   /** t30 oracle: the SAME ranking body over the POST-changelog corpus
    * (deletes: doc_id % 13; text updates: % 7; inserts: % 101 re-keyed
@@ -4142,6 +4191,7 @@ object SparkEntry {
     // the STORE-SERVED maintained index must land on the same rebuild
     // answer (one contract for in-memory and served paths)
     "s16_ann_served" -> IvfIncrementalSql,
+    "s17_ann_index_build" -> IvfBuildStateSql,
 
     // same scan as s01 with the label equality in the candidate space
     "s14_ann_filtered_topk" ->

@@ -673,13 +673,30 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
           require(pks.nonEmpty,
             s"${meta.qualified} carries equality-delete sidecars but no " +
               "PK — equality deletes are keyed; the manifest is corrupt")
+          // the anti-join binds the PK's ON-DISK spelling: `addressed`
+          // is the raw physical-named scan in every funnel, sidecars
+          // write the physical spelling, and the spelling survives a
+          // PK rename by construction (PkPhysicalProp) — so a manifest
+          // pinned BEFORE the rename masks identically to head
+          val pkDisk = pks.map(k => MergeSnapshotStore.pkPhysicalOf(meta, k))
           val dels = eqDels.map { d =>
-            spark.read.parquet(refPath(meta.location, d.rel))
-              .select(pks.map(col) :+ lit(d.version).as("__dv"): _*)
+            val raw = spark.read.parquet(refPath(meta.location, d.rel))
+            // a sidecar written before its PK's rename was recorded may
+            // spell the then-logical name — resolve physical first,
+            // then the current logical, loudly if neither
+            raw.select(pkDisk.zip(pks).map { case (phys, k) =>
+              val have = raw.columns.find(_.equalsIgnoreCase(phys))
+                .orElse(raw.columns.find(_.equalsIgnoreCase(k)))
+                .getOrElse(throw new IllegalStateException(
+                  s"delete sidecar ${d.rel} of ${meta.qualified} spells " +
+                    s"neither $phys nor $k for the PRIMARY KEY — the " +
+                    "sidecar predates an unrecorded key restructure"))
+              col(have).as(phys)
+            } :+ lit(d.version).as("__dv"): _*)
           }.reduce(_.unionByName(_))
-          val keyed = pks.foldLeft(dels)((f, k) =>
+          val keyed = pkDisk.foldLeft(dels)((f, k) =>
             f.withColumnRenamed(k, s"__dk_$k"))
-          val cond = pks.map(k => addressed(k) <=> keyed(s"__dk_$k"))
+          val cond = pkDisk.map(k => addressed(k) <=> keyed(s"__dk_$k"))
             .reduce(_ && _) &&
             coalesce(addressed("__fv") < keyed("__dv"), lit(false))
           addressed.join(broadcast(keyed), cond, "left_anti")
@@ -1862,8 +1879,13 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     val tmp = new Path(f"${meta.location}/data/.tmp-d${readVer + 1}%06d-$nonce")
     val fin = new Path(f"${meta.location}/data/d${readVer + 1}%06d-$nonce")
     val f = fs(fin)
+    // the sidecar spells the key's ON-DISK (physical) name, the one
+    // spelling every era's read funnel binds — identical to the
+    // logical name unless the PK was renamed (PkPhysicalProp)
+    val pkDisk = pks.map(k => MergeSnapshotStore.pkPhysicalOf(meta, k))
     loadFiles(meta, current, cand, predicate)
       .select(pks.map(col): _*)
+      .toDF(pkDisk: _*)
       .coalesce(1) // delete-sized by contract
       .write.mode("errorifexists").parquet(s"$tmp/k")
     if (!f.rename(tmp, fin))
@@ -1871,7 +1893,7 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     val keys = spark.read.parquet(refPath(meta.location, rel))
     val matched = keys.count()
     if (matched == 0L) { f.delete(fin, true); return 0L }
-    val keyBuckets = keys.select(bucketOf(meta, pks.map(col)).as("__b"))
+    val keyBuckets = keys.select(bucketOf(meta, pkDisk.map(col)).as("__b"))
       .distinct().collect().map(_.getInt(0)).toSet // <= nBuckets values
     publishMorSidecar(meta, readVer, current, e, rel, matched, keyBuckets,
       MergeSnapshotStore.EqDeleteKind, "merge-on-read delete")
@@ -1908,9 +1930,18 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     val tmp = new Path(f"${meta.location}/data/.tmp-d${readVer + 1}%06d-$nonce")
     val fin = new Path(f"${meta.location}/data/d${readVer + 1}%06d-$nonce")
     val f = fs(fin)
-    val raw = spark.read.format(meta.format).schema(current.schema)
+    // the scan reads the files' PHYSICAL spelling like every read
+    // funnel (a logical-named read over post-rename carried files
+    // would silently NULL the renamed column under the predicate);
+    // addresses capture on the raw scan, masking binds physically,
+    // the logical projection carries the address columns through
+    val raw = spark.read.format(meta.format)
+      .schema(MergeSnapshotStore.physicalSchema(current.schema))
       .load(cand.map(r => refPath(meta.location, r)): _*)
-    applyDeletes(meta, current, withRowAddress(raw))
+    toLogical(applyDeletes(meta, current, withRowAddress(raw)),
+        current.schema,
+        extras = Seq(MergeSnapshotStore.PosFileCol,
+          MergeSnapshotStore.PosPosCol))
       .filter(predicate)
       .select(col(MergeSnapshotStore.PosFileCol).as("__file"),
         col(MergeSnapshotStore.PosPosCol).as("__pos"))
@@ -2499,8 +2530,17 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
         .map(p => commitNumberOf(p).getOrElse(-1)).min
     val known = current.buckets.keySet ++ current.carries.keySet
     current.deletes.iterator.flatMap { d =>
-      val keyBuckets = spark.read.parquet(refPath(meta.location, d.rel))
-        .select(bucketOf(meta, pks.map(col)).as("__b"))
+      val raw = spark.read.parquet(refPath(meta.location, d.rel))
+      // sidecars spell the key's physical name (a pre-record sidecar
+      // may spell the era's logical one — same resolution as the read
+      // funnels')
+      val keyCols = pks.map { k =>
+        val phys = MergeSnapshotStore.pkPhysicalOf(meta, k)
+        col(raw.columns.find(_.equalsIgnoreCase(phys))
+          .orElse(raw.columns.find(_.equalsIgnoreCase(k))).getOrElse(phys))
+      }
+      val keyBuckets = raw
+        .select(bucketOf(meta, keyCols).as("__b"))
         .distinct().collect().map(_.getInt(0)) // <= nBuckets values
       keyBuckets.filter(b => known.contains(b) && minCommit(b) < d.version)
     }.toSet
@@ -2807,10 +2847,10 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
             "pick another name")
       }
     require(!meta.primaryKey.exists(_.equalsIgnoreCase(oldName)),
-      s"renaming PRIMARY KEY column $oldName of ${meta.qualified} is " +
-        "not supported — the key's name threads the catalog " +
-        "registration, equality-delete sidecars and the scoped-commit " +
-        "funnels; restructure with overwrite() and re-register")
+      s"renaming PRIMARY KEY column $oldName of ${meta.qualified} " +
+        "threads the catalog registration, equality-delete sidecars " +
+        "and the scoped-commit funnels — use renamePrimaryKeyColumn(), " +
+        "the guided path that moves all three in one commit")
     Seq(MergeSnapshotStore.SetStatsProp, MergeSnapshotStore.BloomProp)
       .foreach { prop =>
         meta.properties.get(prop).foreach { v =>
@@ -2849,6 +2889,123 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
       throw new java.util.ConcurrentModificationException(
         s"${meta.qualified} took version $next while a rename " +
           "committed — re-run against the new snapshot")
+    vacuum(meta, vs)
+    clearTombstones(meta, m.buckets)
+    next
+  }
+
+  /**
+   * PRIMARY KEY column rename — the guided path [[renameColumn]]'s PK
+   * refusal names. The key's spelling threads THREE surfaces the plain
+   * column-mapping rename cannot reach, and this commit moves all of
+   * them together:
+   *
+   *  - the MANIFEST schema: the same metadata-only rename (physical
+   *    name carried in field metadata), so carried files keep reading
+   *    and stats keep pruning — one manifest write;
+   *  - the CATALOG registration: `primaryKey` re-registers under the
+   *    new spelling, and [[MergeSnapshotStore.PkPhysicalProp]] records
+   *    the key's on-disk name — the era-stable spelling every read
+   *    funnel's delete-masking binds (sidecars write it, pinned
+   *    pre-rename manifests resolve it, the transient window between
+   *    the manifest publish and the re-register reads consistently
+   *    through it);
+   *  - the equality-delete SIDECARS: nothing to migrate — sidecars
+   *    always spell the physical name, which a rename never changes.
+   *
+   * Bucket routing is untouched (hashing binds values, not names), so
+   * carried buckets keep their assignment. Scoped merges race-safe as
+   * for every DDL: an in-flight merge's schema CAS refuses. Refusals
+   * mirror [[renameColumn]]'s (duplicates, shadows, constraints,
+   * properties, reserved names); a non-PK column refuses toward
+   * [[renameColumn]]. Returns the new head version.
+   */
+  def renamePrimaryKeyColumn(db: String, table: String,
+                             oldName: String, newName: String): Int = {
+    val meta = catalog0(db, table)
+    require(meta.primaryKey.exists(_.equalsIgnoreCase(oldName)),
+      s"$oldName is not a PRIMARY KEY column of ${meta.qualified} " +
+        s"(key: ${meta.primaryKey.mkString(", ")}) — use renameColumn()")
+    val vs = manifestVersions(meta.location)
+    require(vs.nonEmpty,
+      s"bootstrap ${meta.qualified} with overwrite() before renaming")
+    val m = readManifest(meta.location, vs.last)
+    val field = m.schema.fields.find(_.name.equalsIgnoreCase(oldName))
+      .getOrElse(throw new IllegalStateException(
+        s"PK column $oldName of ${meta.qualified} is not in the " +
+          "committed schema — the registration is stale"))
+    require(newName.trim.nonEmpty, "new column name must be non-empty")
+    require(!newName.equalsIgnoreCase(field.name),
+      s"rename $oldName -> $newName is a no-op")
+    locally {
+      val lc = newName.toLowerCase
+      require(!(lc == "__b" || lc == "__fv" || lc.startsWith("__graft_")),
+        s"$newName is a reserved internal column name")
+    }
+    require(!m.schema.fields.exists(_.name.equalsIgnoreCase(newName)),
+      s"${meta.qualified} already has a column $newName")
+    m.schema.fields.filterNot(_.name.equalsIgnoreCase(oldName))
+      .find(f => MergeSnapshotStore.physicalOf(f).equalsIgnoreCase(newName))
+      .foreach { owner =>
+        throw new IllegalArgumentException(
+          s"cannot rename to $newName: carried files already hold a " +
+            s"physical column '${MergeSnapshotStore.physicalOf(owner)}' " +
+            s"(the on-disk spelling of renamed column ${owner.name}) — " +
+            "pick another name")
+      }
+    Seq(MergeSnapshotStore.SetStatsProp, MergeSnapshotStore.BloomProp)
+      .foreach { prop =>
+        meta.properties.get(prop).foreach { v =>
+          require(!v.split(',').map(_.trim.takeWhile(_ != ':'))
+              .exists(_.equalsIgnoreCase(oldName)),
+            s"$prop on ${meta.qualified} names $oldName — re-point the " +
+              "property before renaming")
+        }
+      }
+    MergeSnapshotStore.checksOf(meta).foreach { case (name, predSql) =>
+      val re = ("(?i)\\b" +
+        java.util.regex.Pattern.quote(oldName) + "\\b").r
+      require(re.findFirstIn(predSql).isEmpty,
+        s"CHECK constraint $name ($predSql) references $oldName — drop " +
+          "the constraint and re-add it under the new name")
+    }
+    val physical = MergeSnapshotStore.physicalOf(field)
+    val newField =
+      if (physical == newName)
+        field.copy(name = newName,
+          metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(field.metadata)
+            .remove(MergeSnapshotStore.PhysicalKey).build())
+      else field.copy(name = newName,
+        metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(field.metadata)
+          .putString(MergeSnapshotStore.PhysicalKey, physical).build())
+    val newSchema = StructType(m.schema.fields.map(f =>
+      if (f.name.equalsIgnoreCase(oldName)) newField else f))
+    runBeforePublish()
+    val next = vs.last + 1
+    if (!publishManifest(meta.location, next,
+        m.copy(schema = newSchema, op = s"rename-pk($oldName->$newName)",
+          at = System.currentTimeMillis())))
+      throw new java.util.ConcurrentModificationException(
+        s"${meta.qualified} took version $next while a rename " +
+          "committed — re-run against the new snapshot")
+    // manifest first, registration second: a reader in the window binds
+    // masking through the PHYSICAL spelling either way (the property and
+    // the old registration both resolve it), so the order only decides
+    // which spelling the reader's OUTPUT columns carry
+    val newPks = meta.primaryKey.map(k =>
+      if (k.equalsIgnoreCase(oldName)) newName else k)
+    val physMap = (MergeSnapshotStore.pkPhysicalMap(meta) -
+      oldName.toLowerCase) ++
+      (if (physical.equalsIgnoreCase(newName)) Map.empty[String, String]
+       else Map(newName.toLowerCase -> physical))
+    catalog.register(meta.copy(primaryKey = newPks, properties =
+      if (physMap.isEmpty)
+        meta.properties - MergeSnapshotStore.PkPhysicalProp
+      else meta.properties + (MergeSnapshotStore.PkPhysicalProp ->
+        physMap.toSeq.sorted.map { case (l, p) => s"$l:$p" }
+          .mkString(","))))
     vacuum(meta, vs)
     clearTombstones(meta, m.buckets)
     next
@@ -3988,9 +4145,10 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     // The frame arrives logical (user-facing names); when the schema
     // this commit publishes carries renames, swap to the physical
     // spelling here — one no-op-for-most-tables rename pass — and
-    // translate the cluster dims alongside. PK and set-/bloom-property
-    // columns never rename (renameColumn refuses), so their names are
-    // identical in both spellings.
+    // translate the cluster dims alongside — and the PK (a
+    // renamePrimaryKeyColumn'd key hashes under its physical spelling
+    // below). Set-/bloom-property columns never rename (refused), so
+    // their names are identical in both spellings.
     val renameMap: Map[String, String] =
       if (!MergeSnapshotStore.hasRenames(publishSchema)) Map.empty
       else publishSchema.fields.toSeq.collect {
@@ -4036,7 +4194,11 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     val dataDir = new Path(s"${meta.location}/$rel")
     val tmpDir = new Path(f"${meta.location}/data/.tmp-c$next%06d-$nonce")
     val f = fs(dataDir)
-    val bucketed = (pk, physCluster) match {
+    // the frame is physical-named past `checked` — a renamed PK (the
+    // guided renamePrimaryKeyColumn path) must hash under its physical
+    // spelling here, the same value column either way
+    val physPk = pk.map(physName)
+    val bucketed = (physPk, physCluster) match {
       case (ks, Some((dims, bits, fpb))) if ks.nonEmpty =>
         // cluster-on-compact: each PK bucket splits into fpb files of
         // DISJOINT z ranges (fpb = 1 still sorts the bucket by __z, so
@@ -4765,6 +4927,33 @@ object MergeSnapshotStore {
    * manifest-file-sized, so 64 bounds the cache at ~64 manifests'
    * worth of driver heap while covering every serving hot set. */
   val ManifestCacheEntries: Int = 64
+
+  /** Table property recording each renamed PRIMARY KEY column's
+   * on-disk spelling (`new:physical` pairs, comma-separated) — written
+   * by [[MergeSnapshotStore.renamePrimaryKeyColumn]]. The PK threads
+   * three surfaces that field metadata alone cannot reach: the catalog
+   * registration (its own names), equality-delete SIDECARS (parquet
+   * files spelling the key at their write time), and every read
+   * funnel's delete-masking anti-join, which binds on the RAW
+   * physical-named scan — including scans of manifests PINNED before
+   * the rename, whose schemas know nothing of the new name. The
+   * property is the one era-stable record all of them resolve
+   * through: sidecars always write the PHYSICAL spelling, reads always
+   * bind it, and any era's manifest resolves it identically. */
+  val PkPhysicalProp: String = "graft.pk.physical"
+
+  private[catalog] def pkPhysicalMap(meta: TableMeta): Map[String, String] =
+    meta.properties.get(PkPhysicalProp).map(_.split(',').iterator
+      .map(_.trim).filter(_.nonEmpty).map { e =>
+        val i = e.indexOf(':')
+        require(i > 0, s"$PkPhysicalProp entry '$e' is not logical:physical")
+        e.substring(0, i).toLowerCase -> e.substring(i + 1)
+      }.toMap).getOrElse(Map.empty)
+
+  /** A PRIMARY KEY column's on-disk spelling (identity unless
+   * [[MergeSnapshotStore.renamePrimaryKeyColumn]] recorded one). */
+  def pkPhysicalOf(meta: TableMeta, k: String): String =
+    pkPhysicalMap(meta).getOrElse(k.toLowerCase, k)
 
   /** Table property: comma-separated LOCATIONS of shallow clones that
    * borrow this table's files by absolute reference — the clone-aware

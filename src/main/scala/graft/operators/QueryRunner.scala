@@ -375,9 +375,16 @@ object QueryRunner {
         return 0L
       case RenameColumnRe(raw, o, n) =>
         // metadata-only column mapping (Delta ALTER TABLE RENAME
-        // COLUMN): returns the new head version
-        return ms.renameColumn(db, namedTable(raw),
-          o.replace("`", ""), n.replace("`", "")).toLong
+        // COLUMN): returns the new head version. A PRIMARY KEY column
+        // routes through the guided path, which moves the catalog
+        // registration and the sidecar-binding record with the schema
+        val tbl = namedTable(raw)
+        val oldName = o.replace("`", "")
+        val isPk = ms.catalog.get(db, tbl)
+          .exists(_.primaryKey.exists(_.equalsIgnoreCase(oldName)))
+        return (if (isPk)
+          ms.renamePrimaryKeyColumn(db, tbl, oldName, n.replace("`", ""))
+        else ms.renameColumn(db, tbl, oldName, n.replace("`", ""))).toLong
       case DropColumnRe(raw, c) =>
         return ms.dropColumn(db, namedTable(raw),
           c.replace("`", "")).toLong

@@ -6,9 +6,10 @@ import org.apache.spark.sql.functions._
 /**
  * Synthesize a larger scale factor from an existing one for SCALE
  * validation runs (`sbt "runMain graft.tools.ScaleUp <srcDir> <outDir>
- * [factor]"`): `factor` copies of `documents`, `embeddings`, `orders`
- * and `customer` with
- * ids offset per copy and CONTENT decorrelated across copies, so the
+ * [factor]"`): `factor` copies of every board table (`documents`,
+ * `embeddings`, `orders`, `lineitem`, `customer`, `part`, `supplier`,
+ * `events`; `nation`/`region` stay fixed — TPC-H dimension semantics)
+ * with ids offset per copy and CONTENT decorrelated across copies, so the
  * derived corpus keeps the source's per-copy duplicate/near-dup RATE
  * instead of turning every row into a 10-way near-duplicate (which
  * would blow the dedup families' candidate sets up for data reasons
@@ -78,18 +79,59 @@ object ScaleUp {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/orders.parquet")
 
-    // lineitem feeds the composite-PK store fixtures (q85): the
-    // (l_orderkey, l_linenumber) key stays unique when l_orderkey
-    // offsets per copy; every value column verbatim
+    // lineitem feeds the composite-PK store fixtures (q85) and the
+    // TPC-H family: the (l_orderkey, l_linenumber) key stays unique
+    // when l_orderkey offsets per copy, and the part/supplier FOREIGN
+    // keys offset with the SAME stride so each copy joins its own
+    // copy's dimensions — per-copy join selectivity and fan-out are
+    // scale-invariant (keeping them at copy 0 would fan 10x the rows
+    // into a tenth of the keys: manufactured skew, poisoned ratios)
     val li = spark.read.parquet(s"$src/lineitem.parquet")
-    val lkT = li.schema("l_orderkey").dataType
+    def offsetKeys(df: org.apache.spark.sql.DataFrame, i: Int,
+                   keys: String*): org.apache.spark.sql.DataFrame =
+      keys.foldLeft(df) { (d, k) =>
+        d.withColumn(k, (col(k) + lit(i * Stride)).cast(df.schema(k).dataType))
+      }
     (0 until factor).map { i =>
       if (i == 0) li
-      else li.withColumn("l_orderkey",
-        (col("l_orderkey") + lit(i * Stride)).cast(lkT))
+      else offsetKeys(li, i, "l_orderkey", "l_partkey", "l_suppkey")
     }.reduce(_ unionByName _)
       .repartition(64)
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+
+    // part + supplier scale with the fact (TPC-H semantics), keys on
+    // the shared stride; nation + region are FIXED dimensions at every
+    // scale factor (also TPC-H semantics) and copy verbatim
+    val part = spark.read.parquet(s"$src/part.parquet")
+    (0 until factor).map { i =>
+      if (i == 0) part else offsetKeys(part, i, "p_partkey")
+    }.reduce(_ unionByName _)
+      .repartition(16)
+      .write.mode("overwrite").parquet(s"$out/part.parquet")
+    val supp = spark.read.parquet(s"$src/supplier.parquet")
+    (0 until factor).map { i =>
+      if (i == 0) supp else offsetKeys(supp, i, "s_suppkey")
+    }.reduce(_ unionByName _)
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$out/supplier.parquet")
+    Seq("nation", "region").foreach { tbl =>
+      spark.read.parquet(s"$src/$tbl.parquet")
+        .write.mode("overwrite").parquet(s"$out/$tbl.parquet")
+    }
+
+    // events feed the sessionize/window/stream-shaped families:
+    // event_id/user_id offset per copy (per-user session shapes and
+    // per-copy cardinalities survive), timestamps verbatim so window
+    // and watermark selectivity RATES are scale-invariant. Read under
+    // nanosAsLong for TIMESTAMP(NANOS)-written sources; the events()
+    // reader handles either spelling
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$src/events.parquet")
+    (0 until factor).map { i =>
+      if (i == 0) ev else offsetKeys(ev, i, "event_id", "user_id")
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
 
     val cust = spark.read.parquet(s"$src/customer.parquet")
     val ccT = cust.schema("c_custkey").dataType
