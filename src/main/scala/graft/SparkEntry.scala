@@ -2839,6 +2839,45 @@ object SparkEntry {
             ORDER BY o.o_orderkey""")
     }),
 
+    // PRIMARY KEY rename — the guided path: one statement moves the
+    // manifest schema (column mapping), the catalog registration and
+    // the sidecar-binding record together, and a merge-on-read
+    // takedown written BEFORE the rename keeps masking after it
+    // (sidecars spell the key's PHYSICAL name, which never changes).
+    // The fixture pins metadata-only, the moved registration, and
+    // post-rename DML binding the new key name; the oracle projects
+    // the renamed schema over the same survivor set
+    "q94_store_pk_rename" -> ((s, d) => {
+      import graft.catalog.{InMemoryCatalog, MergeSnapshotStore, TableMeta}
+      import graft.operators.QueryRunner
+      val orders = t(s, d, "orders").select(col("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+      val work = java.nio.file.Files.createTempDirectory("graft-q94").toString
+      val cat = new InMemoryCatalog
+      cat.register(TableMeta("q94", "orders", s"$work/orders",
+        primaryKey = Seq("o_orderkey")))
+      val store = new MergeSnapshotStore(s, cat, nBuckets = 8,
+        keepVersions = 8)
+      val runner = new QueryRunner(store)
+      store.overwrite("q94", "orders", orders)
+      // a MoR takedown FIRST: its equality sidecar spells the key's
+      // physical name and must keep masking across the rename
+      store.deleteWhere("q94", "orders", col("o_totalprice") < 20000.0,
+        MergeSnapshotStore.MergeOnRead)
+      val filesBefore = store.filesOf("q94", "orders").count()
+      // the plain RENAME COLUMN statement auto-routes the PK column
+      runner.dml("q94",
+        "ALTER TABLE orders RENAME COLUMN o_orderkey TO order_id")
+      require(store.catalog("q94", "orders").primaryKey == Seq("order_id"),
+        "the catalog registration must move with the schema")
+      require(store.filesOf("q94", "orders").count() == filesBefore,
+        "a PK rename is metadata-only: the same files serve the new key")
+      // post-rename DML binds the new spelling over pre-rename files,
+      // THROUGH the pre-rename sidecar's masking
+      runner.dml("q94", "DELETE FROM orders WHERE o_totalprice > 180000.0")
+      store.read("q94", "orders").orderBy("order_id")
+    }),
+
     // Guaranteed time travel (graft.manifest.keep.ms — Delta's
     // logRetentionDuration per table): manifests younger than the
     // window survive vacuum expiry beyond the keepVersions COUNT
@@ -5594,6 +5633,16 @@ object SparkEntry {
          WHERE NOT (o.o_totalprice < 50000.0)
            AND o.o_totalprice > 150000.0
          ORDER BY o.o_orderkey""",
+
+    // the renamed KEY is the same key: the pre-rename MoR takedown and
+    // the post-rename delete compose, projected under the new spelling
+    "q94_store_pk_rename" ->
+      """SELECT o_orderkey AS order_id, o_custkey, o_orderstatus,
+                o_totalprice
+         FROM orders
+         WHERE NOT (o_totalprice < 20000.0)
+           AND NOT (o_totalprice > 180000.0)
+         ORDER BY order_id""",
 
     // the window-retained AS-OF read answers the PRE-delete snapshot
     "q90_store_time_travel" ->

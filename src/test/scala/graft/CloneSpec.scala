@@ -270,6 +270,44 @@ class CloneSpec extends AnyFunSuite with SparkFixture {
     assert(sortedRows(storeB.read("cdb", "dst")) == cloneRows)
   }
 
+  test("holds persist through the SESSION metastore: one shared external catalog") {
+    // the two-cluster scenario done right: both stores open their own
+    // SessionCatalog adapter over the SAME metastore, so the hold a
+    // clone registers through store B is visible to store A's vacuum
+    // with no explicit call — and the metastore's location
+    // qualification (file: scheme attached on read-back) must not
+    // break the borrowed-ref prefix matching
+    val tmp = Files.createTempDirectory("graft-clone-sess").toString
+    val catA = new graft.catalog.SessionCatalog(spark)
+    catA.register(TableMeta("csess", "src", s"$tmp/src",
+      primaryKey = Seq("id")))
+    val storeA = new MergeSnapshotStore(spark, catA, nBuckets = 4,
+      keepVersions = 1, vacuumRetentionMs = 0L)
+    storeA.overwrite("csess", "src", frame())
+    val storeB = new MergeSnapshotStore(spark,
+      new graft.catalog.SessionCatalog(spark), nBuckets = 4,
+      keepVersions = 1, vacuumRetentionMs = 0L)
+    storeB.cloneTable("csess", "src", "csess", "dst", s"$tmp/dst")
+    val cloneRows = sortedRows(storeB.read("csess", "dst"))
+    assert(catA("csess", "src").properties
+        .get(MergeSnapshotStore.HoldsProp).exists(_.contains("dst")),
+      "the hold must land in the shared metastore")
+    storeA.overwrite("csess", "src", frame().withColumn("v", col("v") * 2))
+    val rep = storeA.vacuum("csess", "src", retainMs = Some(0L))
+    assert(rep.borrowedSkipped > 0,
+      s"A must see B's hold through the metastore: $rep")
+    assert(sortedRows(storeB.read("csess", "dst")) == cloneRows)
+    // sever on B; A's auto-release reads B's manifests off the shared
+    // filesystem and frees the space with no explicit release call
+    storeB.compact("csess", "dst", targetFiles = 4)
+    val rep2 = storeA.vacuum("csess", "src", retainMs = Some(0L))
+    assert(rep2.borrowedSkipped == 0 && rep2.dirsReclaimed > 0, s"$rep2")
+    assert(!catA("csess", "src").properties
+        .contains(MergeSnapshotStore.HoldsProp),
+      "the released hold must clear from the metastore")
+    assert(sortedRows(storeB.read("csess", "dst")) == cloneRows)
+  }
+
   test("RACE: cloners vs the source's churn+vacuum — survive or refuse, never severed") {
     // keep=1 + zero retention: every source commit's vacuum expires the
     // prior manifest and reclaims its dirs IMMEDIATELY. Cloners race

@@ -326,6 +326,39 @@ class ChangeFeedSpec extends AnyFunSuite with SparkFixture {
     assert(ex.getMessage.contains("FRESH"), ex.getMessage)
   }
 
+  test("a WIDENED source refuses the pin; the fresh era carries the wide type") {
+    val store = mkStore()
+    register(store, "t")
+    store.overwrite("fdb", "t",
+      frame().withColumn("vi", col("v").cast("int")))
+    val dir = feedDir("widen")
+    ChangeFeed.advance(store, "fdb", "t", dir)
+    store.deleteWhere("fdb", "t", col("id") === 1L)
+    ChangeFeed.advance(store, "fdb", "t", dir) // pins vi AS INT
+    // metadata-only widen: same names, wider type — the pinned parquet
+    // schema cannot read long deltas, so export must refuse, not the
+    // consumer's stream
+    store.alterColumnType("fdb", "t", "vi",
+      org.apache.spark.sql.types.LongType)
+    store.deleteWhere("fdb", "t", col("id") === 2L)
+    val ex = intercept[IllegalArgumentException] {
+      ChangeFeed.advance(store, "fdb", "t", dir)
+    }
+    assert(ex.getMessage.contains("FRESH"), ex.getMessage)
+    // the fresh era backfills gap-free and spells the WIDE type (the
+    // cross-widen diff up-casts its narrow side)
+    val last = spark.read.parquet(s"$dir/delta_*")
+      .agg(max("_commit_version")).head().getInt(0)
+    val dir2 = feedDir("widen2")
+    val Some((from, _)) = ChangeFeed.advance(store, "fdb", "t", dir2,
+      startVersion = Some(last))
+    assert(from == last)
+    val got = spark.read.parquet(s"$dir2/delta_*")
+    assert(got.schema("vi").dataType ==
+      org.apache.spark.sql.types.LongType &&
+      got.filter(col("change") === "D").count() >= 1)
+  }
+
   test("an exporter paused past the source's retention refuses loudly") {
     val store = mkStore(keep = 2)
     register(store, "t")
