@@ -3145,11 +3145,14 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
    *
    * Safe set — everything lossless AND parquet-promotable:
    * byte→short→int→long along the integral ladder; float→double;
-   * byte/short/int→double; decimal(p,s)→decimal(p',s') growing both
-   * the integer space (p'−s' ≥ p−s) and the scale (s' ≥ s). Everything
-   * else refuses: narrowing loses data, long→double loses precision,
-   * cross-family retypes change semantics — restructure those with
-   * `overwrite(mergeSchema)`. Numeric pruning bounds live in DOUBLE
+   * byte/short/int→double; int→decimal(p−s ≥ 10) and
+   * long→decimal(p−s ≥ 20) (the NUMBER ladder's landing type, with
+   * enough integer digits for the whole source range — Delta's rule
+   * and the vectorized reader's exact support); decimal(p,s)→
+   * decimal(p',s') growing both the integer space (p'−s' ≥ p−s) and
+   * the scale (s' ≥ s). Everything else refuses: narrowing loses
+   * data, long→double loses precision, cross-family retypes change
+   * semantics — restructure those with `overwrite(mergeSchema)`. Numeric pruning bounds live in DOUBLE
    * space in the manifest, so carried files' min/max keep pruning
    * exactly under the widened type; the change feed up-casts the old
    * side of a cross-widen diff (same column, wider clothes).
@@ -3640,6 +3643,76 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
       java.util.Arrays.asList(rows: _*), StructType(Seq(
         StructField("key", StringType, nullable = false),
         StructField("value", StringType, nullable = false))))
+  }
+
+  /**
+   * SET table properties from the statement surface (`ALTER TABLE t
+   * SET TBLPROPERTIES ('k'='v', …)` — Delta's spelling; the SQL half
+   * [[showProperties]] reads back). Properties are CATALOG policy here
+   * (the manifest carries data lineage, the catalog carries policy),
+   * so the set consumes no version and takes effect on the next
+   * operation that reads it — retention on the next vacuum, bloom/
+   * set-stats knobs on the next write, the time-travel window on the
+   * next expiry pass.
+   *
+   * Refusals keep the bookkeeping sound: `graft.holds` and
+   * `graft.pk.physical` are the store's OWN records (hand-editing the
+   * first severs live clones, the second breaks delete masking — use
+   * registerHold/releaseHold and renamePrimaryKeyColumn);
+   * `graft.nbuckets` moves only through [[rebucket]] (manifest-vs-meta
+   * adjudication depends on the two flipping together);
+   * `graft.check.*` only through ADD/DROP CONSTRAINT (ADD validates
+   * the existing snapshot first). Known-typed values validate at SET
+   * time — a malformed retention number must refuse HERE, not wedge
+   * every later commit's vacuum pass.
+   */
+  def setProperties(db: String, table: String,
+                    props: Map[String, String]): Unit = {
+    require(props.nonEmpty, "SET TBLPROPERTIES needs at least one entry")
+    props.keys.foreach(guardPropKey)
+    catalog.synchronized {
+      val live = catalog0(db, table)
+      val cand = live.copy(properties = live.properties ++ props)
+      // the store's own parsers ARE the validators
+      if (props.contains(MergeSnapshotStore.RetentionProp))
+        retentionMsOf(cand)
+      if (props.contains(MergeSnapshotStore.ManifestKeepProp))
+        manifestKeepMsOf(cand)
+      props.get(MergeSnapshotStore.BloomProp)
+        .foreach(MergeSnapshotStore.parseBloomProp)
+      catalog.register(cand)
+    }
+  }
+
+  /** UNSET table properties (`ALTER TABLE t UNSET TBLPROPERTIES
+   * ('k', …)`) — the same guarded keys refuse; absent keys are a
+   * silent no-op (Delta's IF EXISTS semantics, the safe direction). */
+  def unsetProperties(db: String, table: String,
+                      keys: Seq[String]): Unit = {
+    require(keys.nonEmpty, "UNSET TBLPROPERTIES needs at least one key")
+    keys.foreach(guardPropKey)
+    catalog.synchronized {
+      val live = catalog0(db, table)
+      catalog.register(live.copy(properties = live.properties -- keys))
+    }
+  }
+
+  private def guardPropKey(k: String): Unit = {
+    require(k.trim.nonEmpty, "empty property key")
+    val lc = k.toLowerCase
+    require(lc != MergeSnapshotStore.HoldsProp,
+      s"$k is the store's borrower index — clones write it; use " +
+        "registerHold/releaseHold for cross-catalog borrowers")
+    require(lc != MergeSnapshotStore.PkPhysicalProp,
+      s"$k is the PRIMARY KEY's on-disk-spelling record — " +
+        "renamePrimaryKeyColumn maintains it; hand-editing breaks " +
+        "delete masking")
+    require(lc != MergeSnapshotStore.BucketsProp,
+      s"$k only moves through rebucket() — the manifest and the " +
+        "property must flip together or every read refuses")
+    require(!lc.startsWith(MergeSnapshotStore.CheckPropPrefix),
+      s"$k is a CHECK constraint — use ALTER TABLE … ADD/DROP " +
+        "CONSTRAINT (ADD validates the existing snapshot first)")
   }
 
   def history(db: String, table: String): DataFrame = {
@@ -5031,6 +5104,13 @@ object MergeSnapshotStore {
       case (IntegerType, LongType) => true
       case (FloatType, DoubleType) => true
       case (ByteType | ShortType | IntegerType, DoubleType) => true
+      // int/long → decimal with enough integer digits for the whole
+      // source range — Delta's type-widening rule, and EXACTLY what the
+      // vectorized parquet reader promotes (probed: dec(9,0)/dec(19,0)
+      // fail vectorized, dec(10,0)/dec(20,0) read both paths;
+      // byte/short → decimal is row-reader-only and stays out)
+      case (IntegerType, d: DecimalType) => d.precision - d.scale >= 10
+      case (LongType, d: DecimalType) => d.precision - d.scale >= 20
       case (a: DecimalType, b: DecimalType) =>
         b.scale >= a.scale &&
           (b.precision - b.scale) >= (a.precision - a.scale)

@@ -123,6 +123,14 @@ object QueryRunner {
   private val AlterTypeRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+ALTER\s+COLUMN\s+([\w`]+)""" +
       """\s+TYPE\s+([^;]+?)\s*;?\s*$""").r
+  private val SetPropsRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+SET\s+TBLPROPERTIES\s*""" +
+      """\((.+)\)\s*;?\s*$""").r
+  private val UnsetPropsRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+UNSET\s+TBLPROPERTIES\s*""" +
+      """\(([^)]+)\)\s*;?\s*$""").r
+  private val PropPairRe = """'([^']*)'\s*=\s*'([^']*)'""".r
+  private val PropKeyRe = """'([^']*)'""".r
 
   /** `TIMESTAMP AS OF` operand → epoch ms: `'yyyy-MM-dd[ HH:mm:ss[.f]]'`
    * (JDBC escape forms) or bare epoch-millisecond digits. */
@@ -317,6 +325,12 @@ object QueryRunner {
    *    TIMESTAMP AS OF '<ts>'] LOCATION '<path>'` →
    *    [[graft.catalog.MergeSnapshotStore.cloneTable]] within the
    *    bound db; returns the clone's first version.
+   *  - `ALTER TABLE t SET TBLPROPERTIES ('k'='v', …)` /
+   *    `UNSET TBLPROPERTIES ('k', …)` →
+   *    [[graft.catalog.MergeSnapshotStore.setProperties]] /
+   *    `unsetProperties` (catalog policy — retention, time-travel
+   *    window, bloom/set-stats knobs; typed values validate at SET,
+   *    the store's own bookkeeping keys refuse); both return 0.
    *  - `ALTER TABLE t ALTER COLUMN c TYPE <wider>` →
    *    [[graft.catalog.MergeSnapshotStore.alterColumnType]]
    *    (metadata-only type widening; unsafe conversions refuse with
@@ -395,6 +409,22 @@ object QueryRunner {
           .parseDataType(typeDdl.trim)
         return ms.addColumn(db, namedTable(raw),
           c.replace("`", ""), dt).toLong
+      case SetPropsRe(raw, body) =>
+        // 'k'='v' pairs, Delta's spelling; the store validates typed
+        // values (retention/window numbers, bloom shapes) and refuses
+        // its own bookkeeping keys
+        val pairs = PropPairRe.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2)).toSeq
+        require(pairs.nonEmpty,
+          s"SET TBLPROPERTIES wants 'key'='value' pairs, got: $body")
+        ms.setProperties(db, namedTable(raw), pairs.toMap)
+        return 0L
+      case UnsetPropsRe(raw, body) =>
+        val keys = PropKeyRe.findAllMatchIn(body).map(_.group(1)).toSeq
+        require(keys.nonEmpty,
+          s"UNSET TBLPROPERTIES wants 'key' entries, got: $body")
+        ms.unsetProperties(db, namedTable(raw), keys)
+        return 0L
       case AlterTypeRe(raw, c, typeDdl) =>
         // metadata-only type WIDENING (Delta ALTER COLUMN … TYPE):
         // returns the new head version; unsafe conversions refuse in

@@ -145,6 +145,19 @@ class AlterColumnTypeSpec extends AnyFunSuite with SparkFixture {
     val vals = s2.read("adb", "t2").collect()
       .map(r => r.getLong(0) -> r.getAs[Double]("v")).toMap
     assert(vals(63L) == 63.0 && vals.size == 64)
+    // int->decimal: the NUMBER ladder's landing type — below the
+    // vectorized promotion floor refuses, at it the values read exact
+    val s3 = mkStore()
+    register(s3, "t3")
+    s3.overwrite("adb", "t3", frame())
+    intercept[IllegalArgumentException] {
+      s3.alterColumnType("adb", "t3", "v", DecimalType(9, 0))
+    }
+    s3.alterColumnType("adb", "t3", "v", DecimalType(12, 2))
+    val dec = s3.read("adb", "t3").collect()
+      .map(r => r.getLong(0) -> r.getAs[java.math.BigDecimal]("v")).toMap
+    assert(dec(7L).compareTo(new java.math.BigDecimal("7.00")) == 0 &&
+      dec.size == 64)
   }
 
   test("the change feed up-casts the narrow side of a cross-widen diff") {
@@ -225,12 +238,21 @@ class AlterColumnTypeSpec extends AnyFunSuite with SparkFixture {
     refuse("big", DoubleType, "safe set")         // long->double loses precision
     refuse("cls", IntegerType, "safe set")        // cross-family
     refuse("f", StringType, "safe set")           // numeric->string
+    refuse("f", DecimalType(20, 2), "safe set")   // float->decimal not in set
     refuse("d", DecimalType(5, 1), "safe set")    // scale shrink
     refuse("d", DecimalType(6, 4), "safe set")    // integer-space shrink (5,2)->(6,4)
     refuse("v", IntegerType, "no-op")             // same type
-    refuse("id", DecimalType(38, 0), "safe set")  // long->decimal not in set
+    refuse("big", DecimalType(21, 2), "safe set") // long->dec needs p-s >= 20
+    refuse("id", DecimalType(38, 0), "PRIMARY KEY") // safe cast, but it's the key
     refuse("nope", LongType, "no column")
     refuse("v", LongType, MergeSnapshotStore.BloomProp) // bloom sidecars
+    // the decimal LANDING types read exact over carried files: the
+    // vectorized reader's own promotion floor (p-s >= 10 for int,
+    // >= 20 for long — probed) is the gate
+    store.alterColumnType("adb", "t", "big", DecimalType(22, 2))
+    val bigs = store.read("adb", "t").collect()
+      .map(r => r.getLong(0) -> r.getAs[java.math.BigDecimal]("big")).toMap
+    assert(bigs(9L).compareTo(new java.math.BigDecimal("9.00")) == 0)
     val s2 = mkStore()
     register(s2, "t2", props = Map(MergeSnapshotStore.SetStatsProp -> "v"))
     s2.overwrite("adb", "t2", frame())

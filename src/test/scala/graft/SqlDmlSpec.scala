@@ -218,4 +218,64 @@ class SqlDmlSpec extends AnyFunSuite with SparkFixture {
     assert(props.exists(_._1.contains("v_nonneg")),
       s"constraints live in the property map: $props")
   }
+
+  test("SET/UNSET TBLPROPERTIES: policy lands, typed values validate, bookkeeping refuses") {
+    val store = mkStore()
+    val runner = new QueryRunner(store)
+    register(store, "t")
+    store.overwrite("sdb", "t", frame())
+    // SET lands and the next policy read honors it: a huge retention
+    // means vacuum reclaims NOTHING on an immediate pass
+    runner.dml("sdb", "ALTER TABLE t SET TBLPROPERTIES (" +
+      s"'${MergeSnapshotStore.RetentionProp}'='${3600L * 1000}', " +
+      "'owner'='graft')")
+    assert(store.catalog("sdb", "t").properties("owner") == "graft")
+    store.overwrite("sdb", "t", frame().withColumn("v", col("v") * 2))
+    store.overwrite("sdb", "t", frame().withColumn("v", col("v") * 3))
+    val held = store.vacuum("sdb", "t")
+    assert(held.dirsReclaimed == 0 && held.dirsAwaitingHorizon > 0,
+      s"the SET retention must hold the space: $held")
+    // read-back through the statement surface
+    val props = runner.sql("sdb", "SHOW TBLPROPERTIES t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props(MergeSnapshotStore.RetentionProp) == "3600000")
+    // UNSET restores the store default (zero here): space reclaims
+    runner.dml("sdb", "ALTER TABLE t UNSET TBLPROPERTIES (" +
+      s"'${MergeSnapshotStore.RetentionProp}')")
+    val freed = store.vacuum("sdb", "t")
+    assert(freed.dirsReclaimed > 0, s"the UNSET must free the space: $freed")
+    // absent keys are a silent no-op (the safe direction)
+    runner.dml("sdb", "ALTER TABLE t UNSET TBLPROPERTIES ('nope')")
+    // typed values validate AT SET — a malformed retention refuses here
+    // instead of wedging every later commit's vacuum
+    intercept[IllegalArgumentException] {
+      runner.dml("sdb", "ALTER TABLE t SET TBLPROPERTIES (" +
+        s"'${MergeSnapshotStore.RetentionProp}'='soon')")
+    }
+    intercept[IllegalArgumentException] {
+      runner.dml("sdb", "ALTER TABLE t SET TBLPROPERTIES (" +
+        s"'${MergeSnapshotStore.ManifestKeepProp}'='-5')")
+    }
+    // the store's own bookkeeping refuses with the pointer to its API
+    def refuseKey(k: String, needle: String): Unit = {
+      val ex = intercept[IllegalArgumentException] {
+        runner.dml("sdb", s"ALTER TABLE t SET TBLPROPERTIES ('$k'='x')")
+      }
+      assert(ex.getMessage.toLowerCase.contains(needle.toLowerCase),
+        s"$k: ${ex.getMessage}")
+      val ex2 = intercept[IllegalArgumentException] {
+        runner.dml("sdb", s"ALTER TABLE t UNSET TBLPROPERTIES ('$k')")
+      }
+      assert(ex2.getMessage.toLowerCase.contains(needle.toLowerCase))
+    }
+    refuseKey(MergeSnapshotStore.HoldsProp, "registerHold")
+    refuseKey(MergeSnapshotStore.PkPhysicalProp, "renamePrimaryKeyColumn")
+    refuseKey(MergeSnapshotStore.BucketsProp, "rebucket")
+    refuseKey(MergeSnapshotStore.CheckPropPrefix + "x", "CONSTRAINT")
+    // malformed pair syntax refuses by name
+    val bad = intercept[IllegalArgumentException] {
+      runner.dml("sdb", "ALTER TABLE t SET TBLPROPERTIES (k=v)")
+    }
+    assert(bad.getMessage.contains("'key'='value'"), bad.getMessage)
+  }
 }
