@@ -45,6 +45,16 @@ trait Catalog {
    * explicitly. */
   def listAll: Seq[TableMeta] = Nil
 
+  /** Remove a registration (metadata only — data lifecycle belongs to
+   * the store's [[graft.catalog.MergeSnapshotStore.dropTable]], which
+   * calls this). Absent tables are a silent no-op. Default: refuse —
+   * an external Catalog must opt in explicitly rather than silently
+   * keep a table its caller believes dropped. */
+  def unregister(db: String, table: String): Unit =
+    throw new UnsupportedOperationException(
+      s"${getClass.getName} does not implement unregister — " +
+        "override it to support DROP TABLE")
+
   def apply(db: String, table: String): TableMeta =
     get(db, table).getOrElse(
       throw new NoSuchElementException(s"table not registered: $db.$table"))
@@ -68,6 +78,8 @@ final class InMemoryCatalog extends Catalog {
   override def list(db: String): Seq[TableMeta] =
     tables.collect { case ((d, _), m) if d == db.toLowerCase => m }.toSeq
   override def listAll: Seq[TableMeta] = tables.values.toSeq
+  override def unregister(db: String, table: String): Unit =
+    tables.remove((db.toLowerCase, table.toLowerCase))
 }
 
 /**

@@ -3886,6 +3886,67 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
   }
 
   /**
+   * DROP TABLE — the registration leaves the catalog; `purge = true`
+   * also deletes every byte under the table's location (manifests,
+   * data, sidecars, tombstones). The metadata-only default is the
+   * external-table semantics Delta/Spark give unmanaged tables: the
+   * location survives, and re-registering the same (db, table,
+   * location) re-attaches the committed history unchanged — useful as
+   * "detach", and the safe direction when in doubt.
+   *
+   * Borrower interplay, both directions:
+   *  - this table is a SOURCE with live holds (`graft.holds`
+   *    non-empty): `purge` REFUSES — deleting the bytes would sever
+   *    every registered borrower at read time, the exact failure the
+   *    hold index exists to prevent; sever the clones (compact) or
+   *    releaseHold first, or drop without purge.
+   *  - this table is a BORROWER: a metadata-only drop leaves its
+   *    manifests on disk, so its sources keep protecting the borrowed
+   *    files (the hold auto-releases only when the manifests stop
+   *    referencing them); a PURGED borrower's refs vanish with it and
+   *    every source frees the space on its next vacuum pass.
+   *
+   * Purge deletes BEFORE unregistering: a failure mid-delete leaves
+   * the registration pointing at the partial location, where every
+   * read refuses loudly on the missing manifests — never a silently
+   * detached half-deleted table. Returns true when data was purged.
+   */
+  def dropTable(db: String, table: String, purge: Boolean = false): Boolean = {
+    val meta = catalog0(db, table)
+    if (purge) {
+      // the guard reads the held locations' ACTUAL references, not the
+      // raw index — a severed clone whose hold has not auto-released
+      // yet (release runs on deleting vacuum passes) must not block
+      val prefix = s"${meta.location}/"
+      val holding = holdsOf(meta).filter { loc =>
+        manifestVersions(loc).exists { v =>
+          try {
+            val sm = readManifest(loc, v)
+            (sm.buckets.values ++ sm.deletes.map(_.rel) ++
+              sm.carries.values.flatten).exists(r =>
+              MergeSnapshotStore.isAbsoluteRef(r) && r.startsWith(prefix))
+          } catch { case _: java.io.FileNotFoundException => false }
+        }
+      }
+      require(holding.isEmpty,
+        s"cannot PURGE ${meta.qualified}: ${holding.size} shallow " +
+          s"clone(s) still borrow its files (${holding.mkString(", ")})" +
+          " — sever them (compact on the clone) or releaseHold, or " +
+          "drop without purge")
+      // capture the retained versions BEFORE the delete empties the
+      // listing — the parse cache must not serve a purged table
+      val vs = manifestVersions(meta.location)
+      val p = new Path(meta.location)
+      val f = fs(p)
+      if (f.exists(p)) f.delete(p, true)
+      vs.foreach(v =>
+        manifestCache.remove(manifestPath(meta.location, v).toString))
+    }
+    catalog.unregister(db, table)
+    purge
+  }
+
+  /**
    * One-call maintenance policy — the cron-able closure of the
    * advise→act loop: consult BOTH advisors ([[deleteDebt]] for
    * merge-on-read sidecar buildup, [[bucketHealth]] per layout column

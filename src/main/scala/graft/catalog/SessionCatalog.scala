@@ -167,6 +167,13 @@ final class SessionCatalog(spark: SparkSession) extends Catalog {
   override def listAll: Seq[TableMeta] =
     sc.listDatabases().flatMap(list)
 
+  /** Metadata-only drop (purge = false always — the STORE owns data
+   * lifecycle; its dropTable purges through the filesystem itself). */
+  override def unregister(db: String, table: String): Unit =
+    try sc.dropTable(ident(db, table), ignoreIfNotExists = true,
+      purge = false)
+    catch { case _: NoSuchDatabaseException => () }
+
   private def toMeta(ct: CatalogTable): TableMeta =
     TableMeta(
       db = ct.identifier.database.getOrElse(""),

@@ -131,6 +131,8 @@ object QueryRunner {
       """\(([^)]+)\)\s*;?\s*$""").r
   private val PropPairRe = """'([^']*)'\s*=\s*'([^']*)'""".r
   private val PropKeyRe = """'([^']*)'""".r
+  private val DropTableRe =
+    """(?is)^\s*DROP\s+TABLE\s+([\w.`]+)(\s+PURGE)?\s*;?\s*$""".r
 
   /** `TIMESTAMP AS OF` operand → epoch ms: `'yyyy-MM-dd[ HH:mm:ss[.f]]'`
    * (JDBC escape forms) or bare epoch-millisecond digits. */
@@ -325,6 +327,10 @@ object QueryRunner {
    *    TIMESTAMP AS OF '<ts>'] LOCATION '<path>'` →
    *    [[graft.catalog.MergeSnapshotStore.cloneTable]] within the
    *    bound db; returns the clone's first version.
+   *  - `DROP TABLE t [PURGE]` →
+   *    [[graft.catalog.MergeSnapshotStore.dropTable]] (metadata-only
+   *    by default; PURGE deletes the location and refuses while
+   *    shallow clones still borrow it); returns 0.
    *  - `ALTER TABLE t SET TBLPROPERTIES ('k'='v', …)` /
    *    `UNSET TBLPROPERTIES ('k', …)` →
    *    [[graft.catalog.MergeSnapshotStore.setProperties]] /
@@ -409,6 +415,12 @@ object QueryRunner {
           .parseDataType(typeDdl.trim)
         return ms.addColumn(db, namedTable(raw),
           c.replace("`", ""), dt).toLong
+      case DropTableRe(raw, purge) =>
+        // metadata-only by default (external-table semantics: the
+        // location survives, re-registering re-attaches); PURGE deletes
+        // the bytes and refuses while shallow clones still borrow them
+        ms.dropTable(db, namedTable(raw), purge = purge != null)
+        return 0L
       case SetPropsRe(raw, body) =>
         // 'k'='v' pairs, Delta's spelling; the store validates typed
         // values (retention/window numbers, bloom shapes) and refuses
