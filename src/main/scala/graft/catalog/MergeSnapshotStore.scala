@@ -3886,6 +3886,53 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
   }
 
   /**
+   * CREATE TABLE — the registration statement's typed body: validate
+   * and register, no data written (the store's tables are EXTERNAL —
+   * the first overwrite/merge bootstraps the manifest log at the
+   * location; a location already holding committed versions simply
+   * RE-ATTACHES, the [[dropTable]] round-trip). The primary key and
+   * partition columns must exist in the declared schema; properties
+   * validate exactly like [[setProperties]] (typed values at CREATE
+   * time, bookkeeping keys refused); a live registration refuses
+   * unless `ifNotExists`.
+   */
+  def createTable(db: String, table: String, location: String,
+                  schema: Option[StructType] = None,
+                  primaryKey: Seq[String] = Nil,
+                  partitionBy: Seq[String] = Nil,
+                  format: String = "parquet",
+                  properties: Map[String, String] = Map.empty,
+                  ifNotExists: Boolean = false): Unit = {
+    require(location.trim.nonEmpty, "CREATE TABLE needs a LOCATION — " +
+      "the store's tables are external (the store owns the files)")
+    properties.keys.foreach(guardPropKey)
+    schema.foreach { s =>
+      (primaryKey ++ partitionBy).foreach { c =>
+        require(s.fieldNames.exists(_.equalsIgnoreCase(c)),
+          s"$db.$table declares $c as a key/partition column but the " +
+            s"schema has no such column (${s.fieldNames.mkString(", ")})")
+      }
+    }
+    val meta = TableMeta(db, table, location, format = format,
+      primaryKey = primaryKey, partitionBy = partitionBy,
+      properties = properties, schema = schema)
+    // the store's own parsers ARE the validators (setProperties parity)
+    if (properties.contains(MergeSnapshotStore.RetentionProp))
+      retentionMsOf(meta)
+    if (properties.contains(MergeSnapshotStore.ManifestKeepProp))
+      manifestKeepMsOf(meta)
+    properties.get(MergeSnapshotStore.BloomProp)
+      .foreach(MergeSnapshotStore.parseBloomProp)
+    catalog.synchronized {
+      if (catalog.get(db, table).isDefined) {
+        if (!ifNotExists) throw new IllegalArgumentException(
+          s"$db.$table is already registered — DROP TABLE first, or " +
+            "CREATE TABLE IF NOT EXISTS to no-op")
+      } else catalog.register(meta)
+    }
+  }
+
+  /**
    * DROP TABLE — the registration leaves the catalog; `purge = true`
    * also deletes every byte under the table's location (manifests,
    * data, sidecars, tombstones). The metadata-only default is the

@@ -327,6 +327,12 @@ object QueryRunner {
    *    TIMESTAMP AS OF '<ts>'] LOCATION '<path>'` →
    *    [[graft.catalog.MergeSnapshotStore.cloneTable]] within the
    *    bound db; returns the clone's first version.
+   *  - `CREATE TABLE [IF NOT EXISTS] t (cols) USING fmt [PARTITIONED
+   *    BY (c, …)] LOCATION '<path>' [TBLPROPERTIES (…)]` →
+   *    [[graft.catalog.MergeSnapshotStore.createTable]] (registration
+   *    only — external-table semantics; the PRIMARY KEY rides the
+   *    `graft.pk` property, the reference's own Glue-parameter
+   *    convention); returns 0.
    *  - `DROP TABLE t [PURGE]` →
    *    [[graft.catalog.MergeSnapshotStore.dropTable]] (metadata-only
    *    by default; PURGE deletes the location and refuses while
@@ -511,6 +517,56 @@ object QueryRunner {
     def columnOf(e: org.apache.spark.sql.catalyst.expressions.Expression) =
       expr(e.sql)
     plan match {
+      case ct: org.apache.spark.sql.catalyst.plans.logical.CreateTable =>
+        // `CREATE TABLE t (cols) USING fmt [PARTITIONED BY (c,…)]
+        // LOCATION '<path>' [TBLPROPERTIES (…)]` — Spark's own grammar
+        // parses it; the PRIMARY KEY rides the reference's own
+        // convention (the Glue `PK` table parameter) as the `graft.pk`
+        // property, pulled into the typed registration here
+        import org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier
+        val tbl = ct.name match {
+          case u: UnresolvedIdentifier => u.nameParts match {
+            case Seq(t) => t
+            case Seq(d, t) =>
+              require(d.equalsIgnoreCase(db),
+                s"statement names database $d but this runner is bound to $db")
+              t
+            case parts => throw new IllegalArgumentException(
+              s"unsupported table name ${parts.mkString(".")}")
+          }
+          case other => throw new IllegalArgumentException(
+            s"unsupported CREATE TABLE name node: ${other.nodeName}")
+        }
+        val spec = ct.tableSpec match {
+          case u: org.apache.spark.sql.catalyst.plans.logical.UnresolvedTableSpec => u
+          case other => throw new IllegalArgumentException(
+            s"unsupported table spec: ${other.getClass.getSimpleName}")
+        }
+        val partCols = ct.partitioning.map {
+          case t if t.name == "identity" && t.references.length == 1 =>
+            t.references.head.fieldNames.mkString(".")
+          case other => throw new IllegalArgumentException(
+            s"unsupported PARTITIONED BY transform ${other.describe} — " +
+              "the store partitions by plain columns (PK-hash bucketing " +
+              "is the graft.nbuckets layout, not a partition transform)")
+        }
+        val pk = spec.properties.get("graft.pk")
+          .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(Nil)
+        val schema = org.apache.spark.sql.types.StructType(
+          ct.columns.map(c =>
+            org.apache.spark.sql.types.StructField(c.name, c.dataType,
+              c.nullable)))
+        ms.createTable(db, tbl,
+          location = spec.location.getOrElse(
+            throw new IllegalArgumentException(
+              "CREATE TABLE needs a LOCATION — the store's tables are " +
+                "external (the store owns the files)")),
+          schema = Some(schema), primaryKey = pk, partitionBy = partCols,
+          format = spec.provider.getOrElse("parquet").toLowerCase,
+          properties = spec.properties - "graft.pk",
+          ifNotExists = ct.ignoreIfExists)
+        return 0L
       case DeleteFromTable(t, condition) =>
         ms.deleteWhere(db, tableOf(t), columnOf(condition), mode)
       case UpdateTable(t, assignments, condition) =>

@@ -121,6 +121,63 @@ class DropTableSpec extends AnyFunSuite with SparkFixture {
     assert(rep.borrowedSkipped == 0 && rep.dirsReclaimed > 0, s"$rep")
   }
 
+  test("CREATE TABLE statement: full lifecycle from registration to DML") {
+    val store = mkStore()
+    val runner = new QueryRunner(store)
+    val loc = Files.createTempDirectory("graft-create").toString + "/t"
+    runner.dml("ddb",
+      s"""CREATE TABLE t (id BIGINT, v BIGINT, cls STRING)
+          USING parquet LOCATION '$loc'
+          TBLPROPERTIES ('graft.pk'='id',
+            '${MergeSnapshotStore.RetentionProp}'='60000')""")
+    val meta = store.catalog("ddb", "t")
+    assert(meta.primaryKey == Seq("id") &&
+      meta.properties(MergeSnapshotStore.RetentionProp) == "60000" &&
+      !meta.properties.contains("graft.pk"),
+      s"the pk rides the typed registration, not the property map: $meta")
+    assert(meta.schema.exists(_.fieldNames.toSeq == Seq("id", "v", "cls")))
+    // the registered table is immediately a full store table
+    store.overwrite("ddb", "t", frame())
+    runner.dml("ddb", "DELETE FROM t WHERE v = 10")
+    assert(store.read("ddb", "t").count() == 63)
+    // IF NOT EXISTS no-ops on a live registration; without it, refuse
+    runner.dml("ddb", s"CREATE TABLE IF NOT EXISTS t (id BIGINT) " +
+      s"USING parquet LOCATION '$loc'")
+    assert(store.read("ddb", "t").count() == 63, "the no-op must not clobber")
+    val ex = intercept[IllegalArgumentException] {
+      runner.dml("ddb",
+        s"CREATE TABLE t (id BIGINT) USING parquet LOCATION '$loc'")
+    }
+    assert(ex.getMessage.contains("already registered"), ex.getMessage)
+    // refusals: no LOCATION; a PK column the schema lacks; bucket
+    // transforms; bookkeeping properties
+    intercept[IllegalArgumentException] {
+      runner.dml("ddb", "CREATE TABLE t2 (id BIGINT) USING parquet")
+    }
+    intercept[IllegalArgumentException] {
+      runner.dml("ddb", s"CREATE TABLE t3 (id BIGINT) USING parquet " +
+        s"LOCATION '$loc-3' TBLPROPERTIES ('graft.pk'='nope')")
+    }
+    intercept[IllegalArgumentException] {
+      runner.dml("ddb", s"CREATE TABLE t4 (id BIGINT, d STRING) " +
+        s"USING parquet PARTITIONED BY (bucket(4, id)) LOCATION '$loc-4'")
+    }
+    intercept[IllegalArgumentException] {
+      runner.dml("ddb", s"CREATE TABLE t5 (id BIGINT) USING parquet " +
+        s"LOCATION '$loc-5' TBLPROPERTIES " +
+        s"('${MergeSnapshotStore.HoldsProp}'='x')")
+    }
+    // DROP + CREATE at the same location re-attaches (the detach story
+    // through statements end to end)
+    runner.dml("ddb", "DROP TABLE t")
+    runner.dml("ddb",
+      s"""CREATE TABLE t (id BIGINT, v BIGINT, cls STRING)
+          USING parquet LOCATION '$loc'
+          TBLPROPERTIES ('graft.pk'='id')""")
+    assert(store.read("ddb", "t").count() == 63,
+      "re-creating over the surviving location re-attaches the history")
+  }
+
   test("the DROP TABLE statement rides the dialect; SessionCatalog unregisters") {
     val store = mkStore()
     register(store, "t")
