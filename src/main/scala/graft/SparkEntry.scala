@@ -2878,6 +2878,41 @@ object SparkEntry {
       store.read("q94", "orders").orderBy("order_id")
     }),
 
+    // The registration lifecycle DRIVEN BY STATEMENTS end to end:
+    // CREATE TABLE registers (external semantics), the first write
+    // bootstraps the manifest log, statement DML and policy land,
+    // SHOW TABLES lists it, DROP TABLE detaches metadata-only, and
+    // re-CREATE over the surviving location RE-ATTACHES the committed
+    // history — post-re-attach DML proves the history is all there.
+    // The oracle computes the same two-statement survivor/update set
+    "q95_statement_lifecycle" -> ((s, d) => {
+      import graft.catalog.{InMemoryCatalog, MergeSnapshotStore}
+      import graft.operators.QueryRunner
+      val work = java.nio.file.Files.createTempDirectory("graft-q95").toString
+      val store = new MergeSnapshotStore(s, new InMemoryCatalog,
+        nBuckets = 8, keepVersions = 8)
+      val runner = new QueryRunner(store)
+      val ddl = "CREATE TABLE orders (o_orderkey BIGINT, o_custkey " +
+        "BIGINT, o_orderstatus STRING, o_totalprice DOUBLE) USING " +
+        s"parquet LOCATION '$work/orders' TBLPROPERTIES ('graft.pk'=" +
+        "'o_orderkey')"
+      runner.dml("q95", ddl)
+      store.overwrite("q95", "orders", t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice")))
+      runner.dml("q95", "DELETE FROM orders WHERE o_totalprice < 20000.0")
+      runner.dml("q95", "ALTER TABLE orders SET TBLPROPERTIES " +
+        s"('${MergeSnapshotStore.RetentionProp}'='60000')")
+      require(runner.sql("q95", "SHOW TABLES").collect()
+          .map(_.getString(0)).contains("orders"),
+        "SHOW TABLES must list the registration")
+      runner.dml("q95", "DROP TABLE orders") // detach, bytes survive
+      runner.dml("q95", ddl)                 // re-attach the history
+      runner.dml("q95",
+        "UPDATE orders SET o_orderstatus = 'X' WHERE o_totalprice > 180000.0")
+      store.read("q95", "orders").orderBy("o_orderkey")
+    }),
+
     // Guaranteed time travel (graft.manifest.keep.ms — Delta's
     // logRetentionDuration per table): manifests younger than the
     // window survive vacuum expiry beyond the keepVersions COUNT
@@ -5643,6 +5678,17 @@ object SparkEntry {
          WHERE NOT (o_totalprice < 20000.0)
            AND NOT (o_totalprice > 180000.0)
          ORDER BY order_id""",
+
+    // the detach/re-attach round-trip loses nothing: the survivor set
+    // of the pre-drop delete, updated by the post-re-attach statement
+    "q95_statement_lifecycle" ->
+      """SELECT o_orderkey, o_custkey,
+                CASE WHEN o_totalprice > 180000.0 THEN 'X'
+                     ELSE o_orderstatus END AS o_orderstatus,
+                o_totalprice
+         FROM orders
+         WHERE NOT (o_totalprice < 20000.0)
+         ORDER BY o_orderkey""",
 
     // the window-retained AS-OF read answers the PRE-delete snapshot
     "q90_store_time_travel" ->

@@ -133,6 +133,8 @@ object QueryRunner {
   private val PropKeyRe = """'([^']*)'""".r
   private val DropTableRe =
     """(?is)^\s*DROP\s+TABLE\s+([\w.`]+)(\s+PURGE)?\s*;?\s*$""".r
+  private val ShowTablesRe =
+    """(?is)^\s*SHOW\s+TABLES(?:\s+IN\s+([\w`]+))?\s*;?\s*$""".r
 
   /** `TIMESTAMP AS OF` operand → epoch ms: `'yyyy-MM-dd[ HH:mm:ss[.f]]'`
    * (JDBC escape forms) or bare epoch-millisecond digits. */
@@ -188,6 +190,25 @@ object QueryRunner {
       case DescribeHistoryRe(raw) => ms.history(db, tableName(db, raw))
       case DescribeDetailRe(raw) => ms.describeDetail(db, tableName(db, raw))
       case ShowPropsRe(raw) => ms.showProperties(db, tableName(db, raw))
+      case ShowTablesRe(dbRaw) =>
+        // the catalog listing as a frame: name, key, format, location —
+        // the registration-level fields an operator browses
+        val d = Option(dbRaw).map(_.replace("`", "")).getOrElse(db)
+        val spark = org.apache.spark.sql.SparkSession.active
+        val rows = ms.catalog.list(d).sortBy(_.name).map(m =>
+          org.apache.spark.sql.Row(m.name, m.primaryKey.mkString(","),
+            m.format, m.location))
+        spark.createDataFrame(
+          java.util.Arrays.asList(rows: _*),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("table",
+              org.apache.spark.sql.types.StringType, nullable = false),
+            org.apache.spark.sql.types.StructField("primary_key",
+              org.apache.spark.sql.types.StringType, nullable = false),
+            org.apache.spark.sql.types.StructField("format",
+              org.apache.spark.sql.types.StringType, nullable = false),
+            org.apache.spark.sql.types.StructField("location",
+              org.apache.spark.sql.types.StringType, nullable = false))))
       case FilesTableRe(raw, v) =>
         ms.filesOf(db, tableName(db, raw), Option(v).map(_.toInt))
       case s if s.trim.take(6).equalsIgnoreCase("SELECT") ||
