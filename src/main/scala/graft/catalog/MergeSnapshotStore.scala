@@ -3715,6 +3715,79 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
         "CONSTRAINT (ADD validates the existing snapshot first)")
   }
 
+  /** `DESCRIBE TABLE t` — the committed HEAD schema (logical spelling,
+   * mapping metadata stripped) in Spark's own describe shape, plus the
+   * registration-level trailer rows (primary key, partitioning,
+   * format, location). Driver-side manifest parse only. */
+  def describeTable(db: String, table: String): DataFrame = {
+    val meta = catalog0(db, table)
+    val vs = manifestVersions(meta.location)
+    val schema: Option[StructType] =
+      if (vs.nonEmpty)
+        Some(MergeSnapshotStore.plainLogical(
+          readManifest(meta.location, vs.last).schema))
+      else meta.schema
+    val colRows = schema.toSeq.flatMap(_.fields.toSeq).map(f =>
+      org.apache.spark.sql.Row(f.name, f.dataType.catalogString,
+        if (f.nullable) "" else "not null"))
+    val trailer = Seq(
+      org.apache.spark.sql.Row("# primary key",
+        meta.primaryKey.mkString(", "), ""),
+      org.apache.spark.sql.Row("# partitioned by",
+        meta.partitionBy.mkString(", "), ""),
+      org.apache.spark.sql.Row("# format", meta.format, ""),
+      org.apache.spark.sql.Row("# location", meta.location, ""))
+    spark.createDataFrame(
+      java.util.Arrays.asList((colRows ++ trailer): _*),
+      StructType(Seq(
+        StructField("col_name", StringType, nullable = false),
+        StructField("data_type", StringType, nullable = false),
+        StructField("comment", StringType, nullable = false))))
+  }
+
+  /** `SHOW CREATE TABLE t` — the one statement [[createTable]] accepts
+   * to re-register this table verbatim (schema from the committed head
+   * where one exists, PK as the `graft.pk` property, user properties
+   * quoted; the store's bookkeeping keys are OMITTED — they are not
+   * CREATE-able, and the lifecycle that wrote them maintains them).
+   * With [[dropTable]]'s external semantics this is the full
+   * detach/re-attach round trip as text. */
+  def showCreateTable(db: String, table: String): DataFrame = {
+    val meta = catalog0(db, table)
+    val vs = manifestVersions(meta.location)
+    val schema: Option[StructType] =
+      if (vs.nonEmpty)
+        Some(MergeSnapshotStore.plainLogical(
+          readManifest(meta.location, vs.last).schema))
+      else meta.schema
+    require(schema.nonEmpty,
+      s"${meta.qualified} has no committed or registered schema to render")
+    val cols = schema.get.fields
+      .map(f => s"${f.name} ${f.dataType.sql}").mkString(", ")
+    val part =
+      if (meta.partitionBy.isEmpty) ""
+      else meta.partitionBy.mkString(" PARTITIONED BY (", ", ", ")")
+    val bookkeeping = Set(MergeSnapshotStore.HoldsProp,
+      MergeSnapshotStore.PkPhysicalProp, MergeSnapshotStore.BucketsProp)
+    val props = (meta.properties.view
+      .filterKeys(k => !bookkeeping.contains(k.toLowerCase) &&
+        !k.toLowerCase.startsWith(MergeSnapshotStore.CheckPropPrefix))
+      .toMap ++
+      (if (meta.hasPrimaryKey)
+        Map("graft.pk" -> meta.primaryKey.mkString(","))
+      else Map.empty)).toSeq.sorted
+    val propsSql =
+      if (props.isEmpty) ""
+      else props.map { case (k, v) => s"'$k'='$v'" }
+        .mkString(" TBLPROPERTIES (", ", ", ")")
+    val stmt = s"CREATE TABLE ${meta.name} ($cols) USING ${meta.format}" +
+      s"$part LOCATION '${meta.location}'$propsSql"
+    spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(stmt)),
+      StructType(Seq(
+        StructField("createtab_stmt", StringType, nullable = false))))
+  }
+
   def history(db: String, table: String): DataFrame = {
     val meta = catalog0(db, table)
     val rows: java.util.List[org.apache.spark.sql.Row] =

@@ -135,6 +135,10 @@ object QueryRunner {
     """(?is)^\s*DROP\s+TABLE\s+([\w.`]+)(\s+PURGE)?\s*;?\s*$""".r
   private val ShowTablesRe =
     """(?is)^\s*SHOW\s+TABLES(?:\s+IN\s+([\w`]+))?\s*;?\s*$""".r
+  private val DescribeTableRe =
+    """(?is)^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?([\w.`]+)\s*;?\s*$""".r
+  private val ShowCreateRe =
+    """(?is)^\s*SHOW\s+CREATE\s+TABLE\s+([\w.`]+)\s*;?\s*$""".r
 
   /** `TIMESTAMP AS OF` operand → epoch ms: `'yyyy-MM-dd[ HH:mm:ss[.f]]'`
    * (JDBC escape forms) or bare epoch-millisecond digits. */
@@ -189,6 +193,8 @@ object QueryRunner {
     statement match {
       case DescribeHistoryRe(raw) => ms.history(db, tableName(db, raw))
       case DescribeDetailRe(raw) => ms.describeDetail(db, tableName(db, raw))
+      case ShowCreateRe(raw) => ms.showCreateTable(db, tableName(db, raw))
+      case DescribeTableRe(raw) => ms.describeTable(db, tableName(db, raw))
       case ShowPropsRe(raw) => ms.showProperties(db, tableName(db, raw))
       case ShowTablesRe(dbRaw) =>
         // the catalog listing as a frame: name, key, format, location —

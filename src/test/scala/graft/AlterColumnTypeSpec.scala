@@ -294,4 +294,26 @@ class AlterColumnTypeSpec extends AnyFunSuite with SparkFixture {
     assert(v2 == store.latestVersion("adb", "t").toLong &&
       store.read("adb", "t").schema("d").dataType == DecimalType(12, 6))
   }
+
+  test("DDL-vs-DDL race: a rename landing under an in-flight widen refuses the widen") {
+    val store = mkStore()
+    register(store, "t")
+    store.overwrite("adb", "t", frame())
+    // the rename's manifest takes the widen's target version between
+    // the widen's read and its publish — the CAS must refuse, and the
+    // re-run against the new snapshot lands BOTH evolutions
+    store.beforePublish =
+      () => { store.renameColumn("adb", "t", "cls", "cls2"); () }
+    intercept[java.util.ConcurrentModificationException] {
+      store.alterColumnType("adb", "t", "v", LongType)
+    }
+    val mid = store.read("adb", "t")
+    assert(mid.columns.contains("cls2") &&
+      mid.schema("v").dataType == IntegerType,
+      "the rename won; the widen must not have half-landed")
+    store.alterColumnType("adb", "t", "v", LongType)
+    val after = store.read("adb", "t")
+    assert(after.schema("v").dataType == LongType &&
+      after.columns.contains("cls2") && after.count() == 64)
+  }
 }

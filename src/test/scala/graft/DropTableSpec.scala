@@ -178,6 +178,42 @@ class DropTableSpec extends AnyFunSuite with SparkFixture {
       "re-creating over the surviving location re-attaches the history")
   }
 
+  test("DESCRIBE TABLE and SHOW CREATE TABLE; the rendered DDL re-attaches") {
+    val store = mkStore()
+    val runner = new QueryRunner(store)
+    val loc = Files.createTempDirectory("graft-showcreate").toString + "/t"
+    runner.dml("ddb",
+      s"""CREATE TABLE t (id BIGINT, v BIGINT, d DECIMAL(10,2),
+          cls STRING) USING parquet LOCATION '$loc'
+          TBLPROPERTIES ('graft.pk'='id', 'owner2'='graft')""")
+    store.overwrite("ddb", "t", frame()
+      .withColumn("d", (col("v") + lit(0.5)).cast("decimal(10,2)"))
+      .select("id", "v", "d", "cls"))
+    // DESCRIBE: the committed head schema + registration trailer
+    val desc = runner.sql("ddb", "DESCRIBE TABLE t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(desc("d") == "decimal(10,2)" && desc("id") == "bigint")
+    assert(desc("# primary key") == "id" && desc("# format") == "parquet")
+    // a widen shows up in DESCRIBE immediately (manifest-head schema)
+    store.alterColumnType("ddb", "t", "v",
+      org.apache.spark.sql.types.DecimalType(24, 4))
+    assert(runner.sql("ddb", "DESC t").collect()
+      .find(_.getString(0) == "v").get.getString(1) == "decimal(24,4)")
+    // SHOW CREATE renders a statement createTable accepts VERBATIM:
+    // drop (detach), run the rendered DDL, the history re-attaches
+    val stmt = runner.sql("ddb", "SHOW CREATE TABLE t")
+      .head().getString(0)
+    assert(stmt.contains("'graft.pk'='id'") && stmt.contains("owner2") &&
+      stmt.contains("DECIMAL(24,4)"), stmt)
+    val want = store.read("ddb", "t").count()
+    runner.dml("ddb", "DROP TABLE t")
+    runner.dml("ddb", stmt)
+    assert(store.read("ddb", "t").count() == want &&
+      store.catalog("ddb", "t").primaryKey == Seq("id") &&
+      store.catalog("ddb", "t").properties("owner2") == "graft",
+      "the rendered DDL must round-trip the registration")
+  }
+
   test("the DROP TABLE statement rides the dialect; SessionCatalog unregisters") {
     val store = mkStore()
     register(store, "t")
