@@ -2913,6 +2913,44 @@ object SparkEntry {
       store.read("q95", "orders").orderBy("o_orderkey")
     }),
 
+    // Statement INSERT: `INSERT INTO … SELECT` resolves its source
+    // through the store-plan splice (manifest-pruned scan), new keys
+    // land through the scoped-commit funnel (N-row insert prices by N,
+    // never by the table), duplicate keys refuse toward MERGE INTO
+    // (pinned in-fixture), and the re-assembled table answers exactly
+    // the full corpus under the follow-up takedown
+    "q96_statement_insert" -> ((s, d) => {
+      import graft.catalog.{InMemoryCatalog, MergeSnapshotStore, TableMeta}
+      import graft.operators.QueryRunner
+      val orders = t(s, d, "orders").select(col("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+      val work = java.nio.file.Files.createTempDirectory("graft-q96").toString
+      val cat = new InMemoryCatalog
+      cat.register(TableMeta("q96", "orders", s"$work/orders",
+        primaryKey = Seq("o_orderkey")))
+      cat.register(TableMeta("q96", "staged", s"$work/staged",
+        primaryKey = Seq("o_orderkey")))
+      val store = new MergeSnapshotStore(s, cat, nBuckets = 8,
+        keepVersions = 8)
+      val runner = new QueryRunner(store)
+      store.overwrite("q96", "orders",
+        orders.filter(col("o_orderkey") % 3 =!= 0))
+      store.overwrite("q96", "staged",
+        orders.filter(col("o_orderkey") % 3 === 0))
+      val staged = store.countRows("q96", "staged")
+      val n = runner.dml("q96", "INSERT INTO orders SELECT * FROM staged")
+      require(n == staged, s"INSERT must land every staged row: $n/$staged")
+      // a re-insert of the same keys refuses toward the upsert surface
+      val dup = try {
+        runner.dml("q96",
+          "INSERT INTO orders SELECT * FROM staged LIMIT 1"); None
+      } catch { case e: IllegalArgumentException => Some(e) }
+      require(dup.exists(_.getMessage.contains("MERGE INTO")),
+        s"duplicate keys must refuse toward MERGE INTO: $dup")
+      runner.dml("q96", "DELETE FROM orders WHERE o_totalprice < 20000.0")
+      store.read("q96", "orders").orderBy("o_orderkey")
+    }),
+
     // Guaranteed time travel (graft.manifest.keep.ms — Delta's
     // logRetentionDuration per table): manifests younger than the
     // window survive vacuum expiry beyond the keepVersions COUNT
@@ -5686,6 +5724,14 @@ object SparkEntry {
                 CASE WHEN o_totalprice > 180000.0 THEN 'X'
                      ELSE o_orderstatus END AS o_orderstatus,
                 o_totalprice
+         FROM orders
+         WHERE NOT (o_totalprice < 20000.0)
+         ORDER BY o_orderkey""",
+
+    // the split-then-INSERT re-assembly answers the FULL corpus under
+    // the follow-up takedown
+    "q96_statement_insert" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
          FROM orders
          WHERE NOT (o_totalprice < 20000.0)
          ORDER BY o_orderkey""",

@@ -1577,6 +1577,70 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     touched
   }
 
+  /**
+   * INSERT of NEW rows — SQL `INSERT INTO` semantics on a keyed store:
+   * the batch's keys must not exist (in the table OR twice in the
+   * batch — the key-uniqueness invariant every CDC funnel maintains;
+   * an upsert is `MERGE INTO`, and the refusal names it), then the
+   * rows land through the scoped-commit funnel: only the new keys'
+   * hash buckets rewrite, everything else carries by reference, CAS
+   * adjudication unchanged — so a concurrent insert of the same key
+   * refuses at the bucket CAS and the re-run re-checks. Rows align to
+   * the committed schema BY NAME: a missing nullable column fills
+   * NULL, a missing non-nullable or an extra column refuses.
+   * PK-less tables refuse (their append story is the multiset feed or
+   * an overwrite of the union). Returns the inserted row count.
+   *
+   * Cost at scale: the existence check is the bucket-pruned point
+   * lookup (batch-sized), the commit rewrites only the touched
+   * buckets — an N-row insert into a 100 TB table prices by N, never
+   * by the table.
+   */
+  def insertInto(db: String, table: String, rows: DataFrame): Long = {
+    val meta = catalog0(db, table)
+    require(meta.hasPrimaryKey,
+      s"INSERT INTO needs a registered PK for ${meta.qualified} — " +
+        "PK-less tables append through overwrite() of the union (or " +
+        "arrive as a multiset feed)")
+    val pks = meta.primaryKey
+    val vs = manifestVersions(meta.location)
+    require(vs.nonEmpty,
+      s"bootstrap ${meta.qualified} with overwrite() before inserting")
+    val schema = MergeSnapshotStore.plainLogical(
+      readManifest(meta.location, vs.last).schema)
+    val have = rows.columns.map(_.toLowerCase).toSet
+    val known = schema.fieldNames.map(_.toLowerCase).toSet
+    val extra = have -- known
+    require(extra.isEmpty,
+      s"INSERT INTO ${meta.qualified} carries unknown column(s) " +
+        s"${extra.toSeq.sorted.mkString(", ")} — evolve the schema " +
+        "first (ADD COLUMN / overwrite(mergeSchema))")
+    val aligned = rows.select(schema.fields.toSeq.map { f =>
+      if (have.contains(f.name.toLowerCase))
+        col(f.name).cast(f.dataType).as(f.name)
+      else {
+        require(f.nullable,
+          s"INSERT INTO ${meta.qualified} omits non-nullable column " +
+            s"${f.name}")
+        lit(null).cast(f.dataType).as(f.name)
+      }
+    }: _*)
+    val keys = aligned.select(pks.map(col): _*)
+    val n = aligned.count()
+    require(keys.distinct().count() == n,
+      s"INSERT INTO ${meta.qualified}: the batch repeats key values — " +
+        "keys are unique by the table's contract; fold duplicates " +
+        "first (or MERGE INTO for upserts)")
+    val clash = pointLookup(db, table, keys).count()
+    require(clash == 0L,
+      s"INSERT INTO ${meta.qualified}: $clash key(s) already exist — " +
+        "use MERGE INTO … WHEN MATCHED THEN UPDATE for upserts, or " +
+        "DELETE first")
+    if (n == 0L) return 0L
+    mergeScoped(db, table, keys) { old => old.unionByName(aligned) }
+    n
+  }
+
   /** The scoped-commit core [[mergeScoped]] and [[deleteWhere]] share:
    * read exactly the `touched` buckets of the manifest committed at
    * `readVer`, replace their contents with `rewrite`'s output, carry

@@ -249,10 +249,23 @@ object QueryRunner {
    */
   private def select(ms: graft.catalog.MergeSnapshotStore, db: String,
                      statement: String): DataFrame = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    org.apache.spark.sql.graftbridge.ColumnBridge.dataset(spark,
+      spliceStorePlans(ms, db,
+        spark.sessionState.sqlParser.parsePlan(statement)))
+  }
+
+  /** The table-reference SPLICE [[select]] and the INSERT arm share:
+   * every store-table reference in `plan` (pinned or HEAD) is replaced
+   * with its resolved skipping scan; non-store names stay for Spark's
+   * own resolution. */
+  private def spliceStorePlans(ms: graft.catalog.MergeSnapshotStore,
+                               db: String,
+                               plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
     import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias
-    val spark = org.apache.spark.sql.SparkSession.active
     def named(parts: Seq[String]): Option[String] = parts match {
       case Seq(t) => Some(t)
       case Seq(d0, t) if d0.equalsIgnoreCase(db) => Some(t)
@@ -262,8 +275,7 @@ object QueryRunner {
     def splice(tbl: String, pin: Option[Int]) =
       SubqueryAlias(tbl,
         ms.readSkipping(db, tbl, pin).queryExecution.analyzed)
-    val plan = spark.sessionState.sqlParser.parsePlan(statement)
-    val spliced = plan.transformUpWithSubqueries {
+    plan.transformUpWithSubqueries {
       case RelationTimeTravel(u: UnresolvedRelation, ts, ver) =>
         val tbl = named(u.multipartIdentifier).getOrElse(
           throw new IllegalArgumentException(
@@ -298,7 +310,6 @@ object QueryRunner {
         named(u.multipartIdentifier).filter(registered)
           .map(t => splice(t, None)).getOrElse(u)
     }
-    org.apache.spark.sql.graftbridge.ColumnBridge.dataset(spark, spliced)
   }
 
   /** The projection + predicate core, store-free for direct frames. */
@@ -594,6 +605,39 @@ object QueryRunner {
           properties = spec.properties - "graft.pk",
           ifNotExists = ct.ignoreIfExists)
         return 0L
+      case ins: org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement =>
+        // `INSERT INTO t [(c1, …)] VALUES … / SELECT …` and
+        // `INSERT OVERWRITE t …` — the query side resolves through the
+        // same store-plan splice SELECT uses (an INSERT … SELECT over
+        // store tables prunes through their manifests); bare VALUES
+        // bind POSITIONALLY to the table schema (SQL semantics), a
+        // column list binds the listed names, missing nullable columns
+        // fill NULL in the store's aligner
+        require(ins.partitionSpec.isEmpty,
+          "INSERT with a PARTITION spec is not supported — the store " +
+            "routes rows by its own layout")
+        val tbl = tableOf(ins.table)
+        val qdf0 = org.apache.spark.sql.graftbridge.ColumnBridge.dataset(
+          spark, spliceStorePlans(ms, db, ins.query))
+        val named =
+          if (ins.userSpecifiedCols.nonEmpty) {
+            require(qdf0.columns.length == ins.userSpecifiedCols.length,
+              s"INSERT INTO $tbl names ${ins.userSpecifiedCols.length} " +
+                s"column(s) but the query produces ${qdf0.columns.length}")
+            qdf0.toDF(ins.userSpecifiedCols: _*)
+          } else if (ins.byName) qdf0
+          else {
+            val tableCols = ms.readSkipping(db, tbl).schema.fieldNames.toSeq
+            require(qdf0.columns.length == tableCols.length,
+              s"INSERT INTO $tbl supplies ${qdf0.columns.length} " +
+                s"positional column(s); the table has ${tableCols.length}" +
+                " — name the columns (INSERT INTO t (c1, …) …)")
+            qdf0.toDF(tableCols: _*)
+          }
+        if (ins.overwrite) {
+          ms.overwrite(db, tbl, named)
+          ms.countRows(db, tbl)
+        } else ms.insertInto(db, tbl, named)
       case DeleteFromTable(t, condition) =>
         ms.deleteWhere(db, tableOf(t), columnOf(condition), mode)
       case UpdateTable(t, assignments, condition) =>

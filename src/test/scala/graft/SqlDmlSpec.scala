@@ -219,6 +219,60 @@ class SqlDmlSpec extends AnyFunSuite with SparkFixture {
       s"constraints live in the property map: $props")
   }
 
+  test("INSERT INTO: new keys land scoped; duplicates refuse toward MERGE; OVERWRITE replaces") {
+    val store = mkStore()
+    val runner = new QueryRunner(store)
+    register(store, "t")
+    store.overwrite("sdb", "t", frame()) // 128 rows, ids 0..127
+    // bare VALUES bind positionally; literal ints cast to the bigints
+    val n = runner.dml("sdb",
+      "INSERT INTO t VALUES (1000, 1, 'c9'), (1001, 2, 'c9')")
+    assert(n == 2L && store.read("sdb", "t").count() == 130)
+    assert(store.read("sdb", "t").filter(col("cls") === "c9").count() == 2)
+    // a column list binds names in ANY order
+    assert(runner.dml("sdb",
+      "INSERT INTO t (cls, id, v) VALUES ('c9', 1002, 3)") == 1L)
+    assert(store.read("sdb", "t")
+      .filter(col("id") === 1002L && col("v") === 3L).count() == 1)
+    // INSERT … SELECT resolves the source through the store splice
+    val m = runner.dml("sdb",
+      "INSERT INTO t SELECT id + 5000, v, cls FROM t WHERE id < 3")
+    assert(m == 3L && store.read("sdb", "t")
+      .filter(col("id") >= 5000L && col("id") < 5003L).count() == 3)
+    // refusals: existing key (the upsert pointer), batch-internal
+    // repeat, positional arity, omitted NON-NULLABLE column, PK-less
+    val dup = intercept[IllegalArgumentException] {
+      runner.dml("sdb", "INSERT INTO t VALUES (5, 5, 'x')")
+    }
+    assert(dup.getMessage.contains("MERGE INTO"), dup.getMessage)
+    val rep = intercept[IllegalArgumentException] {
+      runner.dml("sdb",
+        "INSERT INTO t VALUES (7000, 1, 'a'), (7000, 2, 'b')")
+    }
+    assert(rep.getMessage.contains("repeats"), rep.getMessage)
+    intercept[IllegalArgumentException] {
+      runner.dml("sdb", "INSERT INTO t VALUES (1)")
+    }
+    // an omitted NULLABLE column fills NULL (the committed schema is
+    // the parquet-written one, where columns are optional)
+    assert(runner.dml("sdb",
+      "INSERT INTO t (id, cls) VALUES (8000, 'c1')") == 1L)
+    assert(store.read("sdb", "t")
+      .filter(col("id") === 8000L && col("v").isNull).count() == 1)
+    store.catalog.register(TableMeta("sdb", "pl",
+      Files.createTempDirectory("graft-sqldml-pl").toString))
+    store.overwrite("sdb", "pl", frame())
+    val pkless = intercept[IllegalArgumentException] {
+      runner.dml("sdb", "INSERT INTO pl VALUES (9000, 1, 'z')")
+    }
+    assert(pkless.getMessage.contains("PK"), pkless.getMessage)
+    // INSERT OVERWRITE replaces the whole snapshot (reading the table
+    // it replaces — snapshot isolation by file immutability)
+    val k = runner.dml("sdb",
+      "INSERT OVERWRITE t SELECT * FROM t WHERE id < 10")
+    assert(k == 10L && store.read("sdb", "t").count() == 10)
+  }
+
   test("SET/UNSET TBLPROPERTIES: policy lands, typed values validate, bookkeeping refuses") {
     val store = mkStore()
     val runner = new QueryRunner(store)
