@@ -161,6 +161,17 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Spark's whole-stage-codegen class cache holds 100 entries by
+      // default; a session running this 184-query board compiles ~10x
+      // that many distinct codegen stages, so every bench pass was
+      // recompiling every stage through janino (stack-sampled: compile
+      // frames dominated the driver gaps; raising the cache cut the
+      // measured subset total by ~33%). Size it to hold the whole
+      // board's stages — same win for any long-lived production session
+      // running a query mix wider than 100 stages. Static conf, so it
+      // must land at session build; env-overridable for A/B runs.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "10000"))
       .config("spark.ui.enabled", "false")
       // events.parquet is TIMESTAMP(NANOS); declared here so the
       // events() helper's conf dependency is visible at session build

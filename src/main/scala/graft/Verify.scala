@@ -24,6 +24,10 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // hold the whole board's codegen stages (default 100 thrashes
+      // across 184 queries and recompiles every stage — see Bench)
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "10000"))
       .config("spark.ui.enabled", "false")
       // events.parquet is TIMESTAMP(NANOS); declared here so the
       // events() helper's conf dependency is visible at session build

@@ -6,7 +6,7 @@ import scala.collection.immutable.SortedMap
 
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{array, coalesce, col, concat, element_at, expr, hash, input_file_name, isnan, lit, max, min, pmod, raise_error, struct, to_json, when}
+import org.apache.spark.sql.functions.{array, coalesce, col, concat, countDistinct, element_at, expr, hash, input_file_name, isnan, lit, max, min, pmod, raise_error, struct, to_json, when}
 import org.apache.spark.sql.types.{ByteType, DataType, DateType, DecimalType, DoubleType, FloatType, IntegerType, LongType, NumericType, ShortType, StringType, StructField, StructType, TimestampType}
 
 /**
@@ -1625,20 +1625,37 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
         lit(null).cast(f.dataType).as(f.name)
       }
     }: _*)
-    val keys = aligned.select(pks.map(col): _*)
-    val n = aligned.count()
-    require(keys.distinct().count() == n,
-      s"INSERT INTO ${meta.qualified}: the batch repeats key values — " +
-        "keys are unique by the table's contract; fold duplicates " +
-        "first (or MERGE INTO for upserts)")
-    val clash = pointLookup(db, table, keys).count()
-    require(clash == 0L,
-      s"INSERT INTO ${meta.qualified}: $clash key(s) already exist — " +
-        "use MERGE INTO … WHEN MATCHED THEN UPDATE for upserts, or " +
-        "DELETE first")
-    if (n == 0L) return 0L
-    mergeScoped(db, table, keys) { old => old.unionByName(aligned) }
-    n
+    // pin the batch ONCE: the dup-key check, the clash lookup, the
+    // touched-bucket scan and the scoped rewrite must all see the SAME
+    // rows — a non-deterministic source (LIMIT, TABLESAMPLE, rand())
+    // re-evaluated per consumer could commit rows that were never
+    // checked (duplicate PKs, rows outside the touched-bucket scope).
+    // One materializing job; every check and the commit read the pinned
+    // blocks (also ~3 fewer source re-evaluations per insert). Released
+    // after the commit lands — the batch is batch-sized by contract.
+    val pinned = graft.operators.Materialize.eager(aligned)
+    try {
+      val keys = pinned.select(pks.map(col): _*)
+      // one validation job: total and distinct-key counts together
+      // (struct() preserves the row-distinct semantics of
+      // keys.distinct().count() — a null PK field still counts)
+      val cntRow = pinned.agg(
+        org.apache.spark.sql.functions.count(lit(1L)),
+        countDistinct(struct(pks.map(col): _*))).head()
+      val n = cntRow.getLong(0)
+      require(cntRow.getLong(1) == n,
+        s"INSERT INTO ${meta.qualified}: the batch repeats key values — " +
+          "keys are unique by the table's contract; fold duplicates " +
+          "first (or MERGE INTO for upserts)")
+      if (n == 0L) return 0L
+      val clash = pointLookup(db, table, keys).count()
+      require(clash == 0L,
+        s"INSERT INTO ${meta.qualified}: $clash key(s) already exist — " +
+          "use MERGE INTO … WHEN MATCHED THEN UPDATE for upserts, or " +
+          "DELETE first")
+      mergeScoped(db, table, keys) { old => old.unionByName(pinned) }
+      n
+    } finally graft.operators.Materialize.release(pinned)
   }
 
   /** The scoped-commit core [[mergeScoped]] and [[deleteWhere]] share:

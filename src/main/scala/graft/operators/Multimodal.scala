@@ -121,19 +121,31 @@ object Multimodal {
                      frameLen: Int, minEnergy: Long): DataFrame = {
     require(frameLen >= 1, "frameLen must be >= 1")
     require(minEnergy >= 0, "minEnergy must be >= 0")
-    val framed = df
+    // per-sample energies in ONE O(n) pass over the payload (split to
+    // chars + transform), per-frame energies as one in-row array fold
+    // over SLICES of that array, then posexplode to frame rows — so a
+    // blob's samples are scanned exactly once. The previous form
+    // exploded to frame rows first and folded substr(off+j, 1) per
+    // sample: substr counts code points from the string START, so a
+    // row's frames cost O(n^2) character scans overall (m08 spent ~3 s
+    // of its bench time there; values identical — ascii of the one
+    // char either way, same frame grid, last partial frame via slice's
+    // natural truncation).
+    val energies = transform(split(col("__s"), ""),
+      c => abs(ascii(c) - 32).cast("long"))
+    val frameEnergies = transform(
+      sequence(lit(0L), floor((col("__n") - 1) / frameLen).cast("long")),
+      f => aggregate(
+        slice(col("__ea"), (f * frameLen + 1).cast("int"), lit(frameLen)),
+        lit(0L), (acc, e) => acc + e))
+    val voiced = df
       .select(col(idCol), samples.as("__s"),
         length(samples).cast("long").as("__n"))
       .filter(col("__n") > 0)
-      .select(col(idCol), col("__s"), col("__n"),
-        explode(sequence(lit(0L),
-          floor((col("__n") - 1) / frameLen).cast("long"))).as("frame_idx"))
-    val off = col("frame_idx") * frameLen
-    val flen = least(lit(frameLen.toLong), col("__n") - off)
-    val energy = aggregate(sequence(lit(1L), flen), lit(0L),
-      (acc, j) => acc +
-        abs(ascii(col("__s").substr((off + j).cast("int"), lit(1))) - 32))
-    val voiced = framed.withColumn("__e", energy)
+      .withColumn("__ea", energies)
+      .select(col(idCol), posexplode(frameEnergies))
+      .select(col(idCol), col("pos").cast("long").as("frame_idx"),
+        col("col").as("__e"))
       .filter(col("__e") >= minEnergy)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("frame_idx"))
