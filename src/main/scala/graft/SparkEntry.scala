@@ -2798,7 +2798,20 @@ object SparkEntry {
       require(feed.schema("cust").dataType ==
         org.apache.spark.sql.types.LongType,
         s"feed must spell the widened type: ${feed.schema("cust").dataType}")
-      store.read("q92", "orders").orderBy("o_orderkey")
+      // the widened decimal must READ wide off carried narrow files —
+      // pinned here, inside the fixture, where the decimal lives
+      val widened = store.read("q92", "orders")
+      require(widened.schema("amt").dataType ==
+        org.apache.spark.sql.types.DecimalType(12, 4),
+        s"read must spell the widened decimal: ${widened.schema("amt").dataType}")
+      // board output in the integer-units discipline (like q69's
+      // o_price_cents): amt surfaces as bigint deci-milli-units — the
+      // driver's hash canonicalization distinguishes Spark's INT64-backed
+      // parquet decimal from DuckDB's computed decimal128 even when every
+      // value agrees, so a raw decimal output column can never hash-match
+      val out = widened.withColumn("amt_tenk",
+        (col("amt") * 10000).cast("long")).drop("amt")
+      out.orderBy("o_orderkey")
     }),
 
     // Per-table-reference SQL time travel (Delta's reader syntax,
@@ -5686,14 +5699,16 @@ object SparkEntry {
          ORDER BY o_orderkey""",
 
     // the widened columns carry the SAME values (plus the post-widen
-    // backfill only the wide type can hold) under explicit casts
+    // backfill only the wide type can hold); amt surfaces in the
+    // board's integer-units discipline (deci-milli-units, bigint) —
+    // the widening itself is pinned by the fixture's internal requires
     "q92_store_widen_column" ->
       """SELECT o_orderkey,
                 CASE WHEN o_orderstatus = 'F'
                      THEN CAST(o_custkey AS BIGINT) + 3000000000
                      ELSE CAST(o_custkey AS BIGINT) END AS cust,
                 o_orderstatus,
-                CAST(o_orderkey % 90000 AS DECIMAL(12, 4)) AS amt
+                CAST(o_orderkey % 90000 AS BIGINT) * 10000 AS amt_tenk
          FROM orders
          WHERE NOT (o_orderkey % 90000 < 1000)
          ORDER BY o_orderkey""",
