@@ -32,7 +32,25 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-) ++
+) ++ {
+  // Ephemeral scratch (shuffle files, localCheckpoint spill, fixture
+  // store temp dirs) on the fastest device available — the local-mode
+  // analog of pointing production spark.local.dir at NVMe. /tmp here is
+  // ext4 on a virtual disk; /dev/shm is a 125 GiB tmpfs, and the
+  // store-lifecycle bench family measured ~8-15% faster on it (r21
+  // A/B). Every run still computes from the parquet inputs — this
+  // moves where scratch BYTES land, never what is computed. Opt out
+  // with SPARK_GRAFT_SCRATCH=default (e.g. to measure disk-bound I/O).
+  val shm = new java.io.File("/dev/shm")
+  if (sys.env.get("SPARK_GRAFT_SCRATCH").contains("default") ||
+      !shm.isDirectory || !shm.canWrite) Nil
+  else {
+    val d = new java.io.File(shm, "spark-graft")
+    d.mkdirs()
+    Seq(s"-Djava.io.tmpdir=${d.getAbsolutePath}",
+      s"-Dspark.local.dir=${d.getAbsolutePath}")
+  }
+} ++
   // ad-hoc -D flags for local conf experiments (A/B of spark.* settings
   // without editing the session builders); unset = no effect
   sys.env.get("SPARK_GRAFT_JAVA_OPTS").map(_.trim).filter(_.nonEmpty)

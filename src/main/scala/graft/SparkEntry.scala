@@ -1450,7 +1450,11 @@ object SparkEntry {
     // byte-identical (the sub-file dedup m02's whole-blob hash misses)
     "m05_media_neardup" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val withAnchor = docs.select(col("doc_id"),
+      // spread the PROBE side before the anchor join: the broadcast
+      // join preserves probe partitioning, so the payload construction
+      // and chunk md5 downstream parallelize (no-op at real scale)
+      val withAnchor = TextAnalysis.spreadAcrossCores(docs)
+        .select(col("doc_id"),
           (col("doc_id") - col("doc_id") % 5).as("anchor_id"))
         .join(docs.select(col("doc_id").as("anchor_id"), col("text").as("atext")),
           Seq("anchor_id"))
@@ -1496,7 +1500,9 @@ object SparkEntry {
 
     "m07_perceptual_neardup" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val withAnchor = docs.select(col("doc_id"),
+      // spread the probe side before the anchor join (see m05)
+      val withAnchor = TextAnalysis.spreadAcrossCores(docs)
+        .select(col("doc_id"),
           (col("doc_id") - col("doc_id") % 5).as("anchor_id"))
         .join(docs.select(col("doc_id").as("anchor_id"), col("text").as("atext")),
           Seq("anchor_id"))

@@ -34,6 +34,9 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // drop local-FS CRC sidecars (doubled file creates on every store
+    // commit; production FS targets have no client CRC) — see LocalIo
+    graft.tools.LocalIo.tuneLocalFs(spark)
     // scoped cut release logs one WARN per lineage-truncated RDD — noise
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)

@@ -107,6 +107,22 @@ class SnapshotStore(spark: SparkSession, val catalog: Catalog, keepVersions: Int
   protected def fs(path: Path) =
     path.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Runs `body` with the thread's Spark jobs labeled `desc` — the
+   * store's multi-job mutators attribute their phases in the UI and in
+   * listeners (optimization guide §1.5). OUTERMOST label wins: a
+   * mutator called inside an already-labeled operation (insertInto →
+   * mergeScoped, a registry commit fanning table writes) keeps the
+   * caller's label, so attribution reads at the operation the user
+   * invoked. Thread-local, hence safe under concurrent writers. */
+  protected[graft] def jobLabel[T](desc: String)(body: => T): T = {
+    val sc = spark.sparkContext
+    if (sc.getLocalProperty("spark.job.description") != null) body
+    else {
+      sc.setJobDescription(desc)
+      try body finally sc.setJobDescription(null)
+    }
+  }
+
   private def versions(location: String): Seq[Int] = {
     val p = new Path(location)
     val f = fs(p)

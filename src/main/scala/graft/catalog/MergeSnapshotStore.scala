@@ -1467,7 +1467,8 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
       cluster: Option[(Seq[(String, (Double, Double))], Int, Int)] = None,
       requireBase: Option[Int] = None,
       op: String = "overwrite",
-      enforceChecks: Boolean = true): Unit = {
+      enforceChecks: Boolean = true): Unit = jobLabel(
+      s"store: $op ${meta.qualified}") {
     val vs = manifestVersions(meta.location)
     val (written, stats, strStats, setStats, fileRows) =
       writeData(meta, vs.lastOption.getOrElse(-1) + 1, out, meta.primaryKey,
@@ -1553,7 +1554,8 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
    * invisible orphan files.
    */
   def mergeScoped(db: String, table: String, changedKeys: DataFrame)
-                 (rewrite: DataFrame => DataFrame): Seq[Int] = {
+                 (rewrite: DataFrame => DataFrame): Seq[Int] = jobLabel(
+      s"store: merge $db.$table") {
     val meta = catalog0(db, table)
     if (!meta.hasPrimaryKey) throw new IllegalStateException(
       s"mergeScoped needs a registered PK for ${meta.qualified}")
@@ -1596,7 +1598,8 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
    * buckets — an N-row insert into a 100 TB table prices by N, never
    * by the table.
    */
-  def insertInto(db: String, table: String, rows: DataFrame): Long = {
+  def insertInto(db: String, table: String, rows: DataFrame): Long = jobLabel(
+      s"store: insert $db.$table") {
     val meta = catalog0(db, table)
     require(meta.hasPrimaryKey,
       s"INSERT INTO needs a registered PK for ${meta.qualified} — " +
@@ -1891,7 +1894,8 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
    */
   def deleteWhere(db: String, table: String, predicate: Column,
                   mode: MergeSnapshotStore.DeleteMode =
-                    MergeSnapshotStore.CopyOnWrite): Long = {
+                    MergeSnapshotStore.CopyOnWrite): Long = jobLabel(
+      s"store: delete $db.$table") {
     val meta = catalog0(db, table)
     val vs = manifestVersions(meta.location)
     require(vs.nonEmpty,
@@ -2188,7 +2192,8 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
    * Returns the number of rows the predicate matched.
    */
   def updateWhere(db: String, table: String, predicate: Column,
-                  assignments: Map[String, Column]): Long = {
+                  assignments: Map[String, Column]): Long = jobLabel(
+      s"store: update $db.$table") {
     require(assignments.nonEmpty, "updateWhere needs at least one assignment")
     val meta = catalog0(db, table)
     val vs = manifestVersions(meta.location)

@@ -56,7 +56,11 @@ object Dedup {
    * excluded: Jaccard between empty sets is undefined, and pairing every
    * too-short doc as "identical" would be nonsense. */
   private def docSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("doc"), ngramSet(col(textCol), n).as("ng"))
+    // the n-gram set build is the heaviest per-row expression of the
+    // family — a one-file corpus must not run it on one task (the
+    // spread is a no-op at real scale: file partitions >> cores)
+    TextAnalysis.spreadAcrossCores(df)
+      .select(col(idCol).as("doc"), ngramSet(col(textCol), n).as("ng"))
       .withColumn("sz", size(col("ng")))
       .filter(col("sz") > 0)
       .withColumn("fp", setFingerprint(col("ng")))
@@ -398,8 +402,8 @@ object Dedup {
    * partial aggregation; the 64 per-bit sums are static codegen'd columns.
    */
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df.select(col(idCol).as("doc"),
-        explode(tokenSet(col(textCol))).as("t"))
+    val tok = TextAnalysis.spreadAcrossCores(df)
+      .select(col(idCol).as("doc"), explode(tokenSet(col(textCol))).as("t"))
       .withColumn("h", xxhash64(col("t")))
     val bitSums = (0 until 64).map { i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
@@ -446,8 +450,8 @@ object Dedup {
    * Same plan shape as [[simHash]]: one codegen'd hash aggregate.
    */
   def simHashPortable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df.select(col(idCol).as("doc"),
-        explode(tokenSet(col(textCol))).as("t"))
+    val tok = TextAnalysis.spreadAcrossCores(df)
+      .select(col(idCol).as("doc"), explode(tokenSet(col(textCol))).as("t"))
     // dictionary pattern: hash each DISTINCT token once and join back —
     // corpora follow Zipf, so |vocab| << token occurrences and the md5 +
     // 16 nibble parses run per word type, not per word token (the join

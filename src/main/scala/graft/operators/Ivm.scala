@@ -757,7 +757,8 @@ object Ivm {
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, false)
     }
 
-    def seed(initial: DataFrame): Unit = Materialize.scoped {
+    def seed(initial: DataFrame): Unit = store.jobLabel(
+        s"ivm: seed $db.$baseTable") { Materialize.scoped {
       store.overwrite(db, baseTable, initial)
       val base = store.read(db, baseTable)
       // independent tables, independent write jobs: land them
@@ -769,7 +770,7 @@ object Ivm {
       // can never collide with a real "n:s" digest)
       writeMarker(initial.sparkSession,
         Marker("seed", store.latestVersion(db, baseTable), aggsDone = true))
-    }
+    } }
 
     /** One changelog commit: the base and EVERY aggregate move together.
      * The changelog is cut once up front — it feeds each aggregate's
@@ -777,7 +778,8 @@ object Ivm {
      * scan, and an expensive caller plan ([[Scd.snapshotDiff]] of two
      * table-scale versions is the natural input) must not re-execute
      * once per consumer. */
-    def commit(changes: DataFrame): Unit = Materialize.scoped {
+    def commit(changes: DataFrame): Unit = store.jobLabel(
+        s"ivm: commit $db.$baseTable") { Materialize.scoped {
       // scoped: the changelog cut AND any operator-internal cuts the
       // folds create (applyMinMaxDelta cuts its removed-rows frame) are
       // released when the commit's actions finish — without the scope a
@@ -917,7 +919,7 @@ object Ivm {
         writeMarker(changes.sparkSession,
           Marker(digest, baseVer, aggsDone = true))
       }
-    }
+    } }
 
     /** A maintained table as currently committed. */
     def read(table: String): DataFrame = store.read(db, table)

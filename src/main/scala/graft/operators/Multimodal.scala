@@ -75,7 +75,11 @@ object Multimodal {
    * blob store chunks at scan speed with no shuffle. */
   def chunkFingerprints(df: DataFrame, idCol: String, payload: Column,
                         chunkSize: Int): DataFrame = {
-    df.select(col(idCol), payload.as("pay"))
+    // per-chunk md5 is the family's heavy per-row work — a one-file
+    // corpus must not run it on one task (no-op at real scale); spread
+    // BEFORE the payload projection so its construction parallelizes too
+    TextAnalysis.spreadAcrossCores(df)
+      .select(col(idCol), payload.as("pay"))
       // zero-length payloads have no chunks (sequence(0,-1) would emit a
       // bogus descending [0,-1] pair)
       .filter(length(col("pay")) > 0)
@@ -138,7 +142,7 @@ object Multimodal {
       f => aggregate(
         slice(col("__ea"), (f * frameLen + 1).cast("int"), lit(frameLen)),
         lit(0L), (acc, e) => acc + e))
-    val voiced = df
+    val voiced = TextAnalysis.spreadAcrossCores(df)
       .select(col(idCol), samples.as("__s"),
         length(samples).cast("long").as("__n"))
       .filter(col("__n") > 0)
@@ -379,7 +383,10 @@ object Multimodal {
    * part. Payloads must be non-empty.
    */
   def perceptualHash(df: DataFrame, idCol: String, payload: Column): DataFrame =
-    df.select(col(idCol).as("doc"), payload.cast("string").as("ps"))
+    // the 64-point downsample + two 32-term folds are heavy per-row
+    // expressions — spread a one-file corpus first (no-op at real scale)
+    TextAnalysis.spreadAcrossCores(df)
+      .select(col(idCol).as("doc"), payload.cast("string").as("ps"))
       .filter(length(col("ps")) > 0)
       .withColumn("n", length(col("ps")).cast("long"))
       .withColumn("cs", expr(

@@ -53,6 +53,15 @@ object Similarity {
     df.select(col(idCol).as("vid"), col(vecCol).cast("array<double>").as("vec"))
       .withColumn("nrm", l2Norm(col("vec")))
 
+  /** [[prepared]] for the CORPUS side: per-row vector math (norms, dots,
+   * cell scores) is the family's heavy work, and a one-file corpus must
+   * not run it on one task — spread first (no-op at real scale: file
+   * partitions >> cores). Query/seed frames keep plain [[prepared]]:
+   * they are bench-small by construction and an extra exchange there is
+   * pure serving latency. */
+  private def preparedSpread(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    prepared(graft.operators.TextAnalysis.spreadAcrossCores(df), idCol, vecCol)
+
   /**
    * Exact cosine top-k: for each query vector, the k nearest corpus
    * vectors. The query side is broadcast (small by construction); the
@@ -60,7 +69,7 @@ object Similarity {
    */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
-    val c = prepared(corpus, idCol, vecCol)
+    val c = preparedSpread(corpus, idCol, vecCol)
     val q = prepared(queries, idCol, vecCol)
       .select(col("vid").as("query_id"), col("vec").as("qvec"), col("nrm").as("qnrm"))
     val scored = c.join(broadcast(q), col("vid") =!= col("query_id"))
@@ -319,7 +328,7 @@ object Similarity {
     def truncated(df: DataFrame): DataFrame = df
       .withColumn("tvec", slice(col("vec"), 1, dPrime))
       .withColumn("tnrm", l2Norm(col("tvec")))
-    val c = truncated(prepared(corpus, idCol, vecCol))
+    val c = truncated(preparedSpread(corpus, idCol, vecCol))
     val q = truncated(prepared(queries, idCol, vecCol))
       .select(col("vid").as("query_id"), col("vec").as("qvec"),
         col("nrm").as("qnrm"), col("tvec").as("qtvec"), col("tnrm").as("qtnrm"))
@@ -361,7 +370,7 @@ object Similarity {
   /** Corpus sketched into LSH buckets (the build side of the index). */
   def lshIndex(corpus: DataFrame, idCol: String, vecCol: String,
                dim: Int, planes: Int = 8, seed: Long = 42L): DataFrame =
-    prepared(corpus, idCol, vecCol)
+    preparedSpread(corpus, idCol, vecCol)
       .withColumn("bucket", lshBucket(col("vec"), dim, planes, seed))
 
   /**
@@ -396,7 +405,7 @@ object Similarity {
   def signTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                vecCol: String, k: Int, planes: Int = 8): DataFrame =
     probedTopK(
-      prepared(corpus, idCol, vecCol)
+      preparedSpread(corpus, idCol, vecCol)
         .withColumn("bucket", signBucket(col("vec"), planes)),
       prepared(queries, idCol, vecCol)
         .withColumn("bucket0", signBucket(col("vec"), planes)),
@@ -669,7 +678,7 @@ object Similarity {
    * corpus half of [[ivfFlatPieces]], shared with [[semanticDedup]]. */
   private def assignCells(corpus: DataFrame, idCol: String, vecCol: String,
                           cent: DataFrame): DataFrame =
-    cellScores(prepared(corpus, idCol, vecCol), cent)
+    cellScores(preparedSpread(corpus, idCol, vecCol), cent)
       .groupBy(col("vid"))
       .agg(min_by(col("cid"), struct(-col("ccos"), col("cid"))).as("cell"),
         first(col("vec")).as("vec"), first(col("nrm")).as("nrm"))
@@ -776,7 +785,7 @@ object Similarity {
       cent.zipWithIndex.map { case (v, i) => (i, v) }.toDF("cid", "cvec")
         .withColumn("cnrm", l2Norm(col("cvec")))
     }
-    val p = prepared(corpus, idCol, vecCol)
+    val p = preparedSpread(corpus, idCol, vecCol)
     var cent: Seq[Seq[Double]] =
       prepared(corpus.orderBy(col(idCol)).limit(nCells), idCol, vecCol)
         .select(col("vec")).collect().map(_.getSeq[Double](0).toSeq).toSeq
@@ -980,7 +989,7 @@ object Similarity {
     requireIntegralId(corpus, idCol)
     val cent = centroids.getOrElse(
       Materialize(defaultCentroids(corpus, idCol, vecCol, nCells)))
-    val cells = cellScores(prepared(corpus, idCol, vecCol), cent)
+    val cells = cellScores(preparedSpread(corpus, idCol, vecCol), cent)
       .groupBy(col("vid").cast("long").as("vid"))
       .agg(min_by(col("cid"), struct(-col("ccos"), col("cid"))).as("cell"))
     val qw = Window.partitionBy(col("vid"))
@@ -1159,7 +1168,7 @@ object Similarity {
   def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
                   threshold: Double, dim: Int, planes: Int = 0,
                   seed: Long = 42L): DataFrame = {
-    val p = prepared(df, idCol, vecCol)
+    val p = preparedSpread(df, idCol, vecCol)
     val withBucket =
       if (planes > 0) p.withColumn("bucket", lshBucket(col("vec"), dim, planes, seed))
       else p.withColumn("bucket", lit(0L))
@@ -1185,7 +1194,7 @@ object Similarity {
    */
   def signCosinePairs(df: DataFrame, idCol: String, vecCol: String,
                       threshold: Double, planes: Int): DataFrame = {
-    val p = prepared(df, idCol, vecCol)
+    val p = preparedSpread(df, idCol, vecCol)
       .withColumn("bucket", signBucket(col("vec"), planes))
     val probes = array((lit(0L) +: (0 until planes).map(i => lit(1L << i))): _*)
     val a = p.select(col("vid").as("id_a"), col("vec").as("vec_a"),

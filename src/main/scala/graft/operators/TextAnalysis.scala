@@ -239,7 +239,7 @@ object TextAnalysis {
   def tfIdfTopK(df: DataFrame, idCol: String, textCol: String,
                 k: Int = 5): DataFrame = {
     val n = df.count() // driver scalar: corpus size for the idf
-    val tok = df.select(col(idCol).as("doc"),
+    val tok = spreadAcrossCores(df).select(col(idCol).as("doc"),
       explode(tokens(col(textCol))).as("term"))
     val tf = Materialize(tok.groupBy("doc", "term").agg(count(lit(1)).as("tf")))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
@@ -286,7 +286,8 @@ object TextAnalysis {
     // which AQE builds concurrently with the postings path — a lazy cut
     // would be recomputed once per racing consumer
     val tf = Materialize.eager(
-      corpus.select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("term"))
+      spreadAcrossCores(corpus)
+        .select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("term"))
         .groupBy("doc", "term").agg(count(lit(1)).as("tf")))
     val idx = indexFromPostings(tf)
     bm25TopKFromIndex(idx, queries, idCol, textCol, k, k1, b, maxDfFrac)
@@ -312,7 +313,8 @@ object TextAnalysis {
   def buildBm25Index(corpus: DataFrame, idCol: String,
                      textCol: String): Bm25Index =
     indexFromPostings(Materialize.eager(
-      corpus.select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("term"))
+      spreadAcrossCores(corpus)
+        .select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("term"))
         .groupBy("doc", "term").agg(count(lit(1)).as("tf"))))
 
   private def indexFromPostings(tf: DataFrame): Bm25Index = {
@@ -401,7 +403,8 @@ object TextAnalysis {
                      textCol: String): Seq[graft.operators.Ivm.MaintainedAgg] = {
     import graft.operators.Ivm.MaintainedAgg
     def tf0(docs: DataFrame): DataFrame =
-      docs.select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("term"))
+      spreadAcrossCores(docs)
+        .select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("term"))
         .groupBy("doc", "term").agg(count(lit(1)).as("tf"))
     def dlOf(t: DataFrame): DataFrame = t.groupBy("doc").agg(sum("tf").as("dl"))
     // ALL changelog keys' old rows (not just U/D): mirrors the base
@@ -589,13 +592,24 @@ object TextAnalysis {
   private def scoreBm25(idx: Bm25Index, qt: DataFrame, k: Int, k1: Double,
                         b: Double, maxDfFrac: Double): DataFrame = {
     requireBm25Args(k, k1, b, maxDfFrac)
-    val m = idx.postings.join(broadcast(qt), Seq("term"))
-      .filter(col("doc") =!= col("query_id"))
+    // a term's (doc, mic) contribution is QUERY-INDEPENDENT, so compute
+    // it once per surviving posting row — postings first prune to the
+    // batch's distinct terms (broadcast semi-shape: postings-of-query-
+    // terms, the served path's pointLookup is already this set), then
+    // the df/dl/stats joins and the one double per (doc, term) run at
+    // postings size. Only AFTER the micro fix does the row meet the
+    // query ids — the old shape joined queries FIRST, so every posting
+    // duplicated per query sharing the term and the float math plus
+    // both scoring joins ran per COPY (a 50-query batch paid 50x).
+    // Values are bit-identical: mic is fixed per (doc, term) before the
+    // order-immune integer sum either way.
+    val qterms = qt.select("term").distinct()
+    val contrib = idx.postings.join(broadcast(qterms), Seq("term"))
       .join(idx.docFreq, Seq("term"))
       .join(idx.docLens, Seq("doc"))
       .crossJoin(broadcast(idx.stats))
       .filter(col("df") <= col("nd") * lit(maxDfFrac))
-    // one double per (query, doc, term), fixed to micros before the sum;
+    // one double per (doc, term), fixed to micros before the sum;
     // expression structure mirrors the SQL oracle text exactly
     val idf = log(lit(1.0) + (col("nd") - col("df") + lit(0.5)) /
       (col("df") + lit(0.5)))
@@ -605,8 +619,10 @@ object TextAnalysis {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("score_micro").desc, col("doc").asc)
-    m.select(col("query_id"), col("doc"),
+    contrib.select(col("term"), col("doc"),
         floor(idf * tfPart * lit(1000000.0) + lit(0.5)).cast("long").as("mic"))
+      .join(broadcast(qt), Seq("term"))
+      .filter(col("doc") =!= col("query_id"))
       .groupBy("query_id", "doc").agg(sum("mic").as("score_micro"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -671,7 +687,19 @@ object TextAnalysis {
    * finalizes the adaptive plan, which EXECUTES any upstream exchanges
    * just to answer the question (and a shuffle-bearing frame is already
    * redistributed by that exchange anyway). */
-  private[operators] def spreadAcrossCores(df: DataFrame): DataFrame = {
+  /** Unconditional spread for VOCAB-SCALE frames feeding a heavy
+   * multiplying stage (candidate-piece explode, per-round symbol walk):
+   * the frame is dictionary-sized — tiny next to the work its explode
+   * fans out — so one exchange is always cheap relative to the compute
+   * it distributes. Needed where [[spreadAcrossCores]]'s shuffle guard
+   * must skip (aggregate/distinct outputs), which AQE coalesces to a
+   * handful of partitions when the BYTES are small even though the
+   * downstream per-row work is heavy — the byte heuristic cannot see
+   * the fan-out multiplier; the operator can. */
+  private[graft] def spreadVocab(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+  private[graft] def spreadAcrossCores(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.catalyst.plans.logical._
     val hasShuffle = df.queryExecution.logical.collectFirst {
       case _: Join => (); case _: Aggregate => (); case _: Window => ()
@@ -883,7 +911,7 @@ object TextAnalysis {
     require(stride >= 1 && stride <= chunkSize,
       "stride must be in [1, chunkSize] — a stride past the window skips tokens")
     val winLen = least(lit(chunkSize), col("nt") - col("s") + 1)
-    df.select(col(idCol), tokens(col(textCol)).as("ts"))
+    spreadAcrossCores(df).select(col(idCol), tokens(col(textCol)).as("ts"))
       .withColumn("nt", size(col("ts")))
       .filter(col("nt") >= 1)
       .select(col(idCol), col("ts"), col("nt"),
@@ -905,7 +933,7 @@ object TextAnalysis {
    */
   def vocabTopK(df: DataFrame, textCol: String, k: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    df.select(explode(tokens(col(textCol))).as("token"))
+    spreadAcrossCores(df).select(explode(tokens(col(textCol))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token").asc)
       .limit(k)
@@ -931,7 +959,8 @@ object TextAnalysis {
               vocab: DataFrame, vocabCol: String): DataFrame = {
     val v = vocab.select(col(vocabCol).as("token")).distinct()
       .withColumn("__in", lit(1))
-    df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    spreadAcrossCores(df)
+      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
       .join(broadcast(v), Seq("token"), "left")
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_tokens"),
@@ -1122,7 +1151,8 @@ object TextAnalysis {
     val sums = classes.indices.map(j =>
       sum(coalesce(element_at(col("__w"), j + 1), lit(0L))).as(s"__s$j"))
     val arr = array(classes.indices.map(j => col(s"__s$j")): _*)
-    df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    spreadAcrossCores(df)
+      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
       .join(broadcast(w), Seq("token"), "left")
       .groupBy(col(idCol))
       .agg(sums.head, sums.tail: _*)
@@ -1170,7 +1200,7 @@ object TextAnalysis {
     // NULL text yields no spans (the classifier/explode discipline) —
     // unguarded, tokenCount(null) is -1/null by conf and a negative __k
     // would make sequence() emit a DESCENDING range of garbage span ids
-    df.filter(col(textCol).isNotNull)
+    spreadAcrossCores(df.filter(col(textCol).isNotNull))
       .select(col(idCol), tokenCount(col(textCol)).cast("long").as("__n"))
       .withColumn("__k", least(greatest(lit(1L),
         expr(s"__n * $densityPct DIV ${100L * meanSpanLen}")), col("__n")))
@@ -1387,7 +1417,8 @@ object TextAnalysis {
     while (merges.size < nMerges && !exhausted) {
       rounds += 1
       val want = math.min(roundBatch, nMerges - merges.size)
-      val syms = vocab.select(split(trim(col("s")), "  ").as("sy"), col("n"))
+      val syms = spreadVocab(vocab)
+        .select(split(trim(col("s")), "  ").as("sy"), col("n"))
         .filter(size(col("sy")) >= 2)
       val top = syms
         .select(col("n"), explode(expr(
@@ -1464,7 +1495,8 @@ object TextAnalysis {
       call_function("replace", acc, lit(s" $l  $r "), lit(s" $l$r "))
     }
     val bpe = regexp_replace(trim(seg), " +", " ")
-    df.select(col(idCol), bpe.as("bpe"), size(split(bpe, " ")).as("n_bpe"))
+    spreadAcrossCores(df)
+      .select(col(idCol), bpe.as("bpe"), size(split(bpe, " ")).as("n_bpe"))
   }
 
   /**
@@ -1642,7 +1674,8 @@ object TextAnalysis {
    * all-pairs anything; docs shorter than one bigram drop out.
    */
   def bigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("ts"))
+    val toks = spreadAcrossCores(df)
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("ts"))
     val bd = Materialize.eager(
       toks.filter(size(col("ts")) >= 2)
         .select(col("doc_id"), explode(expr(
@@ -1705,7 +1738,7 @@ object TextAnalysis {
   def trigramBackoffLogProb(df: DataFrame, model: DataFrame,
                             idCol: String, textCol: String): DataFrame = {
     val mts = Materialize.eager(
-      model.select(tokens(col(textCol)).as("ts")))
+      spreadAcrossCores(model).select(tokens(col(textCol)).as("ts")))
     val uni = Materialize.eager(
       mts.select(explode(col("ts")).as("w"))
         .groupBy("w").agg(count(lit(1)).as("cu")))
@@ -1723,7 +1756,8 @@ object TextAnalysis {
       .select(explode(expr(triExpr)).as("p"))
       .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"), col("p.w3").as("w3"))
       .agg(count(lit(1)).as("c3"))
-    val td = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("ts"))
+    val td = spreadAcrossCores(df)
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("ts"))
       .filter(size(col("ts")) >= 3)
       .select(col("doc_id"), explode(expr(triExpr)).as("p"))
       .groupBy(col("doc_id"),
@@ -1789,7 +1823,8 @@ object TextAnalysis {
     require(buckets >= 2 && buckets <= 65536,
       "buckets must be in [2, 65536] — the 16-bit hash space")
     def feats(df: DataFrame): DataFrame =
-      df.select(col(idCol).as("__id"), tokens(col(textCol)).as("ts"))
+      spreadAcrossCores(df)
+        .select(col(idCol).as("__id"), tokens(col(textCol)).as("ts"))
         .filter(size(col("ts")) >= 2)
         .select(col("__id"), explode(expr(
           "transform(sequence(1, size(ts) - 1), " +
@@ -1910,7 +1945,7 @@ object TextAnalysis {
       "rounds must be in [1, 20] — config-scale driver rounds")
     require(seedSize >= 1, "seedSize must be >= 1")
     val words = Materialize.eager(
-      df.select(explode(tokens(col(textCol))).as("w"))
+      spreadAcrossCores(df).select(explode(tokens(col(textCol))).as("w"))
         .filter(length(col("w")) > 0)
         .groupBy("w").agg(count(lit(1)).as("n")))
     val wordList = words.select("w")
@@ -1964,7 +1999,7 @@ object TextAnalysis {
    * text — the shared explode [[unigramTrain]] and [[greedyPieces]]
    * both segment over. */
   private def candidatePieces(wordList: DataFrame, maxLen: Int): DataFrame =
-    wordList.select(col("w"),
+    spreadVocab(wordList).select(col("w"),
         explode(sequence(lit(0), length(col("w")) - 1)).as("p"))
       .select(col("w"), col("p"),
         explode(sequence(lit(1),
@@ -2023,7 +2058,7 @@ object TextAnalysis {
     val spark = df.sparkSession
     import spark.implicits._
     val vocab = pieces.toDF("piece")
-    val docWords = df.select(col(idCol),
+    val docWords = spreadAcrossCores(df).select(col(idCol),
         posexplode(tokens(col(textCol))).as(Seq("wi", "w")))
       .filter(length(col("w")) > 0)
     val segmented = greedyPieces(docWords.select("w").distinct(), vocab,
@@ -2115,7 +2150,7 @@ object TextAnalysis {
     // corpus pass: word frequencies, then the spaced-symbol encoding
     // with ## continuations ("abc" -> " a  ##b  ##c ")
     var vocab = Materialize.eager(
-      df.select(explode(tokens(col(textCol))).as("w"))
+      spreadAcrossCores(df).select(explode(tokens(col(textCol))).as("w"))
         .filter(length(col("w")) > 0)
         .groupBy("w").agg(count(lit(1)).as("n"))
         .select(regexp_replace(
@@ -2125,7 +2160,8 @@ object TextAnalysis {
       .empty[(Int, String, String, String, Long, Long, Long)]
     var exhausted = false
     while (merges.size < nMerges && !exhausted) {
-      val syms = vocab.select(split(trim(col("s")), "  ").as("sy"), col("n"))
+      val syms = spreadVocab(vocab)
+        .select(split(trim(col("s")), "  ").as("sy"), col("n"))
       // per-round symbol occurrence counts — the score's denominator
       val symCnt = syms.select(explode(col("sy")).as("sym"), col("n"))
         .groupBy("sym").agg(sum(col("n")).as("sn"))
@@ -2257,13 +2293,13 @@ object TextAnalysis {
     val spark = df.sparkSession
     import spark.implicits._
     val vocabDf = vocab.toDF("piece")
-    val docWords = df.select(col(idCol),
+    val docWords = spreadAcrossCores(df).select(col(idCol),
         posexplode(tokens(col(textCol))).as(Seq("wi", "w")))
       .filter(length(col("w")) > 0)
     val wordList = docWords.select("w").distinct()
     // per (word, position): the longest matching piece length, NULL
     // when nothing matches (there is no fallback — that's the UNK path)
-    val ml = wordList.select(col("w"),
+    val ml = spreadVocab(wordList).select(col("w"),
         explode(sequence(lit(0), length(col("w")) - 1)).as("p"))
       .select(col("w"), col("p"),
         explode(sequence(lit(1),

@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 
 /** Per-job time attribution for one or more declared queries — the
@@ -25,15 +25,19 @@ object Profile {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    LocalIo.tuneLocalFs(spark)
 
     case class Job(id: Int, desc: String, start: Long, var end: Long = -1L,
                    var stages: Int = 0)
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, Job]()
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     var recording = false
     val listener = new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = if (recording) {
         val desc = Option(e.properties)
           .flatMap(p => Option(p.getProperty("spark.job.description")))
+          .filter(_.nonEmpty)
+          .orElse(e.stageInfos.sortBy(_.stageId).lastOption.map(_.name))
           .getOrElse("")
         jobs.put(e.jobId, Job(e.jobId, desc, e.time, stages = e.stageInfos.size))
       }
@@ -41,6 +45,20 @@ object Profile {
         val j = jobs.get(e.jobId)
         if (j != null) j.end = e.time
       }
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
+        if (recording) {
+          val si = e.stageInfo
+          val tm = si.taskMetrics
+          val wall = (for {a <- si.completionTime; b <- si.submissionTime}
+            yield a - b).getOrElse(-1L)
+          stages.add(f"stage ${si.stageId}%4d tasks=${si.numTasks}%3d " +
+            f"wall=${wall / 1e3}%6.2fs run=${tm.executorRunTime / 1e3}%7.2fs " +
+            f"cpu=${tm.executorCpuTime / 1e9}%7.2fs " +
+            f"deser=${tm.executorDeserializeTime / 1e3}%5.2fs " +
+            f"shR=${tm.shuffleReadMetrics.totalBytesRead / 1024}%7dK " +
+            f"shW=${tm.shuffleWriteMetrics.bytesWritten / 1024}%7dK " +
+            s"${si.name.take(80)}")
+        }
     }
     spark.sparkContext.addSparkListener(listener)
 
@@ -87,6 +105,7 @@ object Profile {
       catch { case _: Throwable => () }
       graft.operators.Materialize.releaseAll()
       jobs.clear()
+      stages.clear()
       sampleHist.clear()
       recording = true
       sampling = true
@@ -113,6 +132,10 @@ object Profile {
       }
       val attributed = js.map(j => if (j.end < 0) 0L else j.end - j.start).sum / 1e3
       println(f"  attributed=${attributed}%.3f s of $dt%.3f s (gaps = driver-side work)")
+      if (sys.env.get("SPARK_GRAFT_PROFILE_STAGES").contains("1")) {
+        println("  -- stages (completion order) --")
+        stages.forEach(s => println(s"  $s"))
+      }
       if (samplerOn) {
         println("  -- RUNNABLE stack samples (10 ms tick) --")
         sampleHist.entrySet().toArray(Array.empty[java.util.Map.Entry[String, Integer]])
