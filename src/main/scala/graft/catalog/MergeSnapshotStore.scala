@@ -1606,28 +1606,7 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
         "PK-less tables append through overwrite() of the union (or " +
         "arrive as a multiset feed)")
     val pks = meta.primaryKey
-    val vs = manifestVersions(meta.location)
-    require(vs.nonEmpty,
-      s"bootstrap ${meta.qualified} with overwrite() before inserting")
-    val schema = MergeSnapshotStore.plainLogical(
-      readManifest(meta.location, vs.last).schema)
-    val have = rows.columns.map(_.toLowerCase).toSet
-    val known = schema.fieldNames.map(_.toLowerCase).toSet
-    val extra = have -- known
-    require(extra.isEmpty,
-      s"INSERT INTO ${meta.qualified} carries unknown column(s) " +
-        s"${extra.toSeq.sorted.mkString(", ")} — evolve the schema " +
-        "first (ADD COLUMN / overwrite(mergeSchema))")
-    val aligned = rows.select(schema.fields.toSeq.map { f =>
-      if (have.contains(f.name.toLowerCase))
-        col(f.name).cast(f.dataType).as(f.name)
-      else {
-        require(f.nullable,
-          s"INSERT INTO ${meta.qualified} omits non-nullable column " +
-            s"${f.name}")
-        lit(null).cast(f.dataType).as(f.name)
-      }
-    }: _*)
+    val aligned = alignToCommittedSchema(db, table, rows, "INSERT INTO")
     // pin the batch ONCE: the dup-key check, the clash lookup, the
     // touched-bucket scan and the scoped rewrite must all see the SAME
     // rows — a non-deterministic source (LIMIT, TABLESAMPLE, rand())
@@ -1659,6 +1638,41 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
       mergeScoped(db, table, keys) { old => old.unionByName(pinned) }
       n
     } finally graft.operators.Materialize.release(pinned)
+  }
+
+  /** Align a batch to the COMMITTED schema by name — the INSERT
+   * aligner [[insertInto]] and the statement surface's INSERT
+   * OVERWRITE share (SQL semantics both ways): a present column casts
+   * to the committed type, a missing NULLABLE column fills NULL, a
+   * missing non-nullable or an unknown column refuses loudly. Without
+   * this, an INSERT OVERWRITE routed straight into [[overwrite]]
+   * (which publishes the FRAME's schema, mergeSchema=false) would
+   * silently SHRINK the table to the statement's column list and
+   * silently retype drifted columns. */
+  private[graft] def alignToCommittedSchema(db: String, table: String,
+      rows: DataFrame, op: String): DataFrame = {
+    val meta = catalog0(db, table)
+    val vs = manifestVersions(meta.location)
+    require(vs.nonEmpty,
+      s"bootstrap ${meta.qualified} with overwrite() before $op")
+    val schema = MergeSnapshotStore.plainLogical(
+      readManifest(meta.location, vs.last).schema)
+    val have = rows.columns.map(_.toLowerCase).toSet
+    val known = schema.fieldNames.map(_.toLowerCase).toSet
+    val extra = have -- known
+    require(extra.isEmpty,
+      s"$op ${meta.qualified} carries unknown column(s) " +
+        s"${extra.toSeq.sorted.mkString(", ")} — evolve the schema " +
+        "first (ADD COLUMN / overwrite(mergeSchema))")
+    rows.select(schema.fields.toSeq.map { f =>
+      if (have.contains(f.name.toLowerCase))
+        col(f.name).cast(f.dataType).as(f.name)
+      else {
+        require(f.nullable,
+          s"$op ${meta.qualified} omits non-nullable column ${f.name}")
+        lit(null).cast(f.dataType).as(f.name)
+      }
+    }: _*)
   }
 
   /** The scoped-commit core [[mergeScoped]] and [[deleteWhere]] share:
@@ -3332,16 +3346,22 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
     val named = renames.foldLeft(projected) { case (d, (o, n)) =>
       d.withColumnRenamed(o, n) }
     // TYPE alignment: a WIDENED column (int→long, float→double, decimal
-    // growth — any lossless up-cast) is the same column, so the diff
-    // compares the old values under the new type instead of failing
-    // analysis; a retype no up-cast covers is a different column in the
-    // same clothes and stays unaligned for the era guard to refuse
+    // growth) is the same column, so the diff compares the old values
+    // under the new type instead of failing analysis; a retype outside
+    // the store's OWN lossless set is a different column in the same
+    // clothes and stays unaligned for the era guard to refuse. Gated
+    // on isSafeWidening, NOT Cast.canUpCast: Spark's numericPrecedence
+    // ladder admits LOSSY casts (long→double, int/long→float), and an
+    // up-cast alignment over one of those would let changesBetween
+    // compare values past 2^53 as equal and silently drop real
+    // updates — contradicting alterColumnType's own refusal of the
+    // same conversion.
     val newTypes = sNew.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
     val widened = named.schema.fields.toSeq.flatMap { f =>
       newTypes.get(f.name.toLowerCase) match {
         case Some(nt) if nt != f.dataType &&
-            org.apache.spark.sql.catalyst.expressions.Cast
-              .canUpCast(f.dataType, nt) => Some(f.name -> nt)
+            MergeSnapshotStore.isSafeWidening(f.dataType, nt) =>
+          Some(f.name -> nt)
         case _ => None
       }
     }
@@ -3835,9 +3855,11 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
    * to re-register this table verbatim (schema from the committed head
    * where one exists, PK as the `graft.pk` property, user properties
    * quoted; the store's bookkeeping keys are OMITTED — they are not
-   * CREATE-able, and the lifecycle that wrote them maintains them).
-   * With [[dropTable]]'s external semantics this is the full
-   * detach/re-attach round trip as text. */
+   * CREATE-able, and the lifecycle that wrote them maintains them;
+   * a rebucketed table's `graft.nbuckets` needs no rendering because
+   * [[createTable]] auto-adopts the committed head's count on
+   * re-attach). With [[dropTable]]'s external semantics this is the
+   * full detach/re-attach round trip as text. */
   def showCreateTable(db: String, table: String): DataFrame = {
     val meta = catalog0(db, table)
     val vs = manifestVersions(meta.location)
@@ -4072,9 +4094,28 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
             s"schema has no such column (${s.fieldNames.mkString(", ")})")
       }
     }
-    val meta = TableMeta(db, table, location, format = format,
+    val meta0 = TableMeta(db, table, location, format = format,
       primaryKey = primaryKey, partitionBy = partitionBy,
       properties = properties, schema = schema)
+    // RE-ATTACH adoption: a location already holding committed versions
+    // re-attaches ([[dropTable]]'s round trip) — and a REBUCKETED
+    // table's head manifest carries an nBuckets only the
+    // (refused-in-CREATE) graft.nbuckets property could reproduce, so
+    // without adoption the re-created registration would resolve the
+    // store default and every read refuse on the manifest-vs-meta
+    // count check. The committed head IS the authority on layout:
+    // adopt its count into the registration when it differs. A fresh
+    // location (no manifests) registers as declared.
+    val meta = {
+      val vs0 = manifestVersions(location)
+      if (vs0.isEmpty) meta0
+      else {
+        val head = readManifest(location, vs0.last)
+        if (head.nBuckets == nBucketsOf(meta0)) meta0
+        else meta0.copy(properties = meta0.properties +
+          (MergeSnapshotStore.BucketsProp -> head.nBuckets.toString))
+      }
+    }
     // the store's own parsers ARE the validators (setProperties parity)
     if (properties.contains(MergeSnapshotStore.RetentionProp))
       retentionMsOf(meta)

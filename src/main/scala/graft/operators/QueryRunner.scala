@@ -275,8 +275,39 @@ object QueryRunner {
     def splice(tbl: String, pin: Option[Int]) =
       SubqueryAlias(tbl,
         ms.readSkipping(db, tbl, pin).queryExecution.analyzed)
-    plan.transformUpWithSubqueries {
+    // CTE aliases SHADOW table names in SQL (CTESubstitution runs at
+    // analysis time) — an eager splice of a bare reference whose name a
+    // CTE binds would silently read the store table and drop the CTE's
+    // derivation: wrong results, no error. Bare references to CTE-bound
+    // names are therefore left for Spark's own resolution (the CTE
+    // wins); a reference inside the colliding CTE's OWN definition —
+    // where SQL scoping says the store table is meant — must spell the
+    // qualified `db.table` form, which CTEs can never capture (the
+    // analyzer otherwise refuses the unresolved name LOUDLY rather
+    // than this splice guessing). Collected across all subquery
+    // scopes; case-insensitive like Spark's resolution.
+    val cteBound: Set[String] = plan.collectWithSubqueries {
+      case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
+        w.cteRelations.map(_._1.toLowerCase)
+    }.flatten.toSet
+    def shadowed(parts: Seq[String]): Boolean =
+      parts.length == 1 && cteBound(parts.head.toLowerCase)
+    // CTE DEFINITIONS are innerChildren, not children — the transform
+    // below never descends into them, so a qualified store reference
+    // inside a CTE body (the supported spelling under a colliding
+    // alias) must be spliced by explicit recursion into cteRelations
+    def go(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+      p.transformUpWithSubqueries {
+        case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
+          w.copy(cteRelations = w.cteRelations.map { case (n, sa, rest) =>
+            (n, sa.copy(child = go(sa.child)), rest) })
       case RelationTimeTravel(u: UnresolvedRelation, ts, ver) =>
+        require(!shadowed(u.multipartIdentifier),
+          s"FROM ${u.multipartIdentifier.mkString(".")} VERSION/TIMESTAMP " +
+            "AS OF names a CTE alias — time travel reads a STORE table; " +
+            s"qualify it as $db.${u.multipartIdentifier.head} or rename " +
+            "the CTE")
         val tbl = named(u.multipartIdentifier).getOrElse(
           throw new IllegalArgumentException(
             s"time travel names ${u.multipartIdentifier.mkString(".")} — " +
@@ -306,10 +337,11 @@ object QueryRunner {
           }
         }
         splice(tbl, Some(pin))
-      case u: UnresolvedRelation =>
+      case u: UnresolvedRelation if !shadowed(u.multipartIdentifier) =>
         named(u.multipartIdentifier).filter(registered)
           .map(t => splice(t, None)).getOrElse(u)
-    }
+      }
+    go(plan)
   }
 
   /** The projection + predicate core, store-free for direct frames. */
@@ -635,7 +667,12 @@ object QueryRunner {
             qdf0.toDF(tableCols: _*)
           }
         if (ins.overwrite) {
-          ms.overwrite(db, tbl, named)
+          // align to the COMMITTED schema first (NULL-fill missing
+          // nullable, cast, refuse extras) — a raw overwrite publishes
+          // the frame's schema and would silently shrink/retype the
+          // table under a column-list or drifted-type INSERT OVERWRITE
+          ms.overwrite(db, tbl,
+            ms.alignToCommittedSchema(db, tbl, named, "INSERT OVERWRITE"))
           ms.countRows(db, tbl)
         } else ms.insertInto(db, tbl, named)
       case DeleteFromTable(t, condition) =>

@@ -53,12 +53,15 @@ object Similarity {
     df.select(col(idCol).as("vid"), col(vecCol).cast("array<double>").as("vec"))
       .withColumn("nrm", l2Norm(col("vec")))
 
-  /** [[prepared]] for the CORPUS side: per-row vector math (norms, dots,
-   * cell scores) is the family's heavy work, and a one-file corpus must
-   * not run it on one task — spread first (no-op at real scale: file
-   * partitions >> cores). Query/seed frames keep plain [[prepared]]:
-   * they are bench-small by construction and an extra exchange there is
-   * pure serving latency. */
+  /** [[prepared]] for the corpus side of the PAIR-GRAPH operators
+   * (cosinePairs / signCosinePairs), whose per-bucket all-pairs dot
+   * products are heavy enough to amortize one spread exchange on a
+   * one-file corpus (no-op at real scale: file partitions >> cores).
+   * The ANN top-k serve paths deliberately keep plain [[prepared]] —
+   * measured at bench scale, their per-row vector work is microseconds
+   * and the extra AQE query stage cost MORE than the parallelism bought
+   * (r21 A/B: s07 +0.14 s, s08 +0.12 s, s12 +0.09 s with the spread;
+   * d05 −0.07 s, d11 −0.06 s for the pair ops). */
   private def preparedSpread(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     prepared(graft.operators.TextAnalysis.spreadAcrossCores(df), idCol, vecCol)
 
@@ -69,7 +72,7 @@ object Similarity {
    */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
-    val c = preparedSpread(corpus, idCol, vecCol)
+    val c = prepared(corpus, idCol, vecCol)
     val q = prepared(queries, idCol, vecCol)
       .select(col("vid").as("query_id"), col("vec").as("qvec"), col("nrm").as("qnrm"))
     val scored = c.join(broadcast(q), col("vid") =!= col("query_id"))
@@ -328,7 +331,7 @@ object Similarity {
     def truncated(df: DataFrame): DataFrame = df
       .withColumn("tvec", slice(col("vec"), 1, dPrime))
       .withColumn("tnrm", l2Norm(col("tvec")))
-    val c = truncated(preparedSpread(corpus, idCol, vecCol))
+    val c = truncated(prepared(corpus, idCol, vecCol))
     val q = truncated(prepared(queries, idCol, vecCol))
       .select(col("vid").as("query_id"), col("vec").as("qvec"),
         col("nrm").as("qnrm"), col("tvec").as("qtvec"), col("tnrm").as("qtnrm"))
@@ -370,7 +373,7 @@ object Similarity {
   /** Corpus sketched into LSH buckets (the build side of the index). */
   def lshIndex(corpus: DataFrame, idCol: String, vecCol: String,
                dim: Int, planes: Int = 8, seed: Long = 42L): DataFrame =
-    preparedSpread(corpus, idCol, vecCol)
+    prepared(corpus, idCol, vecCol)
       .withColumn("bucket", lshBucket(col("vec"), dim, planes, seed))
 
   /**
@@ -405,7 +408,7 @@ object Similarity {
   def signTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                vecCol: String, k: Int, planes: Int = 8): DataFrame =
     probedTopK(
-      preparedSpread(corpus, idCol, vecCol)
+      prepared(corpus, idCol, vecCol)
         .withColumn("bucket", signBucket(col("vec"), planes)),
       prepared(queries, idCol, vecCol)
         .withColumn("bucket0", signBucket(col("vec"), planes)),
@@ -678,7 +681,7 @@ object Similarity {
    * corpus half of [[ivfFlatPieces]], shared with [[semanticDedup]]. */
   private def assignCells(corpus: DataFrame, idCol: String, vecCol: String,
                           cent: DataFrame): DataFrame =
-    cellScores(preparedSpread(corpus, idCol, vecCol), cent)
+    cellScores(prepared(corpus, idCol, vecCol), cent)
       .groupBy(col("vid"))
       .agg(min_by(col("cid"), struct(-col("ccos"), col("cid"))).as("cell"),
         first(col("vec")).as("vec"), first(col("nrm")).as("nrm"))
@@ -785,7 +788,7 @@ object Similarity {
       cent.zipWithIndex.map { case (v, i) => (i, v) }.toDF("cid", "cvec")
         .withColumn("cnrm", l2Norm(col("cvec")))
     }
-    val p = preparedSpread(corpus, idCol, vecCol)
+    val p = prepared(corpus, idCol, vecCol)
     var cent: Seq[Seq[Double]] =
       prepared(corpus.orderBy(col(idCol)).limit(nCells), idCol, vecCol)
         .select(col("vec")).collect().map(_.getSeq[Double](0).toSeq).toSeq
@@ -989,7 +992,7 @@ object Similarity {
     requireIntegralId(corpus, idCol)
     val cent = centroids.getOrElse(
       Materialize(defaultCentroids(corpus, idCol, vecCol, nCells)))
-    val cells = cellScores(preparedSpread(corpus, idCol, vecCol), cent)
+    val cells = cellScores(prepared(corpus, idCol, vecCol), cent)
       .groupBy(col("vid").cast("long").as("vid"))
       .agg(min_by(col("cid"), struct(-col("ccos"), col("cid"))).as("cell"))
     val qw = Window.partitionBy(col("vid"))

@@ -239,7 +239,7 @@ object TextAnalysis {
   def tfIdfTopK(df: DataFrame, idCol: String, textCol: String,
                 k: Int = 5): DataFrame = {
     val n = df.count() // driver scalar: corpus size for the idf
-    val tok = spreadAcrossCores(df).select(col(idCol).as("doc"),
+    val tok = df.select(col(idCol).as("doc"),
       explode(tokens(col(textCol))).as("term"))
     val tf = Materialize(tok.groupBy("doc", "term").agg(count(lit(1)).as("tf")))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
@@ -687,18 +687,6 @@ object TextAnalysis {
    * finalizes the adaptive plan, which EXECUTES any upstream exchanges
    * just to answer the question (and a shuffle-bearing frame is already
    * redistributed by that exchange anyway). */
-  /** Unconditional spread for VOCAB-SCALE frames feeding a heavy
-   * multiplying stage (candidate-piece explode, per-round symbol walk):
-   * the frame is dictionary-sized — tiny next to the work its explode
-   * fans out — so one exchange is always cheap relative to the compute
-   * it distributes. Needed where [[spreadAcrossCores]]'s shuffle guard
-   * must skip (aggregate/distinct outputs), which AQE coalesces to a
-   * handful of partitions when the BYTES are small even though the
-   * downstream per-row work is heavy — the byte heuristic cannot see
-   * the fan-out multiplier; the operator can. */
-  private[graft] def spreadVocab(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-
   private[graft] def spreadAcrossCores(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.catalyst.plans.logical._
     val hasShuffle = df.queryExecution.logical.collectFirst {
@@ -933,7 +921,7 @@ object TextAnalysis {
    */
   def vocabTopK(df: DataFrame, textCol: String, k: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    spreadAcrossCores(df).select(explode(tokens(col(textCol))).as("token"))
+    df.select(explode(tokens(col(textCol))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token").asc)
       .limit(k)
@@ -959,8 +947,7 @@ object TextAnalysis {
               vocab: DataFrame, vocabCol: String): DataFrame = {
     val v = vocab.select(col(vocabCol).as("token")).distinct()
       .withColumn("__in", lit(1))
-    spreadAcrossCores(df)
-      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
       .join(broadcast(v), Seq("token"), "left")
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_tokens"),
@@ -1151,8 +1138,7 @@ object TextAnalysis {
     val sums = classes.indices.map(j =>
       sum(coalesce(element_at(col("__w"), j + 1), lit(0L))).as(s"__s$j"))
     val arr = array(classes.indices.map(j => col(s"__s$j")): _*)
-    spreadAcrossCores(df)
-      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
       .join(broadcast(w), Seq("token"), "left")
       .groupBy(col(idCol))
       .agg(sums.head, sums.tail: _*)
@@ -1200,7 +1186,7 @@ object TextAnalysis {
     // NULL text yields no spans (the classifier/explode discipline) —
     // unguarded, tokenCount(null) is -1/null by conf and a negative __k
     // would make sequence() emit a DESCENDING range of garbage span ids
-    spreadAcrossCores(df.filter(col(textCol).isNotNull))
+    df.filter(col(textCol).isNotNull)
       .select(col(idCol), tokenCount(col(textCol)).cast("long").as("__n"))
       .withColumn("__k", least(greatest(lit(1L),
         expr(s"__n * $densityPct DIV ${100L * meanSpanLen}")), col("__n")))
@@ -1417,8 +1403,7 @@ object TextAnalysis {
     while (merges.size < nMerges && !exhausted) {
       rounds += 1
       val want = math.min(roundBatch, nMerges - merges.size)
-      val syms = spreadVocab(vocab)
-        .select(split(trim(col("s")), "  ").as("sy"), col("n"))
+      val syms = vocab.select(split(trim(col("s")), "  ").as("sy"), col("n"))
         .filter(size(col("sy")) >= 2)
       val top = syms
         .select(col("n"), explode(expr(
@@ -1495,8 +1480,7 @@ object TextAnalysis {
       call_function("replace", acc, lit(s" $l  $r "), lit(s" $l$r "))
     }
     val bpe = regexp_replace(trim(seg), " +", " ")
-    spreadAcrossCores(df)
-      .select(col(idCol), bpe.as("bpe"), size(split(bpe, " ")).as("n_bpe"))
+    df.select(col(idCol), bpe.as("bpe"), size(split(bpe, " ")).as("n_bpe"))
   }
 
   /**
@@ -1945,7 +1929,7 @@ object TextAnalysis {
       "rounds must be in [1, 20] — config-scale driver rounds")
     require(seedSize >= 1, "seedSize must be >= 1")
     val words = Materialize.eager(
-      spreadAcrossCores(df).select(explode(tokens(col(textCol))).as("w"))
+      df.select(explode(tokens(col(textCol))).as("w"))
         .filter(length(col("w")) > 0)
         .groupBy("w").agg(count(lit(1)).as("n")))
     val wordList = words.select("w")
@@ -1999,7 +1983,7 @@ object TextAnalysis {
    * text — the shared explode [[unigramTrain]] and [[greedyPieces]]
    * both segment over. */
   private def candidatePieces(wordList: DataFrame, maxLen: Int): DataFrame =
-    spreadVocab(wordList).select(col("w"),
+    wordList.select(col("w"),
         explode(sequence(lit(0), length(col("w")) - 1)).as("p"))
       .select(col("w"), col("p"),
         explode(sequence(lit(1),
@@ -2058,7 +2042,7 @@ object TextAnalysis {
     val spark = df.sparkSession
     import spark.implicits._
     val vocab = pieces.toDF("piece")
-    val docWords = spreadAcrossCores(df).select(col(idCol),
+    val docWords = df.select(col(idCol),
         posexplode(tokens(col(textCol))).as(Seq("wi", "w")))
       .filter(length(col("w")) > 0)
     val segmented = greedyPieces(docWords.select("w").distinct(), vocab,
@@ -2150,7 +2134,7 @@ object TextAnalysis {
     // corpus pass: word frequencies, then the spaced-symbol encoding
     // with ## continuations ("abc" -> " a  ##b  ##c ")
     var vocab = Materialize.eager(
-      spreadAcrossCores(df).select(explode(tokens(col(textCol))).as("w"))
+      df.select(explode(tokens(col(textCol))).as("w"))
         .filter(length(col("w")) > 0)
         .groupBy("w").agg(count(lit(1)).as("n"))
         .select(regexp_replace(
@@ -2160,8 +2144,7 @@ object TextAnalysis {
       .empty[(Int, String, String, String, Long, Long, Long)]
     var exhausted = false
     while (merges.size < nMerges && !exhausted) {
-      val syms = spreadVocab(vocab)
-        .select(split(trim(col("s")), "  ").as("sy"), col("n"))
+      val syms = vocab.select(split(trim(col("s")), "  ").as("sy"), col("n"))
       // per-round symbol occurrence counts — the score's denominator
       val symCnt = syms.select(explode(col("sy")).as("sym"), col("n"))
         .groupBy("sym").agg(sum(col("n")).as("sn"))
@@ -2293,13 +2276,13 @@ object TextAnalysis {
     val spark = df.sparkSession
     import spark.implicits._
     val vocabDf = vocab.toDF("piece")
-    val docWords = spreadAcrossCores(df).select(col(idCol),
+    val docWords = df.select(col(idCol),
         posexplode(tokens(col(textCol))).as(Seq("wi", "w")))
       .filter(length(col("w")) > 0)
     val wordList = docWords.select("w").distinct()
     // per (word, position): the longest matching piece length, NULL
     // when nothing matches (there is no fallback — that's the UNK path)
-    val ml = spreadVocab(wordList).select(col("w"),
+    val ml = wordList.select(col("w"),
         explode(sequence(lit(0), length(col("w")) - 1)).as("p"))
       .select(col("w"), col("p"),
         explode(sequence(lit(1),

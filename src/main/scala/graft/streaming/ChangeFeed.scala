@@ -176,8 +176,20 @@ object ChangeFeed {
     store.readSkipping(db, table, Some(last))
     val meta = store.catalog(db, table)
     val delta0 =
-      if (meta.hasPrimaryKey) store.changesBetween(db, table, last, head)
-      else store.multisetChangesBetween(db, table, last, head)
+      try {
+        if (meta.hasPrimaryKey) store.changesBetween(db, table, last, head)
+        else store.multisetChangesBetween(db, table, last, head)
+      } catch {
+        // the store's schema-ERA guard refuses a diff across a lossy
+        // retype before this feed's own pinned-schema check can run —
+        // same condition, so surface the FEED remedy (the exporter's
+        // caller owns a feed directory, not a raw diff)
+        case e: IllegalArgumentException
+            if String.valueOf(e.getMessage).contains("changed type") =>
+          throw new IllegalArgumentException(e.getMessage +
+            "; for this feed: finish draining the current directory and " +
+            "seed a FRESH one for the new schema era", e)
+      }
     val delta = delta0
       .withColumn("_from_version", lit(last))
       .withColumn("_commit_version", lit(head))

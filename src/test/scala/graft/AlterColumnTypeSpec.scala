@@ -189,6 +189,40 @@ class AlterColumnTypeSpec extends AnyFunSuite with SparkFixture {
       mfeed.filter(col("change") === "D").count() == 16)
   }
 
+  test("a LOSSY retype between versions refuses the diff — never a silent up-cast") {
+    // a restructuring overwrite that retyped long->double sits between
+    // the versions: Spark's Cast.canUpCast calls that an "up-cast"
+    // (numericPrecedence admits it), but doubles lose integer precision
+    // past 2^53 — an alignment over it would let changesBetween compare
+    // drifted values as equal and silently drop real updates. The
+    // alignment is gated on the store's OWN lossless set, so this
+    // falls through to the era guard's loud refusal.
+    val store = mkStore()
+    register(store, "t")
+    import spark.implicits._
+    store.overwrite("adb", "t",
+      (0 until 8).map(i => (i.toLong, i.toLong)).toDF("id", "v"))
+    val v0 = store.latestVersion("adb", "t")
+    store.overwrite("adb", "t",
+      (0 until 8).map(i => (i.toLong, i.toDouble)).toDF("id", "v"))
+    val ex = intercept[IllegalArgumentException] {
+      store.changesBetween("adb", "t", v0,
+        store.latestVersion("adb", "t")).collect()
+    }
+    assert(ex.getMessage.contains("changed type"), ex.getMessage)
+    // the SAFE direction still aligns: int->long restructure diffs fine
+    val s2 = mkStore()
+    register(s2, "u")
+    s2.overwrite("adb", "u",
+      (0 until 8).map(i => (i.toLong, i)).toDF("id", "v"))
+    val u0 = s2.latestVersion("adb", "u")
+    s2.overwrite("adb", "u",
+      (0 until 8).map(i => (i.toLong, i.toLong)).toDF("id", "v"))
+    assert(s2.changesBetween("adb", "u", u0,
+      s2.latestVersion("adb", "u")).count() == 0,
+      "same values under a lossless widen diff as unchanged")
+  }
+
   test("RESTORE reverts the widen; a scoped merge across it refuses, never mixes eras") {
     val store = mkStore()
     register(store, "t")

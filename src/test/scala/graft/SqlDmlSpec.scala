@@ -332,4 +332,81 @@ class SqlDmlSpec extends AnyFunSuite with SparkFixture {
     }
     assert(bad.getMessage.contains("'key'='value'"), bad.getMessage)
   }
+
+  test("a CTE alias SHADOWS a same-named store table; qualified names splice") {
+    val store = mkStore()
+    val runner = new QueryRunner(store)
+    register(store, "t")
+    store.overwrite("sdb", "t", frame()) // ids 0..127, v = id
+    // the CTE wins over the store table of the same name: the splice
+    // must NOT eagerly replace the bare reference (which would read
+    // all 128 rows and silently drop the CTE's filter)
+    val viaCte = runner.sql("sdb",
+      "WITH t AS (SELECT id, v FROM sdb.t WHERE v < 10) " +
+        "SELECT count(*) AS n FROM t").head().getLong(0)
+    assert(viaCte == 10L, s"the CTE's filter must apply: got $viaCte")
+    // a bare self-reference inside the colliding CTE's own definition
+    // refuses LOUDLY (unresolved) instead of this splice guessing —
+    // the qualified spelling above is the supported form
+    intercept[Exception] {
+      runner.sql("sdb",
+        "WITH t AS (SELECT * FROM t WHERE v < 10) SELECT * FROM t")
+        .collect()
+    }
+    // time travel over a CTE-bound bare name refuses by name
+    val tt = intercept[IllegalArgumentException] {
+      runner.sql("sdb",
+        "WITH t AS (SELECT id FROM sdb.t) " +
+          "SELECT * FROM t VERSION AS OF 0").collect()
+    }
+    assert(tt.getMessage.contains("CTE alias"), tt.getMessage)
+  }
+
+  test("INSERT OVERWRITE aligns to the committed schema: no shrink, no retype") {
+    val store = mkStore()
+    val runner = new QueryRunner(store)
+    register(store, "t")
+    store.overwrite("sdb", "t", frame()) // (id long, v long, cls string)
+    // a column-list OVERWRITE keeps the FULL committed schema — the
+    // omitted nullable column fills NULL instead of vanishing
+    runner.dml("sdb", "INSERT OVERWRITE t (id, v) VALUES (1, 10), (2, 20)")
+    val after = store.read("sdb", "t")
+    assert(after.columns.toSeq == Seq("id", "v", "cls"),
+      s"schema must not shrink: ${after.columns.toSeq}")
+    assert(after.count() == 2 && after.filter(col("cls").isNull).count() == 2)
+    // a drifted source type casts to the committed type, never retypes
+    runner.dml("sdb",
+      "INSERT OVERWRITE t SELECT id, CAST(v AS STRING), cls FROM t")
+    assert(store.read("sdb", "t").schema("v").dataType ==
+      org.apache.spark.sql.types.LongType, "v must stay bigint")
+    assert(store.read("sdb", "t").filter(col("v") === 10L).count() == 1)
+    // an unknown column refuses toward schema evolution
+    val ex = intercept[IllegalArgumentException] {
+      runner.dml("sdb",
+        "INSERT OVERWRITE t (id, v, bogus) VALUES (1, 1, 'x')")
+    }
+    assert(ex.getMessage.contains("unknown column"), ex.getMessage)
+  }
+
+  test("CREATE TABLE re-attach adopts a rebucketed head's bucket count") {
+    val store = mkStore() // store default nBuckets = 4
+    val runner = new QueryRunner(store)
+    val meta = register(store, "t")
+    store.overwrite("sdb", "t", frame())
+    store.rebucket("sdb", "t", newBuckets = 8)
+    val before = store.read("sdb", "t").orderBy("id").collect().toSeq
+    // detach (metadata-only), then re-attach through the statement
+    // surface — SHOW CREATE TABLE's own round trip. Without head
+    // adoption the re-created registration would resolve nBuckets=4
+    // and every read refuse on the manifest-vs-meta count check.
+    runner.dml("sdb", "DROP TABLE t")
+    runner.dml("sdb",
+      "CREATE TABLE t (id bigint, v bigint, cls string) USING parquet " +
+        s"LOCATION '${meta.location}' TBLPROPERTIES ('graft.pk'='id')")
+    assert(store.read("sdb", "t").orderBy("id").collect().toSeq == before,
+      "re-attached reads must serve the committed history unchanged")
+    // and the layout stays writable: a merge under the adopted modulus
+    store.deleteWhere("sdb", "t", col("v") < 2L)
+    assert(store.read("sdb", "t").count() == before.size - 2)
+  }
 }
