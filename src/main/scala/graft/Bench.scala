@@ -33,7 +33,9 @@ object Bench {
     * of defeating min-of-N for every query inside its window. */
   def timeQueries(spark: SparkSession, sfDir: String,
                   queries: Map[String, (SparkSession, String) => DataFrame],
-                  runs: Int = Passes): Seq[(String, Double, Option[String])] = {
+                  runs: Int = Passes,
+                  passHook: Int => Unit = _ => ())
+      : Seq[(String, Double, Option[String])] = {
     // runs < 1 would skip the pass loop entirely and leave `best` empty
     // while the result mapping still looks every query up
     require(runs >= 1, s"need at least one pass, got runs=$runs")
@@ -53,23 +55,52 @@ object Bench {
     // bench as a fast success; a query that failed in an earlier pass is
     // skipped in later passes (its error is sticky)
     val best = scala.collection.mutable.LinkedHashMap[String, (Double, Option[String])]()
-    for (_ <- 1 to runs; (name, fn) <- ordered) best.get(name) match {
-      case Some((_, Some(_))) => () // already failed; stop re-running it
-      case prev =>
-        val (t, e) = once(fn)
-        best(name) = prev match {
-          case Some((b, None)) if e.isEmpty => (math.min(b, t), None)
-          case _                            => (t, e)
-        }
+    for (pass <- 1 to runs) {
+      passHook(pass) // e.g. one calibration-anchor sample per pass
+      for ((name, fn) <- ordered) best.get(name) match {
+        case Some((_, Some(_))) => () // already failed; stop re-running it
+        case prev =>
+          val (t, e) = once(fn)
+          best(name) = prev match {
+            case Some((b, None)) if e.isEmpty => (math.min(b, t), None)
+            case _                            => (t, e)
+          }
+      }
     }
     ordered.map { case (name, _) =>
       val (t, e) = best(name); (name, t, e)
     }
   }
 
+  /** Calibration anchor: a fixed, deterministic, CPU-bound, no-I/O
+   * computation (a chained-xxhash64 fold over `spark.range`) whose wall
+   * time depends ONLY on the machine's free CPU — so two bench runs of
+   * the same code on a co-tenant box can be compared by normalizing
+   * per-query seconds against their anchor readings (r20/r21 left
+   * builder-vs-driver contradictions on d06/d07/t27 that were pure
+   * machine load). The work is constant per-core-count: `range` splits
+   * into `defaultParallelism` tasks, so the 8-core and 32-core contract
+   * runs each measure their own configuration's throughput. One sample
+   * runs before each timed pass; the JSON reports the min alongside the
+   * samples. Never added to `queries` — it is a measurement of the
+   * machine, not of the engine, and must not inflate the headline
+   * total. */
+  def anchorOnce(spark: SparkSession): Double = {
+    import org.apache.spark.sql.functions._
+    val t0 = System.nanoTime()
+    val chained = (1 to 8).foldLeft(col("id"))((c, _) => xxhash64(c))
+    // XOR-fold, not sum: hash outputs span the full long range and an
+    // ANSI-mode sum overflows; xor is the same CPU-bound work per row
+    spark.range(0, 64L * 1000 * 1000, 1,
+        spark.sparkContext.defaultParallelism)
+      .select(chained.as("h"))
+      .agg(expr("bit_xor(h)")).head()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   /** The driver-contract JSON line. */
   def toJson(results: Seq[(String, Double, Option[String])], sfDir: String,
-             runs: Int = Passes): String = {
+             runs: Int = Passes, anchors: Seq[Double] = Nil): String = {
     // same escaping rules as Verify's oracle_sql writer: control chars
     // \u-escape so multi-line Spark errors round-trip through the JSON
     def esc(s: String): String = s.flatMap {
@@ -131,7 +162,13 @@ object Bench {
     // sf as the directory BASENAME: the full path spent 16 bytes of the
     // driver's fixed tail window on a constant prefix
     val sfName = sfDir.stripSuffix("/").split('/').last
-    s"""{"metric":"total","value":${num(total)},"unit":"sec","runs":$runs,"agg":"min","queries":$qs$errJson,"sf":"$sfName"}"""
+    // the calibration anchor (min of per-pass samples) as ONE extra
+    // top-level key (~14 bytes) — extra keys are ignored by any JSON
+    // parse of the contract line, and the anchor must NOT join `queries`
+    // (it would inflate the headline total and the scaling block)
+    val anchorJson =
+      if (anchors.isEmpty) "" else s""","anchor":${numQ(anchors.min)}"""
+    s"""{"metric":"total","value":${num(total)},"unit":"sec","runs":$runs,"agg":"min","queries":$qs$errJson,"sf":"$sfName"$anchorJson}"""
   }
 
   /** The full-precision sidecar (3-decimal per-query values, full names,
@@ -139,7 +176,8 @@ object Bench {
    * driver's 2000-byte tail capture, so precision and full names live
    * here; committed per round for the judge. */
   def toDetailJson(results: Seq[(String, Double, Option[String])],
-                   sfDir: String, runs: Int): String = {
+                   sfDir: String, runs: Int,
+                   anchors: Seq[Double] = Nil): String = {
     def num(v: Double): String =
       if (!java.lang.Double.isFinite(v)) "0"
       else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
@@ -152,13 +190,28 @@ object Bench {
       if (errs.isEmpty) "" else errs.mkString(",\n\"errors\": {\n", ",\n", "\n}")
     val total = results.collect {
       case (_, v, None) if java.lang.Double.isFinite(v) => v }.sum
-    s"""{"metric":"total","value":${num(total)},"unit":"sec","runs":$runs,"agg":"min","sf":"$sfDir",\n"queries":$qs$errJson}"""
+    val anchorJson =
+      if (anchors.isEmpty) ""
+      else s""","anchor": ${num(anchors.min)},"anchor_samples": [${
+        anchors.map(num).mkString(", ")}]"""
+    s"""{"metric":"total","value":${num(total)},"unit":"sec","runs":$runs,"agg":"min","sf":"$sfDir"$anchorJson,\n"queries":$qs$errJson}"""
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // opt-in extra session conf for LOCAL A/B runs only ("k=v;k=v" —
+    // the driver never sets it, so the contract run is always the
+    // committed configuration); lets an experiment flip one conf
+    // without touching the harness between runs
+    val extraConf = sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
+      .flatMap(_.split(';')).map(_.trim).filter(_.nonEmpty)
+      .map { kv =>
+        val i = kv.indexOf('=')
+        require(i > 0, s"SPARK_GRAFT_EXTRA_CONF entry '$kv' is not k=v")
+        kv.take(i) -> kv.drop(i + 1)
+      }
+    val builder0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       // Spark's whole-stage-codegen class cache holds 100 entries by
@@ -170,13 +223,15 @@ object Bench {
       // board's stages — same win for any long-lived production session
       // running a query mix wider than 100 stages. Static conf, so it
       // must land at session build; env-overridable for A/B runs.
+    val builder = builder0
       .config("spark.sql.codegen.cache.maxEntries",
         sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "10000"))
       .config("spark.ui.enabled", "false")
       // events.parquet is TIMESTAMP(NANOS); declared here so the
       // events() helper's conf dependency is visible at session build
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
+    val spark = extraConf.foldLeft(builder)((b, kv) =>
+      b.config(kv._1, kv._2)).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // drop local-FS CRC sidecars (doubled file creates on every store
     // commit; production FS targets have no client CRC) — see LocalIo
@@ -222,14 +277,20 @@ object Bench {
         finally graft.operators.Materialize.releaseAll()
       }
 
-    val results = timeQueries(spark, sfDir, queries, passes)
+    // one calibration-anchor sample per pass (plus one un-recorded
+    // JIT warm-up before the first), interleaved exactly like the
+    // queries so the anchor sees the same load the pass saw
+    val anchors = scala.collection.mutable.ArrayBuffer.empty[Double]
+    anchorOnce(spark)
+    val results = timeQueries(spark, sfDir, queries, passes,
+      passHook = _ => anchors += anchorOnce(spark))
     // full-precision sidecar first (best effort — the contract line must
     // print even if the cwd is read-only), then the one contract line
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
-      (toDetailJson(results, sfDir, passes) + "\n").getBytes("UTF-8"))
+      (toDetailJson(results, sfDir, passes, anchors.toSeq) + "\n").getBytes("UTF-8"))
     catch { case scala.util.control.NonFatal(_) => () }
-    println(toJson(results, sfDir, passes))
+    println(toJson(results, sfDir, passes, anchors.toSeq))
     spark.stop()
   }
 }

@@ -75,11 +75,12 @@ object Multimodal {
    * blob store chunks at scan speed with no shuffle. */
   def chunkFingerprints(df: DataFrame, idCol: String, payload: Column,
                         chunkSize: Int): DataFrame = {
-    // per-chunk md5 is the family's heavy per-row work — a one-file
-    // corpus must not run it on one task (no-op at real scale); spread
-    // BEFORE the payload projection so its construction parallelizes too
-    TextAnalysis.spreadAcrossCores(df)
-      .select(col(idCol), payload.as("pay"))
+    // NO spread here: chunk md5 is cheap per payload byte (sequential
+    // hashing), so the round-robin exchange of the whole payload costs
+    // more than the added parallelism buys — measured net-negative on
+    // m03/m04 in r21/r22 (callers that need the fan, e.g. m05's probe
+    // build, spread BEFORE calling and the guard no-ops here)
+    df.select(col(idCol), payload.as("pay"))
       // zero-length payloads have no chunks (sequence(0,-1) would emit a
       // bogus descending [0,-1] pair)
       .filter(length(col("pay")) > 0)

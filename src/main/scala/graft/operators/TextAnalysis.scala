@@ -679,14 +679,30 @@ object TextAnalysis {
           .as("familiarity"))
   }
 
+  /** Bytes of planned input one spread task should own. 64 KB of
+   * compressed parquet is a few hundred KB of text — enough heavy
+   * per-row work (tokenize, n-gram sets, md5 nibbles) to amortize a
+   * task launch; below that the scheduler costs more than it buys
+   * (the r21 driver's 8-vs-32-core scaling block measured the
+   * unconditional core-count fan ~2x SLOWER at 32 cores on the small
+   * spread-bearing corpora). Env-overridable for A/B runs. */
+  private[graft] val SpreadTaskBytes: Long =
+    sys.env.get("SPARK_GRAFT_SPREAD_TASK_BYTES").map(_.toLong)
+      .getOrElse(64L * 1024)
+
   /** A corpus arriving in fewer partitions than cores (one small file)
    * serializes every lambda-bearing per-doc expression on one task —
-   * spread the doc side (small rows) across the cluster first. At real
-   * scale the guard never fires: file partitions >> cores. Applied ONLY
-   * to shuffle-free frames: reading `.rdd` to learn the partition count
-   * finalizes the adaptive plan, which EXECUTES any upstream exchanges
-   * just to answer the question (and a shuffle-bearing frame is already
-   * redistributed by that exchange anyway). */
+   * spread the doc side (small rows) across the cluster first. The fan
+   * is SIZE-ADAPTIVE: one task per [[SpreadTaskBytes]] of the plan's
+   * estimated input, capped at the core count — a corpus too small to
+   * feed every core fans only as wide as the data (and a frame already
+   * at least that wide is untouched), so the spread converges to the
+   * input, not the box. At real scale the guard never fires: file
+   * partitions >> cores. Applied ONLY to shuffle-free frames: reading
+   * `.rdd` to learn the partition count finalizes the adaptive plan,
+   * which EXECUTES any upstream exchanges just to answer the question
+   * (and a shuffle-bearing frame is already redistributed by that
+   * exchange anyway). */
   private[graft] def spreadAcrossCores(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.catalyst.plans.logical._
     val hasShuffle = df.queryExecution.logical.collectFirst {
@@ -696,7 +712,12 @@ object TextAnalysis {
     }.isDefined
     if (hasShuffle) df
     else {
-      val p = df.sparkSession.sparkContext.defaultParallelism
+      val cores = df.sparkSession.sparkContext.defaultParallelism
+      // logical-stats read: no execution — for the file scans this
+      // helper guards it is the (filter-scaled) file size
+      val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      val byBytes = (bytes + SpreadTaskBytes - 1) / SpreadTaskBytes
+      val p = byBytes.min(BigInt(cores)).max(BigInt(1)).toInt
       if (df.rdd.getNumPartitions < p) df.repartition(p) else df
     }
   }
