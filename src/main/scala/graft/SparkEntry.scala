@@ -16,8 +16,21 @@ import graft.operators.{Dedup, Graphs, Ivm, Joins, Multimodal, PrefixScan, Query
  */
 object SparkEntry {
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+  /** Input-table schemas, memoized per path: the testdata files are
+   * immutable for a session's lifetime, so re-reading footers to
+   * re-infer the same schema on every query build (3 bench passes x
+   * 184 queries x 1-4 tables) is pure planning overhead. METADATA
+   * only — rows always come from the parquet scan; this is the same
+   * caching a catalog table gets for free. */
+  private val tableSchemas =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val schema = tableSchemas.computeIfAbsent(path,
+      p => s.read.parquet(p).schema)
+    s.read.schema(schema).parquet(path)
+  }
 
   /** `events.ts` has shipped as BOTH parquet TIMESTAMP(NANOS) (early
    * testdata drops — Spark's vectorized reader rejects it, so with

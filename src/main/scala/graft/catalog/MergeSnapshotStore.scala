@@ -89,6 +89,7 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
   require(vacuumRetentionMs >= 0, "vacuumRetentionMs must be >= 0")
   private val ManifestRe = "^v=(\\d{6})\\.manifest$".r
 
+
   /** Bucket assignment — deterministic Murmur3 of the PK value(s).
    * Composite keys hash every key column in registered order; the
    * single-column form is the same function (`hash(c)` ==
@@ -4607,6 +4608,13 @@ class MergeSnapshotStore(spark: SparkSession, catalog0: Catalog,
           .repartition(nBucketsOf(meta), col("__b"))
       case _ => checked.withColumn("__b", lit(0))
     }
+    // NOTE (r22, measured and rejected): re-hosting this write in an
+    // AQE-off clone session collapses the per-write stage-
+    // materialization jobs (t30: 77→50 jobs) but ALSO strips adaptive
+    // planning from the fold/join plan UNDER the write — broadcast
+    // conversion and partition coalescing there are worth far more
+    // than the staging latency (store board measured +11..+59% with
+    // the re-host: s17 2.44→3.88, t28 2.55→3.44, t30 4.38→5.82).
     // opted-in columns get parquet-native bloom filters written into
     // every file (row-group-level equality skipping on read; the
     // manifest carries nothing — blooms live where they amortize)

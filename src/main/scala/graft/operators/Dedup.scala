@@ -1209,11 +1209,67 @@ object Dedup {
    */
   def clusters(pairs: DataFrame, aCol: String, bCol: String,
                maxIters: Int = 20,
-               broadcastNodeLimit: Long = 1000000L): DataFrame = {
+               broadcastNodeLimit: Long = 1000000L,
+               unionFindEdgeLimit: Long = 500000L): DataFrame = {
     val edges = Materialize(
       pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
         .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
         .distinct())
+    // SMALL-GRAPH FAST PATH: a pair graph the loop below would
+    // broadcast EVERY ROUND (the common near-dup case — components of
+    // duplicates, never the corpus) fits on the driver outright, so
+    // one collect + a path-compressed union-find replaces O(log
+    // diameter) rounds of (join + aggregate + count) plans whose
+    // DRIVER-side planning dominates wall time (profiled: d06 spent
+    // 2.5 s of 5.5 s in between-job gaps). Same answer by
+    // construction: both compute cluster = min node id per connected
+    // component, exactly. The gate is edge count (collected payload is
+    // 16 bytes/edge) + an integral id type; at data scale the loop
+    // below runs unchanged, and `unionFindEdgeLimit = 0` forces it
+    // (the specs pin the two paths bit-identical).
+    val idType = edges.schema("src").dataType
+    val integralIds = idType == org.apache.spark.sql.types.LongType ||
+      idType == org.apache.spark.sql.types.IntegerType
+    if (integralIds && unionFindEdgeLimit > 0 &&
+        edges.count() <= unionFindEdgeLimit) {
+      val arr = edges.select(col("src").cast("long"), col("dst").cast("long"))
+        .collect()
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+        var c = x // path compression
+        while (parent.getOrDefault(c, c) != c) {
+          val nxt = parent.get(c); parent.put(c, r); c = nxt
+        }
+        r
+      }
+      arr.foreach { row =>
+        val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+        // min id stays the root, so the final root IS the component min
+        if (ra < rb) parent.put(rb, ra)
+        else if (rb < ra) parent.put(ra, rb)
+      }
+      val nodes = {
+        val s = new java.util.TreeSet[java.lang.Long]()
+        arr.foreach { r => s.add(r.getLong(0)); s.add(r.getLong(1)) }
+        s
+      }
+      val back: Long => Any =
+        if (idType == org.apache.spark.sql.types.IntegerType) v => v.toInt
+        else v => v
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row](nodes.size)
+      nodes.forEach { n =>
+        rows.add(org.apache.spark.sql.Row(back(n), back(find(n))))
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc", idType),
+        org.apache.spark.sql.types.StructField("cluster", idType)))
+      Materialize.release(edges)
+      // a LocalRelation: exact size stats, so downstream anti-joins of
+      // the label set broadcast without a shuffle
+      return pairs.sparkSession.createDataFrame(rows, schema)
+    }
     var labels = Materialize(
       edges.groupBy(col("src").as("doc"))
         .agg(least(min(col("dst")), first(col("src"))).as("cluster")))

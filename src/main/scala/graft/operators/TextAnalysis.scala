@@ -1992,11 +1992,22 @@ object TextAnalysis {
     }
     Materialize.release(words)
     Materialize.release(singles)
-    // single-partition window over the config-scale vocabulary — never
-    // data-scale (the result IS the trained artifact)
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("cnt").desc, col("piece").asc)
-    vocabCnt.withColumn("rank", row_number().over(w))
+    // rank over the config-scale vocabulary (at most vocabSize rows —
+    // never data-scale: the result IS the trained artifact). Computed
+    // as predecessors-in-total-order + 1 via a broadcast self-join:
+    // identical to row_number() over (cnt desc, piece asc) — `piece` is
+    // unique so the order is strict — but it plans NO global window
+    // (the single-partition WindowExec would warn "No Partition
+    // Defined" on every run, and a constant partition key is folded
+    // away by EliminateWindowPartitions). vocabSize² comparisons,
+    // loop-control scale.
+    val other = vocabCnt.select(col("piece").as("__p2"), col("cnt").as("__c2"))
+    vocabCnt.join(broadcast(other),
+        col("__c2") > col("cnt") ||
+          (col("__c2") === col("cnt") && col("__p2") < col("piece")),
+        "left")
+      .groupBy("piece", "cnt")
+      .agg((count(col("__p2")) + 1L).cast("int").as("rank"))
   }
 
   /** Substring candidates of a distinct-word frame: one row per

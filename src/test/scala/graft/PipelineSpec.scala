@@ -877,12 +877,17 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
       .toDF("doc_a", "doc_b")
     def run(limit: Long): Map[Long, Long] =
       Dedup.clusters(pairs, "doc_a", "doc_b", maxIters = 30,
-          broadcastNodeLimit = limit)
+          broadcastNodeLimit = limit, unionFindEdgeLimit = 0L)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val straddled = run(8L)
     assert(straddled == run(Long.MaxValue) && straddled == run(0L))
     assert(straddled.filter(_._1 <= 40L).values.toSet == Set(1L) &&
       straddled(100L) == 100L && straddled(101L) == 100L)
+    // and the small-graph driver union-find (the default gate) must be
+    // bit-identical to every distributed run
+    val fast = Dedup.clusters(pairs, "doc_a", "doc_b", maxIters = 30)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == straddled)
   }
 
   test("clusters throws rather than returning torn components at maxIters") {
@@ -892,13 +897,21 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     // the jump step improves further
     val chain = (1L until 64L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val e = intercept[IllegalStateException] {
-      Dedup.clusters(chain, "doc_a", "doc_b", maxIters = 3).collect()
+      // unionFindEdgeLimit = 0 pins the DISTRIBUTED loop (the driver
+      // union-find needs no iteration budget — it is exact outright)
+      Dedup.clusters(chain, "doc_a", "doc_b", maxIters = 3,
+        unionFindEdgeLimit = 0L).collect()
     }
     assert(e.getMessage.contains("did not converge"))
     // with budget it converges to one component
-    val ok = Dedup.clusters(chain, "doc_a", "doc_b", maxIters = 30)
+    val ok = Dedup.clusters(chain, "doc_a", "doc_b", maxIters = 30,
+        unionFindEdgeLimit = 0L)
       .collect().map(r => r.getLong(1)).toSet
     assert(ok == Set(1L))
+    // the fast path agrees without any budget concern
+    val fast = Dedup.clusters(chain, "doc_a", "doc_b", maxIters = 3)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(fast == Set(1L))
   }
 
   test("clusters over jaccard pairs: every pair lands in one cluster") {
