@@ -1463,13 +1463,17 @@ object SparkEntry {
     // byte-identical (the sub-file dedup m02's whole-blob hash misses)
     "m05_media_neardup" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      // spread the PROBE side before the anchor join: the broadcast
-      // join preserves probe partitioning, so the payload construction
-      // and chunk md5 downstream parallelize (no-op at real scale)
+      // spread BOTH join inputs: the broadcast join preserves the
+      // STREAMED side's partitioning, and AQE broadcasts whichever side
+      // is smaller (r22 profiled it picking the narrow probe, leaving
+      // the heavy payload construction on the text scan's single task)
+      // — with both sides fanned the downstream chunk md5 parallelizes
+      // whichever way the planner goes (no-op at real scale)
       val withAnchor = TextAnalysis.spreadAcrossCores(docs)
         .select(col("doc_id"),
           (col("doc_id") - col("doc_id") % 5).as("anchor_id"))
-        .join(docs.select(col("doc_id").as("anchor_id"), col("text").as("atext")),
+        .join(TextAnalysis.spreadAcrossCores(docs)
+          .select(col("doc_id").as("anchor_id"), col("text").as("atext")),
           Seq("anchor_id"))
       val pay = Multimodal.syntheticPayload(col("anchor_id"),
         concat(col("atext"), lit(" tail "), col("doc_id").cast("string")))
@@ -1513,11 +1517,14 @@ object SparkEntry {
 
     "m07_perceptual_neardup" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      // spread the probe side before the anchor join (see m05)
+      // spread BOTH join inputs before the anchor join (see m05: the
+      // streamed side carries the heavy hash work, and the planner may
+      // stream either)
       val withAnchor = TextAnalysis.spreadAcrossCores(docs)
         .select(col("doc_id"),
           (col("doc_id") - col("doc_id") % 5).as("anchor_id"))
-        .join(docs.select(col("doc_id").as("anchor_id"), col("text").as("atext")),
+        .join(TextAnalysis.spreadAcrossCores(docs)
+          .select(col("doc_id").as("anchor_id"), col("text").as("atext")),
           Seq("anchor_id"))
       val pay = Multimodal.syntheticPayload(col("anchor_id"),
         concat(col("atext"), lit(" tail "), col("doc_id").cast("string")))

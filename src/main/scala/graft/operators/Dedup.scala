@@ -455,8 +455,16 @@ object Dedup {
     // dictionary pattern: hash each DISTINCT token once and join back —
     // corpora follow Zipf, so |vocab| << token occurrences and the md5 +
     // 16 nibble parses run per word type, not per word token (the join
-    // broadcasts when the vocabulary is small)
-    val vocab = tok.select("t").distinct()
+    // broadcasts when the vocabulary is small). The distinct's output is
+    // re-fanned to the corpus' spread width before the md5 projection:
+    // AQE coalesces the few-hundred-KB vocabulary to ONE post-shuffle
+    // partition (bytes-driven), which serializes the md5 + 16 nibble
+    // parses on one task (profiled 0.46 s of d03); the extra exchange
+    // moves only the distinct token strings
+    val vocab0 = tok.select("t").distinct()
+    val vocabW = TextAnalysis.spreadWidth(df)
+    val vocab = (if (vocabW > 1) vocab0.repartition(vocabW, col("t"))
+                 else vocab0)
       .withColumn("m", md5(col("t").cast("binary")))
       .select((col("t") +: (0 until 16).map(j =>
         conv(substring(col("m"), j + 1, 1), 16, 10).cast("int").as(s"n$j"))): _*)
@@ -479,8 +487,11 @@ object Dedup {
     require(maxHamming < 4, "chunk banding guarantees recall only for hamming <= 3")
     // materialize the sketch once (24 bytes/doc): both sides of the chunk
     // self-join read it, and without this each side re-runs the 64-sum
-    // aggregate over the whole corpus
-    val sh = Materialize(simHashPortable(df, idCol, textCol))
+    // aggregate over the whole corpus. Re-fanned: the cut's adaptive
+    // plan coalesces the small sketch to one partition, serializing the
+    // chunk explode + banded join probes downstream (no-op at scale)
+    val sh = TextAnalysis.respread(
+      Materialize(simHashPortable(df, idCol, textCol)), df, col("doc"))
     val chunked = sh.select(col("doc"), col("h1"), col("h2"), posexplode(array(
       col("h1").bitwiseAND(0xFFFF), shiftright(col("h1"), 16),
       col("h2").bitwiseAND(0xFFFF), shiftright(col("h2"), 16))))

@@ -411,8 +411,12 @@ object Multimodal {
   def perceptualPairs(df: DataFrame, idCol: String, payload: Column,
                       maxHamming: Int = 3): DataFrame = {
     require(maxHamming < 4, "chunk banding guarantees recall only for hamming <= 3")
-    // cut: both sides of the chunk self-join read the 24-byte/doc sketch
-    val sh = Materialize(perceptualHash(df, idCol, payload))
+    // cut: both sides of the chunk self-join read the 24-byte/doc sketch.
+    // Re-fanned (see Dedup.simHashPairsPortable): the adaptive plan
+    // coalesces the small cut to one partition, serializing the chunk
+    // join probes downstream (no-op at scale)
+    val sh = TextAnalysis.respread(
+      Materialize(perceptualHash(df, idCol, payload)), df, col("doc"))
     val chunked = sh.select(col("doc"), col("h1"), col("h2"), posexplode(array(
       col("h1").bitwiseAND(0xFFFF), shiftright(col("h1"), 16),
       col("h2").bitwiseAND(0xFFFF), shiftright(col("h2"), 16))))

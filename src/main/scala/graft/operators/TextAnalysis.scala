@@ -711,15 +711,40 @@ object TextAnalysis {
       case _: Sort => ()
     }.isDefined
     if (hasShuffle) df
-    else {
-      val cores = df.sparkSession.sparkContext.defaultParallelism
-      // logical-stats read: no execution — for the file scans this
-      // helper guards it is the (filter-scaled) file size
-      val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-      val byBytes = (bytes + SpreadTaskBytes - 1) / SpreadTaskBytes
-      val p = byBytes.min(BigInt(cores)).max(BigInt(1)).toInt
-      if (df.rdd.getNumPartitions < p) df.repartition(p) else df
-    }
+    else if (df.rdd.getNumPartitions < spreadWidth(df))
+      df.repartition(spreadWidth(df))
+    else df
+  }
+
+  /** The fan width [[spreadAcrossCores]] derives for `df`: one task per
+   * [[SpreadTaskBytes]] of the plan's estimated input, capped at the
+   * core count. Logical-stats read — no execution; for the file scans
+   * the spread guards it is the (filter-scaled) file size. Shared by
+   * [[respread]] so post-shuffle re-fans size themselves to the same
+   * corpus the spread did. */
+  private[graft] def spreadWidth(df: DataFrame): Int = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val byBytes = (bytes + SpreadTaskBytes - 1) / SpreadTaskBytes
+    byBytes.min(BigInt(cores)).max(BigInt(1)).toInt
+  }
+
+  /** Re-fan a MATERIALIZED cut whose adaptive plan coalesced its last
+   * stage below the width the per-row work downstream wants: AQE's
+   * post-shuffle coalescing is bytes-driven (1 MB floor), so a small
+   * sketch/dictionary table lands on ONE partition and every
+   * expression-heavy consumer stage (banded self-join probes, per-type
+   * md5 dictionaries) serializes on one task. The width derives from
+   * `widthOf` — the CORPUS the operator scanned — through the same
+   * [[spreadWidth]] rule as the input spread, so at real scale (cut
+   * partitions >= cores already) this is a no-op; `.rdd` on a
+   * materialized cut is free (its plan is already finalized). */
+  private[graft] def respread(cut: DataFrame, widthOf: DataFrame,
+                              keys: Column*): DataFrame = {
+    val p = spreadWidth(widthOf)
+    if (cut.rdd.getNumPartitions >= p) cut
+    else if (keys.isEmpty) cut.repartition(p)
+    else cut.repartition(p, keys: _*)
   }
 
   /**
