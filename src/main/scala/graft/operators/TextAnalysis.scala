@@ -2018,21 +2018,21 @@ object TextAnalysis {
     Materialize.release(words)
     Materialize.release(singles)
     // rank over the config-scale vocabulary (at most vocabSize rows —
-    // never data-scale: the result IS the trained artifact). Computed
-    // as predecessors-in-total-order + 1 via a broadcast self-join:
-    // identical to row_number() over (cnt desc, piece asc) — `piece` is
-    // unique so the order is strict — but it plans NO global window
-    // (the single-partition WindowExec would warn "No Partition
-    // Defined" on every run, and a constant partition key is folded
-    // away by EliminateWindowPartitions). vocabSize² comparisons,
-    // loop-control scale.
-    val other = vocabCnt.select(col("piece").as("__p2"), col("cnt").as("__c2"))
-    vocabCnt.join(broadcast(other),
-        col("__c2") > col("cnt") ||
-          (col("__c2") === col("cnt") && col("__p2") < col("piece")),
-        "left")
-      .groupBy("piece", "cnt")
-      .agg((count(col("__p2")) + 1L).cast("int").as("rank"))
+    // never data-scale: the result IS the trained artifact). Ranked by
+    // a global sort + coalesce(1) + per-partition row index: identical
+    // to row_number() over (cnt desc, piece asc) — `piece` is unique so
+    // the order is strict, coalesce(1) concatenates the range-sorted
+    // partitions in order, and monotonically_increasing_id on ONE
+    // partition is exactly the 0-based row index (its nondeterministic
+    // flag also bars the optimizer from reordering it past the sort).
+    // Same single-partition cost the deliberate global window had, but
+    // it plans NO WindowExec — which would warn "No Partition Defined"
+    // on every run of the board (and a constant partition key is folded
+    // away by EliminateWindowPartitions).
+    vocabCnt.orderBy(col("cnt").desc, col("piece").asc)
+      .coalesce(1)
+      .withColumn("rank",
+        (monotonically_increasing_id() + 1L).cast("int"))
   }
 
   /** Substring candidates of a distinct-word frame: one row per
