@@ -1778,6 +1778,11 @@ object SparkEntry {
     // generalizes the stratified sampler; the oracle recomputes the
     // integer quality score and replays the digest compare
     "t13_weighted_sample" -> ((s, d) => {
+      // NOT spread (r22, measured): weightedSample is a FILTER on the
+      // scored frame, and the optimizer pushes the deterministic
+      // predicate below any repartition — the heavy qualityScore eval
+      // stays in the scan stage either way (parallel at real scale;
+      // single-file only locally)
       val scored = t(s, d, "documents").select(col("doc_id"),
         (TextAnalysis.qualityScore(col("text")).cast("double") / 10000).as("w"))
       Sampling.weightedSample(scored, "doc_id", "w")

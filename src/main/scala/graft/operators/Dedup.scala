@@ -142,7 +142,12 @@ object Dedup {
                         maxDocFreq: Long = Long.MaxValue): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
     val exactMode = maxDocFreq == Long.MaxValue
-    val c = corpus.select(col(idCol).as("doc"), ngramSet(col(textCol), n).as("ng"))
+    // spread the corpus side: tokenize + n-gram set + explode are the
+    // heavy per-row work and a one-file corpus otherwise runs them on a
+    // single task (profiled: d08 spent 1.4 s CPU in one scan task);
+    // no-op at real scale, like every spread site
+    val c = TextAnalysis.spreadAcrossCores(corpus)
+      .select(col(idCol).as("doc"), ngramSet(col(textCol), n).as("ng"))
       .withColumn("csz", size(col("ng"))).filter(col("csz") > 0)
     // probe table is benchmark-sized: materialized once, it feeds the
     // candidate gram join and (in approximate mode) the re-verification
