@@ -236,6 +236,7 @@ object Bench {
     // drop local-FS CRC sidecars (doubled file creates on every store
     // commit; production FS targets have no client CRC) — see LocalIo
     graft.tools.LocalIo.tuneLocalFs(spark)
+    graft.tools.LocalIo.sweepScratch() // stale tmpfs scratch from finished runs
     // releasing a lineage-truncated cut logs one WARN per RDD; 60+ queries
     // of that can clip the single JSON contract line off a captured tail
     org.apache.logging.log4j.core.config.Configurator.setLevel(

@@ -37,6 +37,7 @@ object Verify {
     // drop local-FS CRC sidecars (doubled file creates on every store
     // commit; production FS targets have no client CRC) — see LocalIo
     graft.tools.LocalIo.tuneLocalFs(spark)
+    graft.tools.LocalIo.sweepScratch() // stale tmpfs scratch from finished runs
     // scoped cut release logs one WARN per lineage-truncated RDD — noise
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)

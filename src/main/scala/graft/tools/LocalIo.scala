@@ -33,4 +33,31 @@ object LocalIo {
       f.setWriteChecksum(false)
       f.setVerifyChecksum(false)
     }
+
+  /** Sweep STALE entries out of the tmpfs scratch dir (r21 ADVICE:
+   * `java.io.tmpdir` points at RAM-backed /dev/shm/spark-graft and
+   * nothing cleaned it — fixture store temp dirs from finished runs
+   * accumulate until they squeeze real memory and distort later
+   * benches). Age-gated so concurrent JVMs' LIVE scratch (always
+   * recent — fixtures live for one query) is never touched; called
+   * from the driver-contract mains' bootstrap. Never deletes when the
+   * scratch redirect is off (tmpdir is then a shared system /tmp). */
+  def sweepScratch(maxAgeMillis: Long = 2 * 60 * 60 * 1000L): Unit = {
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir", ""))
+    if (tmp.getPath.startsWith("/dev/shm/") && tmp.isDirectory) {
+      val cutoff = System.currentTimeMillis() - maxAgeMillis
+      val kids = tmp.listFiles()
+      if (kids != null) kids.iterator
+        .filter(_.lastModified() < cutoff)
+        .foreach(deleteRecursively)
+    }
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory && !java.nio.file.Files.isSymbolicLink(f.toPath)) {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(deleteRecursively)
+    }
+    f.delete()
+  }
 }
