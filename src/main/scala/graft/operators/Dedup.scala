@@ -1179,7 +1179,11 @@ object Dedup {
     // sf0.1); spread first (no-op at real scale, where file partitions
     // >> cores)
     (1 to k).foldLeft(
-        TextAnalysis.spreadAcrossCores(corpus.select(col(idCol), col(textCol)))
+        // workFactor = k: this operator does k md5s PER GRAM, so the
+        // byte-sized fan under-estimates its per-task work k-fold
+        // (profiled: 4 tasks holding 2.7 s of CPU at sf0.1)
+        TextAnalysis.spreadAcrossCores(corpus.select(col(idCol), col(textCol)),
+            workFactor = k)
           .select(col(idCol), explode(ngramSet(col(textCol), n)).as("g"))
           .withColumn("__bloom", typedLit(mask.toSeq))) {
         case (acc, j) => acc.withColumn(s"p$j", posCol(col("g"), j))

@@ -703,7 +703,8 @@ object TextAnalysis {
    * which EXECUTES any upstream exchanges just to answer the question
    * (and a shuffle-bearing frame is already redistributed by that
    * exchange anyway). */
-  private[graft] def spreadAcrossCores(df: DataFrame): DataFrame = {
+  private[graft] def spreadAcrossCores(df: DataFrame,
+                                       workFactor: Int = 1): DataFrame = {
     import org.apache.spark.sql.catalyst.plans.logical._
     val hasShuffle = df.queryExecution.logical.collectFirst {
       case _: Join => (); case _: Aggregate => (); case _: Window => ()
@@ -711,8 +712,8 @@ object TextAnalysis {
       case _: Sort => ()
     }.isDefined
     if (hasShuffle) df
-    else if (df.rdd.getNumPartitions < spreadWidth(df))
-      df.repartition(spreadWidth(df))
+    else if (df.rdd.getNumPartitions < spreadWidth(df, workFactor))
+      df.repartition(spreadWidth(df, workFactor))
     else df
   }
 
@@ -721,11 +722,18 @@ object TextAnalysis {
    * core count. Logical-stats read — no execution; for the file scans
    * the spread guards it is the (filter-scaled) file size. Shared by
    * [[respread]] so post-shuffle re-fans size themselves to the same
-   * corpus the spread did. */
-  private[graft] def spreadWidth(df: DataFrame): Int = {
+   * corpus the spread did.
+   *
+   * `workFactor` scales the per-byte work estimate for operators that
+   * are provably denser than the tokenize-grade default — e.g. a
+   * k-hash Bloom membership test does k md5s per gram, so it passes k
+   * and fans k× wider for the same bytes (still capped at cores, still
+   * 1 for empty input). */
+  private[graft] def spreadWidth(df: DataFrame, workFactor: Int = 1): Int = {
+    require(workFactor >= 1, "workFactor must be >= 1")
     val cores = df.sparkSession.sparkContext.defaultParallelism
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val byBytes = (bytes + SpreadTaskBytes - 1) / SpreadTaskBytes
+    val byBytes = (bytes * workFactor + SpreadTaskBytes - 1) / SpreadTaskBytes
     byBytes.min(BigInt(cores)).max(BigInt(1)).toInt
   }
 
