@@ -991,6 +991,9 @@ object Dedup {
                              minDocs: Long, sep: String = "\n"): DataFrame = {
     require(minDocs >= 2, "minDocs must be >= 2 — 1 would drop every line")
     removeBoilerplateSegments(
+      // NOT spread (r22, measured): the line split is cheap per byte and
+      // the exchange cost d15 ~0.2 s net; the sentence variant below IS
+      // spread (regex sentence split + md5 are heavier per byte)
       df.select(col(idCol),
           posexplode(split(col(textCol), "\\n")).as(Seq("pi0", "seg")))
         .withColumn("seg_idx", (col("pi0") + 1).cast("long")).drop("pi0")
@@ -1014,7 +1017,11 @@ object Dedup {
                                  textCol: String, minDocs: Long): DataFrame = {
     require(minDocs >= 2, "minDocs must be >= 2 — 1 would drop every sentence")
     removeBoilerplateSegments(
-      df.select(col(idCol),
+      // spread before the segment explode: sentence split + per-segment
+      // md5 are the heavy per-row work, serialized on the one-file
+      // corpus' single task otherwise (no-op at real scale)
+      TextAnalysis.spreadAcrossCores(df)
+        .select(col(idCol),
           posexplode(TextAnalysis.sentences(col(textCol)))
             .as(Seq("pi0", "seg")))
         .withColumn("seg_idx", (col("pi0") + 1).cast("long")).drop("pi0"),
