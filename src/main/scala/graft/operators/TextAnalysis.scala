@@ -285,10 +285,15 @@ object TextAnalysis {
     // eager: the stats consumer arrives through a broadcast exchange,
     // which AQE builds concurrently with the postings path — a lazy cut
     // would be recomputed once per racing consumer
-    val tf = Materialize.eager(
+    // re-fanned: AQE coalesces the (doc, term) aggregate to one
+    // partition at small scale, serializing the dl/df aggregates and
+    // the scoring joins that read the cut (profiled: t15 spent 1.0 s
+    // CPU in one such task); no-op at scale (see respread)
+    val tf = respread(Materialize.eager(
       spreadAcrossCores(corpus)
         .select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("term"))
-        .groupBy("doc", "term").agg(count(lit(1)).as("tf")))
+        .groupBy("doc", "term").agg(count(lit(1)).as("tf"))),
+      corpus, col("doc"))
     val idx = indexFromPostings(tf)
     bm25TopKFromIndex(idx, queries, idCol, textCol, k, k1, b, maxDfFrac)
   }
@@ -312,6 +317,11 @@ object TextAnalysis {
    * session's release discipline (harnesses release per query). */
   def buildBm25Index(corpus: DataFrame, idCol: String,
                      textCol: String): Bm25Index =
+    // NOT re-fanned (r22, measured): unlike bm25TopK — whose scoring
+    // joins read the cut directly and won 2x from the re-fan — this
+    // cut's consumers are the four STORE WRITES, which repartition to
+    // the bucket layout anyway; the extra exchange per write cost t28
+    // ~0.5 s net
     indexFromPostings(Materialize.eager(
       spreadAcrossCores(corpus)
         .select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("term"))
